@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{QueryDef, Tables}
+import graft.functions.Money.{c2, cents, intDivide}
+
+/** Event-stream operators over the `events` table, in batch-equivalent
+  * form: tumbling / sliding / session windows and JSON property
+  * extraction. The same transforms run under Structured Streaming
+  * (readStream → identical exprs → writeStream) — StreamingSpec proves
+  * that with a memory-sink run; these batch forms are the oracle-checked
+  * semantics.
+  *
+  * Session windows use Spark's `session_window` (gap-based merge);
+  * the DuckDB oracle reproduces it with the classic gaps-and-islands
+  * construction (new session when ts - lag(ts) >= gap — mirroring
+  * Spark's half-open [start, last + gap) semantics).
+  */
+object EventOps {
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ── Tumbling window aggregate (1 hour) ────────────────────────────────
+    QueryDef("q41_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             c2(sum(cents(col("value")))).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+             |       event_type, count(*) AS n_events,
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0
+             |         AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY window_start, event_type""".stripMargin)),
+
+    // ── Sliding window aggregate (1 hour every 30 min) ────────────────────
+    QueryDef("q42_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+             c2(intDivide(sum(cents(col("value"))), count(lit(1)))).as("avg_value"))
+        .select(col("w.start").as("window_start"), col("n_events"),
+          col("avg_value"))
+        .orderBy("window_start"),
+      // every event belongs to two 30-min-aligned windows: the one
+      // starting at its 30-min bucket and the one 30 min earlier
+      Some("""WITH assigned AS (
+             |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
+             |         CAST(round(value*100) AS BIGINT) AS vc
+             |  FROM events
+             |  UNION ALL
+             |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+             |         CAST(round(value*100) AS BIGINT)
+             |  FROM events)
+             |SELECT window_start, count(*) AS n_events,
+             |       CAST(trunc(CAST(sum(vc) AS BIGINT) / count(*)) AS BIGINT)
+             |         / 100.0 AS avg_value
+             |FROM assigned
+             |GROUP BY 1
+             |ORDER BY window_start""".stripMargin)),
+
+    // ── Session window (30-minute inactivity gap) per user ────────────────
+    QueryDef("q43_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+             c2(sum(cents(col("value")))).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, value,
+             |         CASE WHEN lag(ts) OVER w IS NULL
+             |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+             |              THEN 1 ELSE 0 END AS is_new
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sessions AS (
+             |  SELECT user_id, ts, value,
+             |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts)
+             |           AS session_id
+             |  FROM flagged)
+             |SELECT user_id, min(ts) AS session_start,
+             |       count(*) AS n_events,
+             |       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0
+             |         AS sum_value
+             |FROM sessions
+             |GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // ── JSON property extraction + aggregate ──────────────────────────────
+    QueryDef("q44_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum("k").as("sum_k"),
+             min("k").as("min_k"),
+             max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+             |            AS BIGINT) AS sum_k,
+             |       min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+             |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+             |FROM events
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin))
+  )
+}

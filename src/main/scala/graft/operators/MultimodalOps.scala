@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{QueryDef, Tables}
+
+/** Multimodal-column plumbing for the training-data pipeline tier.
+  *
+  * Media payloads are opaque `binary` columns with a typed metadata
+  * struct — the columnar representation that scales (parquet stores the
+  * bytes contiguously; metadata predicates prune without touching
+  * payloads). Decode/feature-extraction runs per partition over iterator
+  * batches (the Scala analogue of the Python mapInPandas batch shape):
+  * the partitioning, schema, and batch plumbing here are real and tested;
+  * only the innermost byte→signal decode is a STUB (no image/audio codecs
+  * in this container) — a deterministic hash-based fake, clearly marked.
+  */
+object MultimodalOps {
+
+  /** A media row: payload + typed metadata. */
+  final case class MediaRow(item_id: Long, kind: String, media: Array[Byte],
+                            width: Int, height: Int, sample_rate: Int)
+
+  /** Extracted features per item. */
+  final case class MediaFeatures(item_id: Long, kind: String, n_bytes: Int,
+                                 checksum: Long, features: Array[Float])
+
+  /** Synthesize a media table from `documents` (text bytes as payload) —
+    * deterministic stand-in for real image/audio blobs; exercises the
+    * exact schema/partitioning a real pipeline would use. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("item_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("media"),
+      (pmod(col("doc_id"), lit(4)) * 160 + 320).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(4)) * 90 + 180).cast("int").as("height"),
+      when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(0)
+        .cast("int").as("sample_rate"))
+
+  /** STUB — byte→signal decode. A real deployment swaps this body for an
+    * actual codec (JPEG decode, PCM resample, frame grab); everything
+    * around it (schema, iterator batching, partition parallelism) is the
+    * production shape. Deterministic: features derive from payload bytes. */
+  private def decodeStub(media: Array[Byte], dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    var acc = 1125899906842597L // FNV-ish rolling hash, deterministic
+    var i = 0
+    while (i < media.length) {
+      acc = acc * 31 + (media(i) & 0xff)
+      out(math.floorMod(i, dims)) += ((acc >>> 32) % 1000L) / 1000.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Per-partition feature extraction over the media table — iterator in,
+    * iterator out, no driver involvement; repartition by item_id spreads
+    * payload bytes evenly ahead of the CPU-bound decode. */
+  def extractFeatures(spark: SparkSession, media: DataFrame, dims: Int = 16,
+                      partitions: Int = 0): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    val parted =
+      if (partitions > 0) media.repartition(partitions, col("item_id")) else media
+    parted.select("item_id", "kind", "media").as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, bytes) =>
+          val feats = decodeStub(bytes, dims)
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+          MediaFeatures(id, kind, bytes.length, sum, feats)
+        }
+      }
+  }
+
+  /** Frame sampling plumbing: for video items, emit one row per sampled
+    * frame index (every `stride`th of `nFrames`) — the explode shape a
+    * real frame-grab would use; payload decode stays stubbed. */
+  def sampleFrames(media: DataFrame, nFrames: Int = 16, stride: Int = 4): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("item_id"), col("width"), col("height"),
+        explode(sequence(lit(0), lit(nFrames - 1), lit(stride))).as("frame_idx"))
+
+  /** Rows-only registered query (no SQL oracle — mapPartitions isn't
+    * SQL-expressible): per-kind feature statistics. Deterministic, so the
+    * driver's weaker rows-only check still pins row count and schema. */
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("q45_multimodal_features",
+      (s, d) => {
+        extractFeatures(s, mediaTable(s, d)).toDF()
+          .groupBy("kind")
+          .agg(count(lit(1)).as("n_items"),
+            sum("n_bytes").as("total_bytes"),
+            countDistinct("checksum").as("n_distinct_payloads"))
+          .orderBy("kind")
+      },
+      None)
+  )
+}

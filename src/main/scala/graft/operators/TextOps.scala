@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{QueryDef, Tables}
+import graft.functions.TextFns._
+
+/** Text analysis for the training-data pipeline tier (builder prompt:
+  * lang-ID, quality scoring, token counting, fingerprinting), over the
+  * `documents` table. Every op is a composition of codegen'd built-ins
+  * with an exact DuckDB mirror — these scale linearly (narrow, no
+  * shuffle until the final aggregate).
+  */
+object TextOps {
+
+  /** Shared DuckDB token expression (mirrors TextFns.tokens). */
+  private val TOKS =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ── Quality scoring: length/punct/stopword ratios + bucket ────────────
+    QueryDef("q30_text_quality",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = tokens(col("text"))
+        val nTokens = size(toks)
+        val nAlnum = length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
+        val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+        val stopHits = hitCount(toks, stopwords("en"))
+        docs.select(
+            col("doc_id"),
+            nTokens.as("n_tokens"),
+            (nAlnum.cast("double") / length(col("text"))).as("alnum_ratio"),
+            (punct.cast("double") / length(col("text"))).as("punct_ratio"),
+            (stopHits.cast("double") / nTokens).as("stopword_ratio"))
+          .withColumn("quality_bucket",
+            when(col("n_tokens") < 10, "too_short")
+              .when(col("punct_ratio") > 0.1, "punct_heavy")
+              .when(col("stopword_ratio") > 0.3, "stopword_heavy")
+              .otherwise("ok"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, text, $TOKS AS toks FROM documents)
+             |SELECT doc_id,
+             |       CAST(len(toks) AS INT) AS n_tokens,
+             |       CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+             |            AS DOUBLE) / length(text) AS alnum_ratio,
+             |       CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+             |            AS DOUBLE) / length(text) AS punct_ratio,
+             |       CAST(len(list_filter(toks, t -> t IN
+             |              ('the','a','of','and','to','in','is','that')))
+             |            AS DOUBLE) / len(toks) AS stopword_ratio,
+             |       CASE WHEN len(toks) < 10 THEN 'too_short'
+             |            WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]',
+             |                   '', 'g')) AS DOUBLE) / length(text) > 0.1
+             |              THEN 'punct_heavy'
+             |            WHEN CAST(len(list_filter(toks, t -> t IN
+             |                   ('the','a','of','and','to','in','is','that')))
+             |                   AS DOUBLE) / len(toks) > 0.3
+             |              THEN 'stopword_heavy'
+             |            ELSE 'ok' END AS quality_bucket
+             |FROM t
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Language ID: stopword-dictionary scoring, deterministic argmax ────
+    QueryDef("q31_lang_id",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = tokens(col("text"))
+        val scored = docs.select(col("doc_id"), col("lang").as("labeled_lang"),
+          hitCount(toks, stopwords("en")).as("en_hits"),
+          hitCount(toks, stopwords("de")).as("de_hits"),
+          hitCount(toks, stopwords("fr")).as("fr_hits"),
+          hitCount(toks, stopwords("es")).as("es_hits"))
+        // argmax with a fixed tie order (en > de > fr > es), 0 → unknown
+        val best = greatest(col("en_hits"), col("de_hits"), col("fr_hits"), col("es_hits"))
+        scored.withColumn("detected_lang",
+            when(best === 0, "unknown")
+              .when(col("en_hits") === best, "en")
+              .when(col("de_hits") === best, "de")
+              .when(col("fr_hits") === best, "fr")
+              .otherwise("es"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+             |h AS (
+             |  SELECT doc_id, lang AS labeled_lang,
+             |    CAST(len(list_filter(toks, t -> t IN
+             |      ('the','a','of','and','to','in','is','that'))) AS INT) AS en_hits,
+             |    CAST(len(list_filter(toks, t -> t IN
+             |      ('der','die','das','und','ist','von','nicht','ein'))) AS INT) AS de_hits,
+             |    CAST(len(list_filter(toks, t -> t IN
+             |      ('le','les','et','des','une','dans','pour','est'))) AS INT) AS fr_hits,
+             |    CAST(len(list_filter(toks, t -> t IN
+             |      ('el','los','de','que','y','en','por','para'))) AS INT) AS es_hits
+             |  FROM t)
+             |SELECT *,
+             |  CASE WHEN greatest(en_hits, de_hits, fr_hits, es_hits) = 0
+             |         THEN 'unknown'
+             |       WHEN en_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+             |         THEN 'en'
+             |       WHEN de_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+             |         THEN 'de'
+             |       WHEN fr_hits = greatest(en_hits, de_hits, fr_hits, es_hits)
+             |         THEN 'fr'
+             |       ELSE 'es' END AS detected_lang
+             |FROM h
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Token counting: whitespace words + BPE-ish regex pieces ───────────
+    QueryDef("q32_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).as("n_words"),
+          // BPE-ish: letter runs, digit runs, or single non-space symbols
+          regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
+            .as("n_pieces"),
+          (length(col("text")).cast("double") /
+            size(tokens(col("text")))).as("chars_per_word"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |       CAST(len($TOKS) AS INT) AS n_words,
+             |       CAST(len(regexp_extract_all(text,
+             |              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+             |         AS n_pieces,
+             |       CAST(length(text) AS DOUBLE) / len($TOKS) AS chars_per_word
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Fingerprinting: word-set md5 → duplicate-group detection ──────────
+    QueryDef("q33_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), wordSetFingerprint(tokens(col("text"))).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc_id"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp"),
+      Some(s"""SELECT md5(array_to_string(list_sort(list_distinct($TOKS)), ' '))
+             |         AS fp,
+             |       count(*) AS n_docs,
+             |       min(doc_id) AS keep_doc_id
+             |FROM documents
+             |GROUP BY 1
+             |HAVING count(*) > 1
+             |ORDER BY fp""".stripMargin))
+  )
+}

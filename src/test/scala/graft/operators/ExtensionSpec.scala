@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+/** Extension-tier correctness: the non-SQL-expressible scale paths
+  * (MinHash+LSH, SimHash, ANN buckets, multimodal decode, streaming) are
+  * verified here against their exact / batch counterparts — the oracle
+  * role the driver's DuckDB check can't play for them.
+  */
+class ExtensionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** The file stream source watches a directory; stage the events file
+    * into one. */
+  private lazy val eventsDir: String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft-events-stream")
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def run(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("minhash LSH candidates cover every exact-jaccard near-dup pair (recall)") {
+    val exact = run("q35_ngram_jaccard")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cands = run("q36_minhash_lsh")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact pair set should not be empty at sf0.01")
+    val missed = exact -- cands
+    assert(missed.isEmpty, s"LSH missed true near-dup pairs: $missed")
+    // candidate set stays a filter, not the whole quadratic pair space
+    val nDocs = run("q34_dedup_exact").sparkSession
+      .read.parquet(s"$sf/documents.parquet").count()
+    assert(cands.size < nDocs * (nDocs - 1) / 4,
+      s"LSH candidates (${cands.size}) degenerated toward all-pairs")
+  }
+
+  test("simhash banding finds the planted near-dups with small hamming distance") {
+    val exact = run("q35_ngram_jaccard")
+      .filter(col("jac") >= 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = run("q37_simhash")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- sim
+    assert(missed.isEmpty, s"simhash missed strong near-dups: $missed")
+  }
+
+  test("ANN LSH buckets partition the corpus; brute-force top-k is their yardstick") {
+    val buckets = run("q40_ann_lsh").collect()
+    val total = buckets.map(_.getAs[Long]("n_vecs")).sum
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(total === nVecs, "every vector lands in exactly one bucket")
+    assert(buckets.length > 1, "hyperplanes should split the space")
+    val topk = run("q38_cosine_topk").collect()
+    assert(topk.length === 10)
+    val scores = topk.map(_.getAs[Double]("cos_sim"))
+    assert(scores.sameElements(scores.sorted.reverse), "top-k sorted desc")
+  }
+
+  test("multimodal feature extraction is deterministic and partition-shaped") {
+    val media = MultimodalOps.mediaTable(spark, sf)
+    val f1 = MultimodalOps.extractFeatures(spark, media, dims = 16, partitions = 4)
+      .collect().sortBy(_.item_id)
+    val f2 = MultimodalOps.extractFeatures(spark, media, dims = 16, partitions = 7)
+      .collect().sortBy(_.item_id)
+    assert(f1.length === 500)
+    // same features regardless of partitioning → decode is pure per-row
+    assert(f1.zip(f2).forall { case (a, b) =>
+      a.checksum == b.checksum && a.features.sameElements(b.features) })
+    assert(f1.forall(_.features.length === 16))
+    val frames = MultimodalOps.sampleFrames(media).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Int]("frame_idx") % 4 === 0))
+  }
+
+  test("streaming tumbling counts equal the batch answer (stream/batch parity)") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.tumblingCounts(EventStream.readEvents(spark, eventsDir)), "tumbling_mem")
+      .select("window_start", "event_type", "n_events")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStream.tumblingCounts(graft.sources.Tables.events(spark, sf))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming session windows equal the batch answer") {
+    val streamed = EventStream.runToMemory(spark,
+      EventStream.userSessions(EventStream.readEvents(spark, eventsDir)), "sessions_mem")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = EventStream.userSessions(graft.sources.Tables.events(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+  }
+}
