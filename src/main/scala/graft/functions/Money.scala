@@ -47,8 +47,11 @@ object Money {
   def c2(c: Column): Column = c.cast("double") / 100.0
   def c4(c: Column): Column = c.cast("double") / 10000.0
 
-  /** Deterministic integer average: truncating integer division — both
-    * engines floor the same exact integers (`div` here, `//` in DuckDB). */
+  /** Deterministic integer average: true truncating integer division
+    * (Catalyst IntegralDivide via the registered `div` function — exact on
+    * the full int64 range, unlike trunc-of-double which loses exactness
+    * past 2^53). DuckDB mirror: `a // b` (same truncate-toward-zero
+    * semantics, verified on negatives: -7 div 2 = -3 in both). */
   def intDivide(a: Column, b: Column): Column =
-    (a / b).cast("long")
+    call_function("div", a, b)
 }

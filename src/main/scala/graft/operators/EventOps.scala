@@ -59,7 +59,7 @@ object EventOps {
              |         CAST(round(value*100) AS BIGINT)
              |  FROM events)
              |SELECT window_start, count(*) AS n_events,
-             |       CAST(trunc(CAST(sum(vc) AS BIGINT) / count(*)) AS BIGINT)
+             |       (CAST(sum(vc) AS BIGINT) // count(*))
              |         / 100.0 AS avg_value
              |FROM assigned
              |GROUP BY 1

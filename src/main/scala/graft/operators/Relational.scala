@@ -313,8 +313,8 @@ object Relational {
              |  FROM lineitem GROUP BY 1)
              |SELECT ship_year, rev_c4 / 10000.0 AS year_rev,
              |       CAST(sum(rev_c4) OVER w AS BIGINT) / 10000.0 AS running_rev,
-             |       CAST(trunc(CAST(sum(rev_c4) OVER w AS BIGINT)
-             |                  / row_number() OVER w) AS BIGINT) / 10000.0
+             |       (CAST(sum(rev_c4) OVER w AS BIGINT)
+             |                  // (row_number() OVER w)) / 10000.0
              |         AS running_avg_rev
              |FROM yearly
              |WINDOW w AS (ORDER BY ship_year)
@@ -342,10 +342,10 @@ object Relational {
              |  FROM lineitem JOIN part ON p_partkey = l_partkey
              |  GROUP BY 1, 2)
              |SELECT p_brand, ship_year, rev_c4 / 10000.0 AS cur_rev,
-             |       CAST(trunc(CAST(sum(rev_c4) OVER w AS BIGINT)
-             |                  / count(*) OVER w) AS BIGINT) / 10000.0 AS avg_rev,
-             |       (rev_c4 - CAST(trunc(CAST(sum(rev_c4) OVER w AS BIGINT)
-             |                  / count(*) OVER w) AS BIGINT)) / 10000.0 AS diff_avg
+             |       (CAST(sum(rev_c4) OVER w AS BIGINT)
+             |                  // (count(*) OVER w)) / 10000.0 AS avg_rev,
+             |       (rev_c4 - (CAST(sum(rev_c4) OVER w AS BIGINT)
+             |                  // (count(*) OVER w))) / 10000.0 AS diff_avg
              |FROM by_brand_year
              |WINDOW w AS (PARTITION BY p_brand)
              |ORDER BY p_brand, ship_year""".stripMargin)),
@@ -545,7 +545,7 @@ object Relational {
              |              THEN 'VIP'
              |            WHEN lifespan_months >= 12 THEN 'Regular'
              |            ELSE 'New' END AS customer_segment,
-             |       CAST(trunc(spend_cents / total_orders) AS BIGINT) / 100.0
+             |       (spend_cents // total_orders) / 100.0
              |         AS avg_order_value
              |FROM per_cust JOIN customer ON c_custkey = o_custkey
              |ORDER BY c_custkey""".stripMargin)),

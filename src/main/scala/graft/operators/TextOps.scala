@@ -29,12 +29,18 @@ object TextOps {
         val nAlnum = length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
         val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
         val stopHits = hitCount(toks, stopwords("en"))
+        // NULLIF guards: on a zero-token / empty-text document Spark's x/0
+        // yields NULL but DuckDB's IEEE float division yields inf/NaN —
+        // nullif on BOTH sides makes the engines agree on NULL.
         docs.select(
             col("doc_id"),
             nTokens.as("n_tokens"),
-            (nAlnum.cast("double") / length(col("text"))).as("alnum_ratio"),
-            (punct.cast("double") / length(col("text"))).as("punct_ratio"),
-            (stopHits.cast("double") / nTokens).as("stopword_ratio"))
+            (nAlnum.cast("double") / nullif(length(col("text")), lit(0)))
+              .as("alnum_ratio"),
+            (punct.cast("double") / nullif(length(col("text")), lit(0)))
+              .as("punct_ratio"),
+            (stopHits.cast("double") / nullif(nTokens, lit(0)))
+              .as("stopword_ratio"))
           .withColumn("quality_bucket",
             when(col("n_tokens") < 10, "too_short")
               .when(col("punct_ratio") > 0.1, "punct_heavy")
@@ -47,12 +53,12 @@ object TextOps {
              |SELECT doc_id,
              |       CAST(len(toks) AS INT) AS n_tokens,
              |       CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-             |            AS DOUBLE) / length(text) AS alnum_ratio,
+             |            AS DOUBLE) / nullif(length(text), 0) AS alnum_ratio,
              |       CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
-             |            AS DOUBLE) / length(text) AS punct_ratio,
+             |            AS DOUBLE) / nullif(length(text), 0) AS punct_ratio,
              |       CAST(len(list_filter(toks, t -> t IN
              |              ('the','a','of','and','to','in','is','that')))
-             |            AS DOUBLE) / len(toks) AS stopword_ratio,
+             |            AS DOUBLE) / nullif(len(toks), 0) AS stopword_ratio,
              |       CASE WHEN len(toks) < 10 THEN 'too_short'
              |            WHEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]',
              |                   '', 'g')) AS DOUBLE) / length(text) > 0.1
@@ -119,14 +125,15 @@ object TextOps {
           regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
             .as("n_pieces"),
           (length(col("text")).cast("double") /
-            size(tokens(col("text")))).as("chars_per_word"))
+            nullif(size(tokens(col("text"))), lit(0))).as("chars_per_word"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
              |       CAST(len($TOKS) AS INT) AS n_words,
              |       CAST(len(regexp_extract_all(text,
              |              '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
              |         AS n_pieces,
-             |       CAST(length(text) AS DOUBLE) / len($TOKS) AS chars_per_word
+             |       CAST(length(text) AS DOUBLE) / nullif(len($TOKS), 0)
+             |         AS chars_per_word
              |FROM documents
              |ORDER BY doc_id""".stripMargin)),
 

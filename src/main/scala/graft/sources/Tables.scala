@@ -25,7 +25,13 @@ object Tables {
     * default. Read it as raw nanos (legacy conf) and floor-convert to
     * microsecond TimestampType — the same truncation DuckDB applies, so
     * oracle timestamps agree. `div` keeps the conversion in exact integer
-    * arithmetic (ns values exceed 2^53, double math would corrupt them). */
+    * arithmetic (ns values exceed 2^53, double math would corrupt them).
+    *
+    * NOTE the conf set here is SESSION-WIDE and persists after this call:
+    * any later read of a parquet file with nano timestamps in the same
+    * session will also see them as raw longs. Our own entry points
+    * (Bench/Verify/specs) additionally pin it at session construction;
+    * the defensive set here keeps `events` readable from a bare session. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(s, d, "events")

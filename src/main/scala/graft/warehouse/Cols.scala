@@ -47,8 +47,9 @@ object Cols {
 
   /** T6: T-SQL `/` on two INTs is truncating integer division — the KPI
     * ratios (avg_order_value, avg_monthly_spend; 12_report_customers.sql:
-    * 99-105) silently rely on it. Spark's `div` matches (truncate toward
-    * zero on positives), with a NULLIF guard folded in. */
+    * 99-105) silently rely on it. True IntegralDivide (registered `div`
+    * function) — exact over the full int64 range, truncate-toward-zero,
+    * NULLIF guard folded in (div by NULL → NULL in both engines). */
   def intDiv(a: Column, b: Column): Column =
-    try_divide(a, nullif(b, lit(0))).cast("long")
+    call_function("div", a, nullif(b, lit(0)))
 }
