@@ -1,23 +1,36 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
-import graft.sources.{QueryDef, Tables}
+import graft.functions.Hashing
 import graft.functions.TextFns._
+import graft.sources.{QueryDef, Tables}
 
 /** Deduplication family for the training-data pipeline tier over
-  * `documents`: exact (hash group-by), n-gram Jaccard (blocked pair
-  * verify — the oracle-checkable exact form), MinHash+LSH banding and
-  * SimHash (the 100 TB candidate-generation paths; no SQL oracle — their
-  * hash functions are Spark-native — so they're verified by ScalaTest
-  * against the exact Jaccard results instead).
+  * `documents`: exact (hash group-by), n-gram Jaccard (inverted-index
+  * join — the oracle yardstick), MinHash+LSH banding and SimHash (the
+  * 100 TB candidate-generation paths).
   *
-  * Scale design: the exact pair query blocks on (lang, shingle-count
-  * ratio ≤ 2 — lossless for Jaccard ≥ 0.5) to bound the quadratic
-  * pair space; MinHash/LSH replaces it entirely at 100 TB, where
-  * candidates come from an equi-join on band keys (shuffle on band
-  * hash — linear in corpus size) rather than any pairwise product.
+  * All signature hashing is md5-derived (Hashing.md5Long60) — identical
+  * in Spark and DuckDB — so every query here, including MinHash and
+  * SimHash, has a full DuckDB oracle.
+  *
+  * Scale design:
+  *  - One shared, cached shingle frame feeds q35/q36/q37 — the shingle
+  *    pipeline (tokenize, 3-gram, explode, md5) runs once per (session,
+  *    dir), not once per query, and the per-shingle string is hashed
+  *    ONCE; the k=32 MinHash permutations are cheap integer mixes of
+  *    that single hash, not k independent string hashes.
+  *  - Candidates always come from equi-joins on band/chunk keys (shuffle
+  *    on the key — linear in corpus + true-pair mass), never a pairwise
+  *    product.
+  *  - The exact-Jaccard tier blocks on (lang, shingle) with a size-ratio
+  *    guard (lossless for Jaccard >= 0.5: if |A| > 2|B| then
+  *    jac <= |B|/|A| < 0.5). Hot shingles ("of the and …") still square
+  *    on web-scale text — at 100 TB the exact tier is the audit/oracle
+  *    path run on samples; MinHash banding is the full-corpus path.
   */
 object DedupOps {
 
@@ -26,32 +39,50 @@ object DedupOps {
   private val SHINGLES =
     s"list_sort(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), i -> array_to_string(toks[i:i+2], ' '))))"
 
-  /** doc_id, shingles (word 3-grams, distinct sorted), n_shingles. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), shingles(tokens(col("text"))).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("n_sh", size(col("shingles")))
+  /** Shared DuckDB CTE prefix: doc_id, lang, n_sh, one row per shingle,
+    * plus the 60-bit md5 hash (mirrors `shingleHashes`). */
+  private val EXPLODED_SQL =
+    s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+       |sh AS (SELECT doc_id, lang, $SHINGLES AS shingles FROM t),
+       |ex AS (
+       |  SELECT doc_id, lang, len(shingles) AS n_sh, unnest(shingles) AS shingle
+       |  FROM sh WHERE len(shingles) > 0),
+       |hashed AS (
+       |  SELECT *, ${Hashing.md5Long60Sql("shingle")} AS h60 FROM ex)""".stripMargin
 
-  /** MinHash signature: k=32 permutations simulated by seeded xxhash64,
-    * LSH banding 8 bands × 4 rows.
-    *
-    * Implementation note: computed by exploding shingles and running k
-    * plain `min(xxhash64(seed, shingle))` aggregates — higher-order
-    * lambda expressions (transform/aggregate) fall out of whole-stage
-    * codegen and run interpreted, which measured ~10× slower here; k
-    * codegen'd min-aggregates over the exploded rows keep the whole
-    * signature pass inside Tungsten. */
-  private def minhashed(s: SparkSession, d: String, k: Int = 32): DataFrame = {
-    val exploded = shingled(s, d)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val minAggs = (0 until k).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    exploded.groupBy("doc_id")
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-  }
+  /** One row per (doc, distinct word-3-gram): doc_id, lang, n_sh,
+    * shingle, h60. Cached per (session, dir) and shared by q35/q36/q37 —
+    * tokenization, shingling, explode and the md5 are paid once. */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def shingleHashes(s: SparkSession, d: String): DataFrame =
+    cache.getOrElseUpdate((s, d), {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          shingles(tokens(col("text"))).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), col("lang"), size(col("shingles")).as("n_sh"),
+          explode(col("shingles")).as("shingle"))
+        .withColumn("h60", Hashing.md5Long60(col("shingle")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  // ── MinHash constants: k=32 universal-hash mixes of the one h60 ────────
+  // h_i = (A_i * (h60 % 2^30) + B_i) % (2^31 - 1); A_i odd < 2^25, so the
+  // product stays < 2^55 — exact in int64 in both engines, no overflow
+  // (DuckDB BIGINT overflow errors rather than wrapping). Constants are
+  // md5-derived from fixed labels → deterministic and engine-independent.
+  private val MINHASH_K = 32
+  private val P31 = 2147483647L
+  private val H30 = 1073741824L
+  private val mixA: IndexedSeq[Long] =
+    (0 until MINHASH_K).map(i => (Hashing.md5Long60(s"minhash_a_$i") % (1L << 25)) | 1L)
+  private val mixB: IndexedSeq[Long] =
+    (0 until MINHASH_K).map(i => Hashing.md5Long60(s"minhash_b_$i") % P31)
+
+  private def mix(i: Int): Column =
+    (lit(mixA(i)) * (col("h60") % H30) + lit(mixB(i))) % P31
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -70,24 +101,22 @@ object DedupOps {
              |ORDER BY text_hash""".stripMargin)),
 
     // ── Near-dup: word-3-gram Jaccard, inverted-index join (exact) ────────
-    // Instead of a blocked pairwise product (quadratic), explode shingles
-    // and equi-join on the shingle: only pairs that SHARE a shingle ever
-    // materialize, and |A∩B| falls out of a count — the shape that scales
-    // (shuffle on shingle key, linear in corpus + true-pair mass). The
-    // result set is identical to the oracle's pairwise formulation:
-    // jac = shared/(n_a + n_b - shared) over distinct shingle sets, and
-    // pairs sharing nothing have jac 0 < 0.5 anyway.
+    // Explode shingles and equi-join on (lang, shingle): only pairs that
+    // SHARE a shingle materialize, and |A∩B| falls out of a count. The
+    // size-ratio guard right after the join is lossless for jac >= 0.5
+    // and bounds the pair mass the aggregate sees (the oracle's pairwise
+    // formulation carries the same guard in its join condition).
     QueryDef("q35_ngram_jaccard",
       (s, d) => {
-        val inv = shingled(s, d)
-          .select(col("lang"), col("doc_id"), col("n_sh"),
-            explode(col("shingles")).as("shingle"))
+        val inv = shingleHashes(s, d)
+          .select(col("lang"), col("shingle"), col("doc_id"), col("n_sh"))
         val a = inv.select(col("lang"), col("shingle"),
           col("doc_id").as("id_a"), col("n_sh").as("n_a"))
         val b = inv.select(col("lang"), col("shingle"),
           col("doc_id").as("id_b"), col("n_sh").as("n_b"))
         a.join(b, Seq("lang", "shingle"))
-          .filter(col("id_a") < col("id_b"))
+          .filter(col("id_a") < col("id_b") &&
+            col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
           .groupBy("id_a", "id_b", "n_a", "n_b")
           .agg(count(lit(1)).as("shared"))
           .select(col("id_a"), col("id_b"),
@@ -114,15 +143,22 @@ object DedupOps {
              |      >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // ── MinHash + LSH banding: scale path (candidates via band equi-join) ─
-    // No SQL oracle (xxhash64 is Spark-native); DedupSpec asserts recall
-    // against q35's exact pairs.
+    // ── MinHash + LSH banding: the scale path, with a full oracle ─────────
+    // 32 permutations = integer mixes of the single md5-derived shingle
+    // hash; 8 bands × 4 rows; candidates from an equi-join on (band, key).
     QueryDef("q36_minhash_lsh",
       (s, d) => {
-        val bands = minhashed(s, d).select(col("doc_id"),
-            explode(expr("transform(sequence(0, 7), b -> " +
-              "named_struct('band', b, 'key', xxhash64(slice(sig, b * 4 + 1, 4))))"))
-              .as("bk"))
+        val minAggs = (0 until MINHASH_K).map(i => min(mix(i)).as(s"m$i"))
+        val sigs = shingleHashes(s, d)
+          .groupBy("doc_id")
+          .agg(minAggs.head, minAggs.tail: _*)
+        val bandStructs = (0 until 8).map { b =>
+          struct(lit(b).as("band"),
+            concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
+              .as("key"))
+        }
+        val bands = sigs
+          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
         val a = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
         val b = bands.select(col("band"), col("key"), col("doc_id").as("id_b"))
@@ -131,32 +167,49 @@ object DedupOps {
           .select("id_a", "id_b").distinct()
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some {
+        val minExprs = (0 until MINHASH_K).map(i =>
+          s"min((${mixA(i)} * (h60 % $H30) + ${mixB(i)}) % $P31) AS m$i")
+          .mkString(",\n       ")
+        val bandSelects = (0 until 8).map { b =>
+          val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+          s"SELECT doc_id, $b AS band, concat_ws(',', $ms) AS key FROM sigs"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""$EXPLODED_SQL,
+           |sigs AS (
+           |  SELECT doc_id,
+           |       $minExprs
+           |  FROM hashed GROUP BY doc_id),
+           |bands AS (
+           |  $bandSelects)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |FROM bands a JOIN bands b
+           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
 
-    // ── SimHash: 64-bit signature, near-dup via chunk-match banding ───────
-    // No SQL oracle; ExtensionSpec asserts the planted near-dups collide.
-    // Same codegen strategy as minhash: explode shingles, 64 plain sum
-    // aggregates (one per bit), assemble the signature from their signs.
+    // ── SimHash: 60-bit signature, near-dup via chunk banding, oracle ─────
+    // 60 bit-weight sums over the shared hashed frame; 15 chunks × 4 bits,
+    // so any pair with hamming <= 14 shares a clean chunk DETERMINISTICALLY
+    // (pigeonhole) — strictly covering the hamming <= 12 output filter.
     QueryDef("q37_simhash",
       (s, d) => {
-        val exploded = shingled(s, d)
-          .select(col("doc_id"), explode(col("shingles")).as("sh"))
-          .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-        val bitSums = (0 until 64).map(b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L)
+        val bitSums = (0 until 60).map(b =>
+          sum(when(shiftright(col("h60"), b).bitwiseAND(1L) === 1L, 1L)
             .otherwise(-1L)).as(s"b$b"))
-        val sim = exploded.groupBy("doc_id")
+        val sim = shingleHashes(s, d)
+          .groupBy("doc_id")
           .agg(bitSums.head, bitSums.tail: _*)
           .select(col("doc_id"),
-            (0 until 64).map(b =>
-              when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+            (0 until 60).map(b =>
+              when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
               .reduce(_ + _).as("simhash"))
-        // banding: 8 × 8-bit chunks — the pigeonhole guarantees a clean
-        // chunk for hamming ≤ 7 (measured true near-dups reach 9; a
-        // flip-free chunk then still exists with ~99.8% probability)
-        val chunks = sim.select(col("doc_id"), col("simhash"),
-            explode(expr("transform(sequence(0, 7), c -> named_struct(" +
-              "'chunk', c, 'key', shiftright(simhash, c * 8) & 255))")).as("ck"))
+        val chunkStructs = (0 until 15).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * 4).bitwiseAND(15L).as("key")))
+        val chunks = sim
+          .select(col("doc_id"), col("simhash"),
+            explode(array(chunkStructs: _*)).as("ck"))
           .select(col("doc_id"), col("simhash"),
             col("ck.chunk").as("chunk"), col("ck.key").as("key"))
         val a = chunks.select(col("chunk"), col("key"),
@@ -171,6 +224,29 @@ object DedupOps {
           .filter(col("hamming") <= 12)
           .orderBy("id_a", "id_b")
       },
-      None)
+      Some {
+        val bitSums = (0 until 60).map(b =>
+          s"sum(CASE WHEN (h60 // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b$b")
+          .mkString(",\n       ")
+        val simExpr = (0 until 60).map(b =>
+          s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+        val chunkSelects = (0 until 15).map(c =>
+          s"SELECT doc_id, simhash, $c AS chunk, (simhash // ${1L << (c * 4)}) % 16 AS key FROM sims")
+          .mkString("\n  UNION ALL\n  ")
+        s"""$EXPLODED_SQL,
+           |bits AS (
+           |  SELECT doc_id,
+           |       $bitSums
+           |  FROM hashed GROUP BY doc_id),
+           |sims AS (SELECT doc_id, $simExpr AS simhash FROM bits),
+           |chunks AS (
+           |  $chunkSelects)
+           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+           |FROM chunks a JOIN chunks b
+           |  ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+           |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) <= 12
+           |ORDER BY id_a, id_b""".stripMargin
+      })
   )
 }
