@@ -58,7 +58,9 @@ object MultimodalOps {
 
   /** Per-partition feature extraction over the media table — iterator in,
     * iterator out, no driver involvement; repartition by item_id spreads
-    * payload bytes evenly ahead of the CPU-bound decode. */
+    * payload bytes evenly ahead of the CPU-bound decode. The payload
+    * checksum is the engine-portable md5 derivation (Hashing.md5Long60),
+    * so aggregate views over it are DuckDB-oracle-checkable. */
   def extractFeatures(spark: SparkSession, media: DataFrame, dims: Int = 16,
                       partitions: Int = 0): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -68,10 +70,8 @@ object MultimodalOps {
       .mapPartitions { it =>
         it.map { case (id, kind, bytes) =>
           val feats = decodeStub(bytes, dims)
-          var sum = 0L
-          var i = 0
-          while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
-          MediaFeatures(id, kind, bytes.length, sum, feats)
+          MediaFeatures(id, kind, bytes.length,
+            graft.functions.Hashing.md5Long60(bytes), feats)
         }
       }
   }
@@ -84,9 +84,13 @@ object MultimodalOps {
       .select(col("item_id"), col("width"), col("height"),
         explode(sequence(lit(0), lit(nFrames - 1), lit(stride))).as("frame_idx"))
 
-  /** Rows-only registered query (no SQL oracle — mapPartitions isn't
-    * SQL-expressible): per-kind feature statistics. Deterministic, so the
-    * driver's weaker rows-only check still pins row count and schema. */
+  /** Per-kind stats over the extracted features. The mapPartitions decode
+    * itself isn't SQL-expressible, but its aggregate outputs are: kind is
+    * a pure function of doc_id, n_bytes is the UTF-8 byte length of the
+    * payload, and the checksum is the portable md5 derivation — so the
+    * oracle reproduces every output column from `documents` directly.
+    * (The feature vectors stay ScalaTest-verified: determinism across
+    * partitionings in ExtensionSpec.) */
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q45_multimodal_features",
       (s, d) => {
@@ -97,6 +101,14 @@ object MultimodalOps {
             countDistinct("checksum").as("n_distinct_payloads"))
           .orderBy("kind")
       },
-      None)
+      Some(s"""SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+             |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |       count(*) AS n_items,
+             |       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+             |       count(DISTINCT ${graft.functions.Hashing.md5Long60Sql("text")})
+             |         AS n_distinct_payloads
+             |FROM documents
+             |GROUP BY 1
+             |ORDER BY kind""".stripMargin))
   )
 }
