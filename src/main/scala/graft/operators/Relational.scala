@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.{QueryDef, Tables}
 import graft.functions.Money._
+import graft.functions.SurrogateKey
 import graft.warehouse.Cols.monthsDiff
 
 /** The reference's relational operator inventory (SURVEY.md §2) adapted to
@@ -206,11 +207,18 @@ object Relational {
              |WHERE rn = 1
              |ORDER BY o_custkey""".stripMargin)),
 
-    // ── W2: ROW_NUMBER surrogate key over a dimension ─────────────────────
+    // ── W2: surrogate key over a dimension — scale strategy ───────────────
+    // Semantics are ROW_NUMBER OVER (ORDER BY c_custkey) (the oracle), but
+    // the plan is the parallel sort + zipWithIndex strategy (SurrogateKey.
+    // zipIndexed): identical keys for a total order, no single-partition
+    // WindowExec. The reference-tier ROW_NUMBER formulation stays in
+    // Gold's default path; ReliabilitySpec asserts both agree.
     QueryDef("q10_surrogate_key",
-      (s, d) => cust(s, d)
-        .withColumn("customer_key", row_number().over(Window.orderBy("c_custkey")))
-        .select("customer_key", "c_custkey", "c_name")
+      (s, d) => SurrogateKey.zipIndexed(
+          cust(s, d).select("c_custkey", "c_name"),
+          "customer_key", Seq(col("c_custkey")))
+        .select(col("customer_key").cast("int").as("customer_key"),
+          col("c_custkey"), col("c_name"))
         .orderBy("c_custkey"),
       Some("""SELECT CAST(row_number() OVER (ORDER BY c_custkey) AS INT)
              |         AS customer_key,

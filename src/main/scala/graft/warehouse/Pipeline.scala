@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions.current_timestamp
 /** ETL orchestration: the reference's two stored procedures
   * (bronze.load_bronze, silver.load_silver — S3/S8 in SURVEY.md §2.1) as a
   * Scala function with per-stage timing and error trapping. Writes are
-  * mode("overwrite") parquet — the truncate-and-reload full refresh.
+  * stage-then-swap parquet (AtomicParquet) — the truncate-and-reload full
+  * refresh, rerun-safe: a failed load never corrupts the live table.
   *
   * The reference's duration PRINTs have a reversed-argument bug producing
   * negative seconds (proc_load_silver.sql:73); not reproduced.
@@ -30,7 +31,7 @@ object Pipeline {
 
     timed("bronze", log) {
       Bronze.all(spark, datasetsDir).foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$warehouseDir/bronze/$name")
+        AtomicParquet.overwrite(df, s"$warehouseDir/bronze/$name")
       }
     }
 
@@ -47,8 +48,8 @@ object Pipeline {
         "erp_px_cat_g1v2" -> Silver.erpPxCatG1v2(bronzeTbl("erp_px_cat_g1v2"))
       )
       silver.foreach { case (name, df) =>
-        Silver.withAudit(df, now).write.mode("overwrite")
-          .parquet(s"$warehouseDir/silver/$name")
+        AtomicParquet.overwrite(Silver.withAudit(df, now),
+          s"$warehouseDir/silver/$name")
       }
     }
     timings.toSeq

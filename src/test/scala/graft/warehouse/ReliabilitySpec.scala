@@ -1,0 +1,66 @@
+package graft.warehouse
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SurrogateKey
+
+/** Scale-reliability contracts: the two surrogate-key strategies assign
+  * identical keys, and the stage-then-swap write path never corrupts the
+  * live table — rerun-safe, failure-safe.
+  */
+class ReliabilitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("zipIndexed surrogate keys are identical to ROW_NUMBER keys") {
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_name")
+    val viaWindow = SurrogateKey.rowNumber(cust, "k", Seq(col("c_custkey")))
+      .select(col("c_custkey"), col("k").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaZip = SurrogateKey.zipIndexed(cust, "k", Seq(col("c_custkey")))
+      .select(col("c_custkey"), col("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaZip.size === viaWindow.size)
+    assert(viaZip === viaWindow)
+  }
+
+  test("gold dims are identical under reference and scalable key strategies") {
+    val now = to_timestamp(lit("2026-01-01 00:00:00"))
+    val ref = Gold.build(spark, "/root/reference/datasets", now)
+    val scl = Gold.build(spark, "/root/reference/datasets", now, scalableKeys = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(scl.dimCustomers) === rows(ref.dimCustomers))
+    assert(rows(scl.dimProducts) === rows(ref.dimProducts))
+  }
+
+  test("atomic overwrite is rerun-safe and a failed write leaves the live table intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-atomic").toString
+    val dest = s"$dir/tbl"
+    AtomicParquet.overwrite(Seq(1, 2, 3).toDF("x"), dest)
+    assert(spark.read.parquet(dest).count() === 3)
+    // rerun (truncate-and-reload): new content fully replaces old
+    AtomicParquet.overwrite(Seq(4, 5).toDF("x"), dest)
+    assert(spark.read.parquet(dest).as[Int].collect().sorted.toSeq === Seq(4, 5))
+    // failure mid-write: raise_error fires on the executor during the
+    // staging write; the live table must still read the previous rows
+    val bad = spark.range(10).select(
+      when(col("id") < 5, col("id"))
+        .otherwise(raise_error(lit("injected failure"))).as("x"))
+    intercept[Exception] { AtomicParquet.overwrite(bad, dest) }
+    assert(spark.read.parquet(dest).as[Int].collect().sorted.toSeq === Seq(4, 5))
+  }
+}
