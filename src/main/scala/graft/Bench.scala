@@ -21,6 +21,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm one-time session machinery (codegen compiler, shuffle system,
+    // parquet reader) so the first measured query doesn't absorb ~4-6 s
+    // of session startup that belongs to no query.
+    spark.range(1000000).selectExpr("id % 7 AS k")
+      .groupBy("k").count().write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

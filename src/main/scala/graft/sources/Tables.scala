@@ -14,6 +14,34 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Adaptive scan fan-out for the CPU-heavy tables (documents,
+    * embeddings, events — regex/hash/fold work per ROW dwarfs scan
+    * cost). The testdata parquet files are single row-group, so
+    * file-split parallelism is structurally impossible: every scan is
+    * one task no matter how maxPartitionBytes is tuned, and a
+    * tokenise+md5 pipeline runs on 1 of 32 cores. When the file is
+    * small enough that Spark will plan ~one split, one cheap shuffle
+    * (these files are <3 MB) hash-repartitions on the table's id key so
+    * downstream work uses every core. At 100 TB inputs carry thousands
+    * of row groups, the guard is false, and this is a no-op.
+    *
+    * Deliberately NOT applied to the relational tables: their per-row
+    * work is cheap columnar arithmetic, and measured at sf0.1 the added
+    * shuffle + 32-task scheduling cost more than the parallelism won
+    * (q18 scans lineitem six times — six shuffles); their scale story
+    * is real file splits, not a forced exchange. */
+  private def fanOut(df: DataFrame, dir: String, name: String, key: String): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val bytes = new java.io.File(s"$dir/$name.parquet").length()
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val plannedSplits = math.max(1L, bytes / math.max(1L, maxSplit))
+    if (plannedSplits * 2 < sc.defaultParallelism)
+      df.repartition(sc.defaultParallelism,
+        org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
@@ -34,12 +62,15 @@ object Tables {
     * the defensive set here keeps `events` readable from a bare session. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
+    fanOut(apply(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("ts div 1000"))),
+      d, "events", "event_id")
   }
-  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    fanOut(apply(s, d, "documents"), d, "documents", "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    fanOut(apply(s, d, "embeddings"), d, "embeddings", "vec_id")
 }
 
 /** A named query over a testdata dir plus (optionally) its DuckDB oracle
