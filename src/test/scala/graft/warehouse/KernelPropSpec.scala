@@ -1,0 +1,129 @@
+package graft.warehouse
+
+import java.sql.Date
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Hashing
+
+/** Property tests for the cleansing/hashing kernels (SURVEY.md §5.3).
+  *
+  * Each property generates one large random sample (fixed seed —
+  * deterministic across runs), evaluates the kernel through a real
+  * DataFrame, and asserts the invariant row-by-row: one Spark job per
+  * property, not per case.
+  */
+class KernelPropSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def sample[A](g: Gen[List[A]]): List[A] =
+    g.apply(Gen.Parameters.default, rng.Seed(42L)).get
+
+  test("intDateToDate: valid yyyymmdd ints round-trip, junk nulls out") {
+    import spark.implicits._
+    val valid = for {
+      y <- Gen.choose(1900, 2049); m <- Gen.choose(1, 12)
+      d <- Gen.choose(1, 28)
+    } yield y * 10000 + m * 100 + d
+    val junk = Gen.oneOf(
+      Gen.choose(-99999999, 0),              // non-positive
+      Gen.choose(1, 9999999),                // too short
+      Gen.choose(100000000, 999999999),      // too long
+      valid.map(v => v - (v % 100) + 99))    // day 99: 8 digits, not a date
+    val ints = sample(Gen.listOfN(300, Gen.frequency(2 -> valid, 1 -> junk)))
+    val out = ints.toDF("i")
+      .select(col("i"), Cols.intDateToDate(col("i")).as("d"))
+      .collect()
+    out.foreach { r =>
+      val i = r.getInt(0)
+      val s = i.toString
+      val parseable = i > 0 && s.length == 8 &&
+        s.substring(4, 6).toInt >= 1 && s.substring(4, 6).toInt <= 12 &&
+        s.substring(6).toInt >= 1 && s.substring(6).toInt <= 28
+      if (parseable)
+        assert(Option(r.getDate(1)).map(_.toString.replace("-", "")) === Some(s),
+          s"for $i")
+      else if (i <= 0 || s.length != 8)
+        assert(r.isNullAt(1), s"junk $i must null out")
+    }
+  }
+
+  test("sales repair matches the reference's formulas; consistent when price != 0") {
+    import spark.implicits._
+    val rowGen = for {
+      qty <- Gen.choose(1, 50)
+      price <- Gen.oneOf(Gen.choose(-500, -1), Gen.const(0), Gen.choose(1, 500))
+      truth <- Gen.oneOf(true, false)
+      sales <- if (truth) Gen.const(qty * math.abs(price))
+               else Gen.oneOf(Gen.const(0), Gen.choose(-1000, 1000))
+    } yield (qty, price, sales)
+    val rows = sample(Gen.listOfN(500, rowGen))
+    val bronze = rows.toDF("sls_quantity", "sls_price", "sls_sales")
+      .select(lit("SO1").as("sls_ord_num"), lit("K").as("sls_prd_key"),
+        lit(1).as("sls_cust_id"), lit(20200101).as("sls_order_dt"),
+        lit(20200102).as("sls_ship_dt"), lit(20200103).as("sls_due_dt"),
+        col("sls_sales"), col("sls_quantity"), col("sls_price"))
+    val out = Silver.crmSalesDetails(bronze)
+      .select("sls_sales", "sls_quantity", "sls_price").collect()
+    out.zip(rows).foreach { case (r, (q0, p0, s0)) =>
+      val (s, q, p) = (r.getInt(0), r.getInt(1), r.getInt(2))
+      // mirror proc_load_silver.sql:144-153 exactly: BOTH repairs read
+      // the ORIGINAL columns (same SELECT scope), so a row with price=0
+      // and inconsistent sales comes out inconsistent — that is the
+      // reference's own semantics (its quality data never hits it)
+      val expS = if (s0 <= 0 || s0 != q0 * math.abs(p0)) math.abs(q0 * p0) else s0
+      val expP = if (p0 == 0) math.abs(s0.toDouble / q0).toInt
+                 else math.abs(p0)
+      assert(q === q0)
+      assert(s === expS, s"sales for input ($q0, $p0, $s0)")
+      assert(p === expP, s"price for input ($q0, $p0, $s0)")
+      if (p0 != 0) assert(s == q * p,
+        s"nonzero-price rows must come out consistent: ($q0, $p0, $s0)")
+    }
+  }
+
+  test("window dedup keeps exactly one latest row per non-null key") {
+    import spark.implicits._
+    val rowGen = for {
+      id <- Gen.oneOf(Gen.choose(1, 40).map(Some(_)), Gen.const(None))
+      day <- Gen.choose(1, 28)
+      key <- Gen.choose(1, 9)
+    } yield (id, s"AW$key", "a", "b", "S", "M", Date.valueOf(f"2024-01-$day%02d"))
+    val rows = sample(Gen.listOfN(400, rowGen))
+    val bronze = rows.toDF("cst_id", "cst_key", "cst_firstname",
+      "cst_lastname", "cst_marital_status", "cst_gndr", "cst_create_date")
+    val out = Silver.crmCustInfo(bronze).collect()
+    val in = rows.filter(_._1.isDefined)
+    assert(out.map(_.getInt(0)).distinct.length === out.length, "unique keys")
+    assert(out.length === in.map(_._1.get).distinct.length, "one row per key")
+    // each kept row carries its key's max (create_date, cst_key) pair
+    val best = in.groupBy(_._1.get).map { case (id, rs) =>
+      id -> rs.map(t => (t._7.toString, t._2)).max
+    }
+    out.foreach { r =>
+      assert(best(r.getInt(0)) ===
+        ((r.getDate(6).toString, r.getString(1))), s"row $r")
+    }
+  }
+
+  test("Hashing.md5Long60: JVM and Spark expression agree on random strings") {
+    import spark.implicits._
+    val strs = sample(Gen.listOfN(200,
+      Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr))).filter(_.nonEmpty)
+    val out = strs.toDF("s")
+      .select(col("s"), Hashing.md5Long60(col("s")).as("h")).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) === Hashing.md5Long60(r.getString(0)),
+        s"mismatch for '${r.getString(0)}'")
+    }
+  }
+}
