@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression tests: the physical plans the engine is
+  * designed around, asserted so a refactor can't silently regress them.
+  * These are the properties that decide whether a query survives a 100×
+  * scale-up — dims broadcast (fact never shuffles for the star join),
+  * scans prune columns and push filters, no single-partition windows in
+  * benched paths.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def planOf(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def collectAll[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] = {
+    val here = p.collect(f)
+    val inSubqueries = p.subqueriesAll.flatMap(_.collect(f))
+    val inAqe = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+      .flatMap(inner => collectAll(inner)(f))
+    here ++ inSubqueries ++ inAqe
+  }
+
+  test("q07 star agg: all dim joins broadcast, no sort-merge join") {
+    val p = planOf("q07_star_agg")
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "dims must broadcast")
+    assert(collectAll(p) { case s: SortMergeJoinExec => s }.isEmpty,
+      "no SMJ at dim scale — the only allowed big-big join is lineitem⋈orders")
+  }
+
+  test("q01 scalar agg: scan prunes to exactly the referenced columns") {
+    val scans = collectAll(planOf("q01_scalar_agg")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val read = scans.head.requiredSchema.fieldNames.toSet
+    assert(!read.contains("l_orderkey") && read.size <= 5,
+      s"q01 must not read unused lineitem columns, read: $read")
+  }
+
+  test("q38 query-vector filter is pushed down to the parquet scan") {
+    // (q21's LIKE/IN predicates wrap columns in upper(trim(...)) — the
+    // T1-trap semantics — so those are legitimately not pushable; the
+    // raw-column predicate here must reach the scan, through fanOut's
+    // repartition.)
+    val scans = collectAll(planOf("q38_cosine_topk")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.metadata.get("PushedFilters")
+        .exists(_.contains("vec_id"))),
+      "vec_id predicate must reach the parquet scan")
+  }
+
+  test("q10 surrogate key: no single-partition window in the plan") {
+    val windows = collectAll(planOf("q10_surrogate_key")) {
+      case w: WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned WindowExec would serialize the dim through one task")
+  }
+
+  test("q36 candidate generation contains no cartesian/nested-loop join") {
+    val p = planOf("q36_minhash_lsh")
+    val bad = collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, "LSH candidates must come from equi-joins only")
+  }
+}
