@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -209,6 +210,73 @@ object SimilarityOps {
              |       $COS_Q
              |         AS cos_sim
              |FROM cand
+             |ORDER BY cos_sim DESC, vec_id
+             |LIMIT 10""".stripMargin)),
+
+    // ── IVF ANN search: coarse quantizer + probed lists + exact rerank ────
+    // The inverted-file alternative to q40's hash tables: K sampled
+    // centroids partition the corpus into lists (one assignment pass —
+    // at scale the centroids come from k-means|| instead of sampling,
+    // the shape is identical); the query probes its NPROBE nearest
+    // lists and only their members pay the exact rerank. Candidate
+    // discovery is a broadcast join against K=16 centroids plus an
+    // equi-join on list id — never a pairwise product.
+    QueryDef("q47_ann_ivf",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") =!= 0).orderBy("vec_id").limit(16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        val scored = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
+            cosine("embedding", "cvec").as("ccos"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cent_id"))
+        val assigned = scored
+          .withColumn("rk", row_number().over(wAssign))
+        val lists = assigned.filter(col("rk") === 1)
+          .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+        val probes = assigned
+          .filter(col("vec_id") === 0 && col("rk") <= 4)
+          .select(col("cent_id"))
+        val qv = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec"))
+        lists.join(broadcast(probes), Seq("cent_id"))
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("label"),
+            cosine("embedding", "qvec").as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH cents AS (
+             |  SELECT vec_id AS cent_id, embedding AS cvec
+             |  FROM embeddings WHERE vec_id != 0 ORDER BY vec_id LIMIT 16),
+             |scored AS (
+             |  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+             |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |           list_sum(list_transform(range(1, 65),
+             |             i -> CAST(e.embedding[i] AS DOUBLE)
+             |                  * CAST(c.cvec[i] AS DOUBLE)))
+             |           / (sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(e.embedding[i] AS DOUBLE)
+             |                     * CAST(e.embedding[i] AS DOUBLE))))
+             |              * sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(c.cvec[i] AS DOUBLE)
+             |                     * CAST(c.cvec[i] AS DOUBLE)))))
+             |           DESC, c.cent_id) AS rk
+             |  FROM embeddings e CROSS JOIN cents c),
+             |lists AS (
+             |  SELECT vec_id, label, embedding, cent_id FROM scored
+             |  WHERE rk = 1),
+             |probes AS (
+             |  SELECT cent_id FROM scored WHERE vec_id = 0 AND rk <= 4),
+             |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+             |SELECT l.vec_id, l.label,
+             |       $COS_Q
+             |         AS cos_sim
+             |FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+             |     CROSS JOIN q
+             |WHERE l.vec_id != 0
              |ORDER BY cos_sim DESC, vec_id
              |LIMIT 10""".stripMargin)),
 

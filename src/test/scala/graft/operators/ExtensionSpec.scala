@@ -82,6 +82,18 @@ class ExtensionSpec extends AnyFunSuite {
     assert(recall >= 0.2, "multi-table LSH should recover some true neighbors")
   }
 
+  test("IVF ANN search: exact rerank, recall vs brute force reported") {
+    val brute = run("q38_cosine_topk").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("cos_sim")).toMap
+    val ivf = run("q47_ann_ivf").collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    ivf.foreach { r =>
+      brute.get(r.getLong(0)).foreach(c => assert(c === r.getAs[Double]("cos_sim")))
+    }
+    val recall = ivf.map(_.getLong(0)).count(brute.contains) / 10.0
+    info(f"IVF recall@10 vs brute force: $recall%.2f (K=16 lists, nprobe=4)")
+  }
+
   test("embedding near-dup pairs agree with brute-force within-label pairs") {
     val nd = run("q46_embedding_neardup").collect()
     assert(nd.nonEmpty, "sf0.01 has same-label pairs above the 0.4 threshold")
