@@ -76,6 +76,37 @@ object MultimodalOps {
       }
   }
 
+  /** Resize plumbing for visual media (image/video): the metadata
+    * transform is real (target width/height land in the schema, audio
+    * rows pass through untouched); the payload transform is a STUB —
+    * deterministic byte sampling proportional to the area ratio, standing
+    * in for decode→scale→encode (no codecs in this container). Runs per
+    * partition over iterator batches like extractFeatures — the exact
+    * shape a Pandas-UDF/mapInPandas resize stage has in production. */
+  def resize(spark: SparkSession, media: DataFrame,
+             targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.select("item_id", "kind", "media", "width", "height", "sample_rate")
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { r =>
+          if (r.kind == "audio") r
+          else {
+            val ratio = math.max(1.0,
+              (r.width.toLong * r.height).toDouble / (targetW.toLong * targetH))
+            val outLen = math.max(1, math.ceil(r.media.length / ratio).toInt)
+            val out = new Array[Byte](outLen)
+            var i = 0
+            while (i < outLen) { // stub: stride-sample the payload bytes
+              out(i) = r.media(math.min(r.media.length - 1, (i * ratio).toInt))
+              i += 1
+            }
+            r.copy(media = out, width = targetW, height = targetH)
+          }
+        }
+      }
+  }
+
   /** Frame sampling plumbing: for video items, emit one row per sampled
     * frame index (every `stride`th of `nFrames`) — the explode shape a
     * real frame-grab would use; payload decode stays stubbed. */

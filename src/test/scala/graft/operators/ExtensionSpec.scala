@@ -118,6 +118,26 @@ class ExtensionSpec extends AnyFunSuite {
     val frames = MultimodalOps.sampleFrames(media).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.getAs[Int]("frame_idx") % 4 === 0))
+
+    // resize: metadata lands, audio passes through, payload shrinks with
+    // the area ratio, and the transform is deterministic
+    val origLen = media.select("item_id", "media").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).length).toMap
+    val resized = MultimodalOps.resize(spark, media, 160, 90).collect()
+    assert(resized.length === 500)
+    resized.foreach { r =>
+      if (r.kind == "audio") assert(r.sample_rate === 16000)
+      else {
+        assert(r.width === 160 && r.height === 90)
+        assert(r.media.length <= origLen(r.item_id),
+          "downscale must not grow the payload")
+      }
+    }
+    val resized2 = MultimodalOps.resize(spark, media, 160, 90).collect()
+      .sortBy(_.item_id)
+    assert(resized.sortBy(_.item_id).zip(resized2).forall {
+      case (a, b) => a.media.sameElements(b.media)
+    })
   }
 
   test("streaming tumbling counts equal the batch answer (stream/batch parity)") {
