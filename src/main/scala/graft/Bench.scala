@@ -8,6 +8,12 @@ import org.apache.spark.sql.SparkSession
   * of every output row through the real plan. (`.count()` would let
   * Catalyst prune computed columns and eliminate final sorts, silently
   * under-measuring projection-heavy queries.)
+  *
+  * Attribution note: the near-dup family (q35/q36/q37) shares one cached
+  * shingle frame (DedupOps.shingleHashes); whichever of the three runs
+  * first absorbs that one-time materialization, the other two read the
+  * cache. The TOTAL is honest — the shared stage is real work paid once
+  * per session — but the three per-query splits are order-dependent.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -57,8 +57,15 @@ object DedupOps {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Bound the cache: a long-lived session iterating many dirs must not
+    * pin one persisted frame per dir forever. Eviction unpersists. */
+  private val MAX_CACHED = 4
+
   private[operators] def shingleHashes(s: SparkSession, d: String): DataFrame =
     cache.getOrElseUpdate((s, d), {
+      if (cache.size >= MAX_CACHED)
+        cache.keys.headOption.foreach(k =>
+          cache.remove(k).foreach(_.unpersist(blocking = false)))
       // Tokenize ONCE per doc and build the 3-grams with window leads
       // over the exploded token stream: everything downstream of the
       // generator is codegen'd / WindowExec-native. The one-Project

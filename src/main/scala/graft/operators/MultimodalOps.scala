@@ -90,7 +90,9 @@ object MultimodalOps {
       .as[MediaRow]
       .mapPartitions { it =>
         it.map { r =>
-          if (r.kind == "audio") r
+          if (r.kind == "audio" || r.media.isEmpty)
+            r.copy(width = if (r.kind == "audio") r.width else targetW,
+              height = if (r.kind == "audio") r.height else targetH)
           else {
             val ratio = math.max(1.0,
               (r.width.toLong * r.height).toDouble / (targetW.toLong * targetH))

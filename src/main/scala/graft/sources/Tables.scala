@@ -32,7 +32,14 @@ object Tables {
     * is real file splits, not a forced exchange. */
   private def fanOut(df: DataFrame, dir: String, name: String, key: String): DataFrame = {
     val sc = df.sparkSession.sparkContext
-    val bytes = new java.io.File(s"$dir/$name.parquet").length()
+    // Hadoop FS sizing, not java.io.File: the table may be a DIRECTORY of
+    // part files or live on a non-local filesystem — File.length() would
+    // report ~0 there and force the shuffle onto arbitrarily large tables.
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val bytes =
+      try path.getFileSystem(sc.hadoopConfiguration)
+        .getContentSummary(path).getLength
+      catch { case _: java.io.IOException => return df }
     val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val plannedSplits = math.max(1L, bytes / math.max(1L, maxSplit))

@@ -27,11 +27,19 @@ import graft.warehouse.{AtomicParquet, Schemas, Silver}
   */
 object CrmStream {
 
-  /** Latest-row-per-cst_id over already-silvered frames (same window and
-    * tiebreak as Silver.crmCustInfo's in-batch dedup, trap T9). */
+  /** Latest-row-per-cst_id over already-silvered frames (same leading
+    * window order as Silver.crmCustInfo's in-batch dedup, trap T9), with
+    * the remaining descriptor columns appended as tiebreaks so the merge
+    * itself is fully deterministic. Residual ambiguity: if a source ever
+    * delivers two rows for one key with identical (create_date, cst_key)
+    * but different content, the reference's own batch semantics are
+    * order-dependent (T9) — parity is defined up to that tie; rows that
+    * cleanse to identical silver values are unaffected. */
   private[streaming] def mergeLatest(a: DataFrame, b: DataFrame): DataFrame = {
     val w = Window.partitionBy("cst_id")
-      .orderBy(col("cst_create_date").desc, col("cst_key").desc)
+      .orderBy(col("cst_create_date").desc, col("cst_key").desc,
+        col("cst_firstname").desc, col("cst_lastname").desc,
+        col("cst_marital_status").desc, col("cst_gndr").desc)
     a.unionByName(b)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -52,11 +60,14 @@ object CrmStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val incoming = Silver.crmCustInfo(batch)
+        // Existence is checked explicitly — a catch-all around the read
+        // would treat a transient IO failure as "first batch" and
+        // silently replace the accumulated table with one batch's keys.
+        val p = new org.apache.hadoop.fs.Path(silverPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val current =
-          try spark.read.parquet(silverPath)
-          catch { case _: Exception => // first batch: nothing yet
-            incoming.limit(0)
-          }
+          if (fs.exists(p)) spark.read.parquet(silverPath)
+          else incoming.limit(0)
         AtomicParquet.overwrite(mergeLatest(current, incoming), silverPath)
         ()
       }

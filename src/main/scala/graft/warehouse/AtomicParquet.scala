@@ -36,8 +36,12 @@ object AtomicParquet {
     if (fs.exists(destPath) && !fs.rename(destPath, old))
       throw new IOException(s"could not retire current table at $dest")
     if (!fs.rename(staging, destPath)) {
-      // restore the retired table before failing
-      fs.rename(old, destPath)
+      // restore the retired table before failing — and say so loudly if
+      // even the restore fails (the previous data then sits in __old__)
+      if (fs.exists(old) && !fs.rename(old, destPath))
+        throw new IOException(
+          s"could not publish staged table to $dest AND could not restore " +
+            s"the previous table — data preserved at $old")
       throw new IOException(s"could not publish staged table to $dest")
     }
     fs.delete(old, true)
