@@ -597,6 +597,30 @@ object Relational {
              |FROM agg
              |ORDER BY p_partkey""".stripMargin)),
 
+    // ── A9 extension: ROLLUP hierarchy totals (year → brand → grand) ──────
+    // Beyond the reference surface (its KPI sheets build totals with
+    // UNION ALL, U1); rollup computes every grain in ONE shuffle with
+    // partial aggregation — the scale-correct form of the same report.
+    // Exact cents math keeps every grain hash-comparable; null ordering
+    // is pinned explicitly (Spark sorts NULLS FIRST by default for ASC,
+    // DuckDB NULLS LAST — both sides say NULLS FIRST).
+    QueryDef("q29_rollup_kpi",
+      (s, d) => {
+        val p = Tables.part(s, d).select("p_partkey", "p_brand")
+        li(s, d).join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .rollup(year(col("l_shipdate")).as("ship_year"), col("p_brand"))
+          .agg(c4(sum(revC4x)).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("ship_year").asc_nulls_first,
+            col("p_brand").asc_nulls_first)
+      },
+      Some(s"""SELECT CAST(year(l_shipdate) AS INT) AS ship_year, p_brand,
+             |       CAST(sum($REV_C4) AS BIGINT) / 10000.0 AS revenue,
+             |       count(*) AS n_lines
+             |FROM lineitem JOIN part ON p_partkey = l_partkey
+             |GROUP BY ROLLUP (CAST(year(l_shipdate) AS INT), p_brand)
+             |ORDER BY ship_year ASC NULLS FIRST, p_brand ASC NULLS FIRST""".stripMargin)),
+
     // ── §5: zero-row quality-check contract as counted assertions ─────────
     QueryDef("q26_quality_checks",
       (s, d) => {

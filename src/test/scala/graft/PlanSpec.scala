@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
@@ -75,6 +76,33 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(windows.forall(_.partitionSpec.nonEmpty),
       "unpartitioned WindowExec would serialize the dim through one task")
+  }
+
+  test("salted join: identical rows to the plain join, shuffle key includes the salt") {
+    import spark.implicits._
+    import graft.functions.Salt
+    // 90% of the left side is one hot key
+    val left = spark.range(20000)
+      .select(when(col("id") % 10 < 9, 1L).otherwise(col("id") % 100).as("k"),
+        col("id").as("v"))
+    val right = spark.range(100).select(col("id").as("k"), (col("id") * 7).as("w"))
+    val plain = left.join(right, Seq("k"))
+    val salted = Salt.saltedJoin(left, right, Seq("k"), salts = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.select("k", "v", "w").except(plain.select("k", "v", "w")).isEmpty)
+    // salting targets the non-broadcastable case — force a shuffle join
+    // and assert the exchange hashes on (k, __salt), not k alone
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = Salt.saltedJoin(left, right, Seq("k"), salts = 8)
+      shuffled.write.format("noop").mode("overwrite").save()
+      val exchanges = collectAll(shuffled.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.exists(_.outputPartitioning.toString.contains("__salt")),
+        "salt must be part of the shuffle partitioning")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q36 candidate generation contains no cartesian/nested-loop join") {
