@@ -18,6 +18,9 @@ class ReliabilitySpec extends AnyFunSuite {
     .master("local[8]")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
+    // managed (bucketed) test tables land in a throwaway dir, never the repo
+    .config("spark.sql.warehouse.dir",
+      Files.createTempDirectory("graft-sql-warehouse").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -44,6 +47,40 @@ class ReliabilitySpec extends AnyFunSuite {
       df.collect().map(_.toSeq).toSet
     assert(rows(scl.dimCustomers) === rows(ref.dimCustomers))
     assert(rows(scl.dimProducts) === rows(ref.dimProducts))
+  }
+
+  test("bucketed fact tables join with zero shuffle exchanges") {
+    val sfDir = "/root/testdata/sf0.001"
+    Bucketed.write(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+      "li_bucketed", "l_orderkey", 8)
+    Bucketed.write(spark.read.parquet(s"$sfDir/orders.parquet"),
+      "ord_bucketed", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      joined.write.format("noop").mode("overwrite").save()
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val direct = p.collect {
+          case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        }.sum
+        val nested = p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            shuffles(a.executedPlan)
+        }.sum
+        direct + nested
+      }
+      assert(shuffles(joined.queryExecution.executedPlan) === 0,
+        "co-located bucketed join must not exchange either side")
+      val plain = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .join(spark.read.parquet(s"$sfDir/orders.parquet"),
+          org.apache.spark.sql.functions.col("l_orderkey") ===
+            org.apache.spark.sql.functions.col("o_orderkey"))
+      assert(joined.count() === plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("atomic overwrite is rerun-safe and a failed write leaves the live table intact") {
