@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming over the events table: the same windowed
@@ -32,10 +32,13 @@ object EventStream {
     * DIRECTORY to watch (it tails new files), so `path` must be a dir
     * containing events parquet file(s) — stage a copy when the source is
     * a bare file (see ExtensionSpec). */
-  def readEvents(spark: SparkSession, path: String): DataFrame = {
+  def readEvents(spark: SparkSession, path: String,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val reader = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(n =>
+      reader.option("maxFilesPerTrigger", n.toString))
+    reader
       .parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
@@ -61,11 +64,54 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("n_events"))
 
+  /** Per-user running statistics carried across micro-batches. */
+  final case class UserState(nEvents: Long, firstMs: Long, lastMs: Long)
+  final case class UserStats(user_id: Long, n_events: Long,
+                             first_ms: Long, last_ms: Long)
+
+  /** Custom streaming state via flatMapGroupsWithState: per-user event
+    * count and first/last-seen timestamps, merged incrementally as
+    * batches arrive — the shape for stateful logic that windowed
+    * aggregates can't express (counters, sessions with custom close
+    * rules, cross-batch joins on entity state). Emits the user's updated
+    * stats each batch; state is per-key and partitioned by user_id, so
+    * it scales horizontally. NoTimeout here because the spec drives a
+    * finite file set; production code sets a ProcessingTime/EventTime
+    * timeout so idle keys age out of the store. */
+  def userRunningStats(spark: SparkSession, events: DataFrame): Dataset[UserStats] = {
+    import spark.implicits._
+    events.select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[UserState]) =>
+          var s = state.getOption.getOrElse(UserState(0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, ms) =>
+            s = UserState(s.nEvents + 1, math.min(s.firstMs, ms), math.max(s.lastMs, ms))
+          }
+          state.update(s)
+          Iterator.single(UserStats(uid, s.nEvents, s.firstMs, s.lastMs))
+      }
+  }
+
   /** Run a streaming transform to completion against a static file set
     * via the memory sink; returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
     val q: StreamingQuery = df.writeStream
       .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Same, in update mode — for stateful operators
+    * (flatMapGroupsWithState) whose output is per-key updates. */
+  def runToMemoryUpdate(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode("update")
       .format("memory")
       .queryName(name)
       .start()

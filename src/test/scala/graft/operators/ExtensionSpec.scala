@@ -150,6 +150,41 @@ class ExtensionSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("flatMapGroupsWithState user stats merge across micro-batches to the batch answer") {
+    import java.nio.file.Files
+    // stage the events as TWO parquet files; maxFilesPerTrigger=1 forces
+    // two stateful micro-batches, so per-key state genuinely merges
+    val dir = Files.createTempDirectory("graft-stateful").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    raw.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/half1")
+    raw.filter(col("event_id") % 2 === 1)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/half2")
+    val watch = Files.createDirectory(java.nio.file.Paths.get(s"$dir/watch"))
+    Seq("half1", "half2").zipWithIndex.foreach { case (h, i) =>
+      val part = new java.io.File(s"$dir/$h").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, watch.resolve(s"chunk$i.parquet"))
+    }
+
+    val stats = EventStream.userRunningStats(spark,
+      EventStream.readEvents(spark, watch.toString, maxFilesPerTrigger = Some(1)))
+    val updates = EventStream.runToMemoryUpdate(spark, stats.toDF(), "user_stats_mem")
+      .collect()
+    // update mode emits one row per user per touching batch — the final
+    // state is the max-count row per user
+    val finalByUser = updates.groupBy(_.getLong(0))
+      .map { case (u, rs) => u -> rs.maxBy(_.getLong(1)) }
+    val expected = graft.sources.Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min(unix_millis(col("ts"))).as("f"),
+        max(unix_millis(col("ts"))).as("l"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(finalByUser.size === expected.size)
+    finalByUser.foreach { case (u, r) =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === expected(u), s"user $u")
+    }
+  }
+
   test("streaming session windows equal the batch answer") {
     val streamed = EventStream.runToMemory(spark,
       EventStream.userSessions(EventStream.readEvents(spark, eventsDir)), "sessions_mem")
