@@ -51,6 +51,15 @@ class ReliabilitySpec extends AnyFunSuite {
 
   test("bucketed fact tables join with zero shuffle exchanges") {
     val sfDir = "/root/testdata/sf0.001"
+    // the warehouse dir persists across JVM runs while the in-memory
+    // catalog does not — clear both the table AND any orphan location
+    Seq("li_bucketed", "ord_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$t")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+    }
     Bucketed.write(spark.read.parquet(s"$sfDir/lineitem.parquet"),
       "li_bucketed", "l_orderkey", 8)
     Bucketed.write(spark.read.parquet(s"$sfDir/orders.parquet"),
