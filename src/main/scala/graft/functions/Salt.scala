@@ -24,12 +24,22 @@ import org.apache.spark.sql.functions._
   * already two-phase (partial map-side combine), so a hot group's rows
   * collapse before the shuffle — only order-sensitive buffers
   * (collect_list) skew, and this codebase avoids those (see q39).
+  *
+  * Limitation: the salt is a hash of the whole row, so IDENTICAL
+  * duplicate rows all map to one salt — skew caused by exact duplicates
+  * is not spread. That is deliberate: any per-row disambiguator that
+  * would spread them (rand(), monotonically_increasing_id) is
+  * nondeterministic across task retries, which breaks exactly-once
+  * recomputation. Exact duplicates should be collapsed to (row, count)
+  * upstream (the dedup tier exists for this) before a salted join.
   */
 object Salt {
 
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
                  salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!skewed.columns.contains("__salt") && !other.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it on the input")
     val saltedLeft = skewed.withColumn("__salt",
       pmod(xxhash64(struct(skewed.columns.map(col): _*)), lit(salts)).cast("int"))
     val replicatedRight = other.withColumn("__salt",

@@ -53,19 +53,30 @@ object DedupOps {
 
   /** One row per (doc, distinct word-3-gram): doc_id, lang, n_sh,
     * shingle, h60. Cached per (session, dir) and shared by q35/q36/q37 —
-    * tokenization, shingling, explode and the md5 are paid once. */
+    * tokenization, shingling, explode and the md5 are paid once.
+    *
+    * Access-ordered LinkedHashMap + a single lock: concurrent callers
+    * can't double-build (and leak a persisted copy), and eviction drops
+    * the least-recently-USED entry, never one in active rotation. The
+    * lock only guards plan construction (persist() is lazy — no Spark
+    * job runs while it is held), so contention is microseconds. */
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true)
 
   /** Bound the cache: a long-lived session iterating many dirs must not
     * pin one persisted frame per dir forever. Eviction unpersists. */
   private val MAX_CACHED = 4
 
   private[operators] def shingleHashes(s: SparkSession, d: String): DataFrame =
-    cache.getOrElseUpdate((s, d), {
-      if (cache.size >= MAX_CACHED)
-        cache.keys.headOption.foreach(k =>
-          cache.remove(k).foreach(_.unpersist(blocking = false)))
+    cache.synchronized {
+      val cached = cache.get((s, d))
+      if (cached != null) return cached
+      if (cache.size >= MAX_CACHED) {
+        val it = cache.entrySet().iterator() // head = least recently used
+        val lru = it.next()
+        lru.getValue.unpersist(blocking = false)
+        it.remove()
+      }
       // Tokenize ONCE per doc and build the 3-grams with window leads
       // over the exploded token stream: everything downstream of the
       // generator is codegen'd / WindowExec-native. The one-Project
@@ -84,11 +95,13 @@ object DedupOps {
         .select(col("doc_id"), col("lang"),
           concat_ws(" ", col("col"), col("t1"), col("t2")).as("shingle"))
         .dropDuplicates("doc_id", "shingle")
-      tri
+      val built = tri
         .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("h60", Hashing.md5Long60(col("shingle")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-    })
+      cache.put((s, d), built)
+      built
+    }
 
   // ── MinHash constants: k=32 universal-hash mixes of the one h60 ────────
   // h_i = (A_i * (h60 % 2^30) + B_i) % (2^31 - 1); A_i odd < 2^25, so the

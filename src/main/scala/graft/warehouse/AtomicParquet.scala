@@ -20,6 +20,16 @@ import org.apache.spark.sql.DataFrame
   * `.partitionBy(cols)` semantics by pre-partitioning `df` — the swap is
   * whole-table, matching the reference's truncate-and-reload contract
   * (load_bronze.sql:35); incremental MERGE belongs to a table format.
+  *
+  * Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS of the
+  * live path. The dest→old / staging→dest rename pair is atomic per
+  * rename but not as a unit — a reader listing `dest` between the two
+  * renames sees the table briefly absent. The streaming foreachBatch
+  * path and the batch loads in this repo never run against the same
+  * table concurrently (Pipeline.run is sequential). For reader-safe
+  * publication, keep versioned directories and swap a pointer file —
+  * i.e. exactly what a transactional table format (Delta/Iceberg, not
+  * in this environment) does with its commit log.
   */
 object AtomicParquet {
 

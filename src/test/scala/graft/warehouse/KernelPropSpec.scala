@@ -54,6 +54,11 @@ class KernelPropSpec extends AnyFunSuite {
           s"for $i")
       else if (i <= 0 || s.length != 8)
         assert(r.isNullAt(1), s"junk $i must null out")
+      else
+        // 8-digit positives with an out-of-range month/day (the 'day 99'
+        // generator class): try_to_date must null them out, not wrap or
+        // overflow into a neighboring month.
+        assert(r.isNullAt(1), s"8-digit non-date $i must null out")
     }
   }
 
