@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.sources.QueryDef
-import graft.operators.{CatalogOps, DedupOps, EventOps, MultimodalOps, Relational, SimilarityOps, TextOps}
+import graft.operators.{CatalogOps, DedupOps, EventOps, MultimodalOps, OlapOps, Relational, SampleOps, SimilarityOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,8 +14,9 @@ object SparkEntry {
 
   /** All registered query definitions, in inventory order. */
   def all: Seq[QueryDef] =
-    Relational.queries ++ CatalogOps.queries ++ TextOps.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++ EventOps.queries ++
+    Relational.queries ++ CatalogOps.queries ++ OlapOps.queries ++
+      TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
+      EventOps.queries ++ TemporalOps.queries ++ SampleOps.queries ++
       MultimodalOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

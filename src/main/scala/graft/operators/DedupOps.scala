@@ -119,6 +119,26 @@ object DedupOps {
   private def mix(i: Int): Column =
     (lit(mixA(i)) * (col("h60") % H30) + lit(mixB(i))) % P31
 
+  /** Exact near-dup pairs (jaccard >= 0.5) from the inverted-index join —
+    * the q35 body, shared with q54's connected components. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val inv = shingleHashes(s, d)
+      .select(col("lang"), col("shingle"), col("doc_id"), col("n_sh"))
+    val a = inv.select(col("lang"), col("shingle"),
+      col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+    val b = inv.select(col("lang"), col("shingle"),
+      col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+    a.join(b, Seq("lang", "shingle"))
+      .filter(col("id_a") < col("id_b") &&
+        col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared"))).as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: hash group-by on normalized text ─────────────────────
@@ -142,24 +162,7 @@ object DedupOps {
     // and bounds the pair mass the aggregate sees (the oracle's pairwise
     // formulation carries the same guard in its join condition).
     QueryDef("q35_ngram_jaccard",
-      (s, d) => {
-        val inv = shingleHashes(s, d)
-          .select(col("lang"), col("shingle"), col("doc_id"), col("n_sh"))
-        val a = inv.select(col("lang"), col("shingle"),
-          col("doc_id").as("id_a"), col("n_sh").as("n_a"))
-        val b = inv.select(col("lang"), col("shingle"),
-          col("doc_id").as("id_b"), col("n_sh").as("n_b"))
-        a.join(b, Seq("lang", "shingle"))
-          .filter(col("id_a") < col("id_b") &&
-            col("n_a") <= col("n_b") * 2 && col("n_b") <= col("n_a") * 2)
-          .groupBy("id_a", "id_b", "n_a", "n_b")
-          .agg(count(lit(1)).as("shared"))
-          .select(col("id_a"), col("id_b"),
-            (col("shared").cast("double") /
-              (col("n_a") + col("n_b") - col("shared"))).as("jac"))
-          .filter(col("jac") >= 0.5)
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => jaccardPairs(s, d).orderBy("id_a", "id_b"),
       Some(s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
              |sh AS (
              |  SELECT doc_id, lang, $SHINGLES AS shingles FROM t),
@@ -282,6 +285,79 @@ object DedupOps {
            |  ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
            |WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) <= 12
            |ORDER BY id_a, id_b""".stripMargin
-      })
+      }),
+
+    // ── Connected components: near-dup pairs → dedup GROUPS ───────────────
+    // Pairwise output isn't what a dedup pipeline keeps — it keeps one
+    // representative per transitive duplicate CLUSTER. Min-label
+    // propagation over the pair graph: each round every node adopts the
+    // smallest id reachable in one more hop; fixpoint = component minimum.
+    // Rounds are full DataFrame jobs (shuffle join + aggregate — the
+    // driver only coordinates, data never leaves executors), and the
+    // round count is the cluster DIAMETER, which for dedup graphs is
+    // tiny (near-dup clusters are dense). The classic large-star/
+    // small-star optimization halves rounds on adversarial chains; the
+    // shape below is the standard one for bounded-diameter graphs.
+    // localCheckpoint each round cuts the exponential lineage growth.
+    QueryDef("q54_dedup_groups",
+      (s, d) => {
+        val pairs = jaccardPairs(s, d).select("id_a", "id_b")
+        val edges = pairs
+          .union(pairs.select(col("id_b"), col("id_a")))
+          .toDF("src", "dst")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        var comp = edges.select(col("src").as("id")).distinct()
+          .withColumn("root", col("id"))
+          .localCheckpoint(true)
+        var changed = 1L
+        var rounds = 0
+        while (changed > 0 && rounds < 50) {
+          val viaNeighbors = edges.join(comp, edges("dst") === comp("id"))
+            .select(edges("src").as("id"), col("root"))
+          val next = comp.union(viaNeighbors)
+            .groupBy("id").agg(min("root").as("root"))
+            .localCheckpoint(true)
+          changed = next
+            .join(comp.withColumnRenamed("root", "prev_root"), "id")
+            .filter(col("root") =!= col("prev_root")).count()
+          comp = next
+          rounds += 1
+        }
+        edges.unpersist(blocking = false)
+        val sizes = comp.groupBy("root").agg(count(lit(1)).as("group_size"))
+        comp.join(sizes, "root")
+          .select(col("id").as("doc_id"), col("root").as("group_id"),
+            col("group_size"))
+          .orderBy("doc_id")
+      },
+      // Oracle: transitive closure by recursive CTE, component = min
+      // reachable id — the declarative statement of the same fixpoint.
+      Some(s"""WITH RECURSIVE t AS (
+             |  SELECT doc_id, lang, $TOKS AS toks FROM documents),
+             |sh AS (SELECT doc_id, lang, $SHINGLES AS shingles FROM t),
+             |sized AS (
+             |  SELECT doc_id, lang, shingles, len(shingles) AS n_sh FROM sh
+             |  WHERE len(shingles) > 0),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sized a JOIN sized b
+             |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |   AND a.n_sh <= b.n_sh * 2 AND b.n_sh <= a.n_sh * 2
+             |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             |        / len(list_distinct(list_concat(a.shingles, b.shingles)))
+             |        >= 0.5),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |reach AS (
+             |  SELECT src AS id, src AS r FROM edges
+             |  UNION
+             |  SELECT e.src AS id, rch.r FROM edges e
+             |  JOIN reach rch ON rch.id = e.dst),
+             |comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+             |sizes AS (SELECT group_id, count(*) AS group_size FROM comp
+             |          GROUP BY 1)
+             |SELECT c.id AS doc_id, c.group_id, s.group_size
+             |FROM comp c JOIN sizes s USING (group_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Money._
+import graft.sources.{QueryDef, Tables}
+
+/** OLAP surface beyond plain GROUP BY: exact distribution quantiles,
+  * multi-dimensional GROUPING SETS, and pivot (cross-tab) — the report
+  * shapes a warehouse user reaches for right after the reference's
+  * ROLLUP tier (q29).
+  *
+  * Money math follows Money.scala: exact integer cents through the
+  * aggregate, one double division at output — order-independent and
+  * bit-stable across engines.
+  */
+object OlapOps {
+
+  /** DuckDB fragment: o_totalprice summed as exact cents → double. */
+  private val SUM_PRICE =
+    "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0"
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ── Exact interpolated percentiles per group ──────────────────────────
+    // Spark's `percentile` and DuckDB's `quantile_cont` share the
+    // definition: value at position p*(n-1) of the sorted list, linear
+    // interpolation. Exact percentile buffers each group's values — fine
+    // for low-cardinality groups (5 here); at 100 TB on high-cardinality
+    // groups the swap-in is approx_percentile (t-digest-style sketch,
+    // mergeable, bounded state), with this exact form as the audit path.
+    QueryDef("q49_percentiles",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"),
+          round(expr("percentile(o_totalprice, 0.99)"), 6).as("p99_price"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |       round(quantile_cont(o_totalprice, 0.5), 6) AS p50_price,
+             |       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+             |       round(quantile_cont(o_totalprice, 0.99), 6) AS p99_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── GROUPING SETS with grouping indicators ────────────────────────────
+    // The four-set lattice ((seg, prio), (seg), (prio), ()) in ONE pass —
+    // Spark expands the sets in a single Expand + hash aggregate, no
+    // multi-scan UNION ALL. grouping() indicator columns disambiguate
+    // "NULL because subtotal" from a genuinely NULL key.
+    QueryDef("q50_grouping_sets",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupingSets(
+            Seq(Seq(col("c_mktsegment"), col("o_orderpriority")),
+              Seq(col("c_mktsegment")), Seq(col("o_orderpriority")), Seq()),
+            col("c_mktsegment"), col("o_orderpriority"))
+          .agg(grouping(col("c_mktsegment")).cast("int").as("g_seg"),
+            grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+            count(lit(1)).as("n_orders"),
+            c2(sum(cents(col("o_totalprice")))).as("total_price"))
+          .orderBy(col("c_mktsegment").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)
+      },
+      Some(s"""SELECT c_mktsegment, o_orderpriority,
+             |       CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+             |       CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+             |       count(*) AS n_orders,
+             |       $SUM_PRICE AS total_price
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY GROUPING SETS ((c_mktsegment, o_orderpriority),
+             |                        (c_mktsegment), (o_orderpriority), ())
+             |ORDER BY c_mktsegment ASC NULLS FIRST,
+             |         o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // ── Pivot: order-status cross-tab per year ────────────────────────────
+    // Explicit value list (F/O/P) keeps the plan a single aggregate with
+    // no values-discovery pre-pass (at 100 TB an unlisted .pivot() first
+    // runs a distinct scan AND risks a column explosion). Counts are
+    // coalesced to 0 so a year with no orders in a status matches the
+    // oracle's FILTER count; sums stay NULL in both engines.
+    QueryDef("q51_pivot",
+      (s, d) => {
+        val pivoted = Tables.orders(s, d)
+          .withColumn("yr", year(col("o_orderdate")).cast("int"))
+          .groupBy("yr")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)).as("cnt"),
+            c2(sum(cents(col("o_totalprice")))).as("rev"))
+        pivoted.select(col("yr") +:
+          Seq("F", "O", "P").flatMap(st => Seq(
+            coalesce(col(s"${st}_cnt"), lit(0L)).as(s"${st}_cnt"),
+            col(s"${st}_rev"))): _*)
+          .orderBy("yr")
+      },
+      Some {
+        val cols = Seq("F", "O", "P").map(st =>
+          s"""count(*) FILTER (WHERE o_orderstatus = '$st') AS ${st}_cnt,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |              FILTER (WHERE o_orderstatus = '$st') AS BIGINT) / 100.0
+             |         AS ${st}_rev""".stripMargin).mkString(",\n       ")
+        s"""SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           |       $cols
+           |FROM orders
+           |GROUP BY 1
+           |ORDER BY yr""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+import graft.sources.{QueryDef, Tables}
+
+/** Deterministic sampling for training-data curation. rand()-based
+  * sampling is nondeterministic across retries/partitionings — a task
+  * retry silently changes the sample, which poisons reproducibility and
+  * makes cross-engine verification impossible. Hashing a stable key
+  * gives the same statistical guarantees (md5 is uniform) while being
+  * exactly reproducible anywhere, including in the DuckDB oracle.
+  */
+object SampleOps {
+
+  private val PER_STRATUM = 20
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ── Fixed-size per-stratum sample (deterministic "reservoir") ─────────
+    // Rank docs per language by a salted hash of the doc id and keep the
+    // first 20 — a uniform without-replacement sample per stratum, stable
+    // under any execution order. The per-stratum window is one reducer
+    // per stratum; at 100 TB prepend a hash-threshold prefilter
+    // (h % M < k) sized so expected survivors per stratum >> n, which
+    // bounds the window input to ~k·strata rows without changing the
+    // result (the top-n by hash survive any threshold that keeps >= n).
+    QueryDef("q52_stratified_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = Window.partitionBy("lang")
+          .orderBy(col("hv").asc, col("doc_id").asc)
+        docs.select(col("lang"), col("doc_id"),
+            Hashing.md5Long60(
+              concat(lit("sample_"), col("doc_id").cast("string"))).as("hv"))
+          .withColumn("sample_rank", row_number().over(w))
+          .filter(col("sample_rank") <= PER_STRATUM)
+          .select("lang", "doc_id", "sample_rank")
+          .orderBy("lang", "sample_rank")
+      },
+      Some(s"""WITH h AS (
+             |  SELECT lang, doc_id,
+             |         ${Hashing.md5Long60Sql("'sample_' || doc_id")} AS hv
+             |  FROM documents),
+             |r AS (
+             |  SELECT lang, doc_id,
+             |         row_number() OVER (PARTITION BY lang
+             |                            ORDER BY hv ASC, doc_id ASC) AS rn
+             |  FROM h)
+             |SELECT lang, doc_id, CAST(rn AS INT) AS sample_rank
+             |FROM r WHERE rn <= $PER_STRATUM
+             |ORDER BY lang, sample_rank""".stripMargin))
+  )
+}

@@ -320,6 +320,57 @@ object SimilarityOps {
              |         i -> CAST(a.embedding[i] AS DOUBLE)
              |              * CAST(b.embedding[i] AS DOUBLE)))
              |         / (a.nrm * b.nrm) >= 0.4
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── Int8 scalar quantization: per-vector max-abs scale ────────────────
+    // The storage/serving transform for 100 TB embedding corpora: 4x
+    // smaller vectors, integer SIMD dot products downstream. Per-row,
+    // no shuffle until the output sort; scale = maxabs/127, values
+    // round-clamp into [-127, 127] (max-abs scaling saturates only the
+    // extremal element, so n_sat doubles as a sanity metric). Output is
+    // per-vector audit stats (sum, L1 mass, saturation count, exact
+    // reconstruction SSE) rather than the opaque int array.
+    QueryDef("q55_embedding_quantize",
+      (s, d) => Tables.embeddings(s, d)
+        .withColumn("maxabs",
+          greatest(array_max(col("embedding")).cast("double"),
+            (-array_min(col("embedding"))).cast("double")))
+        .withColumn("qv", expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+            " / (nullif(maxabs, 0D) / 127.0)) AS BIGINT))"))
+        .select(col("vec_id"), col("label"),
+          round(col("maxabs"), 6).as("maxabs"),
+          expr("aggregate(qv, 0L, (a, v) -> a + v)").as("q_sum"),
+          expr("aggregate(qv, 0L, (a, v) -> a + abs(v))").as("q_l1"),
+          expr("CAST(size(filter(qv, v -> abs(v) = 127)) AS INT)").as("n_sat"),
+          round(expr(
+            "aggregate(zip_with(embedding, qv, (x, v) ->" +
+              " (CAST(x AS DOUBLE) - v * (maxabs / 127.0))" +
+              " * (CAST(x AS DOUBLE) - v * (maxabs / 127.0))), 0D," +
+              " (a, v) -> a + v)"), 6).as("recon_sse"))
+        .orderBy("vec_id"),
+      Some("""WITH base AS (
+             |  SELECT vec_id, label, embedding,
+             |         greatest(CAST(list_max(embedding) AS DOUBLE),
+             |                  -CAST(list_min(embedding) AS DOUBLE)) AS maxabs
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, label, embedding, maxabs,
+             |         list_transform(embedding, x ->
+             |           CAST(round(CAST(x AS DOUBLE)
+             |                / (nullif(maxabs, 0) / 127.0)) AS BIGINT)) AS qv
+             |  FROM base)
+             |SELECT vec_id, label, round(maxabs, 6) AS maxabs,
+             |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |       CAST(list_sum(list_transform(qv, v -> abs(v))) AS BIGINT)
+             |         AS q_l1,
+             |       CAST(len(list_filter(qv, v -> abs(v) = 127)) AS INT)
+             |         AS n_sat,
+             |       round(list_sum(list_transform(range(1, 65), i ->
+             |         (CAST(embedding[i] AS DOUBLE) - qv[i] * (maxabs / 127.0))
+             |         * (CAST(embedding[i] AS DOUBLE) - qv[i] * (maxabs / 127.0))
+             |       )), 6) AS recon_sse
+             |FROM q
+             |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.{QueryDef, Tables}
@@ -152,6 +153,55 @@ object TextOps {
              |FROM documents
              |GROUP BY 1
              |HAVING count(*) > 1
-             |ORDER BY fp""".stripMargin))
+             |ORDER BY fp""".stripMargin)),
+
+    // ── TF-IDF: corpus-weighted top terms per document ────────────────────
+    // Three linear aggregations (term frequency, document length,
+    // document frequency) + one broadcast scalar (corpus size), joined
+    // and windowed for per-doc top-3. Everything shuffles on bounded
+    // keys (doc_id / term); the df frame is term-cardinality — at 100 TB
+    // it shuffle-joins (a term dictionary outgrows broadcast), which is
+    // the plan below already.
+    QueryDef("q53_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf_raw").desc, col("term").asc)
+        tf.join(docLen, "doc_id").join(dfreq, "term")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf_raw",
+            col("tf").cast("double") / col("n_toks")
+              * log(col("n_docs").cast("double") / col("df")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"),
+            round(col("tfidf_raw"), 6).as("tfidf"))
+          .orderBy("doc_id", "rank")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest($TOKS) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+             |       GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY 1),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.term,
+             |         CAST(tf.tf AS DOUBLE) / dl.n_toks
+             |           * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df) AS tfidf_raw
+             |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+             |       CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY tfidf_raw DESC, term ASC) AS rk FROM scored)
+             |SELECT doc_id, CAST(rk AS INT) AS rank, term,
+             |       round(tfidf_raw, 6) AS tfidf
+             |FROM r WHERE rk <= 3
+             |ORDER BY doc_id, rank""".stripMargin))
   )
 }
