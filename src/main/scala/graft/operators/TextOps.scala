@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.{QueryDef, Tables}
 import graft.functions.TextFns._
+import graft.functions.{TextKernels, TextStat}
 
 /** Text analysis for the training-data pipeline tier (builder prompt:
   * lang-ID, quality scoring, token counting, fingerprinting), over the
@@ -26,9 +27,12 @@ object TextOps {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val toks = tokens(col("text"))
-        val nTokens = size(toks)
-        val nAlnum = length(regexp_replace(lower(col("text")), "[^a-z0-9]", ""))
-        val punct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+        // Counting via the native single-pass kernel (TextKernels) — the
+        // regex formulations these replace are what the DuckDB oracle
+        // still states; TextKernelSpec proves them equivalent.
+        val nTokens = TextStat(col("text"), TextKernels.TokenRuns)
+        val nAlnum = TextStat(col("text"), TextKernels.AlnumLower)
+        val punct = TextStat(col("text"), TextKernels.Punct)
         val stopHits = hitCount(toks, stopwords("en"))
         // NULLIF guards: on a zero-token / empty-text document Spark's x/0
         // yields NULL but DuckDB's IEEE float division yields inf/NaN —
@@ -121,12 +125,12 @@ object TextOps {
     QueryDef("q32_token_count",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          size(tokens(col("text"))).as("n_words"),
+          TextStat(col("text"), TextKernels.TokenRuns).as("n_words"),
           // BPE-ish: letter runs, digit runs, or single non-space symbols
-          regexp_count(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"))
-            .as("n_pieces"),
+          TextStat(col("text"), TextKernels.BpePieces).as("n_pieces"),
           (length(col("text")).cast("double") /
-            nullif(size(tokens(col("text"))), lit(0))).as("chars_per_word"))
+            nullif(TextStat(col("text"), TextKernels.TokenRuns), lit(0)))
+            .as("chars_per_word"))
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id,
              |       CAST(len($TOKS) AS INT) AS n_words,

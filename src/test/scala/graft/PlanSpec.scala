@@ -105,6 +105,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q48 as-of join: merge shape — no join operator anywhere in the plan") {
+    // The scalable as-of is union + one windowed pass; a join-based plan
+    // (per-purchase subquery or theta-join) is the regression to catch.
+    val joins = collectAll(planOf("q48_asof_join")) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"as-of join must be the union+window merge, found: ${joins.map(_.nodeName)}")
+  }
+
+  test("q56 banded range join: interval predicate never becomes a nested loop") {
+    val bad = collectAll(planOf("q56_range_join")) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty,
+      "banding must turn the interval join into an equi-join on (user, bucket)")
+  }
+
   test("q36 candidate generation contains no cartesian/nested-loop join") {
     val p = planOf("q36_minhash_lsh")
     val bad = collectAll(p) {
