@@ -9,11 +9,11 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune computed columns and eliminate final sorts, silently
   * under-measuring projection-heavy queries.)
   *
-  * Attribution note: the near-dup family (q35/q36/q37) shares one cached
-  * shingle frame (DedupOps.shingleHashes); whichever of the three runs
-  * first absorbs that one-time materialization, the other two read the
+  * Attribution note: the near-dup family (q35/q36/q37/q54) shares one
+  * cached shingle frame (DedupOps.shingleHashes); whichever of the four
+  * runs first absorbs that one-time materialization, the others read the
   * cache. The TOTAL is honest — the shared stage is real work paid once
-  * per session — but the three per-query splits are order-dependent.
+  * per session — but the four per-query splits are order-dependent.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

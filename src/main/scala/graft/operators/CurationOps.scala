@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns._
+import graft.functions.{TextKernels, TextStat}
+import graft.sources.{QueryDef, Tables}
+
+/** Corpus-curation operators: PII-pattern masking and the end-to-end
+  * keep/drop decision pipeline — the composition a training-data run
+  * actually executes, built entirely from the tiers below it (text
+  * quality kernels, near-dup connected components).
+  */
+object CurationOps {
+
+  /** Cross-engine regexes (no backrefs/lookaround, ASCII classes — the
+    * Java-regex/RE2 common subset, so Spark and DuckDB transform
+    * byte-identically). URLs mask FIRST: a URL may carry userinfo that
+    * would otherwise half-match the email pattern. */
+  private val EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val URL = "https?://[^\\s]+"
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ── PII masking: emails/URLs → placeholders, with audit counts ────────
+    // Narrow, codegen-adjacent (regex eval per row, no shuffle until the
+    // sort); md5 of the masked text proves the two engines produced the
+    // SAME bytes, not just the same counts.
+    QueryDef("q57_text_mask",
+      (s, d) => {
+        val masked = regexp_replace(
+          regexp_replace(col("text"), URL, "<URL>"), EMAIL, "<EMAIL>")
+        Tables.documents(s, d).select(
+            col("doc_id"),
+            regexp_count(col("text"), lit(EMAIL)).as("n_emails"),
+            regexp_count(col("text"), lit(URL)).as("n_urls"),
+            length(masked).as("masked_len"),
+            md5(masked).as("masked_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+             |       CAST(len(regexp_extract_all(text, '$EMAIL')) AS INT)
+             |         AS n_emails,
+             |       CAST(len(regexp_extract_all(text, '$URL')) AS INT)
+             |         AS n_urls,
+             |       length(regexp_replace(regexp_replace(text, '$URL', '<URL>',
+             |                'g'), '$EMAIL', '<EMAIL>', 'g')) AS masked_len,
+             |       md5(regexp_replace(regexp_replace(text, '$URL', '<URL>',
+             |                'g'), '$EMAIL', '<EMAIL>', 'g')) AS masked_md5
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── End-to-end curation: dedup + quality → keep decision per doc ──────
+    // Precedence is dedup-first (a non-representative member of a
+    // near-dup component drops as 'dup' regardless of quality; the
+    // representative is the component-min id and then faces the quality
+    // gates). The per-language summary is what a curation run reports.
+    QueryDef("q58_curation_pipeline",
+      (s, d) => {
+        val comp = DedupOps.components(s, d)
+        val nTok = TextStat(col("text"), TextKernels.TokenRuns)
+        val punctRatio = TextStat(col("text"), TextKernels.Punct).cast("double") /
+          nullif(length(col("text")), lit(0))
+        val stopRatio = hitCount(tokens(col("text")), stopwords("en"))
+          .cast("double") / nullif(nTok, lit(0))
+        Tables.documents(s, d)
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("decision",
+            when(col("group_id").isNotNull && col("group_id") =!= col("doc_id"),
+              "dup")
+              .when(nTok < 10, "quality")
+              .when(punctRatio > 0.1, "quality")
+              .when(stopRatio > 0.3, "quality")
+              .otherwise("kept"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            count(when(col("decision") === "kept", 1)).as("n_kept"),
+            count(when(col("decision") === "dup", 1)).as("n_dropped_dup"),
+            count(when(col("decision") === "quality", 1))
+              .as("n_dropped_quality"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH RECURSIVE ${DedupOps.COMPONENT_CTES},
+             |scored AS (
+             |  SELECT doc_id, lang, len(toks) AS n_toks,
+             |         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '',
+             |                'g')) AS DOUBLE) / nullif(length(text), 0)
+             |           AS punct_ratio,
+             |         CAST(len(list_filter(toks, t -> t IN
+             |                ('the','a','of','and','to','in','is','that')))
+             |              AS DOUBLE) / nullif(len(toks), 0) AS stop_ratio
+             |  FROM (SELECT d.doc_id, d.lang, d.text, t.toks
+             |        FROM documents d JOIN t ON t.doc_id = d.doc_id)),
+             |decided AS (
+             |  SELECT s.lang,
+             |         CASE WHEN c.group_id IS NOT NULL AND c.group_id != s.doc_id
+             |                THEN 'dup'
+             |              WHEN s.n_toks < 10 THEN 'quality'
+             |              WHEN s.punct_ratio > 0.1 THEN 'quality'
+             |              WHEN s.stop_ratio > 0.3 THEN 'quality'
+             |              ELSE 'kept' END AS decision
+             |  FROM scored s LEFT JOIN comp c ON c.id = s.doc_id)
+             |SELECT lang, count(*) AS n_docs,
+             |       count(*) FILTER (WHERE decision = 'kept') AS n_kept,
+             |       count(*) FILTER (WHERE decision = 'dup') AS n_dropped_dup,
+             |       count(*) FILTER (WHERE decision = 'quality')
+             |         AS n_dropped_quality
+             |FROM decided GROUP BY lang ORDER BY lang""".stripMargin))
+  )
+}

@@ -139,6 +139,41 @@ object DedupOps {
       .filter(col("jac") >= 0.5)
   }
 
+  /** Connected components of the near-dup pair graph: (doc_id, group_id)
+    * for every doc in some pair, group_id = smallest id in its component.
+    * Min-label propagation to fixpoint — each round is a full DataFrame
+    * job (shuffle join + min aggregate; the driver only coordinates,
+    * data never leaves executors), and the round count is the cluster
+    * diameter, tiny for dedup graphs (near-dup clusters are dense).
+    * localCheckpoint each round cuts exponential lineage growth. Shared
+    * by q54 (group listing) and q58 (curation keep-decision). */
+  private[operators] def components(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(s, d).select("id_a", "id_b")
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = edges.select(col("src").as("id")).distinct()
+      .withColumn("root", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNeighbors = edges.join(comp, edges("dst") === comp("id"))
+        .select(edges("src").as("id"), col("root"))
+      val next = comp.union(viaNeighbors)
+        .groupBy("id").agg(min("root").as("root"))
+        .localCheckpoint(true)
+      changed = next
+        .join(comp.withColumnRenamed("root", "prev_root"), "id")
+        .filter(col("root") =!= col("prev_root")).count()
+      comp = next
+      rounds += 1
+    }
+    edges.unpersist(blocking = false)
+    comp.select(col("id").as("doc_id"), col("root").as("group_id"))
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: hash group-by on normalized text ─────────────────────
@@ -301,63 +336,46 @@ object DedupOps {
     // localCheckpoint each round cuts the exponential lineage growth.
     QueryDef("q54_dedup_groups",
       (s, d) => {
-        val pairs = jaccardPairs(s, d).select("id_a", "id_b")
-        val edges = pairs
-          .union(pairs.select(col("id_b"), col("id_a")))
-          .toDF("src", "dst")
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        var comp = edges.select(col("src").as("id")).distinct()
-          .withColumn("root", col("id"))
-          .localCheckpoint(true)
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0 && rounds < 50) {
-          val viaNeighbors = edges.join(comp, edges("dst") === comp("id"))
-            .select(edges("src").as("id"), col("root"))
-          val next = comp.union(viaNeighbors)
-            .groupBy("id").agg(min("root").as("root"))
-            .localCheckpoint(true)
-          changed = next
-            .join(comp.withColumnRenamed("root", "prev_root"), "id")
-            .filter(col("root") =!= col("prev_root")).count()
-          comp = next
-          rounds += 1
-        }
-        edges.unpersist(blocking = false)
-        val sizes = comp.groupBy("root").agg(count(lit(1)).as("group_size"))
-        comp.join(sizes, "root")
-          .select(col("id").as("doc_id"), col("root").as("group_id"),
-            col("group_size"))
+        val comp = components(s, d)
+        val sizes = comp.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+        comp.join(sizes, "group_id")
+          .select(col("doc_id"), col("group_id"), col("group_size"))
           .orderBy("doc_id")
       },
       // Oracle: transitive closure by recursive CTE, component = min
       // reachable id — the declarative statement of the same fixpoint.
-      Some(s"""WITH RECURSIVE t AS (
-             |  SELECT doc_id, lang, $TOKS AS toks FROM documents),
-             |sh AS (SELECT doc_id, lang, $SHINGLES AS shingles FROM t),
-             |sized AS (
-             |  SELECT doc_id, lang, shingles, len(shingles) AS n_sh FROM sh
-             |  WHERE len(shingles) > 0),
-             |pairs AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sized a JOIN sized b
-             |    ON a.lang = b.lang AND a.doc_id < b.doc_id
-             |   AND a.n_sh <= b.n_sh * 2 AND b.n_sh <= a.n_sh * 2
-             |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             |        / len(list_distinct(list_concat(a.shingles, b.shingles)))
-             |        >= 0.5),
-             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-             |          UNION ALL SELECT id_b, id_a FROM pairs),
-             |reach AS (
-             |  SELECT src AS id, src AS r FROM edges
-             |  UNION
-             |  SELECT e.src AS id, rch.r FROM edges e
-             |  JOIN reach rch ON rch.id = e.dst),
-             |comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+      Some(s"""WITH RECURSIVE $COMPONENT_CTES,
              |sizes AS (SELECT group_id, count(*) AS group_size FROM comp
              |          GROUP BY 1)
              |SELECT c.id AS doc_id, c.group_id, s.group_size
              |FROM comp c JOIN sizes s USING (group_id)
              |ORDER BY doc_id""".stripMargin))
   )
+
+  /** DuckDB CTE chain computing `comp(id, group_id)` — the recursive-CTE
+    * mirror of `components`; prepend `WITH RECURSIVE`. Shared by q54 and
+    * q58's oracles. */
+  private[operators] lazy val COMPONENT_CTES: String =
+    s"""t AS (
+       |  SELECT doc_id, lang, $TOKS AS toks FROM documents),
+       |sh AS (SELECT doc_id, lang, $SHINGLES AS shingles FROM t),
+       |sized AS (
+       |  SELECT doc_id, lang, shingles, len(shingles) AS n_sh FROM sh
+       |  WHERE len(shingles) > 0),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sized a JOIN sized b
+       |    ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |   AND a.n_sh <= b.n_sh * 2 AND b.n_sh <= a.n_sh * 2
+       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.shingles, b.shingles)))
+       |        >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.src AS id, rch.r FROM edges e
+       |  JOIN reach rch ON rch.id = e.dst),
+       |comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)""".stripMargin
 }

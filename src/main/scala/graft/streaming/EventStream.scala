@@ -94,6 +94,33 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: one row per event_id. Duplicates arriving
+    * within the watermark horizon are dropped by keyed state; the state
+    * is EVICTED once the watermark passes it — bounded memory under
+    * continuous ingest, the property plain dropDuplicates (which keeps
+    * all keys forever) lacks in streaming. Rows older than the watermark
+    * are dropped as late data before reaching the operator — also
+    * "emitted at most once". Batch form of the same contract:
+    * dropDuplicates("event_id"). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type", "ts")
+
+  /** Run an append-mode streaming transform to completion (for
+    * operators that emit rows at most once — dedup). */
+  def runToMemoryAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q: StreamingQuery = df.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
   /** Run a streaming transform to completion against a static file set
     * via the memory sink; returns the collected result table. */
   def runToMemory(spark: SparkSession, df: DataFrame, name: String): DataFrame = {

@@ -185,6 +185,27 @@ class ExtensionSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup: duplicate files across micro-batches emit each event once") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // the SAME events file staged twice + maxFilesPerTrigger=1 → two
+    // micro-batches of full duplicates; keyed state (or the watermark's
+    // late-data drop) must suppress every second copy
+    val dir = Files.createTempDirectory("graft-dedup-stream")
+    Seq("a", "b").foreach(n =>
+      Files.copy(Paths.get(s"$sf/events.parquet"),
+        dir.resolve(s"$n.parquet"), StandardCopyOption.REPLACE_EXISTING))
+    val streamed = EventStream.runToMemoryAppend(spark,
+      EventStream.dedupEvents(EventStream.readEvents(spark, dir.toString,
+        maxFilesPerTrigger = Some(1))), "dedup_mem")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(streamed.length === streamed.distinct.length,
+      "an event_id was emitted more than once")
+    val batch = graft.sources.Tables.events(spark, sf)
+      .select("event_id").distinct().count()
+    assert(streamed.length.toLong === batch,
+      "streaming dedup must cover every distinct event exactly once")
+  }
+
   test("streaming session windows equal the batch answer") {
     val streamed = EventStream.runToMemory(spark,
       EventStream.userSessions(EventStream.readEvents(spark, eventsDir)), "sessions_mem")
