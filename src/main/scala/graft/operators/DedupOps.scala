@@ -147,7 +147,27 @@ object DedupOps {
     * diameter, tiny for dedup graphs (near-dup clusters are dense).
     * localCheckpoint each round cuts exponential lineage growth. Shared
     * by q54 (group listing) and q58 (curation keep-decision). */
-  private[operators] def components(s: SparkSession, d: String): DataFrame = {
+  /** Component results are localCheckpointed (already materialized), so
+    * caching them is free to hold; q54 and q58 share one fixpoint run
+    * per (session, dir) instead of re-iterating. Same locking/LRU
+    * discipline as the shingle cache. */
+  private val compCache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true)
+
+  private[operators] def components(s: SparkSession, d: String): DataFrame =
+    compCache.synchronized {
+      val cached = compCache.get((s, d))
+      if (cached != null) return cached
+      if (compCache.size >= MAX_CACHED) {
+        val it = compCache.entrySet().iterator()
+        it.next(); it.remove() // checkpointed, nothing to unpersist
+      }
+      val built = computeComponents(s, d)
+      compCache.put((s, d), built)
+      built
+    }
+
+  private def computeComponents(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairs(s, d).select("id_a", "id_b")
     val edges = pairs
       .union(pairs.select(col("id_b"), col("id_a")))
