@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-3 pipeline operators — properties the DuckDB
+  * hash-match can't state (cross-row/semantic constraints, determinism
+  * across runs), pinned so refactors can't silently break them.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  test("q48 as-of: every purchase appears once; matched click is same-user, at-or-before") {
+    val ev = graft.sources.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase").count()
+    val out = run("q48_asof_join").cache()
+    assert(out.count() === purchases, "one output row per purchase")
+    assert(out.select("purchase_id").distinct().count() === purchases)
+    assert(out.filter(col("click_ts") > col("purchase_ts")).count() === 0,
+      "a click after the purchase can never match")
+    // the matched click really is a click of the same user
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("cu"))
+    val wrongUser = out.filter(col("click_id").isNotNull)
+      .join(clicks, Seq("click_id"))
+      .filter(col("cu") =!= col("user_id")).count()
+    assert(wrongUser === 0)
+    out.unpersist()
+  }
+
+  test("q49 percentiles are monotone: p50 <= p90 <= p99 in every group") {
+    val bad = run("q49_percentiles")
+      .filter(col("p50_price") > col("p90_price") ||
+        col("p90_price") > col("p99_price")).count()
+    assert(bad === 0)
+  }
+
+  test("q52 sampling: deterministic across runs, bounded per stratum") {
+    val a = run("q52_stratified_sample").collect().map(_.toSeq).toSeq
+    val b = run("q52_stratified_sample").collect().map(_.toSeq).toSeq
+    assert(a === b, "hash-based sampling must be run-to-run identical")
+    val over = run("q52_stratified_sample")
+      .groupBy("lang").count().filter(col("count") > 20).count()
+    assert(over === 0)
+  }
+
+  test("q54 groups: both ends of every near-dup pair land in the same group") {
+    val comp = run("q54_dedup_groups").select("doc_id", "group_id")
+    val pairs = run("q35_ngram_jaccard").select("id_a", "id_b")
+    val split = pairs
+      .join(comp.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("group_id", "g_a"), "id_a")
+      .join(comp.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("group_id", "g_b"), "id_b")
+      .filter(col("g_a") =!= col("g_b")).count()
+    assert(split === 0, "a pair split across groups breaks transitivity")
+    // every group's id is the minimum member id
+    val badRoot = comp.groupBy("group_id").agg(min("doc_id").as("m"))
+      .filter(col("group_id") =!= col("m")).count()
+    assert(badRoot === 0)
+  }
+
+  test("q55 quantization: values saturate only at the extremes, error bounded") {
+    val out = run("q55_embedding_quantize").cache()
+    // the max-abs element always quantizes to ±127
+    assert(out.filter(col("maxabs") > 0 && col("n_sat") < 1).count() === 0)
+    // per-dim error <= scale/2 ⇒ SSE <= 64 * (maxabs/127)^2 / 4
+    val overErr = out.filter(col("recon_sse") >
+      lit(64.0 / 4.0) * (col("maxabs") / 127.0) * (col("maxabs") / 127.0)
+        + lit(1e-6)).count()
+    assert(overErr === 0, "reconstruction error above the rounding bound")
+    out.unpersist()
+  }
+
+  test("q58 curation: decisions partition the corpus") {
+    val bad = run("q58_curation_pipeline")
+      .filter(col("n_docs") =!=
+        col("n_kept") + col("n_dropped_dup") + col("n_dropped_quality"))
+      .count()
+    assert(bad === 0)
+  }
+}
