@@ -119,9 +119,83 @@ object DedupOps {
   private def mix(i: Int): Column =
     (lit(mixA(i)) * (col("h60") % H30) + lit(mixB(i))) % P31
 
+  /** (doc_id, m0..m31): the MinHash signature frame. */
+  private def signatures(s: SparkSession, d: String): DataFrame = {
+    val minAggs = (0 until MINHASH_K).map(i => min(mix(i)).as(s"m$i"))
+    shingleHashes(s, d).groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** Distinct LSH candidate pairs (id_a < id_b) from 8 bands × 4 rows —
+    * shared by q36 (the listing) and q59 (estimation accuracy). */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val bandStructs = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
+          .as("key"))
+    }
+    val bands = signatures(s, d)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
+    val b = bands.select(col("band"), col("key"), col("doc_id").as("id_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** DuckDB CTE chain ending in `sigs(doc_id, m0..m31)` (mirrors
+    * `signatures`); extends EXPLODED_SQL. */
+  private lazy val SIGS_SQL: String = {
+    val minExprs = (0 until MINHASH_K).map(i =>
+      s"min((${mixA(i)} * (h60 % $H30) + ${mixB(i)}) % $P31) AS m$i")
+      .mkString(",\n       ")
+    s"""$EXPLODED_SQL,
+       |sigs AS (
+       |  SELECT doc_id,
+       |       $minExprs
+       |  FROM hashed GROUP BY doc_id)""".stripMargin
+  }
+
+  /** DuckDB CTEs `bands` + `cand` (mirrors `lshCandidates`); append
+    * after SIGS_SQL. */
+  private lazy val CAND_SQL: String = {
+    val bandSelects = (0 until 8).map { b =>
+      val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $ms) AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   /** Exact near-dup pairs (jaccard >= 0.5) from the inverted-index join —
-    * the q35 body, shared with q54's connected components. */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    * the q35 body, shared with q54/q58's connected components. The pair
+    * list is tiny (true near-dup mass) but costs an inverted-index join
+    * to produce, so it is persisted and LRU-cached like the shingle
+    * frame: the join runs once per (session, dir), not once per
+    * consumer. */
+  private val pairsCache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true)
+
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.synchronized {
+      val cached = pairsCache.get((s, d))
+      if (cached != null) return cached
+      if (pairsCache.size >= MAX_CACHED) {
+        val it = pairsCache.entrySet().iterator()
+        val lru = it.next()
+        lru.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+      val built = computeJaccardPairs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
+      pairsCache.put((s, d), built)
+      built
+    }
+
+  private def computeJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val inv = shingleHashes(s, d)
       .select(col("lang"), col("shingle"), col("doc_id"), col("n_sh"))
     val a = inv.select(col("lang"), col("shingle"),
@@ -240,44 +314,72 @@ object DedupOps {
     // 32 permutations = integer mixes of the single md5-derived shingle
     // hash; 8 bands × 4 rows; candidates from an equi-join on (band, key).
     QueryDef("q36_minhash_lsh",
+      (s, d) => lshCandidates(s, d).orderBy("id_a", "id_b"),
+      Some(s"""$SIGS_SQL,
+             |$CAND_SQL
+             |SELECT id_a, id_b FROM cand
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── MinHash accuracy: signature-match estimate vs exact Jaccard ───────
+    // The statistical contract of the sketch, stated as a query: for
+    // every LSH candidate pair, E[matching signature components / k] is
+    // the true Jaccard. Estimate from the 32-component signatures; exact
+    // from the inverted index restricted to the candidates (a candidate
+    // that shares no shingle — a pure hash collision — scores exact 0).
+    QueryDef("q59_minhash_estimate",
       (s, d) => {
-        val minAggs = (0 until MINHASH_K).map(i => min(mix(i)).as(s"m$i"))
-        val sigs = shingleHashes(s, d)
-          .groupBy("doc_id")
-          .agg(minAggs.head, minAggs.tail: _*)
-        val bandStructs = (0 until 8).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
-              .as("key"))
-        }
-        val bands = sigs
-          .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val a = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
-        val b = bands.select(col("band"), col("key"), col("doc_id").as("id_b"))
-        a.join(b, Seq("band", "key"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
+        val cand = lshCandidates(s, d)
+        val sigs = signatures(s, d)
+        def side(tag: String) = sigs.toDF(sigs.columns.map(c =>
+          if (c == "doc_id") s"id_$tag" else s"${tag}_$c"): _*)
+        val matches = (0 until MINHASH_K)
+          .map(i => when(col(s"a_m$i") === col(s"b_m$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val est = cand.join(side("a"), "id_a").join(side("b"), "id_b")
+          .select(col("id_a"), col("id_b"),
+            (matches.cast("double") / MINHASH_K).as("est_jac"))
+        val inv = shingleHashes(s, d)
+          .select(col("doc_id"), col("shingle"), col("n_sh"))
+        val exact = cand
+          .join(inv.select(col("doc_id").as("id_a"), col("shingle"),
+            col("n_sh").as("n_a")), "id_a")
+          .join(inv.select(col("doc_id").as("id_b"), col("shingle"),
+            col("n_sh").as("n_b")), Seq("id_b", "shingle"))
+          .groupBy("id_a", "id_b", "n_a", "n_b")
+          .agg(count(lit(1)).as("shared"))
+          .select(col("id_a"), col("id_b"),
+            (col("shared").cast("double") /
+              (col("n_a") + col("n_b") - col("shared"))).as("exact_jac"))
+        est.join(exact, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"),
+            round(col("est_jac"), 6).as("est_jac"),
+            round(coalesce(col("exact_jac"), lit(0.0)), 6).as("exact_jac"),
+            round(abs(col("est_jac") - coalesce(col("exact_jac"), lit(0.0))), 6)
+              .as("abs_err"))
           .orderBy("id_a", "id_b")
       },
       Some {
-        val minExprs = (0 until MINHASH_K).map(i =>
-          s"min((${mixA(i)} * (h60 % $H30) + ${mixB(i)}) % $P31) AS m$i")
-          .mkString(",\n       ")
-        val bandSelects = (0 until 8).map { b =>
-          val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
-          s"SELECT doc_id, $b AS band, concat_ws(',', $ms) AS key FROM sigs"
-        }.mkString("\n  UNION ALL\n  ")
-        s"""$EXPLODED_SQL,
-           |sigs AS (
-           |  SELECT doc_id,
-           |       $minExprs
-           |  FROM hashed GROUP BY doc_id),
-           |bands AS (
-           |  $bandSelects)
-           |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |FROM bands a JOIN bands b
-           |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        val matchSum = (0 until MINHASH_K)
+          .map(i => s"(CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""$SIGS_SQL,
+           |$CAND_SQL,
+           |est AS (
+           |  SELECT c.id_a, c.id_b,
+           |         ($matchSum) / 32.0 AS est_jac
+           |  FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a
+           |              JOIN sigs sb ON sb.doc_id = c.id_b),
+           |exact AS (
+           |  SELECT c.id_a, c.id_b,
+           |         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+           |           / len(list_distinct(list_concat(x.shingles, y.shingles)))
+           |           AS exact_jac
+           |  FROM cand c JOIN sh x ON x.doc_id = c.id_a
+           |              JOIN sh y ON y.doc_id = c.id_b)
+           |SELECT e.id_a, e.id_b, round(e.est_jac, 6) AS est_jac,
+           |       round(coalesce(x.exact_jac, 0), 6) AS exact_jac,
+           |       round(abs(e.est_jac - coalesce(x.exact_jac, 0)), 6) AS abs_err
+           |FROM est e LEFT JOIN exact x USING (id_a, id_b)
            |ORDER BY id_a, id_b""".stripMargin
       }),
 

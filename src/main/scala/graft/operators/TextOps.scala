@@ -172,12 +172,16 @@ object TextOps {
         val toks = docs.select(col("doc_id"),
           explode(tokens(col("text"))).as("term"))
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val docLen = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+        // document length = sum of its term frequencies — a window over
+        // the (already aggregated, much smaller) tf frame instead of a
+        // second explode+aggregate scan of the corpus
+        val withLen = tf.withColumn("n_toks",
+          sum("tf").over(Window.partitionBy("doc_id")))
         val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val n = docs.agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("tfidf_raw").desc, col("term").asc)
-        tf.join(docLen, "doc_id").join(dfreq, "term")
+        withLen.join(dfreq, "term")
           .crossJoin(broadcast(n))
           .withColumn("tfidf_raw",
             col("tf").cast("double") / col("n_toks")

@@ -84,6 +84,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("approx_percentile (the 100 TB swap-in for q49) tracks exact percentile") {
+    // q49's doc comment names the sketch as the scale path; prove the
+    // swap is sound on this data: sketch vs exact within 1% of the
+    // group's price range at accuracy 10000.
+    val both = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.9)").as("exact"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("approx"),
+        (max("o_totalprice") - min("o_totalprice")).as("range"))
+    val off = both
+      .filter(abs(col("approx") - col("exact")) > col("range") * 0.01)
+      .count()
+    assert(off === 0, "approx_percentile drifted >1% of range from exact")
+  }
+
+  test("q59 estimate: mean |est - exact| within the k=32 sketch's expected error") {
+    val err = run("q59_minhash_estimate")
+      .agg(avg("abs_err").as("mae")).collect()(0).getDouble(0)
+    // stddev of a Binomial(32, j)/32 estimate is <= 0.5/sqrt(32) ≈ 0.088
+    assert(err <= 0.12, f"mean absolute estimation error $err%.3f too large")
+  }
+
   test("q58 curation: decisions partition the corpus") {
     val bad = run("q58_curation_pipeline")
       .filter(col("n_docs") =!=
