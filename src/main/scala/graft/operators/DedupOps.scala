@@ -51,32 +51,43 @@ object DedupOps {
        |hashed AS (
        |  SELECT *, ${Hashing.md5Long60Sql("shingle")} AS h60 FROM ex)""".stripMargin
 
-  /** One row per (doc, distinct word-3-gram): doc_id, lang, n_sh,
-    * shingle, h60. Cached per (session, dir) and shared by q35/q36/q37 —
-    * tokenization, shingling, explode and the md5 are paid once.
-    *
-    * Access-ordered LinkedHashMap + a single lock: concurrent callers
-    * can't double-build (and leak a persisted copy), and eviction drops
-    * the least-recently-USED entry, never one in active rotation. The
-    * lock only guards plan construction (persist() is lazy — no Spark
-    * job runs while it is held), so contention is microseconds. */
-  private val cache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true)
-
-  /** Bound the cache: a long-lived session iterating many dirs must not
-    * pin one persisted frame per dir forever. Eviction unpersists. */
+  /** Lock-guarded, access-ordered LRU of per-(session, dir) frames:
+    * concurrent callers can't double-build (and leak a persisted copy),
+    * eviction drops the least-recently-USED entry (never one in active
+    * rotation) and runs `onEvict` (unpersist for persisted frames). The
+    * bound keeps a long-lived session iterating many dirs from pinning
+    * one frame per dir forever. For lazily-persisted frames the lock
+    * only guards plan construction (microseconds); the components cache
+    * builds eagerly (its fixpoint must run jobs) — acceptable, nothing
+    * else contends for that lock during a build. */
   private val MAX_CACHED = 4
+  private final class FrameCache(onEvict: DataFrame => Unit) {
+    private val m =
+      new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true)
+    def getOrBuild(s: SparkSession, d: String)(build: => DataFrame): DataFrame =
+      m.synchronized {
+        val cached = m.get((s, d))
+        if (cached != null) return cached
+        if (m.size >= MAX_CACHED) {
+          val it = m.entrySet().iterator() // head = least recently used
+          onEvict(it.next().getValue)
+          it.remove()
+        }
+        val built = build
+        m.put((s, d), built)
+        built
+      }
+  }
+  private def unpersisting = new FrameCache(_.unpersist(blocking = false))
+
+  /** One row per (doc, distinct word-3-gram): doc_id, lang, n_sh,
+    * shingle, h60. Cached per (session, dir) and shared by
+    * q35/q36/q37/q54/q58/q59 — tokenization, shingling, explode and the
+    * md5 are paid once. */
+  private val shingleCache = unpersisting
 
   private[operators] def shingleHashes(s: SparkSession, d: String): DataFrame =
-    cache.synchronized {
-      val cached = cache.get((s, d))
-      if (cached != null) return cached
-      if (cache.size >= MAX_CACHED) {
-        val it = cache.entrySet().iterator() // head = least recently used
-        val lru = it.next()
-        lru.getValue.unpersist(blocking = false)
-        it.remove()
-      }
+    shingleCache.getOrBuild(s, d) {
       // Tokenize ONCE per doc and build the 3-grams with window leads
       // over the exploded token stream: everything downstream of the
       // generator is codegen'd / WindowExec-native. The one-Project
@@ -95,12 +106,10 @@ object DedupOps {
         .select(col("doc_id"), col("lang"),
           concat_ws(" ", col("col"), col("t1"), col("t2")).as("shingle"))
         .dropDuplicates("doc_id", "shingle")
-      val built = tri
+      tri
         .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
         .withColumn("h60", Hashing.md5Long60(col("shingle")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      cache.put((s, d), built)
-      built
     }
 
   // ── MinHash constants: k=32 universal-hash mixes of the one h60 ────────
@@ -119,11 +128,19 @@ object DedupOps {
   private def mix(i: Int): Column =
     (lit(mixA(i)) * (col("h60") % H30) + lit(mixB(i))) % P31
 
-  /** (doc_id, m0..m31): the MinHash signature frame. */
-  private def signatures(s: SparkSession, d: String): DataFrame = {
-    val minAggs = (0 until MINHASH_K).map(i => min(mix(i)).as(s"m$i"))
-    shingleHashes(s, d).groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-  }
+  /** (doc_id, m0..m31): the MinHash signature frame — one row per doc,
+    * k longs. Persisted + LRU-cached: a real pipeline computes
+    * signatures once and serves banding, estimation, and incremental
+    * re-dedup from them. */
+  private val sigCache = unpersisting
+
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    sigCache.getOrBuild(s, d) {
+      val minAggs = (0 until MINHASH_K).map(i => min(mix(i)).as(s"m$i"))
+      shingleHashes(s, d)
+        .groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Distinct LSH candidate pairs (id_a < id_b) from 8 bands × 4 rows —
     * shared by q36 (the listing) and q59 (estimation accuracy). */
@@ -177,22 +194,11 @@ object DedupOps {
     * to produce, so it is persisted and LRU-cached like the shingle
     * frame: the join runs once per (session, dir), not once per
     * consumer. */
-  private val pairsCache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true)
+  private val pairsCache = unpersisting
 
   private def jaccardPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.synchronized {
-      val cached = pairsCache.get((s, d))
-      if (cached != null) return cached
-      if (pairsCache.size >= MAX_CACHED) {
-        val it = pairsCache.entrySet().iterator()
-        val lru = it.next()
-        lru.getValue.unpersist(blocking = false)
-        it.remove()
-      }
-      val built = computeJaccardPairs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
-      pairsCache.put((s, d), built)
-      built
+    pairsCache.getOrBuild(s, d) {
+      computeJaccardPairs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     }
 
   private def computeJaccardPairs(s: SparkSession, d: String): DataFrame = {
@@ -225,21 +231,10 @@ object DedupOps {
     * caching them is free to hold; q54 and q58 share one fixpoint run
     * per (session, dir) instead of re-iterating. Same locking/LRU
     * discipline as the shingle cache. */
-  private val compCache =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true)
+  private val compCache = new FrameCache(_ => ()) // checkpointed; no unpersist
 
   private[operators] def components(s: SparkSession, d: String): DataFrame =
-    compCache.synchronized {
-      val cached = compCache.get((s, d))
-      if (cached != null) return cached
-      if (compCache.size >= MAX_CACHED) {
-        val it = compCache.entrySet().iterator()
-        it.next(); it.remove() // checkpointed, nothing to unpersist
-      }
-      val built = computeComponents(s, d)
-      compCache.put((s, d), built)
-      built
-    }
+    compCache.getOrBuild(s, d)(computeComponents(s, d))
 
   private def computeComponents(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairs(s, d).select("id_a", "id_b")
