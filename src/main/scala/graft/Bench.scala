@@ -9,11 +9,12 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune computed columns and eliminate final sorts, silently
   * under-measuring projection-heavy queries.)
   *
-  * Attribution note: the near-dup family (q35/q36/q37/q54) shares one
-  * cached shingle frame (DedupOps.shingleHashes); whichever of the four
-  * runs first absorbs that one-time materialization, the others read the
-  * cache. The TOTAL is honest — the shared stage is real work paid once
-  * per session — but the four per-query splits are order-dependent.
+  * Attribution note: the dedup family (q35/q36/q37/q54/q58/q59) shares
+  * session-cached intermediates (DedupOps: shingle frame, exact pairs,
+  * MinHash signatures, components) — whichever consumer runs first
+  * absorbs each build, later ones read the caches. The TOTAL is honest —
+  * every shared stage is real work paid once per session — but the
+  * per-query splits within the family are order-dependent.
   */
 object Bench {
   def main(args: Array[String]): Unit = {

@@ -57,17 +57,37 @@ object TextKernels {
     cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
       cp == '\f' || cp == '\r'
 
-  /** Called from generated code (static forwarder) and nullSafeEval. */
+  /** Called from generated code (static forwarder) and nullSafeEval.
+    * Decodes the UTF-8 bytes in place — no java.lang.String copy of the
+    * document per call (q30 calls three modes per row; a toString-based
+    * loop would copy every document three times). Assumes valid UTF-8
+    * (Spark's UTF8String invariant); a truncated trail sequence at the
+    * end of the buffer is consumed defensively as a single unit. */
   def count(s: UTF8String, mode: Int): Int = {
-    val str = s.toString
-    val len = str.length
+    val len = s.numBytes
     var i = 0
     var n = 0
     // run-state: 0 = none, 1 = alnum-lower run (TOKEN_RUNS),
     // 'L' = letter run, 'D' = digit run (BPE_PIECES)
     var run = 0
     while (i < len) {
-      val cp = str.codePointAt(i)
+      val b0 = s.getByte(i) & 0xFF
+      var step = 1
+      var cp = b0
+      if (b0 >= 0x80) {
+        if ((b0 & 0xE0) == 0xC0 && i + 1 < len) {
+          cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F)
+          step = 2
+        } else if ((b0 & 0xF0) == 0xE0 && i + 2 < len) {
+          cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+            (s.getByte(i + 2) & 0x3F)
+          step = 3
+        } else if ((b0 & 0xF8) == 0xF0 && i + 3 < len) {
+          cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+            ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F)
+          step = 4
+        }
+      }
       mode match {
         case AlnumLower =>
           if (isAsciiAlnumLower(Character.toLowerCase(cp))) n += 1
@@ -89,7 +109,7 @@ object TextKernels {
         case _ =>
           throw new IllegalArgumentException(s"unknown TextKernels mode $mode")
       }
-      i += Character.charCount(cp)
+      i += step
     }
     n
   }

@@ -28,26 +28,34 @@ object CurationOps {
     // SAME bytes, not just the same counts.
     QueryDef("q57_text_mask",
       (s, d) => {
-        val masked = regexp_replace(
-          regexp_replace(col("text"), URL, "<URL>"), EMAIL, "<EMAIL>")
+        // n_urls counts on raw text; n_emails counts on the URL-masked
+        // text — each audit count equals the number of placeholders its
+        // stage actually inserted (an email inside a URL's userinfo is
+        // consumed by the URL mask and must not be double-reported).
+        val urlMasked = regexp_replace(col("text"), URL, "<URL>")
+        val masked = regexp_replace(urlMasked, EMAIL, "<EMAIL>")
         Tables.documents(s, d).select(
             col("doc_id"),
-            regexp_count(col("text"), lit(EMAIL)).as("n_emails"),
             regexp_count(col("text"), lit(URL)).as("n_urls"),
+            regexp_count(urlMasked, lit(EMAIL)).as("n_emails"),
             length(masked).as("masked_len"),
             md5(masked).as("masked_md5"))
           .orderBy("doc_id")
       },
-      Some(s"""SELECT doc_id,
-             |       CAST(len(regexp_extract_all(text, '$EMAIL')) AS INT)
-             |         AS n_emails,
+      Some(s"""WITH u AS (
+             |  SELECT doc_id, text,
+             |         regexp_replace(text, '$URL', '<URL>', 'g') AS url_masked
+             |  FROM documents)
+             |SELECT doc_id,
              |       CAST(len(regexp_extract_all(text, '$URL')) AS INT)
              |         AS n_urls,
-             |       length(regexp_replace(regexp_replace(text, '$URL', '<URL>',
-             |                'g'), '$EMAIL', '<EMAIL>', 'g')) AS masked_len,
-             |       md5(regexp_replace(regexp_replace(text, '$URL', '<URL>',
-             |                'g'), '$EMAIL', '<EMAIL>', 'g')) AS masked_md5
-             |FROM documents
+             |       CAST(len(regexp_extract_all(url_masked, '$EMAIL')) AS INT)
+             |         AS n_emails,
+             |       length(regexp_replace(url_masked, '$EMAIL', '<EMAIL>', 'g'))
+             |         AS masked_len,
+             |       md5(regexp_replace(url_masked, '$EMAIL', '<EMAIL>', 'g'))
+             |         AS masked_md5
+             |FROM u
              |ORDER BY doc_id""".stripMargin)),
 
     // ── End-to-end curation: dedup + quality → keep decision per doc ──────

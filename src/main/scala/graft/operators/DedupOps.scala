@@ -68,12 +68,14 @@ object DedupOps {
       m.synchronized {
         val cached = m.get((s, d))
         if (cached != null) return cached
+        // build BEFORE evicting: a throwing build (bad dir) must not
+        // drain healthy cached frames one victim per retry
+        val built = build
         if (m.size >= MAX_CACHED) {
           val it = m.entrySet().iterator() // head = least recently used
           onEvict(it.next().getValue)
           it.remove()
         }
-        val built = build
         m.put((s, d), built)
         built
       }
@@ -260,6 +262,13 @@ object DedupOps {
       rounds += 1
     }
     edges.unpersist(blocking = false)
+    // Fail LOUDLY if the round cap truncated propagation: silently
+    // returning non-minimal roots is a wrong answer, not a degraded one.
+    // Dedup graphs converge in a handful of rounds (dense clusters); a
+    // >50-diameter chain means the input isn't a near-dup graph — at
+    // that shape switch to large-star/small-star (O(log n) rounds).
+    require(changed == 0,
+      s"connected components did not converge within $rounds rounds")
     comp.select(col("id").as("doc_id"), col("root").as("group_id"))
   }
 

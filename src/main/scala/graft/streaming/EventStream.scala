@@ -108,42 +108,28 @@ object EventStream {
       .dropDuplicatesWithinWatermark("event_id")
       .select("event_id", "user_id", "event_type", "ts")
 
-  /** Run an append-mode streaming transform to completion (for
-    * operators that emit rows at most once — dedup). */
-  def runToMemoryAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
-    val q: StreamingQuery = df.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
-  }
-
   /** Run a streaming transform to completion against a static file set
-    * via the memory sink; returns the collected result table. */
-  def runToMemory(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+    * via the memory sink; returns the collected result table. Output
+    * mode per operator class: complete (aggregations), update (stateful
+    * per-key updates), append (at-most-once emitters like dedup). */
+  private def runToMemoryMode(spark: SparkSession, df: DataFrame,
+                              name: String, mode: String): DataFrame = {
     val q: StreamingQuery = df.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(name)
   }
 
-  /** Same, in update mode — for stateful operators
-    * (flatMapGroupsWithState) whose output is per-key updates. */
-  def runToMemoryUpdate(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
-    val q: StreamingQuery = df.writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    spark.table(name)
-  }
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String): DataFrame =
+    runToMemoryMode(spark, df, name, "complete")
+
+  def runToMemoryUpdate(spark: SparkSession, df: DataFrame, name: String): DataFrame =
+    runToMemoryMode(spark, df, name, "update")
+
+  def runToMemoryAppend(spark: SparkSession, df: DataFrame, name: String): DataFrame =
+    runToMemoryMode(spark, df, name, "append")
 }
