@@ -124,6 +124,28 @@ class PlanSpec extends AnyFunSuite {
       "banding must turn the interval join into an equi-join on (user, bucket)")
   }
 
+  test("q50 grouping sets: ONE Expand + single aggregate, no multi-scan union") {
+    val p = planOf("q50_grouping_sets")
+    val expands = collectAll(p) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e
+    }
+    assert(expands.size === 1,
+      "the 4-set lattice must compute through one Expand, not UNION ALL scans")
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("orders")) => f
+    }
+    assert(scans.size === 1, "orders must be scanned exactly once")
+  }
+
+  test("q51 pivot: explicit value list keeps it to one scan, no discovery pre-pass") {
+    val scans = collectAll(planOf("q51_pivot")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size === 1,
+      "an unlisted pivot would add a distinct values-discovery scan")
+  }
+
   test("q36 candidate generation contains no cartesian/nested-loop join") {
     val p = planOf("q36_minhash_lsh")
     val bad = collectAll(p) {
