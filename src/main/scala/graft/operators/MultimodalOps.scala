@@ -117,6 +117,100 @@ object MultimodalOps {
       .select(col("item_id"), col("width"), col("height"),
         explode(sequence(lit(0), lit(nFrames - 1), lit(stride))).as("frame_idx"))
 
+  // ── REAL header codec: byte-level container parsing, no libraries ──────
+  // The innermost signal decode stays stubbed (no codecs in the
+  // container), but container-header parsing needs none: magic numbers,
+  // endianness and field offsets are pure byte arithmetic. Payloads are
+  // synthesized with REAL headers (PNG signature + IHDR, RIFF/WAVE fmt
+  // chunk, MP4 ftyp box), then q60 recovers the metadata from the BYTES
+  // and checks it against the declared columns — if the parser's
+  // endianness or offsets were wrong, the match counts would miss the
+  // oracle's formula-derived answer.
+
+  private def beInt(v: Int): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def leInt(v: Int): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def leShort(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  private def readBeInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def readLeInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private val PNG_SIG = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  /** PNG signature + IHDR chunk (width/height big-endian at offsets
+    * 16/20; 8-bit RGB, no interlace; CRC left zero — parsing only). */
+  private[operators] def pngHeader(w: Int, h: Int): Array[Byte] =
+    PNG_SIG ++ beInt(13) ++ "IHDR".getBytes("US-ASCII") ++ beInt(w) ++
+      beInt(h) ++ Array[Byte](8, 2, 0, 0, 0) ++ beInt(0)
+
+  /** Canonical 44-byte RIFF/WAVE header; sample rate little-endian at
+    * offset 24 (PCM mono 16-bit). */
+  private[operators] def wavHeader(rate: Int, dataLen: Int): Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ leInt(36 + dataLen) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      leInt(16) ++ leShort(1) ++ leShort(1) ++ leInt(rate) ++
+      leInt(rate * 2) ++ leShort(2) ++ leShort(16) ++
+      "data".getBytes("US-ASCII") ++ leInt(dataLen)
+
+  /** Minimal MP4 `ftyp` box (size 16, brand mp42). */
+  private[operators] def mp4Header(): Array[Byte] =
+    beInt(16) ++ "ftypmp42".getBytes("US-ASCII") ++ beInt(0)
+
+  /** Media table whose payloads carry REAL container headers ahead of
+    * the (stub) signal bytes. */
+  def headeredMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRow].map { r =>
+      val hdr = r.kind match {
+        case "image" => pngHeader(r.width, r.height)
+        case "audio" => wavHeader(r.sample_rate, r.media.length)
+        case _ => mp4Header()
+      }
+      r.copy(media = hdr ++ r.media)
+    }
+  }
+
+  final case class ParsedMedia(item_id: Long, declared_kind: String,
+                               kind_detected: String, parsed_width: Int,
+                               parsed_height: Int, parsed_rate: Int,
+                               meta_match: Boolean)
+
+  /** Container sniffing + header field extraction from raw bytes —
+    * per-partition, no driver involvement, no codec library. */
+  def parseHeaders(spark: SparkSession, media: Dataset[MediaRow]): Dataset[ParsedMedia] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val b = r.media
+        val (kind, w, h, rate) =
+          if (b.length >= 33 && b.startsWith(PNG_SIG))
+            ("image", readBeInt(b, 16), readBeInt(b, 20), 0)
+          else if (b.length >= 44 &&
+            b.startsWith("RIFF".getBytes("US-ASCII")) &&
+            b.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII")))
+            ("audio", 0, 0, readLeInt(b, 24))
+          else if (b.length >= 12 &&
+            b.slice(4, 8).sameElements("ftyp".getBytes("US-ASCII")))
+            ("video", 0, 0, 0)
+          else ("unknown", 0, 0, 0)
+        val ok = kind == r.kind && (kind match {
+          case "image" => w == r.width && h == r.height
+          case "audio" => rate == r.sample_rate
+          case _ => kind == r.kind
+        })
+        ParsedMedia(r.item_id, r.kind, kind, w, h, rate, ok)
+      }
+    }
+  }
+
   /** Per-kind stats over the extracted features. The mapPartitions decode
     * itself isn't SQL-expressible, but its aggregate outputs are: kind is
     * a pure function of doc_id, n_bytes is the UTF-8 byte length of the
@@ -142,6 +236,39 @@ object MultimodalOps {
              |         AS n_distinct_payloads
              |FROM documents
              |GROUP BY 1
-             |ORDER BY kind""".stripMargin))
+             |ORDER BY kind""".stripMargin)),
+
+    // ── Header round-trip: metadata recovered from the BYTES ──────────────
+    // The oracle derives every expected value from the doc_id formulas
+    // (the metadata that was WRITTEN into the headers); Spark's answer
+    // comes from PARSING the binary column. A wrong offset, endianness,
+    // or magic check yields n_meta_match < n_items (or a wrong detected
+    // kind) and breaks the hash match.
+    QueryDef("q60_media_headers",
+      (s, d) => parseHeaders(s, headeredMedia(s, d)).toDF()
+        .groupBy(col("kind_detected"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("meta_match"), 1L).otherwise(0L)).as("n_meta_match"),
+          min(when(col("kind_detected") === "image", col("parsed_width")))
+            .as("min_width"),
+          max(when(col("kind_detected") === "image", col("parsed_width")))
+            .as("max_width"),
+          min(when(col("kind_detected") === "audio", col("parsed_rate")))
+            .as("min_rate"))
+        .orderBy("kind_detected"),
+      Some("""SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+             |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind_detected,
+             |       count(*) AS n_items,
+             |       count(*) AS n_meta_match,
+             |       min(CASE WHEN doc_id % 3 = 0
+             |                THEN CAST(doc_id % 4 AS INT) * 160 + 320 END)
+             |         AS min_width,
+             |       max(CASE WHEN doc_id % 3 = 0
+             |                THEN CAST(doc_id % 4 AS INT) * 160 + 320 END)
+             |         AS max_width,
+             |       min(CASE WHEN doc_id % 3 = 1 THEN 16000 END) AS min_rate
+             |FROM documents
+             |GROUP BY 1
+             |ORDER BY kind_detected""".stripMargin))
   )
 }
