@@ -112,6 +112,66 @@ object EventOps {
              |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
              |FROM events
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ── Funnel analysis: strictly-ordered stage progression per user ──────
+    // signup → first click within 6 h of it → first purchase within 6 h
+    // of that click (conversion windows differentiate the stages).
+    // Three key-local aggregates chained by time predicates: each stage
+    // is one shuffle on user_id and the frames shrink monotonically (a
+    // user must clear stage n to appear in stage n+1) — the scalable
+    // funnel shape, no window over a user's whole event history and no
+    // per-stage self-join explosion.
+    QueryDef("q61_funnel",
+      (s, d) => {
+        val winUs = 6L * 3600 * 1000000 // 6-hour conversion window, micros
+        val ev = Tables.events(s, d)
+        def firstOf(tpe: String) = ev.filter(col("event_type") === tpe)
+        def within(a: String, b: String) =
+          col(a) > col(b) &&
+            unix_micros(col(a)) <= unix_micros(col(b)) + winUs
+        val su = firstOf("signup").groupBy("user_id")
+          .agg(min("ts").as("s_ts"))
+        val cl = firstOf("click").join(su, "user_id")
+          .filter(within("ts", "s_ts"))
+          .groupBy("user_id").agg(min("ts").as("c_ts"))
+        val pu = firstOf("purchase").join(cl, "user_id")
+          .filter(within("ts", "c_ts"))
+          .groupBy("user_id").agg(min("ts").as("p_ts"))
+        val staged = su
+          .join(cl.select(col("user_id"), lit(1).as("clicked")), Seq("user_id"), "left")
+          .join(pu.select(col("user_id"), lit(1).as("purchased")), Seq("user_id"), "left")
+          .select(col("user_id"),
+            (lit(1) + coalesce(col("clicked"), lit(0)) +
+              coalesce(col("purchased"), lit(0))).as("funnel_stage"))
+        staged.groupBy("funnel_stage")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("funnel_stage")
+      },
+      Some("""WITH su AS (
+             |  SELECT user_id, min(ts) AS s_ts FROM events
+             |  WHERE event_type = 'signup' GROUP BY user_id),
+             |cl AS (
+             |  SELECT e.user_id, min(e.ts) AS c_ts
+             |  FROM events e JOIN su ON su.user_id = e.user_id
+             |  WHERE e.event_type = 'click' AND e.ts > su.s_ts
+             |    AND date_diff('microsecond', su.s_ts, e.ts) <= 21600000000
+             |  GROUP BY e.user_id),
+             |pu AS (
+             |  SELECT e.user_id, min(e.ts) AS p_ts
+             |  FROM events e JOIN cl ON cl.user_id = e.user_id
+             |  WHERE e.event_type = 'purchase' AND e.ts > cl.c_ts
+             |    AND date_diff('microsecond', cl.c_ts, e.ts) <= 21600000000
+             |  GROUP BY e.user_id),
+             |staged AS (
+             |  SELECT su.user_id,
+             |         1 + (CASE WHEN cl.user_id IS NULL THEN 0 ELSE 1 END)
+             |           + (CASE WHEN pu.user_id IS NULL THEN 0 ELSE 1 END)
+             |           AS funnel_stage
+             |  FROM su LEFT JOIN cl ON cl.user_id = su.user_id
+             |          LEFT JOIN pu ON pu.user_id = su.user_id)
+             |SELECT funnel_stage, count(*) AS n_users
+             |FROM staged GROUP BY funnel_stage
+             |ORDER BY funnel_stage""".stripMargin))
   )
 }
