@@ -322,6 +322,61 @@ object SimilarityOps {
              |         / (a.nrm * b.nrm) >= 0.4
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ── Random-projection dimensionality reduction: 64 → 8 dims ──────────
+    // The storage/recall knob between full vectors and LSH bits (JL
+    // lemma: pairwise distances survive within ~1/sqrt(k)). Same
+    // machinery as q40's hyperplanes: the md5-derived projection matrix
+    // is a broadcast 8-row DataFrame, each output dim one fold per
+    // (vector, row) — vectors never shuffle until the final group-by.
+    // Components round at 6 and the norm derives from the ROUNDED
+    // components on both engines, pinning cross-engine ulp drift.
+    QueryDef("q62_random_projection",
+      (s, d) => {
+        import s.implicits._
+        val projDims = 8
+        val mat = (0 until projDims).map(j => (j, (0 until DIMS).map(i =>
+          (Hashing.md5Long60(s"proj_${j}_$i") % 1000 - 500).toDouble))).toDF("j", "cs")
+        val comps = Tables.embeddings(s, d)
+          .crossJoin(broadcast(mat))
+          .select(col("vec_id"), col("label"), col("j"),
+            expr("aggregate(zip_with(embedding, cs, (x, c) ->" +
+              " CAST(x AS DOUBLE) * c), 0D, (acc, v) -> acc + v)").as("y"))
+        val yAggs = (0 until projDims).map(j =>
+          round(sum(when(col("j") === j, col("y"))), 6).as(s"y$j"))
+        val wide = comps.groupBy("vec_id", "label")
+          .agg(yAggs.head, yAggs.tail: _*)
+        wide.select(col("vec_id") +: col("label") +:
+            (0 until projDims).map(j => col(s"y$j")) :+
+            round(sqrt((0 until projDims).map(j => col(s"y$j") * col(s"y$j"))
+              .reduce(_ + _)), 6).as("proj_norm"): _*)
+          .orderBy("vec_id")
+      },
+      Some {
+        val projDims = 8
+        val ys = (0 until projDims).map(j =>
+          s"round(sum(CASE WHEN j = $j THEN y END), 6) AS y$j")
+          .mkString(",\n       ")
+        val normExpr = (0 until projDims).map(j => s"y$j * y$j").mkString(" + ")
+        s"""WITH mat AS (
+           |  SELECT j.j AS j, list_transform(range(0, $DIMS), i ->
+           |           CAST(CAST(('0x' || substring(md5('proj_' || j.j || '_' || i), 1, 15))
+           |                     AS BIGINT) % 1000 - 500 AS DOUBLE)) AS cs
+           |  FROM range(0, $projDims) j(j)),
+           |comps AS (
+           |  SELECT e.vec_id, e.label, m.j,
+           |         list_sum(list_transform(range(1, ${DIMS + 1}),
+           |           i -> CAST(e.embedding[i] AS DOUBLE) * m.cs[i])) AS y
+           |  FROM embeddings e CROSS JOIN mat m),
+           |wide AS (
+           |  SELECT vec_id, label,
+           |       $ys
+           |  FROM comps GROUP BY vec_id, label)
+           |SELECT vec_id, label, ${(0 until projDims).map("y" + _).mkString(", ")},
+           |       round(sqrt($normExpr), 6) AS proj_norm
+           |FROM wide
+           |ORDER BY vec_id""".stripMargin
+      }),
+
     // ── Int8 scalar quantization: per-vector max-abs scale ────────────────
     // The storage/serving transform for 100 TB embedding corpora: 4x
     // smaller vectors, integer SIMD dot products downstream. Per-row,

@@ -210,6 +210,60 @@ object TextOps {
              |SELECT doc_id, CAST(rk AS INT) AS rank, term,
              |       round(tfidf_raw, 6) AS tfidf
              |FROM r WHERE rk <= 3
-             |ORDER BY doc_id, rank""".stripMargin))
+             |ORDER BY doc_id, rank""".stripMargin)),
+
+    // ── Bigram language-model scoring: corpus-trained fluency signal ──────
+    // Train add-one-smoothed bigram probabilities per language over the
+    // whole corpus (counts are exact integer aggregates), then score
+    // every document by its average bigram log-probability — the
+    // perplexity-style quality signal curation pipelines use to rank
+    // text. Training and scoring are the same three shuffles (bigram
+    // counts, head counts, vocab) joined back to the bigram stream;
+    // log/division run on identical rationals in both engines, and the
+    // per-doc average rounds at 6 (ulp drift from summation order is
+    // ~1e-13, far below the grain).
+    QueryDef("q63_bigram_lm",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"), col("lang"),
+          posexplode(tokens(col("text"))))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val bg = toks.withColumn("w2", lead("col", 1).over(w))
+          .filter(col("w2").isNotNull)
+          .select(col("doc_id"), col("lang"), col("col").as("w1"), col("w2"))
+        val c12 = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
+        val c1 = bg.groupBy("lang", "w1").agg(count(lit(1)).as("c1"))
+        val vocab = bg.select("lang", "w2").distinct()
+          .groupBy("lang").agg(count(lit(1)).as("v"))
+        bg.join(c12, Seq("lang", "w1", "w2"))
+          .join(c1, Seq("lang", "w1"))
+          .join(broadcast(vocab), Seq("lang"))
+          .withColumn("logp",
+            log((col("c12") + 1).cast("double") / (col("c1") + col("v"))))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(col("logp")), 6).as("avg_logp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+             |idx AS (
+             |  SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+             |  FROM t),
+             |bg AS (
+             |  SELECT doc_id, lang, toks[i] AS w1, toks[i + 1] AS w2
+             |  FROM idx),
+             |c12 AS (SELECT lang, w1, w2, count(*) AS c12 FROM bg
+             |        GROUP BY 1, 2, 3),
+             |c1 AS (SELECT lang, w1, count(*) AS c1 FROM bg GROUP BY 1, 2),
+             |vocab AS (SELECT lang, count(DISTINCT w2) AS v FROM bg GROUP BY 1)
+             |SELECT bg.doc_id, bg.lang,
+             |       count(*) AS n_bigrams,
+             |       round(avg(ln(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + vocab.v))), 6)
+             |         AS avg_logp
+             |FROM bg JOIN c12 USING (lang, w1, w2)
+             |        JOIN c1 USING (lang, w1)
+             |        JOIN vocab USING (lang)
+             |GROUP BY bg.doc_id, bg.lang
+             |ORDER BY bg.doc_id""".stripMargin))
   )
 }
