@@ -204,7 +204,7 @@ object MultimodalOps {
         val ok = kind == r.kind && (kind match {
           case "image" => w == r.width && h == r.height
           case "audio" => rate == r.sample_rate
-          case _ => kind == r.kind
+          case _ => true // video: the ftyp box carries no parsed fields
         })
         ParsedMedia(r.item_id, r.kind, kind, w, h, rate, ok)
       }

@@ -53,12 +53,17 @@ object SimilarityOps {
   private val TABLES = 16
   private val BITS = 6
 
-  /** planeCoef(p)(i): deterministic pseudo-random hyperplane coefficient
-    * in [-500, 499] (scale is irrelevant for sign tests) — md5-derived,
-    * so the oracle recomputes the identical value from the same label. */
+  /** Deterministic pseudo-random coefficient row in [-500, 499] (scale
+    * is irrelevant for sign tests / distance ratios) — md5-derived, so
+    * the oracle recomputes the identical values from the same labels.
+    * Single source for q40's hyperplanes AND q62's projection matrix;
+    * a derivation change must hit both or oracle parity breaks. */
+  private def coefRow(prefix: String, row: Int): IndexedSeq[Double] =
+    (0 until DIMS).map(i =>
+      (Hashing.md5Long60(s"${prefix}_${row}_$i") % 1000 - 500).toDouble)
+
   private val planeCoef: IndexedSeq[IndexedSeq[Double]] =
-    (0 until TABLES * BITS).map(p => (0 until DIMS).map(i =>
-      (Hashing.md5Long60(s"plane_${p}_$i") % 1000 - 500).toDouble))
+    (0 until TABLES * BITS).map(p => coefRow("plane", p))
 
   /** The plane matrix as a 96-row DataFrame (p, cs[64]) — broadcast-
     * joined against the vectors, one projection fold per (vector, plane)
@@ -334,8 +339,8 @@ object SimilarityOps {
       (s, d) => {
         import s.implicits._
         val projDims = 8
-        val mat = (0 until projDims).map(j => (j, (0 until DIMS).map(i =>
-          (Hashing.md5Long60(s"proj_${j}_$i") % 1000 - 500).toDouble))).toDF("j", "cs")
+        val mat = (0 until projDims).map(j => (j, coefRow("proj", j)))
+          .toDF("j", "cs")
         val comps = Tables.embeddings(s, d)
           .crossJoin(broadcast(mat))
           .select(col("vec_id"), col("label"), col("j"),

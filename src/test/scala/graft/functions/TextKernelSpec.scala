@@ -50,16 +50,20 @@ class TextKernelSpec extends AnyFunSuite {
 
   test("kernel == regex on adversarial random strings") {
     import spark.implicits._
-    val charGen = Gen.frequency(
-      6 -> Gen.alphaNumChar,
-      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B'),
-      2 -> Gen.oneOf("!?.,;:-_()[]{}@#$%^&*<>\"'".toSeq),
-      1 -> Gen.choose(' ', 'ÿ'), // Latin-1 letters/symbols
-      1 -> Gen.oneOf('你', '好', 'é', 'ß', '€'))
+    val charGen: Gen[String] = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '\f', '\u000B').map(_.toString),
+      2 -> Gen.oneOf("!?.,;:-_()[]{}@#$%^&*<>\"'".toSeq).map(_.toString),
+      1 -> Gen.choose(' ', 'ÿ').map(_.toString), // Latin-1 letters/symbols
+      // incl. supplementary-plane strings: the 4-byte UTF-8 decode branch
+      // must agree with the regex formulations too
+      1 -> Gen.oneOf("你", "好", "é", "ß", "€",
+        "😀", "𝕏", "🚀"))
     val strGen = Gen.listOfN(400,
       Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString)))
     val strings = strGen(Gen.Parameters.default, rng.Seed(7L)).get
-    assertAllEqual((strings :+ "" :+ "  \t\n " :+ "a1B2 ß-ẞ").toDF("t"))
+    assertAllEqual((strings :+ "" :+ "  \t\n " :+ "a1B2 ß-ẞ"
+      :+ "emoji 😀 mixed 𝕏 digits7 🚀!").toDF("t"))
   }
 
   test("TextStat is null-safe and codegen'd (no fallback to interpreted eval)") {
