@@ -144,23 +144,46 @@ object DedupOps {
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 
-  /** Distinct LSH candidate pairs (id_a < id_b) from 8 bands × 4 rows —
-    * shared by q36 (the listing) and q59 (estimation accuracy). */
-  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, band, key) LSH band keys from a signature frame (8 bands
+    * × 4 rows). Taking the frame as an argument (not rebuilding it) is
+    * what makes INCREMENTAL dedup work: a new batch's bands join
+    * against the stored corpus bands without recomputing anything for
+    * the existing docs — ExtensionSpec proves the incremental union
+    * equals the full-batch candidate set. */
+  private[operators] def bandKeys(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
           .as("key"))
     }
-    val bands = signatures(s, d)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = bands.select(col("band"), col("key"), col("doc_id").as("id_a"))
-    val b = bands.select(col("band"), col("key"), col("doc_id").as("id_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
   }
+
+  /** Distinct candidate pairs (id_a < id_b) from a probe×index band
+    * join. Full-batch: both sides the whole corpus. Incremental: probe =
+    * new batch, index = full corpus. */
+  private[operators] def candidatesBetween(probe: DataFrame,
+                                           index: DataFrame): DataFrame = {
+    val a = probe.select(col("band"), col("key"), col("doc_id").as("id_x"))
+    val b = index.select(col("band"), col("key"), col("doc_id").as("id_y"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_x") =!= col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+      .distinct()
+  }
+
+  /** Distinct LSH candidate pairs (id_a < id_b) from 8 bands × 4 rows —
+    * shared by q36 (the listing) and q59 (estimation accuracy). */
+  private def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = bandKeys(signatures(s, d))
+    candidatesBetween(bands, bands)
+  }
+
+  /** Re-export for the incremental-dedup spec. */
+  private[operators] def signatureFrame(s: SparkSession, d: String): DataFrame =
+    signatures(s, d)
 
   /** DuckDB CTE chain ending in `sigs(doc_id, m0..m31)` (mirrors
     * `signatures`); extends EXPLODED_SQL. */

@@ -172,6 +172,42 @@ object EventOps {
              |          LEFT JOIN pu ON pu.user_id = su.user_id)
              |SELECT funnel_stage, count(*) AS n_users
              |FROM staged GROUP BY funnel_stage
-             |ORDER BY funnel_stage""".stripMargin))
+             |ORDER BY funnel_stage""".stripMargin)),
+
+    // ── Retention cohorts: users active N days after their first day ──────
+    // Cohort = each user's first active day; the triangle counts how
+    // many of a cohort's users were active again exactly N days later.
+    // Two key-local aggregates + one equi-join back to the activity
+    // stream — the cohort frame is user-cardinality (broadcastable at
+    // dim scale, shuffle-join beyond), activity stays on its own key.
+    QueryDef("q64_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val activity = ev
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        val cohorts = activity.groupBy("user_id")
+          .agg(min("day").as("cohort_day"))
+        activity.join(cohorts, "user_id")
+          .select(col("cohort_day"),
+            datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .filter(col("day_offset").isin(0, 1, 7, 14))
+          .groupBy("cohort_day", "day_offset")
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH activity AS (
+             |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+             |cohorts AS (
+             |  SELECT user_id, min(day) AS cohort_day FROM activity
+             |  GROUP BY user_id)
+             |SELECT c.cohort_day,
+             |       CAST(date_diff('day', c.cohort_day, a.day) AS INT)
+             |         AS day_offset,
+             |       count(*) AS n_active
+             |FROM activity a JOIN cohorts c USING (user_id)
+             |WHERE date_diff('day', c.cohort_day, a.day) IN (0, 1, 7, 14)
+             |GROUP BY 1, 2
+             |ORDER BY cohort_day, day_offset""".stripMargin))
   )
 }

@@ -106,6 +106,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(err <= 0.12, f"mean absolute estimation error $err%.3f too large")
   }
 
+  test("incremental dedup: new-batch banding against stored signatures = full-batch pairs") {
+    // Simulate incremental ingestion: docs with doc_id % 5 == 0 arrive
+    // as a NEW batch after the rest of the corpus was already indexed.
+    // The previous run's pairs (old self-join) plus the incremental
+    // probe (new bands vs the full index) must equal the full-batch
+    // candidate set — i.e. stored signatures make re-dedup of the whole
+    // corpus unnecessary.
+    val sigs = DedupOps.signatureFrame(spark, sf).cache()
+    val isNew = col("doc_id") % 5 === 0
+    val bandsAll = DedupOps.bandKeys(sigs)
+    val bandsOld = DedupOps.bandKeys(sigs.filter(!isNew))
+    val bandsNew = DedupOps.bandKeys(sigs.filter(isNew))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairSet(DedupOps.candidatesBetween(bandsAll, bandsAll))
+    val previous = pairSet(DedupOps.candidatesBetween(bandsOld, bandsOld))
+    val incremental = pairSet(DedupOps.candidatesBetween(bandsNew, bandsAll))
+    assert(previous.union(incremental) === full,
+      "incremental probe must add exactly the pairs involving new docs")
+    assert(incremental.forall { case (a, b) => a % 5 == 0 || b % 5 == 0 })
+    sigs.unpersist()
+  }
+
   test("q58 curation: decisions partition the corpus") {
     val bad = run("q58_curation_pipeline")
       .filter(col("n_docs") =!=
