@@ -33,7 +33,16 @@ import org.apache.spark.sql.DataFrame
   */
 object AtomicParquet {
 
-  def overwrite(df: DataFrame, dest: String): Unit = {
+  def overwrite(df: DataFrame, dest: String): Unit =
+    overwritePartitioned(df, dest, Nil)
+
+  /** Same stage-then-swap contract with a Hive-style partition layout
+    * (`dest/col=value/…`) — the 100 TB write shape: a reader's partition
+    * predicates prune whole directories from the listing before any
+    * data is touched (PlanSpec-style check in ReliabilitySpec), and
+    * downstream engines can address single partitions for backfills. */
+  def overwritePartitioned(df: DataFrame, dest: String,
+                           partitionCols: Seq[String]): Unit = {
     val fs = new Path(dest)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val destPath = new Path(dest)
@@ -42,7 +51,9 @@ object AtomicParquet {
     fs.delete(staging, true)
     fs.delete(old, true)
     // Failure in the write lands here with dest untouched.
-    df.write.mode("overwrite").parquet(staging.toString)
+    val writer = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(staging.toString)
     if (fs.exists(destPath) && !fs.rename(destPath, old))
       throw new IOException(s"could not retire current table at $dest")
     if (!fs.rename(staging, destPath)) {

@@ -109,4 +109,29 @@ class ReliabilitySpec extends AnyFunSuite {
     intercept[Exception] { AtomicParquet.overwrite(bad, dest) }
     assert(spark.read.parquet(dest).as[Int].collect().sorted.toSeq === Seq(4, 5))
   }
+
+  test("partitioned write path: year predicates prune partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-partitioned").toString
+    val dest = s"$dir/orders_by_year"
+    val orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .withColumn("o_year", year(col("o_orderdate")))
+    AtomicParquet.overwritePartitioned(orders, dest, Seq("o_year"))
+    val filtered = spark.read.parquet(dest).filter(col("o_year") === 1995)
+    filtered.write.format("noop").mode("overwrite").save()
+    val scans = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.metadata.get("PartitionFilters")
+        .exists(_.contains("o_year")),
+      "the year predicate must prune Hive-style partitions, not filter rows")
+    // the pruned scan reads exactly the one year's directory
+    assert(scans.head.inputRDDs().map(_.getNumPartitions).sum > 0)
+    val expected = orders.filter(col("o_year") === 1995).count()
+    assert(filtered.count() === expected)
+    // rerun-safety still holds for the partitioned layout
+    AtomicParquet.overwritePartitioned(
+      orders.filter(col("o_year") === 1996), dest, Seq("o_year"))
+    assert(spark.read.parquet(dest).select("o_year").distinct().count() === 1)
+  }
 }
