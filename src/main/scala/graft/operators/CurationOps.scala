@@ -58,6 +58,37 @@ object CurationOps {
              |FROM u
              |ORDER BY doc_id""".stripMargin)),
 
+    // ── Fuzzy string-similarity join: blocked edit distance ───────────────
+    // Conforming dirty catalog strings ("hot gear" vs "red gear") needs
+    // a similarity join, and all-pairs Levenshtein is quadratic — the
+    // scalable shape blocks on a cheap equality key first (here the
+    // type noun, i.e. the last token) so the O(n·m) DP runs only inside
+    // blocks. Both engines implement classic unweighted Levenshtein, so
+    // the distances compare exactly.
+    QueryDef("q65_fuzzy_join",
+      (s, d) => {
+        val names = Tables.part(s, d).select("p_name").distinct()
+          .withColumn("block", element_at(split(col("p_name"), " "), -1))
+        val a = names.select(col("block"), col("p_name").as("name_a"))
+        val b = names.select(col("block"), col("p_name").as("name_b"))
+        a.join(b, Seq("block"))
+          .filter(col("name_a") < col("name_b"))
+          .select(col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+          .filter(col("edit_dist") <= 4)
+          .orderBy("name_a", "name_b")
+      },
+      Some("""WITH names AS (
+             |  SELECT DISTINCT p_name,
+             |         string_split(p_name, ' ')[-1] AS block
+             |  FROM part)
+             |SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+             |FROM names a JOIN names b
+             |  ON a.block = b.block AND a.p_name < b.p_name
+             |WHERE levenshtein(a.p_name, b.p_name) <= 4
+             |ORDER BY name_a, name_b""".stripMargin)),
+
     // ── End-to-end curation: dedup + quality → keep decision per doc ──────
     // Precedence is dedup-first (a non-representative member of a
     // near-dup component drops as 'dup' regardless of quality; the
