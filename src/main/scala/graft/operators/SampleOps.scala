@@ -51,6 +51,41 @@ object SampleOps {
              |  FROM h)
              |SELECT lang, doc_id, CAST(rn AS INT) AS sample_rank
              |FROM r WHERE rn <= $PER_STRATUM
-             |ORDER BY lang, sample_rank""".stripMargin))
+             |ORDER BY lang, sample_rank""".stripMargin)),
+
+    // ── Weighted (importance) sampling: P(keep) ∝ document length ─────────
+    // Curation often oversamples long/high-value documents. Keep doc iff
+    // hash-uniform u < rate · weight / max-weight — deterministic
+    // Poisson-style sampling, exactly reproducible across engines and
+    // retries. The max-weight normalizer is a broadcast scalar (one
+    // tiny aggregate); everything else is a narrow per-row predicate.
+    QueryDef("q66_weighted_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val maxChars = docs.agg(max("n_chars").as("max_chars"))
+        // u in [0, 1): the 60-bit hash scaled down; target rate 0.2
+        val u = Hashing.md5Long60(
+          concat(lit("wsample_"), col("doc_id").cast("string")))
+          .cast("double") / lit(1152921504606846976.0) // 2^60
+        docs.crossJoin(broadcast(maxChars))
+          .filter(u < lit(0.2) * col("n_chars").cast("double") / col("max_chars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum("n_chars").as("sampled_chars"),
+            min("doc_id").as("first_doc"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH mc AS (SELECT max(n_chars) AS max_chars FROM documents),
+             |kept AS (
+             |  SELECT d.lang, d.doc_id, d.n_chars
+             |  FROM documents d CROSS JOIN mc
+             |  WHERE CAST(${Hashing.md5Long60Sql("'wsample_' || doc_id")}
+             |             AS DOUBLE) / 1152921504606846976.0
+             |        < 0.2 * CAST(d.n_chars AS DOUBLE) / mc.max_chars)
+             |SELECT lang, count(*) AS n_sampled,
+             |       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+             |       min(doc_id) AS first_doc
+             |FROM kept GROUP BY lang
+             |ORDER BY lang""".stripMargin))
   )
 }
