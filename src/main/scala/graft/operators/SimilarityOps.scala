@@ -27,11 +27,13 @@ import graft.sources.{QueryDef, Tables}
   */
 object SimilarityOps {
 
-  /** dot(a, b) as a sequential left fold in double precision.
-    * DuckDB mirror: list_sum(list_transform(range(1, 65),
+  /** dot(a, b): native codegen kernel (graft.functions.VectorDot) —
+    * ascending-index multiply-add, the same summation order as the
+    * interpreted aggregate/zip_with fold it replaced and as the DuckDB
+    * mirror: list_sum(list_transform(range(1, 65),
     *   i -> CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE))) */
   private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)")
+    graft.functions.VectorDot(col(a), col(b))
 
   private def normSq(a: String) = dot(a, a)
 
@@ -84,8 +86,7 @@ object SimilarityOps {
       .crossJoin(broadcast(planesDF(s)))
       .select(col("vec_id"),
         expr(s"p div $BITS").as("t"),
-        when(expr("aggregate(zip_with(embedding, cs, " +
-          "(x, c) -> CAST(x AS DOUBLE) * c), 0D, (acc, v) -> acc + v)") > 0,
+        when(graft.functions.VectorDot(col("embedding"), col("cs")) > 0,
           expr(s"shiftleft(1, p % $BITS)")).otherwise(lit(0)).as("bit"))
       .groupBy("vec_id", "t")
       .agg(sum("bit").as("key"))
@@ -344,8 +345,7 @@ object SimilarityOps {
         val comps = Tables.embeddings(s, d)
           .crossJoin(broadcast(mat))
           .select(col("vec_id"), col("label"), col("j"),
-            expr("aggregate(zip_with(embedding, cs, (x, c) ->" +
-              " CAST(x AS DOUBLE) * c), 0D, (acc, v) -> acc + v)").as("y"))
+            graft.functions.VectorDot(col("embedding"), col("cs")).as("y"))
         val yAggs = (0 until projDims).map(j =>
           round(sum(when(col("j") === j, col("y"))), 6).as(s"y$j"))
         val wide = comps.groupBy("vec_id", "label")
