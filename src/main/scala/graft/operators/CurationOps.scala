@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns._
@@ -19,6 +20,10 @@ object CurationOps {
     * would otherwise half-match the email pattern. */
   private val EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val URL = "https?://[^\\s]+"
+
+  /** Shared DuckDB token expression (mirrors TextFns.tokens). */
+  private val TOKS =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -144,6 +149,52 @@ object CurationOps {
              |       count(*) FILTER (WHERE decision = 'dup') AS n_dropped_dup,
              |       count(*) FILTER (WHERE decision = 'quality')
              |         AS n_dropped_quality
-             |FROM decided GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM decided GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ── Sequence packing: fill fixed token budgets with whole docs ────────
+    // Training runs consume fixed-length sequences (e.g. 2048 tokens);
+    // packing assigns each document to the sequence where its starting
+    // offset lands (prefix-sum of token counts within a language,
+    // doc_id order — deterministic under retries, no RNG). One window
+    // cumsum + one bounded-key aggregate; the window partitions by
+    // lang, so no single-partition stage. A doc longer than the budget
+    // keeps its start bin and overflows into the next bins' offsets —
+    // fill > 1 marks exactly those bins (a real packer would split the
+    // doc; offset-chunking keeps the op deterministic and join-free).
+    QueryDef("q69_seq_packing",
+      (s, d) => {
+        val budget = 2048L
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_toks"))
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+        docs.withColumn("cum", sum("n_toks").over(w))
+          .withColumn("seq_id",
+            call_function("div", col("cum") - col("n_toks"), lit(budget)))
+          .groupBy("lang", "seq_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").as("seq_tokens"),
+            min("doc_id").as("first_doc"),
+            max("doc_id").as("last_doc"))
+          .withColumn("fill",
+            round(col("seq_tokens") / lit(budget.toDouble), 4))
+          .orderBy("lang", "seq_id")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, lang, len($TOKS) AS n_toks FROM documents),
+             |c AS (
+             |  SELECT doc_id, lang, n_toks,
+             |         sum(n_toks) OVER (PARTITION BY lang ORDER BY doc_id)
+             |           AS cum
+             |  FROM t)
+             |SELECT lang, CAST((cum - n_toks) // 2048 AS BIGINT) AS seq_id,
+             |       count(*) AS n_docs,
+             |       CAST(sum(n_toks) AS BIGINT) AS seq_tokens,
+             |       min(doc_id) AS first_doc,
+             |       max(doc_id) AS last_doc,
+             |       round(CAST(sum(n_toks) AS BIGINT) / 2048.0, 4) AS fill
+             |FROM c
+             |GROUP BY 1, 2
+             |ORDER BY lang, seq_id""".stripMargin))
   )
 }

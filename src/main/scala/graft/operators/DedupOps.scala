@@ -41,8 +41,9 @@ object DedupOps {
     s"list_sort(list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)), i -> array_to_string(toks[i:i+2], ' '))))"
 
   /** Shared DuckDB CTE prefix: doc_id, lang, n_sh, one row per shingle,
-    * plus the 60-bit md5 hash (mirrors `shingleHashes`). */
-  private val EXPLODED_SQL =
+    * plus the 60-bit md5 hash (mirrors `shingleHashes`). Shared with
+    * SketchOps (HLL over the same shingle stream). */
+  private[operators] val EXPLODED_SQL =
     s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
        |sh AS (SELECT doc_id, lang, $SHINGLES AS shingles FROM t),
        |ex AS (
@@ -498,6 +499,46 @@ object DedupOps {
              |          GROUP BY 1)
              |SELECT c.id AS doc_id, c.group_id, s.group_size
              |FROM comp c JOIN sizes s USING (group_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Benchmark contamination: train docs overlapping an eval set ───────
+    // Decontamination for training corpora: a training document sharing
+    // a large fraction of its 3-gram shingles with any benchmark/eval
+    // document leaks the benchmark into training. Eval set here = every
+    // 10th doc_id (a deterministic stand-in for an external benchmark
+    // table — the operator takes any id predicate). Shape: the eval
+    // side collapses to its DISTINCT shingle set (eval corpora are
+    // small — broadcast at 100 TB train scale), then one semi-join-like
+    // equi-join on the shingle feeds a per-doc count — linear in train
+    // shingle mass, never pairwise in documents. Reuses the cached
+    // shingle frame, so the tokenize/shingle/md5 pass is shared with
+    // the dedup family.
+    QueryDef("q68_contamination",
+      (s, d) => {
+        val sh = shingleHashes(s, d)
+        val evalSet = sh.filter(col("doc_id") % 10 === 0)
+          .select("shingle").distinct()
+        sh.filter(col("doc_id") % 10 =!= 0)
+          .join(broadcast(evalSet), "shingle")
+          .groupBy("doc_id", "n_sh")
+          .agg(count(lit(1)).as("n_hit"))
+          .filter(col("n_hit") / col("n_sh") >= 0.2)
+          .select(col("doc_id"), col("n_sh"), col("n_hit"),
+            round(col("n_hit") / col("n_sh"), 6).as("overlap_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""$EXPLODED_SQL,
+             |ev AS (
+             |  SELECT DISTINCT shingle FROM hashed WHERE doc_id % 10 = 0),
+             |hits AS (
+             |  SELECT h.doc_id, h.n_sh, count(*) AS n_hit
+             |  FROM hashed h JOIN ev USING (shingle)
+             |  WHERE h.doc_id % 10 <> 0
+             |  GROUP BY 1, 2)
+             |SELECT doc_id, n_sh, n_hit,
+             |       round(n_hit / CAST(n_sh AS DOUBLE), 6) AS overlap_frac
+             |FROM hits
+             |WHERE n_hit / CAST(n_sh AS DOUBLE) >= 0.2
              |ORDER BY doc_id""".stripMargin))
   )
 

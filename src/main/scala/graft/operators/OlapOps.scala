@@ -108,6 +108,64 @@ object OlapOps {
            |FROM orders
            |GROUP BY 1
            |ORDER BY yr""".stripMargin
+      }),
+
+    // ── Z-order layout key: multi-column locality for data clustering ─────
+    // At 100 TB, pruning lives or dies on file layout: sorting by one
+    // column clusters only that column. Interleaving the bits of two
+    // sort keys (Morton/Z-order — what Delta OPTIMIZE ZORDER computes)
+    // gives files whose min/max ranges are tight on BOTH columns, so a
+    // predicate on either prunes most files. The key is 32 integer bit
+    // ops — pure codegen'd arithmetic, no shuffle until the audit
+    // aggregate. The query reports per-bucket min/max spans of both
+    // dimensions — the pruning-quality audit (each z-bucket covers
+    // ~1/32 of each dimension's range, vs the full range for a key
+    // sorted on the other column). 16 bits/dimension covers this data
+    // (custkey < 2^14 at sf0.1, day offset < 2^12); wider inputs mask
+    // into the low bits first, as any fixed-width z-order must.
+    QueryDef("q71_zorder_layout",
+      (s, d) => {
+        def zorder(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (0 until 16).map { i =>
+            call_function("shiftleft",
+              shiftright(a, i).bitwiseAND(lit(1L)), lit(2 * i)) +
+              call_function("shiftleft",
+                shiftright(b, i).bitwiseAND(lit(1L)), lit(2 * i + 1))
+          }.reduce(_ + _)
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            datediff(col("o_orderdate").cast("date"),
+              lit(java.sql.Date.valueOf("1995-01-01"))).cast("long").as("day"))
+          .withColumn("z",
+            zorder(col("o_custkey").bitwiseAND(lit(65535L)),
+              col("day").bitwiseAND(lit(65535L))))
+        o.groupBy(call_function("shiftright", col("z"), lit(18)).as("zbucket"))
+          .agg(count(lit(1)).as("n"),
+            (max("o_custkey") - min("o_custkey")).as("custkey_span"),
+            (max("day") - min("day")).as("day_span"))
+          .orderBy("zbucket")
+      },
+      Some {
+        val z = (0 until 16).map { i =>
+          s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})"
+        }.mkString(" + ")
+        s"""WITH keyed AS (
+           |  SELECT o_custkey & 65535 AS a,
+           |         CAST(datediff('day', DATE '1995-01-01',
+           |                       CAST(o_orderdate AS DATE)) AS BIGINT)
+           |           & 65535 AS b,
+           |         o_custkey,
+           |         CAST(datediff('day', DATE '1995-01-01',
+           |                       CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+           |  FROM orders),
+           |zed AS (SELECT o_custkey, day, ($z) AS z FROM keyed)
+           |SELECT z >> 18 AS zbucket, count(*) AS n,
+           |       max(o_custkey) - min(o_custkey) AS custkey_span,
+           |       max(day) - min(day) AS day_span
+           |FROM zed
+           |GROUP BY 1
+           |ORDER BY zbucket""".stripMargin
       })
   )
 }

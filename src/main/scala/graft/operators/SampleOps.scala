@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
+import graft.functions.TextFns.tokens
 import graft.sources.{QueryDef, Tables}
 
 /** Deterministic sampling for training-data curation. rand()-based
@@ -16,6 +17,10 @@ import graft.sources.{QueryDef, Tables}
 object SampleOps {
 
   private val PER_STRATUM = 20
+
+  /** Shared DuckDB token expression (mirrors TextFns.tokens). */
+  private val TOKS =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -86,6 +91,53 @@ object SampleOps {
              |       CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
              |       min(doc_id) AS first_doc
              |FROM kept GROUP BY lang
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // ── Domain-mix rebalancing: per-(source, lang) sampling weights ───────
+    // Training mixes are specified as token shares per domain; given a
+    // target (uniform here — the operator parameterizes on any target
+    // vector), the per-group sampling weight is target_share /
+    // actual_share, capped at 1 (upsampling is a repeat policy, not a
+    // filter). Shape: one group-by over the corpus, then grand-total
+    // windows over the GROUP frame (cardinality = #domains × #langs,
+    // trivially small at any corpus scale — the W8 pattern applied
+    // post-aggregation, never over raw rows).
+    QueryDef("q72_domain_mix",
+      (s, d) => {
+        val g = Tables.documents(s, d)
+          .select(col("source"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_toks"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+        val w = Window.partitionBy()
+        g.withColumn("share",
+            col("n_tokens").cast("double") / sum("n_tokens").over(w))
+          .withColumn("mix_weight",
+            (lit(1.0) / count(lit(1)).over(w)) / col("share"))
+          .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+            round(col("share"), 6).as("token_share"),
+            round(col("mix_weight"), 6).as("mix_weight"),
+            round(col("n_docs") * least(lit(1.0), col("mix_weight")), 2)
+              .as("expected_docs_kept"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT source, lang, count(*) AS n_docs,
+             |         CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |  GROUP BY 1, 2),
+             |shared AS (
+             |  SELECT *,
+             |         CAST(n_tokens AS DOUBLE)
+             |           / CAST(sum(n_tokens) OVER () AS DOUBLE) AS share,
+             |         (CAST(1 AS DOUBLE) / count(*) OVER ()) AS target
+             |  FROM g)
+             |SELECT source, lang, n_docs, n_tokens,
+             |       round(share, 6) AS token_share,
+             |       round(target / share, 6) AS mix_weight,
+             |       round(n_docs * least(CAST(1 AS DOUBLE), target / share), 2)
+             |         AS expected_docs_kept
+             |FROM shared
+             |ORDER BY source, lang""".stripMargin))
   )
 }

@@ -264,6 +264,74 @@ object TextOps {
              |        JOIN c1 USING (lang, w1)
              |        JOIN vocab USING (lang)
              |GROUP BY bg.doc_id, bg.lang
-             |ORDER BY bg.doc_id""".stripMargin))
+             |ORDER BY bg.doc_id""".stripMargin)),
+
+    // ── Repetition signals: duplicated-n-gram fractions per document ──────
+    // The Gopher-style repetition filters (Rae et al. 2021, §A1.1):
+    // fraction of the doc's bigram instances taken by its single most
+    // frequent bigram, and fraction of trigram instances whose trigram
+    // occurs more than once. High values flag boilerplate/spam that
+    // near-dup (cross-doc) dedup cannot see because the repetition is
+    // INSIDE one document. Shape: one explode + two bounded-key
+    // aggregations per n — narrow until the per-(doc, gram) shuffle,
+    // which is linear in token count; no window over raw text, no
+    // self-join. Only docs with >= 3 tokens (both grams defined) appear.
+    QueryDef("q67_repetition",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(tokens(col("text"))))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val grams = toks
+          .withColumn("t1", lead("col", 1).over(w))
+          .withColumn("t2", lead("col", 2).over(w))
+        val bg = grams.filter(col("t1").isNotNull)
+          .groupBy(col("doc_id"),
+            concat_ws(" ", col("col"), col("t1")).as("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_bg"), max("c").as("top_bg"))
+        val tg = grams.filter(col("t2").isNotNull)
+          .groupBy(col("doc_id"),
+            concat_ws(" ", col("col"), col("t1"), col("t2")).as("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tg"),
+            sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as("dup_tg"))
+        bg.join(tg, "doc_id")
+          .select(col("doc_id"),
+            round(col("top_bg") / col("n_bg"), 6).as("top_bigram_frac"),
+            round(col("dup_tg") / col("n_tg"), 6).as("dup_trigram_frac"),
+            (col("top_bg") / col("n_bg") > 0.18 ||
+              col("dup_tg") / col("n_tg") > 0.5).cast("int").as("repetitive"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+             |bgrams AS (
+             |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+             |        FROM t)),
+             |bstat AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+             |         max(c) AS top_bg
+             |  FROM (SELECT doc_id, g, count(*) AS c FROM bgrams GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |tgrams AS (
+             |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS g
+             |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+             |        FROM t)),
+             |tstat AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tg,
+             |         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+             |           AS dup_tg
+             |  FROM (SELECT doc_id, g, count(*) AS c FROM tgrams GROUP BY 1, 2)
+             |  GROUP BY 1)
+             |SELECT doc_id,
+             |       round(top_bg / CAST(n_bg AS DOUBLE), 6) AS top_bigram_frac,
+             |       round(dup_tg / CAST(n_tg AS DOUBLE), 6) AS dup_trigram_frac,
+             |       CAST(top_bg / CAST(n_bg AS DOUBLE) > 0.18
+             |            OR dup_tg / CAST(n_tg AS DOUBLE) > 0.5 AS INT)
+             |         AS repetitive
+             |FROM bstat JOIN tstat USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }
