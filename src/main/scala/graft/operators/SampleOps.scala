@@ -138,6 +138,42 @@ object SampleOps {
              |       round(n_docs * least(CAST(1 AS DOUBLE), target / share), 2)
              |         AS expected_docs_kept
              |FROM shared
-             |ORDER BY source, lang""".stripMargin))
+             |ORDER BY source, lang""".stripMargin)),
+
+    // ── Deterministic train/valid/test corpus split (98/1/1) ──────────────
+    // The split must be a pure function of the document identity: a
+    // rand() split changes on every retry and can leak a doc across
+    // splits between runs — hash-bucketing the id is the reproducible
+    // form (and trivially consistent across engines, so held-out sets
+    // match wherever they're materialized). Narrow per-row hash, one
+    // bounded-key aggregate; at 100 TB the same expression IS the
+    // partition predicate for writing the three corpora.
+    QueryDef("q73_corpus_split",
+      (s, d) => {
+        val bucket = pmod(
+          Hashing.md5Long60(concat(lit("split_"), col("doc_id"))), lit(100L))
+        Tables.documents(s, d)
+          .select(col("lang"),
+            when(bucket < 98, "train").when(bucket < 99, "valid")
+              .otherwise("test").as("split"),
+            size(tokens(col("text"))).cast("long").as("n_toks"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""WITH b AS (
+             |  SELECT lang,
+             |         CASE WHEN ${Hashing.md5Long60Sql("'split_' || doc_id")}
+             |                   % 100 < 98 THEN 'train'
+             |              WHEN ${Hashing.md5Long60Sql("'split_' || doc_id")}
+             |                   % 100 < 99 THEN 'valid'
+             |              ELSE 'test' END AS split,
+             |         len($TOKS) AS n_toks
+             |  FROM documents)
+             |SELECT lang, split, count(*) AS n_docs,
+             |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+             |FROM b
+             |GROUP BY 1, 2
+             |ORDER BY lang, split""".stripMargin))
   )
 }

@@ -2,7 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.QueryDef
+import graft.functions.Hashing
+import graft.functions.TextFns.{tokens, wordSetFingerprint}
+import graft.sources.{QueryDef, Tables}
 
 /** Sketch operators: cardinality estimation with an engine-portable
   * HyperLogLog built from first principles (Flajolet et al. 2007).
@@ -96,6 +98,157 @@ object SketchOps {
              |       round(($NUM / CAST(total_scaled AS DOUBLE) - n_exact)
              |             / n_exact * 100, 2) AS err_pct
              |FROM exact JOIN est USING (lang)
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // ── Bloom-filter join prefilter, with measured false-positive rate ────
+    // The 100 TB join-reduction pattern: before shipping a huge probe
+    // side across the shuffle, test each key against a Bloom filter of
+    // the build side (what Spark's runtime row-group filtering and
+    // Delta deletion vectors do under the hood) — only candidates pay
+    // the exact join. Built portably: a 64-word × 60-bit blocked filter
+    // (bit 60+ would overflow DuckDB's checked BIGINT shift), k = 2
+    // md5-derived hashes, words combined with the bit_or AGGREGATE — so
+    // the filter is itself mergeable partial state, like any Spark
+    // partial agg. The query runs new-batch (doc_id % 10 = 0) word-set
+    // fingerprints against the corpus filter and reports the funnel:
+    // batch size → Bloom candidates → exact-join confirmed duplicates →
+    // false positives (the sketch's contract, made visible).
+    QueryDef("q74_bloom_prefilter",
+      (s, d) => {
+        val fps = Tables.documents(s, d)
+          .select(col("doc_id"),
+            wordSetFingerprint(tokens(col("text"))).as("fp"))
+        def h(prefix: String) =
+          Hashing.md5Long60(concat(lit(prefix), col("fp")))
+        val keyed = fps
+          .withColumn("h1", h("bloomA_")).withColumn("h2", h("bloomB_"))
+        val corpus = keyed.filter(col("doc_id") % 10 =!= 0)
+        val batch = keyed.filter(col("doc_id") % 10 === 0)
+        val bloom = corpus
+          .select(explode(array(col("h1"), col("h2"))).as("h"))
+          .select(pmod(shiftright(col("h"), 6), lit(64L)).as("word"),
+            call_function("shiftleft", lit(1L),
+              pmod(col("h"), lit(60L)).cast("int")).as("m"))
+          .groupBy("word").agg(expr("bit_or(m)").as("bits"))
+        def probe(hc: String, w: String, bits: String) = {
+          val b = bloom.select(col("word").as(w), col("bits").as(bits))
+          (df: org.apache.spark.sql.DataFrame) => df
+            .withColumn(w, pmod(shiftright(col(hc), 6), lit(64L)))
+            .join(broadcast(b), Seq(w), "left")
+            .withColumn(s"pass_$hc",
+              coalesce(col(bits).bitwiseAND(
+                call_function("shiftleft", lit(1L),
+                  pmod(col(hc), lit(60L)).cast("int"))) =!= 0, lit(false)))
+        }
+        val probed = probe("h2", "w2", "bits2")(probe("h1", "w1", "bits1")(batch))
+        val cand = probed.filter(col("pass_h1") && col("pass_h2"))
+          .select("doc_id", "fp")
+        val confirmed = cand.join(
+          corpus.select(col("fp")).distinct(), Seq("fp"), "left_semi")
+        cand.agg(count(lit(1)).as("n_candidates")).crossJoin(
+            batch.agg(count(lit(1)).as("n_batch")))
+          .crossJoin(confirmed.agg(count(lit(1)).as("n_confirmed")))
+          .select(col("n_batch"), col("n_candidates"), col("n_confirmed"),
+            (col("n_candidates") - col("n_confirmed")).as("n_false_pos"))
+      },
+      Some {
+        val fp = "md5(array_to_string(list_sort(list_distinct(" +
+          "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != ''))), ' '))"
+        s"""WITH fps AS (
+           |  SELECT doc_id, $fp AS fp,
+           |         ${Hashing.md5Long60Sql("'bloomA_' || " + fp)} AS h1,
+           |         ${Hashing.md5Long60Sql("'bloomB_' || " + fp)} AS h2
+           |  FROM documents),
+           |corpus AS (SELECT * FROM fps WHERE doc_id % 10 <> 0),
+           |batch AS (SELECT * FROM fps WHERE doc_id % 10 = 0),
+           |bloom AS (
+           |  SELECT (h >> 6) % 64 AS word,
+           |         bit_or(CAST(1 AS BIGINT) << CAST(h % 60 AS INT)) AS bits
+           |  FROM (SELECT unnest([h1, h2]) AS h FROM corpus)
+           |  GROUP BY 1),
+           |cand AS (
+           |  SELECT b.doc_id, b.fp
+           |  FROM batch b
+           |  LEFT JOIN bloom w1 ON w1.word = (b.h1 >> 6) % 64
+           |  LEFT JOIN bloom w2 ON w2.word = (b.h2 >> 6) % 64
+           |  WHERE coalesce((w1.bits & (CAST(1 AS BIGINT)
+           |                             << CAST(b.h1 % 60 AS INT))) <> 0, false)
+           |    AND coalesce((w2.bits & (CAST(1 AS BIGINT)
+           |                             << CAST(b.h2 % 60 AS INT))) <> 0, false)),
+           |conf AS (
+           |  SELECT count(*) AS n_confirmed
+           |  FROM cand WHERE fp IN (SELECT fp FROM corpus))
+           |SELECT (SELECT count(*) FROM batch) AS n_batch,
+           |       (SELECT count(*) FROM cand) AS n_candidates,
+           |       n_confirmed,
+           |       (SELECT count(*) FROM cand) - n_confirmed AS n_false_pos
+           |FROM conf""".stripMargin
+      }),
+
+    // ── Count-Min sketch: point frequency estimates with one-sided error ──
+    // The second mergeable sketch: a d=4 × w=64 counter matrix whose
+    // cells are plain SUM aggregates — order-independent, partially
+    // aggregable, and unionable across partitions/days by cell-wise
+    // addition (unlike sampling-based top-k sketches, which depend on
+    // arrival order and can never hash-match across engines). Estimate
+    // = min over the d cells a key hashes to; CM guarantees est >=
+    // exact (collisions only ADD), asserted per-row by SketchSpec. The
+    // query reports the 20 most frequent tokens with exact count, CM
+    // estimate, and the collision overestimate.
+    QueryDef("q75_countmin",
+      (s, d) => {
+        val D = 4
+        val W = 64L
+        val tf = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c"))
+        def bucket(j: Int) = pmod(
+          Hashing.md5Long60(concat(lit(s"cms${j}_"), col("token"))), lit(W))
+        val cells = tf
+          .select(col("c"), explode(array((0 until D).map(j =>
+            struct(lit(j).as("j"), bucket(j).as("bucket"))): _*)).as("jb"))
+          .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+          .agg(sum("c").as("cell"))
+        val top = tf.orderBy(col("c").desc, col("token").asc).limit(20)
+        top
+          .select(col("token"), col("c"), explode(array((0 until D).map(j =>
+            struct(lit(j).as("j"), bucket(j).as("bucket"))): _*)).as("jb"))
+          .join(broadcast(cells),
+            col("jb.j") === cells("j") && col("jb.bucket") === cells("bucket"))
+          .groupBy("token", "c")
+          .agg(min("cell").as("cm_est"))
+          .select(col("token"), col("c").as("exact"), col("cm_est"),
+            (col("cm_est") - col("c")).as("overestimate"))
+          .orderBy(col("exact").desc, col("token").asc)
+      },
+      Some {
+        def bucketSql(j: Int) =
+          s"${Hashing.md5Long60Sql(s"'cms${j}_' || token")} % 64"
+        val cellUnion = (0 until 4).map(j =>
+          s"SELECT $j AS j, ${bucketSql(j)} AS bucket, c FROM tf")
+          .mkString("\n  UNION ALL\n  ")
+        val probeUnion = (0 until 4).map(j =>
+          s"SELECT token, c, $j AS j, ${bucketSql(j)} AS bucket FROM top")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH toks AS (
+           |  SELECT unnest(list_filter(string_split_regex(lower(text),
+           |           '[^a-z0-9]+'), x -> x != '')) AS token
+           |  FROM documents),
+           |tf AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
+           |cells AS (
+           |  SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cell
+           |  FROM (
+           |  $cellUnion)
+           |  GROUP BY 1, 2),
+           |top AS (SELECT token, c FROM tf
+           |        ORDER BY c DESC, token ASC LIMIT 20),
+           |probed AS (
+           |  $probeUnion)
+           |SELECT p.token, p.c AS exact, min(cl.cell) AS cm_est,
+           |       min(cl.cell) - p.c AS overestimate
+           |FROM probed p JOIN cells cl USING (j, bucket)
+           |GROUP BY 1, 2
+           |ORDER BY exact DESC, token ASC""".stripMargin
+      })
   )
 }

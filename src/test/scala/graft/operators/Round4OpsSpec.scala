@@ -107,6 +107,43 @@ class Round4OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q73 split: every doc lands in exactly one split; proportions near 98/1/1") {
+    val out = run("q73_corpus_split").cache()
+    val total = out.agg(sum("n_docs")).first().getLong(0)
+    assert(total === Tables.documents(spark, sf).count())
+    val trainShare = out.filter(col("split") === "train")
+      .agg(sum("n_docs")).first().getLong(0).toDouble / total
+    assert(trainShare > 0.93 && trainShare < 1.0,
+      s"hash split should put ~98% in train, got $trainShare")
+    out.unpersist()
+  }
+
+  test("q74 bloom: no false negatives — candidates contain every true duplicate") {
+    // the one guarantee a Bloom filter makes; a construction bug (wrong
+    // word/bit derivation between build and probe) breaks exactly this
+    val out = run("q74_bloom_prefilter").first()
+    val Seq(nBatch, nCand, nConf, nFp) =
+      Seq("n_batch", "n_candidates", "n_confirmed", "n_false_pos")
+        .map(c => out.getLong(out.fieldIndex(c)))
+    // exact cross-split duplicate count, computed independently
+    val fps = Tables.documents(spark, sf).select(col("doc_id"),
+      graft.functions.TextFns.wordSetFingerprint(
+        graft.functions.TextFns.tokens(col("text"))).as("fp"))
+    val trueDups = fps.filter(col("doc_id") % 10 === 0)
+      .join(fps.filter(col("doc_id") % 10 =!= 0).select("fp").distinct(),
+        Seq("fp"), "left_semi").count()
+    assert(nConf === trueDups, "every true duplicate must survive the prefilter")
+    assert(nCand === nConf + nFp && nCand <= nBatch)
+  }
+
+  test("q75 count-min: estimates never undercount (one-sided error)") {
+    val out = run("q75_countmin").cache()
+    assert(out.count() === 20)
+    assert(out.filter(col("overestimate") < 0).count() === 0,
+      "CM sketch collisions can only ADD; an undercount is a construction bug")
+    out.unpersist()
+  }
+
   test("q72 domain mix: shares sum to 1, weights rebalance toward uniform") {
     val out = run("q72_domain_mix").cache()
     val shareSum = out.agg(sum("token_share")).first().getDouble(0)
