@@ -281,23 +281,30 @@ object TextOps {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), posexplode(tokens(col("text"))))
         val w = Window.partitionBy("doc_id").orderBy("pos")
+        // Both gram sizes ride ONE scan + ONE window pass + ONE shuffle:
+        // each token row emits its bigram and trigram (null at the doc
+        // tail) tagged with n, so the per-(doc, n, gram) count is a
+        // single aggregation — not one explode/window/shuffle pipeline
+        // per gram size.
         val grams = toks
           .withColumn("t1", lead("col", 1).over(w))
           .withColumn("t2", lead("col", 2).over(w))
-        val bg = grams.filter(col("t1").isNotNull)
-          .groupBy(col("doc_id"),
-            concat_ws(" ", col("col"), col("t1")).as("g"))
+          .select(col("doc_id"), explode(array(
+            struct(lit(2).as("n"), when(col("t1").isNotNull,
+              concat_ws(" ", col("col"), col("t1"))).as("g")),
+            struct(lit(3).as("n"), when(col("t2").isNotNull,
+              concat_ws(" ", col("col"), col("t1"), col("t2"))).as("g"))))
+            .as("x"))
+          .filter(col("x.g").isNotNull)
+          .groupBy(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
           .agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_bg"), max("c").as("top_bg"))
-        val tg = grams.filter(col("t2").isNotNull)
-          .groupBy(col("doc_id"),
-            concat_ws(" ", col("col"), col("t1"), col("t2")).as("g"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(sum("c").as("n_tg"),
-            sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as("dup_tg"))
-        bg.join(tg, "doc_id")
+        val stats = grams.groupBy("doc_id")
+          .agg(sum(when(col("n") === 2, col("c"))).as("n_bg"),
+            max(when(col("n") === 2, col("c"))).as("top_bg"),
+            sum(when(col("n") === 3, col("c"))).as("n_tg"),
+            sum(when(col("n") === 3 && col("c") > 1, col("c"))
+              .otherwise(lit(0))).as("dup_tg"))
+        stats.filter(col("n_tg").isNotNull)
           .select(col("doc_id"),
             round(col("top_bg") / col("n_bg"), 6).as("top_bigram_frac"),
             round(col("dup_tg") / col("n_tg"), 6).as("dup_trigram_frac"),
