@@ -154,4 +154,27 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, "LSH candidates must come from equi-joins only")
   }
+
+  test("q71 z-order: scan prunes to the two layout columns, single shuffle agg") {
+    val p = planOf("q71_zorder_layout")
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(
+      s.requiredSchema.fieldNames.toSet == Set("o_custkey", "o_orderdate"),
+      s"z-key arithmetic must not widen the scan: ${s.requiredSchema}"))
+  }
+
+  test("q74 bloom probe joins broadcast the filter, never shuffle the batch") {
+    val p = planOf("q74_bloom_prefilter")
+    assert(collectAll(p) { case s: SortMergeJoinExec => s }.isEmpty,
+      "a 64-row bloom frame must never trigger a sort-merge join")
+  }
+
+  test("q68 contamination: eval shingle set broadcasts to the train side") {
+    val p = planOf("q68_contamination")
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "the distinct eval shingle set is the broadcast side")
+  }
 }
