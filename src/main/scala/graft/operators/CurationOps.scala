@@ -195,6 +195,62 @@ object CurationOps {
              |       round(CAST(sum(n_toks) AS BIGINT) / 2048.0, 4) AS fill
              |FROM c
              |GROUP BY 1, 2
-             |ORDER BY lang, seq_id""".stripMargin))
+             |ORDER BY lang, seq_id""".stripMargin)),
+
+    // ── Chunk planning: sliding-window split cost for embedding/RAG ───────
+    // Retrieval pipelines split documents into fixed windows with
+    // overlap before embedding; the capacity question is how many
+    // chunks a corpus becomes and how much of the embedding budget is
+    // overhead. For window W=128, stride S=96 (32-token overlap):
+    //   n_chunks = 1 + ceil(max(0, n - W) / S)
+    //   duplicated = 32·(n_chunks - 1)   (overlap re-embedded)
+    //   padding = n_chunks·W - n - duplicated   (last-window slack)
+    // Pure per-row integer arithmetic (ceil via the add-then-int-divide
+    // identity — both engines exact) + one bounded-key aggregate; no
+    // shuffle touches text.
+    QueryDef("q76_chunk_plan",
+      (s, d) => {
+        val W = 128L; val S = 96L; val overlap = W - S
+        val n = size(tokens(col("text"))).cast("long")
+        val nChunks = lit(1L) + call_function("div",
+          greatest(n - W, lit(0L)) + (S - 1), lit(S))
+        val dup = lit(overlap) * (nChunks - 1)
+        Tables.documents(s, d)
+          .select(col("lang"), n.as("n_toks"), nChunks.as("n_chunks"),
+            dup.as("dup_toks"),
+            (nChunks * W - n - dup).as("pad_toks"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_toks").as("n_tokens"),
+            sum("n_chunks").as("n_chunks"),
+            sum("dup_toks").as("dup_tokens"),
+            sum("pad_toks").as("pad_tokens"),
+            round((sum("dup_toks") + sum("pad_toks")).cast("double") /
+              (sum("n_chunks") * W), 6).as("overhead_frac"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT lang, len($TOKS) AS n FROM documents),
+             |c AS (
+             |  SELECT lang, n,
+             |         1 + (greatest(n - 128, 0) + 95) // 96 AS n_chunks
+             |  FROM t),
+             |p AS (
+             |  SELECT lang, n, n_chunks,
+             |         32 * (n_chunks - 1) AS dup_toks,
+             |         n_chunks * 128 - n - 32 * (n_chunks - 1) AS pad_toks
+             |  FROM c)
+             |SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(n) AS BIGINT) AS n_tokens,
+             |       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+             |       CAST(sum(dup_toks) AS BIGINT) AS dup_tokens,
+             |       CAST(sum(pad_toks) AS BIGINT) AS pad_tokens,
+             |       round((CAST(sum(dup_toks) AS BIGINT)
+             |              + CAST(sum(pad_toks) AS BIGINT))
+             |             / (CAST(sum(n_chunks) AS BIGINT) * 128.0), 6)
+             |         AS overhead_frac
+             |FROM p
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin))
   )
 }

@@ -144,6 +144,20 @@ class Round4OpsSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("q76 chunk plan: slot accounting balances exactly per language") {
+    // every chunk slot is content, overlap-duplicate, or padding —
+    // n_tokens + dup + pad == n_chunks * window, with nothing negative
+    val out = run("q76_chunk_plan").cache()
+    val broken = out.filter(
+      col("n_tokens") + col("dup_tokens") + col("pad_tokens")
+        =!= col("n_chunks") * 128 ||
+        col("dup_tokens") < 0 || col("pad_tokens") < 0).count()
+    assert(broken === 0)
+    val docs = out.agg(sum("n_docs")).first().getLong(0)
+    assert(docs === Tables.documents(spark, sf).count())
+    out.unpersist()
+  }
+
   test("q72 domain mix: shares sum to 1, weights rebalance toward uniform") {
     val out = run("q72_domain_mix").cache()
     val shareSum = out.agg(sum("token_share")).first().getDouble(0)
