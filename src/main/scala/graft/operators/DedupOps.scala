@@ -89,29 +89,37 @@ object DedupOps {
     * md5 are paid once. */
   private val shingleCache = unpersisting
 
+  /** The shingle pipeline over any documents-shaped frame (doc_id,
+    * lang, text): one row per (doc, distinct 3-gram) with the 60-bit
+    * md5 hash. Unpersisted — `shingleHashes` adds the per-(session,
+    * dir) cache; the streaming sketch path applies it to micro-batches.
+    *
+    * Tokenize ONCE per doc and build the 3-grams with window leads
+    * over the exploded token stream: everything downstream of the
+    * generator is codegen'd / WindowExec-native. The one-Project
+    * higher-order formulation (transform + array_distinct + sort)
+    * measured 13x slower — lambda expressions run interpreted, and
+    * outside codegen there is no common-subexpression elimination, so
+    * filter pushdown re-evaluates the whole shingle pipeline per
+    * consumer. Same rows out (verified: identical pair sets). */
+  private[graft] def shingleFrameOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col("lang"), posexplode(tokens(col("text"))))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    toks
+      .withColumn("t1", lead("col", 1).over(w))
+      .withColumn("t2", lead("col", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("col"), col("t1"), col("t2")).as("shingle"))
+      .dropDuplicates("doc_id", "shingle")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("h60", Hashing.md5Long60(col("shingle")))
+  }
+
   private[operators] def shingleHashes(s: SparkSession, d: String): DataFrame =
     shingleCache.getOrBuild(s, d) {
-      // Tokenize ONCE per doc and build the 3-grams with window leads
-      // over the exploded token stream: everything downstream of the
-      // generator is codegen'd / WindowExec-native. The one-Project
-      // higher-order formulation (transform + array_distinct + sort)
-      // measured 13x slower — lambda expressions run interpreted, and
-      // outside codegen there is no common-subexpression elimination, so
-      // filter pushdown re-evaluates the whole shingle pipeline per
-      // consumer. Same rows out (verified: identical pair sets).
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), posexplode(tokens(col("text"))))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val tri = toks
-        .withColumn("t1", lead("col", 1).over(w))
-        .withColumn("t2", lead("col", 2).over(w))
-        .filter(col("t2").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          concat_ws(" ", col("col"), col("t1"), col("t2")).as("shingle"))
-        .dropDuplicates("doc_id", "shingle")
-      tri
-        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
-        .withColumn("h60", Hashing.md5Long60(col("shingle")))
+      shingleFrameOf(Tables.documents(s, d))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -43,6 +44,32 @@ object SketchOps {
     * into DuckDB. */
   private val NUM: Double = 0.709 * M * M * (1L << RMAX).toDouble
 
+  /** HLL registers (lang, bucket, r) from any frame carrying (lang,
+    * h60). This IS the sketch's stored/mergeable form: registers from
+    * disjoint corpus slices combine by groupBy(lang, bucket).max(r) —
+    * used by q70 in one pass and by streaming.SketchStream per
+    * micro-batch. */
+  private[graft] def registersOf(hashed: DataFrame): DataFrame = {
+    val w = col("h60").bitwiseAND(lit(WMASK))
+    hashed
+      .select(col("lang"), shiftright(col("h60"), WBITS).as("bucket"),
+        when(w === 0, lit(RMAX))
+          .otherwise(lit(RMAX) - length(bin(w))).as("rho"))
+      .groupBy("lang", "bucket").agg(max("rho").as("r"))
+  }
+
+  /** Estimate per lang from a register frame: (lang, n_buckets,
+    * total_scaled, hll_est). The scaled sum stays in exact int64. */
+  private[graft] def estimateOf(regs: DataFrame): DataFrame =
+    regs.groupBy("lang")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(call_function("shiftleft", lit(1L),
+          lit(RMAX) - col("r"))).as("sum_scaled"))
+      .withColumn("total_scaled",
+        col("sum_scaled") + (lit(M.toLong) - col("n_buckets")) * lit(1L << RMAX))
+      .withColumn("hll_est",
+        round(lit(NUM) / col("total_scaled").cast("double"), 1))
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── HLL distinct-shingle estimate vs exact, per language ──────────────
@@ -57,20 +84,7 @@ object SketchOps {
         val sh = DedupOps.shingleHashes(s, d)
         val exact = sh.groupBy("lang")
           .agg(countDistinct("shingle").as("n_exact"))
-        val w = col("h60").bitwiseAND(lit(WMASK))
-        val regs = sh
-          .select(col("lang"), shiftright(col("h60"), WBITS).as("bucket"),
-            when(w === 0, lit(RMAX))
-              .otherwise(lit(RMAX) - length(bin(w))).as("rho"))
-          .groupBy("lang", "bucket").agg(max("rho").as("r"))
-        val est = regs.groupBy("lang")
-          .agg(count(lit(1)).as("n_buckets"),
-            sum(call_function("shiftleft", lit(1L),
-              lit(RMAX) - col("r"))).as("sum_scaled"))
-          .withColumn("total_scaled",
-            col("sum_scaled") + (lit(M.toLong) - col("n_buckets")) * lit(1L << RMAX))
-          .withColumn("hll_est",
-            round(lit(NUM) / col("total_scaled").cast("double"), 1))
+        val est = estimateOf(registersOf(sh))
         exact.join(est, "lang")
           .withColumn("err_pct",
             round((lit(NUM) / col("total_scaled").cast("double")
