@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   * MinHash signatures, components) — whichever consumer runs first
   * absorbs each build, later ones read the caches. The TOTAL is honest —
   * every shared stage is real work paid once per session — but the
-  * per-query splits within the family are order-dependent.
+  * per-query splits within the family are order-dependent. Queries
+  * therefore run in INVENTORY order (SparkEntry.all, stable across
+  * rounds), not Map-iteration order, so per-query numbers compare
+  * round-over-round: the shingle build lands on q35, signatures on
+  * q36, components on q54 — every round.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,7 +43,8 @@ object Bench {
     // instead of a normal-looking duration — a failed query must not be
     // mistaken for a fast one.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.all.map { q =>
+      val (name, fn) = (q.name, q.fn)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -54,7 +59,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
