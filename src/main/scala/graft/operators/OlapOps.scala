@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Money._
@@ -15,6 +17,13 @@ import graft.sources.{QueryDef, Tables}
   * bit-stable across engines.
   */
 object OlapOps {
+
+  /** Grid resolution for the histogram percentile (q77). 4096 cells × ≤ a
+    * few thousand groups is kilobytes of aggregation state; bin width at
+    * the orders-price range (~$55k spread in cents) is ~$13.50. Declared
+    * `final val` (compile-time constant) ABOVE `queries` — the oracle
+    * strings interpolate it at object-init time. */
+  final val HIST_BINS = 4096
 
   /** DuckDB fragment: o_totalprice summed as exact cents → double. */
   private val SUM_PRICE =
@@ -166,6 +175,97 @@ object OlapOps {
            |FROM zed
            |GROUP BY 1
            |ORDER BY zbucket""".stripMargin
-      })
+      }),
+
+    // ── Bounded-memory percentiles: fixed-grid histogram ──────────────────
+    // The 100 TB form of q49. Exact `percentile` buffers every group value
+    // (unbounded state); here the aggregation state is a fixed grid of
+    // 4096 exact-cents bins — plain SUM cells, mergeable across partitions
+    // and incremental batches exactly like the Bloom/Count-Min sketches
+    // (q74/q75), and exactly reproducible bin-for-bin in any engine
+    // because every step is integer arithmetic (no double thresholds:
+    // rank targets are ceil(k*n/100) computed as (k*n+99) div 100).
+    // Two linear passes: global min/max, then one binning scan; the cell
+    // frame is ≤ groups × 4096 rows no matter how big the input.
+    // Round5OpsSpec proves split-merge = whole and p50 within one bin
+    // width of the exact q49 answer.
+    QueryDef("q77_hist_percentiles",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+          cents(col("o_totalprice")).as("c"))
+        val bounds = o.agg(min("c").as("lo"), max("c").as("hi"))
+        val cells = histCells(o.crossJoin(broadcast(bounds)))
+        histPercentiles(cells)
+          .select(col("prio").as("o_orderpriority"), col("n_orders"),
+            col("p50_est"), col("p90_est"), col("p99_est"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH c AS (SELECT o_orderpriority AS prio,
+             |                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |           FROM orders),
+             |b AS (SELECT min(c) AS lo, max(c) AS hi FROM c),
+             |cells AS (
+             |  SELECT prio, lo, hi,
+             |         least(((c - lo) * $HIST_BINS) // (hi - lo + 1),
+             |               ${HIST_BINS - 1}) AS bin,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM c, b GROUP BY 1, 2, 3, 4),
+             |cum AS (
+             |  SELECT prio, lo, hi, bin,
+             |         CAST(sum(cnt) OVER (PARTITION BY prio ORDER BY bin)
+             |              AS BIGINT) AS cum,
+             |         CAST(sum(cnt) OVER (PARTITION BY prio) AS BIGINT) AS n
+             |  FROM cells),
+             |agg AS (
+             |  SELECT prio, lo, hi, max(n) AS n_orders,
+             |         min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bin END) AS b50,
+             |         min(CASE WHEN cum >= (90 * n + 99) // 100 THEN bin END) AS b90,
+             |         min(CASE WHEN cum >= (99 * n + 99) // 100 THEN bin END) AS b99
+             |  FROM cum GROUP BY 1, 2, 3)
+             |SELECT prio AS o_orderpriority, n_orders,
+             |       (lo + (b50 * (hi - lo + 1)) // $HIST_BINS) / 100.0 AS p50_est,
+             |       (lo + (b90 * (hi - lo + 1)) // $HIST_BINS) / 100.0 AS p90_est,
+             |       (lo + (b99 * (hi - lo + 1)) // $HIST_BINS) / 100.0 AS p99_est
+             |FROM agg
+             |ORDER BY o_orderpriority""".stripMargin))
   )
+
+  /** Pass 2 of the histogram percentile: per-(group, bin) SUM cells over a
+    * frame carrying (prio, c, lo, hi) where lo/hi define the FIXED grid.
+    * Cells from disjoint splits of the data (same grid) merge by summing
+    * cnt — the mergeability contract Round5OpsSpec exercises. */
+  private[graft] def histCells(withBounds: DataFrame): DataFrame =
+    withBounds
+      .withColumn("bin", least(
+        call_function("div", (col("c") - col("lo")) * lit(HIST_BINS.toLong),
+          col("hi") - col("lo") + lit(1L)),
+        lit((HIST_BINS - 1).toLong)))
+      .groupBy("prio", "lo", "hi", "bin")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Percentile read-out from histogram cells: cumulate within each group
+    * (≤ HIST_BINS rows per group — a bounded window), take the first bin
+    * whose cumulative count reaches the integer rank target, and report
+    * that bin's lower edge in dollars. */
+  private[graft] def histPercentiles(cells: DataFrame): DataFrame = {
+    val byBin = Window.partitionBy("prio").orderBy("bin")
+    val whole = Window.partitionBy("prio")
+    def target(k: Int): Column =
+      call_function("div", lit(k.toLong) * col("n") + lit(99L), lit(100L))
+    def estimate(bin: Column): Column =
+      (col("lo") + call_function("div", bin * (col("hi") - col("lo") + lit(1L)),
+        lit(HIST_BINS.toLong))).cast("double") / 100.0
+    cells
+      .withColumn("cum", sum("cnt").over(byBin))
+      .withColumn("n", sum("cnt").over(whole))
+      .groupBy("prio", "lo", "hi")
+      .agg(max("n").as("n_orders"),
+        min(when(col("cum") >= target(50), col("bin"))).as("b50"),
+        min(when(col("cum") >= target(90), col("bin"))).as("b90"),
+        min(when(col("cum") >= target(99), col("bin"))).as("b99"))
+      .select(col("prio"), col("n_orders"),
+        estimate(col("b50")).as("p50_est"),
+        estimate(col("b90")).as("p90_est"),
+        estimate(col("b99")).as("p99_est"))
+  }
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Money.cents
+import graft.sources.Tables
+
+/** Invariants of the round-5 operators — cross-row and semantic
+  * properties the per-query DuckDB hash-match can't state.
+  */
+class Round5OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String) = graft.SparkEntry.queries(name)(spark, sf)
+
+  // ── q77: fixed-grid histogram percentile ────────────────────────────────
+
+  test("q77 histogram cells are mergeable: split halves + sum == whole") {
+    val o = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_orderpriority").as("prio"),
+      cents(col("o_totalprice")).as("c"))
+    // the grid (lo, hi) is FIXED across splits — that is the contract
+    // that makes the cells mergeable across partitions and batches
+    val bounds = o.agg(min("c").as("lo"), max("c").as("hi"))
+    def cellsOf(part: org.apache.spark.sql.DataFrame) =
+      OlapOps.histCells(part.drop("o_orderkey").crossJoin(broadcast(bounds)))
+    val whole = OlapOps.histPercentiles(cellsOf(o))
+    val merged = OlapOps.histPercentiles(
+      cellsOf(o.filter(col("o_orderkey") % 2 === 0))
+        .union(cellsOf(o.filter(col("o_orderkey") % 2 === 1)))
+        .groupBy("prio", "lo", "hi", "bin")
+        .agg(sum("cnt").as("cnt")))
+    assert(whole.exceptAll(merged).count() === 0)
+    assert(merged.exceptAll(whole).count() === 0)
+  }
+
+  test("q77 reported bin contains the exact rank-target order statistic") {
+    // The histogram's guarantee is positional, not interpolated: the
+    // reported bin is the one holding the order statistic at rank
+    // ceil(p*n) — so the bin's lower edge is within one bin width below
+    // that exact statistic. (The q49 interpolated percentile can sit
+    // further away when bins are sparsely populated at test scale: with
+    // ~3000 rows over 4096 bins the inter-value gap exceeds a bin.)
+    import org.apache.spark.sql.expressions.Window
+    val hist = run("q77_hist_percentiles").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val o = Tables.orders(spark, sf).select(
+      col("o_orderpriority").as("prio"), cents(col("o_totalprice")).as("c"))
+    val bounds = o.agg(min("c").as("lo"), max("c").as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val binWidthDollars = (hi - lo + 1).toDouble / OlapOps.HIST_BINS / 100.0
+    val ranked = o
+      .withColumn("rn", row_number().over(Window.partitionBy("prio").orderBy("c")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("prio")))
+    Seq(50 -> "p50_est", 90 -> "p90_est", 99 -> "p99_est").foreach {
+      case (k, estCol) =>
+        val stats = ranked
+          .filter(col("rn") ===
+            call_function("div", lit(k.toLong) * col("n") + lit(99L), lit(100L)))
+          .select("prio", "c").collect()
+        assert(stats.length === 5)
+        stats.foreach { s =>
+          val exact = s.getLong(1).toDouble / 100.0
+          val est = hist(s.getString(0)).getAs[Double](estCol)
+          // est is the bin's lower edge (integer-floored: up to 1 cent low)
+          assert(est - 0.011 <= exact && exact <= est + binWidthDollars + 0.011,
+            s"$estCol bin [$est, ${est + binWidthDollars}] misses exact " +
+              s"$exact for ${s.getString(0)}")
+        }
+    }
+  }
+}
