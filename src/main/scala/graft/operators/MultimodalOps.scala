@@ -12,9 +12,11 @@ import graft.sources.{QueryDef, Tables}
   * bytes contiguously; metadata predicates prune without touching
   * payloads). Decode/feature-extraction runs per partition over iterator
   * batches (the Scala analogue of the Python mapInPandas batch shape):
-  * the partitioning, schema, and batch plumbing here are real and tested;
-  * only the innermost byte→signal decode is a STUB (no image/audio codecs
-  * in this container) — a deterministic hash-based fake, clearly marked.
+  * the partitioning, schema, and batch plumbing here are real and tested.
+  * The audio path is fully real — WAV/PCM decode is pure byte arithmetic
+  * (`decodePcm`, q78). Only the image/video byte→signal decode is a STUB
+  * (no JPEG/MP4 codecs in this container) — a deterministic hash-based
+  * fake, clearly marked.
   */
 object MultimodalOps {
 
@@ -40,10 +42,11 @@ object MultimodalOps {
       when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(0)
         .cast("int").as("sample_rate"))
 
-  /** STUB — byte→signal decode. A real deployment swaps this body for an
-    * actual codec (JPEG decode, PCM resample, frame grab); everything
+  /** STUB — image/video byte→signal decode. A real deployment swaps this
+    * body for an actual codec (JPEG decode, frame grab); everything
     * around it (schema, iterator batching, partition parallelism) is the
-    * production shape. Deterministic: features derive from payload bytes. */
+    * production shape. Deterministic: features derive from payload bytes.
+    * Audio needs no such stub — see `decodePcm` (real PCM decode, q78). */
   private def decodeStub(media: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var acc = 1125899906842597L // FNV-ish rolling hash, deterministic
@@ -178,6 +181,79 @@ object MultimodalOps {
     }
   }
 
+  // ── REAL audio decode: WAV/PCM needs no codec library ─────────────────
+  // A WAV payload is a 44-byte header plus raw little-endian int16
+  // frames — decoding it is pure byte arithmetic, so the audio path is
+  // NOT stubbed: q78's per-item stats come from parsing every sample
+  // byte. The synthesized signal is a deterministic square wave whose
+  // parameters derive from doc_id, giving every stat an integer
+  // closed form the DuckDB oracle states independently — a wrong
+  // endianness, sign extension, or data offset in the decoder breaks
+  // the hash match.
+
+  /** Square-wave parameters for an audio item: (#samples, amplitude,
+    * half-period). All small integers; amp stays within int16. */
+  private def waveParams(id: Long): (Int, Int, Int) =
+    (64 + (id % 64).toInt, 1000 + (id % 7).toInt * 4000, 4 + (id % 9).toInt)
+
+  /** Audio items whose payloads carry a REAL RIFF/WAVE header plus REAL
+    * 16-bit little-endian PCM sample bytes. */
+  def pcmAudioTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(col("doc_id")).as[Long].map { id =>
+        val (n, amp, p) = waveParams(id)
+        val pcm = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val s = if ((i / p) % 2 == 0) amp else -amp
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        MediaRow(id, "audio", wavHeader(16000, 2 * n) ++ pcm, 0, 0, 16000)
+      }
+  }
+
+  final case class PcmStats(item_id: Long, sample_rate: Int, n_samples: Int,
+                            peak: Int, sum_sq: Long, n_zero_cross: Int,
+                            rms: Double)
+
+  /** Decode PCM frames per partition — iterator in, iterator out, the
+    * same batch shape as extractFeatures, but with a REAL inner decode:
+    * fmt-chunk sample rate, data-chunk length, and sign-extended
+    * little-endian int16 samples, folded into energy / peak /
+    * zero-crossing stats in one pass over the bytes. */
+  def decodePcm(media: Dataset[MediaRow]): Dataset[PcmStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val b = r.media
+        require(b.length >= 44 && b.startsWith("RIFF".getBytes("US-ASCII")) &&
+          b.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII")),
+          s"item ${r.item_id}: not a RIFF/WAVE payload")
+        val rate = readLeInt(b, 24)
+        val n = readLeInt(b, 40) / 2
+        var i = 0
+        var sumSq = 0L
+        var peak = 0
+        var zc = 0
+        var prev = 0
+        while (i < n) {
+          val s = ((b(45 + 2 * i) << 8) | (b(44 + 2 * i) & 0xff)).toShort.toInt
+          sumSq += s.toLong * s
+          if (math.abs(s) > peak) peak = math.abs(s)
+          if (i > 0 && ((s > 0 && prev < 0) || (s < 0 && prev > 0))) zc += 1
+          prev = s
+          i += 1
+        }
+        PcmStats(r.item_id, rate, n, peak, sumSq, zc,
+          if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+      }
+    }
+  }
+
   final case class ParsedMedia(item_id: Long, declared_kind: String,
                                kind_detected: String, parsed_width: Int,
                                parsed_height: Int, parsed_rate: Int,
@@ -269,6 +345,34 @@ object MultimodalOps {
              |       min(CASE WHEN doc_id % 3 = 1 THEN 16000 END) AS min_rate
              |FROM documents
              |GROUP BY 1
-             |ORDER BY kind_detected""".stripMargin))
+             |ORDER BY kind_detected""".stripMargin)),
+
+    // ── PCM round-trip: stats recovered from the SAMPLE BYTES ─────────────
+    // Spark's answer decodes every int16 frame out of the WAV payload;
+    // the oracle re-derives each stat from the synthesis formulas
+    // (square wave: n = 64 + id%64 samples, amplitude 1000 + (id%7)*4000,
+    // half-period 4 + id%9 → peak = amp, energy = n*amp², crossings =
+    // (n-1) div p, rms = amp). The two agree only if the decoder's
+    // offsets, endianness and sign extension are right.
+    QueryDef("q78_pcm_decode",
+      (s, d) => decodePcm(pcmAudioTable(s, d)).toDF()
+        .select("item_id", "sample_rate", "n_samples", "peak", "sum_sq",
+          "n_zero_cross", "rms")
+        .orderBy("item_id"),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |         64 + doc_id % 64 AS n,
+             |         1000 + (doc_id % 7) * 4000 AS amp,
+             |         4 + doc_id % 9 AS hp
+             |  FROM documents WHERE doc_id % 3 = 1)
+             |SELECT doc_id AS item_id,
+             |       16000 AS sample_rate,
+             |       CAST(n AS INT) AS n_samples,
+             |       CAST(amp AS INT) AS peak,
+             |       CAST(n * amp * amp AS BIGINT) AS sum_sq,
+             |       CAST((n - 1) // hp AS INT) AS n_zero_cross,
+             |       CAST(amp AS DOUBLE) AS rms
+             |FROM p
+             |ORDER BY item_id""".stripMargin))
   )
 }

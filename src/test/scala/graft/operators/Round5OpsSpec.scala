@@ -80,4 +80,29 @@ class Round5OpsSpec extends AnyFunSuite {
         }
     }
   }
+
+  // ── q78: real PCM decode ────────────────────────────────────────────────
+
+  test("q78 PCM decode is partition-invariant and header-consistent") {
+    import spark.implicits._
+    val media = MultimodalOps.pcmAudioTable(spark, sf)
+    val a = MultimodalOps.decodePcm(media).collect()
+      .map(s => s.item_id -> s).toMap
+    val b = MultimodalOps.decodePcm(
+      media.repartition(7, col("item_id")).as[MultimodalOps.MediaRow])
+      .collect()
+    assert(b.nonEmpty)
+    // decode reads only the row's bytes — any partitioning gives the
+    // same stats
+    b.foreach(s => assert(a(s.item_id) === s))
+    // the data-chunk length the decoder trusted matches the actual
+    // payload length, and the square wave's RMS equals its peak
+    val lens = media.collect().map(r => r.item_id -> r.media.length).toMap
+    a.values.foreach { s =>
+      assert(s.n_samples === (lens(s.item_id) - 44) / 2)
+      assert(s.sample_rate === 16000)
+      assert(s.rms === s.peak.toDouble)
+      assert(s.n_zero_cross > 0)
+    }
+  }
 }
