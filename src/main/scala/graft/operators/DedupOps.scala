@@ -29,9 +29,12 @@ import graft.sources.{QueryDef, Tables}
   *    product.
   *  - The exact-Jaccard tier blocks on (lang, shingle) with a size-ratio
   *    guard (lossless for Jaccard >= 0.5: if |A| > 2|B| then
-  *    jac <= |B|/|A| < 0.5). Hot shingles ("of the and …") still square
-  *    on web-scale text — at 100 TB the exact tier is the audit/oracle
-  *    path run on samples; MinHash banding is the full-corpus path.
+  *    jac <= |B|/|A| < 0.5) AND a document-frequency cap
+  *    (JACCARD_DF_CAP): hot shingles ("of the and …") are dropped from
+  *    the inverted index before the self-join, so no key can square on
+  *    web-scale text; q80 audits the dropped mass. At 100 TB the exact
+  *    tier is the audit/oracle path run on samples; MinHash banding is
+  *    the full-corpus path.
   */
 object DedupOps {
 
@@ -235,12 +238,43 @@ object DedupOps {
       computeJaccardPairs(s, d).persist(StorageLevel.MEMORY_AND_DISK)
     }
 
-  private def computeJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val inv = shingleHashes(s, d)
-      .select(col("lang"), col("shingle"), col("doc_id"), col("n_sh"))
-    val a = inv.select(col("lang"), col("shingle"),
+  private def computeJaccardPairs(s: SparkSession, d: String): DataFrame =
+    jaccardPairsFrom(shingleHashes(s, d), JACCARD_DF_CAP)
+
+  /** Document-frequency cap for the exact tier's inverted index: a
+    * (lang, shingle) key held by more docs than this is dropped from the
+    * index BEFORE the self-join. Non-binding on the test corpora (max df
+    * 14 at sf0.1) so q35's independent pairwise oracle still matches;
+    * binding on web-scale text, where one stopword shingle ("of the
+    * and") would otherwise contribute df² join rows. q80 audits where
+    * it binds. */
+  final val JACCARD_DF_CAP = 256
+
+  /** The capped inverted index: (lang, shingle, doc_id, n_sh) minus
+    * hot-shingle postings. One partial-agg shuffle for the df counts,
+    * then a join back on the same key — co-partitioned with the pair
+    * self-join that follows. */
+  private[graft] def cappedIndex(inv0: DataFrame, dfCap: Int): DataFrame = {
+    val inv = inv0.select("lang", "shingle", "doc_id", "n_sh")
+    val rare = inv.groupBy("lang", "shingle")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("lang", "shingle")
+    inv.join(rare, Seq("lang", "shingle"))
+  }
+
+  /** Exact-tier pairs over an exploded inverted index, df-capped.
+    * Where the cap binds, intersections under-count by the dropped
+    * shingles (n_a/n_b stay full-size), so jac never OVERstates — the
+    * capped tier can only miss pairs glued together by ultra-common
+    * shingles, never invent them. Round5OpsSpec shows the join mass
+    * collapsing on an adversarial hot-shingle corpus; q80 reports the
+    * dropped mass so the degradation is loud, not silent. */
+  private[graft] def jaccardPairsFrom(inv0: DataFrame, dfCap: Int): DataFrame = {
+    val kept = cappedIndex(inv0, dfCap)
+    val a = kept.select(col("lang"), col("shingle"),
       col("doc_id").as("id_a"), col("n_sh").as("n_a"))
-    val b = inv.select(col("lang"), col("shingle"),
+    val b = kept.select(col("lang"), col("shingle"),
       col("doc_id").as("id_b"), col("n_sh").as("n_b"))
     a.join(b, Seq("lang", "shingle"))
       .filter(col("id_a") < col("id_b") &&
@@ -547,7 +581,38 @@ object DedupOps {
              |       round(n_hit / CAST(n_sh AS DOUBLE), 6) AS overlap_frac
              |FROM hits
              |WHERE n_hit / CAST(n_sh AS DOUBLE) >= 0.2
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Df-cap audit: where (and how hard) the exact tier degrades ────────
+    // The capped index (q35) under-counts intersections wherever a
+    // shingle's document frequency exceeds JACCARD_DF_CAP. This query
+    // makes that degradation measurable per language: how many shingle
+    // keys were dropped and how many index postings (join-input rows)
+    // they carried. On the test corpora both are zero — the assertion
+    // that the cap is a pure scale guard here, not a semantics change.
+    QueryDef("q80_jaccard_df_audit",
+      (s, d) => shingleHashes(s, d)
+        .groupBy("lang", "shingle").agg(count(lit(1)).as("df"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_shingles"),
+          max("df").as("max_df"),
+          sum(when(col("df") > JACCARD_DF_CAP, 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when(col("df") > JACCARD_DF_CAP, col("df")).otherwise(0L))
+            .as("dropped_mass"))
+        .orderBy("lang"),
+      Some(s"""$EXPLODED_SQL,
+             |dfs AS (
+             |  SELECT lang, shingle, CAST(count(*) AS BIGINT) AS df
+             |  FROM hashed GROUP BY 1, 2)
+             |SELECT lang, count(*) AS n_shingles, max(df) AS max_df,
+             |       CAST(sum(CASE WHEN df > $JACCARD_DF_CAP THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_dropped,
+             |       CAST(sum(CASE WHEN df > $JACCARD_DF_CAP THEN df ELSE 0 END)
+             |            AS BIGINT) AS dropped_mass
+             |FROM dfs
+             |GROUP BY 1
+             |ORDER BY lang""".stripMargin))
   )
 
   /** DuckDB CTE chain computing `comp(id, group_id)` — the recursive-CTE

@@ -81,6 +81,34 @@ class Round5OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ── q35: df-capped exact Jaccard tier ───────────────────────────────────
+
+  test("q35 df cap collapses hot-shingle join mass and is a no-op at test scale") {
+    import spark.implicits._
+    // Adversarial corpus: 300 docs share exactly ONE hot 3-gram
+    // ("common hot shingle"); every other shingle is unique to its doc.
+    val docs = (1 to 300).map(i =>
+      (i.toLong, "en", s"common hot shingle u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "lang", "text")
+    val inv = DedupOps.shingleFrameOf(docs)
+    def selfJoinMass(index: org.apache.spark.sql.DataFrame): Long =
+      index.select(col("lang"), col("shingle"), col("doc_id").as("id_a"))
+        .join(index.select(col("lang"), col("shingle"),
+          col("doc_id").as("id_b")), Seq("lang", "shingle"))
+        .filter(col("id_a") < col("id_b")).count()
+    // uncapped, the one hot key alone squares: 300*299/2 join rows
+    assert(selfJoinMass(DedupOps.cappedIndex(inv, 1000000)) === 300L * 299 / 2)
+    // capped, the hot key is dropped before the join: zero rows survive
+    assert(selfJoinMass(DedupOps.cappedIndex(inv, 256)) === 0)
+    assert(DedupOps.jaccardPairsFrom(inv, 256).count() === 0)
+    // on the real corpus the cap binds nowhere: pair sets are identical
+    val real = DedupOps.shingleFrameOf(Tables.documents(spark, sf))
+    val capped = DedupOps.jaccardPairsFrom(real, DedupOps.JACCARD_DF_CAP)
+    val uncapped = DedupOps.jaccardPairsFrom(real, Int.MaxValue)
+    assert(capped.exceptAll(uncapped).count() === 0)
+    assert(uncapped.exceptAll(capped).count() === 0)
+  }
+
   // ── q78: real PCM decode ────────────────────────────────────────────────
 
   test("q78 PCM decode is partition-invariant and header-consistent") {
