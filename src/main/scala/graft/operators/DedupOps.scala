@@ -612,7 +612,43 @@ object DedupOps {
              |            AS BIGINT) AS dropped_mass
              |FROM dfs
              |GROUP BY 1
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // ── Incremental dedup: persist the signature index, probe a batch ─────
+    // The production contract for a growing corpus: MinHash signatures
+    // are computed ONCE per document and stored; each new batch probes
+    // its band keys against the stored index without touching existing
+    // docs' text. Here docs with doc_id % 10 == 0 play the "new batch",
+    // the rest are the stored corpus: corpus signatures go to parquet
+    // through the stage-and-swap writer, are read BACK, and the batch's
+    // band keys join against the re-read index — so the listed pairs
+    // prove the whole persist→reload→probe round trip (a signature
+    // mangled by the write path would change the candidate set). A
+    // MinHash signature depends only on its own document's shingles, so
+    // the split is semantically exact, and the oracle states the same
+    // cross-side band join over its own sigs CTE.
+    QueryDef("q79_incremental_dedup",
+      (s, d) => {
+        val sigs = signatures(s, d)
+        val indexPath = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-sig-index-" + Integer.toHexString(d.hashCode)).getAbsolutePath
+        graft.warehouse.AtomicParquet.overwrite(
+          sigs.filter(col("doc_id") % 10 =!= 0), indexPath)
+        val stored = s.read.parquet(indexPath)
+        candidatesBetween(
+          bandKeys(sigs.filter(col("doc_id") % 10 === 0)),
+          bandKeys(stored))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""$SIGS_SQL,
+             |$CAND_SQL
+             |SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+             |       greatest(a.doc_id, b.doc_id) AS id_b
+             |FROM bands a JOIN bands b
+             |  ON a.band = b.band AND a.key = b.key
+             |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** DuckDB CTE chain computing `comp(id, group_id)` — the recursive-CTE

@@ -109,6 +109,20 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(uncapped.exceptAll(capped).count() === 0)
   }
 
+  // ── q79: incremental dedup through the stored index ─────────────────────
+
+  test("q79 stored-index probe equals the in-memory probe (lossless round trip)") {
+    val out = run("q79_incremental_dedup").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sigs = DedupOps.signatureFrame(spark, sf)
+    val expect = DedupOps.candidatesBetween(
+      DedupOps.bandKeys(sigs.filter(col("doc_id") % 10 === 0)),
+      DedupOps.bandKeys(sigs.filter(col("doc_id") % 10 =!= 0)))
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    assert(out.toSeq === expect.toSeq)
+  }
+
   // ── q78: real PCM decode ────────────────────────────────────────────────
 
   test("q78 PCM decode is partition-invariant and header-consistent") {
