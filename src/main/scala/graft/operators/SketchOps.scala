@@ -29,9 +29,10 @@ import graft.sources.{QueryDef, Tables}
   * The 2^(-r) sum is computed SCALED by 2^55 in exact int64 — every
   * term 2^(55-r) is integral, so both engines sum the same integers in
   * any order; the single final division is one IEEE double op. No
-  * transcendental functions → bit-identical estimates everywhere (the
-  * small-range linear-counting correction needs ln(); omitted, and the
-  * m=64 raw estimator is documented as biased below ~2.5m = 160).
+  * RUNTIME transcendental functions → bit-identical estimates
+  * everywhere, including below the raw estimator's ~2.5m validity
+  * floor: the linear-counting correction's ln() is precomputed into a
+  * 64-entry double-literal table both engines index (LC_TABLE).
   */
 object SketchOps {
 
@@ -43,6 +44,17 @@ object SketchOps {
     * double literal's shortest decimal form round-trips identically
     * into DuckDB. */
   private val NUM: Double = 0.709 * M * M * (1L << RMAX).toDouble
+
+  /** Small-range (linear counting) correction, engine-portably: when the
+    * raw estimate is <= 2.5m and empty registers remain, the unbiased
+    * estimator is m*ln(m/V) with V = #empty registers (Flajolet §4).
+    * ln() is transcendental — but V has only M possible values, so the
+    * M possible corrections are PRECOMPUTED double literals both engines
+    * index identically (shortest-decimal round-trip): no runtime libm
+    * call whose last ulp could differ between JVM and C++. */
+  private val LC_THRESHOLD: Double = 2.5 * M
+  private val LC_TABLE: IndexedSeq[Double] =
+    (1 to M).map(v => M * math.log(M.toDouble / v))
 
   /** HLL registers (lang, bucket, r) from any frame carrying (lang,
     * h60). This IS the sketch's stored/mergeable form: registers from
@@ -59,7 +71,9 @@ object SketchOps {
   }
 
   /** Estimate per lang from a register frame: (lang, n_buckets,
-    * total_scaled, hll_est). The scaled sum stays in exact int64. */
+    * total_scaled, est, hll_est). The scaled sum stays in exact int64;
+    * `est` is the unrounded estimate AFTER the small-range correction
+    * (raw HLL above 2.5m, table-looked-up linear counting below). */
   private[graft] def estimateOf(regs: DataFrame): DataFrame =
     regs.groupBy("lang")
       .agg(count(lit(1)).as("n_buckets"),
@@ -67,8 +81,13 @@ object SketchOps {
           lit(RMAX) - col("r"))).as("sum_scaled"))
       .withColumn("total_scaled",
         col("sum_scaled") + (lit(M.toLong) - col("n_buckets")) * lit(1L << RMAX))
-      .withColumn("hll_est",
-        round(lit(NUM) / col("total_scaled").cast("double"), 1))
+      .withColumn("raw_est", lit(NUM) / col("total_scaled").cast("double"))
+      .withColumn("v_empty", lit(M.toLong) - col("n_buckets"))
+      .withColumn("est",
+        when(col("v_empty") > 0 && col("raw_est") <= lit(LC_THRESHOLD),
+          element_at(array(LC_TABLE.map(lit): _*), col("v_empty").cast("int")))
+          .otherwise(col("raw_est")))
+      .withColumn("hll_est", round(col("est"), 1))
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -87,8 +106,7 @@ object SketchOps {
         val est = estimateOf(registersOf(sh))
         exact.join(est, "lang")
           .withColumn("err_pct",
-            round((lit(NUM) / col("total_scaled").cast("double")
-              - col("n_exact")) / col("n_exact") * 100, 2))
+            round((col("est") - col("n_exact")) / col("n_exact") * 100, 2))
           .select("lang", "n_exact", "n_buckets", "hll_est", "err_pct")
           .orderBy("lang")
       },
@@ -106,12 +124,20 @@ object SketchOps {
              |         CAST(sum(CAST(1 AS BIGINT) << ($RMAX - r)) AS BIGINT)
              |           + ($M - count(*)) * (CAST(1 AS BIGINT) << $RMAX)
              |           AS total_scaled
-             |  FROM regs GROUP BY 1)
+             |  FROM regs GROUP BY 1),
+             |corrected AS (
+             |  SELECT lang, n_buckets,
+             |         CASE WHEN $M - n_buckets > 0
+             |               AND $NUM / CAST(total_scaled AS DOUBLE)
+             |                   <= CAST(${LC_THRESHOLD} AS DOUBLE)
+             |              THEN [${LC_TABLE.mkString(", ")}]
+             |                     [CAST($M - n_buckets AS INT)]
+             |              ELSE $NUM / CAST(total_scaled AS DOUBLE) END AS est
+             |  FROM est)
              |SELECT lang, n_exact, n_buckets,
-             |       round($NUM / CAST(total_scaled AS DOUBLE), 1) AS hll_est,
-             |       round(($NUM / CAST(total_scaled AS DOUBLE) - n_exact)
-             |             / n_exact * 100, 2) AS err_pct
-             |FROM exact JOIN est USING (lang)
+             |       round(est, 1) AS hll_est,
+             |       round((est - n_exact) / n_exact * 100, 2) AS err_pct
+             |FROM exact JOIN corrected USING (lang)
              |ORDER BY lang""".stripMargin)),
 
     // ── Bloom-filter join prefilter, with measured false-positive rate ────

@@ -109,6 +109,25 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(uncapped.exceptAll(capped).count() === 0)
   }
 
+  // ── HLL small-range correction ──────────────────────────────────────────
+
+  test("HLL linear-counting branch: ~50 distincts inside the error bound") {
+    def estimate(n: Int) = SketchOps.estimateOf(SketchOps.registersOf(
+      spark.range(n).select(lit("x").as("lang"),
+        graft.functions.Hashing.md5Long60(concat(lit("lc_test_"),
+          col("id").cast("string"))).as("h60")))).head()
+    // 50 distincts << 2.5m: the correction must fire (est differs from
+    // the biased raw estimate) and land within linear counting's error
+    // (sigma ~ 5 at n=50, m=64 — 15 is 3 sigma)
+    val small = estimate(50)
+    assert(small.getAs[Double]("est") !== small.getAs[Double]("raw_est"))
+    assert(math.abs(small.getAs[Double]("est") - 50) <= 15.0)
+    // 5000 distincts >> 2.5m: raw estimator passes through untouched
+    val large = estimate(5000)
+    assert(large.getAs[Double]("est") === large.getAs[Double]("raw_est"))
+    assert(math.abs(large.getAs[Double]("est") - 5000) / 5000.0 <= 0.5)
+  }
+
   // ── q79: incremental dedup through the stored index ─────────────────────
 
   test("q79 stored-index probe equals the in-memory probe (lossless round trip)") {
