@@ -24,12 +24,12 @@ import org.apache.spark.sql.DataFrame
   * Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS of the
   * live path. The dest→old / staging→dest rename pair is atomic per
   * rename but not as a unit — a reader listing `dest` between the two
-  * renames sees the table briefly absent. The streaming foreachBatch
-  * path and the batch loads in this repo never run against the same
-  * table concurrently (Pipeline.run is sequential). For reader-safe
-  * publication, keep versioned directories and swap a pointer file —
-  * i.e. exactly what a transactional table format (Delta/Iceberg, not
-  * in this environment) does with its commit log.
+  * renames sees the table briefly absent. That makes this the right
+  * tool only for single-owner read-modify-write state (the streaming
+  * register/CRM state files, the q79 signature index). Tables with
+  * concurrent readers publish through [[VersionedParquet]] instead —
+  * versioned snapshots plus an atomic pointer swap (the warehouse
+  * pipeline does).
   */
 object AtomicParquet {
 

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions.current_timestamp
 /** ETL orchestration: the reference's two stored procedures
   * (bronze.load_bronze, silver.load_silver — S3/S8 in SURVEY.md §2.1) as a
   * Scala function with per-stage timing and error trapping. Writes are
-  * stage-then-swap parquet (AtomicParquet) — the truncate-and-reload full
-  * refresh, rerun-safe: a failed load never corrupts the live table.
+  * versioned-snapshot parquet with an atomic pointer swap
+  * (VersionedParquet) — the truncate-and-reload full refresh, rerun-safe
+  * AND reader-safe: a failed load never corrupts the live table, and a
+  * concurrent reader never sees it missing mid-publish.
   *
   * The reference's duration PRINTs have a reversed-argument bug producing
   * negative seconds (proc_load_silver.sql:73); not reproduced.
@@ -31,12 +33,12 @@ object Pipeline {
 
     timed("bronze", log) {
       Bronze.all(spark, datasetsDir).foreach { case (name, df) =>
-        AtomicParquet.overwrite(df, s"$warehouseDir/bronze/$name")
+        VersionedParquet.publish(df, s"$warehouseDir/bronze/$name")
       }
     }
 
     def bronzeTbl(name: String): DataFrame =
-      spark.read.parquet(s"$warehouseDir/bronze/$name")
+      VersionedParquet.read(spark, s"$warehouseDir/bronze/$name")
 
     timed("silver", log) {
       val silver: Map[String, DataFrame] = Map(
@@ -48,7 +50,7 @@ object Pipeline {
         "erp_px_cat_g1v2" -> Silver.erpPxCatG1v2(bronzeTbl("erp_px_cat_g1v2"))
       )
       silver.foreach { case (name, df) =>
-        AtomicParquet.overwrite(Silver.withAudit(df, now),
+        VersionedParquet.publish(Silver.withAudit(df, now),
           s"$warehouseDir/silver/$name")
       }
     }
@@ -58,7 +60,7 @@ object Pipeline {
   /** Gold star over the persisted silver layer (views — lazy, no write). */
   def goldFromWarehouse(spark: SparkSession, warehouseDir: String): Gold.Star = {
     def silverTbl(name: String): DataFrame =
-      spark.read.parquet(s"$warehouseDir/silver/$name")
+      VersionedParquet.read(spark, s"$warehouseDir/silver/$name")
     val dc = Gold.dimCustomers(silverTbl("crm_cust_info"),
       silverTbl("erp_cust_az12"), silverTbl("erp_loc_a101"))
     val dp = Gold.dimProducts(silverTbl("crm_prd_info"), silverTbl("erp_px_cat_g1v2"))

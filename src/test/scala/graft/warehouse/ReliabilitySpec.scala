@@ -110,6 +110,42 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(spark.read.parquet(dest).as[Int].collect().sorted.toSeq === Seq(4, 5))
   }
 
+  test("versioned publish: a concurrent reader never sees a missing or partial table") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-versioned").toString + "/tbl"
+    // each version v holds exactly v copies of the value v — so any
+    // read that is internally consistent satisfies count == max == min
+    def frame(v: Int) = Seq.fill(v)(v).toDF("x")
+    VersionedParquet.publish(frame(1), root)
+    assert(VersionedParquet.read(spark, root).as[Int].collect().toSeq === Seq(1))
+
+    @volatile var stop = false
+    @volatile var failure: Option[String] = None
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          val rows = VersionedParquet.read(spark, root).as[Int].collect()
+          if (rows.isEmpty || rows.toSet.size != 1 || rows.length != rows.head)
+            failure = Some(s"inconsistent read: ${rows.toSeq}")
+        } catch {
+          case e: Exception => failure = Some(s"reader threw: $e")
+        }
+      }
+    })
+    reader.start()
+    try (2 to 8).foreach(v => VersionedParquet.publish(frame(v), root))
+    finally { stop = true; reader.join(30000) }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    // the pointer resolves to the last publish, and retention kept only
+    // the configured window of snapshot directories
+    assert(VersionedParquet.read(spark, root).as[Int].collect().toSeq ===
+      Seq.fill(8)(8))
+    assert(VersionedParquet.currentVersion(spark, root) === Some(7L))
+    val dirs = new java.io.File(root).listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.matches("v\\d{8}")).sorted.toSeq
+    assert(dirs === Seq("v00000006", "v00000007"))
+  }
+
   test("partitioned write path: year predicates prune partitions at the scan") {
     val dir = Files.createTempDirectory("graft-partitioned").toString
     val dest = s"$dir/orders_by_year"
