@@ -49,9 +49,11 @@ object SimilarityOps {
     * (OR-amplification) — the standard recall/candidate-fraction knob.
     * On this near-uniform synthetic corpus (top-10 cosines ~0.3-0.5,
     * i.e. no genuinely close neighbors) the measured recall@10 is ~0.5
-    * at ~25% candidate fraction; on clustered real data the same
-    * machinery concentrates: tighter neighbors → exponentially higher
-    * collision probability per table. */
+    * at ~25% candidate fraction; on clustered data the same machinery
+    * concentrates — tighter neighbors → exponentially higher collision
+    * probability per table. DEMONSTRATED, not asserted: Round5OpsSpec
+    * measures recall@10 = 1.0 for both LSH and IVF on a deterministic
+    * 8-cluster corpus (the case that matters for real embeddings). */
   private val TABLES = 16
   private val BITS = 6
 
@@ -80,16 +82,79 @@ object SimilarityOps {
 
   /** (vec_id, t, key): table t's B-bit key from the sign pattern of its
     * planes — sign bits summed into the key by one group-by over the
-    * projection rows. */
-  private def tableKeys(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .crossJoin(broadcast(planesDF(s)))
+    * projection rows. Works over any embeddings-shaped frame. */
+  private def tableKeysOf(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(planesDF(e.sparkSession)))
       .select(col("vec_id"),
         expr(s"p div $BITS").as("t"),
         when(graft.functions.VectorDot(col("embedding"), col("cs")) > 0,
           expr(s"shiftleft(1, p % $BITS)")).otherwise(lit(0)).as("bit"))
       .groupBy("vec_id", "t")
       .agg(sum("bit").as("key"))
+
+  // ── ANN search bodies, parameterized by the vector frame ───────────────
+  // The registered queries bind these to Tables.embeddings; the recall
+  // spec (Round5OpsSpec) binds them to a deterministic CLUSTERED frame,
+  // where the recall story actually matters — on clustered data the
+  // same machinery concentrates: recall@10 = 1.0 for both paths there.
+
+  /** Exact brute-force cosine top-k vs `queryId` — the yardstick. */
+  private[graft] def bruteTopK(e: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("label"),
+        cosine("embedding", "qvec").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Multi-table LSH: bucket-key equi-join candidates, exact rerank. */
+  private[graft] def lshTopK(e: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val keys = tableKeysOf(e)
+    val qb = keys.filter(col("vec_id") === queryId)
+      .select(col("t"), col("key"))
+    val qv = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    keys.join(broadcast(qb), Seq("t", "key"))
+      .filter(col("vec_id") =!= queryId)
+      .select("vec_id").distinct()  // a vector may collide in several tables
+      .join(e, Seq("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        cosine("embedding", "qvec").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF: sampled coarse centroids, probed lists, exact rerank. */
+  private[graft] def ivfTopK(e: DataFrame, queryId: Long, k: Int,
+                             nCents: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = e.filter(col("vec_id") =!= queryId).orderBy("vec_id")
+      .limit(nCents)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
+        cosine("embedding", "cvec").as("ccos"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = scored.withColumn("rk", row_number().over(wAssign))
+    val lists = assigned.filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+    val probes = assigned
+      .filter(col("vec_id") === queryId && col("rk") <= nProbe)
+      .select(col("cent_id"))
+    val qv = e.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qvec"))
+    lists.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("label"),
+        cosine("embedding", "qvec").as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 
   /** DuckDB CTEs computing the same (vec_id, table, key) rows: the plane
     * coefficients are recomputed in SQL from the same md5 formula, so no
@@ -124,17 +189,7 @@ object SimilarityOps {
 
     // ── Brute-force cosine top-k vs a fixed query vector (vec_id 0) ───────
     QueryDef("q38_cosine_topk",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val q = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qvec"))
-        e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= 0)
-          .select(col("vec_id"), col("label"),
-            cosine("embedding", "qvec").as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(10)
-      },
+      (s, d) => bruteTopK(Tables.embeddings(s, d), 0, 10),
       Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings
              |           WHERE vec_id = 0)
              |SELECT vec_id, label,
@@ -188,23 +243,7 @@ object SimilarityOps {
     // product; at scale only the colliding bucket members pay the rerank.
     // ExtensionSpec reports recall against q38's brute force.
     QueryDef("q40_ann_lsh",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val keys = tableKeys(s, d)
-        val qb = keys.filter(col("vec_id") === 0)
-          .select(col("t"), col("key"))
-        val qv = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qvec"))
-        keys.join(broadcast(qb), Seq("t", "key"))
-          .filter(col("vec_id") =!= 0)
-          .select("vec_id").distinct()  // a vector may collide in several tables
-          .join(e, Seq("vec_id"))
-          .crossJoin(broadcast(qv))
-          .select(col("vec_id"), col("label"),
-            cosine("embedding", "qvec").as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(10)
-      },
+      (s, d) => lshTopK(Tables.embeddings(s, d), 0, 10),
       Some(s"""$KEYS_SQL,
              |qk AS (SELECT t, key, embedding AS qvec FROM keys
              |       WHERE vec_id = 0),
@@ -228,32 +267,7 @@ object SimilarityOps {
     // discovery is a broadcast join against K=16 centroids plus an
     // equi-join on list id — never a pairwise product.
     QueryDef("q47_ann_ivf",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val cents = e.filter(col("vec_id") =!= 0).orderBy("vec_id").limit(16)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-        val scored = e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
-            cosine("embedding", "cvec").as("ccos"))
-        val wAssign = Window.partitionBy("vec_id")
-          .orderBy(col("ccos").desc, col("cent_id"))
-        val assigned = scored
-          .withColumn("rk", row_number().over(wAssign))
-        val lists = assigned.filter(col("rk") === 1)
-          .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
-        val probes = assigned
-          .filter(col("vec_id") === 0 && col("rk") <= 4)
-          .select(col("cent_id"))
-        val qv = e.filter(col("vec_id") === 0)
-          .select(col("embedding").as("qvec"))
-        lists.join(broadcast(probes), Seq("cent_id"))
-          .filter(col("vec_id") =!= 0)
-          .crossJoin(broadcast(qv))
-          .select(col("vec_id"), col("label"),
-            cosine("embedding", "qvec").as("cos_sim"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))
-          .limit(10)
-      },
+      (s, d) => ivfTopK(Tables.embeddings(s, d), 0, 10),
       Some(s"""WITH cents AS (
              |  SELECT vec_id AS cent_id, embedding AS cvec
              |  FROM embeddings WHERE vec_id != 0 ORDER BY vec_id LIMIT 16),

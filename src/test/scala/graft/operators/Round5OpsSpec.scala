@@ -109,6 +109,40 @@ class Round5OpsSpec extends AnyFunSuite {
     assert(uncapped.exceptAll(capped).count() === 0)
   }
 
+  // ── ANN recall on clustered embeddings ──────────────────────────────────
+
+  test("ANN recall@10 on clustered embeddings: LSH and IVF >= 0.9 vs brute force") {
+    import spark.implicits._
+    // Deterministic clustered corpus: 8 md5-derived centroids, 40 points
+    // each; per-dim noise is ~9% of centroid scale, so same-cluster
+    // cosine ~0.99 and cross-cluster ~0 — the shape real embedding
+    // corpora have, and where an ANN index must not lose neighbors.
+    val nClusters = 8
+    def h(s: String) = graft.functions.Hashing.md5Long60(s)
+    val rows = (0 until nClusters * 40).map { id =>
+      val c = id % nClusters
+      val emb = (0 until 64).map { i =>
+        ((h(s"cl_cent_${c}_$i") % 1000 - 500).toDouble +
+          (h(s"cl_pt_${id}_$i") % 101 - 50) * 0.5).toFloat
+      }.toArray
+      (id.toLong, s"c$c", emb)
+    }
+    val e = rows.toDF("vec_id", "label", "embedding").cache()
+    val brute = SimilarityOps.bruteTopK(e, 0, 10).collect()
+    // construction sanity: the query's true neighborhood is its cluster
+    assert(brute.forall(_.getString(1) == "c0"))
+    assert(brute.forall(_.getDouble(2) > 0.9))
+    val bruteIds = brute.map(_.getLong(0)).toSet
+    val lshIds = SimilarityOps.lshTopK(e, 0, 10).collect().map(_.getLong(0)).toSet
+    val ivfIds = SimilarityOps.ivfTopK(e, 0, 10).collect().map(_.getLong(0)).toSet
+    val lshRecall = (lshIds & bruteIds).size / 10.0
+    val ivfRecall = (ivfIds & bruteIds).size / 10.0
+    info(f"clustered recall@10: LSH=$lshRecall%.2f IVF=$ivfRecall%.2f")
+    assert(lshRecall >= 0.9, s"LSH recall $lshRecall below 0.9")
+    assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall below 0.9")
+    e.unpersist()
+  }
+
   // ── HLL small-range correction ──────────────────────────────────────────
 
   test("HLL linear-counting branch: ~50 distincts inside the error bound") {
