@@ -43,8 +43,18 @@ object Bench {
     // instead of a normal-looking duration — a failed query must not be
     // mistaken for a fast one.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // Per-query GC attribution: a multi-second spike whose gc share is
+    // most of the delta is a JVM pause, not a plan regression — recorded
+    // so round-over-round comparisons stop chasing GC noise (sum of
+    // collection-time deltas across all collector beans).
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
     val results = SparkEntry.all.map { q =>
       val (name, fn) = (q.name, q.fn)
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -54,13 +64,26 @@ object Bench {
             errors += name
             false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0,
+        (gcMillis - g0) / 1e3)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double) = math.rint(v * 1000) / 1000 // 3 decimals: keeps the line short
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val gcs = results.filter(_._3 >= 0.05)
+      .map { case (k, _, g) => s"\"" + k + "\":" + r3(g) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also land the full line in the repo: round snapshots have truncated
+    // the head of the stdout capture before, which made totals
+    // unrecoverable — this copy is complete by construction.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
     spark.stop()
   }
 }
