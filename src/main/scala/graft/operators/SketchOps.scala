@@ -289,6 +289,89 @@ object SketchOps {
            |FROM probed p JOIN cells cl USING (j, bucket)
            |GROUP BY 1, 2
            |ORDER BY exact DESC, token ASC""".stripMargin
+      }),
+
+    // ── Sketch-driven heavy hitters: discover, then verify ────────────────
+    // q75 probes KNOWN tokens; this is the production direction: find
+    // the heavy hitters FROM the sketch. One pass builds the Count-Min
+    // cells from the raw token stream; the term dictionary probes its
+    // 4 cells and keeps tokens whose min-cell estimate clears a
+    // RELATIVE threshold (total/512 — scale-invariant); only those
+    // candidates pay the exact count (semi-join restricted aggregation).
+    // CMS error is one-sided (est >= exact always), so NO true heavy
+    // hitter can be missed — the report flags the false positives the
+    // 4×64 sketch lets through, which is the funnel a 100 TB run
+    // monitors to size w.
+    QueryDef("q82_heavy_hitters",
+      (s, d) => {
+        val D = 4
+        val W = 64L
+        val toks = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+        def bucket(j: Int) = pmod(
+          Hashing.md5Long60(concat(lit(s"cms${j}_"), col("token"))), lit(W))
+        val cells = toks
+          .select(explode(array((0 until D).map(j =>
+            struct(lit(j).as("j"), bucket(j).as("bucket"))): _*)).as("jb"))
+          .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("cell"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        val candidates = toks.select("token").distinct()
+          .select(col("token"), explode(array((0 until D).map(j =>
+            struct(lit(j).as("j"), bucket(j).as("bucket"))): _*)).as("jb"))
+          .join(broadcast(cells),
+            col("jb.j") === cells("j") && col("jb.bucket") === cells("bucket"))
+          .groupBy("token").agg(min("cell").as("cm_est"))
+          .crossJoin(broadcast(total))
+          .filter(col("cm_est") >= call_function("div",
+            col("n_total"), lit(512L)))
+          .select(col("token"), col("cm_est"), col("n_total"))
+        val exact = toks.join(broadcast(candidates.select("token")), "token")
+          .groupBy("token").agg(count(lit(1)).as("exact"))
+        candidates.join(exact, "token")
+          .select(col("token"), col("cm_est"), col("exact"),
+            (col("exact") >= call_function("div",
+              col("n_total"), lit(512L))).cast("int").as("true_hitter"))
+          .orderBy(col("exact").desc, col("token").asc)
+      },
+      Some {
+        def bucketSql(j: Int) =
+          s"${Hashing.md5Long60Sql(s"'cms${j}_' || token")} % 64"
+        val cellUnion = (0 until 4).map(j =>
+          s"SELECT $j AS j, ${bucketSql(j)} AS bucket FROM toks")
+          .mkString("\n  UNION ALL\n  ")
+        val probeUnion = (0 until 4).map(j =>
+          s"SELECT token, $j AS j, ${bucketSql(j)} AS bucket FROM dict")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH toks AS (
+           |  SELECT unnest(list_filter(string_split_regex(lower(text),
+           |           '[^a-z0-9]+'), x -> x != '')) AS token
+           |  FROM documents),
+           |cells AS (
+           |  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cell
+           |  FROM (
+           |  $cellUnion)
+           |  GROUP BY 1, 2),
+           |total AS (SELECT count(*) AS n_total FROM toks),
+           |dict AS (SELECT DISTINCT token FROM toks),
+           |probed AS (
+           |  $probeUnion),
+           |cand AS (
+           |  SELECT p.token, min(cl.cell) AS cm_est
+           |  FROM probed p JOIN cells cl USING (j, bucket)
+           |  GROUP BY 1),
+           |kept AS (
+           |  SELECT c.token, c.cm_est, t.n_total
+           |  FROM cand c CROSS JOIN total t
+           |  WHERE c.cm_est >= t.n_total // 512),
+           |exact AS (
+           |  SELECT toks.token, count(*) AS exact
+           |  FROM toks JOIN kept USING (token)
+           |  GROUP BY 1)
+           |SELECT k.token, k.cm_est, e.exact,
+           |       CAST(e.exact >= k.n_total // 512 AS INT) AS true_hitter
+           |FROM kept k JOIN exact e USING (token)
+           |ORDER BY exact DESC, token ASC""".stripMargin
       })
   )
 }

@@ -339,6 +339,78 @@ object TextOps {
              |            OR dup_tg / CAST(n_tg AS DOUBLE) > 0.5 AS INT)
              |         AS repetitive
              |FROM bstat JOIN tstat USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── BM25 retrieval scoring: rank documents for a fixed term query ─────
+    // The retrieval-grade upgrade of q53's TF-IDF: Robertson/Lucene BM25
+    // with k1=1.2, b=0.75 and the +1-inside-log idf (always positive).
+    // The scale shape is the part that matters: term frequencies are
+    // computed ONLY for the query's terms (the filter lands before the
+    // aggregation, so the tf shuffle carries 3 terms, not the corpus
+    // dictionary), doc lengths are one linear agg, and the per-term df
+    // and corpus stats are broadcast scalars. Every fractional literal
+    // is CAST AS DOUBLE in the oracle (DuckDB decimal-literal trap).
+    QueryDef("q81_bm25",
+      (s, d) => {
+        val qTerms = Seq("join", "vector", "filter")
+        val k1 = 1.2
+        val b = 0.75
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("term"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(sum("dl").as("sum_dl"),
+          count(lit(1)).as("n_docs"))
+        val tf = toks.filter(col("term").isin(qTerms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            col("sum_dl").cast("double") / col("n_docs"))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)) + lit(1.0)))
+          .withColumn("contrib",
+            col("idf") * (col("tf") * lit(k1 + 1))
+              / (col("tf") + lit(k1) *
+                (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms_hit"),
+            round(sum("contrib"), 6).as("bm25"))
+          .orderBy(col("bm25").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest($TOKS) AS term FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+             |                 count(*) AS n_docs FROM dl),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM toks
+             |  WHERE term IN ('join', 'vector', 'filter')
+             |  GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT tf.doc_id,
+             |         ln((stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+             |            / (dfreq.df + CAST(0.5 AS DOUBLE))
+             |            + CAST(1 AS DOUBLE))
+             |           * (tf.tf * CAST(2.2 AS DOUBLE))
+             |           / (tf.tf + CAST(1.2 AS DOUBLE)
+             |              * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+             |                 * dl.dl
+             |                 / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+             |           AS contrib
+             |  FROM tf JOIN dl USING (doc_id)
+             |       JOIN dfreq USING (term)
+             |       CROSS JOIN stats)
+             |SELECT doc_id, count(*) AS n_terms_hit,
+             |       round(CAST(sum(contrib) AS DOUBLE), 6) AS bm25
+             |FROM scored
+             |GROUP BY doc_id
+             |ORDER BY bm25 DESC, doc_id
+             |LIMIT 10""".stripMargin))
   )
 }

@@ -143,6 +143,41 @@ class Round5OpsSpec extends AnyFunSuite {
     e.unpersist()
   }
 
+  // ── q81/q82: BM25 + sketch-driven heavy hitters ─────────────────────────
+
+  test("q81 BM25: positive scores, at most the 3 query terms hit, in corpus order") {
+    val out = run("q81_bm25").collect()
+    assert(out.length === 10)
+    assert(out.forall(r => r.getAs[Double]("bm25") > 0))
+    assert(out.forall { r =>
+      val h = r.getAs[Long]("n_terms_hit"); h >= 1 && h <= 3
+    })
+    val scores = out.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q82 heavy hitters: CMS estimates one-sided, no true hitter missed") {
+    import graft.functions.TextFns.tokens
+    val out = run("q82_heavy_hitters").collect()
+    assert(out.nonEmpty)
+    // one-sided error: the min-cell estimate never undercounts
+    assert(out.forall(r => r.getAs[Long]("cm_est") >= r.getAs[Long]("exact")))
+    // completeness: every token at or above the relative threshold is in
+    // the report (est >= exact makes missing one impossible — verify it)
+    val tf = Tables.documents(spark, sf)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val total = tf.agg(sum("c")).head().getLong(0)
+    val trueHitters = tf.filter(col("c") >= total / 512)
+      .collect().map(_.getString(0)).toSet
+    val reported = out.map(_.getAs[String]("token")).toSet
+    assert(trueHitters.subsetOf(reported),
+      s"missing hitters: ${trueHitters -- reported}")
+    // and the flag marks exactly the true ones
+    assert(out.filter(_.getAs[Int]("true_hitter") == 1)
+      .map(_.getAs[String]("token")).toSet === trueHitters)
+  }
+
   // ── HLL small-range correction ──────────────────────────────────────────
 
   test("HLL linear-counting branch: ~50 distincts inside the error bound") {
