@@ -150,11 +150,19 @@ object DedupOps {
 
   private def signatures(s: SparkSession, d: String): DataFrame =
     sigCache.getOrBuild(s, d) {
-      val minAggs = (0 until MINHASH_K).map(i => min(mix(i)).as(s"m$i"))
-      shingleHashes(s, d)
-        .groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+      signaturesOf(shingleHashes(s, d))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** (doc_id, m0..m31) signatures over any shingle frame (doc_id, h60) —
+    * per-doc min of the k mixes. A signature depends only on its own
+    * document's shingles, so batch-local computation is exact; the
+    * streaming incremental path (DedupStream) applies this to each
+    * arriving micro-batch. */
+  private[graft] def signaturesOf(sh: DataFrame): DataFrame = {
+    val minAggs = (0 until MINHASH_K).map(i => min(mix(i)).as(s"m$i"))
+    sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+  }
 
   /** (doc_id, band, key) LSH band keys from a signature frame (8 bands
     * × 4 rows). Taking the frame as an argument (not rebuilding it) is
@@ -162,7 +170,7 @@ object DedupOps {
     * against the stored corpus bands without recomputing anything for
     * the existing docs — ExtensionSpec proves the incremental union
     * equals the full-batch candidate set. */
-  private[operators] def bandKeys(sigs: DataFrame): DataFrame = {
+  private[graft] def bandKeys(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until 4).map(r => col(s"m${b * 4 + r}")): _*)
@@ -175,7 +183,7 @@ object DedupOps {
   /** Distinct candidate pairs (id_a < id_b) from a probe×index band
     * join. Full-batch: both sides the whole corpus. Incremental: probe =
     * new batch, index = full corpus. */
-  private[operators] def candidatesBetween(probe: DataFrame,
+  private[graft] def candidatesBetween(probe: DataFrame,
                                            index: DataFrame): DataFrame = {
     val a = probe.select(col("band"), col("key"), col("doc_id").as("id_x"))
     val b = index.select(col("band"), col("key"), col("doc_id").as("id_y"))

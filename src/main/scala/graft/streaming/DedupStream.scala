@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.DedupOps
+import graft.warehouse.AtomicParquet
+
+/** Incremental near-dup detection as a stream: q79's persist-and-probe
+  * contract run continuously. Each arriving document drop
+  *
+  *   1. computes its own MinHash signatures (batch-local and exact — a
+  *      signature depends only on its document's shingles),
+  *   2. probes its band keys against the STORED index PLUS itself
+  *      (self-probe catches within-batch duplicates), appending the
+  *      candidate pairs to the output log,
+  *   3. folds its signatures into the stored index, so later batches
+  *      probe against everything seen.
+  *
+  * Every pair of near-dup documents is emitted by whichever batch saw
+  * the LATER of the two (or the shared batch) — so the union of emitted
+  * pairs over all drops equals the full-corpus candidate set, which is
+  * exactly what DedupStreamSpec asserts against the batch build. Per
+  * batch the probe work is |batch| band keys joined against the index —
+  * never a corpus rescan; the index grows by one signature row per new
+  * doc (33 longs), the same mergeable-state shape as SketchStream's
+  * registers.
+  *
+  * foreachBatch idempotence caveat (same as the sibling streams): a
+  * batch retried after the pairs append but before checkpoint commit
+  * would re-append its pairs; the downstream consumer dedups on
+  * (id_a, id_b) — candidates are a set by definition.
+  */
+object DedupStream {
+
+  /** documents.parquet schema (TESTDATA.md) for the file-source stream. */
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Watch `watchDir` for document drops; maintain the signature index
+    * at `indexPath` and append candidate pairs to `pairsPath`. Caller
+    * awaits/stops the query. */
+  def run(spark: SparkSession, watchDir: String, indexPath: String,
+          pairsPath: String, checkpoint: String): StreamingQuery =
+    spark.readStream.schema(docSchema).parquet(watchDir)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sigs = DedupOps.signaturesOf(DedupOps.shingleFrameOf(batch))
+          .localCheckpoint(true) // computed once: probed, then stored
+        val p = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Existence checked explicitly (not caught): a transient read
+        // failure must fail the batch, not silently restart the index.
+        val stored =
+          if (fs.exists(p)) spark.read.parquet(indexPath)
+          else sigs.limit(0)
+        val pairs = DedupOps.candidatesBetween(
+          DedupOps.bandKeys(sigs),
+          DedupOps.bandKeys(stored.unionByName(sigs)))
+        pairs.write.mode("append").parquet(pairsPath)
+        AtomicParquet.overwrite(stored.unionByName(sigs), indexPath)
+        ()
+      }
+      .start()
+}

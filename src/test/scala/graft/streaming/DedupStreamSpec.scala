@@ -1,0 +1,61 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupOps
+
+/** Stream/batch parity for incremental near-dup detection: the union of
+  * candidate pairs emitted across micro-batch arrivals must equal the
+  * full-corpus LSH candidate set (q36), and the maintained signature
+  * index must equal the batch signature build — exact equality.
+  */
+class DedupStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("streamed candidate pairs across drops equal the full-batch set") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    val work = Files.createTempDirectory("graft-dedupstream")
+    val watch = Files.createDirectory(work.resolve("landing")).toString
+    val index = work.resolve("sig_index").toString
+    val pairs = work.resolve("pairs").toString
+    val checkpoint = work.resolve("chk").toString
+
+    // three interleaved slices: near-dup pairs in this corpus land both
+    // within and across slices, so self-probe and index-probe are both
+    // exercised
+    for (i <- 0 until 3) {
+      docs.filter(col("doc_id") % 3 === i)
+        .write.mode("append").parquet(s"$watch/drop$i")
+      DedupStream.run(spark, s"$watch/*", index, pairs, checkpoint)
+        .awaitTermination()
+    }
+
+    val streamed = spark.read.parquet(pairs)
+      .select("id_a", "id_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.SparkEntry.queries("q36_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === full,
+      "union of per-drop candidates must equal the full-corpus set")
+
+    // the maintained index is bit-identical to the batch signature build
+    val maintained = spark.read.parquet(index)
+      .collect().map(_.toSeq).toSet
+    val batch = DedupOps.signaturesOf(DedupOps.shingleFrameOf(docs))
+      .collect().map(_.toSeq).toSet
+    assert(maintained === batch)
+  }
+}
