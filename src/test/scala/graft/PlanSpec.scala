@@ -177,4 +177,32 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
       "the distinct eval shingle set is the broadcast side")
   }
+
+  test("q77 histogram percentile: bounded windows, no sort-merge join") {
+    val p = planOf("q77_hist_percentiles")
+    // the only windows run over the ≤4096-cell frame, partitioned by
+    // group — never an unpartitioned whole-corpus window
+    val windows = collectAll(p) { case w: WindowExec => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty))
+    // the 1-row bounds frame attaches via broadcast, not SMJ
+    assert(collectAll(p) { case s: SortMergeJoinExec => s }.isEmpty)
+  }
+
+  test("q81 bm25: the query-term filter lands before the tf aggregation") {
+    val p = planOf("q81_bm25")
+    // the IN filter must sit under the first aggregate, so the tf
+    // shuffle carries 3 terms, not the corpus dictionary
+    val s = p.toString
+    val inIdx = s.indexOf(" IN (join,vector,filter)")
+    assert(inIdx >= 0, "term IN filter missing from the physical plan")
+    assert(collectAll(p) { case s: SortMergeJoinExec => s }.isEmpty,
+      "df/stats frames are broadcast-scale; no SMJ expected")
+  }
+
+  test("q82 heavy hitters: sketch cells broadcast to dictionary and verify probes") {
+    val p = planOf("q82_heavy_hitters")
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.size >= 2,
+      "the 256-cell sketch and the candidate set must broadcast")
+    assert(collectAll(p) { case s: SortMergeJoinExec => s }.isEmpty)
+  }
 }
