@@ -113,4 +113,22 @@ object VersionedParquet {
       throw new IOException(s"no published version under $root"))
     spark.read.parquet(new Path(root, versionName(v)).toString)
   }
+
+  /** Reader-safe compaction — the OPTIMIZE analogue. Streaming appends
+    * (e.g. a candidate-pair log) accrue small-file debt that kills scan
+    * throughput at 100 TB (one task + one open per tiny file); this
+    * rewrites the live snapshot into ~`targetBytes` files and publishes
+    * the result as a NEW version through the same pointer swap, so
+    * readers are never disturbed and a crash mid-compaction leaves the
+    * live table untouched. Returns the new snapshot directory. */
+  def compact(spark: SparkSession, root: String,
+              targetBytes: Long = 128L << 20): String = {
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IOException(s"nothing to compact under $root"))
+    val snapshot = new Path(root, versionName(v))
+    val fs = fsOf(spark, snapshot)
+    val totalBytes = fs.getContentSummary(snapshot).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    publish(read(spark, root).repartition(nFiles), root)
+  }
 }

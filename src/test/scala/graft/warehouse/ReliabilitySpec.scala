@@ -146,6 +146,23 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(dirs === Seq("v00000006", "v00000007"))
   }
 
+  test("versioned compaction rewrites small files into few, content unchanged") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-compact").toString + "/tbl"
+    // simulate streaming-append small-file debt: 48 tiny files
+    VersionedParquet.publish(
+      spark.range(10000).toDF("x").repartition(48), root)
+    def parquetFiles(v: Long) =
+      new java.io.File(root, f"v$v%08d").listFiles
+        .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(0) === 48)
+    VersionedParquet.compact(spark, root) // default target >> table size
+    assert(VersionedParquet.currentVersion(spark, root) === Some(1L))
+    assert(parquetFiles(1) === 1, "compaction must collapse the file debt")
+    assert(VersionedParquet.read(spark, root).as[Long].collect().sorted.toSeq
+      === (0L until 10000L))
+  }
+
   test("partitioned write path: year predicates prune partitions at the scan") {
     val dir = Files.createTempDirectory("graft-partitioned").toString
     val dest = s"$dir/orders_by_year"
