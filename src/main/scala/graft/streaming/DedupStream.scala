@@ -67,4 +67,21 @@ object DedupStream {
         ()
       }
       .start()
+
+  /** Delete documents from the stored index (retention / right-to-be-
+    * forgotten): an anti-join drops their signature rows, so no future
+    * probe can pair against them. O(index) rewrite with the deleted-id
+    * set broadcast — with a transactional table format this is a
+    * DELETE; pairs already emitted are the CONSUMER's deletion
+    * obligation (an append-only log cannot unsay them). */
+  def deleteDocs(spark: SparkSession, indexPath: String,
+                 docIds: Seq[Long]): Unit = {
+    import spark.implicits._
+    val ids = docIds.toDF("doc_id")
+    AtomicParquet.overwrite(
+      spark.read.parquet(indexPath)
+        .join(org.apache.spark.sql.functions.broadcast(ids),
+          Seq("doc_id"), "left_anti"),
+      indexPath)
+  }
 }

@@ -57,5 +57,25 @@ class DedupStreamSpec extends AnyFunSuite {
     val batch = DedupOps.signaturesOf(DedupOps.shingleFrameOf(docs))
       .collect().map(_.toSeq).toSet
     assert(maintained === batch)
+
+    // delete propagation: dropping a doc removes its signature row, and
+    // a fresh probe of the whole corpus pairs against everyone EXCEPT it
+    val victim = streamed.head._1
+    DedupStream.deleteDocs(spark, index, Seq(victim))
+    val after = spark.read.parquet(index)
+    assert(after.filter(col("doc_id") === victim).count() === 0)
+    assert(after.count() === maintained.size - 1)
+    val probeAll = DedupOps.candidatesBetween(
+      DedupOps.bandKeys(DedupOps.signaturesOf(DedupOps.shingleFrameOf(docs))),
+      DedupOps.bandKeys(after))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!probeAll.exists(p => p._1 == victim && p._2 == victim),
+      "no self pair")
+    // pairs where the victim is the INDEX side are gone; pairs between
+    // the remaining docs are unaffected
+    val expect = full.filterNot(p => p._1 == victim && p._2 == victim)
+    assert(probeAll.subsetOf(expect))
+    assert(full.filterNot(p => p._1 == victim || p._2 == victim)
+      .subsetOf(probeAll))
   }
 }
