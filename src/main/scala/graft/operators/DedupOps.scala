@@ -259,16 +259,20 @@ object DedupOps {
   final val JACCARD_DF_CAP = 256
 
   /** The capped inverted index: (lang, shingle, doc_id, n_sh) minus
-    * hot-shingle postings. One partial-agg shuffle for the df counts,
-    * then a join back on the same key — co-partitioned with the pair
-    * self-join that follows. */
+    * hot-shingle postings. The HOT set is the one that is tiny by
+    * construction (Zipf: only stopword-grade shingles exceed the cap),
+    * so it broadcasts into an anti-join — the index itself never
+    * shuffles here. The df aggregation's shuffle carries one row per
+    * distinct (lang, shingle) after map-side combine. If a corpus ever
+    * produced a hot set too large to broadcast, the cap is doing no
+    * capping worth having — raise it or fix the tokenizer. */
   private[graft] def cappedIndex(inv0: DataFrame, dfCap: Int): DataFrame = {
     val inv = inv0.select("lang", "shingle", "doc_id", "n_sh")
-    val rare = inv.groupBy("lang", "shingle")
+    val hot = inv.groupBy("lang", "shingle")
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
+      .filter(col("df") > dfCap)
       .select("lang", "shingle")
-    inv.join(rare, Seq("lang", "shingle"))
+    inv.join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
   }
 
   /** Exact-tier pairs over an exploded inverted index, df-capped.
