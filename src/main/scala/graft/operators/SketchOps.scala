@@ -306,31 +306,37 @@ object SketchOps {
       (s, d) => {
         val D = 4
         val W = 64L
-        val toks = Tables.documents(s, d)
+        // ONE tokenize pass + ONE token-keyed shuffle: cells, the
+        // dictionary probe, and the exact verify all derive from the
+        // same tf aggregation (sum of per-term counts == count over the
+        // raw stream, so the sketch is identical). At 100 TB the
+        // dictionary is a stored term table and the sketch is
+        // maintained incrementally (SketchStream-style); the discovery
+        // step below still uses ONLY the cells — tf merely prices the
+        // verify tier.
+        val tf = Tables.documents(s, d)
           .select(explode(tokens(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("c"))
         def bucket(j: Int) = pmod(
           Hashing.md5Long60(concat(lit(s"cms${j}_"), col("token"))), lit(W))
-        val cells = toks
-          .select(explode(array((0 until D).map(j =>
+        val cells = tf
+          .select(col("c"), explode(array((0 until D).map(j =>
             struct(lit(j).as("j"), bucket(j).as("bucket"))): _*)).as("jb"))
           .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
-          .agg(count(lit(1)).as("cell"))
-        val total = toks.agg(count(lit(1)).as("n_total"))
-        val candidates = toks.select("token").distinct()
-          .select(col("token"), explode(array((0 until D).map(j =>
+          .agg(sum("c").as("cell"))
+        val total = tf.agg(sum("c").as("n_total"))
+        val candidates = tf
+          .select(col("token"), col("c"), explode(array((0 until D).map(j =>
             struct(lit(j).as("j"), bucket(j).as("bucket"))): _*)).as("jb"))
           .join(broadcast(cells),
             col("jb.j") === cells("j") && col("jb.bucket") === cells("bucket"))
-          .groupBy("token").agg(min("cell").as("cm_est"))
+          .groupBy("token", "c").agg(min("cell").as("cm_est"))
           .crossJoin(broadcast(total))
           .filter(col("cm_est") >= call_function("div",
             col("n_total"), lit(512L)))
-          .select(col("token"), col("cm_est"), col("n_total"))
-        val exact = toks.join(broadcast(candidates.select("token")), "token")
-          .groupBy("token").agg(count(lit(1)).as("exact"))
-        candidates.join(exact, "token")
-          .select(col("token"), col("cm_est"), col("exact"),
-            (col("exact") >= call_function("div",
+        candidates
+          .select(col("token"), col("cm_est"), col("c").as("exact"),
+            (col("c") >= call_function("div",
               col("n_total"), lit(512L))).cast("int").as("true_hitter"))
           .orderBy(col("exact").desc, col("token").asc)
       },
@@ -338,39 +344,35 @@ object SketchOps {
         def bucketSql(j: Int) =
           s"${Hashing.md5Long60Sql(s"'cms${j}_' || token")} % 64"
         val cellUnion = (0 until 4).map(j =>
-          s"SELECT $j AS j, ${bucketSql(j)} AS bucket FROM toks")
+          s"SELECT $j AS j, ${bucketSql(j)} AS bucket, c FROM tf")
           .mkString("\n  UNION ALL\n  ")
         val probeUnion = (0 until 4).map(j =>
-          s"SELECT token, $j AS j, ${bucketSql(j)} AS bucket FROM dict")
+          s"SELECT token, c, $j AS j, ${bucketSql(j)} AS bucket FROM tf")
           .mkString("\n  UNION ALL\n  ")
         s"""WITH toks AS (
            |  SELECT unnest(list_filter(string_split_regex(lower(text),
            |           '[^a-z0-9]+'), x -> x != '')) AS token
            |  FROM documents),
+           |tf AS (SELECT token, count(*) AS c FROM toks GROUP BY 1),
            |cells AS (
-           |  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cell
+           |  SELECT j, bucket, CAST(sum(c) AS BIGINT) AS cell
            |  FROM (
            |  $cellUnion)
            |  GROUP BY 1, 2),
-           |total AS (SELECT count(*) AS n_total FROM toks),
-           |dict AS (SELECT DISTINCT token FROM toks),
+           |total AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM tf),
            |probed AS (
            |  $probeUnion),
            |cand AS (
-           |  SELECT p.token, min(cl.cell) AS cm_est
+           |  SELECT p.token, p.c, min(cl.cell) AS cm_est
            |  FROM probed p JOIN cells cl USING (j, bucket)
-           |  GROUP BY 1),
+           |  GROUP BY 1, 2),
            |kept AS (
-           |  SELECT c.token, c.cm_est, t.n_total
+           |  SELECT c.token, c.cm_est, c.c, t.n_total
            |  FROM cand c CROSS JOIN total t
-           |  WHERE c.cm_est >= t.n_total // 512),
-           |exact AS (
-           |  SELECT toks.token, count(*) AS exact
-           |  FROM toks JOIN kept USING (token)
-           |  GROUP BY 1)
-           |SELECT k.token, k.cm_est, e.exact,
-           |       CAST(e.exact >= k.n_total // 512 AS INT) AS true_hitter
-           |FROM kept k JOIN exact e USING (token)
+           |  WHERE c.cm_est >= t.n_total // 512)
+           |SELECT token, cm_est, c AS exact,
+           |       CAST(c >= n_total // 512 AS INT) AS true_hitter
+           |FROM kept
            |ORDER BY exact DESC, token ASC""".stripMargin
       })
   )
