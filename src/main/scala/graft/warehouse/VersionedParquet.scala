@@ -2,8 +2,9 @@ package graft.warehouse
 
 import java.io.IOException
 import java.nio.charset.StandardCharsets
+import java.util.EnumSet
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Reader-safe table publication: versioned directories + an atomically
@@ -46,16 +47,28 @@ object VersionedParquet {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** ALL pointer I/O goes through FileContext, whose local
+    * implementation is the RAW filesystem: the checksummed
+    * LocalFileSystem keeps a `.crc` side file per file, and a
+    * rename-with-overwrite of the data file is NOT atomic with respect
+    * to its side file — a concurrent reader could open the new pointer
+    * against the stale checksum and throw (caught by the
+    * ReliabilitySpec hammer). Raw create/rename/open has no side files,
+    * so the pointer swap is one genuinely atomic metadata op. */
+  private def fcOf(spark: SparkSession, p: Path) =
+    FileContext.getFileContext(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
+
   private def versionName(n: Long) = f"v$n%08d"
 
   /** The live version number, from the pointer file (None before the
     * first publish). */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val pointer = new Path(root, POINTER)
-    val fs = fsOf(spark, pointer)
-    if (!fs.exists(pointer)) None
+    val fc = fcOf(spark, pointer)
+    if (!fc.util.exists(pointer)) None
     else {
-      val in = fs.open(pointer)
+      val in = fc.open(pointer)
       try {
         val buf = new Array[Byte](64)
         val n = in.read(buf)
@@ -80,13 +93,15 @@ object VersionedParquet {
      else writer).parquet(snapshot.toString)
     // Atomic pointer swap: temp file + rename-with-overwrite (one
     // metadata op — POSIX rename on local/HDFS). FileContext.rename
-    // supports OVERWRITE where FileSystem.rename would refuse.
+    // supports OVERWRITE where FileSystem.rename would refuse, and its
+    // raw local implementation keeps no checksum side files (see fcOf).
     val tmp = new Path(rootPath, s".$POINTER.tmp")
-    val out = fs.create(tmp, true)
+    val fc = fcOf(spark, rootPath)
+    val out = fc.create(tmp,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
     try out.write(versionName(next).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    val fc = FileContext.getFileContext(rootPath.toUri,
-      spark.sparkContext.hadoopConfiguration)
     try fc.rename(tmp, new Path(rootPath, POINTER), Options.Rename.OVERWRITE)
     catch {
       case e: IOException =>

@@ -146,6 +146,26 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(dirs === Seq("v00000006", "v00000007"))
   }
 
+  test("versioned publish recovers from a crashed (pointer-less) snapshot") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-crash").toString + "/tbl"
+    VersionedParquet.publish(Seq(1).toDF("x"), root)
+    // simulate a publish that crashed after writing files but before the
+    // pointer swap: a garbage v00000001 directory, pointer still at v0
+    val stale = new java.io.File(root, "v00000001")
+    assert(stale.mkdirs())
+    java.nio.file.Files.write(stale.toPath.resolve("junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(VersionedParquet.currentVersion(spark, root) === Some(0L))
+    // next publish advances from the POINTER, clobbers the garbage, and
+    // the table reads clean before and after
+    assert(VersionedParquet.read(spark, root).as[Int].collect().toSeq === Seq(1))
+    VersionedParquet.publish(Seq(2, 2).toDF("x"), root)
+    assert(VersionedParquet.currentVersion(spark, root) === Some(1L))
+    assert(VersionedParquet.read(spark, root).as[Int].collect().toSeq ===
+      Seq(2, 2))
+  }
+
   test("versioned compaction rewrites small files into few, content unchanged") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-compact").toString + "/tbl"
