@@ -137,13 +137,22 @@ object VersionedParquet {
     * readers are never disturbed and a crash mid-compaction leaves the
     * live table untouched. Returns the new snapshot directory. */
   def compact(spark: SparkSession, root: String,
-              targetBytes: Long = 128L << 20): String = {
+              targetBytes: Long = 128L << 20,
+              partitionCols: Seq[String] = Nil): String = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"nothing to compact under $root"))
     val snapshot = new Path(root, versionName(v))
     val fs = fsOf(spark, snapshot)
     val totalBytes = fs.getContentSummary(snapshot).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    publish(read(spark, root).repartition(nFiles), root)
+    // For a Hive-partitioned table pass its partitionCols so the
+    // compacted snapshot keeps the pruning layout (repartitioning by
+    // the partition columns keeps one writer task per directory).
+    val df = read(spark, root)
+    val arranged =
+      if (partitionCols.nonEmpty)
+        df.repartition(nFiles, partitionCols.map(df.col): _*)
+      else df.repartition(nFiles)
+    publish(arranged, root, partitionCols)
   }
 }

@@ -181,6 +181,18 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(parquetFiles(1) === 1, "compaction must collapse the file debt")
     assert(VersionedParquet.read(spark, root).as[Long].collect().sorted.toSeq
       === (0L until 10000L))
+
+    // a Hive-partitioned table compacts WITHOUT losing its layout
+    val proot = Files.createTempDirectory("graft-compact-part").toString + "/tbl"
+    val frame = spark.range(1000)
+      .select(col("id").as("x"), (col("id") % 4).as("part"))
+    VersionedParquet.publish(frame.repartition(32), proot, Seq("part"))
+    VersionedParquet.compact(spark, proot, partitionCols = Seq("part"))
+    val dirs = new java.io.File(proot, "v00000001").listFiles
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("part=0", "part=1", "part=2", "part=3"),
+      "compacted snapshot must keep the partition directories")
+    assert(VersionedParquet.read(spark, proot).count() === 1000)
   }
 
   test("partitioned write path: year predicates prune partitions at the scan") {
