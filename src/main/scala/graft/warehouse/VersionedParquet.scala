@@ -70,9 +70,17 @@ object VersionedParquet {
     else {
       val in = fc.open(pointer)
       try {
+        // read to EOF: a single read() may return short on remote
+        // filesystems, and a truncated pointer parse would resolve the
+        // wrong version
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, n, StandardCharsets.UTF_8).trim.drop(1).toLong)
+        var off = 0
+        var r = in.read(buf, off, buf.length - off)
+        while (r > 0 && off < buf.length) {
+          off += r
+          r = in.read(buf, off, buf.length - off)
+        }
+        Some(new String(buf, 0, off, StandardCharsets.UTF_8).trim.drop(1).toLong)
       } finally in.close()
     }
   }
