@@ -234,7 +234,9 @@ object MultimodalOps {
           b.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII")),
           s"item ${r.item_id}: not a RIFF/WAVE payload")
         val rate = readLeInt(b, 24)
-        val n = readLeInt(b, 40) / 2
+        // trust the header but never the far side of the payload: a
+        // malformed data-chunk length must not index past the bytes
+        val n = math.min(readLeInt(b, 40) / 2, (b.length - 44) / 2)
         var i = 0
         var sumSq = 0L
         var peak = 0
