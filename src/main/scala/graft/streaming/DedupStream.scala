@@ -27,10 +27,14 @@ import graft.warehouse.AtomicParquet
   * doc (33 longs), the same mergeable-state shape as SketchStream's
   * registers.
   *
-  * foreachBatch idempotence caveat (same as the sibling streams): a
-  * batch retried after the pairs append but before checkpoint commit
-  * would re-append its pairs; the downstream consumer dedups on
-  * (id_a, id_b) — candidates are a set by definition.
+  * foreachBatch idempotence: a batch retried after the pairs append
+  * but before checkpoint commit re-appends its pairs; the downstream
+  * consumer dedups on (id_a, id_b) — candidates are a set by
+  * definition. The INDEX fold is made idempotent structurally: rows for
+  * this batch's doc_ids are anti-joined out of the stored index before
+  * the union, so replaying a batch whose index overwrite already landed
+  * reproduces the identical index instead of duplicating signature rows
+  * (which would bloat every future probe and break batch parity).
   */
 object DedupStream {
 
@@ -59,14 +63,27 @@ object DedupStream {
         val stored =
           if (fs.exists(p)) spark.read.parquet(indexPath)
           else sigs.limit(0)
+        val folded = foldIndex(stored, sigs)
         val pairs = DedupOps.candidatesBetween(
-          DedupOps.bandKeys(sigs),
-          DedupOps.bandKeys(stored.unionByName(sigs)))
+          DedupOps.bandKeys(sigs), DedupOps.bandKeys(folded))
         pairs.write.mode("append").parquet(pairsPath)
-        AtomicParquet.overwrite(stored.unionByName(sigs), indexPath)
+        AtomicParquet.overwrite(folded, indexPath)
         ()
       }
       .start()
+
+  /** Retry-safe index fold: drop any stored rows for this batch's docs
+    * first, so replaying a batch whose index overwrite already
+    * committed reproduces the identical index (idempotent:
+    * foldIndex(foldIndex(s, b), b) == foldIndex(s, b)) instead of
+    * duplicating signature rows. The batch id set broadcasts — a batch
+    * is bounded, the index is not. */
+  private[graft] def foldIndex(stored: DataFrame,
+                               sigs: DataFrame): DataFrame =
+    stored
+      .join(org.apache.spark.sql.functions.broadcast(
+        sigs.select("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(sigs)
 
   /** Delete documents from the stored index (retention / right-to-be-
     * forgotten): an anti-join drops their signature rows, so no future

@@ -29,12 +29,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * already resolved an old version finish against intact files — the
   * same grace window a table format's VACUUM respects.
   *
-  * Failure modes: a crash before the pointer swap leaves a garbage
-  * `v*` directory that the next publish overwrites (version numbers
-  * advance from the POINTER, not the directory listing); a crash after
+  * Failure modes: a crash mid-snapshot-write leaves a `v*` directory
+  * without `_SUCCESS` that the next publish overwrites; a crash after
   * the swap is a completed publish. The pointer write itself goes
-  * through a temp file + atomic rename, so `_CURRENT` is never
-  * observed empty or partial.
+  * through a temp file + atomic rename — on the local scheme via
+  * `java.nio.Files.move(ATOMIC_MOVE|REPLACE_EXISTING)` (Hadoop's raw
+  * local rename-with-overwrite is delete-then-rename, which has a
+  * no-pointer window); elsewhere via `FileContext.rename(OVERWRITE)`,
+  * atomic on HDFS-like schemes. Belt-and-braces, a missing pointer
+  * resolves to the newest complete (`_SUCCESS`-marked) snapshot, so
+  * even a crash that loses `_CURRENT` outright keeps the table
+  * readable and the version sequence monotone.
   *
   * Concurrency contract: single writer (like AtomicParquet), but
   * readers are now fully concurrent-safe. At 100 TB the pointer swap
@@ -61,12 +66,35 @@ object VersionedParquet {
 
   private def versionName(n: Long) = f"v$n%08d"
 
-  /** The live version number, from the pointer file (None before the
-    * first publish). */
+  /** Highest v* directory holding a `_SUCCESS` marker (i.e. whose
+    * parquet write completed). This is the recovery source of truth
+    * when the pointer file is absent: on a filesystem whose
+    * rename-with-overwrite is implemented as delete-then-rename (the
+    * raw local fs), a reader can observe the window with no `_CURRENT`,
+    * and a writer crash inside that window loses the pointer outright.
+    * Falling back to the newest complete snapshot makes both cases
+    * read the version the swap was installing (its write finished
+    * before the swap began), restoring the atomicity contract. */
+  private def latestCompleteVersion(spark: SparkSession,
+                                    root: String): Option[Long] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    if (!fs.exists(rootPath)) None
+    else fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toLong)
+      .sorted.lastOption
+  }
+
+  /** The live version number: the pointer file, or — when the pointer
+    * is missing (pre-first-publish, or the non-atomic local
+    * delete+rename window, or a crash inside it) — the highest complete
+    * snapshot directory. */
   def currentVersion(spark: SparkSession, root: String): Option[Long] = {
     val pointer = new Path(root, POINTER)
     val fc = fcOf(spark, pointer)
-    if (!fc.util.exists(pointer)) None
+    if (!fc.util.exists(pointer)) latestCompleteVersion(spark, root)
     else {
       val in = fc.open(pointer)
       try {
@@ -110,7 +138,7 @@ object VersionedParquet {
       Options.CreateOpts.createParent())
     try out.write(versionName(next).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    try fc.rename(tmp, new Path(rootPath, POINTER), Options.Rename.OVERWRITE)
+    try swapPointer(fc, tmp, new Path(rootPath, POINTER))
     catch {
       case e: IOException =>
         throw new IOException(s"could not swap pointer for $root; live " +
@@ -118,23 +146,76 @@ object VersionedParquet {
     }
     // Retire snapshots beyond the retention window (pointer already
     // moved; only versions older than the last `keepVersions` go).
-    val cutoff = next - keepVersions + 1
-    fs.listStatus(rootPath).foreach { st =>
-      val name = st.getPath.getName
-      if (st.isDirectory && name.matches("v\\d{8}") &&
-        name.drop(1).toLong < cutoff)
-        fs.delete(st.getPath, true)
-    }
+    vacuum(spark, root, keepVersions)
     snapshot.toString
   }
 
-  /** Read the live version. The returned plan is bound to the resolved
-    * snapshot directory, so a publish racing this read never changes
-    * (or deletes, within the retention window) the files under it. */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val v = currentVersion(spark, root).getOrElse(
-      throw new IOException(s"no published version under $root"))
-    spark.read.parquet(new Path(root, versionName(v)).toString)
+  /** Atomic pointer installation. On the local scheme Hadoop's raw
+    * rename-with-overwrite is delete(dst)-then-rename — a concurrent
+    * reader in that window sees NO pointer and a crash in it loses the
+    * pointer — so use `java.nio.Files.move`, whose ATOMIC_MOVE on POSIX
+    * is a single rename(2) that atomically replaces dst. Other schemes
+    * (HDFS et al.) implement `renameInternal(..., overwrite)` natively
+    * and keep the FileContext path. */
+  private def swapPointer(fc: FileContext, tmp: Path, dst: Path): Unit = {
+    val scheme = Option(fc.getDefaultFileSystem.getUri.getScheme)
+    if (scheme.forall(_ == "file")) {
+      import java.nio.file.{Files, Paths, StandardCopyOption => O}
+      Files.move(Paths.get(tmp.toUri.getPath), Paths.get(dst.toUri.getPath),
+        O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+    } else fc.rename(tmp, dst, Options.Rename.OVERWRITE)
+  }
+
+  /** Read the live version — or, with `version = Some(n)`, a pinned
+    * historical one (time travel). The returned plan is bound to the
+    * resolved snapshot directory, so a publish racing this read never
+    * changes (or deletes, within the retention window) the files under
+    * it. Pinning a version outside the retention window fails loudly
+    * here, at resolution time, rather than mid-scan. */
+  def read(spark: SparkSession, root: String,
+           version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+      throw new IOException(s"no published version under $root")))
+    val snapshot = new Path(root, versionName(v))
+    if (version.isDefined && !fsOf(spark, snapshot).exists(snapshot))
+      throw new IOException(s"version $v of $root does not exist " +
+        "(never published, or vacuumed past retention)")
+    spark.read.parquet(snapshot.toString)
+  }
+
+  /** All readable versions, oldest first (the time-travel catalog). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toLong).sorted
+  }
+
+  /** Retention-aware vacuum: delete snapshots older than the newest
+    * `keepVersions`, NEVER the live one (refuses `keepVersions < 1` so
+    * a misconfigured retention cannot take down the table). Returns the
+    * versions deleted. In-flight scans that resolved a retained version
+    * finish against intact files — the same grace window a table
+    * format's VACUUM respects; readers pinned further back get the
+    * loud resolution-time failure from `read(version=...)`. */
+  def vacuum(spark: SparkSession, root: String,
+             keepVersions: Int): Seq[Long] = {
+    require(keepVersions >= 1, "must retain at least the live version")
+    val live = currentVersion(spark, root).getOrElse(return Nil)
+    val cutoff = live - keepVersions + 1
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    fs.listStatus(rootPath).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.matches("v\\d{8}") &&
+        name.drop(1).toLong < cutoff) {
+        fs.delete(st.getPath, true)
+        Some(name.drop(1).toLong)
+      } else None
+    }.sorted
   }
 
   /** Reader-safe compaction — the OPTIMIZE analogue. Streaming appends

@@ -78,4 +78,24 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(full.filterNot(p => p._1 == victim || p._2 == victim)
       .subsetOf(probeAll))
   }
+
+  test("index fold is idempotent under foreachBatch retry") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = DedupOps.signaturesOf(DedupOps.shingleFrameOf(
+      docs.filter(col("doc_id") % 3 === 0)))
+    val stored = DedupOps.signaturesOf(DedupOps.shingleFrameOf(
+      docs.filter(col("doc_id") % 3 =!= 0)))
+
+    val once = DedupStream.foldIndex(stored, sigs)
+    // a retried batch folds into an index that ALREADY contains this
+    // batch's rows (overwrite landed, checkpoint commit didn't) — the
+    // result must be identical, not doubled
+    val twice = DedupStream.foldIndex(once, sigs)
+    assert(twice.count() === once.count())
+    assert(twice.collect().map(_.toSeq).toSet ===
+      once.collect().map(_.toSeq).toSet)
+    // no doc_id appears twice after a replay
+    assert(twice.groupBy("doc_id").count()
+      .filter(col("count") > 1).count() === 0)
+  }
 }

@@ -166,6 +166,63 @@ class ReliabilitySpec extends AnyFunSuite {
       Seq(2, 2))
   }
 
+  test("pointer loss resolves to the newest complete snapshot") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ptrloss").toString + "/tbl"
+    VersionedParquet.publish(Seq(1).toDF("x"), root)
+    VersionedParquet.publish(Seq(2, 2).toDF("x"), root)
+    // simulate a crash inside the local delete-then-rename window (or a
+    // writer death that lost _CURRENT): the pointer is gone, both
+    // snapshot dirs are intact
+    assert(new java.io.File(root, "_CURRENT").delete())
+    // the fallback resolves the newest complete snapshot, so readers
+    // never observe "no published version"
+    assert(VersionedParquet.currentVersion(spark, root) === Some(1L))
+    assert(VersionedParquet.read(spark, root).as[Int].collect().toSeq ===
+      Seq(2, 2))
+    // and the version sequence stays monotone: the next publish is v2
+    VersionedParquet.publish(Seq(3, 3, 3).toDF("x"), root)
+    assert(VersionedParquet.currentVersion(spark, root) === Some(2L))
+    assert(VersionedParquet.read(spark, root).as[Int].collect().toSeq ===
+      Seq(3, 3, 3))
+    // an incomplete (no _SUCCESS) higher dir is NOT a fallback target
+    val junk = new java.io.File(root, "v00000009")
+    assert(junk.mkdirs())
+    assert(new java.io.File(root, "_CURRENT").delete())
+    assert(VersionedParquet.currentVersion(spark, root) === Some(2L))
+  }
+
+  test("time travel pins a version; vacuum respects retention and the live version") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-timetravel").toString + "/tbl"
+    (1 to 4).foreach(v =>
+      VersionedParquet.publish(Seq.fill(v)(v).toDF("x"), root,
+        keepVersions = 10))
+    assert(VersionedParquet.versions(spark, root) === Seq(0L, 1L, 2L, 3L))
+    // a reader pinned to v1 sees v1's rows even though v3 is live
+    assert(VersionedParquet.read(spark, root, Some(1L))
+      .as[Int].collect().toSeq === Seq(2, 2))
+    assert(VersionedParquet.read(spark, root).as[Int].collect().toSeq ===
+      Seq(4, 4, 4, 4))
+    // a plan bound to an old version keeps working while a NEW version
+    // publishes (read-at-resolve semantics)
+    val pinned = VersionedParquet.read(spark, root, Some(2L))
+    VersionedParquet.publish(Seq.fill(5)(5).toDF("x"), root, keepVersions = 3)
+    assert(pinned.as[Int].collect().toSeq === Seq(3, 3, 3))
+    // keepVersions=3 on that publish vacuumed v0/v1 but kept v2..v4
+    assert(VersionedParquet.versions(spark, root) === Seq(2L, 3L, 4L))
+    // explicit vacuum refuses to delete the live version
+    intercept[IllegalArgumentException] {
+      VersionedParquet.vacuum(spark, root, 0)
+    }
+    assert(VersionedParquet.vacuum(spark, root, 1) === Seq(2L, 3L))
+    assert(VersionedParquet.versions(spark, root) === Seq(4L))
+    // pinning a vacuumed version fails loudly at resolution time
+    intercept[java.io.IOException] {
+      VersionedParquet.read(spark, root, Some(1L))
+    }
+  }
+
   test("versioned compaction rewrites small files into few, content unchanged") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-compact").toString + "/tbl"
