@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions.current_timestamp
 
 /** ETL orchestration: the reference's two stored procedures
   * (bronze.load_bronze, silver.load_silver — S3/S8 in SURVEY.md §2.1) as a
-  * Scala function with per-stage timing and error trapping. Writes are
-  * versioned-snapshot parquet with an atomic pointer swap
-  * (VersionedParquet) — the truncate-and-reload full refresh, rerun-safe
-  * AND reader-safe: a failed load never corrupts the live table, and a
-  * concurrent reader never sees it missing mid-publish.
+  * Scala function with per-stage timing and error trapping. Each layer
+  * publishes as ONE atomic warehouse snapshot (WarehouseSnapshot): the
+  * truncate-and-reload full refresh, rerun-safe AND reader-safe — a
+  * failed load never corrupts any live table, and a concurrent reader
+  * joining across the layer's tables resolves one manifest, never a
+  * mixed set mid-refresh (the reference reloads the whole layer inside
+  * a single procedure, proc_load_silver.sql:23-244, which gives its
+  * readers the same whole-set semantics implicitly).
   *
   * The reference's duration PRINTs have a reversed-argument bug producing
   * negative seconds (proc_load_silver.sql:73); not reproduced.
@@ -32,38 +35,38 @@ object Pipeline {
     val log = (t: StageTiming) => { timings += t; () }
 
     timed("bronze", log) {
-      Bronze.all(spark, datasetsDir).foreach { case (name, df) =>
-        VersionedParquet.publish(df, s"$warehouseDir/bronze/$name")
-      }
+      WarehouseSnapshot.publishAll(Bronze.all(spark, datasetsDir).toSeq,
+        s"$warehouseDir/bronze")
     }
 
-    def bronzeTbl(name: String): DataFrame =
-      VersionedParquet.read(spark, s"$warehouseDir/bronze/$name")
+    // one consistent bronze snapshot feeds the whole silver build
+    val bronze = WarehouseSnapshot.readSnapshot(spark, s"$warehouseDir/bronze")
 
     timed("silver", log) {
-      val silver: Map[String, DataFrame] = Map(
-        "crm_cust_info" -> Silver.crmCustInfo(bronzeTbl("crm_cust_info")),
-        "crm_prd_info" -> Silver.crmPrdInfo(bronzeTbl("crm_prd_info")),
-        "crm_sales_details" -> Silver.crmSalesDetails(bronzeTbl("crm_sales_details")),
-        "erp_cust_az12" -> Silver.erpCustAz12(bronzeTbl("erp_cust_az12"), now),
-        "erp_loc_a101" -> Silver.erpLocA101(bronzeTbl("erp_loc_a101")),
-        "erp_px_cat_g1v2" -> Silver.erpPxCatG1v2(bronzeTbl("erp_px_cat_g1v2"))
+      val silver: Seq[(String, DataFrame)] = Seq(
+        "crm_cust_info" -> Silver.crmCustInfo(bronze("crm_cust_info")),
+        "crm_prd_info" -> Silver.crmPrdInfo(bronze("crm_prd_info")),
+        "crm_sales_details" -> Silver.crmSalesDetails(bronze("crm_sales_details")),
+        "erp_cust_az12" -> Silver.erpCustAz12(bronze("erp_cust_az12"), now),
+        "erp_loc_a101" -> Silver.erpLocA101(bronze("erp_loc_a101")),
+        "erp_px_cat_g1v2" -> Silver.erpPxCatG1v2(bronze("erp_px_cat_g1v2"))
       )
-      silver.foreach { case (name, df) =>
-        VersionedParquet.publish(Silver.withAudit(df, now),
-          s"$warehouseDir/silver/$name")
-      }
+      WarehouseSnapshot.publishAll(
+        silver.map { case (n, df) => n -> Silver.withAudit(df, now) },
+        s"$warehouseDir/silver")
     }
     timings.toSeq
   }
 
-  /** Gold star over the persisted silver layer (views — lazy, no write). */
+  /** Gold star over the persisted silver layer (views — lazy, no
+    * write). All three frames pin ONE silver manifest: a warehouse
+    * refresh racing this build can never mix silver versions into the
+    * star. */
   def goldFromWarehouse(spark: SparkSession, warehouseDir: String): Gold.Star = {
-    def silverTbl(name: String): DataFrame =
-      VersionedParquet.read(spark, s"$warehouseDir/silver/$name")
-    val dc = Gold.dimCustomers(silverTbl("crm_cust_info"),
-      silverTbl("erp_cust_az12"), silverTbl("erp_loc_a101"))
-    val dp = Gold.dimProducts(silverTbl("crm_prd_info"), silverTbl("erp_px_cat_g1v2"))
-    Gold.Star(dc, dp, Gold.factSales(silverTbl("crm_sales_details"), dc, dp))
+    val silver = WarehouseSnapshot.readSnapshot(spark, s"$warehouseDir/silver")
+    val dc = Gold.dimCustomers(silver("crm_cust_info"),
+      silver("erp_cust_az12"), silver("erp_loc_a101"))
+    val dp = Gold.dimProducts(silver("crm_prd_info"), silver("erp_px_cat_g1v2"))
+    Gold.Star(dc, dp, Gold.factSales(silver("crm_sales_details"), dc, dp))
   }
 }

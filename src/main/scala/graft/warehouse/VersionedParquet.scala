@@ -52,14 +52,16 @@ object VersionedParquet {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** ALL pointer I/O goes through FileContext, whose local
-    * implementation is the RAW filesystem: the checksummed
-    * LocalFileSystem keeps a `.crc` side file per file, and a
-    * rename-with-overwrite of the data file is NOT atomic with respect
-    * to its side file — a concurrent reader could open the new pointer
-    * against the stale checksum and throw (caught by the
-    * ReliabilitySpec hammer). Raw create/rename/open has no side files,
-    * so the pointer swap is one genuinely atomic metadata op. */
+  /** Pointer reads go through FileContext; pointer WRITES on the local
+    * scheme go through pure java.nio (see installPointer). Both Hadoop
+    * local implementations are checksum-wrapped (LocalFileSystem for
+    * FileSystem, LocalFs/ChecksumFs for FileContext): each file gets a
+    * `.crc` side file, and a rename-with-overwrite of the data file is
+    * NOT atomic with respect to its side file — a concurrent reader
+    * could open the new pointer against a stale checksum and throw
+    * (caught by the ReliabilitySpec hammer in round 5). nio-written
+    * pointers have no side file at all, so opens take ChecksumFs's
+    * unverified path and the swap is one genuinely atomic rename(2). */
   private def fcOf(spark: SparkSession, p: Path) =
     FileContext.getFileContext(p.toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -87,31 +89,74 @@ object VersionedParquet {
       .sorted.lastOption
   }
 
-  /** The live version number: the pointer file, or — when the pointer
-    * is missing (pre-first-publish, or the non-atomic local
-    * delete+rename window, or a crash inside it) — the highest complete
-    * snapshot directory. */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
-    val pointer = new Path(root, POINTER)
+  /** Read a (small) pointer file's content, None if absent. All reads
+    * go through FileContext raw (see fcOf). Shared with the
+    * warehouse-level manifest pointer. */
+  private[warehouse] def readPointer(spark: SparkSession,
+                                     pointer: Path): Option[String] = {
     val fc = fcOf(spark, pointer)
-    if (!fc.util.exists(pointer)) latestCompleteVersion(spark, root)
+    if (!fc.util.exists(pointer)) None
     else {
       val in = fc.open(pointer)
       try {
         // read to EOF: a single read() may return short on remote
         // filesystems, and a truncated pointer parse would resolve the
         // wrong version
-        val buf = new Array[Byte](64)
+        val buf = new Array[Byte](256)
         var off = 0
         var r = in.read(buf, off, buf.length - off)
         while (r > 0 && off < buf.length) {
           off += r
           r = in.read(buf, off, buf.length - off)
         }
-        Some(new String(buf, 0, off, StandardCharsets.UTF_8).trim.drop(1).toLong)
+        Some(new String(buf, 0, off, StandardCharsets.UTF_8).trim)
       } finally in.close()
     }
   }
+
+  /** Atomically install `content` as the pointer file `dir/name`:
+    * temp-file write + atomic rename-with-overwrite. On the local
+    * scheme both steps are pure java.nio — Hadoop's local FileContext
+    * is checksum-wrapped (LocalFs extends ChecksumFs), so an fc.create
+    * would leave a `.crc` side file whose rename is a second,
+    * non-atomic metadata op (the reader-hammer race of round 5).
+    * Shared with the warehouse-level manifest pointer. */
+  private[warehouse] def installPointer(spark: SparkSession, dir: Path,
+                                        name: String,
+                                        content: String): Unit = {
+    val fc = fcOf(spark, dir)
+    val local = Option(fc.getDefaultFileSystem.getUri.getScheme)
+      .forall(_ == "file")
+    if (local) {
+      import java.nio.file.{Files, Paths, StandardCopyOption => O}
+      val d = Paths.get(new Path(dir, name).toUri.getPath).getParent
+      Files.createDirectories(d)
+      val tmp = d.resolve(s".$name.tmp")
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, d.resolve(name), O.ATOMIC_MOVE, O.REPLACE_EXISTING)
+      // a stale checksum side file from an older (fc.create-era) root
+      // would fail verification against the freshly-moved content
+      Files.deleteIfExists(d.resolve(s".$name.crc"))
+      Files.deleteIfExists(d.resolve(s"..$name.tmp.crc"))
+    } else {
+      val tmp = new Path(dir, s".$name.tmp")
+      val out = fc.create(tmp,
+        EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+        Options.CreateOpts.createParent())
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      fc.rename(tmp, new Path(dir, name), Options.Rename.OVERWRITE)
+    }
+  }
+
+  /** The live version number: the pointer file, or — when the pointer
+    * is missing (pre-first-publish, or the non-atomic local
+    * delete+rename window, or a crash inside it) — the highest complete
+    * snapshot directory. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    readPointer(spark, new Path(root, POINTER))
+      .map(_.drop(1).toLong)
+      .orElse(latestCompleteVersion(spark, root))
 
   /** Publish `df` as the table's next version; returns the snapshot
     * directory. The live table is readable throughout. */
@@ -131,14 +176,7 @@ object VersionedParquet {
     // metadata op — POSIX rename on local/HDFS). FileContext.rename
     // supports OVERWRITE where FileSystem.rename would refuse, and its
     // raw local implementation keeps no checksum side files (see fcOf).
-    val tmp = new Path(rootPath, s".$POINTER.tmp")
-    val fc = fcOf(spark, rootPath)
-    val out = fc.create(tmp,
-      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
-      Options.CreateOpts.createParent())
-    try out.write(versionName(next).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    try swapPointer(fc, tmp, new Path(rootPath, POINTER))
+    try installPointer(spark, rootPath, POINTER, versionName(next))
     catch {
       case e: IOException =>
         throw new IOException(s"could not swap pointer for $root; live " +
@@ -148,22 +186,6 @@ object VersionedParquet {
     // moved; only versions older than the last `keepVersions` go).
     vacuum(spark, root, keepVersions)
     snapshot.toString
-  }
-
-  /** Atomic pointer installation. On the local scheme Hadoop's raw
-    * rename-with-overwrite is delete(dst)-then-rename — a concurrent
-    * reader in that window sees NO pointer and a crash in it loses the
-    * pointer — so use `java.nio.Files.move`, whose ATOMIC_MOVE on POSIX
-    * is a single rename(2) that atomically replaces dst. Other schemes
-    * (HDFS et al.) implement `renameInternal(..., overwrite)` natively
-    * and keep the FileContext path. */
-  private def swapPointer(fc: FileContext, tmp: Path, dst: Path): Unit = {
-    val scheme = Option(fc.getDefaultFileSystem.getUri.getScheme)
-    if (scheme.forall(_ == "file")) {
-      import java.nio.file.{Files, Paths, StandardCopyOption => O}
-      Files.move(Paths.get(tmp.toUri.getPath), Paths.get(dst.toUri.getPath),
-        O.ATOMIC_MOVE, O.REPLACE_EXISTING)
-    } else fc.rename(tmp, dst, Options.Rename.OVERWRITE)
   }
 
   /** Read the live version — or, with `version = Some(n)`, a pinned

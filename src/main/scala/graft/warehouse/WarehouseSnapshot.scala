@@ -1,0 +1,181 @@
+package graft.warehouse
+
+import java.io.IOException
+import java.nio.charset.StandardCharsets
+import java.util.EnumSet
+
+import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Warehouse-level atomic snapshots: ONE pointer covering EVERY table,
+  * so a reader joining fact and dims never observes mixed versions —
+  * the multi-table half of a transactional format's commit log
+  * (VersionedParquet is the single-table half).
+  *
+  * The reference reloads its whole silver layer as one procedure
+  * (reference scripts/silver/proc_load_silver.sql:23-244 truncates and
+  * reloads the full table set inside a single batch), which implicitly
+  * gives downstream readers a consistent set; per-table pointer swaps
+  * alone cannot — during a refresh a reader could resolve table A at v5
+  * and table B at v4.
+  *
+  * Layout:
+  * {{{
+  *   root/_MANIFEST                // pointer: live manifest name
+  *   root/_manifests/m00000003     // immutable: "<table>\t<vNNNNNNNN>" lines
+  *   root/tables/<name>/...        // one VersionedParquet root per table
+  * }}}
+  *
+  * `publishAll` stages every table as a NEW per-table version (old
+  * versions untouched and still live), writes an immutable manifest
+  * naming the exact version of every table, then swaps the manifest
+  * pointer — the only step a reader can observe, and it is a single
+  * atomic rename. A crash anywhere before the swap leaves the previous
+  * snapshot fully intact; after the swap the publish is complete.
+  *
+  * `readSnapshot` resolves the manifest pointer ONCE and pins every
+  * table to that manifest's versions, so all frames it returns are
+  * mutually consistent no matter how many publishes race the read.
+  *
+  * Retention is manifest-driven: the newest `keepSnapshots` manifests
+  * are retained, and each table keeps every version any retained
+  * manifest references — never trusting per-table version counting,
+  * which would break if a table were also published standalone.
+  *
+  * Concurrency contract: single writer, fully concurrent readers —
+  * same as VersionedParquet, and the pointer swap stays O(1) in table
+  * count and table size.
+  */
+object WarehouseSnapshot {
+
+  private val POINTER = "_MANIFEST"
+  private val MANIFEST_DIR = "_manifests"
+
+  private def manifestName(n: Long) = f"m$n%08d"
+
+  private def fcOf(spark: SparkSession, p: Path) =
+    FileContext.getFileContext(p.toUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  private def tableRoot(root: String, name: String) = s"$root/tables/$name"
+
+  /** Highest manifest file on disk — the recovery source of truth when
+    * the pointer is missing (same crash-window argument as
+    * VersionedParquet.latestCompleteVersion: manifest files are written
+    * complete BEFORE the pointer swap, so the newest one is the
+    * snapshot the lost swap was installing). */
+  private def latestManifestOnDisk(spark: SparkSession,
+                                   root: String): Option[Long] = {
+    val dir = new Path(root, MANIFEST_DIR)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.matches("m\\d{8}"))
+      .map(_.drop(1).toLong).sorted.lastOption
+  }
+
+  /** The live manifest number (None before the first publishAll). */
+  def currentManifest(spark: SparkSession, root: String): Option[Long] =
+    VersionedParquet.readPointer(spark, new Path(root, POINTER))
+      .map(_.drop(1).toLong)
+      .orElse(latestManifestOnDisk(spark, root))
+
+  /** The table→version map a manifest pins. */
+  def tableVersions(spark: SparkSession, root: String,
+                    manifest: Long): Map[String, Long] = {
+    val p = new Path(new Path(root, MANIFEST_DIR), manifestName(manifest))
+    val fc = fcOf(spark, p)
+    if (!fc.util.exists(p))
+      throw new IOException(s"manifest $manifest of $root does not exist " +
+        "(never published, or vacuumed past retention)")
+    val in = fc.open(p)
+    val content =
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var r = in.read(buf)
+        while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+        new String(out.toByteArray, StandardCharsets.UTF_8)
+      } finally in.close()
+    content.split('\n').filter(_.nonEmpty).map { line =>
+      val Array(name, v) = line.split('\t')
+      name -> v.drop(1).toLong
+    }.toMap
+  }
+
+  /** Publish every table as one atomic warehouse snapshot; returns the
+    * new manifest number. Readers resolve either the whole previous
+    * snapshot or the whole new one — never a mix. */
+  def publishAll(tables: Seq[(String, DataFrame)], root: String,
+                 partitionCols: Map[String, Seq[String]] = Map.empty,
+                 keepSnapshots: Int = 2): Long = {
+    require(tables.nonEmpty, "a snapshot must cover at least one table")
+    require(keepSnapshots >= 1, "must retain at least the live snapshot")
+    val spark = tables.head._2.sparkSession
+    val rootPath = new Path(root)
+
+    // 1. Stage: publish each table as a fresh per-table version. Old
+    //    versions stay live and intact — retention here is manifest-
+    //    driven (step 4), so per-table publish must not retire anything
+    //    a retained manifest might still reference.
+    val published = tables.map { case (name, df) =>
+      VersionedParquet.publish(df, tableRoot(root, name),
+        partitionCols.getOrElse(name, Nil), keepVersions = Int.MaxValue)
+      name -> VersionedParquet.currentVersion(spark, tableRoot(root, name)).get
+    }
+
+    // 2. Write the immutable manifest file (complete before the pointer
+    //    can name it).
+    val next = currentManifest(spark, root).getOrElse(-1L) + 1
+    val mPath = new Path(new Path(rootPath, MANIFEST_DIR), manifestName(next))
+    val fc = fcOf(spark, mPath)
+    val out = fc.create(mPath,
+      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      Options.CreateOpts.createParent())
+    try out.write(published.map { case (n, v) => s"$n\t${f"v$v%08d"}" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+
+    // 3. The one observable step: atomic manifest-pointer swap.
+    try VersionedParquet.installPointer(spark, rootPath, POINTER,
+      manifestName(next))
+    catch {
+      case e: IOException =>
+        throw new IOException(s"could not swap manifest pointer for " +
+          s"$root; live snapshot unchanged, staged manifest $next", e)
+    }
+
+    // 4. Manifest-driven retention: keep the newest `keepSnapshots`
+    //    manifests and every table version any of them references.
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = next - keepSnapshots + 1
+    val mDir = new Path(rootPath, MANIFEST_DIR)
+    val (retired, retained) = fs.listStatus(mDir).toSeq
+      .map(_.getPath.getName).filter(_.matches("m\\d{8}"))
+      .map(_.drop(1).toLong).partition(_ < cutoff)
+    val pins: Map[String, Seq[Long]] = retained
+      .flatMap(m => tableVersions(spark, root, m).toSeq)
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
+    published.foreach { case (name, live) =>
+      val minPinned = pins.getOrElse(name, Seq(live)).min
+      VersionedParquet.vacuum(spark, tableRoot(root, name),
+        keepVersions = (live - minPinned + 1).toInt)
+    }
+    retired.foreach(m =>
+      fs.delete(new Path(mDir, manifestName(m)), false))
+    next
+  }
+
+  /** Resolve one consistent snapshot: every table pinned to the SAME
+    * manifest. `at` pins a historical manifest (snapshot time travel).
+    * Plans stay bound to their resolved snapshot dirs, so publishes
+    * racing downstream consumption never mix versions into a join. */
+  def readSnapshot(spark: SparkSession, root: String,
+                   at: Option[Long] = None): Map[String, DataFrame] = {
+    val m = at.orElse(currentManifest(spark, root)).getOrElse(
+      throw new IOException(s"no published snapshot under $root"))
+    tableVersions(spark, root, m).map { case (name, v) =>
+      name -> VersionedParquet.read(spark, tableRoot(root, name), Some(v))
+    }
+  }
+}

@@ -223,6 +223,74 @@ class ReliabilitySpec extends AnyFunSuite {
     }
   }
 
+  test("warehouse snapshot: a reader joining fact and dims never sees mixed versions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snapshot").toString + "/wh"
+    // version v tags every row of BOTH tables with v — any join whose
+    // two sides disagree on the tag is a torn (mixed-version) snapshot
+    def dim(v: Int) = (0 until 10).map(id => (id, v)).toDF("id", "dim_ver")
+    def fact(v: Int) =
+      (0 until 100).map(i => (i % 10, v)).toDF("id", "fact_ver")
+    def snap(v: Int) = Seq("dim" -> dim(v), "fact" -> fact(v))
+
+    WarehouseSnapshot.publishAll(snap(1), root, keepSnapshots = 4)
+    def readTags(): Array[(Int, Int)] = {
+      val s = WarehouseSnapshot.readSnapshot(spark, root)
+      s("fact").join(s("dim"), "id")
+        .select("fact_ver", "dim_ver").distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+    }
+    readTags() // warm codegen so reader iterations fit the grace window
+    @volatile var stop = false
+    @volatile var failure: Option[String] = None
+    val reader = new Thread(() => {
+      while (!stop && failure.isEmpty) {
+        try {
+          val pairs = readTags()
+          if (pairs.length != 1 || pairs.head._1 != pairs.head._2)
+            failure = Some(s"torn snapshot: ${pairs.toSeq}")
+        } catch {
+          case e: Exception => failure = Some(s"reader threw: $e")
+        }
+      }
+    })
+    reader.start()
+    // keepSnapshots=4 is the grace window: a reader that resolved a
+    // manifest keeps its pinned files on disk for 3 more publishes —
+    // the same contract a table format's VACUUM retention gives
+    try (2 to 8).foreach(v =>
+      WarehouseSnapshot.publishAll(snap(v), root, keepSnapshots = 4))
+    finally { stop = true; reader.join(30000) }
+    assert(failure.isEmpty, failure.getOrElse(""))
+    assert(WarehouseSnapshot.currentManifest(spark, root) === Some(7L))
+
+    // manifest-driven retention: 4 manifests kept, and each table keeps
+    // exactly the versions those manifests pin
+    def vdirs(t: String) = new java.io.File(s"$root/tables/$t").listFiles
+      .filter(_.isDirectory).map(_.getName).filter(_.matches("v\\d{8}"))
+      .sorted.toSeq
+    assert(vdirs("dim") === (4 to 7).map(v => f"v$v%08d"))
+    assert(vdirs("fact") === (4 to 7).map(v => f"v$v%08d"))
+    val manifests = new java.io.File(s"$root/_manifests").listFiles
+      .map(_.getName).filter(_.matches("m\\d{8}")).sorted.toSeq
+    assert(manifests === (4 to 7).map(m => f"m$m%08d"))
+
+    // snapshot time travel: the previous manifest still reads as a
+    // consistent set
+    val old = WarehouseSnapshot.readSnapshot(spark, root, at = Some(6L))
+    assert(old("dim").select("dim_ver").distinct()
+      .as[Int].collect().toSeq === Seq(7))
+
+    // a crashed publishAll (staged table version, manifest pointer
+    // never swapped) is invisible: readers keep resolving the complete
+    // previous snapshot
+    VersionedParquet.publish(fact(99), s"$root/tables/fact",
+      keepVersions = Int.MaxValue)
+    val s = WarehouseSnapshot.readSnapshot(spark, root)
+    assert(s("fact").select("fact_ver").distinct()
+      .as[Int].collect().toSeq === Seq(8))
+  }
+
   test("versioned compaction rewrites small files into few, content unchanged") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-compact").toString + "/tbl"
