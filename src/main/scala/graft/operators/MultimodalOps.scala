@@ -14,9 +14,11 @@ import graft.sources.{QueryDef, Tables}
   * batches (the Scala analogue of the Python mapInPandas batch shape):
   * the partitioning, schema, and batch plumbing here are real and tested.
   * The audio path is fully real — WAV/PCM decode is pure byte arithmetic
-  * (`decodePcm`, q78). Only the image/video byte→signal decode is a STUB
-  * (no JPEG/MP4 codecs in this container) — a deterministic hash-based
-  * fake, clearly marked.
+  * (`decodePcm`, q78) — and so is PNG: inflate is JDK-only
+  * (java.util.zip.Inflater) and scanline unfiltering is byte arithmetic
+  * (`decodePng`, q83). Only JPEG/MP4 byte→signal decode remains a STUB
+  * (no codecs in this container) — a deterministic hash-based fake,
+  * clearly marked.
   */
 object MultimodalOps {
 
@@ -42,11 +44,13 @@ object MultimodalOps {
       when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(0)
         .cast("int").as("sample_rate"))
 
-  /** STUB — image/video byte→signal decode. A real deployment swaps this
+  /** STUB — JPEG/MP4 byte→signal decode. A real deployment swaps this
     * body for an actual codec (JPEG decode, frame grab); everything
     * around it (schema, iterator batching, partition parallelism) is the
     * production shape. Deterministic: features derive from payload bytes.
-    * Audio needs no such stub — see `decodePcm` (real PCM decode, q78). */
+    * Audio needs no such stub — see `decodePcm` (real PCM decode, q78) —
+    * and neither does PNG — see `decodePng` (real inflate + unfilter,
+    * q83). */
   private def decodeStub(media: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var acc = 1125899906842597L // FNV-ish rolling hash, deterministic
@@ -256,6 +260,194 @@ object MultimodalOps {
     }
   }
 
+  // ── REAL image decode: PNG needs no codec library ──────────────────────
+  // A PNG is zlib-deflated, per-scanline-filtered RGB bytes inside
+  // CRC-guarded chunks. Inflate ships with the JDK
+  // (java.util.zip.Inflater) and the five scanline filters
+  // (None/Sub/Up/Average/Paeth) are byte arithmetic — so the image path
+  // is NOT stubbed: q83's per-item stats come from inflated, unfiltered
+  // pixel bytes. The synthesized pixels follow a closed-form formula of
+  // (doc_id, row, col, channel), the encoder cycles the filter type per
+  // scanline (r % 5 hits all five), splits the stream across two IDAT
+  // chunks, and writes real CRC32s — so a wrong inflate, filter
+  // reconstruction, chunk walk, or CRC check breaks the oracle's
+  // formula-derived hash match.
+
+  /** Image dimensions for an item: 8..16 × 6..16 (h ≥ 6 guarantees every
+    * filter type 0..4 appears via the r % 5 cycle). */
+  private def pngParams(id: Long): (Int, Int) =
+    (8 + (id % 9).toInt, 6 + (id % 11).toInt)
+
+  /** Closed-form pixel value: the oracle restates this formula in SQL. */
+  private def pixelValue(id: Long, r: Int, c: Int, ch: Int): Int =
+    ((id * 7 + r * 5 + c * 3 + ch * 11) % 256).toInt
+
+  /** PNG Paeth predictor (per the spec: nearest of left/up/up-left to
+    * the linear estimate a + b − c, ties preferring a then b). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** One complete chunk: length + type + data + CRC32 over type‖data. */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val tb = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    beInt(data.length) ++ tb ++ data ++ beInt(crc.getValue.toInt)
+  }
+
+  /** Encode a REAL 8-bit RGB PNG for an item: formula pixels, filter
+    * type cycling r % 5 (encoding the genuine Sub/Up/Average/Paeth
+    * deltas), zlib deflate, and the deflated stream split across TWO
+    * IDAT chunks so the decoder's multi-IDAT concatenation is load-
+    * bearing. */
+  private[operators] def encodePng(id: Long): Array[Byte] = {
+    val (w, h) = pngParams(id)
+    val bpl = w * 3
+    val raw = Array.ofDim[Byte](h, bpl)
+    for (r <- 0 until h; c <- 0 until w; ch <- 0 until 3)
+      raw(r)(c * 3 + ch) = pixelValue(id, r, c, ch).toByte
+    val filtered = new Array[Byte](h * (bpl + 1))
+    for (r <- 0 until h) {
+      val f = r % 5
+      filtered(r * (bpl + 1)) = f.toByte
+      for (i <- 0 until bpl) {
+        val x = raw(r)(i) & 0xff
+        val a = if (i >= 3) raw(r)(i - 3) & 0xff else 0
+        val b = if (r > 0) raw(r - 1)(i) & 0xff else 0
+        val c = if (i >= 3 && r > 0) raw(r - 1)(i - 3) & 0xff else 0
+        val enc = f match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 => x - paeth(a, b, c)
+        }
+        filtered(r * (bpl + 1) + 1 + i) = (enc & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered)
+    deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished()) zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val z = zout.toByteArray
+    val split = z.length / 2
+    PNG_SIG ++
+      pngChunk("IHDR", beInt(w) ++ beInt(h) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      pngChunk("IDAT", java.util.Arrays.copyOfRange(z, 0, split)) ++
+      pngChunk("IDAT", java.util.Arrays.copyOfRange(z, split, z.length)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Image items (doc_id % 3 == 0) whose payloads are REAL PNGs. */
+  def pngImageTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = pngParams(id)
+        MediaRow(id, "image", encodePng(id), w, h, 0)
+      }
+  }
+
+  final case class PngStats(item_id: Long, width: Int, height: Int,
+                            n_values: Long, sum_val: Long,
+                            weighted_sum: Long, min_val: Int, max_val: Int)
+
+  /** Decode a PNG payload: CRC-verified chunk walk, multi-IDAT zlib
+    * inflate, and per-scanline unfiltering (the exact inverse of the
+    * five filter types). Returns the reconstructed rows. Fails loudly —
+    * never silently — on a bad signature, chunk CRC, unsupported
+    * format, or truncated pixel stream. */
+  private[operators] def decodePngBytes(b: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    require(b.length >= 8 && b.startsWith(PNG_SIG), "not a PNG payload")
+    var off = 8
+    var w = 0; var h = 0
+    val idat = new java.io.ByteArrayOutputStream()
+    var done = false
+    while (!done) {
+      require(off + 12 <= b.length, "truncated chunk header")
+      val len = readBeInt(b, off)
+      require(len >= 0 && off + 12 + len <= b.length, "chunk overruns payload")
+      val typ = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, off + 4, 4 + len)
+      require(crc.getValue.toInt == readBeInt(b, off + 8 + len),
+        s"bad CRC for chunk $typ")
+      typ match {
+        case "IHDR" =>
+          w = readBeInt(b, off + 8); h = readBeInt(b, off + 12)
+          require(b(off + 16) == 8 && b(off + 17) == 2,
+            "only 8-bit RGB supported")
+        case "IDAT" => idat.write(b, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks: skip
+      }
+      off += 12 + len
+    }
+    require(w > 0 && h > 0, "missing or empty IHDR")
+    val bpl = w * 3
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val flat = new Array[Byte]((bpl + 1) * h)
+    var got = 0
+    while (got < flat.length && !inflater.finished())
+      got += inflater.inflate(flat, got, flat.length - got)
+    inflater.end()
+    require(got == flat.length, "truncated pixel stream")
+    val recon = Array.ofDim[Byte](h, bpl)
+    for (r <- 0 until h) {
+      val f = flat(r * (bpl + 1)) & 0xff
+      require(f <= 4, s"unknown filter type $f")
+      for (i <- 0 until bpl) {
+        val x = flat(r * (bpl + 1) + 1 + i) & 0xff
+        val a = if (i >= 3) recon(r)(i - 3) & 0xff else 0
+        val b2 = if (r > 0) recon(r - 1)(i) & 0xff else 0
+        val c = if (i >= 3 && r > 0) recon(r - 1)(i - 3) & 0xff else 0
+        val v = f match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b2
+          case 3 => x + (a + b2) / 2
+          case 4 => x + paeth(a, b2, c)
+        }
+        recon(r)(i) = (v & 0xff).toByte
+      }
+    }
+    (w, h, recon)
+  }
+
+  /** Per-partition PNG decode → pixel stats, the same iterator batch
+    * shape as decodePcm. The weighted sum is position-sensitive
+    * (index-dependent weight 1 + idx % 31), so a decode that produced
+    * the right multiset of values in the wrong positions still fails
+    * the oracle. */
+  def decodePng(media: Dataset[MediaRow]): Dataset[PngStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (w, h, rows) = decodePngBytes(r.media)
+        var sum = 0L; var wsum = 0L
+        var mn = 255; var mx = 0
+        var idx = 0L
+        for (row <- rows; i <- 0 until w * 3) {
+          val v = row(i) & 0xff
+          sum += v
+          wsum += v.toLong * (1 + idx % 31)
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          idx += 1
+        }
+        PngStats(r.item_id, w, h, w.toLong * h * 3, sum, wsum, mn, mx)
+      }
+    }
+  }
+
   final case class ParsedMedia(item_id: Long, declared_kind: String,
                                kind_detected: String, parsed_width: Int,
                                parsed_height: Int, parsed_rate: Int,
@@ -375,6 +567,40 @@ object MultimodalOps {
              |       CAST((n - 1) // hp AS INT) AS n_zero_cross,
              |       CAST(amp AS DOUBLE) AS rms
              |FROM p
+             |ORDER BY item_id""".stripMargin)),
+
+    // ── PNG round-trip: stats recovered from the PIXEL BYTES ──────────────
+    // Spark's answer walks CRC-guarded chunks, concatenates two IDAT
+    // chunks, inflates with java.util.zip.Inflater, and inverts the
+    // five scanline filters (the encoder cycles r % 5 through all of
+    // them); the oracle re-derives every stat from the pixel formula
+    // (id*7 + r*5 + c*3 + ch*11) % 256 by expanding the (row, col,
+    // channel) grid — it never sees the bytes. The position-weighted
+    // sum makes right-values-wrong-places fail too.
+    QueryDef("q83_png_decode",
+      (s, d) => decodePng(pngImageTable(s, d)).toDF()
+        .select("item_id", "width", "height", "n_values", "sum_val",
+          "weighted_sum", "min_val", "max_val")
+        .orderBy("item_id"),
+      Some("""WITH imgs AS (
+             |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 11 AS h
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |rows_ AS (SELECT doc_id, w, h, unnest(range(h)) AS r FROM imgs),
+             |cols_ AS (SELECT doc_id, w, h, r, unnest(range(w)) AS c FROM rows_),
+             |px AS (
+             |  SELECT doc_id, w, h,
+             |         (doc_id * 7 + r * 5 + c * 3 + ch * 11) % 256 AS v,
+             |         ((r * w + c) * 3 + ch) AS idx
+             |  FROM (SELECT *, unnest([0, 1, 2]) AS ch FROM cols_))
+             |SELECT doc_id AS item_id,
+             |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |       CAST(count(*) AS BIGINT) AS n_values,
+             |       CAST(sum(v) AS BIGINT) AS sum_val,
+             |       CAST(sum(v * (1 + idx % 31)) AS BIGINT) AS weighted_sum,
+             |       CAST(min(v) AS INT) AS min_val,
+             |       CAST(max(v) AS INT) AS max_val
+             |FROM px
+             |GROUP BY 1, 2, 3
              |ORDER BY item_id""".stripMargin))
   )
 }
