@@ -374,6 +374,101 @@ object SketchOps {
            |       CAST(c >= n_total // 512 AS INT) AS true_hitter
            |FROM kept
            |ORDER BY exact DESC, token ASC""".stripMargin
+      }),
+
+    // ── Sketch-FIRST heavy hitters: the 100 TB funnel, structurally ──────
+    // q82 derives its sketch from a tf aggregation that already holds
+    // exact counts, so its "only candidates pay the exact count" is
+    // notional. Here the funnel is real in the PLAN:
+    //   1. cells aggregate straight off the raw token stream — the
+    //      shuffle carries 4×64 cell keys (map-side partials collapse
+    //      each task to ≤256 rows), never the term dictionary;
+    //   2. candidates come from a STORED dictionary (a parquet terms
+    //      table, the q79 persist-and-probe pattern — in production
+    //      it's maintained incrementally) probing the broadcast cells;
+    //   3. ONLY candidates pay an exact count: a broadcast semi-join
+    //      restricts the raw stream BEFORE its token-keyed aggregation,
+    //      so the exact tier's shuffle carries candidate tokens only.
+    // CMS error stays one-sided (est >= exact), so no true hitter is
+    // missed; results equal q82's by construction (sum of per-term
+    // counts == count over the raw stream).
+    QueryDef("q84_sketch_first_hitters",
+      (s, d) => {
+        val D = 4
+        val W = 64L
+        val toks = Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("token"))
+        // stored dictionary: written once (run-unique path, like q79's
+        // signature index), re-read as the discovery probe side
+        val dictPath = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          "graft-term-dict-" + s.sparkContext.applicationId + "-" +
+            Integer.toHexString(d.hashCode)).getAbsolutePath
+        graft.warehouse.AtomicParquet.overwrite(toks.distinct(), dictPath)
+        val dict = s.read.parquet(dictPath)
+        def bucket(j: Int) = pmod(
+          Hashing.md5Long60(concat(lit(s"cms${j}_"), col("token"))), lit(W))
+        val jb = (j: Int) => struct(lit(j).as("j"), bucket(j).as("bucket"))
+        val cells = toks
+          .select(explode(array((0 until D).map(jb): _*)).as("jb"))
+          .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+          .agg(count(lit(1)).as("cell"))
+        val total = toks.agg(count(lit(1)).as("n_total"))
+        val candidates = dict
+          .select(col("token"), explode(array((0 until D).map(jb): _*)).as("jb"))
+          .join(broadcast(cells),
+            col("jb.j") === cells("j") && col("jb.bucket") === cells("bucket"))
+          .groupBy("token").agg(min("cell").as("cm_est"))
+          .crossJoin(broadcast(total))
+          .filter(col("cm_est") >= call_function("div",
+            col("n_total"), lit(512L)))
+        val exact = toks
+          .join(broadcast(candidates.select("token")), Seq("token"), "left_semi")
+          .groupBy("token").agg(count(lit(1)).as("exact"))
+        candidates.join(exact, Seq("token"))
+          .select(col("token"), col("cm_est"), col("exact"),
+            (col("exact") >= call_function("div",
+              col("n_total"), lit(512L))).cast("int").as("true_hitter"))
+          .orderBy(col("exact").desc, col("token").asc)
+      },
+      Some {
+        def bucketSql(j: Int) =
+          s"${Hashing.md5Long60Sql(s"'cms${j}_' || token")} % 64"
+        val cellUnion = (0 until 4).map(j =>
+          s"SELECT $j AS j, ${bucketSql(j)} AS bucket FROM toks")
+          .mkString("\n  UNION ALL\n  ")
+        val probeUnion = (0 until 4).map(j =>
+          s"SELECT token, $j AS j, ${bucketSql(j)} AS bucket FROM dict")
+          .mkString("\n  UNION ALL\n  ")
+        s"""WITH toks AS (
+           |  SELECT unnest(list_filter(string_split_regex(lower(text),
+           |           '[^a-z0-9]+'), x -> x != '')) AS token
+           |  FROM documents),
+           |dict AS (SELECT DISTINCT token FROM toks),
+           |cells AS (
+           |  SELECT j, bucket, CAST(count(*) AS BIGINT) AS cell
+           |  FROM (
+           |  $cellUnion)
+           |  GROUP BY 1, 2),
+           |total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks),
+           |probed AS (
+           |  $probeUnion),
+           |cand AS (
+           |  SELECT p.token, min(cl.cell) AS cm_est
+           |  FROM probed p JOIN cells cl USING (j, bucket)
+           |  GROUP BY 1),
+           |kept AS (
+           |  SELECT c.token, c.cm_est, t.n_total
+           |  FROM cand c CROSS JOIN total t
+           |  WHERE c.cm_est >= t.n_total // 512),
+           |exact AS (
+           |  SELECT token, count(*) AS exact FROM toks
+           |  WHERE token IN (SELECT token FROM kept)
+           |  GROUP BY 1)
+           |SELECT k.token, k.cm_est, e.exact,
+           |       CAST(e.exact >= k.n_total // 512 AS INT) AS true_hitter
+           |FROM kept k JOIN exact e USING (token)
+           |ORDER BY exact DESC, token ASC""".stripMargin
       })
   )
 }

@@ -205,4 +205,52 @@ class PlanSpec extends AnyFunSuite {
       "the 256-cell sketch and the candidate set must broadcast")
     assert(collectAll(p) { case s: SortMergeJoinExec => s }.isEmpty)
   }
+
+  test("q84 sketch-first: the raw stream pays a token shuffle only after the semi-join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = planOf("q84_sketch_first_hitters")
+    def sub[A](n: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] = {
+      val here = n.collect(f)
+      val aqe = n.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+        .flatMap(inner => sub(inner)(f))
+      here ++ aqe
+    }
+    // collect on the STREAMED path only: anything arriving through a
+    // BroadcastExchange is bounded (256 sketch cells, the 1-row total,
+    // the candidate set) and is allowed anywhere
+    def streamSide[A](n: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] =
+      n match {
+        case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => Nil
+        case a: AdaptiveSparkPlanExec => streamSide(a.executedPlan)(f)
+        case _ =>
+          (if (f.isDefinedAt(n)) Seq(f(n)) else Nil) ++
+            n.children.flatMap(c => streamSide(c)(f))
+      }
+    val tokenAggs = collectAll(p) {
+      case a: HashAggregateExec
+        if a.groupingExpressions.exists(_.name == "token") => a
+    }
+    assert(tokenAggs.nonEmpty)
+    // every token-keyed aggregate whose STREAMED input reads the raw
+    // corpus must sit above a LeftSemi broadcast restriction (the
+    // candidate filter); token aggregates fed from the stored
+    // dictionary need none — i.e. no full-corpus tf is ever built
+    tokenAggs.foreach { a =>
+      val corpusOnStream = streamSide(a) { case f: FileSourceScanExec => f }
+        .exists(_.metadata.get("Location").exists(_.contains("documents")))
+      if (corpusOnStream)
+        assert(streamSide(a) {
+          case j: BroadcastHashJoinExec
+            if j.joinType.toString == "LeftSemi" => j
+        }.nonEmpty,
+          "a token aggregate over the raw stream must be semi-join-restricted")
+    }
+    // the funnel's semi-join exists, and nothing sort-merges
+    assert(collectAll(p) {
+      case j: BroadcastHashJoinExec if j.joinType.toString == "LeftSemi" => j
+    }.nonEmpty)
+    assert(collectAll(p) { case s: SortMergeJoinExec => s }.isEmpty)
+  }
 }
