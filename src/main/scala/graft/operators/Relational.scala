@@ -652,6 +652,43 @@ object Relational {
              |  UNION ALL
              |  SELECT 'orders_orphan_customers', count(*) FROM orders
              |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) t
-             |ORDER BY check_name""".stripMargin))
+             |ORDER BY check_name""".stripMargin)),
+
+    // ── Skewed large⋈large join, salted ───────────────────────────────────
+    // Every real 100 TB corpus has a hot key somewhere; this registers
+    // the mitigation as a correctness-gated query instead of a
+    // spec-only mechanism. The key expression deliberately funnels ~30%
+    // of lineitem onto one part key (every l_partkey % 10 < 3 collapses
+    // to 1); Salt.saltedJoin spreads that key over 16 deterministic
+    // sub-keys and replicates the part side 16×, so the shuffle hashes
+    // on (k, __salt) and the hot key occupies 16 tasks instead of one
+    // (PlanSpec asserts the partitioning with broadcast disabled).
+    // Row-identical to the plain equi-join — the oracle states the
+    // PLAIN join; quantities are integral doubles, so sums are exact in
+    // any order.
+    QueryDef("q85_salted_skew_join",
+      (s, d) => {
+        val skewKey = when(col("l_partkey") % 10 < 3, 1L)
+          .otherwise(col("l_partkey"))
+        val left = li(s, d).select(skewKey.as("k"),
+          col("l_quantity"), col("l_extendedprice"))
+        val right = Tables.part(s, d)
+          .select(col("p_partkey").as("k"), col("p_brand"))
+        graft.functions.Salt.saltedJoin(left, right, Seq("k"), salts = 16)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("l_quantity").as("sum_qty"))
+          .orderBy("p_brand")
+      },
+      Some("""WITH l AS (
+             |  SELECT CASE WHEN l_partkey % 10 < 3 THEN 1
+             |              ELSE l_partkey END AS k,
+             |         l_quantity
+             |  FROM lineitem),
+             |p AS (SELECT p_partkey AS k, p_brand FROM part)
+             |SELECT p_brand, count(*) AS n_rows, sum(l_quantity) AS sum_qty
+             |FROM l JOIN p USING (k)
+             |GROUP BY 1
+             |ORDER BY p_brand""".stripMargin))
   )
 }

@@ -105,6 +105,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q85 salted skew join: the shuffle hashes on (k, __salt), not k alone") {
+    // salting targets the non-broadcastable case — force the shuffle
+    // join the query would face at 100 TB and assert the hot key is
+    // spread across salt sub-keys
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q85_salted_skew_join")(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val exchanges = collectAll(df.queryExecution.executedPlan) {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.exists(_.outputPartitioning.toString.contains("__salt")),
+        "the join exchange must partition on the salted key")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q48 as-of join: merge shape — no join operator anywhere in the plan") {
     // The scalable as-of is union + one windowed pass; a join-based plan
     // (per-purchase subquery or theta-join) is the regression to catch.
