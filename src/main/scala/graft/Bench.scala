@@ -85,5 +85,17 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
     spark.stop()
+    // LAST stdout line, printed after spark.stop() so nothing follows
+    // it but sbt's own one-line epilogue: a COMPACT copy that fits the
+    // driver's 2000-char tail capture (rounds 4-6 all landed
+    // parsed:null because the full line above is ~3000 chars and the
+    // capture kept only its tail). Keys are shortened to their qNN
+    // prefix and timings to 2 decimals; full detail stays in the full
+    // line and BENCH_LAST.json.
+    def r2(v: Double) = math.rint(v * 100) / 100
+    val shortQs = results
+      .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
   }
 }

@@ -642,15 +642,13 @@ object DedupOps {
     QueryDef("q79_incremental_dedup",
       (s, d) => {
         val sigs = signatures(s, d)
-        // Run-unique path: keyed by this session's applicationId as
-        // well as the dataset dir, so two concurrent harness runs over
-        // the same data never share an index directory (AtomicParquet
-        // is single-writer; a shared path could corrupt a probe
-        // mid-query).
-        val indexPath = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          "graft-sig-index-" + s.sparkContext.applicationId + "-" +
-            Integer.toHexString(d.hashCode)).getAbsolutePath
+        // Run-unique path (Scratch: per-app root, shutdown-hook
+        // deleted) keyed by the dataset dir, so two concurrent harness
+        // runs over the same data never share an index directory
+        // (AtomicParquet is single-writer; a shared path could corrupt
+        // a probe mid-query) and finished runs leave no /tmp garbage.
+        val indexPath = graft.sources.Scratch.dir(s,
+          "sig-index-" + Integer.toHexString(d.hashCode))
         graft.warehouse.AtomicParquet.overwrite(
           sigs.filter(col("doc_id") % 10 =!= 0), indexPath)
         val stored = s.read.parquet(indexPath)

@@ -396,8 +396,16 @@ object MultimodalOps {
     inflater.setInput(idat.toByteArray)
     val flat = new Array[Byte]((bpl + 1) * h)
     var got = 0
-    while (got < flat.length && !inflater.finished())
-      got += inflater.inflate(flat, got, flat.length - got)
+    var stalled = false
+    while (got < flat.length && !inflater.finished() && !stalled) {
+      val n = inflater.inflate(flat, got, flat.length - got)
+      // inflate()==0 with needsInput/needsDictionary means the stream
+      // ran dry mid-pixel (truncated/corrupt IDAT) — without this exit
+      // the loop spins forever instead of reaching the require below
+      if (n == 0 && (inflater.needsInput() || inflater.needsDictionary()))
+        stalled = true
+      else got += n
+    }
     inflater.end()
     require(got == flat.length, "truncated pixel stream")
     val recon = Array.ofDim[Byte](h, bpl)

@@ -398,12 +398,11 @@ object SketchOps {
         val W = 64L
         val toks = Tables.documents(s, d)
           .select(explode(tokens(col("text"))).as("token"))
-        // stored dictionary: written once (run-unique path, like q79's
-        // signature index), re-read as the discovery probe side
-        val dictPath = new java.io.File(
-          sys.props("java.io.tmpdir"),
-          "graft-term-dict-" + s.sparkContext.applicationId + "-" +
-            Integer.toHexString(d.hashCode)).getAbsolutePath
+        // stored dictionary: written once (run-unique Scratch path,
+        // like q79's signature index — per-app root, shutdown-hook
+        // deleted), re-read as the discovery probe side
+        val dictPath = graft.sources.Scratch.dir(s,
+          "term-dict-" + Integer.toHexString(d.hashCode))
         graft.warehouse.AtomicParquet.overwrite(toks.distinct(), dictPath)
         val dict = s.read.parquet(dictPath)
         def bucket(j: Int) = pmod(

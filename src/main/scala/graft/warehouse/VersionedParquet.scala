@@ -199,9 +199,15 @@ object VersionedParquet {
     val v = version.getOrElse(currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root")))
     val snapshot = new Path(root, versionName(v))
-    if (version.isDefined && !fsOf(spark, snapshot).exists(snapshot))
-      throw new IOException(s"version $v of $root does not exist " +
-        "(never published, or vacuumed past retention)")
+    // Same completeness predicate as versions()/latestCompleteVersion:
+    // a crash-orphaned directory without _SUCCESS must fail loudly here
+    // too, not resolve to partial data.
+    val fs = fsOf(spark, snapshot)
+    if (version.isDefined &&
+        !(fs.exists(snapshot) && fs.exists(new Path(snapshot, "_SUCCESS"))))
+      throw new IOException(s"version $v of $root does not exist or is " +
+        "incomplete (never published, crashed mid-write, or vacuumed " +
+        "past retention)")
     spark.read.parquet(snapshot.toString)
   }
 

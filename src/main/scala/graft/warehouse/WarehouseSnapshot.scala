@@ -2,9 +2,8 @@ package graft.warehouse
 
 import java.io.IOException
 import java.nio.charset.StandardCharsets
-import java.util.EnumSet
 
-import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
+import org.apache.hadoop.fs.{FileContext, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Warehouse-level atomic snapshots: ONE pointer covering EVERY table,
@@ -125,16 +124,15 @@ object WarehouseSnapshot {
     }
 
     // 2. Write the immutable manifest file (complete before the pointer
-    //    can name it).
+    //    can name it). Temp-file + atomic rename — latestManifestOnDisk
+    //    treats the highest manifest as recovery truth when the pointer
+    //    is lost, so a crash mid-manifest-write must never leave a torn
+    //    manifest at a resolvable name (the `.m*.tmp` staging name is
+    //    excluded by the m\d{8} pattern).
     val next = currentManifest(spark, root).getOrElse(-1L) + 1
-    val mPath = new Path(new Path(rootPath, MANIFEST_DIR), manifestName(next))
-    val fc = fcOf(spark, mPath)
-    val out = fc.create(mPath,
-      EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
-      Options.CreateOpts.createParent())
-    try out.write(published.map { case (n, v) => s"$n\t${f"v$v%08d"}" }
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    VersionedParquet.installPointer(spark, new Path(rootPath, MANIFEST_DIR),
+      manifestName(next),
+      published.map { case (n, v) => s"$n\t${f"v$v%08d"}" }.mkString("\n"))
 
     // 3. The one observable step: atomic manifest-pointer swap.
     try VersionedParquet.installPointer(spark, rootPath, POINTER,

@@ -64,4 +64,47 @@ class Round6OpsSpec extends AnyFunSuite {
       MultimodalOps.decodePngBytes("definitely not a png".getBytes)
     }
   }
+
+  test("q83 PNG decode fails loudly (no hang) when the deflate stream runs dry") {
+    // drop the second IDAT chunk wholesale: every remaining chunk keeps
+    // a valid CRC, so the walk succeeds, but the inflater runs dry
+    // mid-pixel — inflate() returns 0 with needsInput forever, and
+    // without the stall exit the decode loop would spin, not fail
+    val png = MultimodalOps.encodePng(7L)
+    def beInt(off: Int) =
+      java.nio.ByteBuffer.wrap(png, off, 4).getInt
+    var off = 8
+    var idat1End = -1
+    var iendStart = -1
+    while (iendStart < 0) {
+      val len = beInt(off)
+      val typ = new String(png, off + 4, 4, "US-ASCII")
+      if (typ == "IDAT" && idat1End < 0) idat1End = off + 12 + len
+      if (typ == "IEND") iendStart = off
+      off += 12 + len
+    }
+    val oneIdat = png.take(idat1End) ++ png.drop(iendStart)
+    val done = new java.util.concurrent.CompletableFuture[Throwable]()
+    val t = new Thread(() => done.complete(
+      intercept[IllegalArgumentException] {
+        MultimodalOps.decodePngBytes(oneIdat)
+      }))
+    t.setDaemon(true); t.start()
+    val e = done.get(10, java.util.concurrent.TimeUnit.SECONDS)
+    assert(e.getMessage.contains("truncated pixel stream"))
+  }
+
+  test("Scratch dirs share one per-app root under tmpdir (bounded /tmp residue)") {
+    val a = graft.sources.Scratch.dir(spark, "spec-tag-a")
+    val b = graft.sources.Scratch.dir(spark, "spec-tag-b")
+    assert(a !== b)
+    val pa = new java.io.File(a).getParentFile
+    assert(pa === new java.io.File(b).getParentFile,
+      "all tags must live under the single shutdown-hooked root")
+    assert(pa.exists() && pa.isDirectory)
+    assert(pa.getName ===
+      "graft-scratch-" + spark.sparkContext.applicationId)
+    assert(pa.getParentFile.getAbsolutePath ===
+      new java.io.File(sys.props("java.io.tmpdir")).getAbsolutePath)
+  }
 }

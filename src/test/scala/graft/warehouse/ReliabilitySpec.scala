@@ -291,6 +291,46 @@ class ReliabilitySpec extends AnyFunSuite {
       .as[Int].collect().toSeq === Seq(8))
   }
 
+  test("manifest recovery ignores staging and stray files in _manifests") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-manifest-stray").toString + "/wh"
+    WarehouseSnapshot.publishAll(Seq("t" -> Seq(1).toDF("x")), root)
+    WarehouseSnapshot.publishAll(Seq("t" -> Seq(2).toDF("x")), root)
+    // simulate a crash mid-manifest-write (staging temp left behind) and
+    // unrelated junk: neither may ever resolve as a manifest
+    val mdir = new java.io.File(s"$root/_manifests")
+    java.nio.file.Files.write(mdir.toPath.resolve(".m00000099.tmp"),
+      "t\tv99".getBytes)
+    java.nio.file.Files.write(mdir.toPath.resolve("junk"),
+      "torn\tgarbage\nhalf-a-li".getBytes)
+    // pointer lost (the very window the disk fallback exists for)
+    assert(new java.io.File(root, "_MANIFEST").delete())
+    assert(WarehouseSnapshot.currentManifest(spark, root) === Some(1L))
+    val snap = WarehouseSnapshot.readSnapshot(spark, root)
+    assert(snap("t").as[Int].collect().toSeq === Seq(2))
+  }
+
+  test("pinned version read refuses a crash-orphaned snapshot without _SUCCESS") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-orphan-pin").toString + "/tbl"
+    VersionedParquet.publish(Seq(1, 2).toDF("x"), root)
+    // a parquet write that crashed before its _SUCCESS commit: directory
+    // exists, data may be partial
+    val orphan = new java.io.File(root, "v00000001")
+    assert(orphan.mkdirs())
+    java.nio.file.Files.write(
+      orphan.toPath.resolve("part-00000.parquet"), Array[Byte](0, 1, 2))
+    // versions()/currentVersion already exclude it; the pinned read must
+    // fail loudly too, not resolve partial data
+    assert(VersionedParquet.versions(spark, root) === Seq(0L))
+    val e = intercept[java.io.IOException] {
+      VersionedParquet.read(spark, root, Some(1L))
+    }
+    assert(e.getMessage.contains("incomplete"))
+    assert(VersionedParquet.read(spark, root, Some(0L))
+      .as[Int].collect().sorted.toSeq === Seq(1, 2))
+  }
+
   test("versioned compaction rewrites small files into few, content unchanged") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-compact").toString + "/tbl"
