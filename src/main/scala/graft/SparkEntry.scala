@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.sources.QueryDef
-import graft.operators.{CatalogOps, CurationOps, DedupOps, EventOps, MultimodalOps, OlapOps, Relational, SampleOps, SimilarityOps, SketchOps, TemporalOps, TextOps}
+import graft.operators.{CatalogOps, CurationOps, DedupOps, EventOps, MultimodalOps, OlapOps, ProfileOps, Relational, SampleOps, SimilarityOps, SketchOps, TemporalOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.queries ++ CatalogOps.queries ++ OlapOps.queries ++
       TextOps.queries ++ DedupOps.queries ++ SimilarityOps.queries ++
       EventOps.queries ++ TemporalOps.queries ++ SampleOps.queries ++
-      CurationOps.queries ++ SketchOps.queries ++ MultimodalOps.queries
+      CurationOps.queries ++ SketchOps.queries ++ MultimodalOps.queries ++
+      ProfileOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join revenue-by-nation aggregate (J3) — exercises scan,

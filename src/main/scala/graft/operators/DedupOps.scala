@@ -350,6 +350,68 @@ object DedupOps {
     comp.select(col("id").as("doc_id"), col("root").as("group_id"))
   }
 
+  /** Span-level exact dedup — the substring-dedup shape of Lee et al.
+    * 2021 ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): a token N-gram occurring in >= 2 DISTINCT
+    * documents marks its occurrence span as duplicated; per document,
+    * overlapping-or-adjacent marked spans merge into maximal regions.
+    * Returns (doc_id, span_start, span_end, span_len) with 0-based
+    * inclusive TOKEN indexes — the cut list a curation pass feeds to a
+    * span-removal rewrite (the q58 curation pipeline consumes doc-level
+    * decisions; this is the finer-grained variant the paper argues for:
+    * ~depth-1 duplicated passages inside otherwise-unique pages).
+    *
+    * Scale design:
+    *  - N-gram generation is per-row array work (transform over a
+    *    sequence) — zero shuffle, stays in whole-stage codegen.
+    *  - Cross-document detection is ONE shuffle keyed on the gram:
+    *    min(doc_id) != max(doc_id) over the gram's window partition
+    *    replaces the usual count(distinct) + semi-join back (which
+    *    would shuffle the occurrence stream TWICE on the same key).
+    *    Window state is two longs, so even a boilerplate gram shared by
+    *    millions of documents costs O(1) memory — the skew cost is
+    *    partition residence only, and the q35 df-cap playbook (cap the
+    *    occurrence list, AQE skew split) applies unchanged at 100 TB.
+    *  - The paper's suffix array finds arbitrary-length duplicates but
+    *    needs a global sort; fixed-N gram marking is the standard
+    *    distributed approximation — a duplicated run of >= N tokens is
+    *    ALWAYS found (every window inside it is duplicated), shorter
+    *    ones never. N trades recall floor vs false-mark rate.
+    *  - Span merge is the classic interval-union window (running max of
+    *    prior ends -> new-group flag -> cumulative group id), all on the
+    *    doc_id partitioning: one narrow shuffle, bounded state. */
+  private[graft] def duplicatedSpans(spark: SparkSession, dir: String,
+                                     n: Int): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), x => x =!= lit("")).as("toks"))
+    val occ = toks
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))))
+      .toDF("doc_id", "ts", "gram")
+    val perGram = Window.partitionBy("gram")
+    val marked = occ
+      .withColumn("mn", min("doc_id").over(perGram))
+      .withColumn("mx", max("doc_id").over(perGram))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("ts"), (col("ts") + n - 1).as("te"))
+    val byStart = Window.partitionBy("doc_id").orderBy("ts")
+    val prevEnd = max("te")
+      .over(byStart.rowsBetween(Window.unboundedPreceding, -1))
+    marked
+      .withColumn("new_grp",
+        when(prevEnd.isNull || col("ts") > prevEnd + 1, 1).otherwise(0))
+      .withColumn("gid", sum("new_grp").over(byStart))
+      .groupBy("doc_id", "gid")
+      .agg(min("ts").cast("long").as("span_start"),
+        max("te").cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── Exact dedup: hash group-by on normalized text ─────────────────────
@@ -664,7 +726,52 @@ object DedupOps {
              |FROM bands a JOIN bands b
              |  ON a.band = b.band AND a.key = b.key
              |WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ── Span-level exact dedup: duplicated N-gram runs, interval-merged ───
+    // N=6 on whitespace tokens: the synthetic corpus carries injected
+    // cross-document passages (47 docs share >= 6-token runs at
+    // sf0.01), so the output exercises real interval merging, not
+    // single-gram spans. The oracle mirrors the min/max-over-gram
+    // detection and the interval-union window clause for clause.
+    QueryDef("q86_span_dedup",
+      (s, d) => duplicatedSpans(s, d, n = 6),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(text, '\s+'),
+             |                     x -> x != '') AS toks
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, unnest(range(1, len(toks) - 6 + 2)) AS i, toks
+             |  FROM t WHERE len(toks) >= 6),
+             |occ AS (
+             |  SELECT doc_id, i - 1 AS ts, i + 6 - 2 AS te,
+             |         array_to_string(toks[i:i+5], ' ') AS gram
+             |  FROM g),
+             |marked AS (
+             |  SELECT doc_id, ts, te FROM (
+             |    SELECT occ.*, min(doc_id) OVER (PARTITION BY gram) AS mn,
+             |           max(doc_id) OVER (PARTITION BY gram) AS mx
+             |    FROM occ)
+             |  WHERE mn <> mx),
+             |flagged AS (
+             |  SELECT doc_id, ts, te,
+             |         max(te) OVER (PARTITION BY doc_id ORDER BY ts
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |           AS prev_te
+             |  FROM marked),
+             |grp AS (
+             |  SELECT doc_id, ts, te,
+             |         sum(CASE WHEN prev_te IS NULL OR ts > prev_te + 1
+             |                  THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY ts) AS gid
+             |  FROM flagged)
+             |SELECT doc_id,
+             |       CAST(min(ts) AS BIGINT) AS span_start,
+             |       CAST(max(te) AS BIGINT) AS span_end,
+             |       CAST(max(te) - min(ts) + 1 AS BIGINT) AS span_len
+             |FROM grp GROUP BY doc_id, gid
+             |ORDER BY doc_id, span_start""".stripMargin))
   )
 
   /** DuckDB CTE chain computing `comp(id, group_id)` — the recursive-CTE

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{QueryDef, Tables}
+
+/** Single-pass column profiler — the Deequ/Great-Expectations "profile
+  * every column before you trust the table" primitive, stated as a
+  * query. One aggregate over one scan computes, per column: row count,
+  * null count, exact distinct count, and min/max/avg of the column's
+  * measure (LENGTH for strings, VALUE for numerics); the wide 1-row
+  * aggregate then unpivots to long form with `stack` (driver-free, no
+  * second scan).
+  *
+  * Scale notes:
+  *  - Multiple exact count(DISTINCT) in one aggregate plan as a single
+  *    Expand (one replica per distinct column) feeding ONE shuffle —
+  *    the standard Spark multi-distinct shape. The Expand multiplies
+  *    shuffle rows by the number of profiled columns; at 100 TB swap
+  *    exact distincts for approx_count_distinct / the q70 HLL sketch
+  *    (mergeable across days) and the Expand disappears — the gate
+  *    keeps the exact form because the oracle must match bit-for-bit.
+  *  - Everything else (null flags, lengths) is narrow per-row work
+  *    inside whole-stage codegen; no driver collect, no per-column
+  *    scans (the naive profiler runs C scans for C columns).
+  */
+object ProfileOps {
+
+  /** measure(c): what min/max/avg profile — length for strings, the
+    * value itself for numerics. Cast to long so every profiled column
+    * lands in one output type. */
+  private def measure(c: String, isString: Boolean): Column =
+    if (isString) length(col(c)).cast("long") else col(c).cast("long")
+
+  private val COLS: Seq[(String, Boolean)] =
+    Seq("lang" -> true, "n_chars" -> false, "source" -> true, "text" -> true)
+
+  private[graft] def profile(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: COLS.flatMap {
+      case (c, isStr) => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long").as(s"${c}_nul"),
+        countDistinct(col(c)).as(s"${c}_dis"),
+        min(measure(c, isStr)).as(s"${c}_min"),
+        max(measure(c, isStr)).as(s"${c}_max"),
+        round(avg(measure(c, isStr)), 4).as(s"${c}_avg"))
+    }
+    val wide = d.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = COLS.map { case (c, _) =>
+      s"'$c', n_rows, ${c}_nul, ${c}_dis, ${c}_min, ${c}_max, ${c}_avg"
+    }.mkString(", ")
+    wide.selectExpr(
+      s"stack(${COLS.size}, $stackArgs)" +
+        " AS (col_name, n_rows, n_null, n_distinct, min_v, max_v, avg_v)")
+      .orderBy("col_name")
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    // ── One-pass table profile over `documents` ───────────────────────────
+    // The oracle states the same profile as one UNION-ALL branch per
+    // column (DuckDB re-scans per branch; the Spark side is the
+    // one-scan formulation under test).
+    QueryDef("q88_column_profile",
+      (s, d) => profile(s, d),
+      Some {
+        def branch(c: String, m: String) =
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_null,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(min($m) AS BIGINT) AS min_v,
+             |  CAST(max($m) AS BIGINT) AS max_v,
+             |  round(avg($m), 4) AS avg_v
+             |FROM documents""".stripMargin
+        Seq(branch("lang", "len(lang)"), branch("n_chars", "n_chars"),
+          branch("source", "len(source)"), branch("text", "len(text)"))
+          .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+      })
+  )
+}

@@ -156,6 +156,50 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** SemDeDup cluster assignment: each vector to its nearest of the k
+    * seed centroids (k smallest vec_ids — deterministic so the DuckDB
+    * oracle mirrors it; production swaps in k-means|| centroids without
+    * touching the downstream shape). Returns
+    * (vec_id, cluster, embedding, nrm). */
+  private[graft] def semAssign(spark: SparkSession, dir: String,
+                               k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(normSq("embedding")).as("nrm"))
+    val seeds = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"),
+        col("nrm").as("cnrm"))
+    val scored = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (dot("embedding", "cvec") / (col("nrm") * col("cnrm"))).as("cs"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cs").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid").as("cluster"),
+        col("embedding"), col("nrm"))
+  }
+
+  /** SemDeDup drop list: a vector is dropped when a more senior
+    * (smaller vec_id) cell-mate sits at cosine >= tau. See the q87
+    * QueryDef for the full design rationale. */
+  private[graft] def semDedup(spark: SparkSession, dir: String,
+                              k: Int, tau: Double): DataFrame = {
+    val asg = semAssign(spark, dir, k)
+    val a = asg.select(col("cluster"), col("vec_id").as("keeper"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = asg.select(col("cluster"), col("vec_id").as("dropped"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("keeper") < col("dropped"))
+      .filter((dot("emb_a", "emb_b")
+        / (col("nrm_a") * col("nrm_b"))) >= tau)
+      .groupBy("cluster", "dropped")
+      .agg(min("keeper").as("kept_by"))
+      .select(col("dropped").as("vec_id"), col("cluster"), col("kept_by"))
+      .orderBy("vec_id")
+  }
+
   /** DuckDB CTEs computing the same (vec_id, table, key) rows: the plane
     * coefficients are recomputed in SQL from the same md5 formula, so no
     * giant literal matrix is embedded. */
@@ -445,6 +489,59 @@ object SimilarityOps {
              |         * (CAST(embedding[i] AS DOUBLE) - qv[i] * (maxabs / 127.0))
              |       )), 6) AS recon_sse
              |FROM q
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ── SemDeDup: cluster-blocked semantic drop list ──────────────────────
+    // Abbas et al. 2023 (arXiv:2303.09540): partition the corpus into
+    // centroid cells, then the quadratic near-dup test runs only WITHIN
+    // a cell — the paper's core trick for making semantic dedup
+    // tractable. Seeds = the K smallest vec_ids (deterministic, so the
+    // oracle mirrors the assignment exactly); a vector is DROPPED when a
+    // more senior (smaller vec_id) cell-mate sits at cosine >= tau.
+    // Output is the curation decision itself: (vec_id, cluster,
+    // kept_by) — ids only, no float column, so the gate is immune to
+    // last-ulp summation differences. tau = 0.4 matches q46's threshold
+    // convention on this near-uniform synthetic corpus (19 drops at
+    // sf0.01, 235 at sf0.1).
+    //
+    // 100 TB shape: assignment is a broadcast join against K centroids
+    // (from k-means||, K sized to cap cell population) + per-row argmax;
+    // the within-cell pair join shuffles on cluster id where AQE
+    // skew-split handles hot cells. Nothing here is all-pairs: the
+    // pair mass is sum of cell sizes squared, controlled by K.
+    QueryDef("q87_semdedup",
+      (s, d) => semDedup(s, d, k = 8, tau = 0.4),
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, embedding,
+             |         sqrt(list_sum(list_transform(range(1, 65),
+             |           i -> CAST(embedding[i] AS DOUBLE)
+             |                * CAST(embedding[i] AS DOUBLE)))) AS nrm
+             |  FROM embeddings),
+             |seeds AS (
+             |  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnrm
+             |  FROM e ORDER BY vec_id LIMIT 8),
+             |scored AS (
+             |  SELECT e.vec_id, e.embedding, e.nrm, s.cid,
+             |         list_sum(list_transform(range(1, 65),
+             |           i -> CAST(e.embedding[i] AS DOUBLE)
+             |                * CAST(s.cvec[i] AS DOUBLE)))
+             |           / (e.nrm * s.cnrm) AS cs
+             |  FROM e CROSS JOIN seeds s),
+             |asg AS (
+             |  SELECT vec_id, embedding, nrm, cid AS cluster FROM (
+             |    SELECT scored.*, row_number() OVER (
+             |      PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk
+             |    FROM scored)
+             |  WHERE rk = 1)
+             |SELECT b.vec_id AS vec_id, b.cluster AS cluster,
+             |       min(a.vec_id) AS kept_by
+             |FROM asg a JOIN asg b
+             |  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             |WHERE list_sum(list_transform(range(1, 65),
+             |        i -> CAST(a.embedding[i] AS DOUBLE)
+             |             * CAST(b.embedding[i] AS DOUBLE)))
+             |      / (a.nrm * b.nrm) >= 0.4
+             |GROUP BY b.vec_id, b.cluster
              |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.FunctionBridge
+
+import graft.functions.{TextKernels, TextStat, VectorDot}
+
+/** SQL surface for graft's native codegen kernels.
+  *
+  * The reference engine's entire user surface is SQL (every analysis
+  * script in `/root/reference/scripts/analysis/` is a plain query); this
+  * class gives the Spark engine the same property for its CUSTOM
+  * operators: the text-statistics kernel ([[TextStat]]) and the vector
+  * dot kernel ([[VectorDot]]) become ordinary SQL functions, usable from
+  * `spark.sql("...")`, thrift-server sessions, or notebook SQL cells —
+  * no Scala import required.
+  *
+  * Two activation paths, same function table:
+  *  - cluster config: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (the standard extension-library deployment; applied at session
+  *    build via [[SparkSessionExtensions.injectFunction]]),
+  *  - runtime: [[GraftFunctions.register]] on a live session (what the
+  *    correctness gate uses — the Verify session is driver-built).
+  *
+  * The functions resolve to the SAME Catalyst expressions the DataFrame
+  * API uses, so SQL callers get whole-stage codegen, null-safety, and
+  * type checking identical to the Scala path — not a parallel UDF
+  * implementation that would drift.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  type FunctionDesc =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def desc(name: String, usage: String, arity: Int)
+                  (build: Seq[Expression] => Expression): FunctionDesc =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+        "", "", "", "", "", "", "built-in"),
+      args => {
+        require(args.length == arity,
+          s"$name expects $arity argument(s), got ${args.length}")
+        build(args)
+      })
+
+  /** Every graft SQL function. Names are prefixed `graft_` so they can
+    * never shadow a Spark built-in across upgrades. */
+  val all: Seq[FunctionDesc] = Seq(
+    desc("graft_alnum_count",
+      "graft_alnum_count(str) - lowercase-alphanumeric codepoint count " +
+        "(single-pass kernel; == length(regexp_replace(lower(s), '[^a-z0-9]', '')))",
+      1) { case Seq(c) => TextStat(c, TextKernels.AlnumLower) },
+    desc("graft_punct_count",
+      "graft_punct_count(str) - punctuation codepoint count " +
+        "(== length(regexp_replace(s, '[a-zA-Z0-9\\s]', '')))",
+      1) { case Seq(c) => TextStat(c, TextKernels.Punct) },
+    desc("graft_token_count",
+      "graft_token_count(str) - maximal lowercase-alnum run count " +
+        "(whitespace/punct-delimited word count)",
+      1) { case Seq(c) => TextStat(c, TextKernels.TokenRuns) },
+    desc("graft_bpe_count",
+      "graft_bpe_count(str) - BPE-ish piece count: letter runs + digit " +
+        "runs + single other non-space chars",
+      1) { case Seq(c) => TextStat(c, TextKernels.BpePieces) },
+    desc("graft_vector_dot",
+      "graft_vector_dot(a, b) - dot product of two array<float|double> " +
+        "columns (fused multiply-add, no intermediate array)",
+      2) { case Seq(a, b) => VectorDot(a, b) })
+
+  /** Runtime registration on a live session (idempotent — re-register
+    * replaces with the identical builder). */
+  def register(spark: SparkSession): Unit =
+    all.foreach(FunctionBridge.register(spark, _))
+}

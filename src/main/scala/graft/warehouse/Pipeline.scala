@@ -35,8 +35,10 @@ object Pipeline {
     val log = (t: StageTiming) => { timings += t; () }
 
     timed("bronze", log) {
+      // 15-min age guard: a refresh racing long scans must not retire a
+      // snapshot an in-flight reader resolved (see VersionedParquet)
       WarehouseSnapshot.publishAll(Bronze.all(spark, datasetsDir).toSeq,
-        s"$warehouseDir/bronze")
+        s"$warehouseDir/bronze", minRetainMillis = 15 * 60 * 1000L)
     }
 
     // one consistent bronze snapshot feeds the whole silver build
@@ -53,7 +55,7 @@ object Pipeline {
       )
       WarehouseSnapshot.publishAll(
         silver.map { case (n, df) => n -> Silver.withAudit(df, now) },
-        s"$warehouseDir/silver")
+        s"$warehouseDir/silver", minRetainMillis = 15 * 60 * 1000L)
     }
     timings.toSeq
   }

@@ -159,9 +159,19 @@ object VersionedParquet {
       .orElse(latestCompleteVersion(spark, root))
 
   /** Publish `df` as the table's next version; returns the snapshot
-    * directory. The live table is readable throughout. */
+    * directory. The live table is readable throughout.
+    *
+    * `minRetainMillis` is the time-based half of the retention contract
+    * (what a table format's VACUUM retention-period gives): snapshots
+    * younger than this are never retired even when they fall outside
+    * the `keepVersions` count window. The count window alone is only a
+    * grace period of `keepVersions - 1` publish INTERVALS — under
+    * back-to-back publishes that can be shorter than one in-flight
+    * scan. Set it to an upper bound on scan duration in production;
+    * the default 0 keeps count-only semantics for tests and callers
+    * that manage retention themselves. */
   def publish(df: DataFrame, root: String, partitionCols: Seq[String] = Nil,
-              keepVersions: Int = 2): String = {
+              keepVersions: Int = 2, minRetainMillis: Long = 0L): String = {
     require(keepVersions >= 1, "must retain at least the live version")
     val spark = df.sparkSession
     val rootPath = new Path(root)
@@ -184,7 +194,7 @@ object VersionedParquet {
     }
     // Retire snapshots beyond the retention window (pointer already
     // moved; only versions older than the last `keepVersions` go).
-    vacuum(spark, root, keepVersions)
+    vacuum(spark, root, keepVersions, minRetainMillis)
     snapshot.toString
   }
 
@@ -223,23 +233,30 @@ object VersionedParquet {
   }
 
   /** Retention-aware vacuum: delete snapshots older than the newest
-    * `keepVersions`, NEVER the live one (refuses `keepVersions < 1` so
-    * a misconfigured retention cannot take down the table). Returns the
-    * versions deleted. In-flight scans that resolved a retained version
-    * finish against intact files — the same grace window a table
-    * format's VACUUM respects; readers pinned further back get the
-    * loud resolution-time failure from `read(version=...)`. */
+    * `keepVersions` AND older than `minAgeMillis` (directory mtime),
+    * NEVER the live one (refuses `keepVersions < 1` so a misconfigured
+    * retention cannot take down the table). Returns the versions
+    * deleted. In-flight scans that resolved a retained version finish
+    * against intact files — the same grace window a table format's
+    * VACUUM respects; readers pinned further back get the loud
+    * resolution-time failure from `read(version=...)`. The age guard
+    * makes the window time-shaped (like Delta's retention period):
+    * count-only retention protects scans for `keepVersions - 1` publish
+    * intervals, which back-to-back publishes can shrink below a single
+    * scan's duration. */
   def vacuum(spark: SparkSession, root: String,
-             keepVersions: Int): Seq[Long] = {
+             keepVersions: Int, minAgeMillis: Long = 0L): Seq[Long] = {
     require(keepVersions >= 1, "must retain at least the live version")
     val live = currentVersion(spark, root).getOrElse(return Nil)
     val cutoff = live - keepVersions + 1
+    val youngest = System.currentTimeMillis() - minAgeMillis
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     fs.listStatus(rootPath).toSeq.flatMap { st =>
       val name = st.getPath.getName
       if (st.isDirectory && name.matches("v\\d{8}") &&
-        name.drop(1).toLong < cutoff) {
+        name.drop(1).toLong < cutoff &&
+        st.getModificationTime <= youngest) {
         fs.delete(st.getPath, true)
         Some(name.drop(1).toLong)
       } else None

@@ -104,10 +104,17 @@ object WarehouseSnapshot {
 
   /** Publish every table as one atomic warehouse snapshot; returns the
     * new manifest number. Readers resolve either the whole previous
-    * snapshot or the whole new one — never a mix. */
+    * snapshot or the whole new one — never a mix.
+    *
+    * `minRetainMillis`: time guard on retention, same contract as
+    * [[VersionedParquet.publish]] — a table version (or manifest)
+    * younger than this is never retired even outside the
+    * `keepSnapshots` count window, so in-flight scans survive
+    * back-to-back refreshes whose count window is shorter than one
+    * scan. */
   def publishAll(tables: Seq[(String, DataFrame)], root: String,
                  partitionCols: Map[String, Seq[String]] = Map.empty,
-                 keepSnapshots: Int = 2): Long = {
+                 keepSnapshots: Int = 2, minRetainMillis: Long = 0L): Long = {
     require(tables.nonEmpty, "a snapshot must cover at least one table")
     require(keepSnapshots >= 1, "must retain at least the live snapshot")
     val spark = tables.head._2.sparkSession
@@ -148,19 +155,21 @@ object WarehouseSnapshot {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoff = next - keepSnapshots + 1
     val mDir = new Path(rootPath, MANIFEST_DIR)
+    val youngest = System.currentTimeMillis() - minRetainMillis
     val (retired, retained) = fs.listStatus(mDir).toSeq
-      .map(_.getPath.getName).filter(_.matches("m\\d{8}"))
-      .map(_.drop(1).toLong).partition(_ < cutoff)
+      .filter(st => st.getPath.getName.matches("m\\d{8}"))
+      .partition(st => st.getPath.getName.drop(1).toLong < cutoff &&
+        st.getModificationTime <= youngest)
     val pins: Map[String, Seq[Long]] = retained
+      .map(_.getPath.getName.drop(1).toLong)
       .flatMap(m => tableVersions(spark, root, m).toSeq)
       .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
     published.foreach { case (name, live) =>
       val minPinned = pins.getOrElse(name, Seq(live)).min
       VersionedParquet.vacuum(spark, tableRoot(root, name),
-        keepVersions = (live - minPinned + 1).toInt)
+        keepVersions = (live - minPinned + 1).toInt, minRetainMillis)
     }
-    retired.foreach(m =>
-      fs.delete(new Path(mDir, manifestName(m)), false))
+    retired.foreach(st => fs.delete(st.getPath, false))
     next
   }
 

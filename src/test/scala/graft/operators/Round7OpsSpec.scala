@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-7 operators — cross-row and semantic
+  * properties the per-query DuckDB hash-match can't state.
+  */
+class Round7OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+  private val N = 6
+
+  // ── q86: span-level exact dedup ─────────────────────────────────────────
+
+  test("q86 spans are maximal, disjoint, >= N tokens, and inside the document") {
+    val spans = DedupOps.duplicatedSpans(spark, sf, N).collect()
+    assert(spans.nonEmpty)
+    val lens = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= lit("")))
+          .as("n_toks"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spans.groupBy(_.getLong(0)).foreach { case (doc, ss) =>
+      val sorted = ss.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      sorted.foreach { case (s, e, l) =>
+        assert(l === e - s + 1)
+        assert(l >= N, s"doc $doc span [$s,$e] shorter than a single gram")
+        assert(s >= 0 && e < lens(doc), s"doc $doc span [$s,$e] out of range")
+      }
+      // maximal merge: consecutive spans must have a gap of >= 2 tokens —
+      // a gap of <= 1 means the interval-union window failed to merge
+      sorted.sliding(2).foreach {
+        case Array((_, e1, _), (s2, _, _)) =>
+          assert(s2 > e1 + 1, s"doc $doc unmerged adjacent spans")
+        case _ =>
+      }
+    }
+  }
+
+  test("q86 every reported span really is cross-document duplicated text") {
+    // semantic ground truth, independent of the SQL oracle: the leading
+    // N tokens of every reported span must occur verbatim in >= 2
+    // distinct documents
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .toMap
+    val spans = DedupOps.duplicatedSpans(spark, sf, N).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { r =>
+      val (doc, s) = (r.getLong(0), r.getLong(1).toInt)
+      val gram = docs(doc).slice(s, s + N).mkString(" ")
+      val holders = docs.count { case (_, toks) =>
+        toks.sliding(N).exists(_.mkString(" ") == gram)
+      }
+      assert(holders >= 2, s"doc $doc span-head gram '$gram' is unique")
+    }
+  }
+
+  test("q86 is partition-invariant") {
+    val a = DedupOps.duplicatedSpans(spark, sf, N)
+      .collect().map(_.toString).sorted.toSeq
+    val b = DedupOps.duplicatedSpans(spark, sf, N)
+      .repartition(13).collect().map(_.toString).sorted.toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  // ── q87: SemDeDup ───────────────────────────────────────────────────────
+
+  test("q87 kept set has no within-cluster pair at cosine >= tau") {
+    val tau = 0.4
+    val asg = SimilarityOps.semAssign(spark, sf, k = 8)
+      .select("vec_id", "cluster", "embedding").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val dropped = SimilarityOps.semDedup(spark, sf, k = 8, tau = tau)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val kept = asg.filterNot(v => dropped(v._1))
+    kept.groupBy(_._2).foreach { case (_, vs) =>
+      for (i <- vs.indices; j <- (i + 1) until vs.length)
+        assert(cos(vs(i)._3, vs(j)._3) < tau,
+          s"kept pair ${vs(i)._1},${vs(j)._1} violates the SemDeDup guarantee")
+    }
+    // and every dropped vector's kept_by really is senior + similar
+    val byId = asg.map(v => v._1 -> v).toMap
+    SimilarityOps.semDedup(spark, sf, k = 8, tau = tau).collect().foreach { r =>
+      val (v, cl, keptBy) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(keptBy < v)
+      assert(byId(keptBy)._2 === cl && byId(v)._2 === cl)
+      assert(cos(byId(keptBy)._3, byId(v)._3) >= tau - 1e-9)
+    }
+  }
+
+  // ── q88: single-pass column profile ─────────────────────────────────────
+
+  test("q88 profile matches independently-computed per-column stats") {
+    val prof = ProfileOps.profile(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet === Set("lang", "n_chars", "source", "text"))
+    val d = graft.sources.Tables.documents(spark, sf)
+    val nRows = d.count()
+    for ((c, isStr) <- Seq("lang" -> true, "n_chars" -> false,
+      "source" -> true, "text" -> true)) {
+      val m = if (isStr) length(col(c)).cast("long") else col(c).cast("long")
+      val want = d.agg(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).cast("long"),
+        countDistinct(col(c)), min(m), max(m), round(avg(m), 4)).head()
+      val got = prof(c)
+      assert(got.getLong(1) === nRows, s"$c n_rows")
+      assert(got.getLong(2) === want.getLong(0), s"$c n_null")
+      assert(got.getLong(3) === want.getLong(1), s"$c n_distinct")
+      assert(got.getLong(4) === want.getLong(2), s"$c min")
+      assert(got.getLong(5) === want.getLong(3), s"$c max")
+      assert(got.getDouble(6) === want.getDouble(4), s"$c avg")
+    }
+  }
+
+  test("q88 runs as ONE aggregate over ONE scan (no per-column jobs)") {
+    val plan = ProfileOps.profile(spark, sf).queryExecution.executedPlan
+      .toString()
+    // a single parquet scan feeds the whole profile
+    assert("Scan parquet".r.findAllIn(plan).length === 1, plan.take(2000))
+  }
+}

@@ -133,17 +133,29 @@ class ReliabilitySpec extends AnyFunSuite {
       }
     })
     reader.start()
-    try (2 to 8).foreach(v => VersionedParquet.publish(frame(v), root))
+    // minRetainMillis is the production contract under back-to-back
+    // publishes: a version younger than the longest possible scan is
+    // never retired, so the hammer is deterministically safe — the
+    // count-only window (keepVersions - 1 publish intervals) is not,
+    // when a loaded host stretches one scan past two publishes.
+    try (2 to 8).foreach(v => VersionedParquet.publish(frame(v), root,
+      keepVersions = 2, minRetainMillis = 10 * 60 * 1000L))
     finally { stop = true; reader.join(30000) }
     assert(failure.isEmpty, failure.getOrElse(""))
-    // the pointer resolves to the last publish, and retention kept only
-    // the configured window of snapshot directories
+    // the pointer resolves to the last publish; the age guard kept
+    // every snapshot (all younger than the retention period)
     assert(VersionedParquet.read(spark, root).as[Int].collect().toSeq ===
       Seq.fill(8)(8))
     assert(VersionedParquet.currentVersion(spark, root) === Some(7L))
-    val dirs = new java.io.File(root).listFiles.filter(_.isDirectory)
+    def dirs() = new java.io.File(root).listFiles.filter(_.isDirectory)
       .map(_.getName).filter(_.matches("v\\d{8}")).sorted.toSeq
-    assert(dirs === Seq("v00000006", "v00000007"))
+    assert(dirs() === (0 to 7).map(v => f"v$v%08d"))
+    // with the reader drained, age-guarded vacuum still refuses young
+    // snapshots; dropping the guard applies the count window
+    assert(VersionedParquet.vacuum(spark, root, 2,
+      minAgeMillis = 10 * 60 * 1000L) === Nil)
+    assert(VersionedParquet.vacuum(spark, root, 2) === (0L to 5L))
+    assert(dirs() === Seq("v00000006", "v00000007"))
   }
 
   test("versioned publish recovers from a crashed (pointer-less) snapshot") {
@@ -255,25 +267,31 @@ class ReliabilitySpec extends AnyFunSuite {
       }
     })
     reader.start()
-    // keepSnapshots=4 is the grace window: a reader that resolved a
-    // manifest keeps its pinned files on disk for 3 more publishes —
-    // the same contract a table format's VACUUM retention gives
+    // minRetainMillis makes the hammer deterministically safe (nothing
+    // young enough to hold an in-flight scan is retired — the table-
+    // format VACUUM retention-period contract); the count window alone
+    // is only keepSnapshots - 1 publish intervals of grace, which a
+    // loaded host can shrink below one scan
     try (2 to 8).foreach(v =>
-      WarehouseSnapshot.publishAll(snap(v), root, keepSnapshots = 4))
+      WarehouseSnapshot.publishAll(snap(v), root, keepSnapshots = 4,
+        minRetainMillis = 10 * 60 * 1000L))
     finally { stop = true; reader.join(30000) }
     assert(failure.isEmpty, failure.getOrElse(""))
     assert(WarehouseSnapshot.currentManifest(spark, root) === Some(7L))
 
-    // manifest-driven retention: 4 manifests kept, and each table keeps
-    // exactly the versions those manifests pin
+    // with the reader drained, a count-window publish applies
+    // manifest-driven retention: newest 4 manifests kept, and each
+    // table keeps exactly the versions those manifests pin
+    WarehouseSnapshot.publishAll(snap(9), root, keepSnapshots = 4)
+    assert(WarehouseSnapshot.currentManifest(spark, root) === Some(8L))
     def vdirs(t: String) = new java.io.File(s"$root/tables/$t").listFiles
       .filter(_.isDirectory).map(_.getName).filter(_.matches("v\\d{8}"))
       .sorted.toSeq
-    assert(vdirs("dim") === (4 to 7).map(v => f"v$v%08d"))
-    assert(vdirs("fact") === (4 to 7).map(v => f"v$v%08d"))
+    assert(vdirs("dim") === (5 to 8).map(v => f"v$v%08d"))
+    assert(vdirs("fact") === (5 to 8).map(v => f"v$v%08d"))
     val manifests = new java.io.File(s"$root/_manifests").listFiles
       .map(_.getName).filter(_.matches("m\\d{8}")).sorted.toSeq
-    assert(manifests === (4 to 7).map(m => f"m$m%08d"))
+    assert(manifests === (5 to 8).map(m => f"m$m%08d"))
 
     // snapshot time travel: the previous manifest still reads as a
     // consistent set
@@ -288,7 +306,7 @@ class ReliabilitySpec extends AnyFunSuite {
       keepVersions = Int.MaxValue)
     val s = WarehouseSnapshot.readSnapshot(spark, root)
     assert(s("fact").select("fact_ver").distinct()
-      .as[Int].collect().toSeq === Seq(8))
+      .as[Int].collect().toSeq === Seq(9))
   }
 
   test("manifest recovery ignores staging and stray files in _manifests") {
