@@ -1,0 +1,86 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL function surface: both activation paths resolve the same
+  * native expressions, SQL answers match the DataFrame API, and codegen
+  * stays on (the injected functions are the kernels, not UDF shims).
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // Build the session THROUGH the extension class. In production the
+  // same class rides `spark.sql.extensions=graft.plans.GraftExtensions`
+  // — a STATIC conf, read from the SparkContext's conf at first-context
+  // creation, so inside a suite JVM whose context another suite already
+  // built it is silently ignored; `withExtensions` is the documented
+  // programmatic equivalent and applies at session construction
+  // unconditionally. Clear the shared active session so this builder
+  // really constructs one.
+  lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .withExtensions(new GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("extension-built session resolves graft_* functions from SQL") {
+    val r = spark.sql(
+      "SELECT graft_token_count('one two, three!') AS t," +
+        " graft_alnum_count('a1 B2 !') AS a," +
+        " graft_punct_count('a, b. c!') AS p," +
+        " graft_bpe_count('abc12 def!') AS b").head()
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(1) === 4)
+    assert(r.getInt(2) === 3)
+    assert(r.getInt(3) === 4) // 'abc' + '12' + 'def' + '!'
+    assert(spark.sql(
+      "SELECT graft_vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0) === 11.0)
+  }
+
+  test("runtime registration serves sessions not built with the extension") {
+    val bare = spark.newSession()
+    GraftFunctions.register(bare)
+    assert(bare.sql("SELECT graft_token_count('x y z') AS t")
+      .head().getInt(0) === 3)
+  }
+
+  test("SQL path and DataFrame path are the same expression (codegen on)") {
+    import spark.implicits._
+    // spark.range (not a local Seq) so ConvertToLocalRelation can't fold
+    // the projection away — we need a physical stage to inspect
+    val df = spark.range(200).select($"id",
+      org.apache.spark.sql.functions.concat_ws(" ",
+        org.apache.spark.sql.functions.lit("Hello, wörld"),
+        $"id".cast("string"),
+        org.apache.spark.sql.functions.lit("a#b#c 123xyz!")).as("text"))
+    df.createOrReplaceTempView("xt")
+    val sqlRows = spark.sql(
+      "SELECT id, graft_token_count(text) t, graft_alnum_count(text) a, " +
+        "graft_punct_count(text) p, graft_bpe_count(text) b FROM xt")
+    val dfRows = df.select($"id",
+      graft.functions.TextStat($"text", graft.functions.TextKernels.TokenRuns).as("t"),
+      graft.functions.TextStat($"text", graft.functions.TextKernels.AlnumLower).as("a"),
+      graft.functions.TextStat($"text", graft.functions.TextKernels.Punct).as("p"),
+      graft.functions.TextStat($"text", graft.functions.TextKernels.BpePieces).as("b"))
+    assert(sqlRows.collect().map(_.toString).sorted.toSeq ===
+      dfRows.collect().map(_.toString).sorted.toSeq)
+    // the SQL-resolved projection still runs inside whole-stage codegen
+    // (prints as the `*(1)` stage prefix; assert on the node type)
+    assert(sqlRows.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.nonEmpty)
+  }
+
+  test("wrong arity fails at analysis with the function's own message") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_token_count('a', 'b')").head()
+    }
+    assert(e.getMessage.contains("graft_token_count expects 1 argument"))
+  }
+}
