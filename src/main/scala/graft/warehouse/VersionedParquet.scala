@@ -169,9 +169,17 @@ object VersionedParquet {
     * back-to-back publishes that can be shorter than one in-flight
     * scan. Set it to an upper bound on scan duration in production;
     * the default 0 keeps count-only semantics for tests and callers
-    * that manage retention themselves. */
+    * that manage retention themselves.
+    *
+    * `markers` are small name→content files written INSIDE the snapshot
+    * directory after the parquet write and before the pointer swap, so
+    * they commit atomically with the version they describe (the
+    * streaming sink records the micro-batch id this way — the basis of
+    * its exactly-once replay guard). Names must not collide with
+    * parquet output; use an underscore prefix. */
   def publish(df: DataFrame, root: String, partitionCols: Seq[String] = Nil,
-              keepVersions: Int = 2, minRetainMillis: Long = 0L): String = {
+              keepVersions: Int = 2, minRetainMillis: Long = 0L,
+              markers: Map[String, String] = Map.empty): String = {
     require(keepVersions >= 1, "must retain at least the live version")
     val spark = df.sparkSession
     val rootPath = new Path(root)
@@ -182,6 +190,11 @@ object VersionedParquet {
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(snapshot.toString)
+    // Markers land before the swap: a snapshot the pointer can name
+    // always carries them (atomic-with-version); installPointer's
+    // temp+rename keeps each marker itself torn-proof.
+    markers.foreach { case (name, content) =>
+      installPointer(spark, snapshot, name, content) }
     // Atomic pointer swap: temp file + rename-with-overwrite (one
     // metadata op — POSIX rename on local/HDFS). FileContext.rename
     // supports OVERWRITE where FileSystem.rename would refuse, and its
@@ -220,6 +233,15 @@ object VersionedParquet {
         "past retention)")
     spark.read.parquet(snapshot.toString)
   }
+
+  /** A marker file's content from the live (or pinned) snapshot, None
+    * if the file or the table is absent. Counterpart of `publish`'s
+    * `markers`. */
+  def snapshotMarker(spark: SparkSession, root: String, name: String,
+                     version: Option[Long] = None): Option[String] =
+    version.orElse(currentVersion(spark, root)).flatMap { v =>
+      readPointer(spark, new Path(new Path(root, versionName(v)), name))
+    }
 
   /** All readable versions, oldest first (the time-travel catalog). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {

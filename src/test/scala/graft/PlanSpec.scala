@@ -270,4 +270,49 @@ class PlanSpec extends AnyFunSuite {
     }.nonEmpty)
     assert(collectAll(p) { case s: SortMergeJoinExec => s }.isEmpty)
   }
+
+  test("q86 span dedup: keyed windows only, no join operator in the plan") {
+    val p = planOf("q86_span_dedup")
+    // duplicated-gram detection is min/max over a gram-keyed window (one
+    // shuffle, O(1) state) — NOT count(distinct)+semi-join-back; span
+    // merge rides doc_id-keyed windows. No join may appear at all.
+    assert(collectAll(p) {
+      case j if j.nodeName.toLowerCase.contains("join") => j
+    }.isEmpty, "q86 must be join-free (window detection, window merge)")
+    assert(collectAll(p) { case w: WindowExec => w }
+      .forall(_.partitionSpec.nonEmpty),
+      "no single-partition window may appear at corpus scale")
+    // the marked-occurrence stream reaches the merge via the doc_id
+    // shuffle; the final groupBy(doc_id, gid) must REUSE that
+    // partitioning (hash(doc_id) clusters (doc_id, gid)) — so the query
+    // is exactly: ingest fan-out, gram shuffle, doc_id shuffle, output
+    // sort, and nothing more (a detect-via-semi-join formulation would
+    // add a second gram-keyed exchange)
+    val shuffles = collectAll(p) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 4,
+      s"expected fanout + gram + doc_id + final-sort, got ${shuffles.length}")
+  }
+
+  test("q87 semdedup: centroids broadcast; pair join shuffles on cluster, not all-pairs") {
+    val p = planOf("q87_semdedup")
+    // the only nested-loop allowed is the broadcast of the 8 seed
+    // centroids; the within-cell pair generation must be an equi-join
+    // on the cluster id
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "pair generation must never be a cartesian product")
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "seed centroids must broadcast")
+    val equiJoins = collectAll(p) {
+      case j: SortMergeJoinExec => j.leftKeys.length
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.length
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.length
+    }
+    assert(equiJoins.exists(_ >= 1),
+      "within-cell pairing must key on the cluster id")
+  }
 }
