@@ -30,8 +30,12 @@ import graft.functions.{TextKernels, TextStat, VectorDot}
   * implementation that would drift.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    // users who write the textbook regex formulations get the
+    // single-pass kernel automatically — see TextStatRewrite
+    ext.injectOptimizerRule(_ => TextStatRewrite)
+  }
 }
 
 object GraftFunctions {

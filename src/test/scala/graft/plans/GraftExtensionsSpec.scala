@@ -77,6 +77,40 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }.nonEmpty)
   }
 
+  test("optimizer rule rewrites textbook regex counts to the kernel") {
+    import spark.implicits._
+    val df = spark.range(50).select(
+      org.apache.spark.sql.functions.concat_ws(" ",
+        org.apache.spark.sql.functions.lit("Ab1 ?!"),
+        $"id".cast("string")).as("text"))
+    df.createOrReplaceTempView("rt")
+    // NB Spark SQL string literals are backslash-escaped: the regex \s
+    // is written '\\s' in query text
+    val rewritten = spark.sql(
+      """SELECT length(regexp_replace(lower(text), '[^a-z0-9]', '')) a,
+        |       length(regexp_replace(text, '[a-zA-Z0-9\\s]', '')) p,
+        |       regexp_count(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]') b
+        |FROM rt""".stripMargin)
+    val plan = rewritten.queryExecution.optimizedPlan.toString()
+    assert("text_stat".r.findAllIn(plan).length === 3,
+      s"all three shapes must rewrite to the kernel:\n$plan")
+    // answers equal an independent Java-regex evaluation of the same
+    // textbook formulas (the exact strings the SQL names)
+    val texts = (0 until 50).map(i => s"Ab1 ?! $i")
+    val expect = texts.map { t =>
+      (t.toLowerCase.replaceAll("[^a-z0-9]", "").length,
+        t.replaceAll("[a-zA-Z0-9\\s]", "").length,
+        "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]".r.findAllIn(t).length)
+    }.sorted
+    assert(rewritten.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sorted.toSeq ===
+      expect)
+    // an unrelated regex is left to the regex engine
+    assert(!spark.sql(
+      "SELECT length(regexp_replace(text, '[0-9]', '')) FROM rt")
+      .queryExecution.optimizedPlan.toString().contains("text_stat"))
+  }
+
   test("wrong arity fails at analysis with the function's own message") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_token_count('a', 'b')").head()
