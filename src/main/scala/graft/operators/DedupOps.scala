@@ -259,20 +259,30 @@ object DedupOps {
   final val JACCARD_DF_CAP = 256
 
   /** The capped inverted index: (lang, shingle, doc_id, n_sh) minus
-    * hot-shingle postings. The HOT set is the one that is tiny by
-    * construction (Zipf: only stopword-grade shingles exceed the cap),
-    * so it broadcasts into an anti-join — the index itself never
-    * shuffles here. The df aggregation's shuffle carries one row per
-    * distinct (lang, shingle) after map-side combine. If a corpus ever
-    * produced a hot set too large to broadcast, the cap is doing no
-    * capping worth having — raise it or fix the tokenizer. */
-  private[graft] def cappedIndex(inv0: DataFrame, dfCap: Int): DataFrame = {
+    * hot-shingle postings. The HOT set is tiny by construction (Zipf:
+    * only stopword-grade shingles exceed the cap), so it broadcasts
+    * into an anti-join — the index itself never shuffles here. The df
+    * aggregation's shuffle carries one row per distinct (lang, shingle)
+    * after map-side combine.
+    *
+    * Count gate: a pathological corpus (every shingle hot — adversarial
+    * boilerplate, a broken tokenizer) could make the hot set too large
+    * to broadcast safely; rather than force a giant broadcast, the gate
+    * counts the hot set (one cheap job over the already-aggregated df
+    * frame) and falls back to a shuffled anti-join when it exceeds
+    * `hotBroadcastMax`. Same rows either way — only the join strategy
+    * moves; Round7OpsSpec pins both paths. */
+  private[graft] def cappedIndex(inv0: DataFrame, dfCap: Int,
+                                 hotBroadcastMax: Long = 4000000L): DataFrame = {
     val inv = inv0.select("lang", "shingle", "doc_id", "n_sh")
     val hot = inv.groupBy("lang", "shingle")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap)
       .select("lang", "shingle")
-    inv.join(broadcast(hot), Seq("lang", "shingle"), "left_anti")
+      .cache() // counted once here, probed once by the anti-join
+    val hotSide =
+      if (hot.count() <= hotBroadcastMax) broadcast(hot) else hot
+    inv.join(hotSide, Seq("lang", "shingle"), "left_anti")
   }
 
   /** Exact-tier pairs over an exploded inverted index, df-capped.

@@ -160,7 +160,7 @@ object MultimodalOps {
 
   /** Canonical 44-byte RIFF/WAVE header; sample rate little-endian at
     * offset 24 (PCM mono 16-bit). */
-  private[operators] def wavHeader(rate: Int, dataLen: Int): Array[Byte] =
+  private[graft] def wavHeader(rate: Int, dataLen: Int): Array[Byte] =
     "RIFF".getBytes("US-ASCII") ++ leInt(36 + dataLen) ++
       "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
       leInt(16) ++ leShort(1) ++ leShort(1) ++ leInt(rate) ++
@@ -224,39 +224,47 @@ object MultimodalOps {
                             peak: Int, sum_sq: Long, n_zero_cross: Int,
                             rms: Double)
 
+  /** The inner WAV decode: fmt-chunk sample rate, data-chunk length,
+    * and sign-extended little-endian int16 samples folded into
+    * energy / peak / zero-crossing stats in one pass over the bytes.
+    * Static so KernelPropSpec can fuzz it directly with corrupted
+    * headers: any payload either decodes within bounds (the sample
+    * count is clamped to the REAL payload size — a malformed data-chunk
+    * length can never index past the array) or fails the require
+    * loudly; no input reads out of bounds or hangs. */
+  private[graft] def decodePcmBytes(itemId: Long, b: Array[Byte]): PcmStats = {
+    require(b.length >= 44 && b.startsWith("RIFF".getBytes("US-ASCII")) &&
+      b.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII")),
+      s"item $itemId: not a RIFF/WAVE payload")
+    val rate = readLeInt(b, 24)
+    // trust the header but never the far side of the payload: a
+    // malformed data-chunk length must not index past the bytes (and a
+    // corrupted sign bit must not go negative)
+    val n = math.max(0, math.min(readLeInt(b, 40) / 2, (b.length - 44) / 2))
+    var i = 0
+    var sumSq = 0L
+    var peak = 0
+    var zc = 0
+    var prev = 0
+    while (i < n) {
+      val s = ((b(45 + 2 * i) << 8) | (b(44 + 2 * i) & 0xff)).toShort.toInt
+      sumSq += s.toLong * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && ((s > 0 && prev < 0) || (s < 0 && prev > 0))) zc += 1
+      prev = s
+      i += 1
+    }
+    PcmStats(itemId, rate, n, peak, sumSq, zc,
+      if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
+  }
+
   /** Decode PCM frames per partition — iterator in, iterator out, the
-    * same batch shape as extractFeatures, but with a REAL inner decode:
-    * fmt-chunk sample rate, data-chunk length, and sign-extended
-    * little-endian int16 samples, folded into energy / peak /
-    * zero-crossing stats in one pass over the bytes. */
+    * same batch shape as extractFeatures, but with a REAL inner decode
+    * (see decodePcmBytes). */
   def decodePcm(media: Dataset[MediaRow]): Dataset[PcmStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map { r =>
-        val b = r.media
-        require(b.length >= 44 && b.startsWith("RIFF".getBytes("US-ASCII")) &&
-          b.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII")),
-          s"item ${r.item_id}: not a RIFF/WAVE payload")
-        val rate = readLeInt(b, 24)
-        // trust the header but never the far side of the payload: a
-        // malformed data-chunk length must not index past the bytes
-        val n = math.min(readLeInt(b, 40) / 2, (b.length - 44) / 2)
-        var i = 0
-        var sumSq = 0L
-        var peak = 0
-        var zc = 0
-        var prev = 0
-        while (i < n) {
-          val s = ((b(45 + 2 * i) << 8) | (b(44 + 2 * i) & 0xff)).toShort.toInt
-          sumSq += s.toLong * s
-          if (math.abs(s) > peak) peak = math.abs(s)
-          if (i > 0 && ((s > 0 && prev < 0) || (s < 0 && prev > 0))) zc += 1
-          prev = s
-          i += 1
-        }
-        PcmStats(r.item_id, rate, n, peak, sumSq, zc,
-          if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
-      }
+      it.map(r => decodePcmBytes(r.item_id, r.media))
     }
   }
 

@@ -139,4 +139,43 @@ class Round7OpsSpec extends AnyFunSuite {
     // a single parquet scan feeds the whole profile
     assert("Scan parquet".r.findAllIn(plan).length === 1, plan.take(2000))
   }
+
+  // ── df-cap count gate ───────────────────────────────────────────────────
+
+  test("cappedIndex falls back to a shuffled anti-join when the hot set exceeds the gate") {
+    import spark.implicits._
+    // adversarial corpus: EVERY shingle is hot (df=3 > cap=2) — the
+    // Zipf assumption is violated wholesale
+    val inv = (0 until 300).flatMap(s => Seq(
+      ("en", s"sh$s", s.toLong, 10L), ("en", s"sh$s", 1000L + s, 10L),
+      ("en", s"sh$s", 2000L + s, 10L)))
+      .toDF("lang", "shingle", "doc_id", "n_sh")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // kill size-based auto-broadcast so the plan shows the gate's
+      // choice, not the optimizer's size estimate
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gated = DedupOps.cappedIndex(inv, dfCap = 2, hotBroadcastMax = 10L)
+      val forced = DedupOps.cappedIndex(inv, dfCap = 2)
+      def broadcasts(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+        }
+      assert(gated.collect().isEmpty && forced.collect().isEmpty,
+        "every posting is hot: both paths must drop the whole index")
+      val gatedPlan = gated.queryExecution.executedPlan.toString()
+      assert(!gatedPlan.contains("BroadcastExchange"),
+        s"gate must pick the shuffled anti-join:\n${gatedPlan.take(1500)}")
+      // and on a sane corpus (hot set under the gate) both paths agree
+      val sane = inv.union(Seq(("en", "rare", 9999L, 10L))
+        .toDF("lang", "shingle", "doc_id", "n_sh"))
+      val a = DedupOps.cappedIndex(sane, 2, hotBroadcastMax = 10000L)
+        .collect().map(_.toString).sorted.toSeq
+      val b = DedupOps.cappedIndex(sane, 2, hotBroadcastMax = 0L)
+        .collect().map(_.toString).sorted.toSeq
+      assert(a === b && a.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }

@@ -131,4 +131,50 @@ class KernelPropSpec extends AnyFunSuite {
         s"mismatch for '${r.getString(0)}'")
     }
   }
+
+  test("PCM decode under header corruption: clamps or fails loudly, never OOB") {
+    import graft.operators.MultimodalOps
+    // a valid little payload: 8 alternating samples
+    def validWav(rate: Int, samples: Seq[Int]): Array[Byte] = {
+      val pcm = samples.flatMap(s =>
+        Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+      MultimodalOps.wavHeader(rate, pcm.length) ++ pcm
+    }
+    val base = validWav(16000, Seq(1000, -1000, 1000, -1000, 500, -500, 7, -7))
+    val cases: Gen[Array[Byte]] = Gen.oneOf(
+      // truncation anywhere — including inside the fmt chunk and header
+      Gen.choose(0, base.length - 1).map(base.take),
+      // declared data length far beyond the real payload
+      Gen.const {
+        val b = base.clone()
+        b(40) = 0xff.toByte; b(41) = 0xff.toByte
+        b(42) = 0xff.toByte; b(43) = 0x7f.toByte
+        b
+      },
+      // zero-length data chunk
+      Gen.const {
+        val b = base.clone()
+        b(40) = 0; b(41) = 0; b(42) = 0; b(43) = 0
+        b
+      },
+      // odd byte count: drop the final byte (torn last sample)
+      Gen.const(base.take(base.length - 1)),
+      // random single-byte corruption anywhere in the 44-byte header
+      for (off <- Gen.choose(0, 43); v <- Gen.choose(0, 255))
+        yield { val b = base.clone(); b(off) = v.toByte; b })
+    val payloads = sample(Gen.listOfN(500, cases))
+    payloads.foreach { b =>
+      // the contract: IllegalArgumentException (the loud require) or a
+      // successful decode whose sample count fits the REAL payload —
+      // anything else (ArrayIndexOutOfBounds, hang, negative count)
+      // fails the property
+      try {
+        val st = MultimodalOps.decodePcmBytes(7L, b)
+        assert(st.n_samples >= 0 && 44 + 2 * st.n_samples <= b.length,
+          s"decoded past the payload: n=${st.n_samples} len=${b.length}")
+      } catch {
+        case _: IllegalArgumentException => // loud, expected
+      }
+    }
+  }
 }
