@@ -224,30 +224,39 @@ object MultimodalOps {
                             peak: Int, sum_sq: Long, n_zero_cross: Int,
                             rms: Double)
 
-  /** The inner WAV decode: fmt-chunk sample rate, data-chunk length,
-    * and sign-extended little-endian int16 samples folded into
-    * energy / peak / zero-crossing stats in one pass over the bytes.
-    * Static so KernelPropSpec can fuzz it directly with corrupted
-    * headers: any payload either decodes within bounds (the sample
-    * count is clamped to the REAL payload size — a malformed data-chunk
-    * length can never index past the array) or fails the require
-    * loudly; no input reads out of bounds or hangs. */
-  private[graft] def decodePcmBytes(itemId: Long, b: Array[Byte]): PcmStats = {
+  /** Parse a RIFF/WAVE payload to (sample_rate, sign-extended int16
+    * samples). The sample count is clamped to the REAL payload size —
+    * a malformed (or negative) data-chunk length can never index past
+    * the array; a payload too short for the header fails the require
+    * loudly. Shared by the full decode and the decimating
+    * frame-sampler. */
+  private[graft] def pcmSamples(itemId: Long,
+                                b: Array[Byte]): (Int, Array[Int]) = {
     require(b.length >= 44 && b.startsWith("RIFF".getBytes("US-ASCII")) &&
       b.slice(8, 12).sameElements("WAVE".getBytes("US-ASCII")),
       s"item $itemId: not a RIFF/WAVE payload")
     val rate = readLeInt(b, 24)
-    // trust the header but never the far side of the payload: a
-    // malformed data-chunk length must not index past the bytes (and a
-    // corrupted sign bit must not go negative)
     val n = math.max(0, math.min(readLeInt(b, 40) / 2, (b.length - 44) / 2))
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((b(45 + 2 * i) << 8) | (b(44 + 2 * i) & 0xff)).toShort.toInt
+      i += 1
+    }
+    (rate, out)
+  }
+
+  /** Fold samples into energy / peak / zero-crossing stats. */
+  private def pcmStatsOf(itemId: Long, rate: Int,
+                         samples: Array[Int]): PcmStats = {
     var i = 0
     var sumSq = 0L
     var peak = 0
     var zc = 0
     var prev = 0
+    val n = samples.length
     while (i < n) {
-      val s = ((b(45 + 2 * i) << 8) | (b(44 + 2 * i) & 0xff)).toShort.toInt
+      val s = samples(i)
       sumSq += s.toLong * s
       if (math.abs(s) > peak) peak = math.abs(s)
       if (i > 0 && ((s > 0 && prev < 0) || (s < 0 && prev > 0))) zc += 1
@@ -258,6 +267,15 @@ object MultimodalOps {
       if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n))
   }
 
+  /** The inner WAV decode: header parse + stats fold (see pcmSamples).
+    * Static so KernelPropSpec can fuzz it directly with corrupted
+    * headers: any payload either decodes within bounds or fails the
+    * require loudly; no input reads out of bounds or hangs. */
+  private[graft] def decodePcmBytes(itemId: Long, b: Array[Byte]): PcmStats = {
+    val (rate, samples) = pcmSamples(itemId, b)
+    pcmStatsOf(itemId, rate, samples)
+  }
+
   /** Decode PCM frames per partition — iterator in, iterator out, the
     * same batch shape as extractFeatures, but with a REAL inner decode
     * (see decodePcmBytes). */
@@ -266,6 +284,70 @@ object MultimodalOps {
     media.mapPartitions { it =>
       it.map(r => decodePcmBytes(r.item_id, r.media))
     }
+  }
+
+  /** Temporal frame-sampling — keep every `stride`-th REAL decoded
+    * sample, then the same stats fold. This is the decimation shape of
+    * video frame-sampling (sample every k-th frame, process the kept
+    * ones): per-row byte work, zero shuffle, and the output rate is
+    * the input rate / stride. The effective sample rate is reported so
+    * downstream consumers see the decimated clock. */
+  def decimatePcm(media: Dataset[MediaRow], stride: Int): Dataset[PcmStats] = {
+    require(stride >= 1, "stride must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (rate, samples) = pcmSamples(r.item_id, r.media)
+        val kept = Array.range(0, samples.length, stride).map(samples)
+        pcmStatsOf(r.item_id, rate / stride, kept)
+      }
+    }
+  }
+
+  final case class ResizeStats(item_id: Long, out_w: Int, out_h: Int,
+                               n_values: Long, sum_val: Long,
+                               weighted_sum: Long, min_val: Int, max_val: Int)
+
+  /** 2×2 box downsample over REAL decoded PNG pixels — the resize of
+    * the multimodal brief, on the actual inflated/unfiltered bytes
+    * (odd trailing row/column dropped, the floor-dims convention).
+    * Integer mean (sum/4) per output value keeps the oracle exact. Per
+    * row: decode + one pass over the pixel grid; no shuffle anywhere —
+    * the 100 TB shape is pure map-side work behind the parquet scan. */
+  def downsamplePng(media: Dataset[MediaRow]): Dataset[ResizeStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (w, h, rows) = decodePngBytes(r.media)
+      val (w2, h2) = (w / 2, h / 2)
+      var sum = 0L
+      var wsum = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var rr = 0
+      while (rr < h2) {
+        var cc = 0
+        while (cc < w2) {
+          var ch = 0
+          while (ch < 3) {
+            val v = ((rows(2 * rr)(2 * cc * 3 + ch) & 0xff) +
+              (rows(2 * rr)((2 * cc + 1) * 3 + ch) & 0xff) +
+              (rows(2 * rr + 1)(2 * cc * 3 + ch) & 0xff) +
+              (rows(2 * rr + 1)((2 * cc + 1) * 3 + ch) & 0xff)) / 4
+            sum += v
+            val idx = (rr * w2 + cc) * 3 + ch
+            wsum += v.toLong * (1 + idx % 31)
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            ch += 1
+          }
+          cc += 1
+        }
+        rr += 1
+      }
+      val n = 3L * w2 * h2
+      ResizeStats(r.item_id, w2, h2, n, sum, wsum,
+        if (n == 0) 0 else mn, if (n == 0) 0 else mx)
+    })
   }
 
   // ── REAL image decode: PNG needs no codec library ──────────────────────
@@ -617,6 +699,83 @@ object MultimodalOps {
              |       CAST(max(v) AS INT) AS max_val
              |FROM px
              |GROUP BY 1, 2, 3
+             |ORDER BY item_id""".stripMargin)),
+
+    // ── Resize: 2×2 box downsample over REAL decoded pixels ───────────────
+    // Spark decodes the PNG for real and box-averages the byte grid;
+    // the oracle expands the HALF-size grid and averages the four
+    // generator-formula pixels per cell — a wrong stride, offset, or
+    // dropped-edge convention in the resize breaks the hash match, and
+    // the position-weighted sum catches transposition.
+    QueryDef("q91_png_downsample",
+      (s, d) => downsamplePng(pngImageTable(s, d)).toDF()
+        .select("item_id", "out_w", "out_h", "n_values", "sum_val",
+          "weighted_sum", "min_val", "max_val")
+        .orderBy("item_id"),
+      Some("""WITH imgs AS (
+             |  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 11 AS h
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |dims AS (SELECT doc_id, w, h, w // 2 AS w2, h // 2 AS h2 FROM imgs),
+             |rows_ AS (SELECT doc_id, w, w2, h2, unnest(range(h2)) AS r FROM dims),
+             |cols_ AS (SELECT doc_id, w, w2, h2, r, unnest(range(w2)) AS c FROM rows_),
+             |px AS (
+             |  SELECT doc_id, w2, h2,
+             |         ((doc_id * 7 + (2*r) * 5 + (2*c) * 3 + ch * 11) % 256
+             |          + (doc_id * 7 + (2*r) * 5 + (2*c+1) * 3 + ch * 11) % 256
+             |          + (doc_id * 7 + (2*r+1) * 5 + (2*c) * 3 + ch * 11) % 256
+             |          + (doc_id * 7 + (2*r+1) * 5 + (2*c+1) * 3 + ch * 11) % 256
+             |         ) // 4 AS v,
+             |         ((r * w2 + c) * 3 + ch) AS idx
+             |  FROM (SELECT *, unnest([0, 1, 2]) AS ch FROM cols_))
+             |SELECT doc_id AS item_id,
+             |       CAST(w2 AS INT) AS out_w, CAST(h2 AS INT) AS out_h,
+             |       CAST(count(*) AS BIGINT) AS n_values,
+             |       CAST(sum(v) AS BIGINT) AS sum_val,
+             |       CAST(sum(v * (1 + idx % 31)) AS BIGINT) AS weighted_sum,
+             |       CAST(min(v) AS INT) AS min_val,
+             |       CAST(max(v) AS INT) AS max_val
+             |FROM px
+             |GROUP BY 1, 2, 3
+             |ORDER BY item_id""".stripMargin)),
+
+    // ── Frame sampling: every 4th REAL decoded sample ─────────────────────
+    // The video frame-sample shape (keep every k-th frame) on the one
+    // modality whose inner decode is real in this environment. The
+    // oracle expands the decimated index grid and re-derives each kept
+    // sample's sign from the square-wave formula; zero crossings of
+    // the KEPT sequence come from a lag window — stride or phase bugs
+    // shift them and break the match.
+    QueryDef("q92_audio_frame_sample",
+      (s, d) => decimatePcm(pcmAudioTable(s, d), stride = 4).toDF()
+        .select("item_id", "sample_rate", "n_samples", "peak", "sum_sq",
+          "n_zero_cross", "rms")
+        .orderBy("item_id"),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |         64 + doc_id % 64 AS n,
+             |         1000 + (doc_id % 7) * 4000 AS amp,
+             |         4 + doc_id % 9 AS hp
+             |  FROM documents WHERE doc_id % 3 = 1),
+             |kept AS (
+             |  SELECT doc_id, amp, i,
+             |         CASE WHEN ((4 * i) // hp) % 2 = 0 THEN amp
+             |              ELSE -amp END AS v
+             |  FROM (SELECT doc_id, amp, hp, unnest(range((n + 3) // 4)) AS i
+             |        FROM p)),
+             |lagged AS (
+             |  SELECT doc_id, amp, v,
+             |         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+             |  FROM kept)
+             |SELECT doc_id AS item_id,
+             |       4000 AS sample_rate,
+             |       CAST(count(*) AS INT) AS n_samples,
+             |       CAST(max(abs(v)) AS INT) AS peak,
+             |       CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+             |       CAST(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+             |                     THEN 1 ELSE 0 END) AS INT) AS n_zero_cross,
+             |       sqrt(sum(CAST(v AS BIGINT) * v) / count(*)) AS rms
+             |FROM lagged
+             |GROUP BY doc_id
              |ORDER BY item_id""".stripMargin))
   )
 }

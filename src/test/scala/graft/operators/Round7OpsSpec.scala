@@ -140,6 +140,45 @@ class Round7OpsSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).length === 1, plan.take(2000))
   }
 
+  // ── q91/q92: multimodal transforms ──────────────────────────────────────
+
+  test("q91 downsample equals the per-pixel box mean of the decoded image") {
+    // independent of the SQL oracle: recompute each 2×2 mean from the
+    // decoded byte grid directly and compare every output cell
+    for (id <- 0L until 99L by 9L) {
+      val (w, h, rows) = MultimodalOps.decodePngBytes(MultimodalOps.encodePng(id))
+      val stats = MultimodalOps.downsamplePng(
+        MultimodalOps.pngImageTable(spark, sf)
+          .filter(org.apache.spark.sql.functions.col("item_id") === id))
+        .collect().head
+      assert((stats.out_w, stats.out_h) === (w / 2, h / 2))
+      var sum = 0L
+      for (r <- 0 until h / 2; c <- 0 until w / 2; ch <- 0 until 3)
+        sum += ((rows(2 * r)(2 * c * 3 + ch) & 0xff) +
+          (rows(2 * r)((2 * c + 1) * 3 + ch) & 0xff) +
+          (rows(2 * r + 1)(2 * c * 3 + ch) & 0xff) +
+          (rows(2 * r + 1)((2 * c + 1) * 3 + ch) & 0xff)) / 4
+      assert(stats.sum_val === sum, s"id=$id")
+    }
+  }
+
+  test("q92 decimation keeps exactly every 4th sample of the real decode") {
+    val media = MultimodalOps.pcmAudioTable(spark, sf)
+    val full = MultimodalOps.decodePcm(media).collect()
+      .map(s => s.item_id -> s).toMap
+    MultimodalOps.decimatePcm(media, stride = 4).collect().foreach { d =>
+      val f = full(d.item_id)
+      assert(d.n_samples === (f.n_samples + 3) / 4, s"item ${d.item_id}")
+      assert(d.sample_rate === f.sample_rate / 4)
+      assert(d.peak <= f.peak)
+      assert(d.sum_sq <= f.sum_sq)
+    }
+    // stride 1 is the identity
+    val s1 = MultimodalOps.decimatePcm(media, 1).collect()
+      .map(_.toString).sorted.toSeq
+    assert(s1 === full.values.map(_.toString).toSeq.sorted)
+  }
+
   // ── df-cap count gate ───────────────────────────────────────────────────
 
   test("cappedIndex falls back to a shuffled anti-join when the hot set exceeds the gate") {
