@@ -251,6 +251,69 @@ object CurationOps {
              |         AS overhead_frac
              |FROM p
              |GROUP BY lang
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // ── Hashed linear quality classifier (fastText-style inference) ───────
+    // The quality-model scoring pass of a curation run: tokens hash
+    // into F=64 feature buckets (feature hashing — Weinberger et al.
+    // 2009), the bucket counts dot a weight vector, the score decides
+    // keep/drop. Weights here are md5-derived so the DuckDB oracle
+    // recomputes them exactly; production swaps in trained weights as a
+    // broadcast table without touching the plan shape.
+    //
+    // Determinism: the dot product stays in INTEGER space (cnt × int
+    // weight, summed) and divides once at the end — integer sums are
+    // order-independent, so the score is bit-identical across engines
+    // and partitionings (a double-accumulating formulation would hash-
+    // mismatch on reduction order).
+    //
+    // 100 TB shape: explode → one (doc_id, bucket)-keyed shuffle with
+    // map-side combine; the 64-row weight table broadcasts; nothing
+    // else moves. F scales to millions of buckets without a new shuffle.
+    QueryDef("q93_quality_classifier",
+      (s, d) => {
+        val F = 64
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val counts = toks
+          .select(col("doc_id"),
+            pmod(graft.functions.Hashing.md5Long60(col("tok")), lit(F))
+              .as("bucket"))
+          .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+        val weights = s.range(F).select(col("id").as("bucket"),
+          (pmod(graft.functions.Hashing.md5Long60(
+            concat(lit("qw_"), col("id"))), lit(2001)) - 1000).as("wi"))
+        val scored = counts.join(broadcast(weights), "bucket")
+          .groupBy("doc_id")
+          .agg(sum(col("cnt") * col("wi")).as("num"),
+            sum("cnt").as("n"))
+        val score = col("num").cast("double") / (lit(1000.0) * col("n"))
+        scored.select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+            score.as("score"),
+            when(score > 0.05, "keep").otherwise("drop").as("label"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+             |b AS (
+             |  SELECT doc_id,
+             |         ${graft.functions.Hashing.md5Long60Sql("tok")} % 64
+             |           AS bucket
+             |  FROM t),
+             |c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+             |w AS (
+             |  SELECT r.r AS bucket,
+             |         ${graft.functions.Hashing.md5Long60Sql("'qw_' || r.r")}
+             |           % 2001 - 1000 AS wi
+             |  FROM range(0, 64) r(r)),
+             |s AS (
+             |  SELECT doc_id, sum(cnt * wi) AS num, sum(cnt) AS n
+             |  FROM c JOIN w USING (bucket) GROUP BY 1)
+             |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+             |       CAST(num AS DOUBLE) / (1000.0 * n) AS score,
+             |       CASE WHEN CAST(num AS DOUBLE) / (1000.0 * n) > 0.05
+             |            THEN 'keep' ELSE 'drop' END AS label
+             |FROM s
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -781,7 +781,47 @@ object DedupOps {
              |       CAST(max(te) AS BIGINT) AS span_end,
              |       CAST(max(te) - min(ts) + 1 AS BIGINT) AS span_len
              |FROM grp GROUP BY doc_id, gid
-             |ORDER BY doc_id, span_start""".stripMargin))
+             |ORDER BY doc_id, span_start""".stripMargin)),
+
+    // ── Canonical selection: the KEEP decision per near-dup group ─────────
+    // Dedup ends with a choice, not just groups: per connected
+    // component, keep the best member (longest document, doc_id
+    // tiebreak) and record what the group cost. This is the
+    // representative-selection step every dedup pipeline runs between
+    // grouping and the rewrite; composed entirely from q54's components
+    // and the documents table. The per-group window is dup-group-sized
+    // (tiny by construction); group stats ride the same shuffle.
+    QueryDef("q94_canonical_selection",
+      (s, d) => {
+        val comp = components(s, d)
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+        val members = comp.join(docs, "doc_id")
+        val w = Window.partitionBy("group_id")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        members.withColumn("rk", row_number().over(w))
+          .groupBy("group_id")
+          .agg(count(lit(1)).as("n_members"),
+            max(when(col("rk") === 1, col("doc_id"))).as("canonical_doc_id"),
+            max(when(col("rk") === 1, col("n_chars"))).as("kept_chars"),
+            sum(col("n_chars")).cast("long").as("total_chars"))
+          .orderBy("group_id")
+      },
+      Some(s"""WITH RECURSIVE $COMPONENT_CTES,
+             |m AS (
+             |  SELECT comp.id AS doc_id, comp.group_id, d.n_chars
+             |  FROM comp JOIN documents d ON d.doc_id = comp.id),
+             |r AS (
+             |  SELECT m.*, row_number() OVER (
+             |    PARTITION BY group_id ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM m)
+             |SELECT group_id,
+             |       count(*) AS n_members,
+             |       max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc_id,
+             |       max(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars,
+             |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM r
+             |GROUP BY group_id
+             |ORDER BY group_id""".stripMargin))
   )
 
   /** DuckDB CTE chain computing `comp(id, group_id)` — the recursive-CTE

@@ -140,6 +140,36 @@ class Round7OpsSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).length === 1, plan.take(2000))
   }
 
+  // ── q93/q94: classifier + canonical selection ───────────────────────────
+
+  test("q93 scores are partition-invariant (integer dot, no float reduction)") {
+    def run() = graft.SparkEntry.queries("q93_quality_classifier")(spark, sf)
+    val a = run().collect().map(_.toString).sorted.toSeq
+    val b = run().repartition(17).collect().map(_.toString).sorted.toSeq
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("q94 canonical member maximizes n_chars within its group") {
+    val groups = DedupOps.components(spark, sf)
+      .join(graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._2)
+    val sel = graft.SparkEntry.queries("q94_canonical_selection")(spark, sf)
+      .collect()
+    assert(sel.nonEmpty && sel.length === groups.size)
+    sel.foreach { r =>
+      val (gid, n, canon, kept, total) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val members = groups(gid)
+      assert(n === members.length)
+      assert(kept === members.map(_._3).max,
+        s"group $gid kept a non-maximal member")
+      assert(members.exists(m => m._1 == canon && m._3 == kept))
+      assert(total === members.map(_._3).sum)
+    }
+  }
+
   // ── q91/q92: multimodal transforms ──────────────────────────────────────
 
   test("q91 downsample equals the per-pixel box mean of the decoded image") {
