@@ -5,7 +5,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.operators.DedupOps
-import graft.warehouse.AtomicParquet
+import graft.warehouse.VersionedParquet
 
 /** Incremental near-dup detection as a stream: q79's persist-and-probe
   * contract run continuously. Each arriving document drop
@@ -30,11 +30,14 @@ import graft.warehouse.AtomicParquet
   * foreachBatch idempotence: a batch retried after the pairs append
   * but before checkpoint commit re-appends its pairs; the downstream
   * consumer dedups on (id_a, id_b) — candidates are a set by
-  * definition. The INDEX fold is made idempotent structurally: rows for
-  * this batch's doc_ids are anti-joined out of the stored index before
-  * the union, so replaying a batch whose index overwrite already landed
-  * reproduces the identical index instead of duplicating signature rows
-  * (which would bloat every future probe and break batch parity).
+  * definition. The INDEX is exactly-once two ways over: it lives in a
+  * VersionedParquet table committed with the batch-id marker
+  * (VersionedSink's guard — a replay of an already-committed batch is
+  * skipped outright, and concurrent readers of the index are never
+  * disturbed by a fold), and the fold itself stays structurally
+  * idempotent (rows for this batch's doc_ids are anti-joined out
+  * before the union), which also makes RE-INGESTING a document in a
+  * later batch an upsert instead of a duplicate signature row.
   */
 object DedupStream {
 
@@ -53,21 +56,24 @@ object DedupStream {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sigs = DedupOps.signaturesOf(DedupOps.shingleFrameOf(batch))
-          .localCheckpoint(true) // computed once: probed, then stored
-        val p = new org.apache.hadoop.fs.Path(indexPath)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // Existence checked explicitly (not caught): a transient read
-        // failure must fail the batch, not silently restart the index.
-        val stored =
-          if (fs.exists(p)) spark.read.parquet(indexPath)
-          else sigs.limit(0)
-        val folded = foldIndex(stored, sigs)
-        val pairs = DedupOps.candidatesBetween(
-          DedupOps.bandKeys(sigs), DedupOps.bandKeys(folded))
-        pairs.write.mode("append").parquet(pairsPath)
-        AtomicParquet.overwrite(folded, indexPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Replay of a committed batch: its pairs were appended BEFORE
+        // the index publish that recorded the marker, so skipping the
+        // whole body repeats nothing and loses nothing.
+        if (!VersionedSink.lastBatchId(spark, indexPath).exists(_ >= batchId)) {
+          val sigs = DedupOps.signaturesOf(DedupOps.shingleFrameOf(batch))
+            .localCheckpoint(true) // computed once: probed, then stored
+          val stored =
+            if (VersionedParquet.currentVersion(spark, indexPath).isDefined)
+              VersionedParquet.read(spark, indexPath)
+            else sigs.limit(0)
+          val folded = foldIndex(stored, sigs)
+          val pairs = DedupOps.candidatesBetween(
+            DedupOps.bandKeys(sigs), DedupOps.bandKeys(folded))
+          pairs.write.mode("append").parquet(pairsPath)
+          VersionedParquet.publish(folded, indexPath,
+            markers = Map(VersionedSink.BatchMarker -> batchId.toString))
+        }
         ()
       }
       .start()
@@ -95,10 +101,15 @@ object DedupStream {
                  docIds: Seq[Long]): Unit = {
     import spark.implicits._
     val ids = docIds.toDF("doc_id")
-    AtomicParquet.overwrite(
-      spark.read.parquet(indexPath)
+    // carry the batch marker forward: a delete is not a batch commit,
+    // and losing the marker would let a replayed old batch re-fold
+    val marker = VersionedSink.lastBatchId(spark, indexPath)
+      .map(b => Map(VersionedSink.BatchMarker -> b.toString))
+      .getOrElse(Map.empty[String, String])
+    VersionedParquet.publish(
+      VersionedParquet.read(spark, indexPath)
         .join(org.apache.spark.sql.functions.broadcast(ids),
           Seq("doc_id"), "left_anti"),
-      indexPath)
+      indexPath, markers = marker)
   }
 }

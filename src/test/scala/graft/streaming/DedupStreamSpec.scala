@@ -52,7 +52,7 @@ class DedupStreamSpec extends AnyFunSuite {
       "union of per-drop candidates must equal the full-corpus set")
 
     // the maintained index is bit-identical to the batch signature build
-    val maintained = spark.read.parquet(index)
+    val maintained = graft.warehouse.VersionedParquet.read(spark, index)
       .collect().map(_.toSeq).toSet
     val batch = DedupOps.signaturesOf(DedupOps.shingleFrameOf(docs))
       .collect().map(_.toSeq).toSet
@@ -62,7 +62,7 @@ class DedupStreamSpec extends AnyFunSuite {
     // a fresh probe of the whole corpus pairs against everyone EXCEPT it
     val victim = streamed.head._1
     DedupStream.deleteDocs(spark, index, Seq(victim))
-    val after = spark.read.parquet(index)
+    val after = graft.warehouse.VersionedParquet.read(spark, index)
     assert(after.filter(col("doc_id") === victim).count() === 0)
     assert(after.count() === maintained.size - 1)
     val probeAll = DedupOps.candidatesBetween(
