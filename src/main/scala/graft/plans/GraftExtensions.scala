@@ -32,9 +32,11 @@ import graft.functions.{TextKernels, TextStat, VectorDot}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
-    // users who write the textbook regex formulations get the
-    // single-pass kernel automatically — see TextStatRewrite
+    // users who write the textbook regex / dot-product formulations
+    // get the codegen kernels automatically — see TextStatRewrite and
+    // VectorDotRewrite
     ext.injectOptimizerRule(_ => TextStatRewrite)
+    ext.injectOptimizerRule(_ => VectorDotRewrite)
   }
 }
 

@@ -111,6 +111,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString().contains("text_stat"))
   }
 
+  test("optimizer rule rewrites the aggregate/zip_with dot idiom to vector_dot") {
+    spark.range(10).selectExpr(
+      "transform(sequence(1, 4), i -> CAST(i * id AS DOUBLE)) AS a",
+      "transform(sequence(1, 4), i -> CAST(i + id AS DOUBLE)) AS b")
+      .createOrReplaceTempView("vt")
+    val q = spark.sql(
+      "SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 0D," +
+        " (acc, v) -> acc + v) AS d FROM vt")
+    assert(q.queryExecution.optimizedPlan.toString().contains("vector_dot"),
+      q.queryExecution.optimizedPlan.toString())
+    // values match the interpreted fold it replaced
+    val got = q.collect().map(_.getDouble(0)).sorted.toSeq
+    val expect = (0 until 10).map { id =>
+      (1 to 4).map(i => (i * id).toDouble * (i + id)).sum
+    }.sorted
+    assert(got === expect)
+    // a non-dot aggregate (different zero) is left alone
+    assert(!spark.sql(
+      "SELECT aggregate(zip_with(a, b, (x, y) -> x * y), 1D," +
+        " (acc, v) -> acc + v) FROM vt")
+      .queryExecution.optimizedPlan.toString().contains("vector_dot"))
+    // a FLOAT-typed multiply (per-element rounding) must NOT rewrite
+    spark.range(3).selectExpr(
+      "transform(sequence(1, 4), i -> CAST(i * id AS FLOAT)) AS a",
+      "transform(sequence(1, 4), i -> CAST(i + id AS FLOAT)) AS b")
+      .createOrReplaceTempView("ft")
+    assert(!spark.sql(
+      "SELECT aggregate(zip_with(a, b, (x, y) -> CAST(x * y AS DOUBLE))," +
+        " 0D, (acc, v) -> acc + v) FROM ft")
+      .queryExecution.optimizedPlan.toString().contains("vector_dot"))
+  }
+
   test("wrong arity fails at analysis with the function's own message") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_token_count('a', 'b')").head()
