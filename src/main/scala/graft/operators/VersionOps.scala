@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{QueryDef, Scratch, Tables}
+import graft.warehouse.VersionedParquet
+
+/** Change-data-capture over the engine's own table format: diff two
+  * PUBLISHED versions of a table — the "what changed since yesterday's
+  * snapshot" primitive a warehouse consumer runs after every refresh
+  * (incremental downstream rebuilds, audit trails, cache invalidation).
+  *
+  * The query exercises the format's time travel in the correctness
+  * gate, not just in specs: two deterministic subsets of `documents`
+  * publish as v0/v1 of a scratch VersionedParquet table (idempotent —
+  * once per session), pinned reads resolve both versions, and the diff
+  * is anti/semi joins on the key. The DuckDB oracle recomputes the
+  * same diff from the subset predicates directly — it never sees the
+  * table format, so pointer/pinning/publish bugs surface as mismatches.
+  *
+  * 100 TB shape: the diff is one key-partitioned join pair between two
+  * snapshot scans (no full-table collect, no state); for partitioned
+  * tables the join prunes to changed partitions first.
+  */
+object VersionOps {
+
+  /** Publish the two test snapshots once per session; return the root. */
+  private[graft] def publishedRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q95-version-diff")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      // v0: yesterday's load skipped doc_id % 4 == 0; v1: today's skips
+      // % 3 == 0 — so the diff has adds, removes, AND a large kept set
+      VersionedParquet.publish(docs.filter(col("doc_id") % 4 =!= 0), root,
+        keepVersions = 10)
+      VersionedParquet.publish(docs.filter(col("doc_id") % 3 =!= 0), root,
+        keepVersions = 10)
+    }
+    root
+  }
+
+  private[graft] def versionDiff(s: SparkSession, dir: String): DataFrame = {
+    val root = publishedRoot(s, dir)
+    val v0 = VersionedParquet.read(s, root, Some(0L)).select("doc_id", "lang")
+    val v1 = VersionedParquet.read(s, root, Some(1L)).select("doc_id", "lang")
+    val added = v1.join(v0.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_added"))
+    val removed = v0.join(v1.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_removed"))
+    val kept = v1.join(v0.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    added.join(removed, Seq("lang"), "full_outer")
+      .join(kept, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("q95_version_diff",
+      (s, d) => versionDiff(s, d),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         doc_id % 4 <> 0 AS in0,
+             |         doc_id % 3 <> 0 AS in1
+             |  FROM documents)
+             |SELECT lang,
+             |       CAST(count(*) FILTER (WHERE in1 AND NOT in0) AS BIGINT)
+             |         AS n_added,
+             |       CAST(count(*) FILTER (WHERE in0 AND NOT in1) AS BIGINT)
+             |         AS n_removed,
+             |       CAST(count(*) FILTER (WHERE in0 AND in1) AS BIGINT)
+             |         AS n_kept
+             |FROM t
+             |WHERE in0 OR in1
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin))
+  )
+}
