@@ -391,8 +391,14 @@ object DedupOps {
     *    prior ends -> new-group flag -> cumulative group id), all on the
     *    doc_id partitioning: one narrow shuffle, bounded state. */
   private[graft] def duplicatedSpans(spark: SparkSession, dir: String,
-                                     n: Int): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+                                     n: Int): DataFrame =
+    duplicatedSpansOf(Tables.documents(spark, dir), n)
+
+  /** Span marking over any (doc_id, text) frame — see duplicatedSpans;
+    * split out so KernelPropSpec can drive generated corpora with
+    * known injected passages through it. */
+  private[graft] def duplicatedSpansOf(docs: DataFrame, n: Int): DataFrame = {
+    val toks = docs
       .select(col("doc_id"),
         filter(split(col("text"), "\\s+"), x => x =!= lit("")).as("toks"))
     val occ = toks

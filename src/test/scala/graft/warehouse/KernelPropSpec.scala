@@ -132,6 +132,53 @@ class KernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("span dedup finds every injected cross-document passage (generated corpora)") {
+    import spark.implicits._
+    val N = 6
+    // vocabulary of unique background tokens ensures NO accidental
+    // duplicated n-gram: background token (d, i) is unique to its slot
+    val corpusGen = for {
+      nDocs <- Gen.choose(4, 10)
+      lens <- Gen.listOfN(nDocs, Gen.choose(N + 2, 40))
+      passageLen <- Gen.choose(N, 12)
+      holders <- Gen.pick(2, 0 until nDocs)
+      offsets <- Gen.listOfN(2, Gen.choose(0.0, 1.0))
+    } yield {
+      val passage = (0 until passageLen).map(i => s"shared$i")
+      val docs = (0 until nDocs).map { d =>
+        val base = (0 until lens(d)).map(i => s"bg${d}_$i")
+        if (holders.contains(d)) {
+          // splice the passage at a document-specific offset
+          val at = (offsets(holders.indexOf(d)) * base.length).toInt
+          val toks = base.take(at) ++ passage ++ base.drop(at)
+          (d.toLong, toks.mkString(" "), at)
+        } else (d.toLong, base.mkString(" "), -1)
+      }
+      (docs, passageLen)
+    }
+    // 30 generated corpora, one Spark job each (small frames)
+    sample(Gen.listOfN(30, corpusGen)).foreach { case (docs, passageLen) =>
+      val df = docs.map { case (id, text, _) => (id, text) }
+        .toDF("doc_id", "text")
+      val spans = graft.operators.DedupOps.duplicatedSpansOf(df, N).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // every injected occurrence must be covered by EXACTLY the
+      // passage span: [at, at + passageLen - 1]
+      docs.filter(_._3 >= 0).foreach { case (id, _, at) =>
+        val mine = spans.filter(_._1 == id)
+        assert(mine.length === 1,
+          s"doc $id: expected exactly the injected span, got ${mine.toSeq}")
+        assert(mine.head._2 === at.toLong &&
+          mine.head._3 === (at + passageLen - 1).toLong,
+          s"doc $id: span ${mine.head} != injected [$at, ${at + passageLen - 1}]")
+      }
+      // and no doc without an injection reports anything
+      docs.filter(_._3 < 0).foreach { case (id, _, _) =>
+        assert(!spans.exists(_._1 == id), s"doc $id: phantom span")
+      }
+    }
+  }
+
   test("PCM decode under header corruption: clamps or fails loudly, never OOB") {
     import graft.operators.MultimodalOps
     // a valid little payload: 8 alternating samples
