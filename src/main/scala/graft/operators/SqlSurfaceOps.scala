@@ -71,6 +71,35 @@ object SqlSurfaceOps {
              |              * CAST(embedding[i] AS DOUBLE))) AS norm_sq
              |FROM embeddings
              |WHERE vec_id % 50 = 0
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ── Textbook SQL auto-accelerated by the rewrite rules ────────────────
+    // The query text below names NO graft function — it is the plain
+    // regex/aggregate formulation any SQL user would write. register()
+    // installs TextStatRewrite/VectorDotRewrite on the live session
+    // (spark.experimental.extraOptimizations), so the plan that runs is
+    // the kernel plan (GraftExtensionsSpec asserts the rewrite; this
+    // row proves VALUES are unchanged under it, in the gate).
+    QueryDef("q96_sql_rewritten",
+      (s, d) => {
+        GraftFunctions.register(s)
+        Tables.documents(s, d).select("doc_id", "text")
+          .createOrReplaceTempView("graft_sql_documents")
+        s.sql("""SELECT doc_id,
+                |  length(regexp_replace(lower(text), '[^a-z0-9]', '')) AS n_alnum,
+                |  length(regexp_replace(text, '[a-zA-Z0-9\\s]', '')) AS n_punct,
+                |  regexp_count(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]') AS n_pieces
+                |FROM graft_sql_documents
+                |ORDER BY doc_id""".stripMargin)
+      },
+      Some("""SELECT doc_id,
+             |  CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+             |    AS INT) AS n_alnum,
+             |  CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+             |    AS INT) AS n_punct,
+             |  CAST(len(regexp_extract_all(text,
+             |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_pieces
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin))
   )
 }

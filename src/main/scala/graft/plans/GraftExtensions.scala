@@ -81,7 +81,15 @@ object GraftFunctions {
       2) { case Seq(a, b) => VectorDot(a, b) })
 
   /** Runtime registration on a live session (idempotent — re-register
-    * replaces with the identical builder). */
-  def register(spark: SparkSession): Unit =
+    * replaces with the identical builder; extraOptimizations is
+    * assigned wholesale, not appended). Functions land in the session
+    * FunctionRegistry; the rewrite rules ride
+    * `spark.experimental.extraOptimizations` — the public runtime
+    * counterpart of `injectOptimizerRule`, so a session NOT built with
+    * the extension class still auto-accelerates the textbook idioms. */
+  def register(spark: SparkSession): Unit = {
     all.foreach(FunctionBridge.register(spark, _))
+    spark.experimental.extraOptimizations =
+      Seq(TextStatRewrite, VectorDotRewrite)
+  }
 }

@@ -48,6 +48,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     GraftFunctions.register(bare)
     assert(bare.sql("SELECT graft_token_count('x y z') AS t")
       .head().getInt(0) === 3)
+    // the rewrite rules ride extraOptimizations on the live session:
+    // textbook SQL (no graft function named) still plans as the kernel
+    bare.range(5).selectExpr("cast(id AS string) AS text")
+      .createOrReplaceTempView("bare_t")
+    assert(bare.sql(
+      "SELECT length(regexp_replace(lower(text), '[^a-z0-9]', '')) FROM bare_t")
+      .queryExecution.optimizedPlan.toString().contains("text_stat"))
   }
 
   test("SQL path and DataFrame path are the same expression (codegen on)") {
