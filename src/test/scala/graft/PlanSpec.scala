@@ -295,6 +295,52 @@ class PlanSpec extends AnyFunSuite {
       s"expected fanout + gram + doc_id + final-sort, got ${shuffles.length}")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the q85 alternative)") {
+    // q85 is the deterministic-plan answer to skew (explicit salt);
+    // this proves the RUNTIME answer engages too: with AQE skew-join
+    // on, a hot key's oversized shuffle partition is split after the
+    // map stage — no code change, no salt column. Together they are
+    // the two production paths for a skewed large⋈large join.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "2KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // one key carries ~95% of left rows; pad depends on id so it can't
+    // constant-fold out of the shuffle (compressed partition sizes are
+    // what the skew detector sees)
+    val left = s2.range(60000)
+      .selectExpr("CASE WHEN id % 20 = 0 THEN id % 50 ELSE 999999 END AS k",
+        "concat(cast(id AS string), repeat('x', 64)) AS pad")
+    val right = s2.range(1000000, 1000060)
+      .selectExpr("id % 60 AS k", "repeat('y', 8) AS rpad")
+      .union(s2.range(0, 1).selectExpr("999999 AS k", "'hot' AS rpad"))
+    val joined = left.join(right, "k")
+    // drive THIS queryExecution (a write or count() would clone the
+    // plan and the inspected AQE tree would stay un-executed/initial)
+    assert(joined.collect().length > 0)
+    // query stages are leaf nodes — descend into their inner plans
+    def deepCollect[A](p: SparkPlan)(f: PartialFunction[SparkPlan, A]): Seq[A] = {
+      val here = if (f.isDefinedAt(p)) Seq(f(p)) else Nil
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(deepCollect(_)(f))
+    }
+    val finalPlan = joined.queryExecution.executedPlan
+    val smjs = deepCollect(finalPlan) { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, s"expected an SMJ:\n${finalPlan.treeString.take(1500)}")
+    assert(smjs.exists(_.isSkewJoin),
+      s"AQE must mark the hot partition skew-split:\n${finalPlan.treeString.take(2000)}")
+  }
+
   test("q87 semdedup: centroids broadcast; pair join shuffles on cluster, not all-pairs") {
     val p = planOf("q87_semdedup")
     // the only nested-loop allowed is the broadcast of the 8 seed
