@@ -395,10 +395,19 @@ object MultimodalOps {
     * bearing. */
   private[operators] def encodePng(id: Long): Array[Byte] = {
     val (w, h) = pngParams(id)
-    val bpl = w * 3
-    val raw = Array.ofDim[Byte](h, bpl)
+    val raw = Array.ofDim[Byte](h, w * 3)
     for (r <- 0 until h; c <- 0 until w; ch <- 0 until 3)
       raw(r)(c * 3 + ch) = pixelValue(id, r, c, ch).toByte
+    encodePngPixels(raw)
+  }
+
+  /** Encode an arbitrary 8-bit RGB grid (rows of w*3 bytes) — split
+    * from encodePng so KernelPropSpec can round-trip random images,
+    * not just the formula family. */
+  private[graft] def encodePngPixels(raw: Array[Array[Byte]]): Array[Byte] = {
+    val h = raw.length
+    val bpl = raw(0).length
+    val w = bpl / 3
     val filtered = new Array[Byte](h * (bpl + 1))
     for (r <- 0 until h) {
       val f = r % 5
@@ -454,7 +463,7 @@ object MultimodalOps {
     * five filter types). Returns the reconstructed rows. Fails loudly —
     * never silently — on a bad signature, chunk CRC, unsupported
     * format, or truncated pixel stream. */
-  private[operators] def decodePngBytes(b: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+  private[graft] def decodePngBytes(b: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
     require(b.length >= 8 && b.startsWith(PNG_SIG), "not a PNG payload")
     var off = 8
     var w = 0; var h = 0

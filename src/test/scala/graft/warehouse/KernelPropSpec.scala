@@ -179,6 +179,36 @@ class KernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("PNG encode/decode round-trips arbitrary pixel grids exactly") {
+    import graft.operators.MultimodalOps
+    // random dims INCLUDING 1-wide/1-tall edges (the a/b/c neighbor
+    // terms of Sub/Up/Average/Paeth all hit their boundary branches)
+    // and adversarial content: random, constant, and gradient rows
+    val imgGen = for {
+      w <- Gen.choose(1, 24)
+      h <- Gen.choose(1, 24)
+      mode <- Gen.oneOf(0, 1, 2)
+      seed <- Gen.choose(0, 1 << 20)
+    } yield {
+      val rnd = new scala.util.Random(seed)
+      val raw = Array.tabulate(h, w * 3) { (r, i) =>
+        (mode match {
+          case 0 => rnd.nextInt(256)
+          case 1 => 170
+          case 2 => (r * 7 + i * 13) % 256
+        }).toByte
+      }
+      raw
+    }
+    sample(Gen.listOfN(80, imgGen)).foreach { raw =>
+      val (w2, h2, rows) =
+        MultimodalOps.decodePngBytes(MultimodalOps.encodePngPixels(raw))
+      assert((w2, h2) === (raw(0).length / 3, raw.length))
+      for (r <- raw.indices)
+        assert(java.util.Arrays.equals(rows(r), raw(r)), s"row $r differs")
+    }
+  }
+
   test("PCM decode under header corruption: clamps or fails loudly, never OOB") {
     import graft.operators.MultimodalOps
     // a valid little payload: 8 alternating samples
