@@ -128,6 +128,36 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** BATCH LSH retrieval: every query vector at once. One band-key
+    * equi-join carries ALL queries against the shared hash tables —
+    * the production inference shape (a retrieval service scores a
+    * batch, not a vector at a time), and the plan q40 cannot show: per
+    * query it would broadcast one key set; here candidates come keyed
+    * by (q_id, vec_id) from a single join, reranks share one scan, and
+    * per-query top-k is a q_id-partitioned window. At scale the query
+    * side is a frame, not a broadcast — swap the broadcast hint off
+    * and the same plan shuffles on q_id. */
+  private[graft] def batchLshTopK(e: DataFrame, every: Long,
+                                  k: Int): DataFrame = {
+    val keys = tableKeysOf(e)
+    val qKeys = keys.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("q_id"), col("t"), col("key"))
+    val cand = keys.join(broadcast(qKeys), Seq("t", "key"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+    val qVecs = e.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    cand.join(e, Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosine("embedding", "qvec").as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .orderBy("q_id", "rk")
+  }
+
   /** IVF: sampled coarse centroids, probed lists, exact rerank. */
   private[graft] def ivfTopK(e: DataFrame, queryId: Long, k: Int,
                              nCents: Int = 16, nProbe: Int = 4): DataFrame = {
@@ -490,6 +520,35 @@ object SimilarityOps {
              |       )), 6) AS recon_sse
              |FROM q
              |ORDER BY vec_id""".stripMargin)),
+
+    // ── Batch ANN retrieval: all query vectors through ONE join ───────────
+    // Every 50th vector is a query; candidates for ALL of them come
+    // from a single (t, key) equi-join against the shared LSH tables,
+    // reranks share one scan, and per-query top-3 is a q_id-partitioned
+    // window — the batch-inference shape of a retrieval service.
+    QueryDef("q97_batch_ann",
+      (s, d) => batchLshTopK(Tables.embeddings(s, d), every = 50, k = 3),
+      Some(s"""$KEYS_SQL,
+             |qk AS (SELECT vec_id AS q_id, t, key FROM keys
+             |       WHERE vec_id % 50 = 0),
+             |cand AS (
+             |  SELECT DISTINCT qk.q_id, k.vec_id, k.label, k.embedding
+             |  FROM keys k JOIN qk ON k.t = qk.t AND k.key = qk.key
+             |  WHERE k.vec_id != qk.q_id),
+             |qv AS (SELECT vec_id AS q_id, embedding AS qvec
+             |       FROM embeddings WHERE vec_id % 50 = 0),
+             |scored AS (
+             |  SELECT c.q_id, c.vec_id, c.label, embedding, qvec,
+             |         $COS_Q AS cos_sim
+             |  FROM cand c JOIN qv USING (q_id)),
+             |ranked AS (
+             |  SELECT q_id, vec_id, label, cos_sim,
+             |         row_number() OVER (PARTITION BY q_id
+             |           ORDER BY cos_sim DESC, vec_id) AS rk
+             |  FROM scored)
+             |SELECT q_id, vec_id, label, cos_sim, CAST(rk AS INT) AS rk
+             |FROM ranked WHERE rk <= 3
+             |ORDER BY q_id, rk""".stripMargin)),
 
     // ── SemDeDup: cluster-blocked semantic drop list ──────────────────────
     // Abbas et al. 2023 (arXiv:2303.09540): partition the corpus into

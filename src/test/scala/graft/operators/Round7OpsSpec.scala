@@ -140,6 +140,30 @@ class Round7OpsSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(plan).length === 1, plan.take(2000))
   }
 
+  // ── q97: batch ANN retrieval ────────────────────────────────────────────
+
+  test("q97 batch ANN: per-query top-k agrees with the single-query path") {
+    val e = graft.sources.Tables.embeddings(spark, sf)
+    val batch = SimilarityOps.batchLshTopK(e, every = 50, k = 3).collect()
+      .groupBy(_.getLong(0))
+    assert(batch.nonEmpty)
+    batch.foreach { case (qid, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getInt(4)).sorted.toSeq === (1 to rows.length))
+      // the batch path returns exactly what q40's single-query LSH
+      // returns for this query (same tables, same rerank, same ties)
+      val single = SimilarityOps.lshTopK(e, qid, 3).collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
+      assert(rows.sortBy(_.getInt(4))
+        .map(r => (r.getLong(1), r.getDouble(3))).toSeq === single.toSeq,
+        s"query $qid batch != single")
+    }
+    val plan = SimilarityOps.batchLshTopK(e, 50, 3)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"),
+      "candidate generation must stay an equi-join for the whole batch")
+  }
+
   // ── q93/q94: classifier + canonical selection ───────────────────────────
 
   test("q93 scores are partition-invariant (integer dot, no float reduction)") {
