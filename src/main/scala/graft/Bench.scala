@@ -43,6 +43,17 @@ object Bench {
     // instead of a normal-looking duration — a failed query must not be
     // mistaken for a fast one.
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // Iteration aid: SPARK_GRAFT_ONLY="q35,q37" (prefix match) restricts
+    // the run to a subset — full runs leave it unset. Filtered runs still
+    // execute in inventory order, so shared-cache attribution (see above)
+    // behaves the same within the subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(prefixes) =>
+        SparkEntry.all.filter(q => prefixes.exists(q.name.startsWith))
+      case None => SparkEntry.all
+    }
     // Per-query GC attribution: a multi-second spike whose gc share is
     // most of the delta is a JVM pause, not a plan regression — recorded
     // so round-over-round comparisons stop chasing GC noise (sum of
@@ -52,7 +63,7 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
-    val results = SparkEntry.all.map { q =>
+    val results = selected.map { q =>
       val (name, fn) = (q.name, q.fn)
       val g0 = gcMillis
       val t0 = System.nanoTime()
@@ -80,7 +91,9 @@ object Bench {
     println(line)
     // Also land the full line in the repo: round snapshots have truncated
     // the head of the stdout capture before, which made totals
-    // unrecoverable — this copy is complete by construction.
+    // unrecoverable — this copy is complete by construction. Filtered
+    // runs never overwrite the committed full-run snapshot.
+    if (only.isEmpty)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it

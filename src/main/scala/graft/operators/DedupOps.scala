@@ -108,15 +108,26 @@ object DedupOps {
   private[graft] def shingleFrameOf(docs: DataFrame): DataFrame = {
     val toks = docs
       .select(col("doc_id"), col("lang"), posexplode(tokens(col("text"))))
+    // ONE exchange serves all three windows: hash(doc_id) from the lead
+    // window satisfies ClusteredDistribution(doc_id, shingle) for the
+    // dedup window (partitioning cols ⊆ clustering cols) and
+    // ClusteredDistribution(doc_id) for the count window, so Spark only
+    // re-SORTS between them — no second or third shuffle. (The previous
+    // dropDuplicates formulation paid a full hash exchange on
+    // (doc_id, shingle) plus another on doc_id; PlanSpec pins the
+    // single-exchange shape.)
     val w = Window.partitionBy("doc_id").orderBy("pos")
+    val dedupW = Window.partitionBy("doc_id", "shingle").orderBy("pos")
     toks
       .withColumn("t1", lead("col", 1).over(w))
       .withColumn("t2", lead("col", 2).over(w))
       .filter(col("t2").isNotNull)
-      .select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("pos"),
         concat_ws(" ", col("col"), col("t1"), col("t2")).as("shingle"))
-      .dropDuplicates("doc_id", "shingle")
+      .withColumn("rn", row_number().over(dedupW))
+      .filter(col("rn") === 1)
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .select(col("doc_id"), col("lang"), col("shingle"), col("n_sh"))
       .withColumn("h60", Hashing.md5Long60(col("shingle")))
   }
 

@@ -122,6 +122,26 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("shingle pipeline: one exchange serves lead, dedup and count windows") {
+    // hash(doc_id) from the lead window satisfies the dedup window's
+    // ClusteredDistribution(doc_id, shingle) and the count window's
+    // ClusteredDistribution(doc_id) — Spark must only re-sort between
+    // them. A second exchange means the dropDuplicates-era triple
+    // shuffle crept back.
+    val sh = graft.operators.DedupOps.shingleFrameOf(
+      graft.sources.Tables.documents(spark, sf))
+    sh.write.format("noop").mode("overwrite").save() // finalize AQE stages
+    val exchanges = collectAll(sh.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size === 1,
+      s"shingle build must shuffle exactly once, saw ${exchanges.size}")
+    val windows = collectAll(sh.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(windows.size === 3 && windows.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("q48 as-of join: merge shape — no join operator anywhere in the plan") {
     // The scalable as-of is union + one windowed pass; a join-based plan
     // (per-purchase subquery or theta-join) is the regression to catch.
