@@ -16,9 +16,10 @@ import graft.sources.{QueryDef, Tables}
   * The audio path is fully real — WAV/PCM decode is pure byte arithmetic
   * (`decodePcm`, q78) — and so is PNG: inflate is JDK-only
   * (java.util.zip.Inflater) and scanline unfiltering is byte arithmetic
-  * (`decodePng`, q83). Only JPEG/MP4 byte→signal decode remains a STUB
-  * (no codecs in this container) — a deterministic hash-based fake,
-  * clearly marked.
+  * (`decodePng`, q83) and JPEG: the JDK's javax.imageio carries a full
+  * software JPEG codec (`decodeJpeg`, q98). Only MP4/video frame decode
+  * remains a STUB (no H.264/video codec exists in the JDK or this
+  * container) — a deterministic hash-based fake, clearly marked.
   */
 object MultimodalOps {
 
@@ -44,13 +45,13 @@ object MultimodalOps {
       when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(0)
         .cast("int").as("sample_rate"))
 
-  /** STUB — JPEG/MP4 byte→signal decode. A real deployment swaps this
-    * body for an actual codec (JPEG decode, frame grab); everything
-    * around it (schema, iterator batching, partition parallelism) is the
+  /** STUB — MP4/video frame decode only. A real deployment swaps this
+    * body for an actual video codec (frame grab); everything around it
+    * (schema, iterator batching, partition parallelism) is the
     * production shape. Deterministic: features derive from payload bytes.
     * Audio needs no such stub — see `decodePcm` (real PCM decode, q78) —
-    * and neither does PNG — see `decodePng` (real inflate + unfilter,
-    * q83). */
+    * and neither do images: `decodePng` (real inflate + unfilter, q83)
+    * and `decodeJpeg` (real JDK JPEG codec, q98). */
   private def decodeStub(media: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var acc = 1125899906842597L // FNV-ish rolling hash, deterministic
@@ -555,6 +556,116 @@ object MultimodalOps {
     }
   }
 
+  // ── REAL JPEG decode: the JDK ships a full codec ───────────────────────
+  // javax.imageio (java.desktop, present in the headless JRE) carries a
+  // software JPEG encoder/decoder — Huffman, DCT, 4:2:0 chroma
+  // subsampling — so the JPEG path is NOT stubbed either: q98 decodes
+  // real JPEG bytes. JPEG is LOSSY, so unlike PNG (q83) the oracle
+  // cannot restate pixel values; instead the payloads are smooth
+  // closed-form gradients (no wraps/edges, so codec error stays small
+  // and stable), and the query emits the decoded dimensions (exact,
+  // formula-derived) plus error bounds vs the formula reference with
+  // ~3x margins — a broken Huffman table, IDCT, or upsampler blows the
+  // bounds, while codec-version-level wobble cannot. Encode and decode
+  // both run deterministically in-JVM (byte-identical re-encode,
+  // KernelPropSpec).
+
+  /** JPEG dims per item: 16..32 × 16..28 (even dims — no subsampling
+    * edge column/row, keeping the error bound tight). */
+  private def jpegParams(id: Long): (Int, Int) =
+    (16 + 2 * (id % 9).toInt, 16 + 2 * (id % 7).toInt)
+
+  /** Smooth reference pixel: two full-range linear ramps + per-channel
+    * and per-item offsets, clamped — smooth in (r, c), so JPEG's DCT
+    * represents it with small, stable error. */
+  private[graft] def jpegPixel(id: Long, r: Int, c: Int, ch: Int,
+                               w: Int, h: Int): Int = {
+    val v = (c * 255) / (2 * (w - 1)) + (r * 255) / (2 * (h - 1)) +
+      ch * 13 + (id % 23).toInt
+    math.min(255, v)
+  }
+
+  /** Encode the formula image as a REAL JPEG via the JDK codec. */
+  private[graft] def encodeJpeg(id: Long): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val (w, h) = jpegParams(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until h; c <- 0 until w) {
+      val rgb = (jpegPixel(id, r, c, 0, w, h) << 16) |
+        (jpegPixel(id, r, c, 1, w, h) << 8) | jpegPixel(id, r, c, 2, w, h)
+      img.setRGB(c, r, rgb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos),
+      "no JPEG writer in this JRE")
+    bos.toByteArray
+  }
+
+  /** Image items (doc_id % 3 == 2) whose payloads are REAL JPEGs. */
+  def jpegImageTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = jpegParams(id)
+        MediaRow(id, "image", encodeJpeg(id), w, h, 0)
+      }
+  }
+
+  final case class JpegStats(item_id: Long, width: Int, height: Int,
+                             n_values: Long, mean_err_lt4: Boolean,
+                             max_err_lt48: Boolean, psnr_gt28: Boolean)
+
+  /** Decode a JPEG payload with the JDK codec; fails loudly on a
+    * non-decodable payload. Returns (w, h, rgb row-major ints). */
+  private[graft] def decodeJpegBytes(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    System.setProperty("java.awt.headless", "true")
+    require(b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+      "not a JPEG payload (missing SOI marker)")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Int](w * h)
+    img.getRGB(0, 0, w, h, px, 0, w)
+    (w, h, px)
+  }
+
+  /** Per-partition JPEG decode → fidelity stats vs the closed-form
+    * reference image — same iterator batch shape as decodePcm/decodePng.
+    * The reference is computed from the FORMULA (independent of the
+    * codec), so a decoder that returns plausible-but-wrong pixels fails
+    * the bounds even though the exact values are codec-defined. */
+  def decodeJpeg(media: Dataset[MediaRow]): Dataset[JpegStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val (w, h, px) = decodeJpegBytes(r.media)
+      var absSum = 0L
+      var maxErr = 0
+      var sqSum = 0.0
+      var i = 0
+      while (i < w * h) {
+        val (rr, cc) = (i / w, i % w)
+        var ch = 0
+        while (ch < 3) {
+          val got = (px(i) >> (16 - 8 * ch)) & 0xff
+          val want = jpegPixel(r.item_id, rr, cc, ch, w, h)
+          val e = math.abs(got - want)
+          absSum += e; sqSum += e.toDouble * e
+          if (e > maxErr) maxErr = e
+          ch += 1
+        }
+        i += 1
+      }
+      val n = 3L * w * h
+      val meanErr = absSum.toDouble / n
+      val psnr =
+        if (sqSum == 0) Double.PositiveInfinity
+        else 10.0 * math.log10(255.0 * 255.0 * n / sqSum)
+      JpegStats(r.item_id, w, h, n, meanErr < 4.0, maxErr < 48, psnr > 28.0)
+    })
+  }
+
   final case class ParsedMedia(item_id: Long, declared_kind: String,
                                kind_detected: String, parsed_width: Int,
                                parsed_height: Int, parsed_rate: Int,
@@ -785,6 +896,32 @@ object MultimodalOps {
              |       sqrt(sum(CAST(v AS BIGINT) * v) / count(*)) AS rms
              |FROM lagged
              |GROUP BY doc_id
+             |ORDER BY item_id""".stripMargin)),
+
+    // ── JPEG round-trip: REAL JDK codec decode, fidelity-bounded ──────────
+    // Spark encodes formula gradients to real JPEG bytes and decodes
+    // them with javax.imageio (Huffman + IDCT + chroma upsampling —
+    // the JDK's software codec, no stub). JPEG is lossy, so the oracle
+    // cannot restate pixels; it restates the EXACT decoded dimensions
+    // (a wrong SOF parse fails) and expects every fidelity bound to
+    // hold (mean |err| < 4, max |err| < 48, PSNR > 28 vs the
+    // formula-derived reference — ~3x margins over the measured ~1.3
+    // mean error, so only a broken decode can cross them).
+    QueryDef("q98_jpeg_decode",
+      (s, d) => decodeJpeg(jpegImageTable(s, d)).toDF()
+        .select("item_id", "width", "height", "n_values", "mean_err_lt4",
+          "max_err_lt48", "psnr_gt28")
+        .orderBy("item_id"),
+      Some("""SELECT doc_id AS item_id,
+             |       CAST(16 + 2 * (doc_id % 9) AS INT) AS width,
+             |       CAST(16 + 2 * (doc_id % 7) AS INT) AS height,
+             |       CAST(3 * (16 + 2 * (doc_id % 9))
+             |              * (16 + 2 * (doc_id % 7)) AS BIGINT) AS n_values,
+             |       TRUE AS mean_err_lt4,
+             |       TRUE AS max_err_lt48,
+             |       TRUE AS psnr_gt28
+             |FROM documents
+             |WHERE doc_id % 3 = 2
              |ORDER BY item_id""".stripMargin))
   )
 }

@@ -271,4 +271,49 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(a === b && a.nonEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  // ── q98: real JPEG decode via the JDK codec ─────────────────────────────
+
+  test("q98 JPEG encode is deterministic and decode recovers the formula image") {
+    val ids = Seq(2L, 5L, 11L, 23L, 47L)
+    for (id <- ids) {
+      val b1 = MultimodalOps.encodeJpeg(id)
+      val b2 = MultimodalOps.encodeJpeg(id)
+      assert(java.util.Arrays.equals(b1, b2), s"encode must be deterministic ($id)")
+      assert((b1(0) & 0xff) == 0xff && (b1(1) & 0xff) == 0xd8, "SOI marker")
+      val (w, h, px) = MultimodalOps.decodeJpegBytes(b1)
+      assert(w == 16 + 2 * (id % 9).toInt && h == 16 + 2 * (id % 7).toInt)
+      // fidelity vs the codec-independent formula reference: the same
+      // bounds the q98 oracle expects, asserted directly on the pixels
+      var absSum = 0L; var maxE = 0
+      for (i <- 0 until w * h; ch <- 0 until 3) {
+        val got = (px(i) >> (16 - 8 * ch)) & 0xff
+        val want = MultimodalOps.jpegPixel(id, i / w, i % w, ch, w, h)
+        val e = math.abs(got - want)
+        absSum += e; maxE = math.max(maxE, e)
+      }
+      assert(absSum.toDouble / (3L * w * h) < 4.0, s"mean err too high ($id)")
+      assert(maxE < 48, s"max err $maxE too high ($id)")
+    }
+  }
+
+  test("q98 is partition-invariant and corrupt payloads fail loudly") {
+    def run() = graft.SparkEntry.queries("q98_jpeg_decode")(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val base = run()
+    val reparted = MultimodalOps.decodeJpeg(
+      MultimodalOps.jpegImageTable(spark, sf).repartition(13)).toDF()
+      .select("item_id", "width", "height", "n_values", "mean_err_lt4",
+        "max_err_lt48", "psnr_gt28")
+      .orderBy("item_id").collect().map(_.toString).sorted.toSeq
+    assert(base === reparted)
+    assert(base.nonEmpty && base.forall(_.contains("true,true,true")))
+    // not-a-JPEG and truncated-JPEG payloads must throw, not return junk
+    intercept[Exception] {
+      MultimodalOps.decodeJpegBytes("plainly not a jpeg".getBytes("UTF-8"))
+    }
+    intercept[Exception] {
+      MultimodalOps.decodeJpegBytes(MultimodalOps.encodeJpeg(3L).take(40))
+    }
+  }
 }
