@@ -371,6 +371,76 @@ object DedupOps {
     comp.select(col("id").as("doc_id"), col("root").as("group_id"))
   }
 
+  /** Connected components by alternating large-star/small-star rounds —
+    * the O(log n)-round scale path (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14) that `components`'
+    * min-label fixpoint explicitly defers to for high-diameter graphs:
+    * label propagation needs diameter rounds (a 100k-link chain = 100k
+    * shuffles), star contraction needs O(log n) regardless of shape.
+    *
+    * Round shape: each star operation is one shuffle (a window min over
+    * the neighbor list keyed on the center node) + a projection — no
+    * driver-side data, no collect; the per-round edge set never exceeds
+    * the input edge count (stars only re-point edges, never multiply
+    * them). localCheckpoint between rounds cuts lineage. Convergence =
+    * the small-star output equals its input as a set (checked with two
+    * anti-joins, not a full sort).
+    *
+    * Input: pair frame with columns (id_a, id_b). Output: (doc_id,
+    * group_id) for every node appearing in some pair, group_id = the
+    * component's minimum id — the same contract as `components`. */
+  private[graft] def componentsStar(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    // canonical directed edges: (u, v) with u > v, deduped
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    // large-star: per node u (over SYMMETRIC neighbors), connect every
+    // strictly larger neighbor to m = min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val wU = Window.partitionBy("u")
+      sym.withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    // small-star: per node u over its SMALLER neighbors Γ⁺(u) (directed
+    // u > v), connect every member of Γ⁺(u) ∪ {u} except the min to
+    // m = min(Γ⁺(u) ∪ {u})
+    def smallStar(e: DataFrame): DataFrame = {
+      val wU = Window.partitionBy("u")
+      val withMin = e.withColumn("m", min(col("v")).over(wU))
+      withMin.select(col("v").as("u"), col("m").as("v"))
+        .union(withMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    var edges = canon(
+      pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = edges.isEmpty
+    while (!converged && rounds < 30) {
+      val next = canon(smallStar(largeStar(edges))).localCheckpoint(true)
+      // set equality via two anti-joins (cheap: both sides are
+      // checkpointed and shrink toward the star fixpoint)
+      converged =
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
+          edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged, s"star contraction did not converge in $rounds rounds")
+    // fixpoint edges are stars (node -> component min); the min itself
+    // appears only on the right, so union its self-row back in
+    edges.select(col("u").as("doc_id"), col("v").as("group_id"))
+      .union(edges.select(col("v"), col("v")).distinct())
+      .distinct()
+  }
+
   /** Span-level exact dedup — the substring-dedup shape of Lee et al.
     * 2021 ("Deduplicating Training Data Makes Language Models Better",
     * arXiv:2107.06499): a token N-gram occurring in >= 2 DISTINCT
@@ -838,7 +908,33 @@ object DedupOps {
              |       CAST(sum(n_chars) AS BIGINT) AS total_chars
              |FROM r
              |GROUP BY group_id
-             |ORDER BY group_id""".stripMargin))
+             |ORDER BY group_id""".stripMargin)),
+
+    // ── Star-contraction components on a HIGH-DIAMETER graph ──────────────
+    // The q54 fixpoint needs diameter rounds; this query runs the
+    // O(log n) large-star/small-star path on the graph shape that
+    // breaks label propagation: per-(source, lang) CHAINS (each doc
+    // linked to the next id in its bucket — diameter = bucket size,
+    // hundreds at sf0.1, unbounded at corpus scale). The oracle is
+    // closed-form: a chain's component minimum is its bucket minimum.
+    // Buckets with one doc have no edge and so no output row (the
+    // same nodes-in-some-pair contract as q54).
+    QueryDef("q99_cc_star",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "source", "lang")
+        val w = Window.partitionBy("source", "lang").orderBy("doc_id")
+        val chain = docs.withColumn("nxt", lead("doc_id", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(col("nxt").as("id_a"), col("doc_id").as("id_b"))
+        componentsStar(chain).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, group_id FROM (
+             |  SELECT doc_id,
+             |         min(doc_id) OVER (PARTITION BY source, lang) AS group_id,
+             |         count(*) OVER (PARTITION BY source, lang) AS n_in_bucket
+             |  FROM documents)
+             |WHERE n_in_bucket > 1
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB CTE chain computing `comp(id, group_id)` — the recursive-CTE

@@ -272,6 +272,54 @@ class Round7OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  // ── q99: large-star/small-star components ───────────────────────────────
+
+  test("q99 star contraction handles a 3000-link chain (label propagation cannot)") {
+    import spark.implicits._
+    // single chain 0-1-2-...-3000: diameter 3000, far past the q54
+    // fixpoint's 50-round cap — the O(log n) path must solve it
+    val chain = spark.range(3000)
+      .select((col("id") + 1).as("id_a"), col("id").as("id_b"))
+    val comp = DedupOps.componentsStar(chain).collect()
+    assert(comp.length == 3001)
+    assert(comp.forall(_.getLong(1) == 0L), "every node joins component 0")
+  }
+
+  test("q99 star components equal a union-find ground truth on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 400
+    val edges = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    // driver-side union-find: the independent oracle
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expect = nodes.map { v =>
+      // component min = min over all nodes sharing the root
+      val r = find(v.toInt)
+      v -> nodes.filter(u => find(u.toInt) == r).min
+    }.toMap
+    val got = DedupOps.componentsStar(
+      edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
+  test("q99 star components agree with the q54 fixpoint on the near-dup graph") {
+    val viaFixpoint = DedupOps.components(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs = graft.SparkEntry.queries("q35_ngram_jaccard")(spark, sf)
+      .select("id_a", "id_b")
+    val viaStar = DedupOps.componentsStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaStar === viaFixpoint)
+  }
+
   // ── q98: real JPEG decode via the JDK codec ─────────────────────────────
 
   test("q98 JPEG encode is deterministic and decode recovers the formula image") {
