@@ -186,6 +186,64 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Batch IVF retrieval from a PERSISTED index — the production ANN
+    * lifecycle q47 (in-session build) and q97 (batch LSH) each show half
+    * of: centroids and cent_id-PARTITIONED posting lists are written to
+    * parquet once (the index build), read BACK, and the whole query
+    * batch is served from the stored index. The listed neighbors prove
+    * the persist→reload→probe round trip — an embedding mangled by the
+    * write path, a dropped list partition, or a wrong partition column
+    * changes the output. Probing is a broadcast join on cent_id against
+    * the partitioned lists (eligible for dynamic partition pruning at
+    * scale: only probed lists' files are read); rerank cost is listed
+    * members only. */
+  private[graft] def storedIvfBatch(s: SparkSession, d: String, every: Long,
+                                    k: Int, nCents: Int = 16,
+                                    nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = e.orderBy("vec_id").limit(nCents)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val lists = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"),
+        cosine("embedding", "cvec").as("ccos"))
+      .withColumn("rk", row_number().over(wAssign))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("cent_id"))
+    val tag = Integer.toHexString(d.hashCode)
+    val listsPath = graft.sources.Scratch.dir(s, s"ivf-lists-$tag")
+    val centsPath = graft.sources.Scratch.dir(s, s"ivf-cents-$tag")
+    graft.warehouse.AtomicParquet.overwritePartitioned(
+      lists, listsPath, Seq("cent_id"))
+    graft.warehouse.AtomicParquet.overwrite(cents, centsPath)
+    val storedLists = s.read.parquet(listsPath)
+    val storedCents = s.read.parquet(centsPath)
+
+    val qv = e.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val wProbe = Window.partitionBy("q_id")
+      .orderBy(col("qcos").desc, col("cent_id"))
+    val probes = qv.crossJoin(broadcast(storedCents))
+      .select(col("q_id"), col("cent_id"),
+        cosine("qvec", "cvec").as("qcos"))
+      .withColumn("prk", row_number().over(wProbe))
+      .filter(col("prk") <= nProbe)
+      .select("q_id", "cent_id")
+    val wTop = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    storedLists.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        cosine("embedding", "qvec").as("cos_sim"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("label"), col("cos_sim"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("q_id", "rk")
+  }
+
   /** SemDeDup cluster assignment: each vector to its nearest of the k
     * seed centroids (k smallest vec_ids — deterministic so the DuckDB
     * oracle mirrors it; production swaps in k-means|| centroids without
@@ -601,6 +659,69 @@ object SimilarityOps {
              |             * CAST(b.embedding[i] AS DOUBLE)))
              |      / (a.nrm * b.nrm) >= 0.4
              |GROUP BY b.vec_id, b.cluster
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ── Stored-index batch IVF: the full ANN serving lifecycle ────────────
+    // Build the index (16 centroids + cent_id-partitioned posting
+    // lists), PERSIST it through the stage-and-swap writer, read it
+    // back, and serve every 50th vector as a query probing its 4
+    // nearest stored lists — the persist→reload→probe contract q79
+    // established for MinHash signatures, applied to ANN. The oracle
+    // restates build and probe declaratively; any corruption in the
+    // written index (or a dropped list partition) changes the listed
+    // neighbors and breaks the hash match.
+    QueryDef("q100_stored_ivf",
+      (s, d) => storedIvfBatch(s, d, every = 50, k = 3),
+      Some(s"""WITH cents AS (
+             |  SELECT vec_id AS cent_id, embedding AS cvec
+             |  FROM embeddings ORDER BY vec_id LIMIT 16),
+             |ascored AS (
+             |  SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+             |         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |           list_sum(list_transform(range(1, 65),
+             |             i -> CAST(e.embedding[i] AS DOUBLE)
+             |                  * CAST(c.cvec[i] AS DOUBLE)))
+             |           / (sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(e.embedding[i] AS DOUBLE)
+             |                     * CAST(e.embedding[i] AS DOUBLE))))
+             |              * sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(c.cvec[i] AS DOUBLE)
+             |                     * CAST(c.cvec[i] AS DOUBLE)))))
+             |           DESC, c.cent_id) AS rk
+             |  FROM embeddings e CROSS JOIN cents c),
+             |lists AS (
+             |  SELECT vec_id, label, embedding, cent_id FROM ascored
+             |  WHERE rk = 1),
+             |qv AS (SELECT vec_id AS q_id, embedding AS qvec
+             |       FROM embeddings WHERE vec_id % 50 = 0),
+             |qscored AS (
+             |  SELECT q.q_id, c.cent_id,
+             |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |           list_sum(list_transform(range(1, 65),
+             |             i -> CAST(q.qvec[i] AS DOUBLE)
+             |                  * CAST(c.cvec[i] AS DOUBLE)))
+             |           / (sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(q.qvec[i] AS DOUBLE)
+             |                     * CAST(q.qvec[i] AS DOUBLE))))
+             |              * sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(c.cvec[i] AS DOUBLE)
+             |                     * CAST(c.cvec[i] AS DOUBLE)))))
+             |           DESC, c.cent_id) AS prk
+             |  FROM qv q CROSS JOIN cents c),
+             |probes AS (SELECT q_id, cent_id FROM qscored WHERE prk <= 4),
+             |cscored AS (
+             |  SELECT p.q_id, l.vec_id, l.label, l.embedding, q.qvec,
+             |         $COS_Q AS cos_sim
+             |  FROM lists l JOIN probes p ON l.cent_id = p.cent_id
+             |       JOIN qv q ON q.q_id = p.q_id
+             |  WHERE l.vec_id != p.q_id),
+             |ranked AS (
+             |  SELECT q_id, vec_id, label, cos_sim,
+             |         row_number() OVER (PARTITION BY q_id
+             |           ORDER BY cos_sim DESC, vec_id) AS rk
+             |  FROM cscored)
+             |SELECT q_id, vec_id, label, cos_sim, CAST(rk AS INT) AS rk
+             |FROM ranked WHERE rk <= 3
+             |ORDER BY q_id, rk""".stripMargin))
   )
 }

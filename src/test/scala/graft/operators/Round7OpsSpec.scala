@@ -320,6 +320,26 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(viaStar === viaFixpoint)
   }
 
+  // ── q100: stored-index batch IVF ────────────────────────────────────────
+
+  test("q100 stored IVF: lists land cent_id-partitioned; results are stable across rebuilds") {
+    val out1 = graft.SparkEntry.queries("q100_stored_ivf")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(out1.nonEmpty && out1.size % 3 == 0, "k=3 rows per query")
+    // the written index really is Hive-partitioned by cent_id (the
+    // layout partition pruning needs at scale)
+    val listsDir = new java.io.File(graft.sources.Scratch.dir(spark,
+      "ivf-lists-" + Integer.toHexString(sf.hashCode)))
+    assert(listsDir.listFiles() != null &&
+      listsDir.listFiles().exists(_.getName.startsWith("cent_id=")),
+      s"expected cent_id= partition dirs in $listsDir")
+    // a second run rebuilds + rewrites the index through the atomic
+    // writer and must reproduce the identical neighbor lists
+    val out2 = graft.SparkEntry.queries("q100_stored_ivf")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(out1 === out2)
+  }
+
   // ── q98: real JPEG decode via the JDK codec ─────────────────────────────
 
   test("q98 JPEG encode is deterministic and decode recovers the formula image") {
