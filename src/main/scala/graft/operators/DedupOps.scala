@@ -421,16 +421,21 @@ object DedupOps {
     var edges = canon(
       pairs.select(col("id_a").as("u"), col("id_b").as("v")))
       .localCheckpoint(true)
+    var cnt = edges.count()
     var rounds = 0
-    var converged = edges.isEmpty
+    var converged = cnt == 0
     while (!converged && rounds < 30) {
       val next = canon(smallStar(largeStar(edges))).localCheckpoint(true)
-      // set equality via two anti-joins (cheap: both sides are
-      // checkpointed and shrink toward the star fixpoint)
-      converged =
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty &&
-          edges.join(next, Seq("u", "v"), "left_anti").isEmpty
+      val nextCnt = next.count()
+      // Set equality on the cheap: both sides are DISTINCT sets, so
+      // equal counts + (next ∖ edges) = ∅ imply equality — one count
+      // (already needed to watch convergence) plus ONE anti-join, and
+      // the anti-join is skipped entirely while the edge count is
+      // still shrinking toward the star fixpoint.
+      converged = nextCnt == cnt &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
+      cnt = nextCnt
       rounds += 1
     }
     require(converged, s"star contraction did not converge in $rounds rounds")
