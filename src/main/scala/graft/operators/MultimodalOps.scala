@@ -666,6 +666,112 @@ object MultimodalOps {
     })
   }
 
+  // ── REAL MP4 container parse: the box tree needs no codec ─────────────
+  // Frame DECODE stays stubbed (no H.264 codec exists here), but an MP4
+  // container is a length-prefixed box tree — pure byte arithmetic, the
+  // same ground q60/q78/q83 stand on. The synthesized payloads are
+  // structurally real: ftyp + moov(mvhd + trak(tkhd)) + mdat with
+  // big-endian sizes, version-0 mvhd timescale/duration, and 16.16
+  // fixed-point track dimensions. q101 recovers every field by walking
+  // the tree from the BYTES; the oracle restates the synthesis formulas
+  // — a wrong size read, a missed container descent, or a fixed-point
+  // shift error breaks the hash match.
+
+  private val MP4_MATRIX: Array[Byte] =
+    beInt(0x00010000) ++ beInt(0) ++ beInt(0) ++
+      beInt(0) ++ beInt(0x00010000) ++ beInt(0) ++
+      beInt(0) ++ beInt(0) ++ beInt(0x40000000)
+
+  private def mp4Box(typ: String, body: Array[Byte]): Array[Byte] =
+    beInt(8 + body.length) ++ typ.getBytes("US-ASCII") ++ body
+
+  /** Synthesis formulas (restated by the q101 oracle). */
+  private def mp4Duration(id: Long): Int = (6000 + (id % 997) * 13).toInt
+  private val MP4_TIMESCALE = 600
+
+  /** A structurally-real MP4: ftyp + moov(mvhd + trak(tkhd)) + mdat. */
+  private[operators] def mp4Video(id: Long, payload: Array[Byte]): Array[Byte] = {
+    val duration = mp4Duration(id)
+    val w = ((id % 4) * 160 + 320).toInt
+    val h = ((id % 4) * 90 + 180).toInt
+    val mvhd = mp4Box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ beInt(0) ++ beInt(0) ++
+        beInt(MP4_TIMESCALE) ++ beInt(duration) ++ beInt(0x00010000) ++
+        Array[Byte](1, 0) ++ new Array[Byte](10) ++ MP4_MATRIX ++
+        new Array[Byte](24) ++ beInt(2))
+    val tkhd = mp4Box("tkhd",
+      Array[Byte](0, 0, 0, 7) ++ beInt(0) ++ beInt(0) ++ beInt(1) ++
+        beInt(0) ++ beInt(duration) ++ new Array[Byte](8) ++
+        new Array[Byte](8) ++ MP4_MATRIX ++ beInt(w << 16) ++ beInt(h << 16))
+    val moov = mp4Box("moov", mvhd ++ mp4Box("trak", tkhd))
+    val ftyp = mp4Box("ftyp",
+      "mp42".getBytes("US-ASCII") ++ beInt(0) ++
+        "mp42isom".getBytes("US-ASCII"))
+    ftyp ++ moov ++ mp4Box("mdat", payload)
+  }
+
+  /** Video items (doc_id % 3 == 2) with REAL MP4 box trees; mdat
+    * carries the document bytes (the stand-in signal payload). */
+  def mp4VideoTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"), col("text")).as[(Long, String)].map {
+        case (id, text) =>
+          MediaRow(id, "video", mp4Video(id, text.getBytes("UTF-8")),
+            ((id % 4) * 160 + 320).toInt, ((id % 4) * 90 + 180).toInt, 0)
+      }
+  }
+
+  final case class Mp4Meta(item_id: Long, n_boxes: Int, timescale: Int,
+                           duration_ticks: Long, duration_sec: Double,
+                           track_w: Int, track_h: Int, mdat_bytes: Long)
+
+  /** Walk the MP4 box tree: length-prefixed boxes, recursive descent
+    * into container boxes (moov/trak/mdia), mvhd timescale/duration,
+    * tkhd 16.16 fixed-point dimensions, mdat payload length. Fails
+    * loudly on a box that overruns its parent or trailing non-box
+    * bytes — never reads out of bounds. */
+  private[graft] def parseMp4Bytes(itemId: Long, b: Array[Byte]): Mp4Meta = {
+    var nBoxes = 0
+    var timescale = 0; var duration = 0L
+    var w = 0; var h = 0; var mdat = 0L
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = readBeInt(b, off)
+        val typ = new String(b, off + 4, 4, "US-ASCII")
+        require(size >= 8 && off + size <= end,
+          s"box $typ overruns its container")
+        nBoxes += 1
+        typ match {
+          case "moov" | "trak" | "mdia" => walk(off + 8, off + size)
+          case "mvhd" =>
+            timescale = readBeInt(b, off + 20)
+            duration = readBeInt(b, off + 24).toLong
+          case "tkhd" =>
+            w = readBeInt(b, off + size - 8) >>> 16
+            h = readBeInt(b, off + size - 4) >>> 16
+          case "mdat" => mdat = (size - 8).toLong
+          case _ => ()
+        }
+        off += size
+      }
+      require(off == end, "trailing bytes are not box-aligned")
+    }
+    walk(0, b.length)
+    require(timescale > 0, "missing mvhd")
+    Mp4Meta(itemId, nBoxes, timescale, duration,
+      duration.toDouble / timescale, w, h, mdat)
+  }
+
+  /** Per-partition MP4 container parse — the decodePcm/decodePng batch
+    * shape for the video modality's metadata tier. */
+  def parseMp4(media: Dataset[MediaRow]): Dataset[Mp4Meta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(r => parseMp4Bytes(r.item_id, r.media)))
+  }
+
   final case class ParsedMedia(item_id: Long, declared_kind: String,
                                kind_detected: String, parsed_width: Int,
                                parsed_height: Int, parsed_rate: Int,
@@ -920,6 +1026,32 @@ object MultimodalOps {
              |       TRUE AS mean_err_lt4,
              |       TRUE AS max_err_lt48,
              |       TRUE AS psnr_gt28
+             |FROM documents
+             |WHERE doc_id % 3 = 2
+             |ORDER BY item_id""".stripMargin)),
+
+    // ── MP4 box-tree walk: container metadata from the BYTES ─────────────
+    // Spark recursively walks length-prefixed boxes (descending into
+    // moov/trak), reads the version-0 mvhd clock fields and the tkhd
+    // 16.16 fixed-point dimensions, and measures the mdat payload; the
+    // oracle restates the synthesis formulas and never sees a byte.
+    // duration_sec is the one float column: an exact binary division
+    // (ticks / 600.0) both engines compute identically.
+    QueryDef("q101_mp4_boxes",
+      (s, d) => parseMp4(mp4VideoTable(s, d)).toDF()
+        .select("item_id", "n_boxes", "timescale", "duration_ticks",
+          "duration_sec", "track_w", "track_h", "mdat_bytes")
+        .orderBy("item_id"),
+      Some("""SELECT doc_id AS item_id,
+             |       6 AS n_boxes,
+             |       600 AS timescale,
+             |       CAST(6000 + (doc_id % 997) * 13 AS BIGINT)
+             |         AS duration_ticks,
+             |       CAST(6000 + (doc_id % 997) * 13 AS DOUBLE) / 600.0
+             |         AS duration_sec,
+             |       CAST((doc_id % 4) * 160 + 320 AS INT) AS track_w,
+             |       CAST((doc_id % 4) * 90 + 180 AS INT) AS track_h,
+             |       CAST(strlen(text) AS BIGINT) AS mdat_bytes
              |FROM documents
              |WHERE doc_id % 3 = 2
              |ORDER BY item_id""".stripMargin))

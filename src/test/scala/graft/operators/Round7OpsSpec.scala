@@ -340,6 +340,25 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out1 === out2)
   }
 
+  // ── q101: MP4 box-tree walk ─────────────────────────────────────────────
+
+  test("q101 MP4 walk recovers the written fields; corrupt trees fail loudly") {
+    val payload = "some mdat signal bytes".getBytes("UTF-8")
+    val b = MultimodalOps.mp4Video(14L, payload)
+    val m = MultimodalOps.parseMp4Bytes(14L, b)
+    assert(m.n_boxes == 6 && m.timescale == 600)
+    assert(m.duration_ticks == 6000 + (14 % 997) * 13)
+    assert(m.track_w == (14 % 4) * 160 + 320 && m.track_h == (14 % 4) * 90 + 180)
+    assert(m.mdat_bytes == payload.length)
+    // a box whose size overruns its container must throw, not overread
+    val bad = b.clone()
+    bad(0) = 0x7f.toByte // ftyp size becomes enormous
+    intercept[Exception](MultimodalOps.parseMp4Bytes(14L, bad))
+    // trailing non-box garbage must throw
+    intercept[Exception](
+      MultimodalOps.parseMp4Bytes(14L, b ++ Array[Byte](1, 2, 3)))
+  }
+
   // ── q98: real JPEG decode via the JDK codec ─────────────────────────────
 
   test("q98 JPEG encode is deterministic and decode recovers the formula image") {
