@@ -61,21 +61,23 @@ object SketchOps {
     * disjoint corpus slices combine by groupBy(lang, bucket).max(r) —
     * used by q70 in one pass and by streaming.SketchStream per
     * micro-batch. */
-  private[graft] def registersOf(hashed: DataFrame): DataFrame = {
+  private[graft] def registersOf(hashed: DataFrame,
+                                 keys: Seq[String] = Seq("lang")): DataFrame = {
     val w = col("h60").bitwiseAND(lit(WMASK))
     hashed
-      .select(col("lang"), shiftright(col("h60"), WBITS).as("bucket"),
+      .select(keys.map(col) :+ shiftright(col("h60"), WBITS).as("bucket") :+
         when(w === 0, lit(RMAX))
-          .otherwise(lit(RMAX) - length(bin(w))).as("rho"))
-      .groupBy("lang", "bucket").agg(max("rho").as("r"))
+          .otherwise(lit(RMAX) - length(bin(w))).as("rho"): _*)
+      .groupBy(keys.head, keys.tail :+ "bucket": _*).agg(max("rho").as("r"))
   }
 
   /** Estimate per lang from a register frame: (lang, n_buckets,
     * total_scaled, est, hll_est). The scaled sum stays in exact int64;
     * `est` is the unrounded estimate AFTER the small-range correction
     * (raw HLL above 2.5m, table-looked-up linear counting below). */
-  private[graft] def estimateOf(regs: DataFrame): DataFrame =
-    regs.groupBy("lang")
+  private[graft] def estimateOf(regs: DataFrame,
+                                keys: Seq[String] = Seq("lang")): DataFrame =
+    regs.groupBy(keys.head, keys.tail: _*)
       .agg(count(lit(1)).as("n_buckets"),
         sum(call_function("shiftleft", lit(1L),
           lit(RMAX) - col("r"))).as("sum_scaled"))
@@ -468,6 +470,128 @@ object SketchOps {
            |       CAST(e.exact >= k.n_total // 512 AS INT) AS true_hitter
            |FROM kept k JOIN exact e USING (token)
            |ORDER BY exact DESC, token ASC""".stripMargin
+      }),
+
+    // ── HLL set algebra: segment overlap WITHOUT touching raw data ────────
+    // THE reason sketches exist at 100 TB: per-segment registers are
+    // tiny mergeable state, so |A ∪ B| comes from a max-merge of two
+    // 64-register vectors and |A ∩ B| from inclusion-exclusion — no
+    // re-scan of either segment. Per-source registers over the shared
+    // shingle stream; all C(20,2) source pairs get est_a/est_b/
+    // est_union/est_overlap from register algebra alone, reported
+    // against the exact intersection (the shingle-keyed join the sketch
+    // path exists to avoid). Register max-merge is associative and
+    // commutative — the same state SketchStream folds per micro-batch.
+    // Honesty note: inclusion-exclusion error scales with |union|
+    // (stderr 1.04/sqrt(m) per estimate), so overlaps much smaller than
+    // the union estimate's noise floor can come out NEGATIVE — reported
+    // unclamped, with the exact count alongside, because that IS the
+    // sketch's contract at m=64; production sizes m to the overlap it
+    // must resolve. Round7OpsSpec pins domination (structural) and a
+    // 4-sigma error bound (statistical).
+    QueryDef("q102_hll_set_algebra",
+      (s, d) => {
+        val keyed = DedupOps.shingleHashes(s, d)
+          .select(col("doc_id"), col("shingle"), col("h60"))
+          .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        val regs = registersOf(keyed, Seq("source"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val est1 = estimateOf(regs, Seq("source"))
+          .select(col("source"), col("est"))
+        val srcs = regs.select("source").distinct()
+        val pairs = srcs.select(col("source").as("src_a"))
+          .crossJoin(srcs.select(col("source").as("src_b")))
+          .filter(col("src_a") < col("src_b"))
+        val uRegs = pairs
+          .join(regs.withColumnRenamed("source", "src_a"), Seq("src_a"))
+          .select("src_a", "src_b", "bucket", "r")
+          .union(pairs
+            .join(regs.withColumnRenamed("source", "src_b"), Seq("src_b"))
+            .select("src_a", "src_b", "bucket", "r"))
+          .groupBy("src_a", "src_b", "bucket").agg(max("r").as("r"))
+        val uEst = estimateOf(uRegs, Seq("src_a", "src_b"))
+          .select(col("src_a"), col("src_b"), col("est").as("est_u"))
+        val ds = keyed.select("source", "shingle").distinct()
+        val exact = ds.select(col("source").as("src_a"), col("shingle"))
+          .join(ds.select(col("source").as("src_b"), col("shingle")), "shingle")
+          .filter(col("src_a") < col("src_b"))
+          .groupBy("src_a", "src_b")
+          .agg(countDistinct("shingle").as("n_exact_overlap"))
+        uEst
+          .join(est1.toDF("src_a", "est_a"), "src_a")
+          .join(est1.toDF("src_b", "est_b"), "src_b")
+          .join(exact, Seq("src_a", "src_b"), "left")
+          .select(col("src_a"), col("src_b"),
+            round(col("est_a"), 1).as("est_a"),
+            round(col("est_b"), 1).as("est_b"),
+            round(col("est_u"), 1).as("est_union"),
+            round(col("est_a") + col("est_b") - col("est_u"), 1)
+              .as("est_overlap"),
+            coalesce(col("n_exact_overlap"), lit(0L)).as("n_exact_overlap"))
+          .orderBy("src_a", "src_b")
+      },
+      Some {
+        def corrected(keys: String, from: String) =
+          s"""SELECT $keys, count(*) AS n_buckets,
+             |         CAST(sum(CAST(1 AS BIGINT) << ($RMAX - r)) AS BIGINT)
+             |           + ($M - count(*)) * (CAST(1 AS BIGINT) << $RMAX)
+             |           AS total_scaled
+             |  FROM $from GROUP BY ALL""".stripMargin
+        def estExpr =
+          s"""CASE WHEN $M - n_buckets > 0
+             |               AND $NUM / CAST(total_scaled AS DOUBLE)
+             |                   <= CAST(${LC_THRESHOLD} AS DOUBLE)
+             |              THEN [${LC_TABLE.mkString(", ")}]
+             |                     [CAST($M - n_buckets AS INT)]
+             |              ELSE $NUM / CAST(total_scaled AS DOUBLE) END""".stripMargin
+        s"""${DedupOps.EXPLODED_SQL},
+           |keyed AS (
+           |  SELECT d.source, h.shingle, h.h60
+           |  FROM hashed h JOIN documents d USING (doc_id)),
+           |regs AS (
+           |  SELECT source, h60 >> $WBITS AS bucket,
+           |         max(CASE WHEN (h60 & $WMASK) = 0 THEN $RMAX
+           |              ELSE $RMAX - length(bin(h60 & $WMASK)) END) AS r
+           |  FROM keyed GROUP BY 1, 2),
+           |sc1 AS (
+           |  ${corrected("source", "regs")}),
+           |est1 AS (
+           |  SELECT source, $estExpr AS est
+           |  FROM sc1),
+           |pairs AS (
+           |  SELECT a.source AS src_a, b.source AS src_b
+           |  FROM (SELECT DISTINCT source FROM keyed) a
+           |  JOIN (SELECT DISTINCT source FROM keyed) b
+           |    ON a.source < b.source),
+           |uregs AS (
+           |  SELECT p.src_a, p.src_b, r.bucket, max(r.r) AS r
+           |  FROM pairs p JOIN regs r
+           |    ON r.source = p.src_a OR r.source = p.src_b
+           |  GROUP BY 1, 2, 3),
+           |scu AS (
+           |  ${corrected("src_a, src_b", "uregs")}),
+           |estu AS (
+           |  SELECT src_a, src_b, $estExpr AS est_u
+           |  FROM scu),
+           |ds AS (SELECT DISTINCT source, shingle FROM keyed),
+           |exact AS (
+           |  SELECT a.source AS src_a, b.source AS src_b,
+           |         count(DISTINCT a.shingle) AS n_exact_overlap
+           |  FROM ds a JOIN ds b
+           |    ON a.shingle = b.shingle AND a.source < b.source
+           |  GROUP BY 1, 2)
+           |SELECT u.src_a, u.src_b,
+           |       round(ea.est, 1) AS est_a,
+           |       round(eb.est, 1) AS est_b,
+           |       round(u.est_u, 1) AS est_union,
+           |       round(ea.est + eb.est - u.est_u, 1) AS est_overlap,
+           |       CAST(coalesce(x.n_exact_overlap, 0) AS BIGINT)
+           |         AS n_exact_overlap
+           |FROM estu u
+           |JOIN est1 ea ON ea.source = u.src_a
+           |JOIN est1 eb ON eb.source = u.src_b
+           |LEFT JOIN exact x ON x.src_a = u.src_a AND x.src_b = u.src_b
+           |ORDER BY u.src_a, u.src_b""".stripMargin
       })
   )
 }

@@ -340,6 +340,47 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(out1 === out2)
   }
 
+  // ── q102: HLL set algebra ───────────────────────────────────────────────
+
+  test("q102 register max-merge equals registers of the concatenated stream") {
+    // the mergeability contract the set algebra rests on, asserted
+    // EXACTLY: registers(A ++ B) == max-merge(registers(A), registers(B))
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val sh = DedupOps.shingleHashes(spark, sf)
+      .select(col("lang"), col("h60"))
+    val a = sh.filter(col("h60") % 2 === 0)
+    val b = sh.filter(col("h60") % 2 =!= 0)
+    val whole = SketchOps.registersOf(sh)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val merged = SketchOps.registersOf(a).union(SketchOps.registersOf(b))
+      .groupBy("lang", "bucket").agg(smax("r").as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(whole === merged)
+  }
+
+  test("q102 union estimate dominates both sides; overlap error is within 4 sigma") {
+    val rows = graft.SparkEntry.queries("q102_hll_set_algebra")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (estA, estB, estU) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // structural: union registers >= each side's registers pointwise,
+      // so the union estimate dominates both sides
+      assert(estU >= math.max(estA, estB) - 0.05,
+        s"union must dominate both sides: $r")
+      // statistical: inclusion-exclusion error scales with |union|
+      // (stderr ~ 1.04/sqrt(64) = 13% per estimate); 4 sigma of the
+      // union estimate bounds the overlap error — NOT sub-additivity,
+      // which HLL does not guarantee (small overlaps can estimate
+      // negative; the query reports them unclamped, by design)
+      val overlapEst = r.getDouble(5)
+      val exact = r.getLong(6).toDouble
+      assert(math.abs(overlapEst - exact) <= 0.52 * estU + 50,
+        s"overlap estimate outside 4 sigma: $r")
+    }
+  }
+
   // ── q101: MP4 box-tree walk ─────────────────────────────────────────────
 
   test("q101 MP4 walk recovers the written fields; corrupt trees fail loudly") {
