@@ -158,6 +158,25 @@ object SimilarityOps {
       .orderBy("q_id", "rk")
   }
 
+  /** Exact batch top-k (brute force) for every query vector — the
+    * recall yardstick for q103. Inherently a linear scan per query
+    * (that is what makes it the yardstick); the query batch broadcasts
+    * so the corpus never shuffles. */
+  private[graft] def batchBruteTopK(e: DataFrame, every: Long,
+                                    k: Int): DataFrame = {
+    val qv = e.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine("embedding", "qvec").as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("q_id", "vec_id")
+  }
+
   /** IVF: sampled coarse centroids, probed lists, exact rerank. */
   private[graft] def ivfTopK(e: DataFrame, queryId: Long, k: Int,
                              nCents: Int = 16, nProbe: Int = 4): DataFrame = {
@@ -722,6 +741,75 @@ object SimilarityOps {
              |  FROM cscored)
              |SELECT q_id, vec_id, label, cos_sim, CAST(rk AS INT) AS rk
              |FROM ranked WHERE rk <= 3
-             |ORDER BY q_id, rk""".stripMargin))
+             |ORDER BY q_id, rk""".stripMargin)),
+
+    // ── ANN recall@10 measured IN the correctness gate ────────────────────
+    // The sketch-accuracy pattern of q59 applied to retrieval: for every
+    // query vector, the LSH top-10 is scored against the exact
+    // brute-force top-10 and per-query recall lands in the output — so
+    // the accuracy contract of the ANN path is hash-checked by the
+    // oracle, not just spec-asserted. On this near-uniform synthetic
+    // corpus recall is the honest mid-range number the q40 comment
+    // documents (no genuinely close neighbors to concentrate on);
+    // Round5OpsSpec shows recall 1.0 on a clustered corpus, where it
+    // matters. Both paths are deterministic (ties broken by vec_id), so
+    // the whole evaluation is oracle-expressible.
+    QueryDef("q103_ann_recall",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val brute = batchBruteTopK(e, every = 50, k = 10)
+        val lsh = batchLshTopK(e, every = 50, k = 10)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        brute.join(lsh, Seq("q_id", "vec_id"), "left")
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("k_eval"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+          .select(col("q_id"), col("k_eval"), col("n_hit"),
+            round(col("n_hit").cast("double") / col("k_eval"), 2)
+              .as("recall_at_10"))
+          .orderBy("q_id")
+      },
+      Some(s"""$KEYS_SQL,
+             |qv AS (SELECT vec_id AS q_id, embedding AS qvec
+             |       FROM embeddings WHERE vec_id % 50 = 0),
+             |brute AS (
+             |  SELECT q.q_id, e.vec_id,
+             |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |           list_sum(list_transform(range(1, 65),
+             |             i -> CAST(e.embedding[i] AS DOUBLE)
+             |                  * CAST(q.qvec[i] AS DOUBLE)))
+             |           / (sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(e.embedding[i] AS DOUBLE)
+             |                     * CAST(e.embedding[i] AS DOUBLE))))
+             |              * sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(q.qvec[i] AS DOUBLE)
+             |                     * CAST(q.qvec[i] AS DOUBLE)))))
+             |           DESC, e.vec_id) AS rk
+             |  FROM embeddings e CROSS JOIN qv q
+             |  WHERE e.vec_id != q.q_id),
+             |bt AS (SELECT q_id, vec_id FROM brute WHERE rk <= 10),
+             |qk AS (SELECT vec_id AS q_id, t, key FROM keys
+             |       WHERE vec_id % 50 = 0),
+             |cand AS (
+             |  SELECT DISTINCT qk.q_id, k.vec_id, k.embedding
+             |  FROM keys k JOIN qk ON k.t = qk.t AND k.key = qk.key
+             |  WHERE k.vec_id != qk.q_id),
+             |lscored AS (
+             |  SELECT c.q_id, c.vec_id,
+             |         row_number() OVER (PARTITION BY c.q_id ORDER BY
+             |           $COS_Q DESC, c.vec_id) AS rk
+             |  FROM cand c JOIN qv ON qv.q_id = c.q_id),
+             |lt AS (SELECT q_id, vec_id FROM lscored WHERE rk <= 10)
+             |SELECT b.q_id,
+             |       CAST(count(*) AS BIGINT) AS k_eval,
+             |       CAST(sum(CASE WHEN l.vec_id IS NOT NULL
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+             |       round(sum(CASE WHEN l.vec_id IS NOT NULL
+             |                      THEN 1 ELSE 0 END)
+             |             / CAST(count(*) AS DOUBLE), 2) AS recall_at_10
+             |FROM bt b LEFT JOIN lt l
+             |  ON l.q_id = b.q_id AND l.vec_id = b.vec_id
+             |GROUP BY b.q_id
+             |ORDER BY b.q_id""".stripMargin))
   )
 }
