@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.{QueryDef, Tables}
@@ -208,6 +209,72 @@ object EventOps {
              |FROM activity a JOIN cohorts c USING (user_id)
              |WHERE date_diff('day', c.cohort_day, a.day) IN (0, 1, 7, 14)
              |GROUP BY 1, 2
-             |ORDER BY cohort_day, day_offset""".stripMargin))
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
+    // ── Gap-fill resample: per-user hourly grid, forward-filled ──────────
+    // The time-series regularization a feature pipeline runs before
+    // training: each user's latest in-hour observation lands on an
+    // hourly tick grid spanning their first..last event hour, and empty
+    // hours carry the last observation forward (is_observed marks
+    // which). Shapes: in-hour "latest" is a (user, hour) window; the
+    // grid is sequence+explode (per-row generation, no shuffle); the
+    // fill is ONE last-ignoreNulls running window on the user
+    // partitioning — so the whole resample costs one shuffle on
+    // user_id. Values ride in exact cents; ordering ties break on
+    // epoch MICROS on both engines (Spark's ts is micro-truncated
+    // nanos) then event_id, so "latest" is engine-deterministic.
+    QueryDef("q104_gap_fill",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"),
+            date_trunc("hour", col("ts")).as("tick"),
+            unix_micros(col("ts")).as("us"),
+            col("event_id"), cents(col("value")).as("vc"))
+        val wLast = Window.partitionBy("user_id", "tick")
+          .orderBy(col("us").desc, col("event_id").desc)
+        val obs = ev.withColumn("rk", row_number().over(wLast))
+          .filter(col("rk") === 1)
+          .select("user_id", "tick", "vc")
+        val grid = obs.groupBy("user_id")
+          .agg(min("tick").as("h0"), max("tick").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("interval 1 hour"))).as("tick"))
+        val wFill = Window.partitionBy("user_id").orderBy("tick")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(obs, Seq("user_id", "tick"), "left")
+          .withColumn("fvc", last("vc", ignoreNulls = true).over(wFill))
+          .select(col("user_id"), col("tick"),
+            c2(col("fvc")).as("value"),
+            col("vc").isNotNull.as("is_observed"))
+          .orderBy("user_id", "tick")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS tick,
+             |         CAST(round(value*100) AS BIGINT) AS vc,
+             |         row_number() OVER (
+             |           PARTITION BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+             |           ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC)
+             |           AS rk
+             |  FROM events),
+             |obs AS (SELECT user_id, tick, vc FROM hourly WHERE rk = 1),
+             |span AS (SELECT user_id, min(tick) AS h0, max(tick) AS h1
+             |         FROM obs GROUP BY 1),
+             |grid AS (
+             |  SELECT user_id,
+             |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS tick
+             |  FROM span),
+             |joined AS (
+             |  SELECT g.user_id, g.tick, o.vc
+             |  FROM grid g LEFT JOIN obs o
+             |    ON o.user_id = g.user_id AND o.tick = g.tick)
+             |SELECT user_id, tick,
+             |       last_value(vc IGNORE NULLS) OVER (
+             |         PARTITION BY user_id ORDER BY tick
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |         / 100.0 AS value,
+             |       vc IS NOT NULL AS is_observed
+             |FROM joined
+             |ORDER BY user_id, tick""".stripMargin))
   )
 }
