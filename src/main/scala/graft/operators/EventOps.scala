@@ -275,6 +275,48 @@ object EventOps {
              |         / 100.0 AS value,
              |       vc IS NOT NULL AS is_observed
              |FROM joined
-             |ORDER BY user_id, tick""".stripMargin))
+             |ORDER BY user_id, tick""".stripMargin)),
+
+    // ── Trailing RANGE-frame window: activity in the hour before each
+    // purchase ────────────────────────────────────────────────────────
+    // The value-based window frame the inventory lacked: q14 is a
+    // ROWS-based running total and q41/q42 bucket time into fixed
+    // windows, but a feature pipeline wants "state of the user over the
+    // trailing hour AT each event" — a frame bounded by the ORDER
+    // value, not by row counts or grid ticks. One shuffle on user_id;
+    // the frame is computed over the user's full event stream, then
+    // only purchase rows are kept (the features describe the moment of
+    // purchase, but the window sees every event type). Micros ordering
+    // keeps frame bounds exact integers; peers at the same timestamp
+    // are in-frame on both engines (RANGE semantics), so ties cannot
+    // diverge. Sums ride in cents — bigint end-to-end, no float drift.
+    QueryDef("q105_trailing_window",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), cents(col("value")).as("vc"))
+        val tw = Window.partitionBy("user_id").orderBy("us")
+          .rangeBetween(-3600000000L, 0)
+        ev.withColumn("roll_n", count(lit(1)).over(tw))
+          .withColumn("roll_sum_c", sum("vc").over(tw))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("roll_n"),
+            c2(col("roll_sum_c")).as("roll_value"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT user_id, event_id, event_type,
+             |         count(*) OVER tw AS roll_n,
+             |         sum(CAST(round(value*100) AS BIGINT)) OVER tw
+             |           AS roll_sum_c
+             |  FROM events
+             |  WINDOW tw AS (
+             |    PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id, roll_n, roll_sum_c / 100.0
+             |         AS roll_value
+             |FROM w
+             |WHERE event_type = 'purchase'
+             |ORDER BY user_id, event_id""".stripMargin))
   )
 }
