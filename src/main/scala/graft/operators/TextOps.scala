@@ -4,9 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.sources.{QueryDef, Tables}
+import graft.sources.{QueryDef, Scratch, Tables}
 import graft.functions.TextFns._
 import graft.functions.{TextKernels, TextStat}
+import graft.warehouse.VersionedParquet
 
 /** Text analysis for the training-data pipeline tier (builder prompt:
   * lang-ID, quality scoring, token counting, fingerprinting), over the
@@ -19,6 +20,27 @@ object TextOps {
   /** Shared DuckDB token expression (mirrors TextFns.tokens). */
   private val TOKS =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+  /** Build (once per session) the STORED positional inverted index for
+    * q107: `(doc_id, pos)` postings published PARTITIONED BY TERM
+    * through the versioned table format. At 100 TB this is the layout a
+    * phrase/proximity query wants: the probe names its terms, so the
+    * scan reads only those term partitions (PartitionFilters, no file
+    * of any other term is opened) — the disk analogue of q81's
+    * "shuffle carries the query terms, not the dictionary". Partition-
+    * value type inference is pinned off at read so a numeric token
+    * ("42") can't flip the term column's type out from under the
+    * probe's string equality. */
+  private[graft] def postingsRoot(s: SparkSession, d: String): String = {
+    val root = Scratch.dir(s,
+      "q107-postings-" + Integer.toHexString(d.hashCode))
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val post = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      VersionedParquet.publish(post, root, partitionCols = Seq("term"))
+    }
+    root
+  }
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -411,6 +433,45 @@ object TextOps {
              |FROM scored
              |GROUP BY doc_id
              |ORDER BY bm25 DESC, doc_id
-             |LIMIT 10""".stripMargin))
+             |LIMIT 10""".stripMargin)),
+
+    // ── Phrase search over the stored positional inverted index ──────────
+    // Exact-phrase retrieval ("sort merge" as adjacent tokens): the
+    // postings table from postingsRoot is read back with the phrase's
+    // two terms as a partition predicate — only those term directories
+    // are scanned (PlanSpec asserts the PartitionFilters) — and
+    // adjacency is an equi-join on (doc_id, pos) after shifting the
+    // second term's positions left by one. Generalizes to k-word
+    // phrases as a k-way chain on the same key. The join carries only
+    // the two terms' postings, never the corpus; the shingle/lead
+    // formulation (q35's ground) would rescan every document instead.
+    QueryDef("q107_phrase_search",
+      (s, d) => {
+        s.conf.set(
+          "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        val post = VersionedParquet.read(s, postingsRoot(s, d))
+        val p0 = post.filter(col("term") === "sort")
+          .select(col("doc_id"), col("pos"))
+        val p1 = post.filter(col("term") === "merge")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        p0.join(p1, Seq("doc_id", "pos"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $TOKS AS ts FROM documents),
+             |pos AS (
+             |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, ts[i] AS term
+             |  FROM (SELECT doc_id, ts,
+             |               unnest(range(1, len(ts) + 1)) AS i
+             |        FROM toks)),
+             |p0 AS (SELECT doc_id, pos FROM pos WHERE term = 'sort'),
+             |p1 AS (SELECT doc_id, pos - 1 AS pos FROM pos
+             |       WHERE term = 'merge')
+             |SELECT doc_id, count(*) AS n_hits,
+             |       CAST(min(pos) AS INT) AS first_pos
+             |FROM p0 JOIN p1 USING (doc_id, pos)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
 }

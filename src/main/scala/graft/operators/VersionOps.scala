@@ -59,6 +59,49 @@ object VersionOps {
       .orderBy("lang")
   }
 
+  /** Apply a MERGE changeset (upserts + deletes) to the q106 scratch
+    * table and publish the result as v1 — once per session. The Delta
+    * `MERGE INTO` analogue on the homegrown format: one key-partitioned
+    * anti-join between the target snapshot and the changeset keys, plus
+    * a union of the upsert rows, published through the O(1) pointer
+    * swap. At 100 TB the join prunes to touched partitions and the
+    * unchanged files are never rewritten logically (the changeset is
+    * dim-sized → broadcast anti-join); readers keep resolving v0 until
+    * the swap, then see the whole merge or none of it.
+    *
+    * Changeset ops are disjoint by construction (delete wins over
+    * upsert on the %55 overlap): upserts = doc_id %5==0 && %11!=0 with
+    * n_chars bumped by 1000 (hits both existing keys → update, and
+    * absent %4==0 keys → insert); deletes = %11==0 (keys absent from
+    * the target delete as a natural no-op via the anti-join). */
+  private[graft] def mergedRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q106-merge-upsert")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      VersionedParquet.publish(docs.filter(col("doc_id") % 4 =!= 0), root,
+        keepVersions = 10)
+      val upserts = docs
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") % 11 =!= 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+      val deleteKeys = docs.filter(col("doc_id") % 11 === 0).select("doc_id")
+      val changedKeys = upserts.select("doc_id").unionByName(deleteKeys)
+      val t0 = VersionedParquet.read(s, root, Some(0L))
+      val merged = t0.join(changedKeys, Seq("doc_id"), "left_anti")
+        .unionByName(upserts)
+      VersionedParquet.publish(merged, root, keepVersions = 10)
+    }
+    root
+  }
+
+  private[graft] def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val root = mergedRoot(s, dir)
+    VersionedParquet.read(s, root, Some(1L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q95_version_diff",
       (s, d) => versionDiff(s, d),
@@ -76,6 +119,30 @@ object VersionOps {
              |         AS n_kept
              |FROM t
              |WHERE in0 OR in1
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // ── MERGE upsert into the versioned table format ─────────────────────
+    // The CDC-apply step q95's diff feeds: a changeset of upserts and
+    // deletes merges into the published target and lands as version 1,
+    // which the query reads back PINNED — so publish, pointer swap, and
+    // time travel are all load-bearing for the hash. The oracle
+    // recomputes the merge from the generating predicates and never
+    // sees the format.
+    QueryDef("q106_merge_upsert",
+      (s, d) => mergeUpsert(s, d),
+      Some("""WITH docs AS (SELECT doc_id, lang, n_chars FROM documents),
+             |t0 AS (SELECT * FROM docs WHERE doc_id % 4 <> 0),
+             |up AS (SELECT doc_id, lang, n_chars + 1000 AS n_chars
+             |       FROM docs WHERE doc_id % 5 = 0 AND doc_id % 11 <> 0),
+             |merged AS (
+             |  SELECT * FROM t0
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM up)
+             |    AND doc_id % 11 <> 0
+             |  UNION ALL SELECT * FROM up)
+             |SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM merged
              |GROUP BY lang
              |ORDER BY lang""".stripMargin))
   )

@@ -394,4 +394,23 @@ class PlanSpec extends AnyFunSuite {
     assert(equiJoins.exists(_ >= 1),
       "within-cell pairing must key on the cluster id")
   }
+
+  test("q107 phrase probe prunes the stored postings to its term partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val p = planOf("q107_phrase_search")
+    val postingScans = collectAll(p) {
+      case s: FileSourceScanExec
+        if s.relation.partitionSchema.fieldNames.contains("term") => s
+    }
+    assert(postingScans.nonEmpty, "the stored postings index must be scanned")
+    postingScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        "each postings scan must carry a term partition predicate")
+      // the pruned scan reads exactly one term's directory — never the
+      // whole vocabulary
+      assert(s.relation.location.listFiles(s.partitionFilters, Nil)
+        .length === 1,
+        "partition pruning must reduce the scan to the probed term")
+    }
+  }
 }
