@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** Stream-stream interval join parity: the micro-batched streaming run
+  * must emit exactly the batch join's (purchase, click) pairs, each
+  * exactly once — even when file-at-a-time triggers deliver matching
+  * clicks and purchases in different micro-batches, so matches can only
+  * come from the watermark-bounded buffered state.
+  */
+class JoinStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Stage events as FOUR time-range files (event-time ordered, with
+    * increasing modification times so the file source replays them
+    * oldest-first) so maxFilesPerTrigger=1 forces four micro-batches per
+    * side. Time-ordering matters: a random split would deliver rows
+    * older than the advanced watermark, which the engine correctly
+    * DROPS as late data — the realistic ingest shape is time-ordered
+    * file arrival, and boundary matches (click in file k, purchase in
+    * file k+1) still cross micro-batches through buffered state. Files
+    * are staged RAW (ts as nanos long) so their physical schema is what
+    * readEvents expects. */
+  private lazy val eventsDir: String = {
+    import java.nio.file.Files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val Array(b1, b2, b3) =
+      raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+    val scratch = Files.createTempDirectory("graft-join-stage")
+    val watched = Files.createTempDirectory("graft-join-stream")
+    val bounds = Seq(
+      (Long.MinValue, b1.toLong), (b1.toLong, b2.toLong),
+      (b2.toLong, b3.toLong), (b3.toLong, Long.MaxValue))
+    val now = System.currentTimeMillis()
+    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = scratch.resolve(s"stage$i").toString
+      raw.filter(col("ts") >= lo && col("ts") < hi)
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = watched.resolve(s"f$i.parquet")
+      Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(now + i * 2000L)
+    }
+    watched.toString
+  }
+
+  test("streaming interval join == batch interval join, exactly once") {
+    val batchEv = spark.read
+      .schema(EventStream.rawSchema.fields.foldLeft(
+        new org.apache.spark.sql.types.StructType)(_ add _))
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val expected = JoinStream
+      .clickToPurchase(batchEv, batchEv)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    val clicks = EventStream.readEvents(spark, eventsDir,
+      maxFilesPerTrigger = Some(1))
+    val purchases = EventStream.readEvents(spark, eventsDir,
+      maxFilesPerTrigger = Some(1))
+    val streamed = EventStream.runToMemoryAppend(spark,
+      JoinStream.clickToPurchase(clicks, purchases), "join_stream")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    assert(expected.nonEmpty, "the batch join must find pairs at sf0.01")
+    assert(streamed.length === expected.length,
+      "every pair exactly once — no duplicates, no losses")
+    assert(streamed.toSet === expected.toSet)
+  }
+
+  test("interval bounds are two-sided so both state stores evict") {
+    // A click AFTER the purchase or more than an hour before it never
+    // matches — the conditions that make watermark eviction legal on
+    // both sides are also the join's semantics.
+    val ev = Tables.events(spark, sf)
+    val pairs = JoinStream.clickToPurchase(ev, ev)
+      .select("purchase_ts", "click_ts").collect()
+    assert(pairs.forall { r =>
+      val p = r.getTimestamp(0).getTime; val c = r.getTimestamp(1).getTime
+      c <= p && c >= p - 3600 * 1000L
+    })
+  }
+}
