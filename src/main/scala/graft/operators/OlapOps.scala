@@ -227,6 +227,87 @@ object OlapOps {
              |       (lo + (b90 * (hi - lo + 1)) // $HIST_BINS) / 100.0 AS p90_est,
              |       (lo + (b99 * (hi - lo + 1)) // $HIST_BINS) / 100.0 AS p99_est
              |FROM agg
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Winsorized robust aggregation, sketch-driven ─────────────────────
+    // Outlier clipping before feature aggregation: per-group p05/p95
+    // thresholds come from the SAME mergeable histogram cells as q77
+    // (bin lower edges — exact integers, so both engines agree to the
+    // cent), then every value is clamped to [t05, t95] map-side and one
+    // shuffle agg computes the winsorized mean. 100 TB shape: the
+    // histogram is a bounded SUM-cell sketch, the threshold frame is
+    // group-cardinality (broadcast), and the clip adds zero shuffles —
+    // robust statistics at the cost of two linear passes. The unclipped
+    // mean rides along so the trim's effect is visible in the output.
+    QueryDef("q108_winsorized",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+          cents(col("o_totalprice")).as("c"))
+        val bounds = o.agg(min("c").as("lo"), max("c").as("hi"))
+        val cells = histCells(o.crossJoin(broadcast(bounds)))
+        val byBin = Window.partitionBy("prio").orderBy("bin")
+        val whole = Window.partitionBy("prio")
+        def target(k: Int): Column = call_function("div",
+          lit(k.toLong) * col("n") + lit(99L), lit(100L))
+        def edge(bin: Column): Column = col("lo") + call_function("div",
+          bin * (col("hi") - col("lo") + lit(1L)), lit(HIST_BINS.toLong))
+        val thr = cells
+          .withColumn("cum", sum("cnt").over(byBin))
+          .withColumn("n", sum("cnt").over(whole))
+          .groupBy("prio", "lo", "hi")
+          .agg(min(when(col("cum") >= target(5), col("bin"))).as("b05"),
+            min(when(col("cum") >= target(95), col("bin"))).as("b95"))
+          .select(col("prio"), edge(col("b05")).as("t05"),
+            edge(col("b95")).as("t95"))
+        o.join(broadcast(thr), "prio")
+          .withColumn("w", greatest(col("t05"), least(col("t95"), col("c"))))
+          .groupBy("prio", "t05", "t95")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("c").cast("double") / count(lit(1)) / 100.0, 4)
+              .as("raw_mean"),
+            round(sum("w").cast("double") / count(lit(1)) / 100.0, 4)
+              .as("win_mean"))
+          .select(col("prio").as("o_orderpriority"), col("n_orders"),
+            (col("t05").cast("double") / 100.0).as("clip_lo"),
+            (col("t95").cast("double") / 100.0).as("clip_hi"),
+            col("raw_mean"), col("win_mean"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""WITH c AS (SELECT o_orderpriority AS prio,
+             |                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |           FROM orders),
+             |b AS (SELECT min(c) AS lo, max(c) AS hi FROM c),
+             |cells AS (
+             |  SELECT prio, lo, hi,
+             |         least(((c - lo) * $HIST_BINS) // (hi - lo + 1),
+             |               ${HIST_BINS - 1}) AS bin,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM c, b GROUP BY 1, 2, 3, 4),
+             |cum AS (
+             |  SELECT prio, lo, hi, bin,
+             |         CAST(sum(cnt) OVER (PARTITION BY prio ORDER BY bin)
+             |              AS BIGINT) AS cum,
+             |         CAST(sum(cnt) OVER (PARTITION BY prio) AS BIGINT) AS n
+             |  FROM cells),
+             |thr AS (
+             |  SELECT prio, lo, hi,
+             |         min(CASE WHEN cum >= (5 * n + 99) // 100 THEN bin END)
+             |           AS b05,
+             |         min(CASE WHEN cum >= (95 * n + 99) // 100 THEN bin END)
+             |           AS b95
+             |  FROM cum GROUP BY 1, 2, 3),
+             |t AS (SELECT prio,
+             |             lo + (b05 * (hi - lo + 1)) // $HIST_BINS AS t05,
+             |             lo + (b95 * (hi - lo + 1)) // $HIST_BINS AS t95
+             |      FROM thr)
+             |SELECT c.prio AS o_orderpriority, count(*) AS n_orders,
+             |       t05 / 100.0 AS clip_lo, t95 / 100.0 AS clip_hi,
+             |       round(CAST(sum(c.c) AS DOUBLE) / count(*) / 100.0, 4)
+             |         AS raw_mean,
+             |       round(CAST(sum(greatest(t05, least(t95, c.c))) AS DOUBLE)
+             |             / count(*) / 100.0, 4) AS win_mean
+             |FROM c JOIN t ON c.prio = t.prio
+             |GROUP BY c.prio, t05, t95
              |ORDER BY o_orderpriority""".stripMargin))
   )
 
