@@ -56,7 +56,8 @@ object CurationOps {
              |         AS n_urls,
              |       CAST(len(regexp_extract_all(url_masked, '$EMAIL')) AS INT)
              |         AS n_emails,
-             |       length(regexp_replace(url_masked, '$EMAIL', '<EMAIL>', 'g'))
+             |       CAST(length(regexp_replace(url_masked, '$EMAIL',
+             |                                  '<EMAIL>', 'g')) AS INT)
              |         AS masked_len,
              |       md5(regexp_replace(url_masked, '$EMAIL', '<EMAIL>', 'g'))
              |         AS masked_md5

@@ -447,9 +447,16 @@ object TextOps {
     // formulation (q35's ground) would rescan every document instead.
     QueryDef("q107_phrase_search",
       (s, d) => {
-        s.conf.set(
-          "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-        val post = VersionedParquet.read(s, postingsRoot(s, d))
+        // Pin inference off only around schema resolution (read-time),
+        // then restore: other queries' stored partitioned tables (q100's
+        // cent_id lists) rely on the default inference, and this conf is
+        // session-wide.
+        val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prev = s.conf.getOption(infKey)
+        s.conf.set(infKey, "false")
+        val post =
+          try VersionedParquet.read(s, postingsRoot(s, d))
+          finally prev.fold(s.conf.unset(infKey))(s.conf.set(infKey, _))
         val p0 = post.filter(col("term") === "sort")
           .select(col("doc_id"), col("pos"))
         val p1 = post.filter(col("term") === "merge")
