@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge training — the tokenizer-
+  * vocabulary step of an LLM data pipeline (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units",
+  * arXiv:1508.07909), run as DataFrame rounds.
+  *
+  * Classic formulation: train on the WORD-FREQUENCY table, not the raw
+  * corpus — each distinct word appears once, carrying its corpus count
+  * as a weight, and its symbols start as single characters. Each round
+  * (a) counts weighted adjacent symbol pairs, (b) picks the most
+  * frequent pair (count desc, then lexicographic — fully
+  * deterministic), (c) rewrites every word's symbol array with that
+  * pair merged, greedy left-to-right. The merge list IS the tokenizer.
+  *
+  * Scale shape (100 TB corpus): the corpus is touched ONCE (token
+  * explode → word group-by); every round after that runs on the
+  * vocabulary frame, which is millions of rows where the corpus is
+  * trillions — and each round is one bounded-key shuffle (pair sum)
+  * plus a map-side rewrite. The argmax is a 1-row driver fetch per
+  * round, exactly q54's convergence-check discipline (O(k) driver
+  * round-trips, never O(data)). State between rounds is cached +
+  * localCheckpoint'd so lineage doesn't deepen with k.
+  *
+  * The merged-pair rewrite is a left fold (`aggregate` HOF) over the
+  * symbol array: append each symbol unless the accumulator's last
+  * element equals `a` and the incoming symbol is `b` — which is
+  * precisely BPE's greedy non-overlapping application ("aaa" under
+  * (a,a) → ["aa","a"]). Interpreted (no codegen) but per-row O(len)
+  * with zero shuffle; BpeSpec proves the whole distributed loop equals
+  * a sequential reference implementation merge-for-merge.
+  */
+object BpeOps {
+
+  /** Word-frequency frame: (word, wc, syms) — syms starts as the word's
+    * characters. One corpus pass. */
+  def wordTable(docs: DataFrame): DataFrame =
+    docs.select(explode(graft.functions.TextFns.tokens(col("text")))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .withColumn("syms", split(col("word"), ""))
+
+  /** Weighted pair counts for one round: explode each word's adjacent
+    * symbol pairs, weight by word count. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .filter(size(col("syms")) >= 2)
+      .select(col("wc"), explode(arrays_zip(
+        slice(col("syms"), lit(1), size(col("syms")) - 1).as("a"),
+        slice(col("syms"), lit(2), size(col("syms")) - 1).as("b"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("wc").as("n"))
+
+  /** Greedy left-to-right merge of (a, b) in a symbol array, as a left
+    * fold: non-overlapping by construction. */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) >= 1 &&
+            element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(lit(a), lit(b)))))
+          .otherwise(concat(acc, array(s))))
+
+  /** Train `k` merges; returns (merge list in learned order, final word
+    * frame). Deterministic: ties break on (count desc, a, b). Stops
+    * early if no pair is left (every word fully merged). */
+  def train(words0: DataFrame, k: Int): (Seq[(String, String, Long)], DataFrame) = {
+    var words = words0.cache()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var round = 0
+    var done = false
+    while (round < k && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((a, b, n))
+        val prev = words
+        words = words
+          .withColumn("syms", applyMerge(col("syms"), a, b))
+          .localCheckpoint(false).cache()
+        prev.unpersist()
+      }
+      round += 1
+    }
+    (merges.result(), words)
+  }
+
+  /** End-to-end: corpus → word table → k merges. */
+  def trainOnDocs(docs: DataFrame, k: Int): (Seq[(String, String, Long)], DataFrame) =
+    train(wordTable(docs), k)
+}
