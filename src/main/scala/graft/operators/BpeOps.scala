@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.sources.{QueryDef, Tables}
+
 /** Distributed BPE (byte-pair-encoding) merge training — the tokenizer-
   * vocabulary step of an LLM data pipeline (Sennrich et al. 2016,
   * "Neural Machine Translation of Rare Words with Subword Units",
@@ -45,7 +47,7 @@ object BpeOps {
 
   /** Weighted pair counts for one round: explode each word's adjacent
     * symbol pairs, weight by word count. */
-  private def pairCounts(words: DataFrame): DataFrame =
+  private[operators] def pairCounts(words: DataFrame): DataFrame =
     words
       .filter(size(col("syms")) >= 2)
       .select(col("wc"), explode(arrays_zip(
@@ -96,4 +98,37 @@ object BpeOps {
   /** End-to-end: corpus → word table → k merges. */
   def trainOnDocs(docs: DataFrame, k: Int): (Seq[(String, String, Long)], DataFrame) =
     train(wordTable(docs), k)
+
+  // ── q109: the BPE pair-count kernel in the correctness gate ──────────
+  // One training round's shuffle — weighted adjacent character pairs
+  // over the word-frequency table — is fully SQL-expressible, so the
+  // DuckDB oracle covers the kernel every round reuses, while the
+  // iterative argmax→rewrite loop is spec-proven against a sequential
+  // reference (BpeSpec) — the same gate/spec split as q54 (fixpoint in
+  // the gate) vs q99 (log-rounds in spec). Top-10 by (count desc, a, b)
+  // — the head of the merge priority queue.
+  val queries: Seq[QueryDef] = Seq(
+    QueryDef("q109_bpe_pairs",
+      (s, d) => pairCounts(wordTable(Tables.documents(s, d)))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(10),
+      Some("""WITH words AS (
+             |  SELECT word, count(*) AS wc FROM (
+             |    SELECT unnest(list_filter(
+             |        string_split_regex(lower(text), '[^a-z0-9]+'),
+             |        x -> x != '')) AS word
+             |    FROM documents)
+             |  GROUP BY 1),
+             |p AS (
+             |  SELECT wc, substr(word, CAST(i AS INT), 1) AS a,
+             |         substr(word, CAST(i AS INT) + 1, 1) AS b
+             |  FROM (SELECT word, wc, unnest(range(1, len(word))) AS i
+             |        FROM words)),
+             |counts AS (
+             |  SELECT a, b, CAST(sum(wc) AS BIGINT) AS n
+             |  FROM p GROUP BY 1, 2)
+             |SELECT a, b, n FROM counts
+             |ORDER BY n DESC, a, b
+             |LIMIT 10""".stripMargin))
+  )
 }
