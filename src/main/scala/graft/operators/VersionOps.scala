@@ -102,6 +102,43 @@ object VersionOps {
       .orderBy("lang")
   }
 
+  /** Incremental aggregate maintenance (materialized-view delta): the
+    * v0 aggregate is advanced to v1 by the CDC delta's SIGNED
+    * contributions — adds weigh +1, removes −1 — merged with one
+    * full-outer join on the group key. count/sum are the monoid case;
+    * the same shape maintains any mergeable state (q70's HLL registers,
+    * q77's histogram cells). 100 TB shape: the delta aggregation is
+    * sized by the CHANGE set, not the corpus, and the merge join is
+    * group-cardinality — a refresh costs O(delta + groups), never a
+    * full rescan. The gate makes "incremental == from-scratch" the
+    * checked property: the oracle recomputes the v1 aggregate directly
+    * from the generating predicate. */
+  private[graft] def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val root = publishedRoot(s, dir)
+    val v0 = VersionedParquet.read(s, root, Some(0L))
+      .select("doc_id", "lang", "n_chars")
+    val v1 = VersionedParquet.read(s, root, Some(1L))
+      .select("doc_id", "lang", "n_chars")
+    val oldAgg = v0.groupBy("lang")
+      .agg(count(lit(1)).as("n0"), sum("n_chars").cast("long").as("c0"))
+    val delta = v1.join(v0.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("w", lit(1L))
+      .unionByName(
+        v0.join(v1.select("doc_id"), Seq("doc_id"), "left_anti")
+          .withColumn("w", lit(-1L)))
+      .groupBy("lang")
+      .agg(sum("w").as("dn"),
+        sum(col("w") * col("n_chars")).cast("long").as("dc"))
+    oldAgg.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("sum_chars"))
+      .filter(col("n_docs") > 0)
+      .orderBy("lang")
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q95_version_diff",
       (s, d) => versionDiff(s, d),
@@ -143,6 +180,20 @@ object VersionOps {
              |SELECT lang, count(*) AS n_docs,
              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM merged
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // ── Incremental aggregate maintenance (materialized-view delta) ──────
+    // The v0 aggregate advanced by the CDC delta's signed contributions
+    // must equal the v1 aggregate computed from scratch — the oracle IS
+    // the from-scratch side (it aggregates the v1 generating predicate
+    // directly and never sees v0, the delta, or the merge).
+    QueryDef("q110_incremental_agg",
+      (s, d) => incrementalAgg(s, d),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE doc_id % 3 <> 0
              |GROUP BY lang
              |ORDER BY lang""".stripMargin))
   )
