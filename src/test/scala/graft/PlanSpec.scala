@@ -395,6 +395,23 @@ class PlanSpec extends AnyFunSuite {
       "within-cell pairing must key on the cluster id")
   }
 
+  test("q105 trailing RANGE frame: windows stay partitioned by user") {
+    val windows = collectAll(planOf("q105_trailing_window")) {
+      case w: WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "an unpartitioned frame window would serialize the event stream")
+  }
+
+  test("q108 winsorize: sketch thresholds broadcast, no sort-merge join") {
+    val p = planOf("q108_winsorized")
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "the group-cardinality threshold frame must broadcast")
+    assert(collectAll(p) { case s: SortMergeJoinExec => s }.isEmpty,
+      "clipping must not pay a shuffled join")
+  }
+
   test("q107 phrase probe prunes the stored postings to its term partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val p = planOf("q107_phrase_search")
