@@ -112,22 +112,36 @@ object WarehouseSnapshot {
     * `keepSnapshots` count window, so in-flight scans survive
     * back-to-back refreshes whose count window is shorter than one
     * scan. */
+  /** `pinned`: tables carried into the new manifest BY REFERENCE — the
+    * named existing version is re-pointed without any rewrite (the
+    * incremental-refresh / forget case: a 100-table snapshot where one
+    * table changed republishes one table, not a hundred). Pinned
+    * versions must be complete published versions of their table. */
   def publishAll(tables: Seq[(String, DataFrame)], root: String,
                  partitionCols: Map[String, Seq[String]] = Map.empty,
-                 keepSnapshots: Int = 2, minRetainMillis: Long = 0L): Long = {
+                 keepSnapshots: Int = 2, minRetainMillis: Long = 0L,
+                 pinned: Map[String, Long] = Map.empty): Long = {
     require(tables.nonEmpty, "a snapshot must cover at least one table")
     require(keepSnapshots >= 1, "must retain at least the live snapshot")
+    require(tables.map(_._1).toSet.intersect(pinned.keySet).isEmpty,
+      "a table cannot be both freshly published and pinned")
     val spark = tables.head._2.sparkSession
     val rootPath = new Path(root)
 
     // 1. Stage: publish each table as a fresh per-table version. Old
     //    versions stay live and intact — retention here is manifest-
     //    driven (step 4), so per-table publish must not retire anything
-    //    a retained manifest might still reference.
+    //    a retained manifest might still reference. Pinned tables skip
+    //    staging entirely: their version is validated and re-pointed.
     val published = tables.map { case (name, df) =>
       VersionedParquet.publish(df, tableRoot(root, name),
         partitionCols.getOrElse(name, Nil), keepVersions = Int.MaxValue)
       name -> VersionedParquet.currentVersion(spark, tableRoot(root, name)).get
+    } ++ pinned.toSeq.sortBy(_._1).map { case (name, v) =>
+      require(VersionedParquet.versions(spark, tableRoot(root, name))
+          .contains(v),
+        s"pinned version $v of $name is not a complete published version")
+      name -> v
     }
 
     // 2. Write the immutable manifest file (complete before the pointer
