@@ -45,13 +45,16 @@ object MultimodalOps {
       when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(0)
         .cast("int").as("sample_rate"))
 
-  /** STUB — MP4/video frame decode only. A real deployment swaps this
-    * body for an actual video codec (frame grab); everything around it
+  /** STUB — COMPRESSED-codec video frame decode only (H.264 etc., which
+    * genuinely needs a codec library this container lacks). A real
+    * deployment swaps this body for the codec; everything around it
     * (schema, iterator batching, partition parallelism) is the
     * production shape. Deterministic: features derive from payload bytes.
     * Audio needs no such stub — see `decodePcm` (real PCM decode, q78) —
-    * and neither do images: `decodePng` (real inflate + unfilter, q83)
-    * and `decodeJpeg` (real JDK JPEG codec, q98). */
+    * nor images: `decodePng` (real inflate + unfilter, q83) and
+    * `decodeJpeg` (real JDK JPEG codec, q98) — nor RAW video:
+    * `decodeRawFrames` (real mdat frame slicing off the tkhd dims,
+    * q112). */
   private def decodeStub(media: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var acc = 1125899906842597L // FNV-ish rolling hash, deterministic
@@ -690,10 +693,13 @@ object MultimodalOps {
   private val MP4_TIMESCALE = 600
 
   /** A structurally-real MP4: ftyp + moov(mvhd + trak(tkhd)) + mdat. */
-  private[operators] def mp4Video(id: Long, payload: Array[Byte]): Array[Byte] = {
+  private[operators] def mp4Video(id: Long, payload: Array[Byte]): Array[Byte] =
+    mp4Video(id, payload,
+      ((id % 4) * 160 + 320).toInt, ((id % 4) * 90 + 180).toInt)
+
+  private[operators] def mp4Video(id: Long, payload: Array[Byte],
+                                  w: Int, h: Int): Array[Byte] = {
     val duration = mp4Duration(id)
-    val w = ((id % 4) * 160 + 320).toInt
-    val h = ((id % 4) * 90 + 180).toInt
     val mvhd = mp4Box("mvhd",
       Array[Byte](0, 0, 0, 0) ++ beInt(0) ++ beInt(0) ++
         beInt(MP4_TIMESCALE) ++ beInt(duration) ++ beInt(0x00010000) ++
@@ -770,6 +776,92 @@ object MultimodalOps {
   def parseMp4(media: Dataset[MediaRow]): Dataset[Mp4Meta] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map(r => parseMp4Bytes(r.item_id, r.media)))
+  }
+
+  // ── RAW (uncompressed) video frame decode — q112 ─────────────────────
+  // MP4s whose mdat carries raw 8-bit grayscale frames (the uncompressed
+  // video layout) decode to per-frame pixel statistics with NOTHING but
+  // byte arithmetic: track dimensions come from the tkhd walk (the
+  // bytes, not the metadata columns), the frame count from
+  // mdat_len / (w·h), and every 2nd frame is sampled (q92's decimation
+  // applied to video). After this, the only remaining stub is
+  // compressed-codec frame decode (H.264 etc.), which genuinely needs a
+  // codec library this environment lacks.
+
+  /** Synthesis formulas (restated by the q112 oracle). */
+  private[operators] def rawDims(id: Long): (Int, Int) =
+    ((16 + (id % 4) * 8).toInt, (8 + (id % 3) * 8).toInt)
+  private[operators] def rawFrameCount(id: Long): Int = (4 + id % 5).toInt
+  private[operators] def rawPixel(id: Long, f: Int, r: Int, c: Int): Int =
+    ((id * 7 + f * 31L + r * 13L + c * 5L) % 256).toInt
+
+  /** A structurally-real MP4 whose mdat is raw grayscale frames. */
+  private[operators] def mp4RawVideo(id: Long): Array[Byte] = {
+    val (w, h) = rawDims(id)
+    val nf = rawFrameCount(id)
+    val payload = new Array[Byte](w * h * nf)
+    var i = 0
+    var f = 0
+    while (f < nf) {
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) { payload(i) = rawPixel(id, f, r, c).toByte; i += 1; c += 1 }
+        r += 1
+      }
+      f += 1
+    }
+    mp4Video(id, payload, w, h)
+  }
+
+  /** Raw-video items (doc_id % 3 == 2, the video residue class). */
+  def rawVideoTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = rawDims(id)
+        MediaRow(id, "video", mp4RawVideo(id), w, h, 0)
+      }
+  }
+
+  final case class FrameStat(item_id: Long, frame_idx: Int, px_sum: Long,
+                             px_min: Int, px_max: Int)
+
+  /** Decode every `stride`-th raw frame to (sum, min, max) pixel stats.
+    * Dimensions are READ FROM THE BYTES (tkhd), the mdat located by a
+    * top-level box walk; a payload that is not a whole number of
+    * w·h-byte frames fails loudly. */
+  private[graft] def decodeRawFrames(media: Dataset[MediaRow],
+                                     stride: Int = 2): Dataset[FrameStat] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val b = m.media
+      val meta = parseMp4Bytes(m.item_id, b)
+      var off = 0
+      var mstart = -1
+      while (off + 8 <= b.length) {
+        val size = readBeInt(b, off)
+        if (new String(b, off + 4, 4, "US-ASCII") == "mdat") mstart = off + 8
+        off += size
+      }
+      require(mstart >= 0, "no mdat box")
+      val fb = meta.track_w * meta.track_h
+      require(fb > 0 && meta.mdat_bytes % fb == 0,
+        s"mdat (${meta.mdat_bytes} B) is not whole ${fb}-byte raw frames")
+      val nf = (meta.mdat_bytes / fb).toInt
+      (0 until nf).filter(_ % stride == 0).map { f =>
+        var s = 0L; var mn = 255; var mx = 0
+        var i = mstart + f * fb
+        val end = i + fb
+        while (i < end) {
+          val p = b(i) & 0xff
+          s += p; if (p < mn) mn = p; if (p > mx) mx = p
+          i += 1
+        }
+        FrameStat(m.item_id, f, s, mn, mx)
+      }
+    })
   }
 
   final case class ParsedMedia(item_id: Long, declared_kind: String,
@@ -1054,6 +1146,45 @@ object MultimodalOps {
              |       CAST(strlen(text) AS BIGINT) AS mdat_bytes
              |FROM documents
              |WHERE doc_id % 3 = 2
-             |ORDER BY item_id""".stripMargin))
+             |ORDER BY item_id""".stripMargin)),
+
+    // ── RAW video frame decode: every 2nd frame's pixel stats ────────────
+    // Uncompressed grayscale frames sliced out of a REAL MP4 mdat, with
+    // dimensions read from the tkhd bytes and the frame count derived
+    // from mdat_len/(w·h). The oracle restates the pixel synthesis
+    // formula over the sampled frame grid — a wrong mdat offset, frame
+    // stride, row pitch, or sign-extension breaks the hash. All-integer
+    // outputs (sum/min/max), so no float can smooth over an off-by-one.
+    QueryDef("q112_raw_video_frames",
+      (s, d) => decodeRawFrames(rawVideoTable(s, d), stride = 2).toDF()
+        .select("item_id", "frame_idx", "px_sum", "px_min", "px_max")
+        .orderBy("item_id", "frame_idx"),
+      Some("""WITH vids AS (
+             |  SELECT doc_id AS item_id,
+             |         16 + (doc_id % 4) * 8 AS w,
+             |         8 + (doc_id % 3) * 8 AS h,
+             |         4 + doc_id % 5 AS nf
+             |  FROM documents WHERE doc_id % 3 = 2),
+             |frames AS (
+             |  SELECT item_id, w, h, CAST(f AS INT) AS frame_idx
+             |  FROM (SELECT item_id, w, h, unnest(range(nf)) AS f FROM vids)
+             |  WHERE f % 2 = 0),
+             |rows_r AS (
+             |  SELECT item_id, frame_idx, w, r
+             |  FROM (SELECT item_id, frame_idx, w,
+             |               unnest(range(h)) AS r FROM frames)),
+             |vals AS (
+             |  SELECT item_id, frame_idx,
+             |         CAST((item_id * 7 + frame_idx * 31 + r * 13 + c * 5)
+             |              % 256 AS INT) AS p
+             |  FROM (SELECT item_id, frame_idx, r,
+             |               unnest(range(w)) AS c FROM rows_r))
+             |SELECT item_id, frame_idx,
+             |       CAST(sum(p) AS BIGINT) AS px_sum,
+             |       CAST(min(p) AS INT) AS px_min,
+             |       CAST(max(p) AS INT) AS px_max
+             |FROM vals
+             |GROUP BY item_id, frame_idx
+             |ORDER BY item_id, frame_idx""".stripMargin))
   )
 }

@@ -83,6 +83,18 @@ class BpeSpec extends AnyFunSuite {
     assert(distSyms.values.exists(_.exists(_.length > 1)))
   }
 
+  test("pair counts are mergeable across corpus splits") {
+    val docs = Tables.documents(spark, sf)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 =!= 0)
+    val merged = BpeOps.pairCounts(BpeOps.wordTable(a))
+      .unionByName(BpeOps.pairCounts(BpeOps.wordTable(b)))
+      .groupBy("a", "b").agg(sum("n").as("n"))
+    val whole = BpeOps.pairCounts(BpeOps.wordTable(docs))
+    assert(merged.exceptAll(whole).count() === 0)
+    assert(whole.exceptAll(merged).count() === 0)
+  }
+
   test("greedy fold is non-overlapping: 'aaa' under (a,a) -> [aa, a]") {
     import spark.implicits._
     val df = Seq(("aaa", 1L)).toDF("word", "wc")
