@@ -17,9 +17,11 @@ import graft.sources.{QueryDef, Tables}
   * (`decodePcm`, q78) — and so is PNG: inflate is JDK-only
   * (java.util.zip.Inflater) and scanline unfiltering is byte arithmetic
   * (`decodePng`, q83) and JPEG: the JDK's javax.imageio carries a full
-  * software JPEG codec (`decodeJpeg`, q98). Only MP4/video frame decode
-  * remains a STUB (no H.264/video codec exists in the JDK or this
-  * container) — a deterministic hash-based fake, clearly marked.
+  * software JPEG codec (`decodeJpeg`, q98) — and RAW video: frames
+  * slice straight out of the MP4 mdat (`decodeRawFrames`, q112). Only
+  * COMPRESSED video frame decode remains a STUB (no H.264 codec exists
+  * in the JDK or this container) — a deterministic hash-based fake,
+  * clearly marked.
   */
 object MultimodalOps {
 
@@ -789,14 +791,14 @@ object MultimodalOps {
   // codec library this environment lacks.
 
   /** Synthesis formulas (restated by the q112 oracle). */
-  private[operators] def rawDims(id: Long): (Int, Int) =
+  private[graft] def rawDims(id: Long): (Int, Int) =
     ((16 + (id % 4) * 8).toInt, (8 + (id % 3) * 8).toInt)
-  private[operators] def rawFrameCount(id: Long): Int = (4 + id % 5).toInt
-  private[operators] def rawPixel(id: Long, f: Int, r: Int, c: Int): Int =
+  private[graft] def rawFrameCount(id: Long): Int = (4 + id % 5).toInt
+  private[graft] def rawPixel(id: Long, f: Int, r: Int, c: Int): Int =
     ((id * 7 + f * 31L + r * 13L + c * 5L) % 256).toInt
 
   /** A structurally-real MP4 whose mdat is raw grayscale frames. */
-  private[operators] def mp4RawVideo(id: Long): Array[Byte] = {
+  private[graft] def mp4RawVideo(id: Long): Array[Byte] = {
     val (w, h) = rawDims(id)
     val nf = rawFrameCount(id)
     val payload = new Array[Byte](w * h * nf)
@@ -828,40 +830,44 @@ object MultimodalOps {
   final case class FrameStat(item_id: Long, frame_idx: Int, px_sum: Long,
                              px_min: Int, px_max: Int)
 
-  /** Decode every `stride`-th raw frame to (sum, min, max) pixel stats.
-    * Dimensions are READ FROM THE BYTES (tkhd), the mdat located by a
-    * top-level box walk; a payload that is not a whole number of
+  /** Decode every `stride`-th raw frame of one payload to (sum, min,
+    * max) pixel stats. Dimensions are READ FROM THE BYTES (tkhd), the
+    * mdat located by a top-level box walk (parseMp4Bytes has already
+    * validated every box fits); a payload that is not a whole number of
     * w·h-byte frames fails loudly. */
+  private[graft] def decodeRawFramesBytes(itemId: Long, b: Array[Byte],
+                                          stride: Int = 1): Seq[FrameStat] = {
+    val meta = parseMp4Bytes(itemId, b)
+    var off = 0
+    var mstart = -1
+    while (off + 8 <= b.length) {
+      val size = readBeInt(b, off)
+      if (new String(b, off + 4, 4, "US-ASCII") == "mdat") mstart = off + 8
+      off += size
+    }
+    require(mstart >= 0, "no mdat box")
+    val fb = meta.track_w * meta.track_h
+    require(fb > 0 && meta.mdat_bytes % fb == 0,
+      s"mdat (${meta.mdat_bytes} B) is not whole ${fb}-byte raw frames")
+    val nf = (meta.mdat_bytes / fb).toInt
+    (0 until nf).filter(_ % stride == 0).map { f =>
+      var s = 0L; var mn = 255; var mx = 0
+      var i = mstart + f * fb
+      val end = i + fb
+      while (i < end) {
+        val p = b(i) & 0xff
+        s += p; if (p < mn) mn = p; if (p > mx) mx = p
+        i += 1
+      }
+      FrameStat(itemId, f, s, mn, mx)
+    }
+  }
+
   private[graft] def decodeRawFrames(media: Dataset[MediaRow],
                                      stride: Int = 2): Dataset[FrameStat] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.flatMap { m =>
-      val b = m.media
-      val meta = parseMp4Bytes(m.item_id, b)
-      var off = 0
-      var mstart = -1
-      while (off + 8 <= b.length) {
-        val size = readBeInt(b, off)
-        if (new String(b, off + 4, 4, "US-ASCII") == "mdat") mstart = off + 8
-        off += size
-      }
-      require(mstart >= 0, "no mdat box")
-      val fb = meta.track_w * meta.track_h
-      require(fb > 0 && meta.mdat_bytes % fb == 0,
-        s"mdat (${meta.mdat_bytes} B) is not whole ${fb}-byte raw frames")
-      val nf = (meta.mdat_bytes / fb).toInt
-      (0 until nf).filter(_ % stride == 0).map { f =>
-        var s = 0L; var mn = 255; var mx = 0
-        var i = mstart + f * fb
-        val end = i + fb
-        while (i < end) {
-          val p = b(i) & 0xff
-          s += p; if (p < mn) mn = p; if (p > mx) mx = p
-          i += 1
-        }
-        FrameStat(m.item_id, f, s, mn, mx)
-      }
-    })
+    media.mapPartitions(_.flatMap(m =>
+      decodeRawFramesBytes(m.item_id, m.media, stride)))
   }
 
   final case class ParsedMedia(item_id: Long, declared_kind: String,

@@ -254,4 +254,34 @@ class KernelPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("raw-video frame decode under mdat corruption: whole frames or loud failure") {
+    import graft.operators.MultimodalOps
+    val ids = sample(Gen.listOfN(60, Gen.choose(0L, 5000L)))
+    ids.foreach { id =>
+      val base = MultimodalOps.mp4RawVideo(id)
+      val (w, h) = MultimodalOps.rawDims(id)
+      val fb = w * h
+      val mutations: Seq[Array[Byte]] = Seq(
+        base, // untouched — must decode all frames
+        base.take(base.length - 1), // torn final frame
+        base.take(base.length - fb), // exactly one frame shorter: box
+        // sizes now lie about the payload — the walk must fail loudly
+        { val b = base.clone(); b(0) = 0x7f.toByte; b }, // ftyp size lies
+        base.take(20) // not even a whole box tree
+      )
+      mutations.foreach { b =>
+        try {
+          val stats = MultimodalOps.decodeRawFramesBytes(id, b)
+          // success ⇒ the payload really held whole frames and every
+          // stat is in-range
+          assert(stats.nonEmpty)
+          assert(stats.forall(s => s.px_min >= 0 && s.px_max <= 255 &&
+            s.px_sum >= 0L && s.px_sum <= 255L * fb))
+        } catch {
+          case _: IllegalArgumentException => // loud, expected
+        }
+      }
+    }
+  }
 }
