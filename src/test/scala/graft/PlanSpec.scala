@@ -412,6 +412,15 @@ class PlanSpec extends AnyFunSuite {
       "clipping must not pay a shuffled join")
   }
 
+  test("q111 pagerank: dims broadcast into the edge derivation, no cartesian") {
+    val p = planOf("q111_pagerank")
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "customer/supplier/nation dims must broadcast")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "no iteration may degenerate to a cartesian product")
+  }
+
   test("q107 phrase probe prunes the stored postings to its term partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val p = planOf("q107_phrase_search")
