@@ -308,6 +308,48 @@ object OlapOps {
              |             / count(*) / 100.0, 4) AS win_mean
              |FROM c JOIN t ON c.prio = t.prio
              |GROUP BY c.prio, t05, t95
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Array aggregation: collect → sort → exact in-array median ────────
+    // The nested-data shape: each order's item prices collect into an
+    // array column (collect_list is order-nondeterministic — sort_array
+    // makes it canonical, which is what keeps the hash stable), the
+    // per-order median is read from the sorted array (lower median,
+    // exact cents — pure integer indexing), and a final agg rolls the
+    // medians up per priority. Scale: the collect shuffles once on
+    // o_orderkey with bounded per-order arrays (≤7 lineitems); the
+    // rollup reuses a dim-cardinality shuffle. Arrays stay distributed —
+    // no single-partition stage, no UDAF.
+    QueryDef("q114_array_median",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+          cents(col("l_extendedprice")).as("pc"))
+        val o = Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_orderpriority"))
+        li.groupBy("l_orderkey")
+          .agg(sort_array(collect_list("pc")).as("prices"))
+          .withColumn("med_c",
+            expr("element_at(prices, CAST((size(prices) + 1) div 2 AS INT))"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            c2(sum("med_c")).as("sum_median"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (
+             |  SELECT l_orderkey,
+             |         list_sort(list(CAST(round(l_extendedprice * 100)
+             |                             AS BIGINT)))
+             |           AS prices
+             |  FROM lineitem GROUP BY 1),
+             |med AS (
+             |  SELECT l_orderkey,
+             |         prices[(len(prices) + 1) // 2] AS med_c
+             |  FROM m)
+             |SELECT o.o_orderpriority, count(*) AS n_orders,
+             |       CAST(sum(med_c) AS BIGINT) / 100.0 AS sum_median
+             |FROM med JOIN orders o ON med.l_orderkey = o.o_orderkey
+             |GROUP BY 1
              |ORDER BY o_orderpriority""".stripMargin))
   )
 

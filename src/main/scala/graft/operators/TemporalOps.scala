@@ -122,6 +122,62 @@ object TemporalOps {
              |  ON e.user_id = s.user_id AND e.ts > s.s_ts
              | AND date_diff('microsecond', s.s_ts, e.ts) <= 300000000
              |GROUP BY 1, 2
+             |ORDER BY signup_id""".stripMargin)),
+
+    // ── Interval-OVERLAP join: interval × interval, banded both sides ────
+    // q56 joins points into intervals (build lands in exactly one band);
+    // here BOTH sides are intervals — signup activity windows
+    // [ts, ts+10m) against purchase attention windows [ts−5m, ts+5m) —
+    // so both sides explode to every band they touch, true overlaps
+    // collide in at least one shared band (a half-open overlap
+    // intersects some band both cover), and the same pair can collide
+    // in several: the countDistinct collapses band duplicates. Shape:
+    // equi-join on (user, band) + exact overlap verify — linear in
+    // input + match mass, never a theta nested loop. Bands are exact
+    // integer micros (10-min grid), so banding can't disagree between
+    // engines — the oracle skips bands entirely and states the pure
+    // overlap predicate.
+    QueryDef("q113_interval_overlap",
+      (s, d) => {
+        val W = 600000000L // 10-min bands, micros
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val a = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"),
+            col("us").as("a0"), (col("us") + W).as("a1"))
+        val b = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("b_id"), col("user_id"),
+            (col("us") - W / 2).as("b0"), (col("us") + W / 2).as("b1"))
+        def banded(df: org.apache.spark.sql.DataFrame, lo: String, hi: String) =
+          df.withColumn("band", explode(sequence(
+            call_function("div", col(lo), lit(W)),
+            call_function("div", col(hi), lit(W)))))
+        val hits = banded(a, "a0", "a1").join(banded(b, "b0", "b1"),
+            Seq("user_id", "band"))
+          .filter(col("a0") < col("b1") && col("b0") < col("a1"))
+          .groupBy("signup_id")
+          .agg(countDistinct("b_id").as("n_overlap"))
+        a.select("signup_id").join(hits, Seq("signup_id"), "left")
+          .select(col("signup_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+          .orderBy("signup_id")
+      },
+      Some("""WITH a AS (
+             |  SELECT event_id AS signup_id, user_id,
+             |         epoch_ns(ts) // 1000 AS a0,
+             |         epoch_ns(ts) // 1000 + 600000000 AS a1
+             |  FROM events WHERE event_type = 'signup'),
+             |b AS (
+             |  SELECT event_id AS b_id, user_id,
+             |         epoch_ns(ts) // 1000 - 300000000 AS b0,
+             |         epoch_ns(ts) // 1000 + 300000000 AS b1
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT a.signup_id,
+             |       CAST(count(b.b_id) AS BIGINT) AS n_overlap
+             |FROM a LEFT JOIN b
+             |  ON b.user_id = a.user_id AND a.a0 < b.b1 AND b.b0 < a.a1
+             |GROUP BY 1
              |ORDER BY signup_id""".stripMargin))
   )
 }
