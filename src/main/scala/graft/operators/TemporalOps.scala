@@ -25,6 +25,33 @@ import graft.sources.{QueryDef, Tables}
   */
 object TemporalOps {
 
+  /** Banded interval-overlap join (q113's kernel): `a` carries
+    * (signup_id, user_id, a0, a1), `b` (b_id, user_id, b0, b1), both
+    * half-open [lo, hi) in exact integer micros. Each side explodes to
+    * every W-wide band it touches; true overlaps collide in at least
+    * one shared band; countDistinct collapses multi-band duplicates;
+    * the exact predicate verifies. Returns (signup_id, n_overlap) with
+    * zero-overlap rows retained. Factored out so Round7OpsSpec can run
+    * it against a brute-force oracle on adversarial boundary-aligned
+    * intervals. */
+  private[graft] def overlapJoinBanded(a: org.apache.spark.sql.DataFrame,
+                                       b: org.apache.spark.sql.DataFrame,
+                                       w: Long): org.apache.spark.sql.DataFrame = {
+    def banded(df: org.apache.spark.sql.DataFrame, lo: String, hi: String) =
+      df.withColumn("band", explode(sequence(
+        call_function("div", col(lo), lit(w)),
+        call_function("div", col(hi), lit(w)))))
+    val hits = banded(a, "a0", "a1").join(banded(b, "b0", "b1"),
+        Seq("user_id", "band"))
+      .filter(col("a0") < col("b1") && col("b0") < col("a1"))
+      .groupBy("signup_id")
+      .agg(countDistinct("b_id").as("n_overlap"))
+    a.select("signup_id").join(hits, Seq("signup_id"), "left")
+      .select(col("signup_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .orderBy("signup_id")
+  }
+
   /** 5-minute band width in microseconds (events carry micros). */
   private val BAND_US = 300000000L
 
@@ -149,19 +176,7 @@ object TemporalOps {
         val b = ev.filter(col("event_type") === "purchase")
           .select(col("event_id").as("b_id"), col("user_id"),
             (col("us") - W / 2).as("b0"), (col("us") + W / 2).as("b1"))
-        def banded(df: org.apache.spark.sql.DataFrame, lo: String, hi: String) =
-          df.withColumn("band", explode(sequence(
-            call_function("div", col(lo), lit(W)),
-            call_function("div", col(hi), lit(W)))))
-        val hits = banded(a, "a0", "a1").join(banded(b, "b0", "b1"),
-            Seq("user_id", "band"))
-          .filter(col("a0") < col("b1") && col("b0") < col("a1"))
-          .groupBy("signup_id")
-          .agg(countDistinct("b_id").as("n_overlap"))
-        a.select("signup_id").join(hits, Seq("signup_id"), "left")
-          .select(col("signup_id"),
-            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
-          .orderBy("signup_id")
+        overlapJoinBanded(a, b, W)
       },
       Some("""WITH a AS (
              |  SELECT event_id AS signup_id, user_id,
