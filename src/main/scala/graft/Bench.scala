@@ -39,6 +39,18 @@ object Bench {
       .groupBy("k").count().write.format("noop").mode("overwrite").save()
     spark.read.parquet(s"$sfDir/region.parquet")
       .write.format("noop").mode("overwrite").save()
+    // Fixed CPU probe, timed AFTER warmup: a constant amount of codegen'd
+    // arithmetic whose duration depends only on how much CPU the host is
+    // actually granting this VM. This machine throttles hard after
+    // sustained load (measured: the same suite 92 s cold vs 346 s hot,
+    // with a 32-thread run showing a load average of ~3) — probe_sec in
+    // the JSON makes a throttled snapshot self-identifying instead of
+    // reading as a code regression. Compare across rounds: the probe is
+    // identical work every run (~0.5 s on a cold host).
+    val probeT0 = System.nanoTime()
+    spark.range(0, 200000000L, 1, cpus.toInt)
+      .selectExpr("sum(id % 97)").write.format("noop").mode("overwrite").save()
+    val probeSec = (System.nanoTime() - probeT0) / 1e9
     // A query that throws records the sentinel -1 (and lands in "errors")
     // instead of a normal-looking duration — a failed query must not be
     // mistaken for a fast one.
@@ -87,7 +99,7 @@ object Bench {
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also land the full line in the repo: round snapshots have truncated
     // the head of the stdout capture before, which made totals
@@ -109,6 +121,6 @@ object Bench {
     val shortQs = results
       .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
   }
 }
