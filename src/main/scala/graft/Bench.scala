@@ -47,10 +47,13 @@ object Bench {
     // the JSON makes a throttled snapshot self-identifying instead of
     // reading as a code regression. Compare across rounds: the probe is
     // identical work every run (~0.5 s on a cold host).
-    val probeT0 = System.nanoTime()
-    spark.range(0, 200000000L, 1, cpus.toInt)
-      .selectExpr("sum(id % 97)").write.format("noop").mode("overwrite").save()
-    val probeSec = (System.nanoTime() - probeT0) / 1e9
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 200000000L, 1, cpus.toInt)
+        .selectExpr("sum(id % 97)").write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val probeSec = probe()
     // A query that throws records the sentinel -1 (and lands in "errors")
     // instead of a normal-looking duration — a failed query must not be
     // mistaken for a fast one.
@@ -97,9 +100,14 @@ object Bench {
       .map { case (k, _, g) => s"\"" + k + "\":" + r3(g) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Second probe AFTER the suite: throttling on this host intensifies
+    // as sustained load drains CPU credit, so start/end probes bracket
+    // how much CPU the run actually had (end >> start = the later
+    // queries ran starved; both ~0.5 s = trust the totals as-is).
+    val probeEndSec = probe()
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also land the full line in the repo: round snapshots have truncated
     // the head of the stdout capture before, which made totals
@@ -121,6 +129,6 @@ object Bench {
     val shortQs = results
       .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
   }
 }
