@@ -317,6 +317,40 @@ object EventOps {
              |         AS roll_value
              |FROM w
              |WHERE event_type = 'purchase'
-             |ORDER BY user_id, event_id""".stripMargin))
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // ── Click attribution: the stream-stream join's batch form, gated ────
+    // The SAME transform that runs as a live stream-stream interval join
+    // (streaming/JoinStream.clickToPurchase — watermarked, two-sided
+    // eviction) executed in batch mode and aggregated per purchase.
+    // This closes the chain: JoinStreamSpec proves the micro-batched
+    // STREAMING run emits exactly these pairs (exactly once, across
+    // batch-splitting triggers), and this gate row proves the BATCH
+    // form matches the DuckDB oracle — so the streaming operator's
+    // semantics are pinned end-to-end, which no spec-only streaming
+    // path gets. Inner join: purchases with no preceding click drop on
+    // both engines.
+    QueryDef("q115_click_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        graft.streaming.JoinStream.clickToPurchase(ev, ev)
+          .groupBy("purchase_id")
+          .agg(count(lit(1)).as("n_clicks_1h"),
+            max("click_id").as("max_click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+             |           FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, event_id AS purchase_id,
+             |             ts AS purchase_ts
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT p.purchase_id,
+             |       count(*) AS n_clicks_1h,
+             |       max(c.click_id) AS max_click_id
+             |FROM p JOIN c ON c.user_id = p.user_id
+             |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
+             |  AND c.click_ts <= p.purchase_ts
+             |GROUP BY 1
+             |ORDER BY purchase_id""".stripMargin))
   )
 }
