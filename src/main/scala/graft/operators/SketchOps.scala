@@ -500,7 +500,10 @@ object SketchOps {
           .select(col("source"), col("est"))
         val srcs = regs.select("source").distinct()
         val pairs = srcs.select(col("source").as("src_a"))
-          .crossJoin(srcs.select(col("source").as("src_b")))
+          // source-cardinality × source-cardinality (a handful each):
+          // broadcast the right side so the pair cross plans as a
+          // BroadcastNestedLoopJoin, never a shuffled CartesianProduct
+          .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
           .filter(col("src_a") < col("src_b"))
         val uRegs = pairs
           .join(regs.withColumnRenamed("source", "src_a"), Seq("src_a"))
