@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{QueryDef, Scratch, Tables}
-import graft.warehouse.VersionedParquet
+import graft.warehouse.{Forget, VersionedParquet, WarehouseSnapshot}
 
 /** Change-data-capture over the engine's own table format: diff two
   * PUBLISHED versions of a table — the "what changed since yesterday's
@@ -139,6 +139,44 @@ object VersionOps {
       .orderBy("lang")
   }
 
+  /** q116 scratch warehouse: corpus + postings published as ONE
+    * snapshot, then doc_id % 13 == 0 forgotten via Forget.forget — the
+    * whole privacy-deletion path (multi-table snapshot, anti-join
+    * purge, atomic manifest swap) upstream of an oracle that recomputes
+    * the post-forget state from the generating predicates alone. */
+  private[graft] def forgottenRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s,
+      "q116-forget-" + Integer.toHexString(dir.hashCode))
+    if (WarehouseSnapshot.currentManifest(s, root).isEmpty) {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      val postings = docs.select(col("doc_id"), col("lang"),
+        posexplode(graft.functions.TextFns.tokens(col("text")))
+          .as(Seq("pos", "term")))
+      WarehouseSnapshot.publishAll(Seq(
+        "docs" -> docs.select("doc_id", "lang"),
+        "postings" -> postings.select("doc_id", "lang", "pos", "term")),
+        root)
+      Forget.forget(s, root,
+        docs.filter(col("doc_id") % 13 === 0).select("doc_id"),
+        keepSnapshots = 2)
+    }
+    root
+  }
+
+  private[graft] def forgetAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = forgottenRoot(s, dir)
+    val snap = WarehouseSnapshot.readSnapshot(s, root)
+    val d0 = snap("docs").groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val p0 = snap("postings").groupBy("lang")
+      .agg(count(lit(1)).as("n_postings"))
+    d0.join(p0, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_postings"), lit(0L)).as("n_postings"))
+      .orderBy("lang")
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q95_version_diff",
       (s, d) => versionDiff(s, d),
@@ -194,6 +232,23 @@ object VersionOps {
              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents
              |WHERE doc_id % 3 <> 0
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // ── Right-to-be-forgotten in the gate ────────────────────────────────
+    // The live snapshot AFTER Forget.forget (corpus + postings purged of
+    // doc_id % 13 == 0 in one atomic manifest swap) must equal the
+    // oracle's direct recomputation over the surviving documents — the
+    // publish, the multi-table purge, and the snapshot resolution are
+    // all load-bearing for the hash; the oracle never sees the format.
+    QueryDef("q116_forget_audit",
+      (s, d) => forgetAudit(s, d),
+      Some("""SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(len(list_filter(
+             |         string_split_regex(lower(text), '[^a-z0-9]+'),
+             |         x -> x != ''))) AS BIGINT) AS n_postings
+             |FROM documents
+             |WHERE doc_id % 13 <> 0
              |GROUP BY lang
              |ORDER BY lang""".stripMargin))
   )
