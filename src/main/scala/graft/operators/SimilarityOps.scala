@@ -810,6 +810,64 @@ object SimilarityOps {
              |FROM bt b LEFT JOIN lt l
              |  ON l.q_id = b.q_id AND l.vec_id = b.vec_id
              |GROUP BY b.q_id
-             |ORDER BY b.q_id""".stripMargin))
+             |ORDER BY b.q_id""".stripMargin)),
+
+    // ── kNN majority-vote classification ─────────────────────────────────
+    // The serving-side classifier on top of the retrieval tier: each
+    // query vector takes the majority label of its 10 nearest
+    // neighbors (exact cosine here — the yardstick; swap the candidate
+    // source for q97/q100's ANN batch path at scale and only the first
+    // stage changes). Ties are deterministic twice over: neighbor rank
+    // breaks on vec_id, vote rank on label — so the prediction is
+    // engine-exact with no float ever output. One broadcast of the
+    // 5-query frame; corpus scanned once; per-query state is a top-10
+    // window over q_id.
+    QueryDef("q117_knn_classify",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+        val scored = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id"), col("label"),
+            cosine("embedding", "qvec").as("cos_sim"))
+        val wR = Window.partitionBy("q_id")
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+        val votes = scored.withColumn("rk", row_number().over(wR))
+          .filter(col("rk") <= 10)
+          .groupBy("q_id", "label").agg(count(lit(1)).as("n_votes"))
+        val wW = Window.partitionBy("q_id")
+          .orderBy(col("n_votes").desc, col("label"))
+        votes.withColumn("wr", row_number().over(wW))
+          .filter(col("wr") === 1)
+          .select(col("q_id"), col("label").as("pred_label"),
+            col("n_votes"))
+          .orderBy("q_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
+             |           FROM embeddings WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.q_id, e.vec_id, e.label,
+             |         $COS_Q
+             |           AS cos_sim
+             |  FROM embeddings e CROSS JOIN q
+             |  WHERE e.vec_id != q.q_id),
+             |ranked AS (
+             |  SELECT q_id, label,
+             |         row_number() OVER (PARTITION BY q_id
+             |           ORDER BY cos_sim DESC, vec_id) AS rk
+             |  FROM scored),
+             |votes AS (
+             |  SELECT q_id, label, count(*) AS n_votes
+             |  FROM ranked WHERE rk <= 10 GROUP BY 1, 2),
+             |win AS (
+             |  SELECT q_id, label AS pred_label,
+             |         CAST(n_votes AS BIGINT) AS n_votes,
+             |         row_number() OVER (PARTITION BY q_id
+             |           ORDER BY n_votes DESC, label) AS wr
+             |  FROM votes)
+             |SELECT q_id, pred_label, n_votes
+             |FROM win WHERE wr = 1
+             |ORDER BY q_id""".stripMargin))
   )
 }
