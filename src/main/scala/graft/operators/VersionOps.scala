@@ -250,6 +250,34 @@ object VersionOps {
              |FROM documents
              |WHERE doc_id % 13 <> 0
              |GROUP BY lang
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // ── Snapshot history: the DESCRIBE HISTORY analogue ──────────────────
+    // Enumerate every published version of the q95 table (a driver-side
+    // metadata listing, like q27/q28's catalog ops), pin-read each one,
+    // and report its row count plus whether the pointer currently names
+    // it. The oracle recomputes the counts from the version-generating
+    // predicates and hard-codes the version numbering — so version
+    // enumeration, pinned resolution, and the pointer's notion of
+    // "current" are all checked against an oracle that never sees the
+    // format.
+    QueryDef("q118_snapshot_history",
+      (s, d) => {
+        val root = publishedRoot(s, d)
+        val cur = VersionedParquet.currentVersion(s, root).get
+        VersionedParquet.versions(s, root).sorted.map { v =>
+          VersionedParquet.read(s, root, Some(v))
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(v).as("version"), col("n_rows"),
+              lit(v == cur).as("is_current"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+             |       false AS is_current
+             |FROM documents WHERE doc_id % 4 <> 0
+             |UNION ALL
+             |SELECT CAST(1 AS BIGINT), count(*), true
+             |FROM documents WHERE doc_id % 3 <> 0
+             |ORDER BY version""".stripMargin))
   )
 }
