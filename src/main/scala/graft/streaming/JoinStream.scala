@@ -32,19 +32,35 @@ object JoinStream {
     * state older than 2 h can never match a future row and is dropped.
     * At 1000 executors the state store is partitioned by user_id like
     * any keyed shuffle; skewed users salt exactly as in q85. */
-  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    joined(clicks, purchases, "inner")
+
+  /** LEFT OUTER variant: every purchase emits — matched pairs eagerly,
+    * UNMATCHED purchases with null click columns only once the click
+    * watermark passes purchase_ts (before that, a matching click could
+    * still arrive, so emitting the null row early would be wrong; this
+    * deferred emission is the subtle half of outer stream-stream join
+    * semantics, and JoinStreamSpec pins it: null rows appear exactly
+    * for unmatched purchases older than final-watermark, never for the
+    * tail the stream hasn't finalized). */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame): DataFrame =
+    joined(clicks, purchases, "left_outer")
+
+  private def joined(clicks: DataFrame, purchases: DataFrame,
+                     how: String): DataFrame = {
     val c = clicks.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("ts").as("click_ts"))
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
       .withWatermark("click_ts", "2 hours")
     val p = purchases.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user_id"),
-        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
       .withWatermark("purchase_ts", "2 hours")
     p.join(c,
-        col("user_id") === col("p_user_id") &&
+        col("c_user_id") === col("user_id") &&
           col("click_ts") >= col("purchase_ts") - expr("interval 1 hour") &&
-          col("click_ts") <= col("purchase_ts"))
+          col("click_ts") <= col("purchase_ts"),
+        how)
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         col("purchase_ts"), col("click_ts"))
   }

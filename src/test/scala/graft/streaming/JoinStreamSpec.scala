@@ -85,6 +85,58 @@ class JoinStreamSpec extends AnyFunSuite {
     assert(streamed.toSet === expected.toSet)
   }
 
+  test("left-outer: unmatched purchases emit nulls only past the watermark") {
+    val batchEv = spark.read
+      .schema(EventStream.rawSchema.fields.foldLeft(
+        new org.apache.spark.sql.types.StructType)(_ add _))
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val outerBatch = JoinStream.clickToPurchaseOuter(batchEv, batchEv)
+    val batchPairs = outerBatch.filter(col("click_id").isNotNull)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchUnmatched = outerBatch.filter(col("click_id").isNull)
+      .select(col("purchase_id"), unix_micros(col("purchase_ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxUs = batchEv.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoff = maxUs - 2L * 3600 * 1000000
+
+    val clicks = EventStream.readEvents(spark, eventsDir,
+      maxFilesPerTrigger = Some(1))
+    val purchases = EventStream.readEvents(spark, eventsDir,
+      maxFilesPerTrigger = Some(1))
+    val streamed = EventStream.runToMemoryAppend(spark,
+      JoinStream.clickToPurchaseOuter(clicks, purchases), "join_outer")
+      .select("purchase_id", "click_id").collect()
+    val streamedPairs = streamed.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamedNulls = streamed.filter(_.isNullAt(1))
+      .map(_.getLong(0)).toSet
+
+    assert(streamedPairs === batchPairs,
+      "matched pairs must equal the batch inner join, exactly once")
+    // Null rows bracket the watermark boundary without pinning Spark's
+    // internal eviction formula (it offsets the final watermark,
+    // max − 2 h, by up to the 1 h join window): nothing from the
+    // unfinalized tail may emit, and everything clearly finalized
+    // (older than watermark − 1 h) must have.
+    val unmatchedUs = batchUnmatched.toMap
+    assert(streamedNulls.subsetOf(unmatchedUs.keySet),
+      "a null row must correspond to a batch-unmatched purchase")
+    val tail = streamedNulls.filter(id => unmatchedUs(id) > cutoff)
+    assert(tail.isEmpty,
+      s"unfinalized purchases emitted null rows: ${tail.take(5)}")
+    val clearlyOld = batchUnmatched
+      .filter(_._2 < cutoff - 3600L * 1000000).map(_._1).toSet
+    val missing = clearlyOld -- streamedNulls
+    assert(missing.isEmpty,
+      s"finalized purchases never emitted: ${missing.take(5)}")
+    assert(batchUnmatched.nonEmpty && streamedNulls.nonEmpty,
+      "the corpus must exercise the outer path")
+    assert(streamedNulls.size < batchUnmatched.length,
+      "the unfinalized tail (last 2h) must NOT have emitted")
+  }
+
   test("interval bounds are two-sided so both state stores evict") {
     // A click AFTER the purchase or more than an hour before it never
     // matches — the conditions that make watermark eviction legal on
