@@ -137,6 +137,80 @@ class JoinStreamSpec extends AnyFunSuite {
       "the unfinalized tail (last 2h) must NOT have emitted")
   }
 
+  test("join state survives a restart: cross-run matches land exactly once in the versioned sink") {
+    import graft.warehouse.VersionedParquet
+    // Two time halves staged into a watched dir ACROSS two separate
+    // query runs sharing one checkpoint: clicks from run 1 can only
+    // match purchases arriving in run 2 if the join's buffered state is
+    // recovered from the checkpoint — and the versioned sink must hold
+    // every batch-join pair exactly once afterwards.
+    val work = java.nio.file.Files.createTempDirectory("graft-join-restart")
+    val watch = java.nio.file.Files.createDirectory(work.resolve("landing"))
+    val root = work.resolve("tbl").toString
+    val checkpoint = work.resolve("chk").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    // Choose the split INSIDE a real click→purchase window (median such
+    // purchase): the click lands before the restart, its purchase
+    // after — so a recovered-state match is guaranteed to exist.
+    val fullEv = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val strictPairs = JoinStream.clickToPurchase(fullEv, fullEv)
+      .filter(unix_micros(col("click_ts")) <
+        unix_micros(col("purchase_ts")))
+    val pus = strictPairs.select(unix_micros(col("purchase_ts")).as("p"))
+      .orderBy("p").collect().map(_.getLong(0))
+    assert(pus.nonEmpty, "corpus must contain strict click<purchase pairs")
+    val midUs = pus(pus.length / 2)
+    val mid = (midUs * 1000).toDouble // back to raw nanos for staging
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = work.resolve("s" + name).toString
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, watch.resolve(name))
+    }
+    def joinedPairs(ev: org.apache.spark.sql.DataFrame) =
+      JoinStream.clickToPurchase(ev, ev)
+        .select("purchase_id", "click_id")
+
+    stage("f0.parquet", raw.filter(col("ts") < mid.toLong))
+    def runOnce(): Unit = {
+      val ev = EventStream.readEvents(spark, watch.toString)
+      VersionedSink.run(joinedPairs(ev), root, checkpoint,
+        (cur, batch) => cur.unionByName(batch)).awaitTermination()
+    }
+    runOnce()
+    val afterFirst = VersionedParquet.read(spark, root).count()
+
+    stage("f1.parquet", raw.filter(col("ts") >= mid.toLong))
+    runOnce()
+
+    val landed = VersionedParquet.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batchEv = spark.read
+      .schema(EventStream.rawSchema.fields.foldLeft(
+        new org.apache.spark.sql.types.StructType)(_ add _))
+      .parquet(watch.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val expected = joinedPairs(batchEv)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(landed.length === expected.length, "exactly once, no replays")
+    assert(landed.toSet === expected.toSet)
+    // the restart was load-bearing: pairs whose click arrived BEFORE
+    // the restart and purchase AFTER can only exist if the join's
+    // buffered click state was recovered from the checkpoint
+    val crossRun = JoinStream.clickToPurchase(batchEv, batchEv)
+      .filter(unix_micros(col("click_ts")) < midUs &&
+        unix_micros(col("purchase_ts")) >= midUs)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(crossRun.nonEmpty,
+      "the time split must produce cross-run matches (1h window spans it)")
+    assert(crossRun.subsetOf(landed.toSet),
+      "cross-restart matches prove the recovered join state")
+    assert(landed.length > afterFirst)
+  }
+
   test("interval bounds are two-sided so both state stores evict") {
     // A click AFTER the purchase or more than an hour before it never
     // matches — the conditions that make watermark eviction legal on
