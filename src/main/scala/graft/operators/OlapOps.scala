@@ -310,6 +310,79 @@ object OlapOps {
              |GROUP BY c.prio, t05, t95
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // ── Equi-depth decile binning, sketch-driven ─────────────────────────
+    // The feature-bucketization transform: per-group decile EDGES come
+    // from the q77 histogram cells (nine integer bin lower edges), the
+    // per-row bucket is 1 + (how many edges the value clears) — a pure
+    // map-side comparison sum against the broadcast edge frame — and
+    // the audit output counts each bucket's population (near-equal by
+    // construction, exactly reproducible across engines because every
+    // edge is an exact integer). Same 100 TB shape as q108: two linear
+    // passes, mergeable cells, zero extra shuffles for the transform.
+    QueryDef("q119_equidepth_bins",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_orderpriority").as("prio"),
+          cents(col("o_totalprice")).as("c"))
+        val bounds = o.agg(min("c").as("lo"), max("c").as("hi"))
+        val cells = histCells(o.crossJoin(broadcast(bounds)))
+        val byBin = Window.partitionBy("prio").orderBy("bin")
+        val whole = Window.partitionBy("prio")
+        def target(k: Int): Column = call_function("div",
+          lit(k.toLong) * col("n") + lit(99L), lit(100L))
+        def edge(bin: Column): Column = col("lo") + call_function("div",
+          bin * (col("hi") - col("lo") + lit(1L)), lit(HIST_BINS.toLong))
+        val ks = (10 to 90 by 10)
+        val cum = cells
+          .withColumn("cum", sum("cnt").over(byBin))
+          .withColumn("n", sum("cnt").over(whole))
+        val edges = cum.groupBy("prio", "lo", "hi")
+          .agg(ks.map(k => edge(min(when(col("cum") >= target(k),
+              col("bin")))).as(s"e$k")).head,
+            ks.map(k => edge(min(when(col("cum") >= target(k),
+              col("bin")))).as(s"e$k")).tail: _*)
+          .drop("lo", "hi")
+        val decile = ks.map(k => when(col("c") >= col(s"e$k"), 1)
+          .otherwise(0)).reduce(_ + _) + lit(1)
+        o.join(broadcast(edges), "prio")
+          .withColumn("decile", decile)
+          .groupBy("prio", "decile")
+          .agg(count(lit(1)).as("n_orders"))
+          .select(col("prio").as("o_orderpriority"), col("decile"),
+            col("n_orders"))
+          .orderBy("o_orderpriority", "decile")
+      },
+      Some(s"""WITH c AS (SELECT o_orderpriority AS prio,
+             |                  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |           FROM orders),
+             |b AS (SELECT min(c) AS lo, max(c) AS hi FROM c),
+             |cells AS (
+             |  SELECT prio, lo, hi,
+             |         least(((c - lo) * $HIST_BINS) // (hi - lo + 1),
+             |               ${HIST_BINS - 1}) AS bin,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM c, b GROUP BY 1, 2, 3, 4),
+             |cum AS (
+             |  SELECT prio, lo, hi, bin,
+             |         CAST(sum(cnt) OVER (PARTITION BY prio ORDER BY bin)
+             |              AS BIGINT) AS cum,
+             |         CAST(sum(cnt) OVER (PARTITION BY prio) AS BIGINT) AS n
+             |  FROM cells),
+             |edges AS (
+             |  SELECT prio,
+             |${(10 to 90 by 10).map(k =>
+                 s"""         lo + (min(CASE WHEN cum >= ($k * n + 99) // 100
+             |                   THEN bin END) * (hi - lo + 1)) // $HIST_BINS
+             |           AS e$k""").mkString(",\n")}
+             |  FROM cum GROUP BY prio, lo, hi)
+             |SELECT c.prio AS o_orderpriority,
+             |       ${(10 to 90 by 10).map(k =>
+                       s"(CASE WHEN c.c >= e$k THEN 1 ELSE 0 END)")
+                       .mkString(" + ")} + 1 AS decile,
+             |       count(*) AS n_orders
+             |FROM c JOIN edges ON c.prio = edges.prio
+             |GROUP BY 1, 2
+             |ORDER BY o_orderpriority, decile""".stripMargin)),
+
     // ── Array aggregation: collect → sort → exact in-array median ────────
     // The nested-data shape: each order's item prices collect into an
     // array column (collect_list is order-nondeterministic — sort_array
