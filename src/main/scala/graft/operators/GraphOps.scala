@@ -23,15 +23,58 @@ import graft.sources.{QueryDef, Tables}
   * bounded-key join (edges ⋈ ranks on src — node-cardinality frame) +
   * one shuffle agg on dst; the node frame never grows and lineage is
   * cut per round like q54/q99. Dangling-node mass leaks by design
-  * (standard simplification) — identically on both engines. At larger
-  * weight scales the integer products approach 2^63: normalize w
-  * per-src (w/wout as a fixed-point fraction) before multiplying —
-  * noted here because the gate runs at sf where products stay exact. */
+  * (standard simplification) — identically on both engines.
+  *
+  * Overflow safety: the raw form `((r·85)//100·w)//wout` has a product
+  * that GROWS WITH THE FACT TABLE (w is a lineitem count — ~2^40 at
+  * 100 TB), so at scale `(r·0.85)·w` silently wraps Long. Instead the
+  * edge weight is normalized ONCE to a fixed-point fraction
+  * `wfrac = (w << 20) // wout  (≤ 2^20 always, since w ≤ wout)` and
+  * each round computes `((r·85)//100 · wfrac) >> 20` — the per-term
+  * product is now bounded by rank mass alone (r·0.85·2^20 < 2^63 for
+  * any r < 2^42, i.e. total graph mass up to ~4×10^12 micro-units),
+  * independent of edge weights. `w·2^20` in the one-time normalization
+  * stays exact to w < 2^43 ≈ 8×10^12 lineitems. KernelPropSpec proves
+  * Long == BigInt on a graph with a single edge carrying ~2^30 mass.
+  * Bonus: folding wout into wfrac drops the per-iteration outw join. */
 object GraphOps {
 
   private def idiv(a: Column, b: Column): Column = call_function("div", a, b)
 
   private val ITERS = 5
+
+  /** Fixed-point fraction bits for the normalized edge weight. */
+  private[graft] val FRAC_BITS = 20
+  private[graft] val FRAC_ONE: Long = 1L << FRAC_BITS
+
+  /** The iteration kernel, factored for adversarial-weight specs:
+    * `edges` is a pre-aggregated (src, dst, w) frame; returns (id, r)
+    * after `iters` damped rounds in exact integer micro-units. */
+  private[graft] def pagerankRanks(edges: DataFrame,
+                                   iters: Int = ITERS): DataFrame = {
+    val outw = edges.groupBy("src").agg(sum("w").as("wout"))
+    // one-time fixed-point normalization; the iteration never sees w
+    val edgesN = edges.join(outw, "src")
+      .select(col("src"), col("dst"),
+        idiv(col("w") * FRAC_ONE, col("wout")).as("wfrac"))
+      .cache()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct().cache()
+    var ranks = nodes.withColumn("r", lit(1000000000L))
+    for (_ <- 0 until iters) {
+      val contribs = edgesN
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"),
+          idiv(idiv(col("r") * 85, lit(100L)) * col("wfrac"),
+            lit(FRAC_ONE)).as("c"))
+        .groupBy("id").agg(sum("c").as("inc"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000000L) + coalesce(col("inc"), lit(0L))).as("r"))
+        .localCheckpoint(false)
+    }
+    ranks
+  }
 
   private[graft] def tradePagerank(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
@@ -46,22 +89,7 @@ object GraphOps {
       .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       .cache()
-    val outw = edges.groupBy("src").agg(sum("w").as("wout"))
-    val nodes = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id"))).distinct().cache()
-    var ranks = nodes.withColumn("r", lit(1000000000L))
-    for (_ <- 0 until ITERS) {
-      val contribs = edges
-        .join(outw, "src")
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"),
-          idiv(idiv(col("r") * 85, lit(100L)) * col("w"), col("wout")).as("c"))
-        .groupBy("id").agg(sum("c").as("inc"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(150000000L) + coalesce(col("inc"), lit(0L))).as("r"))
-        .localCheckpoint(false)
-    }
+    val ranks = pagerankRanks(edges)
     ranks
       .join(broadcast(Tables.nation(s, d).select(
         col("n_nationkey"), col("n_name"))),
@@ -70,15 +98,16 @@ object GraphOps {
       .orderBy(col("rank_micro").desc, col("n_name"))
   }
 
-  /** The oracle's per-iteration CTE (id, r) from the previous one. */
+  /** The oracle's per-iteration CTE (id, r) from the previous one —
+    * mirroring the fixed-point kernel term for term. */
   private def iterSql(k: Int): String =
     s"""r$k AS (
        |  SELECT n.id,
        |         CAST(150000000 + coalesce(sum(
-       |           ((p.r * 85) // 100 * e.w) // o.wout), 0) AS BIGINT) AS r
+       |           ((p.r * 85) // 100 * e.wfrac) // $FRAC_ONE), 0)
+       |           AS BIGINT) AS r
        |  FROM nodes n
-       |  LEFT JOIN edges e ON e.dst = n.id
-       |  LEFT JOIN outw o ON o.src = e.src
+       |  LEFT JOIN ew e ON e.dst = n.id
        |  LEFT JOIN r${k - 1} p ON p.id = e.src
        |  GROUP BY n.id)""".stripMargin
 
@@ -95,6 +124,10 @@ object GraphOps {
              |  GROUP BY 1, 2),
              |outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
              |         FROM edges GROUP BY 1),
+             |ew AS (SELECT e.src, e.dst,
+             |              CAST((e.w * $FRAC_ONE) // o.wout AS BIGINT)
+             |                AS wfrac
+             |       FROM edges e JOIN outw o ON o.src = e.src),
              |nodes AS (SELECT src AS id FROM edges
              |          UNION SELECT dst FROM edges),
              |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS r FROM nodes),

@@ -37,10 +37,17 @@ object TemporalOps {
   private[graft] def overlapJoinBanded(a: org.apache.spark.sql.DataFrame,
                                        b: org.apache.spark.sql.DataFrame,
                                        w: Long): org.apache.spark.sql.DataFrame = {
+    // Exact integer FLOOR division (Spark's `div` truncates toward
+    // zero, which for negative bounds shifts the band DOWN a slot and
+    // silently misses overlaps; `floor(x / w)` on doubles would lose
+    // exactness past 2^53). floor = trunc − 1 when the remainder is
+    // negative (w > 0), so the banding invariant holds on all inputs.
+    def floorDiv(c: org.apache.spark.sql.Column) =
+      call_function("div", c, lit(w)) -
+        when(c % w < 0, lit(1L)).otherwise(lit(0L))
     def banded(df: org.apache.spark.sql.DataFrame, lo: String, hi: String) =
       df.withColumn("band", explode(sequence(
-        call_function("div", col(lo), lit(w)),
-        call_function("div", col(hi), lit(w)))))
+        floorDiv(col(lo)), floorDiv(col(hi)))))
     val hits = banded(a, "a0", "a1").join(banded(b, "b0", "b1"),
         Seq("user_id", "band"))
       .filter(col("a0") < col("b1") && col("b0") < col("a1"))

@@ -156,9 +156,12 @@ object VersionOps {
         "docs" -> docs.select("doc_id", "lang"),
         "postings" -> postings.select("doc_id", "lang", "pos", "term")),
         root)
+      // keepSnapshots = 1: retaining the pre-forget manifest would
+      // leave the forgotten rows resolvable via snapshot time travel,
+      // contradicting the deletion this query demonstrates
       Forget.forget(s, root,
         docs.filter(col("doc_id") % 13 === 0).select("doc_id"),
-        keepSnapshots = 2)
+        keepSnapshots = 1)
     }
     root
   }

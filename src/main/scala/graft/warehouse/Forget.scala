@@ -38,10 +38,25 @@ object Forget {
     val snapshot = WarehouseSnapshot.readSnapshot(spark, root, Some(manifest))
     val (touched, untouched) = snapshot.toSeq.sortBy(_._1)
       .partition(_._2.columns.contains(keyCol))
+    // Nothing in the snapshot carries the key column: the purge is a
+    // no-op by construction — return the live manifest rather than
+    // tripping publishAll's empty-tables require or churning a new
+    // manifest that pins identical versions.
+    if (touched.isEmpty) return manifest
     val purged = touched.map { case (name, df) =>
       name -> df.join(keys, Seq(keyCol), "left_anti")
     }
+    // Re-apply each purged table's Hive partition layout (recovered
+    // from the live snapshot's directory structure) so a partitioned
+    // table — term-partitioned postings, say — keeps its pruning
+    // layout across the purge-republish.
+    val layouts = touched.flatMap { case (name, _) =>
+      val cols = VersionedParquet.partitionColsOf(spark,
+        s"$root/tables/$name", Some(versions(name)))
+      if (cols.nonEmpty) Some(name -> cols) else None
+    }.toMap
     WarehouseSnapshot.publishAll(purged, root,
+      partitionCols = layouts,
       keepSnapshots = keepSnapshots,
       pinned = untouched.map { case (name, _) => name -> versions(name) }.toMap)
   }

@@ -243,6 +243,31 @@ object VersionedParquet {
       readPointer(spark, new Path(new Path(root, versionName(v)), name))
     }
 
+  /** The Hive partition columns of a published version, recovered from
+    * the snapshot's directory layout (`col=value` levels, outermost
+    * first) — so a maintenance rewrite (Forget's purge-republish,
+    * compaction) can re-apply the original layout without the caller
+    * having to carry it out of band. Empty for unpartitioned tables. */
+  def partitionColsOf(spark: SparkSession, root: String,
+                      version: Option[Long] = None): Seq[String] = {
+    val v = version.orElse(currentVersion(spark, root)).getOrElse(
+      return Nil)
+    val fs = fsOf(spark, new Path(root))
+    val cols = Seq.newBuilder[String]
+    var dir = new Path(root, versionName(v))
+    var descending = true
+    while (descending) {
+      val sub = if (fs.exists(dir)) fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      else Nil
+      sub.map(_.getPath.getName.takeWhile(_ != '=')).distinct match {
+        case Seq(one) => cols += one; dir = sub.head.getPath
+        case _ => descending = false
+      }
+    }
+    cols.result()
+  }
+
   /** All readable versions, oldest first (the time-travel catalog). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val rootPath = new Path(root)

@@ -87,4 +87,45 @@ class ForgetSpec extends AnyFunSuite {
     }
     assert(stale != null)
   }
+
+  test("forget keeps a purged table's Hive partition layout") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-part").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text")
+    val postings = docs.select(col("doc_id"), col("lang"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
+    WarehouseSnapshot.publishAll(
+      Seq("docs" -> docs, "postings" -> postings), root,
+      partitionCols = Map("postings" -> Seq("lang")))
+    val tRoot = s"$root/tables/postings"
+    assert(VersionedParquet.partitionColsOf(spark, tRoot) === Seq("lang"))
+
+    import spark.implicits._
+    Forget.forget(spark, root, Seq(1L, 2L, 3L).toDF("doc_id"))
+
+    // the republished postings version is still lang-partitioned on disk
+    assert(VersionedParquet.partitionColsOf(spark, tRoot) === Seq("lang"),
+      "purge-republish must re-apply the original partition layout")
+    val v1 = VersionedParquet.currentVersion(spark, tRoot).get
+    val dir = new java.io.File(s"$tRoot/v${"%08d".format(v1)}")
+    assert(dir.listFiles().exists(_.getName.startsWith("lang=")),
+      s"expected lang= partition dirs in $dir")
+    // and no forgotten key survives in any partition
+    val snap = WarehouseSnapshot.readSnapshot(spark, root)
+    assert(snap("postings").filter(col("doc_id").isin(1L, 2L, 3L))
+      .count() === 0)
+  }
+
+  test("forget with no key-bearing table is a manifest-preserving no-op") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-forget-noop").toString
+    val config = spark.range(1).select(lit("k").as("name"), lit(1L).as("v"))
+    WarehouseSnapshot.publishAll(Seq("config" -> config), root)
+    val m0 = WarehouseSnapshot.currentManifest(spark, root).get
+    import spark.implicits._
+    val m1 = Forget.forget(spark, root, Seq(1L).toDF("doc_id"))
+    assert(m1 === m0, "no table carries the key: live manifest unchanged")
+    assert(WarehouseSnapshot.readSnapshot(spark, root)("config")
+      .count() === 1)
+  }
 }

@@ -284,4 +284,50 @@ class KernelPropSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("fixed-point PageRank: no Long wraparound under adversarial edge weights (vs BigInt)") {
+    import spark.implicits._
+    import graft.operators.GraphOps
+    // adversarial graph: one edge carries ~2^30 mass (the raw
+    // ((r·85)//100·w)//wout form would compute r·0.85·2^30 ≈ 2^60..2^63
+    // intermediates and wrap on the heavier nodes); plus a random
+    // background graph with weights up to 2^20
+    val rnd = new scala.util.Random(11)
+    val heavy = Seq((0L, 1L, 1L << 30), (1L, 0L, 1L << 28))
+    val background = Seq.fill(60)(
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong,
+        1L + rnd.nextInt(1 << 20).toLong)).filter { case (a, b, _) => a != b }
+    val edges = (heavy ++ background)
+      .groupBy(e => (e._1, e._2)).map { case ((s0, d0), es) =>
+        (s0, d0, es.map(_._3).sum) }.toSeq
+    val iters = 5
+
+    // driver-side BigInt reference: same formula, arbitrary precision —
+    // any Long wraparound in the distributed kernel shows up as a diff
+    val fracOne = BigInt(GraphOps.FRAC_ONE)
+    val wout = edges.groupBy(_._1)
+      .map { case (s0, es) => s0 -> BigInt(es.map(_._3).sum) }
+    val ew = edges.map { case (s0, d0, w) =>
+      (s0, d0, (BigInt(w) * fracOne) / wout(s0)) }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    var r = nodes.map(_ -> BigInt(1000000000L)).toMap
+    for (_ <- 0 until iters) {
+      val inc = ew.groupBy(_._2).map { case (d0, es) =>
+        d0 -> es.map { case (s0, _, wf) =>
+          (r(s0) * 85 / 100 * wf) / fracOne }.sum
+      }
+      r = nodes.map(n => n -> (BigInt(150000000L) +
+        inc.getOrElse(n, BigInt(0)))).toMap
+    }
+
+    val got = GraphOps.pagerankRanks(
+      edges.toDF("src", "dst", "w"), iters)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got.keySet === r.keySet)
+    got.foreach { case (id, v) =>
+      assert(BigInt(v) === r(id),
+        s"node $id: Long kernel $v != BigInt reference ${r(id)}")
+      assert(v > 0L, s"node $id wrapped negative")
+    }
+  }
 }
