@@ -99,6 +99,21 @@ object BpeOps {
   def trainOnDocs(docs: DataFrame, k: Int): (Seq[(String, String, Long)], DataFrame) =
     train(wordTable(docs), k)
 
+  /** Encode: fold the learned merge list, in learned order, over a raw
+    * word's characters — the standard BPE tokenize step. Greedy
+    * left-to-right per merge, merges applied in priority order, so a
+    * training word segments exactly as training left it, and unseen
+    * words segment consistently. Pure Column expression — map-side,
+    * zero shuffle, no vocab join needed. */
+  def encodeExpr(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(word, "")) { case (c, (a, b)) =>
+      applyMerge(c, a, b)
+    }
+
+  /** Merges trained in the gate queries (compile-time constant — the
+    * oracle unrolls the same number of rounds). */
+  final val GATE_MERGES = 4
+
   // ── q109: the BPE pair-count kernel in the correctness gate ──────────
   // One training round's shuffle — weighted adjacent character pairs
   // over the word-frequency table — is fully SQL-expressible, so the
@@ -129,6 +144,78 @@ object BpeOps {
              |  FROM p GROUP BY 1, 2)
              |SELECT a, b, n FROM counts
              |ORDER BY n DESC, a, b
-             |LIMIT 10""".stripMargin))
+             |LIMIT 10""".stripMargin)),
+
+    // ── q122: the BPE ENCODE path in the correctness gate ────────────────
+    // Train GATE_MERGES merges (distributed loop), then tokenize the
+    // whole corpus by folding the merge list map-side over each word's
+    // characters (encodeExpr — no vocab join, no shuffle beyond the
+    // final per-lang aggregate). The oracle re-derives the SAME merges
+    // from scratch with unrolled per-round CTEs (argmax by count desc
+    // then lexicographic — q111's unrolled-iteration discipline) and
+    // encodes with a sequential `replace` chain on '|'-separated symbol
+    // strings, whose left-to-right non-overlapping semantics are
+    // exactly greedy BPE application. Training AND encoding are both
+    // load-bearing for the hash; neither side sees the other's merges.
+    QueryDef("q122_bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (merges, _) = trainOnDocs(docs, GATE_MERGES)
+        val ml = merges.map { case (a, b, _) => (a, b) }
+        docs.select(col("lang"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+          .withColumn("syms", encodeExpr(col("word"), ml))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum(size(col("syms"))).cast("long").as("n_tokens"))
+          .orderBy("lang")
+      },
+      Some {
+        // one round: weighted pair counts over w{k-1}, argmax, rewrite
+        def round(k: Int): String =
+          s"""p$k AS (
+             |  SELECT a, b, CAST(sum(wc) AS BIGINT) AS n FROM (
+             |    SELECT wc, l[CAST(i AS INT)] AS a,
+             |           l[CAST(i AS INT) + 1] AS b
+             |    FROM (SELECT wc, string_split(syms, '|') AS l,
+             |                 unnest(range(1, len(string_split(syms, '|'))))
+             |                   AS i
+             |          FROM w${k - 1}))
+             |  GROUP BY 1, 2),
+             |m$k AS (SELECT a, b FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+             |w$k AS (
+             |  SELECT word, wc,
+             |         replace(syms,
+             |           (SELECT a FROM m$k) || '|' || (SELECT b FROM m$k),
+             |           (SELECT a FROM m$k) || (SELECT b FROM m$k)) AS syms
+             |  FROM w${k - 1})""".stripMargin
+        s"""WITH words AS (
+           |  SELECT word, count(*) AS wc FROM (
+           |    SELECT unnest(list_filter(
+           |        string_split_regex(lower(text), '[^a-z0-9]+'),
+           |        x -> x != '')) AS word
+           |    FROM documents)
+           |  GROUP BY 1),
+           |w0 AS (
+           |  SELECT word, wc,
+           |         rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|')
+           |           AS syms
+           |  FROM words),
+           |${(1 to GATE_MERGES).map(round).mkString(",\n")},
+           |enc AS (
+           |  SELECT word, len(string_split(syms, '|')) AS n_toks
+           |  FROM w$GATE_MERGES),
+           |docw AS (
+           |  SELECT lang, unnest(list_filter(
+           |      string_split_regex(lower(text), '[^a-z0-9]+'),
+           |      x -> x != '')) AS word
+           |  FROM documents)
+           |SELECT lang,
+           |       count(*) AS n_words,
+           |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+           |FROM docw JOIN enc USING (word)
+           |GROUP BY lang
+           |ORDER BY lang""".stripMargin
+      })
   )
 }

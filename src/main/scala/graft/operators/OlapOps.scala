@@ -29,6 +29,41 @@ object OlapOps {
   private val SUM_PRICE =
     "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0"
 
+  /** q121's predicate range on o_custkey (compile-time constants — the
+    * oracle string interpolates them). Narrow enough that the z-ordered
+    * layout prunes most files at sf0.01 (custkey spans ~15k). */
+  final val SKIP_LO = 100L
+  final val SKIP_HI = 600L
+
+  /** The 16-bit Morton interleave q71 audits and q121 lays files out
+    * by, factored for reuse. */
+  private[graft] def zorder16(a: Column, b: Column): Column =
+    (0 until 16).map { i =>
+      call_function("shiftleft",
+        shiftright(a, i).bitwiseAND(lit(1L)), lit(2 * i)) +
+        call_function("shiftleft",
+          shiftright(b, i).bitwiseAND(lit(1L)), lit(2 * i + 1))
+    }.reduce(_ + _)
+
+  /** q121 scratch table: orders clustered by the z-order key into 32
+    * files with per-file min/max stats on (o_custkey, day) — published
+    * once per session through the stats-sidecar publish path. */
+  private[graft] def clusteredOrdersRoot(s: org.apache.spark.sql.SparkSession,
+                                         dir: String): String = {
+    val root = graft.sources.Scratch.dir(s, "q121-zorder-stats")
+    if (graft.warehouse.VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir)
+        .withColumn("day",
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1995-01-01"))).cast("long"))
+        .withColumn("z", zorder16(col("o_custkey").bitwiseAND(lit(65535L)),
+          col("day").bitwiseAND(lit(65535L))))
+      graft.warehouse.FileStats.publishClustered(o, root,
+        layout = Seq("z"), statsCols = Seq("o_custkey", "day"), nFiles = 32)
+    }
+    root
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── Exact interpolated percentiles per group ──────────────────────────
@@ -176,6 +211,37 @@ object OlapOps {
            |GROUP BY 1
            |ORDER BY zbucket""".stripMargin
       }),
+
+    // ── File-level min/max data skipping over the z-ordered layout ───────
+    // q71 computes the layout key and audits locality; THIS query makes
+    // the layout load-bearing: orders is published clustered by the
+    // z-order key with per-file min/max stats in a `_FILESTATS` sidecar
+    // (FileStats/VersionedParquet), and the scan resolves the file list
+    // THROUGH the stats — files whose custkey range cannot intersect
+    // the predicate are never listed. A wrong overlap test skips a
+    // needed file and breaks the hash; FileStatsSpec separately proves
+    // the scan reads STRICTLY fewer files than the table holds (and
+    // than an unsorted layout needs). At 100 TB this is the difference
+    // between scanning a table and scanning a slice.
+    QueryDef("q121_file_skipping",
+      (s, d) => {
+        val root = clusteredOrdersRoot(s, d)
+        val (df, _, _) = graft.warehouse.FileStats.skippingRead(
+          s, root, "o_custkey", SKIP_LO, SKIP_HI)
+        df.filter(col("o_custkey").between(SKIP_LO, SKIP_HI))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).cast("long").as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some(s"""SELECT o_orderpriority,
+             |       count(*) AS n_orders,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |         AS BIGINT) AS sum_cents
+             |FROM orders
+             |WHERE o_custkey BETWEEN $SKIP_LO AND $SKIP_HI
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
 
     // ── Bounded-memory percentiles: fixed-grid histogram ──────────────────
     // The 100 TB form of q49. Exact `percentile` buffers every group value

@@ -689,6 +689,42 @@ object Relational {
              |SELECT p_brand, count(*) AS n_rows, sum(l_quantity) AS sum_qty
              |FROM l JOIN p USING (k)
              |GROUP BY 1
-             |ORDER BY p_brand""".stripMargin))
+             |ORDER BY p_brand""".stripMargin)),
+
+    // ── Star join with the dim past the broadcast threshold ──────────────
+    // q07's star with the customer dim pinned to the SORT-MERGE fallback
+    // (SURVEY §4.3's promise): when a dim outgrows
+    // `autoBroadcastJoinThreshold`, the plan degrades to a shuffled SMJ
+    // on the join key and stays correct. The pin is a `merge` join hint
+    // — the scoped mechanism that survives re-planning: a conf flip
+    // restored q107-style inside this function would silently revert to
+    // BHJ when Verify's write or PlanDump re-optimizes the lazy frame
+    // outside the scope (hints live in the logical plan; session conf
+    // does not). PLANS.md shows SMJ here vs 2 BHJ on q07 itself; the
+    // oracle is identical SQL, so broadcast and merge paths must agree
+    // bit-for-bit.
+    QueryDef("q123_star_smj_fallback",
+      (s, d) => {
+        val l = li(s, d)
+        val o = ord(s, d).select("o_orderkey", "o_custkey")
+        val c = cust(s, d).select("c_custkey", "c_nationkey")
+        val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(c4(sum(revC4x)).as("revenue"),
+               count(lit(1)).as("n_items"))
+          .orderBy("nation")
+      },
+      Some(s"""SELECT n_name AS nation,
+             |       CAST(sum($REV_C4) AS BIGINT) / 10000.0 AS revenue,
+             |       count(*) AS n_items
+             |FROM lineitem
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey
+             |JOIN nation ON n_nationkey = c_nationkey
+             |GROUP BY n_name
+             |ORDER BY nation""".stripMargin))
   )
 }

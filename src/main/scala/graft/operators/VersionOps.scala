@@ -139,6 +139,58 @@ object VersionOps {
       .orderBy("lang")
   }
 
+  /** q120 scratch table: v0 publishes WITHOUT the `quality` column, v1
+    * adds it (the reference's own bronze→silver add-column evolution,
+    * ddl_silver.sql:34,39-40 vs ddl_bronze.sql:30-38) — so the pinned
+    * v0 read's null-filled alignment and the cross-schema v0/v1 diff
+    * are both load-bearing for the hash. */
+  private[graft] def evolvedRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q120-schema-evolution")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      VersionedParquet.publish(
+        docs.filter(col("doc_id") % 4 =!= 0), root, keepVersions = 10)
+      VersionedParquet.publish(
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .withColumn("quality", col("n_chars") % 7), root,
+        keepVersions = 10)
+    }
+    root
+  }
+
+  private[graft] def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = evolvedRoot(s, dir)
+    // pinned v0 aligns to the live schema: `quality` resolves (typed
+    // null) even though v0's parquet never wrote it
+    val v0 = VersionedParquet.read(s, root, Some(0L))
+      .select("doc_id", "lang", "quality")
+    val v1 = VersionedParquet.read(s, root, Some(1L))
+      .select("doc_id", "lang", "quality")
+    val stats0 = v0.groupBy("lang").agg(
+      count(lit(1)).as("n_v0"),
+      count(when(col("quality").isNull, 1)).as("n_v0_quality_null"))
+    val stats1 = v1.groupBy("lang").agg(
+      count(lit(1)).as("n_v1"),
+      sum("quality").cast("long").as("sum_quality_v1"))
+    // the diff runs ACROSS the schema change — alignment keeps the two
+    // sides union/join-compatible
+    val added = v1.join(v0.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_added"))
+    val removed = v0.join(v1.select("doc_id"), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_removed"))
+    stats0.join(stats1, Seq("lang"), "full_outer")
+      .join(added, Seq("lang"), "full_outer")
+      .join(removed, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_v0"), lit(0L)).as("n_v0"),
+        coalesce(col("n_v0_quality_null"), lit(0L)).as("n_v0_quality_null"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("sum_quality_v1"), lit(0L)).as("sum_quality_v1"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .orderBy("lang")
+  }
+
   /** q116 scratch warehouse: corpus + postings published as ONE
     * snapshot, then doc_id % 13 == 0 forgotten via Forget.forget — the
     * whole privacy-deletion path (multi-table snapshot, anti-join
@@ -281,6 +333,36 @@ object VersionOps {
              |UNION ALL
              |SELECT CAST(1 AS BIGINT), count(*), true
              |FROM documents WHERE doc_id % 3 <> 0
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    // ── Schema evolution across published versions ───────────────────────
+    // v0 publishes without `quality`, v1 adds it; the pinned v0 read
+    // null-fills the added column (n_v0_quality_null == n_v0 proves the
+    // fill) and the v0/v1 diff runs across the schema change. The
+    // oracle recomputes everything from the generating predicates and
+    // never sees the format — a broken alignment surfaces as a thrown
+    // resolution (missing column) or a hash mismatch.
+    QueryDef("q120_schema_evolution",
+      (s, d) => schemaEvolution(s, d),
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, n_chars,
+             |         doc_id % 4 <> 0 AS in0,
+             |         doc_id % 3 <> 0 AS in1
+             |  FROM documents)
+             |SELECT lang,
+             |       CAST(count(*) FILTER (WHERE in0) AS BIGINT) AS n_v0,
+             |       CAST(count(*) FILTER (WHERE in0) AS BIGINT)
+             |         AS n_v0_quality_null,
+             |       CAST(count(*) FILTER (WHERE in1) AS BIGINT) AS n_v1,
+             |       CAST(coalesce(sum(n_chars % 7) FILTER (WHERE in1), 0)
+             |         AS BIGINT) AS sum_quality_v1,
+             |       CAST(count(*) FILTER (WHERE in1 AND NOT in0) AS BIGINT)
+             |         AS n_added,
+             |       CAST(count(*) FILTER (WHERE in0 AND NOT in1) AS BIGINT)
+             |         AS n_removed
+             |FROM t
+             |WHERE in0 OR in1
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin))
   )
 }

@@ -1,0 +1,113 @@
+package graft.warehouse
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** File-level min/max data skipping over the versioned table format —
+  * the add-file stats half of a transactional format's metadata (what
+  * Delta writes per AddFile and Iceberg per manifest entry). Directory-
+  * level partition pruning (q107) skips whole partitions; THIS tier
+  * skips individual files inside a table/partition using per-file
+  * min/max of clustered columns, which is what makes a z-ordered
+  * layout (q71) load-bearing: sorted layout ⇒ tight per-file ranges ⇒
+  * a selective predicate reads a slice, not the table.
+  *
+  * Mechanics: `publishClustered` range-partitions + sorts by the
+  * layout key and publishes through [[VersionedParquet.publish]] with
+  * `statsCols` — publish scans the freshly-written snapshot (column-
+  * pruned to the stats columns) grouped by `input_file_name()` and
+  * writes a `_FILESTATS` sidecar marker BEFORE the pointer swap, so
+  * stats commit atomically with the version they describe. (A native
+  * writer would fold this into parquet-footer accumulators instead of
+  * a second scan; the second scan here reads only the stats columns.)
+  *
+  * `skippingRead` consults the sidecar before listing files: files
+  * whose [min,max] cannot intersect the predicate range are never
+  * handed to the scan at all — strictly fewer tasks and bytes, the
+  * difference between scanning a table and scanning a slice at 100 TB.
+  * A missing sidecar (older version, or stats never requested)
+  * degrades to the full snapshot read. Stats columns must be integral
+  * (min/max serialize as longs); the exact predicate is re-applied on
+  * the surviving files, so skipping is a pure optimization and any
+  * overlap bug surfaces as a correctness diff (q121's oracle).
+  */
+object FileStats {
+
+  /** Publish `df` clustered by `layout` into ~`nFiles` files with
+    * per-file min/max stats on `statsCols`; returns the snapshot dir.
+    * Range partitioning + in-file sort give each file a tight range on
+    * the leading layout column — the layout skipping feeds on. */
+  def publishClustered(df: DataFrame, root: String, layout: Seq[String],
+                       statsCols: Seq[String], nFiles: Int,
+                       keepVersions: Int = 2): String = {
+    val arranged = df
+      .repartitionByRange(nFiles, layout.map(df.col): _*)
+      .sortWithinPartitions(layout.map(df.col): _*)
+    VersionedParquet.publish(arranged, root, keepVersions = keepVersions,
+      statsCols = statsCols)
+  }
+
+  /** Parse a `_FILESTATS` sidecar: lines `file \t n \t col \t min \t
+    * max` (one line per file × stats column). */
+  private def parseStats(content: String)
+      : Map[String, Map[String, (Long, Long)]] =
+    content.split('\n').filter(_.nonEmpty).map { line =>
+      val Array(f, _, c, lo, hi) = line.split('\t')
+      (f, c, lo.toLong, hi.toLong)
+    }.groupBy(_._1).map { case (f, rows) =>
+      f -> rows.map { case (_, c, lo, hi) => c -> (lo, hi) }.toMap
+    }
+
+  /** Read the live (or pinned) version scanning ONLY files whose
+    * [min,max] range on `column` can intersect `[lo, hi]`. Returns the
+    * frame plus (files read, files total) for skipping audits. The
+    * caller still applies the exact predicate — skipping must never be
+    * trusted for row-level filtering. */
+  def skippingRead(spark: SparkSession, root: String, column: String,
+                   lo: Long, hi: Long, version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    val v = version.orElse(VersionedParquet.currentVersion(spark, root))
+      .getOrElse(throw new java.io.IOException(
+        s"no published version under $root"))
+    val snapshot = s"$root/v${"%08d".format(v)}"
+    VersionedParquet.snapshotMarker(spark, root,
+      VersionedParquet.STATS_MARKER, Some(v)) match {
+      case None => (VersionedParquet.read(spark, root, Some(v)), -1, -1)
+      case Some(content) =>
+        val stats = parseStats(content)
+        val total = stats.size
+        val keep = stats.collect {
+          case (f, cols) if cols.get(column)
+            .forall { case (mn, mx) => mx >= lo && mn <= hi } => f
+        }.toSeq.sorted
+        // schema from the snapshot dir so an all-files-skipped read
+        // still resolves columns (empty frame, right schema)
+        val schema = spark.read.parquet(snapshot).schema
+        val df =
+          if (keep.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          else spark.read.schema(schema)
+            .parquet(keep.map(f => s"$snapshot/$f"): _*)
+        (df, keep.size, total)
+    }
+  }
+
+  /** The per-file stats frame for a published version — the metadata
+    * table a format exposes as `describe detail` / `add_files`. */
+  def fileStats(spark: SparkSession, root: String,
+                version: Option[Long] = None): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val v = version.orElse(VersionedParquet.currentVersion(spark, root))
+      .getOrElse(throw new java.io.IOException(
+        s"no published version under $root"))
+    val content = VersionedParquet.snapshotMarker(spark, root,
+      VersionedParquet.STATS_MARKER, Some(v)).getOrElse("")
+    val rows = content.split('\n').filter(_.nonEmpty).map { line =>
+      val Array(f, n, c, lo, hi) = line.split('\t')
+      org.apache.spark.sql.Row(f, n.toLong, c, lo.toLong, hi.toLong)
+    }.toSeq
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "file STRING, n_rows BIGINT, col STRING, min BIGINT, max BIGINT"))
+  }
+}

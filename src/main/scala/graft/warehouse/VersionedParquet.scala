@@ -6,6 +6,7 @@ import java.util.EnumSet
 
 import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** Reader-safe table publication: versioned directories + an atomically
   * swapped pointer file — the single-table essence of a transactional
@@ -48,6 +49,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object VersionedParquet {
 
   private val POINTER = "_CURRENT"
+
+  /** Sidecar marker carrying per-file min/max stats (see `publish`'s
+    * `statsCols` and [[FileStats.skippingRead]]). */
+  private[warehouse] val STATS_MARKER = "_FILESTATS"
 
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -100,16 +105,13 @@ object VersionedParquet {
       val in = fc.open(pointer)
       try {
         // read to EOF: a single read() may return short on remote
-        // filesystems, and a truncated pointer parse would resolve the
-        // wrong version
-        val buf = new Array[Byte](256)
-        var off = 0
-        var r = in.read(buf, off, buf.length - off)
-        while (r > 0 && off < buf.length) {
-          off += r
-          r = in.read(buf, off, buf.length - off)
-        }
-        Some(new String(buf, 0, off, StandardCharsets.UTF_8).trim)
+        // filesystems, and a truncated parse would resolve the wrong
+        // version — or tear a multi-KB stats sidecar mid-line
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var r = in.read(buf)
+        while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+        Some(new String(out.toByteArray, StandardCharsets.UTF_8).trim)
       } finally in.close()
     }
   }
@@ -179,7 +181,8 @@ object VersionedParquet {
     * parquet output; use an underscore prefix. */
   def publish(df: DataFrame, root: String, partitionCols: Seq[String] = Nil,
               keepVersions: Int = 2, minRetainMillis: Long = 0L,
-              markers: Map[String, String] = Map.empty): String = {
+              markers: Map[String, String] = Map.empty,
+              statsCols: Seq[String] = Nil): String = {
     require(keepVersions >= 1, "must retain at least the live version")
     val spark = df.sparkSession
     val rootPath = new Path(root)
@@ -190,10 +193,37 @@ object VersionedParquet {
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(snapshot.toString)
+    // Per-file min/max stats sidecar (`statsCols` must be integral):
+    // computed from the freshly-written files — a column-pruned scan
+    // grouped by input_file_name — and installed as a marker BEFORE the
+    // pointer swap, so the stats commit atomically with their version.
+    // FileStats.skippingRead consults it to hand the scan only files
+    // whose range can match a predicate.
+    val statsMarker: Map[String, String] =
+      if (statsCols.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, count, input_file_name,
+          max, min}
+        val written = spark.read.parquet(snapshot.toString)
+          .select((input_file_name().as("_f")) +:
+            statsCols.map(c => col(c).cast("long").as(c)): _*)
+        val aggs = count(org.apache.spark.sql.functions.lit(1)).as("_n") +:
+          statsCols.flatMap(c =>
+            Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c")))
+        val lines = written.groupBy("_f").agg(aggs.head, aggs.tail: _*)
+          .collect().sortBy(_.getString(0)).flatMap { r =>
+            val file = new Path(r.getString(0)).getName
+            val n = r.getLong(1)
+            statsCols.zipWithIndex.map { case (c, i) =>
+              s"$file\t$n\t$c\t${r.getLong(2 + 2 * i)}\t${r.getLong(3 + 2 * i)}"
+            }
+          }
+        Map(STATS_MARKER -> lines.mkString("\n"))
+      }
     // Markers land before the swap: a snapshot the pointer can name
     // always carries them (atomic-with-version); installPointer's
     // temp+rename keeps each marker itself torn-proof.
-    markers.foreach { case (name, content) =>
+    (markers ++ statsMarker).foreach { case (name, content) =>
       installPointer(spark, snapshot, name, content) }
     // Atomic pointer swap: temp file + rename-with-overwrite (one
     // metadata op — POSIX rename on local/HDFS). FileContext.rename
@@ -216,10 +246,23 @@ object VersionedParquet {
     * resolved snapshot directory, so a publish racing this read never
     * changes (or deletes, within the retention window) the files under
     * it. Pinning a version outside the retention window fails loudly
-    * here, at resolution time, rather than mid-scan. */
+    * here, at resolution time, rather than mid-scan.
+    *
+    * Schema evolution: a pinned historical read is ALIGNED to the live
+    * schema — columns added by later publishes read as typed nulls
+    * (every real warehouse adds columns; the reference itself evolves
+    * bronze→silver, ddl_silver.sql:34,39-40 adding `cat_id` and typed
+    * validity dates over ddl_bronze.sql:30-38), so a v0/v1 diff (the
+    * q95 shape) stays schema-compatible across an add-column publish.
+    * Columns present at v but since dropped are kept (appended after
+    * the live columns) — time travel must not lose data the pinned
+    * snapshot really holds. Alignment is projection-only (null-fill is
+    * a literal in the plan, zero scan cost), and the live read path is
+    * untouched. */
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
-    val v = version.getOrElse(currentVersion(spark, root).getOrElse(
+    val live = currentVersion(spark, root)
+    val v = version.getOrElse(live.getOrElse(
       throw new IOException(s"no published version under $root")))
     val snapshot = new Path(root, versionName(v))
     // Same completeness predicate as versions()/latestCompleteVersion:
@@ -231,7 +274,23 @@ object VersionedParquet {
       throw new IOException(s"version $v of $root does not exist or is " +
         "incomplete (never published, crashed mid-write, or vacuumed " +
         "past retention)")
-    spark.read.parquet(snapshot.toString)
+    val df = spark.read.parquet(snapshot.toString)
+    if (version.isEmpty || live.isEmpty || v == live.get) df
+    else {
+      // align the pinned read to the live schema: live column order,
+      // null-filling columns this version predates; pinned-only
+      // (since-dropped) columns append after
+      val liveSchema = spark.read
+        .parquet(new Path(root, versionName(live.get)).toString).schema
+      val have = df.columns.toSet
+      val aligned = liveSchema.map { f =>
+        if (have(f.name)) df(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } ++ df.schema.collect {
+        case f if !liveSchema.exists(_.name == f.name) => df(f.name)
+      }
+      df.select(aligned: _*)
+    }
   }
 
   /** A marker file's content from the live (or pinned) snapshot, None

@@ -47,6 +47,21 @@ class PlanSpec extends AnyFunSuite {
       "no SMJ at dim scale — the only allowed big-big join is lineitem⋈orders")
   }
 
+  test("q123 SMJ fallback: the hinted dim join degrades to sort-merge, q07 stays broadcast") {
+    // the same star with the customer dim pinned past the broadcast
+    // path: the plan must carry a SortMergeJoin on the customer key —
+    // the degradation SURVEY §4.3 promises when a dim outgrows
+    // autoBroadcastJoinThreshold — while the normal variant (above)
+    // shows none; the correctness gate holds both to the identical
+    // oracle, so the two join strategies must agree bit-for-bit
+    val p = planOf("q123_star_smj_fallback")
+    val smj = collectAll(p) { case s: SortMergeJoinExec => s }
+    assert(smj.nonEmpty, "the merge-hinted customer join must be SMJ")
+    assert(smj.exists(_.leftKeys.exists(_.toString.contains("custkey"))) ||
+      smj.exists(_.rightKeys.exists(_.toString.contains("custkey"))),
+      s"SMJ must be on the customer key: ${smj.map(_.simpleStringWithNodeId())}")
+  }
+
   test("q01 scalar agg: scan prunes to exactly the referenced columns") {
     val scans = collectAll(planOf("q01_scalar_agg")) {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f

@@ -1,0 +1,94 @@
+package graft.warehouse
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.OlapOps
+
+/** File-level min/max data skipping (q121's machinery): the z-ordered
+  * layout must make a selective scan read STRICTLY fewer files than
+  * the table holds — and an unsorted layout of the same data must not
+  * prune — while never losing a matching row. This is the proof that
+  * q71's layout is load-bearing, not decorative.
+  */
+class FileStatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("z-ordered layout: selective predicate reads strictly fewer files, loses no rows") {
+    val root = OlapOps.clusteredOrdersRoot(spark, sf)
+    val (df, nRead, nTotal) = FileStats.skippingRead(
+      spark, root, "o_custkey", OlapOps.SKIP_LO, OlapOps.SKIP_HI)
+    assert(nTotal >= 16, s"expected a multi-file table, got $nTotal")
+    assert(nRead < nTotal,
+      s"skipping must prune: read $nRead of $nTotal files")
+    assert(nRead > 0, "the predicate range is populated")
+    // no matching row lost: the skipped scan agrees with the full scan
+    val pred = col("o_custkey").between(OlapOps.SKIP_LO, OlapOps.SKIP_HI)
+    val skipped = df.filter(pred).count()
+    val full = VersionedParquet.read(spark, root).filter(pred).count()
+    assert(skipped === full && full > 0)
+  }
+
+  test("every skipped file really cannot match; every kept file range overlaps") {
+    val root = OlapOps.clusteredOrdersRoot(spark, sf)
+    val stats = FileStats.fileStats(spark, root)
+      .filter(col("col") === "o_custkey")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(stats.nonEmpty)
+    val (lo, hi) = (OlapOps.SKIP_LO, OlapOps.SKIP_HI)
+    // recompute per-file truth straight from the parquet
+    val v = VersionedParquet.currentVersion(spark, root).get
+    val snap = s"$root/v${"%08d".format(v)}"
+    stats.foreach { case (f, mn, mx) =>
+      val actual = spark.read.parquet(s"$snap/$f")
+        .agg(min("o_custkey"), max("o_custkey")).head()
+      assert(actual.getLong(0) === mn && actual.getLong(1) === mx,
+        s"sidecar stats for $f disagree with the file")
+      val kept = mx >= lo && mn <= hi
+      val hasMatch = spark.read.parquet(s"$snap/$f")
+        .filter(col("o_custkey").between(lo, hi)).limit(1).count() > 0
+      if (!kept) assert(!hasMatch, s"skipped file $f holds a matching row")
+    }
+  }
+
+  test("unsorted layout of the same data cannot prune (the layout IS the feature)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-filestats-unsorted").toString
+    val o = graft.sources.Tables.orders(spark, sf)
+      .repartition(32) // round-robin: every file spans ~the full range
+    VersionedParquet.publish(o, root, statsCols = Seq("o_custkey"))
+    val (_, nRead, nTotal) = FileStats.skippingRead(
+      spark, root, "o_custkey", OlapOps.SKIP_LO, OlapOps.SKIP_HI)
+    assert(nTotal >= 16)
+    assert(nRead === nTotal,
+      "round-robin files all span the predicate range: nothing prunes")
+  }
+
+  test("missing sidecar degrades to a full read; all-skipped keeps the schema") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-filestats-degrade").toString
+    val o = graft.sources.Tables.orders(spark, sf).limit(100)
+    VersionedParquet.publish(o, root) // no statsCols: no sidecar
+    val (df, nRead, nTotal) = FileStats.skippingRead(
+      spark, root, "o_custkey", 0L, 10L)
+    assert(nRead === -1 && nTotal === -1, "sentinel for no-stats fallback")
+    assert(df.count() === 100)
+    // all-files-skipped: empty frame with the right schema
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-filestats-empty").toString
+    VersionedParquet.publish(o, root2, statsCols = Seq("o_custkey"))
+    val (df2, nRead2, _) = FileStats.skippingRead(
+      spark, root2, "o_custkey", -100L, -50L)
+    assert(nRead2 === 0)
+    assert(df2.columns.contains("o_custkey") && df2.count() === 0)
+  }
+}
