@@ -53,7 +53,22 @@ object Bench {
         .selectExpr("sum(id % 97)").write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val probeSec = probe()
+    // Committed clean-host reference (cfdbf41's snapshot: 0.429 start /
+    // 0.252 end). A probe > 2× this means the host is throttled and the
+    // suite timings will read as a phantom code regression (r7's driver
+    // snapshot: probes 1.607/1.102, total 3× the clean run). Gate:
+    // retry once after a cooldown so a transient spike clears; if the
+    // host is still hot, run anyway but (a) tag the JSON "hot_host":
+    // true and (b) never overwrite BENCH_LAST.json's clean snapshot
+    // with throttled numbers.
+    val RefProbeSec = 0.43
+    var probeSec = probe()
+    if (probeSec > 2 * RefProbeSec) {
+      System.err.println(f"BENCH hot host: probe $probeSec%.3f s > 2x ref " +
+        f"$RefProbeSec%.3f s; cooling down 60 s and retrying")
+      Thread.sleep(60000)
+      probeSec = probe()
+    }
     // A query that throws records the sentinel -1 (and lands in "errors")
     // instead of a normal-looking duration — a failed query must not be
     // mistaken for a fast one.
@@ -105,15 +120,18 @@ object Bench {
     // how much CPU the run actually had (end >> start = the later
     // queries ran starved; both ~0.5 s = trust the totals as-is).
     val probeEndSec = probe()
+    val hotHost = probeSec > 2 * RefProbeSec || probeEndSec > 2 * RefProbeSec
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"hot_host":$hotHost,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also land the full line in the repo: round snapshots have truncated
     // the head of the stdout capture before, which made totals
     // unrecoverable — this copy is complete by construction. Filtered
-    // runs never overwrite the committed full-run snapshot.
-    if (only.isEmpty)
+    // runs never overwrite the committed full-run snapshot, and a
+    // hot-host run never overwrites a clean one (its numbers measure
+    // the throttle, not the code).
+    if (only.isEmpty && !hotHost)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it
@@ -129,6 +147,6 @@ object Bench {
     val shortQs = results
       .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"hot_host":$hotHost,"queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
   }
 }

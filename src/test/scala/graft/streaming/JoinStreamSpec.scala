@@ -211,6 +211,104 @@ class JoinStreamSpec extends AnyFunSuite {
     assert(landed.length > afterFirst)
   }
 
+  test("left-outer restart: deferred nulls emit exactly once, never twice, across recovery") {
+    import graft.warehouse.VersionedParquet
+    // The inner-join restart proof (above) shows buffered MATCH state
+    // recovers; this pins the subtler outer-join contract: a purchase
+    // still unfinalized at shutdown (watermark hadn't passed it, so its
+    // null row was deferred) must emit that null row EXACTLY once after
+    // restart — not twice (state replayed but emission not deduped),
+    // not zero times (deferral lost), and never alongside a match (a
+    // cross-run click must cancel the null). The run boundary is placed
+    // at the median strict-pair purchase, squarely inside a live join
+    // window, so run 1 ends with a populated unfinalized tail.
+    val work = java.nio.file.Files.createTempDirectory("graft-outer-restart")
+    val watch = java.nio.file.Files.createDirectory(work.resolve("landing"))
+    val root = work.resolve("tbl").toString
+    val checkpoint = work.resolve("chk").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val fullEv = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val pus = JoinStream.clickToPurchase(fullEv, fullEv)
+      .filter(unix_micros(col("click_ts")) < unix_micros(col("purchase_ts")))
+      .select(unix_micros(col("purchase_ts")).as("p"))
+      .orderBy("p").collect().map(_.getLong(0))
+    val midUs = pus(pus.length / 2)
+    def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val tmp = work.resolve("s" + name).toString
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, watch.resolve(name))
+    }
+    def runOnce(): Unit = {
+      val ev = EventStream.readEvents(spark, watch.toString)
+      VersionedSink.run(
+        JoinStream.clickToPurchaseOuter(ev, ev)
+          .select("purchase_id", "click_id",
+            "purchase_ts"),
+        root, checkpoint,
+        (cur, batch) => cur.unionByName(batch)).awaitTermination()
+    }
+    stage("f0.parquet", raw.filter(col("ts") < midUs * 1000))
+    runOnce()
+    val nulls1 = VersionedParquet.read(spark, root)
+      .filter(col("click_id").isNull)
+      .select("purchase_id").collect().map(_.getLong(0)).toSet
+
+    stage("f1.parquet", raw.filter(col("ts") >= midUs * 1000))
+    runOnce()
+    val fin = VersionedParquet.read(spark, root).collect()
+    val matched = fin.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nullRows = fin.filter(_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getTimestamp(2).getTime * 1000))
+
+    // 1. matched side: still the exact batch inner join, exactly once
+    val batchEv = spark.read
+      .schema(EventStream.rawSchema.fields.foldLeft(
+        new org.apache.spark.sql.types.StructType)(_ add _))
+      .parquet(watch.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val expectPairs = JoinStream.clickToPurchase(batchEv, batchEv)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(matched.length === expectPairs.length &&
+      matched.toSet === expectPairs.toSet,
+      "matched pairs exactly once across the restart")
+
+    // 2. exactly-once nulls: no purchase's null row lands twice, and a
+    // null never coexists with a match for the same purchase
+    assert(nullRows.map(_._1).distinct.length === nullRows.length,
+      "a deferred null row must never emit twice across recovery")
+    val matchedIds = matched.map(_._1).toSet
+    assert(nullRows.forall(n => !matchedIds(n._1)),
+      "a cross-run click must cancel the pending null, not join it")
+
+    // 3. nulls are genuine: every one is batch-unmatched, and every
+    // clearly-finalized batch-unmatched purchase did emit
+    val outerBatch = JoinStream.clickToPurchaseOuter(batchEv, batchEv)
+    val unmatched = outerBatch.filter(col("click_id").isNull)
+      .select(col("purchase_id"), unix_micros(col("purchase_ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(nullRows.forall(n => unmatched.contains(n._1)),
+      "every null row must be batch-unmatched")
+    val maxUs = batchEv.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val cutoff = maxUs - 2L * 3600 * 1000000
+    val clearlyOld = unmatched.filter(_._2 < cutoff - 3600L * 1000000).keySet
+    assert((clearlyOld -- nullRows.map(_._1).toSet).isEmpty,
+      "every finalized unmatched purchase must have emitted its null")
+
+    // 4. the restart was load-bearing for deferral: nulls that belong
+    // to run-1-era purchases (ts < mid) but were NOT yet emitted when
+    // run 1 shut down can only exist via recovered outer-join state
+    val deferred = nullRows
+      .filter { case (id, us) => us < midUs && !nulls1(id) }
+    assert(deferred.nonEmpty,
+      "the split must leave unfinalized run-1 purchases whose nulls " +
+        "emit only after recovery")
+  }
+
   test("interval bounds are two-sided so both state stores evict") {
     // A click AFTER the purchase or more than an hour before it never
     // matches — the conditions that make watermark eviction legal on
