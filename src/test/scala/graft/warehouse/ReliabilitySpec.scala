@@ -402,4 +402,31 @@ class ReliabilitySpec extends AnyFunSuite {
       orders.filter(col("o_year") === 1996), dest, Seq("o_year"))
     assert(spark.read.parquet(dest).select("o_year").distinct().count() === 1)
   }
+
+  test("snapshot time travel aligns across an add-column schema change") {
+    import spark.implicits._
+    // q120 proves the single-table alignment; this pins the WAREHOUSE
+    // tier: a historical manifest resolved with readSnapshot(at=...)
+    // must null-fill columns the snapshot predates — live column
+    // order, typed nulls — so cross-manifest diffs (the q95 shape, one
+    // level up) stay schema-compatible after the warehouse evolves.
+    val root = Files.createTempDirectory("graft-snap-evolve").toString + "/wh"
+    val d0 = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    val m0 = WarehouseSnapshot.publishAll(Seq("docs" -> d0), root,
+      keepSnapshots = 4)
+    val d1 = Seq((1, "a", 10L), (3, "c", 30L)).toDF("id", "name", "score")
+    WarehouseSnapshot.publishAll(Seq("docs" -> d1), root, keepSnapshots = 4)
+
+    val pinned = WarehouseSnapshot.readSnapshot(spark, root, Some(m0))("docs")
+    assert(pinned.columns.toSeq === Seq("id", "name", "score"),
+      "pinned snapshot must align to the live column order")
+    assert(pinned.schema("score").dataType ===
+      org.apache.spark.sql.types.LongType, "added column keeps its type")
+    val rows = pinned.collect()
+    assert(rows.length === 2 && rows.forall(_.isNullAt(2)),
+      "columns the snapshot predates read as nulls")
+    // and the cross-manifest diff is union-compatible across the change
+    val live = WarehouseSnapshot.readSnapshot(spark, root)("docs")
+    assert(live.unionByName(pinned).count() === 4)
+  }
 }
