@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{QueryDef, Tables}
+
+/** Distributed k-means (Lloyd's algorithm) over the embedding corpus —
+  * the topic-clustering / corpus-bucketing primitive a training-data
+  * pipeline runs before balancing domains or running SemDeDup-style
+  * per-cluster dedup (q87 consumes exactly such cluster assignments).
+  *
+  * Exact-integer discipline (q111 PageRank's): embeddings quantize to
+  * `round(x·1000)` longs, distances are integer squared-L2, centroid
+  * updates are truncating integer division — so Spark and the DuckDB
+  * oracle agree bit-for-bit with no float drift, and the oracle can
+  * unroll every Lloyd round as CTEs (assignment = row_number over
+  * (d2, cl), update = per-dimension integer mean).
+  *
+  * Scale shape, per iteration:
+  *  - assignment is a PURE MAP-SIDE projection: the K×d centroid
+  *    matrix (a few KB) rides into the plan as literals, each row
+  *    computes K squared distances and an argmin — zero shuffle, no
+  *    join, nothing driver-side per row;
+  *  - the update is ONE partial-aggregated shuffle keyed (cluster,
+  *    dim): map-side combine collapses each partition to ≤ K·d rows,
+  *    so shuffle volume is K·d·partitions regardless of corpus size;
+  *  - only the K×d centroid matrix ever lands on the driver (the
+  *    same bounded-metadata exception as q109's 1-row argmax) — the
+  *    corpus never does.
+  * Ties break deterministically: the LOWEST cluster label wins
+  * (first-occurrence `array_position` == the oracle's ORDER BY d2, cl),
+  * so no float and no hash order reaches the output. A cluster that
+  * loses every member simply drops out of the next round's centroid
+  * set on both sides identically.
+  */
+object ClusterOps {
+
+  /** Cluster count, Lloyd rounds, and the fixed-point scale (gate
+    * constants — the oracle unrolls the same rounds). */
+  final val K = 8
+  final val ITERS = 3
+  final val SCALE = 1000
+
+  /** Embeddings quantized to exact integer micro-units. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x * SCALE).cast("long")).as("e"))
+
+  /** Integer squared-L2 distance from `e` to a literal centroid. */
+  private def d2(cent: Array[Long]): Column =
+    aggregate(
+      zip_with(col("e"), typedlit(cent.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** One Lloyd round's centroid update: (cluster, dim)-keyed integer
+    * sums — partial aggregation collapses each partition to ≤ K·d rows
+    * before the shuffle — then the K×d matrix (and only it) comes to
+    * the driver as truncating-integer means, label-sorted. */
+  private def updateCentroids(assigned: DataFrame): Seq[(Int, Array[Long])] = {
+    val rows = assigned
+      .select(col("cl"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("cl", "pos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect()
+    rows.groupBy(_.getInt(0)).map { case (cl, rs) =>
+      cl -> rs.sortBy(_.getInt(1)).map(r => r.getLong(2) / r.getLong(3))
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Assignment columns (cluster label, its distance) for the given
+    * label-sorted centroids. Distances land as real columns first so
+    * the argmin chain references attributes, not K copies of the
+    * 64-term distance expression. */
+  private def assign(v: DataFrame,
+                     cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val withD = cents.zipWithIndex.foldLeft(v) { case (df, ((_, c), i)) =>
+      df.withColumn(s"_d$i", d2(c))
+    }
+    val ds = cents.indices.map(i => col(s"_d$i"))
+    val best = least(ds: _*)
+    val labels = typedlit(cents.map(_._1))
+    withD
+      .withColumn("d2", best)
+      .withColumn("cl", element_at(labels,
+        array_position(array(ds: _*), best).cast("int")))
+      .drop(cents.indices.map(i => s"_d$i"): _*)
+  }
+
+  /** The full fixed-round Lloyd run; returns the final assignment
+    * (vec_id, e, cl, d2) against the last round's centroids. */
+  private[graft] def kmeans(s: SparkSession, dir: String): DataFrame = {
+    val v = quantized(s, dir).persist()
+    // deterministic init: the K lowest vec_ids, label = rank order
+    var cents: Seq[(Int, Array[Long])] = v.orderBy("vec_id").limit(K)
+      .collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Long](1).toArray
+      }
+    for (_ <- 1 to ITERS)
+      cents = updateCentroids(assign(v, cents))
+    assign(v, cents)
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ── k-means topic clustering in the correctness gate ─────────────────
+    // Three unrolled Lloyd rounds + a final assignment, everything in
+    // exact integers: per-cluster size, membership fingerprint (min id
+    // + first-dimension sum) and inertia must all hash-match an oracle
+    // that re-runs the identical rounds as CTEs. A wrong tie-break, a
+    // drifted centroid mean, or a float comparison anywhere breaks the
+    // hash.
+    QueryDef("q124_kmeans",
+      (s, d) => kmeans(s, d)
+        .groupBy(col("cl").as("cluster"))
+        .agg(count(lit(1)).as("n_vecs"),
+          min("vec_id").as("min_vec_id"),
+          sum("d2").cast("long").as("inertia"),
+          sum(element_at(col("e"), 1)).cast("long").as("sum_d1"))
+        .orderBy("cluster"),
+      Some {
+        def round(k: Int): String =
+          s"""a$k AS (
+             |  SELECT vec_id, e, cl, d2 FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |                                 ORDER BY d2, cl) AS rn FROM (
+             |      SELECT v.vec_id, v.e, c.cl,
+             |             CAST(list_inner_product(v.e, v.e)
+             |                  - 2 * list_inner_product(v.e, c.cent)
+             |                  + list_inner_product(c.cent, c.cent)
+             |               AS BIGINT) AS d2
+             |      FROM v, c${k - 1} c))
+             |  WHERE rn = 1),
+             |c$k AS (
+             |  SELECT cl, list(val ORDER BY i) AS cent FROM (
+             |    SELECT cl, i,
+             |           CAST(sum(e[i]) // count(*) AS BIGINT) AS val
+             |    FROM a$k, generate_series(1, 64) t(i)
+             |    GROUP BY cl, i)
+             |  GROUP BY cl)""".stripMargin
+        s"""WITH v AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding,
+           |           x -> CAST(round(x * $SCALE) AS BIGINT)) AS e
+           |  FROM embeddings),
+           |c0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+           |           AS cl, e AS cent
+           |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $K)),
+           |${(1 to ITERS).map(round).mkString(",\n")},
+           |fin AS (
+           |  SELECT vec_id, e, cl, d2 FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id
+           |                                 ORDER BY d2, cl) AS rn FROM (
+           |      SELECT v.vec_id, v.e, c.cl,
+           |             CAST(list_inner_product(v.e, v.e)
+           |                  - 2 * list_inner_product(v.e, c.cent)
+           |                  + list_inner_product(c.cent, c.cent)
+           |               AS BIGINT) AS d2
+           |      FROM v, c$ITERS c))
+           |  WHERE rn = 1)
+           |SELECT cl AS cluster, count(*) AS n_vecs,
+           |       min(vec_id) AS min_vec_id,
+           |       CAST(sum(d2) AS BIGINT) AS inertia,
+           |       CAST(sum(e[1]) AS BIGINT) AS sum_d1
+           |FROM fin
+           |GROUP BY cl
+           |ORDER BY cluster""".stripMargin
+      })
+  )
+}
