@@ -210,9 +210,17 @@ object VersionedParquet {
         val aggs = count(org.apache.spark.sql.functions.lit(1)).as("_n") +:
           statsCols.flatMap(c =>
             Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c")))
+        // paths stored RELATIVE to the snapshot dir (everything after
+        // the version segment), so Hive-partitioned layouts — whose
+        // files live in partition subdirectories — resolve too
+        val verSeg = "/" + versionName(next) + "/"
         val lines = written.groupBy("_f").agg(aggs.head, aggs.tail: _*)
           .collect().sortBy(_.getString(0)).flatMap { r =>
-            val file = new Path(r.getString(0)).getName
+            val full = r.getString(0)
+            val cut = full.indexOf(verSeg)
+            val file =
+              if (cut >= 0) full.substring(cut + verSeg.length)
+              else new Path(full).getName
             val n = r.getLong(1)
             statsCols.zipWithIndex.map { case (c, i) =>
               s"$file\t$n\t$c\t${r.getLong(2 + 2 * i)}\t${r.getLong(3 + 2 * i)}"
@@ -393,6 +401,14 @@ object VersionedParquet {
       if (partitionCols.nonEmpty)
         df.repartition(nFiles, partitionCols.map(df.col): _*)
       else df.repartition(nFiles)
-    publish(arranged, root, partitionCols)
+    // A version carrying a stats sidecar keeps the skipping tier:
+    // recompute the SAME columns' per-file min/max over the compacted
+    // files (never carry the old sidecar forward — its file names and
+    // ranges describe the pre-compaction layout).
+    val statsCols = snapshotMarker(spark, root, STATS_MARKER, Some(v))
+      .map(_.split('\n').filter(_.nonEmpty).map(_.split('\t')(2))
+        .distinct.toSeq)
+      .getOrElse(Nil)
+    publish(arranged, root, partitionCols, statsCols = statsCols)
   }
 }

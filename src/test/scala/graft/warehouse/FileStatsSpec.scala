@@ -73,6 +73,62 @@ class FileStatsSpec extends AnyFunSuite {
       "round-robin files all span the predicate range: nothing prunes")
   }
 
+  test("compaction recomputes the sidecar — skipping survives, never staled") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-filestats-compact").toString
+    val o = graft.sources.Tables.orders(spark, sf)
+    FileStats.publishClustered(o, root, layout = Seq("o_custkey"),
+      statsCols = Seq("o_custkey"), nFiles = 32)
+    val preFiles = FileStats.fileStats(spark, root)
+      .select("file").distinct().count()
+    VersionedParquet.compact(spark, root, targetBytes = 1L << 20)
+    // the sidecar on the compacted version describes the NEW files —
+    // a carried-forward stale sidecar would name files that no longer
+    // exist and skip ranges that moved
+    val post = FileStats.fileStats(spark, root)
+      .filter(col("col") === "o_custkey")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(post.nonEmpty, "compact must recompute stats, not drop them")
+    val v = VersionedParquet.currentVersion(spark, root).get
+    val snap = s"$root/v${"%08d".format(v)}"
+    post.foreach { case (f, mn, mx) =>
+      val a = spark.read.parquet(s"$snap/$f")
+        .agg(min("o_custkey"), max("o_custkey")).head()
+      assert(a.getLong(0) === mn && a.getLong(1) === mx,
+        s"post-compaction stats for $f disagree with the file")
+    }
+    assert(post.length.toLong < preFiles, "compaction reduced file count")
+    // and the skipped read still agrees with the full read
+    val pred = col("o_custkey").between(OlapOps.SKIP_LO, OlapOps.SKIP_HI)
+    val (df, nRead, nTotal) = FileStats.skippingRead(
+      spark, root, "o_custkey", OlapOps.SKIP_LO, OlapOps.SKIP_HI)
+    assert(nTotal === post.length && nRead > 0)
+    assert(df.filter(pred).count() ===
+      VersionedParquet.read(spark, root).filter(pred).count())
+  }
+
+  test("partitioned publish stores snapshot-relative paths that resolve") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-filestats-part").toString
+    val o = graft.sources.Tables.orders(spark, sf)
+      .withColumn("o_year", year(col("o_orderdate")))
+    VersionedParquet.publish(o, root, partitionCols = Seq("o_year"),
+      statsCols = Seq("o_custkey"))
+    val stats = FileStats.fileStats(spark, root)
+      .filter(col("col") === "o_custkey")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+    assert(stats.nonEmpty)
+    assert(stats.forall(_._1.contains("o_year=")),
+      "partitioned files must store their partition-relative path")
+    val v = VersionedParquet.currentVersion(spark, root).get
+    val snap = s"$root/v${"%08d".format(v)}"
+    stats.foreach { case (f, mn, mx) =>
+      val a = spark.read.parquet(s"$snap/$f")
+        .agg(min("o_custkey"), max("o_custkey")).head()
+      assert(a.getLong(0) === mn && a.getLong(1) === mx)
+    }
+  }
+
   test("missing sidecar degrades to a full read; all-skipped keeps the schema") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-filestats-degrade").toString
