@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Hashing
 import graft.sources.{QueryDef, Tables}
 
 /** Distributed k-means (Lloyd's algorithm) over the embedding corpus —
@@ -102,6 +104,56 @@ object ClusterOps {
     assign(v, cents)
   }
 
+  /** Per-cluster sampling cap for q126. */
+  final val SAMPLE_CAP = 20
+
+  /** The unrolled-Lloyd oracle CTE block shared by q124/q126: `v`
+    * (quantized embeddings), `c0` (deterministic init), ITERS rounds of
+    * assignment + integer-mean update, and `fin` — the final assignment
+    * with distances. */
+  private val ORACLE_CTES: String = {
+    def round(k: Int): String =
+      s"""a$k AS (
+         |  SELECT vec_id, e, cl, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY d2, cl) AS rn FROM (
+         |      SELECT v.vec_id, v.e, c.cl,
+         |             CAST(list_inner_product(v.e, v.e)
+         |                  - 2 * list_inner_product(v.e, c.cent)
+         |                  + list_inner_product(c.cent, c.cent)
+         |               AS BIGINT) AS d2
+         |      FROM v, c${k - 1} c))
+         |  WHERE rn = 1),
+         |c$k AS (
+         |  SELECT cl, list(val ORDER BY i) AS cent FROM (
+         |    SELECT cl, i,
+         |           CAST(sum(e[i]) // count(*) AS BIGINT) AS val
+         |    FROM a$k, generate_series(1, 64) t(i)
+         |    GROUP BY cl, i)
+         |  GROUP BY cl)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(x * $SCALE) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |           AS cl, e AS cent
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $K)),
+       |${(1 to ITERS).map(round).mkString(",\n")},
+       |fin AS (
+       |  SELECT vec_id, e, cl, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY d2, cl) AS rn FROM (
+       |      SELECT v.vec_id, v.e, c.cl,
+       |             CAST(list_inner_product(v.e, v.e)
+       |                  - 2 * list_inner_product(v.e, c.cent)
+       |                  + list_inner_product(c.cent, c.cent)
+       |               AS BIGINT) AS d2
+       |      FROM v, c$ITERS c))
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── k-means topic clustering in the correctness gate ─────────────────
@@ -119,54 +171,57 @@ object ClusterOps {
           sum("d2").cast("long").as("inertia"),
           sum(element_at(col("e"), 1)).cast("long").as("sum_d1"))
         .orderBy("cluster"),
-      Some {
-        def round(k: Int): String =
-          s"""a$k AS (
-             |  SELECT vec_id, e, cl, d2 FROM (
-             |    SELECT *, row_number() OVER (PARTITION BY vec_id
-             |                                 ORDER BY d2, cl) AS rn FROM (
-             |      SELECT v.vec_id, v.e, c.cl,
-             |             CAST(list_inner_product(v.e, v.e)
-             |                  - 2 * list_inner_product(v.e, c.cent)
-             |                  + list_inner_product(c.cent, c.cent)
-             |               AS BIGINT) AS d2
-             |      FROM v, c${k - 1} c))
-             |  WHERE rn = 1),
-             |c$k AS (
-             |  SELECT cl, list(val ORDER BY i) AS cent FROM (
-             |    SELECT cl, i,
-             |           CAST(sum(e[i]) // count(*) AS BIGINT) AS val
-             |    FROM a$k, generate_series(1, 64) t(i)
-             |    GROUP BY cl, i)
-             |  GROUP BY cl)""".stripMargin
-        s"""WITH v AS (
-           |  SELECT vec_id,
-           |         list_transform(embedding,
-           |           x -> CAST(round(x * $SCALE) AS BIGINT)) AS e
-           |  FROM embeddings),
-           |c0 AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
-           |           AS cl, e AS cent
-           |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $K)),
-           |${(1 to ITERS).map(round).mkString(",\n")},
-           |fin AS (
-           |  SELECT vec_id, e, cl, d2 FROM (
-           |    SELECT *, row_number() OVER (PARTITION BY vec_id
-           |                                 ORDER BY d2, cl) AS rn FROM (
-           |      SELECT v.vec_id, v.e, c.cl,
-           |             CAST(list_inner_product(v.e, v.e)
-           |                  - 2 * list_inner_product(v.e, c.cent)
-           |                  + list_inner_product(c.cent, c.cent)
-           |               AS BIGINT) AS d2
-           |      FROM v, c$ITERS c))
-           |  WHERE rn = 1)
-           |SELECT cl AS cluster, count(*) AS n_vecs,
-           |       min(vec_id) AS min_vec_id,
-           |       CAST(sum(d2) AS BIGINT) AS inertia,
-           |       CAST(sum(e[1]) AS BIGINT) AS sum_d1
-           |FROM fin
-           |GROUP BY cl
-           |ORDER BY cluster""".stripMargin
-      })
+      Some(s"""$ORACLE_CTES
+             |SELECT cl AS cluster, count(*) AS n_vecs,
+             |       min(vec_id) AS min_vec_id,
+             |       CAST(sum(d2) AS BIGINT) AS inertia,
+             |       CAST(sum(e[1]) AS BIGINT) AS sum_d1
+             |FROM fin
+             |GROUP BY cl
+             |ORDER BY cluster""".stripMargin)),
+
+    // ── Cluster-balanced corpus sampling off the k-means assignment ──────
+    // The downstream use of q124: cap each cluster's contribution at
+    // SAMPLE_CAP vectors so no topic dominates the training mix — the
+    // per-cluster analogue of q66's domain balancing. Selection is a
+    // hash-uniform without-replacement draw (q52's md5 discipline, no
+    // rand()): rank within cluster by the portable 60-bit hash and keep
+    // the first CAP. Sum-of-ids pins the EXACT membership, so both the
+    // clustering AND the draw are load-bearing for the hash. Scale: one
+    // cluster-keyed window after the map-side assignment — at corpus
+    // scale swap the window for a per-cluster quantile threshold on hv
+    // (same two-pass shape as q119's binning).
+    QueryDef("q126_cluster_balanced_sample",
+      (s, d) => {
+        val w = Window.partitionBy("cl")
+          .orderBy(col("hv"), col("vec_id"))
+        kmeans(s, d).select(col("vec_id"), col("cl"))
+          .withColumn("hv", Hashing.md5Long60(
+            concat(lit("csample_"), col("vec_id").cast("string"))))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= SAMPLE_CAP)
+          .groupBy(col("cl").as("cluster"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min("vec_id").as("min_vec_id"),
+            sum("vec_id").cast("long").as("sum_ids"))
+          .orderBy("cluster")
+      },
+      Some(s"""$ORACLE_CTES,
+             |samp AS (
+             |  SELECT vec_id, cl,
+             |         row_number() OVER (PARTITION BY cl
+             |                            ORDER BY hv, vec_id) AS rn
+             |  FROM (SELECT vec_id, cl,
+             |               ${Hashing.md5Long60Sql("'csample_' || vec_id")}
+             |                 AS hv
+             |        FROM fin))
+             |SELECT cl AS cluster, count(*) AS n_sampled,
+             |       min(vec_id) AS min_vec_id,
+             |       CAST(sum(vec_id) AS BIGINT) AS sum_ids
+             |FROM samp
+             |WHERE rn <= $SAMPLE_CAP
+             |GROUP BY cl
+             |ORDER BY cluster""".stripMargin))
   )
+
 }

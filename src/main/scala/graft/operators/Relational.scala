@@ -725,6 +725,58 @@ object Relational {
              |JOIN customer ON c_custkey = o_custkey
              |JOIN nation ON n_nationkey = c_nationkey
              |GROUP BY n_name
-             |ORDER BY nation""".stripMargin))
+             |ORDER BY nation""".stripMargin)),
+
+    // ── NTILE / PERCENT_RANK / CUME_DIST (distribution windows) ──────────
+    // The remaining SQL-standard window family: quartile bucketing and
+    // relative-position stats per market segment. Determinism: the
+    // window orders on exact integer cents + the unique customer key,
+    // so rank == row_number; percent_rank = (rank−1)/(n−1) and
+    // cume_dist = rank/n are then single IEEE divisions of identical
+    // integers on both engines — bit-equal doubles with NO rounding
+    // (per the module's round() rule). NTILE's uneven-split rule
+    // (first n mod k buckets get the extra row) is SQL-standard on
+    // both sides. One segment-keyed shuffle; the window partitions by
+    // a dim-cardinality key over a column-pruned scan.
+    QueryDef("q125_distribution_windows",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("bal_cents"), col("c_custkey"))
+        cust(s, d)
+          .select(col("c_mktsegment"), col("c_custkey"),
+            cents(col("c_acctbal")).as("bal_cents"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("pr", percent_rank().over(w))
+          .withColumn("cd", cume_dist().over(w))
+          .groupBy("c_mktsegment", "quartile")
+          .agg(count(lit(1)).as("n_cust"),
+            min("bal_cents").as("min_bal"),
+            max("bal_cents").as("max_bal"),
+            sum("bal_cents").cast("long").as("sum_bal"),
+            max("pr").as("max_pr"),
+            max("cd").as("max_cd"))
+          .orderBy("c_mktsegment", "quartile")
+      },
+      Some("""WITH b AS (
+             |  SELECT c_mktsegment, c_custkey,
+             |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+             |  FROM customer),
+             |w AS (
+             |  SELECT c_mktsegment, bal_cents,
+             |         ntile(4) OVER win AS quartile,
+             |         percent_rank() OVER win AS pr,
+             |         cume_dist() OVER win AS cd
+             |  FROM b WINDOW win AS (PARTITION BY c_mktsegment
+             |                        ORDER BY bal_cents, c_custkey))
+             |SELECT c_mktsegment, quartile,
+             |       count(*) AS n_cust,
+             |       min(bal_cents) AS min_bal,
+             |       max(bal_cents) AS max_bal,
+             |       CAST(sum(bal_cents) AS BIGINT) AS sum_bal,
+             |       max(pr) AS max_pr,
+             |       max(cd) AS max_cd
+             |FROM w
+             |GROUP BY c_mktsegment, quartile
+             |ORDER BY c_mktsegment, quartile""".stripMargin))
   )
 }
