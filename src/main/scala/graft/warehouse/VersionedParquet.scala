@@ -54,6 +54,10 @@ object VersionedParquet {
     * `statsCols` and [[FileStats.skippingRead]]). */
   private[warehouse] val STATS_MARKER = "_FILESTATS"
 
+  /** Marker recording the CHECK constraints a version was admitted
+    * under (see `publish`'s `constraints`). */
+  val CONSTRAINTS_MARKER = "_CONSTRAINTS"
+
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -178,11 +182,24 @@ object VersionedParquet {
     * they commit atomically with the version they describe (the
     * streaming sink records the micro-batch id this way — the basis of
     * its exactly-once replay guard). Names must not collide with
-    * parquet output; use an underscore prefix. */
+    * parquet output; use an underscore prefix.
+    *
+    * `constraints` are SQL boolean expressions enforced as CHECK
+    * constraints (SQL semantics: a row violates only when the
+    * expression is FALSE — NULL passes). Validation runs over the
+    * STAGED files before the pointer moves, so enforcement is
+    * publish-or-nothing: a violation deletes the staged snapshot,
+    * throws with per-constraint violation counts, and leaves the live
+    * version — and the version sequence — untouched. Readers never see
+    * a version that failed its contract. The accepted constraint set is
+    * recorded in a `_CONSTRAINTS` marker, atomic with the version it
+    * guards. One extra scan of the staged data, all constraints in a
+    * single pass. */
   def publish(df: DataFrame, root: String, partitionCols: Seq[String] = Nil,
               keepVersions: Int = 2, minRetainMillis: Long = 0L,
               markers: Map[String, String] = Map.empty,
-              statsCols: Seq[String] = Nil): String = {
+              statsCols: Seq[String] = Nil,
+              constraints: Seq[String] = Nil): String = {
     require(keepVersions >= 1, "must retain at least the live version")
     val spark = df.sparkSession
     val rootPath = new Path(root)
@@ -193,6 +210,27 @@ object VersionedParquet {
     val writer = df.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(snapshot.toString)
+    val constraintMarker: Map[String, String] =
+      if (constraints.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{expr, not, sum, when, lit}
+        val staged = spark.read.parquet(snapshot.toString)
+        val counts = staged.agg(
+          sum(when(not(expr(constraints.head)), 1L).otherwise(0L)),
+          constraints.tail.map(c =>
+            sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
+        val bad = constraints.zipWithIndex
+          .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
+                                      else counts.getLong(i)) }
+          .filter(_._2 > 0)
+        if (bad.nonEmpty) {
+          fs.delete(snapshot, true)
+          throw new IOException("publish rejected: CHECK constraint " +
+            bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
+            s" violated; $root stays at version ${next - 1}")
+        }
+        Map(CONSTRAINTS_MARKER -> constraints.mkString("\n"))
+      }
     // Per-file min/max stats sidecar (`statsCols` must be integral):
     // computed from the freshly-written files — a column-pruned scan
     // grouped by input_file_name — and installed as a marker BEFORE the
@@ -231,7 +269,7 @@ object VersionedParquet {
     // Markers land before the swap: a snapshot the pointer can name
     // always carries them (atomic-with-version); installPointer's
     // temp+rename keeps each marker itself torn-proof.
-    (markers ++ statsMarker).foreach { case (name, content) =>
+    (markers ++ statsMarker ++ constraintMarker).foreach { case (name, content) =>
       installPointer(spark, snapshot, name, content) }
     // Atomic pointer swap: temp file + rename-with-overwrite (one
     // metadata op — POSIX rename on local/HDFS). FileContext.rename

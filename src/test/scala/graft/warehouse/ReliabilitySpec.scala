@@ -403,6 +403,43 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(spark.read.parquet(dest).select("o_year").distinct().count() === 1)
   }
 
+  test("CHECK-constrained publish is publish-or-nothing") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-constraints").toString + "/t"
+    val checks = Seq("qty >= 0", "code IS NOT NULL")
+    VersionedParquet.publish(
+      Seq((1L, "a", 5L), (2L, "b", 0L)).toDF("id", "code", "qty"),
+      root, constraints = checks)
+    assert(VersionedParquet.currentVersion(spark, root) === Some(0L))
+    // the accepted contract is recorded atomically with the version
+    assert(VersionedParquet.snapshotMarker(spark, root,
+      VersionedParquet.CONSTRAINTS_MARKER).map(_.split('\n').toSeq)
+      === Some(checks))
+
+    // a violating publish must throw, advance nothing, and leave no
+    // staged directory for the recovery scan to mistake for a version
+    val ex = intercept[java.io.IOException] {
+      VersionedParquet.publish(
+        Seq((3L, "c", -1L), (4L, null, 2L)).toDF("id", "code", "qty"),
+        root, constraints = checks)
+    }
+    assert(ex.getMessage.contains("qty >= 0") &&
+      ex.getMessage.contains("code IS NOT NULL"))
+    assert(VersionedParquet.currentVersion(spark, root) === Some(0L))
+    assert(VersionedParquet.read(spark, root).count() === 2,
+      "live table untouched by the rejected publish")
+    assert(VersionedParquet.versions(spark, root) === Seq(0L),
+      "no staged residue becomes a resolvable version")
+
+    // SQL CHECK semantics: NULL passes (only FALSE violates) — a null
+    // qty row publishes fine under qty >= 0
+    VersionedParquet.publish(
+      Seq((5L, "d", null.asInstanceOf[java.lang.Long]))
+        .toDF("id", "code", "qty"),
+      root, constraints = Seq("qty >= 0"))
+    assert(VersionedParquet.currentVersion(spark, root) === Some(1L))
+  }
+
   test("snapshot time travel aligns across an add-column schema change") {
     import spark.implicits._
     // q120 proves the single-table alignment; this pins the WAREHOUSE
