@@ -485,6 +485,55 @@ object TextOps {
              |       CAST(min(pos) AS INT) AS first_pos
              |FROM p0 JOIN p1 USING (doc_id, pos)
              |GROUP BY doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Vocabulary coverage (Zipf head mass) per language ────────────────
+    // The tokenizer-budget question: what share of the corpus' token
+    // occurrences do the top-100 words cover? Drives vocab-size and
+    // OOV-rate decisions before training a tokenizer (q109's input).
+    // Rank ties at the head boundary break on the word itself, and
+    // coverage is integer parts-per-million (million-scaled div), so
+    // no float reaches the output. Scale: token counts partial-agg to
+    // vocabulary cardinality before the one (lang, word) shuffle; the
+    // head selection is a window over the vocab-sized count frame,
+    // never the corpus.
+    QueryDef("q127_vocab_coverage",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .select(col("lang"),
+            explode(tokens(col("text"))).as("word"))
+          .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("n").desc, col("word"))
+        counts
+          .withColumn("rk", row_number().over(w))
+          .groupBy("lang")
+          .agg(sum("n").cast("long").as("n_tokens"),
+            count(lit(1)).as("n_vocab"),
+            sum(when(col("rk") <= 100, col("n")).otherwise(lit(0L)))
+              .cast("long").as("head_tokens"))
+          .withColumn("coverage_ppm",
+            expr("head_tokens * 1000000 div n_tokens"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH counts AS (
+             |  SELECT lang, word, count(*) AS n FROM (
+             |    SELECT lang, unnest($TOKS) AS word FROM documents)
+             |  GROUP BY lang, word),
+             |ranked AS (
+             |  SELECT lang, n,
+             |         row_number() OVER (PARTITION BY lang
+             |                            ORDER BY n DESC, word) AS rk
+             |  FROM counts)
+             |SELECT lang,
+             |       CAST(sum(n) AS BIGINT) AS n_tokens,
+             |       count(*) AS n_vocab,
+             |       CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END)
+             |         AS BIGINT) AS head_tokens,
+             |       CAST(sum(CASE WHEN rk <= 100 THEN n ELSE 0 END)
+             |         * 1000000 // sum(n) AS BIGINT) AS coverage_ppm
+             |FROM ranked
+             |GROUP BY lang
+             |ORDER BY lang""".stripMargin))
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{QueryDef, Scratch, Tables}
@@ -363,6 +363,44 @@ object VersionOps {
              |FROM t
              |WHERE in0 OR in1
              |GROUP BY lang
+             |ORDER BY lang""".stripMargin)),
+
+    // ── Materialized-view maintenance algebra in the gate ────────────────
+    // MvStream's signed-delta fold (the kernel the continuous MV runs
+    // per micro-batch, spec-proven across restarts in MvStreamSpec)
+    // exercised against the DuckDB oracle: three deterministic CDC
+    // batches — insert every doc, retract doc_id%5==0, re-insert
+    // doc_id%10==0 — fold sequentially from empty state, so group
+    // merge, zero-count drop, and the chain itself are all
+    // load-bearing. The oracle ignores the fold entirely and
+    // recomputes from the flattened signed multiset; HAVING sum(w)>0
+    // mirrors the fold's retract-to-zero drop.
+    QueryDef("q128_mv_fold",
+      (s, d) => {
+        import graft.streaming.MvStream
+        val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        def cdc(pred: Column, w: Int): DataFrame =
+          docs.filter(pred).select(col("lang"), col("n_chars"),
+            lit(w).as("w"))
+        val batches = Seq(
+          cdc(lit(true), 1),
+          cdc(col("doc_id") % 5 === 0, -1),
+          cdc(col("doc_id") % 10 === 0, 1))
+        val empty = batches.head.limit(0)
+        batches.foldLeft(empty)(MvStream.maintainFold)
+          .orderBy("lang")
+      },
+      Some("""SELECT lang,
+             |       CAST(sum(w) AS BIGINT) AS n_docs,
+             |       CAST(sum(w * n_chars) AS BIGINT) AS sum_chars
+             |FROM (
+             |  SELECT lang, n_chars, 1 AS w FROM documents
+             |  UNION ALL
+             |  SELECT lang, n_chars, -1 FROM documents WHERE doc_id % 5 = 0
+             |  UNION ALL
+             |  SELECT lang, n_chars, 1 FROM documents WHERE doc_id % 10 = 0)
+             |GROUP BY lang
+             |HAVING sum(w) > 0
              |ORDER BY lang""".stripMargin))
   )
 }

@@ -33,29 +33,57 @@ import graft.warehouse.VersionedParquet
   */
 object MvStream {
 
-  /** Advance the stored (lang, n_docs, sum_chars) aggregate by one
-    * micro-batch of signed CDC rows (lang, n_chars, w ∈ {+1, −1}).
-    * Pure fold: used by the streaming sink AND directly testable on
-    * batch frames. */
-  def maintainFold(current: DataFrame, batch: DataFrame): DataFrame = {
+  /** A maintainable view definition: group by `key`, count into
+    * `countCol` (= Σw), and for each (valueCol → outName) maintain
+    * Σ(w·value). Count and sum are exactly the self-maintainable
+    * aggregates under insert/delete without history (avg/ratios derive
+    * from them at read time; min/max are NOT self-maintainable under
+    * deletes and need the q110 full-recompute path). */
+  final case class MvSpec(key: String, weightCol: String,
+                          countCol: String, sums: Seq[(String, String)]) {
+    private[MvStream] def stateDdl: String =
+      (s"$key STRING, $countCol BIGINT" +:
+        sums.map { case (_, out) => s"$out BIGINT" }).mkString(", ")
+  }
+
+  /** The spec the gate + MvStreamSpec exercise: per-lang doc count and
+    * character mass over (lang, n_chars, w) CDC rows. */
+  val docStats: MvSpec =
+    MvSpec("lang", "w", "n_docs", Seq("n_chars" -> "sum_chars"))
+
+  /** Advance the stored aggregate by one micro-batch of signed CDC
+    * rows (w ∈ {+1, −1}). Pure fold — used by the streaming sink AND
+    * directly testable on batch frames. One shuffle of the batch
+    * (partial-aggregated to group cardinality) + one group-keyed
+    * full-outer merge with the stored frame; groups whose count
+    * retracts to zero drop out (matching q110's `n > 0`). */
+  def maintainFold(spec: MvSpec)(current: DataFrame,
+                                 batch: DataFrame): DataFrame = {
     val cur =
-      if (current.columns.contains("n_docs")) current
+      if (current.columns.contains(spec.countCol)) current
       else current.sparkSession.createDataFrame(
         current.sparkSession.sparkContext
           .emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "lang STRING, n_docs BIGINT, sum_chars BIGINT"))
-    val delta = batch.groupBy("lang")
-      .agg(sum("w").as("dn"),
-        sum(col("w") * col("n_chars")).cast("long").as("dc"))
-    cur.join(delta, Seq("lang"), "full_outer")
-      .select(col("lang"),
-        (coalesce(col("n_docs"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-          .as("n_docs"),
-        (coalesce(col("sum_chars"), lit(0L)) + coalesce(col("dc"), lit(0L)))
-          .as("sum_chars"))
-      .filter(col("n_docs") > 0)
+        org.apache.spark.sql.types.StructType.fromDDL(spec.stateDdl))
+    val w = col(spec.weightCol)
+    val delta = batch.groupBy(spec.key)
+      .agg(sum(w).as("_dn"),
+        spec.sums.map { case (v, out) =>
+          sum(w * col(v)).cast("long").as(s"_d$out") }: _*)
+    val merged = Seq(
+      (coalesce(col(spec.countCol), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+        .as(spec.countCol)) ++
+      spec.sums.map { case (_, out) =>
+        (coalesce(col(out), lit(0L)) + coalesce(col(s"_d$out"), lit(0L)))
+          .as(out) }
+    cur.join(delta, Seq(spec.key), "full_outer")
+      .select(col(spec.key) +: merged: _*)
+      .filter(col(spec.countCol) > 0)
   }
+
+  /** The docStats instance (kept as the module's simple entry point). */
+  def maintainFold(current: DataFrame, batch: DataFrame): DataFrame =
+    maintainFold(docStats)(current, batch)
 
   /** VersionedSink's `fold` signature: the sink hands the live table
     * (or an empty-schema frame before the first commit). */
