@@ -64,6 +64,37 @@ object OlapOps {
     root
   }
 
+  /** q129 scratch pair: orders published PARTITIONED BY YEAR, plus a
+    * tiny year-dimension table (year, tag) — both through the versioned
+    * format, once per session. The dim's rows tag odd years 'target',
+    * so the fact-side partition filter is only knowable AFTER the dim
+    * scan — the dynamic-partition-pruning shape. */
+  private[graft] def partitionedOrdersRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.sources.Scratch.dir(s, "q129-orders-by-year")
+    if (graft.warehouse.VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .repartition(col("o_year"))
+      graft.warehouse.VersionedParquet.publish(o, root,
+        partitionCols = Seq("o_year"))
+    }
+    root
+  }
+
+  private[graft] def yearDimRoot(
+      s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = graft.sources.Scratch.dir(s, "q129-year-dim")
+    if (graft.warehouse.VersionedParquet.currentVersion(s, root).isEmpty) {
+      val dim = Tables.orders(s, dir)
+        .select(year(col("o_orderdate")).as("y")).distinct()
+        .withColumn("tag",
+          when(col("y") % 2 === 1, lit("target")).otherwise(lit("other")))
+      graft.warehouse.VersionedParquet.publish(dim, root)
+    }
+    root
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── Exact interpolated percentiles per group ──────────────────────────
@@ -240,6 +271,40 @@ object OlapOps {
              |         AS BIGINT) AS sum_cents
              |FROM orders
              |WHERE o_custkey BETWEEN $SKIP_LO AND $SKIP_HI
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Dynamic partition pruning: dim filter prunes fact partitions ─────
+    // q107 proves STATIC pruning (the probe names its terms as
+    // literals). Here the fact-side filter is only knowable at RUNTIME:
+    // orders is partitioned by year, and the year set comes from a dim
+    // TABLE scan (tag = 'target' → odd years). Spark's DPP injects the
+    // dim result as a subquery partition filter on the fact scan, so
+    // only the matching year directories are read — at 100 TB the
+    // difference between scanning the fact table and scanning the
+    // selected partitions, with no literal filter anywhere in the
+    // query. PlanSpec asserts the dynamicpruning expression is really
+    // in the fact scan's partitionFilters; the oracle recomputes the
+    // dim predicate inline and never sees either table's format.
+    QueryDef("q129_dynamic_partition_pruning",
+      (s, d) => {
+        val fact = graft.warehouse.VersionedParquet
+          .read(s, partitionedOrdersRoot(s, d))
+        val dim = graft.warehouse.VersionedParquet
+          .read(s, yearDimRoot(s, d))
+          .filter(col("tag") === "target")
+        fact.join(broadcast(dim), fact("o_year") === dim("y"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(cents(col("o_totalprice"))).cast("long").as("sum_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |       count(*) AS n_orders,
+             |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |         AS BIGINT) AS sum_cents
+             |FROM orders
+             |WHERE year(o_orderdate) % 2 = 1
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 

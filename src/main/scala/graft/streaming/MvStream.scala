@@ -85,19 +85,20 @@ object MvStream {
   def maintainFold(current: DataFrame, batch: DataFrame): DataFrame =
     maintainFold(docStats)(current, batch)
 
-  /** VersionedSink's `fold` signature: the sink hands the live table
-    * (or an empty-schema frame before the first commit). */
-  private def fold(current: DataFrame, batch: DataFrame): DataFrame =
-    maintainFold(current, batch)
 
-  /** Drive a CDC stream (lang, n_chars, w) into a continuously-
-    * maintained aggregate at `root`, one published version per
-    * micro-batch. `keepVersions` large keeps every version
-    * time-travelable for auditing. */
+  /** Drive a CDC stream into a continuously-maintained aggregate at
+    * `root` for any MvSpec, one published version per micro-batch.
+    * `keepVersions` large keeps every version time-travelable for
+    * auditing. */
+  def run(spec: MvSpec, source: DataFrame, root: String,
+          checkpoint: String, keepVersions: Int): StreamingQuery =
+    VersionedSink.run(source, root, checkpoint, maintainFold(spec) _,
+      keepVersions = keepVersions)
+
+  /** The docStats instance over (lang, n_chars, w) CDC rows. */
   def run(source: DataFrame, root: String, checkpoint: String,
           keepVersions: Int = 1000): StreamingQuery =
-    VersionedSink.run(source, root, checkpoint, fold,
-      keepVersions = keepVersions)
+    run(docStats, source, root, checkpoint, keepVersions)
 
   /** From-scratch recompute over a pile of CDC rows — the audit side
     * of "maintained == recompute". */

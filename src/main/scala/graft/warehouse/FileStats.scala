@@ -46,6 +46,17 @@ object FileStats {
       statsCols = statsCols)
   }
 
+  /** OPTIMIZE-ZORDER analogue: rewrite the LIVE version clustered by
+    * `layout` with fresh per-file stats on `statsCols`, published as a
+    * new version through the same reader-safe pointer swap — in-flight
+    * scans finish on the old layout, new scans skip on the new one.
+    * Content is unchanged (same rows, better files); a crash mid-
+    * optimize leaves the live version untouched. */
+  def optimize(spark: SparkSession, root: String, layout: Seq[String],
+               statsCols: Seq[String], nFiles: Int): String =
+    publishClustered(VersionedParquet.read(spark, root), root,
+      layout, statsCols, nFiles)
+
   /** Parse a `_FILESTATS` sidecar: lines `file \t n \t col \t min \t
     * max` (one line per file × stats column). */
   private def parseStats(content: String)

@@ -62,6 +62,22 @@ class PlanSpec extends AnyFunSuite {
       s"SMJ must be on the customer key: ${smj.map(_.simpleStringWithNodeId())}")
   }
 
+  test("q129 DPP: the fact scan's partition filter is a runtime dim subquery") {
+    // dynamic partition pruning, not static: no literal year appears in
+    // the query, so the only way the fact scan can carry a partition
+    // filter is Spark injecting the dim scan's result at runtime
+    val scans = collectAll(planOf("q129_dynamic_partition_pruning")) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val fact = scans.filter(_.output.exists(_.name == "o_orderpriority"))
+    assert(fact.nonEmpty, "the orders fact scan must be present")
+    assert(fact.exists(_.partitionFilters.exists(
+        _.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+          .DynamicPruningExpression]).isDefined)),
+      s"fact scan must carry a dynamicpruning partition filter: " +
+        fact.map(_.partitionFilters.mkString(";")).mkString(" | "))
+  }
+
   test("q01 scalar agg: scan prunes to exactly the referenced columns") {
     val scans = collectAll(planOf("q01_scalar_agg")) {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f

@@ -129,6 +129,31 @@ class FileStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("optimize rewrites an unskippable layout into a skipping one, content unchanged") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-filestats-optimize").toString
+    val o = graft.sources.Tables.orders(spark, sf).repartition(32)
+    VersionedParquet.publish(o, root, statsCols = Seq("o_custkey"))
+    val (_, preRead, preTotal) = FileStats.skippingRead(
+      spark, root, "o_custkey", OlapOps.SKIP_LO, OlapOps.SKIP_HI)
+    assert(preRead === preTotal, "round-robin layout cannot prune")
+    val before = VersionedParquet.read(spark, root)
+      .agg(count(lit(1)), sum("o_custkey")).head()
+
+    FileStats.optimize(spark, root, layout = Seq("o_custkey"),
+      statsCols = Seq("o_custkey"), nFiles = 32)
+
+    val (df, postRead, postTotal) = FileStats.skippingRead(
+      spark, root, "o_custkey", OlapOps.SKIP_LO, OlapOps.SKIP_HI)
+    assert(postRead < postTotal, "the optimized layout must prune")
+    val after = VersionedParquet.read(spark, root)
+      .agg(count(lit(1)), sum("o_custkey")).head()
+    assert(before === after, "optimize must not change content")
+    val pred = col("o_custkey").between(OlapOps.SKIP_LO, OlapOps.SKIP_HI)
+    assert(df.filter(pred).count() ===
+      VersionedParquet.read(spark, root).filter(pred).count())
+  }
+
   test("missing sidecar degrades to a full read; all-skipped keeps the schema") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-filestats-degrade").toString
