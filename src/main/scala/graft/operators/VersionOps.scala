@@ -401,6 +401,47 @@ object VersionOps {
              |  SELECT lang, n_chars, 1 FROM documents WHERE doc_id % 10 = 0)
              |GROUP BY lang
              |HAVING sum(w) > 0
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // ── Incremental JOIN-view maintenance (delta-join algebra) ───────────
+    // MvStream/q110/q128 maintain AGGREGATES; this maintains a JOIN:
+    // with insert-only deltas, Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — the
+    // textbook IVM decomposition — so the refreshed view is the old
+    // aggregate plus three delta-join terms, each sized by a CHANGE
+    // set, never a rescan of A₀⋈B₀. Splits are deterministic
+    // (orders %3, lineitem linenumber parity); the maintained result
+    // must equal the oracle's from-scratch join over the FULL tables,
+    // so every term — and the decomposition itself — is load-bearing.
+    // 100 TB shape: each delta term is one key-partitioned join whose
+    // smaller side is the delta (broadcast when dim-sized); the stored
+    // view is group-cardinality.
+    QueryDef("q130_incremental_join_mv",
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        val l = Tables.lineitem(s, d).select(col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+        val a0 = o.filter(col("o_orderkey") % 3 =!= 0)
+        val da = o.filter(col("o_orderkey") % 3 === 0)
+        val b0 = l.filter(col("l_linenumber") % 2 === 1)
+        val db = l.filter(col("l_linenumber") % 2 === 0)
+        def term(x: DataFrame, y: DataFrame): DataFrame =
+          x.join(y, col("o_orderkey") === col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"), sum("qty").as("q"))
+        // stored view + the three delta terms, merged by addition
+        term(a0, b0).unionByName(term(da, b0))
+          .unionByName(term(a0, db)).unionByName(term(da, db))
+          .groupBy("o_orderpriority")
+          .agg(sum("n").cast("long").as("n_items"),
+            sum("q").cast("long").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+             |       count(*) AS n_items,
+             |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             |         AS sum_qty
+             |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }
