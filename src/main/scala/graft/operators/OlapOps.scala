@@ -466,11 +466,11 @@ object OlapOps {
         val cum = cells
           .withColumn("cum", sum("cnt").over(byBin))
           .withColumn("n", sum("cnt").over(whole))
+        // all nine edges come from ONE expression family, built once
+        val edgeAggs = ks.map(k => edge(min(when(col("cum") >= target(k),
+          col("bin")))).as(s"e$k"))
         val edges = cum.groupBy("prio", "lo", "hi")
-          .agg(ks.map(k => edge(min(when(col("cum") >= target(k),
-              col("bin")))).as(s"e$k")).head,
-            ks.map(k => edge(min(when(col("cum") >= target(k),
-              col("bin")))).as(s"e$k")).tail: _*)
+          .agg(edgeAggs.head, edgeAggs.tail: _*)
           .drop("lo", "hi")
         val decile = ks.map(k => when(col("c") >= col(s"e$k"), 1)
           .otherwise(0)).reduce(_ + _) + lit(1)
