@@ -53,6 +53,30 @@ object Bench {
         .selectExpr("sum(id % 97)").write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Single-thread probe: the parallel probe above misses NEIGHBOR
+    // load (external tenants holding a few cores leave 30+ threads for
+    // the 32-task probe, but slow every single-threaded phase — driver
+    // planning, Janino codegen compilation — and that tax lands on all
+    // ~130 queries). A pure-JVM xorshift loop is immune to Spark and
+    // IO: compare round-over-round (~0.35 s on a quiet core). The host
+    // loadavg lands in the JSON for the same reason — round 8 measured
+    // the same build at 183 s with loadavg ~0 and 254 s with loadavg
+    // 4.5 and BOTH parallel probes clean.
+    def probe1(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9E3779B97F4A7C15L; var i = 0
+      while (i < 300000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      if (x == 42) println("") // keep the loop live
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val load0 = loadavg()
+    val probe1Sec = probe1()
     // Committed clean-host reference (cfdbf41's snapshot: 0.429 start /
     // 0.252 end). A probe > 2× this means the host is throttled and the
     // suite timings will read as a phantom code regression (r7's driver
@@ -120,10 +144,12 @@ object Bench {
     // how much CPU the run actually had (end >> start = the later
     // queries ran starved; both ~0.5 s = trust the totals as-is).
     val probeEndSec = probe()
+    val probe1EndSec = probe1()
+    val loadEnd = loadavg()
     val hotHost = probeSec > 2 * RefProbeSec || probeEndSec > 2 * RefProbeSec
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"hot_host":$hotHost,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"probe1_end_sec":${r3(probe1EndSec)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also land the full line in the repo: round snapshots have truncated
     // the head of the stdout capture before, which made totals
@@ -147,6 +173,6 @@ object Bench {
     val shortQs = results
       .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"hot_host":$hotHost,"queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
   }
 }
