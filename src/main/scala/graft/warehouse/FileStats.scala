@@ -57,15 +57,37 @@ object FileStats {
     publishClustered(VersionedParquet.read(spark, root), root,
       layout, statsCols, nFiles)
 
-  /** Parse a `_FILESTATS` sidecar: lines `file \t n \t col \t min \t
-    * max` (one line per file × stats column). */
+  /** One column's [min, max] on one file: long range for integral
+    * columns, lexicographic string range for string columns. */
+  sealed trait Range { def overlapsLong(lo: Long, hi: Long): Boolean
+                       def overlapsStr(lo: String, hi: String): Boolean }
+  final case class LongRange(mn: Long, mx: Long) extends Range {
+    def overlapsLong(lo: Long, hi: Long): Boolean = mx >= lo && mn <= hi
+    def overlapsStr(lo: String, hi: String): Boolean = true // not typed
+  }
+  final case class StrRange(mn: String, mx: String) extends Range {
+    def overlapsLong(lo: Long, hi: Long): Boolean = true // not typed
+    def overlapsStr(lo: String, hi: String): Boolean =
+      mx >= lo && mn <= hi
+  }
+
+  private def unhex(h: String): String =
+    new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
+      "UTF-8")
+
+  /** Parse a `_FILESTATS` sidecar: lines `file \t n \t col \t type \t
+    * min \t max` (one line per file × stats column; type L = long,
+    * S = hex-encoded string). */
   private def parseStats(content: String)
-      : Map[String, Map[String, (Long, Long)]] =
+      : Map[String, Map[String, Range]] =
     content.split('\n').filter(_.nonEmpty).map { line =>
-      val Array(f, _, c, lo, hi) = line.split('\t')
-      (f, c, lo.toLong, hi.toLong)
+      val Array(f, _, c, t, lo, hi) = line.split('\t')
+      val r: Range =
+        if (t == "S") StrRange(unhex(lo), unhex(hi))
+        else LongRange(lo.toLong, hi.toLong)
+      (f, c, r)
     }.groupBy(_._1).map { case (f, rows) =>
-      f -> rows.map { case (_, c, lo, hi) => c -> (lo, hi) }.toMap
+      f -> rows.map { case (_, c, r) => c -> r }.toMap
     }
 
   /** Read the live (or pinned) version scanning ONLY files whose
@@ -75,6 +97,23 @@ object FileStats {
     * trusted for row-level filtering. */
   def skippingRead(spark: SparkSession, root: String, column: String,
                    lo: Long, hi: Long, version: Option[Long] = None)
+      : (DataFrame, Int, Int) =
+    skippingReadWhere(spark, root, version,
+      _.get(column).forall(_.overlapsLong(lo, hi)))
+
+  /** String-range variant: files whose lexicographic [min, max] on
+    * `column` cannot intersect `[lo, hi]` are skipped — the term-prefix
+    * / key-range scan over a sorted string layout. */
+  def skippingReadString(spark: SparkSession, root: String, column: String,
+                         lo: String, hi: String,
+                         version: Option[Long] = None)
+      : (DataFrame, Int, Int) =
+    skippingReadWhere(spark, root, version,
+      _.get(column).forall(_.overlapsStr(lo, hi)))
+
+  private def skippingReadWhere(spark: SparkSession, root: String,
+                                version: Option[Long],
+                                keepFile: Map[String, Range] => Boolean)
       : (DataFrame, Int, Int) = {
     val v = version.orElse(VersionedParquet.currentVersion(spark, root))
       .getOrElse(throw new java.io.IOException(
@@ -87,8 +126,7 @@ object FileStats {
         val stats = parseStats(content)
         val total = stats.size
         val keep = stats.collect {
-          case (f, cols) if cols.get(column)
-            .forall { case (mn, mx) => mx >= lo && mn <= hi } => f
+          case (f, cols) if keepFile(cols) => f
         }.toSeq.sorted
         // schema from the snapshot dir so an all-files-skipped read
         // still resolves columns (empty frame, right schema)
@@ -114,11 +152,18 @@ object FileStats {
     val content = VersionedParquet.snapshotMarker(spark, root,
       VersionedParquet.STATS_MARKER, Some(v)).getOrElse("")
     val rows = content.split('\n').filter(_.nonEmpty).map { line =>
-      val Array(f, n, c, lo, hi) = line.split('\t')
-      org.apache.spark.sql.Row(f, n.toLong, c, lo.toLong, hi.toLong)
+      val Array(f, n, c, t, lo, hi) = line.split('\t')
+      if (t == "S")
+        org.apache.spark.sql.Row(f, n.toLong, c, t, null, null,
+          unhex(lo), unhex(hi))
+      else
+        org.apache.spark.sql.Row(f, n.toLong, c, t,
+          java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi),
+          null, null)
     }.toSeq
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
-        "file STRING, n_rows BIGINT, col STRING, min BIGINT, max BIGINT"))
+        "file STRING, n_rows BIGINT, col STRING, type STRING, " +
+          "min BIGINT, max BIGINT, min_str STRING, max_str STRING"))
   }
 }

@@ -242,12 +242,22 @@ object VersionedParquet {
       else {
         import org.apache.spark.sql.functions.{col, count, input_file_name,
           max, min}
-        val written = spark.read.parquet(snapshot.toString)
+        val written0 = spark.read.parquet(snapshot.toString)
+        // integral columns range as longs; string columns as raw
+        // min/max (hex-encoded in the sidecar so tabs/newlines in data
+        // can never corrupt the line format)
+        val isStr = statsCols.map(c => c ->
+          written0.schema(c).dataType.isInstanceOf[
+            org.apache.spark.sql.types.StringType]).toMap
+        val written = written0
           .select((input_file_name().as("_f")) +:
-            statsCols.map(c => col(c).cast("long").as(c)): _*)
+            statsCols.map(c =>
+              (if (isStr(c)) col(c) else col(c).cast("long")).as(c)): _*)
         val aggs = count(org.apache.spark.sql.functions.lit(1)).as("_n") +:
           statsCols.flatMap(c =>
             Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c")))
+        def hex(s: String): String =
+          s.getBytes("UTF-8").map(b => f"$b%02x").mkString
         // paths stored RELATIVE to the snapshot dir (everything after
         // the version segment), so Hive-partitioned layouts — whose
         // files live in partition subdirectories — resolve too
@@ -261,7 +271,12 @@ object VersionedParquet {
               else new Path(full).getName
             val n = r.getLong(1)
             statsCols.zipWithIndex.map { case (c, i) =>
-              s"$file\t$n\t$c\t${r.getLong(2 + 2 * i)}\t${r.getLong(3 + 2 * i)}"
+              if (isStr(c))
+                s"$file\t$n\t$c\tS\t${hex(r.getString(2 + 2 * i))}" +
+                  s"\t${hex(r.getString(3 + 2 * i))}"
+              else
+                s"$file\t$n\t$c\tL\t${r.getLong(2 + 2 * i)}" +
+                  s"\t${r.getLong(3 + 2 * i)}"
             }
           }
         Map(STATS_MARKER -> lines.mkString("\n"))

@@ -42,7 +42,8 @@ class FileStatsSpec extends AnyFunSuite {
     val root = OlapOps.clusteredOrdersRoot(spark, sf)
     val stats = FileStats.fileStats(spark, root)
       .filter(col("col") === "o_custkey")
-      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      .select("file", "min", "max")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(stats.nonEmpty)
     val (lo, hi) = (OlapOps.SKIP_LO, OlapOps.SKIP_HI)
     // recompute per-file truth straight from the parquet
@@ -87,7 +88,8 @@ class FileStatsSpec extends AnyFunSuite {
     // exist and skip ranges that moved
     val post = FileStats.fileStats(spark, root)
       .filter(col("col") === "o_custkey")
-      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      .select("file", "min", "max")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(post.nonEmpty, "compact must recompute stats, not drop them")
     val v = VersionedParquet.currentVersion(spark, root).get
     val snap = s"$root/v${"%08d".format(v)}"
@@ -116,7 +118,8 @@ class FileStatsSpec extends AnyFunSuite {
       statsCols = Seq("o_custkey"))
     val stats = FileStats.fileStats(spark, root)
       .filter(col("col") === "o_custkey")
-      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4)))
+      .select("file", "min", "max")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(stats.nonEmpty)
     assert(stats.forall(_._1.contains("o_year=")),
       "partitioned files must store their partition-relative path")
@@ -152,6 +155,39 @@ class FileStatsSpec extends AnyFunSuite {
     val pred = col("o_custkey").between(OlapOps.SKIP_LO, OlapOps.SKIP_HI)
     assert(df.filter(pred).count() ===
       VersionedParquet.read(spark, root).filter(pred).count())
+  }
+
+  test("string-column stats: a sorted priority layout prunes on a lexicographic range") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-filestats-str").toString
+    val o = graft.sources.Tables.orders(spark, sf)
+    FileStats.publishClustered(o, root, layout = Seq("o_orderpriority"),
+      statsCols = Seq("o_orderpriority"), nFiles = 16)
+    // sorted layout ⇒ most files hold one priority; this range keeps
+    // only the 1-URGENT/2-HIGH files
+    val (lo, hi) = ("1-URGENT", "2-HIGH")
+    val (df, nRead, nTotal) = FileStats.skippingReadString(
+      spark, root, "o_orderpriority", lo, hi)
+    // 5 distinct priorities ⇒ the range partitioner emits ~one file
+    // per value; the range keeps only the two matching files
+    assert(nTotal >= 5 && nRead < nTotal && nRead > 0,
+      s"string range must prune: $nRead of $nTotal")
+    val pred = col("o_orderpriority").between(lo, hi)
+    assert(df.filter(pred).count() ===
+      VersionedParquet.read(spark, root).filter(pred).count())
+    // the string bounds round-trip the hex encoding exactly
+    val st = FileStats.fileStats(spark, root)
+      .filter(col("col") === "o_orderpriority")
+      .select("file", "min_str", "max_str")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(st.nonEmpty && st.forall(_._2.head.isDigit))
+    val v = VersionedParquet.currentVersion(spark, root).get
+    val snap = s"$root/v${"%08d".format(v)}"
+    st.take(4).foreach { case (f, mn, mx) =>
+      val a = spark.read.parquet(s"$snap/$f")
+        .agg(min("o_orderpriority"), max("o_orderpriority")).head()
+      assert(a.getString(0) === mn && a.getString(1) === mx)
+    }
   }
 
   test("missing sidecar degrades to a full read; all-skipped keeps the schema") {
