@@ -109,6 +109,23 @@ class MvStreamSpec extends AnyFunSuite {
       "ja" -> (1L, 7L)))
   }
 
+  test("a generic MvSpec maintains several sums at once") {
+    // two maintained sums (chars + tokens) through insert, partial
+    // retraction, and a full group retraction — the generic fold must
+    // track each sum independently and still drop zero-count groups
+    val spec = MvStream.MvSpec("k", "w", "n",
+      Seq("chars" -> "sum_chars", "toks" -> "sum_toks"))
+    def df(rows: Seq[(String, Long, Long, Int)]) =
+      rows.toDF("k", "chars", "toks", "w")
+    val b0 = df(Seq(("a", 10L, 3L, 1), ("a", 20L, 5L, 1), ("b", 7L, 2L, 1)))
+    val b1 = df(Seq(("a", 10L, 3L, -1), ("b", 7L, 2L, -1), ("c", 1L, 1L, 1)))
+    val out = Seq(b0, b1).foldLeft(b0.limit(0))(MvStream.maintainFold(spec))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map("a" -> (1L, 20L, 5L), "c" -> (1L, 1L, 1L)),
+      "b retracted to zero must drop; both sums advance independently")
+  }
+
   test("a replayed micro-batch never double-advances the aggregate") {
     val work = Files.createTempDirectory("graft-mv-replay")
     val root = work.resolve("view").toString
