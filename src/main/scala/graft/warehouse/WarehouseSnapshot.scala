@@ -120,7 +120,8 @@ object WarehouseSnapshot {
   def publishAll(tables: Seq[(String, DataFrame)], root: String,
                  partitionCols: Map[String, Seq[String]] = Map.empty,
                  keepSnapshots: Int = 2, minRetainMillis: Long = 0L,
-                 pinned: Map[String, Long] = Map.empty): Long = {
+                 pinned: Map[String, Long] = Map.empty,
+                 constraints: Map[String, Seq[String]] = Map.empty): Long = {
     require(tables.nonEmpty, "a snapshot must cover at least one table")
     require(keepSnapshots >= 1, "must retain at least the live snapshot")
     require(tables.map(_._1).toSet.intersect(pinned.keySet).isEmpty,
@@ -133,9 +134,16 @@ object WarehouseSnapshot {
     //    driven (step 4), so per-table publish must not retire anything
     //    a retained manifest might still reference. Pinned tables skip
     //    staging entirely: their version is validated and re-pointed.
+    //    Per-table CHECK `constraints` enforce snapshot-or-nothing at
+    //    the MANIFEST tier: any table's violation throws before the
+    //    manifest is written, so readers keep resolving the old
+    //    snapshot in full — tables staged before the failure are
+    //    orphan versions no manifest names (invisible, retired by the
+    //    next publish's retention).
     val published = tables.map { case (name, df) =>
       VersionedParquet.publish(df, tableRoot(root, name),
-        partitionCols.getOrElse(name, Nil), keepVersions = Int.MaxValue)
+        partitionCols.getOrElse(name, Nil), keepVersions = Int.MaxValue,
+        constraints = constraints.getOrElse(name, Nil))
       name -> VersionedParquet.currentVersion(spark, tableRoot(root, name)).get
     } ++ pinned.toSeq.sortBy(_._1).map { case (name, v) =>
       require(VersionedParquet.versions(spark, tableRoot(root, name))

@@ -190,6 +190,32 @@ class FileStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("generative: skipping == full scan for random data and random ranges") {
+    import spark.implicits._
+    // adversarial shapes: duplicates, negative values, clustered runs,
+    // and query ranges that land on file boundaries — the skipped scan
+    // must agree with the full scan for EVERY range, including empty
+    // and all-covering ones
+    val rnd = new scala.util.Random(8L)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-filestats-gen").toString
+    val vals = Seq.fill(5000)(rnd.nextInt(2000).toLong - 1000L) ++
+      Seq.fill(500)(-1000L) ++ Seq.fill(500)(999L) // heavy boundary ties
+    FileStats.publishClustered(
+      vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v"),
+      root, layout = Seq("v"), statsCols = Seq("v"), nFiles = 16)
+    val full = VersionedParquet.read(spark, root)
+    (1 to 12).foreach { _ =>
+      val a = rnd.nextInt(2400) - 1200L
+      val b = a + rnd.nextInt(800)
+      val (df, nRead, nTotal) = FileStats.skippingRead(
+        spark, root, "v", a, b)
+      val pred = col("v").between(a, b)
+      assert(df.filter(pred).count() === full.filter(pred).count(),
+        s"range [$a,$b] diverged (read $nRead of $nTotal)")
+    }
+  }
+
   test("missing sidecar degrades to a full read; all-skipped keeps the schema") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-filestats-degrade").toString

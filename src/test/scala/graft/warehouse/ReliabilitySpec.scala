@@ -440,6 +440,32 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(VersionedParquet.currentVersion(spark, root) === Some(1L))
   }
 
+  test("snapshot-or-nothing: one table's CHECK violation rejects the whole manifest") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snap-check").toString + "/wh"
+    def t(v: Long) = Seq((1L, v), (2L, v)).toDF("id", "qty")
+    val m0 = WarehouseSnapshot.publishAll(
+      Seq("a" -> t(5), "b" -> t(6)), root,
+      constraints = Map("b" -> Seq("qty >= 0")))
+    // second snapshot: table a is fine, table b violates — the manifest
+    // must not advance and BOTH tables must keep resolving from m0
+    intercept[java.io.IOException] {
+      WarehouseSnapshot.publishAll(
+        Seq("a" -> t(7), "b" -> t(-1)), root,
+        constraints = Map("b" -> Seq("qty >= 0")))
+    }
+    assert(WarehouseSnapshot.currentManifest(spark, root) === Some(m0))
+    val s = WarehouseSnapshot.readSnapshot(spark, root)
+    assert(s("a").select("qty").head().getLong(0) === 5L,
+      "table a must still resolve from the old manifest, not the orphan")
+    assert(s("b").select("qty").head().getLong(0) === 6L)
+    // and a clean retry publishes normally
+    val m2 = WarehouseSnapshot.publishAll(
+      Seq("a" -> t(7), "b" -> t(8)), root,
+      constraints = Map("b" -> Seq("qty >= 0")))
+    assert(m2 === m0 + 1)
+  }
+
   test("snapshot time travel aligns across an add-column schema change") {
     import spark.implicits._
     // q120 proves the single-table alignment; this pins the WAREHOUSE
