@@ -73,9 +73,11 @@ object VersionedSink {
   def run(source: DataFrame, root: String, checkpoint: String,
           fold: (DataFrame, DataFrame) => DataFrame,
           keepVersions: Int = 2,
-          minRetainMillis: Long = 0L): StreamingQuery = {
+          minRetainMillis: Long = 0L,
+          outputMode: String = "append"): StreamingQuery = {
     val spark = source.sparkSession
     source.writeStream
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
