@@ -76,6 +76,56 @@ object ProfileOps {
         Seq(branch("lang", "len(lang)"), branch("n_chars", "n_chars"),
           branch("source", "len(source)"), branch("text", "len(text)"))
           .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
-      })
+      }),
+
+    // ── Data-quality expectations report ─────────────────────────────────
+    // The reference's quality-script shape (proc_load_silver's dup-key /
+    // orphan / trim checks) over the extension corpus, as ONE scan: row
+    // CHECKs (negative lengths, null keys, stored-vs-recomputed length
+    // agreement) aggregate alongside the table-level uniqueness check
+    // (count − count distinct), then unpivot via map+explode into the
+    // (check, n_bad) dashboard rows. The write-path twin is publish's
+    // CHECK constraints (publish-or-nothing); this is the read-path
+    // audit that reports instead of rejecting — both directions a real
+    // warehouse needs. Scale: one pass, no shuffle before the scalar
+    // aggregate; countDistinct on the key is the only wide state.
+    QueryDef("q131_quality_expectations",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        docs.agg(
+            sum(when(col("n_chars") < 0, 1).otherwise(0))
+              .cast("long").as("neg_chars"),
+            sum(when(col("lang").isNull, 1).otherwise(0))
+              .cast("long").as("null_lang"),
+            sum(when(length(col("text")) =!= col("n_chars"), 1)
+              .otherwise(0)).cast("long").as("len_mismatch"),
+            (count(lit(1)) - countDistinct(col("doc_id")))
+              .cast("long").as("dup_ids"))
+          .select(explode(map(
+            lit("dup_ids"), col("dup_ids"),
+            lit("len_mismatch"), col("len_mismatch"),
+            lit("neg_chars"), col("neg_chars"),
+            lit("null_lang"), col("null_lang")))
+            .as(Seq("check_name", "n_bad")))
+          .orderBy("check_name")
+      },
+      Some("""WITH a AS (SELECT
+             |    CAST(sum(CASE WHEN n_chars < 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS neg_chars,
+             |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS null_lang,
+             |    CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0
+             |      END) AS BIGINT) AS len_mismatch,
+             |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+             |      AS dup_ids
+             |  FROM documents)
+             |SELECT 'dup_ids' AS check_name, dup_ids AS n_bad FROM a
+             |UNION ALL
+             |SELECT 'len_mismatch', len_mismatch FROM a
+             |UNION ALL
+             |SELECT 'neg_chars', neg_chars FROM a
+             |UNION ALL
+             |SELECT 'null_lang', null_lang FROM a
+             |ORDER BY check_name""".stripMargin))
   )
 }
