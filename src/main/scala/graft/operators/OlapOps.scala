@@ -64,6 +64,29 @@ object OlapOps {
     root
   }
 
+  /** q134 probe keys (compile-time constants — the oracle string
+    * interpolates them). Chosen across the id range so several files'
+    * blooms must answer. */
+  final val BLOOM_PROBE_IDS = Seq(7L, 123L, 456L)
+
+  /** q134 scratch table: documents hash-distributed by doc_id into 32
+    * files with a per-file BLOOM filter on doc_id — deliberately NOT
+    * sorted: every file spans the whole id range, so min/max ranges
+    * prune nothing and only the bloom tier can skip. Published once
+    * per session through the stats-sidecar publish path. */
+  private[graft] def bloomDocsRoot(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): String = {
+    val root = graft.sources.Scratch.dir(s, "q134-bloom-docs")
+    if (graft.warehouse.VersionedParquet.currentVersion(s, root).isEmpty) {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.warehouse.VersionedParquet.publish(
+        docs.repartition(32, docs.col("doc_id")), root,
+        bloomCols = Seq("doc_id"))
+    }
+    root
+  }
+
   /** q129 scratch pair: orders published PARTITIONED BY YEAR, plus a
     * tiny year-dimension table (year, tag) — both through the versioned
     * format, once per session. The dim's rows tag odd years 'target',
@@ -273,6 +296,34 @@ object OlapOps {
              |WHERE o_custkey BETWEEN $SKIP_LO AND $SKIP_HI
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Bloom-filter file skipping: point lookups on an UNSORTED layout ──
+    // q121's min/max tier needs a clustered layout (sorted ⇒ tight
+    // ranges); a point lookup on a high-cardinality key over files
+    // that each span the whole key range prunes NOTHING by range. The
+    // bloom tier closes that: publish writes a per-file Bloom filter
+    // on doc_id into the same `_FILESTATS` sidecar (type B beside the
+    // range types), and the scan keeps only files whose filter has
+    // both probe bits — Delta's bloom-filter index / Iceberg's
+    // ndv-sketch analogue. A false SKIP would drop the looked-up row
+    // and break the hash; FileStatsSpec proves present-key reads are
+    // strictly pruned, absent keys skip everything, and compaction
+    // recomputes the blooms. The oracle never sees the layout.
+    QueryDef("q134_bloom_skipping",
+      (s, d) => {
+        val root = bloomDocsRoot(s, d)
+        BLOOM_PROBE_IDS.map { id =>
+          val (df, _, _) = graft.warehouse.FileStats.skippingReadPoint(
+            s, root, "doc_id", lit(id))
+          df.filter(col("doc_id") === id)
+        }.reduce(_.unionAll(_))
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, source, n_chars
+             |FROM documents
+             |WHERE doc_id IN (${BLOOM_PROBE_IDS.mkString(", ")})
+             |ORDER BY doc_id""".stripMargin)),
 
     // ── Dynamic partition pruning: dim filter prunes fact partitions ─────
     // q107 proves STATIC pruning (the probe names its terms as

@@ -727,6 +727,108 @@ object Relational {
              |GROUP BY n_name
              |ORDER BY nation""".stripMargin)),
 
+    // ── Bucketed co-located fact⋈fact join ───────────────────────────────
+    // The write-once/join-forever contract (warehouse/Bucketed): both
+    // fact tables are written bucketed+sorted by the join key, so the
+    // recurring lineitem⋈orders join — which otherwise shuffles BOTH
+    // sides every run — reads co-located buckets and plans a sort-merge
+    // join with no exchange on either side, and the follow-on group-by
+    // on the same key reuses that distribution too (PLANS.md: the only
+    // exchange left is the final tiny ORDER BY of the HAVING survivors;
+    // ReliabilitySpec asserts the zero-shuffle join directly). At
+    // 100 TB this moves terabytes of shuffle from every query to one
+    // write. The oracle states the plain join — bucketing must be
+    // invisible to results.
+    QueryDef("q132_bucketed_join",
+      (s, d) => {
+        // External scratch paths keep concurrent runs isolated; the
+        // in-memory catalog is per-session, so the table NAMES cannot
+        // leak across processes.
+        val root = graft.sources.Scratch.dir(s, "q132-bucketed")
+        graft.warehouse.Bucketed.write(
+          li(s, d).select("l_orderkey", "l_quantity"),
+          "graft_q132_lineitem", "l_orderkey", 8,
+          Some(s"$root/lineitem"))
+        graft.warehouse.Bucketed.write(
+          ord(s, d).select("o_orderkey"),
+          "graft_q132_orders", "o_orderkey", 8,
+          Some(s"$root/orders"))
+        s.table("graft_q132_lineitem")
+          .join(s.table("graft_q132_orders").hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum("l_quantity").as("sum_qty"))
+          .filter(col("n_items") === 7)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, count(*) AS n_items,
+             |       sum(l_quantity) AS sum_qty
+             |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+             |GROUP BY o_orderkey
+             |HAVING count(*) = 7
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ── INTERSECT / EXCEPT set algebra (distinct + bag forms) ────────────
+    // The remaining SQL set operators beyond U1's UNION ALL: cohort
+    // retention as set algebra over the 1994 vs 1995 customer sets —
+    // retained (∩), churned (\), acquired (reverse \), either (∪
+    // distinct) — plus the multiplicity-aware bags (INTERSECT ALL /
+    // EXCEPT ALL over per-ORDER rows, where a customer with 3 orders in
+    // '94 and 1 in '95 contributes min(3,1) and 3−1 rows). Catalyst
+    // rewrites the distinct forms to semi/anti joins and the ALL forms
+    // to a count-compare generate — all shuffle on the key, no
+    // cartesian anywhere. Each branch is summarized to (count, sum) so
+    // the hash check is element-sensitive, not just cardinality.
+    QueryDef("q133_set_ops",
+      (s, d) => {
+        val o = ord(s, d)
+        def keys(y: Int) = o.filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey").cast("long").as("k"))
+        val a = keys(1994); val b = keys(1995)
+        def stat(label: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n"),
+              coalesce(sum("k"), lit(0L)).as("sum_k"))
+            .select(lit(label).as("set_op"), col("n"), col("sum_k"))
+        Seq(
+          stat("1_retained", a.intersect(b)),
+          stat("2_churned", a.except(b)),
+          stat("3_acquired", b.except(a)),
+          stat("4_either", a.union(b).distinct()),
+          stat("5_bag_intersect", a.intersectAll(b)),
+          stat("6_bag_except", a.exceptAll(b))
+        ).reduce(_.unionAll(_)).orderBy("set_op")
+      },
+      Some("""WITH a AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
+             |           WHERE year(o_orderdate) = 1994),
+             |     b AS (SELECT CAST(o_custkey AS BIGINT) AS k FROM orders
+             |           WHERE year(o_orderdate) = 1995)
+             |SELECT * FROM (
+             |  SELECT '1_retained' AS set_op, count(*) AS n,
+             |         CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
+             |  FROM (SELECT k FROM a INTERSECT SELECT k FROM b) t
+             |  UNION ALL
+             |  SELECT '2_churned', count(*),
+             |         CAST(coalesce(sum(k), 0) AS BIGINT)
+             |  FROM (SELECT k FROM a EXCEPT SELECT k FROM b) t
+             |  UNION ALL
+             |  SELECT '3_acquired', count(*),
+             |         CAST(coalesce(sum(k), 0) AS BIGINT)
+             |  FROM (SELECT k FROM b EXCEPT SELECT k FROM a) t
+             |  UNION ALL
+             |  SELECT '4_either', count(*),
+             |         CAST(coalesce(sum(k), 0) AS BIGINT)
+             |  FROM (SELECT k FROM a UNION SELECT k FROM b) t
+             |  UNION ALL
+             |  SELECT '5_bag_intersect', count(*),
+             |         CAST(coalesce(sum(k), 0) AS BIGINT)
+             |  FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t
+             |  UNION ALL
+             |  SELECT '6_bag_except', count(*),
+             |         CAST(coalesce(sum(k), 0) AS BIGINT)
+             |  FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t) u
+             |ORDER BY set_op""".stripMargin)),
+
     // ── NTILE / PERCENT_RANK / CUME_DIST (distribution windows) ──────────
     // The remaining SQL-standard window family: quartile bucketing and
     // relative-position stats per market segment. Determinism: the

@@ -20,10 +20,28 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketed {
 
-  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write.mode("overwrite")
+  /** Write `df` bucketed (and sorted within buckets) by `key`.
+    *
+    * The pre-write `repartition(buckets, key)` uses the same
+    * murmur3-pmod placement as the bucket spec, so each task holds
+    * exactly one bucket and each bucket lands in ONE file — without it
+    * every write task emits a sliver of every bucket (tasks × buckets
+    * small files), and Spark only trusts the per-bucket `sortBy` order
+    * at read time when a bucket is a single file (multi-file buckets
+    * force a re-sort under sort-merge join).
+    *
+    * `path` makes the table external at that location (run-isolated
+    * scratch for gate queries); without it the files land under
+    * `spark.sql.warehouse.dir`.
+    */
+  def write(df: DataFrame, table: String, key: String, buckets: Int,
+            path: Option[String] = None): Unit = {
+    val w = df
+      .repartition(buckets, df.col(key))
+      .write.mode("overwrite")
       .format("parquet")
       .bucketBy(buckets, key)
       .sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

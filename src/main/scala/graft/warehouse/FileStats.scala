@@ -58,9 +58,14 @@ object FileStats {
       layout, statsCols, nFiles)
 
   /** One column's [min, max] on one file: long range for integral
-    * columns, lexicographic string range for string columns. */
+    * columns, lexicographic string range for string columns. A file
+    * may additionally carry a [[BloomStat]] for point-lookup skipping
+    * — `mightContain` defaults to true (range stats can never rule a
+    * point OUT beyond their range test, and a bloom can never rule a
+    * RANGE out), so each stat kind only answers the question it can. */
   sealed trait Range { def overlapsLong(lo: Long, hi: Long): Boolean
-                       def overlapsStr(lo: String, hi: String): Boolean }
+                       def overlapsStr(lo: String, hi: String): Boolean
+                       def mightContain(p1: Int, p2: Int): Boolean = true }
   final case class LongRange(mn: Long, mx: Long) extends Range {
     def overlapsLong(lo: Long, hi: Long): Boolean = mx >= lo && mn <= hi
     def overlapsStr(lo: String, hi: String): Boolean = true // not typed
@@ -71,21 +76,59 @@ object FileStats {
       mx >= lo && mn <= hi
   }
 
+  /** Per-file Bloom filter (BLOOM_BITS bits, 2 hashes) over one
+    * column's values — point-lookup skipping that needs NO sorted
+    * layout: any file whose filter lacks either probe bit cannot
+    * contain the value. Ranges answer range predicates; this answers
+    * equality on high-cardinality keys where min/max is useless. */
+  final case class BloomStat(words: Array[Long]) extends Range {
+    def overlapsLong(lo: Long, hi: Long): Boolean = true // not a range
+    def overlapsStr(lo: String, hi: String): Boolean = true
+    private def bit(p: Int): Boolean =
+      (words(p >>> 6) >>> (p & 63) & 1L) == 1L
+    override def mightContain(p1: Int, p2: Int): Boolean = bit(p1) && bit(p2)
+  }
+
+  /** Bloom geometry + the shared position expression. Both the publish
+    * side (per-row positions folded into per-file filters) and the
+    * probe side (positions of one literal) build positions from THIS
+    * expression, so write/read consistency is structural: pmod of
+    * Spark's codegen'd xxhash64 with a small distinguishing seed. */
+  final val BLOOM_BITS = 1024
+  private[warehouse] def bloomPos(c: org.apache.spark.sql.Column,
+                                  seed: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    pmod(xxhash64(lit(seed), c), lit(BLOOM_BITS))
+  }
+
+  /** Fold a set of bit positions into the fixed-width word array. */
+  private[warehouse] def bloomWords(positions: Iterable[Long]): Array[Long] = {
+    val w = new Array[Long](BLOOM_BITS / 64)
+    positions.foreach { p => w(p.toInt >>> 6) |= 1L << (p.toInt & 63) }
+    w
+  }
+
   private def unhex(h: String): String =
     new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
       "UTF-8")
 
   /** Parse a `_FILESTATS` sidecar: lines `file \t n \t col \t type \t
     * min \t max` (one line per file × stats column; type L = long,
-    * S = hex-encoded string). */
+    * S = hex-encoded string, B = hex-encoded bloom words in `min` with
+    * `max` unused). A column carries at most one stat per file — a
+    * bloomed column is keyed `col#bloom` so a range stat on the same
+    * column can coexist. */
   private def parseStats(content: String)
       : Map[String, Map[String, Range]] =
     content.split('\n').filter(_.nonEmpty).map { line =>
       val Array(f, _, c, t, lo, hi) = line.split('\t')
-      val r: Range =
-        if (t == "S") StrRange(unhex(lo), unhex(hi))
-        else LongRange(lo.toLong, hi.toLong)
-      (f, c, r)
+      val (key, r: Range) = t match {
+        case "S" => (c, StrRange(unhex(lo), unhex(hi)))
+        case "B" => (s"$c#bloom", BloomStat(
+          lo.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16)).toArray))
+        case _ => (c, LongRange(lo.toLong, hi.toLong))
+      }
+      (f, key, r)
     }.groupBy(_._1).map { case (f, rows) =>
       f -> rows.map { case (_, c, r) => c -> r }.toMap
     }
@@ -110,6 +153,26 @@ object FileStats {
       : (DataFrame, Int, Int) =
     skippingReadWhere(spark, root, version,
       _.get(column).forall(_.overlapsStr(lo, hi)))
+
+  /** Point-lookup variant over a per-file Bloom filter on `column`
+    * (published via `bloomCols`): files whose filter lacks either
+    * probe bit cannot contain `value` and are never listed. Needs no
+    * sorted layout — this is the skipping tier for equality on
+    * high-cardinality keys, where min/max ranges prune nothing. The
+    * probe positions come from a one-row Spark job over the SAME
+    * expression the publish side folded per row, so the two sides can
+    * never drift. Files without a bloom entry are conservatively read. */
+  def skippingReadPoint(spark: SparkSession, root: String, column: String,
+                        value: org.apache.spark.sql.Column,
+                        version: Option[Long] = None)
+      : (DataFrame, Int, Int) = {
+    val probe = spark.range(1)
+      .select(bloomPos(value, 1).as("p1"), bloomPos(value, 2).as("p2"))
+      .head()
+    val (p1, p2) = (probe.getLong(0).toInt, probe.getLong(1).toInt)
+    skippingReadWhere(spark, root, version,
+      _.get(s"$column#bloom").forall(_.mightContain(p1, p2)))
+  }
 
   private def skippingReadWhere(spark: SparkSession, root: String,
                                 version: Option[Long],
@@ -153,13 +216,15 @@ object FileStats {
       VersionedParquet.STATS_MARKER, Some(v)).getOrElse("")
     val rows = content.split('\n').filter(_.nonEmpty).map { line =>
       val Array(f, n, c, t, lo, hi) = line.split('\t')
-      if (t == "S")
-        org.apache.spark.sql.Row(f, n.toLong, c, t, null, null,
+      t match {
+        case "S" => org.apache.spark.sql.Row(f, n.toLong, c, t, null, null,
           unhex(lo), unhex(hi))
-      else
-        org.apache.spark.sql.Row(f, n.toLong, c, t,
+        case "B" => // bloom words stay hex in min_str; no range to expose
+          org.apache.spark.sql.Row(f, n.toLong, c, t, null, null, lo, null)
+        case _ => org.apache.spark.sql.Row(f, n.toLong, c, t,
           java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi),
           null, null)
+      }
     }.toSeq
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(

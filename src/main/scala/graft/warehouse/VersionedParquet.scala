@@ -199,7 +199,8 @@ object VersionedParquet {
               keepVersions: Int = 2, minRetainMillis: Long = 0L,
               markers: Map[String, String] = Map.empty,
               statsCols: Seq[String] = Nil,
-              constraints: Seq[String] = Nil): String = {
+              constraints: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil): String = {
     require(keepVersions >= 1, "must retain at least the live version")
     val spark = df.sparkSession
     val rootPath = new Path(root)
@@ -238,24 +239,34 @@ object VersionedParquet {
     // FileStats.skippingRead consults it to hand the scan only files
     // whose range can match a predicate.
     val statsMarker: Map[String, String] =
-      if (statsCols.isEmpty) Map.empty
+      if (statsCols.isEmpty && bloomCols.isEmpty) Map.empty
       else {
-        import org.apache.spark.sql.functions.{col, count, input_file_name,
-          max, min}
+        import org.apache.spark.sql.functions.{col, collect_set, count,
+          input_file_name, max, min, when}
         val written0 = spark.read.parquet(snapshot.toString)
         // integral columns range as longs; string columns as raw
         // min/max (hex-encoded in the sidecar so tabs/newlines in data
-        // can never corrupt the line format)
+        // can never corrupt the line format); bloom columns fold to
+        // per-file bit-position sets of the shared probe expression
+        // (null values contribute no position)
         val isStr = statsCols.map(c => c ->
           written0.schema(c).dataType.isInstanceOf[
             org.apache.spark.sql.types.StringType]).toMap
         val written = written0
-          .select((input_file_name().as("_f")) +:
+          .select(((input_file_name().as("_f")) +:
             statsCols.map(c =>
-              (if (isStr(c)) col(c) else col(c).cast("long")).as(c)): _*)
-        val aggs = count(org.apache.spark.sql.functions.lit(1)).as("_n") +:
+              (if (isStr(c)) col(c) else col(c).cast("long")).as(c))) ++
+            bloomCols.flatMap(c => Seq(
+              when(col(c).isNotNull,
+                FileStats.bloomPos(col(c), 1)).as(s"_p1_$c"),
+              when(col(c).isNotNull,
+                FileStats.bloomPos(col(c), 2)).as(s"_p2_$c"))): _*)
+        val aggs = (count(org.apache.spark.sql.functions.lit(1)).as("_n") +:
           statsCols.flatMap(c =>
-            Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c")))
+            Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c")))) ++
+          bloomCols.flatMap(c => Seq(
+            collect_set(col(s"_p1_$c")).as(s"_s1_$c"),
+            collect_set(col(s"_p2_$c")).as(s"_s2_$c")))
         def hex(s: String): String =
           s.getBytes("UTF-8").map(b => f"$b%02x").mkString
         // paths stored RELATIVE to the snapshot dir (everything after
@@ -270,6 +281,7 @@ object VersionedParquet {
               if (cut >= 0) full.substring(cut + verSeg.length)
               else new Path(full).getName
             val n = r.getLong(1)
+            val base = 2 + 2 * statsCols.length
             statsCols.zipWithIndex.map { case (c, i) =>
               if (isStr(c))
                 s"$file\t$n\t$c\tS\t${hex(r.getString(2 + 2 * i))}" +
@@ -277,6 +289,11 @@ object VersionedParquet {
               else
                 s"$file\t$n\t$c\tL\t${r.getLong(2 + 2 * i)}" +
                   s"\t${r.getLong(3 + 2 * i)}"
+            } ++ bloomCols.zipWithIndex.map { case (c, j) =>
+              val bits = r.getSeq[Long](base + 2 * j) ++
+                r.getSeq[Long](base + 2 * j + 1)
+              val words = FileStats.bloomWords(bits)
+              s"$file\t$n\t$c\tB\t${words.map(w => f"$w%016x").mkString}\t-"
             }
           }
         Map(STATS_MARKER -> lines.mkString("\n"))
@@ -455,13 +472,16 @@ object VersionedParquet {
         df.repartition(nFiles, partitionCols.map(df.col): _*)
       else df.repartition(nFiles)
     // A version carrying a stats sidecar keeps the skipping tier:
-    // recompute the SAME columns' per-file min/max over the compacted
-    // files (never carry the old sidecar forward — its file names and
-    // ranges describe the pre-compaction layout).
-    val statsCols = snapshotMarker(spark, root, STATS_MARKER, Some(v))
-      .map(_.split('\n').filter(_.nonEmpty).map(_.split('\t')(2))
-        .distinct.toSeq)
+    // recompute the SAME columns' stats over the compacted files,
+    // preserving each column's stat KIND (range vs bloom — never carry
+    // the old sidecar forward: its file names and ranges describe the
+    // pre-compaction layout).
+    val kinds = snapshotMarker(spark, root, STATS_MARKER, Some(v))
+      .map(_.split('\n').filter(_.nonEmpty)
+        .map { l => val a = l.split('\t'); (a(2), a(3)) }.distinct.toSeq)
       .getOrElse(Nil)
-    publish(arranged, root, partitionCols, statsCols = statsCols)
+    publish(arranged, root, partitionCols,
+      statsCols = kinds.collect { case (c, t) if t != "B" => c }.distinct,
+      bloomCols = kinds.collect { case (c, "B") => c }.distinct)
   }
 }

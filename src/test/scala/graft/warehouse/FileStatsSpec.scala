@@ -234,4 +234,74 @@ class FileStatsSpec extends AnyFunSuite {
     assert(nRead2 === 0)
     assert(df2.columns.contains("o_custkey") && df2.count() === 0)
   }
+
+  test("bloom tier: point lookups prune an unsorted layout, no false skip on ANY key") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-filestats-bloom").toString
+    // long + string keys, hash-scattered so min/max ranges are useless
+    val rows = (0L until 1000L).map(i => (i, s"k$i", i % 7)).toDF(
+      "id", "name", "grp")
+    VersionedParquet.publish(rows.repartition(16, col("id")), root,
+      bloomCols = Seq("id", "name"))
+    // present long key: pruned read, row found
+    val (df, nRead, nTotal) = FileStats.skippingReadPoint(
+      spark, root, "id", lit(123L))
+    assert(nTotal === 16)
+    assert(nRead > 0 && nRead < nTotal,
+      s"bloom must prune an unsorted layout: read $nRead of $nTotal")
+    assert(df.filter(col("id") === 123L).count() === 1)
+    // present string key via the S-typed bloom
+    val (dfs, nReadS, _) = FileStats.skippingReadPoint(
+      spark, root, "name", lit("k777"))
+    assert(nReadS < nTotal && dfs.filter(col("name") === "k777").count() === 1)
+    // absent key: (deterministically) near-everything skipped, no rows
+    val (dfa, nReadA, _) = FileStats.skippingReadPoint(
+      spark, root, "id", lit(-99L))
+    assert(nReadA < 4, s"absent key should skip ~all files, read $nReadA")
+    assert(dfa.filter(col("id") === -99L).count() === 0)
+    // NO false skip on any of the 1000 keys: recompute every key's
+    // probe positions in one job with the same shared expression, then
+    // check the file that really holds the key is always kept
+    val v = VersionedParquet.currentVersion(spark, root).get
+    val snap = s"$root/v${"%08d".format(v)}"
+    val located = spark.read.parquet(snap)
+      .select(input_file_name().as("f"), col("id"),
+        FileStats.bloomPos(col("id"), 1).as("p1"),
+        FileStats.bloomPos(col("id"), 2).as("p2"))
+      .collect()
+    val blooms = FileStats.fileStats(spark, root)
+      .filter(col("col") === "id" && col("type") === "B")
+      .select("file", "min_str").collect()
+      .map(r => (r.getString(0), r.getString(1)
+        .grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16)).toArray))
+      .toMap
+    assert(blooms.size === 16)
+    located.foreach { r =>
+      val file = r.getString(0).split('/').last
+      val w = blooms(file)
+      def bit(p: Long) = (w(p.toInt >>> 6) >>> (p.toInt & 63) & 1L) == 1L
+      assert(bit(r.getLong(2)) && bit(r.getLong(3)),
+        s"bloom for $file would falsely skip id ${r.getLong(1)}")
+    }
+  }
+
+  test("compaction preserves the bloom stat kind and lookups stay correct") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-filestats-bloom-compact").toString
+    val rows = (0L until 500L).map(i => (i, i * 3)).toDF("id", "v")
+    VersionedParquet.publish(rows.repartition(8, col("id")), root,
+      statsCols = Seq("v"), bloomCols = Seq("id"))
+    VersionedParquet.compact(spark, root, targetBytes = 4096L)
+    val kinds = FileStats.fileStats(spark, root)
+      .select("col", "type").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kinds.contains(("id", "B")) && kinds.contains(("v", "L")),
+      s"compaction must recompute both stat kinds, got $kinds")
+    val (df, nRead, nTotal) = FileStats.skippingReadPoint(
+      spark, root, "id", lit(42L))
+    assert(nRead >= 1 && nRead <= nTotal)
+    assert(df.filter(col("id") === 42L).count() === 1)
+  }
 }
