@@ -111,6 +111,54 @@ object GraphOps {
        |  LEFT JOIN r${k - 1} p ON p.id = e.src
        |  GROUP BY n.id)""".stripMargin
 
+  /** Degree-ordered triangle counting over the part co-occurrence
+    * graph (parts bought together in one order — the market-basket
+    * graph; triangles/clustering are the community-structure signal).
+    *
+    * The scale-critical trick is the ORIENTATION: every undirected
+    * edge is directed from its (degree, id)-smaller endpoint to the
+    * larger, which bounds every node's OUT-degree by O(√m) no matter
+    * how hot the node (a celebrity part keeps its millions of edges —
+    * but as in-edges; it emits almost none). The wedge self-join
+    * therefore touches Σ outdeg² ≤ O(m^1.5) candidates worst-case
+    * instead of Σ deg² (quadratic in the hot key), which is what makes
+    * the classic edge-iterator algorithm survive skew at 100 TB. Each
+    * triangle appears under exactly one orientation, so no /3 fixup
+    * and no double counting. All joins are equi-joins (orderkey, b,
+    * (a,c)); the degree frame is node-cardinality and broadcasts. */
+  private[graft] def triangleTop(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = l.as("a")
+      .join(l.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("x"), col("b.pk").as("y"))
+      .distinct()
+    val deg = pairs.select(col("x").as("node"))
+      .unionAll(pairs.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .cache()
+    // x < y throughout, so a degree tie orients x→y
+    val e = pairs
+      .join(broadcast(deg.select(col("node").as("x"), col("d").as("dx"))), "x")
+      .join(broadcast(deg.select(col("node").as("y"), col("d").as("dy"))), "y")
+      .select(
+        when(col("dx") <= col("dy"), col("x")).otherwise(col("y")).as("u"),
+        when(col("dx") <= col("dy"), col("y")).otherwise(col("x")).as("v"))
+      .cache()
+    val tri = e.select(col("u").as("a"), col("v").as("b"))
+      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
+      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
+    val nodeTri = tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    nodeTri.join(broadcast(deg), "node")
+      .select(col("node"), col("d").as("degree"), col("n_tri"))
+      .orderBy(col("n_tri").desc, col("node"))
+      .limit(20)
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q111_pagerank",
       (s, d) => tradePagerank(s, d),
@@ -134,6 +182,46 @@ object GraphOps {
              |${(1 to ITERS).map(iterSql).mkString(",\n")}
              |SELECT n_name, r AS rank_micro
              |FROM r$ITERS JOIN nation ON id = n_nationkey
-             |ORDER BY rank_micro DESC, n_name""".stripMargin))
+             |ORDER BY rank_micro DESC, n_name""".stripMargin)),
+
+    // ── Triangle counting, degree-ordered (see triangleTop) ──────────────
+    // Output: top-20 parts by triangle participation in the
+    // co-purchase graph (ties broken by part id — a total order, so
+    // LIMIT is deterministic). The oracle mirrors the orientation
+    // term for term; a wrong orientation double-counts or drops
+    // triangles and breaks the hash.
+    QueryDef("q135_triangle_count",
+      (s, d) => triangleTop(s, d),
+      Some("""WITH l AS (SELECT l_orderkey AS ok, l_partkey AS pk
+             |           FROM lineitem),
+             |pairs AS (
+             |  SELECT DISTINCT a.pk AS x, b.pk AS y
+             |  FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+             |deg AS (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS d
+             |  FROM (SELECT x AS node FROM pairs
+             |        UNION ALL SELECT y FROM pairs) t
+             |  GROUP BY 1),
+             |e AS (
+             |  SELECT CASE WHEN dx.d <= dy.d THEN p.x ELSE p.y END AS u,
+             |         CASE WHEN dx.d <= dy.d THEN p.y ELSE p.x END AS v
+             |  FROM pairs p
+             |  JOIN deg dx ON dx.node = p.x
+             |  JOIN deg dy ON dy.node = p.y),
+             |tri AS (
+             |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+             |  FROM e e1
+             |  JOIN e e2 ON e2.u = e1.v
+             |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |nt AS (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+             |  FROM (SELECT a AS node FROM tri
+             |        UNION ALL SELECT b FROM tri
+             |        UNION ALL SELECT c FROM tri) t
+             |  GROUP BY 1)
+             |SELECT nt.node, d.d AS degree, nt.n_tri
+             |FROM nt JOIN deg d ON d.node = nt.node
+             |ORDER BY n_tri DESC, nt.node
+             |LIMIT 20""".stripMargin))
   )
 }
