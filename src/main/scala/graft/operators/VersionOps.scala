@@ -40,6 +40,25 @@ object VersionOps {
     root
   }
 
+  /** q136 scratch table: orders published once, then two deletion-
+    * vector versions — v1 masks finished orders of one custkey band,
+    * v2 cumulatively masks urgent orders of another. Once per session. */
+  private[graft] def dvRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q136-deletion-vectors")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_orderpriority", "o_totalprice")
+      VersionedParquet.publish(o, root, keepVersions = 10)
+      VersionedParquet.delete(s, root,
+        col("o_orderstatus") === "F" && col("o_custkey") % 10 === 3,
+        keepVersions = 10)
+      VersionedParquet.delete(s, root,
+        col("o_orderpriority") === "1-URGENT" && col("o_custkey") % 7 === 2,
+        keepVersions = 10)
+    }
+    root
+  }
+
   private[graft] def versionDiff(s: SparkSession, dir: String): DataFrame = {
     val root = publishedRoot(s, dir)
     val v0 = VersionedParquet.read(s, root, Some(0L)).select("doc_id", "lang")
@@ -333,6 +352,48 @@ object VersionOps {
              |UNION ALL
              |SELECT CAST(1 AS BIGINT), count(*), true
              |FROM documents WHERE doc_id % 3 <> 0
+             |ORDER BY version""".stripMargin)),
+
+    // ── Row-level DELETE via deletion vectors ────────────────────────────
+    // Two deletes land as metadata-only versions (v1, v2) over v0's
+    // untouched files — `VersionedParquet.delete` writes a (file,
+    // row_index) vector + base pointer, never rewriting data
+    // (DeletionVectorSpec proves the files are byte-identical and that
+    // vacuum refuses to hollow out a referenced base; compaction
+    // materializes). The gate reads ALL THREE versions through time
+    // travel: v1 must mask exactly its own vector, v2 the cumulative
+    // one. The oracle recomputes each version from the delete
+    // predicates directly — a wrong row identity (file relativization,
+    // position drift) or a leaked/over-deleted row breaks count AND
+    // cents-sum. At 100 TB a delete is O(matched rows) metadata
+    // instead of a table rewrite.
+    QueryDef("q136_deletion_vectors",
+      (s, d) => {
+        val root = dvRoot(s, d)
+        (0 to 2).map { v =>
+          VersionedParquet.read(s, root, Some(v.toLong))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(round(col("o_totalprice") * 100).cast("long"))
+                .cast("long").as("sum_cents"))
+            .select(lit(v).as("version"), col("n_rows"), col("sum_cents"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, o_orderstatus, o_orderpriority,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |         (o_orderstatus = 'F' AND o_custkey % 10 = 3) AS d1,
+             |         (o_orderpriority = '1-URGENT' AND o_custkey % 7 = 2)
+             |           AS d2
+             |  FROM orders)
+             |SELECT 0 AS version, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM o
+             |UNION ALL
+             |SELECT 1, count(*), CAST(sum(cents) AS BIGINT)
+             |FROM o WHERE NOT d1
+             |UNION ALL
+             |SELECT 2, count(*), CAST(sum(cents) AS BIGINT)
+             |FROM o WHERE NOT d1 AND NOT d2
              |ORDER BY version""".stripMargin)),
 
     // ── Schema evolution across published versions ───────────────────────

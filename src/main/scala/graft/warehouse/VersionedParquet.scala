@@ -58,6 +58,24 @@ object VersionedParquet {
     * under (see `publish`'s `constraints`). */
   val CONSTRAINTS_MARKER = "_CONSTRAINTS"
 
+  /** Marker on a deletion-vector version naming the PHYSICAL snapshot
+    * directory that holds its data files (see `delete`). Base targets
+    * are always physical — chains never nest. */
+  private[warehouse] val BASE_MARKER = "_BASE"
+
+  /** Parquet subdirectory of a deletion-vector version holding the
+    * cumulative (file, pos) rows deleted from the base. */
+  private[warehouse] val DV_DIR = "_dv"
+
+  /** Row identity within a snapshot: the file path relative to the
+    * version directory. Both the delete side (computing the vector)
+    * and the read side (applying it) relativize with this SAME
+    * expression, so the two can never drift. */
+  private def relFile: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_extract(
+      org.apache.spark.sql.functions.col("_metadata.file_path"),
+      "/v\\d{8}/(.*)$", 1)
+
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -337,6 +355,32 @@ object VersionedParquet {
     * snapshot really holds. Alignment is projection-only (null-fill is
     * a literal in the plan, zero scan cost), and the live read path is
     * untouched. */
+  /** The data frame of one resolved version: its own parquet for a
+    * physical snapshot; for a deletion-vector version, the BASE
+    * snapshot's files with the vector anti-joined out on
+    * (file, `_metadata.row_index`) — files are never rewritten, rows
+    * vanish at scan time. The vector is cumulative, so exactly one
+    * anti-join applies regardless of how many deletes preceded. */
+  private def dataFrameOf(spark: SparkSession, root: String,
+                          v: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snapshot = new Path(root, versionName(v))
+    readPointer(spark, new Path(snapshot, BASE_MARKER)) match {
+      case None => spark.read.parquet(snapshot.toString)
+      case Some(base) =>
+        val data = spark.read.parquet(new Path(root, base).toString)
+        // explicit schema: an all-rows-kept vector is an EMPTY parquet
+        // dir, which schema inference would refuse
+        val dv = spark.read.schema("_file STRING, _pos BIGINT")
+          .parquet(new Path(snapshot, DV_DIR).toString)
+        data
+          .withColumn("_file", relFile)
+          .withColumn("_pos", col("_metadata.row_index"))
+          .join(dv, Seq("_file", "_pos"), "left_anti")
+          .drop("_file", "_pos")
+    }
+  }
+
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
     val live = currentVersion(spark, root)
@@ -352,14 +396,13 @@ object VersionedParquet {
       throw new IOException(s"version $v of $root does not exist or is " +
         "incomplete (never published, crashed mid-write, or vacuumed " +
         "past retention)")
-    val df = spark.read.parquet(snapshot.toString)
+    val df = dataFrameOf(spark, root, v)
     if (version.isEmpty || live.isEmpty || v == live.get) df
     else {
       // align the pinned read to the live schema: live column order,
       // null-filling columns this version predates; pinned-only
       // (since-dropped) columns append after
-      val liveSchema = spark.read
-        .parquet(new Path(root, versionName(live.get)).toString).schema
+      val liveSchema = dataFrameOf(spark, root, live.get).schema
       val have = df.columns.toSet
       val aligned = liveSchema.map { f =>
         if (have(f.name)) df(f.name)
@@ -369,6 +412,64 @@ object VersionedParquet {
       }
       df.select(aligned: _*)
     }
+  }
+
+  /** Row-level DELETE without rewriting a single data file (a
+    * transactional format's deletion vectors): publishes version N+1
+    * that holds NO parquet of its own — just a `_BASE` marker naming
+    * the live version's physical snapshot and a `_dv` parquet of
+    * cumulative (file, pos) row identities matching `predicate`
+    * (evaluated over the FULL base, then deduplicated against the
+    * prior vector, so repeated/overlapping deletes stay idempotent).
+    * Reads of the new version anti-join the vector out at scan time;
+    * time travel to older versions — including older DV versions of
+    * the same base — is untouched, because each version carries its
+    * own cumulative vector.
+    *
+    * Cost: O(matched rows) metadata, zero data movement — at 100 TB
+    * the difference between a metadata operation and rewriting the
+    * table (the Forget module's purge REWRITES because privacy
+    * deletion must physically destroy bytes; this tier is for
+    * ordinary retention/correction deletes where scan-time masking
+    * is enough). `compact` materializes the vector into a fresh
+    * physical snapshot; `vacuum` refuses to retire a physical
+    * snapshot that a retained DV version still references. */
+  def delete(spark: SparkSession, root: String,
+             predicate: org.apache.spark.sql.Column,
+             keepVersions: Int = 2): String = {
+    import org.apache.spark.sql.functions.col
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IOException(s"no published version under $root"))
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val base = readPointer(spark,
+      new Path(new Path(rootPath, versionName(v)), BASE_MARKER))
+      .getOrElse(versionName(v))
+    val next = v + 1
+    val snapshot = new Path(rootPath, versionName(next))
+    fs.delete(snapshot, true)
+    val hits = spark.read.parquet(new Path(rootPath, base).toString)
+      .withColumn("_file", relFile)
+      .withColumn("_pos", col("_metadata.row_index"))
+      .filter(predicate)
+      .select("_file", "_pos")
+    val prior =
+      if (base == versionName(v)) hits.limit(0)
+      else spark.read.schema("_file STRING, _pos BIGINT").parquet(
+        new Path(new Path(rootPath, versionName(v)), DV_DIR).toString)
+    prior.union(hits).distinct()
+      .write.mode("overwrite")
+      .parquet(new Path(snapshot, DV_DIR).toString)
+    installPointer(spark, snapshot, BASE_MARKER, base)
+    installPointer(spark, snapshot, "_SUCCESS", "")
+    try installPointer(spark, rootPath, POINTER, versionName(next))
+    catch {
+      case e: IOException =>
+        throw new IOException(s"could not swap pointer for $root; live " +
+          s"table unchanged, staged delete at $snapshot", e)
+    }
+    vacuum(spark, root, keepVersions)
+    snapshot.toString
   }
 
   /** A marker file's content from the live (or pinned) snapshot, None
@@ -436,11 +537,23 @@ object VersionedParquet {
     val youngest = System.currentTimeMillis() - minAgeMillis
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
-    fs.listStatus(rootPath).toSeq.flatMap { st =>
+    val all = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
+    val retirable = all.filter(st =>
+      st.getPath.getName.drop(1).toLong < cutoff &&
+        st.getModificationTime <= youngest).map(_.getPath.getName).toSet
+    // Reference protection: a deletion-vector version holds no data of
+    // its own — retiring the PHYSICAL snapshot its `_BASE` names would
+    // hollow it out. Any base still referenced by a version that
+    // survives this vacuum is kept, whatever its age.
+    val referenced = all.map(_.getPath.getName)
+      .filterNot(retirable)
+      .flatMap(n => readPointer(spark,
+        new Path(new Path(rootPath, n), BASE_MARKER)))
+      .toSet
+    all.flatMap { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.matches("v\\d{8}") &&
-        name.drop(1).toLong < cutoff &&
-        st.getModificationTime <= youngest) {
+      if (retirable(name) && !referenced(name)) {
         fs.delete(st.getPath, true)
         Some(name.drop(1).toLong)
       } else None
@@ -459,7 +572,14 @@ object VersionedParquet {
               partitionCols: Seq[String] = Nil): String = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"nothing to compact under $root"))
-    val snapshot = new Path(root, versionName(v))
+    // A deletion-vector version holds no data of its own: size the
+    // rewrite (and source the stats sidecar) from its PHYSICAL base.
+    // Compacting a DV version MATERIALIZES the deletes — read() below
+    // applies the vector, and the fresh snapshot carries no _BASE.
+    val baseName = readPointer(spark,
+      new Path(new Path(root, versionName(v)), BASE_MARKER))
+      .getOrElse(versionName(v))
+    val snapshot = new Path(root, baseName)
     val fs = fsOf(spark, snapshot)
     val totalBytes = fs.getContentSummary(snapshot).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -476,7 +596,7 @@ object VersionedParquet {
     // preserving each column's stat KIND (range vs bloom — never carry
     // the old sidecar forward: its file names and ranges describe the
     // pre-compaction layout).
-    val kinds = snapshotMarker(spark, root, STATS_MARKER, Some(v))
+    val kinds = readPointer(spark, new Path(snapshot, STATS_MARKER))
       .map(_.split('\n').filter(_.nonEmpty)
         .map { l => val a = l.split('\t'); (a(2), a(3)) }.distinct.toSeq)
       .getOrElse(Nil)
