@@ -59,6 +59,38 @@ object VersionOps {
     root
   }
 
+  /** q137 scratch table: orders projected to (k, c, cents, st) and
+    * published once, then two merge-on-read upserts — v1 bumps one
+    * custkey band's cents and inserts negative-key rows for another
+    * band; v2 re-touches an overlapping band AND a subset of v1's own
+    * inserts (the delta-supersede path). Once per session. */
+  private[graft] def morRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q137-merge-on-read")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderstatus").as("st"))
+      VersionedParquet.publish(base, root, keepVersions = 10)
+      val u1 = base.filter(col("c") % 10 === 3)
+        .withColumn("cents", col("cents") + 500)
+      val i1 = base.filter(col("c") % 31 === 7)
+        .select((-col("k")).as("k"), col("c"),
+          lit(100L).as("cents"), lit("N").as("st"))
+      VersionedParquet.upsert(s, root, u1.unionByName(i1), Seq("k"),
+        keepVersions = 10)
+      val u2a = base.filter(col("c") % 6 === 1)
+        .select(col("k"), col("c"),
+          (col("cents") + 1000).as("cents"), lit("U").as("st"))
+      val u2b = base.filter(col("c") % 31 === 7 && col("c") % 2 === 0)
+        .select((-col("k")).as("k"), col("c"),
+          lit(200L).as("cents"), lit("M").as("st"))
+      VersionedParquet.upsert(s, root, u2a.unionByName(u2b), Seq("k"),
+        keepVersions = 10)
+    }
+    root
+  }
+
   private[graft] def versionDiff(s: SparkSession, dir: String): DataFrame = {
     val root = publishedRoot(s, dir)
     val v0 = VersionedParquet.read(s, root, Some(0L)).select("doc_id", "lang")
@@ -394,6 +426,65 @@ object VersionOps {
              |UNION ALL
              |SELECT 2, count(*), CAST(sum(cents) AS BIGINT)
              |FROM o WHERE NOT d1 AND NOT d2
+             |ORDER BY version""".stripMargin)),
+
+    // ── Merge-on-read UPSERT (MERGE without rewriting the base) ──────────
+    // Two upserts land as metadata-only versions: the deletion vector
+    // masks replaced BASE rows, the cumulative `_delta` parquet carries
+    // new values + inserts, and reads resolve base ∖ vector ∪ delta
+    // (MergeOnReadSpec proves base files stay byte-identical and
+    // re-upserted delta keys supersede). v2 deliberately re-touches
+    // both a base band (vector path) and a subset of v1's own inserts
+    // (delta-supersede path), so a duplicated or dropped row on either
+    // path breaks count, cents-sum, AND key-sum. The oracle replays
+    // the two MERGE batches as pure relational algebra over `orders` —
+    // it never sees the format. q106 is the copy-on-write MERGE; this
+    // is the write-cheap O(changes) tier a 100 TB table needs for
+    // frequent small batches, with `compact` as the debt collector.
+    QueryDef("q137_merge_on_read",
+      (s, d) => {
+        val root = morRoot(s, d)
+        (0 to 2).map { v =>
+          VersionedParquet.read(s, root, Some(v.toLong))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("cents")).cast("long").as("sum_cents"),
+              sum(col("k")).cast("long").as("sum_keys"))
+            .select(lit(v).as("version"), col("n_rows"),
+              col("sum_cents"), col("sum_keys"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |         o_orderstatus AS st
+             |  FROM orders),
+             |u1 AS (SELECT k, c, cents + 500 AS cents, st
+             |       FROM base WHERE c % 10 = 3),
+             |i1 AS (SELECT -k AS k, c, CAST(100 AS BIGINT) AS cents,
+             |              'N' AS st
+             |       FROM base WHERE c % 31 = 7),
+             |v1 AS (
+             |  SELECT * FROM base WHERE c % 10 <> 3
+             |  UNION ALL SELECT * FROM u1
+             |  UNION ALL SELECT * FROM i1),
+             |u2 AS (
+             |  SELECT k, c, cents + 1000 AS cents, 'U' AS st
+             |  FROM base WHERE c % 6 = 1
+             |  UNION ALL
+             |  SELECT -k, c, CAST(200 AS BIGINT), 'M'
+             |  FROM base WHERE c % 31 = 7 AND c % 2 = 0),
+             |v2 AS (
+             |  SELECT * FROM v1 WHERE k NOT IN (SELECT k FROM u2)
+             |  UNION ALL SELECT * FROM u2)
+             |SELECT 0 AS version, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(sum(k) AS BIGINT) AS sum_keys FROM base
+             |UNION ALL
+             |SELECT 1, count(*), CAST(sum(cents) AS BIGINT),
+             |       CAST(sum(k) AS BIGINT) FROM v1
+             |UNION ALL
+             |SELECT 2, count(*), CAST(sum(cents) AS BIGINT),
+             |       CAST(sum(k) AS BIGINT) FROM v2
              |ORDER BY version""".stripMargin)),
 
     // ── Schema evolution across published versions ───────────────────────

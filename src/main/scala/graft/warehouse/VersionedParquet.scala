@@ -67,6 +67,12 @@ object VersionedParquet {
     * cumulative (file, pos) rows deleted from the base. */
   private[warehouse] val DV_DIR = "_dv"
 
+  /** Parquet subdirectory of a merge-on-read version holding the
+    * cumulative delta rows (updates' new values + inserts) layered
+    * over the base after the vector masks the replaced originals.
+    * Absent on pure-delete versions; see `upsert`. */
+  private[warehouse] val DELTA_DIR = "_delta"
+
   /** Row identity within a snapshot: the file path relative to the
     * version directory. Both the delete side (computing the vector)
     * and the read side (applying it) relativize with this SAME
@@ -78,6 +84,18 @@ object VersionedParquet {
 
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Whether `dir` holds at least one parquet data file. Spark writes
+    * no part files for an empty DataFrame (only `_SUCCESS`), so this is
+    * the existence test for an optional delta tier — schema inference
+    * over a fileless directory would throw. Deltas are written flat
+    * (unpartitioned), so a shallow listing suffices. */
+  private def hasParquetData(spark: SparkSession, dir: Path): Boolean = {
+    val fs = fsOf(spark, dir)
+    fs.exists(dir) && fs.listStatus(dir)
+      .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+        st.getLen > 0)
+  }
 
   /** Pointer reads go through FileContext; pointer WRITES on the local
     * scheme go through pure java.nio (see installPointer). Both Hadoop
@@ -359,8 +377,10 @@ object VersionedParquet {
     * physical snapshot; for a deletion-vector version, the BASE
     * snapshot's files with the vector anti-joined out on
     * (file, `_metadata.row_index`) — files are never rewritten, rows
-    * vanish at scan time. The vector is cumulative, so exactly one
-    * anti-join applies regardless of how many deletes preceded. */
+    * vanish at scan time — then the delta tier (updates' new values +
+    * inserts, see `upsert`) unioned on top. Vector and delta are both
+    * cumulative, so exactly one anti-join and one union apply
+    * regardless of how many deletes/upserts preceded. */
   private def dataFrameOf(spark: SparkSession, root: String,
                           v: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -373,11 +393,15 @@ object VersionedParquet {
         // dir, which schema inference would refuse
         val dv = spark.read.schema("_file STRING, _pos BIGINT")
           .parquet(new Path(snapshot, DV_DIR).toString)
-        data
+        val masked = data
           .withColumn("_file", relFile)
           .withColumn("_pos", col("_metadata.row_index"))
           .join(dv, Seq("_file", "_pos"), "left_anti")
           .drop("_file", "_pos")
+        val deltaDir = new Path(snapshot, DELTA_DIR)
+        if (hasParquetData(spark, deltaDir))
+          masked.unionByName(spark.read.parquet(deltaDir.toString))
+        else masked
     }
   }
 
@@ -460,6 +484,18 @@ object VersionedParquet {
     prior.union(hits).distinct()
       .write.mode("overwrite")
       .parquet(new Path(snapshot, DV_DIR).toString)
+    // The delete applies to the whole LOGICAL table: rows living in the
+    // prior version's delta tier (upserted/inserted rows) are filtered
+    // out of the carried-forward delta — they have no (file, pos) in
+    // the base, so the vector cannot reach them. SQL DELETE semantics:
+    // only rows where the predicate is TRUE go; NULL keeps.
+    val priorDelta = new Path(new Path(rootPath, versionName(v)), DELTA_DIR)
+    if (hasParquetData(spark, priorDelta))
+      spark.read.parquet(priorDelta.toString)
+        .filter(org.apache.spark.sql.functions.coalesce(
+          predicate, org.apache.spark.sql.functions.lit(false)) === false)
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, DELTA_DIR).toString)
     installPointer(spark, snapshot, BASE_MARKER, base)
     installPointer(spark, snapshot, "_SUCCESS", "")
     try installPointer(spark, rootPath, POINTER, versionName(next))
@@ -467,6 +503,89 @@ object VersionedParquet {
       case e: IOException =>
         throw new IOException(s"could not swap pointer for $root; live " +
           s"table unchanged, staged delete at $snapshot", e)
+    }
+    vacuum(spark, root, keepVersions)
+    snapshot.toString
+  }
+
+  /** Merge-on-read UPSERT — the MERGE analogue that moves no base
+    * bytes. Publishes version N+1 holding only metadata + the change
+    * set: the cumulative deletion vector grows by the (file, pos) of
+    * base rows whose key matches an incoming row (they are REPLACED —
+    * masked at scan time), and the cumulative `_delta` parquet carries
+    * every incoming row (matched ⇒ its new values, unmatched ⇒ an
+    * insert) plus prior delta rows whose key the incoming set does not
+    * touch. Reads resolve base ∖ vector ∪ delta; time travel to every
+    * older version — physical or merge-on-read — is untouched.
+    *
+    * Cost: O(|updates| + |prior delta|) — the base table is scanned
+    * once to locate replaced rows but never rewritten. This is the
+    * write-cheap/read-costlier half of the MERGE trade-off (q106's
+    * copy-on-write MERGE is the other); `compact` converts the debt
+    * into a fresh physical snapshot when the delta tier grows past the
+    * point where the scan-time anti-join+union pays. Incoming rows are
+    * aligned to the base schema by name (extra columns rejected — an
+    * upsert cannot evolve the schema; use `publish` for that), and
+    * must be unique on `keyCols`: two new values for one key in a
+    * single batch has no deterministic MERGE meaning, so it throws. */
+  def upsert(spark: SparkSession, root: String, updates: DataFrame,
+             keyCols: Seq[String], keepVersions: Int = 2): String = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IOException(s"no published version under $root"))
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val base = readPointer(spark,
+      new Path(new Path(rootPath, versionName(v)), BASE_MARKER))
+      .getOrElse(versionName(v))
+    val baseData = spark.read.parquet(new Path(rootPath, base).toString)
+    val baseCols = baseData.columns.toSeq
+    val extra = updates.columns.filterNot(baseCols.contains)
+    if (extra.nonEmpty)
+      throw new IOException(s"upsert cannot add columns ${extra.mkString(",")}" +
+        s" to $root; publish a new schema instead")
+    val aligned = updates.select(baseCols.map(updates(_)): _*)
+    if (aligned.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
+        .count() > 0)
+      throw new IOException("upsert batch has duplicate keys on (" +
+        keyCols.mkString(",") + "); MERGE is nondeterministic")
+    val keys = aligned.select(keyCols.map(col): _*).distinct()
+    val next = v + 1
+    val snapshot = new Path(rootPath, versionName(next))
+    fs.delete(snapshot, true)
+    // replaced base rows join the vector; the incoming row supersedes
+    val hits = baseData
+      .withColumn("_file", relFile)
+      .withColumn("_pos", col("_metadata.row_index"))
+      .join(keys, keyCols, "left_semi")
+      .select("_file", "_pos")
+    val prior =
+      if (base == versionName(v)) hits.limit(0)
+      else spark.read.schema("_file STRING, _pos BIGINT").parquet(
+        new Path(new Path(rootPath, versionName(v)), DV_DIR).toString)
+    prior.union(hits).distinct()
+      .write.mode("overwrite")
+      .parquet(new Path(snapshot, DV_DIR).toString)
+    // carried-forward delta: prior delta rows whose key is re-upserted
+    // are superseded by the incoming row (anti-join), not duplicated
+    val priorDelta = new Path(new Path(rootPath, versionName(v)), DELTA_DIR)
+    val carried =
+      if (hasParquetData(spark, priorDelta))
+        spark.read.parquet(priorDelta.toString)
+          .join(keys, keyCols, "left_anti")
+      else aligned.limit(0)
+    carried.unionByName(aligned)
+      .write.mode("overwrite")
+      .parquet(new Path(snapshot, DELTA_DIR).toString)
+    installPointer(spark, snapshot, BASE_MARKER, base)
+    installPointer(spark, snapshot, "_SUCCESS", "")
+    try installPointer(spark, rootPath, POINTER, versionName(next))
+    catch {
+      case e: IOException =>
+        throw new IOException(s"could not swap pointer for $root; live " +
+          s"table unchanged, staged upsert at $snapshot", e)
     }
     vacuum(spark, root, keepVersions)
     snapshot.toString

@@ -1,0 +1,146 @@
+package graft.warehouse
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read UPSERT (q137's machinery): a MERGE must move zero
+  * base bytes — the new version holds only the grown deletion vector
+  * and the cumulative delta parquet — while reads resolve
+  * base ∖ vector ∪ delta exactly: matched keys take the incoming
+  * values, unmatched keys insert, re-upserted delta keys supersede
+  * (never duplicate), deletes reach delta rows the vector cannot,
+  * and compaction materializes the whole logical state.
+  */
+class MergeOnReadSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-mor-$tag").toString
+
+  private def dataFiles(dir: String): Map[String, Long] = {
+    val root = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(root).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath.stripPrefix(root.getAbsolutePath) ->
+        f.length()).toMap
+  }
+
+  test("upsert rewrites no base file; updates replace, inserts append") {
+    import spark.implicits._
+    val root = tmp("basic")
+    VersionedParquet.publish(
+      (0L until 100L).map(i => (i, i * 10, "base")).toDF("id", "x", "tag")
+        .repartition(4), root, keepVersions = 10)
+    val v0Files = dataFiles(s"$root/v00000000")
+
+    // 10 updates (ids 0,10,..,90) + 5 inserts (ids 1000..1004)
+    val batch = ((0L until 100L by 10L).map(i => (i, i * 10 + 1, "upd")) ++
+      (1000L until 1005L).map(i => (i, -1L, "ins"))).toDF("id", "x", "tag")
+    VersionedParquet.upsert(spark, root, batch, Seq("id"),
+      keepVersions = 10)
+
+    assert(dataFiles(s"$root/v00000000") === v0Files,
+      "upsert must not rewrite any base data file")
+    assert(dataFiles(s"$root/v00000001").keySet
+      .forall(p => p.contains("/_dv/") || p.contains("/_delta/")),
+      "a merge-on-read version holds only vector + delta")
+
+    val live = VersionedParquet.read(spark, root)
+    assert(live.count() === 105)
+    assert(live.filter($"tag" === "upd").count() === 10)
+    assert(live.filter($"tag" === "ins").count() === 5)
+    // matched keys carry the incoming values, exactly once
+    assert(live.filter($"id" === 20).collect().toSeq ===
+      Seq(org.apache.spark.sql.Row(20L, 201L, "upd")))
+    // untouched rows unchanged
+    assert(live.filter($"id" === 21).head().getLong(1) === 210)
+    // time travel: v0 pristine
+    assert(VersionedParquet.read(spark, root, Some(0L))
+      .filter($"tag" =!= "base").count() === 0)
+  }
+
+  test("chained upserts supersede delta keys; deletes reach the delta") {
+    import spark.implicits._
+    val root = tmp("chain")
+    VersionedParquet.publish(
+      (0L until 50L).map(i => (i, 0L)).toDF("id", "n"), root,
+      keepVersions = 10)
+    // v1: update id 7, insert id 100
+    VersionedParquet.upsert(spark, root,
+      Seq((7L, 1L), (100L, 1L)).toDF("id", "n"), Seq("id"),
+      keepVersions = 10)
+    // v2: RE-upsert both (7 was a masked-base update, 100 a delta
+    // insert) — each must supersede, not duplicate
+    VersionedParquet.upsert(spark, root,
+      Seq((7L, 2L), (100L, 2L)).toDF("id", "n"), Seq("id"),
+      keepVersions = 10)
+    val v2 = VersionedParquet.read(spark, root)
+    assert(v2.count() === 51)
+    assert(v2.filter($"id" === 7).select("n").as[Long].collect()
+      === Array(2L))
+    assert(v2.filter($"id" === 100).select("n").as[Long].collect()
+      === Array(2L))
+    // v3: delete n = 2 — one victim lives in the BASE's replacement
+    // (id 7's current row is delta), one is a pure insert; both rows
+    // are delta-resident, invisible to the vector
+    VersionedParquet.delete(spark, root, col("n") === 2L,
+      keepVersions = 10)
+    val v3 = VersionedParquet.read(spark, root)
+    assert(v3.count() === 49)
+    assert(v3.filter($"id".isin(7L, 100L)).count() === 0)
+    // every version of the chain still resolves
+    assert(VersionedParquet.read(spark, root, Some(1L)).count() === 51)
+    assert(VersionedParquet.read(spark, root, Some(2L)).count() === 51)
+    assert(VersionedParquet.read(spark, root, Some(0L)).count() === 50)
+  }
+
+  test("duplicate keys and new columns are rejected") {
+    import spark.implicits._
+    val root = tmp("reject")
+    VersionedParquet.publish(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("id", "s")
+    val e1 = intercept[java.io.IOException] {
+      VersionedParquet.upsert(spark, root, dup, Seq("id"))
+    }
+    assert(e1.getMessage.contains("duplicate keys"))
+    val wide = Seq((1L, "x", 9L)).toDF("id", "s", "extra")
+    val e2 = intercept[java.io.IOException] {
+      VersionedParquet.upsert(spark, root, wide, Seq("id"))
+    }
+    assert(e2.getMessage.contains("cannot add columns"))
+    // failed upserts leave the table untouched
+    assert(VersionedParquet.currentVersion(spark, root) === Some(0L))
+    assert(VersionedParquet.read(spark, root).count() === 2)
+  }
+
+  test("compact materializes base ∖ vector ∪ delta into a physical snapshot") {
+    import spark.implicits._
+    val root = tmp("compact")
+    VersionedParquet.publish(
+      (0L until 200L).map(i => (i, i)).toDF("id", "n"), root,
+      keepVersions = 10)
+    VersionedParquet.upsert(spark, root,
+      (0L until 10L).map(i => (i, -i)).toDF("id", "n") union
+        Seq((999L, 999L)).toDF("id", "n"), Seq("id"), keepVersions = 10)
+    VersionedParquet.delete(spark, root, col("id") === 999L,
+      keepVersions = 10)
+    val logical = VersionedParquet.read(spark, root)
+      .orderBy("id").collect().toSeq
+    VersionedParquet.compact(spark, root, targetBytes = 1L << 20)
+    val files = dataFiles(s"$root/v00000003")
+    assert(files.nonEmpty &&
+      files.keySet.forall(p => !p.contains("/_dv/") && !p.contains("/_delta/")),
+      "compacted snapshot must be physical")
+    assert(VersionedParquet.read(spark, root).orderBy("id")
+      .collect().toSeq === logical)
+  }
+}
