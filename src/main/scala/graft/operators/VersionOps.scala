@@ -487,6 +487,73 @@ object VersionOps {
              |       CAST(sum(k) AS BIGINT) FROM v2
              |ORDER BY version""".stripMargin)),
 
+    // ── Change data feed across versions ─────────────────────────────────
+    // upsert/delete record their exact row-level changes (insert /
+    // update_pre / update_post / delete) in a `_cdf` parquet atomic
+    // with the version; `changes` replays (from, to] — O(changes), not
+    // O(table), the 100 TB answer to "what moved since v0". The feed
+    // over q137's chain is summarized per (version, change_type); the
+    // oracle re-derives every class from the MERGE algebra, including
+    // the subtle one: v2's pre-images for keys already updated in v1
+    // must carry the V1 values (delta pre-image), not the masked base
+    // row — `v1 WHERE k IN u2` states exactly that. MergeOnReadSpec
+    // proves the per-step apply invariant read(v+1) ≡ read(v) ∖ pre ⊎
+    // post as multisets.
+    QueryDef("q138_change_feed",
+      (s, d) => {
+        val root = morRoot(s, d)
+        VersionedParquet.changes(s, root, 0L, 2L)
+          .groupBy(col("_commit_version").cast("int").as("version"),
+            col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            sum(col("k")).cast("long").as("sum_keys"))
+          .orderBy("version", "change_type")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |         o_orderstatus AS st
+             |  FROM orders),
+             |u1 AS (SELECT k, c, cents + 500 AS cents, st
+             |       FROM base WHERE c % 10 = 3),
+             |i1 AS (SELECT -k AS k, c, CAST(100 AS BIGINT) AS cents,
+             |              'N' AS st
+             |       FROM base WHERE c % 31 = 7),
+             |v1 AS (
+             |  SELECT * FROM base WHERE c % 10 <> 3
+             |  UNION ALL SELECT * FROM u1
+             |  UNION ALL SELECT * FROM i1),
+             |u2 AS (
+             |  SELECT k, c, cents + 1000 AS cents, 'U' AS st
+             |  FROM base WHERE c % 6 = 1
+             |  UNION ALL
+             |  SELECT -k, c, CAST(200 AS BIGINT), 'M'
+             |  FROM base WHERE c % 31 = 7 AND c % 2 = 0)
+             |SELECT * FROM (
+             |  SELECT 1 AS version, 'update_pre' AS change_type,
+             |         count(*) AS n_rows,
+             |         CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |         CAST(sum(k) AS BIGINT) AS sum_keys
+             |  FROM base WHERE c % 10 = 3
+             |  UNION ALL
+             |  SELECT 1, 'update_post', count(*),
+             |         CAST(sum(cents) AS BIGINT), CAST(sum(k) AS BIGINT)
+             |  FROM u1
+             |  UNION ALL
+             |  SELECT 1, 'insert', count(*),
+             |         CAST(sum(cents) AS BIGINT), CAST(sum(k) AS BIGINT)
+             |  FROM i1
+             |  UNION ALL
+             |  SELECT 2, 'update_pre', count(*),
+             |         CAST(sum(cents) AS BIGINT), CAST(sum(k) AS BIGINT)
+             |  FROM v1 WHERE k IN (SELECT k FROM u2)
+             |  UNION ALL
+             |  SELECT 2, 'update_post', count(*),
+             |         CAST(sum(cents) AS BIGINT), CAST(sum(k) AS BIGINT)
+             |  FROM u2) t
+             |ORDER BY version, change_type""".stripMargin)),
+
     // ── Schema evolution across published versions ───────────────────────
     // v0 publishes without `quality`, v1 adds it; the pinned v0 read
     // null-fills the added column (n_v0_quality_null == n_v0 proves the

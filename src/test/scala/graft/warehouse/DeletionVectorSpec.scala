@@ -45,8 +45,9 @@ class DeletionVectorSpec extends AnyFunSuite {
     // base files untouched, byte for byte; v1 holds no parquet data
     assert(dataFiles(s"$root/v00000000") === v0Files,
       "delete must not rewrite any base data file")
-    assert(dataFiles(s"$root/v00000001").keySet.forall(_.contains("/_dv/")),
-      "a DV version must hold only the vector")
+    assert(dataFiles(s"$root/v00000001").keySet
+      .forall(p => p.contains("/_dv/") || p.contains("/_cdf/")),
+      "a DV version must hold only the vector + change feed")
 
     val live = VersionedParquet.read(spark, root)
     assert(live.count() === 900)

@@ -50,8 +50,9 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(dataFiles(s"$root/v00000000") === v0Files,
       "upsert must not rewrite any base data file")
     assert(dataFiles(s"$root/v00000001").keySet
-      .forall(p => p.contains("/_dv/") || p.contains("/_delta/")),
-      "a merge-on-read version holds only vector + delta")
+      .forall(p => p.contains("/_dv/") || p.contains("/_delta/") ||
+        p.contains("/_cdf/")),
+      "a merge-on-read version holds only vector + delta + change feed")
 
     val live = VersionedParquet.read(spark, root)
     assert(live.count() === 105)
@@ -120,6 +121,52 @@ class MergeOnReadSpec extends AnyFunSuite {
     // failed upserts leave the table untouched
     assert(VersionedParquet.currentVersion(spark, root) === Some(0L))
     assert(VersionedParquet.read(spark, root).count() === 2)
+  }
+
+  test("change feed: apply invariant holds per step; physical versions refuse") {
+    import spark.implicits._
+    val root = tmp("cdf")
+    VersionedParquet.publish(
+      (0L until 80L).map(i => (i, i)).toDF("id", "n"), root,
+      keepVersions = 10)
+    // v1: update 0..7, insert 200/201; v2: re-update 0..3 + the insert
+    // 200 (delta pre-images), insert 300; v3: delete n >= 500
+    VersionedParquet.upsert(spark, root,
+      ((0L until 8L).map(i => (i, i + 1000L)) ++
+        Seq((200L, 1L), (201L, 2L))).toDF("id", "n"), Seq("id"),
+      keepVersions = 10)
+    VersionedParquet.upsert(spark, root,
+      ((0L until 4L).map(i => (i, i + 5000L)) ++
+        Seq((200L, 5001L), (300L, 42L))).toDF("id", "n"), Seq("id"),
+      keepVersions = 10)
+    VersionedParquet.delete(spark, root, col("n") >= 500L,
+      keepVersions = 10)
+    for (v <- 0L until 3L) {
+      val feed = VersionedParquet.changes(spark, root, v, v + 1)
+      val gone = feed
+        .filter($"_change_type".isin("update_pre", "delete"))
+        .drop("_change_type", "_commit_version")
+      val came = feed
+        .filter($"_change_type".isin("update_post", "insert"))
+        .drop("_change_type", "_commit_version")
+      val applied = VersionedParquet.read(spark, root, Some(v))
+        .exceptAll(gone).unionAll(came)
+      val target = VersionedParquet.read(spark, root, Some(v + 1))
+      assert(applied.exceptAll(target).isEmpty &&
+        target.exceptAll(applied).isEmpty,
+        s"apply invariant broken at step $v -> ${v + 1}")
+    }
+    // pre-images of a twice-updated key come from the DELTA, not the
+    // masked base: id 0's v2 pre-image must be 1000, not 0
+    val v2pre = VersionedParquet.changes(spark, root, 1, 2)
+      .filter($"_change_type" === "update_pre" && $"id" === 0L)
+      .select("n").as[Long].collect()
+    assert(v2pre.toSeq === Seq(1000L))
+    // a range crossing the physical publish fails loudly
+    val e = intercept[java.io.IOException] {
+      VersionedParquet.changes(spark, root, -1, 0).collect()
+    }
+    assert(e.getMessage.contains("no change feed"))
   }
 
   test("compact materializes base ∖ vector ∪ delta into a physical snapshot") {
