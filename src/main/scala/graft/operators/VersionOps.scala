@@ -91,6 +91,29 @@ object VersionOps {
     root
   }
 
+  /** q139 scratch table: documents projected to (doc_id, lang,
+    * n_chars), published once, then ONE keyed merge applying updates,
+    * inserts, AND keyed deletes in a single version. Once per session. */
+  private[graft] def keyedMergeRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q139-keyed-merge")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val base = Tables.documents(s, dir)
+        .select("doc_id", "lang", "n_chars")
+      VersionedParquet.publish(base, root, keepVersions = 10)
+      val updates = base.filter(col("doc_id") % 5 === 1)
+        .withColumn("n_chars", col("n_chars") + 100)
+      val inserts = base.filter(col("doc_id") % 11 === 3)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          lit(7L).as("n_chars"))
+      val deletes = base.filter(col("doc_id") % 7 === 2 &&
+          col("doc_id") % 5 =!= 1)
+        .select("doc_id")
+      VersionedParquet.merge(s, root, updates.unionByName(inserts),
+        deletes, Seq("doc_id"), keepVersions = 10)
+    }
+    root
+  }
+
   private[graft] def versionDiff(s: SparkSession, dir: String): DataFrame = {
     val root = publishedRoot(s, dir)
     val v0 = VersionedParquet.read(s, root, Some(0L)).select("doc_id", "lang")
@@ -553,6 +576,70 @@ object VersionOps {
              |         CAST(sum(cents) AS BIGINT), CAST(sum(k) AS BIGINT)
              |  FROM u2) t
              |ORDER BY version, change_type""".stripMargin)),
+
+    // ── Keyed MERGE: upserts + keyed deletes in ONE version ──────────────
+    // The general merge-on-read write (MERGE WHEN MATCHED UPDATE /
+    // WHEN NOT MATCHED INSERT / WHEN MATCHED DELETE): one published
+    // version applies updates to one doc band, inserts shifted-key
+    // rows for another, and deletes a third — base files untouched,
+    // vector + delta + feed grow by O(changes). This is also the
+    // primitive under MorStream's streaming CDC apply (spec-proven
+    // across a checkpoint restart); the gate pins its batch semantics:
+    // live per-lang state AND the feed's four change classes, both
+    // hash-checked against an oracle replaying the MERGE as algebra.
+    QueryDef("q139_keyed_merge",
+      (s, d) => {
+        val root = keyedMergeRoot(s, d)
+        val live = VersionedParquet.read(s, root)
+          .groupBy(concat(lit("live_"), col("lang")).as("label"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(col("doc_id")).cast("long").as("sum_keys"))
+        val feed = VersionedParquet.changes(s, root, 0L, 1L)
+          .groupBy(concat(lit("cdf_"), col("_change_type")).as("label"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).cast("long").as("sum_chars"),
+            sum(col("doc_id")).cast("long").as("sum_keys"))
+        live.unionByName(feed).orderBy("label")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, n_chars FROM documents),
+             |upd AS (SELECT doc_id, lang, n_chars + 100 AS n_chars
+             |        FROM base WHERE doc_id % 5 = 1),
+             |ins AS (SELECT doc_id + 10000000 AS doc_id, lang,
+             |               CAST(7 AS BIGINT) AS n_chars
+             |        FROM base WHERE doc_id % 11 = 3),
+             |v1 AS (
+             |  SELECT * FROM base
+             |  WHERE doc_id % 5 <> 1 AND doc_id % 7 <> 2
+             |  UNION ALL SELECT * FROM upd
+             |  UNION ALL SELECT * FROM ins)
+             |SELECT * FROM (
+             |  SELECT 'live_' || lang AS label, count(*) AS n_rows,
+             |         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |         CAST(sum(doc_id) AS BIGINT) AS sum_keys
+             |  FROM v1 GROUP BY lang
+             |  UNION ALL
+             |  SELECT 'cdf_update_pre', count(*),
+             |         CAST(sum(n_chars) AS BIGINT),
+             |         CAST(sum(doc_id) AS BIGINT)
+             |  FROM base WHERE doc_id % 5 = 1
+             |  UNION ALL
+             |  SELECT 'cdf_update_post', count(*),
+             |         CAST(sum(n_chars) AS BIGINT),
+             |         CAST(sum(doc_id) AS BIGINT)
+             |  FROM upd
+             |  UNION ALL
+             |  SELECT 'cdf_insert', count(*),
+             |         CAST(sum(n_chars) AS BIGINT),
+             |         CAST(sum(doc_id) AS BIGINT)
+             |  FROM ins
+             |  UNION ALL
+             |  SELECT 'cdf_delete', count(*),
+             |         CAST(sum(n_chars) AS BIGINT),
+             |         CAST(sum(doc_id) AS BIGINT)
+             |  FROM base WHERE doc_id % 7 = 2 AND doc_id % 5 <> 1) t
+             |ORDER BY label""".stripMargin)),
 
     // ── Schema evolution across published versions ───────────────────────
     // v0 publishes without `quality`, v1 adds it; the pinned v0 read

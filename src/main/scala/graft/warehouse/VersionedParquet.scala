@@ -543,9 +543,28 @@ object VersionedParquet {
     * must be unique on `keyCols`: two new values for one key in a
     * single batch has no deterministic MERGE meaning, so it throws. */
   def upsert(spark: SparkSession, root: String, updates: DataFrame,
-             keyCols: Seq[String], keepVersions: Int = 2): String = {
+             keyCols: Seq[String], keepVersions: Int = 2,
+             markers: Map[String, String] = Map.empty): String =
+    merge(spark, root, updates, updates.limit(0).select(
+      keyCols.map(org.apache.spark.sql.functions.col): _*),
+      keyCols, keepVersions, markers)
+
+  /** Keyed MERGE, the general merge-on-read write: one published
+    * version applies `upserts` (matched ⇒ update, unmatched ⇒ insert)
+    * AND removes every key in `deleteKeys` — the WHEN MATCHED THEN
+    * DELETE clause. Same cost shape as `upsert` (which is this with no
+    * deletes): base scanned once, never rewritten; vector, delta, and
+    * change feed all grow by O(changes). A key appearing in both
+    * `upserts` and `deleteKeys` has no deterministic meaning and
+    * throws, as do duplicate upsert keys. `markers` land inside the
+    * snapshot before the pointer swap (atomic-with-version) — the
+    * streaming sink's exactly-once batch id rides here. */
+  def merge(spark: SparkSession, root: String, upserts: DataFrame,
+            deleteKeys: DataFrame, keyCols: Seq[String],
+            keepVersions: Int = 2,
+            markers: Map[String, String] = Map.empty): String = {
     import org.apache.spark.sql.functions.{col, count, lit}
-    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(keyCols.nonEmpty, "merge needs at least one key column")
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root"))
     val rootPath = new Path(root)
@@ -555,25 +574,31 @@ object VersionedParquet {
       .getOrElse(versionName(v))
     val baseData = spark.read.parquet(new Path(rootPath, base).toString)
     val baseCols = baseData.columns.toSeq
-    val extra = updates.columns.filterNot(baseCols.contains)
+    val extra = upserts.columns.filterNot(baseCols.contains)
     if (extra.nonEmpty)
-      throw new IOException(s"upsert cannot add columns ${extra.mkString(",")}" +
+      throw new IOException(s"merge cannot add columns ${extra.mkString(",")}" +
         s" to $root; publish a new schema instead")
-    val aligned = updates.select(baseCols.map(updates(_)): _*)
+    val aligned = upserts.select(baseCols.map(upserts(_)): _*)
     if (aligned.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
         .count() > 0)
-      throw new IOException("upsert batch has duplicate keys on (" +
+      throw new IOException("merge batch has duplicate keys on (" +
         keyCols.mkString(",") + "); MERGE is nondeterministic")
-    val keys = aligned.select(keyCols.map(col): _*).distinct()
+    val upKeys = aligned.select(keyCols.map(col): _*).distinct()
+    val delKeys = deleteKeys.select(keyCols.map(deleteKeys(_)): _*).distinct()
+    if (upKeys.join(delKeys, keyCols, "left_semi").limit(1).count() > 0)
+      throw new IOException("merge batch upserts AND deletes the same " +
+        s"key on (${keyCols.mkString(",")}); MERGE is nondeterministic")
+    val touched = upKeys.union(delKeys)
     val next = v + 1
     val snapshot = new Path(rootPath, versionName(next))
     fs.delete(snapshot, true)
-    // replaced base rows join the vector; the incoming row supersedes
+    // touched base rows join the vector: replaced (upsert) or removed
+    // (delete) — either way the base row vanishes at scan time
     val hits = baseData
       .withColumn("_file", relFile)
       .withColumn("_pos", col("_metadata.row_index"))
-      .join(keys, keyCols, "left_semi")
+      .join(touched, keyCols, "left_semi")
       .select("_file", "_pos")
     val prior =
       if (base == versionName(v)) hits.limit(0)
@@ -583,12 +608,12 @@ object VersionedParquet {
       .write.mode("overwrite")
       .parquet(new Path(snapshot, DV_DIR).toString)
     // carried-forward delta: prior delta rows whose key is re-upserted
-    // are superseded by the incoming row (anti-join), not duplicated
+    // or deleted are superseded/removed (anti-join), not duplicated
     val priorDelta = new Path(new Path(rootPath, versionName(v)), DELTA_DIR)
     val carried =
       if (hasParquetData(spark, priorDelta))
         spark.read.parquet(priorDelta.toString)
-          .join(keys, keyCols, "left_anti")
+          .join(touched, keyCols, "left_anti")
       else aligned.limit(0)
     carried.unionByName(aligned)
       .write.mode("overwrite")
@@ -597,27 +622,30 @@ object VersionedParquet {
     // superseded (NOT the raw base: a key updated twice must show its
     // previous delta row, and a key whose base row is already masked
     // must not resurface it); incoming rows split into update_post
-    // (key existed) vs insert. O(changes) rows, atomic with the
-    // version.
+    // (key existed) vs insert; deleted rows record their full image.
+    // O(changes) rows, atomic with the version.
     val current = dataFrameOf(spark, rootPath.toString, v)
-    val pre = current.join(keys, keyCols, "left_semi")
+    val pre = current.join(upKeys, keyCols, "left_semi")
       .withColumn("_change_type", lit("update_pre"))
-    val matched = keys.join(current.select(keyCols.map(col): _*),
+    val del = current.join(delKeys, keyCols, "left_semi")
+      .withColumn("_change_type", lit("delete"))
+    val matched = upKeys.join(current.select(keyCols.map(col): _*),
       keyCols, "left_semi")
     val post = aligned.join(matched, keyCols, "left_semi")
       .withColumn("_change_type", lit("update_post"))
     val ins = aligned.join(matched, keyCols, "left_anti")
       .withColumn("_change_type", lit("insert"))
-    pre.unionByName(post).unionByName(ins)
+    pre.unionByName(del).unionByName(post).unionByName(ins)
       .write.mode("overwrite")
       .parquet(new Path(snapshot, CDF_DIR).toString)
-    installPointer(spark, snapshot, BASE_MARKER, base)
+    (markers + (BASE_MARKER -> base)).foreach { case (name, content) =>
+      installPointer(spark, snapshot, name, content) }
     installPointer(spark, snapshot, "_SUCCESS", "")
     try installPointer(spark, rootPath, POINTER, versionName(next))
     catch {
       case e: IOException =>
         throw new IOException(s"could not swap pointer for $root; live " +
-          s"table unchanged, staged upsert at $snapshot", e)
+          s"table unchanged, staged merge at $snapshot", e)
     }
     vacuum(spark, root, keepVersions)
     snapshot.toString
