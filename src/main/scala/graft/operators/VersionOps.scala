@@ -114,6 +114,26 @@ object VersionOps {
     root
   }
 
+  /** q140 scratch table: orders published as 24 deliberately-small
+    * files, one deletion-vector band delete, then incremental
+    * compaction bin-packs every small file into the delta tier
+    * (metadata-only version, base untouched). Once per session. */
+  private[graft] def smallFilesRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q140-compact-small")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.repartition(24), root, keepVersions = 10)
+      VersionedParquet.delete(s, root, col("o_orderkey") % 9 === 4,
+        keepVersions = 10)
+      VersionedParquet.compactSmallFiles(s, root,
+        smallBytes = Long.MaxValue, targetBytes = 1L << 20,
+        keepVersions = 10)
+    }
+    root
+  }
+
   private[graft] def versionDiff(s: SparkSession, dir: String): DataFrame = {
     val root = publishedRoot(s, dir)
     val v0 = VersionedParquet.read(s, root, Some(0L)).select("doc_id", "lang")
@@ -640,6 +660,48 @@ object VersionOps {
              |         CAST(sum(doc_id) AS BIGINT)
              |  FROM base WHERE doc_id % 7 = 2 AND doc_id % 5 <> 1) t
              |ORDER BY label""".stripMargin)),
+
+    // ── Incremental small-file compaction (bin-pack, not rewrite) ────────
+    // v2 is a metadata-only maintenance version: every small base file's
+    // LIVE rows (vector applied) bin-packed into the delta tier, the
+    // packed files recorded in an `_EXCLUDEFILES` manifest the scan
+    // prunes at LIST time — big files are never read, moved, or
+    // rewritten (MergeOnReadSpec proves via inputFiles that packed
+    // files are never opened again and base bytes are untouched). The
+    // gate reads all three versions: v2 must equal v1 EXACTLY (physical
+    // maintenance, zero logical change) and v0 must still time-travel
+    // across the maintenance version. At 100 TB this is OPTIMIZE that
+    // costs O(small-file debt), not O(table).
+    QueryDef("q140_compact_small_files",
+      (s, d) => {
+        val root = smallFilesRoot(s, d)
+        (0 to 2).map { v =>
+          VersionedParquet.read(s, root, Some(v.toLong))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("cents")).cast("long").as("sum_cents"),
+              countDistinct(col("o_orderpriority")).as("n_prio"))
+            .select(lit(v).as("version"), col("n_rows"),
+              col("sum_cents"), col("n_prio"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |         o_orderpriority
+             |  FROM orders)
+             |SELECT 0 AS version, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(DISTINCT o_orderpriority) AS n_prio
+             |FROM o
+             |UNION ALL
+             |SELECT 1, count(*), CAST(sum(cents) AS BIGINT),
+             |       count(DISTINCT o_orderpriority)
+             |FROM o WHERE o_orderkey % 9 <> 4
+             |UNION ALL
+             |SELECT 2, count(*), CAST(sum(cents) AS BIGINT),
+             |       count(DISTINCT o_orderpriority)
+             |FROM o WHERE o_orderkey % 9 <> 4
+             |ORDER BY version""".stripMargin)),
 
     // ── Schema evolution across published versions ───────────────────────
     // v0 publishes without `quality`, v1 adds it; the pinned v0 read

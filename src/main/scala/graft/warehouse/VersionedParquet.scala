@@ -80,6 +80,18 @@ object VersionedParquet {
     * cost — atomically with the version; see `changes`. */
   private[warehouse] val CDF_DIR = "_cdf"
 
+  /** Marker on a version whose logical content is IDENTICAL to its
+    * predecessor (physical maintenance only — `compactSmallFiles`):
+    * `changes` treats it as an empty change set instead of failing. */
+  private[warehouse] val CDF_EMPTY_MARKER = "_CDF_EMPTY"
+
+  /** Marker listing base-relative data files a merge-on-read version
+    * EXCLUDES from its base scan (newline-separated): their live rows
+    * were bin-packed into the delta tier by `compactSmallFiles`, so
+    * the scan never opens them — file-level pruning of compacted
+    * small-file debt without touching the rest of the base. */
+  private[warehouse] val EXCLUDE_MARKER = "_EXCLUDEFILES"
+
   /** Row identity within a snapshot: the file path relative to the
     * version directory. Both the delete side (computing the vector)
     * and the read side (applying it) relativize with this SAME
@@ -102,6 +114,25 @@ object VersionedParquet {
     fs.exists(dir) && fs.listStatus(dir)
       .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
         st.getLen > 0)
+  }
+
+  /** All parquet data files under a snapshot directory (recursive, so
+    * Hive-partitioned layouts resolve), as (snapshot-relative path,
+    * bytes). Relative paths use the same convention as `relFile`, so
+    * exclusion lists, deletion vectors, and stats sidecars all name
+    * files identically. */
+  private def listDataFiles(spark: SparkSession,
+                            snapshot: Path): Seq[(String, Long)] = {
+    val fs = fsOf(spark, snapshot)
+    val prefix = snapshot.toUri.getPath + "/"
+    def walk(p: Path): Seq[(String, Long)] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+          Seq(st.getPath.toUri.getPath.stripPrefix(prefix) -> st.getLen)
+        else Nil
+      }
+    walk(snapshot).sortBy(_._1)
   }
 
   /** Pointer reads go through FileContext; pointer WRITES on the local
@@ -395,7 +426,26 @@ object VersionedParquet {
     readPointer(spark, new Path(snapshot, BASE_MARKER)) match {
       case None => spark.read.parquet(snapshot.toString)
       case Some(base) =>
-        val data = spark.read.parquet(new Path(root, base).toString)
+        val baseDir = new Path(root, base)
+        // files bin-packed into the delta by compactSmallFiles are
+        // pruned at LIST time — the scan never opens them
+        val excluded = readPointer(spark, new Path(snapshot, EXCLUDE_MARKER))
+          .map(_.split('\n').filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String])
+        val data =
+          if (excluded.isEmpty) spark.read.parquet(baseDir.toString)
+          else {
+            val files = listDataFiles(spark, baseDir)
+              .collect { case (f, _) if !excluded(f) =>
+                new Path(baseDir, f).toString }
+            // every file excluded ⇒ all rows live in the delta; a
+            // zero-path read throws, so take the schema with no scan
+            if (files.isEmpty)
+              spark.read.parquet(baseDir.toString).limit(0)
+            // basePath keeps Hive partition columns resolving
+            else spark.read.option("basePath", baseDir.toString)
+              .parquet(files: _*)
+          }
         // explicit schema: an all-rows-kept vector is an EMPTY parquet
         // dir, which schema inference would refuse
         val dv = spark.read.schema("_file STRING, _pos BIGINT")
@@ -510,6 +560,11 @@ object VersionedParquet {
       .withColumn("_change_type", org.apache.spark.sql.functions.lit("delete"))
       .write.mode("overwrite")
       .parquet(new Path(snapshot, CDF_DIR).toString)
+    // a file-exclusion manifest (compactSmallFiles) rides every later
+    // version of the chain: dropping it would resurrect packed rows
+    readPointer(spark, new Path(new Path(rootPath, versionName(v)),
+      EXCLUDE_MARKER)).foreach(m =>
+      installPointer(spark, snapshot, EXCLUDE_MARKER, m))
     installPointer(spark, snapshot, BASE_MARKER, base)
     installPointer(spark, snapshot, "_SUCCESS", "")
     try installPointer(spark, rootPath, POINTER, versionName(next))
@@ -638,6 +693,11 @@ object VersionedParquet {
     pre.unionByName(del).unionByName(post).unionByName(ins)
       .write.mode("overwrite")
       .parquet(new Path(snapshot, CDF_DIR).toString)
+    // a file-exclusion manifest (compactSmallFiles) rides every later
+    // version of the chain: dropping it would resurrect packed rows
+    readPointer(spark, new Path(new Path(rootPath, versionName(v)),
+      EXCLUDE_MARKER)).foreach(m =>
+      installPointer(spark, snapshot, EXCLUDE_MARKER, m))
     (markers + (BASE_MARKER -> base)).foreach { case (name, content) =>
       installPointer(spark, snapshot, name, content) }
     installPointer(spark, snapshot, "_SUCCESS", "")
@@ -668,15 +728,26 @@ object VersionedParquet {
               fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion < toVersion,
       s"empty change range ($fromVersion, $toVersion]")
-    (fromVersion + 1 to toVersion).map { v =>
-      val dir = new Path(new Path(root, versionName(v)), CDF_DIR)
-      if (!hasParquetData(spark, dir))
+    val steps = (fromVersion + 1 to toVersion).flatMap { v =>
+      val verDir = new Path(root, versionName(v))
+      val dir = new Path(verDir, CDF_DIR)
+      // physical-maintenance versions (compactSmallFiles) change
+      // nothing logically — an explicitly-marked empty step
+      if (readPointer(spark, new Path(verDir, CDF_EMPTY_MARKER)).isDefined)
+        None
+      else if (!hasParquetData(spark, dir))
         throw new IOException(s"version $v of $root carries no change " +
           "feed (physical publish, or written before the CDF tier); " +
           "diff pinned snapshots instead")
-      spark.read.parquet(dir.toString)
-        .withColumn("_commit_version", lit(v))
-    }.reduce(_ unionByName _)
+      else Some(spark.read.parquet(dir.toString)
+        .withColumn("_commit_version", lit(v)))
+    }
+    if (steps.nonEmpty) steps.reduce(_ unionByName _)
+    else // the whole range is physical maintenance: an empty feed
+      read(spark, root)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+        .limit(0)
   }
 
   /** A marker file's content from the live (or pinned) snapshot, None
@@ -765,6 +836,98 @@ object VersionedParquet {
         Some(name.drop(1).toLong)
       } else None
     }.sorted
+  }
+
+  /** Incremental compaction — OPTIMIZE that touches ONLY the
+    * small-file debt. `compact` rewrites the whole table; at 100 TB
+    * that is a non-starter when 99% of the bytes already sit in
+    * well-sized files and only the tail of streaming merges / tiny
+    * partitions needs packing. This publishes a metadata-only version
+    * that bin-packs the LIVE rows of base files smaller than
+    * `smallBytes` (plus the existing delta tier — delta IS small-file
+    * debt) into ~`targetBytes` delta files, and records the packed
+    * base files in an `_EXCLUDEFILES` manifest so the scan never
+    * opens them again. Big files are untouched — not read, not
+    * rewritten, not moved. Logical content is IDENTICAL before and
+    * after (the version is marked feed-empty for `changes`); the
+    * deletion vector drops entries for packed files (their survivors
+    * moved to the delta) and keeps the rest. No-op (returns the live
+    * snapshot path, publishes nothing) when nothing qualifies.
+    *
+    * Cost: O(bytes in small files + delta), zero movement of the big
+    * tier. The `compact` full rewrite remains the escape hatch when
+    * the delta/exclusion debt itself grows past usefulness. */
+  def compactSmallFiles(spark: SparkSession, root: String,
+                        smallBytes: Long = 32L << 20,
+                        targetBytes: Long = 128L << 20,
+                        keepVersions: Int = 2): String = {
+    import org.apache.spark.sql.functions.col
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IOException(s"nothing to compact under $root"))
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val verDir = new Path(rootPath, versionName(v))
+    val base = readPointer(spark, new Path(verDir, BASE_MARKER))
+      .getOrElse(versionName(v))
+    val baseDir = new Path(rootPath, base)
+    val priorExcl = readPointer(spark, new Path(verDir, EXCLUDE_MARKER))
+      .map(_.split('\n').filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val candidates = listDataFiles(spark, baseDir)
+      .filter { case (f, len) => !priorExcl(f) && len < smallBytes }
+    val priorDelta = new Path(verDir, DELTA_DIR)
+    val haveDelta = hasParquetData(spark, priorDelta)
+    if (candidates.isEmpty && !haveDelta) return verDir.toString
+    val next = v + 1
+    val snapshot = new Path(rootPath, versionName(next))
+    fs.delete(snapshot, true)
+    // the live rows of the packed files: their bytes minus the vector
+    val dvFrame =
+      if (base == versionName(v))
+        spark.emptyDataFrame.selectExpr(
+          "CAST(NULL AS STRING) AS _file", "CAST(NULL AS BIGINT) AS _pos")
+          .limit(0)
+      else spark.read.schema("_file STRING, _pos BIGINT")
+        .parquet(new Path(verDir, DV_DIR).toString)
+    val packedNames = candidates.map(_._1)
+    val packedRows =
+      if (candidates.isEmpty)
+        spark.read.parquet(baseDir.toString).limit(0)
+      else spark.read.option("basePath", baseDir.toString)
+        .parquet(packedNames.map(new Path(baseDir, _).toString): _*)
+        .withColumn("_file", relFile)
+        .withColumn("_pos", col("_metadata.row_index"))
+        .join(dvFrame, Seq("_file", "_pos"), "left_anti")
+        .drop("_file", "_pos")
+    val carried =
+      if (haveDelta) spark.read.parquet(priorDelta.toString)
+      else packedRows.limit(0)
+    val packedBytes = candidates.map(_._2).sum +
+      (if (haveDelta) fs.getContentSummary(priorDelta).getLength else 0L)
+    val nFiles = math.max(1,
+      math.ceil(packedBytes.toDouble / targetBytes).toInt)
+    packedRows.unionByName(carried).repartition(nFiles)
+      .write.mode("overwrite")
+      .parquet(new Path(snapshot, DELTA_DIR).toString)
+    // vector entries for packed files are spent (their survivors just
+    // moved to the delta); keep only entries on still-scanned files
+    val packedSet = packedNames.toSet
+    val keepDv = dvFrame.filter(!col("_file").isin(packedNames: _*))
+    keepDv.write.mode("overwrite")
+      .parquet(new Path(snapshot, DV_DIR).toString)
+    val newExcl = (priorExcl ++ packedSet).toSeq.sorted
+    installPointer(spark, snapshot, BASE_MARKER, base)
+    installPointer(spark, snapshot, EXCLUDE_MARKER, newExcl.mkString("\n"))
+    installPointer(spark, snapshot, CDF_EMPTY_MARKER, "")
+    installPointer(spark, snapshot, "_SUCCESS", "")
+    try installPointer(spark, rootPath, POINTER, versionName(next))
+    catch {
+      case e: IOException =>
+        throw new IOException(s"could not swap pointer for $root; live " +
+          s"table unchanged, staged compaction at $snapshot", e)
+    }
+    vacuum(spark, root, keepVersions)
+    snapshot.toString
   }
 
   /** Reader-safe compaction — the OPTIMIZE analogue. Streaming appends

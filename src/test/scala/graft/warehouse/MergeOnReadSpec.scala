@@ -169,6 +169,64 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no change feed"))
   }
 
+  test("compactSmallFiles packs only the small tier; big files never reopened") {
+    import spark.implicits._
+    val root = tmp("smallfiles")
+    // two-tier layout: partition p=0 is one big file, p=1..4 are small
+    val big = (0L until 5000L).map(i => (i, 0, s"payload-$i"))
+    val smalls = (1 to 4).flatMap(p =>
+      (0L until 50L).map(i => (5000L + p * 100 + i, p, s"s-$p-$i")))
+    VersionedParquet.publish(
+      (big ++ smalls).toDF("id", "p", "s").repartition(1), root,
+      partitionCols = Seq("p"), keepVersions = 10)
+    // v1: a delete whose victims live in BOTH tiers
+    VersionedParquet.delete(spark, root, col("id") % 10 === 3,
+      keepVersions = 10)
+    val before = VersionedParquet.read(spark, root)
+      .orderBy("id").collect().toSeq
+    val baseFiles = dataFiles(s"$root/v00000000")
+    val bigLen = baseFiles.collect {
+      case (f, len) if f.contains("/p=0/") => len }.max
+
+    // v2: pack everything smaller than the big file
+    VersionedParquet.compactSmallFiles(spark, root,
+      smallBytes = bigLen, targetBytes = 1L << 20, keepVersions = 10)
+    assert(VersionedParquet.read(spark, root).orderBy("id")
+      .collect().toSeq === before, "compaction must not change content")
+    assert(dataFiles(s"$root/v00000000") === baseFiles,
+      "compaction must not touch base files")
+    val scanned = VersionedParquet.read(spark, root).inputFiles
+      .filter(_.contains("/v00000000/")).toSet
+    assert(scanned.forall(_.contains("/p=0/")),
+      s"packed small files must never be opened again, scanned $scanned")
+    assert(scanned.exists(_.contains("/p=0/")),
+      "the big file must still be scanned in place")
+    // time travel across the maintenance version
+    assert(VersionedParquet.read(spark, root, Some(0L)).count() ===
+      (big.size + smalls.size))
+    // the feed skips the maintenance version instead of failing
+    val feed = VersionedParquet.changes(spark, root, 0L, 2L)
+    assert(feed.select("_change_type").distinct().as[String]
+      .collect().toSeq === Seq("delete"))
+
+    // v3: a delete AFTER compaction (exclusion manifest must ride along)
+    VersionedParquet.delete(spark, root, col("id") % 10 === 7,
+      keepVersions = 10)
+    val expect3 = before.filterNot(_.getLong(0) % 10 == 7)
+    assert(VersionedParquet.read(spark, root).orderBy("id")
+      .collect().toSeq === expect3)
+
+    // v4: pack the whole base — the scan then reads delta only
+    VersionedParquet.compactSmallFiles(spark, root,
+      smallBytes = Long.MaxValue, targetBytes = 1L << 20,
+      keepVersions = 10)
+    assert(VersionedParquet.read(spark, root).orderBy("id")
+      .collect().toSeq === expect3)
+    assert(!VersionedParquet.read(spark, root).inputFiles
+      .exists(_.contains("/v00000000/")),
+      "a fully-packed base must not be scanned at all")
+  }
+
   test("compact materializes base ∖ vector ∪ delta into a physical snapshot") {
     import spark.implicits._
     val root = tmp("compact")
