@@ -146,12 +146,22 @@ object GraphOps {
         when(col("dx") <= col("dy"), col("x")).otherwise(col("y")).as("u"),
         when(col("dx") <= col("dy"), col("y")).otherwise(col("x")).as("v"))
       .cache()
+    // Both joins carry shuffle_hash hints: the probe side is the wedge
+    // stream (Σ outdeg² rows — tens of millions at sf0.1, far more at
+    // scale) and a sort-merge plan would SORT it twice; hash joins
+    // keep the wedge stream pipelined, never sorted, never
+    // materialized. The build sides are edge-bounded (m rows), which
+    // shuffle-hash partitions across executors — unlike a broadcast,
+    // this stays feasible when m itself is huge.
     val tri = e.select(col("u").as("a"), col("v").as("b"))
-      .join(e.select(col("u").as("b"), col("v").as("c")), "b")
-      .join(e.select(col("u").as("a"), col("v").as("c")), Seq("a", "c"))
-    val nodeTri = tri.select(col("a").as("node"))
-      .unionAll(tri.select(col("b").as("node")))
-      .unionAll(tri.select(col("c").as("node")))
+      .join(e.select(col("u").as("b"), col("v").as("c"))
+        .hint("shuffle_hash"), "b")
+      .join(e.select(col("u").as("a"), col("v").as("c"))
+        .hint("shuffle_hash"), Seq("a", "c"))
+    // one pass over the triangle stream — a unionAll of three
+    // projections would re-run the wedge join three times
+    val nodeTri = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
     nodeTri.join(broadcast(deg), "node")
       .select(col("node"), col("d").as("degree"), col("n_tri"))
