@@ -679,18 +679,23 @@ object VersionedParquet {
     // must not resurface it); incoming rows split into update_post
     // (key existed) vs insert; deleted rows record their full image.
     // O(changes) rows, atomic with the version.
+    // one scan of `current` tags pre-images AND deletions (inner join
+    // against the tagged key union), one scan of `aligned` splits
+    // update_post from insert (left join against the matched keys) —
+    // instead of four semi/anti joins re-reading each side twice
     val current = dataFrameOf(spark, rootPath.toString, v)
-    val pre = current.join(upKeys, keyCols, "left_semi")
+    val taggedKeys = upKeys
       .withColumn("_change_type", lit("update_pre"))
-    val del = current.join(delKeys, keyCols, "left_semi")
-      .withColumn("_change_type", lit("delete"))
+      .unionByName(delKeys.withColumn("_change_type", lit("delete")))
+    val preAndDel = current.join(taggedKeys, keyCols, "inner")
     val matched = upKeys.join(current.select(keyCols.map(col): _*),
-      keyCols, "left_semi")
-    val post = aligned.join(matched, keyCols, "left_semi")
-      .withColumn("_change_type", lit("update_post"))
-    val ins = aligned.join(matched, keyCols, "left_anti")
-      .withColumn("_change_type", lit("insert"))
-    pre.unionByName(del).unionByName(post).unionByName(ins)
+      keyCols, "left_semi").withColumn("_m", lit(1))
+    val postAndIns = aligned.join(matched, keyCols, "left")
+      .withColumn("_change_type",
+        org.apache.spark.sql.functions.when(col("_m") === 1,
+          lit("update_post")).otherwise(lit("insert")))
+      .drop("_m")
+    preAndDel.unionByName(postAndIns)
       .write.mode("overwrite")
       .parquet(new Path(snapshot, CDF_DIR).toString)
     // a file-exclusion manifest (compactSmallFiles) rides every later
