@@ -181,25 +181,39 @@ object FileStats {
     val v = version.orElse(VersionedParquet.currentVersion(spark, root))
       .getOrElse(throw new java.io.IOException(
         s"no published version under $root"))
-    val snapshot = s"$root/v${"%08d".format(v)}"
-    VersionedParquet.snapshotMarker(spark, root,
-      VersionedParquet.STATS_MARKER, Some(v)) match {
+    // merge-on-read aware: the stats sidecar lives on the PHYSICAL
+    // base snapshot (a DV/merge version holds only metadata), pruning
+    // composes with the exclusion manifest, and the surviving scan
+    // gets the version's vector + delta overlaid — the delta tier is
+    // always read in full (it has no per-file stats and is small by
+    // construction; the caller applies the exact predicate anyway)
+    val baseName = VersionedParquet.baseNameOf(spark, root, v)
+    val isMor = baseName != f"v$v%08d"
+    val snapshot = s"$root/$baseName"
+    VersionedParquet.readPointer(spark,
+      new org.apache.hadoop.fs.Path(snapshot,
+        VersionedParquet.STATS_MARKER)) match {
       case None => (VersionedParquet.read(spark, root, Some(v)), -1, -1)
       case Some(content) =>
         val stats = parseStats(content)
-        val total = stats.size
-        val keep = stats.collect {
+        val excluded = VersionedParquet.excludedFilesOf(spark, root, v)
+        val listed = stats.view.filterKeys(f => !excluded(f)).toMap
+        val total = listed.size
+        val keep = listed.collect {
           case (f, cols) if keepFile(cols) => f
         }.toSeq.sorted
         // schema from the snapshot dir so an all-files-skipped read
         // still resolves columns (empty frame, right schema)
         val schema = spark.read.parquet(snapshot).schema
+        val base =
+          if (keep.isEmpty) None
+          else Some(spark.read.schema(schema)
+            .option("basePath", snapshot)
+            .parquet(keep.map(f => s"$snapshot/$f"): _*))
         val df =
-          if (keep.isEmpty)
-            spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          else spark.read.schema(schema)
-            .parquet(keep.map(f => s"$snapshot/$f"): _*)
+          if (isMor) VersionedParquet.morOverlay(spark, root, v, base, schema)
+          else base.getOrElse(spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
         (df, keep.size, total)
     }
   }

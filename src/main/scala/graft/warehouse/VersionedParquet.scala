@@ -411,6 +411,55 @@ object VersionedParquet {
     * snapshot really holds. Alignment is projection-only (null-fill is
     * a literal in the plan, zero scan cost), and the live read path is
     * untouched. */
+  /** The physical snapshot directory name version `v` serves its base
+    * bytes from: itself for a physical snapshot, the `_BASE` target
+    * for a merge-on-read version. */
+  private[warehouse] def baseNameOf(spark: SparkSession, root: String,
+                                    v: Long): String =
+    readPointer(spark, new Path(new Path(root, versionName(v)), BASE_MARKER))
+      .getOrElse(versionName(v))
+
+  /** The base files version `v` excludes from its scan (bin-packed by
+    * `compactSmallFiles`); empty for physical snapshots. */
+  private[warehouse] def excludedFilesOf(spark: SparkSession, root: String,
+                                         v: Long): Set[String] =
+    readPointer(spark, new Path(new Path(root, versionName(v)),
+      EXCLUDE_MARKER))
+      .map(_.split('\n').filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+
+  /** Apply merge-on-read version `v`'s vector and delta over a base
+    * scan: anti-join the vector on (relative file, row_index), union
+    * the delta. `base = None` means the caller pruned EVERY base file
+    * (file skipping / full exclusion) — the result is delta-only over
+    * an empty frame of `schema`. Shared by `dataFrameOf` and
+    * [[FileStats.skippingRead]], so pruned scans and full scans can
+    * never apply the overlay differently. */
+  private[warehouse] def morOverlay(spark: SparkSession, root: String,
+                                    v: Long, base: Option[DataFrame],
+                                    schema: org.apache.spark.sql.types.StructType)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snapshot = new Path(root, versionName(v))
+    // explicit schema: an all-rows-kept vector is an EMPTY parquet
+    // dir, which schema inference would refuse
+    val dv = spark.read.schema("_file STRING, _pos BIGINT")
+      .parquet(new Path(snapshot, DV_DIR).toString)
+    val masked = base match {
+      case Some(data) => data
+        .withColumn("_file", relFile)
+        .withColumn("_pos", col("_metadata.row_index"))
+        .join(dv, Seq("_file", "_pos"), "left_anti")
+        .drop("_file", "_pos")
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val deltaDir = new Path(snapshot, DELTA_DIR)
+    if (hasParquetData(spark, deltaDir))
+      masked.unionByName(spark.read.parquet(deltaDir.toString))
+    else masked
+  }
+
   /** The data frame of one resolved version: its own parquet for a
     * physical snapshot; for a deletion-vector version, the BASE
     * snapshot's files with the vector anti-joined out on
@@ -421,7 +470,6 @@ object VersionedParquet {
     * regardless of how many deletes/upserts preceded. */
   private def dataFrameOf(spark: SparkSession, root: String,
                           v: Long): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val snapshot = new Path(root, versionName(v))
     readPointer(spark, new Path(snapshot, BASE_MARKER)) match {
       case None => spark.read.parquet(snapshot.toString)
@@ -429,36 +477,21 @@ object VersionedParquet {
         val baseDir = new Path(root, base)
         // files bin-packed into the delta by compactSmallFiles are
         // pruned at LIST time — the scan never opens them
-        val excluded = readPointer(spark, new Path(snapshot, EXCLUDE_MARKER))
-          .map(_.split('\n').filter(_.nonEmpty).toSet)
-          .getOrElse(Set.empty[String])
+        val excluded = excludedFilesOf(spark, root, v)
         val data =
-          if (excluded.isEmpty) spark.read.parquet(baseDir.toString)
+          if (excluded.isEmpty) Some(spark.read.parquet(baseDir.toString))
           else {
             val files = listDataFiles(spark, baseDir)
               .collect { case (f, _) if !excluded(f) =>
                 new Path(baseDir, f).toString }
-            // every file excluded ⇒ all rows live in the delta; a
-            // zero-path read throws, so take the schema with no scan
-            if (files.isEmpty)
-              spark.read.parquet(baseDir.toString).limit(0)
             // basePath keeps Hive partition columns resolving
-            else spark.read.option("basePath", baseDir.toString)
-              .parquet(files: _*)
+            if (files.isEmpty) None
+            else Some(spark.read.option("basePath", baseDir.toString)
+              .parquet(files: _*))
           }
-        // explicit schema: an all-rows-kept vector is an EMPTY parquet
-        // dir, which schema inference would refuse
-        val dv = spark.read.schema("_file STRING, _pos BIGINT")
-          .parquet(new Path(snapshot, DV_DIR).toString)
-        val masked = data
-          .withColumn("_file", relFile)
-          .withColumn("_pos", col("_metadata.row_index"))
-          .join(dv, Seq("_file", "_pos"), "left_anti")
-          .drop("_file", "_pos")
-        val deltaDir = new Path(snapshot, DELTA_DIR)
-        if (hasParquetData(spark, deltaDir))
-          masked.unionByName(spark.read.parquet(deltaDir.toString))
-        else masked
+        morOverlay(spark, root, v, data,
+          data.map(_.schema).getOrElse(
+            spark.read.parquet(baseDir.toString).schema))
     }
   }
 
@@ -639,6 +672,29 @@ object VersionedParquet {
         .count() > 0)
       throw new IOException("merge batch has duplicate keys on (" +
         keyCols.mkString(",") + "); MERGE is nondeterministic")
+    // CHECK constraints ride the write path, not just publish: the
+    // table's accepted contract (recorded on its physical base) is
+    // enforced over the INCOMING rows — the only rows a merge can add
+    // — before anything is staged. Base rows already passed at their
+    // own publish.
+    val tableConstraints = readPointer(spark,
+      new Path(new Path(rootPath, base), CONSTRAINTS_MARKER))
+      .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (tableConstraints.nonEmpty) {
+      import org.apache.spark.sql.functions.{expr, not, sum, when}
+      val counts = aligned.agg(
+        sum(when(not(expr(tableConstraints.head)), 1L).otherwise(0L)),
+        tableConstraints.tail.map(c =>
+          sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
+      val bad = tableConstraints.zipWithIndex
+        .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
+                                    else counts.getLong(i)) }
+        .filter(_._2 > 0)
+      if (bad.nonEmpty)
+        throw new IOException("merge rejected: CHECK constraint " +
+          bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
+          s" violated; $root stays at version $v")
+    }
     val upKeys = aligned.select(keyCols.map(col): _*).distinct()
     val delKeys = deleteKeys.select(keyCols.map(deleteKeys(_)): _*).distinct()
     if (upKeys.join(delKeys, keyCols, "left_semi").limit(1).count() > 0)
@@ -975,8 +1031,15 @@ object VersionedParquet {
       .map(_.split('\n').filter(_.nonEmpty)
         .map { l => val a = l.split('\t'); (a(2), a(3)) }.distinct.toSeq)
       .getOrElse(Nil)
+    // the table's CHECK contract survives materialization: carry the
+    // base's constraints into the compacted publish (revalidation over
+    // already-accepted rows — one scan, publish-or-nothing still holds)
+    val carriedConstraints = readPointer(spark,
+      new Path(snapshot, CONSTRAINTS_MARKER))
+      .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
     publish(arranged, root, partitionCols,
       statsCols = kinds.collect { case (c, t) if t != "B" => c }.distinct,
-      bloomCols = kinds.collect { case (c, "B") => c }.distinct)
+      bloomCols = kinds.collect { case (c, "B") => c }.distinct,
+      constraints = carriedConstraints)
   }
 }

@@ -227,6 +227,59 @@ class MergeOnReadSpec extends AnyFunSuite {
       "a fully-packed base must not be scanned at all")
   }
 
+  test("CHECK constraints gate the merge path and survive compaction") {
+    import spark.implicits._
+    val root = tmp("constraints")
+    VersionedParquet.publish(
+      (0L until 20L).map(i => (i, i)).toDF("id", "n"), root,
+      keepVersions = 10, constraints = Seq("n >= 0"))
+    VersionedParquet.upsert(spark, root,
+      Seq((3L, 99L)).toDF("id", "n"), Seq("id"), keepVersions = 10)
+    val e = intercept[java.io.IOException] {
+      VersionedParquet.upsert(spark, root,
+        Seq((4L, -5L)).toDF("id", "n"), Seq("id"), keepVersions = 10)
+    }
+    assert(e.getMessage.contains("merge rejected"))
+    assert(VersionedParquet.currentVersion(spark, root) === Some(1L),
+      "a rejected merge must leave the table untouched")
+    assert(VersionedParquet.read(spark, root)
+      .filter($"n" < 0).count() === 0)
+    // materialize, then the contract must still hold
+    VersionedParquet.compact(spark, root, targetBytes = 1L << 20)
+    val e2 = intercept[java.io.IOException] {
+      VersionedParquet.upsert(spark, root,
+        Seq((5L, -1L)).toDF("id", "n"), Seq("id"), keepVersions = 10)
+    }
+    assert(e2.getMessage.contains("merge rejected"))
+  }
+
+  test("file skipping composes with merge-on-read versions") {
+    import spark.implicits._
+    val root = tmp("skipmor")
+    // range-clustered layout → tight per-file id ranges
+    val df = (0L until 4000L).map(i => (i, i * 2)).toDF("id", "n")
+    VersionedParquet.publish(df.repartitionByRange(8, col("id")), root,
+      keepVersions = 10, statsCols = Seq("id"))
+    VersionedParquet.delete(spark, root,
+      col("id").between(100L, 199L), keepVersions = 10)
+    VersionedParquet.upsert(spark, root,
+      Seq((150L, -1L), (250L, -2L), (9999L, -3L)).toDF("id", "n"),
+      Seq("id"), keepVersions = 10)
+    val (pruned, kept, total) =
+      FileStats.skippingRead(spark, root, "id", 0L, 499L)
+    assert(kept > 0 && kept < total,
+      s"selective range must prune base files ($kept/$total)")
+    val got = pruned.filter($"id".between(0L, 499L))
+      .orderBy("id").collect().toSeq
+    val want = VersionedParquet.read(spark, root)
+      .filter($"id".between(0L, 499L)).orderBy("id").collect().toSeq
+    assert(got === want, "pruned scan must agree with the full read")
+    // the overlay really applied: deleted band gone, delta rows in
+    val ids = got.map(_.getLong(0)).toSet
+    assert(!ids.contains(120L) && ids.contains(150L) &&
+      got.find(_.getLong(0) == 250L).get.getLong(1) === -2L)
+  }
+
   test("compact materializes base ∖ vector ∪ delta into a physical snapshot") {
     import spark.implicits._
     val root = tmp("compact")
