@@ -605,6 +605,45 @@ object OlapOps {
              |       CAST(sum(med_c) AS BIGINT) / 100.0 AS sum_median
              |FROM med JOIN orders o ON med.l_orderkey = o.o_orderkey
              |GROUP BY 1
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Median absolute deviation (robust dispersion) ────────────────────
+    // The robust-stats completion of q77's winsorizing: MAD = median of
+    // |x − median(x)| per group, the outlier-immune spread measure a
+    // quality pipeline uses where stddev would chase the tail. Two
+    // passes: per-group medians (dim-cardinality frame) broadcast back
+    // onto the scan, then one agg for the deviation median.
+    // Determinism: cents are exact integers, interpolated medians land
+    // on .0/.5 — exactly representable doubles both engines derive
+    // from identical multisets; round(,6) guards the formatting.
+    QueryDef("q142_mad",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderpriority"),
+            cents(col("o_totalprice")).as("c"))
+        val med = o.groupBy("o_orderpriority")
+          .agg(expr("percentile(c, 0.5)").as("med"))
+        o.join(broadcast(med), "o_orderpriority")
+          .withColumn("dev", abs(col("c") - col("med")))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            round(max(col("med")), 6).as("med_cents"),
+            round(expr("percentile(dev, 0.5)"), 6).as("mad_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH c AS (
+             |  SELECT o_orderpriority AS p,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+             |  FROM orders),
+             |m AS (
+             |  SELECT p, quantile_cont(c, 0.5) AS med
+             |  FROM c GROUP BY 1)
+             |SELECT c.p AS o_orderpriority, count(*) AS n_orders,
+             |       round(max(m.med), 6) AS med_cents,
+             |       round(quantile_cont(abs(c.c - m.med), 0.5), 6)
+             |         AS mad_cents
+             |FROM c JOIN m ON m.p = c.p
+             |GROUP BY c.p
              |ORDER BY o_orderpriority""".stripMargin))
   )
 

@@ -879,6 +879,55 @@ object Relational {
              |       max(cd) AS max_cd
              |FROM w
              |GROUP BY c_mktsegment, quartile
-             |ORDER BY c_mktsegment, quartile""".stripMargin))
+             |ORDER BY c_mktsegment, quartile""".stripMargin)),
+
+    // ── FULL OUTER reconciliation ────────────────────────────────────────
+    // The compare-two-systems report: per-customer '94 vs '95 order
+    // counts full-outer joined, every customer classified both /
+    // only_1994 / only_1995, branch totals summarized. Pins the one
+    // join type the inventory lacked, plus its null-semantics edges:
+    // the using-join coalesced key and COALESCE on the absent side's
+    // count (a dropped null → count would land in the wrong branch and
+    // break all three sums). One key-partitioned shuffle pair — the
+    // reconciliation itself adds no extra exchange over the aggs.
+    QueryDef("q141_full_outer_reconcile",
+      (s, d) => {
+        val o = ord(s, d)
+        def side(y: Int, n: String) =
+          o.filter(year(col("o_orderdate")) === y)
+            .groupBy("o_custkey").agg(count(lit(1)).as(n))
+        side(1994, "n94").join(side(1995, "n95"),
+            Seq("o_custkey"), "full_outer")
+          .select(
+            when(col("n94").isNotNull && col("n95").isNotNull, "both")
+              .when(col("n94").isNotNull, "only_1994")
+              .otherwise("only_1995").as("status"),
+            coalesce(col("n94"), lit(0L)).as("n94"),
+            coalesce(col("n95"), lit(0L)).as("n95"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_cust"),
+            sum("n94").cast("long").as("sum_orders_94"),
+            sum("n95").cast("long").as("sum_orders_95"))
+          .orderBy("status")
+      },
+      Some("""WITH a AS (
+             |  SELECT o_custkey, count(*) AS n94 FROM orders
+             |  WHERE year(o_orderdate) = 1994 GROUP BY 1),
+             |b AS (
+             |  SELECT o_custkey, count(*) AS n95 FROM orders
+             |  WHERE year(o_orderdate) = 1995 GROUP BY 1),
+             |j AS (
+             |  SELECT CASE
+             |           WHEN a.n94 IS NOT NULL AND b.n95 IS NOT NULL
+             |             THEN 'both'
+             |           WHEN a.n94 IS NOT NULL THEN 'only_1994'
+             |           ELSE 'only_1995' END AS status,
+             |         coalesce(a.n94, 0) AS n94,
+             |         coalesce(b.n95, 0) AS n95
+             |  FROM a FULL OUTER JOIN b USING (o_custkey))
+             |SELECT status, count(*) AS n_cust,
+             |       CAST(sum(n94) AS BIGINT) AS sum_orders_94,
+             |       CAST(sum(n95) AS BIGINT) AS sum_orders_95
+             |FROM j GROUP BY status ORDER BY status""".stripMargin))
   )
 }

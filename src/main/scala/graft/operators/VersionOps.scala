@@ -134,6 +134,48 @@ object VersionOps {
     root
   }
 
+  /** Maintain a per-`key` MAX under deletes with TARGETED repair — the
+    * aggregate MvStream's self-maintainable algebra cannot cover
+    * (count/sum retract; max does not: deleting the argmax forgets
+    * what comes second). The classic IVM answer: keep the maintained
+    * state, and when a batch's deleted values REACH a group's stored
+    * max, recompute just those groups from the live table — O(state +
+    * deletes + repaired groups), never a full rescan; groups whose
+    * deletes stay strictly below their max keep their state untouched,
+    * and fully-deleted groups drop out. The deleted rows come from the
+    * table's own change feed — what a CDF is for. */
+  private[graft] def maintainMaxAfterDelete(live: DataFrame,
+                                            state: DataFrame,
+                                            deleted: DataFrame, key: String,
+                                            value: String): DataFrame = {
+    val delMax = deleted.groupBy(key).agg(max(col(value)).as("_dmx"))
+    val flagged = state.join(delMax, Seq(key), "left")
+    val keep = flagged
+      .filter(col("_dmx").isNull || col("_dmx") < col("mx"))
+      .select(col(key), col("mx"))
+    val repairKeys = flagged.filter(col("_dmx") >= col("mx")).select(key)
+    val repaired = live.join(repairKeys, Seq(key), "left_semi")
+      .groupBy(key).agg(max(col(value)).as("mx"))
+    keep.unionByName(repaired)
+  }
+
+  /** q143 scratch table: documents published, then two DV deletes —
+    * one mixed band (some argmaxes fall), one top-band (every lang's
+    * max falls). Once per session. */
+  private[graft] def minmaxRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q143-mv-minmax")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "lang", "n_chars")
+      VersionedParquet.publish(docs, root, keepVersions = 10)
+      VersionedParquet.delete(s, root, col("doc_id") % 4 === 1,
+        keepVersions = 10)
+      VersionedParquet.delete(s, root, col("n_chars") >= 900,
+        keepVersions = 10)
+    }
+    root
+  }
+
   private[graft] def versionDiff(s: SparkSession, dir: String): DataFrame = {
     val root = publishedRoot(s, dir)
     val v0 = VersionedParquet.read(s, root, Some(0L)).select("doc_id", "lang")
@@ -702,6 +744,49 @@ object VersionOps {
              |       count(DISTINCT o_orderpriority)
              |FROM o WHERE o_orderkey % 9 <> 4
              |ORDER BY version""".stripMargin)),
+
+    // ── Incremental MAX maintenance with CDF-driven repair ───────────────
+    // count/sum self-maintain under deletes (q110/q128); MAX does not —
+    // deleting the argmax forgets what comes second. The maintained
+    // state advances across two DV deletes by reading each step's
+    // deleted rows FROM THE CHANGE FEED and recomputing only the
+    // groups whose stored max actually fell (repair cost = state +
+    // deletes + repaired groups, never a rescan; the second delete
+    // fells every lang's top band, forcing the repair path everywhere).
+    // The output is the MAINTAINED state at every version — the oracle
+    // recomputes each max from the surviving multiset, so a stale or
+    // over-repaired state breaks the hash.
+    QueryDef("q143_mv_max_repair",
+      (s, d) => {
+        val root = minmaxRoot(s, d)
+        val state0 = VersionedParquet.read(s, root, Some(0L))
+          .groupBy("lang").agg(max(col("n_chars")).as("mx"))
+        val states = (1 to 2).scanLeft(state0) { (st, v) =>
+          maintainMaxAfterDelete(
+            VersionedParquet.read(s, root, Some(v.toLong)), st,
+            VersionedParquet.changes(s, root, v - 1L, v.toLong)
+              .filter(col("_change_type") === "delete"),
+            "lang", "n_chars")
+        }
+        states.zipWithIndex.map { case (st, v) =>
+          st.select(lit(v).as("version"), col("lang"),
+            col("mx").cast("long").as("max_chars"))
+        }.reduce(_ unionByName _).orderBy("version", "lang")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, lang, n_chars,
+             |         doc_id % 4 = 1 AS d1, n_chars >= 900 AS d2
+             |  FROM documents)
+             |SELECT 0 AS version, lang,
+             |       CAST(max(n_chars) AS BIGINT) AS max_chars
+             |FROM d GROUP BY lang
+             |UNION ALL
+             |SELECT 1, lang, CAST(max(n_chars) AS BIGINT)
+             |FROM d WHERE NOT d1 GROUP BY lang
+             |UNION ALL
+             |SELECT 2, lang, CAST(max(n_chars) AS BIGINT)
+             |FROM d WHERE NOT d1 AND NOT d2 GROUP BY lang
+             |ORDER BY version, lang""".stripMargin)),
 
     // ── Schema evolution across published versions ───────────────────────
     // v0 publishes without `quality`, v1 adds it; the pinned v0 read

@@ -93,4 +93,31 @@ class Round8OpsSpec extends AnyFunSuite {
       assert(alt === base)
     } finally spark.conf.set("spark.sql.shuffle.partitions", p)
   }
+
+  test("max maintenance: targeted repair == recompute over random delete chains") {
+    import spark.implicits._
+    // 40 keys × values; 6 successive random-but-seeded delete batches,
+    // mixing the three repair cases per step: deletes strictly below a
+    // group's max (state kept), deletes felling the max (group
+    // repaired), and full-group deletion (group drops out).
+    val rnd = new scala.util.Random(8143)
+    var rows = (0 until 40).flatMap(k =>
+      (0 until rnd.nextInt(20) + 1).map(i =>
+        (k.toLong, rnd.nextInt(1000).toLong, s"$k-$i")))
+    var state = rows.toDF("k", "v", "id")
+      .groupBy("k").agg(max($"v").as("mx"))
+    for (step <- 0 until 6) {
+      val victims = rows.filter { case (k, v, _) =>
+        (k + v + step) % 3 == 0 || (step == 3 && k < 5) }
+      val survivors = rows.filterNot(victims.contains)
+      state = VersionOps.maintainMaxAfterDelete(
+        survivors.toDF("k", "v", "id"), state,
+        victims.toDF("k", "v", "id"), "k", "v")
+      val expect = survivors.groupBy(_._1)
+        .map { case (k, rs) => (k, rs.map(_._2).max) }.toSet
+      val got = state.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expect, s"state diverged from recompute at step $step")
+      rows = survivors
+    }
+  }
 }
