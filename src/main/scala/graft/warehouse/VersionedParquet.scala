@@ -104,6 +104,88 @@ object VersionedParquet {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Writer-lock file guarding every mutating operation on a table
+    * root. The single-writer contract is ENFORCED, not assumed: writes
+    * acquire `root/_LOCK` via atomic create-exclusive (one metadata op
+    * on HDFS-like stores; the strongest primitive a filesystem without
+    * CAS offers), so two concurrent publishes/merges serialize instead
+    * of both staging the same next version and clobbering each other's
+    * snapshot directory. A crashed writer's lock goes stale and is
+    * broken by age (mtime older than `staleMillis`) — the same
+    * lease-expiry recovery a coordination service gives. Reentrant per
+    * thread so compound operations (compact → publish) hold one lock
+    * end to end. */
+  private val LOCK = "_LOCK"
+
+  private val heldLocks = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  private[warehouse] def withWriterLock[T](
+      spark: SparkSession, root: String)(body: => T): T = {
+    val rootPath = new Path(root)
+    if (heldLocks.get().contains(root)) return body // reentrant
+    val acquireTimeoutMillis = spark.conf
+      .getOption("spark.graft.lockAcquireMs").map(_.toLong)
+      .getOrElse(30000L)
+    val staleMillis = spark.conf
+      .getOption("spark.graft.lockStaleMs").map(_.toLong)
+      .getOrElse(600000L)
+    val fs = fsOf(spark, rootPath)
+    val lock = new Path(rootPath, LOCK)
+    val deadline = System.currentTimeMillis() + acquireTimeoutMillis
+    // Acquisition must be a REAL atomic create-exclusive. Hadoop's
+    // local create(path, overwrite = false) is exists-then-create —
+    // two racing writers can both pass the exists check (observed: 8
+    // simultaneous threads all "acquired") — so the local scheme goes
+    // through java.nio's O_EXCL createFile, the same discipline
+    // installPointer uses for the pointer swap. HDFS-like schemes get
+    // a genuinely atomic namenode create.
+    val local = Option(lock.toUri.getScheme).forall(_ == "file")
+    val owner =
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+        "/" + Thread.currentThread().getId
+    def tryAcquire(): Boolean =
+      try {
+        if (local) {
+          import java.nio.file.{Files, Paths}
+          Files.createDirectories(Paths.get(rootPath.toUri.getPath))
+          Files.write(Paths.get(lock.toUri.getPath),
+            owner.getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+        } else {
+          fs.mkdirs(rootPath)
+          val out = fs.create(lock, false) // atomic on HDFS-like stores
+          try out.write(owner.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
+        true
+      } catch {
+        case _: IOException | _: java.nio.file.FileAlreadyExistsException =>
+          false
+      }
+    var acquired = tryAcquire()
+    while (!acquired) {
+      val stale = try {
+        fs.getFileStatus(lock).getModificationTime <
+          System.currentTimeMillis() - staleMillis
+      } catch { case _: IOException => false } // lock just released
+      if (stale) fs.delete(lock, false) // break the dead writer's lease
+      else if (System.currentTimeMillis() > deadline)
+        throw new IOException(s"could not acquire writer lock on " +
+          s"$root within ${acquireTimeoutMillis}ms: another writer " +
+          "holds it (the format is single-writer; writes serialize)")
+      else Thread.sleep(50)
+      acquired = tryAcquire()
+    }
+    heldLocks.set(heldLocks.get() + root)
+    try body
+    finally {
+      heldLocks.set(heldLocks.get() - root)
+      fs.delete(lock, false)
+    }
+  }
+
   /** Whether `dir` holds at least one parquet data file. Spark writes
     * no part files for an empty DataFrame (only `_SUCCESS`), so this is
     * the existence test for an optional delta tier — schema inference
@@ -276,6 +358,16 @@ object VersionedParquet {
               constraints: Seq[String] = Nil,
               bloomCols: Seq[String] = Nil): String = {
     require(keepVersions >= 1, "must retain at least the live version")
+    withWriterLock(df.sparkSession, root)(
+      publishLocked(df, root, partitionCols, keepVersions, minRetainMillis,
+        markers, statsCols, constraints, bloomCols))
+  }
+
+  private def publishLocked(df: DataFrame, root: String,
+              partitionCols: Seq[String], keepVersions: Int,
+              minRetainMillis: Long, markers: Map[String, String],
+              statsCols: Seq[String], constraints: Seq[String],
+              bloomCols: Seq[String]): String = {
     val spark = df.sparkSession
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
@@ -550,7 +642,13 @@ object VersionedParquet {
     * snapshot that a retained DV version still references. */
   def delete(spark: SparkSession, root: String,
              predicate: org.apache.spark.sql.Column,
-             keepVersions: Int = 2): String = {
+             keepVersions: Int = 2): String =
+    withWriterLock(spark, root)(
+      deleteLocked(spark, root, predicate, keepVersions))
+
+  private def deleteLocked(spark: SparkSession, root: String,
+             predicate: org.apache.spark.sql.Column,
+             keepVersions: Int): String = {
     import org.apache.spark.sql.functions.col
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root"))
@@ -651,8 +749,16 @@ object VersionedParquet {
             deleteKeys: DataFrame, keyCols: Seq[String],
             keepVersions: Int = 2,
             markers: Map[String, String] = Map.empty): String = {
-    import org.apache.spark.sql.functions.{col, count, lit}
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    withWriterLock(spark, root)(
+      mergeLocked(spark, root, upserts, deleteKeys, keyCols, keepVersions,
+        markers))
+  }
+
+  private def mergeLocked(spark: SparkSession, root: String,
+            upserts: DataFrame, deleteKeys: DataFrame, keyCols: Seq[String],
+            keepVersions: Int, markers: Map[String, String]): String = {
+    import org.apache.spark.sql.functions.{col, count, lit}
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root"))
     val rootPath = new Path(root)
@@ -871,6 +977,12 @@ object VersionedParquet {
   def vacuum(spark: SparkSession, root: String,
              keepVersions: Int, minAgeMillis: Long = 0L): Seq[Long] = {
     require(keepVersions >= 1, "must retain at least the live version")
+    withWriterLock(spark, root)(
+      vacuumLocked(spark, root, keepVersions, minAgeMillis))
+  }
+
+  private def vacuumLocked(spark: SparkSession, root: String,
+             keepVersions: Int, minAgeMillis: Long): Seq[Long] = {
     val live = currentVersion(spark, root).getOrElse(return Nil)
     val cutoff = live - keepVersions + 1
     val youngest = System.currentTimeMillis() - minAgeMillis
@@ -921,7 +1033,14 @@ object VersionedParquet {
   def compactSmallFiles(spark: SparkSession, root: String,
                         smallBytes: Long = 32L << 20,
                         targetBytes: Long = 128L << 20,
-                        keepVersions: Int = 2): String = {
+                        keepVersions: Int = 2): String =
+    withWriterLock(spark, root)(
+      compactSmallFilesLocked(spark, root, smallBytes, targetBytes,
+        keepVersions))
+
+  private def compactSmallFilesLocked(spark: SparkSession, root: String,
+                        smallBytes: Long, targetBytes: Long,
+                        keepVersions: Int): String = {
     import org.apache.spark.sql.functions.col
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"nothing to compact under $root"))
@@ -1000,7 +1119,12 @@ object VersionedParquet {
     * live table untouched. Returns the new snapshot directory. */
   def compact(spark: SparkSession, root: String,
               targetBytes: Long = 128L << 20,
-              partitionCols: Seq[String] = Nil): String = {
+              partitionCols: Seq[String] = Nil): String =
+    withWriterLock(spark, root)(
+      compactLocked(spark, root, targetBytes, partitionCols))
+
+  private def compactLocked(spark: SparkSession, root: String,
+              targetBytes: Long, partitionCols: Seq[String]): String = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"nothing to compact under $root"))
     // A deletion-vector version holds no data of its own: size the
