@@ -928,6 +928,89 @@ object Relational {
              |SELECT status, count(*) AS n_cust,
              |       CAST(sum(n94) AS BIGINT) AS sum_orders_94,
              |       CAST(sum(n95) AS BIGINT) AS sum_orders_95
-             |FROM j GROUP BY status ORDER BY status""".stripMargin))
+             |FROM j GROUP BY status ORDER BY status""".stripMargin)),
+
+    // ── CUBE: the full 2^k grain lattice in one pass ─────────────────────
+    // Completes the multi-grain family (q50 GROUPING SETS picks grains
+    // explicitly, q29 ROLLUP walks the hierarchy): CUBE materializes all
+    // four (year, status) grains — the OLAP dashboard contract where
+    // every drill-down and margin total must agree with the detail grid.
+    // Same scale shape as its siblings: ONE Expand (4× the input, bounded
+    // by the lattice size, never the table) feeding ONE partial-aggregated
+    // shuffle — not four scans UNION ALLed. grouping() indicators
+    // disambiguate subtotal-NULL from data-NULL; cents math and pinned
+    // NULLS FIRST keep every grain hash-comparable.
+    QueryDef("q144_cube_lattice",
+      (s, d) =>
+        ord(s, d)
+          // computed dims pre-project so grouping() can name them
+          .withColumn("order_year", year(col("o_orderdate")).cast("int"))
+          .cube(col("order_year"), col("o_orderstatus"))
+          .agg(grouping(col("order_year")).cast("int").as("g_year"),
+            grouping(col("o_orderstatus")).cast("int").as("g_status"),
+            count(lit(1)).as("n_orders"),
+            c2(sum(cents(col("o_totalprice")))).as("total_price"))
+          .orderBy(col("order_year").asc_nulls_first,
+            col("o_orderstatus").asc_nulls_first),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             |       o_orderstatus,
+             |       CAST(GROUPING(CAST(year(o_orderdate) AS INT)) AS INT)
+             |         AS g_year,
+             |       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+             |       count(*) AS n_orders,
+             |       CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+             |         / 100.0 AS total_price
+             |FROM orders
+             |GROUP BY CUBE (CAST(year(o_orderdate) AS INT), o_orderstatus)
+             |ORDER BY order_year ASC NULLS FIRST,
+             |         o_orderstatus ASC NULLS FIRST""".stripMargin)),
+
+    // ── FIRST_VALUE / LAST_VALUE / NTH_VALUE (value-picking windows) ─────
+    // The remaining window family after ranks (q13), offsets (q11/q12),
+    // frames (q14/q105) and distributions (q125): pick the poorest,
+    // richest, and 3rd-poorest customer per segment straight off the
+    // ordered window. The frame is the classic trap: LAST_VALUE over the
+    // DEFAULT frame (RANGE … CURRENT ROW) returns the CURRENT row, so
+    // both sides pin ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    // FOLLOWING explicitly. Ordering is exact cents + the unique key —
+    // every picked value is deterministic; the per-segment collapse (all
+    // rows in a segment carry identical picks, min==max) keeps the
+    // output dim-cardinality. One segment-keyed shuffle, pruned scan.
+    QueryDef("q145_value_windows",
+      (s, d) => {
+        val wFull = Window.partitionBy("c_mktsegment")
+          .orderBy(col("bal_cents"), col("c_custkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        cust(s, d)
+          .select(col("c_mktsegment"), col("c_custkey"),
+            cents(col("c_acctbal")).as("bal_cents"))
+          .withColumn("poorest_key", first(col("c_custkey")).over(wFull))
+          .withColumn("richest_key", last(col("c_custkey")).over(wFull))
+          .withColumn("third_key",
+            nth_value(col("c_custkey"), 3).over(wFull))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_cust"),
+            min("poorest_key").as("poorest_key"),
+            min("richest_key").as("richest_key"),
+            min("third_key").as("third_key"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH b AS (
+             |  SELECT c_mktsegment, c_custkey,
+             |         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+             |  FROM customer),
+             |w AS (
+             |  SELECT c_mktsegment,
+             |         first_value(c_custkey) OVER win AS poorest_key,
+             |         last_value(c_custkey) OVER win AS richest_key,
+             |         nth_value(c_custkey, 3) OVER win AS third_key
+             |  FROM b WINDOW win AS (
+             |    PARTITION BY c_mktsegment ORDER BY bal_cents, c_custkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             |SELECT c_mktsegment, count(*) AS n_cust,
+             |       min(poorest_key) AS poorest_key,
+             |       min(richest_key) AS richest_key,
+             |       min(third_key) AS third_key
+             |FROM w GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

@@ -56,23 +56,41 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as raw nanos (legacy conf) and floor-convert to
-    * microsecond TimestampType — the same truncation DuckDB applies, so
-    * oracle timestamps agree. `div` keeps the conversion in exact integer
-    * arithmetic (ns values exceed 2^53, double math would corrupt them).
-    *
-    * NOTE the conf set here is SESSION-WIDE and persists after this call:
+  /** Normalize an events frame's `ts` to session-zoned microsecond
+    * TimestampType, whatever the physical encoding. Testdata generations
+    * have shipped `ts` two ways:
+    *  - parquet TIMESTAMP(NANOS) — Spark 4 rejects it unless the legacy
+    *    conf reads it as raw nano LONGS; floor-convert with `div` (exact
+    *    integer arithmetic — ns values exceed 2^53, double math would
+    *    corrupt them), the same truncation DuckDB applies;
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) — Spark infers
+    *    TIMESTAMP_NTZ; cast to TimestampType (all graft sessions pin
+    *    spark.sql.session.timeZone=UTC, so the cast is wall-clock
+    *    preserving and agrees with DuckDB's naive read).
+    * Dispatching on the OBSERVED type instead of hard-coding one keeps
+    * every events consumer (batch queries, streams, specs) correct
+    * across regenerations. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** NOTE the conf set here is SESSION-WIDE and persists after this call:
     * any later read of a parquet file with nano timestamps in the same
     * session will also see them as raw longs. Our own entry points
     * (Bench/Verify/specs) additionally pin it at session construction;
-    * the defensive set here keeps `events` readable from a bare session. */
+    * the defensive set here keeps legacy `events` readable from a bare
+    * session. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    fanOut(apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))),
-      d, "events", "event_id")
+    fanOut(normalizeEventTs(apply(s, d, "events")), d, "events", "event_id")
   }
   def documents(s: SparkSession, d: String): DataFrame =
     fanOut(apply(s, d, "documents"), d, "documents", "doc_id")

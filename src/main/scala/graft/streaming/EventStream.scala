@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
+import graft.sources.Tables
+
 /** Structured Streaming over the events table: the same windowed
   * transforms as the batch forms in graft.operators.EventOps, run through
   * `readStream` with watermarks. Batch/stream parity is the design: one
@@ -18,15 +20,35 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema as the streaming source sees it (parquet NANOS read as
-    * raw longs — same trick as Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** events schema as the streaming source sees it, parameterized by the
+    * physical `ts` encoding (testdata generations vary — see
+    * [[graft.sources.Tables.normalizeEventTs]]). */
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+
+  /** The physical `ts` type of the parquet files under `path`, observed
+    * via a batch-read schema peek (footer metadata only — no data scan).
+    * A file stream source needs its schema declared up front, and a
+    * declared type that disagrees with the footer corrupts or fails the
+    * read, so observe rather than assume. Falls back to the current
+    * generation's TIMESTAMP_NTZ when the dir has no files yet. */
+  private def physicalTsType(spark: SparkSession, path: String) =
+    scala.util.Try(spark.read.parquet(path).schema("ts").dataType)
+      .getOrElse(org.apache.spark.sql.types.TimestampNTZType)
+
+  /** Batch read of staged events files with the same ts normalization the
+    * stream applies — the spec-side parity comparator. */
+  def batchEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.normalizeEventTs(
+      spark.read.schema(rawSchema(physicalTsType(spark, path))).parquet(path))
+  }
 
   /** File-based streaming source. Spark's file stream source requires a
     * DIRECTORY to watch (it tails new files), so `path` must be a dir
@@ -35,12 +57,11 @@ object EventStream {
   def readEvents(spark: SparkSession, path: String,
                  maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(rawSchema)
+    val reader = spark.readStream
+      .schema(rawSchema(physicalTsType(spark, path)))
     maxFilesPerTrigger.foreach(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    reader
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(reader.parquet(path))
   }
 
   /** Tumbling hourly counts per event type — watermarked so state is

@@ -24,6 +24,20 @@ class JoinStreamSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.01"
 
+  /** Raw events plus a derived `__us` long column (event time in micros,
+    * whatever the physical ts encoding — see Tables.normalizeEventTs) for
+    * quantile/range staging. Filters run on `__us`; the write drops it so
+    * staged files keep the ORIGINAL physical schema readEvents detects. */
+  private def rawWithUs(): org.apache.spark.sql.DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val us = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    raw.withColumn("__us", us)
+  }
+
   /** Stage events as FOUR time-range files (event-time ordered, with
     * increasing modification times so the file source replays them
     * oldest-first) so maxFilesPerTrigger=1 forces four micro-batches per
@@ -32,14 +46,13 @@ class JoinStreamSpec extends AnyFunSuite {
     * DROPS as late data — the realistic ingest shape is time-ordered
     * file arrival, and boundary matches (click in file k, purchase in
     * file k+1) still cross micro-batches through buffered state. Files
-    * are staged RAW (ts as nanos long) so their physical schema is what
-    * readEvents expects. */
+    * are staged RAW (original physical ts encoding) so their schema is
+    * what readEvents detects. */
   private lazy val eventsDir: String = {
     import java.nio.file.Files
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val raw = rawWithUs()
     val Array(b1, b2, b3) =
-      raw.stat.approxQuantile("ts", Array(0.25, 0.5, 0.75), 0.0)
+      raw.stat.approxQuantile("__us", Array(0.25, 0.5, 0.75), 0.0)
     val scratch = Files.createTempDirectory("graft-join-stage")
     val watched = Files.createTempDirectory("graft-join-stream")
     val bounds = Seq(
@@ -48,7 +61,7 @@ class JoinStreamSpec extends AnyFunSuite {
     val now = System.currentTimeMillis()
     bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
       val tmp = scratch.resolve(s"stage$i").toString
-      raw.filter(col("ts") >= lo && col("ts") < hi)
+      raw.filter(col("__us") >= lo && col("__us") < hi).drop("__us")
         .coalesce(1).write.parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
@@ -60,11 +73,7 @@ class JoinStreamSpec extends AnyFunSuite {
   }
 
   test("streaming interval join == batch interval join, exactly once") {
-    val batchEv = spark.read
-      .schema(EventStream.rawSchema.fields.foldLeft(
-        new org.apache.spark.sql.types.StructType)(_ add _))
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEv = EventStream.batchEvents(spark, eventsDir)
     val expected = JoinStream
       .clickToPurchase(batchEv, batchEv)
       .select("purchase_id", "click_id")
@@ -86,11 +95,7 @@ class JoinStreamSpec extends AnyFunSuite {
   }
 
   test("left-outer: unmatched purchases emit nulls only past the watermark") {
-    val batchEv = spark.read
-      .schema(EventStream.rawSchema.fields.foldLeft(
-        new org.apache.spark.sql.types.StructType)(_ add _))
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEv = EventStream.batchEvents(spark, eventsDir)
     val outerBatch = JoinStream.clickToPurchaseOuter(batchEv, batchEv)
     val batchPairs = outerBatch.filter(col("click_id").isNotNull)
       .select("purchase_id", "click_id")
@@ -148,12 +153,11 @@ class JoinStreamSpec extends AnyFunSuite {
     val watch = java.nio.file.Files.createDirectory(work.resolve("landing"))
     val root = work.resolve("tbl").toString
     val checkpoint = work.resolve("chk").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet")
+    val raw = rawWithUs()
     // Choose the split INSIDE a real click→purchase window (median such
     // purchase): the click lands before the restart, its purchase
     // after — so a recovered-state match is guaranteed to exist.
-    val fullEv = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val fullEv = Tables.normalizeEventTs(raw.drop("__us"))
     val strictPairs = JoinStream.clickToPurchase(fullEv, fullEv)
       .filter(unix_micros(col("click_ts")) <
         unix_micros(col("purchase_ts")))
@@ -161,10 +165,9 @@ class JoinStreamSpec extends AnyFunSuite {
       .orderBy("p").collect().map(_.getLong(0))
     assert(pus.nonEmpty, "corpus must contain strict click<purchase pairs")
     val midUs = pus(pus.length / 2)
-    val mid = (midUs * 1000).toDouble // back to raw nanos for staging
     def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val tmp = work.resolve("s" + name).toString
-      df.coalesce(1).write.parquet(tmp)
+      df.drop("__us").coalesce(1).write.parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath, watch.resolve(name))
@@ -173,7 +176,7 @@ class JoinStreamSpec extends AnyFunSuite {
       JoinStream.clickToPurchase(ev, ev)
         .select("purchase_id", "click_id")
 
-    stage("f0.parquet", raw.filter(col("ts") < mid.toLong))
+    stage("f0.parquet", raw.filter(col("__us") < midUs))
     def runOnce(): Unit = {
       val ev = EventStream.readEvents(spark, watch.toString)
       VersionedSink.run(joinedPairs(ev), root, checkpoint,
@@ -182,16 +185,12 @@ class JoinStreamSpec extends AnyFunSuite {
     runOnce()
     val afterFirst = VersionedParquet.read(spark, root).count()
 
-    stage("f1.parquet", raw.filter(col("ts") >= mid.toLong))
+    stage("f1.parquet", raw.filter(col("__us") >= midUs))
     runOnce()
 
     val landed = VersionedParquet.read(spark, root)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val batchEv = spark.read
-      .schema(EventStream.rawSchema.fields.foldLeft(
-        new org.apache.spark.sql.types.StructType)(_ add _))
-      .parquet(watch.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEv = EventStream.batchEvents(spark, watch.toString)
     val expected = joinedPairs(batchEv)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(landed.length === expected.length, "exactly once, no replays")
@@ -226,9 +225,8 @@ class JoinStreamSpec extends AnyFunSuite {
     val watch = java.nio.file.Files.createDirectory(work.resolve("landing"))
     val root = work.resolve("tbl").toString
     val checkpoint = work.resolve("chk").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sf/events.parquet")
-    val fullEv = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = rawWithUs()
+    val fullEv = Tables.normalizeEventTs(raw.drop("__us"))
     val pus = JoinStream.clickToPurchase(fullEv, fullEv)
       .filter(unix_micros(col("click_ts")) < unix_micros(col("purchase_ts")))
       .select(unix_micros(col("purchase_ts")).as("p"))
@@ -236,7 +234,7 @@ class JoinStreamSpec extends AnyFunSuite {
     val midUs = pus(pus.length / 2)
     def stage(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val tmp = work.resolve("s" + name).toString
-      df.coalesce(1).write.parquet(tmp)
+      df.drop("__us").coalesce(1).write.parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath, watch.resolve(name))
@@ -250,13 +248,13 @@ class JoinStreamSpec extends AnyFunSuite {
         root, checkpoint,
         (cur, batch) => cur.unionByName(batch)).awaitTermination()
     }
-    stage("f0.parquet", raw.filter(col("ts") < midUs * 1000))
+    stage("f0.parquet", raw.filter(col("__us") < midUs))
     runOnce()
     val nulls1 = VersionedParquet.read(spark, root)
       .filter(col("click_id").isNull)
       .select("purchase_id").collect().map(_.getLong(0)).toSet
 
-    stage("f1.parquet", raw.filter(col("ts") >= midUs * 1000))
+    stage("f1.parquet", raw.filter(col("__us") >= midUs))
     runOnce()
     val fin = VersionedParquet.read(spark, root).collect()
     val matched = fin.filter(!_.isNullAt(1))
@@ -265,11 +263,7 @@ class JoinStreamSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getTimestamp(2).getTime * 1000))
 
     // 1. matched side: still the exact batch inner join, exactly once
-    val batchEv = spark.read
-      .schema(EventStream.rawSchema.fields.foldLeft(
-        new org.apache.spark.sql.types.StructType)(_ add _))
-      .parquet(watch.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batchEv = EventStream.batchEvents(spark, watch.toString)
     val expectPairs = JoinStream.clickToPurchase(batchEv, batchEv)
       .select("purchase_id", "click_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
