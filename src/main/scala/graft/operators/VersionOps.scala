@@ -134,6 +134,100 @@ object VersionOps {
     root
   }
 
+  /** q146 scratch tables: orders published + one band delete on the
+    * SOURCE, shallow-cloned (zero-copy) to a second root, then the two
+    * sides diverge — the clone takes a merge (updates + inserts; its
+    * updates also resurrect source-deleted keys they re-upsert), the
+    * source takes a further delete. Once per session. */
+  private[graft] def cloneRoots(s: SparkSession,
+                                dir: String): (String, String) = {
+    val src = Scratch.dir(s, "q146-clone-src")
+    val dst = Scratch.dir(s, "q146-clone-dst")
+    if (VersionedParquet.currentVersion(s, dst).isEmpty) {
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(base, src, keepVersions = 10)
+      VersionedParquet.delete(s, src, col("k") % 11 === 5,
+        keepVersions = 10)
+      VersionedParquet.shallowClone(s, src, dst)
+      val ups = base.filter(col("c") % 10 === 3)
+        .withColumn("cents", col("cents") + 700)
+      val ins = base.filter(col("c") % 31 === 7)
+        .select((-col("k")).as("k"), col("c"), lit(100L).as("cents"))
+      VersionedParquet.upsert(s, dst, ups.unionByName(ins), Seq("k"),
+        keepVersions = 10)
+      VersionedParquet.delete(s, src, col("k") % 13 === 3,
+        keepVersions = 10)
+    }
+    (src, dst)
+  }
+
+  /** q147 scratch table: documents published, one merge-on-read upsert
+    * (updates + inserts), one DV delete, then a metadata-only restore
+    * back to v0 — four readable versions. Once per session. */
+  private[graft] def restoreRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q147-restore")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val base = Tables.documents(s, dir)
+        .select("doc_id", "lang", "n_chars")
+      VersionedParquet.publish(base, root, keepVersions = 10)
+      val ups = base.filter(col("doc_id") % 5 === 1)
+        .withColumn("n_chars", col("n_chars") + 100)
+      val ins = base.filter(col("doc_id") % 11 === 3)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          lit(7L).as("n_chars"))
+      VersionedParquet.upsert(s, root, ups.unionByName(ins),
+        Seq("doc_id"), keepVersions = 10)
+      VersionedParquet.delete(s, root, col("doc_id") % 7 === 2,
+        keepVersions = 10)
+      VersionedParquet.restore(s, root, 0L, keepVersions = 10)
+    }
+    root
+  }
+
+  /** q148 scratch table: orders published Hive-partitioned by year
+    * (the data spans 1995-2001), then ONE dynamic partition overwrite
+    * replacing 1996 (recomputed: high-value orders only, cents bumped)
+    * and creating brand-new 2024 from synthesized rows — every other
+    * year carried by reference. Once per session. */
+  private[graft] def partitionOverwriteRoot(s: SparkSession,
+                                            dir: String): String = {
+    val root = Scratch.dir(s, "q148-replace-where")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        year(col("o_orderdate")).as("yr"))
+      VersionedParquet.publish(o, root, partitionCols = Seq("yr"),
+        keepVersions = 10)
+      val repl96 = o.filter(col("yr") === 1996 &&
+          col("cents") >= 10000000L)
+        .withColumn("cents", col("cents") + 5)
+      val new24 = o.filter(col("yr") === 1995 && col("k") % 50 === 0)
+        .select((col("k") + 20000000L).as("k"), col("c"),
+          lit(123L).as("cents"), lit(2024).as("yr"))
+      VersionedParquet.overwritePartitions(s, root,
+        repl96.unionByName(new24), keepVersions = 10)
+    }
+    root
+  }
+
+  /** q149 scratch table: the per-lang (sum_chars, n_docs) aggregate of
+    * `documents` materialized as a published version — the view
+    * [[graft.plans.MvRewrite]] answers textbook aggregates from. Once
+    * per session. */
+  private[graft] def mvRewriteRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q149-mv-rewrite")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val mv = s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang")
+        .agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("n_docs"))
+      VersionedParquet.publish(mv, root, keepVersions = 10)
+    }
+    root
+  }
+
   /** Maintain a per-`key` MAX under deletes with TARGETED repair — the
     * aggregate MvStream's self-maintainable algebra cannot cover
     * (count/sum retract; max does not: deleting the argmax forgets
@@ -895,6 +989,190 @@ object VersionOps {
              |         AS sum_qty
              |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Zero-copy shallow clone + independent divergence ─────────────────
+    // The dev/test-against-prod primitive: the clone's v0 references the
+    // source's physical snapshot by absolute path (no data copied —
+    // LakehouseOpsSpec proves via inputFiles that the clone reads the
+    // source's bytes and its own root holds no base parquet), then BOTH
+    // sides evolve independently — the clone takes a merge (which also
+    // RESURRECTS source-deleted keys it re-upserts: merge adds incoming
+    // rows whose key the live view lacks), the source takes a further
+    // delete. Three reads — source live, clone v0, clone live — each
+    // hash-checked against an oracle replaying the op algebra over
+    // `orders`; any leak of one side's writes into the other breaks at
+    // least two of the three.
+    QueryDef("q146_shallow_clone",
+      (s, d) => {
+        val (src, dst) = cloneRoots(s, d)
+        Seq(
+          ("clone_v0", VersionedParquet.read(s, dst, Some(0L))),
+          ("clone_live", VersionedParquet.read(s, dst)),
+          ("source_live", VersionedParquet.read(s, src))
+        ).map { case (side, df) =>
+          df.agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            sum(col("k")).cast("long").as("sum_keys"))
+            .select(lit(side).as("side"), col("n_rows"),
+              col("sum_cents"), col("sum_keys"))
+        }.reduce(_ unionByName _).orderBy("side")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |         (o_orderkey % 11 = 5) AS d1,
+             |         (o_orderkey % 13 = 3) AS d2,
+             |         (o_custkey % 10 = 3) AS up,
+             |         (o_custkey % 31 = 7) AS ins
+             |  FROM orders),
+             |clone_v0 AS (SELECT k, cents FROM o WHERE NOT d1),
+             |clone_live AS (
+             |  SELECT k, CASE WHEN up THEN cents + 700 ELSE cents END
+             |           AS cents
+             |  FROM o WHERE up OR NOT d1
+             |  UNION ALL
+             |  SELECT -k, 100 FROM o WHERE ins),
+             |source_live AS (SELECT k, cents FROM o
+             |                WHERE NOT d1 AND NOT d2)
+             |SELECT 'clone_live' AS side, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(sum(k) AS BIGINT) AS sum_keys
+             |FROM clone_live
+             |UNION ALL
+             |SELECT 'clone_v0', count(*), CAST(sum(cents) AS BIGINT),
+             |       CAST(sum(k) AS BIGINT)
+             |FROM clone_v0
+             |UNION ALL
+             |SELECT 'source_live', count(*), CAST(sum(cents) AS BIGINT),
+             |       CAST(sum(k) AS BIGINT)
+             |FROM source_live
+             |ORDER BY side""".stripMargin)),
+
+    // ── Metadata-only RESTORE (rollback without rewrite) ─────────────────
+    // publish → upsert → delete → restore-to-v0: the restore lands as
+    // version 3 referencing v0's physical base (O(changes) metadata, no
+    // data rewritten) while v1/v2 stay time-travelable for the
+    // post-mortem. All four versions read in one output; v3's aggregates
+    // must EQUAL v0's — the oracle states v0's predicates twice, so a
+    // restore that resolves the wrong base, loses the overlay copy, or
+    // half-applies breaks the hash. The rollback's change feed stays
+    // continuous (net insert/delete diff) — LakehouseOpsSpec proves the
+    // apply invariant across the restore step.
+    QueryDef("q147_restore_rollback",
+      (s, d) => {
+        val root = restoreRoot(s, d)
+        (0 to 3).map { v =>
+          VersionedParquet.read(s, root, Some(v.toLong))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("n_chars")).cast("long").as("sum_chars"),
+              sum(col("doc_id")).cast("long").as("sum_ids"))
+            .select(lit(v).as("version"), col("n_rows"),
+              col("sum_chars"), col("sum_ids"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""WITH dd AS (SELECT doc_id, n_chars FROM documents),
+             |v1 AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 5 = 1 THEN n_chars + 100
+             |              ELSE n_chars END AS n_chars
+             |  FROM dd
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, 7 FROM dd WHERE doc_id % 11 = 3),
+             |v2 AS (SELECT * FROM v1 WHERE doc_id % 7 <> 2)
+             |SELECT 0 AS version, count(*) AS n_rows,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM dd
+             |UNION ALL
+             |SELECT 1, count(*), CAST(sum(n_chars) AS BIGINT),
+             |       CAST(sum(doc_id) AS BIGINT) FROM v1
+             |UNION ALL
+             |SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT),
+             |       CAST(sum(doc_id) AS BIGINT) FROM v2
+             |UNION ALL
+             |SELECT 3, count(*), CAST(sum(n_chars) AS BIGINT),
+             |       CAST(sum(doc_id) AS BIGINT) FROM dd
+             |ORDER BY version""".stripMargin)),
+
+    // ── Dynamic partition overwrite (replaceWhere) ───────────────────────
+    // The daily-backfill write pattern: one batch REPLACES exactly the
+    // partitions it carries rows for (1996 recomputed, 2024 brand-new)
+    // and every other year is carried forward by REFERENCE — its base
+    // files land in the exclusion manifest and are never read, moved,
+    // or rewritten (LakehouseOpsSpec proves untouched-partition files
+    // stay byte-identical and replaced-partition files are never
+    // opened). Per-(version, year) aggregates: a partition leaking
+    // through the exclusion, a lost carried partition, or a replayed
+    // prior delta all break the hash. The oracle replays the overwrite
+    // as pure relational algebra.
+    QueryDef("q148_partition_overwrite",
+      (s, d) => {
+        val root = partitionOverwriteRoot(s, d)
+        (0 to 1).map { v =>
+          VersionedParquet.read(s, root, Some(v.toLong))
+            .groupBy(col("yr").cast("int").as("yr"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("cents")).cast("long").as("sum_cents"))
+            .select(lit(v).as("version"), col("yr"), col("n_rows"),
+              col("sum_cents"))
+        }.reduce(_ unionByName _).orderBy("version", "yr")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |         CAST(year(o_orderdate) AS INT) AS yr
+             |  FROM orders),
+             |v1 AS (
+             |  SELECT k, cents, yr FROM o WHERE yr <> 1996
+             |  UNION ALL
+             |  SELECT k, cents + 5, yr FROM o
+             |  WHERE yr = 1996 AND cents >= 10000000
+             |  UNION ALL
+             |  SELECT k + 20000000, 123, 2024 FROM o
+             |  WHERE yr = 1995 AND k % 50 = 0)
+             |SELECT 0 AS version, yr, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM o GROUP BY yr
+             |UNION ALL
+             |SELECT 1, yr, count(*), CAST(sum(cents) AS BIGINT)
+             |FROM v1 GROUP BY yr
+             |ORDER BY version, yr""".stripMargin)),
+
+    // ── Materialized-view query rewrite (optimizer tier) ─────────────────
+    // The maintenance half exists (q110/q128/q130/q143 keep aggregates
+    // current by signed-delta fold); this registers the OPTIMIZER half:
+    // the query below states the textbook aggregate over the BASE
+    // parquet — it never mentions the MV — and graft.plans.MvRewrite
+    // swaps the Aggregate for a scan of the published view, so the
+    // 100 TB corpus scan disappears from the plan in favor of a
+    // group-cardinality read. Because a correctly-maintained MV equals
+    // the recompute, a silently-dead rewrite would still hash-match:
+    // the query REQUIREs, from the optimized plan's scan paths, that
+    // the base is gone and the MV is the only source — a rewrite
+    // regression fails the gate loudly instead of hiding. The oracle
+    // recomputes from the base, so a WRONG rewrite (stale or
+    // mis-mapped view) breaks the hash.
+    QueryDef("q149_mv_query_rewrite",
+      (s, d) => {
+        val root = mvRewriteRoot(s, d)
+        graft.plans.GraftFunctions.register(s)
+        graft.plans.MvRegistry.register(s"$d/documents.parquet", "lang",
+          "n_chars", VersionedParquet.read(s, root),
+          "lang", "sum_chars", "n_docs")
+        val q = s.read.parquet(s"$d/documents.parquet")
+          .groupBy("lang")
+          .agg(sum("n_chars").as("sum_chars"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("lang")
+        val scans = graft.plans.MvRewrite.scanPaths(
+          q.queryExecution.optimizedPlan)
+        require(scans.nonEmpty && scans.forall(_.contains("q149-mv-rewrite")),
+          s"MV rewrite did not fire; plan scans $scans")
+        q
+      },
+      Some("""SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       count(*) AS n_docs
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

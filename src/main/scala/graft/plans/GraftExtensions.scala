@@ -34,9 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GraftFunctions.all.foreach(ext.injectFunction)
     // users who write the textbook regex / dot-product formulations
     // get the codegen kernels automatically — see TextStatRewrite and
-    // VectorDotRewrite
+    // VectorDotRewrite; registered materialized views answer matching
+    // aggregates without a scan — see MvRewrite
     ext.injectOptimizerRule(_ => TextStatRewrite)
     ext.injectOptimizerRule(_ => VectorDotRewrite)
+    ext.injectOptimizerRule(_ => MvRewrite)
   }
 }
 
@@ -90,6 +92,6 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     all.foreach(FunctionBridge.register(spark, _))
     spark.experimental.extraOptimizations =
-      Seq(TextStatRewrite, VectorDotRewrite)
+      Seq(TextStatRewrite, VectorDotRewrite, MvRewrite)
   }
 }

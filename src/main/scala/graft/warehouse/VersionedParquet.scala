@@ -1166,4 +1166,304 @@ object VersionedParquet {
       bloomCols = kinds.collect { case (c, "B") => c }.distinct,
       constraints = carriedConstraints)
   }
+
+  /** An empty deletion-vector frame (the no-rows-masked overlay). */
+  private def emptyDv(spark: SparkSession): DataFrame =
+    spark.emptyDataFrame.selectExpr(
+      "CAST(NULL AS STRING) AS _file", "CAST(NULL AS BIGINT) AS _pos")
+      .limit(0)
+
+  /** Stage a merge-on-read version that reproduces `ofVersion`'s (of
+    * `ofRoot`) logical content under `snapshot`: `_BASE` names the
+    * source's PHYSICAL base (via `baseRef` — relative within one root,
+    * absolute across roots), and the overlay tiers (vector, delta,
+    * exclusion manifest) are copied — O(changes), the base is never
+    * read. Shared staging step of [[shallowClone]] and [[restore]]. */
+  private def stageLogicalCopy(spark: SparkSession, ofRoot: String,
+                               ofVersion: Long, snapshot: Path,
+                               baseRef: String): Unit = {
+    val srcVer = new Path(ofRoot, versionName(ofVersion))
+    val physical = baseNameOf(spark, ofRoot, ofVersion) ==
+      versionName(ofVersion)
+    val dv =
+      if (physical) emptyDv(spark)
+      else spark.read.schema("_file STRING, _pos BIGINT")
+        .parquet(new Path(srcVer, DV_DIR).toString)
+    dv.write.mode("overwrite")
+      .parquet(new Path(snapshot, DV_DIR).toString)
+    val srcDelta = new Path(srcVer, DELTA_DIR)
+    if (hasParquetData(spark, srcDelta))
+      spark.read.parquet(srcDelta.toString).write.mode("overwrite")
+        .parquet(new Path(snapshot, DELTA_DIR).toString)
+    readPointer(spark, new Path(srcVer, EXCLUDE_MARKER)).foreach(m =>
+      installPointer(spark, snapshot, EXCLUDE_MARKER, m))
+    installPointer(spark, snapshot, BASE_MARKER, baseRef)
+  }
+
+  /** Zero-copy SHALLOW CLONE (the `CREATE TABLE ... SHALLOW CLONE`
+    * analogue): `dstRoot` becomes a new table whose v0 is a
+    * merge-on-read version referencing the SOURCE's physical snapshot
+    * by absolute path — no data bytes move, only the overlay tiers
+    * (deletion vector / delta / exclusion manifest, each O(changes))
+    * are copied so the clone is self-contained above its base. The
+    * clone then evolves independently: merges/deletes/upserts grow its
+    * OWN overlay, never touching the source, and `compact` detaches it
+    * entirely (materializes into a fresh physical snapshot under
+    * `dstRoot`). At 100 TB this is the dev/test-against-prod
+    * primitive: an experiment table in seconds and kilobytes instead
+    * of a table copy.
+    *
+    * Retention caveat (same as every shallow-clone design): the
+    * source's vacuum does not know about cross-root references, so the
+    * source must retain the cloned base (retention window / pinned
+    * version) for the clone's lifetime — or the clone should `compact`
+    * to detach. The clone's own vacuum never reaches into the source
+    * root (it only ever deletes `dstRoot` version directories). */
+  def shallowClone(spark: SparkSession, srcRoot: String,
+                   dstRoot: String): String = {
+    val v = currentVersion(spark, srcRoot).getOrElse(
+      throw new IOException(s"no published version under $srcRoot"))
+    // qualify so the reference survives default-FS / working-dir drift
+    val absBase = fsOf(spark, new Path(srcRoot)).makeQualified(
+      new Path(srcRoot, baseNameOf(spark, srcRoot, v))).toString
+    withWriterLock(spark, dstRoot) {
+      if (currentVersion(spark, dstRoot).isDefined)
+        throw new IOException(s"$dstRoot already holds a table; clone " +
+          "targets a fresh root")
+      val dstPath = new Path(dstRoot)
+      val fs = fsOf(spark, dstPath)
+      val snapshot = new Path(dstPath, versionName(0L))
+      fs.delete(snapshot, true)
+      stageLogicalCopy(spark, srcRoot, v, snapshot, absBase)
+      installPointer(spark, snapshot, "_SUCCESS", "")
+      try installPointer(spark, dstPath, POINTER, versionName(0L))
+      catch {
+        case e: IOException =>
+          throw new IOException(s"could not install pointer for clone " +
+            s"$dstRoot; staged snapshot at $snapshot", e)
+      }
+      snapshot.toString
+    }
+  }
+
+  /** Metadata-only RESTORE (the `RESTORE TABLE ... TO VERSION` /
+    * rollback analogue): publishes version N+1 whose logical content
+    * is IDENTICAL to historical `toVersion` — by referencing
+    * `toVersion`'s physical base and copying its overlay tiers, never
+    * rewriting data — so a bad publish/merge is undone in O(changes)
+    * metadata while the botched versions stay time-travelable for the
+    * post-mortem. The restored-to base is reference-protected from
+    * vacuum like any other live base.
+    *
+    * The change feed stays CONTINUOUS across a restore: the new
+    * version's `_cdf` records the exact net row diff current→restored
+    * (insert/delete images with multiplicity), so `changes` replays
+    * through the rollback and the apply invariant
+    * `read(N+1) ≡ read(N) ∖ deletes ⊎ inserts` holds as multisets.
+    * Computing that diff is one count-compare shuffle over the two
+    * versions — the only non-metadata cost; pass `withFeed = false`
+    * to skip it on very large tables (the restore version then marks
+    * itself CDF-absent and `changes` across it fails loudly, like a
+    * physical publish). */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+              keepVersions: Int = 2, withFeed: Boolean = true): String =
+    withWriterLock(spark, root) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IOException(s"no published version under $root"))
+      require(toVersion <= v, s"cannot restore $root forward to " +
+        s"$toVersion (live is $v)")
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val target = new Path(rootPath, versionName(toVersion))
+      if (toVersion == v) target.toString
+      else {
+      if (!(fs.exists(target) && fs.exists(new Path(target, "_SUCCESS"))))
+        throw new IOException(s"version $toVersion of $root does not " +
+          "exist or is incomplete (never published, crashed mid-write, " +
+          "or vacuumed past retention)")
+      val next = v + 1
+      val snapshot = new Path(rootPath, versionName(next))
+      fs.delete(snapshot, true)
+      stageLogicalCopy(spark, root, toVersion, snapshot,
+        baseNameOf(spark, root, toVersion))
+      if (withFeed) {
+        import org.apache.spark.sql.functions.{abs, col, explode, lit,
+          sequence, sum, when}
+        val cur = dataFrameOf(spark, root, v)
+        val tgt = dataFrameOf(spark, root, toVersion)
+        // net multiset diff in ONE shuffle: current weighs −1, target
+        // +1; a nonzero sum is that row image's multiplicity delta.
+        // allowMissingColumns null-fills across an intervening schema
+        // change (a column added after toVersion reads null here, the
+        // same alignment read(version=) applies)
+        val tagged = cur.withColumn("_w", lit(-1L))
+          .unionByName(tgt.withColumn("_w", lit(1L)),
+            allowMissingColumns = true)
+        val cols = tagged.columns.toSeq.filterNot(_ == "_w")
+        val net = tagged
+          .groupBy(cols.map(col): _*).agg(sum("_w").as("_n"))
+          .filter(col("_n") =!= 0)
+        net.withColumn("_change_type",
+            when(col("_n") > 0, lit("insert")).otherwise(lit("delete")))
+          .withColumn("_rep", explode(sequence(lit(1L), abs(col("_n")))))
+          .drop("_n", "_rep")
+          .write.mode("overwrite")
+          .parquet(new Path(snapshot, CDF_DIR).toString)
+      }
+      installPointer(spark, snapshot, "_SUCCESS", "")
+      try installPointer(spark, rootPath, POINTER, versionName(next))
+      catch {
+        case e: IOException =>
+          throw new IOException(s"could not swap pointer for $root; live " +
+            s"table unchanged, staged restore at $snapshot", e)
+      }
+      vacuum(spark, root, keepVersions)
+      snapshot.toString
+      }
+    }
+
+  /** The Hive partition columns of a DIRECTORY layout (outermost
+    * first) — `partitionColsOf` for an already-resolved base dir. */
+  private def partitionColsOfDir(spark: SparkSession,
+                                 baseDir: Path): Seq[String] = {
+    val fs = fsOf(spark, baseDir)
+    val cols = Seq.newBuilder[String]
+    var dir = baseDir
+    var descending = true
+    while (descending) {
+      val sub = if (fs.exists(dir)) fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      else Nil
+      sub.map(_.getPath.getName.takeWhile(_ != '=')).distinct match {
+        case Seq(one) => cols += one; dir = sub.head.getPath
+        case _ => descending = false
+      }
+    }
+    cols.result()
+  }
+
+  /** Dynamic partition overwrite (the `INSERT OVERWRITE ...
+    * PARTITION` / replaceWhere analogue): version N+1 REPLACES exactly
+    * the Hive partitions `df` carries rows for and leaves every other
+    * partition untouched — without rewriting, or even reading, the
+    * untouched ones. Mechanics reuse the merge-on-read tiers: the
+    * touched partitions' base files land in the `_EXCLUDEFILES`
+    * manifest (file-LEVEL pruning — the scan never opens them), prior
+    * delta rows in those partitions drop out, and `df` becomes delta.
+    * Cost is O(replaced partitions + prior delta): the daily-backfill
+    * write pattern at 100 TB, where recomputing one day must not cost
+    * a table rewrite. The change feed records the replaced rows as
+    * deletes and the incoming rows as inserts, atomic with the
+    * version.
+    *
+    * The live table's physical base must be Hive-partitioned (its
+    * layout defines what "a partition" is); incoming rows are aligned
+    * to the base schema (no column adds) and validated against the
+    * table's CHECK contract before anything is staged. */
+  def overwritePartitions(spark: SparkSession, root: String,
+                          df: DataFrame, keepVersions: Int = 2): String =
+    withWriterLock(spark, root) {
+      import org.apache.spark.sql.functions.{col, expr, lit, not, sum, when}
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IOException(s"no published version under $root"))
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val base = baseNameOf(spark, root, v)
+      val baseDir = new Path(rootPath, base)
+      val partCols = partitionColsOfDir(spark, baseDir)
+      if (partCols.isEmpty)
+        throw new IOException(s"$root's base is not Hive-partitioned; " +
+          "dynamic partition overwrite needs a partitioned layout " +
+          "(publish with partitionCols)")
+      val baseData = spark.read.parquet(baseDir.toString)
+      val baseCols = baseData.columns.toSeq
+      val extra = df.columns.filterNot(baseCols.contains)
+      if (extra.nonEmpty)
+        throw new IOException("overwritePartitions cannot add columns " +
+          s"${extra.mkString(",")} to $root; publish a new schema instead")
+      val aligned = df.select(baseCols.map(df(_)): _*)
+      val tableConstraints = readPointer(spark,
+        new Path(baseDir, CONSTRAINTS_MARKER))
+        .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      if (tableConstraints.nonEmpty) {
+        val counts = aligned.agg(
+          sum(when(not(expr(tableConstraints.head)), 1L).otherwise(0L)),
+          tableConstraints.tail.map(c =>
+            sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
+        val bad = tableConstraints.zipWithIndex
+          .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
+                                      else counts.getLong(i)) }
+          .filter(_._2 > 0)
+        if (bad.nonEmpty)
+          throw new IOException("overwrite rejected: CHECK constraint " +
+            bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
+            s" violated; $root stays at version $v")
+      }
+      // the partitions df touches — bounded by partition count, the
+      // same driver-side cardinality every dynamic-overwrite engine
+      // carries (it must enumerate directories to replace)
+      val touched = aligned.select(partCols.map(col): _*).distinct()
+        .collect().toSeq
+      if (touched.isEmpty)
+        throw new IOException("overwritePartitions got zero rows: an " +
+          "empty overwrite set is ambiguous (drop which partitions?); " +
+          "use delete() to clear partitions explicitly")
+      val touchedPred = touched.map(r =>
+        partCols.zipWithIndex.map { case (c, i) =>
+          col(c) <=> lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _)
+      // exact file set of the touched partitions, via Spark's own
+      // partition pruning (reads only those directories' footers)
+      val touchedFiles = baseData.filter(touchedPred)
+        .withColumn("_f", relFile).select("_f").distinct()
+        .collect().map(_.getString(0)).toSet
+      val verDir = new Path(rootPath, versionName(v))
+      val priorExcl = readPointer(spark, new Path(verDir, EXCLUDE_MARKER))
+        .map(_.split('\n').filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
+      val next = v + 1
+      val snapshot = new Path(rootPath, versionName(next))
+      fs.delete(snapshot, true)
+      // change feed FIRST (needs the pre-overwrite logical state):
+      // every live row of the touched partitions (base- AND
+      // delta-resident) is deleted; every incoming row inserts
+      val current = dataFrameOf(spark, root, v)
+      current.filter(touchedPred)
+        .withColumn("_change_type", lit("delete"))
+        .unionByName(aligned.withColumn("_change_type", lit("insert")))
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, CDF_DIR).toString)
+      // vector: keep only entries on files the scan still opens
+      // (entries on newly-excluded files are spent)
+      val dvPrior =
+        if (base == versionName(v)) emptyDv(spark)
+        else spark.read.schema("_file STRING, _pos BIGINT")
+          .parquet(new Path(verDir, DV_DIR).toString)
+      val newlyExcluded = touchedFiles -- priorExcl
+      dvPrior.filter(!col("_file").isin(newlyExcluded.toSeq: _*))
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, DV_DIR).toString)
+      // delta: prior rows outside the replaced partitions + incoming
+      val priorDelta = new Path(verDir, DELTA_DIR)
+      val carried =
+        if (hasParquetData(spark, priorDelta))
+          spark.read.parquet(priorDelta.toString)
+            .filter(org.apache.spark.sql.functions.coalesce(
+              touchedPred, lit(false)) === false)
+        else aligned.limit(0)
+      carried.unionByName(aligned)
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, DELTA_DIR).toString)
+      installPointer(spark, snapshot, EXCLUDE_MARKER,
+        (priorExcl ++ touchedFiles).toSeq.sorted.mkString("\n"))
+      installPointer(spark, snapshot, BASE_MARKER, base)
+      installPointer(spark, snapshot, "_SUCCESS", "")
+      try installPointer(spark, rootPath, POINTER, versionName(next))
+      catch {
+        case e: IOException =>
+          throw new IOException(s"could not swap pointer for $root; live " +
+            s"table unchanged, staged overwrite at $snapshot", e)
+      }
+      vacuum(spark, root, keepVersions)
+      snapshot.toString
+    }
 }

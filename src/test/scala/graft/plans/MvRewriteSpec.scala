@@ -1,0 +1,133 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MV query-rewrite rule's contract: matching aggregates answer
+  * from the registered view (scan-path proven), every non-matching
+  * shape is left on the base — a rewrite firing on a shape the MV
+  * cannot answer (filtered base, different key, an aggregate the view
+  * lacks) would be a wrong-results bug, and parent operators must keep
+  * resolving because output exprIds survive the swap.
+  */
+class MvRewriteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val basePath: String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mv-base").toString + "/t"
+    (0L until 5000L).map(i => (i, s"g${i % 7}", i % 100))
+      .toDF("id", "g", "x")
+      .write.parquet(dir)
+    dir
+  }
+
+  private lazy val mvPath: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mv-view").toString + "/mv"
+    spark.read.parquet(basePath).groupBy("g")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .write.parquet(dir)
+    dir
+  }
+
+  private def registered[T](body: => T): T = {
+    GraftFunctions.register(spark)
+    MvRegistry.register(basePath, "g", "x",
+      spark.read.parquet(mvPath), "g", "sx", "n")
+    try body finally MvRegistry.clear()
+  }
+
+  private def scans(df: DataFrame): Seq[String] =
+    MvRewrite.scanPaths(df.queryExecution.optimizedPlan)
+
+  private def textbook: DataFrame =
+    spark.read.parquet(basePath).groupBy("g")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+
+  test("matching aggregate answers from the view, result identical") {
+    registered {
+      val q = textbook.orderBy("g")
+      assert(scans(q).forall(_.contains("/mv")),
+        s"expected the MV scan, got ${scans(q)}")
+      val viaMv = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      MvRegistry.clear()
+      val direct = textbook.orderBy("g").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(viaMv === direct)
+    }
+  }
+
+  test("parent operators survive the swap (exprIds preserved)") {
+    registered {
+      // a filter and a self-join ABOVE the aggregate reference its
+      // output attributes; both must resolve against the rewritten
+      // subtree and compute correct values
+      val q = textbook.filter(col("sx") > 0)
+        .join(textbook.select(col("g"), col("n").as("n2")), "g")
+        .orderBy("g")
+      assert(scans(q).forall(_.contains("/mv")))
+      val rows = q.collect()
+      assert(rows.length === 7)
+      assert(rows.forall(r => r.getLong(2) === r.getLong(3)),
+        "both join sides must carry the same per-group count")
+    }
+  }
+
+  test("group-key-only predicates commute: filtered dashboard answers from the view") {
+    registered {
+      val q = spark.read.parquet(basePath).filter(col("g") === "g3")
+        .groupBy("g").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      assert(scans(q).forall(_.contains("/mv")),
+        s"a group-key predicate must re-apply above the MV, got ${scans(q)}")
+      val viaMv = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      MvRegistry.clear()
+      val direct = spark.read.parquet(basePath).filter(col("g") === "g3")
+        .groupBy("g").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(viaMv === direct)
+    }
+  }
+
+  test("filtered base is NOT rewritten (the MV cannot answer it)") {
+    registered {
+      val q = spark.read.parquet(basePath).filter(col("x") > 50)
+        .groupBy("g").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      assert(scans(q).forall(_.contains("/t")),
+        "a filtered aggregate must keep scanning the base")
+    }
+  }
+
+  test("different group key / unsupported aggregate are NOT rewritten") {
+    registered {
+      val byId = spark.read.parquet(basePath).groupBy("id")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      assert(scans(byId).forall(_.contains("/t")))
+      val withAvg = spark.read.parquet(basePath).groupBy("g")
+        .agg(sum("x").as("sx"), avg("x").as("ax"))
+      assert(scans(withAvg).forall(_.contains("/t")))
+      val distinctSum = spark.read.parquet(basePath).groupBy("g")
+        .agg(sum_distinct(col("x")).as("sx"), count(lit(1)).as("n"))
+      assert(scans(distinctSum).forall(_.contains("/t")))
+    }
+  }
+
+  test("unregistered path and cleared registry are untouched") {
+    GraftFunctions.register(spark)
+    MvRegistry.clear()
+    val q = textbook
+    assert(scans(q).forall(_.contains("/t")),
+      "no registration — no rewrite")
+  }
+}
