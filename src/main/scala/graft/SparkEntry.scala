@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.sources.QueryDef
-import graft.operators.{BpeOps, CatalogOps, ClusterOps, CurationOps, DedupOps, EventOps, GraphOps, MultimodalOps, OlapOps, ProfileOps, Relational, SampleOps, SimilarityOps, SketchOps, SqlSurfaceOps, TemporalOps, TextOps, VersionOps}
+import graft.operators.{BpeOps, CatalogOps, ClusterOps, CurationOps, DedupOps, EventOps, GraphOps, MultimodalOps, OlapOps, PqOps, ProfileOps, Relational, SampleOps, SimilarityOps, SketchOps, SqlSurfaceOps, TemporalOps, TextOps, VersionOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
       EventOps.queries ++ TemporalOps.queries ++ SampleOps.queries ++
       CurationOps.queries ++ SketchOps.queries ++ MultimodalOps.queries ++
       ProfileOps.queries ++ SqlSurfaceOps.queries ++ VersionOps.queries ++
-      BpeOps.queries ++ GraphOps.queries ++ ClusterOps.queries
+      BpeOps.queries ++ GraphOps.queries ++ ClusterOps.queries ++
+      PqOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The star-join revenue-by-nation aggregate (J3) — exercises scan,

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{QueryDef, Tables}
+
+/** Product quantization — the compression tier under IVF-PQ ANN
+  * serving (q47/q100 give the coarse IVF routing; this gives the
+  * in-cell compression): the 64-dim embedding splits into M=4
+  * subvectors of 16 dims, each subspace trains its own K=4-code
+  * codebook by Lloyd's algorithm, and a vector's code is its per-
+  * subspace nearest-centroid tuple — 64 floats become M small code
+  * ids (8 codes → 3 bits here; 8-bit codes at production K=256), an ~128×
+  * compression that lets a 100 TB embedding corpus fit hot storage
+  * for asymmetric-distance (ADC) scanning.
+  *
+  * Exact-integer discipline (q124's, which this reuses structurally):
+  * embeddings quantize to `round(x·1000)` longs; distances are
+  * integer squared-L2; centroid updates are truncating integer means;
+  * ties break to the lowest code — so Spark and the DuckDB oracle
+  * agree bit-for-bit and the oracle can unroll every Lloyd round as
+  * CTEs, with ALL subspaces trained in the same CTE chain keyed by
+  * (m, cl).
+  *
+  * Scale shape, per round and subspace: assignment is a MAP-SIDE
+  * projection against the literal K×16 codebook (zero shuffle);
+  * the update is ONE (m, cl, dim)-keyed partial-aggregated shuffle
+  * bounded at M·K·16·partitions; only the M·K×16 codebook matrix
+  * (a few KB) ever reaches the driver. The defining PQ identity —
+  * ADC(q, code(x)) == d2(q, reconstruct(x)) — and ADC top-k recall
+  * on the clustered corpus are PqSpec's properties.
+  */
+object PqOps {
+
+  /** Fixed-point scale, subspace count/width, codes per subspace,
+    * Lloyd rounds (gate constants — the oracle unrolls the same). */
+  final val SCALE = 1000
+  final val M = 4
+  final val SUBD = 16
+  final val K = 16
+  final val ITERS = 3
+
+  /** Embeddings quantized to exact integer micro-units. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x * SCALE).cast("long")).as("e"))
+
+  /** Integer squared-L2 from subvector column `s` to a literal code. */
+  private def d2(cent: Array[Long]): Column =
+    aggregate(
+      zip_with(col("s"), typedlit(cent.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Nearest-code assignment for one subspace (label-sorted codes);
+    * ties to the LOWEST code — q124's discipline. */
+  private def assign(v: DataFrame,
+                     cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val withD = cents.zipWithIndex.foldLeft(v) { case (df, ((_, c), i)) =>
+      df.withColumn(s"_d$i", d2(c))
+    }
+    val ds = cents.indices.map(i => col(s"_d$i"))
+    val best = least(ds: _*)
+    val labels = typedlit(cents.map(_._1))
+    withD
+      .withColumn("d2", best)
+      .withColumn("cl", element_at(labels,
+        array_position(array(ds: _*), best).cast("int")))
+      .drop(cents.indices.map(i => s"_d$i"): _*)
+  }
+
+  /** Train all M codebooks; returns (m, Seq[(code, centroid)]).
+    *
+    * Every Lloyd round is ONE Spark job over ALL subspaces: the M
+    * per-subspace assignments (map-side, off the same cached scan)
+    * union into a single (m, code, dim)-keyed partial-aggregated
+    * shuffle, so the corpus is touched once per round — not once per
+    * (round, subspace) — and the driver sees one M·K×SUBD matrix per
+    * round. At 100 TB that is the difference between ITERS scans and
+    * ITERS·M scans. */
+  private[graft] def codebooks(s: SparkSession, dir: String)
+      : Seq[(Int, Seq[(Int, Array[Long])])] = {
+    val q = quantized(s, dir).persist()
+    try {
+      def sub(m: Int): DataFrame = q.select(col("vec_id"),
+        slice(col("e"), m * SUBD + 1, SUBD).as("s"))
+      // deterministic init: the K lowest vec_ids' subvectors, shared
+      // across subspaces (one collect slices all M)
+      val seed = q.orderBy("vec_id").limit(K).collect()
+      var books: Map[Int, Seq[(Int, Array[Long])]] =
+        (0 until M).map { m =>
+          m -> seed.zipWithIndex.map { case (r, i) =>
+            i -> r.getSeq[Long](1).slice(m * SUBD, (m + 1) * SUBD).toArray
+          }.toSeq
+        }.toMap
+      for (_ <- 1 to ITERS) {
+        val assignedAll = (0 until M).map(m =>
+          assign(sub(m), books(m))
+            .select(lit(m).as("m"), col("cl"), col("s")))
+          .reduce(_ unionByName _)
+        val rows = assignedAll
+          .select(col("m"), col("cl"),
+            posexplode(col("s")).as(Seq("pos", "v")))
+          .groupBy("m", "cl", "pos")
+          .agg(sum("v").as("sm"), count(lit(1)).as("n"))
+          .collect()
+        books = rows.groupBy(_.getInt(0)).map { case (m, ms) =>
+          m -> ms.groupBy(_.getInt(1)).map { case (cl, rs) =>
+            cl -> rs.sortBy(_.getInt(2))
+              .map(r => r.getLong(3) / r.getLong(4))
+          }.toSeq.sortBy(_._1)
+        }
+      }
+      (0 until M).map(m => m -> books(m))
+    } finally { q.unpersist(); () }
+  }
+
+  /** Encode the corpus: one row per (vec_id, m) with the assigned
+    * code and its quantization error. */
+  private[graft] def encoded(s: SparkSession, dir: String,
+      books: Seq[(Int, Seq[(Int, Array[Long])])]): DataFrame = {
+    val q = quantized(s, dir)
+    books.map { case (m, cents) =>
+      assign(q.select(col("vec_id"),
+          slice(col("e"), m * SUBD + 1, SUBD).as("s")), cents)
+        .withColumn("m", lit(m))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The unrolled oracle: subvectors for every (vec_id, m), shared
+    * init + ITERS Lloyd rounds keyed (m, cl), final assignment. */
+  private val ORACLE_CTES: String = {
+    def round(k: Int): String =
+      s"""a$k AS (
+         |  SELECT vec_id, m, s, cl, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+         |                                 ORDER BY d2, cl) AS rn FROM (
+         |      SELECT v.vec_id, v.m, v.s, c.cl,
+         |             CAST(list_inner_product(v.s, v.s)
+         |                  - 2 * list_inner_product(v.s, c.cent)
+         |                  + list_inner_product(c.cent, c.cent)
+         |               AS BIGINT) AS d2
+         |      FROM sub v JOIN c${k - 1} c ON v.m = c.m))
+         |  WHERE rn = 1),
+         |c$k AS (
+         |  SELECT m, cl, list(val ORDER BY i) AS cent FROM (
+         |    SELECT m, cl, i,
+         |           CAST(sum(s[i]) // count(*) AS BIGINT) AS val
+         |    FROM a$k, generate_series(1, $SUBD) t(i)
+         |    GROUP BY m, cl, i)
+         |  GROUP BY m, cl)""".stripMargin
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(x * $SCALE) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |sub AS (
+       |  SELECT vec_id, m, e[m * $SUBD + 1 : (m + 1) * $SUBD] AS s
+       |  FROM v, (VALUES (0), (1), (2), (3)) t(m)),
+       |c0 AS (
+       |  SELECT m, CAST(rn - 1 AS INT) AS cl, s AS cent FROM (
+       |    SELECT m, s, row_number() OVER (PARTITION BY m
+       |                                    ORDER BY vec_id) AS rn
+       |    FROM sub)
+       |  WHERE rn <= $K),
+       |${(1 to ITERS).map(round).mkString(",\n")},
+       |fin AS (
+       |  SELECT vec_id, m, cl, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |                                 ORDER BY d2, cl) AS rn FROM (
+       |      SELECT v.vec_id, v.m, c.cl,
+       |             CAST(list_inner_product(v.s, v.s)
+       |                  - 2 * list_inner_product(v.s, c.cent)
+       |                  + list_inner_product(c.cent, c.cent)
+       |               AS BIGINT) AS d2
+       |      FROM sub v JOIN c$ITERS c ON v.m = c.m))
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ── PQ codebook training + corpus encoding in the gate ───────────────
+    // Per (subspace, code): population, membership fingerprint (min
+    // vec_id), and total quantization error — the compression-quality
+    // dashboard. Every number is exact-integer, so a drifted centroid
+    // mean, a wrong tie-break, or a mis-sliced subvector anywhere in
+    // training OR encoding breaks the hash against the oracle's
+    // identical unrolled rounds.
+    QueryDef("q150_product_quantization",
+      (s, d) => {
+        val books = codebooks(s, d)
+        encoded(s, d, books)
+          .groupBy(col("m").as("subspace"), col("cl").as("code"))
+          .agg(count(lit(1)).as("n_vecs"),
+            min("vec_id").as("min_vec_id"),
+            sum("d2").cast("long").as("quant_err"))
+          .orderBy("subspace", "code")
+      },
+      Some(s"""$ORACLE_CTES
+             |SELECT m AS subspace, cl AS code, count(*) AS n_vecs,
+             |       min(vec_id) AS min_vec_id,
+             |       CAST(sum(d2) AS BIGINT) AS quant_err
+             |FROM fin
+             |GROUP BY m, cl
+             |ORDER BY subspace, code""".stripMargin))
+  )
+}
