@@ -213,6 +213,30 @@ object VersionOps {
     root
   }
 
+  /** q151 scratch table: orders published, then two searched UPDATEs —
+    * v1 bumps low-value finished orders (base-resident path), v2
+    * re-touches a subset of v1's own updated rows (delta in-place
+    * path). Once per session. */
+  private[graft] def updateWhereRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q151-update-where")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o, root, keepVersions = 10)
+      VersionedParquet.updateWhere(s, root,
+        col("st") === "F" && col("cents") < 10000000L,
+        Map("cents" -> (col("cents") + 10), "prio" -> lit("BUMPED")),
+        keepVersions = 10)
+      VersionedParquet.updateWhere(s, root,
+        col("prio") === "BUMPED" && col("k") % 2 === 0,
+        Map("cents" -> (col("cents") * 2)),
+        keepVersions = 10)
+    }
+    root
+  }
+
   /** q149 scratch table: the per-lang (sum_chars, n_docs) aggregate of
     * `documents` materialized as a published version — the view
     * [[graft.plans.MvRewrite]] answers textbook aggregates from. Once
@@ -1173,6 +1197,60 @@ object VersionOps {
       },
       Some("""SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |       count(*) AS n_docs
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ── Searched UPDATE (predicate DML, merge-on-read) ───────────────────
+    // The remaining DML verb after DELETE (q136), keyed MERGE (q139)
+    // and partition overwrite (q148): UPDATE ... SET ... WHERE over the
+    // live view at O(matched) cost — matched base rows mask into the
+    // vector and their updated images land in the delta; v2 deliberately
+    // re-touches half of v1's own updated rows, so the delta-resident
+    // in-place path is load-bearing (a double-image or lost transform
+    // breaks count, cents-sum, AND the BUMPED census). The oracle
+    // replays both updates as CASE algebra over `orders` and never sees
+    // the format; LakehouseOpsSpec proves zero base bytes moved and the
+    // update_pre/update_post feed invariant.
+    QueryDef("q151_update_where",
+      (s, d) => {
+        val root = updateWhereRoot(s, d)
+        (0 to 2).map { v =>
+          VersionedParquet.read(s, root, Some(v.toLong))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("cents")).cast("long").as("sum_cents"),
+              count(when(col("prio") === "BUMPED", 1)).as("n_bumped"))
+            .select(lit(v).as("version"), col("n_rows"),
+              col("sum_cents"), col("n_bumped"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS st,
+             |         o_orderpriority AS prio,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v1 AS (
+             |  SELECT k, st,
+             |         CASE WHEN st = 'F' AND cents < 10000000
+             |              THEN 'BUMPED' ELSE prio END AS prio,
+             |         CASE WHEN st = 'F' AND cents < 10000000
+             |              THEN cents + 10 ELSE cents END AS cents
+             |  FROM o),
+             |v2 AS (
+             |  SELECT k, st, prio,
+             |         CASE WHEN prio = 'BUMPED' AND k % 2 = 0
+             |              THEN cents * 2 ELSE cents END AS cents
+             |  FROM v1)
+             |SELECT 0 AS version, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) FILTER (WHERE prio = 'BUMPED') AS n_bumped
+             |FROM o
+             |UNION ALL
+             |SELECT 1, count(*), CAST(sum(cents) AS BIGINT),
+             |       count(*) FILTER (WHERE prio = 'BUMPED')
+             |FROM v1
+             |UNION ALL
+             |SELECT 2, count(*), CAST(sum(cents) AS BIGINT),
+             |       count(*) FILTER (WHERE prio = 'BUMPED')
+             |FROM v2
+             |ORDER BY version""".stripMargin))
   )
 }

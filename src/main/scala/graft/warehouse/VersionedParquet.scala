@@ -1322,6 +1322,117 @@ object VersionedParquet {
       }
     }
 
+  /** Searched UPDATE (the `UPDATE t SET c = expr WHERE pred` verb —
+    * predicate-matched, not keyed like `merge`): publishes version N+1
+    * as a merge-on-read overlay where every LIVE row matching
+    * `predicate` is masked out of the base (deletion vector) or
+    * transformed in place (delta tier) and its updated image lands in
+    * the delta. SQL UPDATE semantics: only rows where the predicate is
+    * TRUE change — NULL keeps. `sets` columns must already exist (an
+    * UPDATE cannot evolve the schema), updated images are validated
+    * against the table's CHECK contract before anything is staged, and
+    * the change feed records exact update_pre/update_post pairs —
+    * O(matched rows) metadata, zero base bytes rewritten, `compact`
+    * collects the debt. */
+  def updateWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  sets: Map[String, org.apache.spark.sql.Column],
+                  keepVersions: Int = 2): String =
+    withWriterLock(spark, root) {
+      import org.apache.spark.sql.functions.{coalesce, col, expr, lit,
+        not, sum, when}
+      require(sets.nonEmpty, "UPDATE needs at least one SET column")
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IOException(s"no published version under $root"))
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val base = baseNameOf(spark, root, v)
+      val baseData = spark.read.parquet(new Path(rootPath, base).toString)
+      val baseCols = baseData.columns.toSeq
+      val unknown = sets.keys.filterNot(baseCols.contains)
+      if (unknown.nonEmpty)
+        throw new IOException("UPDATE cannot add columns " +
+          s"${unknown.mkString(",")} to $root; publish a new schema " +
+          "instead")
+      def applySets(df: DataFrame): DataFrame = {
+        val updated = sets.foldLeft(df) { case (d, (c, e)) =>
+          d.withColumn(c, e) }
+        updated.select(baseCols.map(updated(_)): _*)
+      }
+      val matchedTrue = coalesce(predicate, lit(false)) === true
+      // pre/post images resolve against the LIVE view (base-resident
+      // AND delta-resident matches), O(matched)
+      val current = dataFrameOf(spark, root, v)
+      val pre = current.filter(matchedTrue)
+      val post = applySets(pre)
+      val tableConstraints = readPointer(spark,
+        new Path(new Path(rootPath, base), CONSTRAINTS_MARKER))
+        .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      if (tableConstraints.nonEmpty) {
+        val counts = post.agg(
+          sum(when(not(expr(tableConstraints.head)), 1L).otherwise(0L)),
+          tableConstraints.tail.map(c =>
+            sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
+        val bad = tableConstraints.zipWithIndex
+          .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
+                                      else counts.getLong(i)) }
+          .filter(_._2 > 0)
+        if (bad.nonEmpty)
+          throw new IOException("UPDATE rejected: CHECK constraint " +
+            bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
+            s" violated; $root stays at version $v")
+      }
+      val next = v + 1
+      val snapshot = new Path(rootPath, versionName(next))
+      fs.delete(snapshot, true)
+      // vector: matched BASE rows leave the base scan (their updated
+      // images live in the delta from now on)
+      val hits = baseData
+        .withColumn("_file", relFile)
+        .withColumn("_pos", col("_metadata.row_index"))
+        .filter(matchedTrue)
+        .select("_file", "_pos")
+      val prior =
+        if (base == versionName(v)) hits.limit(0)
+        else spark.read.schema("_file STRING, _pos BIGINT").parquet(
+          new Path(new Path(rootPath, versionName(v)), DV_DIR).toString)
+      prior.union(hits).distinct()
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, DV_DIR).toString)
+      // delta: unmatched prior delta rows carry; every matched LIVE
+      // row's updated image (base- AND delta-resident — `post` is
+      // computed off the live view, so compaction-excluded base files
+      // and already-masked rows are handled by the same resolution
+      // every read uses) lands exactly once
+      val priorDelta = new Path(new Path(rootPath, versionName(v)),
+        DELTA_DIR)
+      val carried =
+        if (hasParquetData(spark, priorDelta))
+          spark.read.parquet(priorDelta.toString).filter(!matchedTrue)
+        else post.limit(0)
+      carried.unionByName(post)
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, DELTA_DIR).toString)
+      // change feed: exact pre/post images, atomic with the version
+      pre.withColumn("_change_type", lit("update_pre"))
+        .unionByName(post.withColumn("_change_type", lit("update_post")))
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, CDF_DIR).toString)
+      readPointer(spark, new Path(new Path(rootPath, versionName(v)),
+        EXCLUDE_MARKER)).foreach(m =>
+        installPointer(spark, snapshot, EXCLUDE_MARKER, m))
+      installPointer(spark, snapshot, BASE_MARKER, base)
+      installPointer(spark, snapshot, "_SUCCESS", "")
+      try installPointer(spark, rootPath, POINTER, versionName(next))
+      catch {
+        case e: IOException =>
+          throw new IOException(s"could not swap pointer for $root; " +
+            s"live table unchanged, staged update at $snapshot", e)
+      }
+      vacuum(spark, root, keepVersions)
+      snapshot.toString
+    }
+
   /** The Hive partition columns of a DIRECTORY layout (outermost
     * first) — `partitionColsOf` for an already-resolved base dir. */
   private def partitionColsOfDir(spark: SparkSession,

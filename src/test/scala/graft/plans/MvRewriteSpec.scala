@@ -123,6 +123,54 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("maintenance round-trip: an advanced view re-registers and answers fresh") {
+    import graft.warehouse.VersionedParquet
+    import spark.implicits._
+    // MV maintained in the versioned format; after the base grows and
+    // the view advances by the delta, RE-registration (the refresh
+    // analogue) makes the rewrite serve the NEW version — and the
+    // query still never mentions the view
+    val work = java.nio.file.Files.createTempDirectory("graft-mv-live")
+    val base = work.resolve("base").toString
+    val mvRoot = work.resolve("mv").toString
+    (0L until 1000L).map(i => (i, s"g${i % 5}", i % 10))
+      .toDF("id", "g", "x").write.parquet(base)
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+    VersionedParquet.publish(agg(spark.read.parquet(base)), mvRoot,
+      keepVersions = 10)
+    GraftFunctions.register(spark)
+    MvRegistry.register(base, "g", "x",
+      VersionedParquet.read(spark, mvRoot), "g", "sx", "n")
+    try {
+      // base grows; the view advances by the batch's delta (q128's
+      // fold shape: merge per-group sums), then re-registers
+      val batch = (1000L until 1500L).map(i => (i, s"g${i % 5}", 7L))
+        .toDF("id", "g", "x")
+      batch.write.mode("append").parquet(base)
+      val advanced = VersionedParquet.read(spark, mvRoot)
+        .unionByName(agg(batch))
+        .groupBy("g").agg(sum("sx").as("sx"), sum("n").as("n"))
+      VersionedParquet.publish(advanced, mvRoot, keepVersions = 10)
+      MvRegistry.register(base, "g", "x",
+        VersionedParquet.read(spark, mvRoot), "g", "sx", "n")
+
+      val q = spark.read.parquet(base).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n")).orderBy("g")
+      assert(scans(q).forall(_.contains("/mv")),
+        s"refreshed registration must serve the view, got ${scans(q)}")
+      val viaMv = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      MvRegistry.clear()
+      val direct = spark.read.parquet(base).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n")).orderBy("g")
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(viaMv === direct,
+        "the maintained view must answer with the post-batch truth")
+    } finally MvRegistry.clear()
+  }
+
   test("unregistered path and cleared registry are untouched") {
     GraftFunctions.register(spark)
     MvRegistry.clear()

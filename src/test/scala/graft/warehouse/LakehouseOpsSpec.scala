@@ -212,6 +212,82 @@ class LakehouseOpsSpec extends AnyFunSuite {
     assert(feed.filter(col("_change_type") === "insert").count() === 10L)
   }
 
+  // ── searched UPDATE ──────────────────────────────────────────────────
+
+  test("updateWhere rewrites no base bytes and its feed replays exactly") {
+    import spark.implicits._
+    val root = tmp("update")
+    val rows = (0L until 2000L).map(i => (i, i % 10, i))
+      .toDF("id", "grp", "x")
+    VersionedParquet.publish(rows.repartition(4), root, keepVersions = 10)
+    val before = dataFiles(root)
+
+    VersionedParquet.updateWhere(spark, root,
+      col("grp") === 3, Map("x" -> (col("x") + 1000000L)),
+      keepVersions = 10)
+    // second update re-touches half the delta-resident rows (the
+    // in-place path); note grp = id % 10, so the sub-predicate must
+    // stay satisfiable alongside grp = 3
+    VersionedParquet.updateWhere(spark, root,
+      col("grp") === 3 && col("id") < 1000,
+      Map("x" -> (col("x") * 2)), keepVersions = 10)
+
+    val after = dataFiles(root)
+    before.foreach { case (f, len) =>
+      assert(after.get(f).contains(len), s"updateWhere rewrote $f") }
+
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("id", "grp", "x").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2)) -> r.getLong(3)).toMap
+    // semantic check vs a driver-side replay
+    val expect = (0L until 2000L).map { i =>
+      val x1 = if (i % 10 == 3) i + 1000000L else i
+      val x2 = if (i % 10 == 3 && i < 1000) x1 * 2 else x1
+      (i, i % 10, x2)
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(bag(VersionedParquet.read(spark, root)) === expect)
+
+    // apply invariant for each update step
+    for (v <- Seq(0L, 1L)) {
+      val feed = VersionedParquet.changes(spark, root, v, v + 1)
+      val pre = bag(feed.filter(col("_change_type") === "update_pre")
+        .drop("_change_type", "_commit_version"))
+      val post = bag(feed.filter(col("_change_type") === "update_post")
+        .drop("_change_type", "_commit_version"))
+      assert(pre.values.sum === post.values.sum && pre.nonEmpty)
+      val cur = bag(VersionedParquet.read(spark, root, Some(v)))
+      val applied = pre.foldLeft(cur) { case (m, (k, n)) =>
+        val left = m.getOrElse(k, 0L) - n
+        assert(left >= 0, s"pre-image $k not present at v$v")
+        if (left == 0) m - k else m + (k -> left)
+      }
+      val plus = post.foldLeft(applied) { case (m, (k, n)) =>
+        m + (k -> (m.getOrElse(k, 0L) + n)) }
+      assert(plus === bag(VersionedParquet.read(spark, root, Some(v + 1))),
+        s"feed must replay v$v into v${v + 1}")
+    }
+  }
+
+  test("updateWhere: NULL predicate keeps, unknown SET column throws") {
+    import spark.implicits._
+    val root = tmp("update-null")
+    VersionedParquet.publish(
+      Seq((1L, Some(5L)), (2L, None), (3L, Some(50L))).toDF("id", "x"),
+      root, keepVersions = 10)
+    VersionedParquet.updateWhere(spark, root, col("x") > 10,
+      Map("x" -> lit(0L)), keepVersions = 10)
+    val got = VersionedParquet.read(spark, root)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got === Map(1L -> Some(5L), 2L -> None, 3L -> Some(0L)),
+      "NULL predicate must keep the row unchanged (SQL UPDATE)")
+    val e = intercept[java.io.IOException](
+      VersionedParquet.updateWhere(spark, root, col("x") > 0,
+        Map("nope" -> lit(1L))))
+    assert(e.getMessage.contains("cannot add columns"))
+  }
+
   test("partition overwrite rejects unpartitioned tables and empty batches") {
     import spark.implicits._
     val flat = tmp("replace-flat")
