@@ -252,6 +252,21 @@ object VersionOps {
     root
   }
 
+  /** q152 scratch table: the per-(lang, source) aggregate of
+    * `documents` materialized as a published version — the two-key
+    * view the MV rewrite answers SQL-text aggregates from. Once per
+    * session. */
+  private[graft] def mvRewriteRoot2(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q152-mv-rewrite-2key")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val mv = s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang", "source")
+        .agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("n_docs"))
+      VersionedParquet.publish(mv, root, keepVersions = 10)
+    }
+    root
+  }
+
   /** Maintain a per-`key` MAX under deletes with TARGETED repair — the
     * aggregate MvStream's self-maintainable algebra cannot cover
     * (count/sum retract; max does not: deleting the argmax forgets
@@ -1251,6 +1266,42 @@ object VersionOps {
              |SELECT 2, count(*), CAST(sum(cents) AS BIGINT),
              |       count(*) FILTER (WHERE prio = 'BUMPED')
              |FROM v2
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    // ── MV rewrite, multi-key + SQL-text surface ─────────────────────────
+    // q149 proves the DataFrame path on one key; this pins the general
+    // shape: the query is SQL TEXT (`spark.sql` over parquet.`path`) —
+    // the rewrite operates on the logical plan, so SQL and DataFrame
+    // callers hit the same tier — grouped on TWO keys, answered by a
+    // two-key view registered beside q149's one-key view for the SAME
+    // base (key-set dispatch). Same loud gate: the optimized plan must
+    // scan only the view.
+    QueryDef("q152_mv_rewrite_sql",
+      (s, d) => {
+        val root = mvRewriteRoot2(s, d)
+        graft.plans.GraftFunctions.register(s)
+        graft.plans.MvRegistry.register(s"$d/documents.parquet",
+          Seq("lang", "source"), "n_chars",
+          VersionedParquet.read(s, root),
+          Seq("lang", "source"), "sum_chars", "n_docs")
+        val q = s.sql(
+          s"""SELECT lang, source,
+             |       sum(n_chars) AS sum_chars,
+             |       count(*) AS n_docs
+             |FROM parquet.`$d/documents.parquet`
+             |GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)
+        val scans = graft.plans.MvRewrite.scanPaths(
+          q.queryExecution.optimizedPlan)
+        require(scans.nonEmpty &&
+          scans.forall(_.contains("q152-mv-rewrite-2key")),
+          s"two-key SQL MV rewrite did not fire; plan scans $scans")
+        q
+      },
+      Some("""SELECT lang, source,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       count(*) AS n_docs
+             |FROM documents GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin))
   )
 }

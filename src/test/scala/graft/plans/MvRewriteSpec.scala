@@ -171,6 +171,43 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.clear()
   }
 
+  test("key-set dispatch: a two-key view answers two-key queries only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mv-2key").toString
+    val base2 = dir + "/t"
+    val mv2 = dir + "/mv"
+    (0L until 3000L).map(i => (i, s"g${i % 4}", s"h${i % 3}", i % 50))
+      .toDF("id", "g", "h", "x").write.parquet(base2)
+    spark.read.parquet(base2).groupBy("g", "h")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      .write.parquet(mv2)
+    GraftFunctions.register(spark)
+    MvRegistry.register(base2, Seq("g", "h"), "x",
+      spark.read.parquet(mv2), Seq("g", "h"), "sx", "n")
+    try {
+      // two keys, either order → the view (GROUP BY h, g included)
+      val hit = spark.read.parquet(base2).groupBy("h", "g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n")).orderBy("g", "h")
+      assert(scans(hit).forall(_.contains("/mv")),
+        s"key order must not matter, got ${scans(hit)}")
+      val viaMv = hit.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+      // one key only → must NOT answer from the two-key view (we do
+      // not re-aggregate rollups)
+      val miss = spark.read.parquet(base2).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      assert(scans(miss).forall(_.contains("/t")),
+        "a coarser grouping must keep scanning the base")
+      MvRegistry.clear()
+      val direct = spark.read.parquet(base2).groupBy("h", "g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n")).orderBy("g", "h")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSeq
+      assert(viaMv === direct)
+    } finally MvRegistry.clear()
+  }
+
   test("unregistered path and cleared registry are untouched") {
     GraftFunctions.register(spark)
     MvRegistry.clear()
