@@ -1302,6 +1302,39 @@ object VersionOps {
              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |       count(*) AS n_docs
              |FROM documents GROUP BY lang, source
-             |ORDER BY lang, source""".stripMargin))
+             |ORDER BY lang, source""".stripMargin)),
+
+    // ── MV ROLLUP rewrite (coarser grouping off a finer view) ────────────
+    // The classic rollup rewrite completing the tier: no source-only
+    // view exists, so the per-source aggregate re-aggregates the
+    // (lang, source) view — SUM(x) becomes SUM(view.sum), COUNT(*)
+    // becomes SUM(view.cnt), both re-aggregable by algebra — and the
+    // aggregate runs over ~|lang|·|source| rows instead of the corpus.
+    // The REQUIRE pins that the only scan is the finer view; the
+    // oracle recomputes from the base, so an unsound re-aggregation
+    // (count vs sum-of-counts is the classic slip) breaks the hash.
+    QueryDef("q153_mv_rollup_rewrite",
+      (s, d) => {
+        val root = mvRewriteRoot2(s, d)
+        graft.plans.GraftFunctions.register(s)
+        graft.plans.MvRegistry.register(s"$d/documents.parquet",
+          Seq("lang", "source"), "n_chars",
+          VersionedParquet.read(s, root),
+          Seq("lang", "source"), "sum_chars", "n_docs")
+        val q = s.read.parquet(s"$d/documents.parquet")
+          .groupBy("source")
+          .agg(sum("n_chars").as("sum_chars"),
+            count(lit(1)).as("n_docs"))
+          .orderBy("source")
+        val scans = graft.plans.MvRewrite.scanPaths(
+          q.queryExecution.optimizedPlan)
+        require(scans.nonEmpty &&
+          scans.forall(_.contains("q152-mv-rewrite-2key")),
+          s"rollup MV rewrite did not fire; plan scans $scans")
+        q
+      },
+      Some("""SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       count(*) AS n_docs
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -193,13 +193,29 @@ class MvRewriteSpec extends AnyFunSuite {
         s"key order must not matter, got ${scans(hit)}")
       val viaMv = hit.collect().map(r => (r.getString(0), r.getString(1),
         r.getLong(2), r.getLong(3))).toSeq
-      // one key only → must NOT answer from the two-key view (we do
-      // not re-aggregate rollups)
-      val miss = spark.read.parquet(base2).groupBy("g")
+      // one key only → the ROLLUP rewrite: re-aggregate the finer
+      // view (sum of sums, count = sum of counts) — the aggregate
+      // survives but runs over group-cardinality rows, not the corpus
+      val coarse = spark.read.parquet(base2).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n")).orderBy("g")
+      assert(scans(coarse).forall(_.contains("/mv")),
+        s"a coarser grouping must re-aggregate the view, got ${scans(coarse)}")
+      val coarseViaMv = coarse.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // a key the view lacks → decline (nothing to roll up from)
+      val miss = spark.read.parquet(base2).groupBy("id")
         .agg(sum("x").as("sx"), count(lit(1)).as("n"))
       assert(scans(miss).forall(_.contains("/t")),
-        "a coarser grouping must keep scanning the base")
+        "an uncovered key must keep scanning the base")
       MvRegistry.clear()
+      val coarseDirect = spark.read.parquet(base2).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(1)).as("n")).orderBy("g")
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(coarseViaMv === coarseDirect,
+        "the rollup re-aggregation must equal the direct answer")
+      MvRegistry.register(base2, Seq("g", "h"), "x",
+        spark.read.parquet(mv2), Seq("g", "h"), "sx", "n")
       val direct = spark.read.parquet(base2).groupBy("h", "g")
         .agg(sum("x").as("sx"), count(lit(1)).as("n")).orderBy("g", "h")
         .collect().map(r => (r.getString(0), r.getString(1),
