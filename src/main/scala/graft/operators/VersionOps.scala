@@ -267,6 +267,22 @@ object VersionOps {
     root
   }
 
+  /** q154 scratch table: the per-(lang, source) aggregate of
+    * `documents` WITH min/max columns — the four-stat view the
+    * rollup rewrite answers sum/count/min/max queries from. Once per
+    * session. */
+  private[graft] def mvStatsRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q154-mv-stats")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val mv = s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("lang", "source")
+        .agg(sum("n_chars").as("sum_chars"), count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      VersionedParquet.publish(mv, root, keepVersions = 10)
+    }
+    root
+  }
+
   /** Maintain a per-`key` MAX under deletes with TARGETED repair — the
     * aggregate MvStream's self-maintainable algebra cannot cover
     * (count/sum retract; max does not: deleting the argmax forgets
@@ -1293,8 +1309,13 @@ object VersionOps {
              |ORDER BY lang, source""".stripMargin)
         val scans = graft.plans.MvRewrite.scanPaths(
           q.queryExecution.optimizedPlan)
-        require(scans.nonEmpty &&
-          scans.forall(_.contains("q152-mv-rewrite-2key")),
+        // q154 registers a richer view for the SAME key set (the
+        // registry holds one view per (base, key set) — last refresh
+        // wins, exactly like re-registration after maintenance), so
+        // depending on gate order either equivalent view may serve;
+        // the REQUIRE pins what matters: the base scan is GONE.
+        require(scans.nonEmpty && scans.forall(p =>
+          p.contains("q152-mv-rewrite-2key") || p.contains("q154-mv-stats")),
           s"two-key SQL MV rewrite did not fire; plan scans $scans")
         q
       },
@@ -1328,13 +1349,51 @@ object VersionOps {
           .orderBy("source")
         val scans = graft.plans.MvRewrite.scanPaths(
           q.queryExecution.optimizedPlan)
-        require(scans.nonEmpty &&
-          scans.forall(_.contains("q152-mv-rewrite-2key")),
+        // either two-key view may serve (see q152's note)
+        require(scans.nonEmpty && scans.forall(p =>
+          p.contains("q152-mv-rewrite-2key") || p.contains("q154-mv-stats")),
           s"rollup MV rewrite did not fire; plan scans $scans")
         q
       },
       Some("""SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |       count(*) AS n_docs
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ── MV rewrite: MIN/MAX stats through the rollup ─────────────────────
+    // The view carries all four re-aggregable stats (sum, count, min,
+    // max) per (lang, source); the per-lang query asks for all four
+    // and answers by re-aggregation — min-of-mins / max-of-maxes
+    // beside sum-of-sums — over group-cardinality rows. MIN/MAX are
+    // exactly the stats q143's CDF-repair maintenance keeps current,
+    // so the maintenance and serving halves meet in one tier. Same
+    // loud REQUIRE; the oracle recomputes all four from the base.
+    QueryDef("q154_mv_minmax_rewrite",
+      (s, d) => {
+        val root = mvStatsRoot(s, d)
+        graft.plans.GraftFunctions.register(s)
+        graft.plans.MvRegistry.register(s"$d/documents.parquet",
+          Seq("lang", "source"), "n_chars",
+          VersionedParquet.read(s, root),
+          Seq("lang", "source"), "sum_chars", "n_docs",
+          minOut = Some("min_chars"), maxOut = Some("max_chars"))
+        val q = s.read.parquet(s"$d/documents.parquet")
+          .groupBy("lang")
+          .agg(sum("n_chars").as("sum_chars"),
+            count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"))
+          .orderBy("lang")
+        val scans = graft.plans.MvRewrite.scanPaths(
+          q.queryExecution.optimizedPlan)
+        require(scans.nonEmpty &&
+          scans.forall(_.contains("q154-mv-stats")),
+          s"min/max rollup rewrite did not fire; plan scans $scans")
+        q
+      },
+      Some("""SELECT lang, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       count(*) AS n_docs,
+             |       min(n_chars) AS min_chars,
+             |       max(n_chars) AS max_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -224,6 +224,53 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.clear()
   }
 
+  test("min/max serve exactly and roll up; absent stats decline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mv-minmax").toString
+    val baseP = dir + "/t"
+    val mvP = dir + "/mv"
+    (0L until 3000L).map(i => (i, s"g${i % 4}", s"h${i % 3}", i % 97))
+      .toDF("id", "g", "h", "x").write.parquet(baseP)
+    spark.read.parquet(baseP).groupBy("g", "h")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"),
+        min("x").as("mn"), max("x").as("mx"))
+      .write.parquet(mvP)
+    GraftFunctions.register(spark)
+    MvRegistry.register(baseP, Seq("g", "h"), "x",
+      spark.read.parquet(mvP), Seq("g", "h"), "sx", "n",
+      minOut = Some("mn"), maxOut = Some("mx"))
+    try {
+      def all4(keys: String*) = spark.read.parquet(baseP)
+        .groupBy(keys.map(col): _*)
+        .agg(sum("x").as("sx"), count(lit(1)).as("n"),
+          min("x").as("mn"), max("x").as("mx"))
+        .orderBy(keys.map(col): _*)
+      // exact: straight off the view; rollup: min-of-mins/max-of-maxes.
+      // NOTE a Dataset caches its optimized plan, so the no-rewrite
+      // baseline must be a FRESH query built after clear()
+      for (keys <- Seq(Seq("g", "h"), Seq("g"))) {
+        val q = all4(keys: _*)
+        assert(scans(q).forall(_.contains("/mv")),
+          s"min/max must serve from the view, got ${scans(q)}")
+        val viaMv = q.collect().map(_.toSeq).toSeq
+        MvRegistry.clear()
+        val direct = all4(keys: _*).collect().map(_.toSeq).toSeq
+        assert(viaMv === direct)
+        MvRegistry.register(baseP, Seq("g", "h"), "x",
+          spark.read.parquet(mvP), Seq("g", "h"), "sx", "n",
+          minOut = Some("mn"), maxOut = Some("mx"))
+      }
+      // a view WITHOUT min/max declines a min/max query entirely
+      MvRegistry.clear()
+      MvRegistry.register(baseP, Seq("g", "h"), "x",
+        spark.read.parquet(mvP), Seq("g", "h"), "sx", "n")
+      val q = all4("g", "h")
+      assert(scans(q).forall(_.contains("/t")),
+        "a view lacking the stats must NOT answer a min/max query")
+    } finally MvRegistry.clear()
+  }
+
   test("unregistered path and cleared registry are untouched") {
     GraftFunctions.register(spark)
     MvRegistry.clear()
