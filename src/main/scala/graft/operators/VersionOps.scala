@@ -283,6 +283,28 @@ object VersionOps {
     root
   }
 
+  /** q155 scratch table: a third of orders published, then two blind
+    * appends — the second deliberately re-appends rows the first
+    * already added (bag semantics: INSERT does not deduplicate).
+    * Once per session. */
+  private[graft] def appendRoot(s: SparkSession, dir: String): String = {
+    val root = Scratch.dir(s, "q155-append")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.filter(col("k") % 3 === 0), root,
+        keepVersions = 10)
+      val bandA = o.filter(col("k") % 3 === 1)
+      VersionedParquet.append(s, root, bandA, keepVersions = 10)
+      VersionedParquet.append(s, root,
+        o.filter(col("k") % 3 === 2)
+          .unionByName(bandA.filter(col("c") % 5 === 0)),
+        keepVersions = 10)
+    }
+    root
+  }
+
   /** Maintain a per-`key` MAX under deletes with TARGETED repair — the
     * aggregate MvStream's self-maintainable algebra cannot cover
     * (count/sum retract; max does not: deleting the argmax forgets
@@ -1394,6 +1416,51 @@ object VersionOps {
              |       count(*) AS n_docs,
              |       min(n_chars) AS min_chars,
              |       max(n_chars) AS max_chars
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ── Blind APPEND (INSERT INTO, the O(batch) write) ───────────────────
+    // The most common write completes the DML matrix: an append grows
+    // the delta tier and touches NOTHING else — no base scan (merge
+    // must locate replaced rows; append doesn't), no vector change,
+    // O(batch). Bag semantics are load-bearing: the second append
+    // re-inserts a slice the first already added, so distinct-vs-count
+    // divergence at v2 proves INSERT did not silently deduplicate (and
+    // a dedup bug in the delta union breaks rows AND sums). The oracle
+    // replays the three loads as UNION ALLs.
+    QueryDef("q155_append",
+      (s, d) => {
+        val root = appendRoot(s, d)
+        (0 to 2).map { v =>
+          VersionedParquet.read(s, root, Some(v.toLong))
+            .agg(count(lit(1)).as("n_rows"),
+              countDistinct(col("k")).as("n_keys"),
+              sum(col("cents")).cast("long").as("sum_cents"))
+            .select(lit(v).as("version"), col("n_rows"),
+              col("n_keys"), col("sum_cents"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v1 AS (
+             |  SELECT k, c, cents FROM o WHERE k % 3 = 0
+             |  UNION ALL SELECT k, c, cents FROM o WHERE k % 3 = 1),
+             |v2 AS (
+             |  SELECT * FROM v1
+             |  UNION ALL SELECT k, c, cents FROM o WHERE k % 3 = 2
+             |  UNION ALL SELECT k, c, cents FROM o
+             |  WHERE k % 3 = 1 AND c % 5 = 0)
+             |SELECT 0 AS version, count(*) AS n_rows,
+             |       count(DISTINCT k) AS n_keys,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM o WHERE k % 3 = 0
+             |UNION ALL
+             |SELECT 1, count(*), count(DISTINCT k),
+             |       CAST(sum(cents) AS BIGINT) FROM v1
+             |UNION ALL
+             |SELECT 2, count(*), count(DISTINCT k),
+             |       CAST(sum(cents) AS BIGINT) FROM v2
+             |ORDER BY version""".stripMargin))
   )
 }

@@ -1322,6 +1322,88 @@ object VersionedParquet {
       }
     }
 
+  /** Blind APPEND (the `INSERT INTO` verb — and the most common write
+    * a table ever takes): publishes version N+1 whose delta tier grows
+    * by `rows`, carrying the base, vector, and exclusion manifest
+    * forward untouched — O(batch) metadata + the new rows' bytes, no
+    * base scan at all (contrast `merge`, which must locate replaced
+    * rows). Bag semantics: duplicates are appended, not deduplicated —
+    * that is what INSERT means; use `merge`/`upsert` for keyed
+    * writes. Incoming rows align to the base schema and validate
+    * against the table's CHECK contract; the change feed records them
+    * as inserts, atomic with the version. */
+  def append(spark: SparkSession, root: String, rows: DataFrame,
+             keepVersions: Int = 2,
+             markers: Map[String, String] = Map.empty): String =
+    withWriterLock(spark, root) {
+      import org.apache.spark.sql.functions.{expr, lit, not, sum, when}
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IOException(s"no published version under $root"))
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      val base = baseNameOf(spark, root, v)
+      // schema check against the base FOOTER only — no data scan
+      val baseCols = spark.read.parquet(new Path(rootPath, base).toString)
+        .columns.toSeq
+      val extra = rows.columns.filterNot(baseCols.contains)
+      if (extra.nonEmpty)
+        throw new IOException(s"append cannot add columns " +
+          s"${extra.mkString(",")} to $root; publish a new schema instead")
+      val aligned = rows.select(baseCols.map(rows(_)): _*)
+      val tableConstraints = readPointer(spark,
+        new Path(new Path(rootPath, base), CONSTRAINTS_MARKER))
+        .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      if (tableConstraints.nonEmpty) {
+        val counts = aligned.agg(
+          sum(when(not(expr(tableConstraints.head)), 1L).otherwise(0L)),
+          tableConstraints.tail.map(c =>
+            sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
+        val bad = tableConstraints.zipWithIndex
+          .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
+                                      else counts.getLong(i)) }
+          .filter(_._2 > 0)
+        if (bad.nonEmpty)
+          throw new IOException("append rejected: CHECK constraint " +
+            bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
+            s" violated; $root stays at version $v")
+      }
+      val next = v + 1
+      val snapshot = new Path(rootPath, versionName(next))
+      fs.delete(snapshot, true)
+      val verDir = new Path(rootPath, versionName(v))
+      // vector carries unchanged (an append masks nothing new)
+      val dvPrior =
+        if (base == versionName(v)) emptyDv(spark)
+        else spark.read.schema("_file STRING, _pos BIGINT")
+          .parquet(new Path(verDir, DV_DIR).toString)
+      dvPrior.write.mode("overwrite")
+        .parquet(new Path(snapshot, DV_DIR).toString)
+      val priorDelta = new Path(verDir, DELTA_DIR)
+      val carried =
+        if (hasParquetData(spark, priorDelta))
+          spark.read.parquet(priorDelta.toString)
+        else aligned.limit(0)
+      carried.unionByName(aligned)
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, DELTA_DIR).toString)
+      aligned.withColumn("_change_type", lit("insert"))
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, CDF_DIR).toString)
+      readPointer(spark, new Path(verDir, EXCLUDE_MARKER)).foreach(m =>
+        installPointer(spark, snapshot, EXCLUDE_MARKER, m))
+      (markers + (BASE_MARKER -> base)).foreach { case (name, content) =>
+        installPointer(spark, snapshot, name, content) }
+      installPointer(spark, snapshot, "_SUCCESS", "")
+      try installPointer(spark, rootPath, POINTER, versionName(next))
+      catch {
+        case e: IOException =>
+          throw new IOException(s"could not swap pointer for $root; " +
+            s"live table unchanged, staged append at $snapshot", e)
+      }
+      vacuum(spark, root, keepVersions)
+      snapshot.toString
+    }
+
   /** Searched UPDATE (the `UPDATE t SET c = expr WHERE pred` verb —
     * predicate-matched, not keyed like `merge`): publishes version N+1
     * as a merge-on-read overlay where every LIVE row matching

@@ -1,0 +1,153 @@
+package graft.warehouse
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Model-based fuzz over the whole DML matrix: a deterministic random
+  * chain of {upsert, deleteWhere, updateWhere, append, restore,
+  * compactSmallFiles} runs against both the versioned format and a
+  * driver-side reference model. After EVERY step the live read must
+  * equal the model, the step's change feed must replay the previous
+  * version into the new one as multisets, and at the end every
+  * retained version must time-travel to its recorded model state.
+  * Single targeted specs prove each op; this proves their
+  * COMPOSITIONS — where overlay-carrying bugs (a vector dropped by an
+  * append, a delta row resurrected by a restore, an exclusion manifest
+  * lost by an update) actually live.
+  */
+class FormatFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private type Row3 = (Long, Long, Long) // (id, grp, x)
+
+  private def toDf(rows: Seq[Row3]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "grp", "x")
+  }
+
+  private def bag(df: DataFrame): Map[Row3, Long] =
+    df.groupBy("id", "grp", "x").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2)) -> r.getLong(3)).toMap
+
+  private def modelBag(m: Map[Long, (Long, Long)]): Map[Row3, Long] =
+    m.map { case (id, (g, x)) => (id, g, x) -> 1L }
+
+  test("random DML chains: live == model, feeds replay, time travel holds") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-format-fuzz").toString
+    val rng = new scala.util.Random(42)
+    var nextId = 0L
+    def fresh(n: Int): Seq[Long] = {
+      val ids = (nextId until nextId + n); nextId += n; ids
+    }
+
+    // model state, and its value at every published version
+    var model = Map.empty[Long, (Long, Long)]
+    val history = mutable.ArrayBuffer.empty[Map[Long, (Long, Long)]]
+
+    val init = fresh(300).map(i => (i, rng.nextInt(7).toLong,
+      rng.nextInt(1000).toLong))
+    model = init.map { case (i, g, x) => i -> (g, x) }.toMap
+    VersionedParquet.publish(toDf(init).repartition(3), root,
+      keepVersions = 50)
+    history += model
+
+    def stepCheck(): Unit = {
+      history += model
+      val v = history.length - 1
+      assert(bag(VersionedParquet.read(spark, root)) === modelBag(model),
+        s"live read diverged from the model at version $v")
+      // feed apply invariant v-1 → v (an explicitly-empty feed —
+      // compaction — passes trivially)
+      val feed = VersionedParquet.changes(spark, root, v - 1L, v.toLong)
+        .collect()
+      val minus = feed.filter(r => Seq("update_pre", "delete")
+        .contains(r.getString(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val plus = feed.filter(r => Seq("update_post", "insert")
+        .contains(r.getString(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var work = bag(VersionedParquet.read(spark, root, Some(v - 1L)))
+      minus.foreach { k =>
+        val left = work.getOrElse(k, 0L) - 1
+        assert(left >= 0, s"feed removes $k absent at v${v - 1}")
+        work = if (left == 0) work - k else work + (k -> left)
+      }
+      plus.foreach(k => work = work + (k -> (work.getOrElse(k, 0L) + 1)))
+      assert(work === modelBag(model),
+        s"feed must replay v${v - 1} into v$v")
+    }
+
+    for (step <- 1 to 18) {
+      rng.nextInt(6) match {
+        case 0 => // keyed upsert: updates + inserts
+          val updIds = rng.shuffle(model.keys.toSeq)
+            .take(1 + rng.nextInt(30))
+          val upd = updIds.map(i => (i, model(i)._1,
+            model(i)._2 + 10000 + step))
+          val ins = fresh(1 + rng.nextInt(20)).map(i =>
+            (i, rng.nextInt(7).toLong, rng.nextInt(1000).toLong))
+          VersionedParquet.upsert(spark, root, toDf(upd ++ ins),
+            Seq("id"), keepVersions = 50)
+          model = model ++ (upd ++ ins).map { case (i, g, x) =>
+            i -> (g, x) }
+          stepCheck()
+        case 1 => // predicate delete
+          val p = 2 + rng.nextInt(5); val r = rng.nextInt(p)
+          VersionedParquet.delete(spark, root,
+            col("x") % p === r, keepVersions = 50)
+          model = model.filterNot { case (_, (_, x)) => x % p == r }
+          stepCheck()
+        case 2 => // searched update
+          val g = rng.nextInt(7).toLong; val c = 1 + rng.nextInt(99)
+          VersionedParquet.updateWhere(spark, root, col("grp") === g,
+            Map("x" -> (col("x") + c)), keepVersions = 50)
+          model = model.map { case (i, (gg, x)) =>
+            i -> (gg, if (gg == g) x + c else x) }
+          stepCheck()
+        case 3 => // blind append (fresh ids keep the model keyable)
+          val rows = fresh(1 + rng.nextInt(25)).map(i =>
+            (i, rng.nextInt(7).toLong, rng.nextInt(1000).toLong))
+          VersionedParquet.append(spark, root, toDf(rows),
+            keepVersions = 50)
+          model = model ++ rows.map { case (i, g, x) => i -> (g, x) }
+          stepCheck()
+        case 4 if history.length > 1 =>
+          // rollback to a random STRICTLY earlier version (restoring
+          // to the live version is a documented no-op — no publish)
+          val to = rng.nextInt(history.length - 1)
+          VersionedParquet.restore(spark, root, to.toLong,
+            keepVersions = 50)
+          model = history(to)
+          stepCheck()
+        case 4 => // nothing to roll back to yet
+          ()
+        case 5 => // physical maintenance: logically a no-op version,
+          // unless nothing qualifies (then no version at all)
+          val before = VersionedParquet.versions(spark, root).max
+          VersionedParquet.compactSmallFiles(spark, root,
+            smallBytes = Long.MaxValue, targetBytes = 1L << 20,
+            keepVersions = 50)
+          if (VersionedParquet.versions(spark, root).max > before)
+            stepCheck()
+      }
+    }
+
+    // every retained version time-travels to its recorded model state
+    VersionedParquet.versions(spark, root).foreach { v =>
+      assert(bag(VersionedParquet.read(spark, root, Some(v))) ===
+        modelBag(history(v.toInt)),
+        s"time travel to v$v diverged from recorded history")
+    }
+  }
+}
