@@ -87,4 +87,45 @@ object VersionedSink {
       }
       .start()
   }
+
+  /** Append one micro-batch as an O(batch) delta version; returns
+    * false iff already committed. The general `commitBatch` folds the
+    * FULL table state every batch (read → fold → rewrite — O(table)
+    * per batch, the right shape only for keyed merges or small state);
+    * the insert-only stream, which is most streams, lands through
+    * [[VersionedParquet.append]]: only the batch's bytes are written,
+    * the base is never rescanned or rewritten, and the `_BATCHID`
+    * marker keeps the exactly-once replay guard identical. */
+  private[graft] def commitAppend(spark: SparkSession, root: String,
+                                  batchId: Long, batch: DataFrame,
+                                  keepVersions: Int = 2): Boolean = {
+    if (lastBatchId(spark, root).exists(_ >= batchId)) false
+    else {
+      val markers = Map(BatchMarker -> batchId.toString)
+      if (VersionedParquet.currentVersion(spark, root).isEmpty)
+        VersionedParquet.publish(batch, root, keepVersions = keepVersions,
+          markers = markers)
+      else
+        VersionedParquet.append(spark, root, batch,
+          keepVersions = keepVersions, markers = markers)
+      true
+    }
+  }
+
+  /** Drive an insert-only stream into the table as one APPEND version
+    * per micro-batch — per-batch cost O(batch), not O(table); compact
+    * collects the delta debt out of band. */
+  def runAppend(source: DataFrame, root: String, checkpoint: String,
+                keepVersions: Int = 2): StreamingQuery = {
+    val spark = source.sparkSession
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitAppend(spark, root, batchId, batch, keepVersions)
+        ()
+      }
+      .start()
+  }
 }

@@ -117,6 +117,54 @@ class VersionedSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("append sink: O(batch) versions, base never rewritten, restart-safe") {
+    val work = Files.createTempDirectory("graft-vsink-append")
+    val watch = Files.createDirectory(work.resolve("landing"))
+    val root = work.resolve("tbl").toString
+    val checkpoint = work.resolve("chk").toString
+    val schema = StructType(Seq(StructField("x", LongType)))
+    def drop(name: String, xs: Seq[Long]): Unit =
+      Files.write(watch.resolve(name), xs.mkString("\n").getBytes("UTF-8"))
+    def source() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .csv(watch.toString)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length()).toMap
+    }
+
+    drop("a.csv", Seq(1L, 2L))
+    drop("b.csv", Seq(3L))
+    VersionedSink.runAppend(source(), root, checkpoint, keepVersions = 10)
+      .awaitTermination()
+    assert(VersionedParquet.read(spark, root).as[Long].collect().sorted
+      .toSeq === Seq(1L, 2L, 3L))
+    val after2 = files()
+
+    // restart continues; committed batches replay as no-ops; every
+    // pre-existing file — INCLUDING batch b's delta — is untouched,
+    // so each batch's cost was its own bytes, never a table rewrite
+    drop("c.csv", Seq(4L, 5L))
+    VersionedSink.runAppend(source(), root, checkpoint, keepVersions = 10)
+      .awaitTermination()
+    assert(VersionedParquet.read(spark, root).as[Long].collect().sorted
+      .toSeq === (1L to 5L))
+    val after3 = files()
+    after2.foreach { case (f, len) =>
+      assert(after3.get(f).contains(len),
+        s"append sink rewrote pre-existing $f") }
+    // each committed batch is still a time-travelable version with its
+    // exactly-once marker
+    val vs = VersionedParquet.versions(spark, root)
+    assert(vs.size >= 3)
+    assert(VersionedParquet.read(spark, root, Some(vs.head)).as[Long]
+      .collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
   test("upsert fold: sink state equals batch answer over all data") {
     val root = Files.createTempDirectory("graft-vsink-upsert")
       .resolve("tbl").toString
