@@ -951,6 +951,33 @@ object VersionedParquet {
     cols.result()
   }
 
+  /** TIMESTAMP AS OF time travel: the newest version committed at or
+    * before `asOfMillis`, resolved from each snapshot directory's
+    * modification time — the directory is last touched by its marker
+    * writes, which happen strictly before the pointer swap publishes
+    * it, so dir mtime is a faithful commit-time lower bound on every
+    * filesystem that preserves mtimes. Fails loudly when the table
+    * did not exist yet at the asked instant (same contract as pinning
+    * a vacuumed version). Version numbers stay the precise API
+    * (`read(version = …)`); this is the human-friendly entry —
+    * "the table as of last night 02:00". */
+  def readAsOf(spark: SparkSession, root: String,
+               asOfMillis: Long): DataFrame = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    if (!fs.exists(rootPath))
+      throw new IOException(s"no table under $root")
+    val candidates = fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .filter(_.getModificationTime <= asOfMillis)
+      .map(_.getPath.getName.drop(1).toLong)
+    if (candidates.isEmpty)
+      throw new IOException(s"$root has no version committed at or " +
+        s"before $asOfMillis (table created later, or history vacuumed)")
+    read(spark, root, Some(candidates.max))
+  }
+
   /** All readable versions, oldest first (the time-travel catalog). */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val rootPath = new Path(root)

@@ -288,6 +288,29 @@ class LakehouseOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot add columns"))
   }
 
+  // ── timestamp time travel ────────────────────────────────────────────
+
+  test("readAsOf resolves the newest version committed at or before the instant") {
+    import spark.implicits._
+    val root = tmp("asof")
+    VersionedParquet.publish(Seq((1L, "a")).toDF("id", "s"), root,
+      keepVersions = 10)
+    Thread.sleep(1100) // local-fs mtime granularity can be 1s
+    val betweenV0V1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    VersionedParquet.publish(Seq((1L, "a"), (2L, "b")).toDF("id", "s"),
+      root, keepVersions = 10)
+
+    assert(VersionedParquet.readAsOf(spark, root, betweenV0V1)
+      .count() === 1L, "asOf between commits must resolve v0")
+    assert(VersionedParquet.readAsOf(spark, root,
+      System.currentTimeMillis()).count() === 2L,
+      "asOf now must resolve the live version")
+    val e = intercept[java.io.IOException](
+      VersionedParquet.readAsOf(spark, root, 1000L))
+    assert(e.getMessage.contains("no version committed"))
+  }
+
   test("partition overwrite rejects unpartitioned tables and empty batches") {
     import spark.implicits._
     val flat = tmp("replace-flat")
