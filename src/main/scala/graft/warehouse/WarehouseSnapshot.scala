@@ -116,12 +116,26 @@ object WarehouseSnapshot {
     * named existing version is re-pointed without any rewrite (the
     * incremental-refresh / forget case: a 100-table snapshot where one
     * table changed republishes one table, not a hundred). Pinned
-    * versions must be complete published versions of their table. */
+    * versions must be complete published versions of their table.
+    *
+    * `fkChecks`: cross-table referential integrity enforced at the
+    * MANIFEST tier — each (childTable, childCol, parentTable,
+    * parentCol) is validated over the STAGED versions (fresh or
+    * pinned alike) after staging and before the manifest is written,
+    * so an orphan key rejects the whole snapshot and readers keep the
+    * previous one in full. SQL FK semantics: a NULL child key passes.
+    * This is the write-path twin of the read-side RI quality checks
+    * (q26 / the reference's quality_checks scripts): at 100 TB you
+    * want the commit to refuse the inconsistency, not a dashboard to
+    * report it the morning after. Cost: one key-projected anti-join
+    * per FK over staged data. */
   def publishAll(tables: Seq[(String, DataFrame)], root: String,
                  partitionCols: Map[String, Seq[String]] = Map.empty,
                  keepSnapshots: Int = 2, minRetainMillis: Long = 0L,
                  pinned: Map[String, Long] = Map.empty,
-                 constraints: Map[String, Seq[String]] = Map.empty): Long = {
+                 constraints: Map[String, Seq[String]] = Map.empty,
+                 fkChecks: Seq[(String, String, String, String)] = Nil)
+      : Long = {
     require(tables.nonEmpty, "a snapshot must cover at least one table")
     require(keepSnapshots >= 1, "must retain at least the live snapshot")
     require(tables.map(_._1).toSet.intersect(pinned.keySet).isEmpty,
@@ -150,6 +164,31 @@ object WarehouseSnapshot {
           .contains(v),
         s"pinned version $v of $name is not a complete published version")
       name -> v
+    }
+
+    // 1b. Cross-table FK validation over the STAGED versions: any
+    //     orphan rejects the snapshot before the manifest exists —
+    //     staged versions become unnamed orphans (same rejection path
+    //     as a CHECK violation), the live snapshot stays intact.
+    if (fkChecks.nonEmpty) {
+      import org.apache.spark.sql.functions.col
+      val stagedVersion = published.toMap
+      def staged(name: String): DataFrame = {
+        val v = stagedVersion.getOrElse(name, throw new IOException(
+          s"FK check references table '$name' absent from this snapshot"))
+        VersionedParquet.read(spark, tableRoot(root, name), Some(v))
+      }
+      fkChecks.foreach { case (child, childCol, parent, parentCol) =>
+        val orphans = staged(child).select(col(childCol))
+          .filter(col(childCol).isNotNull) // SQL FK: NULL child passes
+          .join(staged(parent).select(col(parentCol).as(childCol))
+            .distinct(), Seq(childCol), "left_anti")
+          .count()
+        if (orphans > 0)
+          throw new IOException("snapshot rejected: FK " +
+            s"$child.$childCol -> $parent.$parentCol violated " +
+            s"($orphans orphan rows); $root keeps its previous snapshot")
+      }
     }
 
     // 2. Write the immutable manifest file (complete before the pointer

@@ -288,6 +288,51 @@ class LakehouseOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cannot add columns"))
   }
 
+  // ── snapshot-tier FK enforcement ─────────────────────────────────────
+
+  test("snapshot FK checks reject orphans atomically; NULLs and pins pass") {
+    import spark.implicits._
+    val root = tmp("snap-fk")
+    val fk = Seq(("fact", "did", "dim", "id"))
+    def dim(ids: Long*) = ids.map(i => (i, s"d$i")).toDF("id", "name")
+    def fact(rows: (Long, Option[Long])*) =
+      rows.map { case (f, d) => (f, d) }.toDF("fid", "did")
+
+    // consistent snapshot commits (a NULL child key passes, SQL FK)
+    val m0 = WarehouseSnapshot.publishAll(
+      Seq("dim" -> dim(1, 2), "fact" -> fact(10L -> Some(1L),
+        11L -> Some(2L), 12L -> None)),
+      root, fkChecks = fk)
+    assert(WarehouseSnapshot.readSnapshot(spark, root)("fact")
+      .count() === 3L)
+
+    // an orphan child key rejects the WHOLE snapshot before the
+    // manifest exists; both tables keep resolving the old one
+    val e = intercept[java.io.IOException](
+      WarehouseSnapshot.publishAll(
+        Seq("dim" -> dim(1), "fact" -> fact(20L -> Some(99L))),
+        root, fkChecks = fk, keepSnapshots = 10))
+    assert(e.getMessage.contains("FK fact.did -> dim.id"))
+    val after = WarehouseSnapshot.readSnapshot(spark, root)
+    assert(after("dim").count() === 2L && after("fact").count() === 3L,
+      "a rejected snapshot must leave the previous one fully live")
+
+    // a PINNED parent participates in the check: new fact against the
+    // carried dim version — valid keys pass, orphans still reject
+    val dimV = VersionedParquet.currentVersion(spark,
+      root + "/tables/dim").get
+    WarehouseSnapshot.publishAll(
+      Seq("fact" -> fact(30L -> Some(1L))), root,
+      pinned = Map("dim" -> dimV), fkChecks = fk, keepSnapshots = 10)
+    assert(WarehouseSnapshot.readSnapshot(spark, root)("fact")
+      .count() === 1L)
+    val e2 = intercept[java.io.IOException](
+      WarehouseSnapshot.publishAll(
+        Seq("fact" -> fact(31L -> Some(77L))), root,
+        pinned = Map("dim" -> dimV), fkChecks = fk, keepSnapshots = 10))
+    assert(e2.getMessage.contains("orphan"))
+  }
+
   // ── timestamp time travel ────────────────────────────────────────────
 
   test("readAsOf resolves the newest version committed at or before the instant") {
