@@ -1418,6 +1418,67 @@ object VersionOps {
              |       max(n_chars) AS max_chars
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // ── CDF-driven MV maintenance (feed → signed fold → view) ────────────
+    // Closes the loop between the format's change feed and the MV
+    // algebra: the per-priority (count, cents) view advances across
+    // q151's two searched UPDATEs by reading each step's feed from the
+    // TABLE ITSELF — update_pre/delete retract (w=−1), update_post/
+    // insert add (w=+1) — through MvStream.maintainFold. The output is
+    // the MAINTAINED state at every version; v1/v2 derive only from
+    // v0's aggregate plus the feeds, so a wrong feed row, sign, or
+    // fold merge breaks the hash against an oracle that recomputes
+    // each version from the replayed predicates. O(state + changes)
+    // per step — the exact shape a 100 TB dashboard refresh needs.
+    QueryDef("q156_cdf_driven_mv",
+      (s, d) => {
+        import graft.streaming.MvStream
+        val root = updateWhereRoot(s, d)
+        val spec = MvStream.MvSpec("prio", "w", "n_orders",
+          Seq("cents" -> "sum_cents"))
+        val mv0 = VersionedParquet.read(s, root, Some(0L))
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n_orders"),
+            sum("cents").cast("long").as("sum_cents"))
+        val states = (1L to 2L).scanLeft(mv0) { (mv, v) =>
+          val feed = VersionedParquet.changes(s, root, v - 1, v)
+            .select(col("prio"), col("cents"),
+              when(col("_change_type").isin("insert", "update_post"),
+                lit(1L)).otherwise(lit(-1L)).as("w"))
+          MvStream.maintainFold(spec)(mv, feed)
+        }
+        states.zipWithIndex.map { case (mv, v) =>
+          mv.select(lit(v).as("version"), col("prio"),
+            col("n_orders"), col("sum_cents"))
+        }.reduce(_ unionByName _).orderBy("version", "prio")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS st,
+             |         o_orderpriority AS prio,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v1 AS (
+             |  SELECT k, st,
+             |         CASE WHEN st = 'F' AND cents < 10000000
+             |              THEN 'BUMPED' ELSE prio END AS prio,
+             |         CASE WHEN st = 'F' AND cents < 10000000
+             |              THEN cents + 10 ELSE cents END AS cents
+             |  FROM o),
+             |v2 AS (
+             |  SELECT k, st, prio,
+             |         CASE WHEN prio = 'BUMPED' AND k % 2 = 0
+             |              THEN cents * 2 ELSE cents END AS cents
+             |  FROM v1)
+             |SELECT 0 AS version, prio, count(*) AS n_orders,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM o GROUP BY prio
+             |UNION ALL
+             |SELECT 1, prio, count(*), CAST(sum(cents) AS BIGINT)
+             |FROM v1 GROUP BY prio
+             |UNION ALL
+             |SELECT 2, prio, count(*), CAST(sum(cents) AS BIGINT)
+             |FROM v2 GROUP BY prio
+             |ORDER BY version, prio""".stripMargin)),
+
     // ── Blind APPEND (INSERT INTO, the O(batch) write) ───────────────────
     // The most common write completes the DML matrix: an append grows
     // the delta tier and touches NOTHING else — no base scan (merge
