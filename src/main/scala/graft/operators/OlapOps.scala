@@ -644,19 +644,120 @@ object OlapOps {
              |         AS mad_cents
              |FROM c JOIN m ON m.p = c.p
              |GROUP BY c.p
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // ── Maintained percentile dashboard (histogram cells + CDF fold) ─────
+    // q77's mergeable fixed-grid cells made INCREMENTAL: the per-group
+    // histogram advances across q151's two searched UPDATEs by folding
+    // each step's change feed into the cell counts (update_post/insert
+    // +1, update_pre/delete −1 in the value's bin) — O(state + changes)
+    // per refresh, never a rescan — and p50/p90/p99 read out of the
+    // MAINTAINED cells at every version. Bounds freeze at v0 (values
+    // the updates push past `hi` clamp into the top bin — the oracle
+    // clamps identically), so the grid is stable across refreshes, the
+    // production contract for a quantile dashboard. v1/v2 derive only
+    // from v0's cells + feeds: a wrong bin, sign, or merge breaks the
+    // hash against an oracle recomputing every version from scratch.
+    QueryDef("q157_maintained_percentiles",
+      (s, d) => {
+        import graft.warehouse.VersionedParquet
+        val root = VersionOps.updateWhereRoot(s, d)
+        val v0 = VersionedParquet.read(s, root, Some(0L))
+          .select(col("prio"), col("cents").as("c"))
+        val bounds = v0.agg(min("c").as("lo"), max("c").as("hi"))
+        val cells0 = histCells(v0.crossJoin(broadcast(bounds)))
+          .select("prio", "bin", "cnt")
+        val states = (1L to 2L).scanLeft(cells0) { (cells, v) =>
+          val feed = VersionedParquet.changes(s, root, v - 1, v)
+            .select(col("prio"), col("cents").as("c"),
+              when(col("_change_type").isin("insert", "update_post"),
+                lit(1L)).otherwise(lit(-1L)).as("w"))
+          val delta = feed.crossJoin(broadcast(bounds))
+            .withColumn("bin", histBin)
+            .groupBy("prio", "bin").agg(sum("w").as("d"))
+          cells.join(delta, Seq("prio", "bin"), "full_outer")
+            .select(col("prio"), col("bin"),
+              (coalesce(col("cnt"), lit(0L)) +
+                coalesce(col("d"), lit(0L))).as("cnt"))
+            .filter(col("cnt") > 0)
+        }
+        states.zipWithIndex.map { case (cells, v) =>
+          histPercentiles(cells.crossJoin(broadcast(bounds)))
+            .select(lit(v).as("version"),
+              col("prio").as("o_orderpriority"), col("n_orders"),
+              col("p50_est"), col("p90_est"), col("p99_est"))
+        }.reduce(_ unionByName _).orderBy("version", "o_orderpriority")
+      },
+      Some(s"""WITH o AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS st,
+             |         o_orderpriority AS prio,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v1 AS (
+             |  SELECT k, st,
+             |         CASE WHEN st = 'F' AND cents < 10000000
+             |              THEN 'BUMPED' ELSE prio END AS prio,
+             |         CASE WHEN st = 'F' AND cents < 10000000
+             |              THEN cents + 10 ELSE cents END AS cents
+             |  FROM o),
+             |v2 AS (
+             |  SELECT k, st, prio,
+             |         CASE WHEN prio = 'BUMPED' AND k % 2 = 0
+             |              THEN cents * 2 ELSE cents END AS cents
+             |  FROM v1),
+             |b AS (SELECT min(cents) AS lo, max(cents) AS hi FROM o),
+             |allv AS (
+             |  SELECT 0 AS version, prio, cents FROM o
+             |  UNION ALL SELECT 1, prio, cents FROM v1
+             |  UNION ALL SELECT 2, prio, cents FROM v2),
+             |cells AS (
+             |  SELECT version, prio, lo, hi,
+             |         least(((cents - lo) * $HIST_BINS) // (hi - lo + 1),
+             |               ${HIST_BINS - 1}) AS bin,
+             |         CAST(count(*) AS BIGINT) AS cnt
+             |  FROM allv, b GROUP BY 1, 2, 3, 4, 5),
+             |cum AS (
+             |  SELECT version, prio, lo, hi, bin,
+             |         CAST(sum(cnt) OVER (PARTITION BY version, prio
+             |                             ORDER BY bin) AS BIGINT) AS cum,
+             |         CAST(sum(cnt) OVER (PARTITION BY version, prio)
+             |              AS BIGINT) AS n
+             |  FROM cells),
+             |agg AS (
+             |  SELECT version, prio, lo, hi, max(n) AS n_orders,
+             |         min(CASE WHEN cum >= (50 * n + 99) // 100
+             |                  THEN bin END) AS b50,
+             |         min(CASE WHEN cum >= (90 * n + 99) // 100
+             |                  THEN bin END) AS b90,
+             |         min(CASE WHEN cum >= (99 * n + 99) // 100
+             |                  THEN bin END) AS b99
+             |  FROM cum GROUP BY 1, 2, 3, 4)
+             |SELECT version, prio AS o_orderpriority, n_orders,
+             |       (lo + (b50 * (hi - lo + 1)) // $HIST_BINS) / 100.0
+             |         AS p50_est,
+             |       (lo + (b90 * (hi - lo + 1)) // $HIST_BINS) / 100.0
+             |         AS p90_est,
+             |       (lo + (b99 * (hi - lo + 1)) // $HIST_BINS) / 100.0
+             |         AS p99_est
+             |FROM agg
+             |ORDER BY version, o_orderpriority""".stripMargin))
   )
 
   /** Pass 2 of the histogram percentile: per-(group, bin) SUM cells over a
     * frame carrying (prio, c, lo, hi) where lo/hi define the FIXED grid.
     * Cells from disjoint splits of the data (same grid) merge by summing
     * cnt — the mergeability contract Round5OpsSpec exercises. */
+  /** The fixed-grid bin of value column `c` against bounds (lo, hi) —
+    * values past `hi` clamp into the top bin (the maintained-histogram
+    * case: later updates may exceed the bounds frozen at v0). */
+  private[graft] def histBin: Column = least(
+    call_function("div", (col("c") - col("lo")) * lit(HIST_BINS.toLong),
+      col("hi") - col("lo") + lit(1L)),
+    lit((HIST_BINS - 1).toLong))
+
   private[graft] def histCells(withBounds: DataFrame): DataFrame =
     withBounds
-      .withColumn("bin", least(
-        call_function("div", (col("c") - col("lo")) * lit(HIST_BINS.toLong),
-          col("hi") - col("lo") + lit(1L)),
-        lit((HIST_BINS - 1).toLong)))
+      .withColumn("bin", histBin)
       .groupBy("prio", "lo", "hi", "bin")
       .agg(count(lit(1)).as("cnt"))
 
