@@ -8,10 +8,10 @@ import graft.sources.{QueryDef, Tables}
 /** Product quantization — the compression tier under IVF-PQ ANN
   * serving (q47/q100 give the coarse IVF routing; this gives the
   * in-cell compression): the 64-dim embedding splits into M=4
-  * subvectors of 16 dims, each subspace trains its own K=4-code
+  * subvectors of 16 dims, each subspace trains its own K=16-code
   * codebook by Lloyd's algorithm, and a vector's code is its per-
   * subspace nearest-centroid tuple — 64 floats become M small code
-  * ids (8 codes → 3 bits here; 8-bit codes at production K=256), an ~128×
+  * ids (16 codes → 4 bits here; 8-bit codes at production K=256), an ~128×
   * compression that lets a 100 TB embedding corpus fit hot storage
   * for asymmetric-distance (ADC) scanning.
   *

@@ -121,16 +121,23 @@ object MvRewrite extends Rule[LogicalPlan] {
       val keyNames = keys.map(_.name).toSet
       stripped(child) match {
         case Some((path, conds)) =>
-          // a residual filter is safe ONLY when it references nothing
-          // but the QUERY's group keys: such predicates commute with
-          // the aggregate (keys pass through), so they re-apply above
-          // the MV scan. This is exactly what the optimizer's join-key
-          // null elimination pushes under aggregates (isnotnull(g));
-          // anything touching other columns (a filtered base) must
-          // NOT answer from the unfiltered view.
+          // a residual filter is safe ONLY when it is deterministic
+          // AND references nothing but the QUERY's group keys: such
+          // predicates commute with the aggregate (keys pass through),
+          // so they re-apply above the MV scan. This is exactly what
+          // the optimizer's join-key null elimination pushes under
+          // aggregates (isnotnull(g)); anything touching other columns
+          // (a filtered base) must NOT answer from the unfiltered
+          // view. A nondeterministic predicate (rand() < 0.5) or one
+          // with NO references that is not a pure literal must not be
+          // hoisted either: row-level sampling before aggregation is
+          // not group-level sampling after it.
           val usable = MvRegistry.lookup(path)
-            .filter(mv => conds.forall(_.references.toSeq.forall(a =>
-              mv.groupCols.contains(a.name) && keyNames.contains(a.name))))
+            .filter(mv => conds.forall(c => c.deterministic && (
+              c.foldable ||
+                (c.references.nonEmpty && c.references.toSeq.forall(a =>
+                  mv.groupCols.contains(a.name) &&
+                    keyNames.contains(a.name))))))
           // exact key-set match serves directly (no aggregation left);
           // otherwise a FINER view (query keys ⊂ view keys) answers by
           // RE-AGGREGATING group-cardinality rows — sound for SUM and
@@ -234,8 +241,10 @@ object MvRewrite extends Rule[LogicalPlan] {
             None, _), _) if e.name == mv.sumCol =>
         reSum(sOut, al)
       case al @ Alias(
-          AggregateExpression(Count(Seq(Literal(_, _))), _, false,
-            None, _), _) =>
+          AggregateExpression(Count(Seq(Literal(v, _))), _, false,
+            None, _), _) if v != null =>
+        // COUNT(NULL) is 0 per group, NOT the view's count(*) — only
+        // non-null literals map to the maintained count
         reSum(cOut, al)
       case al @ Alias(AggregateExpression(
           org.apache.spark.sql.catalyst.expressions.aggregate
@@ -275,8 +284,9 @@ object MvRewrite extends Rule[LogicalPlan] {
             None, _), _) if e.name == mv.sumCol =>
         out(sOut, al)
       case al @ Alias(
-          AggregateExpression(Count(Seq(Literal(_, _))), _, false,
-            None, _), _) =>
+          AggregateExpression(Count(Seq(Literal(v, _))), _, false,
+            None, _), _) if v != null =>
+        // COUNT(NULL) is 0 per group — see rewriteRollup
         out(cOut, al)
       case al @ Alias(AggregateExpression(
           org.apache.spark.sql.catalyst.expressions.aggregate

@@ -271,6 +271,36 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MvRegistry.clear()
   }
 
+  test("nondeterministic predicate is NOT hoisted above the aggregate") {
+    registered {
+      // rand() < x under the aggregate is ROW-level sampling; hoisting
+      // it above the MV scan would turn it into GROUP-level sampling —
+      // the rewrite must decline even though the predicate references
+      // no non-key column (empty references)
+      val q = spark.read.parquet(basePath).filter(rand(42) < 0.5)
+        .groupBy("g").agg(sum("x").as("sx"), count(lit(1)).as("n"))
+      assert(scans(q).forall(_.contains("/t")),
+        s"a nondeterministic filter must keep scanning the base, " +
+          s"got ${scans(q)}")
+    }
+  }
+
+  test("COUNT(NULL) is zero per group, never the view's count(*)") {
+    registered {
+      val q = spark.read.parquet(basePath).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(null)).as("n")).orderBy("g")
+      val withReg = q.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      MvRegistry.clear()
+      val direct = spark.read.parquet(basePath).groupBy("g")
+        .agg(sum("x").as("sx"), count(lit(null)).as("n")).orderBy("g")
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(withReg === direct)
+      assert(direct.forall(_._3 == 0L), "COUNT(NULL) must be 0")
+    }
+  }
+
   test("unregistered path and cleared registry are untouched") {
     GraftFunctions.register(spark)
     MvRegistry.clear()
