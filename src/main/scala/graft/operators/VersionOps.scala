@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{QueryDef, Scratch, Tables}
-import graft.warehouse.{Forget, VersionedParquet, WarehouseSnapshot}
+import graft.warehouse.{Forget, Optimistic, VersionedParquet, WarehouseSnapshot}
 
 /** Change-data-capture over the engine's own table format: diff two
   * PUBLISHED versions of a table — the "what changed since yesterday's
@@ -537,6 +537,62 @@ object VersionOps {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_postings"), lit(0L)).as("n_postings"))
       .orderBy("lang")
+  }
+
+  /** q158 scratch table: GENUINELY CONCURRENT optimistic writers —
+    * orders published partitioned by `band` (k % 3), then two
+    * partition overwrites of disjoint bands plus a blind append race
+    * from three threads (all rebase/commit exactly once under
+    * [[graft.warehouse.Optimistic]]'s commit-time conflict detection),
+    * followed by two contended keyed upserts (whole-table write
+    * domain: the loser detects the winner's commit, re-stages against
+    * it, and wins on retry). Every op pair is key/partition-disjoint,
+    * so the FINAL state is deterministic no matter which writer
+    * commits first — which is what lets a SQL oracle replay the
+    * serialized history. Once per session. */
+  private[graft] def occRoot(s: SparkSession, dir: String): String = {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val root = Scratch.dir(s, "q158-occ")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        concat(lit("b"), (col("o_orderkey") % 3).cast("string"))
+          .as("band"))
+      VersionedParquet.publish(o, root, partitionCols = Seq("band"),
+        keepVersions = 20)
+      val pool = Executors.newFixedThreadPool(3)
+      val race = Seq(
+        pool.submit(() => Optimistic.overwritePartitions(s, root,
+          o.filter(col("band") === "b0")
+            .withColumn("cents", col("cents") + 11),
+          keepVersions = 20, maxAttempts = 50)),
+        pool.submit(() => Optimistic.overwritePartitions(s, root,
+          o.filter(col("band") === "b2")
+            .withColumn("cents", col("cents") + 22),
+          keepVersions = 20, maxAttempts = 50)),
+        pool.submit(() => Optimistic.append(s, root,
+          o.filter(col("band") === "b1" && col("c") % 5 === 0)
+            .withColumn("cents", col("cents") + 33),
+          keepVersions = 20, maxAttempts = 50)))
+      race.foreach(_.get(600, TimeUnit.SECONDS))
+      pool.shutdown()
+      // contended upserts: both declare the whole table, so whichever
+      // stages second re-stages against the other's commit and wins
+      val b0 = o.filter(col("band") === "b0")
+        .withColumn("cents", col("cents") + 11)
+      val pool2 = Executors.newFixedThreadPool(2)
+      val contended = Seq(
+        pool2.submit(() => Optimistic.upsert(s, root,
+          b0.filter(col("k") % 10 === 1).withColumn("cents", lit(5L)),
+          Seq("k"), keepVersions = 20, maxAttempts = 50)),
+        pool2.submit(() => Optimistic.upsert(s, root,
+          b0.filter(col("k") % 10 === 2).withColumn("cents", lit(7L)),
+          Seq("k"), keepVersions = 20, maxAttempts = 50)))
+      contended.foreach(_.get(600, TimeUnit.SECONDS))
+      pool2.shutdown()
+    }
+    root
   }
 
   val queries: Seq[QueryDef] = Seq(
@@ -1522,6 +1578,40 @@ object VersionOps {
              |UNION ALL
              |SELECT 2, count(*), count(DISTINCT k),
              |       CAST(sum(cents) AS BIGINT) FROM v2
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    QueryDef("q158_optimistic_writers",
+      (s, d) => {
+        val root = occRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("k")).as("n_keys"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .orderBy("band")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |         'b' || CAST(o_orderkey % 3 AS VARCHAR) AS band
+             |  FROM orders),
+             |final AS (
+             |  SELECT k, c, CASE WHEN k % 10 = 1 THEN 5
+             |                    WHEN k % 10 = 2 THEN 7
+             |                    ELSE cents + 11 END AS cents, band
+             |  FROM o WHERE band = 'b0'
+             |  UNION ALL
+             |  SELECT k, c, cents, band FROM o WHERE band = 'b1'
+             |  UNION ALL
+             |  SELECT k, c, cents + 33, band FROM o
+             |  WHERE band = 'b1' AND c % 5 = 0
+             |  UNION ALL
+             |  SELECT k, c, cents + 22, band FROM o WHERE band = 'b2')
+             |SELECT band, count(*) AS n_rows,
+             |       count(DISTINCT k) AS n_keys,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM final
+             |GROUP BY band
+             |ORDER BY band""".stripMargin))
   )
 }

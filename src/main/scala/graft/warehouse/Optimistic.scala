@@ -1,0 +1,566 @@
+package graft.warehouse
+
+import java.io.IOException
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import VersionedParquet._
+
+/** Optimistic multi-writer concurrency for the versioned format — the
+  * Delta/Iceberg commit-protocol analogue, replacing "one writer at a
+  * time" with "stage concurrently, validate at commit".
+  *
+  * The single-writer lock (`VersionedParquet.withWriterLock`)
+  * serializes the ENTIRE operation: a second writer blocks for the
+  * full duration of the first one's data write, which at 100 TB with
+  * many independent pipelines (the reference's six silver loads,
+  * `proc_load_silver.sql:39-225`, are exactly this shape) is an
+  * availability ceiling. Here the expensive work — aligning, CHECK
+  * validation, writing data files, computing merge tiers — happens
+  * with NO table lock, into a private staging area `root/_txn/<id>`.
+  * Only the commit itself takes the lock, and holds it for a
+  * critical section sized O(overlay metadata), not O(data write).
+  *
+  * Commit-time conflict detection: every commit records its WRITE
+  * DOMAIN in the snapshot (`_DOMAIN` marker — `append`,
+  * `partitions\n<p>…`, or absent = whole table). A committing writer
+  * whose read version is no longer live intersects its own domain
+  * with every intervening commit's:
+  *
+  *   - disjoint (two appends; partition overwrites of disjoint
+  *     partitions; an append under someone's partition overwrite) →
+  *     the commit REBASES onto the live version and succeeds — both
+  *     writers commit exactly once, serialized only for the brief
+  *     critical section;
+  *   - overlapping (same partition overwritten twice, a keyed merge
+  *     racing anything, any whole-table commit in between) → the
+  *     loser's attempt raises a conflict INTERNALLY, re-stages
+  *     against the new live version, and retries — loser retries and
+  *     wins, the winner's work untouched. After `maxAttempts`
+  *     genuine conflicts the caller gets [[CommitConflictException]]
+  *     with the staged input intact for its own retry policy.
+  *
+  * The committed history is always equivalent to SOME serial order —
+  * the commit order: an append's rows land after every intervening
+  * commit (blind INSERT is order-insensitive up to multiset
+  * equality); a rebased partition overwrite recomputes its carried
+  * tiers (delta/vector/feed) against the live version under the
+  * lock, so disjoint writers compose exactly as if run back to back.
+  * A keyed MERGE declares the whole table (its read set is "which
+  * keys exist", which any concurrent write can change), so it never
+  * rebases — it re-stages, the textbook optimistic-transaction
+  * retry.
+  *
+  * Crash safety is unchanged from the single-writer path: staged
+  * work lives outside the `v*` namespace (invisible to readers,
+  * `versions()`, and time travel), `_SUCCESS` lands last inside the
+  * snapshot, and the pointer swap is the one atomic publish step. A
+  * writer that dies mid-stage leaves an orphan `_txn` dir that
+  * never becomes visible; `cleanupTxns` sweeps them by age.
+  */
+object Optimistic {
+
+  /** A successful optimistic commit: the published snapshot path and
+    * version, and how many stage attempts it took (`attempts > 1`
+    * means at least one conflict was detected and retried). */
+  final case class Commit(path: String, version: Long, attempts: Int)
+
+  /** Raised when `maxAttempts` consecutive commit attempts each found
+    * a conflicting intervening commit. The staged input is the
+    * caller's own rows, so retrying the operation is always safe. */
+  final class CommitConflictException(msg: String) extends IOException(msg)
+
+  /** A commit's declared write domain (see `_DOMAIN` marker). */
+  private[warehouse] sealed trait Domain
+  private[warehouse] case object AppendDomain extends Domain
+  private[warehouse] final case class PartitionsDomain(parts: Set[String])
+    extends Domain
+  private[warehouse] case object TableDomain extends Domain
+
+  /** Whether MY commit (staged against an older version) may NOT
+    * rebase over THEIR intervening commit. Asymmetric on purpose:
+    * the question is always "is my-commit-last a valid serial order,
+    * given what I staged" —
+    *   - an append rebases over appends and partition overwrites (my
+    *     rows are new rows, landing last is exactly blind-INSERT
+    *     semantics) but not over a whole-table commit (schema /
+    *     constraints / base may have changed — re-validate);
+    *   - a partition overwrite rebases over overwrites of DISJOINT
+    *     partitions only; an intervening append may have placed rows
+    *     into my partitions, making my staged replace-set stale —
+    *     conflict, retry against the new version (Delta's
+    *     ConcurrentAppendException);
+    *   - a whole-table commit (merge/update/restore/compact, and any
+    *     legacy commit without a domain marker) conflicts with
+    *     everything, both ways. */
+  private[warehouse] def conflicts(mine: Domain, theirs: Domain): Boolean =
+    (mine, theirs) match {
+      case (AppendDomain, AppendDomain) => false
+      case (AppendDomain, PartitionsDomain(_)) => false
+      case (PartitionsDomain(p), PartitionsDomain(q)) =>
+        p.intersect(q).nonEmpty
+      case _ => true
+    }
+
+  private[warehouse] def domainOf(spark: SparkSession, root: String,
+                                  v: Long): Domain =
+    readPointer(spark,
+      new Path(new Path(root, versionName(v)), DOMAIN_MARKER)) match {
+      case Some("append") => AppendDomain
+      case Some(s) if s.startsWith("partitions") =>
+        PartitionsDomain(s.split('\n').drop(1).filter(_.nonEmpty).toSet)
+      case _ => TableDomain
+    }
+
+  private def encodeDomain(d: Domain): Option[String] = d match {
+    case AppendDomain => Some("append")
+    case PartitionsDomain(p) =>
+      Some(("partitions" +: p.toSeq.sorted).mkString("\n"))
+    case TableDomain => None
+  }
+
+  /** Test seam: runs after each stage pass, before the commit critical
+    * section — specs inject a competing commit here to open a
+    * deterministic conflict window (a real race's timing, made
+    * reproducible). No-op in production. */
+  @volatile private[warehouse] var afterStage: () => Unit = () => ()
+
+  private val TXN_DIR = "_txn"
+
+  private def newTxnDir(spark: SparkSession, root: String): Path = {
+    val p = new Path(new Path(root, TXN_DIR),
+      java.util.UUID.randomUUID.toString)
+    fsOf(spark, p).mkdirs(p)
+    p
+  }
+
+  /** Sweep orphan staging dirs older than `olderThanMillis` (crashed
+    * writers). Never touches live staging younger than the cutoff. */
+  def cleanupTxns(spark: SparkSession, root: String,
+                  olderThanMillis: Long = 3600000L): Int = {
+    val dir = new Path(root, TXN_DIR)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) 0
+    else {
+      val cutoff = System.currentTimeMillis() - olderThanMillis
+      val old = fs.listStatus(dir).filter(_.getModificationTime < cutoff)
+      old.foreach(st => fs.delete(st.getPath, true))
+      old.length
+    }
+  }
+
+  /** Copy every parquet data file under `from` into `to`, prefixing
+    * names to avoid collisions with files staged by this writer. Pure
+    * filesystem ops — no Spark job — so a commit critical section
+    * carrying forward a delta tier costs O(overlay bytes) copy, never
+    * a recompute. */
+  private def copyParquetFiles(spark: SparkSession, from: Path, to: Path,
+                               prefix: String): Unit = {
+    val fs = fsOf(spark, from)
+    if (!fs.exists(from)) return
+    fs.mkdirs(to)
+    fs.listStatus(from).foreach { st =>
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          st.getLen > 0)
+        FileUtil.copy(fs, st.getPath, fs,
+          new Path(to, prefix + st.getPath.getName), false,
+          spark.sparkContext.hadoopConfiguration)
+    }
+  }
+
+  private def moveParquetFiles(spark: SparkSession, from: Path, to: Path,
+                               prefix: String): Unit = {
+    val fs = fsOf(spark, from)
+    if (!fs.exists(from)) return
+    fs.mkdirs(to)
+    fs.listStatus(from).foreach { st =>
+      if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          st.getLen > 0)
+        fs.rename(st.getPath, new Path(to, prefix + st.getPath.getName))
+    }
+  }
+
+  /** Align `rows` to the base schema of version `v` and enforce the
+    * table's CHECK contract — the stage-side half of every write's
+    * validation, shared with the single-writer ops' semantics. */
+  private def alignAndValidate(spark: SparkSession, root: String, v: Long,
+                               rows: DataFrame, op: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, not, sum, when}
+    val base = baseNameOf(spark, root, v)
+    val baseDir = new Path(root, base)
+    val baseCols = spark.read.parquet(baseDir.toString).columns.toSeq
+    val extra = rows.columns.filterNot(baseCols.contains)
+    if (extra.nonEmpty)
+      throw new IOException(s"$op cannot add columns " +
+        s"${extra.mkString(",")} to $root; publish a new schema instead")
+    val aligned = rows.select(baseCols.map(rows(_)): _*)
+    val constraints = readPointer(spark,
+      new Path(baseDir, CONSTRAINTS_MARKER))
+      .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (constraints.nonEmpty) {
+      val counts = aligned.agg(
+        sum(when(not(expr(constraints.head)), 1L).otherwise(0L)),
+        constraints.tail.map(c =>
+          sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
+      val bad = constraints.zipWithIndex
+        .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
+                                    else counts.getLong(i)) }
+        .filter(_._2 > 0)
+      if (bad.nonEmpty)
+        throw new IOException(s"$op rejected: CHECK constraint " +
+          bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
+          s" violated; $root unchanged")
+    }
+    aligned
+  }
+
+  /** First conflicting intervening version in (`readVersion`, `live`],
+    * or None when every intervener's domain is disjoint from `mine`. */
+  private def firstConflict(spark: SparkSession, root: String,
+                            mine: Domain, readVersion: Long,
+                            live: Long): Option[Long] =
+    (readVersion + 1 to live).find(v =>
+      conflicts(mine, domainOf(spark, root, v)))
+
+  // ------------------------------------------------------------------
+  // APPEND — stage rows unlocked; commit is pure file metadata.
+  // ------------------------------------------------------------------
+
+  /** Optimistic blind APPEND: `rows` are aligned, CHECK-validated, and
+    * written to staging with NO table lock; the commit critical
+    * section is file copies of the live overlay plus marker writes —
+    * no Spark job, O(overlay bytes). Concurrent appends and disjoint
+    * partition overwrites all commit exactly once (appends rebase over
+    * both); an intervening whole-table commit re-validates and
+    * retries. Semantics identical to `VersionedParquet.append`. */
+  def append(spark: SparkSession, root: String, rows: DataFrame,
+             keepVersions: Int = 2,
+             markers: Map[String, String] = Map.empty,
+             maxAttempts: Int = 5): Commit = {
+    import org.apache.spark.sql.functions.lit
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    var readVersion = currentVersion(spark, root).getOrElse(
+      throw new IOException(s"no published version under $root"))
+    var attempts = 0
+    var lastConflict: Option[Long] = None
+    val txn = newTxnDir(spark, root)
+    try {
+      while (attempts < maxAttempts) {
+        attempts += 1
+        // STAGE (no lock): align + validate against the read version's
+        // base, materialize the rows and their feed entries once
+        fs.delete(new Path(txn, "_rows"), true)
+        fs.delete(new Path(txn, CDF_DIR), true)
+        val aligned = alignAndValidate(spark, root, readVersion, rows,
+          "append")
+        aligned.write.parquet(new Path(txn, "_rows").toString)
+        spark.read.parquet(new Path(txn, "_rows").toString)
+          .withColumn("_change_type", lit("insert"))
+          .write.parquet(new Path(txn, CDF_DIR).toString)
+        afterStage()
+        // COMMIT (lock held for metadata only)
+        val committed = withWriterLock(spark, root) {
+          val live = currentVersion(spark, root).get
+          val clash = firstConflict(spark, root, AppendDomain,
+            readVersion, live)
+          if (clash.isDefined) {
+            lastConflict = clash
+            readVersion = live
+            None // release lock, re-stage, retry
+          } else {
+            val next = live + 1
+            val liveDir = new Path(rootPath, versionName(live))
+            val base = baseNameOf(spark, root, live)
+            val snapshot = new Path(rootPath, versionName(next))
+            fs.delete(snapshot, true)
+            // overlay carries forward by file copy, my rows move in
+            val dvDst = new Path(snapshot, DV_DIR)
+            fs.mkdirs(dvDst)
+            if (base != versionName(live))
+              copyParquetFiles(spark, new Path(liveDir, DV_DIR), dvDst,
+                s"c$live-")
+            val deltaDst = new Path(snapshot, DELTA_DIR)
+            fs.mkdirs(deltaDst)
+            copyParquetFiles(spark, new Path(liveDir, DELTA_DIR),
+              deltaDst, s"c$live-")
+            moveParquetFiles(spark, new Path(txn, "_rows"), deltaDst,
+              "txn-")
+            moveParquetFiles(spark, new Path(txn, CDF_DIR),
+              new Path(snapshot, CDF_DIR), "txn-")
+            readPointer(spark, new Path(liveDir, EXCLUDE_MARKER))
+              .foreach(m =>
+                installPointer(spark, snapshot, EXCLUDE_MARKER, m))
+            (markers + (BASE_MARKER -> base) +
+              (DOMAIN_MARKER -> "append")).foreach {
+              case (name, content) =>
+                installPointer(spark, snapshot, name, content) }
+            installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+            installPointer(spark, rootPath, POINTER, versionName(next))
+            vacuumLocked(spark, root, keepVersions, 0L)
+            Some(Commit(snapshot.toString, next, attempts))
+          }
+        }
+        committed.foreach(c => return c)
+      }
+      throw new CommitConflictException(s"append to $root gave up " +
+        s"after $attempts attempts; last conflicting commit: " +
+        s"v${lastConflict.getOrElse(-1L)}")
+    } finally fs.delete(txn, true)
+  }
+
+  // ------------------------------------------------------------------
+  // PARTITION OVERWRITE — stage rows unlocked; commit recomputes the
+  // carried overlay against the LIVE version (O(changes + overlay)).
+  // ------------------------------------------------------------------
+
+  /** Optimistic dynamic partition overwrite: the incoming rows (often
+    * the product of an expensive upstream query) are staged with NO
+    * table lock; the commit validates that every intervening commit
+    * touched DISJOINT partitions (or nothing it cannot rebase over)
+    * and assembles the new version against the live state under the
+    * lock. Two writers overwriting disjoint partitions both commit
+    * exactly once; overlapping writers resolve loser-retries-and-wins.
+    * Semantics identical to `VersionedParquet.overwritePartitions`. */
+  def overwritePartitions(spark: SparkSession, root: String,
+                          df: DataFrame, keepVersions: Int = 2,
+                          maxAttempts: Int = 5): Commit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    var readVersion = currentVersion(spark, root).getOrElse(
+      throw new IOException(s"no published version under $root"))
+    var attempts = 0
+    var lastConflict: Option[Long] = None
+    val txn = newTxnDir(spark, root)
+    try {
+      while (attempts < maxAttempts) {
+        attempts += 1
+        // STAGE (no lock)
+        fs.delete(new Path(txn, "_rows"), true)
+        val aligned = alignAndValidate(spark, root, readVersion, df,
+          "overwritePartitions")
+        val baseDir = new Path(rootPath, baseNameOf(spark, root,
+          readVersion))
+        val partCols = partitionColsOfDir(spark, baseDir)
+        if (partCols.isEmpty)
+          throw new IOException(s"$root's base is not Hive-partitioned; " +
+            "dynamic partition overwrite needs a partitioned layout")
+        aligned.write.parquet(new Path(txn, "_rows").toString)
+        val staged = spark.read.parquet(new Path(txn, "_rows").toString)
+        // touched partitions: driver-bounded by partition count
+        val touched = staged.select(partCols.map(col): _*).distinct()
+          .collect().toSeq
+        if (touched.isEmpty)
+          throw new IOException("overwritePartitions got zero rows: an " +
+            "empty overwrite set is ambiguous; use delete() instead")
+        val canonical = touched.map(r =>
+          partCols.zipWithIndex.map { case (c, i) =>
+            s"$c=${r.get(i)}" }.mkString("/")).toSet
+        val mine = PartitionsDomain(canonical)
+        val touchedPred = touched.map(r =>
+          partCols.zipWithIndex.map { case (c, i) =>
+            col(c) <=> lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _)
+        afterStage()
+        // COMMIT: conflict-check, then assemble against LIVE — the
+        // carried overlay is recomputed under the lock, so a rebase
+        // over a disjoint overwrite or nothing at all is exact
+        val committed = withWriterLock(spark, root) {
+          val live = currentVersion(spark, root).get
+          val clash = firstConflict(spark, root, mine, readVersion, live)
+          if (clash.isDefined) {
+            lastConflict = clash
+            readVersion = live
+            None
+          } else {
+            val next = live + 1
+            val liveDir = new Path(rootPath, versionName(live))
+            val base = baseNameOf(spark, root, live)
+            val liveBaseDir = new Path(rootPath, base)
+            val baseData = spark.read.parquet(liveBaseDir.toString)
+            val snapshot = new Path(rootPath, versionName(next))
+            fs.delete(snapshot, true)
+            val touchedFiles = baseData.filter(touchedPred)
+              .withColumn("_f", relFile).select("_f").distinct()
+              .collect().map(_.getString(0)).toSet
+            val priorExcl = readPointer(spark,
+              new Path(liveDir, EXCLUDE_MARKER))
+              .map(_.split('\n').filter(_.nonEmpty).toSet)
+              .getOrElse(Set.empty[String])
+            // change feed first (needs the pre-overwrite live state)
+            val current = dataFrameOf(spark, root, live)
+            current.filter(touchedPred)
+              .withColumn("_change_type", lit("delete"))
+              .unionByName(staged.withColumn("_change_type",
+                lit("insert")))
+              .write.mode("overwrite")
+              .parquet(new Path(snapshot, CDF_DIR).toString)
+            val dvPrior =
+              if (base == versionName(live)) emptyDv(spark)
+              else spark.read.schema("_file STRING, _pos BIGINT")
+                .parquet(new Path(liveDir, DV_DIR).toString)
+            val newlyExcluded = touchedFiles -- priorExcl
+            dvPrior.filter(!col("_file").isin(newlyExcluded.toSeq: _*))
+              .write.mode("overwrite")
+              .parquet(new Path(snapshot, DV_DIR).toString)
+            val priorDelta = new Path(liveDir, DELTA_DIR)
+            val carried =
+              if (hasParquetData(spark, priorDelta))
+                spark.read.parquet(priorDelta.toString)
+                  .filter(coalesce(touchedPred, lit(false)) === false)
+              else staged.limit(0)
+            carried.unionByName(staged)
+              .write.mode("overwrite")
+              .parquet(new Path(snapshot, DELTA_DIR).toString)
+            installPointer(spark, snapshot, EXCLUDE_MARKER,
+              (priorExcl ++ touchedFiles).toSeq.sorted.mkString("\n"))
+            installPointer(spark, snapshot, BASE_MARKER, base)
+            encodeDomain(mine).foreach(d =>
+              installPointer(spark, snapshot, DOMAIN_MARKER, d))
+            installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+            installPointer(spark, rootPath, POINTER, versionName(next))
+            vacuumLocked(spark, root, keepVersions, 0L)
+            Some(Commit(snapshot.toString, next, attempts))
+          }
+        }
+        committed.foreach(c => return c)
+      }
+      throw new CommitConflictException(s"overwritePartitions on $root " +
+        s"gave up after $attempts attempts; last conflicting commit: " +
+        s"v${lastConflict.getOrElse(-1L)}")
+    } finally fs.delete(txn, true)
+  }
+
+  // ------------------------------------------------------------------
+  // MERGE — full tiers staged unlocked against the read version;
+  // commit is pure renames when still live, else re-stage and retry.
+  // ------------------------------------------------------------------
+
+  /** Optimistic keyed MERGE (matched ⇒ update, unmatched ⇒ insert,
+    * `deleteKeys` ⇒ remove). The expensive half — joining the batch
+    * against the live state to build the vector, delta, and feed —
+    * runs with NO table lock against the writer's read version; the
+    * commit is three directory renames plus markers when that version
+    * is still live. A merge's read set is "which keys exist", which
+    * ANY concurrent commit can change, so an intervening commit of
+    * any domain conflicts: the loser re-stages against the new live
+    * version and retries — the textbook optimistic transaction.
+    * Semantics identical to `VersionedParquet.merge`. */
+  def merge(spark: SparkSession, root: String, upserts: DataFrame,
+            deleteKeys: DataFrame, keyCols: Seq[String],
+            keepVersions: Int = 2,
+            markers: Map[String, String] = Map.empty,
+            maxAttempts: Int = 5): Commit = {
+    import org.apache.spark.sql.functions.{col, count, lit, when}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    var readVersion = currentVersion(spark, root).getOrElse(
+      throw new IOException(s"no published version under $root"))
+    var attempts = 0
+    var lastConflict: Option[Long] = None
+    val txn = newTxnDir(spark, root)
+    try {
+      while (attempts < maxAttempts) {
+        attempts += 1
+        // STAGE (no lock): the full merge assembly against readVersion
+        Seq(DV_DIR, DELTA_DIR, CDF_DIR).foreach(d =>
+          fs.delete(new Path(txn, d), true))
+        val v = readVersion
+        val base = baseNameOf(spark, root, v)
+        val baseData = spark.read.parquet(
+          new Path(rootPath, base).toString)
+        val aligned = alignAndValidate(spark, root, v, upserts, "merge")
+        if (aligned.groupBy(keyCols.map(col): _*)
+            .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
+            .count() > 0)
+          throw new IOException("merge batch has duplicate keys on (" +
+            keyCols.mkString(",") + "); MERGE is nondeterministic")
+        val upKeys = aligned.select(keyCols.map(col): _*).distinct()
+        val delKeys = deleteKeys
+          .select(keyCols.map(deleteKeys(_)): _*).distinct()
+        if (upKeys.join(delKeys, keyCols, "left_semi").limit(1)
+            .count() > 0)
+          throw new IOException("merge batch upserts AND deletes the " +
+            s"same key on (${keyCols.mkString(",")})")
+        val touched = upKeys.union(delKeys)
+        val hits = baseData
+          .withColumn("_file", relFile)
+          .withColumn("_pos", col("_metadata.row_index"))
+          .join(touched, keyCols, "left_semi")
+          .select("_file", "_pos")
+        val verDir = new Path(rootPath, versionName(v))
+        val prior =
+          if (base == versionName(v)) hits.limit(0)
+          else spark.read.schema("_file STRING, _pos BIGINT")
+            .parquet(new Path(verDir, DV_DIR).toString)
+        prior.union(hits).distinct()
+          .write.parquet(new Path(txn, DV_DIR).toString)
+        val priorDelta = new Path(verDir, DELTA_DIR)
+        val carried =
+          if (hasParquetData(spark, priorDelta))
+            spark.read.parquet(priorDelta.toString)
+              .join(touched, keyCols, "left_anti")
+          else aligned.limit(0)
+        carried.unionByName(aligned)
+          .write.parquet(new Path(txn, DELTA_DIR).toString)
+        val current = dataFrameOf(spark, root, v)
+        val taggedKeys = upKeys
+          .withColumn("_change_type", lit("update_pre"))
+          .unionByName(delKeys.withColumn("_change_type", lit("delete")))
+        val preAndDel = current.join(taggedKeys, keyCols, "inner")
+        val matched = upKeys.join(current.select(keyCols.map(col): _*),
+          keyCols, "left_semi").withColumn("_m", lit(1))
+        val postAndIns = aligned.join(matched, keyCols, "left")
+          .withColumn("_change_type",
+            when(col("_m") === 1, lit("update_post"))
+              .otherwise(lit("insert")))
+          .drop("_m")
+        preAndDel.unionByName(postAndIns)
+          .write.parquet(new Path(txn, CDF_DIR).toString)
+        val excl = readPointer(spark, new Path(verDir, EXCLUDE_MARKER))
+        afterStage()
+        // COMMIT: renames only — valid iff the staged-against version
+        // is STILL live (a merge cannot rebase; see scaladoc)
+        val committed = withWriterLock(spark, root) {
+          val live = currentVersion(spark, root).get
+          if (live != readVersion) {
+            lastConflict = Some(live)
+            readVersion = live
+            None // re-stage against the new live version
+          } else {
+            val next = live + 1
+            val snapshot = new Path(rootPath, versionName(next))
+            fs.delete(snapshot, true)
+            fs.mkdirs(snapshot)
+            Seq(DV_DIR, DELTA_DIR, CDF_DIR).foreach { d =>
+              fs.rename(new Path(txn, d), new Path(snapshot, d)) }
+            excl.foreach(m =>
+              installPointer(spark, snapshot, EXCLUDE_MARKER, m))
+            (markers + (BASE_MARKER -> base)).foreach {
+              case (name, content) =>
+                installPointer(spark, snapshot, name, content) }
+            installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+            installPointer(spark, rootPath, POINTER, versionName(next))
+            vacuumLocked(spark, root, keepVersions, 0L)
+            Some(Commit(snapshot.toString, next, attempts))
+          }
+        }
+        committed.foreach(c => return c)
+      }
+      throw new CommitConflictException(s"merge into $root gave up " +
+        s"after $attempts attempts; last conflicting commit: " +
+        s"v${lastConflict.getOrElse(-1L)}")
+    } finally fs.delete(txn, true)
+  }
+
+  /** Optimistic keyed upsert — [[merge]] with no delete clause. */
+  def upsert(spark: SparkSession, root: String, updates: DataFrame,
+             keyCols: Seq[String], keepVersions: Int = 2,
+             markers: Map[String, String] = Map.empty,
+             maxAttempts: Int = 5): Commit =
+    merge(spark, root, updates, updates.limit(0).select(
+      keyCols.map(org.apache.spark.sql.functions.col): _*),
+      keyCols, keepVersions, markers, maxAttempts)
+}

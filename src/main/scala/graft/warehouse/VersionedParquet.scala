@@ -48,7 +48,7 @@ import org.apache.spark.sql.functions.lit
   */
 object VersionedParquet {
 
-  private val POINTER = "_CURRENT"
+  private[warehouse] val POINTER = "_CURRENT"
 
   /** Sidecar marker carrying per-file min/max stats (see `publish`'s
     * `statsCols` and [[FileStats.skippingRead]]). */
@@ -92,16 +92,25 @@ object VersionedParquet {
     * small-file debt without touching the rest of the base. */
   private[warehouse] val EXCLUDE_MARKER = "_EXCLUDEFILES"
 
+  /** Write-domain marker recorded in a snapshot at commit: what part
+    * of the table the commit wrote (`append`, `partitions\n<p>…`, or
+    * absent = whole table). [[Optimistic]] commit-time conflict
+    * detection intersects a staging writer's domain with every
+    * intervening commit's marker; an absent marker is conservatively
+    * the whole table, so legacy/unknown commits conflict with
+    * everything. */
+  private[warehouse] val DOMAIN_MARKER = "_DOMAIN"
+
   /** Row identity within a snapshot: the file path relative to the
     * version directory. Both the delete side (computing the vector)
     * and the read side (applying it) relativize with this SAME
     * expression, so the two can never drift. */
-  private def relFile: org.apache.spark.sql.Column =
+  private[warehouse] def relFile: org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.regexp_extract(
       org.apache.spark.sql.functions.col("_metadata.file_path"),
       "/v\\d{8}/(.*)$", 1)
 
-  private def fsOf(spark: SparkSession, p: Path) =
+  private[warehouse] def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Writer-lock file guarding every mutating operation on a table
@@ -191,7 +200,7 @@ object VersionedParquet {
     * the existence test for an optional delta tier — schema inference
     * over a fileless directory would throw. Deltas are written flat
     * (unpartitioned), so a shallow listing suffices. */
-  private def hasParquetData(spark: SparkSession, dir: Path): Boolean = {
+  private[warehouse] def hasParquetData(spark: SparkSession, dir: Path): Boolean = {
     val fs = fsOf(spark, dir)
     fs.exists(dir) && fs.listStatus(dir)
       .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
@@ -203,7 +212,7 @@ object VersionedParquet {
     * bytes). Relative paths use the same convention as `relFile`, so
     * exclusion lists, deletion vectors, and stats sidecars all name
     * files identically. */
-  private def listDataFiles(spark: SparkSession,
+  private[warehouse] def listDataFiles(spark: SparkSession,
                             snapshot: Path): Seq[(String, Long)] = {
     val fs = fsOf(spark, snapshot)
     val prefix = snapshot.toUri.getPath + "/"
@@ -231,7 +240,7 @@ object VersionedParquet {
     FileContext.getFileContext(p.toUri,
       spark.sparkContext.hadoopConfiguration)
 
-  private def versionName(n: Long) = f"v$n%08d"
+  private[warehouse] def versionName(n: Long) = f"v$n%08d"
 
   /** Highest v* directory holding a `_SUCCESS` marker (i.e. whose
     * parquet write completed). This is the recovery source of truth
@@ -275,6 +284,13 @@ object VersionedParquet {
       } finally in.close()
     }
   }
+
+  /** Commit timestamp recorded INSIDE `_SUCCESS` at publish time —
+    * epoch millis as text. Directory mtime is not a faithful commit
+    * time on object stores or after a table copy/rsync; the stamp
+    * travels with the snapshot. Pre-stamp snapshots (empty `_SUCCESS`)
+    * fall back to dir mtime in [[readAsOf]]. */
+  private[warehouse] def commitStamp(): String = System.currentTimeMillis().toString
 
   /** Atomically install `content` as the pointer file `dir/name`:
     * temp-file write + atomic rename-with-overwrite. On the local
@@ -560,7 +576,7 @@ object VersionedParquet {
     * inserts, see `upsert`) unioned on top. Vector and delta are both
     * cumulative, so exactly one anti-join and one union apply
     * regardless of how many deletes/upserts preceded. */
-  private def dataFrameOf(spark: SparkSession, root: String,
+  private[warehouse] def dataFrameOf(spark: SparkSession, root: String,
                           v: Long): DataFrame = {
     val snapshot = new Path(root, versionName(v))
     readPointer(spark, new Path(snapshot, BASE_MARKER)) match {
@@ -697,7 +713,7 @@ object VersionedParquet {
       EXCLUDE_MARKER)).foreach(m =>
       installPointer(spark, snapshot, EXCLUDE_MARKER, m))
     installPointer(spark, snapshot, BASE_MARKER, base)
-    installPointer(spark, snapshot, "_SUCCESS", "")
+    installPointer(spark, snapshot, "_SUCCESS", commitStamp())
     try installPointer(spark, rootPath, POINTER, versionName(next))
     catch {
       case e: IOException =>
@@ -867,7 +883,7 @@ object VersionedParquet {
       installPointer(spark, snapshot, EXCLUDE_MARKER, m))
     (markers + (BASE_MARKER -> base)).foreach { case (name, content) =>
       installPointer(spark, snapshot, name, content) }
-    installPointer(spark, snapshot, "_SUCCESS", "")
+    installPointer(spark, snapshot, "_SUCCESS", commitStamp())
     try installPointer(spark, rootPath, POINTER, versionName(next))
     catch {
       case e: IOException =>
@@ -952,25 +968,38 @@ object VersionedParquet {
   }
 
   /** TIMESTAMP AS OF time travel: the newest version committed at or
-    * before `asOfMillis`, resolved from each snapshot directory's
-    * modification time — the directory is last touched by its marker
-    * writes, which happen strictly before the pointer swap publishes
-    * it, so dir mtime is a faithful commit-time lower bound on every
-    * filesystem that preserves mtimes. Fails loudly when the table
-    * did not exist yet at the asked instant (same contract as pinning
-    * a vacuumed version). Version numbers stay the precise API
-    * (`read(version = …)`); this is the human-friendly entry —
-    * "the table as of last night 02:00". */
+    * before `asOfMillis`. Commit time is the explicit stamp persisted
+    * INSIDE `_SUCCESS` at publish (see [[commitStamp]]) — faithful
+    * even on object stores and across a table copy/rsync; snapshots
+    * from pre-stamp writers (empty `_SUCCESS`) fall back to directory
+    * mtime. Candidates are capped at the LIVE pointer's version: a
+    * snapshot staged by a writer that crashed after `_SUCCESS` but
+    * before the pointer swap — or one newer than the live pointer —
+    * was never published and must not answer a time-travel read.
+    * Fails loudly when the table did not exist yet at the asked
+    * instant (same contract as pinning a vacuumed version). Version
+    * numbers stay the precise API (`read(version = …)`); this is the
+    * human-friendly entry — "the table as of last night 02:00". */
   def readAsOf(spark: SparkSession, root: String,
                asOfMillis: Long): DataFrame = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     if (!fs.exists(rootPath))
       throw new IOException(s"no table under $root")
+    val live = currentVersion(spark, root).getOrElse(
+      throw new IOException(s"no published version under $root"))
     val candidates = fs.listStatus(rootPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .filter(_.getModificationTime <= asOfMillis)
+      .filter(_.getPath.getName.drop(1).toLong <= live)
+      .filter { st =>
+        val marker = new Path(st.getPath, "_SUCCESS")
+        fs.exists(marker) && {
+          val committedAt = readPointer(spark, marker)
+            .filter(_.nonEmpty).flatMap(s => s.toLongOption)
+            .getOrElse(st.getModificationTime)
+          committedAt <= asOfMillis
+        }
+      }
       .map(_.getPath.getName.drop(1).toLong)
     if (candidates.isEmpty)
       throw new IOException(s"$root has no version committed at or " +
@@ -1008,7 +1037,7 @@ object VersionedParquet {
       vacuumLocked(spark, root, keepVersions, minAgeMillis))
   }
 
-  private def vacuumLocked(spark: SparkSession, root: String,
+  private[warehouse] def vacuumLocked(spark: SparkSession, root: String,
              keepVersions: Int, minAgeMillis: Long): Seq[Long] = {
     val live = currentVersion(spark, root).getOrElse(return Nil)
     val cutoff = live - keepVersions + 1
@@ -1126,7 +1155,7 @@ object VersionedParquet {
     installPointer(spark, snapshot, BASE_MARKER, base)
     installPointer(spark, snapshot, EXCLUDE_MARKER, newExcl.mkString("\n"))
     installPointer(spark, snapshot, CDF_EMPTY_MARKER, "")
-    installPointer(spark, snapshot, "_SUCCESS", "")
+    installPointer(spark, snapshot, "_SUCCESS", commitStamp())
     try installPointer(spark, rootPath, POINTER, versionName(next))
     catch {
       case e: IOException =>
@@ -1195,7 +1224,7 @@ object VersionedParquet {
   }
 
   /** An empty deletion-vector frame (the no-rows-masked overlay). */
-  private def emptyDv(spark: SparkSession): DataFrame =
+  private[warehouse] def emptyDv(spark: SparkSession): DataFrame =
     spark.emptyDataFrame.selectExpr(
       "CAST(NULL AS STRING) AS _file", "CAST(NULL AS BIGINT) AS _pos")
       .limit(0)
@@ -1262,7 +1291,7 @@ object VersionedParquet {
       val snapshot = new Path(dstPath, versionName(0L))
       fs.delete(snapshot, true)
       stageLogicalCopy(spark, srcRoot, v, snapshot, absBase)
-      installPointer(spark, snapshot, "_SUCCESS", "")
+      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
       try installPointer(spark, dstPath, POINTER, versionName(0L))
       catch {
         case e: IOException =>
@@ -1280,7 +1309,12 @@ object VersionedParquet {
     * rewriting data — so a bad publish/merge is undone in O(changes)
     * metadata while the botched versions stay time-travelable for the
     * post-mortem. The restored-to base is reference-protected from
-    * vacuum like any other live base.
+    * vacuum like any other live base. The default `keepVersions = 0`
+    * means restore runs NO vacuum at all — the botched intermediate
+    * versions really do survive for the post-mortem; pass an explicit
+    * positive retention to trim history in the same call (a
+    * `keepVersions` too small to span the botched versions deletes
+    * them immediately, same as any vacuum).
     *
     * The change feed stays CONTINUOUS across a restore: the new
     * version's `_cdf` records the exact net row diff current→restored
@@ -1293,7 +1327,7 @@ object VersionedParquet {
     * itself CDF-absent and `changes` across it fails loudly, like a
     * physical publish). */
   def restore(spark: SparkSession, root: String, toVersion: Long,
-              keepVersions: Int = 2, withFeed: Boolean = true): String =
+              keepVersions: Int = 0, withFeed: Boolean = true): String =
     withWriterLock(spark, root) {
       val v = currentVersion(spark, root).getOrElse(
         throw new IOException(s"no published version under $root"))
@@ -1337,14 +1371,14 @@ object VersionedParquet {
           .write.mode("overwrite")
           .parquet(new Path(snapshot, CDF_DIR).toString)
       }
-      installPointer(spark, snapshot, "_SUCCESS", "")
+      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
       try installPointer(spark, rootPath, POINTER, versionName(next))
       catch {
         case e: IOException =>
           throw new IOException(s"could not swap pointer for $root; live " +
             s"table unchanged, staged restore at $snapshot", e)
       }
-      vacuum(spark, root, keepVersions)
+      if (keepVersions >= 1) vacuum(spark, root, keepVersions)
       snapshot.toString
       }
     }
@@ -1418,9 +1452,10 @@ object VersionedParquet {
         .parquet(new Path(snapshot, CDF_DIR).toString)
       readPointer(spark, new Path(verDir, EXCLUDE_MARKER)).foreach(m =>
         installPointer(spark, snapshot, EXCLUDE_MARKER, m))
-      (markers + (BASE_MARKER -> base)).foreach { case (name, content) =>
+      (markers + (BASE_MARKER -> base) +
+        (DOMAIN_MARKER -> "append")).foreach { case (name, content) =>
         installPointer(spark, snapshot, name, content) }
-      installPointer(spark, snapshot, "_SUCCESS", "")
+      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
       try installPointer(spark, rootPath, POINTER, versionName(next))
       catch {
         case e: IOException =>
@@ -1531,7 +1566,7 @@ object VersionedParquet {
         EXCLUDE_MARKER)).foreach(m =>
         installPointer(spark, snapshot, EXCLUDE_MARKER, m))
       installPointer(spark, snapshot, BASE_MARKER, base)
-      installPointer(spark, snapshot, "_SUCCESS", "")
+      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
       try installPointer(spark, rootPath, POINTER, versionName(next))
       catch {
         case e: IOException =>
@@ -1544,7 +1579,7 @@ object VersionedParquet {
 
   /** The Hive partition columns of a DIRECTORY layout (outermost
     * first) — `partitionColsOf` for an already-resolved base dir. */
-  private def partitionColsOfDir(spark: SparkSession,
+  private[warehouse] def partitionColsOfDir(spark: SparkSession,
                                  baseDir: Path): Seq[String] = {
     val fs = fsOf(spark, baseDir)
     val cols = Seq.newBuilder[String]
@@ -1676,7 +1711,10 @@ object VersionedParquet {
       installPointer(spark, snapshot, EXCLUDE_MARKER,
         (priorExcl ++ touchedFiles).toSeq.sorted.mkString("\n"))
       installPointer(spark, snapshot, BASE_MARKER, base)
-      installPointer(spark, snapshot, "_SUCCESS", "")
+      installPointer(spark, snapshot, DOMAIN_MARKER, ("partitions" +:
+        touched.map(r => partCols.zipWithIndex.map { case (c, i) =>
+          s"$c=${r.get(i)}" }.mkString("/")).sorted).mkString("\n"))
+      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
       try installPointer(spark, rootPath, POINTER, versionName(next))
       catch {
         case e: IOException =>

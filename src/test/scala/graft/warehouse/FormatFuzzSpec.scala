@@ -150,4 +150,78 @@ class FormatFuzzSpec extends AnyFunSuite {
         s"time travel to v$v diverged from recorded history")
     }
   }
+
+  test("interleaved optimistic writers: every commit lands once, feed replays the full history") {
+    import java.util.concurrent.{Executors, TimeUnit}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-occ-fuzz").toString + "/t"
+    val init = (0L until 200L).map(i => (i, i % 7, i * 3))
+    VersionedParquet.publish(toDf(init), root, keepVersions = 100)
+
+    // three writers race genuine concurrent chains: two appenders
+    // (never conflict) and one keyed upserter (conflicts with every
+    // intervening commit — exercises the re-stage/retry path under
+    // real contention, not a test-seam window)
+    val opsPerWriter = 4
+    val pool = Executors.newFixedThreadPool(3)
+    val appenderA = pool.submit(() =>
+      (0 until opsPerWriter).map { k =>
+        Optimistic.append(spark, root,
+          toDf((0L until 10L).map(i =>
+            (10000L + k * 100L + i, 1L, 1L))), keepVersions = 100)
+      })
+    val appenderB = pool.submit(() =>
+      (0 until opsPerWriter).map { k =>
+        Optimistic.append(spark, root,
+          toDf((0L until 10L).map(i =>
+            (20000L + k * 100L + i, 2L, 2L))), keepVersions = 100)
+      })
+    val upserter = pool.submit(() =>
+      (0 until opsPerWriter).map { k =>
+        // updates its OWN keys only (0..49): retries under contention,
+        // but its chain is internally serial, so the final value per
+        // key is the last op's regardless of global interleaving
+        Optimistic.upsert(spark, root,
+          toDf((0L until 50L).map(i => (i, i % 7, 100000L + k))),
+          Seq("id"), keepVersions = 100, maxAttempts = 50)
+      })
+    val commits = appenderA.get(300, TimeUnit.SECONDS) ++
+      appenderB.get(300, TimeUnit.SECONDS) ++
+      upserter.get(300, TimeUnit.SECONDS)
+    pool.shutdown()
+
+    // 12 commits, versions 1..12, each exactly once
+    assert(commits.map(_.version).sorted === (1L to 12L),
+      s"every optimistic op commits exactly one version")
+    // final state = init with keys 0..49 at the upserter's LAST value,
+    // plus all 80 appended rows
+    val expected =
+      init.filterNot(_._1 < 50L).map { case (i, g, x) => (i, g, x) -> 1L }
+        .toMap ++
+        (0L until 50L).map(i => (i, i % 7,
+          100000L + opsPerWriter - 1L) -> 1L) ++
+        (0 until opsPerWriter).flatMap(k => (0L until 10L).map(i =>
+          (10000L + k * 100L + i, 1L, 1L) -> 1L)) ++
+        (0 until opsPerWriter).flatMap(k => (0L until 10L).map(i =>
+          (20000L + k * 100L + i, 2L, 2L) -> 1L))
+    assert(bag(VersionedParquet.read(spark, root)) === expected,
+      "final state must equal the serialized (commit-order) history")
+
+    // the change feed is CONTINUOUS across the interleaved history:
+    // replaying v0 → v12 reproduces the final state as multisets
+    val feed = VersionedParquet.changes(spark, root, 0L, 12L)
+      .select("id", "grp", "x", "_change_type", "_commit_version")
+      .collect().sortBy(_.getLong(4))
+    var work = bag(VersionedParquet.read(spark, root, Some(0L)))
+    feed.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (Seq("update_pre", "delete").contains(r.getString(3))) {
+        val left = work.getOrElse(k, 0L) - 1
+        assert(left >= 0, s"feed removes $k absent at its version")
+        work = if (left == 0) work - k else work + (k -> left)
+      } else work = work + (k -> (work.getOrElse(k, 0L) + 1))
+    }
+    assert(work === expected,
+      "replaying the concurrent history's feed must land on the final state")
+  }
 }
