@@ -139,6 +139,34 @@ object Bench {
       .map { case (k, _, g) => s"\"" + k + "\":" + r3(g) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Per-query regression gate vs the committed clean snapshot
+    // (BENCH_LAST.json): any query ≥2× slower AND ≥1 s absolute delta
+    // is named in "regressed" with both timings — a real per-query
+    // plan regression can no longer ship silently inside a healthy
+    // total (round 8's q37/q49/q53/q59 lesson). The baseline is only
+    // ever written by a clean full run (see below), so the compare is
+    // clean-vs-current; on a hot host the flags measure the throttle,
+    // which "hot_host": true already marks.
+    val prev: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("BENCH_LAST.json")), "UTF-8")
+        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1).split(",").toSeq.flatMap { kv =>
+            kv.split(":") match {
+              case Array(k, v) =>
+                v.toDoubleOption.map(
+                  k.trim.stripPrefix("\"").stripSuffix("\"") -> _)
+              case _ => None
+            }
+          }.toMap).getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+    val regressedEntries = results.collect {
+      case (k, v, _) if v > 0 && prev.get(k).exists(p =>
+          p > 0 && v >= 2 * p && v - p >= 1.0) =>
+        "\"" + k + "\":{\"prev\":" + r3(prev(k)) + ",\"now\":" + r3(v) + "}"
+    }
+    val regressed = regressedEntries.mkString("{", ",", "}")
     // Second probe AFTER the suite: throttling on this host intensifies
     // as sustained load drains CPU credit, so start/end probes bracket
     // how much CPU the run actually had (end >> start = the later
@@ -149,7 +177,7 @@ object Bench {
     val hotHost = probeSec > 2 * RefProbeSec || probeEndSec > 2 * RefProbeSec
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"probe1_end_sec":${r3(probe1EndSec)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"probe1_end_sec":${r3(probe1EndSec)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"regressed":$regressed,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // Also land the full line in the repo: round snapshots have truncated
     // the head of the stdout capture before, which made totals
@@ -173,6 +201,6 @@ object Bench {
     val shortQs = results
       .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"regressed_n":${regressedEntries.length},"queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
   }
 }
