@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.{QueryDef, Tables}
@@ -178,6 +179,15 @@ object PqOps {
        |  WHERE rn = 1)""".stripMargin
   }
 
+  /** Integer squared-L2 between two array<long> columns. */
+  private def d2cols(a: String, b: String): Column =
+    aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  private def d2Sql(a: String, b: String): String =
+    s"CAST(list_inner_product($a, $a) - 2 * list_inner_product($a, $b)" +
+      s" + list_inner_product($b, $b) AS BIGINT)"
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── PQ codebook training + corpus encoding in the gate ───────────────
@@ -203,6 +213,160 @@ object PqOps {
              |       CAST(sum(d2) AS BIGINT) AS quant_err
              |FROM fin
              |GROUP BY m, cl
-             |ORDER BY subspace, code""".stripMargin))
+             |ORDER BY subspace, code""".stripMargin)),
+
+    // ── IVF-PQ composed serving: ADC scan over inverted lists ────────────
+    // The production ANN stack q100 (stored IVF, exact rerank) and
+    // q150 (PQ codebooks) each show half of: candidates come from the
+    // probed coarse lists, are scored by ASYMMETRIC DISTANCE — the
+    // query's per-(subspace, code) distance table (M·K integer cells,
+    // broadcast) summed over each candidate's M stored CODES, never
+    // touching the candidate's full vector — and only the ADC top-10
+    // shortlist is reranked against true embeddings. At 100 TB the ADC
+    // scan reads M bytes per candidate instead of 4·64; the exact scan
+    // is confined to 10 rows per query. Everything is exact-integer
+    // (SCALE-quantized L2, ties to the lowest id), so the DuckDB
+    // oracle unrolls training AND serving and the hash covers the
+    // whole pipeline — including a per-row recall flag against the
+    // exact top-3 (q103's discipline: the gate measures what ADC
+    // loses, not just that it runs).
+    QueryDef("q159_ivf_pq_serving",
+      (s, d) => {
+        import s.implicits._
+        val (nc, nProbe, nAdc, topK, every) = (16, 4, 10, 3, 50)
+        val books = codebooks(s, d)
+        val codes = encoded(s, d, books).select("vec_id", "m", "cl")
+        val q = quantized(s, d)
+        val cents = q.orderBy("vec_id").limit(nc)
+          .select(col("vec_id").as("cent_id"), col("e").as("ce"))
+        val wA = Window.partitionBy("vec_id")
+          .orderBy(col("cd2"), col("cent_id"))
+        val lists = q.crossJoin(broadcast(cents))
+          .withColumn("cd2", d2cols("e", "ce"))
+          .withColumn("rk", row_number().over(wA))
+          .filter(col("rk") === 1).select("vec_id", "cent_id")
+        val qv = q.filter(col("vec_id") % every === 0)
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        val wP = Window.partitionBy("q_id")
+          .orderBy(col("qd2"), col("cent_id"))
+        val probes = qv.crossJoin(broadcast(cents))
+          .withColumn("qd2", d2cols("qe", "ce"))
+          .withColumn("rk", row_number().over(wP))
+          .filter(col("rk") <= nProbe).select("q_id", "cent_id")
+        // the query's ADC table: one integer cell per (subspace, code)
+        val bookDf = books.flatMap { case (m, cs) =>
+          cs.map { case (clv, cent) => (m, clv, cent.toSeq) }
+        }.toDF("m", "cl", "cent")
+        val qSub = (0 until M).map(m => qv.select(col("q_id"),
+            lit(m).as("m"), slice(col("qe"), m * SUBD + 1, SUBD).as("qs")))
+          .reduce(_ unionByName _)
+        val cells = qSub.join(broadcast(bookDf), Seq("m"))
+          .withColumn("dc", d2cols("qs", "cent"))
+          .select("q_id", "m", "cl", "dc")
+        // ADC scan: candidates' codes join the broadcast table
+        val cand = lists.join(broadcast(probes), Seq("cent_id"))
+          .filter(col("vec_id") =!= col("q_id")).select("q_id", "vec_id")
+        val adc = cand.join(codes, Seq("vec_id"))
+          .join(broadcast(cells), Seq("q_id", "m", "cl"))
+          .groupBy("q_id", "vec_id").agg(sum("dc").as("adc_d2"))
+        val wAdc = Window.partitionBy("q_id")
+          .orderBy(col("adc_d2"), col("vec_id"))
+        val shortlist = adc.withColumn("ark", row_number().over(wAdc))
+          .filter(col("ark") <= nAdc)
+        // exact rerank of the shortlist only
+        val wR = Window.partitionBy("q_id")
+          .orderBy(col("exact_d2"), col("vec_id"))
+        val served = shortlist.join(q, Seq("vec_id"))
+          .join(broadcast(qv), Seq("q_id"))
+          .withColumn("exact_d2", d2cols("e", "qe"))
+          .withColumn("rk", row_number().over(wR))
+          .filter(col("rk") <= topK)
+          .select("q_id", "rk", "vec_id", "adc_d2", "exact_d2")
+        // recall flag vs the exact top-k over the WHOLE corpus
+        val wE = Window.partitionBy("q_id")
+          .orderBy(col("ed2"), col("vec_id"))
+        val exact3 = q.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("ed2", d2cols("e", "qe"))
+          .withColumn("erk", row_number().over(wE))
+          .filter(col("erk") <= topK)
+          .select(col("q_id"), col("vec_id"), lit(1).as("hit"))
+        served.join(exact3, Seq("q_id", "vec_id"), "left")
+          .select(col("q_id"), col("rk").cast("int").as("rk"),
+            col("vec_id"), col("adc_d2").cast("long").as("adc_d2"),
+            col("exact_d2").cast("long").as("exact_d2"),
+            coalesce(col("hit"), lit(0)).cast("int").as("in_exact_top3"))
+          .orderBy("q_id", "rk")
+      },
+      Some(s"""$ORACLE_CTES,
+             |cents AS (
+             |  SELECT vec_id AS cent_id, e AS ce FROM v
+             |  ORDER BY vec_id LIMIT 16),
+             |asg AS (
+             |  SELECT vec_id, cent_id FROM (
+             |    SELECT v.vec_id, c.cent_id,
+             |           row_number() OVER (PARTITION BY v.vec_id
+             |             ORDER BY ${d2Sql("v.e", "c.ce")}, c.cent_id)
+             |             AS rk
+             |    FROM v CROSS JOIN cents c)
+             |  WHERE rk = 1),
+             |qv AS (SELECT vec_id AS q_id, e AS qe FROM v
+             |       WHERE vec_id % 50 = 0),
+             |probes AS (
+             |  SELECT q_id, cent_id FROM (
+             |    SELECT q.q_id, c.cent_id,
+             |           row_number() OVER (PARTITION BY q.q_id
+             |             ORDER BY ${d2Sql("q.qe", "c.ce")}, c.cent_id)
+             |             AS rk
+             |    FROM qv q CROSS JOIN cents c)
+             |  WHERE rk <= 4),
+             |cells AS (
+             |  SELECT q.q_id, s.m, c.cl,
+             |         ${d2Sql("s.s", "c.cent")} AS dc
+             |  FROM sub s JOIN qv q ON s.vec_id = q.q_id
+             |  JOIN c$ITERS c ON c.m = s.m),
+             |cand AS (
+             |  SELECT p.q_id, a.vec_id
+             |  FROM asg a JOIN probes p ON a.cent_id = p.cent_id
+             |  WHERE a.vec_id != p.q_id),
+             |adc AS (
+             |  SELECT cd.q_id, cd.vec_id, CAST(sum(ce.dc) AS BIGINT)
+             |           AS adc_d2
+             |  FROM cand cd
+             |  JOIN fin f ON f.vec_id = cd.vec_id
+             |  JOIN cells ce ON ce.q_id = cd.q_id AND ce.m = f.m
+             |               AND ce.cl = f.cl
+             |  GROUP BY cd.q_id, cd.vec_id),
+             |shortlist AS (
+             |  SELECT q_id, vec_id, adc_d2 FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY q_id
+             |      ORDER BY adc_d2, vec_id) AS ark FROM adc)
+             |  WHERE ark <= 10),
+             |rerank AS (
+             |  SELECT q_id, vec_id, adc_d2, exact_d2,
+             |         row_number() OVER (PARTITION BY q_id
+             |           ORDER BY exact_d2, vec_id) AS rk
+             |  FROM (
+             |    SELECT sl.q_id, sl.vec_id, sl.adc_d2,
+             |           ${d2Sql("v.e", "q.qe")} AS exact_d2
+             |    FROM shortlist sl
+             |    JOIN v ON v.vec_id = sl.vec_id
+             |    JOIN qv q ON q.q_id = sl.q_id)),
+             |exact3 AS (
+             |  SELECT q_id, vec_id FROM (
+             |    SELECT q.q_id, v.vec_id,
+             |           row_number() OVER (PARTITION BY q.q_id
+             |             ORDER BY ${d2Sql("v.e", "q.qe")}, v.vec_id)
+             |             AS erk
+             |    FROM v CROSS JOIN qv q WHERE v.vec_id != q.q_id)
+             |  WHERE erk <= 3)
+             |SELECT r.q_id, CAST(r.rk AS INT) AS rk, r.vec_id,
+             |       r.adc_d2, r.exact_d2,
+             |       CAST(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END
+             |         AS INT) AS in_exact_top3
+             |FROM rerank r
+             |LEFT JOIN exact3 e ON e.q_id = r.q_id AND e.vec_id = r.vec_id
+             |WHERE r.rk <= 3
+             |ORDER BY r.q_id, r.rk""".stripMargin))
   )
 }

@@ -297,12 +297,15 @@ object Optimistic {
               case (name, content) =>
                 installPointer(spark, snapshot, name, content) }
             installPointer(spark, snapshot, "_SUCCESS", commitStamp())
-            installPointer(spark, rootPath, POINTER, versionName(next))
+            swapPointer(spark, rootPath, next)
             vacuumLocked(spark, root, keepVersions, 0L)
             Some(Commit(snapshot.toString, next, attempts))
           }
         }
-        committed.foreach(c => return c)
+        committed.foreach { c =>
+          autoCompactHook(spark, root, keepVersions) // self-heal outside the critical section
+          return c
+        }
       }
       throw new CommitConflictException(s"append to $root gave up " +
         s"after $attempts attempts; last conflicting commit: " +
@@ -419,12 +422,15 @@ object Optimistic {
             encodeDomain(mine).foreach(d =>
               installPointer(spark, snapshot, DOMAIN_MARKER, d))
             installPointer(spark, snapshot, "_SUCCESS", commitStamp())
-            installPointer(spark, rootPath, POINTER, versionName(next))
+            swapPointer(spark, rootPath, next)
             vacuumLocked(spark, root, keepVersions, 0L)
             Some(Commit(snapshot.toString, next, attempts))
           }
         }
-        committed.foreach(c => return c)
+        committed.foreach { c =>
+          autoCompactHook(spark, root, keepVersions) // self-heal outside the critical section
+          return c
+        }
       }
       throw new CommitConflictException(s"overwritePartitions on $root " +
         s"gave up after $attempts attempts; last conflicting commit: " +
@@ -542,12 +548,15 @@ object Optimistic {
               case (name, content) =>
                 installPointer(spark, snapshot, name, content) }
             installPointer(spark, snapshot, "_SUCCESS", commitStamp())
-            installPointer(spark, rootPath, POINTER, versionName(next))
+            swapPointer(spark, rootPath, next)
             vacuumLocked(spark, root, keepVersions, 0L)
             Some(Commit(snapshot.toString, next, attempts))
           }
         }
-        committed.foreach(c => return c)
+        committed.foreach { c =>
+          autoCompactHook(spark, root, keepVersions) // self-heal outside the critical section
+          return c
+        }
       }
       throw new CommitConflictException(s"merge into $root gave up " +
         s"after $attempts attempts; last conflicting commit: " +

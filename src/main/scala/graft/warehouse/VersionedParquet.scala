@@ -292,6 +292,118 @@ object VersionedParquet {
     * fall back to dir mtime in [[readAsOf]]. */
   private[warehouse] def commitStamp(): String = System.currentTimeMillis().toString
 
+  // ── metadata checkpointing ─────────────────────────────────────────
+  //
+  // A long version chain (10⁴ commits — a year of streaming
+  // micro-batches) makes any "walk every version directory" resolution
+  // the bottleneck: versions() and readAsOf() were one root listing
+  // plus a per-version _SUCCESS probe. The checkpoint is the Delta
+  // `N.checkpoint.parquet` analogue scaled to this format's layout:
+  // every `spark.graft.checkpointInterval` commits (default 10) the
+  // pointer swap also rewrites `root/_CHECKPOINT` — one atomically-
+  // installed manifest of (version, commitTs) for every published
+  // version — so history resolution reads ONE file plus at most
+  // interval-many suffix probes, never a listing. Each snapshot
+  // directory stays fully self-contained (tiers + markers), so reads
+  // of a RESOLVED version were always O(1); the checkpoint fixes the
+  // enumeration side. Vacuum rewrites the manifest after deleting
+  // snapshots, which keeps "every checkpointed version exists" an
+  // invariant — readers never re-verify the prefix.
+
+  private[warehouse] val CHECKPOINT = "_CHECKPOINT"
+
+  /** FS metadata ops counter for the checkpoint resolution paths —
+    * instrumentation the CheckpointSpec asserts on (a 100-version
+    * chain must resolve in O(interval), not O(versions), ops). */
+  private[warehouse] val metaOps = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.checkpointInterval")
+      .map(_.toInt).getOrElse(10)
+
+  /** The latest checkpoint: (checkpointed-through version, rows of
+    * (version, commitTs) oldest-first), None for tables that have
+    * never crossed the interval. */
+  private[warehouse] def readCheckpoint(spark: SparkSession,
+      root: String): Option[(Long, Seq[(Long, Long)])] = {
+    metaOps.incrementAndGet()
+    readPointer(spark, new Path(root, CHECKPOINT)).flatMap { txt =>
+      val lines = txt.split('\n').filter(_.nonEmpty)
+      lines.headOption.filter(_.startsWith("v")).map { h =>
+        (h.drop(1).toLong,
+          lines.drop(1).toSeq.map { l =>
+            val Array(a, b) = l.split('\t'); (a.toLong, b.toLong) })
+      }
+    }
+  }
+
+  private def writeCheckpoint(spark: SparkSession, rootPath: Path,
+                              through: Long,
+                              rows: Seq[(Long, Long)]): Unit =
+    installPointer(spark, rootPath, CHECKPOINT,
+      (s"v$through" +: rows.sortBy(_._1).map { case (v, ts) =>
+        s"$v\t$ts" }).mkString("\n"))
+
+  /** Commit time of version `v`: the `_SUCCESS` stamp, directory mtime
+    * for pre-stamp snapshots; None when the version is absent or
+    * incomplete. One or two metadata ops. */
+  private def commitTsOf(spark: SparkSession, root: String,
+                         v: Long): Option[Long] = {
+    val marker = new Path(new Path(root, versionName(v)), "_SUCCESS")
+    metaOps.incrementAndGet()
+    readPointer(spark, marker) match {
+      case None => None
+      case Some(s) if s.nonEmpty && s.forall(_.isDigit) =>
+        Some(s.toLong)
+      case _ =>
+        metaOps.incrementAndGet()
+        try Some(fsOf(spark, marker).getFileStatus(marker.getParent)
+          .getModificationTime)
+        catch { case _: IOException => None }
+    }
+  }
+
+  /** The published-version manifest resolved from the checkpoint plus
+    * a bounded suffix probe: checkpointed rows are trusted (vacuum
+    * maintains them), then versions `through+1, through+2, …` probe
+    * until the first absent directory — versions are contiguous by
+    * construction, so this walks at most interval-many dirs plus any
+    * staged-but-unpublished tail. None when no checkpoint exists
+    * (fallback to listing). */
+  private def manifestFromCheckpoint(spark: SparkSession,
+      root: String): Option[Seq[(Long, Long)]] =
+    readCheckpoint(spark, root).map { case (through, rows) =>
+      val fs = fsOf(spark, new Path(root))
+      val suffix = Iterator.iterate(through + 1)(_ + 1)
+        .takeWhile { v =>
+          metaOps.incrementAndGet()
+          fs.exists(new Path(root, versionName(v)))
+        }
+        .flatMap(v => commitTsOf(spark, root, v).map(v -> _))
+        .toSeq
+      rows ++ suffix
+    }
+
+  /** Swap the live pointer to `next` and, every
+    * `spark.graft.checkpointInterval` commits, rewrite the history
+    * checkpoint (carried rows + the suffix since the last one). The
+    * checkpoint is an optimization: its failure must never fail a
+    * commit whose pointer already swapped, so it is best-effort. */
+  private[warehouse] def swapPointer(spark: SparkSession, rootPath: Path,
+                                     next: Long): Unit = {
+    installPointer(spark, rootPath, POINTER, versionName(next))
+    try {
+      val prior = readCheckpoint(spark, rootPath.toString)
+      val through = prior.map(_._1).getOrElse(-1L)
+      if (next - through >= checkpointInterval(spark)) {
+        val carried = prior.map(_._2).getOrElse(Nil)
+        val suffix = (through + 1 to next).flatMap(v =>
+          commitTsOf(spark, rootPath.toString, v).map(v -> _))
+        writeCheckpoint(spark, rootPath, next, carried ++ suffix)
+      }
+    } catch { case _: Exception => () }
+  }
+
   /** Atomically install `content` as the pointer file `dir/name`:
     * temp-file write + atomic rename-with-overwrite. On the local
     * scheme both steps are pure java.nio — Hadoop's local FileContext
@@ -485,11 +597,15 @@ object VersionedParquet {
     // temp+rename keeps each marker itself torn-proof.
     (markers ++ statsMarker ++ constraintMarker).foreach { case (name, content) =>
       installPointer(spark, snapshot, name, content) }
+    // Overwrite Spark's own (empty) _SUCCESS with the commit stamp, so
+    // physical publishes carry the same explicit commit time the MoR
+    // ops do (readAsOf / checkpoint resolve it without touching mtime).
+    installPointer(spark, snapshot, "_SUCCESS", commitStamp())
     // Atomic pointer swap: temp file + rename-with-overwrite (one
     // metadata op — POSIX rename on local/HDFS). FileContext.rename
     // supports OVERWRITE where FileSystem.rename would refuse, and its
     // raw local implementation keeps no checksum side files (see fcOf).
-    try installPointer(spark, rootPath, POINTER, versionName(next))
+    try swapPointer(spark, rootPath, next)
     catch {
       case e: IOException =>
         throw new IOException(s"could not swap pointer for $root; live " +
@@ -714,13 +830,14 @@ object VersionedParquet {
       installPointer(spark, snapshot, EXCLUDE_MARKER, m))
     installPointer(spark, snapshot, BASE_MARKER, base)
     installPointer(spark, snapshot, "_SUCCESS", commitStamp())
-    try installPointer(spark, rootPath, POINTER, versionName(next))
+    try swapPointer(spark, rootPath, next)
     catch {
       case e: IOException =>
         throw new IOException(s"could not swap pointer for $root; live " +
           s"table unchanged, staged delete at $snapshot", e)
     }
     vacuum(spark, root, keepVersions)
+    maybeAutoCompact(spark, root, keepVersions)
     snapshot.toString
   }
 
@@ -884,13 +1001,14 @@ object VersionedParquet {
     (markers + (BASE_MARKER -> base)).foreach { case (name, content) =>
       installPointer(spark, snapshot, name, content) }
     installPointer(spark, snapshot, "_SUCCESS", commitStamp())
-    try installPointer(spark, rootPath, POINTER, versionName(next))
+    try swapPointer(spark, rootPath, next)
     catch {
       case e: IOException =>
         throw new IOException(s"could not swap pointer for $root; live " +
           s"table unchanged, staged merge at $snapshot", e)
     }
     vacuum(spark, root, keepVersions)
+    maybeAutoCompact(spark, root, keepVersions)
     snapshot.toString
   }
 
@@ -988,34 +1106,50 @@ object VersionedParquet {
       throw new IOException(s"no table under $root")
     val live = currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root"))
-    val candidates = fs.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
-      .filter(_.getPath.getName.drop(1).toLong <= live)
-      .filter { st =>
-        val marker = new Path(st.getPath, "_SUCCESS")
-        fs.exists(marker) && {
-          val committedAt = readPointer(spark, marker)
-            .filter(_.nonEmpty).flatMap(s => s.toLongOption)
-            .getOrElse(st.getModificationTime)
-          committedAt <= asOfMillis
-        }
-      }
-      .map(_.getPath.getName.drop(1).toLong)
+    // checkpointed tables resolve from ONE manifest read plus a
+    // bounded suffix probe — no listing, no per-version walk
+    val candidates = manifestFromCheckpoint(spark, root) match {
+      case Some(rows) =>
+        rows.collect { case (v, ts) if v <= live && ts <= asOfMillis => v }
+      case None =>
+        fs.listStatus(rootPath).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.matches("v\\d{8}"))
+          .filter(_.getPath.getName.drop(1).toLong <= live)
+          .filter { st =>
+            val marker = new Path(st.getPath, "_SUCCESS")
+            fs.exists(marker) && {
+              val committedAt = readPointer(spark, marker)
+                .filter(_.nonEmpty).flatMap(s => s.toLongOption)
+                .getOrElse(st.getModificationTime)
+              committedAt <= asOfMillis
+            }
+          }
+          .map(_.getPath.getName.drop(1).toLong)
+    }
     if (candidates.isEmpty)
       throw new IOException(s"$root has no version committed at or " +
         s"before $asOfMillis (table created later, or history vacuumed)")
     read(spark, root, Some(candidates.max))
   }
 
-  /** All readable versions, oldest first (the time-travel catalog). */
+  /** All readable versions, oldest first (the time-travel catalog).
+    * Checkpointed tables resolve from the manifest + bounded suffix
+    * probe (O(interval) metadata ops at any chain length); others
+    * fall back to one listing + per-version probes. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     if (!fs.exists(rootPath)) Nil
-    else fs.listStatus(rootPath).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{8}"))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .map(_.getPath.getName.drop(1).toLong).sorted
+    else manifestFromCheckpoint(spark, root) match {
+      case Some(rows) => rows.map(_._1).sorted
+      case None =>
+        fs.listStatus(rootPath).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.matches("v\\d{8}"))
+          .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+          .map(_.getPath.getName.drop(1).toLong).sorted
+    }
   }
 
   /** Retention-aware vacuum: delete snapshots older than the newest
@@ -1058,13 +1192,24 @@ object VersionedParquet {
       .flatMap(n => readPointer(spark,
         new Path(new Path(rootPath, n), BASE_MARKER)))
       .toSet
-    all.flatMap { st =>
+    val deleted = all.flatMap { st =>
       val name = st.getPath.getName
       if (retirable(name) && !referenced(name)) {
         fs.delete(st.getPath, true)
         Some(name.drop(1).toLong)
       } else None
     }.sorted
+    // Checkpoint invariant: every checkpointed version exists. Vacuum
+    // is the only deleter, so it drops retired versions from the
+    // manifest here — readers then trust the prefix without
+    // re-verifying. Best-effort like the checkpoint write itself.
+    if (deleted.nonEmpty)
+      try readCheckpoint(spark, root).foreach { case (through, rows) =>
+        val gone = deleted.toSet
+        writeCheckpoint(spark, rootPath, through,
+          rows.filterNot { case (v, _) => gone(v) })
+      } catch { case _: Exception => () }
+    deleted
   }
 
   /** Incremental compaction — OPTIMIZE that touches ONLY the
@@ -1156,7 +1301,7 @@ object VersionedParquet {
     installPointer(spark, snapshot, EXCLUDE_MARKER, newExcl.mkString("\n"))
     installPointer(spark, snapshot, CDF_EMPTY_MARKER, "")
     installPointer(spark, snapshot, "_SUCCESS", commitStamp())
-    try installPointer(spark, rootPath, POINTER, versionName(next))
+    try swapPointer(spark, rootPath, next)
     catch {
       case e: IOException =>
         throw new IOException(s"could not swap pointer for $root; live " +
@@ -1175,12 +1320,15 @@ object VersionedParquet {
     * live table untouched. Returns the new snapshot directory. */
   def compact(spark: SparkSession, root: String,
               targetBytes: Long = 128L << 20,
-              partitionCols: Seq[String] = Nil): String =
+              partitionCols: Seq[String] = Nil,
+              keepVersions: Int = 2): String =
     withWriterLock(spark, root)(
-      compactLocked(spark, root, targetBytes, partitionCols))
+      compactLocked(spark, root, targetBytes, partitionCols,
+        keepVersions))
 
   private def compactLocked(spark: SparkSession, root: String,
-              targetBytes: Long, partitionCols: Seq[String]): String = {
+              targetBytes: Long, partitionCols: Seq[String],
+              keepVersions: Int = 2): String = {
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"nothing to compact under $root"))
     // A deletion-vector version holds no data of its own: size the
@@ -1217,10 +1365,74 @@ object VersionedParquet {
     val carriedConstraints = readPointer(spark,
       new Path(snapshot, CONSTRAINTS_MARKER))
       .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // a compaction is LOGICALLY a no-op (read(vN) == read(vN-1)), so
+    // its feed step is explicitly empty — `changes` ranges crossing a
+    // compaction stay continuous instead of failing as "physical
+    // publish" (auto-compaction under sustained ingest depends on it)
     publish(arranged, root, partitionCols,
+      keepVersions = keepVersions,
+      markers = Map(CDF_EMPTY_MARKER -> ""),
       statsCols = kinds.collect { case (c, t) if t != "B" => c }.distinct,
       bloomCols = kinds.collect { case (c, "B") => c }.distinct,
       constraints = carriedConstraints)
+  }
+
+  /** Auto-compaction — the write path's self-heal under sustained
+    * merge-on-read ingest (a MorStream sink appending/merging every
+    * micro-batch grows the delta tier without bound; nobody calls
+    * `compact` by hand at 3 a.m.). Opt-in via
+    * `spark.graft.autoCompact = true`; after a qualifying write, if
+    * the LIVE version's overlay debt crosses either threshold —
+    * `spark.graft.autoCompact.minDeltaFiles` (default 8) live delta
+    * files, or `spark.graft.autoCompact.maxDeltaFraction` (default
+    * 0.3) of the base's bytes — the table materializes via
+    * [[compact]], which preserves partition layout, stats kinds,
+    * constraints, and (explicitly-empty) feed continuity. Runs inside
+    * the caller's writer lock (reentrant), so the policy check and
+    * the rewrite are atomic with the triggering write's commit. */
+  /** [[maybeAutoCompact]] behind its own lock acquisition — for
+    * callers (the optimistic commit paths) that have already released
+    * their critical section. No-op (and lock-free) when disabled. */
+  private[warehouse] def autoCompactHook(spark: SparkSession,
+                                         root: String,
+                                         keepVersions: Int): Unit =
+    if (spark.conf.getOption("spark.graft.autoCompact").contains("true"))
+      withWriterLock(spark, root)(
+        maybeAutoCompact(spark, root, keepVersions))
+
+  private def maybeAutoCompact(spark: SparkSession, root: String,
+                               keepVersions: Int): Unit = {
+    if (!spark.conf.getOption("spark.graft.autoCompact").contains("true"))
+      return
+    val v = currentVersion(spark, root).getOrElse(return)
+    val base = baseNameOf(spark, root, v)
+    if (base == versionName(v)) return // physical snapshot: no debt
+    val minFiles = spark.conf
+      .getOption("spark.graft.autoCompact.minDeltaFiles")
+      .map(_.toInt).getOrElse(8)
+    val maxFrac = spark.conf
+      .getOption("spark.graft.autoCompact.maxDeltaFraction")
+      .map(_.toDouble).getOrElse(0.3)
+    val targetBytes = spark.conf
+      .getOption("spark.graft.autoCompact.targetBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val fs = fsOf(spark, new Path(root))
+    val deltaDir = new Path(new Path(root, versionName(v)), DELTA_DIR)
+    val deltaFiles =
+      if (!fs.exists(deltaDir)) Nil
+      else fs.listStatus(deltaDir).toSeq.filter(st =>
+        st.isFile && st.getPath.getName.endsWith(".parquet") &&
+          st.getLen > 0)
+    if (deltaFiles.isEmpty) return
+    val deltaBytes = deltaFiles.map(_.getLen).sum
+    val baseBytes = fs.getContentSummary(new Path(root, base)).getLength
+    if (deltaFiles.length >= minFiles ||
+        deltaBytes >= (maxFrac * baseBytes).toLong) {
+      val baseDir = new Path(root, base)
+      compactLocked(spark, root, targetBytes,
+        partitionColsOfDir(spark, baseDir), keepVersions)
+      ()
+    }
   }
 
   /** An empty deletion-vector frame (the no-rows-masked overlay). */
@@ -1292,7 +1504,7 @@ object VersionedParquet {
       fs.delete(snapshot, true)
       stageLogicalCopy(spark, srcRoot, v, snapshot, absBase)
       installPointer(spark, snapshot, "_SUCCESS", commitStamp())
-      try installPointer(spark, dstPath, POINTER, versionName(0L))
+      try swapPointer(spark, dstPath, 0L)
       catch {
         case e: IOException =>
           throw new IOException(s"could not install pointer for clone " +
@@ -1372,7 +1584,7 @@ object VersionedParquet {
           .parquet(new Path(snapshot, CDF_DIR).toString)
       }
       installPointer(spark, snapshot, "_SUCCESS", commitStamp())
-      try installPointer(spark, rootPath, POINTER, versionName(next))
+      try swapPointer(spark, rootPath, next)
       catch {
         case e: IOException =>
           throw new IOException(s"could not swap pointer for $root; live " +
@@ -1456,13 +1668,14 @@ object VersionedParquet {
         (DOMAIN_MARKER -> "append")).foreach { case (name, content) =>
         installPointer(spark, snapshot, name, content) }
       installPointer(spark, snapshot, "_SUCCESS", commitStamp())
-      try installPointer(spark, rootPath, POINTER, versionName(next))
+      try swapPointer(spark, rootPath, next)
       catch {
         case e: IOException =>
           throw new IOException(s"could not swap pointer for $root; " +
             s"live table unchanged, staged append at $snapshot", e)
       }
       vacuum(spark, root, keepVersions)
+      maybeAutoCompact(spark, root, keepVersions)
       snapshot.toString
     }
 
@@ -1567,13 +1780,14 @@ object VersionedParquet {
         installPointer(spark, snapshot, EXCLUDE_MARKER, m))
       installPointer(spark, snapshot, BASE_MARKER, base)
       installPointer(spark, snapshot, "_SUCCESS", commitStamp())
-      try installPointer(spark, rootPath, POINTER, versionName(next))
+      try swapPointer(spark, rootPath, next)
       catch {
         case e: IOException =>
           throw new IOException(s"could not swap pointer for $root; " +
             s"live table unchanged, staged update at $snapshot", e)
       }
       vacuum(spark, root, keepVersions)
+      maybeAutoCompact(spark, root, keepVersions)
       snapshot.toString
     }
 
@@ -1715,7 +1929,7 @@ object VersionedParquet {
         touched.map(r => partCols.zipWithIndex.map { case (c, i) =>
           s"$c=${r.get(i)}" }.mkString("/")).sorted).mkString("\n"))
       installPointer(spark, snapshot, "_SUCCESS", commitStamp())
-      try installPointer(spark, rootPath, POINTER, versionName(next))
+      try swapPointer(spark, rootPath, next)
       catch {
         case e: IOException =>
           throw new IOException(s"could not swap pointer for $root; live " +

@@ -86,4 +86,34 @@ class PqSpec extends AnyFunSuite {
     assert(mean > 2 * random,
       f"ADC ($mean%.3f) must beat random candidates ($random%.3f) by 2x")
   }
+
+  test("composed IVF-PQ serving: distributed result equals the driver-side replay") {
+    // q159's full pipeline (coarse probe → ADC over stored codes →
+    // exact rerank of the shortlist) re-derived here with plain Scala
+    // over the collected fixture: if the DataFrame composition drops a
+    // candidate list, mis-joins a code, or reranks by the wrong
+    // distance, the two disagree.
+    val (cents, enc, vecs) = fixture
+    val ids = vecs.keys.toSeq.sorted
+    val coarse = ids.take(16)
+    def nearestCent(x: Long): Long =
+      coarse.minBy(c => (d2(vecs(x), vecs(c)), c))
+    val queries = ids.filter(_ % 50 == 0)
+    val expected = queries.flatMap { q =>
+      val probes = coarse.sortBy(c => (d2(vecs(q), vecs(c)), c)).take(4)
+        .toSet
+      val cand = ids.filter(x => x != q && probes(nearestCent(x)))
+      val shortlist = cand
+        .sortBy(x => (adc(cents, enc, vecs(q), x), x)).take(10)
+      shortlist.sortBy(x => (d2(vecs(q), vecs(x)), x)).take(3)
+        .zipWithIndex.map { case (x, i) =>
+          (q, i + 1, x, d2(vecs(q), vecs(x))) }
+    }.toSet
+    val got = graft.SparkEntry.queries("q159_ivf_pq_serving")(spark, sf)
+      .select("q_id", "rk", "vec_id", "exact_d2").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected,
+      "the distributed IVF-PQ serving path must equal the serial replay")
+  }
 }
