@@ -1,9 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, round, sum}
 
 import graft.plans.GraftFunctions
-import graft.sources.{QueryDef, Tables}
+import graft.sources.{QueryDef, Scratch, Tables}
+import graft.warehouse.{GraftSql, GraftTables, VersionedParquet}
 
 /** The SQL surface exercised end-to-end in the correctness gate: the
   * query text goes through `spark.sql(...)` against the injected graft
@@ -100,6 +101,90 @@ object SqlSurfaceOps {
              |  CAST(len(regexp_extract_all(text,
              |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_pieces
              |FROM documents
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── SQL-text DML drives the lakehouse ────────────────────────────────
+    // The four DML verbs issued as PLAIN SQL TEXT against a registered
+    // versioned table (GraftSql / the GraftSqlParser extension): an
+    // UPDATE, a MERGE (matched-update + unmatched-insert off a SQL
+    // subquery), a DELETE, and an INSERT INTO commit four merge-on-read
+    // versions through exactly the Scala write paths (updateWhere /
+    // upsert / delete / append) — same O(changes) commits, CHECK
+    // enforcement, feed, and locking. The oracle replays the four
+    // statements' semantics in SQL from the raw table, so a mis-parsed
+    // predicate, a dropped assignment, or a MERGE that missed its key
+    // breaks the hash.
+    QueryDef("q160_sql_dml",
+      (s, d) => {
+        val root = sqlDmlRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy((col("c") % 5).as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("k")).as("n_keys"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .orderBy("bucket")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v1 AS (
+             |  SELECT k, c, CASE WHEN c % 4 = 0 THEN cents + 50
+             |                    ELSE cents END AS cents FROM o),
+             |m_src AS (
+             |  SELECT k, c, cents + 7 AS cents FROM o WHERE k % 11 = 0
+             |  UNION ALL
+             |  SELECT k + 2000000, c, 999 FROM o WHERE k % 13 = 0),
+             |v2 AS (
+             |  SELECT v1.k, v1.c, v1.cents FROM v1
+             |  WHERE v1.k NOT IN (SELECT k FROM m_src)
+             |  UNION ALL
+             |  SELECT k, c, cents FROM m_src),
+             |v3 AS (SELECT * FROM v2 WHERE cents % 10 <> 3),
+             |v4 AS (
+             |  SELECT * FROM v3
+             |  UNION ALL
+             |  SELECT k + 3000000, c, 111 FROM o WHERE k % 17 = 0)
+             |SELECT c % 5 AS bucket, count(*) AS n_rows,
+             |       count(DISTINCT k) AS n_keys,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM v4
+             |GROUP BY 1
+             |ORDER BY 1""".stripMargin))
   )
+
+  /** q160 scratch table: orders published, then one statement per DML
+    * verb issued as SQL text through [[GraftSql]]. Once per session. */
+  private def sqlDmlRoot(s: org.apache.spark.sql.SparkSession,
+                         d: String): String = {
+    val root = Scratch.dir(s, "q160-sqldml")
+    GraftTables.register("graft_q160", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o, root, keepVersions = 20)
+      Tables.orders(s, d).createOrReplaceTempView("q160_orders")
+      GraftSql.sql(s,
+        "UPDATE graft_q160 SET cents = cents + 50 WHERE c % 4 = 0")
+      GraftSql.sql(s,
+        """MERGE INTO graft_q160 t USING (
+          |  SELECT o_orderkey AS k, o_custkey AS c,
+          |         CAST(round(o_totalprice * 100) AS BIGINT) + 7 AS cents
+          |  FROM q160_orders WHERE o_orderkey % 11 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey + 2000000, o_custkey, 999
+          |  FROM q160_orders WHERE o_orderkey % 13 = 0) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      GraftSql.sql(s, "DELETE FROM graft_q160 WHERE cents % 10 = 3")
+      GraftSql.sql(s,
+        """INSERT INTO graft_q160
+          |SELECT o_orderkey + 3000000 AS k, o_custkey AS c,
+          |       CAST(111 AS BIGINT) AS cents
+          |FROM q160_orders WHERE o_orderkey % 17 = 0""".stripMargin)
+    }
+    root
+  }
 }

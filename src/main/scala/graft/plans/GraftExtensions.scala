@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => TextStatRewrite)
     ext.injectOptimizerRule(_ => VectorDotRewrite)
     ext.injectOptimizerRule(_ => MvRewrite)
+    // SQL-text DML (UPDATE/DELETE/INSERT INTO/MERGE) against
+    // registered versioned tables — see graft.warehouse.GraftSql
+    ext.injectParser((_, delegate) =>
+      new graft.warehouse.GraftSqlParser(delegate))
   }
 }
 

@@ -1,0 +1,232 @@
+package graft.warehouse
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{expr, lit}
+import org.apache.spark.sql.types.StructType
+
+/** SQL-text surface for the lakehouse DML verbs — so a SQL-only client
+  * (thrift server, notebook SQL cell) can drive UPDATE / DELETE /
+  * INSERT INTO / MERGE against versioned tables without touching the
+  * Scala API, the way q89/q90/q152 already prove for queries, kernels,
+  * and the MV rewrite tier.
+  *
+  * Tables are REGISTERED by name → root path ([[GraftTables]]), the
+  * session-scoped analogue of a catalog entry. Two activation paths,
+  * one implementation:
+  *
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` injects
+  *    [[GraftSqlParser]], which intercepts the four DML verbs when
+  *    (and only when) the target is a registered versioned table —
+  *    every other statement delegates to Spark's parser untouched.
+  *    The intercepted statement becomes a [[GraftDmlCommand]], an
+  *    eagerly-executed command node, so plain `spark.sql("UPDATE …")`
+  *    commits a new table version.
+  *  - [[GraftSql.sql]] is the runtime entry for sessions built
+  *    without the extension (the driver-built gate session): same
+  *    parse, same routing, falling back to `spark.sql` for
+  *    non-DML text.
+  *
+  * Each verb routes to the corresponding versioned-format write —
+  * UPDATE → `updateWhere`, DELETE → `delete`, INSERT INTO →
+  * `append`, MERGE → `merge`/`upsert` — so SQL callers get the same
+  * O(changes) merge-on-read commits, CHECK enforcement, change feed,
+  * and locking as Scala callers; nothing is reimplemented. The
+  * supported MERGE shape is the upsert/delete idiom
+  * (`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`,
+  * or `WHEN MATCHED THEN DELETE`); arbitrary per-clause assignments
+  * would need column-level merge semantics the format does not
+  * promise.
+  */
+object GraftTables {
+  private val tables = new ConcurrentHashMap[String, (String, Int)]()
+
+  /** Register `name` as the SQL identifier of the versioned table at
+    * `root`. `keepVersions` is the retention every SQL-issued write
+    * uses (a table-level policy, like a catalog property). */
+  def register(name: String, root: String, keepVersions: Int = 10): Unit =
+    tables.put(name.toLowerCase, (root, keepVersions))
+
+  def rootOf(name: String): Option[(String, Int)] =
+    Option(tables.get(name.toLowerCase))
+
+  def clear(): Unit = tables.clear()
+}
+
+/** One parsed DML statement against a registered table. Predicates,
+  * assignments, and source queries stay SQL TEXT — they re-enter the
+  * engine through `expr(...)` / `spark.sql(...)`, so resolution,
+  * typing, and codegen are Spark's own. */
+private[graft] sealed trait GraftDml { def table: String }
+private[graft] final case class SqlUpdate(table: String,
+    sets: Seq[(String, String)], where: Option[String]) extends GraftDml
+private[graft] final case class SqlDelete(table: String,
+    where: String) extends GraftDml
+private[graft] final case class SqlInsert(table: String,
+    query: String) extends GraftDml
+private[graft] final case class SqlMerge(table: String, source: String,
+    keyCols: Seq[String], isDelete: Boolean) extends GraftDml
+
+object GraftSql {
+
+  /** Recognize one of the four DML verbs against a REGISTERED table;
+    * None for everything else (the caller falls through to Spark).
+    * Matching is shape-first, registry-second: an UPDATE against an
+    * unregistered name is NOT ours — it falls through and fails in
+    * Spark's analyzer like any unknown table. */
+  private[graft] def parseDml(text: String): Option[GraftDml] = {
+    val t = text.trim.stripSuffix(";").trim
+    val U = """(?is)UPDATE\s+([A-Za-z_][\w]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?""".r
+    val D = """(?is)DELETE\s+FROM\s+([A-Za-z_][\w]*)\s+WHERE\s+(.+)""".r
+    val I = """(?is)INSERT\s+INTO\s+([A-Za-z_][\w]*)\s+(SELECT\b.+|VALUES\b.+|TABLE\b.+)""".r
+    val M = ("""(?is)MERGE\s+INTO\s+([A-Za-z_][\w]*)(?:\s+(?:AS\s+)?[\w]+)?""" +
+      """\s+USING\s+\((.+)\)(?:\s+(?:AS\s+)?[\w]+)?\s+ON\s+(.+?)""" +
+      """\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE)""" +
+      """(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*""").r
+    val dml = t match {
+      case M(table, source, on, matched) =>
+        keyColsOf(on).map(keys => SqlMerge(table, source, keys,
+          matched.trim.equalsIgnoreCase("DELETE")))
+      case U(table, sets, where) =>
+        Some(SqlUpdate(table, splitAssignments(sets),
+          Option(where).map(_.trim)))
+      case D(table, where) => Some(SqlDelete(table, where.trim))
+      case I(table, query) => Some(SqlInsert(table, query.trim))
+      case _ => None
+    }
+    dml.filter(d => GraftTables.rootOf(d.table).isDefined)
+  }
+
+  /** `t.k1 = s.k1 AND t.k2 = s.k2` → Seq(k1, k2). Requires each
+    * equality to name the SAME column on both sides (the upsert key
+    * contract); anything else declines the statement. */
+  private def keyColsOf(on: String): Option[Seq[String]] = {
+    val eq = """(?i)\s*(?:[\w]+\.)?([\w]+)\s*=\s*(?:[\w]+\.)?([\w]+)\s*""".r
+    val parts = on.split("(?i)\\s+AND\\s+").toSeq
+    val keys = parts.map {
+      case eq(a, b) if a.equalsIgnoreCase(b) => Some(a)
+      case _ => None
+    }
+    if (keys.forall(_.isDefined)) Some(keys.flatten) else None
+  }
+
+  /** Split `a = e1, b = e2` on top-level commas (parens and quotes
+    * respected — an assignment like `x = coalesce(a, b)` must not
+    * split inside the call). */
+  private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
+    val parts = Seq.newBuilder[String]
+    var depth = 0; var inStr = false; var start = 0
+    s.zipWithIndex.foreach { case (c, i) =>
+      c match {
+        case '\'' => inStr = !inStr
+        case '(' if !inStr => depth += 1
+        case ')' if !inStr => depth -= 1
+        case ',' if !inStr && depth == 0 =>
+          parts += s.substring(start, i); start = i + 1
+        case _ => ()
+      }
+    }
+    parts += s.substring(start)
+    parts.result().map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"malformed assignment '$a'")
+      (a.substring(0, i).trim, a.substring(i + 1).trim)
+    }
+  }
+
+  /** Execute one parsed DML against its registered table; returns the
+    * published snapshot path. */
+  private[graft] def exec(spark: SparkSession, dml: GraftDml): String = {
+    val (root, keep) = GraftTables.rootOf(dml.table).getOrElse(
+      throw new IllegalStateException(
+        s"table ${dml.table} is not registered"))
+    dml match {
+      case SqlUpdate(_, sets, where) =>
+        VersionedParquet.updateWhere(spark, root,
+          where.map(expr).getOrElse(lit(true)),
+          sets.map { case (c, e) => c -> expr(e) }.toMap,
+          keepVersions = keep)
+      case SqlDelete(_, where) =>
+        VersionedParquet.delete(spark, root, expr(where),
+          keepVersions = keep)
+      case SqlInsert(_, query) =>
+        VersionedParquet.append(spark, root, spark.sql(query),
+          keepVersions = keep)
+      case SqlMerge(_, source, keys, isDelete) =>
+        val src = spark.sql(source)
+        if (isDelete)
+          // WHEN MATCHED THEN DELETE: no upserts — an empty frame in
+          // the TABLE's schema (the source may carry only key columns)
+          VersionedParquet.merge(spark, root,
+            VersionedParquet.read(spark, root).limit(0), src, keys,
+            keepVersions = keep)
+        else
+          VersionedParquet.upsert(spark, root, src, keys,
+            keepVersions = keep)
+    }
+  }
+
+  /** Runtime SQL entry: DML against registered tables routes to the
+    * versioned format; everything else is plain `spark.sql`. The
+    * same statements work via `spark.sql(...)` directly on sessions
+    * built with `spark.sql.extensions=graft.plans.GraftExtensions`
+    * (see [[GraftSqlParser]]). */
+  def sql(spark: SparkSession, text: String): DataFrame =
+    parseDml(text) match {
+      case Some(dml) => exec(spark, dml); spark.emptyDataFrame
+      case None => spark.sql(text)
+    }
+}
+
+/** The eagerly-executed command node the injected parser emits — DML
+  * side effects happen at `spark.sql` time, like every SQL command. */
+private[graft] final case class GraftDmlCommand(dml: GraftDml)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Nil
+  override def run(session: SparkSession): Seq[Row] = {
+    GraftSql.exec(session, dml)
+    Seq.empty
+  }
+}
+
+/** Parser extension: intercepts the four DML verbs against registered
+  * versioned tables; delegates every other statement — and every
+  * other parser duty — to Spark's own parser. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  @throws[ParseException]
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSql.parseDml(sqlText) match {
+      case Some(dml) => GraftDmlCommand(dml)
+      case None => delegate.parsePlan(sqlText)
+    }
+  @throws[ParseException]
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  @throws[ParseException]
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  @throws[ParseException]
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  @throws[ParseException]
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  @throws[ParseException]
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  @throws[ParseException]
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  @throws[ParseException]
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  @throws[ParseException]
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}

@@ -1,0 +1,169 @@
+package graft.warehouse
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-text DML contract: the four verbs parse iff they target a
+  * registered versioned table, route to the SAME writes as the Scala
+  * API (twin-table equivalence), and — on a session built with the
+  * GraftExtensions parser — execute through plain `spark.sql(...)`.
+  */
+class GraftSqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-sql-$tag")
+      .toString + "/t"
+
+  private def seed(root: String): Unit = {
+    import spark.implicits._
+    VersionedParquet.publish(
+      (0L until 100L).map(i => (i, s"g${i % 3}", i * 10))
+        .toDF("id", "g", "x"), root, keepVersions = 50)
+  }
+
+  private def rows(root: String): Set[(Long, String, Long)] =
+    VersionedParquet.read(spark, root).select("id", "g", "x")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+  test("parse: all four verbs recognized on registered tables only") {
+    val root = tmp("parse")
+    GraftTables.register("t_parse", root)
+    try {
+      assert(GraftSql.parseDml("UPDATE t_parse SET x = x + 1 WHERE g = 'g0'")
+        === Some(SqlUpdate("t_parse", Seq("x" -> "x + 1"), Some("g = 'g0'"))))
+      assert(GraftSql.parseDml("UPDATE t_parse SET x = 5, g = upper(g)")
+        === Some(SqlUpdate("t_parse",
+          Seq("x" -> "5", "g" -> "upper(g)"), None)))
+      assert(GraftSql.parseDml("DELETE FROM t_parse WHERE x < 0")
+        === Some(SqlDelete("t_parse", "x < 0")))
+      assert(GraftSql.parseDml(
+        "INSERT INTO t_parse SELECT id, g, x FROM somewhere")
+        === Some(SqlInsert("t_parse", "SELECT id, g, x FROM somewhere")))
+      assert(GraftSql.parseDml(
+        """MERGE INTO t_parse t USING (SELECT * FROM batch) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        === Some(SqlMerge("t_parse", "SELECT * FROM batch",
+          Seq("id"), isDelete = false)))
+      assert(GraftSql.parseDml(
+        "MERGE INTO t_parse USING (SELECT * FROM d) ON id = id " +
+          "WHEN MATCHED THEN DELETE")
+        === Some(SqlMerge("t_parse", "SELECT * FROM d",
+          Seq("id"), isDelete = true)))
+      // nested commas/parens in assignments split correctly
+      assert(GraftSql.splitAssignments(
+        "x = coalesce(a, b), g = concat(g, ',x')")
+        === Seq("x" -> "coalesce(a, b)", "g" -> "concat(g, ',x')"))
+      // unregistered target → not ours (falls through to Spark)
+      assert(GraftSql.parseDml("UPDATE nobody SET x = 1").isEmpty)
+      // a merge whose ON clause is not a same-name key equality declines
+      assert(GraftSql.parseDml(
+        "MERGE INTO t_parse USING (SELECT 1) ON t.id = s.other " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *").isEmpty)
+      // plain queries are never intercepted
+      assert(GraftSql.parseDml("SELECT * FROM t_parse").isEmpty)
+    } finally GraftTables.clear()
+  }
+
+  test("twin tables: every SQL verb lands the same state as the Scala API") {
+    import spark.implicits._
+    val viaSql = tmp("via-sql"); val viaApi = tmp("via-api")
+    seed(viaSql); seed(viaApi)
+    GraftTables.register("t_twin", viaSql, keepVersions = 50)
+    try {
+      // UPDATE
+      GraftSql.sql(spark, "UPDATE t_twin SET x = x + 1000 WHERE g = 'g1'")
+      VersionedParquet.updateWhere(spark, viaApi, col("g") === "g1",
+        Map("x" -> (col("x") + 1000)), keepVersions = 50)
+      assert(rows(viaSql) === rows(viaApi), "UPDATE diverged")
+      // DELETE
+      GraftSql.sql(spark, "DELETE FROM t_twin WHERE x % 7 = 0 AND g = 'g0'")
+      VersionedParquet.delete(spark, viaApi,
+        col("x") % 7 === 0 && col("g") === "g0", keepVersions = 50)
+      assert(rows(viaSql) === rows(viaApi), "DELETE diverged")
+      // INSERT INTO (from a SQL source)
+      spark.range(5).selectExpr("id + 500 AS id", "'gx' AS g",
+        "id AS x").createOrReplaceTempView("ins_batch")
+      GraftSql.sql(spark, "INSERT INTO t_twin SELECT * FROM ins_batch")
+      VersionedParquet.append(spark, viaApi, spark.table("ins_batch"),
+        keepVersions = 50)
+      assert(rows(viaSql) === rows(viaApi), "INSERT diverged")
+      // MERGE (upsert shape)
+      Seq((3L, "gm", -3L), (777L, "gm", 7L)).toDF("id", "g", "x")
+        .createOrReplaceTempView("merge_batch")
+      GraftSql.sql(spark,
+        """MERGE INTO t_twin t USING (SELECT * FROM merge_batch) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      VersionedParquet.upsert(spark, viaApi, spark.table("merge_batch"),
+        Seq("id"), keepVersions = 50)
+      assert(rows(viaSql) === rows(viaApi), "MERGE diverged")
+      // MERGE (delete shape)
+      Seq(Tuple1(777L)).toDF("id").createOrReplaceTempView("del_keys")
+      GraftSql.sql(spark,
+        "MERGE INTO t_twin USING (SELECT id FROM del_keys) ON id = id " +
+          "WHEN MATCHED THEN DELETE")
+      VersionedParquet.merge(spark, viaApi,
+        VersionedParquet.read(spark, viaApi).limit(0),
+        spark.table("del_keys"), Seq("id"), keepVersions = 50)
+      assert(rows(viaSql) === rows(viaApi), "MERGE DELETE diverged")
+      // both histories advanced in lockstep and the SQL table's feed
+      // replays (writes share the Scala path, so this is one spot-check)
+      assert(VersionedParquet.currentVersion(spark, viaSql) ===
+        VersionedParquet.currentVersion(spark, viaApi))
+      val feed = VersionedParquet.changes(spark, viaSql, 0L, 5L)
+      assert(feed.filter(col("_change_type") === "insert").count() >= 6L)
+    } finally GraftTables.clear()
+  }
+
+  test("injected parser: plain spark.sql drives the lakehouse end-to-end") {
+    val root = tmp("ext")
+    seed(root)
+    GraftTables.register("t_ext", root, keepVersions = 50)
+    // a session built WITH the extension (the cluster-config path):
+    // same SparkContext, fresh session state, GraftSqlParser installed
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // withExtensions is the programmatic twin of the
+    // `spark.sql.extensions=graft.plans.GraftExtensions` cluster conf
+    // (a static conf, so it can only apply at SparkContext creation —
+    // this test shares the suite's context)
+    val extSession = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .withExtensions(new graft.plans.GraftExtensions())
+      .getOrCreate()
+    try {
+      assert(extSession ne prev, "extension session must be fresh")
+      extSession.sql("UPDATE t_ext SET x = 0 WHERE id < 10")
+      extSession.sql("DELETE FROM t_ext WHERE id = 99")
+      val after = VersionedParquet.read(extSession, root)
+      assert(after.filter(col("id") < 10 && col("x") =!= 0).count() === 0L)
+      assert(after.filter(col("id") === 99).count() === 0L)
+      assert(after.count() === 99L)
+      // non-DML statements still parse through Spark untouched
+      assert(extSession.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
+      assert(VersionedParquet.currentVersion(extSession, root)
+        === Some(2L))
+    } finally {
+      GraftTables.clear()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+}
