@@ -664,9 +664,14 @@ object OlapOps {
         val root = VersionOps.updateWhereRoot(s, d)
         val v0 = VersionedParquet.read(s, root, Some(0L))
           .select(col("prio"), col("cents").as("c"))
-        val bounds = v0.agg(min("c").as("lo"), max("c").as("hi"))
+        // each maintained state is group×bin-cardinality — PERSIST the
+        // chain so the three dashboard readouts fold each feed exactly
+        // once instead of re-resolving the whole versioned chain per
+        // readout (the union would otherwise evaluate cells0 three
+        // times, the v1 feed twice, …: 15 scans for a 3-version chain)
+        val bounds = v0.agg(min("c").as("lo"), max("c").as("hi")).persist()
         val cells0 = histCells(v0.crossJoin(broadcast(bounds)))
-          .select("prio", "bin", "cnt")
+          .select("prio", "bin", "cnt").persist()
         val states = (1L to 2L).scanLeft(cells0) { (cells, v) =>
           val feed = VersionedParquet.changes(s, root, v - 1, v)
             .select(col("prio"), col("cents").as("c"),
@@ -680,6 +685,7 @@ object OlapOps {
               (coalesce(col("cnt"), lit(0L)) +
                 coalesce(col("d"), lit(0L))).as("cnt"))
             .filter(col("cnt") > 0)
+            .persist()
         }
         states.zipWithIndex.map { case (cells, v) =>
           histPercentiles(cells.crossJoin(broadcast(bounds)))

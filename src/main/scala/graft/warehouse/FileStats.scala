@@ -112,25 +112,66 @@ object FileStats {
     new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
       "UTF-8")
 
-  /** Parse a `_FILESTATS` sidecar: lines `file \t n \t col \t type \t
-    * min \t max` (one line per file × stats column; type L = long,
-    * S = hex-encoded string, B = hex-encoded bloom words in `min` with
-    * `max` unused). A column carries at most one stat per file — a
-    * bloomed column is keyed `col#bloom` so a range stat on the same
-    * column can coexist. */
-  private def parseStats(content: String)
+  /** The stats sidecar directory inside a snapshot — parquet rows
+    * `(file, n, col, kind, lo, hi)`, written EXECUTOR-side at publish
+    * (kind L = long range, S = hex-encoded string range, P = sorted
+    * 4-hex-digit bloom positions). Underscore-prefixed so data scans
+    * never list it. */
+  private[warehouse] val STATS_DIR = "_filestats"
+
+  /** One raw sidecar row, engine-neutral strings. */
+  private[warehouse] final case class StatRow(file: String, n: Long,
+      col: String, kind: String, lo: String, hi: String)
+
+  /** Load a snapshot's per-file stats rows: the parquet sidecar when
+    * present, else the legacy `_FILESTATS` text marker (pre-round-9
+    * snapshots); None when the version carries no stats.
+    *
+    * DRIVER-MEMORY BOUND: this collect is O(files × stats columns) —
+    * the same bound Delta pays replaying AddFile stats from its log.
+    * Tiny strings per row, so ~10⁶ files ≈ tens of MB; the PUBLISH
+    * side no longer collects anything (the sidecar is built and
+    * written executor-side). If the bound ever bites, push the
+    * pruning predicate into a filter over the sidecar scan and
+    * collect only surviving file names. */
+  private[warehouse] def loadStatRows(spark: SparkSession,
+      snapshot: String): Option[Seq[StatRow]] = {
+    val dir = new org.apache.hadoop.fs.Path(snapshot, STATS_DIR)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir))
+      Some(spark.read.parquet(dir.toString).collect().toSeq.map(r =>
+        StatRow(r.getString(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getString(4), r.getString(5))))
+    else VersionedParquet.readPointer(spark,
+      new org.apache.hadoop.fs.Path(snapshot,
+        VersionedParquet.STATS_MARKER)).map(content =>
+      content.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+        val Array(f, n, c, t, lo, hi) = line.split('\t')
+        StatRow(f, n.toLong, c, t, lo, hi)
+      })
+  }
+
+  /** Sidecar rows → per-file per-column [[Range]] map. A row with a
+    * null bound (an all-null file) contributes no stat — the file
+    * stays listed and is conservatively read. */
+  private def toRanges(rows: Seq[StatRow])
       : Map[String, Map[String, Range]] =
-    content.split('\n').filter(_.nonEmpty).map { line =>
-      val Array(f, _, c, t, lo, hi) = line.split('\t')
-      val (key, r: Range) = t match {
-        case "S" => (c, StrRange(unhex(lo), unhex(hi)))
-        case "B" => (s"$c#bloom", BloomStat(
-          lo.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16)).toArray))
-        case _ => (c, LongRange(lo.toLong, hi.toLong))
-      }
-      (f, key, r)
-    }.groupBy(_._1).map { case (f, rows) =>
-      f -> rows.map { case (_, c, r) => c -> r }.toMap
+    rows.groupBy(_.file).map { case (f, rs) =>
+      f -> rs.flatMap { r =>
+        (r.kind, Option(r.lo), Option(r.hi)) match {
+          case ("S", Some(lo), Some(hi)) =>
+            Some(r.col -> StrRange(unhex(lo), unhex(hi)))
+          case ("L", Some(lo), Some(hi)) =>
+            Some(r.col -> LongRange(lo.toLong, hi.toLong))
+          case ("B", Some(lo), _) => Some(s"${r.col}#bloom" -> BloomStat(
+            lo.grouped(16)
+              .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray))
+          case ("P", Some(lo), _) => Some(s"${r.col}#bloom" -> BloomStat(
+            bloomWords(lo.grouped(4)
+              .map(Integer.parseInt(_, 16).toLong).toSeq)))
+          case _ => None
+        }
+      }.toMap
     }
 
   /** Read the live (or pinned) version scanning ONLY files whose
@@ -190,12 +231,10 @@ object FileStats {
     val baseName = VersionedParquet.baseNameOf(spark, root, v)
     val isMor = baseName != f"v$v%08d"
     val snapshot = s"$root/$baseName"
-    VersionedParquet.readPointer(spark,
-      new org.apache.hadoop.fs.Path(snapshot,
-        VersionedParquet.STATS_MARKER)) match {
+    loadStatRows(spark, snapshot) match {
       case None => (VersionedParquet.read(spark, root, Some(v)), -1, -1)
-      case Some(content) =>
-        val stats = parseStats(content)
+      case Some(rows) =>
+        val stats = toRanges(rows)
         val excluded = VersionedParquet.excludedFilesOf(spark, root, v)
         val listed = stats.view.filterKeys(f => !excluded(f)).toMap
         val total = listed.size
@@ -219,27 +258,35 @@ object FileStats {
   }
 
   /** The per-file stats frame for a published version — the metadata
-    * table a format exposes as `describe detail` / `add_files`. */
+    * table a format exposes as `describe detail` / `add_files`. Bloom
+    * stats surface uniformly as type B with word-hex in `min_str`,
+    * whatever the storage generation (legacy word-hex marker or the
+    * position-list parquet sidecar). */
   def fileStats(spark: SparkSession, root: String,
                 version: Option[Long] = None): DataFrame = {
     import scala.jdk.CollectionConverters._
     val v = version.orElse(VersionedParquet.currentVersion(spark, root))
       .getOrElse(throw new java.io.IOException(
         s"no published version under $root"))
-    val content = VersionedParquet.snapshotMarker(spark, root,
-      VersionedParquet.STATS_MARKER, Some(v)).getOrElse("")
-    val rows = content.split('\n').filter(_.nonEmpty).map { line =>
-      val Array(f, n, c, t, lo, hi) = line.split('\t')
-      t match {
-        case "S" => org.apache.spark.sql.Row(f, n.toLong, c, t, null, null,
-          unhex(lo), unhex(hi))
-        case "B" => // bloom words stay hex in min_str; no range to expose
-          org.apache.spark.sql.Row(f, n.toLong, c, t, null, null, lo, null)
-        case _ => org.apache.spark.sql.Row(f, n.toLong, c, t,
-          java.lang.Long.valueOf(lo), java.lang.Long.valueOf(hi),
-          null, null)
+    val baseName = VersionedParquet.baseNameOf(spark, root, v)
+    val rows = loadStatRows(spark, s"$root/$baseName")
+      .getOrElse(Nil).map { r =>
+        r.kind match {
+          case "S" => org.apache.spark.sql.Row(r.file, r.n, r.col, "S",
+            null, null, unhex(r.lo), unhex(r.hi))
+          case "B" =>
+            org.apache.spark.sql.Row(r.file, r.n, r.col, "B",
+              null, null, r.lo, null)
+          case "P" =>
+            val words = bloomWords(r.lo.grouped(4)
+              .map(Integer.parseInt(_, 16).toLong).toSeq)
+            org.apache.spark.sql.Row(r.file, r.n, r.col, "B", null, null,
+              words.map(w => f"$w%016x").mkString, null)
+          case _ => org.apache.spark.sql.Row(r.file, r.n, r.col, "L",
+            java.lang.Long.valueOf(r.lo), java.lang.Long.valueOf(r.hi),
+            null, null)
+        }
       }
-    }.toSeq
     spark.createDataFrame(rows.asJava,
       org.apache.spark.sql.types.StructType.fromDDL(
         "file STRING, n_rows BIGINT, col STRING, type STRING, " +

@@ -216,13 +216,19 @@ object VersionedParquet {
                             snapshot: Path): Seq[(String, Long)] = {
     val fs = fsOf(spark, snapshot)
     val prefix = snapshot.toUri.getPath + "/"
+    // underscore/dot-prefixed entries are metadata (the _filestats
+    // sidecar, markers), never data — the same hidden-path convention
+    // Spark's own file listing applies
     def walk(p: Path): Seq[(String, Long)] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
-          Seq(st.getPath.toUri.getPath.stripPrefix(prefix) -> st.getLen)
-        else Nil
-      }
+      fs.listStatus(p).toSeq
+        .filterNot(st => st.getPath.getName.startsWith("_") ||
+          st.getPath.getName.startsWith("."))
+        .flatMap { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else if (st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+            Seq(st.getPath.toUri.getPath.stripPrefix(prefix) -> st.getLen)
+          else Nil
+        }
     walk(snapshot).sortBy(_._1)
   }
 
@@ -528,74 +534,77 @@ object VersionedParquet {
       }
     // Per-file min/max stats sidecar (`statsCols` must be integral):
     // computed from the freshly-written files — a column-pruned scan
-    // grouped by input_file_name — and installed as a marker BEFORE the
-    // pointer swap, so the stats commit atomically with their version.
-    // FileStats.skippingRead consults it to hand the scan only files
-    // whose range can match a predicate.
-    val statsMarker: Map[String, String] =
-      if (statsCols.isEmpty && bloomCols.isEmpty) Map.empty
-      else {
-        import org.apache.spark.sql.functions.{col, collect_set, count,
-          input_file_name, max, min, when}
-        val written0 = spark.read.parquet(snapshot.toString)
-        // integral columns range as longs; string columns as raw
-        // min/max (hex-encoded in the sidecar so tabs/newlines in data
-        // can never corrupt the line format); bloom columns fold to
-        // per-file bit-position sets of the shared probe expression
-        // (null values contribute no position)
-        val isStr = statsCols.map(c => c ->
-          written0.schema(c).dataType.isInstanceOf[
-            org.apache.spark.sql.types.StringType]).toMap
-        val written = written0
-          .select(((input_file_name().as("_f")) +:
-            statsCols.map(c =>
-              (if (isStr(c)) col(c) else col(c).cast("long")).as(c))) ++
-            bloomCols.flatMap(c => Seq(
-              when(col(c).isNotNull,
-                FileStats.bloomPos(col(c), 1)).as(s"_p1_$c"),
-              when(col(c).isNotNull,
-                FileStats.bloomPos(col(c), 2)).as(s"_p2_$c"))): _*)
-        val aggs = (count(org.apache.spark.sql.functions.lit(1)).as("_n") +:
-          statsCols.flatMap(c =>
-            Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c")))) ++
+    // grouped by input_file_name — and written as a PARQUET sidecar
+    // (`_filestats/`, underscore-prefixed so data scans never see it)
+    // inside the snapshot BEFORE the pointer swap, so the stats commit
+    // atomically with their version. The aggregation, row formatting,
+    // and write all happen EXECUTOR-side: the driver never holds the
+    // per-file rows, so publish memory is O(1) in file count — at
+    // 10⁵–10⁶ files (100 TB) the old collect-and-concatenate marker
+    // was a driver hotspot. FileStats.skippingRead consults the
+    // sidecar to hand the scan only files whose stats can match a
+    // predicate (its driver-side bound is documented there).
+    if (statsCols.nonEmpty || bloomCols.nonEmpty) {
+      import org.apache.spark.sql.functions.{array_distinct, array_join,
+        array_sort, col, collect_set, concat, count, hex, input_file_name,
+        lit, lower, lpad, max, min, regexp_extract, transform, when}
+      val written0 = spark.read.parquet(snapshot.toString)
+      // integral columns range as longs; string columns as raw
+      // min/max (hex-encoded so any byte content survives); bloom
+      // columns fold to per-file bit-position sets of the shared
+      // probe expression (null values contribute no position),
+      // stored as sorted 4-hex-digit positions (kind P)
+      val isStr = statsCols.map(c => c ->
+        written0.schema(c).dataType.isInstanceOf[
+          org.apache.spark.sql.types.StringType]).toMap
+      val written = written0
+        .select(((input_file_name().as("_f")) +:
+          statsCols.map(c =>
+            (if (isStr(c)) col(c) else col(c).cast("long")).as(c))) ++
           bloomCols.flatMap(c => Seq(
-            collect_set(col(s"_p1_$c")).as(s"_s1_$c"),
-            collect_set(col(s"_p2_$c")).as(s"_s2_$c")))
-        def hex(s: String): String =
-          s.getBytes("UTF-8").map(b => f"$b%02x").mkString
+            when(col(c).isNotNull,
+              FileStats.bloomPos(col(c), 1)).as(s"_p1_$c"),
+            when(col(c).isNotNull,
+              FileStats.bloomPos(col(c), 2)).as(s"_p2_$c"))): _*)
+      val aggs = (count(lit(1)).as("_n") +:
+        statsCols.flatMap(c =>
+          Seq(min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c")))) ++
+        bloomCols.flatMap(c => Seq(
+          collect_set(col(s"_p1_$c")).as(s"_s1_$c"),
+          collect_set(col(s"_p2_$c")).as(s"_s2_$c")))
+      val perFile = written.groupBy("_f").agg(aggs.head, aggs.tail: _*)
         // paths stored RELATIVE to the snapshot dir (everything after
         // the version segment), so Hive-partitioned layouts — whose
         // files live in partition subdirectories — resolve too
-        val verSeg = "/" + versionName(next) + "/"
-        val lines = written.groupBy("_f").agg(aggs.head, aggs.tail: _*)
-          .collect().sortBy(_.getString(0)).flatMap { r =>
-            val full = r.getString(0)
-            val cut = full.indexOf(verSeg)
-            val file =
-              if (cut >= 0) full.substring(cut + verSeg.length)
-              else new Path(full).getName
-            val n = r.getLong(1)
-            val base = 2 + 2 * statsCols.length
-            statsCols.zipWithIndex.map { case (c, i) =>
-              if (isStr(c))
-                s"$file\t$n\t$c\tS\t${hex(r.getString(2 + 2 * i))}" +
-                  s"\t${hex(r.getString(3 + 2 * i))}"
-              else
-                s"$file\t$n\t$c\tL\t${r.getLong(2 + 2 * i)}" +
-                  s"\t${r.getLong(3 + 2 * i)}"
-            } ++ bloomCols.zipWithIndex.map { case (c, j) =>
-              val bits = r.getSeq[Long](base + 2 * j) ++
-                r.getSeq[Long](base + 2 * j + 1)
-              val words = FileStats.bloomWords(bits)
-              s"$file\t$n\t$c\tB\t${words.map(w => f"$w%016x").mkString}\t-"
-            }
-          }
-        Map(STATS_MARKER -> lines.mkString("\n"))
+        .withColumn("file",
+          regexp_extract(col("_f"), "/v\\d{8}/(.*)$", 1))
+      // one sidecar row per (file, stats column) — built and written
+      // entirely executor-side; the driver never materializes them
+      val statRows = statsCols.map { c =>
+        perFile.select(col("file"), col("_n").as("n"), lit(c).as("col"),
+          lit(if (isStr(c)) "S" else "L").as("kind"),
+          (if (isStr(c)) lower(hex(col(s"_min_$c")))
+           else col(s"_min_$c").cast("string")).as("lo"),
+          (if (isStr(c)) lower(hex(col(s"_max_$c")))
+           else col(s"_max_$c").cast("string")).as("hi"))
+      } ++ bloomCols.map { c =>
+        perFile.select(col("file"), col("_n").as("n"), lit(c).as("col"),
+          lit("P").as("kind"),
+          array_join(transform(
+            array_sort(array_distinct(
+              concat(col(s"_s1_$c"), col(s"_s2_$c")))),
+            p => lpad(lower(hex(p)), 4, "0")), "").as("lo"),
+          lit("-").as("hi"))
       }
+      statRows.reduce(_ unionByName _)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, FileStats.STATS_DIR).toString)
+    }
     // Markers land before the swap: a snapshot the pointer can name
     // always carries them (atomic-with-version); installPointer's
     // temp+rename keeps each marker itself torn-proof.
-    (markers ++ statsMarker ++ constraintMarker).foreach { case (name, content) =>
+    (markers ++ constraintMarker).foreach { case (name, content) =>
       installPointer(spark, snapshot, name, content) }
     // Overwrite Spark's own (empty) _SUCCESS with the commit stamp, so
     // physical publishes carry the same explicit commit time the MoR
@@ -1355,9 +1364,9 @@ object VersionedParquet {
     // preserving each column's stat KIND (range vs bloom — never carry
     // the old sidecar forward: its file names and ranges describe the
     // pre-compaction layout).
-    val kinds = readPointer(spark, new Path(snapshot, STATS_MARKER))
-      .map(_.split('\n').filter(_.nonEmpty)
-        .map { l => val a = l.split('\t'); (a(2), a(3)) }.distinct.toSeq)
+    val kinds = FileStats.loadStatRows(spark, snapshot.toString)
+      .map(_.map(r => (r.col,
+        if (r.kind == "P") "B" else r.kind)).distinct)
       .getOrElse(Nil)
     // the table's CHECK contract survives materialization: carry the
     // base's constraints into the compacted publish (revalidation over
