@@ -185,7 +185,15 @@ object Bench {
     // runs never overwrite the committed full-run snapshot, and a
     // hot-host run never overwrites a clean one (its numbers measure
     // the throttle, not the code).
-    if (only.isEmpty && !hotHost)
+    // The committed baseline feeds the per-query regression gate, so
+    // it must only ever be CLEAN numbers: require the single-thread
+    // probe healthy too (neighbor load slows every driver-side phase
+    // ~2× without tripping the 32-thread probe — a baseline written
+    // then would mask real regressions behind an inflated floor).
+    val Ref1Sec = 0.35
+    val cleanBaseline = !hotHost &&
+      probe1Sec < 2 * Ref1Sec && probe1EndSec < 2 * Ref1Sec
+    if (only.isEmpty && cleanBaseline)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: java.io.IOException => () } // read-only cwd: stdout still has it

@@ -235,8 +235,12 @@ object PqOps {
         import s.implicits._
         val (nc, nProbe, nAdc, topK, every) = (16, 4, 10, 3, 50)
         val books = codebooks(s, d)
+        // the quantized corpus and the stored codes feed four serving
+        // stages each (lists, probes/cells, rerank, exact ground
+        // truth) — persist both so the corpus decodes once
         val codes = encoded(s, d, books).select("vec_id", "m", "cl")
-        val q = quantized(s, d)
+          .persist()
+        val q = quantized(s, d).persist()
         val cents = q.orderBy("vec_id").limit(nc)
           .select(col("vec_id").as("cent_id"), col("e").as("ce"))
         val wA = Window.partitionBy("vec_id")

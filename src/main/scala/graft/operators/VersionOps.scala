@@ -1612,6 +1612,56 @@ object VersionOps {
              |       CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM final
              |GROUP BY band
-             |ORDER BY band""".stripMargin))
+             |ORDER BY band""".stripMargin)),
+
+    // ── SQL-only READ surface: `USING graft` views + time travel ─────────
+    // The read half of the SQL-only story (q160 gives the writes): the
+    // versioned format is a REGISTERED Spark data source, so a client
+    // that can only issue SQL creates views over a table root —
+    // including a version pin — and queries them. The views resolve
+    // through the same read path as the Scala API (MoR overlay,
+    // exclusions, checkpointed history), so the v0 readout must see
+    // the PRE-concurrency state and the live readout the final one;
+    // the oracle recomputes both from raw orders.
+    QueryDef("q161_sql_read_surface",
+      (s, d) => {
+        val root = occRoot(s, d)
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q161_live " +
+          s"USING graft OPTIONS (path '$root')")
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q161_v0 " +
+          s"USING graft OPTIONS (path '$root', versionAsOf '0')")
+        s.sql("""SELECT 'live' AS snap, band, count(*) AS n_rows,
+                |       CAST(sum(cents) AS BIGINT) AS sum_cents
+                |FROM graft_q161_live GROUP BY band
+                |UNION ALL
+                |SELECT 'v0', band, count(*),
+                |       CAST(sum(cents) AS BIGINT)
+                |FROM graft_q161_v0 GROUP BY band
+                |ORDER BY snap, band""".stripMargin)
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |         'b' || CAST(o_orderkey % 3 AS VARCHAR) AS band
+             |  FROM orders),
+             |final AS (
+             |  SELECT k, c, CASE WHEN k % 10 = 1 THEN 5
+             |                    WHEN k % 10 = 2 THEN 7
+             |                    ELSE cents + 11 END AS cents, band
+             |  FROM o WHERE band = 'b0'
+             |  UNION ALL
+             |  SELECT k, c, cents, band FROM o WHERE band = 'b1'
+             |  UNION ALL
+             |  SELECT k, c, cents + 33, band FROM o
+             |  WHERE band = 'b1' AND c % 5 = 0
+             |  UNION ALL
+             |  SELECT k, c, cents + 22, band FROM o WHERE band = 'b2')
+             |SELECT 'live' AS snap, band, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM final GROUP BY band
+             |UNION ALL
+             |SELECT 'v0', band, count(*), CAST(sum(cents) AS BIGINT)
+             |FROM o GROUP BY band
+             |ORDER BY snap, band""".stripMargin))
   )
 }

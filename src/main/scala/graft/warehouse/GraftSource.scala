@@ -1,0 +1,83 @@
+package graft.warehouse
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
+  Filter, PrunedFilteredScan, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** `format("graft")` — the versioned table format as a registered
+  * Spark data source, so READS need no Scala import either (the DML
+  * verbs of [[GraftSql]] cover writes):
+  *
+  * {{{
+  *   spark.read.format("graft").load(root)                     // live
+  *   spark.read.format("graft")
+  *     .option("versionAsOf", 3).load(root)                    // pinned
+  *   spark.read.format("graft")
+  *     .option("timestampAsOf", millis).load(root)             // as-of
+  * }}}
+  *
+  * and — the SQL-only client's path — a pure-SQL view:
+  *
+  * {{{
+  *   CREATE TEMPORARY VIEW t USING graft
+  *   OPTIONS (path '/lake/t', versionAsOf '3')
+  * }}}
+  *
+  * The relation resolves through [[VersionedParquet.read]] /
+  * [[VersionedParquet.readAsOf]], so the merge-on-read overlay
+  * (vector ∖, delta ∪), exclusion manifests, schema alignment, and
+  * checkpointed time travel all apply identically to the Scala path.
+  * Column pruning pushes into the underlying parquet scans
+  * ([[PrunedFilteredScan]]); filters are re-applied by Spark above the
+  * scan (declared unhandled — the overlay's anti-join must see the
+  * same rows the filters do), with pushdown still reaching the
+  * parquet reader through the pruned projection's own plan. */
+class GraftSource extends RelationProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft source needs a path (OPTIONS (path '...'))"))
+    val version = parameters.get("versionAsOf").map(_.toLong)
+    val asOf = parameters.get("timestampAsOf").map(_.toLong)
+    require(version.isEmpty || asOf.isEmpty,
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    new GraftRelation(ctx, root, version, asOf)
+  }
+}
+
+private[warehouse] class GraftRelation(ctx: SQLContext, root: String,
+    version: Option[Long], asOf: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private def spark: SparkSession = ctx.sparkSession
+
+  private def frame: DataFrame = asOf match {
+    case Some(ts) => VersionedParquet.readAsOf(spark, root, ts)
+    case None => VersionedParquet.read(spark, root, version)
+  }
+
+  override def sqlContext: SQLContext = ctx
+  override lazy val schema: StructType = frame.schema
+
+  // every filter re-applies above the scan — the MoR overlay must see
+  // unfiltered rows for its (file, pos) anti-join to be sound
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    // one instantiation per scan: `frame` is a def (each call resolves
+    // the CURRENT version fresh), so projection must bind to the same
+    // instance it selects from
+    val f = frame
+    val pruned =
+      if (requiredColumns.isEmpty) f
+      else f.select(requiredColumns.map(f.col).toSeq: _*)
+    pruned.rdd
+  }
+}

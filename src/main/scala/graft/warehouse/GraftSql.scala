@@ -35,7 +35,9 @@ import org.apache.spark.sql.types.StructType
   *
   * Each verb routes to the corresponding versioned-format write —
   * UPDATE → `updateWhere`, DELETE → `delete`, INSERT INTO →
-  * `append`, MERGE → `merge`/`upsert` — so SQL callers get the same
+  * `append`, MERGE → `merge`/`upsert`, plus the maintenance verbs
+  * OPTIMIZE → `compact` and `VACUUM [RETAIN n VERSIONS]` →
+  * `vacuum` — so SQL callers get the same
   * O(changes) merge-on-read commits, CHECK enforcement, change feed,
   * and locking as Scala callers; nothing is reimplemented. The
   * supported MERGE shape is the upsert/delete idiom
@@ -72,6 +74,9 @@ private[graft] final case class SqlInsert(table: String,
     query: String) extends GraftDml
 private[graft] final case class SqlMerge(table: String, source: String,
     keyCols: Seq[String], isDelete: Boolean) extends GraftDml
+private[graft] final case class SqlOptimize(table: String) extends GraftDml
+private[graft] final case class SqlVacuum(table: String,
+    retain: Option[Int]) extends GraftDml
 
 object GraftSql {
 
@@ -89,6 +94,9 @@ object GraftSql {
       """\s+USING\s+\((.+)\)(?:\s+(?:AS\s+)?[\w]+)?\s+ON\s+(.+?)""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE)""" +
       """(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*""").r
+    // maintenance verbs (Delta's OPTIMIZE / VACUUM surface)
+    val O = """(?is)OPTIMIZE\s+([A-Za-z_][\w]*)""".r
+    val V = """(?is)VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""".r
     val dml = t match {
       case M(table, source, on, matched) =>
         keyColsOf(on).map(keys => SqlMerge(table, source, keys,
@@ -98,6 +106,9 @@ object GraftSql {
           Option(where).map(_.trim)))
       case D(table, where) => Some(SqlDelete(table, where.trim))
       case I(table, query) => Some(SqlInsert(table, query.trim))
+      case O(table) => Some(SqlOptimize(table))
+      case V(table, retain) =>
+        Some(SqlVacuum(table, Option(retain).map(_.toInt)))
       case _ => None
     }
     dml.filter(d => GraftTables.rootOf(d.table).isDefined)
@@ -169,6 +180,11 @@ object GraftSql {
         else
           VersionedParquet.upsert(spark, root, src, keys,
             keepVersions = keep)
+      case SqlOptimize(_) =>
+        VersionedParquet.compact(spark, root, keepVersions = keep)
+      case SqlVacuum(_, retain) =>
+        VersionedParquet.vacuum(spark, root,
+          retain.getOrElse(keep)).toString
     }
   }
 

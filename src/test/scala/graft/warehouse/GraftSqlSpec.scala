@@ -71,8 +71,42 @@ class GraftSqlSpec extends AnyFunSuite {
         "MERGE INTO t_parse USING (SELECT 1) ON t.id = s.other " +
           "WHEN MATCHED THEN UPDATE SET * " +
           "WHEN NOT MATCHED THEN INSERT *").isEmpty)
+      // maintenance verbs
+      assert(GraftSql.parseDml("OPTIMIZE t_parse")
+        === Some(SqlOptimize("t_parse")))
+      assert(GraftSql.parseDml("VACUUM t_parse RETAIN 5 VERSIONS")
+        === Some(SqlVacuum("t_parse", Some(5))))
+      assert(GraftSql.parseDml("VACUUM t_parse")
+        === Some(SqlVacuum("t_parse", None)))
       // plain queries are never intercepted
       assert(GraftSql.parseDml("SELECT * FROM t_parse").isEmpty)
+    } finally GraftTables.clear()
+  }
+
+  test("OPTIMIZE and VACUUM as SQL maintain the table") {
+    import spark.implicits._
+    val root = tmp("maint")
+    seed(root)
+    GraftTables.register("t_maint", root, keepVersions = 50)
+    try {
+      (1 to 3).foreach { b =>
+        GraftSql.sql(spark,
+          s"INSERT INTO t_maint SELECT ${9000 + b}L AS id, 'gi' AS g, " +
+            s"${b}L AS x")
+      }
+      val before = rows(root)
+      GraftSql.sql(spark, "OPTIMIZE t_maint")
+      // compacted: the live version is physical, content unchanged
+      val live = VersionedParquet.currentVersion(spark, root).get
+      assert(VersionedParquet.snapshotMarker(spark, root, "_BASE",
+        Some(live)).isEmpty, "OPTIMIZE must materialize")
+      assert(rows(root) === before)
+      GraftSql.sql(spark, "VACUUM t_maint RETAIN 2 VERSIONS")
+      // retention window is 2; the retained MoR version's referenced
+      // base survives by reference protection (a vacuum contract, not
+      // a leak), so at most 3 directories remain
+      assert(VersionedParquet.versions(spark, root).length <= 3)
+      assert(rows(root) === before)
     } finally GraftTables.clear()
   }
 
