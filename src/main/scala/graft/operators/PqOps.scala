@@ -81,8 +81,16 @@ object PqOps {
     * round. At 100 TB that is the difference between ITERS scans and
     * ITERS·M scans. */
   private[graft] def codebooks(s: SparkSession, dir: String)
+      : Seq[(Int, Seq[(Int, Array[Long])])] =
+    codebooksOf(quantized(s, dir))
+
+  /** [[codebooks]] over an explicit quantized frame (vec_id, e) —
+    * the entry the index-maintenance path uses to train on a PINNED
+    * snapshot (the codebook freezes at index build; later batches
+    * encode against it). */
+  private[graft] def codebooksOf(corpus: DataFrame)
       : Seq[(Int, Seq[(Int, Array[Long])])] = {
-    val q = quantized(s, dir).persist()
+    val q = corpus.persist()
     try {
       def sub(m: Int): DataFrame = q.select(col("vec_id"),
         slice(col("e"), m * SUBD + 1, SUBD).as("s"))
@@ -120,18 +128,27 @@ object PqOps {
   /** Encode the corpus: one row per (vec_id, m) with the assigned
     * code and its quantization error. */
   private[graft] def encoded(s: SparkSession, dir: String,
-      books: Seq[(Int, Seq[(Int, Array[Long])])]): DataFrame = {
-    val q = quantized(s, dir)
+      books: Seq[(Int, Seq[(Int, Array[Long])])]): DataFrame =
+    encodedOf(quantized(s, dir), books)
+
+  /** [[encoded]] over an explicit quantized frame — the incremental
+    * path encodes ONLY a change-feed batch against the frozen books. */
+  private[graft] def encodedOf(corpus: DataFrame,
+      books: Seq[(Int, Seq[(Int, Array[Long])])]): DataFrame =
     books.map { case (m, cents) =>
-      assign(q.select(col("vec_id"),
+      assign(corpus.select(col("vec_id"),
           slice(col("e"), m * SUBD + 1, SUBD).as("s")), cents)
         .withColumn("m", lit(m))
     }.reduce(_ unionByName _)
-  }
 
   /** The unrolled oracle: subvectors for every (vec_id, m), shared
-    * init + ITERS Lloyd rounds keyed (m, cl), final assignment. */
-  private val ORACLE_CTES: String = {
+    * init + ITERS Lloyd rounds keyed (m, cl), final assignment.
+    * `trainWhere` restricts the TRAINING corpus (`sub_t`) — the
+    * index-maintenance oracle trains on the pinned v0 subset while
+    * `fin` still encodes every vector against the frozen books; the
+    * default TRUE trains on everything (q150/q159's shape,
+    * mathematically identical to the unparameterized original). */
+  private def oracleCtes(trainWhere: String): String = {
     def round(k: Int): String =
       s"""a$k AS (
          |  SELECT vec_id, m, s, cl, d2 FROM (
@@ -142,7 +159,7 @@ object PqOps {
          |                  - 2 * list_inner_product(v.s, c.cent)
          |                  + list_inner_product(c.cent, c.cent)
          |               AS BIGINT) AS d2
-         |      FROM sub v JOIN c${k - 1} c ON v.m = c.m))
+         |      FROM sub_t v JOIN c${k - 1} c ON v.m = c.m))
          |  WHERE rn = 1),
          |c$k AS (
          |  SELECT m, cl, list(val ORDER BY i) AS cent FROM (
@@ -159,11 +176,12 @@ object PqOps {
        |sub AS (
        |  SELECT vec_id, m, e[m * $SUBD + 1 : (m + 1) * $SUBD] AS s
        |  FROM v, (VALUES (0), (1), (2), (3)) t(m)),
+       |sub_t AS (SELECT * FROM sub WHERE $trainWhere),
        |c0 AS (
        |  SELECT m, CAST(rn - 1 AS INT) AS cl, s AS cent FROM (
        |    SELECT m, s, row_number() OVER (PARTITION BY m
        |                                    ORDER BY vec_id) AS rn
-       |    FROM sub)
+       |    FROM sub_t)
        |  WHERE rn <= $K),
        |${(1 to ITERS).map(round).mkString(",\n")},
        |fin AS (
@@ -177,6 +195,49 @@ object PqOps {
        |               AS BIGINT) AS d2
        |      FROM sub v JOIN c$ITERS c ON v.m = c.m))
        |  WHERE rn = 1)""".stripMargin
+  }
+
+  private val ORACLE_CTES: String = oracleCtes("TRUE")
+
+  /** Quantize an (vec_id, embedding) frame to exact integer units. */
+  private def quantize(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x * SCALE).cast("long")).as("e"))
+
+  /** q162 scratch index: the embeddings corpus as a VERSIONED table
+    * (v0 = 80%), PQ codebooks trained and frozen on v0, the v0 codes
+    * stored; then the table takes an APPEND and the stored index
+    * advances INCREMENTALLY — only the change feed's insert rows are
+    * encoded against the frozen books and unioned onto the stored
+    * codes. O(changes) index maintenance riding the lakehouse CDF,
+    * the production contract for an ANN index over a growing corpus
+    * (re-encoding 100 TB per batch is not a maintenance strategy).
+    * Returns the maintained codes path. Once per session. */
+  private def pqIndexPath(s: SparkSession, dir: String): String = {
+    import graft.warehouse.{AtomicParquet, VersionedParquet}
+    val root = graft.sources.Scratch.dir(s, "q162-pq-table")
+    val idx0 = graft.sources.Scratch.dir(s, "q162-pq-codes-v0")
+    val idx1 = graft.sources.Scratch.dir(s, "q162-pq-codes-v1")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      VersionedParquet.publish(e.filter(col("vec_id") % 5 =!= 0), root,
+        keepVersions = 10)
+      val q0 = quantize(VersionedParquet.read(s, root, Some(0L)))
+      val books = codebooksOf(q0)
+      AtomicParquet.overwrite(
+        encodedOf(q0, books).select("vec_id", "m", "cl", "d2"), idx0)
+      VersionedParquet.append(s, root,
+        e.filter(col("vec_id") % 5 === 0), keepVersions = 10)
+      val delta = VersionedParquet.changes(s, root, 0L, 1L)
+        .filter(col("_change_type") === "insert")
+        .select("vec_id", "embedding")
+      AtomicParquet.overwrite(
+        s.read.parquet(idx0).unionByName(
+          encodedOf(quantize(delta), books)
+            .select("vec_id", "m", "cl", "d2")), idx1)
+    }
+    idx1
   }
 
   /** Integer squared-L2 between two array<long> columns. */
@@ -371,6 +432,33 @@ object PqOps {
              |FROM rerank r
              |LEFT JOIN exact3 e ON e.q_id = r.q_id AND e.vec_id = r.vec_id
              |WHERE r.rk <= 3
-             |ORDER BY r.q_id, r.rk""".stripMargin))
+             |ORDER BY r.q_id, r.rk""".stripMargin)),
+
+    // ── Incremental PQ index maintenance via the change feed ─────────────
+    // The ANN tier meets the lakehouse tier: the codes index of a
+    // VERSIONED embeddings table advances by encoding ONLY the change
+    // feed's insert batch against the v0-frozen codebooks — O(changes)
+    // per table commit, never a corpus re-encode. The oracle trains on
+    // the v0 subset (sub_t) and encodes EVERY vector against those
+    // frozen books, so a stale stored index, a feed-missed row, a
+    // retrained codebook, or an encode drift between the bulk and
+    // incremental paths all break the per-(subspace, code) hash.
+    QueryDef("q162_pq_index_maintenance",
+      (s, d) => {
+        val idx = pqIndexPath(s, d)
+        s.read.parquet(idx)
+          .groupBy(col("m").as("subspace"), col("cl").as("code"))
+          .agg(count(lit(1)).as("n_vecs"),
+            min("vec_id").as("min_vec_id"),
+            sum("d2").cast("long").as("quant_err"))
+          .orderBy("subspace", "code")
+      },
+      Some(s"""${oracleCtes("vec_id % 5 <> 0")}
+             |SELECT m AS subspace, cl AS code, count(*) AS n_vecs,
+             |       min(vec_id) AS min_vec_id,
+             |       CAST(sum(d2) AS BIGINT) AS quant_err
+             |FROM fin
+             |GROUP BY m, cl
+             |ORDER BY subspace, code""".stripMargin))
   )
 }
