@@ -44,21 +44,36 @@ class GraftSource extends RelationProvider with DataSourceRegister {
         "graft source needs a path (OPTIONS (path '...'))"))
     val version = parameters.get("versionAsOf").map(_.toLong)
     val asOf = parameters.get("timestampAsOf").map(_.toLong)
+    // CDC view: OPTIONS (changesFrom '0' [, changesTo '3']) serves the
+    // row-level change feed in (from, to] — Delta's table_changes for
+    // SQL-only consumers; `to` defaults to the live version
+    val chFrom = parameters.get("changesFrom").map(_.toLong)
+    val chTo = parameters.get("changesTo").map(_.toLong)
     require(version.isEmpty || asOf.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
-    new GraftRelation(ctx, root, version, asOf)
+    require(chFrom.isDefined || chTo.isEmpty,
+      "changesTo needs changesFrom")
+    require(chFrom.isEmpty || (version.isEmpty && asOf.isEmpty),
+      "a changes view cannot also pin a version/timestamp")
+    new GraftRelation(ctx, root, version, asOf, chFrom, chTo)
   }
 }
 
 private[warehouse] class GraftRelation(ctx: SQLContext, root: String,
-    version: Option[Long], asOf: Option[Long])
+    version: Option[Long], asOf: Option[Long],
+    chFrom: Option[Long] = None, chTo: Option[Long] = None)
     extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = ctx.sparkSession
 
-  private def frame: DataFrame = asOf match {
-    case Some(ts) => VersionedParquet.readAsOf(spark, root, ts)
-    case None => VersionedParquet.read(spark, root, version)
+  private def frame: DataFrame = (chFrom, asOf) match {
+    case (Some(from), _) =>
+      val to = chTo.orElse(VersionedParquet.currentVersion(spark, root))
+        .getOrElse(throw new java.io.IOException(
+          s"no published version under $root"))
+      VersionedParquet.changes(spark, root, from, to)
+    case (None, Some(ts)) => VersionedParquet.readAsOf(spark, root, ts)
+    case _ => VersionedParquet.read(spark, root, version)
   }
 
   override def sqlContext: SQLContext = ctx

@@ -78,4 +78,29 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(spark.sql("SELECT g FROM g_src_live WHERE g = 'gx'")
       .collect().map(_.getString(0)).toSeq === Seq("gx", "gx"))
   }
+
+  test("changes view: the row-level feed served to a SQL-only consumer") {
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_src_feed " +
+      s"USING graft OPTIONS (path '$root', changesFrom '0')")
+    val byType = spark.sql(
+      """SELECT _change_type, count(*) AS n FROM g_src_feed
+        |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // v1: upsert of key 5 (update_pre/post) + insert of 500;
+    // v2: delete of key 7
+    assert(byType === Map("update_pre" -> 1L, "update_post" -> 1L,
+      "insert" -> 1L, "delete" -> 1L))
+    // bounded range: only v1's changes
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_src_feed1 " +
+      s"USING graft OPTIONS (path '$root', changesFrom '0', changesTo '1')")
+    assert(spark.sql("SELECT count(*) FROM g_src_feed1").head().getLong(0)
+      === 3L)
+    // a changes view cannot also pin a version
+    intercept[Exception] {
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_src_bad " +
+        s"USING graft OPTIONS (path '$root', changesFrom '0', " +
+        s"versionAsOf '1')")
+      spark.sql("SELECT * FROM g_src_bad").collect()
+    }
+  }
 }
