@@ -577,8 +577,11 @@ object VersionOps {
           keepVersions = 20, maxAttempts = 50)))
       race.foreach(_.get(600, TimeUnit.SECONDS))
       pool.shutdown()
-      // contended upserts: both declare the whole table, so whichever
-      // stages second re-stages against the other's commit and wins
+      // contended upserts: key-disjoint batches, so the second to
+      // commit either REBASES (small batches — provably-disjoint key
+      // blooms) or detects the conflict, re-stages, and wins (large
+      // batches saturate the fingerprint) — both paths serialize to
+      // the same final state, which is what the oracle checks
       val b0 = o.filter(col("band") === "b0")
         .withColumn("cents", col("cents") + 11)
       val pool2 = Executors.newFixedThreadPool(2)

@@ -80,11 +80,15 @@ private[graft] final case class SqlVacuum(table: String,
 
 object GraftSql {
 
-  /** Recognize one of the four DML verbs against a REGISTERED table;
-    * None for everything else (the caller falls through to Spark).
-    * Matching is shape-first, registry-second: an UPDATE against an
-    * unregistered name is NOT ours — it falls through and fails in
-    * Spark's analyzer like any unknown table. */
+  /** Recognize one of the DML/maintenance verbs against a REGISTERED
+    * table; None for everything else (the caller falls through to
+    * Spark). Matching is shape-first, registry-second: an UPDATE
+    * against an unregistered name is NOT ours — it falls through and
+    * fails in Spark's analyzer like any unknown table. Keyword
+    * detection is textual: a string literal containing ` WHERE ` /
+    * ` AND ` inside an assignment or ON clause mis-splits — the
+    * mis-split reaches `expr(...)`, which fails LOUDLY at parse time
+    * (never silent wrong results). */
   private[graft] def parseDml(text: String): Option[GraftDml] = {
     val t = text.trim.stripSuffix(";").trim
     val U = """(?is)UPDATE\s+([A-Za-z_][\w]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+))?""".r
@@ -183,8 +187,8 @@ object GraftSql {
       case SqlOptimize(_) =>
         VersionedParquet.compact(spark, root, keepVersions = keep)
       case SqlVacuum(_, retain) =>
-        VersionedParquet.vacuum(spark, root,
-          retain.getOrElse(keep)).toString
+        VersionedParquet.vacuum(spark, root, retain.getOrElse(keep))
+          .mkString(",")
     }
   }
 

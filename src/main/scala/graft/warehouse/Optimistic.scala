@@ -71,12 +71,21 @@ object Optimistic {
     * caller's own rows, so retrying the operation is always safe. */
   final class CommitConflictException(msg: String) extends IOException(msg)
 
-  /** A commit's declared write domain (see `_DOMAIN` marker). */
+  /** A commit's declared write domain (see `_DOMAIN` marker). A keyed
+    * merge declares the KEY SET it touched as a 1024-bit Bloom
+    * fingerprint (k = 1): empty bit-intersection PROVES the key sets
+    * disjoint (a Bloom has no false negatives), so two concurrent
+    * merges on provably-disjoint keys rebase instead of re-staging;
+    * a spurious bit collision only costs a conservative retry. */
   private[warehouse] sealed trait Domain
   private[warehouse] case object AppendDomain extends Domain
   private[warehouse] final case class PartitionsDomain(parts: Set[String])
     extends Domain
+  private[warehouse] final case class KeysDomain(cols: Seq[String],
+    words: Array[Long]) extends Domain
   private[warehouse] case object TableDomain extends Domain
+
+  private[warehouse] val KEY_BLOOM_BITS = 1024
 
   /** Whether MY commit (staged against an older version) may NOT
     * rebase over THEIR intervening commit. Asymmetric on purpose:
@@ -98,8 +107,14 @@ object Optimistic {
     (mine, theirs) match {
       case (AppendDomain, AppendDomain) => false
       case (AppendDomain, PartitionsDomain(_)) => false
+      // an append lands last over a keyed merge unchanged: the merge
+      // touched existing keys, the append adds new ROWS — blind
+      // INSERT semantics either way
+      case (AppendDomain, KeysDomain(_, _)) => false
       case (PartitionsDomain(p), PartitionsDomain(q)) =>
         p.intersect(q).nonEmpty
+      case (KeysDomain(c1, w1), KeysDomain(c2, w2)) =>
+        c1 != c2 || w1.zip(w2).exists { case (a, b) => (a & b) != 0L }
       case _ => true
     }
 
@@ -110,6 +125,14 @@ object Optimistic {
       case Some("append") => AppendDomain
       case Some(s) if s.startsWith("partitions") =>
         PartitionsDomain(s.split('\n').drop(1).filter(_.nonEmpty).toSet)
+      case Some(s) if s.startsWith("keys:") =>
+        s.split(':') match {
+          case Array(_, cols, hex) => KeysDomain(
+            cols.split(',').toSeq,
+            hex.grouped(16)
+              .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
+          case _ => TableDomain
+        }
       case _ => TableDomain
     }
 
@@ -117,6 +140,8 @@ object Optimistic {
     case AppendDomain => Some("append")
     case PartitionsDomain(p) =>
       Some(("partitions" +: p.toSeq.sorted).mkString("\n"))
+    case KeysDomain(cols, words) => Some("keys:" + cols.mkString(",") +
+      ":" + words.map(w => f"$w%016x").mkString)
     case TableDomain => None
   }
 
@@ -448,9 +473,16 @@ object Optimistic {
     * against the live state to build the vector, delta, and feed —
     * runs with NO table lock against the writer's read version; the
     * commit is three directory renames plus markers when that version
-    * is still live. A merge's read set is "which keys exist", which
-    * ANY concurrent commit can change, so an intervening commit of
-    * any domain conflicts: the loser re-stages against the new live
+    * is still live. The commit declares its touched-key set as a
+    * Bloom fingerprint ([[KeysDomain]]): when every intervening
+    * commit is a PROVABLY key-disjoint merge, the commit REBASES —
+    * the staged base scan, batch rows, and change feed stay exact
+    * (merges never touch the base, theirs never touched my keys), so
+    * only the cumulative vector/delta carry re-derives from the live
+    * version, O(overlay) under the lock, and both merges commit on
+    * their first attempt. Any other intervener (overlapping keys, an
+    * append that may collide with my key decisions, a whole-table
+    * commit) conflicts: the loser re-stages against the new live
     * version and retries — the textbook optimistic transaction.
     * Semantics identical to `VersionedParquet.merge`. */
   def merge(spark: SparkSession, root: String, upserts: DataFrame,
@@ -471,8 +503,8 @@ object Optimistic {
       while (attempts < maxAttempts) {
         attempts += 1
         // STAGE (no lock): the full merge assembly against readVersion
-        Seq(DV_DIR, DELTA_DIR, CDF_DIR).foreach(d =>
-          fs.delete(new Path(txn, d), true))
+        Seq(DV_DIR, DELTA_DIR, CDF_DIR, "_hits", "_rows", "_keys")
+          .foreach(d => fs.delete(new Path(txn, d), true))
         val v = readVersion
         val base = baseNameOf(spark, root, v)
         val baseData = spark.read.parquet(
@@ -491,17 +523,38 @@ object Optimistic {
           throw new IOException("merge batch upserts AND deletes the " +
             s"same key on (${keyCols.mkString(",")})")
         val touched = upKeys.union(delKeys)
+        // key-set Bloom fingerprint (k = 1): the commit's declared
+        // domain, and the disjointness proof for concurrent merges
+        val keyBits = touched.select(
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.xxhash64(
+              keyCols.map(col): _*),
+            lit(KEY_BLOOM_BITS.toLong)).as("p"))
+          .distinct().collect().map(_.getLong(0))
+        val keyWords = new Array[Long](KEY_BLOOM_BITS / 64)
+        keyBits.foreach(p =>
+          keyWords(p.toInt >>> 6) |= 1L << (p.toInt & 63))
+        val mine = KeysDomain(keyCols, keyWords)
         val hits = baseData
           .withColumn("_file", relFile)
           .withColumn("_pos", col("_metadata.row_index"))
           .join(touched, keyCols, "left_semi")
           .select("_file", "_pos")
         val verDir = new Path(rootPath, versionName(v))
+        // hits, rows, and keys stage separately for the REBASE path
+        // (they stay valid over key-disjoint interveners: the base is
+        // untouched by merges and my keys by theirs); the combined
+        // tiers stage for the rename-only fast path
+        hits.write.parquet(new Path(txn, "_hits").toString)
+        aligned.write.parquet(new Path(txn, "_rows").toString)
+        touched.write.parquet(new Path(txn, "_keys").toString)
         val prior =
           if (base == versionName(v)) hits.limit(0)
           else spark.read.schema("_file STRING, _pos BIGINT")
             .parquet(new Path(verDir, DV_DIR).toString)
-        prior.union(hits).distinct()
+        prior.union(
+            spark.read.parquet(new Path(txn, "_hits").toString))
+          .distinct()
           .write.parquet(new Path(txn, DV_DIR).toString)
         val priorDelta = new Path(verDir, DELTA_DIR)
         val carried =
@@ -527,26 +580,66 @@ object Optimistic {
           .write.parquet(new Path(txn, CDF_DIR).toString)
         val excl = readPointer(spark, new Path(verDir, EXCLUDE_MARKER))
         afterStage()
-        // COMMIT: renames only — valid iff the staged-against version
-        // is STILL live (a merge cannot rebase; see scaladoc)
+        // COMMIT. Fast path (still live): renames only. Rebase path
+        // (every intervener a PROVABLY key-disjoint merge): the base
+        // is untouched and my keys are untouched, so the staged base
+        // scan (_hits), batch rows, and change feed stay exact — only
+        // the cumulative vector/delta carry re-derives from the LIVE
+        // version, O(overlay) under the lock, no re-stage. Anything
+        // else: re-stage against the new live version.
         val committed = withWriterLock(spark, root) {
           val live = currentVersion(spark, root).get
-          if (live != readVersion) {
-            lastConflict = Some(live)
+          val clash =
+            if (live == readVersion) None
+            else firstConflict(spark, root, mine, readVersion, live)
+          if (clash.isDefined) {
+            lastConflict = clash
             readVersion = live
             None // re-stage against the new live version
           } else {
             val next = live + 1
+            val liveDir = new Path(rootPath, versionName(live))
             val snapshot = new Path(rootPath, versionName(next))
             fs.delete(snapshot, true)
             fs.mkdirs(snapshot)
-            Seq(DV_DIR, DELTA_DIR, CDF_DIR).foreach { d =>
-              fs.rename(new Path(txn, d), new Path(snapshot, d)) }
-            excl.foreach(m =>
-              installPointer(spark, snapshot, EXCLUDE_MARKER, m))
+            if (live == readVersion) {
+              Seq(DV_DIR, DELTA_DIR, CDF_DIR).foreach { d =>
+                fs.rename(new Path(txn, d), new Path(snapshot, d)) }
+              excl.foreach(m =>
+                installPointer(spark, snapshot, EXCLUDE_MARKER, m))
+            } else {
+              // REBASE: vector = live's vector ∪ staged hits (file
+              // ops); delta = live's delta ∖ my keys ∪ my rows (one
+              // O(overlay) job); feed = staged as-is
+              val dvDst = new Path(snapshot, DV_DIR)
+              fs.mkdirs(dvDst)
+              copyParquetFiles(spark, new Path(liveDir, DV_DIR), dvDst,
+                s"c$live-")
+              moveParquetFiles(spark, new Path(txn, "_hits"), dvDst,
+                "txn-")
+              val myRows = spark.read.parquet(
+                new Path(txn, "_rows").toString)
+              val myKeys = spark.read.parquet(
+                new Path(txn, "_keys").toString)
+              val liveDelta = new Path(liveDir, DELTA_DIR)
+              val carriedLive =
+                if (hasParquetData(spark, liveDelta))
+                  spark.read.parquet(liveDelta.toString)
+                    .join(myKeys, keyCols, "left_anti")
+                else myRows.limit(0)
+              carriedLive.unionByName(myRows)
+                .write.parquet(new Path(snapshot, DELTA_DIR).toString)
+              fs.rename(new Path(txn, CDF_DIR),
+                new Path(snapshot, CDF_DIR))
+              readPointer(spark, new Path(liveDir, EXCLUDE_MARKER))
+                .foreach(m =>
+                  installPointer(spark, snapshot, EXCLUDE_MARKER, m))
+            }
             (markers + (BASE_MARKER -> base)).foreach {
               case (name, content) =>
                 installPointer(spark, snapshot, name, content) }
+            encodeDomain(mine).foreach(dm =>
+              installPointer(spark, snapshot, DOMAIN_MARKER, dm))
             installPointer(spark, snapshot, "_SUCCESS", commitStamp())
             swapPointer(spark, rootPath, next)
             vacuumLocked(spark, root, keepVersions, 0L)

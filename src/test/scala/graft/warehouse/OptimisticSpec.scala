@@ -152,6 +152,68 @@ class OptimisticSpec extends AnyFunSuite {
     }
   }
 
+  test("key-disjoint concurrent merges both commit on their first attempt") {
+    import spark.implicits._
+    val root = tmp("disjoint-merge")
+    seed(root, parts = false)
+    val gate = new CountDownLatch(2) // both staged before either commits
+    Optimistic.afterStage = () => {
+      gate.countDown(); gate.await(60, TimeUnit.SECONDS); ()
+    }
+    noHook {
+      val pool = Executors.newFixedThreadPool(2)
+      val a = pool.submit(() => Optimistic.upsert(spark, root,
+        (0L until 10L).map(i => (i, "pa", 1000L + i))
+          .toDF("id", "part", "x"), Seq("id"), keepVersions = 20))
+      val b = pool.submit(() => Optimistic.upsert(spark, root,
+        (100L until 110L).map(i => (i, "pb", 2000L + i))
+          .toDF("id", "part", "x"), Seq("id"), keepVersions = 20))
+      val (ca, cb) = (a.get(120, TimeUnit.SECONDS),
+        b.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(Set(ca.version, cb.version) === Set(1L, 2L))
+      assert(ca.attempts === 1 && cb.attempts === 1,
+        "provably key-disjoint merges must rebase, not re-stage " +
+          s"(got ${ca.attempts}/${cb.attempts})")
+      val expected =
+        (0L until 300L).filterNot(i => i < 10L ||
+            (i >= 100L && i < 110L))
+          .map(i => (i, s"p${i % 3}", i * 10)).toSet ++
+          (0L until 10L).map(i => (i, "pa", 1000L + i)) ++
+          (100L until 110L).map(i => (i, "pb", 2000L + i))
+      assert(state(root) === expected)
+      // the rebased writer's feed stayed exact: full replay works
+      val feed = VersionedParquet.changes(spark, root, 0L, 2L)
+      assert(feed.filter(col("_change_type") === "update_post")
+        .count() === 20L)
+    }
+  }
+
+  test("overlapping-key concurrent merges: the loser re-stages") {
+    import spark.implicits._
+    val root = tmp("overlap-merge")
+    seed(root, parts = false)
+    @volatile var fired = false
+    Optimistic.afterStage = () => {
+      if (!fired) {
+        fired = true // the inner upsert must not recurse into the hook
+        Optimistic.upsert(spark, root,
+          Seq((5L, "pw", 555L)).toDF("id", "part", "x"), Seq("id"),
+          keepVersions = 20)
+      }
+    }
+    noHook {
+      val c = Optimistic.upsert(spark, root,
+        Seq((5L, "pl", 777L)).toDF("id", "part", "x"), Seq("id"),
+        keepVersions = 20)
+      assert(c.attempts === 2,
+        s"same-key merges must conflict (got ${c.attempts})")
+      // commit order wins: the retried merge's image is final
+      assert(state(root).contains((5L, "pl", 777L)))
+      assert(!state(root).exists(r => r._1 == 5L && r._2 == "pw"))
+    }
+  }
+
   test("append rebases over an intervening disjoint overwrite without retrying") {
     import spark.implicits._
     val root = tmp("append-rebase")
