@@ -262,7 +262,8 @@ object Optimistic {
   def append(spark: SparkSession, root: String, rows: DataFrame,
              keepVersions: Int = 2,
              markers: Map[String, String] = Map.empty,
-             maxAttempts: Int = 5): Commit = {
+             maxAttempts: Int = 5,
+             carryMarkerPrefixes: Seq[String] = Nil): Commit = {
     import org.apache.spark.sql.functions.lit
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
@@ -317,6 +318,17 @@ object Optimistic {
             readPointer(spark, new Path(liveDir, EXCLUDE_MARKER))
               .foreach(m =>
                 installPointer(spark, snapshot, EXCLUDE_MARKER, m))
+            // matching live markers carry forward UNDER the commit
+            // lock (read-then-commit races would drop a concurrent
+            // stream's batch marker); the caller's own markers land
+            // after, so a same-named marker overrides its carried copy
+            carryMarkerPrefixes.foreach { p =>
+              fs.listStatus(liveDir)
+                .filter(st => st.isFile &&
+                  st.getPath.getName.startsWith(p))
+                .foreach(st => readPointer(spark, st.getPath).foreach(c =>
+                  installPointer(spark, snapshot, st.getPath.getName, c)))
+            }
             (markers + (BASE_MARKER -> base) +
               (DOMAIN_MARKER -> "append")).foreach {
               case (name, content) =>
