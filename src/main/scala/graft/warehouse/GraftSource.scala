@@ -49,32 +49,62 @@ class GraftSource extends RelationProvider with DataSourceRegister {
     // SQL-only consumers; `to` defaults to the live version
     val chFrom = parameters.get("changesFrom").map(_.toLong)
     val chTo = parameters.get("changesTo").map(_.toLong)
+    // OPTIONS (history 'true'): the commit log as a frame — version,
+    // commit millis, write domain — the DESCRIBE HISTORY analogue
+    val history = parameters.get("history").exists(_.toBoolean)
     require(version.isEmpty || asOf.isEmpty,
       "versionAsOf and timestampAsOf are mutually exclusive")
     require(chFrom.isDefined || chTo.isEmpty,
       "changesTo needs changesFrom")
     require(chFrom.isEmpty || (version.isEmpty && asOf.isEmpty),
       "a changes view cannot also pin a version/timestamp")
-    new GraftRelation(ctx, root, version, asOf, chFrom, chTo)
+    require(!history || (version.isEmpty && asOf.isEmpty &&
+      chFrom.isEmpty), "a history view takes no other option")
+    new GraftRelation(ctx, root, version, asOf, chFrom, chTo, history)
   }
 }
 
 private[warehouse] class GraftRelation(ctx: SQLContext, root: String,
     version: Option[Long], asOf: Option[Long],
-    chFrom: Option[Long] = None, chTo: Option[Long] = None)
+    chFrom: Option[Long] = None, chTo: Option[Long] = None,
+    history: Boolean = false)
     extends BaseRelation with PrunedFilteredScan {
 
   private def spark: SparkSession = ctx.sparkSession
 
-  private def frame: DataFrame = (chFrom, asOf) match {
-    case (Some(from), _) =>
-      val to = chTo.orElse(VersionedParquet.currentVersion(spark, root))
-        .getOrElse(throw new java.io.IOException(
-          s"no published version under $root"))
-      VersionedParquet.changes(spark, root, from, to)
-    case (None, Some(ts)) => VersionedParquet.readAsOf(spark, root, ts)
-    case _ => VersionedParquet.read(spark, root, version)
+  private def historyFrame: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = VersionedParquet.versions(spark, root).map { v =>
+      val ts = VersionedParquet.snapshotMarker(spark, root, "_SUCCESS",
+        Some(v)).filter(s => s.nonEmpty && s.forall(_.isDigit))
+        .map(_.toLong)
+      val domain = Optimistic.domainOf(spark, root, v) match {
+        case Optimistic.AppendDomain => "append"
+        case Optimistic.PartitionsDomain(p) =>
+          s"partitions(${p.toSeq.sorted.mkString(";")})"
+        case Optimistic.KeysDomain(cols, _) =>
+          s"keys(${cols.mkString(",")})"
+        case Optimistic.TableDomain => "table"
+      }
+      org.apache.spark.sql.Row(v, ts.map(java.lang.Long.valueOf).orNull,
+        domain)
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "version BIGINT, commit_millis BIGINT, domain STRING"))
   }
+
+  private def frame: DataFrame =
+    if (history) historyFrame
+    else (chFrom, asOf) match {
+      case (Some(from), _) =>
+        val to = chTo.orElse(VersionedParquet.currentVersion(spark, root))
+          .getOrElse(throw new java.io.IOException(
+            s"no published version under $root"))
+        VersionedParquet.changes(spark, root, from, to)
+      case (None, Some(ts)) => VersionedParquet.readAsOf(spark, root, ts)
+      case _ => VersionedParquet.read(spark, root, version)
+    }
 
   override def sqlContext: SQLContext = ctx
   override lazy val schema: StructType = frame.schema

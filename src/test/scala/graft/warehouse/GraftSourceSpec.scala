@@ -103,4 +103,18 @@ class GraftSourceSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM g_src_bad").collect()
     }
   }
+
+  test("history view: the commit log as SQL (DESCRIBE HISTORY)") {
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW g_src_hist " +
+      s"USING graft OPTIONS (path '$root', history 'true')")
+    val hist = spark.sql(
+      "SELECT version, commit_millis, domain FROM g_src_hist " +
+        "ORDER BY version").collect()
+    assert(hist.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L),
+      "all three commits listed")
+    assert(hist.forall(r => !r.isNullAt(1) && r.getLong(1) > 0L),
+      "every commit carries its stamp")
+    assert(hist.map(_.getString(2)).forall(_ == "table"),
+      "legacy single-writer commits are whole-table domain")
+  }
 }
