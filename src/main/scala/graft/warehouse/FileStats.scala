@@ -253,7 +253,9 @@ object FileStats {
           if (isMor) VersionedParquet.morOverlay(spark, root, v, base, schema)
           else base.getOrElse(spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
-        (df, keep.size, total)
+        // metadata-only added columns stay readable on pruned scans
+        (VersionedParquet.applySchemaExt(spark, root, df),
+          keep.size, total)
     }
   }
 

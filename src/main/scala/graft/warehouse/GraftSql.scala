@@ -77,6 +77,8 @@ private[graft] final case class SqlMerge(table: String, source: String,
 private[graft] final case class SqlOptimize(table: String) extends GraftDml
 private[graft] final case class SqlVacuum(table: String,
     retain: Option[Int]) extends GraftDml
+private[graft] final case class SqlAddColumn(table: String, col: String,
+    typeDdl: String, default: Option[String]) extends GraftDml
 
 object GraftSql {
 
@@ -101,6 +103,9 @@ object GraftSql {
     // maintenance verbs (Delta's OPTIMIZE / VACUUM surface)
     val O = """(?is)OPTIMIZE\s+([A-Za-z_][\w]*)""".r
     val V = """(?is)VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""".r
+    val A = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+COLUMN\s+""" +
+      """([A-Za-z_][\w]*)\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)""" +
+      """(?:\s+DEFAULT\s+(.+))?""").r
     val dml = t match {
       case M(table, source, on, matched) =>
         keyColsOf(on).map(keys => SqlMerge(table, source, keys,
@@ -113,6 +118,9 @@ object GraftSql {
       case O(table) => Some(SqlOptimize(table))
       case V(table, retain) =>
         Some(SqlVacuum(table, Option(retain).map(_.toInt)))
+      case A(table, colName, typeDdl, default) =>
+        Some(SqlAddColumn(table, colName, typeDdl.trim,
+          Option(default).map(_.trim)))
       case _ => None
     }
     dml.filter(d => GraftTables.rootOf(d.table).isDefined)
@@ -189,6 +197,10 @@ object GraftSql {
       case SqlVacuum(_, retain) =>
         VersionedParquet.vacuum(spark, root, retain.getOrElse(keep))
           .mkString(",")
+      case SqlAddColumn(_, colName, typeDdl, default) =>
+        VersionedParquet.addColumn(spark, root, colName, typeDdl,
+          default.getOrElse("NULL"))
+        root
     }
   }
 

@@ -743,7 +743,8 @@ object VersionedParquet {
       throw new IOException(s"version $v of $root does not exist or is " +
         "incomplete (never published, crashed mid-write, or vacuumed " +
         "past retention)")
-    val df = dataFrameOf(spark, root, v)
+    val df0 = dataFrameOf(spark, root, v)
+    val df = applySchemaExt(spark, root, df0)
     if (version.isEmpty || live.isEmpty || v == live.get) df
     else {
       // align the pinned read to the live schema: live column order,
@@ -760,6 +761,68 @@ object VersionedParquet {
       df.select(aligned: _*)
     }
   }
+
+  // ── metadata-only ADD COLUMN ───────────────────────────────────────
+  //
+  // `root/_SCHEMA_EXT` lists columns added WITHOUT rewriting a byte
+  // (Delta's metadata-only ALTER TABLE ADD COLUMN): one line per
+  // column, `name \t type DDL \t default SQL expr`. Reads — any
+  // version, consistent with this format's align-to-live contract —
+  // append each extension column absent from the physical data as the
+  // default expression cast to the declared type, computed AT READ
+  // (a deterministic expression over the row, or NULL). The next
+  // materializing rewrite (`compact` / OPTIMIZE reads through
+  // [[read]], so it sees the columns) makes them physical, after
+  // which the extension entries are no-ops for any column present.
+  // Writes keep their existing contract: incoming rows align to the
+  // PHYSICAL base schema — a batch carrying a still-virtual column is
+  // rejected with guidance to OPTIMIZE first (materialize, then
+  // write), which keeps every write path untouched by the feature.
+
+  private[warehouse] val SCHEMA_EXT = "_SCHEMA_EXT"
+
+  private[warehouse] def schemaExtensions(spark: SparkSession,
+      root: String): Seq[(String, String, String)] =
+    readPointer(spark, new Path(root, SCHEMA_EXT))
+      .map(_.split('\n').filter(_.nonEmpty).toSeq.map { l =>
+        val Array(n, t, d) = l.split('\t'); (n, t, d)
+      }).getOrElse(Nil)
+
+  /** Apply the table's schema extensions to an assembled frame:
+    * columns already physical pass through; virtual ones append as
+    * their default, cast to the declared type. */
+  private[warehouse] def applySchemaExt(spark: SparkSession, root: String,
+                                        df: DataFrame): DataFrame = {
+    val have = df.columns.toSet
+    schemaExtensions(spark, root).foldLeft(df) {
+      case (d, (n, t, dflt)) if !have(n) =>
+        d.withColumn(n,
+          org.apache.spark.sql.functions.expr(dflt).cast(t))
+      case (d, _) => d
+    }
+  }
+
+  /** Metadata-only ADD COLUMN: `name type` becomes readable on every
+    * version immediately — as `defaultExpr` (SQL text, deterministic;
+    * default NULL) computed at read — with zero data rewritten. The
+    * column turns physical at the next `compact`; until then, writes
+    * that try to SUPPLY it are rejected (materialize first). */
+  def addColumn(spark: SparkSession, root: String, name: String,
+                typeDdl: String, defaultExpr: String = "NULL"): Unit =
+    withWriterLock(spark, root) {
+      require(!name.contains('\t') && !typeDdl.contains('\t') &&
+        !defaultExpr.contains('\t'), "no tabs in column metadata")
+      val live = read(spark, root)
+      require(!live.columns.contains(name),
+        s"column $name already exists on $root")
+      // fail loudly NOW if the type or default don't parse
+      live.limit(0).withColumn(name,
+        org.apache.spark.sql.functions.expr(defaultExpr).cast(typeDdl))
+      val prior = readPointer(spark, new Path(root, SCHEMA_EXT))
+        .map(_ + "\n").getOrElse("")
+      installPointer(spark, new Path(root), SCHEMA_EXT,
+        prior + s"$name\t$typeDdl\t$defaultExpr")
+    }
 
   /** Row-level DELETE without rewriting a single data file (a
     * transactional format's deletion vectors): publishes version N+1
@@ -1512,6 +1575,10 @@ object VersionedParquet {
       val snapshot = new Path(dstPath, versionName(0L))
       fs.delete(snapshot, true)
       stageLogicalCopy(spark, srcRoot, v, snapshot, absBase)
+      // table-level metadata travels with the clone: virtual columns
+      // (metadata-only ADD COLUMN) must stay readable on the clone
+      readPointer(spark, new Path(srcRoot, SCHEMA_EXT)).foreach(m =>
+        installPointer(spark, dstPath, SCHEMA_EXT, m))
       installPointer(spark, snapshot, "_SUCCESS", commitStamp())
       try swapPointer(spark, dstPath, 0L)
       catch {
