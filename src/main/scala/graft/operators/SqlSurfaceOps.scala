@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.{col, count, countDistinct, lit, round, sum}
+import org.apache.spark.sql.functions.{col, count, countDistinct, lit, round, sum, when}
 
 import graft.plans.GraftFunctions
 import graft.sources.{QueryDef, Scratch, Tables}
@@ -150,8 +150,76 @@ object SqlSurfaceOps {
              |       CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM v4
              |GROUP BY 1
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // ── Metadata-only ALTER lifecycle as SQL ─────────────────────────────
+    // ADD COLUMN rewrites nothing (the column computes at read from its
+    // DEFAULT), a physical-contract append lands without it, OPTIMIZE
+    // freezes it physically, and a post-materialization append carries
+    // it — four versions whose FINAL state the oracle recomputes by
+    // applying the same default formula to the whole union, so a drift
+    // between the read-time and materialized values, a lost extension
+    // on compact, or a mis-parsed DEFAULT breaks the hash.
+    QueryDef("q163_sql_alter_lifecycle",
+      (s, d) => {
+        val root = alterRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy("lang", "band")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy("lang", "band")
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, lang, n_chars FROM documents),
+             |allrows AS (
+             |  SELECT lang, n_chars FROM docs
+             |  UNION ALL
+             |  SELECT lang, n_chars FROM docs WHERE doc_id % 7 = 0
+             |  UNION ALL
+             |  SELECT lang, n_chars FROM docs WHERE doc_id % 11 = 0)
+             |SELECT lang,
+             |       CASE WHEN n_chars >= 300 THEN 'long'
+             |            ELSE 'short' END AS band,
+             |       count(*) AS n_docs,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM allrows
+             |GROUP BY 1, 2
+             |ORDER BY lang, band""".stripMargin))
   )
+
+  /** q163 scratch table: documents published, then the metadata-only
+    * ALTER lifecycle driven as SQL — ADD COLUMN (readable instantly,
+    * zero bytes rewritten), an append WITHOUT the virtual column
+    * (physical-schema writes keep working), OPTIMIZE (materializes),
+    * and an append WITH the now-physical column. Once per session. */
+  private def alterRoot(s: org.apache.spark.sql.SparkSession,
+                        d: String): String = {
+    val root = Scratch.dir(s, "q163-alter")
+    GraftTables.register("graft_q163", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "n_chars")
+      VersionedParquet.publish(docs, root, keepVersions = 20)
+      GraftSql.sql(s, "ALTER TABLE graft_q163 ADD COLUMN band STRING " +
+        "DEFAULT CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END")
+      // physical-contract write: no band supplied, read computes it
+      VersionedParquet.append(s, root,
+        docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 10000).as("doc_id"), col("lang"),
+            col("n_chars")),
+        keepVersions = 20)
+      GraftSql.sql(s, "OPTIMIZE graft_q163")
+      // post-materialization write carries the (same-formula) value
+      VersionedParquet.append(s, root,
+        docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"), col("lang"),
+            col("n_chars"),
+            when(col("n_chars") >= 300, lit("long"))
+              .otherwise(lit("short")).as("band")),
+        keepVersions = 20)
+    }
+    root
+  }
 
   /** q160 scratch table: orders published, then one statement per DML
     * verb issued as SQL text through [[GraftSql]]. Once per session. */
