@@ -174,6 +174,61 @@ object SampleOps {
              |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
              |FROM b
              |GROUP BY 1, 2
+             |ORDER BY lang, split""".stripMargin)),
+
+    // ── Leakage-guarded corpus split (cluster-aware) ─────────────────────
+    // q73's hash split is a pure function of the DOCUMENT id — two
+    // near-duplicates can land in train and test, leaking eval content
+    // into training (the classic contamination bug a q68-style check
+    // then has to catch after the fact). The guard: the split key is
+    // the document's DEDUP COMPONENT id (q54's connected components;
+    // singletons key by their own id), so every member of a near-dup
+    // cluster lands in the SAME split by construction — no post-hoc
+    // decontamination pass. Shape at 100 TB: the components come from
+    // the banded candidate join (never all-pairs), the split adds one
+    // left join against the component frame (group-cardinality) and
+    // zero extra shuffles beyond q73. The oracle recomputes the
+    // closure recursively and re-derives the same keyed split, so a
+    // dropped singleton, a component that leaks across splits, or a
+    // bucket-formula drift all break the hash.
+    QueryDef("q164_leakage_guarded_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "lang")
+        val comp = DedupOps.components(s, d)
+        val keyed = docs.join(comp, Seq("doc_id"), "left")
+          .withColumn("split_key",
+            coalesce(col("group_id"), col("doc_id")))
+        val bucket = pmod(
+          Hashing.md5Long60(concat(lit("split_"), col("split_key"))),
+          lit(100L))
+        keyed
+          .select(col("lang"), col("split_key"),
+            when(bucket < 98, "train").when(bucket < 99, "valid")
+              .otherwise("test").as("split"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("split_key")).as("n_groups"))
+          .orderBy("lang", "split")
+      },
+      Some(s"""WITH RECURSIVE ${DedupOps.COMPONENT_CTES},
+             |keyed AS (
+             |  SELECT d.doc_id, d.lang,
+             |         COALESCE(c.group_id, d.doc_id) AS split_key
+             |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+             |b AS (
+             |  SELECT lang, split_key,
+             |         CASE WHEN ${Hashing.md5Long60Sql(
+                         "'split_' || split_key")} % 100 < 98
+             |                THEN 'train'
+             |              WHEN ${Hashing.md5Long60Sql(
+                         "'split_' || split_key")} % 100 < 99
+             |                THEN 'valid'
+             |              ELSE 'test' END AS split
+             |  FROM keyed)
+             |SELECT lang, split, count(*) AS n_docs,
+             |       count(DISTINCT split_key) AS n_groups
+             |FROM b
+             |GROUP BY 1, 2
              |ORDER BY lang, split""".stripMargin))
   )
 }
