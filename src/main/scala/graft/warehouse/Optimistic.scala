@@ -356,13 +356,16 @@ object Optimistic {
   // ------------------------------------------------------------------
 
   /** Optimistic dynamic partition overwrite: the incoming rows (often
-    * the product of an expensive upstream query) are staged with NO
-    * table lock; the commit validates that every intervening commit
-    * touched DISJOINT partitions (or nothing it cannot rebase over)
-    * and assembles the new version against the live state under the
-    * lock. Two writers overwriting disjoint partitions both commit
-    * exactly once; overlapping writers resolve loser-retries-and-wins.
-    * Semantics identical to `VersionedParquet.overwritePartitions`. */
+    * the product of an expensive upstream query) AND the full tier
+    * assembly are staged with NO table lock against the read version;
+    * an uncontended commit is pure directory renames. When intervening
+    * commits exist, the commit validates they touched DISJOINT
+    * partitions and reassembles the tiers against the live state
+    * under the lock — O(changes + overlay), reusing the staged rows
+    * (the upstream query never re-executes). Two writers overwriting
+    * disjoint partitions both commit exactly once; overlapping
+    * writers resolve loser-retries-and-wins. Semantics identical to
+    * `VersionedParquet.overwritePartitions`. */
   def overwritePartitions(spark: SparkSession, root: String,
                           df: DataFrame, keepVersions: Int = 2,
                           maxAttempts: Int = 5): Commit = {
@@ -402,59 +405,79 @@ object Optimistic {
         val touchedPred = touched.map(r =>
           partCols.zipWithIndex.map { case (c, i) =>
             col(c) <=> lit(r.get(i)) }.reduce(_ && _)).reduce(_ || _)
+        // tier assembly against a given version, into a given dir —
+        // the STAGE phase runs it against readVersion with no lock;
+        // the REBASE path re-runs it against the live version inside
+        // the critical section (its inputs are the staged rows, so
+        // the caller's expensive upstream query never re-executes)
+        def assembleTiers(vs: Long, outDir: Path): (String, String) = {
+          val vsDir = new Path(rootPath, versionName(vs))
+          val vsBase = baseNameOf(spark, root, vs)
+          val baseData = spark.read.parquet(
+            new Path(rootPath, vsBase).toString)
+          val touchedFiles = baseData.filter(touchedPred)
+            .withColumn("_f", relFile).select("_f").distinct()
+            .collect().map(_.getString(0)).toSet
+          val priorExcl = readPointer(spark,
+            new Path(vsDir, EXCLUDE_MARKER))
+            .map(_.split('\n').filter(_.nonEmpty).toSet)
+            .getOrElse(Set.empty[String])
+          // change feed first (needs the pre-overwrite state)
+          val current = dataFrameOf(spark, root, vs)
+          current.filter(touchedPred)
+            .withColumn("_change_type", lit("delete"))
+            .unionByName(staged.withColumn("_change_type",
+              lit("insert")))
+            .write.mode("overwrite")
+            .parquet(new Path(outDir, CDF_DIR).toString)
+          val dvPrior =
+            if (vsBase == versionName(vs)) emptyDv(spark)
+            else spark.read.schema("_file STRING, _pos BIGINT")
+              .parquet(new Path(vsDir, DV_DIR).toString)
+          val newlyExcluded = touchedFiles -- priorExcl
+          dvPrior.filter(!col("_file").isin(newlyExcluded.toSeq: _*))
+            .write.mode("overwrite")
+            .parquet(new Path(outDir, DV_DIR).toString)
+          val priorDelta = new Path(vsDir, DELTA_DIR)
+          val carried =
+            if (hasParquetData(spark, priorDelta))
+              spark.read.parquet(priorDelta.toString)
+                .filter(coalesce(touchedPred, lit(false)) === false)
+            else staged.limit(0)
+          carried.unionByName(staged)
+            .write.mode("overwrite")
+            .parquet(new Path(outDir, DELTA_DIR).toString)
+          ((priorExcl ++ touchedFiles).toSeq.sorted.mkString("\n"),
+            vsBase)
+        }
+        // STAGE the tiers against readVersion — no lock held
+        Seq(DV_DIR, DELTA_DIR, CDF_DIR).foreach(dd =>
+          fs.delete(new Path(txn, dd), true))
+        val (stagedExcl, stagedBase) = assembleTiers(readVersion, txn)
         afterStage()
-        // COMMIT: conflict-check, then assemble against LIVE — the
-        // carried overlay is recomputed under the lock, so a rebase
-        // over a disjoint overwrite or nothing at all is exact
+        // COMMIT: renames when still live; in-lock reassembly against
+        // the live version when every intervener is disjoint
         val committed = withWriterLock(spark, root) {
           val live = currentVersion(spark, root).get
-          val clash = firstConflict(spark, root, mine, readVersion, live)
+          val clash =
+            if (live == readVersion) None
+            else firstConflict(spark, root, mine, readVersion, live)
           if (clash.isDefined) {
             lastConflict = clash
             readVersion = live
             None
           } else {
             val next = live + 1
-            val liveDir = new Path(rootPath, versionName(live))
-            val base = baseNameOf(spark, root, live)
-            val liveBaseDir = new Path(rootPath, base)
-            val baseData = spark.read.parquet(liveBaseDir.toString)
             val snapshot = new Path(rootPath, versionName(next))
             fs.delete(snapshot, true)
-            val touchedFiles = baseData.filter(touchedPred)
-              .withColumn("_f", relFile).select("_f").distinct()
-              .collect().map(_.getString(0)).toSet
-            val priorExcl = readPointer(spark,
-              new Path(liveDir, EXCLUDE_MARKER))
-              .map(_.split('\n').filter(_.nonEmpty).toSet)
-              .getOrElse(Set.empty[String])
-            // change feed first (needs the pre-overwrite live state)
-            val current = dataFrameOf(spark, root, live)
-            current.filter(touchedPred)
-              .withColumn("_change_type", lit("delete"))
-              .unionByName(staged.withColumn("_change_type",
-                lit("insert")))
-              .write.mode("overwrite")
-              .parquet(new Path(snapshot, CDF_DIR).toString)
-            val dvPrior =
-              if (base == versionName(live)) emptyDv(spark)
-              else spark.read.schema("_file STRING, _pos BIGINT")
-                .parquet(new Path(liveDir, DV_DIR).toString)
-            val newlyExcluded = touchedFiles -- priorExcl
-            dvPrior.filter(!col("_file").isin(newlyExcluded.toSeq: _*))
-              .write.mode("overwrite")
-              .parquet(new Path(snapshot, DV_DIR).toString)
-            val priorDelta = new Path(liveDir, DELTA_DIR)
-            val carried =
-              if (hasParquetData(spark, priorDelta))
-                spark.read.parquet(priorDelta.toString)
-                  .filter(coalesce(touchedPred, lit(false)) === false)
-              else staged.limit(0)
-            carried.unionByName(staged)
-              .write.mode("overwrite")
-              .parquet(new Path(snapshot, DELTA_DIR).toString)
-            installPointer(spark, snapshot, EXCLUDE_MARKER,
-              (priorExcl ++ touchedFiles).toSeq.sorted.mkString("\n"))
+            fs.mkdirs(snapshot)
+            val (exclContent, base) =
+              if (live == readVersion) {
+                Seq(DV_DIR, DELTA_DIR, CDF_DIR).foreach { dd =>
+                  fs.rename(new Path(txn, dd), new Path(snapshot, dd)) }
+                (stagedExcl, stagedBase)
+              } else assembleTiers(live, snapshot)
+            installPointer(spark, snapshot, EXCLUDE_MARKER, exclContent)
             installPointer(spark, snapshot, BASE_MARKER, base)
             encodeDomain(mine).foreach(d =>
               installPointer(spark, snapshot, DOMAIN_MARKER, d))
