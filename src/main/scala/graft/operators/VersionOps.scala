@@ -1665,6 +1665,78 @@ object VersionOps {
              |UNION ALL
              |SELECT 'v0', band, count(*), CAST(sum(cents) AS BIGINT)
              |FROM o GROUP BY band
-             |ORDER BY snap, band""".stripMargin))
+             |ORDER BY snap, band""".stripMargin)),
+
+    // ── Streaming SOURCE over the table: readStream.format("graft") ──────
+    // The table is not just a streaming SINK target (MorStream/
+    // VersionedSink) but a streaming SOURCE: offsets are table
+    // versions, the first batch is the snapshot at startingVersion,
+    // every later batch the committed change feed — O(changes) per
+    // micro-batch, never a rescan, the only viable tail at 100 TB.
+    // The gate drains the full CDC stream of the q151 update chain
+    // (publish → two UPDATEs) through a REAL Structured Streaming
+    // query (AvailableNow → parquet sink) and aggregates what arrived
+    // by (commit, change type); the oracle replays the chain's pre/post
+    // images from raw orders. A missed version, a replayed batch, a
+    // wrong pre-image, or snapshot/feed overlap all break counts or
+    // sums. Exactly-once across restarts is GraftStreamSpec's job.
+    QueryDef("q165_stream_table_source",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val root = updateWhereRoot(s, d)
+        val out = Scratch.dir(s, "q165-stream-out")
+        val ckpt = Scratch.dir(s, "q165-stream-ckpt")
+        if (!new java.io.File(out).exists()) {
+          val q = s.readStream.format("graft")
+            .option("startingVersion", "0")
+            .option("readChangeFeed", "true")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(out)
+          .groupBy("_commit_version", "_change_type")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").cast("long").as("sum_cents"))
+          .select(col("_commit_version").cast("long").as("commit_version"),
+            col("_change_type").as("change_type"),
+            col("n_rows"), col("sum_cents"))
+          .orderBy("commit_version", "change_type")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS st,
+             |         o_orderpriority AS prio,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v1 AS (
+             |  SELECT k, st,
+             |         CASE WHEN st = 'F' AND cents < 10000000
+             |              THEN 'BUMPED' ELSE prio END AS prio,
+             |         CASE WHEN st = 'F' AND cents < 10000000
+             |              THEN cents + 10 ELSE cents END AS cents
+             |  FROM o),
+             |u1 AS (SELECT * FROM o WHERE st = 'F' AND cents < 10000000),
+             |u2 AS (SELECT * FROM v1
+             |       WHERE prio = 'BUMPED' AND k % 2 = 0)
+             |SELECT CAST(0 AS BIGINT) AS commit_version,
+             |       'insert' AS change_type, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM o
+             |UNION ALL
+             |SELECT 1, 'update_pre', count(*),
+             |       CAST(sum(cents) AS BIGINT) FROM u1
+             |UNION ALL
+             |SELECT 1, 'update_post', count(*),
+             |       CAST(sum(cents + 10) AS BIGINT) FROM u1
+             |UNION ALL
+             |SELECT 2, 'update_pre', count(*),
+             |       CAST(sum(cents) AS BIGINT) FROM u2
+             |UNION ALL
+             |SELECT 2, 'update_post', count(*),
+             |       CAST(sum(cents * 2) AS BIGINT) FROM u2
+             |ORDER BY commit_version, change_type""".stripMargin))
   )
 }

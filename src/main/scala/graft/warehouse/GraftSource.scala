@@ -2,9 +2,13 @@ package graft.warehouse
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset,
+  SerializedOffset}
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  Filter, PrunedFilteredScan, RelationProvider}
-import org.apache.spark.sql.types.StructType
+  Filter, PrunedFilteredScan, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
 
 /** `format("graft")` — the versioned table format as a registered
   * Spark data source, so READS need no Scala import either (the DML
@@ -34,8 +38,45 @@ import org.apache.spark.sql.types.StructType
   * scan (declared unhandled — the overlay's anti-join must see the
   * same rows the filters do), with pushdown still reaching the
   * parquet reader through the pruned projection's own plan. */
-class GraftSource extends RelationProvider with DataSourceRegister {
+class GraftSource extends RelationProvider with DataSourceRegister
+    with StreamSourceProvider {
   override def shortName(): String = "graft"
+
+  // ── streaming: the table as a Structured Streaming SOURCE ──────────
+  //
+  //   spark.readStream.format("graft").load(root)              // tail
+  //   …option("startingVersion", 0)…                           // replay
+  //   …option("readChangeFeed", "true")…                       // CDC rows
+  //   …option("ignoreChanges", "true")…                        // see below
+  //
+  // Offsets are TABLE VERSIONS — the natural exactly-once unit: a
+  // micro-batch covers the half-open version range (start, end], its
+  // rows come straight from the committed change feed, and a restart
+  // resumes from the checkpointed version. The first batch serves the
+  // snapshot AT `startingVersion` (default: the live version when the
+  // stream starts, Delta's semantics) as inserts, then every later
+  // batch is `VersionedParquet.changes` — O(changes) per batch, never
+  // a table rescan, which at 100 TB is the only viable tail.
+  //
+  // Default (data-rows) mode emits plain data columns and REQUIRES the
+  // tailed range to be append-only: versions whose committed write
+  // domain (`Optimistic.domainOf` — metadata, no data read) is not an
+  // append fail the batch loudly unless `ignoreChanges` is set, in
+  // which case inserts + post-update images flow and deletes are
+  // dropped (Delta's `ignoreChanges` contract). CDC mode
+  // (`readChangeFeed`) emits `_change_type` / `_commit_version` and
+  // accepts everything. Physical republishes (RESTORE, physical
+  // publish) carry no feed, so tailing across one fails loudly — same
+  // contract as `changes` itself.
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), GraftStreamSource.schemaFor(ctx.sparkSession, parameters))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source =
+    GraftStreamSource(ctx.sparkSession, parameters)
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
@@ -125,4 +166,121 @@ private[warehouse] class GraftRelation(ctx: SQLContext, root: String,
       else f.select(requiredColumns.map(f.col).toSeq: _*)
     pruned.rdd
   }
+}
+
+private[warehouse] object GraftStreamSource {
+  val CHANGE_TYPE = "_change_type"
+  val COMMIT_VERSION = "_commit_version"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft stream source needs a path"))
+
+  /** Data schema of the live table (+ CDC columns in feed mode).
+    * Resolved ONCE per stream start; tailing across a schema change is
+    * rejected batch-side (the strict select below), not silently
+    * widened — materialize the evolution (OPTIMIZE) and restart the
+    * stream instead. */
+  def schemaFor(spark: SparkSession,
+      parameters: Map[String, String]): StructType = {
+    val data = VersionedParquet.read(spark, rootOf(parameters)).schema
+    if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      StructType(data.fields.toSeq :+
+        StructField(CHANGE_TYPE, StringType, nullable = false) :+
+        StructField(COMMIT_VERSION, LongType, nullable = false))
+    else data
+  }
+
+  def apply(spark: SparkSession,
+      parameters: Map[String, String]): GraftStreamSource = {
+    val root = rootOf(parameters)
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    val ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean)
+    require(!(cdf && ignoreChanges),
+      "readChangeFeed already surfaces every change; ignoreChanges is a " +
+        "data-rows-mode option")
+    val live = VersionedParquet.currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(
+        s"no published version under $root — publish v0 before tailing"))
+    val starting = parameters.get("startingVersion").map(_.toLong)
+      .getOrElse(live)
+    require(starting >= 0 && starting <= live,
+      s"startingVersion $starting outside published range [0, $live]")
+    new GraftStreamSource(spark, root, starting, cdf, ignoreChanges,
+      schemaFor(spark, parameters))
+  }
+}
+
+/** The versioned table as a DSv1 streaming `Source` — see the contract
+  * on [[GraftSource.sourceSchema]]. One instance per running stream;
+  * all state is the checkpoint's offsets (versions), so the source
+  * itself is stateless across restarts. */
+private[warehouse] class GraftStreamSource(spark: SparkSession,
+    root: String, startingVersion: Long, cdf: Boolean,
+    ignoreChanges: Boolean, override val schema: StructType)
+    extends Source {
+  import GraftStreamSource.{CHANGE_TYPE, COMMIT_VERSION}
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def versionOf(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => throw new IllegalStateException(
+      s"unexpected offset type ${other.getClass}")
+  }
+
+  /** Latest committed version — the next batch's upper bound. */
+  override def getOffset: Option[V1Offset] =
+    VersionedParquet.currentVersion(spark, root).map(LongOffset.apply)
+
+  /** Data-rows mode admits a version iff its committed write domain
+    * proves append-only — a METADATA check, no data scanned. Updates /
+    * deletes / keyed merges / whole-table domains fail loudly (or pass
+    * filtered when `ignoreChanges`). Conservative by design: a merge
+    * that happened to match zero rows still needs `ignoreChanges`. */
+  private def guardAppendOnly(v: Long): Unit = {
+    val domain = Optimistic.domainOf(spark, root, v)
+    if (domain != Optimistic.AppendDomain && !ignoreChanges)
+      throw new IllegalStateException(
+        s"version $v of $root is not an append (domain $domain); " +
+          "stream with readChangeFeed to consume updates/deletes, or " +
+          "ignoreChanges to drop them")
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val to = versionOf(end)
+    val frame = start.map(versionOf) match {
+      case Some(from) if from >= to => // restart replay of a done range
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+      case Some(from) => feed(from, to)
+      case None => // first batch: snapshot AT startingVersion + tail
+        val snap0 = VersionedParquet.read(spark, root, Some(startingVersion))
+        val snap =
+          if (cdf) snap0.withColumn(CHANGE_TYPE, lit("insert"))
+            .withColumn(COMMIT_VERSION, lit(startingVersion))
+          else snap0
+        if (to > startingVersion) snap.unionByName(feed(startingVersion, to))
+        else snap
+    }
+    // strict column binding: the batch must produce exactly the schema
+    // resolved at stream start — a mid-stream schema change errors here
+    org.apache.spark.sql.graft.StreamShim.asStreaming(spark,
+      frame.select(schema.fieldNames.toSeq.map(col): _*))
+  }
+
+  private def feed(from: Long, to: Long): DataFrame = {
+    if (!cdf) (from + 1 to to).foreach(guardAppendOnly)
+    val ch = VersionedParquet.changes(spark, root, from, to)
+    if (cdf) ch
+    else if (ignoreChanges)
+      ch.filter(col(CHANGE_TYPE).isin("insert", "update_post"))
+        .drop(CHANGE_TYPE, COMMIT_VERSION)
+    else ch.drop(CHANGE_TYPE, COMMIT_VERSION)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"GraftStreamSource[$root, starting=$startingVersion, cdf=$cdf]"
 }
