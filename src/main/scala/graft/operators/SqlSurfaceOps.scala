@@ -184,7 +184,47 @@ object SqlSurfaceOps {
              |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM allrows
              |GROUP BY 1, 2
-             |ORDER BY lang, band""".stripMargin))
+             |ORDER BY lang, band""".stripMargin)),
+
+    // ── Pushed-down filters prune FILES through the SQL read surface ─────
+    // q121/q134 prove the skipping tier through the Scala API; here the
+    // SQL-only client gets it for free: the graft data source resolves
+    // pushed-down filters through the stats sidecar, so the range
+    // predicate over the z-clustered orders table lists a slice of its
+    // 32 files and the bloom point lookup over the unsorted docs table
+    // opens only files whose filter holds both probe bits
+    // (SourcePruneSpec asserts the actual file counts; this gate pins
+    // the ANSWERS, so an over-eager prune — dropping a needed file —
+    // breaks counts/sums, and filters re-applied above the scan keep
+    // a too-loose prune merely slow, never wrong).
+    QueryDef("q166_sql_pruned_scan",
+      (s, d) => {
+        val oroot = OlapOps.clusteredOrdersRoot(s, d)
+        val droot = OlapOps.bloomDocsRoot(s, d)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q166_orders " +
+          s"USING graft OPTIONS (path '$oroot')")
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q166_docs " +
+          s"USING graft OPTIONS (path '$droot')")
+        s.sql(s"""SELECT 'point' AS probe, count(*) AS n,
+                 |       CAST(sum(n_chars) AS BIGINT) AS sum_val
+                 |FROM graft_q166_docs WHERE doc_id = 123
+                 |UNION ALL
+                 |SELECT 'range', count(*),
+                 |       CAST(sum(o_custkey) AS BIGINT)
+                 |FROM graft_q166_orders
+                 |WHERE o_custkey BETWEEN ${OlapOps.SKIP_LO}
+                 |  AND ${OlapOps.SKIP_HI}
+                 |ORDER BY probe""".stripMargin)
+      },
+      Some(s"""SELECT 'point' AS probe, count(*) AS n,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_val
+             |FROM documents WHERE doc_id = 123
+             |UNION ALL
+             |SELECT 'range', count(*), CAST(sum(o_custkey) AS BIGINT)
+             |FROM orders
+             |WHERE o_custkey BETWEEN ${OlapOps.SKIP_LO}
+             |  AND ${OlapOps.SKIP_HI}
+             |ORDER BY probe""".stripMargin))
   )
 
   /** q163 scratch table: documents published, then the metadata-only

@@ -215,6 +215,119 @@ object FileStats {
       _.get(s"$column#bloom").forall(_.mightContain(p1, p2)))
   }
 
+  /** Conservative per-file pruning predicate derived from ONE pushed-
+    * down `sources.Filter`, or None when the filter can't prune (wrong
+    * shape, un-stats-able type, null semantics). Soundness contract: a
+    * returned predicate may only reject a file when NO row of it can
+    * satisfy the filter — equality/range tests never match NULL rows,
+    * so null-blind min/max ranges (publish ignores nulls) stay sound;
+    * IsNull/IsNotNull/EqualNullSafe prune nothing. The exact predicate
+    * is always re-applied above the scan, so a too-loose keep is just
+    * wasted IO, never wrong rows. */
+  private[warehouse] def pruneFor(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      filter: org.apache.spark.sql.sources.Filter)
+      : Option[Map[String, Range] => Boolean] = {
+    import org.apache.spark.sql.sources._
+    def fieldType(c: String) = schema.fields.find(_.name == c).map(_.dataType)
+    def isStr(c: String) = fieldType(c)
+      .exists(_.isInstanceOf[org.apache.spark.sql.types.StringType])
+    def isIntegral(c: String) = fieldType(c).exists {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    def longOf(v: Any): Option[Long] = v match {
+      case n: Byte => Some(n.toLong)
+      case n: Short => Some(n.toLong)
+      case n: Int => Some(n.toLong)
+      case n: Long => Some(n)
+      case _ => None
+    }
+    // bloom probe positions of one literal — cast to the COLUMN's type
+    // first: xxhash64 is type-sensitive, and the publish side folded
+    // positions of the column expression itself
+    def probes(c: String, v: Any): (Int, Int) = {
+      import org.apache.spark.sql.functions.lit
+      val t = fieldType(c).get
+      val row = spark.range(1).select(
+        bloomPos(lit(v).cast(t), 1), bloomPos(lit(v).cast(t), 2)).head()
+      (row.getLong(0).toInt, row.getLong(1).toInt)
+    }
+    filter match {
+      case EqualTo(c, v) if isIntegral(c) && longOf(v).isDefined =>
+        val x = longOf(v).get
+        val (p1, p2) = probes(c, v)
+        Some(cols => cols.get(c).forall(_.overlapsLong(x, x)) &&
+          cols.get(s"$c#bloom").forall(_.mightContain(p1, p2)))
+      case EqualTo(c, v: String) if isStr(c) =>
+        val (p1, p2) = probes(c, v)
+        Some(cols => cols.get(c).forall(_.overlapsStr(v, v)) &&
+          cols.get(s"$c#bloom").forall(_.mightContain(p1, p2)))
+      case GreaterThan(c, v) if isIntegral(c) && longOf(v).isDefined =>
+        // inclusive lower bound is conservative for the strict case
+        val x = longOf(v).get
+        Some(cols => cols.get(c).forall(_.overlapsLong(x, Long.MaxValue)))
+      case GreaterThanOrEqual(c, v) if isIntegral(c) && longOf(v).isDefined =>
+        val x = longOf(v).get
+        Some(cols => cols.get(c).forall(_.overlapsLong(x, Long.MaxValue)))
+      case LessThan(c, v) if isIntegral(c) && longOf(v).isDefined =>
+        val x = longOf(v).get
+        Some(cols => cols.get(c).forall(_.overlapsLong(Long.MinValue, x)))
+      case LessThanOrEqual(c, v) if isIntegral(c) && longOf(v).isDefined =>
+        val x = longOf(v).get
+        Some(cols => cols.get(c).forall(_.overlapsLong(Long.MinValue, x)))
+      case In(c, vs) if vs.nonEmpty && isIntegral(c) &&
+          vs.forall(longOf(_).isDefined) =>
+        // envelope of the value set — conservative, no per-value probes
+        val xs = vs.map(longOf(_).get)
+        Some(cols => cols.get(c).forall(_.overlapsLong(xs.min, xs.max)))
+      case In(c, vs) if vs.nonEmpty && isStr(c) &&
+          vs.forall(_.isInstanceOf[String]) =>
+        val xs = vs.map(_.asInstanceOf[String])
+        Some(cols => cols.get(c).forall(_.overlapsStr(xs.min, xs.max)))
+      case StringStartsWith(c, p) if isStr(c) && p.nonEmpty =>
+        // matches lie in [p, succ(p)); when the last char can't be
+        // incremented, keep only the lower-bound test
+        val last = p.last
+        if (last == Char.MaxValue)
+          Some(cols => cols.get(c).forall {
+            case StrRange(_, mx) => mx >= p
+            case _ => true
+          })
+        else {
+          val succ = p.init + (last + 1).toChar
+          Some(cols => cols.get(c).forall {
+            case StrRange(mn, mx) => mx >= p && mn < succ
+            case _ => true
+          })
+        }
+      case And(l, r) =>
+        (pruneFor(spark, schema, l), pruneFor(spark, schema, r)) match {
+          case (Some(a), Some(b)) => Some(cols => a(cols) && b(cols))
+          case (a, b) => a.orElse(b)
+        }
+      case _ => None
+    }
+  }
+
+  /** [[skippingRead]] driven by a pushed-down filter array (the graft
+    * data source's scan path): every prunable conjunct must keep a
+    * file for it to be listed. Returns the full read (audit counts −1)
+    * when nothing prunes. */
+  private[warehouse] def skippingReadFilters(spark: SparkSession,
+      root: String, version: Option[Long],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      schema: org.apache.spark.sql.types.StructType)
+      : (DataFrame, Int, Int) = {
+    val preds = filters.flatMap(pruneFor(spark, schema, _))
+    if (preds.isEmpty) (VersionedParquet.read(spark, root, version), -1, -1)
+    else skippingReadWhere(spark, root, version,
+      cols => preds.forall(_(cols)))
+  }
+
   private def skippingReadWhere(spark: SparkSession, root: String,
                                 version: Option[Long],
                                 keepFile: Map[String, Range] => Boolean)

@@ -159,13 +159,38 @@ private[warehouse] class GraftRelation(ctx: SQLContext, root: String,
       filters: Array[Filter]): RDD[Row] = {
     // one instantiation per scan: `frame` is a def (each call resolves
     // the CURRENT version fresh), so projection must bind to the same
-    // instance it selects from
-    val f = frame
+    // instance it selects from. Live table reads with pushed-down
+    // filters resolve THROUGH the file-skipping tier: prunable
+    // conjuncts (ranges, equality + bloom, IN envelopes, prefixes)
+    // drop files whose stats cannot match before the scan ever lists
+    // them — the SQL-only client gets the same slice-not-table scan
+    // as FileStats.skippingRead, and since every filter is re-applied
+    // above (unhandledFilters), pruning is a pure IO optimization.
+    // Pinned/CDC/history frames keep the plain path: skipping stats
+    // describe the live physical layout.
+    val f =
+      if (history || chFrom.isDefined || asOf.isDefined ||
+          version.isDefined || filters.isEmpty) frame
+      else {
+        val (df, kept, total) = FileStats.skippingReadFilters(
+          spark, root, None, filters.toSeq, schema)
+        GraftRelation.lastPrune = Some((root, kept, total))
+        df
+      }
     val pruned =
       if (requiredColumns.isEmpty) f
       else f.select(requiredColumns.map(f.col).toSeq: _*)
     pruned.rdd
   }
+}
+
+private[warehouse] object GraftRelation {
+  /** Last pruned-scan audit `(root, filesRead, filesTotal)` — a
+    * debug/spec observability hook (driver-side, volatile), NOT an
+    * API: concurrent scans race on it harmlessly. −1/−1 means the
+    * scan had filters but no stats sidecar to prune with. */
+  @volatile private[warehouse] var lastPrune: Option[(String, Int, Int)] =
+    None
 }
 
 private[warehouse] object GraftStreamSource {
