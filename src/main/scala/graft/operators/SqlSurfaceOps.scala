@@ -224,8 +224,71 @@ object SqlSurfaceOps {
              |FROM orders
              |WHERE o_custkey BETWEEN ${OlapOps.SKIP_LO}
              |  AND ${OlapOps.SKIP_HI}
-             |ORDER BY probe""".stripMargin))
+             |ORDER BY probe""".stripMargin)),
+
+    // ── Metadata-only DROP / RENAME COLUMN lifecycle as SQL ──────────────
+    // q163 covers ADD; this completes the ALTER matrix: RENAME + DROP
+    // apply at read with zero bytes rewritten (SchemaMapSpec proves the
+    // scan reads the same files), DML is fenced until OPTIMIZE
+    // materializes the logical schema, and a post-materialization
+    // append speaks the new names. The oracle replays base + append
+    // under the final names — a lost rename, a resurrected dropped
+    // column (schema mismatch), or an un-fenced write landing against
+    // the stale physical schema all break it.
+    QueryDef("q167_sql_column_lifecycle",
+      (s, d) => {
+        val root = columnLifecycleRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .orderBy("priority")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |         o_orderpriority AS priority
+             |  FROM orders),
+             |allrows AS (
+             |  SELECT * FROM o
+             |  UNION ALL
+             |  SELECT k + 1000000, cents + 5, priority
+             |  FROM o WHERE k % 9 = 0)
+             |SELECT priority, count(*) AS n_orders,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM allrows
+             |GROUP BY 1
+             |ORDER BY priority""".stripMargin))
   )
+
+  /** q167 scratch table: orders published with a to-be-renamed and a
+    * to-be-dropped column, the ALTER pair issued as SQL (instant
+    * logical reads, zero bytes rewritten), OPTIMIZE materializing,
+    * and one post-materialization append under the NEW names. Once
+    * per session. */
+  private def columnLifecycleRoot(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String = {
+    val root = Scratch.dir(s, "q167-column-lifecycle")
+    GraftTables.register("graft_q167", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("junk"))
+      VersionedParquet.publish(o, root, keepVersions = 20)
+      GraftSql.sql(s, "ALTER TABLE graft_q167 RENAME COLUMN prio TO priority")
+      GraftSql.sql(s, "ALTER TABLE graft_q167 DROP COLUMN junk")
+      GraftSql.sql(s, "OPTIMIZE graft_q167")
+      VersionedParquet.append(s, root,
+        VersionedParquet.read(s, root)
+          .filter(col("k") % 9 === 0)
+          .select((col("k") + 1000000L).as("k"),
+            (col("cents") + 5L).as("cents"), col("priority")),
+        keepVersions = 20)
+    }
+    root
+  }
 
   /** q163 scratch table: documents published, then the metadata-only
     * ALTER lifecycle driven as SQL — ADD COLUMN (readable instantly,

@@ -79,6 +79,10 @@ private[graft] final case class SqlVacuum(table: String,
     retain: Option[Int]) extends GraftDml
 private[graft] final case class SqlAddColumn(table: String, col: String,
     typeDdl: String, default: Option[String]) extends GraftDml
+private[graft] final case class SqlDropColumn(table: String,
+    col: String) extends GraftDml
+private[graft] final case class SqlRenameColumn(table: String,
+    from: String, to: String) extends GraftDml
 
 object GraftSql {
 
@@ -106,6 +110,9 @@ object GraftSql {
     val A = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+COLUMN\s+""" +
       """([A-Za-z_][\w]*)\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)""" +
       """(?:\s+DEFAULT\s+(.+))?""").r
+    val AD = """(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+COLUMN\s+([A-Za-z_][\w]*)""".r
+    val AR = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+RENAME\s+COLUMN\s+""" +
+      """([A-Za-z_][\w]*)\s+TO\s+([A-Za-z_][\w]*)""").r
     val dml = t match {
       case M(table, source, on, matched) =>
         keyColsOf(on).map(keys => SqlMerge(table, source, keys,
@@ -121,6 +128,8 @@ object GraftSql {
       case A(table, colName, typeDdl, default) =>
         Some(SqlAddColumn(table, colName, typeDdl.trim,
           Option(default).map(_.trim)))
+      case AD(table, colName) => Some(SqlDropColumn(table, colName))
+      case AR(table, from, to) => Some(SqlRenameColumn(table, from, to))
       case _ => None
     }
     dml.filter(d => GraftTables.rootOf(d.table).isDefined)
@@ -200,6 +209,12 @@ object GraftSql {
       case SqlAddColumn(_, colName, typeDdl, default) =>
         VersionedParquet.addColumn(spark, root, colName, typeDdl,
           default.getOrElse("NULL"))
+        root
+      case SqlDropColumn(_, colName) =>
+        VersionedParquet.dropColumn(spark, root, colName)
+        root
+      case SqlRenameColumn(_, from, to) =>
+        VersionedParquet.renameColumn(spark, root, from, to)
         root
     }
   }

@@ -267,6 +267,7 @@ object Optimistic {
     import org.apache.spark.sql.functions.lit
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
+    VersionedParquet.requireNoPendingSchemaMapGuard(spark, root)
     var readVersion = currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root"))
     var attempts = 0
@@ -372,6 +373,7 @@ object Optimistic {
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
+    VersionedParquet.requireNoPendingSchemaMapGuard(spark, root)
     var readVersion = currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root"))
     var attempts = 0
@@ -529,6 +531,7 @@ object Optimistic {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
+    VersionedParquet.requireNoPendingSchemaMapGuard(spark, root)
     var readVersion = currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root"))
     var attempts = 0

@@ -620,6 +620,12 @@ object VersionedParquet {
         throw new IOException(s"could not swap pointer for $root; live " +
           s"table unchanged, staged snapshot at $snapshot", e)
     }
+    // A physical publish makes the logical schema physical (compact
+    // reads through read(), a direct publish is schema-authoritative),
+    // so pending drop/rename map ops are now spent — clear them: a
+    // stale `drop x` would silently eat a column a later write
+    // legitimately re-introduces.
+    fs.delete(new Path(rootPath, SCHEMA_MAP), false)
     // Retire snapshots beyond the retention window (pointer already
     // moved; only versions older than the last `keepVersions` go).
     vacuum(spark, root, keepVersions, minRetainMillis)
@@ -788,19 +794,134 @@ object VersionedParquet {
         val Array(n, t, d) = l.split('\t'); (n, t, d)
       }).getOrElse(Nil)
 
-  /** Apply the table's schema extensions to an assembled frame:
-    * columns already physical pass through; virtual ones append as
-    * their default, cast to the declared type. */
+  // ── metadata-only DROP / RENAME COLUMN ─────────────────────────────
+  //
+  // `root/_SCHEMA_MAP` lists column ops applied at read WITHOUT
+  // rewriting a byte (Delta's column-mapping analogue): one line per
+  // op, `drop \t name \t -` or `rename \t old \t new`, applied in
+  // recorded order BEFORE the extension columns (map ops act on
+  // physical columns; extension defaults are written against the
+  // post-map logical names). The next materializing publish — compact/
+  // OPTIMIZE reads through [[read]], a full `publish` replaces the
+  // schema wholesale — makes the logical schema physical and CLEARS
+  // the map (a stale `drop x` must never eat a column a later write
+  // legitimately re-introduces). While a map is pending, every DML
+  // write (append/upsert/merge/update/delete/partition-overwrite) is
+  // rejected with guidance to OPTIMIZE first: writers speak the
+  // LOGICAL schema, the physical tiers still hold the old one, and
+  // silently reverse-mapping every write path is how formats corrupt
+  // tables. Dropping/renaming a still-virtual extension column edits
+  // `_SCHEMA_EXT` directly — no map entry, nothing physical involved.
+
+  private[warehouse] val SCHEMA_MAP = "_SCHEMA_MAP"
+
+  private[warehouse] def schemaMapOps(spark: SparkSession,
+      root: String): Seq[(String, String, String)] =
+    readPointer(spark, new Path(root, SCHEMA_MAP))
+      .map(_.split('\n').filter(_.nonEmpty).toSeq.map { l =>
+        val Array(op, a, b) = l.split('\t'); (op, a, b)
+      }).getOrElse(Nil)
+
+  /** [[requireNoPendingSchemaMap]] for the optimistic writers (which
+    * live in [[Optimistic]]). */
+  private[warehouse] def requireNoPendingSchemaMapGuard(
+      spark: SparkSession, root: String): Unit =
+    requireNoPendingSchemaMap(spark, root, "optimistic write")
+
+  /** Reject DML while a metadata-only drop/rename is pending — see the
+    * contract above. */
+  private def requireNoPendingSchemaMap(spark: SparkSession,
+      root: String, verb: String): Unit = {
+    val ops = schemaMapOps(spark, root)
+    if (ops.nonEmpty)
+      throw new IOException(s"$verb rejected: $root has pending " +
+        s"metadata-only schema changes (${ops.map(o => s"${o._1} ${o._2}")
+          .mkString(", ")}); run compact/OPTIMIZE to materialize them " +
+        "first")
+  }
+
+  /** Apply the table's logical schema to an assembled physical frame:
+    * first the map ops (drop/rename, in recorded order, each a no-op
+    * when its target is already gone — the post-materialization
+    * state), then the extension columns (virtual ones append as their
+    * default, cast to the declared type). */
   private[warehouse] def applySchemaExt(spark: SparkSession, root: String,
                                         df: DataFrame): DataFrame = {
-    val have = df.columns.toSet
-    schemaExtensions(spark, root).foldLeft(df) {
+    val mapped = schemaMapOps(spark, root).foldLeft(df) {
+      case (d, ("drop", n, _)) if d.columns.contains(n) => d.drop(n)
+      case (d, ("rename", o, n)) if d.columns.contains(o) =>
+        d.withColumnRenamed(o, n)
+      case (d, _) => d
+    }
+    val have = mapped.columns.toSet
+    schemaExtensions(spark, root).foldLeft(mapped) {
       case (d, (n, t, dflt)) if !have(n) =>
         d.withColumn(n,
           org.apache.spark.sql.functions.expr(dflt).cast(t))
       case (d, _) => d
     }
   }
+
+  /** Metadata-only DROP COLUMN: `name` vanishes from every read
+    * immediately, zero bytes rewritten. A still-virtual extension
+    * column just loses its `_SCHEMA_EXT` entry; a physical column
+    * records a map op that the next compact/OPTIMIZE materializes.
+    * Hive partition columns are refused (their values ARE the
+    * directory layout). */
+  def dropColumn(spark: SparkSession, root: String, name: String): Unit =
+    withWriterLock(spark, root) {
+      require(!name.contains('\t'), "no tabs in column metadata")
+      require(!partitionColsOf(spark, root).contains(name),
+        s"$name is a partition column of $root; rewrite the layout " +
+          "instead (publish/compact with a new partitioning)")
+      val ext = schemaExtensions(spark, root)
+      if (ext.exists(_._1 == name)) {
+        val kept = ext.filterNot(_._1 == name)
+        if (kept.isEmpty) fsOf(spark, new Path(root))
+          .delete(new Path(root, SCHEMA_EXT), false)
+        else installPointer(spark, new Path(root), SCHEMA_EXT,
+          kept.map { case (n, t, d) => s"$n\t$t\t$d" }.mkString("\n"))
+      } else {
+        require(read(spark, root).columns.contains(name),
+          s"column $name does not exist on $root")
+        val prior = readPointer(spark, new Path(root, SCHEMA_MAP))
+          .map(_ + "\n").getOrElse("")
+        installPointer(spark, new Path(root), SCHEMA_MAP,
+          prior + s"drop\t$name\t-")
+      }
+    }
+
+  /** Metadata-only RENAME COLUMN: reads see `to` immediately, zero
+    * bytes rewritten; materializes at the next compact/OPTIMIZE. A
+    * still-virtual extension column renames in place in
+    * `_SCHEMA_EXT`. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String): Unit =
+    withWriterLock(spark, root) {
+      require(!from.contains('\t') && !to.contains('\t'),
+        "no tabs in column metadata")
+      require(!partitionColsOf(spark, root).contains(from),
+        s"$from is a partition column of $root; rewrite the layout " +
+          "instead")
+      val logical = read(spark, root).columns
+      require(logical.contains(from),
+        s"column $from does not exist on $root")
+      require(!logical.contains(to),
+        s"column $to already exists on $root")
+      val ext = schemaExtensions(spark, root)
+      if (ext.exists(_._1 == from))
+        installPointer(spark, new Path(root), SCHEMA_EXT,
+          ext.map {
+            case (n, t, d) if n == from => s"$to\t$t\t$d"
+            case (n, t, d) => s"$n\t$t\t$d"
+          }.mkString("\n"))
+      else {
+        val prior = readPointer(spark, new Path(root, SCHEMA_MAP))
+          .map(_ + "\n").getOrElse("")
+        installPointer(spark, new Path(root), SCHEMA_MAP,
+          prior + s"rename\t$from\t$to")
+      }
+    }
 
   /** Metadata-only ADD COLUMN: `name type` becomes readable on every
     * version immediately — as `defaultExpr` (SQL text, deterministic;
@@ -854,6 +975,7 @@ object VersionedParquet {
              predicate: org.apache.spark.sql.Column,
              keepVersions: Int): String = {
     import org.apache.spark.sql.functions.col
+    requireNoPendingSchemaMap(spark, root, "DELETE")
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root"))
     val rootPath = new Path(root)
@@ -964,6 +1086,7 @@ object VersionedParquet {
             upserts: DataFrame, deleteKeys: DataFrame, keyCols: Seq[String],
             keepVersions: Int, markers: Map[String, String]): String = {
     import org.apache.spark.sql.functions.{col, count, lit}
+    requireNoPendingSchemaMap(spark, root, "MERGE/upsert")
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root"))
     val rootPath = new Path(root)
@@ -1579,6 +1702,8 @@ object VersionedParquet {
       // (metadata-only ADD COLUMN) must stay readable on the clone
       readPointer(spark, new Path(srcRoot, SCHEMA_EXT)).foreach(m =>
         installPointer(spark, dstPath, SCHEMA_EXT, m))
+      readPointer(spark, new Path(srcRoot, SCHEMA_MAP)).foreach(m =>
+        installPointer(spark, dstPath, SCHEMA_MAP, m))
       installPointer(spark, snapshot, "_SUCCESS", commitStamp())
       try swapPointer(spark, dstPath, 0L)
       catch {
@@ -1686,6 +1811,7 @@ object VersionedParquet {
              markers: Map[String, String] = Map.empty): String =
     withWriterLock(spark, root) {
       import org.apache.spark.sql.functions.{expr, lit, not, sum, when}
+      requireNoPendingSchemaMap(spark, root, "append")
       val v = currentVersion(spark, root).getOrElse(
         throw new IOException(s"no published version under $root"))
       val rootPath = new Path(root)
@@ -1775,6 +1901,7 @@ object VersionedParquet {
       import org.apache.spark.sql.functions.{coalesce, col, expr, lit,
         not, sum, when}
       require(sets.nonEmpty, "UPDATE needs at least one SET column")
+      requireNoPendingSchemaMap(spark, root, "UPDATE")
       val v = currentVersion(spark, root).getOrElse(
         throw new IOException(s"no published version under $root"))
       val rootPath = new Path(root)
@@ -1909,6 +2036,7 @@ object VersionedParquet {
                           df: DataFrame, keepVersions: Int = 2): String =
     withWriterLock(spark, root) {
       import org.apache.spark.sql.functions.{col, expr, lit, not, sum, when}
+      requireNoPendingSchemaMap(spark, root, "partition overwrite")
       val v = currentVersion(spark, root).getOrElse(
         throw new IOException(s"no published version under $root"))
       val rootPath = new Path(root)
