@@ -939,8 +939,123 @@ object DedupOps {
              |         count(*) OVER (PARTITION BY source, lang) AS n_in_bucket
              |  FROM documents)
              |WHERE n_in_bucket > 1
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Incremental LSH index maintenance via the change feed ────────────
+    // The dedup tier meets the lakehouse tier (the q162 discipline for
+    // MinHash): documents live in a VERSIONED table, the stored band
+    // index advances from the table's own change feed — new docs
+    // shingle+sign+band as an O(changes) batch (signatures are doc-
+    // local, so incremental == rebuild EXACTLY), deleted docs' band
+    // rows anti-join out — never a corpus re-shingle. The oracle
+    // recomputes signatures, bands, and candidate pairs from scratch
+    // over the FINAL logical doc set, so a feed-missed insert, an
+    // unexpunged deleted doc (ghost candidates), or bulk-vs-
+    // incremental signature drift all break bucketed counts/sums.
+    // (The gate rewrites the small index store wholesale; a production
+    // index shards by band-key range so maintenance touches only
+    // affected shards — the BAND-ROW COMPUTATION is the O(changes)
+    // part either way.)
+    QueryDef("q168_lsh_index_maintenance",
+      (s, d) => {
+        val idx = s.read.parquet(lshIndexPath(s, d))
+        candidatesBetween(idx, idx)
+          .groupBy((col("id_a") % 5).as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum("id_a").cast("long").as("sum_a"),
+            sum("id_b").cast("long").as("sum_b"))
+          .orderBy("bucket")
+      },
+      Some(s"""${sigsCandSqlOver(
+               """SELECT doc_id, lang, text FROM documents
+                 |  WHERE doc_id % 7 <> 2
+                 |  UNION ALL
+                 |  SELECT doc_id + 10000000, lang, text FROM documents
+                 |  WHERE doc_id % 13 = 1""".stripMargin)}
+             |SELECT id_a % 5 AS bucket, count(*) AS n_pairs,
+             |       CAST(sum(id_a) AS BIGINT) AS sum_a,
+             |       CAST(sum(id_b) AS BIGINT) AS sum_b
+             |FROM cand
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin))
   )
+
+  /** q168 scratch table: documents published as v0 of a versioned
+    * table, then ONE keyed merge inserting near-dup copies
+    * (doc_id + 10⁷, same text) and deleting a doc_id band. Once per
+    * session. */
+  private def lshTableRoot(s: SparkSession, d: String): String = {
+    import graft.warehouse.VersionedParquet
+    val root = graft.sources.Scratch.dir(s, "q168-lsh-table")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      VersionedParquet.publish(docs, root, keepVersions = 10)
+      val inserts = docs.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("lang"),
+          col("text"))
+      val deletes = docs.filter(col("doc_id") % 7 === 2).select("doc_id")
+      VersionedParquet.merge(s, root, inserts, deletes, Seq("doc_id"),
+        keepVersions = 10)
+    }
+    root
+  }
+
+  /** The maintained band index: built once per session as v0-rebuild +
+    * one feed-driven increment (inserts' bands computed from ONLY the
+    * insert batch; deleted ids anti-joined out). */
+  private def lshIndexPath(s: SparkSession, d: String): String = {
+    import graft.warehouse.VersionedParquet
+    val root = lshTableRoot(s, d)
+    val idx = graft.sources.Scratch.dir(s, "q168-lsh-index")
+    if (!new java.io.File(idx).exists()) {
+      val v0 = VersionedParquet.read(s, root, Some(0L))
+      val idx0 = bandKeys(signaturesOf(shingleFrameOf(v0)))
+      val feed = VersionedParquet.changes(s, root, 0, 1)
+      val ins = feed.filter(col("_change_type") === "insert")
+        .select("doc_id", "lang", "text")
+      val delIds = feed.filter(col("_change_type") === "delete")
+        .select("doc_id")
+      val maintained = idx0
+        .join(delIds, Seq("doc_id"), "left_anti")
+        .unionByName(bandKeys(signaturesOf(shingleFrameOf(ins))))
+      graft.warehouse.AtomicParquet.overwrite(maintained, idx)
+    }
+    idx
+  }
+
+  /** Parameterized DuckDB CTE chain `docs168 → … → cand` over an
+    * arbitrary docs-shaped SELECT (mirrors shingle → signatures →
+    * bandKeys → candidatesBetween). */
+  private def sigsCandSqlOver(docsCte: String): String = {
+    val minExprs = (0 until MINHASH_K).map(i =>
+      s"min((${mixA(i)} * (h60 % $H30) + ${mixB(i)}) % $P31) AS m$i")
+      .mkString(",\n       ")
+    val bandSelects = (0 until 8).map { b =>
+      val ms = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $ms) AS key FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH docs168 AS (
+       |  $docsCte),
+       |t AS (SELECT doc_id, lang, $TOKS AS toks FROM docs168),
+       |sh AS (SELECT doc_id, lang, $SHINGLES AS shingles FROM t),
+       |ex AS (
+       |  SELECT doc_id, lang, len(shingles) AS n_sh,
+       |         unnest(shingles) AS shingle
+       |  FROM sh WHERE len(shingles) > 0),
+       |hashed AS (
+       |  SELECT *, ${Hashing.md5Long60Sql("shingle")} AS h60 FROM ex),
+       |sigs AS (
+       |  SELECT doc_id,
+       |       $minExprs
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key
+       |   AND a.doc_id < b.doc_id)""".stripMargin
+  }
 
   /** DuckDB CTE chain computing `comp(id, group_id)` — the recursive-CTE
     * mirror of `components`; prepend `WITH RECURSIVE`. Shared by q54 and
