@@ -1737,6 +1737,55 @@ object VersionOps {
              |UNION ALL
              |SELECT 2, 'update_post', count(*),
              |       CAST(sum(cents * 2) AS BIGINT) FROM u2
-             |ORDER BY commit_version, change_type""".stripMargin))
+             |ORDER BY commit_version, change_type""".stripMargin)),
+
+    // ── Table-to-table streaming pipeline: graft source → graft sink ─────
+    // The medallion shape end-to-end INSIDE the format: bronze is the
+    // q155 append chain, silver is maintained by a real Structured
+    // Streaming query — readStream.format("graft") tails bronze
+    // (snapshot + feed, offsets = versions), a transform filters and
+    // derives, and VersionedSink lands each micro-batch as ONE
+    // exactly-once O(batch) append version on silver. The oracle
+    // replays bronze's three loads and applies the transform, so a
+    // dropped batch, a replayed batch (double rows), or a snapshot/
+    // feed overlap all break counts/sums. Restart-incrementality is
+    // GraftPipelineSpec's job.
+    QueryDef("q169_stream_pipeline",
+      (s, d) => {
+        import org.apache.spark.sql.streaming.Trigger
+        val bronze = appendRoot(s, d)
+        val silver = Scratch.dir(s, "q169-silver")
+        val ckpt = Scratch.dir(s, "q169-ckpt")
+        if (VersionedParquet.currentVersion(s, silver).isEmpty) {
+          val src = s.readStream.format("graft")
+            .option("startingVersion", "0").load(bronze)
+            .filter(col("k") % 2 === 0)
+            .select(col("k"), col("c"), col("cents"),
+              (col("c") % 5).as("bucket"))
+          val q = graft.streaming.VersionedSink.runAppend(
+            src, silver, ckpt, keepVersions = 10)
+          q.awaitTermination()
+        }
+        VersionedParquet.read(s, silver)
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").cast("long").as("sum_cents"))
+          .orderBy("bucket")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |final AS (
+             |  SELECT k, c, cents FROM o
+             |  UNION ALL
+             |  SELECT k, c, cents FROM o
+             |  WHERE k % 3 = 1 AND c % 5 = 0)
+             |SELECT c % 5 AS bucket, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM final
+             |WHERE k % 2 = 0
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin))
   )
 }
