@@ -258,8 +258,75 @@ object SqlSurfaceOps {
              |       CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM allrows
              |GROUP BY 1
-             |ORDER BY priority""".stripMargin))
+             |ORDER BY priority""".stripMargin)),
+
+    // ── Full SQL-only table lifecycle: CTAS → DML → ZORDER → SELECT ──────
+    // The last Scala-only step of the SQL story falls: CREATE TABLE …
+    // LOCATION … AS mints the versioned table (register + v0 publish),
+    // INSERT and UPDATE commit O(changes) versions, OPTIMIZE … ZORDER
+    // BY (k, c) re-clusters with interleaved 16-bit ranges + fresh
+    // stats, and the final SELECT reads through the pruned graft view
+    // (q166's path) — every statement plain SQL text. The oracle
+    // replays create/insert/update from raw orders; a CTAS predicate
+    // drift, a lost DML, or a ZORDER that perturbed content all break
+    // bucketed counts/sums.
+    QueryDef("q170_sql_ctas_lifecycle",
+      (s, d) => {
+        val root = ctasRoot(s, d)
+        s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_q170_v " +
+          s"USING graft OPTIONS (path '$root')")
+        s.sql("""SELECT c % 4 AS bucket, count(*) AS n_rows,
+                |       CAST(sum(cents) AS BIGINT) AS sum_cents
+                |FROM graft_q170_v
+                |WHERE k BETWEEN 1000 AND 3000
+                |GROUP BY 1
+                |ORDER BY bucket""".stripMargin)
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |base AS (
+             |  SELECT k, c, cents FROM o WHERE k % 2 = 0
+             |  UNION ALL
+             |  SELECT k, c, CAST(111 AS BIGINT) FROM o WHERE k % 2 = 1),
+             |upd AS (
+             |  SELECT k, c,
+             |         CASE WHEN c % 3 = 0 THEN cents + 9
+             |              ELSE cents END AS cents
+             |  FROM base)
+             |SELECT c % 4 AS bucket, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM upd
+             |WHERE k BETWEEN 1000 AND 3000
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin))
   )
+
+  /** q170 scratch table: minted and driven ENTIRELY as SQL — CTAS from
+    * a view over orders, an INSERT of the odd keys, a searched UPDATE,
+    * and a two-column ZORDER re-cluster. Once per session. */
+  private def ctasRoot(s: org.apache.spark.sql.SparkSession,
+                       d: String): String = {
+    val root = Scratch.dir(s, "q170-ctas")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      GraftTables.unregister("graft_q170")
+      Tables.orders(s, d).createOrReplaceTempView("q170_orders")
+      GraftSql.sql(s, s"CREATE TABLE graft_q170 USING graft " +
+        s"LOCATION '$root' AS " +
+        "SELECT o_orderkey AS k, o_custkey AS c, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+        "FROM q170_orders WHERE o_orderkey % 2 = 0")
+      GraftSql.sql(s, "INSERT INTO graft_q170 " +
+        "SELECT o_orderkey AS k, o_custkey AS c, " +
+        "CAST(111 AS BIGINT) AS cents " +
+        "FROM q170_orders WHERE o_orderkey % 2 = 1")
+      GraftSql.sql(s, "UPDATE graft_q170 SET cents = cents + 9 " +
+        "WHERE c % 3 = 0")
+      GraftSql.sql(s, "OPTIMIZE graft_q170 ZORDER BY (k, c)")
+    }
+    root
+  }
 
   /** q167 scratch table: orders published with a to-be-renamed and a
     * to-be-dropped column, the ALTER pair issued as SQL (instant

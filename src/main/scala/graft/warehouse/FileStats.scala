@@ -57,6 +57,75 @@ object FileStats {
     publishClustered(VersionedParquet.read(spark, root), root,
       layout, statsCols, nFiles)
 
+  /** The `OPTIMIZE t ZORDER BY (cols…)` implementation: recluster the
+    * live table so every named column gets tight per-file ranges. One
+    * column clusters directly; several interleave 16 bits each
+    * (Morton order — the q71/q121 layout) so range predicates on ANY
+    * of them prune files, which is the whole point of Z-ORDER over a
+    * lexicographic sort. Stats (range kind; stats-able types only) are
+    * recomputed on the named columns; file count is sized from the
+    * base's bytes like `compact`. Multi-column interleave needs
+    * integral columns (bit masking); reject anything else loudly. */
+  def zorderOptimize(spark: SparkSession, root: String,
+                     cols: Seq[String], targetBytes: Long = 128L << 20,
+                     keepVersions: Int = 2): String = {
+    require(cols.nonEmpty, "ZORDER BY needs at least one column")
+    import org.apache.spark.sql.functions.{call_function, lit, shiftright}
+    val df = VersionedParquet.read(spark, root)
+    val schema = df.schema
+    cols.foreach(c => require(schema.fieldNames.contains(c),
+      s"ZORDER column $c does not exist on $root"))
+    val integral = cols.forall(c => schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    require(cols.size == 1 || integral,
+      "multi-column ZORDER BY needs integral columns (bit interleave)")
+    val statsable = cols.filter(c => schema(c).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    })
+    val snapshot = new org.apache.hadoop.fs.Path(root,
+      VersionedParquet.baseNameOf(spark, root,
+        VersionedParquet.currentVersion(spark, root).getOrElse(
+          throw new java.io.IOException(s"no published version under $root"))))
+    val bytes = snapshot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(snapshot).getLength
+    val nFiles = math.max(1,
+      math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (cols.size == 1)
+      publishClustered(df, root, cols, statsable, nFiles,
+        keepVersions = keepVersions)
+    else {
+      // 16-bit Morton interleave of the masked columns: bit i of
+      // column j lands at position i * nCols + j
+      val n = cols.size
+      val z = (0 until 16).flatMap { i =>
+        cols.zipWithIndex.map { case (c, j) =>
+          call_function("shiftleft",
+            shiftright(df(c).cast("long").bitwiseAND(lit(65535L)), i)
+              .bitwiseAND(lit(1L)),
+            lit(i * n + j))
+        }
+      }.reduce(_ + _)
+      val keyed = df.withColumn("_zorder_key", z)
+      val arranged = keyed
+        .repartitionByRange(nFiles, keyed("_zorder_key"))
+        .sortWithinPartitions(keyed("_zorder_key"))
+        .drop("_zorder_key")
+      VersionedParquet.publish(arranged, root,
+        keepVersions = keepVersions, statsCols = statsable)
+    }
+  }
+
   /** One column's [min, max] on one file: long range for integral
     * columns, lexicographic string range for string columns. A file
     * may additionally carry a [[BloomStat]] for point-lookup skipping

@@ -58,6 +58,10 @@ object GraftTables {
   def rootOf(name: String): Option[(String, Int)] =
     Option(tables.get(name.toLowerCase))
 
+  /** Forget the SQL identifier (DROP TABLE): metadata-only — the data
+    * at the root is untouched and can be re-registered. */
+  def unregister(name: String): Unit = { tables.remove(name.toLowerCase); () }
+
   def clear(): Unit = tables.clear()
 }
 
@@ -74,7 +78,12 @@ private[graft] final case class SqlInsert(table: String,
     query: String) extends GraftDml
 private[graft] final case class SqlMerge(table: String, source: String,
     keyCols: Seq[String], isDelete: Boolean) extends GraftDml
-private[graft] final case class SqlOptimize(table: String) extends GraftDml
+private[graft] final case class SqlOptimize(table: String,
+    zorder: Seq[String] = Nil) extends GraftDml
+private[graft] final case class SqlCreateTable(table: String,
+    location: String, query: String) extends GraftDml
+private[graft] final case class SqlDropTable(table: String)
+    extends GraftDml
 private[graft] final case class SqlVacuum(table: String,
     retain: Option[Int]) extends GraftDml
 private[graft] final case class SqlAddColumn(table: String, col: String,
@@ -105,7 +114,10 @@ object GraftSql {
       """\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE)""" +
       """(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*""").r
     // maintenance verbs (Delta's OPTIMIZE / VACUUM surface)
-    val O = """(?is)OPTIMIZE\s+([A-Za-z_][\w]*)""".r
+    val O = """(?is)OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?""".r
+    val CT = ("""(?is)CREATE\s+TABLE\s+([A-Za-z_][\w]*)\s+(?:USING\s+graft\s+)?""" +
+      """LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)""").r
+    val DT = """(?is)DROP\s+TABLE\s+([A-Za-z_][\w]*)""".r
     val V = """(?is)VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""".r
     val A = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+COLUMN\s+""" +
       """([A-Za-z_][\w]*)\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)""" +
@@ -122,7 +134,12 @@ object GraftSql {
           Option(where).map(_.trim)))
       case D(table, where) => Some(SqlDelete(table, where.trim))
       case I(table, query) => Some(SqlInsert(table, query.trim))
-      case O(table) => Some(SqlOptimize(table))
+      case CT(table, loc, query) =>
+        Some(SqlCreateTable(table, loc, query.trim))
+      case DT(table) => Some(SqlDropTable(table))
+      case O(table, zcols) => Some(SqlOptimize(table,
+        Option(zcols).map(_.split(",").map(_.trim).toSeq
+          .filter(_.nonEmpty)).getOrElse(Nil)))
       case V(table, retain) =>
         Some(SqlVacuum(table, Option(retain).map(_.toInt)))
       case A(table, colName, typeDdl, default) =>
@@ -132,7 +149,10 @@ object GraftSql {
       case AR(table, from, to) => Some(SqlRenameColumn(table, from, to))
       case _ => None
     }
-    dml.filter(d => GraftTables.rootOf(d.table).isDefined)
+    dml.filter {
+      case _: SqlCreateTable => true // registers itself at exec
+      case d => GraftTables.rootOf(d.table).isDefined
+    }
   }
 
   /** `t.k1 = s.k1 AND t.k2 = s.k2` → Seq(k1, k2). Requires each
@@ -175,6 +195,19 @@ object GraftSql {
   /** Execute one parsed DML against its registered table; returns the
     * published snapshot path. */
   private[graft] def exec(spark: SparkSession, dml: GraftDml): String = {
+    dml match {
+      case SqlCreateTable(table, loc, query) =>
+        // CTAS: the SQL-only client mints a table — fresh location,
+        // register the identifier, publish the query result as v0
+        require(GraftTables.rootOf(table).isEmpty,
+          s"table $table is already registered")
+        require(VersionedParquet.currentVersion(spark, loc).isEmpty,
+          s"$loc already holds a versioned table")
+        GraftTables.register(table, loc)
+        return VersionedParquet.publish(spark.sql(query), loc,
+          keepVersions = 10)
+      case _ => ()
+    }
     val (root, keep) = GraftTables.rootOf(dml.table).getOrElse(
       throw new IllegalStateException(
         s"table ${dml.table} is not registered"))
@@ -201,8 +234,13 @@ object GraftSql {
         else
           VersionedParquet.upsert(spark, root, src, keys,
             keepVersions = keep)
-      case SqlOptimize(_) =>
+      case SqlOptimize(_, Nil) =>
         VersionedParquet.compact(spark, root, keepVersions = keep)
+      case SqlOptimize(_, zcols) =>
+        FileStats.zorderOptimize(spark, root, zcols, keepVersions = keep)
+      case SqlDropTable(table) =>
+        GraftTables.unregister(table)
+        root
       case SqlVacuum(_, retain) =>
         VersionedParquet.vacuum(spark, root, retain.getOrElse(keep))
           .mkString(",")

@@ -1,0 +1,110 @@
+package graft.warehouse
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-only table lifecycle end-to-end: CREATE TABLE … AS mints a
+  * versioned table (register + v0 publish), DROP TABLE forgets the
+  * identifier without touching data, and OPTIMIZE … ZORDER BY
+  * redistributes files so range predicates on every named column
+  * prune — content byte-identical, skipping counts strictly better.
+  */
+class CtasSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("CTAS publishes v0, DML flows, DROP TABLE is metadata-only") {
+    val root = Files.createTempDirectory("graft-ctas").resolve("t")
+      .toString
+    spark.range(100).toDF("id")
+      .withColumn("v", col("id") * 3)
+      .createOrReplaceTempView("ctas_src")
+    GraftSql.sql(spark, s"CREATE TABLE graft_ctas_t USING graft " +
+      s"LOCATION '$root' AS SELECT id, v FROM ctas_src WHERE id < 50")
+    assert(GraftTables.rootOf("graft_ctas_t").map(_._1) === Some(root))
+    assert(VersionedParquet.currentVersion(spark, root) === Some(0L))
+    assert(VersionedParquet.read(spark, root).count() === 50L)
+
+    GraftSql.sql(spark, "INSERT INTO graft_ctas_t " +
+      "SELECT id, v FROM ctas_src WHERE id >= 50")
+    assert(VersionedParquet.read(spark, root).count() === 100L)
+
+    // CTAS over an occupied location or a taken name fails loudly
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"CREATE TABLE graft_ctas_other USING graft " +
+        s"LOCATION '$root' AS SELECT 1 AS x")
+    }
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "CREATE TABLE graft_ctas_t USING graft " +
+        s"LOCATION '${root}2' AS SELECT 1 AS x")
+    }
+
+    GraftSql.sql(spark, "DROP TABLE graft_ctas_t")
+    assert(GraftTables.rootOf("graft_ctas_t").isEmpty)
+    // data untouched; re-register resolves the same content
+    assert(VersionedParquet.read(spark, root).count() === 100L)
+    GraftTables.register("graft_ctas_t", root)
+    assert(GraftTables.rootOf("graft_ctas_t").isDefined)
+  }
+
+  test("OPTIMIZE ZORDER BY redistributes for multi-column pruning " +
+      "with identical content") {
+    val root = Files.createTempDirectory("graft-zorder").resolve("t")
+      .toString
+    // shuffled layout: neither column starts clustered
+    val df = spark.range(4096).toDF("i")
+      .select((col("i") * 2654435761L % 4096L).as("a"),
+        (col("i") * 40503L % 4096L).as("b"))
+      .repartition(16)
+    VersionedParquet.publish(df, root, keepVersions = 10)
+    GraftTables.register("graft_zorder_t", root)
+    val before = VersionedParquet.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+
+    // the SQL verb sizes files for production (128 MB target — one
+    // file for this toy table); re-cluster explicitly with a tiny
+    // target so the pruning assertions see a real multi-file layout
+    GraftSql.sql(spark,
+      "OPTIMIZE graft_zorder_t ZORDER BY (a, b)")
+    val after = VersionedParquet.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(after === before)
+    FileStats.zorderOptimize(spark, root, Seq("a", "b"),
+      targetBytes = 4096, keepVersions = 10)
+    assert(VersionedParquet.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq === before)
+
+    // both columns' slices prune files now
+    val (_, keptA, totalA) = FileStats.skippingRead(spark, root, "a",
+      0L, 255L)
+    val (_, keptB, totalB) = FileStats.skippingRead(spark, root, "b",
+      0L, 255L)
+    assert(totalA > 1 && keptA < totalA,
+      s"a-slice should prune: $keptA/$totalA")
+    assert(totalB > 1 && keptB < totalB,
+      s"b-slice should prune: $keptB/$totalB")
+
+    // non-integral multi-column interleave is rejected
+    val sroot = Files.createTempDirectory("graft-zorder-s")
+      .resolve("t").toString
+    VersionedParquet.publish(
+      Seq((1L, "x")).toDF("k", "s"), sroot, keepVersions = 10)
+    GraftTables.register("graft_zorder_s", sroot)
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, "OPTIMIZE graft_zorder_s ZORDER BY (k, s)")
+    }
+    // …but a single string column clusters fine
+    GraftSql.sql(spark, "OPTIMIZE graft_zorder_s ZORDER BY (s)")
+    assert(VersionedParquet.read(spark, sroot).count() === 1L)
+  }
+}
