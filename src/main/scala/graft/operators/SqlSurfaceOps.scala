@@ -300,8 +300,102 @@ object SqlSurfaceOps {
              |FROM upd
              |WHERE k BETWEEN 1000 AND 3000
              |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // ── Named CHECK constraint lifecycle as SQL ──────────────────────────
+    // ALTER TABLE ADD CONSTRAINT validates the existing data first (an
+    // ADD the live rows violate is rejected and NOT recorded), then
+    // binds every subsequent write: a violating INSERT and a violating
+    // UPDATE both reject with the table untouched, a clean INSERT
+    // lands, and DROP CONSTRAINT re-opens the contract so the
+    // originally-rejected batch commits. The oracle replays base ∪
+    // clean insert ∪ post-drop batch; a rejected write that leaked
+    // rows, a lost drop, or an ADD recorded despite its validation
+    // failure (which would block the final insert) all break the hash.
+    QueryDef("q171_sql_constraint_lifecycle",
+      (s, d) => {
+        val root = constraintRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy((col("c") % 5).as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            org.apache.spark.sql.functions.min(col("cents"))
+              .cast("long").as("min_cents"))
+          .orderBy("bucket")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |allrows AS (
+             |  SELECT k, c, cents FROM o
+             |  UNION ALL
+             |  SELECT k + 1000000, c, cents + 13 FROM o WHERE k % 5 = 0
+             |  UNION ALL
+             |  SELECT k + 2000000, c, -cents FROM o WHERE k % 7 = 0)
+             |SELECT c % 5 AS bucket, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(min(cents) AS BIGINT) AS min_cents
+             |FROM allrows
+             |GROUP BY 1
              |ORDER BY bucket""".stripMargin))
   )
+
+  /** q171 scratch table: orders published, then the constraint
+    * lifecycle driven as SQL — a violated ADD rejects un-recorded, a
+    * clean ADD binds INSERT and UPDATE (both violating attempts
+    * reject, table untouched), a clean INSERT lands, DROP re-opens,
+    * and the formerly-rejected negative batch commits. Once per
+    * session. */
+  private def constraintRoot(s: org.apache.spark.sql.SparkSession,
+                             d: String): String = {
+    val root = Scratch.dir(s, "q171-constraint")
+    GraftTables.register("graft_q171", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o, root, keepVersions = 20)
+      Tables.orders(s, d).createOrReplaceTempView("q171_orders")
+      def mustReject(sql: String): Unit = {
+        val vBefore = VersionedParquet.currentVersion(s, root)
+        try {
+          GraftSql.sql(s, sql)
+          throw new IllegalStateException(
+            s"q171: statement should have been rejected: $sql")
+        } catch {
+          case _: java.io.IOException |
+               _: IllegalArgumentException => () // the enforced reject
+        }
+        require(VersionedParquet.currentVersion(s, root) == vBefore,
+          "q171: rejected statement must leave the table untouched")
+      }
+      // an ADD the existing rows violate: rejected, NOT recorded
+      mustReject("ALTER TABLE graft_q171 ADD CONSTRAINT cents_small " +
+        "CHECK (cents < 100)")
+      GraftSql.sql(s, "ALTER TABLE graft_q171 ADD CONSTRAINT " +
+        "cents_nonneg CHECK (cents >= 0)")
+      // violating writes reject with the table untouched
+      mustReject("INSERT INTO graft_q171 " +
+        "SELECT o_orderkey + 2000000 AS k, o_custkey AS c, " +
+        "-CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+        "FROM q171_orders WHERE o_orderkey % 7 = 0")
+      mustReject("UPDATE graft_q171 SET cents = -1 WHERE c % 2 = 0")
+      // a clean write binds and lands
+      GraftSql.sql(s, "INSERT INTO graft_q171 " +
+        "SELECT o_orderkey + 1000000 AS k, o_custkey AS c, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + 13 AS cents " +
+        "FROM q171_orders WHERE o_orderkey % 5 = 0")
+      // DROP re-opens: the formerly-rejected batch commits
+      GraftSql.sql(s,
+        "ALTER TABLE graft_q171 DROP CONSTRAINT cents_nonneg")
+      GraftSql.sql(s, "INSERT INTO graft_q171 " +
+        "SELECT o_orderkey + 2000000 AS k, o_custkey AS c, " +
+        "-CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+        "FROM q171_orders WHERE o_orderkey % 7 = 0")
+    }
+    root
+  }
 
   /** q170 scratch table: minted and driven ENTIRELY as SQL — CTAS from
     * a view over orders, an INSERT of the odd keys, a searched UPDATE,

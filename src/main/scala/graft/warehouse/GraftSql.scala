@@ -92,6 +92,10 @@ private[graft] final case class SqlDropColumn(table: String,
     col: String) extends GraftDml
 private[graft] final case class SqlRenameColumn(table: String,
     from: String, to: String) extends GraftDml
+private[graft] final case class SqlAddConstraint(table: String,
+    name: String, check: String) extends GraftDml
+private[graft] final case class SqlDropConstraint(table: String,
+    name: String) extends GraftDml
 
 object GraftSql {
 
@@ -125,6 +129,10 @@ object GraftSql {
     val AD = """(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+COLUMN\s+([A-Za-z_][\w]*)""".r
     val AR = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+RENAME\s+COLUMN\s+""" +
       """([A-Za-z_][\w]*)\s+TO\s+([A-Za-z_][\w]*)""").r
+    val AC = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+CONSTRAINT\s+""" +
+      """([A-Za-z_][\w]*)\s+CHECK\s*\((.+)\)""").r
+    val DC = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+""" +
+      """CONSTRAINT\s+([A-Za-z_][\w]*)""").r
     val dml = t match {
       case M(table, source, on, matched) =>
         keyColsOf(on).map(keys => SqlMerge(table, source, keys,
@@ -147,6 +155,9 @@ object GraftSql {
           Option(default).map(_.trim)))
       case AD(table, colName) => Some(SqlDropColumn(table, colName))
       case AR(table, from, to) => Some(SqlRenameColumn(table, from, to))
+      case AC(table, name, check) =>
+        Some(SqlAddConstraint(table, name, check.trim))
+      case DC(table, name) => Some(SqlDropConstraint(table, name))
       case _ => None
     }
     dml.filter {
@@ -253,6 +264,12 @@ object GraftSql {
         root
       case SqlRenameColumn(_, from, to) =>
         VersionedParquet.renameColumn(spark, root, from, to)
+        root
+      case SqlAddConstraint(_, name, check) =>
+        VersionedParquet.addConstraint(spark, root, name, check)
+        root
+      case SqlDropConstraint(_, name) =>
+        VersionedParquet.dropConstraint(spark, root, name)
         root
     }
   }

@@ -211,7 +211,6 @@ object Optimistic {
     * validation, shared with the single-writer ops' semantics. */
   private def alignAndValidate(spark: SparkSession, root: String, v: Long,
                                rows: DataFrame, op: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, not, sum, when}
     val base = baseNameOf(spark, root, v)
     val baseDir = new Path(root, base)
     val baseCols = spark.read.parquet(baseDir.toString).columns.toSeq
@@ -220,23 +219,9 @@ object Optimistic {
       throw new IOException(s"$op cannot add columns " +
         s"${extra.mkString(",")} to $root; publish a new schema instead")
     val aligned = rows.select(baseCols.map(rows(_)): _*)
-    val constraints = readPointer(spark,
-      new Path(baseDir, CONSTRAINTS_MARKER))
-      .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    if (constraints.nonEmpty) {
-      val counts = aligned.agg(
-        sum(when(not(expr(constraints.head)), 1L).otherwise(0L)),
-        constraints.tail.map(c =>
-          sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
-      val bad = constraints.zipWithIndex
-        .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
-                                    else counts.getLong(i)) }
-        .filter(_._2 > 0)
-      if (bad.nonEmpty)
-        throw new IOException(s"$op rejected: CHECK constraint " +
-          bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
-          s" violated; $root unchanged")
-    }
+    VersionedParquet.enforceConstraints(spark, aligned,
+      VersionedParquet.effectiveConstraints(spark, root, base), op,
+      s"$root unchanged")
     aligned
   }
 
@@ -247,6 +232,17 @@ object Optimistic {
                             live: Long): Option[Long] =
     (readVersion + 1 to live).find(v =>
       conflicts(mine, domainOf(spark, root, v)))
+
+  /** The table's named-constraint contract, raw. Captured at stage
+    * time and re-checked under the commit lock: `ALTER TABLE ADD/DROP
+    * CONSTRAINT` mints no version, so it is invisible to
+    * [[firstConflict]] — without this check a writer validated against
+    * the old contract could commit rows violating a constraint added
+    * concurrently. A changed contract forces a re-stage (which
+    * re-validates); addConstraint itself holds the writer lock, so the
+    * contract cannot move during a commit critical section. */
+  private def contractOf(spark: SparkSession, root: String): Option[String] =
+    readPointer(spark, new Path(root, VersionedParquet.CONSTRAINTS_EXT))
 
   // ------------------------------------------------------------------
   // APPEND — stage rows unlocked; commit is pure file metadata.
@@ -282,6 +278,7 @@ object Optimistic {
         fs.delete(new Path(txn, CDF_DIR), true)
         val aligned = alignAndValidate(spark, root, readVersion, rows,
           "append")
+        val stagedContract = contractOf(spark, root)
         aligned.write.parquet(new Path(txn, "_rows").toString)
         spark.read.parquet(new Path(txn, "_rows").toString)
           .withColumn("_change_type", lit("insert"))
@@ -292,6 +289,8 @@ object Optimistic {
           val live = currentVersion(spark, root).get
           val clash = firstConflict(spark, root, AppendDomain,
             readVersion, live)
+            .orElse(if (contractOf(spark, root) != stagedContract)
+              Some(live) else None) // constraint added/dropped → re-validate
           if (clash.isDefined) {
             lastConflict = clash
             readVersion = live
@@ -386,6 +385,7 @@ object Optimistic {
         fs.delete(new Path(txn, "_rows"), true)
         val aligned = alignAndValidate(spark, root, readVersion, df,
           "overwritePartitions")
+        val stagedContract = contractOf(spark, root)
         val baseDir = new Path(rootPath, baseNameOf(spark, root,
           readVersion))
         val partCols = partitionColsOfDir(spark, baseDir)
@@ -462,8 +462,10 @@ object Optimistic {
         val committed = withWriterLock(spark, root) {
           val live = currentVersion(spark, root).get
           val clash =
-            if (live == readVersion) None
-            else firstConflict(spark, root, mine, readVersion, live)
+            (if (live == readVersion) None
+             else firstConflict(spark, root, mine, readVersion, live))
+            .orElse(if (contractOf(spark, root) != stagedContract)
+              Some(live) else None) // constraint added/dropped → re-validate
           if (clash.isDefined) {
             lastConflict = clash
             readVersion = live
@@ -548,6 +550,7 @@ object Optimistic {
         val baseData = spark.read.parquet(
           new Path(rootPath, base).toString)
         val aligned = alignAndValidate(spark, root, v, upserts, "merge")
+        val stagedContract = contractOf(spark, root)
         if (aligned.groupBy(keyCols.map(col): _*)
             .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
             .count() > 0)
@@ -628,8 +631,10 @@ object Optimistic {
         val committed = withWriterLock(spark, root) {
           val live = currentVersion(spark, root).get
           val clash =
-            if (live == readVersion) None
-            else firstConflict(spark, root, mine, readVersion, live)
+            (if (live == readVersion) None
+             else firstConflict(spark, root, mine, readVersion, live))
+            .orElse(if (contractOf(spark, root) != stagedContract)
+              Some(live) else None) // constraint added/dropped → re-validate
           if (clash.isDefined) {
             lastConflict = clash
             readVersion = live

@@ -532,6 +532,14 @@ object VersionedParquet {
         }
         Map(CONSTRAINTS_MARKER -> constraints.mkString("\n"))
       }
+    // table-level named constraints (ALTER TABLE ADD CONSTRAINT) bind
+    // every publish too — a wholesale schema replacement doesn't
+    // escape the table's standing contract
+    val named = namedConstraints(spark, root).map(_._2)
+    if (named.nonEmpty)
+      try enforceConstraints(spark, spark.read.parquet(snapshot.toString),
+        named, "publish", s"$root stays at version ${next - 1}")
+      catch { case e: IOException => fs.delete(snapshot, true); throw e }
     // Per-file min/max stats sidecar (`statsCols` must be integral):
     // computed from the freshly-written files — a column-pruned scan
     // grouped by input_file_name — and written as a PARQUET sidecar
@@ -874,6 +882,11 @@ object VersionedParquet {
       require(!partitionColsOf(spark, root).contains(name),
         s"$name is a partition column of $root; rewrite the layout " +
           "instead (publish/compact with a new partitioning)")
+      val guarding = namedConstraints(spark, root).filter { case (_, c) =>
+        constraintRefs(spark, c).contains(name.toLowerCase) }
+      require(guarding.isEmpty,
+        s"column $name is referenced by CHECK constraint(s) " +
+          s"${guarding.map(_._1).mkString(",")}; DROP CONSTRAINT first")
       val ext = schemaExtensions(spark, root)
       if (ext.exists(_._1 == name)) {
         val kept = ext.filterNot(_._1 == name)
@@ -903,6 +916,11 @@ object VersionedParquet {
       require(!partitionColsOf(spark, root).contains(from),
         s"$from is a partition column of $root; rewrite the layout " +
           "instead")
+      val guardingR = namedConstraints(spark, root).filter { case (_, c) =>
+        constraintRefs(spark, c).contains(from.toLowerCase) }
+      require(guardingR.isEmpty,
+        s"column $from is referenced by CHECK constraint(s) " +
+          s"${guardingR.map(_._1).mkString(",")}; DROP CONSTRAINT first")
       val logical = read(spark, root).columns
       require(logical.contains(from),
         s"column $from does not exist on $root")
@@ -943,6 +961,130 @@ object VersionedParquet {
         .map(_ + "\n").getOrElse("")
       installPointer(spark, new Path(root), SCHEMA_EXT,
         prior + s"$name\t$typeDdl\t$defaultExpr")
+    }
+
+  // ── named CHECK constraints (ALTER TABLE ADD/DROP CONSTRAINT) ──────
+  //
+  // `root/_CONSTRAINTS_EXT` lists NAMED table-level CHECK constraints
+  // added after the table existed (Delta's `ALTER TABLE … ADD
+  // CONSTRAINT name CHECK (expr)`): one line per constraint,
+  // `name \t boolean SQL expr`. They compose with the per-version
+  // `_CONSTRAINTS` marker a publish records: every write path enforces
+  // the UNION (see [[effectiveConstraints]]), so a constraint added at
+  // version 7 binds all subsequent DML without republishing anything.
+  // ADD validates the LIVE view first — existing rows must honour the
+  // contract before it is recorded (one scan, reject-or-record) — and
+  // DROP re-opens it. Being table-level root metadata (the SCHEMA_EXT /
+  // SCHEMA_MAP discipline), named constraints survive RESTORE — the
+  // contract outlives any data rollback — and shallow clones carry
+  // them.
+
+  private[warehouse] val CONSTRAINTS_EXT = "_CONSTRAINTS_EXT"
+
+  /** Named table-level constraints, in recorded order: (name, expr). */
+  private[warehouse] def namedConstraints(spark: SparkSession,
+      root: String): Seq[(String, String)] =
+    readPointer(spark, new Path(root, CONSTRAINTS_EXT))
+      .map(_.split('\n').filter(_.nonEmpty).toSeq.map { l =>
+        val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+      }).getOrElse(Nil)
+
+  /** The CHECK contract a write against physical base `base` must
+    * satisfy: the constraints that base was admitted under (its
+    * per-version `_CONSTRAINTS` marker) plus every table-level named
+    * constraint added later via [[addConstraint]]. */
+  private[warehouse] def effectiveConstraints(spark: SparkSession,
+      root: String, base: String): Seq[String] =
+    readPointer(spark,
+      new Path(new Path(new Path(root), base), CONSTRAINTS_MARKER))
+      .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil) ++
+      namedConstraints(spark, root).map(_._2)
+
+  /** Enforce `constraints` over `rows` in ONE aggregate job (SQL CHECK
+    * semantics: a row violates only when the expression is FALSE —
+    * NULL passes); throws with per-constraint violation counts. */
+  private[warehouse] def enforceConstraints(spark: SparkSession,
+      rows: DataFrame, constraints: Seq[String], verb: String,
+      suffix: String): Unit =
+    if (constraints.nonEmpty) {
+      import org.apache.spark.sql.functions.{expr, not, sum, when}
+      val counts = rows.agg(
+        sum(when(not(expr(constraints.head)), 1L).otherwise(0L)),
+        constraints.tail.map(c =>
+          sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
+      val bad = constraints.zipWithIndex
+        .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
+                                    else counts.getLong(i)) }
+        .filter(_._2 > 0)
+      if (bad.nonEmpty)
+        throw new IOException(s"$verb rejected: CHECK constraint " +
+          bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
+          s" violated; $suffix")
+    }
+
+  /** Column names a constraint's SQL text references (unresolved, so
+    * usable before any scan; lower-cased). */
+  private def constraintRefs(spark: SparkSession,
+                             check: String): Set[String] =
+    spark.sessionState.sqlParser.parseExpression(check).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name.toLowerCase
+    }.toSet
+
+  /** ALTER TABLE ADD CONSTRAINT `name` CHECK (`check`): validates the
+    * LIVE view (existing rows must already honour the contract — one
+    * scan, Delta's semantics), then records the constraint so every
+    * subsequent write — DML, optimistic commits, publishes — enforces
+    * it. Constraints bind to PHYSICAL columns: still-virtual extension
+    * columns and pending drop/rename maps must materialize (OPTIMIZE)
+    * before a constraint can name them, which keeps the write-path
+    * enforcement a plain expression over aligned rows. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    check: String): Unit =
+    withWriterLock(spark, root) {
+      require(name.matches("[A-Za-z_][\\w]*"),
+        s"bad constraint name '$name'")
+      require(!check.contains('\t') && !check.contains('\n'),
+        "no tabs/newlines in constraint expressions")
+      val prior = namedConstraints(spark, root)
+      require(!prior.exists(_._1.equalsIgnoreCase(name)),
+        s"constraint $name already exists on $root")
+      val pendingMap = schemaMapOps(spark, root)
+      require(pendingMap.isEmpty,
+        s"$root has pending metadata-only schema changes; run " +
+          "compact/OPTIMIZE to materialize them before adding " +
+          "constraints")
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IOException(s"no published version under $root"))
+      val physCols = spark.read.parquet(
+        new Path(root, baseNameOf(spark, root, v)).toString)
+        .columns.map(_.toLowerCase).toSet
+      val virtual = constraintRefs(spark, check).filterNot(physCols)
+      require(virtual.isEmpty,
+        s"constraint references non-physical column(s) " +
+          s"${virtual.mkString(",")}; OPTIMIZE to materialize virtual " +
+          "columns first")
+      enforceConstraints(spark, read(spark, root), Seq(check),
+        s"ALTER TABLE ADD CONSTRAINT $name",
+        s"$root unchanged (existing rows violate)")
+      installPointer(spark, new Path(root), CONSTRAINTS_EXT,
+        (prior :+ (name -> check))
+          .map { case (n, c) => s"$n\t$c" }.mkString("\n"))
+    }
+
+  /** ALTER TABLE DROP CONSTRAINT `name`: the contract re-opens for
+    * subsequent writes; nothing else changes. */
+  def dropConstraint(spark: SparkSession, root: String,
+                     name: String): Unit =
+    withWriterLock(spark, root) {
+      val prior = namedConstraints(spark, root)
+      require(prior.exists(_._1.equalsIgnoreCase(name)),
+        s"constraint $name does not exist on $root")
+      val kept = prior.filterNot(_._1.equalsIgnoreCase(name))
+      if (kept.isEmpty) fsOf(spark, new Path(root))
+        .delete(new Path(root, CONSTRAINTS_EXT), false)
+      else installPointer(spark, new Path(root), CONSTRAINTS_EXT,
+        kept.map { case (n, c) => s"$n\t$c" }.mkString("\n"))
     }
 
   /** Row-level DELETE without rewriting a single data file (a
@@ -1107,28 +1249,14 @@ object VersionedParquet {
       throw new IOException("merge batch has duplicate keys on (" +
         keyCols.mkString(",") + "); MERGE is nondeterministic")
     // CHECK constraints ride the write path, not just publish: the
-    // table's accepted contract (recorded on its physical base) is
-    // enforced over the INCOMING rows — the only rows a merge can add
-    // — before anything is staged. Base rows already passed at their
-    // own publish.
-    val tableConstraints = readPointer(spark,
-      new Path(new Path(rootPath, base), CONSTRAINTS_MARKER))
-      .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    if (tableConstraints.nonEmpty) {
-      import org.apache.spark.sql.functions.{expr, not, sum, when}
-      val counts = aligned.agg(
-        sum(when(not(expr(tableConstraints.head)), 1L).otherwise(0L)),
-        tableConstraints.tail.map(c =>
-          sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
-      val bad = tableConstraints.zipWithIndex
-        .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
-                                    else counts.getLong(i)) }
-        .filter(_._2 > 0)
-      if (bad.nonEmpty)
-        throw new IOException("merge rejected: CHECK constraint " +
-          bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
-          s" violated; $root stays at version $v")
-    }
+    // table's accepted contract — the base's own `_CONSTRAINTS` plus
+    // any named `ALTER TABLE ADD CONSTRAINT` additions — is enforced
+    // over the INCOMING rows (the only rows a merge can add) before
+    // anything is staged. Base rows already passed at their own
+    // publish/ADD validation.
+    enforceConstraints(spark, aligned,
+      effectiveConstraints(spark, root, base), "merge",
+      s"$root stays at version $v")
     val upKeys = aligned.select(keyCols.map(col): _*).distinct()
     val delKeys = deleteKeys.select(keyCols.map(deleteKeys(_)): _*).distinct()
     if (upKeys.join(delKeys, keyCols, "left_semi").limit(1).count() > 0)
@@ -1704,6 +1832,8 @@ object VersionedParquet {
         installPointer(spark, dstPath, SCHEMA_EXT, m))
       readPointer(spark, new Path(srcRoot, SCHEMA_MAP)).foreach(m =>
         installPointer(spark, dstPath, SCHEMA_MAP, m))
+      readPointer(spark, new Path(srcRoot, CONSTRAINTS_EXT)).foreach(m =>
+        installPointer(spark, dstPath, CONSTRAINTS_EXT, m))
       installPointer(spark, snapshot, "_SUCCESS", commitStamp())
       try swapPointer(spark, dstPath, 0L)
       catch {
@@ -1825,23 +1955,9 @@ object VersionedParquet {
         throw new IOException(s"append cannot add columns " +
           s"${extra.mkString(",")} to $root; publish a new schema instead")
       val aligned = rows.select(baseCols.map(rows(_)): _*)
-      val tableConstraints = readPointer(spark,
-        new Path(new Path(rootPath, base), CONSTRAINTS_MARKER))
-        .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      if (tableConstraints.nonEmpty) {
-        val counts = aligned.agg(
-          sum(when(not(expr(tableConstraints.head)), 1L).otherwise(0L)),
-          tableConstraints.tail.map(c =>
-            sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
-        val bad = tableConstraints.zipWithIndex
-          .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
-                                      else counts.getLong(i)) }
-          .filter(_._2 > 0)
-        if (bad.nonEmpty)
-          throw new IOException("append rejected: CHECK constraint " +
-            bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
-            s" violated; $root stays at version $v")
-      }
+      enforceConstraints(spark, aligned,
+        effectiveConstraints(spark, root, base), "append",
+        s"$root stays at version $v")
       val next = v + 1
       val snapshot = new Path(rootPath, versionName(next))
       fs.delete(snapshot, true)
@@ -1925,23 +2041,9 @@ object VersionedParquet {
       val current = dataFrameOf(spark, root, v)
       val pre = current.filter(matchedTrue)
       val post = applySets(pre)
-      val tableConstraints = readPointer(spark,
-        new Path(new Path(rootPath, base), CONSTRAINTS_MARKER))
-        .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      if (tableConstraints.nonEmpty) {
-        val counts = post.agg(
-          sum(when(not(expr(tableConstraints.head)), 1L).otherwise(0L)),
-          tableConstraints.tail.map(c =>
-            sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
-        val bad = tableConstraints.zipWithIndex
-          .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
-                                      else counts.getLong(i)) }
-          .filter(_._2 > 0)
-        if (bad.nonEmpty)
-          throw new IOException("UPDATE rejected: CHECK constraint " +
-            bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
-            s" violated; $root stays at version $v")
-      }
+      enforceConstraints(spark, post,
+        effectiveConstraints(spark, root, base), "UPDATE",
+        s"$root stays at version $v")
       val next = v + 1
       val snapshot = new Path(rootPath, versionName(next))
       fs.delete(snapshot, true)
@@ -2055,23 +2157,9 @@ object VersionedParquet {
         throw new IOException("overwritePartitions cannot add columns " +
           s"${extra.mkString(",")} to $root; publish a new schema instead")
       val aligned = df.select(baseCols.map(df(_)): _*)
-      val tableConstraints = readPointer(spark,
-        new Path(baseDir, CONSTRAINTS_MARKER))
-        .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
-      if (tableConstraints.nonEmpty) {
-        val counts = aligned.agg(
-          sum(when(not(expr(tableConstraints.head)), 1L).otherwise(0L)),
-          tableConstraints.tail.map(c =>
-            sum(when(not(expr(c)), 1L).otherwise(0L))): _*).head()
-        val bad = tableConstraints.zipWithIndex
-          .map { case (c, i) => c -> (if (counts.isNullAt(i)) 0L
-                                      else counts.getLong(i)) }
-          .filter(_._2 > 0)
-        if (bad.nonEmpty)
-          throw new IOException("overwrite rejected: CHECK constraint " +
-            bad.map { case (c, n) => s"'$c' ($n rows)" }.mkString(", ") +
-            s" violated; $root stays at version $v")
-      }
+      enforceConstraints(spark, aligned,
+        effectiveConstraints(spark, root, base), "overwrite",
+        s"$root stays at version $v")
       // the partitions df touches — bounded by partition count, the
       // same driver-side cardinality every dynamic-overwrite engine
       // carries (it must enumerate directories to replace)
