@@ -338,8 +338,115 @@ object SqlSurfaceOps {
              |       CAST(min(cents) AS BIGINT) AS min_cents
              |FROM allrows
              |GROUP BY 1
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // ── Generated columns (GENERATED ALWAYS AS) as SQL ───────────────────
+    // The write path OWNS the column: ALTER adds it virtual (reads
+    // compute it instantly, zero bytes rewritten), OPTIMIZE makes it
+    // physical, and from then on every write computes it when omitted
+    // and validates it when supplied (a wrong supplied value rejects;
+    // SET on it rejects). The decisive step is the UPDATE of a SOURCE
+    // column: post-images recompute the generated value, so the oracle
+    // — which derives band from the FINAL cents everywhere — breaks if
+    // any write path left a stale or wrong generated value behind.
+    QueryDef("q172_generated_columns",
+      (s, d) => {
+        val root = generatedRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            countDistinct(col("k")).as("n_keys"))
+          .orderBy("band")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |rows0 AS (
+             |  SELECT k, c, cents FROM o
+             |  UNION ALL
+             |  SELECT k + 1000000, c, cents + 10 FROM o WHERE k % 6 = 0
+             |  UNION ALL
+             |  SELECT k + 2000000, c, cents + 21 FROM o WHERE k % 8 = 0
+             |  UNION ALL
+             |  SELECT k + 3000000, c, cents FROM o WHERE k % 9 = 0),
+             |upd AS (
+             |  SELECT k, c, CASE WHEN c % 10 = 0 THEN cents + 5000
+             |                    ELSE cents END AS cents FROM rows0)
+             |SELECT CASE WHEN cents % 7 < 3 THEN 'lo' ELSE 'hi' END
+             |         AS band,
+             |       count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(DISTINCT k) AS n_keys
+             |FROM upd
+             |GROUP BY 1
+             |ORDER BY band""".stripMargin))
   )
+
+  /** q172 scratch table: orders published, then the generated-column
+    * lifecycle driven as SQL — ALTER ADD … GENERATED ALWAYS AS
+    * (virtual reads), a pre-materialization append WITHOUT the column,
+    * OPTIMIZE (physical), appends computed / supplied-correct /
+    * supplied-wrong (rejected), a SET on the generated column
+    * (rejected), and an UPDATE of the source column whose post-images
+    * recompute the generated value. Once per session. */
+  private def generatedRoot(s: org.apache.spark.sql.SparkSession,
+                            d: String): String = {
+    val root = Scratch.dir(s, "q172-generated")
+    GraftTables.register("graft_q172", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o, root, keepVersions = 20)
+      Tables.orders(s, d).createOrReplaceTempView("q172_orders")
+      def mustReject(sql: String): Unit = {
+        val vBefore = VersionedParquet.currentVersion(s, root)
+        try {
+          GraftSql.sql(s, sql)
+          throw new IllegalStateException(
+            s"q172: statement should have been rejected: $sql")
+        } catch {
+          case _: java.io.IOException |
+               _: IllegalArgumentException => ()
+        }
+        require(VersionedParquet.currentVersion(s, root) == vBefore,
+          "q172: rejected statement must leave the table untouched")
+      }
+      GraftSql.sql(s, "ALTER TABLE graft_q172 ADD COLUMN band STRING " +
+        "GENERATED ALWAYS AS " +
+        "(CASE WHEN cents % 7 < 3 THEN 'lo' ELSE 'hi' END)")
+      // pre-materialization: physical contract, no band supplied
+      GraftSql.sql(s, "INSERT INTO graft_q172 " +
+        "SELECT o_orderkey + 1000000 AS k, o_custkey AS c, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + 10 AS cents " +
+        "FROM q172_orders WHERE o_orderkey % 6 = 0")
+      GraftSql.sql(s, "OPTIMIZE graft_q172")
+      // computed at write (column omitted)
+      GraftSql.sql(s, "INSERT INTO graft_q172 " +
+        "SELECT o_orderkey + 2000000 AS k, o_custkey AS c, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + 21 AS cents " +
+        "FROM q172_orders WHERE o_orderkey % 8 = 0")
+      // supplied-correct validates and lands
+      GraftSql.sql(s, "INSERT INTO graft_q172 " +
+        "SELECT o_orderkey + 3000000 AS k, o_custkey AS c, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) % 7 < 3 " +
+        "THEN 'lo' ELSE 'hi' END AS band " +
+        "FROM q172_orders WHERE o_orderkey % 9 = 0")
+      // supplied-wrong rejects; SET on the generated column rejects
+      mustReject("INSERT INTO graft_q172 " +
+        "SELECT o_orderkey + 4000000 AS k, o_custkey AS c, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents, " +
+        "'xx' AS band FROM q172_orders WHERE o_orderkey % 11 = 0")
+      mustReject("UPDATE graft_q172 SET band = 'hi' WHERE c % 2 = 0")
+      // UPDATE of the source column: post-images recompute band
+      GraftSql.sql(s,
+        "UPDATE graft_q172 SET cents = cents + 5000 WHERE c % 10 = 0")
+    }
+    root
+  }
 
   /** q171 scratch table: orders published, then the constraint
     * lifecycle driven as SQL — a violated ADD rejects un-recorded, a

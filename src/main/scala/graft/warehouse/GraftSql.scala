@@ -96,6 +96,8 @@ private[graft] final case class SqlAddConstraint(table: String,
     name: String, check: String) extends GraftDml
 private[graft] final case class SqlDropConstraint(table: String,
     name: String) extends GraftDml
+private[graft] final case class SqlAddGenerated(table: String,
+    col: String, typeDdl: String, genExpr: String) extends GraftDml
 
 object GraftSql {
 
@@ -131,6 +133,9 @@ object GraftSql {
       """([A-Za-z_][\w]*)\s+TO\s+([A-Za-z_][\w]*)""").r
     val AC = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+CONSTRAINT\s+""" +
       """([A-Za-z_][\w]*)\s+CHECK\s*\((.+)\)""").r
+    val AG = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+COLUMN\s+""" +
+      """([A-Za-z_][\w]*)\s+([A-Za-z]+(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)""" +
+      """\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)""").r
     val DC = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+""" +
       """CONSTRAINT\s+([A-Za-z_][\w]*)""").r
     val dml = t match {
@@ -150,6 +155,8 @@ object GraftSql {
           .filter(_.nonEmpty)).getOrElse(Nil)))
       case V(table, retain) =>
         Some(SqlVacuum(table, Option(retain).map(_.toInt)))
+      case AG(table, colName, typeDdl, genExpr) =>
+        Some(SqlAddGenerated(table, colName, typeDdl.trim, genExpr.trim))
       case A(table, colName, typeDdl, default) =>
         Some(SqlAddColumn(table, colName, typeDdl.trim,
           Option(default).map(_.trim)))
@@ -270,6 +277,10 @@ object GraftSql {
         root
       case SqlDropConstraint(_, name) =>
         VersionedParquet.dropConstraint(spark, root, name)
+        root
+      case SqlAddGenerated(_, colName, typeDdl, genExpr) =>
+        VersionedParquet.addGeneratedColumn(spark, root, colName, typeDdl,
+          genExpr)
         root
     }
   }

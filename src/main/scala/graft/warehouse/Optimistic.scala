@@ -213,12 +213,15 @@ object Optimistic {
                                rows: DataFrame, op: String): DataFrame = {
     val base = baseNameOf(spark, root, v)
     val baseDir = new Path(root, base)
-    val baseCols = spark.read.parquet(baseDir.toString).columns.toSeq
-    val extra = rows.columns.filterNot(baseCols.contains)
+    val baseSchema = spark.read.parquet(baseDir.toString).schema
+    val baseCols = baseSchema.fieldNames.toSeq
+    val gen = VersionedParquet.applyGeneration(spark, root, baseSchema,
+      rows, op)
+    val extra = gen.columns.filterNot(baseCols.contains)
     if (extra.nonEmpty)
       throw new IOException(s"$op cannot add columns " +
         s"${extra.mkString(",")} to $root; publish a new schema instead")
-    val aligned = rows.select(baseCols.map(rows(_)): _*)
+    val aligned = gen.select(baseCols.map(gen(_)): _*)
     VersionedParquet.enforceConstraints(spark, aligned,
       VersionedParquet.effectiveConstraints(spark, root, base), op,
       s"$root unchanged")

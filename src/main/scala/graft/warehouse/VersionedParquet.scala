@@ -508,7 +508,22 @@ object VersionedParquet {
     val next = currentVersion(spark, root).getOrElse(-1L) + 1
     val snapshot = new Path(rootPath, versionName(next))
     fs.delete(snapshot, true) // leftover from a crashed publish, if any
-    val writer = df.write.mode("overwrite")
+    // generated columns: a supplied column is validated over the
+    // incoming frame, an absent one computes (a still-virtual column
+    // materializes here with its declared type) — BEFORE staging
+    val genRules0 = generationRules(spark, root)
+    val dfGen =
+      if (genRules0.isEmpty) df
+      else {
+        applyGeneration(spark, root, df.schema, df, "publish")
+        val extT = schemaExtensions(spark, root)
+          .map { case (n, t, _) => (n, t) }.toMap
+        genRules0.filterNot { case (n, _) => df.columns.contains(n) }
+          .foldLeft(df) { case (d, (n, g)) =>
+            val c = org.apache.spark.sql.functions.expr(g)
+            d.withColumn(n, extT.get(n).map(c.cast).getOrElse(c)) }
+      }
+    val writer = dfGen.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(snapshot.toString)
     val constraintMarker: Map[String, String] =
@@ -887,14 +902,33 @@ object VersionedParquet {
       require(guarding.isEmpty,
         s"column $name is referenced by CHECK constraint(s) " +
           s"${guarding.map(_._1).mkString(",")}; DROP CONSTRAINT first")
+      val genBy = generationRules(spark, root).filter { case (g, e) =>
+        !g.equalsIgnoreCase(name) &&
+          constraintRefs(spark, e).contains(name.toLowerCase) }
+      require(genBy.isEmpty,
+        s"column $name feeds generated column(s) " +
+          s"${genBy.map(_._1).mkString(",")}; drop the generation first")
+      // dropping a generated column takes its rule with it
+      if (generationRules(spark, root).exists(_._1.equalsIgnoreCase(name)))
+        dropGeneration(spark, root, name)
+      // an extension entry only means VIRTUAL while the column is not
+      // yet physical; after materialization the entry is a stale no-op
+      // and the column must drop like any physical one (with the entry
+      // removed too, or the read path would resurrect it)
+      val physCols = currentVersion(spark, root).map(v =>
+        spark.read.parquet(
+          new Path(root, baseNameOf(spark, root, v)).toString)
+          .columns.toSet).getOrElse(Set.empty[String])
       val ext = schemaExtensions(spark, root)
-      if (ext.exists(_._1 == name)) {
+      val hasExt = ext.exists(_._1 == name)
+      if (hasExt) {
         val kept = ext.filterNot(_._1 == name)
         if (kept.isEmpty) fsOf(spark, new Path(root))
           .delete(new Path(root, SCHEMA_EXT), false)
         else installPointer(spark, new Path(root), SCHEMA_EXT,
           kept.map { case (n, t, d) => s"$n\t$t\t$d" }.mkString("\n"))
-      } else {
+      }
+      if (!hasExt || physCols.contains(name)) {
         require(read(spark, root).columns.contains(name),
           s"column $name does not exist on $root")
         val prior = readPointer(spark, new Path(root, SCHEMA_MAP))
@@ -921,11 +955,33 @@ object VersionedParquet {
       require(guardingR.isEmpty,
         s"column $from is referenced by CHECK constraint(s) " +
           s"${guardingR.map(_._1).mkString(",")}; DROP CONSTRAINT first")
+      val genByR = generationRules(spark, root).filter { case (g, e) =>
+        !g.equalsIgnoreCase(from) &&
+          constraintRefs(spark, e).contains(from.toLowerCase) }
+      require(genByR.isEmpty,
+        s"column $from feeds generated column(s) " +
+          s"${genByR.map(_._1).mkString(",")}; drop the generation first")
       val logical = read(spark, root).columns
       require(logical.contains(from),
         s"column $from does not exist on $root")
       require(!logical.contains(to),
         s"column $to already exists on $root")
+      // renaming a generated column renames its rule in place
+      val genSelf = generationRules(spark, root)
+      if (genSelf.exists(_._1.equalsIgnoreCase(from)))
+        installPointer(spark, new Path(root), SCHEMA_GEN,
+          genSelf.map {
+            case (n, g) if n.equalsIgnoreCase(from) => s"$to\t$g"
+            case (n, g) => s"$n\t$g"
+          }.mkString("\n"))
+      // an extension entry only means VIRTUAL while the column is not
+      // yet physical; a materialized column renames via the map (with
+      // its stale entry renamed too, so the read path can never
+      // resurrect the old name)
+      val physColsR = currentVersion(spark, root).map(v =>
+        spark.read.parquet(
+          new Path(root, baseNameOf(spark, root, v)).toString)
+          .columns.toSet).getOrElse(Set.empty[String])
       val ext = schemaExtensions(spark, root)
       if (ext.exists(_._1 == from))
         installPointer(spark, new Path(root), SCHEMA_EXT,
@@ -933,7 +989,7 @@ object VersionedParquet {
             case (n, t, d) if n == from => s"$to\t$t\t$d"
             case (n, t, d) => s"$n\t$t\t$d"
           }.mkString("\n"))
-      else {
+      if (!ext.exists(_._1 == from) || physColsR.contains(from)) {
         val prior = readPointer(spark, new Path(root, SCHEMA_MAP))
           .map(_ + "\n").getOrElse("")
         installPointer(spark, new Path(root), SCHEMA_MAP,
@@ -1087,6 +1143,110 @@ object VersionedParquet {
         kept.map { case (n, c) => s"$n\t$c" }.mkString("\n"))
     }
 
+  // ── generated columns (GENERATED ALWAYS AS, write-path) ────────────
+  //
+  // `root/_SCHEMA_GEN` lists columns whose value is a deterministic
+  // expression over the same row (Delta's generated columns): one line
+  // per column, `name \t SQL expr`. The rule activates on the WRITE
+  // path once the column is physical in the base schema: a batch that
+  // omits the column gets it computed (cast to the base's declared
+  // type, zero extra scans); a batch that supplies it is validated in
+  // one aggregate job — any row where the supplied value differs from
+  // the computed one (null-safe) rejects the whole write, Delta's
+  // contract. Until materialization the column is a plain `_SCHEMA_EXT`
+  // virtual column (computed at read; writes may not supply it), so
+  // [[addGeneratedColumn]] composes the two markers: ALTER → virtual
+  // reads immediately, OPTIMIZE → physical, and from then on every
+  // write maintains it. UPDATE refuses to SET a generated column and
+  // recomputes all of them over its post-images, so changing a source
+  // column keeps the generated one consistent.
+
+  private[warehouse] val SCHEMA_GEN = "_SCHEMA_GEN"
+
+  /** Generation rules, in recorded order: (column, SQL expr). */
+  private[warehouse] def generationRules(spark: SparkSession,
+      root: String): Seq[(String, String)] =
+    readPointer(spark, new Path(root, SCHEMA_GEN))
+      .map(_.split('\n').filter(_.nonEmpty).toSeq.map { l =>
+        val i = l.indexOf('\t'); (l.substring(0, i), l.substring(i + 1))
+      }).getOrElse(Nil)
+
+  /** Apply the table's generation rules to an incoming batch against
+    * the physical base schema: compute absent generated columns,
+    * validate supplied ones (all in ONE aggregate job; any differing
+    * row rejects the write). Rules whose column is not yet physical
+    * are skipped — the `_SCHEMA_EXT` write fence owns that phase. */
+  private[warehouse] def applyGeneration(spark: SparkSession, root: String,
+      baseSchema: org.apache.spark.sql.types.StructType, rows: DataFrame,
+      verb: String): DataFrame = {
+    val rules = generationRules(spark, root)
+      .filter { case (n, _) => baseSchema.fieldNames.contains(n) }
+    if (rules.isEmpty) rows
+    else {
+      import org.apache.spark.sql.functions.{col, expr, not, sum, when}
+      val have = rows.columns.toSet
+      val (supplied, absent) = rules.partition { case (n, _) => have(n) }
+      if (supplied.nonEmpty) {
+        val checks = supplied.map { case (n, g) =>
+          sum(when(not(col(n) <=> expr(g).cast(baseSchema(n).dataType)),
+            1L).otherwise(0L)) }
+        val counts = rows.agg(checks.head, checks.tail: _*).head()
+        val bad = supplied.zipWithIndex.map { case ((n, g), i) =>
+          (n, g, if (counts.isNullAt(i)) 0L else counts.getLong(i)) }
+          .filter(_._3 > 0)
+        if (bad.nonEmpty)
+          throw new IOException(s"$verb rejected: GENERATED ALWAYS AS " +
+            bad.map { case (n, g, c) =>
+              s"column $n = $g ($c rows differ)" }.mkString(", ") +
+            "; omit the column or supply the generated value")
+      }
+      absent.foldLeft(rows) { case (d, (n, g)) =>
+        d.withColumn(n, expr(g).cast(baseSchema(n).dataType)) }
+    }
+  }
+
+  /** ALTER TABLE ADD COLUMN `name` GENERATED ALWAYS AS (`genExpr`):
+    * a metadata-only ADD COLUMN whose default is the generation
+    * expression (readable on every version instantly, zero bytes
+    * rewritten) PLUS a standing write-path rule — once OPTIMIZE makes
+    * the column physical, every subsequent write computes or validates
+    * it. `genExpr` must be deterministic over the row. */
+  def addGeneratedColumn(spark: SparkSession, root: String, name: String,
+                         typeDdl: String, genExpr: String): Unit =
+    withWriterLock(spark, root) {
+      require(!genExpr.contains('\t') && !genExpr.contains('\n'),
+        "no tabs/newlines in generation expressions")
+      require(!constraintRefs(spark, genExpr).contains(name.toLowerCase),
+        s"generation expression for $name must not reference itself")
+      // resolve against the live schema to judge determinism (an
+      // unresolved expression reports deterministic vacuously)
+      val probe = read(spark, root).limit(0)
+        .select(org.apache.spark.sql.functions.expr(genExpr).as("_gen"))
+      require(probe.queryExecution.analyzed.expressions
+          .forall(_.deterministic),
+        s"generation expression must be deterministic: $genExpr")
+      addColumn(spark, root, name, typeDdl, genExpr)
+      val prior = readPointer(spark, new Path(root, SCHEMA_GEN))
+        .map(_ + "\n").getOrElse("")
+      installPointer(spark, new Path(root), SCHEMA_GEN,
+        prior + s"$name\t$genExpr")
+    }
+
+  /** Remove `name`'s generation rule (the column stays, now freely
+    * writable) — the DROP half of the generated-column lifecycle. */
+  def dropGeneration(spark: SparkSession, root: String,
+                     name: String): Unit =
+    withWriterLock(spark, root) {
+      val prior = generationRules(spark, root)
+      require(prior.exists(_._1.equalsIgnoreCase(name)),
+        s"no generation rule for column $name on $root")
+      val kept = prior.filterNot(_._1.equalsIgnoreCase(name))
+      if (kept.isEmpty) fsOf(spark, new Path(root))
+        .delete(new Path(root, SCHEMA_GEN), false)
+      else installPointer(spark, new Path(root), SCHEMA_GEN,
+        kept.map { case (n, g) => s"$n\t$g" }.mkString("\n"))
+    }
+
   /** Row-level DELETE without rewriting a single data file (a
     * transactional format's deletion vectors): publishes version N+1
     * that holds NO parquet of its own — just a `_BASE` marker naming
@@ -1238,11 +1398,13 @@ object VersionedParquet {
       .getOrElse(versionName(v))
     val baseData = spark.read.parquet(new Path(rootPath, base).toString)
     val baseCols = baseData.columns.toSeq
-    val extra = upserts.columns.filterNot(baseCols.contains)
+    val gen = applyGeneration(spark, root, baseData.schema, upserts,
+      "merge")
+    val extra = gen.columns.filterNot(baseCols.contains)
     if (extra.nonEmpty)
       throw new IOException(s"merge cannot add columns ${extra.mkString(",")}" +
         s" to $root; publish a new schema instead")
-    val aligned = upserts.select(baseCols.map(upserts(_)): _*)
+    val aligned = gen.select(baseCols.map(gen(_)): _*)
     if (aligned.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
         .count() > 0)
@@ -1834,6 +1996,8 @@ object VersionedParquet {
         installPointer(spark, dstPath, SCHEMA_MAP, m))
       readPointer(spark, new Path(srcRoot, CONSTRAINTS_EXT)).foreach(m =>
         installPointer(spark, dstPath, CONSTRAINTS_EXT, m))
+      readPointer(spark, new Path(srcRoot, SCHEMA_GEN)).foreach(m =>
+        installPointer(spark, dstPath, SCHEMA_GEN, m))
       installPointer(spark, snapshot, "_SUCCESS", commitStamp())
       try swapPointer(spark, dstPath, 0L)
       catch {
@@ -1948,13 +2112,15 @@ object VersionedParquet {
       val fs = fsOf(spark, rootPath)
       val base = baseNameOf(spark, root, v)
       // schema check against the base FOOTER only — no data scan
-      val baseCols = spark.read.parquet(new Path(rootPath, base).toString)
-        .columns.toSeq
-      val extra = rows.columns.filterNot(baseCols.contains)
+      val baseSchema = spark.read.parquet(new Path(rootPath, base).toString)
+        .schema
+      val baseCols = baseSchema.fieldNames.toSeq
+      val gen = applyGeneration(spark, root, baseSchema, rows, "append")
+      val extra = gen.columns.filterNot(baseCols.contains)
       if (extra.nonEmpty)
         throw new IOException(s"append cannot add columns " +
           s"${extra.mkString(",")} to $root; publish a new schema instead")
-      val aligned = rows.select(baseCols.map(rows(_)): _*)
+      val aligned = gen.select(baseCols.map(gen(_)): _*)
       enforceConstraints(spark, aligned,
         effectiveConstraints(spark, root, base), "append",
         s"$root stays at version $v")
@@ -2030,10 +2196,23 @@ object VersionedParquet {
         throw new IOException("UPDATE cannot add columns " +
           s"${unknown.mkString(",")} to $root; publish a new schema " +
           "instead")
+      // generated columns: SET is refused (the rule owns the value);
+      // post-images recompute every rule, so updating a SOURCE column
+      // keeps its generated column consistent
+      val genRules = generationRules(spark, root)
+        .filter { case (n, _) => baseCols.contains(n) }
+      val setGen = sets.keys.filter(k =>
+        genRules.exists(_._1.equalsIgnoreCase(k)))
+      if (setGen.nonEmpty)
+        throw new IOException("UPDATE cannot SET generated column(s) " +
+          s"${setGen.mkString(",")}; the GENERATED ALWAYS AS rule owns " +
+          "their value")
       def applySets(df: DataFrame): DataFrame = {
         val updated = sets.foldLeft(df) { case (d, (c, e)) =>
           d.withColumn(c, e) }
-        updated.select(baseCols.map(updated(_)): _*)
+        val regen = genRules.foldLeft(updated) { case (d, (n, g)) =>
+          d.withColumn(n, expr(g).cast(baseData.schema(n).dataType)) }
+        regen.select(baseCols.map(regen(_)): _*)
       }
       val matchedTrue = coalesce(predicate, lit(false)) === true
       // pre/post images resolve against the LIVE view (base-resident
@@ -2152,11 +2331,13 @@ object VersionedParquet {
           "(publish with partitionCols)")
       val baseData = spark.read.parquet(baseDir.toString)
       val baseCols = baseData.columns.toSeq
-      val extra = df.columns.filterNot(baseCols.contains)
+      val gen = applyGeneration(spark, root, baseData.schema, df,
+        "overwrite")
+      val extra = gen.columns.filterNot(baseCols.contains)
       if (extra.nonEmpty)
         throw new IOException("overwritePartitions cannot add columns " +
           s"${extra.mkString(",")} to $root; publish a new schema instead")
-      val aligned = df.select(baseCols.map(df(_)): _*)
+      val aligned = gen.select(baseCols.map(gen(_)): _*)
       enforceConstraints(spark, aligned,
         effectiveConstraints(spark, root, base), "overwrite",
         s"$root stays at version $v")
