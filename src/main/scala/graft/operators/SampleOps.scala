@@ -229,6 +229,83 @@ object SampleOps {
              |       count(DISTINCT split_key) AS n_groups
              |FROM b
              |GROUP BY 1, 2
-             |ORDER BY lang, split""".stripMargin))
+             |ORDER BY lang, split""".stripMargin)),
+
+    // ── Temperature-reweighted corpus mix (α-smoothed, materialized) ──────
+    // The standard pretraining mixing rule: sample domain i with share
+    // ∝ n_i^α (α = 1/2 here) — between natural proportions (α = 1,
+    // head domains dominate) and uniform (α = 0, tail domains repeat
+    // too often). q72 reports target weights; this one DECIDES, per
+    // document: keep iff hash-uniform(doc_id) < p_i where
+    // p_i = min(1, share_i · T / n_i) and T is the half-corpus budget.
+    // Every input to the decision is exact: weights quantize to
+    // integers (round(√n · 10⁶)) so the grand totals are integer sums,
+    // and p_i is a fixed dag of correctly-rounded double ops both
+    // engines evaluate identically — the keep set hash-matches DuckDB
+    // document-for-document, the reproducibility a curation pipeline
+    // needs across reruns AND engines. Shape at 100 TB: one group-by
+    // for the domain counts (domain-cardinality frame, broadcast
+    // back), then a narrow per-row predicate — no shuffle beyond the
+    // final small aggregate.
+    QueryDef("q173_temperature_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val grp = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("w",
+            round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+        val tot = grp.agg(sum("w").as("w_total"),
+          sum("n_docs").as("n_total"))
+        val probs = grp.crossJoin(broadcast(tot))
+          .withColumn("p_keep", least(lit(1.0),
+            (col("w").cast("double") *
+              (col("n_total").cast("double") * lit(0.5))) /
+              (col("w_total").cast("double") *
+                col("n_docs").cast("double"))))
+          .select("source", "n_docs", "p_keep")
+        val u = Hashing.md5Long60(
+          concat(lit("tmix_"), col("doc_id").cast("string")))
+          .cast("double") / lit(1152921504606846976.0) // 2^60
+        docs.join(broadcast(probs), "source")
+          .filter(u < col("p_keep"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("n_chars").cast("long").as("kept_chars"),
+            min("doc_id").as("first_doc"))
+          .join(probs, "source")
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            round(col("p_keep"), 6).as("p_keep_r"),
+            col("kept_chars"), col("first_doc"))
+          .orderBy("source")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT source, count(*) AS n_docs,
+             |         CAST(round(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0)
+             |              AS BIGINT) AS w
+             |  FROM documents GROUP BY 1),
+             |tot AS (
+             |  SELECT CAST(sum(w) AS BIGINT) AS w_total,
+             |         CAST(sum(n_docs) AS BIGINT) AS n_total FROM g),
+             |probs AS (
+             |  SELECT g.source, g.n_docs,
+             |         least(CAST(1 AS DOUBLE),
+             |           (CAST(g.w AS DOUBLE)
+             |              * (CAST(t.n_total AS DOUBLE) * 0.5))
+             |           / (CAST(t.w_total AS DOUBLE)
+             |              * CAST(g.n_docs AS DOUBLE))) AS p_keep
+             |  FROM g CROSS JOIN tot t),
+             |kept AS (
+             |  SELECT d.source, d.doc_id, d.n_chars
+             |  FROM documents d JOIN probs p ON p.source = d.source
+             |  WHERE CAST(${Hashing.md5Long60Sql("'tmix_' || doc_id")}
+             |             AS DOUBLE) / 1152921504606846976.0 < p.p_keep)
+             |SELECT p.source, p.n_docs,
+             |       count(*) AS n_kept,
+             |       round(p.p_keep, 6) AS p_keep_r,
+             |       CAST(sum(k.n_chars) AS BIGINT) AS kept_chars,
+             |       min(k.doc_id) AS first_doc
+             |FROM kept k JOIN probs p ON p.source = k.source
+             |GROUP BY 1, 2, 4
+             |ORDER BY p.source""".stripMargin))
   )
 }
