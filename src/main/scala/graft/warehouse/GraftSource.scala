@@ -231,8 +231,11 @@ private[warehouse] object GraftStreamSource {
       .getOrElse(live)
     require(starting >= 0 && starting <= live,
       s"startingVersion $starting outside published range [0, $live]")
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    require(maxVersions.forall(_ > 0),
+      s"maxVersionsPerTrigger must be positive, got $maxVersions")
     new GraftStreamSource(spark, root, starting, cdf, ignoreChanges,
-      schemaFor(spark, parameters))
+      maxVersions, schemaFor(spark, parameters))
   }
 }
 
@@ -242,7 +245,8 @@ private[warehouse] object GraftStreamSource {
   * itself is stateless across restarts. */
 private[warehouse] class GraftStreamSource(spark: SparkSession,
     root: String, startingVersion: Long, cdf: Boolean,
-    ignoreChanges: Boolean, override val schema: StructType)
+    ignoreChanges: Boolean, maxVersionsPerTrigger: Option[Long],
+    override val schema: StructType)
     extends Source {
   import GraftStreamSource.{CHANGE_TYPE, COMMIT_VERSION}
   import org.apache.spark.sql.functions.{col, lit}
@@ -254,9 +258,25 @@ private[warehouse] class GraftStreamSource(spark: SparkSession,
       s"unexpected offset type ${other.getClass}")
   }
 
-  /** Latest committed version — the next batch's upper bound. */
+  /** High-water mark of versions already handed to the engine — the
+    * rate-limit floor. Fresh streams start at `startingVersion`; on a
+    * checkpointed restart the engine replays the last committed batch
+    * through [[getBatch]] BEFORE the first [[getOffset]] (the DSv1
+    * re-initialization contract), which advances the floor to the
+    * checkpoint, so a capped offset can never regress below it (a
+    * regressed offset would make the next batch replay committed
+    * versions — duplicates). */
+  @volatile private var servedThrough: Long = startingVersion
+
+  /** Latest committed version — the next batch's upper bound, capped
+    * at `maxVersionsPerTrigger` versions past the served floor so a
+    * catch-up stream (a restart 10⁴ commits behind at 100 TB) drains
+    * in bounded micro-batches instead of one unbounded replay. */
   override def getOffset: Option[V1Offset] =
-    VersionedParquet.currentVersion(spark, root).map(LongOffset.apply)
+    VersionedParquet.currentVersion(spark, root).map { live =>
+      LongOffset(maxVersionsPerTrigger
+        .fold(live)(m => math.min(live, servedThrough + m)))
+    }
 
   /** Data-rows mode admits a version iff its committed write domain
     * proves append-only — a METADATA check, no data scanned. Updates /
@@ -274,6 +294,8 @@ private[warehouse] class GraftStreamSource(spark: SparkSession,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = versionOf(end)
+    servedThrough = math.max(servedThrough,
+      math.max(to, start.map(versionOf).getOrElse(startingVersion)))
     val frame = start.map(versionOf) match {
       case Some(from) if from >= to => // restart replay of a done range
         spark.createDataFrame(

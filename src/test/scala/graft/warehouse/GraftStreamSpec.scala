@@ -164,5 +164,47 @@ class GraftStreamSpec extends AnyFunSuite {
       drain(root, work.resolve("o3").toString, work.resolve("c3").toString,
         Map("readChangeFeed" -> "true", "ignoreChanges" -> "true"))
     }
+    intercept[Exception] {
+      drain(root, work.resolve("o4").toString, work.resolve("c4").toString,
+        Map("maxVersionsPerTrigger" -> "0"))
+    }
+  }
+
+  test("maxVersionsPerTrigger paces catch-up into bounded micro-" +
+      "batches, exactly once") {
+    val work = Files.createTempDirectory("graft-streamsrc-rate")
+    val root = work.resolve("t").toString
+    VersionedParquet.publish(Seq((1L, 10L), (2L, 20L)).toDF("k", "cents"),
+      root, keepVersions = 20)
+    (1L to 6L).foreach(i =>
+      VersionedParquet.append(spark, root,
+        Seq((100L + i, i)).toDF("k", "cents"), keepVersions = 20))
+    // 7 versions behind at stream start (snapshot@0 + feed of v1..v6);
+    // cap 2 versions/trigger → the floor advances ≤2 per batch
+    val batches =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "2")
+      .load(root)
+      .writeStream
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        val r = df.agg(count(lit(1)), max(col("_commit_version"))).head()
+        batches.synchronized {
+          batches += ((id, r.getLong(0), r.getLong(1))); () }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val nonEmpty = batches.filter(_._2 > 0).sortBy(_._1)
+    // batch 0: snapshot@0 (2 rows, version 0) + v1,v2 → high-water 2;
+    // then (2,4], (4,6] — never more than 2 new versions per batch
+    assert(nonEmpty.map(_._3) === Seq(2L, 4L, 6L),
+      s"per-batch high-water must advance by the cap: $nonEmpty")
+    assert(nonEmpty.map(_._2).sum === 8L,
+      "snapshot + all six appended rows, exactly once")
   }
 }
