@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.{col, count, countDistinct, lit, round, sum, when}
+import org.apache.spark.sql.functions.{col, concat, count, countDistinct, lit, round, sum, when}
 
 import graft.plans.GraftFunctions
 import graft.sources.{QueryDef, Scratch, Tables}
@@ -381,7 +381,37 @@ object SqlSurfaceOps {
              |       count(DISTINCT k) AS n_keys
              |FROM upd
              |GROUP BY 1
-             |ORDER BY band""".stripMargin))
+             |ORDER BY band""".stripMargin)),
+
+    // ── DESCRIBE HISTORY / DESCRIBE DETAIL as SQL ────────────────────────
+    // The SQL-only client's introspection surface: HISTORY returns one
+    // metadata row per version (version, commit time, committed write
+    // DOMAIN — never a data scan), DETAIL one row of table-level
+    // metadata (live version, version count, partition layout, named
+    // constraints, generated columns). The gate pins the deterministic
+    // projection — version sequence, per-version domains, the detail
+    // counts and constraint names — against a literal oracle, so a
+    // missing version, a wrong domain, or DESCRIBE DETAIL drifting
+    // from the real marker state breaks it (commit times are real
+    // wall-clock and stay out of the gate).
+    QueryDef("q174_sql_describe",
+      (s, d) => {
+        val root = describeRoot(s, d)
+        val hist = GraftSql.sql(s, "DESCRIBE HISTORY graft_q174")
+          .select(col("version"), col("domain"))
+        val det = GraftSql.sql(s, "DESCRIBE DETAIL graft_q174")
+          .select((col("version") + 100L).as("version"),
+            concat(lit("detail:"), col("num_versions").cast("string"),
+              lit(":"), col("constraints")).as("domain"))
+        hist.unionByName(det).orderBy("version")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), 'table'),
+             |  (CAST(1 AS BIGINT), 'append'),
+             |  (CAST(2 AS BIGINT), 'table'),
+             |  (CAST(102 AS BIGINT), 'detail:3:cents_nonneg'))
+             |  AS t(version, domain)
+             |ORDER BY version""".stripMargin))
   )
 
   /** q172 scratch table: orders published, then the generated-column
@@ -444,6 +474,31 @@ object SqlSurfaceOps {
       // UPDATE of the source column: post-images recompute band
       GraftSql.sql(s,
         "UPDATE graft_q172 SET cents = cents + 5000 WHERE c % 10 = 0")
+    }
+    root
+  }
+
+  /** q174 scratch table: three SQL-driven versions with distinct write
+    * domains plus a named constraint, introspected back via DESCRIBE.
+    * Once per session. */
+  private def describeRoot(s: org.apache.spark.sql.SparkSession,
+                           d: String): String = {
+    val root = Scratch.dir(s, "q174-describe")
+    GraftTables.register("graft_q174", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o, root, keepVersions = 20)
+      Tables.orders(s, d).createOrReplaceTempView("q174_orders")
+      GraftSql.sql(s, "INSERT INTO graft_q174 " +
+        "SELECT o_orderkey + 1000000 AS k, o_custkey AS c, " +
+        "CAST(111 AS BIGINT) AS cents " +
+        "FROM q174_orders WHERE o_orderkey % 10 = 0")
+      GraftSql.sql(s, "UPDATE graft_q174 SET cents = cents + 3 " +
+        "WHERE c % 9 = 0")
+      GraftSql.sql(s, "ALTER TABLE graft_q174 ADD CONSTRAINT " +
+        "cents_nonneg CHECK (cents >= 0)")
     }
     root
   }

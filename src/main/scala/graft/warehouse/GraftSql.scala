@@ -98,6 +98,8 @@ private[graft] final case class SqlDropConstraint(table: String,
     name: String) extends GraftDml
 private[graft] final case class SqlAddGenerated(table: String,
     col: String, typeDdl: String, genExpr: String) extends GraftDml
+private[graft] final case class SqlDescribe(table: String,
+    kind: String) extends GraftDml // kind: "history" | "detail"
 
 object GraftSql {
 
@@ -138,6 +140,8 @@ object GraftSql {
       """\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)""").r
     val DC = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+""" +
       """CONSTRAINT\s+([A-Za-z_][\w]*)""").r
+    val DH = """(?is)DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)""".r
+    val DD = """(?is)DESCRIBE\s+DETAIL\s+([A-Za-z_][\w]*)""".r
     val dml = t match {
       case M(table, source, on, matched) =>
         keyColsOf(on).map(keys => SqlMerge(table, source, keys,
@@ -165,6 +169,8 @@ object GraftSql {
       case AC(table, name, check) =>
         Some(SqlAddConstraint(table, name, check.trim))
       case DC(table, name) => Some(SqlDropConstraint(table, name))
+      case DH(table) => Some(SqlDescribe(table, "history"))
+      case DD(table) => Some(SqlDescribe(table, "detail"))
       case _ => None
     }
     dml.filter {
@@ -282,6 +288,7 @@ object GraftSql {
         VersionedParquet.addGeneratedColumn(spark, root, colName, typeDdl,
           genExpr)
         root
+      case _: SqlDescribe => root // side-effect free; routed in sql()
     }
   }
 
@@ -292,9 +299,42 @@ object GraftSql {
     * (see [[GraftSqlParser]]). */
   def sql(spark: SparkSession, text: String): DataFrame =
     parseDml(text) match {
+      case Some(d: SqlDescribe) => describeFrame(spark, d)
       case Some(dml) => exec(spark, dml); spark.emptyDataFrame
       case None => spark.sql(text)
     }
+
+  /** DESCRIBE HISTORY / DESCRIBE DETAIL as frames — the SQL-only
+    * client's introspection surface. HISTORY is the graft source's
+    * commit-log view (version, commit_millis, domain — one metadata
+    * row per version, never a data scan); DETAIL is one row of
+    * table-level metadata: location, live version, version count,
+    * partition layout, named CHECK constraints, generated columns,
+    * and still-virtual extension columns. */
+  private[graft] def describeFrame(spark: SparkSession,
+                                   d: SqlDescribe): DataFrame = {
+    val (root, _) = GraftTables.rootOf(d.table).getOrElse(
+      throw new IllegalStateException(
+        s"table ${d.table} is not registered"))
+    if (d.kind == "history")
+      spark.read.format("graft").option("history", "true").load(root)
+    else {
+      import spark.implicits._
+      val live = VersionedParquet.currentVersion(spark, root)
+        .getOrElse(-1L)
+      val nVersions = VersionedParquet.versions(spark, root).length.toLong
+      Seq((root, live, nVersions,
+        VersionedParquet.partitionColsOf(spark, root).mkString(","),
+        VersionedParquet.namedConstraints(spark, root).map(_._1)
+          .mkString(","),
+        VersionedParquet.generationRules(spark, root).map(_._1)
+          .mkString(","),
+        VersionedParquet.schemaExtensions(spark, root).map(_._1)
+          .mkString(",")))
+        .toDF("location", "version", "num_versions", "partition_columns",
+          "constraints", "generated_columns", "extension_columns")
+    }
+  }
 }
 
 /** The eagerly-executed command node the injected parser emits — DML
@@ -308,6 +348,30 @@ private[graft] final case class GraftDmlCommand(dml: GraftDml)
   }
 }
 
+/** DESCRIBE HISTORY / DETAIL through the injected parser: a command
+  * WITH output rows, so plain `spark.sql("DESCRIBE HISTORY t")`
+  * returns the frame. */
+private[graft] final case class GraftDescribeCommand(dml: SqlDescribe)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[Attribute] =
+    if (dml.kind == "history") Seq(
+      AttributeReference("version", LongType)(),
+      AttributeReference("commit_millis", LongType)(),
+      AttributeReference("domain", StringType)())
+    else Seq(
+      AttributeReference("location", StringType)(),
+      AttributeReference("version", LongType)(),
+      AttributeReference("num_versions", LongType)(),
+      AttributeReference("partition_columns", StringType)(),
+      AttributeReference("constraints", StringType)(),
+      AttributeReference("generated_columns", StringType)(),
+      AttributeReference("extension_columns", StringType)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSql.describeFrame(session, dml).collect().toSeq
+}
+
 /** Parser extension: intercepts the four DML verbs against registered
   * versioned tables; delegates every other statement — and every
   * other parser duty — to Spark's own parser. */
@@ -315,6 +379,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSql.parseDml(sqlText) match {
+      case Some(d: SqlDescribe) => GraftDescribeCommand(d)
       case Some(dml) => GraftDmlCommand(dml)
       case None => delegate.parsePlan(sqlText)
     }

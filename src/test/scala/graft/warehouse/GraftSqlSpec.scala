@@ -192,6 +192,17 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(extSession.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
       assert(VersionedParquet.currentVersion(extSession, root)
         === Some(2L))
+      // DESCRIBE verbs return ROWS through the injected parser
+      val hist = extSession.sql("DESCRIBE HISTORY t_ext")
+      assert(hist.columns.toSeq ===
+        Seq("version", "commit_millis", "domain"))
+      assert(hist.select("version").as[Long](
+        org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+        === Array(0L, 1L, 2L))
+      val det = extSession.sql("DESCRIBE DETAIL t_ext").head()
+      assert(det.getAs[Long]("version") === 2L)
+      assert(det.getAs[Long]("num_versions") === 3L)
+      assert(det.getAs[String]("location") === root)
     } finally {
       GraftTables.clear()
       SparkSession.clearActiveSession()
