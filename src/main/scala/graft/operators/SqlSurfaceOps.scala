@@ -411,8 +411,100 @@ object SqlSurfaceOps {
              |  (CAST(2 AS BIGINT), 'table'),
              |  (CAST(102 AS BIGINT), 'detail:3:cents_nonneg'))
              |  AS t(version, domain)
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    // ── DEEP CLONE: materialized, fully independent copy ─────────────────
+    // `CREATE TABLE … DEEP CLONE src` materializes the live view into a
+    // fresh root — the backup/promote primitive, where SHALLOW CLONE
+    // (q146) is the zero-copy experiment primitive. The gate proves the
+    // three defining properties IN the result: the clone captured the
+    // source's live state at clone time (base + first append), it
+    // diverges independently (its own append lands, the source's later
+    // append does NOT leak in), and it has no cross-root reference —
+    // the builder DELETES the source root outright before the final
+    // read. The named constraint travels: a violating insert on the
+    // clone rejects after the source is gone.
+    QueryDef("q175_deep_clone",
+      (s, d) => {
+        val root = deepCloneRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy((col("c") % 4).as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("k")).as("n_keys"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .orderBy("bucket")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |cloned AS (
+             |  SELECT k, c, cents FROM o
+             |  UNION ALL
+             |  SELECT k + 1000000, c, cents + 5 FROM o WHERE k % 6 = 0
+             |  UNION ALL
+             |  SELECT k + 2000000, c, CAST(77 AS BIGINT) FROM o
+             |  WHERE k % 8 = 0)
+             |SELECT c % 4 AS bucket, count(*) AS n_rows,
+             |       count(DISTINCT k) AS n_keys,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM cloned
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin))
   )
+
+  /** q175 scratch tables: a source (base + append + constraint), a SQL
+    * DEEP CLONE, divergence on both sides, then the SOURCE ROOT IS
+    * DELETED — the final read proves the clone stands alone. Once per
+    * session. */
+  private def deepCloneRoot(s: org.apache.spark.sql.SparkSession,
+                            d: String): String = {
+    val srcRoot = Scratch.dir(s, "q175-src")
+    val root = Scratch.dir(s, "q175-clone")
+    GraftTables.register("graft_q175s", srcRoot, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      GraftTables.unregister("graft_q175c")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o, srcRoot, keepVersions = 20)
+      Tables.orders(s, d).createOrReplaceTempView("q175_orders")
+      GraftSql.sql(s, "ALTER TABLE graft_q175s ADD CONSTRAINT " +
+        "cents_nonneg CHECK (cents >= 0)")
+      GraftSql.sql(s, "INSERT INTO graft_q175s " +
+        "SELECT o_orderkey + 1000000 AS k, o_custkey AS c, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + 5 AS cents " +
+        "FROM q175_orders WHERE o_orderkey % 6 = 0")
+      GraftSql.sql(s, s"CREATE TABLE graft_q175c USING graft " +
+        s"LOCATION '$root' DEEP CLONE graft_q175s")
+      // diverge both sides: the clone's append lands, the source's
+      // later append must NOT leak into the clone
+      GraftSql.sql(s, "INSERT INTO graft_q175c " +
+        "SELECT o_orderkey + 2000000 AS k, o_custkey AS c, " +
+        "CAST(77 AS BIGINT) AS cents " +
+        "FROM q175_orders WHERE o_orderkey % 8 = 0")
+      GraftSql.sql(s, "INSERT INTO graft_q175s " +
+        "SELECT o_orderkey + 3000000 AS k, o_custkey AS c, " +
+        "CAST(88 AS BIGINT) AS cents " +
+        "FROM q175_orders WHERE o_orderkey % 9 = 0")
+      // the constraint travelled: a violating insert on the clone
+      // rejects, table untouched
+      val vBefore = VersionedParquet.currentVersion(s, root)
+      try {
+        GraftSql.sql(s, "INSERT INTO graft_q175c " +
+          "SELECT 1 AS k, 1 AS c, CAST(-1 AS BIGINT) AS cents")
+        throw new IllegalStateException(
+          "q175: violating insert should have been rejected")
+      } catch { case _: java.io.IOException => () }
+      require(VersionedParquet.currentVersion(s, root) == vBefore,
+        "q175: rejected insert must leave the clone untouched")
+      // independence: destroy the source root outright
+      org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(
+        new org.apache.hadoop.fs.Path(srcRoot).toUri.getPath))
+      GraftTables.unregister("graft_q175s")
+    }
+    root
+  }
 
   /** q172 scratch table: orders published, then the generated-column
     * lifecycle driven as SQL — ALTER ADD … GENERATED ALWAYS AS

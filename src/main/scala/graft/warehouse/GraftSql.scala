@@ -100,6 +100,8 @@ private[graft] final case class SqlAddGenerated(table: String,
     col: String, typeDdl: String, genExpr: String) extends GraftDml
 private[graft] final case class SqlDescribe(table: String,
     kind: String) extends GraftDml // kind: "history" | "detail"
+private[graft] final case class SqlClone(table: String, location: String,
+    deep: Boolean, source: String) extends GraftDml
 
 object GraftSql {
 
@@ -125,6 +127,8 @@ object GraftSql {
     val O = """(?is)OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?""".r
     val CT = ("""(?is)CREATE\s+TABLE\s+([A-Za-z_][\w]*)\s+(?:USING\s+graft\s+)?""" +
       """LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)""").r
+    val CL = ("""(?is)CREATE\s+TABLE\s+([A-Za-z_][\w]*)\s+(?:USING\s+graft\s+)?""" +
+      """LOCATION\s+'([^']+)'\s+(SHALLOW|DEEP)\s+CLONE\s+([A-Za-z_][\w]*)""").r
     val DT = """(?is)DROP\s+TABLE\s+([A-Za-z_][\w]*)""".r
     val V = """(?is)VACUUM\s+([A-Za-z_][\w]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""".r
     val A = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+COLUMN\s+""" +
@@ -151,6 +155,8 @@ object GraftSql {
           Option(where).map(_.trim)))
       case D(table, where) => Some(SqlDelete(table, where.trim))
       case I(table, query) => Some(SqlInsert(table, query.trim))
+      case CL(table, loc, kind, source) =>
+        Some(SqlClone(table, loc, kind.equalsIgnoreCase("DEEP"), source))
       case CT(table, loc, query) =>
         Some(SqlCreateTable(table, loc, query.trim))
       case DT(table) => Some(SqlDropTable(table))
@@ -175,6 +181,7 @@ object GraftSql {
     }
     dml.filter {
       case _: SqlCreateTable => true // registers itself at exec
+      case c: SqlClone => GraftTables.rootOf(c.source).isDefined
       case d => GraftTables.rootOf(d.table).isDefined
     }
   }
@@ -230,6 +237,18 @@ object GraftSql {
         GraftTables.register(table, loc)
         return VersionedParquet.publish(spark.sql(query), loc,
           keepVersions = 10)
+      case SqlClone(table, loc, deep, source) =>
+        // CLONE mints a table too: fresh location, registered source
+        require(GraftTables.rootOf(table).isEmpty,
+          s"table $table is already registered")
+        val (srcRoot, keep) = GraftTables.rootOf(source).getOrElse(
+          throw new IllegalStateException(
+            s"clone source $source is not registered"))
+        val out =
+          if (deep) VersionedParquet.deepClone(spark, srcRoot, loc, keep)
+          else VersionedParquet.shallowClone(spark, srcRoot, loc)
+        GraftTables.register(table, loc, keep)
+        return out
       case _ => ()
     }
     val (root, keep) = GraftTables.rootOf(dml.table).getOrElse(

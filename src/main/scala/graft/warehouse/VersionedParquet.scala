@@ -2009,6 +2009,34 @@ object VersionedParquet {
     }
   }
 
+  /** DEEP CLONE: materialize the source's LIVE view into `dstRoot` as
+    * a fresh physical v0 — one scan + write, the honest data copy —
+    * fully independent of the source from the first byte (no
+    * cross-root base reference, so [[shallowClone]]'s retention caveat
+    * does not apply: vacuum or even delete the source and the clone
+    * still reads). The source's Hive partition layout is preserved;
+    * virtual columns and pending drop/rename maps materialize into the
+    * copy (the read path applies them), so only the contracts that
+    * outlive materialization travel: named CHECK constraints and
+    * generated-column rules. The backup/promote primitive — where
+    * [[shallowClone]] is the dev/test experiment primitive. */
+  def deepClone(spark: SparkSession, srcRoot: String, dstRoot: String,
+                keepVersions: Int = 2): String = {
+    require(currentVersion(spark, srcRoot).isDefined,
+      s"no published version under $srcRoot")
+    if (currentVersion(spark, dstRoot).isDefined)
+      throw new IOException(s"$dstRoot already holds a table; clone " +
+        "targets a fresh root")
+    val out = publish(read(spark, srcRoot), dstRoot,
+      partitionCols = partitionColsOf(spark, srcRoot),
+      keepVersions = keepVersions)
+    readPointer(spark, new Path(srcRoot, CONSTRAINTS_EXT)).foreach(m =>
+      installPointer(spark, new Path(dstRoot), CONSTRAINTS_EXT, m))
+    readPointer(spark, new Path(srcRoot, SCHEMA_GEN)).foreach(m =>
+      installPointer(spark, new Path(dstRoot), SCHEMA_GEN, m))
+    out
+  }
+
   /** Metadata-only RESTORE (the `RESTORE TABLE ... TO VERSION` /
     * rollback analogue): publishes version N+1 whose logical content
     * is IDENTICAL to historical `toVersion` — by referencing
