@@ -868,6 +868,81 @@ object SimilarityOps {
              |  FROM votes)
              |SELECT q_id, pred_label, n_votes
              |FROM win WHERE wr = 1
-             |ORDER BY q_id""".stripMargin))
+             |ORDER BY q_id""".stripMargin)),
+
+    // ── Per-dimension standardization (feature normalization) ─────────────
+    // The preprocessing step every embedding pipeline runs before
+    // clustering/quantization: per-dimension corpus mean/std, then
+    // z = (x − μ_d)/σ_d per element. Made cross-engine-exact the q173
+    // way: elements quantize to integers (round(x·10⁶)) so the
+    // per-dimension Σq and Σq² are EXACT integer sums (no
+    // float-summation order dependence — the classic nondeterminism of
+    // distributed mean/variance), and μ, σ, z are then a fixed dag of
+    // correctly-rounded double ops both engines evaluate identically;
+    // the gate pins Σ round(z·10³) per dimension, i.e. every
+    // standardized element. Shape at 100 TB: one (dim)-keyed partial
+    // agg (64 groups), stats broadcast back onto a narrow per-element
+    // map — the same two-pass shape a production standardizer uses.
+    QueryDef("q176_dim_standardize",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("q",
+            round(col("x").cast("double") * 1e6).cast("long"))
+        val stats = e.groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+            sum(col("q") * col("q")).as("sqq"))
+          .withColumn("mean",
+            col("sq").cast("double") / col("n").cast("double"))
+          .withColumn("variance",
+            (col("sqq").cast("double") -
+              col("sq").cast("double") * col("sq").cast("double") /
+                col("n").cast("double")) / col("n").cast("double"))
+          .withColumn("std", sqrt(col("variance") + lit(1.0)))
+        val z = e.join(broadcast(stats.select("dim", "mean", "std")),
+            "dim")
+          .withColumn("zq", round(
+            (col("q").cast("double") - col("mean")) / col("std")
+              * lit(1000.0)).cast("long"))
+        z.groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum("zq").as("zsum"))
+          .join(stats.select(col("dim"),
+            round(col("mean"), 6).as("mean_r"),
+            round(col("std"), 6).as("std_r")), "dim")
+          .select("dim", "n", "mean_r", "std_r", "zsum")
+          .orderBy("dim")
+      },
+      Some("""WITH el AS (
+             |  SELECT e.vec_id, CAST(t.i - 1 AS INT) AS dim,
+             |         CAST(round(CAST(e.embedding[t.i] AS DOUBLE)
+             |                    * 1000000.0) AS BIGINT) AS q
+             |  FROM embeddings e
+             |  CROSS JOIN unnest(generate_series(1, 64)) AS t(i)),
+             |st AS (
+             |  SELECT dim, count(*) AS n,
+             |         CAST(sum(q) AS BIGINT) AS sq,
+             |         CAST(sum(q * q) AS BIGINT) AS sqq
+             |  FROM el GROUP BY 1),
+             |st2 AS (
+             |  SELECT dim, n, sq, sqq,
+             |         CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             |         sqrt((CAST(sqq AS DOUBLE)
+             |                - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+             |                  / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+             |               + 1.0) AS std
+             |  FROM st),
+             |zs AS (
+             |  SELECT el.dim,
+             |         CAST(round((CAST(el.q AS DOUBLE) - s.mean) / s.std
+             |                    * 1000.0) AS BIGINT) AS zq
+             |  FROM el JOIN st2 s ON s.dim = el.dim)
+             |SELECT z.dim, count(*) AS n,
+             |       round(s.mean, 6) AS mean_r,
+             |       round(s.std, 6) AS std_r,
+             |       CAST(sum(z.zq) AS BIGINT) AS zsum
+             |FROM zs z JOIN st2 s ON s.dim = z.dim
+             |GROUP BY z.dim, s.mean, s.std
+             |ORDER BY z.dim""".stripMargin))
   )
 }
