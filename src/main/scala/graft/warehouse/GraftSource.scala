@@ -150,6 +150,30 @@ private[warehouse] class GraftRelation(ctx: SQLContext, root: String,
   override def sqlContext: SQLContext = ctx
   override lazy val schema: StructType = frame.schema
 
+  /** Size estimate for the optimizer's broadcast decision: the actual
+    * bytes of the files this relation's frame scans (base minus
+    * exclusions plus overlay tiers), instead of BaseRelation's
+    * default "unknown = never broadcast" — so a small graft view on
+    * the build side of a join auto-broadcasts exactly like a parquet
+    * table would (the BHJ-vs-SMJ decision is THE join cost cliff at
+    * scale). Parquet is compressed, so this under-states in-memory
+    * row width the same way Spark's own file-scan sizing does. One
+    * bounded file-status listing per relation instance, computed
+    * lazily at planning time; any failure falls back to the safe
+    * default. */
+  override lazy val sizeInBytes: Long =
+    try {
+      val files = frame.inputFiles
+      if (files.isEmpty) super.sizeInBytes
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+      }
+    } catch { case scala.util.control.NonFatal(_) => super.sizeInBytes }
+
   // every filter re-applies above the scan — the MoR overlay must see
   // unfiltered rows for its (file, pos) anti-join to be sound
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =

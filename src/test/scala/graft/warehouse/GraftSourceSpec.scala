@@ -117,4 +117,25 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(hist.map(_.getString(2)).forall(_ == "table"),
       "legacy single-writer commits are whole-table domain")
   }
+
+  test("sizeInBytes: a small graft view auto-broadcasts in a SQL join") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-size")
+    val big = work.resolve("big").toString
+    (0L until 50000L).map(i => (i % 97, i)).toDF("k", "v")
+      .write.parquet(big)
+    spark.read.parquet(big).createOrReplaceTempView("size_big")
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW size_small " +
+      s"USING graft OPTIONS (path '$root')")
+    val joined = spark.sql(
+      """SELECT b.k, count(*) AS n, sum(s.x) AS sx
+        |FROM size_big b JOIN size_small s ON s.id = b.k
+        |GROUP BY b.k""".stripMargin)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small graft build side must broadcast; got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "a KB-sized graft view must not force a shuffle join")
+    assert(joined.agg(sum("n")).head().getLong(0) > 0L)
+  }
 }
