@@ -1786,6 +1786,72 @@ object VersionOps {
              |FROM final
              |WHERE k % 2 = 0
              |GROUP BY 1
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // ── Streaming expectations + quarantine (q169's pipeline, gated) ─────
+    // The declarative-pipeline `expect_or_quarantine` pattern run END TO
+    // END: a real stream tails bronze (q165's source) through
+    // VersionedSink.runExpectations — rows passing BOTH named CHECK
+    // expectations land on silver, each violating row lands on the
+    // quarantine table wearing the comma-joined names of the
+    // expectations it failed. Nothing is dropped (the oracle replays
+    // the full bronze multiset split by the same rules, so silver ∪
+    // quarantine must account for every row), both sides are
+    // exactly-once appends (ExpectationsSpec proves the crash-between-
+    // appends replay), and the per-violation grouping pins the
+    // ANNOTATION, not just the split.
+    QueryDef("q177_stream_expectations",
+      (s, d) => {
+        val bronze = appendRoot(s, d)
+        val silver = Scratch.dir(s, "q177-silver")
+        val quarantine = Scratch.dir(s, "q177-quarantine")
+        val ckpt = Scratch.dir(s, "q177-ckpt")
+        if (VersionedParquet.currentVersion(s, silver).isEmpty) {
+          val src = s.readStream.format("graft")
+            .option("startingVersion", "0").load(bronze)
+          graft.streaming.VersionedSink.runExpectations(src, silver,
+            quarantine, ckpt,
+            Seq("cents_cap" -> "cents < 20000000",
+              "lucky7" -> "c % 7 != 0"),
+            keepVersions = 10).awaitTermination()
+        }
+        val sil = VersionedParquet.read(s, silver)
+          .groupBy(lit("silver").as("side"),
+            (col("c") % 5).cast("string").as("key"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").cast("long").as("sum_cents"))
+        val qua = VersionedParquet.read(s, quarantine)
+          .groupBy(lit("quarantine").as("side"),
+            col("_violated").as("key"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").cast("long").as("sum_cents"))
+        sil.unionByName(qua).orderBy("side", "key")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |final AS (
+             |  SELECT k, c, cents FROM o
+             |  UNION ALL
+             |  SELECT k, c, cents FROM o
+             |  WHERE k % 3 = 1 AND c % 5 = 0),
+             |flags AS (
+             |  SELECT k, c, cents,
+             |         (cents < 20000000) AS ok1,
+             |         (c % 7 != 0) AS ok2
+             |  FROM final)
+             |SELECT 'silver' AS side, CAST(c % 5 AS VARCHAR) AS key,
+             |       count(*) AS n_rows, CAST(sum(cents) AS BIGINT)
+             |         AS sum_cents
+             |FROM flags WHERE ok1 AND ok2 GROUP BY 2
+             |UNION ALL
+             |SELECT 'quarantine',
+             |       concat_ws(',',
+             |         CASE WHEN NOT ok1 THEN 'cents_cap' END,
+             |         CASE WHEN NOT ok2 THEN 'lucky7' END),
+             |       count(*), CAST(sum(cents) AS BIGINT)
+             |FROM flags WHERE NOT (ok1 AND ok2) GROUP BY 2
+             |ORDER BY side, key""".stripMargin))
   )
 }

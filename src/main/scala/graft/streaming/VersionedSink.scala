@@ -128,4 +128,47 @@ object VersionedSink {
       }
       .start()
   }
+
+  /** Streaming ingest with EXPECTATIONS and a quarantine table (the
+    * declarative-pipeline `expect_or_quarantine` pattern): each
+    * micro-batch splits by the named CHECK expectations — rows
+    * satisfying ALL of them (SQL semantics: a row violates only when
+    * an expression is FALSE; NULL passes) land as one O(batch) append
+    * version on `root`; violating rows land on `quarantineRoot`
+    * wearing `_violated` (comma-joined names of the failed
+    * expectations) and `_batch_id`, so bad data is never silently
+    * dropped — it is a queryable, replayable table. Each side carries
+    * its OWN batch marker, so a crash between the two appends replays
+    * the batch with the already-committed side skipping idempotently —
+    * exactly-once on both tables. Batches contributing zero rows to a
+    * side publish nothing there (the skip re-derives deterministically
+    * on replay). */
+  def runExpectations(source: DataFrame, root: String,
+                      quarantineRoot: String, checkpoint: String,
+                      expectations: Seq[(String, String)],
+                      keepVersions: Int = 2): StreamingQuery = {
+    require(expectations.nonEmpty, "need at least one expectation")
+    import org.apache.spark.sql.functions.{concat_ws, expr, lit, not, when}
+    val spark = source.sparkSession
+    source.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val violates = expectations
+          .map { case (_, c) => expr(c) <=> lit(false) }
+        val clean = batch.filter(not(violates.reduce(_ || _)))
+        val bad = batch.filter(violates.reduce(_ || _))
+          .withColumn("_violated", concat_ws(",",
+            expectations.map { case (n, c) =>
+              when(expr(c) <=> lit(false), lit(n)) }: _*))
+          .withColumn("_batch_id", lit(batchId))
+        if (clean.limit(1).count() > 0)
+          commitAppend(spark, root, batchId, clean, keepVersions)
+        if (bad.limit(1).count() > 0)
+          commitAppend(spark, quarantineRoot, batchId, bad, keepVersions)
+        ()
+      }
+      .start()
+  }
 }
