@@ -221,7 +221,147 @@ object ClusterOps {
              |FROM samp
              |WHERE rn <= $SAMPLE_CAP
              |GROUP BY cl
+             |ORDER BY cluster""".stripMargin)),
+
+    // ── Incremental cluster-assignment maintenance via the change feed ───
+    // The k-means half of the index-maintenance trilogy (q162 = PQ,
+    // q168 = LSH): embeddings live in a versioned table, centroids
+    // train and FREEZE on v0 (the only corpus-wide job), and the
+    // stored assignment index advances from the table's own CDF —
+    // the insert batch assigns against the frozen centroids as an
+    // O(changes) map-side job (assignment is vec-local, so incremental
+    // == rebuild EXACTLY), deleted ids anti-join out, never a corpus
+    // re-assign. The oracle trains on the v0 subset (parameterized
+    // CTEs) and assigns every FINAL logical vector against those
+    // frozen centroids, so a stale index, a feed-missed row, a
+    // retrained centroid, or bulk/incremental assignment drift breaks
+    // the per-cluster hash.
+    QueryDef("q178_cluster_index_maintenance",
+      (s, d) => {
+        val idx = assignIndexPath(s, d)
+        s.read.parquet(idx)
+          .groupBy(col("cl").as("cluster"))
+          .agg(count(lit(1)).as("n_vecs"),
+            min("vec_id").as("min_vec_id"),
+            sum("d2").cast("long").as("inertia"))
+          .orderBy("cluster")
+      },
+      Some(s"""${maintOracleCtes("vec_id % 4 <> 0", "vec_id % 7 <> 0")}
+             |SELECT cl AS cluster, count(*) AS n_vecs,
+             |       min(vec_id) AS min_vec_id,
+             |       CAST(sum(d2) AS BIGINT) AS inertia
+             |FROM fin
+             |GROUP BY cl
              |ORDER BY cluster""".stripMargin))
   )
 
+  /** Lloyd's over an arbitrary quantized (vec_id, e) frame — the
+    * [[kmeans]] body with the input factored out, for the maintenance
+    * tier. Returns the FROZEN final centroids. */
+  private def trainOn(v: DataFrame): Seq[(Int, Array[Long])] = {
+    var cents: Seq[(Int, Array[Long])] = v.orderBy("vec_id").limit(K)
+      .collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Long](1).toArray
+      }.toSeq
+    for (_ <- 1 to ITERS)
+      cents = updateCentroids(assign(v, cents))
+    cents
+  }
+
+  private def quantizeFrame(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x * SCALE).cast("long")).as("e"))
+
+  /** q178 lifecycle: versioned embeddings table (v0 = training subset
+    * → append held-out → delete a slice), centroids frozen at v0, the
+    * stored index advanced per feed step. Once per session. */
+  private def assignIndexPath(s: SparkSession, dir: String): String = {
+    import graft.warehouse.{AtomicParquet, VersionedParquet}
+    val root = graft.sources.Scratch.dir(s, "q178-table")
+    val idx0 = graft.sources.Scratch.dir(s, "q178-assign-v0")
+    val idx1 = graft.sources.Scratch.dir(s, "q178-assign-v1")
+    val idx2 = graft.sources.Scratch.dir(s, "q178-assign-v2")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      VersionedParquet.publish(e.filter(col("vec_id") % 4 =!= 0), root,
+        keepVersions = 10)
+      val v0 = quantizeFrame(VersionedParquet.read(s, root, Some(0L)))
+        .persist()
+      val cents = trainOn(v0) // frozen from here on
+      AtomicParquet.overwrite(
+        assign(v0, cents).select("vec_id", "cl", "d2"), idx0)
+      v0.unpersist()
+      // v1: the held-out slice appends; index advances by assigning
+      // ONLY the feed's inserts against the frozen centroids
+      VersionedParquet.append(s, root,
+        e.filter(col("vec_id") % 4 === 0), keepVersions = 10)
+      val ins = VersionedParquet.changes(s, root, 0L, 1L)
+        .filter(col("_change_type") === "insert")
+        .select("vec_id", "embedding")
+      AtomicParquet.overwrite(
+        s.read.parquet(idx0).unionByName(
+          assign(quantizeFrame(ins), cents)
+            .select("vec_id", "cl", "d2")), idx1)
+      // v2: a delete slice; the feed's deleted ids anti-join out
+      VersionedParquet.delete(s, root, col("vec_id") % 7 === 0,
+        keepVersions = 10)
+      val dels = VersionedParquet.changes(s, root, 1L, 2L)
+        .filter(col("_change_type") === "delete")
+        .select("vec_id")
+      AtomicParquet.overwrite(
+        s.read.parquet(idx1).join(dels, Seq("vec_id"), "left_anti"),
+        idx2)
+    }
+    idx2
+  }
+
+  /** Oracle CTE block for the maintenance gate: train on
+    * `trainFilter`'s subset (the v0 state), assign every vector in
+    * `finalFilter`'s subset (the final logical table) against the
+    * frozen round-$ITERS centroids. */
+  private def maintOracleCtes(trainFilter: String,
+                              finalFilter: String): String = {
+    def round(k: Int): String =
+      s"""a$k AS (
+         |  SELECT vec_id, e, cl, d2 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |                                 ORDER BY d2, cl) AS rn FROM (
+         |      SELECT v.vec_id, v.e, c.cl,
+         |             CAST(list_inner_product(v.e, v.e)
+         |                  - 2 * list_inner_product(v.e, c.cent)
+         |                  + list_inner_product(c.cent, c.cent)
+         |               AS BIGINT) AS d2
+         |      FROM v, c${k - 1} c))
+         |  WHERE rn = 1),
+         |c$k AS (
+         |  SELECT cl, list(val ORDER BY i) AS cent FROM (
+         |    SELECT cl, i,
+         |           CAST(sum(e[i]) // count(*) AS BIGINT) AS val
+         |    FROM a$k, generate_series(1, 64) t(i)
+         |    GROUP BY cl, i)
+         |  GROUP BY cl)""".stripMargin
+    s"""WITH vall AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding,
+       |           x -> CAST(round(x * $SCALE) AS BIGINT)) AS e
+       |  FROM embeddings),
+       |v AS (SELECT * FROM vall WHERE $trainFilter),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+       |           AS cl, e AS cent
+       |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $K)),
+       |${(1 to ITERS).map(round).mkString(",\n")},
+       |fin AS (
+       |  SELECT vec_id, e, cl, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY d2, cl) AS rn FROM (
+       |      SELECT w.vec_id, w.e, c.cl,
+       |             CAST(list_inner_product(w.e, w.e)
+       |                  - 2 * list_inner_product(w.e, c.cent)
+       |                  + list_inner_product(c.cent, c.cent)
+       |               AS BIGINT) AS d2
+       |      FROM (SELECT * FROM vall WHERE $finalFilter) w, c$ITERS c))
+       |  WHERE rn = 1)""".stripMargin
+  }
 }
