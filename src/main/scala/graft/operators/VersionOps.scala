@@ -1852,6 +1852,139 @@ object VersionOps {
              |         CASE WHEN NOT ok2 THEN 'lucky7' END),
              |       count(*), CAST(sum(cents) AS BIGINT)
              |FROM flags WHERE NOT (ok1 AND ok2) GROUP BY 2
-             |ORDER BY side, key""".stripMargin))
+             |ORDER BY side, key""".stripMargin)),
+
+    // ── SCD2 dimension maintained from the change feed ───────────────────
+    // The warehouse meets the lakehouse: a type-2 slowly-changing
+    // dimension (the reference's own silver-layer shape, W3's
+    // LEAD-based validity made INCREMENTAL) is maintained purely from
+    // the table's CDF — per commit, update_pre/delete CLOSE the key's
+    // open row (valid_to = commit version), update_post/insert OPEN a
+    // new one (valid_from = commit version, valid_to NULL) — O(state +
+    // changes) per step, never a history rescan, and validity bounds
+    // are commit VERSIONS (deterministic), not wall clock. The oracle
+    // reconstructs the full interval history from first principles — a
+    // per-key version grid with IS DISTINCT FROM change detection over
+    // the replayed v0..v3 states — so a missed close, a phantom open,
+    // or a wrong validity bound anywhere in the fold breaks the hash.
+    QueryDef("q179_scd2_from_cdf",
+      (s, d) => {
+        val dim = s.read.parquet(scd2DimPath(s, d))
+        dim.groupBy(col("valid_from"),
+            coalesce(col("valid_to"), lit(-1L)).as("valid_to_g"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("k")).as("n_keys"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          .orderBy("valid_from", "valid_to_g")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |s0 AS (SELECT k, cents FROM o WHERE k % 3 <> 2),
+             |s1 AS (
+             |  SELECT k, CASE WHEN k % 5 = 0 THEN cents + 7
+             |                 ELSE cents END AS cents FROM s0
+             |  UNION ALL
+             |  SELECT k, cents + 11 FROM o WHERE k % 3 = 2 AND k % 4 = 0),
+             |s2 AS (
+             |  SELECT k, CASE WHEN k % 6 = 0 THEN cents + 3
+             |                 ELSE cents END AS cents FROM s1),
+             |s3 AS (SELECT * FROM s2 WHERE k % 11 <> 0),
+             |grid AS (
+             |  SELECT keys.k, vers.ver, st.cents
+             |  FROM (SELECT DISTINCT k FROM s0
+             |        UNION SELECT DISTINCT k FROM s1) keys
+             |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS ver)
+             |    vers
+             |  LEFT JOIN (
+             |    SELECT k, 0 AS ver, cents FROM s0
+             |    UNION ALL SELECT k, 1, cents FROM s1
+             |    UNION ALL SELECT k, 2, cents FROM s2
+             |    UNION ALL SELECT k, 3, cents FROM s3) st
+             |    ON st.k = keys.k AND st.ver = vers.ver),
+             |ev AS (
+             |  SELECT k, ver, cents,
+             |         lag(cents) OVER (PARTITION BY k ORDER BY ver)
+             |           AS prev
+             |  FROM grid),
+             |opens AS (
+             |  SELECT k, ver AS valid_from, cents
+             |  FROM ev
+             |  WHERE cents IS NOT NULL AND cents IS DISTINCT FROM prev),
+             |rows_ AS (
+             |  SELECT o2.k, o2.cents, CAST(o2.valid_from AS BIGINT)
+             |           AS valid_from,
+             |         CAST((SELECT min(e.ver) FROM ev e
+             |               WHERE e.k = o2.k AND e.ver > o2.valid_from
+             |                 AND e.cents IS DISTINCT FROM o2.cents)
+             |              AS BIGINT) AS valid_to
+             |  FROM opens o2)
+             |SELECT valid_from, COALESCE(valid_to, -1) AS valid_to_g,
+             |       count(*) AS n_rows, count(DISTINCT k) AS n_keys,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM rows_
+             |GROUP BY 1, 2
+             |ORDER BY valid_from, valid_to_g""".stripMargin))
   )
+
+  /** q179 dim builder: a keyed table driven through upsert / UPDATE /
+    * delete, with the SCD2 dimension FOLDED one commit at a time from
+    * each step's change feed — close on update_pre/delete, open on
+    * update_post/insert, validity bounds = commit versions. Once per
+    * session. */
+  private def scd2DimPath(s: SparkSession, dir: String): String = {
+    import graft.warehouse.AtomicParquet
+    val root = Scratch.dir(s, "q179-table")
+    val dimPath = Scratch.dir(s, "q179-dim")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // v0: two-thirds of the keys
+      VersionedParquet.publish(
+        o.filter(col("k") % 3 =!= 2), root, keepVersions = 10)
+      // v1: keyed upsert — always-changing value bumps (+7) on the k%5
+      // slice, brand-new keys (+11) from the held-out third
+      VersionedParquet.upsert(s, root,
+        o.filter(col("k") % 3 =!= 2 && col("k") % 5 === 0)
+          .select(col("k"), (col("cents") + 7L).as("cents"))
+          .unionByName(
+            o.filter(col("k") % 3 === 2 && col("k") % 4 === 0)
+              .select(col("k"), (col("cents") + 11L).as("cents"))),
+        Seq("k"), keepVersions = 10)
+      // v2: searched UPDATE (+3, always-changing) on the k%6 slice
+      VersionedParquet.updateWhere(s, root, col("k") % 6 === 0,
+        Map("cents" -> (col("cents") + 3L)), keepVersions = 10)
+      // v3: a delete slice closes rows without reopening
+      VersionedParquet.delete(s, root, col("k") % 11 === 0,
+        keepVersions = 10)
+      // the SCD2 fold: one step per commit, each O(state + changes)
+      var dim = VersionedParquet.read(s, root, Some(0L))
+        .select(col("k"), col("cents"))
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+      AtomicParquet.overwrite(dim, dimPath)
+      for (v <- 1L to 3L) {
+        dim = s.read.parquet(dimPath)
+        val feed = VersionedParquet.changes(s, root, v - 1L, v)
+        val closeK = feed.filter(col("_change_type")
+            .isin("update_pre", "delete"))
+          .select("k").distinct().withColumn("_close", lit(1))
+        val opened = feed.filter(col("_change_type")
+            .isin("update_post", "insert"))
+          .select(col("k"), col("cents"))
+          .withColumn("valid_from", lit(v))
+          .withColumn("valid_to", lit(null).cast("long"))
+        val next = dim.join(closeK, Seq("k"), "left")
+          .withColumn("valid_to",
+            when(col("_close") === 1 && col("valid_to").isNull, lit(v))
+              .otherwise(col("valid_to")))
+          .drop("_close")
+          .unionByName(opened)
+        AtomicParquet.overwrite(next, dimPath)
+      }
+    }
+    dimPath
+  }
 }
