@@ -1925,8 +1925,246 @@ object VersionOps {
              |       CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM rows_
              |GROUP BY 1, 2
-             |ORDER BY valid_from, valid_to_g""".stripMargin))
+             |ORDER BY valid_from, valid_to_g""".stripMargin)),
+
+    // q180 — version-keyed query-result cache. The dashboard query
+    // (bucketed revenue) is served through ResultCache three times:
+    // cold at v0 (miss → fills), again at v0 (HIT — zero base-table
+    // I/O, proven by ResultCacheSpec via inputFiles), then after an
+    // upsert commits v1 (miss again — the key embeds the dependency
+    // version vector, so ANY commit invalidates by construction; no
+    // TTL, no staleness window). The gate folds the OBSERVED serve
+    // telemetry (serves / hits / complete cache entries) into the
+    // output beside the final v1 aggregate, so a cache that returns a
+    // stale hit, misses a hit, or leaves half-filled entries breaks
+    // the hash against the oracle's literal (3, 1, 2) — and the
+    // aggregate itself pins that the served bytes equal the recompute.
+    QueryDef("q180_result_cache",
+      (s, d) => s.read.parquet(resultCachePath(s, d)).orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v0 AS (SELECT k, cents FROM o WHERE k % 2 = 0),
+             |v1 AS (
+             |  SELECT k, CASE WHEN k % 10 = 4 THEN cents + 7
+             |                 ELSE cents END AS cents FROM v0
+             |  UNION ALL
+             |  SELECT k, cents + 11 FROM o WHERE k % 2 = 1 AND k % 3 = 0)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       3 AS n_serves, 1 AS n_hits, 2 AS n_entries
+             |FROM v1
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // q181 — external-reader manifest export (Delta's
+    // symlink_format_manifest analogue). The table is driven into
+    // genuine merge-on-read state (an upsert's delta tier + a delete's
+    // deletion vector — raw files CANNOT reproduce the live view), then
+    // exported: generateManifest materializes exactly because the view
+    // needs it, and the gate's reader consumes ONLY the manifest's
+    // plain file list via spark.read.parquet(paths) — zero knowledge
+    // of the format, the interop contract external engines get. The
+    // `materialized` flag folds the observed version advance into the
+    // output, and the aggregate over the externally-read rows must
+    // reproduce the oracle's replay of publish→upsert→delete — a
+    // manifest naming a stale base file, missing a delta row, or
+    // leaking a deleted row breaks the hash.
+    QueryDef("q181_manifest_export",
+      (s, d) => s.read.parquet(manifestExportPath(s, d)).orderBy("st"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS st,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v0 AS (SELECT k, st, cents FROM o WHERE k % 3 <> 1),
+             |v1 AS (
+             |  SELECT k, st, CASE WHEN k % 5 = 0 THEN cents + 9
+             |                     ELSE cents END AS cents FROM v0
+             |  UNION ALL
+             |  SELECT k, st, cents + 13 FROM o
+             |  WHERE k % 3 = 1 AND k % 7 = 0),
+             |v2 AS (SELECT * FROM v1 WHERE k % 11 <> 3)
+             |SELECT st, CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows, 1 AS materialized
+             |FROM v2
+             |GROUP BY st
+             |ORDER BY st""".stripMargin)),
+
+    // q182 — multi-table atomic transaction. The classic "archive the
+    // closed orders" move (delete from hot + append to archive) commits
+    // through Txn as ONE unit — write-ahead intent on every
+    // participant, per-table versioned commits, presumed-abort
+    // recovery — then a SECOND transaction deliberately fails half-way
+    // (its first op's delete lands, its second op throws) and must
+    // leave both tables bit-identical to the post-txn1 state: the gate
+    // folds the observed rollback (exception caught + counts restored)
+    // into the output as `rolled_back`, and the per-table aggregates
+    // must match the oracle's replay of exactly ONE transaction — a
+    // leaked half-transaction on either side breaks the hash. TxnSpec
+    // proves the crash-window recovery and snapshot-isolation reads.
+    QueryDef("q182_multi_table_txn",
+      (s, d) => s.read.parquet(multiTableTxnPath(s, d)).orderBy("tbl"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS st,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |hot0 AS (SELECT * FROM o WHERE k % 2 = 0),
+             |arch0 AS (SELECT * FROM o WHERE k % 2 = 1 AND k % 5 = 0),
+             |hot1 AS (SELECT * FROM hot0 WHERE st <> 'F'),
+             |arch1 AS (SELECT * FROM arch0
+             |          UNION ALL SELECT * FROM hot0 WHERE st = 'F')
+             |SELECT 'archive' AS tbl, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       1 AS rolled_back
+             |FROM arch1
+             |UNION ALL
+             |SELECT 'hot', count(*),
+             |       CAST(sum(cents) AS BIGINT), 1
+             |FROM hot1
+             |ORDER BY tbl""".stripMargin))
   )
+
+  /** q182 builder: seed hot/archive, atomically move closed orders
+    * hot→archive through one Txn, then drive a second Txn into a
+    * mid-flight failure and record that BOTH tables rolled back.
+    * Once per session. */
+  private def multiTableTxnPath(s: SparkSession, dir: String): String = {
+    import graft.warehouse.{AtomicParquet, Txn}
+    val hot = Scratch.dir(s, "q182-hot")
+    val arch = Scratch.dir(s, "q182-archive")
+    val outPath = Scratch.dir(s, "q182-out")
+    if (VersionedParquet.currentVersion(s, hot).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.filter(col("k") % 2 === 0), hot,
+        keepVersions = 10)
+      VersionedParquet.publish(
+        o.filter(col("k") % 2 === 1 && col("k") % 5 === 0), arch,
+        keepVersions = 10)
+      // txn 1: move closed orders hot→archive, atomically. The moved
+      // frame binds to hot's CURRENT snapshot before the delete runs.
+      val moving = VersionedParquet.read(s, hot).filter(col("st") === "F")
+      Txn.commit(s, Seq(
+        Txn.TxnOp(hot, () => { VersionedParquet.delete(s, hot,
+          col("st") === "F", keepVersions = 10); () }),
+        Txn.TxnOp(arch, () => { VersionedParquet.append(s, arch,
+          moving, keepVersions = 10); () })))
+      val hotN = VersionedParquet.read(s, hot).count()
+      val archN = VersionedParquet.read(s, arch).count()
+      // txn 2: first op lands, second throws — must roll back fully
+      val rolled =
+        try {
+          Txn.commit(s, Seq(
+            Txn.TxnOp(hot, () => { VersionedParquet.delete(s, hot,
+              col("k") % 3 === 0, keepVersions = 10); () }),
+            Txn.TxnOp(arch, () =>
+              throw new RuntimeException("mid-transaction failure"))))
+          false
+        } catch { case _: Txn.TxnAbortedException =>
+          VersionedParquet.read(s, hot).count() == hotN &&
+            VersionedParquet.read(s, arch).count() == archN
+        }
+      val out = VersionedParquet.read(s, arch)
+        .groupBy(lit("archive").as("tbl"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .unionByName(VersionedParquet.read(s, hot)
+          .groupBy(lit("hot").as("tbl"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents")))
+        .withColumn("rolled_back", lit(if (rolled) 1 else 0))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q181 builder: publish → upsert (delta tier) → delete (deletion
+    * vector), export the manifest (which must materialize), read back
+    * through NOTHING BUT the manifest's file list, and persist the
+    * external reader's aggregate. Once per session. */
+  private def manifestExportPath(s: SparkSession, dir: String): String = {
+    import graft.warehouse.AtomicParquet
+    val root = Scratch.dir(s, "q181-table")
+    val outPath = Scratch.dir(s, "q181-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.filter(col("k") % 3 =!= 1), root,
+        keepVersions = 10)
+      VersionedParquet.upsert(s, root,
+        o.filter(col("k") % 3 =!= 1 && col("k") % 5 === 0)
+          .select(col("k"), col("st"), (col("cents") + 9L).as("cents"))
+          .unionByName(
+            o.filter(col("k") % 3 === 1 && col("k") % 7 === 0)
+              .select(col("k"), col("st"),
+                (col("cents") + 13L).as("cents"))),
+        Seq("k"), keepVersions = 10)
+      VersionedParquet.delete(s, root, col("k") % 11 === 3,
+        keepVersions = 10)
+      val before = VersionedParquet.currentVersion(s, root).get
+      val manifest = VersionedParquet.generateManifest(s, root,
+        keepVersions = 10)
+      val after = VersionedParquet.currentVersion(s, root).get
+      // the external reader: plain parquet over the manifest's paths
+      val files = VersionedParquet.readManifest(s, manifest)
+      val ext = s.read.parquet(files: _*)
+      val out = ext.groupBy("st")
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("materialized",
+          lit(if (after > before) 1 else 0))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q180 builder: publish v0, serve the dashboard aggregate through
+    * the result cache (miss, hit), commit an upsert, serve again
+    * (miss), and persist the final frame + observed telemetry. Once
+    * per session. */
+  private def resultCachePath(s: SparkSession, dir: String): String = {
+    import graft.warehouse.{AtomicParquet, ResultCache}
+    val root = Scratch.dir(s, "q180-table")
+    val cacheRoot = Scratch.dir(s, "q180-cache")
+    val outPath = Scratch.dir(s, "q180-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.filter(col("k") % 2 === 0), root,
+        keepVersions = 10)
+      def dashboard: org.apache.spark.sql.DataFrame =
+        VersionedParquet.read(s, root)
+          .groupBy((col("k") % 10).as("bucket"))
+          .agg(sum(col("cents")).cast("long").as("sum_cents"),
+            count(lit(1)).as("n_rows"))
+      val key = "dashboard:bucketed-revenue"
+      val s1 = ResultCache.serve(s, cacheRoot, key, Seq(root))(dashboard)
+      val s2 = ResultCache.serve(s, cacheRoot, key, Seq(root))(dashboard)
+      VersionedParquet.upsert(s, root,
+        o.filter(col("k") % 2 === 0 && col("k") % 10 === 4)
+          .select(col("k"), (col("cents") + 7L).as("cents"))
+          .unionByName(
+            o.filter(col("k") % 2 === 1 && col("k") % 3 === 0)
+              .select(col("k"), (col("cents") + 11L).as("cents"))),
+        Seq("k"), keepVersions = 10)
+      val s3 = ResultCache.serve(s, cacheRoot, key, Seq(root))(dashboard)
+      val hits = Seq(s1.hit, s2.hit, s3.hit).count(identity)
+      val out = s3.df
+        .withColumn("n_serves", lit(3))
+        .withColumn("n_hits", lit(hits))
+        .withColumn("n_entries",
+          lit(ResultCache.entryCount(s, cacheRoot, key)))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q179 dim builder: a keyed table driven through upsert / UPDATE /
     * delete, with the SCD2 dimension FOLDED one commit at a time from

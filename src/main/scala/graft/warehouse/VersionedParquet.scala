@@ -1862,6 +1862,73 @@ object VersionedParquet {
       constraints = carriedConstraints)
   }
 
+  // ── external-reader manifest export ────────────────────────────────
+
+  private[warehouse] val MANIFEST_DIR = "_MANIFEST"
+
+  /** Export the LIVE view as a manifest of plain parquet files that an
+    * engine with ZERO knowledge of this format can read — Delta's
+    * `symlink_format_manifest` analogue (how Presto/Trino/DuckDB read
+    * Delta tables they don't speak): one absolute file path per line.
+    *
+    * A physical snapshot with nothing pending exports ZERO-COPY — the
+    * manifest is just the live snapshot's data-file listing. A live
+    * view raw files cannot reproduce — merge-on-read overlay
+    * (deletion vector / delta tier / exclusion list), a pending
+    * metadata-only drop/rename map, or a still-virtual ADD COLUMN —
+    * is MATERIALIZED first via [[compact]] (one rewrite,
+    * publish-or-nothing, layout/stats/constraints carried), and the
+    * fresh physical snapshot exports; Delta imposes the same
+    * restriction (no-DV tables only) where this self-heals instead.
+    *
+    * The manifest is version-stamped (`_MANIFEST/v%08d.txt`) and
+    * installed temp+rename, so regeneration never tears a reader
+    * mid-list, and a reader holding yesterday's manifest keeps
+    * resolving yesterday's files until vacuum passes the retention
+    * window — exactly the staleness contract Delta documents for its
+    * manifests. Scale shape: the export is O(files) driver metadata
+    * (one listing + one small write) on the zero-copy path; the
+    * materializing path costs what OPTIMIZE already costs.
+    */
+  def generateManifest(spark: SparkSession, root: String,
+                       partitionCols: Seq[String] = Nil,
+                       targetBytes: Long = 128L << 20,
+                       keepVersions: Int = 4): String = {
+    val v0 = currentVersion(spark, root).getOrElse(
+      throw new IOException(s"nothing to export under $root"))
+    val snap0 = new Path(root, versionName(v0))
+    val needsMaterialize =
+      readPointer(spark, new Path(snap0, BASE_MARKER)).isDefined ||
+      schemaMapOps(spark, root).nonEmpty || {
+        val files0 = listDataFiles(spark, snap0)
+        files0.nonEmpty && {
+          val phys = spark.read.parquet(snap0.toString)
+            .schema.fieldNames.toSet
+          schemaExtensions(spark, root).exists(e => !phys(e._1))
+        }
+      }
+    val v =
+      if (!needsMaterialize) v0
+      else {
+        compact(spark, root, targetBytes, partitionCols, keepVersions)
+        currentVersion(spark, root).get
+      }
+    val snap = new Path(root, versionName(v))
+    val files = listDataFiles(spark, snap)
+      .map { case (rel, _) => new Path(snap, rel).toUri.getPath }
+    val dir = new Path(root, MANIFEST_DIR)
+    val name = s"${versionName(v)}.txt"
+    installPointer(spark, dir, name, files.mkString("\n"))
+    new Path(dir, name).toString
+  }
+
+  /** The file list a manifest names — what an external reader consumes
+    * (provided here only for convenience; the file is plain text, one
+    * absolute path per line, readable by anything). */
+  def readManifest(spark: SparkSession, manifestPath: String): Seq[String] =
+    readPointer(spark, new Path(manifestPath))
+      .map(_.split('\n').filter(_.nonEmpty).toSeq).getOrElse(Nil)
+
   /** Auto-compaction — the write path's self-heal under sustained
     * merge-on-read ingest (a MorStream sink appending/merging every
     * micro-batch grows the delta tier without bound; nobody calls
