@@ -315,6 +315,52 @@ object CurationOps {
              |       CASE WHEN CAST(num AS DOUBLE) / (1000.0 * n) > 0.05
              |            THEN 'keep' ELSE 'drop' END AS label
              |FROM s
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // q183 — row provenance (the training-data audit trail). Every
+    // curated row stays traceable to its PHYSICAL origin — (source
+    // file, row position) from Spark's `_metadata` hidden columns,
+    // zero storage cost (parquet scan metadata, no ids minted, no
+    // joins) — so "which file and offset did this training document
+    // come from" is answerable after arbitrary filtering. The ledger
+    // aggregates per (file, lang): kept count, position range, and
+    // SUM of positions + doc_ids — the sums bind EVERY kept row's
+    // provenance exactly. The oracle derives the expected physical
+    // positions from the testdata invariant that documents.parquet is
+    // one file written in doc_id order (verified via DuckDB
+    // file_row_number == doc_id at every SF), so a Spark row_index
+    // that drifts from the true file position ANYWHERE breaks the
+    // hash — the engine cannot cheat because its side reads only
+    // `_metadata`, never doc_id, for the position columns.
+    // At 100 TB this is a narrow projection folded into the scan —
+    // `_metadata` is per-row scan state, the aggregate is
+    // group-by-file (file-count cardinality), no extra pass.
+    QueryDef("q183_row_provenance",
+      (s, d) => {
+        val docs = Tables(s, d, "documents")
+        docs.select(col("doc_id"), col("lang"), col("n_chars"),
+            regexp_extract(col("_metadata.file_path"),
+              "([^/]+)$", 1).as("src_file"),
+            col("_metadata.row_index").as("src_pos"))
+          .filter(col("n_chars") >= 300 &&
+            col("lang").isin("en", "de", "fr"))
+          .groupBy("src_file", "lang")
+          .agg(count(lit(1)).as("n_kept"),
+            min(col("src_pos")).as("min_pos"),
+            max(col("src_pos")).as("max_pos"),
+            sum(col("src_pos")).cast("long").as("sum_pos"),
+            sum(col("doc_id")).cast("long").as("sum_doc_id"))
+          .orderBy("src_file", "lang")
+      },
+      Some("""SELECT 'documents.parquet' AS src_file,
+             |       lang, count(*) AS n_kept,
+             |       min(doc_id) AS min_pos,
+             |       max(doc_id) AS max_pos,
+             |       CAST(sum(doc_id) AS BIGINT) AS sum_pos,
+             |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+             |FROM documents
+             |WHERE n_chars >= 300 AND lang IN ('en', 'de', 'fr')
+             |GROUP BY 1, 2
+             |ORDER BY src_file, lang""".stripMargin))
   )
 }

@@ -2023,8 +2023,72 @@ object VersionOps {
              |SELECT 'hot', count(*),
              |       CAST(sum(cents) AS BIGINT), 1
              |FROM hot1
-             |ORDER BY tbl""".stripMargin))
+             |ORDER BY tbl""".stripMargin)),
+
+    // q184 — Delta transaction-log interop (the import half; q181's
+    // manifest is the export half). A table is written twice in the
+    // OPEN Delta format (protocol v1: %020d.json commits with
+    // protocol/metaData/add/remove actions — the second export
+    // removes every v0 file and adds the overwrite's, exactly Delta's
+    // INSERT OVERWRITE shape), then read back by DeltaLite's
+    // protocol-minimal log fold: adds minus removes in commit order,
+    // schema from metaData.schemaString, time travel by capping the
+    // fold. The gate aggregates the LIVE fold and pins the v0
+    // time-travel count beside it — a reader that misfolds a remove
+    // (leaking overwritten rows), misses an add, or breaks version
+    // capping fails the hash. DeltaLiteSpec adds the checkpoint path
+    // (resolve from one parquet + suffix, old JSONs deleted), a
+    // foreign hand-written partitioned log, and the
+    // minReaderVersion-gate refusal.
+    QueryDef("q184_delta_log_read",
+      (s, d) => s.read.parquet(deltaLitePath(s, d)).orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |s0 AS (SELECT k, cents FROM o WHERE k % 2 = 0),
+             |s1 AS (
+             |  SELECT k, cents FROM s0 WHERE k % 7 <> 0
+             |  UNION ALL
+             |  SELECT k, cents + 5 FROM o WHERE k % 2 = 1 AND k % 3 = 0)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       (SELECT count(*) FROM s0) AS n_v0
+             |FROM s1
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin))
   )
+
+  /** q184 builder: two full-snapshot exports in the open Delta format
+    * (v1 = an overwrite: remove-all + add), then read the live fold
+    * and the v0 time travel back through the protocol-minimal log
+    * reader. Once per session. */
+  private def deltaLitePath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q184-delta")
+    val outPath = Scratch.dir(s, "q184-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val s0 = o.filter(col("k") % 2 === 0)
+      DeltaLite.export(s, s0, table)
+      val s1 = s0.filter(col("k") % 7 =!= 0).unionByName(
+        o.filter(col("k") % 2 === 1 && col("k") % 3 === 0)
+          .select(col("k"), (col("cents") + 5L).as("cents")))
+      DeltaLite.export(s, s1, table)
+      val nV0 = DeltaLite.read(s, table, Some(0L)).count()
+      val out = DeltaLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_v0", lit(nV0))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q182 builder: seed hot/archive, atomically move closed orders
     * hot→archive through one Txn, then drive a second Txn into a

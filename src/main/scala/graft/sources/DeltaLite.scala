@@ -1,0 +1,268 @@
+package graft.sources
+
+import java.io.IOException
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Protocol-minimal reader for Delta Lake transaction logs — the
+  * import half of the interop story (q181's manifest export is the
+  * export half): consume tables that OTHER engines wrote in the open
+  * Delta format (delta.io PROTOCOL.md), without the Delta jars.
+  *
+  * What it speaks, per the published protocol:
+  *   - `_delta_log/%020d.json` commits — JSON-lines actions; `add`
+  *     and `remove` fold in commit order (later action on a path
+  *     wins) to the live file set; `metaData` carries the schema
+  *     (Delta's `schemaString` IS Spark's StructType JSON) and the
+  *     partition columns; `protocol` gates what we may read.
+  *   - parquet checkpoints — `_last_checkpoint` names a compacted
+  *     state (`add`/`remove` as nested structs in one parquet); the
+  *     reader starts from it and folds only the JSON suffix, so a
+  *     10⁴-commit table costs one parquet read + a handful of JSON
+  *     lines, not a full log walk.
+  *   - time travel — `asOf` caps the folded commit range.
+  *
+  * What it refuses, loudly: `protocol.minReaderVersion > 1` (deletion
+  * vectors, column mapping — features whose silent misread would be
+  * data corruption; Delta's own compatibility rule is exactly this
+  * check). Partitioned tables resolve through Spark's directory
+  * inference (Delta lays partitioned files out in Hive-style
+  * `col=value/` directories) anchored at the table root via
+  * `basePath`.
+  *
+  * Scale shape: the log fold is O(commits since checkpoint) driver
+  * metadata — the same bound Delta's own reader has — and the data
+  * read is an ordinary pruned parquet scan over the live files.
+  */
+object DeltaLite {
+
+  /** A resolved table state: live data files (table-relative),
+    * partition columns, declared schema, and the version folded to. */
+  final case class Snapshot(files: Seq[String],
+                            partitionColumns: Seq[String],
+                            schema: Option[StructType],
+                            version: Long)
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def readText(spark: SparkSession, p: Path): String = {
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var r = in.read(buf)
+      while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Fold the log to the live state at `asOf` (default: latest). */
+  def snapshot(spark: SparkSession, table: String,
+               asOf: Option[Long] = None): Snapshot = {
+    val logDir = new Path(table, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir))
+      throw new IOException(s"$table has no _delta_log — not a Delta table")
+    val commits = fs.listStatus(logDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("\\d{20}\\.json") =>
+        n.take(20).toLong -> n }
+      .filter { case (v, _) => asOf.forall(v <= _) }
+      .sortBy(_._1)
+    if (commits.isEmpty && asOf.isDefined)
+      throw new IOException(s"$table has no commit at or before " +
+        s"version ${asOf.get}")
+    // parquet checkpoint: start the fold there when one applies
+    val checkpoint: Option[Long] =
+      Option(new Path(logDir, "_last_checkpoint"))
+        .filter(fs.exists(_))
+        .map(p => mapper.readTree(readText(spark, p)).get("version").asLong)
+        .filter(v => asOf.forall(v <= _))
+    val live = mutable.LinkedHashMap.empty[String, Unit]
+    var partCols: Seq[String] = Nil
+    var schema: Option[StructType] = None
+    checkpoint.foreach { cv =>
+      val cp = new Path(logDir, f"$cv%020d.checkpoint.parquet")
+      val df = spark.read.parquet(cp.toString)
+      val names = df.columns.toSet
+      if (names.contains("metaData"))
+        df.select("metaData.partitionColumns", "metaData.schemaString")
+          .collect().foreach { r =>
+            if (!r.isNullAt(0)) partCols = r.getSeq[String](0)
+            if (!r.isNullAt(1)) schema = Some(
+              DataType.fromJson(r.getString(1)).asInstanceOf[StructType])
+          }
+      val adds =
+        if (names.contains("add"))
+          df.select("add.path").na.drop().collect().map(_.getString(0))
+        else Array.empty[String]
+      val removes =
+        if (names.contains("remove"))
+          df.select("remove.path").na.drop().collect().map(_.getString(0))
+        else Array.empty[String]
+      adds.foreach(p => live.put(p, ()))
+      removes.foreach(live.remove)
+    }
+    commits.filter { case (v, _) => checkpoint.forall(v > _) }
+      .foreach { case (_, name) =>
+        readText(spark, new Path(logDir, name)).split('\n')
+          .filter(_.trim.nonEmpty).foreach { line =>
+            val a = mapper.readTree(line)
+            if (a.has("protocol")) {
+              val mrv = a.get("protocol").get("minReaderVersion").asInt
+              if (mrv > 1)
+                throw new IOException(s"$table requires Delta " +
+                  s"minReaderVersion $mrv; this reader speaks version 1 " +
+                  "(no deletion vectors / column mapping) and refuses " +
+                  "rather than misread")
+            }
+            if (a.has("metaData")) {
+              val m = a.get("metaData")
+              if (m.has("partitionColumns")) {
+                val it = m.get("partitionColumns").elements()
+                val cols = mutable.ArrayBuffer.empty[String]
+                while (it.hasNext) cols += it.next().asText()
+                partCols = cols.toSeq
+              }
+              if (m.has("schemaString") && !m.get("schemaString").isNull)
+                schema = Some(DataType.fromJson(
+                  m.get("schemaString").asText).asInstanceOf[StructType])
+            }
+            if (a.has("add"))
+              live.put(a.get("add").get("path").asText, ())
+            if (a.has("remove"))
+              live.remove(a.get("remove").get("path").asText)
+          }
+      }
+    val version = (commits.map(_._1) ++ checkpoint).maxOption.getOrElse(
+      throw new IOException(s"$table has an empty _delta_log"))
+    Snapshot(live.keys.toSeq, partCols, schema, version)
+  }
+
+  /** Read the table's live state (or `asOf` a pinned version) as a
+    * DataFrame — an ordinary parquet scan over the live file set,
+    * partition columns resolved from the Hive-style directory layout
+    * Delta writes them in. */
+  def read(spark: SparkSession, table: String,
+           asOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, table, asOf)
+    if (snap.files.isEmpty) {
+      val s = snap.schema.getOrElse(throw new IOException(
+        s"$table is empty and its log declares no schema"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else
+      spark.read.option("basePath", table)
+        .parquet(snap.files.map(f => new Path(table, f).toString): _*)
+  }
+
+  // ── writer half: full-snapshot export in the open format ───────────
+
+  private def esc(s: String) =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def writeCommitFile(spark: SparkSession, table: String,
+                              version: Long,
+                              actions: Seq[String]): Unit = {
+    val logDir = new Path(table, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, f".$version%020d.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((actions.mkString("\n") + "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, new Path(logDir, f"$version%020d.json")))
+      throw new IOException(s"could not commit version $version to $table")
+  }
+
+  /** Export `df` as the NEXT full snapshot of a Delta-format table
+    * (protocol v1): stage the data files, then commit `remove` for
+    * every previously-live file + `add` for the new ones — the same
+    * shape Delta itself writes for an INSERT OVERWRITE. Commit 0
+    * additionally carries `protocol` and `metaData` (schemaString =
+    * the Spark schema JSON, which IS Delta's schema encoding). The
+    * table stays readable by any real Delta reader, and removed files
+    * stay on disk for time travel (Delta's own VACUUM contract).
+    * Returns the committed version. */
+  def export(spark: SparkSession, df: DataFrame, table: String): Long = {
+    val tableP = new Path(table)
+    val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasLog = fs.exists(new Path(table, "_delta_log"))
+    val prior = if (hasLog) Some(snapshot(spark, table)) else None
+    val version = prior.map(_.version + 1L).getOrElse(0L)
+    val staging = new Path(table, s".staging-$version")
+    fs.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val named = fs.listStatus(staging).toSeq
+      .filter(st => st.getPath.getName.endsWith(".parquet") &&
+        st.getLen > 0)
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.map { case (st, i) =>
+        val name = f"part-$version%05d-$i%05d.parquet"
+        if (!fs.rename(st.getPath, new Path(tableP, name)))
+          throw new IOException(s"could not place $name in $table")
+        name -> st.getLen
+      }
+    fs.delete(staging, true)
+    val head =
+      if (version == 0L) Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"graft-export","format":{"provider":"parquet","options":{}},"schemaString":"${esc(df.schema.json)}","partitionColumns":[],"configuration":{},"createdTime":0}}""")
+      else Nil
+    val removes = prior.toSeq.flatMap(_.files).map(p =>
+      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":0,"dataChange":true}}""")
+    val adds = named.map { case (n, sz) =>
+      s"""{"add":{"path":"${esc(n)}","partitionValues":{},"size":$sz,"modificationTime":0,"dataChange":true}}""" }
+    writeCommitFile(spark, table, version, head ++ removes ++ adds)
+    version
+  }
+
+  /** Write a parquet checkpoint of the current state plus the
+    * `_last_checkpoint` pointer — so readers resolve from ONE parquet
+    * + the JSON suffix instead of walking every commit (and old JSON
+    * commits become deletable, Delta's log-retention contract). */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.functions.{col, struct, typedLit}
+    val snap = snapshot(spark, table)
+    val logDir = new Path(table, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val schemaJson = snap.schema.map(_.json).getOrElse(
+      throw new IOException(s"$table's log declares no metaData schema; " +
+        "cannot checkpoint"))
+    val adds = snap.files.toDF("path").select(struct(col("path")).as("add"))
+    val meta = Seq(1).toDF("_one").select(struct(
+      typedLit(snap.partitionColumns).as("partitionColumns"),
+      typedLit(schemaJson).as("schemaString"))
+      .as("metaData"))
+    val staging = new Path(logDir, s".cp-staging-${snap.version}")
+    fs.delete(staging, true)
+    adds.unionByName(meta, allowMissingColumns = true)
+      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    val part = fs.listStatus(staging).toSeq
+      .find(st => st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+      .getOrElse(throw new IOException("checkpoint write produced no file"))
+    val cpName = f"${snap.version}%020d.checkpoint.parquet"
+    fs.delete(new Path(logDir, cpName), false)
+    if (!fs.rename(part.getPath, new Path(logDir, cpName)))
+      throw new IOException(s"could not install checkpoint $cpName")
+    fs.delete(staging, true)
+    val tmp = new Path(logDir, "._last_checkpoint.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"version":${snap.version},"size":${snap.files.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(new Path(logDir, "_last_checkpoint"), false)
+    if (!fs.rename(tmp, new Path(logDir, "_last_checkpoint")))
+      throw new IOException(s"could not install _last_checkpoint")
+    snap.version
+  }
+}

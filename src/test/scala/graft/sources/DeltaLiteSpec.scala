@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DeltaLite's protocol contract: fold adds/removes in commit order,
+  * resolve from checkpoints, read foreign (hand-written, partitioned)
+  * logs, time-travel by capping the fold, and refuse protocol
+  * features it cannot faithfully read.
+  */
+class DeltaLiteSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-dlite-$tag").toString
+
+  private def df(lo: Long, hi: Long) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i, i * 2L)).toDF("id", "v")
+  }
+
+  private def idsOf(table: String, asOf: Option[Long] = None): Seq[Long] =
+    DeltaLite.read(spark, table, asOf).select("id").orderBy("id")
+      .collect().toSeq.map(_.getLong(0))
+
+  test("export → read roundtrip; overwrite folds removes; time travel caps the fold") {
+    val t = tmp("rt")
+    assert(DeltaLite.export(spark, df(0, 50), t) == 0L)
+    assert(idsOf(t) == (0L until 50L))
+    assert(DeltaLite.export(spark, df(100, 130), t) == 1L)
+    // live = the overwrite only — every v0 file removed
+    assert(idsOf(t) == (100L until 130L))
+    // v0 still resolves (files stay on disk, Delta's vacuum contract)
+    assert(idsOf(t, Some(0L)) == (0L until 50L))
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.version == 1L && snap.schema.isDefined)
+  }
+
+  test("checkpoint: resolves from one parquet + JSON suffix, old commits deletable") {
+    val t = tmp("cp")
+    DeltaLite.export(spark, df(0, 20), t)
+    DeltaLite.export(spark, df(20, 40), t) // overwrite
+    assert(DeltaLite.checkpoint(spark, t) == 1L)
+    // a real Delta log-retention pass: the checkpointed commits go
+    Files.delete(Paths.get(t, "_delta_log", f"${0L}%020d.json"))
+    Files.delete(Paths.get(t, "_delta_log", f"${1L}%020d.json"))
+    assert(idsOf(t) == (20L until 40L))
+    // post-checkpoint commits fold as a suffix on top
+    DeltaLite.export(spark, df(40, 45), t)
+    assert(idsOf(t) == (40L until 45L))
+    assert(DeltaLite.snapshot(spark, t).version == 2L)
+  }
+
+  test("foreign hand-written partitioned log: directory inference resolves the partition column") {
+    import spark.implicits._
+    val t = tmp("foreign")
+    // another engine wrote: Hive-layout files + its own log
+    val data = (0L until 40L).map(i => (i, (i % 2).toString))
+      .toDF("id", "p")
+    val staging = s"$t/.stage"
+    data.write.partitionBy("p").parquet(staging)
+    val files = Files.walk(Paths.get(staging)).iterator()
+    val rel = scala.collection.mutable.ArrayBuffer.empty[String]
+    files.forEachRemaining { f =>
+      val name = f.getFileName.toString
+      if (name.endsWith(".parquet") && Files.size(f) > 0) {
+        val dest = f.getParent.getFileName.toString + "/" + name
+        Files.createDirectories(Paths.get(t, f.getParent.getFileName.toString))
+        Files.move(f, Paths.get(t, dest))
+        rel += dest
+      }
+    }
+    val schemaJson = spark.read.parquet(s"$t/${rel.head}").schema
+      .add("p", "string").json
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+    val actions = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schemaJson","partitionColumns":["p"],"configuration":{},"createdTime":0}}""") ++
+      rel.map(r =>
+        s"""{"add":{"path":"$r","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    Files.createDirectories(Paths.get(t, "_delta_log"))
+    Files.write(Paths.get(t, "_delta_log", f"${0L}%020d.json"),
+      actions.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val got = DeltaLite.read(spark, t)
+    assert(got.columns.contains("p"), "partition column must resolve")
+    assert(got.count() == 40L)
+    assert(got.filter(col("p") === "1").count() == 20L)
+    assert(DeltaLite.snapshot(spark, t).partitionColumns == Seq("p"))
+  }
+
+  test("minReaderVersion > 1 refuses loudly instead of misreading") {
+    val t = tmp("refuse")
+    Files.createDirectories(Paths.get(t, "_delta_log"))
+    Files.write(Paths.get(t, "_delta_log", f"${0L}%020d.json"),
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val e = intercept[java.io.IOException] { DeltaLite.read(spark, t) }
+    assert(e.getMessage.contains("minReaderVersion 3"))
+  }
+
+  test("re-add after remove wins (compaction shape)") {
+    import spark.implicits._
+    val t = tmp("readd")
+    DeltaLite.export(spark, df(0, 10), t)
+    val v0Files = DeltaLite.snapshot(spark, t).files
+    DeltaLite.export(spark, df(10, 20), t) // removes v0 files
+    // a third commit re-adds one v0 file (e.g. a clone/restore shape)
+    val logP = Paths.get(t, "_delta_log", f"${2L}%020d.json")
+    Files.write(logP,
+      s"""{"add":{"path":"${v0Files.head}","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    val got = idsOf(t)
+    assert(got.size > 10 && (10L until 20L).forall(got.contains))
+  }
+}
