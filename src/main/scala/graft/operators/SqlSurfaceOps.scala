@@ -450,8 +450,84 @@ object SqlSurfaceOps {
              |       CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM cloned
              |GROUP BY 1
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // q185 — SQL-only interop round trip. A table is minted and
+    // mutated ENTIRELY as SQL text (CTAS → INSERT → searched UPDATE,
+    // the UPDATE leaving genuine MoR state), then exported BOTH ways
+    // through the new SQL verbs: `GENERATE MANIFEST FOR TABLE`
+    // (Delta's own GENERATE syntax — q181's manifest surfaced to the
+    // SQL-only client) and `EXPORT TABLE … TO DELTA LOCATION`
+    // (q184's open-format writer). The gate reads each export back
+    // the way a FOREIGN engine would — plain parquet over the
+    // manifest's file list, and DeltaLite's log fold over the Delta
+    // table — and emits one aggregate row per side: both must equal
+    // the oracle's replay of the SQL history, so a manifest that
+    // misses the UPDATE's materialization or a Delta export that
+    // drops/leaks a file breaks the hash on its own row.
+    QueryDef("q185_sql_interop_roundtrip",
+      (s, d) => s.read.parquet(sqlInteropPath(s, d)).orderBy("side"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |base AS (
+             |  SELECT k, cents FROM o WHERE k % 2 = 0
+             |  UNION ALL
+             |  SELECT k, cents + 3 FROM o WHERE k % 2 = 1 AND k % 4 = 1),
+             |final AS (
+             |  SELECT k, CASE WHEN k % 10 = 7 THEN cents + 1
+             |                 ELSE cents END AS cents FROM base)
+             |SELECT side, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(sum(k) AS BIGINT) AS sum_k
+             |FROM final
+             |CROSS JOIN (SELECT unnest(['delta', 'manifest']) AS side)
+             |GROUP BY side
+             |ORDER BY side""".stripMargin))
   )
+
+  /** q185 builder: CTAS + INSERT + UPDATE as SQL, then GENERATE
+    * MANIFEST and EXPORT TO DELTA as SQL, reading each back the way a
+    * format-unaware engine would. Once per session. */
+  private def sqlInteropPath(s: org.apache.spark.sql.SparkSession,
+                             d: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val root = Scratch.dir(s, "q185-table")
+    val delta = Scratch.dir(s, "q185-delta")
+    val outPath = Scratch.dir(s, "q185-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      GraftTables.unregister("graft_q185")
+      Tables.orders(s, d).createOrReplaceTempView("q185_orders")
+      GraftSql.sql(s, s"CREATE TABLE graft_q185 USING graft " +
+        s"LOCATION '$root' AS " +
+        "SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+        "FROM q185_orders WHERE o_orderkey % 2 = 0")
+      GraftSql.sql(s, "INSERT INTO graft_q185 " +
+        "SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + 3 AS cents " +
+        "FROM q185_orders WHERE o_orderkey % 2 = 1 " +
+        "AND o_orderkey % 4 = 1")
+      GraftSql.sql(s,
+        "UPDATE graft_q185 SET cents = cents + 1 WHERE k % 10 = 7")
+      val m = GraftSql.sql(s, "GENERATE MANIFEST FOR TABLE graft_q185")
+        .collect().head.getString(0)
+      GraftSql.sql(s,
+        s"EXPORT TABLE graft_q185 TO DELTA LOCATION '$delta'")
+      def aggOf(df: org.apache.spark.sql.DataFrame, side: String) =
+        df.groupBy(lit(side).as("side"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            sum(col("k")).cast("long").as("sum_k"))
+      val manifestFiles = VersionedParquet.readManifest(s, m)
+      val out = aggOf(DeltaLite.read(s, delta), "delta")
+        .unionByName(aggOf(s.read.parquet(manifestFiles: _*), "manifest"))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q175 scratch tables: a source (base + append + constraint), a SQL
     * DEEP CLONE, divergence on both sides, then the SOURCE ROOT IS

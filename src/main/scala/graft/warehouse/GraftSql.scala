@@ -102,6 +102,10 @@ private[graft] final case class SqlDescribe(table: String,
     kind: String) extends GraftDml // kind: "history" | "detail"
 private[graft] final case class SqlClone(table: String, location: String,
     deep: Boolean, source: String) extends GraftDml
+private[graft] final case class SqlGenerate(table: String)
+    extends GraftDml // GENERATE MANIFEST (symlink_format_manifest)
+private[graft] final case class SqlExportDelta(table: String,
+    location: String) extends GraftDml // EXPORT ... TO DELTA
 
 object GraftSql {
 
@@ -146,6 +150,12 @@ object GraftSql {
       """CONSTRAINT\s+([A-Za-z_][\w]*)""").r
     val DH = """(?is)DESCRIBE\s+HISTORY\s+([A-Za-z_][\w]*)""".r
     val DD = """(?is)DESCRIBE\s+DETAIL\s+([A-Za-z_][\w]*)""".r
+    // interop verbs: Delta's own GENERATE syntax, plus a full-snapshot
+    // export into the open Delta log format
+    val GM = ("""(?is)GENERATE\s+(?:symlink_format_manifest|MANIFEST)""" +
+      """\s+FOR\s+TABLE\s+([A-Za-z_][\w]*)""").r
+    val XD = ("""(?is)EXPORT\s+TABLE\s+([A-Za-z_][\w]*)\s+TO\s+DELTA""" +
+      """\s+LOCATION\s+'([^']+)'""").r
     val dml = t match {
       case M(table, source, on, matched) =>
         keyColsOf(on).map(keys => SqlMerge(table, source, keys,
@@ -177,6 +187,8 @@ object GraftSql {
       case DC(table, name) => Some(SqlDropConstraint(table, name))
       case DH(table) => Some(SqlDescribe(table, "history"))
       case DD(table) => Some(SqlDescribe(table, "detail"))
+      case GM(table) => Some(SqlGenerate(table))
+      case XD(table, loc) => Some(SqlExportDelta(table, loc))
       case _ => None
     }
     dml.filter {
@@ -308,6 +320,8 @@ object GraftSql {
           genExpr)
         root
       case _: SqlDescribe => root // side-effect free; routed in sql()
+      case g: SqlGenerate => generateFrame(spark, g); root
+      case x: SqlExportDelta => exportDeltaFrame(spark, x); root
     }
   }
 
@@ -319,9 +333,46 @@ object GraftSql {
   def sql(spark: SparkSession, text: String): DataFrame =
     parseDml(text) match {
       case Some(d: SqlDescribe) => describeFrame(spark, d)
+      case Some(g: SqlGenerate) => generateFrame(spark, g)
+      case Some(x: SqlExportDelta) => exportDeltaFrame(spark, x)
       case Some(dml) => exec(spark, dml); spark.emptyDataFrame
       case None => spark.sql(text)
     }
+
+  /** `GENERATE MANIFEST FOR TABLE t` — q181's export surfaced to the
+    * SQL-only client (Delta's own GENERATE verb); returns where the
+    * manifest landed and what it names. */
+  private[graft] def generateFrame(spark: SparkSession,
+                                   g: SqlGenerate): DataFrame = {
+    val (root, keep) = GraftTables.rootOf(g.table).getOrElse(
+      throw new IllegalStateException(
+        s"table ${g.table} is not registered"))
+    val m = VersionedParquet.generateManifest(spark, root,
+      partitionCols = VersionedParquet.partitionColsOf(spark, root),
+      keepVersions = keep)
+    val files = VersionedParquet.readManifest(spark, m)
+    import spark.implicits._
+    Seq((m, files.size.toLong,
+      VersionedParquet.currentVersion(spark, root).getOrElse(-1L)))
+      .toDF("manifest_path", "n_files", "version")
+  }
+
+  /** `EXPORT TABLE t TO DELTA LOCATION '…'` — full-snapshot export of
+    * the live view into the open Delta log format (q184's writer
+    * half); repeated exports append overwrite commits, so the Delta
+    * side time-travels across them. */
+  private[graft] def exportDeltaFrame(spark: SparkSession,
+                                      x: SqlExportDelta): DataFrame = {
+    val (root, _) = GraftTables.rootOf(x.table).getOrElse(
+      throw new IllegalStateException(
+        s"table ${x.table} is not registered"))
+    val v = graft.sources.DeltaLite.export(spark,
+      VersionedParquet.read(spark, root), x.location)
+    val snap = graft.sources.DeltaLite.snapshot(spark, x.location)
+    import spark.implicits._
+    Seq((x.location, v, snap.files.size.toLong))
+      .toDF("location", "delta_version", "n_files")
+  }
 
   /** DESCRIBE HISTORY / DESCRIBE DETAIL as frames — the SQL-only
     * client's introspection surface. HISTORY is the graft source's
@@ -391,6 +442,33 @@ private[graft] final case class GraftDescribeCommand(dml: SqlDescribe)
     GraftSql.describeFrame(session, dml).collect().toSeq
 }
 
+/** GENERATE MANIFEST through the injected parser — a command with
+  * output rows (manifest path, file count, exported version). */
+private[graft] final case class GraftGenerateCommand(dml: SqlGenerate)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("manifest_path", StringType)(),
+    AttributeReference("n_files", LongType)(),
+    AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSql.generateFrame(session, dml).collect().toSeq
+}
+
+/** EXPORT TABLE … TO DELTA through the injected parser. */
+private[graft] final case class GraftExportDeltaCommand(
+    dml: SqlExportDelta) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType)(),
+    AttributeReference("delta_version", LongType)(),
+    AttributeReference("n_files", LongType)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSql.exportDeltaFrame(session, dml).collect().toSeq
+}
+
 /** Parser extension: intercepts the four DML verbs against registered
   * versioned tables; delegates every other statement — and every
   * other parser duty — to Spark's own parser. */
@@ -399,6 +477,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSql.parseDml(sqlText) match {
       case Some(d: SqlDescribe) => GraftDescribeCommand(d)
+      case Some(g: SqlGenerate) => GraftGenerateCommand(g)
+      case Some(x: SqlExportDelta) => GraftExportDeltaCommand(x)
       case Some(dml) => GraftDmlCommand(dml)
       case None => delegate.parsePlan(sqlText)
     }

@@ -211,4 +211,31 @@ class GraftSqlSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("GENERATE MANIFEST and EXPORT TO DELTA as SQL: frames back, foreign reads agree") {
+    val root = tmp("interop"); seed(root)
+    GraftTables.register("t_interop", root, keepVersions = 50)
+    try {
+      // leave MoR state so GENERATE must materialize
+      GraftSql.sql(spark, "UPDATE t_interop SET x = x + 1 WHERE id % 10 = 0")
+      val m = GraftSql.sql(spark, "GENERATE MANIFEST FOR TABLE t_interop")
+        .head()
+      assert(m.schema.fieldNames.toSeq ===
+        Seq("manifest_path", "n_files", "version"))
+      val files = VersionedParquet.readManifest(spark, m.getString(0))
+      assert(files.size.toLong === m.getLong(1) && files.nonEmpty)
+      val viaManifest = spark.read.parquet(files: _*)
+        .agg(sum("x")).head().getLong(0)
+      val delta = java.nio.file.Files
+        .createTempDirectory("graft-sql-delta").toString + "/d"
+      val x = GraftSql.sql(spark,
+        s"EXPORT TABLE t_interop TO DELTA LOCATION '$delta'").head()
+      assert(x.getString(0) === delta && x.getLong(1) === 0L)
+      val viaDelta = graft.sources.DeltaLite.read(spark, delta)
+        .agg(sum("x")).head().getLong(0)
+      val live = VersionedParquet.read(spark, root)
+        .agg(sum("x")).head().getLong(0)
+      assert(viaManifest === live && viaDelta === live)
+    } finally GraftTables.unregister("t_interop")
+  }
 }
