@@ -2057,8 +2057,85 @@ object VersionOps {
              |       (SELECT count(*) FROM s0) AS n_v0
              |FROM s1
              |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // q186 — exactly-once incremental sync FROM a foreign Delta table
+    // (the continuous import half; q184 reads one-shot). The foreign
+    // table moves through bootstrap → two plain-INSERT commits → an
+    // overwrite, and DeltaSync mirrors each commit into a graft
+    // versioned table: add-only commits apply as O(changes) appends,
+    // the overwrite (file-level removes are not row-reconstructible)
+    // as an honest snapshot republish — each foreign version is
+    // exactly one mirror version, marker-bound atomically with the
+    // commit so crash-resume never double-applies. The gate folds the
+    // OBSERVED path counts (2 appends, 2 republishes, synced-to
+    // version, mirror version count) beside the mirrored aggregate —
+    // a sync that re-applies a commit, skips one, or takes the wrong
+    // path breaks the hash against the oracle's replay.
+    QueryDef("q186_delta_sync",
+      (s, d) => s.read.parquet(deltaSyncPath(s, d)).orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |c0 AS (SELECT k, cents FROM o WHERE k % 3 = 0),
+             |c1 AS (SELECT k, cents + 7 AS cents FROM o
+             |       WHERE k % 3 = 1 AND k % 5 = 0),
+             |c2 AS (SELECT k, cents + 11 AS cents FROM o
+             |       WHERE k % 3 = 2 AND k % 7 = 0),
+             |all_ AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1
+             |         UNION ALL SELECT * FROM c2),
+             |final AS (SELECT * FROM all_ WHERE k % 11 <> 5)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       2 AS n_appends, 2 AS n_republished,
+             |       3 AS synced_to, 4 AS mirror_versions
+             |FROM final
+             |GROUP BY 1
              |ORDER BY bucket""".stripMargin))
   )
+
+  /** q186 builder: foreign Delta commits (full, append, append,
+    * overwrite) mirrored by three sync calls; observed path counters
+    * persisted beside the mirrored aggregate. Once per session. */
+  private def deltaSyncPath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.{AtomicParquet, DeltaSync}
+    val delta = Scratch.dir(s, "q186-delta")
+    val mirror = Scratch.dir(s, "q186-mirror")
+    val outPath = Scratch.dir(s, "q186-out")
+    if (VersionedParquet.currentVersion(s, mirror).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      DeltaLite.export(s, o.filter(col("k") % 3 === 0), delta)
+      val s1 = DeltaSync.sync(s, delta, mirror)
+      DeltaLite.exportAppend(s,
+        o.filter(col("k") % 3 === 1 && col("k") % 5 === 0)
+          .select(col("k"), (col("cents") + 7L).as("cents")), delta)
+      val s2 = DeltaSync.sync(s, delta, mirror)
+      DeltaLite.exportAppend(s,
+        o.filter(col("k") % 3 === 2 && col("k") % 7 === 0)
+          .select(col("k"), (col("cents") + 11L).as("cents")), delta)
+      DeltaLite.export(s,
+        DeltaLite.read(s, delta).filter(col("k") % 11 =!= 5), delta)
+      val s3 = DeltaSync.sync(s, delta, mirror)
+      val out = VersionedParquet.read(s, mirror)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_appends",
+          lit(s1.appended + s2.appended + s3.appended))
+        .withColumn("n_republished",
+          lit(s1.republished + s2.republished + s3.republished))
+        .withColumn("synced_to", lit(s3.syncedTo.toInt))
+        .withColumn("mirror_versions",
+          lit(VersionedParquet.versions(s, mirror).length))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q184 builder: two full-snapshot exports in the open Delta format
     * (v1 = an overwrite: remove-all + add), then read the live fold

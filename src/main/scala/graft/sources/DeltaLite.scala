@@ -182,6 +182,32 @@ object DeltaLite {
       throw new IOException(s"could not commit version $version to $table")
   }
 
+  /** The commit versions visible in the log (the JSON files; a
+    * checkpoint may have absorbed earlier ones). */
+  def commitVersions(spark: SparkSession, table: String): Seq[Long] = {
+    val logDir = new Path(table, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) Nil
+    else fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.matches("\\d{20}\\.json") => n.take(20).toLong }
+      .sorted
+  }
+
+  /** One commit's actions as (added paths, removed paths) — the unit
+    * an incremental consumer applies. */
+  def commitActions(spark: SparkSession, table: String,
+                    version: Long): (Seq[String], Seq[String]) = {
+    val p = new Path(new Path(table, "_delta_log"), f"$version%020d.json")
+    val adds = mutable.ArrayBuffer.empty[String]
+    val removes = mutable.ArrayBuffer.empty[String]
+    readText(spark, p).split('\n').filter(_.trim.nonEmpty).foreach { l =>
+      val a = mapper.readTree(l)
+      if (a.has("add")) adds += a.get("add").get("path").asText
+      if (a.has("remove")) removes += a.get("remove").get("path").asText
+    }
+    (adds.toSeq, removes.toSeq)
+  }
+
   /** Export `df` as the NEXT full snapshot of a Delta-format table
     * (protocol v1): stage the data files, then commit `remove` for
     * every previously-live file + `add` for the new ones — the same
@@ -191,7 +217,17 @@ object DeltaLite {
     * table stays readable by any real Delta reader, and removed files
     * stay on disk for time travel (Delta's own VACUUM contract).
     * Returns the committed version. */
-  def export(spark: SparkSession, df: DataFrame, table: String): Long = {
+  def export(spark: SparkSession, df: DataFrame, table: String): Long =
+    exportCommit(spark, df, table, removePrior = true)
+
+  /** Export `df` as an APPEND commit — add actions only, the shape
+    * Delta writes for a plain INSERT. Returns the committed version. */
+  def exportAppend(spark: SparkSession, df: DataFrame,
+                   table: String): Long =
+    exportCommit(spark, df, table, removePrior = false)
+
+  private def exportCommit(spark: SparkSession, df: DataFrame,
+                           table: String, removePrior: Boolean): Long = {
     val tableP = new Path(table)
     val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasLog = fs.exists(new Path(table, "_delta_log"))
@@ -216,8 +252,10 @@ object DeltaLite {
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
         s"""{"metaData":{"id":"graft-export","format":{"provider":"parquet","options":{}},"schemaString":"${esc(df.schema.json)}","partitionColumns":[],"configuration":{},"createdTime":0}}""")
       else Nil
-    val removes = prior.toSeq.flatMap(_.files).map(p =>
-      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":0,"dataChange":true}}""")
+    val removes =
+      if (!removePrior) Nil
+      else prior.toSeq.flatMap(_.files).map(p =>
+        s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":0,"dataChange":true}}""")
     val adds = named.map { case (n, sz) =>
       s"""{"add":{"path":"${esc(n)}","partitionValues":{},"size":$sz,"modificationTime":0,"dataChange":true}}""" }
     writeCommitFile(spark, table, version, head ++ removes ++ adds)
