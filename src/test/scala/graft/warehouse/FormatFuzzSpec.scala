@@ -224,4 +224,81 @@ class FormatFuzzSpec extends AnyFunSuite {
     assert(work === expected,
       "replaying the concurrent history's feed must land on the final state")
   }
+
+  test("fuzz: random multi-table transactions with injected failures stay all-or-nothing") {
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft-txn-fuzz-a").toString + "/a"
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-txn-fuzz-b").toString + "/b"
+    val rng = new scala.util.Random(7)
+    var nextId = 100000L
+    def fresh(n: Int): Seq[Long] = {
+      val ids = (nextId until nextId + n); nextId += n; ids
+    }
+    var mA = (0L until 200L).map(i =>
+      i -> (i % 7, (i * 3) % 40)).toMap
+    var mB = (1000L until 1100L).map(i =>
+      i -> (i % 5, (i * 7) % 40)).toMap
+    VersionedParquet.publish(
+      toDf(mA.toSeq.map { case (i, (g, x)) => (i, g, x) }), rootA,
+      keepVersions = 100)
+    VersionedParquet.publish(
+      toDf(mB.toSeq.map { case (i, (g, x)) => (i, g, x) }), rootB,
+      keepVersions = 100)
+
+    def check(tag: String): Unit = {
+      assert(bag(VersionedParquet.read(spark, rootA)) === modelBag(mA),
+        s"$tag: table A diverged from the model")
+      assert(bag(VersionedParquet.read(spark, rootB)) === modelBag(mB),
+        s"$tag: table B diverged from the model")
+    }
+
+    for (step <- 0 until 20) {
+      rng.nextInt(4) match {
+        case 0 =>
+          // committed transaction: move a predicate slice A→B
+          val r = rng.nextInt(40)
+          val moving = mA.toSeq.collect {
+            case (i, (g, x)) if x == r => (i, g, x) }
+          Txn.commit(spark, Seq(
+            Txn.TxnOp(rootA, () => { VersionedParquet.delete(spark,
+              rootA, col("x") === r.toLong, keepVersions = 100); () }),
+            Txn.TxnOp(rootB, () => { VersionedParquet.append(spark,
+              rootB, toDf(moving), keepVersions = 100); () })))
+          mA = mA.filterNot { case (_, (_, x)) => x == r }
+          mB = mB ++ moving.map { case (i, g, x) => i -> (g, x) }
+        case 1 =>
+          // failing transaction: B's delete lands, then the second op
+          // throws — BOTH must roll back, models unchanged
+          val r = rng.nextInt(40)
+          intercept[Txn.TxnAbortedException] {
+            Txn.commit(spark, Seq(
+              Txn.TxnOp(rootB, () => { VersionedParquet.delete(spark,
+                rootB, col("x") === r.toLong, keepVersions = 100); () }),
+              Txn.TxnOp(rootA, () =>
+                throw new RuntimeException(s"boom-$step"))))
+          }
+        case 2 =>
+          // plain single-table upsert on A between transactions
+          val upd = mA.keys.toSeq.sorted.take(10)
+            .map(i => (i, mA(i)._1, rng.nextInt(40).toLong))
+          val ins = fresh(5).map(i =>
+            (i, rng.nextInt(7).toLong, rng.nextInt(40).toLong))
+          VersionedParquet.upsert(spark, rootA, toDf(upd ++ ins),
+            Seq("id"), keepVersions = 100)
+          mA = mA ++ (upd ++ ins).map { case (i, g, x) => i -> (g, x) }
+        case 3 =>
+          // plain append on B
+          val rows = fresh(5).map(i =>
+            (i, rng.nextInt(5).toLong, rng.nextInt(40).toLong))
+          VersionedParquet.append(spark, rootB, toDf(rows),
+            keepVersions = 100)
+          mB = mB ++ rows.map { case (i, g, x) => i -> (g, x) }
+      }
+      check(s"step $step")
+    }
+    // recovery over a quiet pair is a no-op
+    Txn.recover(spark, Seq(rootA, rootB))
+    check("after final recover")
+  }
 }
