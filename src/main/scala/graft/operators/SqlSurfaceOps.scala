@@ -484,7 +484,9 @@ object SqlSurfaceOps {
              |FROM final
              |CROSS JOIN (SELECT unnest(['delta', 'manifest']) AS side)
              |GROUP BY side
-             |ORDER BY side""".stripMargin))
+             |ORDER BY side""".stripMargin)),
+
+    q187Def
   )
 
   /** q185 builder: CTAS + INSERT + UPDATE as SQL, then GENERATE
@@ -524,6 +526,96 @@ object SqlSurfaceOps {
       val manifestFiles = VersionedParquet.readManifest(s, m)
       val out = aggOf(DeltaLite.read(s, delta), "delta")
         .unionByName(aggOf(s.read.parquet(manifestFiles: _*), "manifest"))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  // q187 — SQL-text multi-table transaction. BEGIN…COMMIT for the
+  // SQL-only client: GraftSql.transaction takes the statement batch,
+  // parses every verb up front, and commits the group through Txn —
+  // the archive move (DELETE + INSERT, its source view bound to the
+  // pre-delete snapshot) lands atomically, and a second transaction
+  // whose UPDATE references a nonexistent column (a RUN-time failure:
+  // the first statement's DELETE has already committed when it
+  // surfaces) must roll the whole group back. The gate folds the
+  // observed rollback beside the per-table aggregates; the oracle
+  // replays exactly one committed transaction.
+  // lazy: declared below `queries`, which references it at init
+  private lazy val q187Def = QueryDef("q187_sql_transaction",
+    (s, d) => s.read.parquet(sqlTxnPath(s, d)).orderBy("tbl"),
+    Some("""WITH o AS (
+           |  SELECT o_orderkey AS k, o_orderstatus AS st,
+           |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders),
+           |hot0 AS (SELECT * FROM o WHERE k % 4 <> 3),
+           |arch0 AS (SELECT * FROM o WHERE k % 4 = 3 AND k % 6 = 0),
+           |hot1 AS (SELECT * FROM hot0 WHERE st <> 'O'),
+           |arch1 AS (SELECT * FROM arch0
+           |          UNION ALL SELECT * FROM hot0 WHERE st = 'O')
+           |SELECT 'archive' AS tbl, count(*) AS n_rows,
+           |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+           |       1 AS rolled_back
+           |FROM arch1
+           |UNION ALL
+           |SELECT 'hot', count(*),
+           |       CAST(sum(cents) AS BIGINT), 1
+           |FROM hot1
+           |ORDER BY tbl""".stripMargin))
+
+  /** q187 builder: two registered tables, one SQL-text transaction
+    * moving the open orders hot→archive atomically, then a failing
+    * SQL transaction (its UPDATE references a nonexistent column,
+    * which only surfaces at run time) that must roll the already-
+    * landed DELETE back. Once per session. */
+  private def sqlTxnPath(s: org.apache.spark.sql.SparkSession,
+                         d: String): String = {
+    import graft.warehouse.AtomicParquet
+    val hot = Scratch.dir(s, "q187-hot")
+    val arch = Scratch.dir(s, "q187-archive")
+    val outPath = Scratch.dir(s, "q187-out")
+    if (VersionedParquet.currentVersion(s, hot).isEmpty) {
+      GraftTables.unregister("graft_q187h")
+      GraftTables.unregister("graft_q187a")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.filter(col("k") % 4 =!= 3), hot,
+        keepVersions = 10)
+      VersionedParquet.publish(
+        o.filter(col("k") % 4 === 3 && col("k") % 6 === 0), arch,
+        keepVersions = 10)
+      GraftTables.register("graft_q187h", hot, keepVersions = 10)
+      GraftTables.register("graft_q187a", arch, keepVersions = 10)
+      // the moving rows bind to hot's CURRENT snapshot before the
+      // transaction's DELETE commits — the INSERT reads pre-delete
+      VersionedParquet.read(s, hot).filter(col("st") === "O")
+        .createOrReplaceTempView("q187_moving")
+      GraftSql.transaction(s, Seq(
+        "DELETE FROM graft_q187h WHERE st = 'O'",
+        "INSERT INTO graft_q187a SELECT k, st, cents FROM q187_moving"))
+      val hotN = VersionedParquet.read(s, hot).count()
+      val archN = VersionedParquet.read(s, arch).count()
+      val rolled =
+        try {
+          GraftSql.transaction(s, Seq(
+            "DELETE FROM graft_q187h WHERE k % 5 = 0",
+            "UPDATE graft_q187a SET cents = no_such_column + 1"))
+          false
+        } catch { case _: graft.warehouse.Txn.TxnAbortedException =>
+          VersionedParquet.read(s, hot).count() == hotN &&
+            VersionedParquet.read(s, arch).count() == archN
+        }
+      val out = VersionedParquet.read(s, arch)
+        .groupBy(lit("archive").as("tbl"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .unionByName(VersionedParquet.read(s, hot)
+          .groupBy(lit("hot").as("tbl"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents")))
+        .withColumn("rolled_back", lit(if (rolled) 1 else 0))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

@@ -339,6 +339,40 @@ object GraftSql {
       case None => spark.sql(text)
     }
 
+  /** A multi-statement SQL transaction: every statement must be a
+    * recognized DML/maintenance verb against a registered table, and
+    * the group commits atomically through [[Txn]] — all the verbs'
+    * versions land, or (failure anywhere, including a statement whose
+    * predicate/source fails to resolve at run time) every touched
+    * table rolls back to its pre-transaction version. The SQL-only
+    * client's `BEGIN; …; COMMIT` — statements are passed as the batch,
+    * the transaction bracket is the call itself.
+    *
+    * Statements parse UP FRONT (a typo aborts before any intent is
+    * written); side effects happen inside the transaction's ops in
+    * statement order. DDL (ALTER/constraints) is rejected — it lives
+    * outside the version namespace, so it cannot roll back. */
+  def transaction(spark: SparkSession, statements: Seq[String]): Unit = {
+    require(statements.nonEmpty, "empty transaction")
+    val dmls = statements.map { text =>
+      parseDml(text).getOrElse(throw new IllegalArgumentException(
+        "transaction statements must be graft DML against registered " +
+          s"tables; not recognized: $text"))
+    }
+    dmls.foreach {
+      case _: SqlUpdate | _: SqlDelete | _: SqlInsert | _: SqlMerge |
+           _: SqlOptimize => ()
+      case other => throw new IllegalArgumentException(
+        s"only UPDATE/DELETE/INSERT/MERGE/OPTIMIZE can run inside a " +
+          s"transaction; got: ${other.getClass.getSimpleName}")
+    }
+    Txn.commit(spark, dmls.map(d =>
+      Txn.TxnOp(GraftTables.rootOf(d.table).getOrElse(
+        throw new IllegalStateException(
+          s"table ${d.table} is not registered"))._1,
+        () => { exec(spark, d); () })))
+  }
+
   /** `GENERATE MANIFEST FOR TABLE t` — q181's export surfaced to the
     * SQL-only client (Delta's own GENERATE verb); returns where the
     * manifest landed and what it names. */

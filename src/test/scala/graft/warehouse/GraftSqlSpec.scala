@@ -238,4 +238,43 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(viaManifest === live && viaDelta === live)
     } finally GraftTables.unregister("t_interop")
   }
+
+  test("SQL transaction: statement batch commits atomically, run-time failure rolls back") {
+    val a = tmp("txn-a"); val b = tmp("txn-b")
+    seed(a); seed(b)
+    GraftTables.register("t_txn_a", a, keepVersions = 50)
+    GraftTables.register("t_txn_b", b, keepVersions = 50)
+    try {
+      GraftSql.transaction(spark, Seq(
+        "DELETE FROM t_txn_a WHERE id < 10",
+        "UPDATE t_txn_b SET x = x + 1 WHERE id < 5"))
+      assert(VersionedParquet.read(spark, a).count() === 90L)
+      assert(VersionedParquet.read(spark, b)
+        .filter(col("id") < 5 && col("x") % 10 =!= 1).count() === 0L)
+      val vA = VersionedParquet.currentVersion(spark, a).get
+      // run-time failure in statement 2 → statement 1's delete revoked
+      intercept[Txn.TxnAbortedException] {
+        GraftSql.transaction(spark, Seq(
+          "DELETE FROM t_txn_a WHERE id < 50",
+          "UPDATE t_txn_b SET x = no_such_col + 1"))
+      }
+      assert(VersionedParquet.currentVersion(spark, a).get === vA)
+      assert(VersionedParquet.read(spark, a).count() === 90L)
+      // parse failure aborts BEFORE any intent/side effect
+      intercept[IllegalArgumentException] {
+        GraftSql.transaction(spark, Seq(
+          "DELETE FROM t_txn_a WHERE id < 50",
+          "COMPLETELY NOT SQL"))
+      }
+      assert(VersionedParquet.read(spark, a).count() === 90L)
+      // DDL rejected: it cannot roll back
+      intercept[IllegalArgumentException] {
+        GraftSql.transaction(spark, Seq(
+          "ALTER TABLE t_txn_a DROP COLUMN g"))
+      }
+    } finally {
+      GraftTables.unregister("t_txn_a")
+      GraftTables.unregister("t_txn_b")
+    }
+  }
 }
