@@ -91,6 +91,33 @@ object SketchOps {
           .otherwise(col("raw_est")))
       .withColumn("hll_est", round(col("est"), 1))
 
+  /** DuckDB CTE text computing the corrected HLL estimate per `key`
+    * from a prior CTE `hashed($key, h60)` — the engine-portable SQL
+    * twin of registersOf + estimateOf, for oracles outside this file
+    * (ANALYZE's q188). Emits CTEs `regs`, `estx`, `corrected`;
+    * `corrected($key, n_buckets, est)` is the consumable. */
+  private[graft] def hllEstimateSql(key: String): String =
+    s"""regs AS (
+       |  SELECT $key, h60 >> $WBITS AS bucket,
+       |         max(CASE WHEN (h60 & $WMASK) = 0 THEN $RMAX
+       |              ELSE $RMAX - length(bin(h60 & $WMASK)) END) AS r
+       |  FROM hashed GROUP BY 1, 2),
+       |estx AS (
+       |  SELECT $key, count(*) AS n_buckets,
+       |         CAST(sum(CAST(1 AS BIGINT) << ($RMAX - r)) AS BIGINT)
+       |           + ($M - count(*)) * (CAST(1 AS BIGINT) << $RMAX)
+       |           AS total_scaled
+       |  FROM regs GROUP BY 1),
+       |corrected AS (
+       |  SELECT $key, n_buckets,
+       |         CASE WHEN $M - n_buckets > 0
+       |               AND $NUM / CAST(total_scaled AS DOUBLE)
+       |                   <= CAST(${LC_THRESHOLD} AS DOUBLE)
+       |              THEN [${LC_TABLE.mkString(", ")}]
+       |                     [CAST($M - n_buckets AS INT)]
+       |              ELSE $NUM / CAST(total_scaled AS DOUBLE) END AS est
+       |  FROM estx)""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── HLL distinct-shingle estimate vs exact, per language ──────────────

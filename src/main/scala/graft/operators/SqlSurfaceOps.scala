@@ -486,7 +486,8 @@ object SqlSurfaceOps {
              |GROUP BY side
              |ORDER BY side""".stripMargin)),
 
-    q187Def
+    q187Def,
+    q188Def
   )
 
   /** q185 builder: CTAS + INSERT + UPDATE as SQL, then GENERATE
@@ -562,6 +563,69 @@ object SqlSurfaceOps {
            |       CAST(sum(cents) AS BIGINT), 1
            |FROM hot1
            |ORDER BY tbl""".stripMargin))
+
+  // q188 — ANALYZE TABLE: one-pass, engine-portable column
+  // statistics. Issued as SQL (`ANALYZE TABLE … COMPUTE STATISTICS`,
+  // then `DESCRIBE STATS` reads the version-stamped `_TABLE_STATS`
+  // marker back) over a table with a unique key, a low-cardinality
+  // string, and a nullable column. EVERY number is pinned exactly —
+  // including the NDV estimates, because the sketch is the
+  // engine-portable 64-register HLL whose DuckDB twin
+  // (SketchOps.hllEstimateSql) computes bit-identical estimates: a
+  // drifting hash, register fold, or linear-counting branch anywhere
+  // breaks the hash. Scale shape: one scan melts the columns and
+  // folds to (column, bucket) cells — at most columns × 65 rows
+  // regardless of table size — so a 100 TB ANALYZE is one pass +
+  // a K-row shuffle, no driver data.
+  private lazy val q188Def = QueryDef("q188_analyze_stats",
+    (s, d) => s.read.parquet(analyzePath(s, d)).orderBy("colname"),
+    Some(s"""WITH t AS (
+           |  SELECT o_orderkey AS k, o_orderstatus AS st,
+           |         CASE WHEN o_custkey % 7 = 0 THEN NULL
+           |              ELSE o_custkey END AS c
+           |  FROM orders),
+           |v AS (
+           |  SELECT 'c' AS colname, CAST(c AS VARCHAR) AS v FROM t
+           |  UNION ALL SELECT 'k', CAST(k AS VARCHAR) FROM t
+           |  UNION ALL SELECT 'st', st FROM t),
+           |base AS (
+           |  SELECT colname, count(*) AS n_rows,
+           |         count(*) - count(v) AS n_nulls,
+           |         min(v) AS min_s, max(v) AS max_s
+           |  FROM v GROUP BY 1),
+           |hashed AS (
+           |  SELECT colname, ${graft.functions.Hashing.md5Long60Sql("v")}
+           |           AS h60
+           |  FROM v WHERE v IS NOT NULL),
+           |${SketchOps.hllEstimateSql("colname")}
+           |SELECT b.colname, b.n_rows, b.n_nulls,
+           |       round(c2.est, 1) AS ndv_est, b.min_s, b.max_s,
+           |       CAST(0 AS BIGINT) AS version
+           |FROM base b JOIN corrected c2 USING (colname)
+           |ORDER BY colname""".stripMargin))
+
+  /** q188 builder: publish the three-column table, ANALYZE it as SQL,
+    * read DESCRIBE STATS back, persist. Once per session. */
+  private def analyzePath(s: org.apache.spark.sql.SparkSession,
+                          d: String): String = {
+    import graft.warehouse.AtomicParquet
+    val root = Scratch.dir(s, "q188-table")
+    val outPath = Scratch.dir(s, "q188-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      GraftTables.unregister("graft_q188")
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        when(col("o_custkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("c"))
+      VersionedParquet.publish(o, root, keepVersions = 10)
+      GraftTables.register("graft_q188", root, keepVersions = 10)
+      GraftSql.sql(s, "ANALYZE TABLE graft_q188 COMPUTE STATISTICS")
+      val out = GraftSql.sql(s, "DESCRIBE STATS graft_q188")
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q187 builder: two registered tables, one SQL-text transaction
     * moving the open orders hot→archive atomically, then a failing

@@ -1,0 +1,142 @@
+package graft.warehouse
+
+import java.io.IOException
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Hashing
+import graft.operators.SketchOps
+
+/** ANALYZE TABLE — one-pass, engine-portable column statistics.
+  *
+  * The warehouse staple behind query planning and data validation:
+  * per column, row count, null count, an NDV estimate, and min/max.
+  * All of it folds into ONE scan of the table: the scan melts the
+  * analyzed columns to (column, value) pairs and aggregates to a
+  * BOUNDED intermediate — (column, hll-bucket) cells, at most
+  * columns × 65 rows regardless of table size — from which the
+  * per-column row/null/min/max totals and the 64-register HLL NDV
+  * estimate both fold. Nothing driver-side ever sees a data row, and
+  * a 100 TB ANALYZE is exactly one pass + a K-row shuffle.
+  *
+  * The NDV sketch is [[SketchOps]]' engine-portable HLL (md5-derived
+  * 60-bit hash, 64 registers, precomputed linear-counting table), so
+  * the estimate is bit-reproducible in DuckDB SQL — the q188 gate
+  * pins every stat exactly, not "approximately".
+  *
+  * Supported columns are integers and strings (values hash and
+  * render identically across engines; floating-point rendering does
+  * not). min/max are reported on the STRING rendering
+  * (lexicographic) — byte-comparable and engine-identical; numeric
+  * range pruning has the per-file `FileStats` tier.
+  *
+  * Stats are stored version-stamped: a `_TABLE_STATS` marker inside
+  * the analyzed snapshot directory (atomic temp+rename install), so
+  * `DESCRIBE STATS` also reports WHICH version the numbers describe
+  * — stale stats are visible, never silently trusted.
+  */
+object Analyze {
+
+  private[warehouse] val STATS_MARKER = "_TABLE_STATS"
+
+  private def supportedCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == ShortType || f.dataType == ByteType ||
+        f.dataType == StringType => f.name
+    }.toSeq
+
+  /** Compute (and store) stats for `columns` (default: every
+    * supported column) of the LIVE version. Returns the stats frame:
+    * (colname, n_rows, n_nulls, ndv_est, min_s, max_s). */
+  def table(spark: SparkSession, root: String,
+            columns: Seq[String] = Nil): DataFrame = {
+    val v = VersionedParquet.currentVersion(spark, root).getOrElse(
+      throw new IOException(s"nothing to analyze under $root"))
+    val df = VersionedParquet.read(spark, root)
+    val ok = supportedCols(df)
+    val cols = if (columns.nonEmpty) columns else ok
+    val bad = cols.filterNot(ok.contains)
+    require(bad.isEmpty, s"cannot analyze ${bad.mkString(",")}: only " +
+      "integer and string columns have engine-portable stats")
+    val melted = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("c"), col(c).cast("string").as("v"))): _*)).as("kv"))
+      .select(col("kv.c").as("colname"), col("kv.v").as("v"))
+    // the one-pass kernel: (column, bucket) cells — nulls pool in
+    // bucket -1 (they have no hash), value rows in their HLL bucket
+    // with the register maximum, per-cell count and min/max carried
+    val h60 = Hashing.md5Long60(col("v"))
+    val cells = melted
+      .select(col("colname"), col("v"),
+        when(col("v").isNull, lit(-1L))
+          .otherwise(shiftright(h60, 54)).as("bucket"),
+        when(col("v").isNull, lit(null).cast("long"))
+          .otherwise(when(h60.bitwiseAND(lit((1L << 54) - 1)) === 0,
+            lit(55)).otherwise(lit(55) -
+            length(bin(h60.bitwiseAND(lit((1L << 54) - 1)))))).as("rho"))
+      .groupBy("colname", "bucket")
+      .agg(count(lit(1)).as("n"), max(col("rho")).as("r"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .persist() // bounded: |columns| × 65 rows, read by both folds
+    val base = cells.groupBy("colname")
+      .agg(sum(col("n")).as("n_rows"),
+        sum(when(col("bucket") === -1L, col("n")).otherwise(0L))
+          .as("n_nulls"),
+        min(col("min_v")).as("min_s"), max(col("max_v")).as("max_s"))
+    val est = SketchOps.estimateOf(
+      cells.filter(col("bucket") >= 0L).select("colname", "bucket", "r"),
+      Seq("colname"))
+      .select(col("colname"), col("hll_est").as("ndv_est"))
+    val out = base.join(est, Seq("colname"), "left")
+      .select(col("colname"), col("n_rows"), col("n_nulls"),
+        coalesce(col("ndv_est"), lit(0.0)).as("ndv_est"),
+        col("min_s"), col("max_s"))
+      .orderBy("colname")
+    val rows = out.collect() // bounded: one row per analyzed column
+    cells.unpersist()
+    // min/max are arbitrary user strings (tabs/newlines possible) --
+    // base64 keeps the TSV marker torn-proof; "-" marks NULL
+    def enc(x: String): String =
+      if (x == null) "-"
+      else java.util.Base64.getEncoder.encodeToString(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val content = rows.map { r =>
+      Seq(r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        enc(r.getString(4)), enc(r.getString(5))).mkString("\t")
+    }.mkString("\n")
+    VersionedParquet.installPointer(spark,
+      new Path(root, VersionedParquet.versionName(v)), STATS_MARKER,
+      content)
+    out
+  }
+
+  /** The stored stats, with the version they describe — None if the
+    * table was never analyzed. Walks from the live version down so a
+    * post-ANALYZE commit still surfaces the last (now stale) stats
+    * with their honest version stamp. */
+  def stats(spark: SparkSession,
+            root: String): Option[(Long, DataFrame)] = {
+    val versions = VersionedParquet.versions(spark, root).sorted.reverse
+    versions.iterator.map { v =>
+      v -> VersionedParquet.readPointer(spark,
+        new Path(new Path(root, VersionedParquet.versionName(v)),
+          STATS_MARKER))
+    }.collectFirst { case (v, Some(content)) =>
+      import spark.implicits._
+      val rows = content.split('\n').filter(_.nonEmpty).toSeq.map { l =>
+        val p = l.split('\t')
+        def dec(x: String): String =
+          if (x == "-") null
+          else new String(java.util.Base64.getDecoder.decode(x),
+            java.nio.charset.StandardCharsets.UTF_8)
+        (p(0), p(1).toLong, p(2).toLong, p(3).toDouble, dec(p(4)),
+          dec(p(5)))
+      }
+      v -> rows.toDF("colname", "n_rows", "n_nulls", "ndv_est",
+        "min_s", "max_s")
+    }
+  }
+}

@@ -104,6 +104,10 @@ private[graft] final case class SqlClone(table: String, location: String,
     deep: Boolean, source: String) extends GraftDml
 private[graft] final case class SqlGenerate(table: String)
     extends GraftDml // GENERATE MANIFEST (symlink_format_manifest)
+private[graft] final case class SqlAnalyze(table: String,
+    cols: Seq[String]) extends GraftDml // ANALYZE TABLE … COMPUTE STATISTICS
+private[graft] final case class SqlDescribeStats(table: String)
+    extends GraftDml // DESCRIBE STATS
 private[graft] final case class SqlExportDelta(table: String,
     location: String) extends GraftDml // EXPORT ... TO DELTA
 
@@ -156,6 +160,9 @@ object GraftSql {
       """\s+FOR\s+TABLE\s+([A-Za-z_][\w]*)""").r
     val XD = ("""(?is)EXPORT\s+TABLE\s+([A-Za-z_][\w]*)\s+TO\s+DELTA""" +
       """\s+LOCATION\s+'([^']+)'""").r
+    val AN = ("""(?is)ANALYZE\s+TABLE\s+([A-Za-z_][\w]*)\s+COMPUTE\s+""" +
+      """STATISTICS(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?""").r
+    val DS = """(?is)DESCRIBE\s+STATS\s+([A-Za-z_][\w]*)""".r
     val dml = t match {
       case M(table, source, on, matched) =>
         keyColsOf(on).map(keys => SqlMerge(table, source, keys,
@@ -189,6 +196,10 @@ object GraftSql {
       case DD(table) => Some(SqlDescribe(table, "detail"))
       case GM(table) => Some(SqlGenerate(table))
       case XD(table, loc) => Some(SqlExportDelta(table, loc))
+      case AN(table, cols) => Some(SqlAnalyze(table,
+        Option(cols).map(_.split(",").map(_.trim).toSeq
+          .filter(_.nonEmpty)).getOrElse(Nil)))
+      case DS(table) => Some(SqlDescribeStats(table))
       case _ => None
     }
     dml.filter {
@@ -322,6 +333,8 @@ object GraftSql {
       case _: SqlDescribe => root // side-effect free; routed in sql()
       case g: SqlGenerate => generateFrame(spark, g); root
       case x: SqlExportDelta => exportDeltaFrame(spark, x); root
+      case a: SqlAnalyze => analyzeFrame(spark, a); root
+      case _: SqlDescribeStats => root // side-effect free; routed in sql()
     }
   }
 
@@ -335,9 +348,40 @@ object GraftSql {
       case Some(d: SqlDescribe) => describeFrame(spark, d)
       case Some(g: SqlGenerate) => generateFrame(spark, g)
       case Some(x: SqlExportDelta) => exportDeltaFrame(spark, x)
+      case Some(a: SqlAnalyze) => analyzeFrame(spark, a)
+      case Some(ds: SqlDescribeStats) => statsFrame(spark, ds)
       case Some(dml) => exec(spark, dml); spark.emptyDataFrame
       case None => spark.sql(text)
     }
+
+  /** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS (…)]` — one
+    * scan, stats stored version-stamped (see [[Analyze]]); returns
+    * the fresh stats with the analyzed version. */
+  private[graft] def analyzeFrame(spark: SparkSession,
+                                  a: SqlAnalyze): DataFrame = {
+    val (root, _) = GraftTables.rootOf(a.table).getOrElse(
+      throw new IllegalStateException(
+        s"table ${a.table} is not registered"))
+    val v = VersionedParquet.currentVersion(spark, root).getOrElse(-1L)
+    Analyze.table(spark, root, a.cols)
+      .withColumn("version", org.apache.spark.sql.functions.lit(v))
+  }
+
+  /** `DESCRIBE STATS t` — the stored stats with the version stamp
+    * they describe (possibly behind the live version: staleness is
+    * visible, never silently trusted). */
+  private[graft] def statsFrame(spark: SparkSession,
+                                ds: SqlDescribeStats): DataFrame = {
+    val (root, _) = GraftTables.rootOf(ds.table).getOrElse(
+      throw new IllegalStateException(
+        s"table ${ds.table} is not registered"))
+    val (v, df) = Analyze.stats(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"table ${ds.table} was never analyzed; run ANALYZE TABLE " +
+          s"${ds.table} COMPUTE STATISTICS"))
+    df.withColumn("version", org.apache.spark.sql.functions.lit(v))
+      .orderBy("colname")
+  }
 
   /** A multi-statement SQL transaction: every statement must be a
     * recognized DML/maintenance verb against a registered table, and
@@ -490,6 +534,27 @@ private[graft] final case class GraftGenerateCommand(dml: SqlGenerate)
     GraftSql.generateFrame(session, dml).collect().toSeq
 }
 
+/** ANALYZE / DESCRIBE STATS through the injected parser — commands
+  * with output rows, sharing the stats schema. */
+private[graft] final case class GraftStatsCommand(table: String,
+    analyzeCols: Option[Seq[String]]) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("colname", StringType)(),
+    AttributeReference("n_rows", LongType)(),
+    AttributeReference("n_nulls", LongType)(),
+    AttributeReference("ndv_est", DoubleType)(),
+    AttributeReference("min_s", StringType)(),
+    AttributeReference("max_s", StringType)(),
+    AttributeReference("version", LongType)())
+  override def run(session: SparkSession): Seq[Row] = (analyzeCols match {
+    case Some(cols) => GraftSql.analyzeFrame(session,
+      SqlAnalyze(table, cols))
+    case None => GraftSql.statsFrame(session, SqlDescribeStats(table))
+  }).collect().toSeq
+}
+
 /** EXPORT TABLE … TO DELTA through the injected parser. */
 private[graft] final case class GraftExportDeltaCommand(
     dml: SqlExportDelta) extends LeafRunnableCommand {
@@ -513,6 +578,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Some(d: SqlDescribe) => GraftDescribeCommand(d)
       case Some(g: SqlGenerate) => GraftGenerateCommand(g)
       case Some(x: SqlExportDelta) => GraftExportDeltaCommand(x)
+      case Some(a: SqlAnalyze) => GraftStatsCommand(a.table, Some(a.cols))
+      case Some(ds: SqlDescribeStats) => GraftStatsCommand(ds.table, None)
       case Some(dml) => GraftDmlCommand(dml)
       case None => delegate.parsePlan(sqlText)
     }

@@ -1,0 +1,89 @@
+package graft.warehouse
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANALYZE contract: exact row/null/min-max accounting, NDV within
+  * the 64-register HLL's statistical bound, version-stamped storage
+  * whose staleness is visible, column selection, and type gating.
+  */
+class AnalyzeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-analyze-$tag").toString
+
+  private def seed(root: String): Unit = {
+    import spark.implicits._
+    // 1000 rows: id unique; g 10 distinct; n nullable (every 4th null)
+    VersionedParquet.publish(
+      (0L until 1000L).map(i => (i, s"g${i % 10}",
+        if (i % 4 == 0) None else Some(i % 100))).toDF("id", "g", "n"),
+      root, keepVersions = 20)
+  }
+
+  test("exact counts, nulls, min/max; NDV within the HLL bound") {
+    val root = tmp("basic"); seed(root)
+    val stats = Analyze.table(spark, root).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.keySet == Set("id", "g", "n"))
+    val id = stats("id")
+    assert(id.getLong(1) == 1000L && id.getLong(2) == 0L)
+    assert(id.getString(4) == "0" && id.getString(5) == "999",
+      "string-rendered lexicographic min/max")
+    // NDV: 64 registers → ~13% stderr; 3-sigma bound
+    assert(math.abs(id.getDouble(3) - 1000.0) / 1000.0 < 0.4,
+      s"id ndv ${id.getDouble(3)} too far from 1000")
+    val g = stats("g")
+    assert(g.getLong(2) == 0L)
+    // 10 distinct: linear-counting regime, tight
+    assert(math.abs(g.getDouble(3) - 10.0) < 3.0,
+      s"g ndv ${g.getDouble(3)} too far from 10")
+    val n = stats("n")
+    assert(n.getLong(2) == 250L, "every 4th n is null")
+  }
+
+  test("stats store version-stamped; a later commit leaves them visibly stale") {
+    import spark.implicits._
+    val root = tmp("stale"); seed(root)
+    Analyze.table(spark, root)
+    val (v1, _) = Analyze.stats(spark, root).get
+    assert(v1 == 0L)
+    VersionedParquet.append(spark, root,
+      Seq((5000L, "gX", Some(1L))).toDF("id", "g", "n"),
+      keepVersions = 20)
+    // stats still describe version 0 — stale but honest
+    val (v2, df) = Analyze.stats(spark, root).get
+    assert(v2 == 0L)
+    assert(df.filter(col("colname") === "id").head().getLong(1) == 1000L)
+    // re-analyze stamps the live version
+    Analyze.table(spark, root)
+    val (v3, df3) = Analyze.stats(spark, root).get
+    assert(v3 == 1L)
+    assert(df3.filter(col("colname") === "id").head().getLong(1) == 1001L)
+  }
+
+  test("FOR COLUMNS subset; unsupported types reject loudly") {
+    import spark.implicits._
+    val root = tmp("cols")
+    VersionedParquet.publish(
+      (0L until 50L).map(i => (i, i / 7.0, s"s$i")).toDF("id", "d", "s"),
+      root, keepVersions = 20)
+    val sub = Analyze.table(spark, root, Seq("id")).collect()
+    assert(sub.map(_.getString(0)).toSeq == Seq("id"))
+    // default skips the double column rather than mis-hashing it
+    val all = Analyze.table(spark, root).collect()
+    assert(all.map(_.getString(0)).sorted.toSeq == Seq("id", "s"))
+    val e = intercept[IllegalArgumentException] {
+      Analyze.table(spark, root, Seq("d"))
+    }
+    assert(e.getMessage.contains("engine-portable"))
+  }
+}
