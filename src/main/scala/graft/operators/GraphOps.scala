@@ -169,6 +169,63 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Breadth-first shortest hop-distance from a source node, exact.
+    *
+    * The iterative-fixpoint BFS (what `WITH RECURSIVE` computes on a
+    * single-node engine, re-expressed as bounded Spark rounds): each
+    * round is ONE equi-join frontier⋈edges (shuffled on the node key)
+    * + distinct + an anti-join against the visited set — every frame
+    * node-cardinality-bounded, never path-cardinality (the naive
+    * path-enumeration recursion explodes combinatorially on cyclic
+    * graphs; frontier-minus-visited is the classic fix and also what
+    * makes each round's shuffle O(frontier ⋈ edges), not O(paths)).
+    * Lineage is cut per round (cache + count, the q54/q99 discipline)
+    * so the plan stays flat at any depth. The one driver-side scalar
+    * is the source-node pick (1 row, bounded metadata).
+    *
+    * Unreached nodes are absent from the result by construction —
+    * identical on both engines. */
+  private[graft] def bfsFrom(edges: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val source: Long = edges.agg(min(col("src"))).head().getLong(0)
+    var visited = spark.range(1)
+      .select(lit(source).as("node"), lit(0).as("dist")).cache()
+    var frontier = visited
+    for (k <- 1 to maxDepth) {
+      val next = frontier.select(col("node"))
+        .join(edges, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(k).as("dist"))
+        .cache()
+      next.count() // materialize: cut lineage per round
+      visited = visited.unionByName(next).cache()
+      frontier = next
+    }
+    visited
+  }
+
+  /** q190 body: hop distance from the smallest part in the co-purchase
+    * graph (q135's pair derivation, symmetrized), capped at 4 hops —
+    * "degrees of separation" over the market-basket graph. */
+  private def copurchaseBfs(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val pairs = l.as("a")
+      .join(l.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("x"), col("b.pk").as("y"))
+      .distinct()
+    val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+      .cache()
+    bfsFrom(edges, maxDepth = 4)
+      .groupBy("dist")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("node")).cast("long").as("sum_node"))
+      .orderBy("dist")
+  }
+
   val queries: Seq[QueryDef] = Seq(
     QueryDef("q111_pagerank",
       (s, d) => tradePagerank(s, d),
@@ -232,6 +289,36 @@ object GraphOps {
              |SELECT nt.node, d.d AS degree, nt.n_tri
              |FROM nt JOIN deg d ON d.node = nt.node
              |ORDER BY n_tri DESC, nt.node
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ── BFS shortest hop-distance (see bfsFrom) ──────────────────────────
+    // The recursive-query capability: what a single-node engine writes
+    // as WITH RECURSIVE, re-expressed as bounded iterative rounds.
+    // Output: per hop-distance from the smallest part, node count and
+    // id checksum — a node reached at the wrong depth, revisited, or
+    // dropped breaks the hash against DuckDB's genuinely recursive
+    // evaluation of the same graph.
+    QueryDef("q190_bfs_reach",
+      (s, d) => copurchaseBfs(s, d),
+      Some("""WITH RECURSIVE l AS (
+             |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+             |pairs AS (
+             |  SELECT DISTINCT a.pk AS x, b.pk AS y
+             |  FROM l a JOIN l b ON a.ok = b.ok AND a.pk < b.pk),
+             |edges AS (
+             |  SELECT x AS src, y AS dst FROM pairs
+             |  UNION ALL SELECT y, x FROM pairs),
+             |reach AS (
+             |  SELECT (SELECT min(src) FROM edges) AS node, 0 AS d
+             |  UNION
+             |  SELECT e.dst, r.d + 1
+             |  FROM reach r JOIN edges e ON e.src = r.node
+             |  WHERE r.d < 4),
+             |dist AS (SELECT node, min(d) AS dist FROM reach GROUP BY 1)
+             |SELECT dist, count(*) AS n_nodes,
+             |       CAST(sum(node) AS BIGINT) AS sum_node
+             |FROM dist
+             |GROUP BY 1
+             |ORDER BY dist""".stripMargin))
   )
 }

@@ -943,6 +943,92 @@ object SimilarityOps {
              |       CAST(sum(z.zq) AS BIGINT) AS zsum
              |FROM zs z JOIN st2 s ON s.dim = z.dim
              |GROUP BY z.dim, s.mean, s.std
-             |ORDER BY z.dim""".stripMargin))
+             |ORDER BY z.dim""".stripMargin)),
+
+    // ── Exact correlation matrix (feature diagnostics) ────────────────────
+    // Pearson correlation between the first 8 embedding dimensions —
+    // the feature-redundancy diagnostic run before PCA/whitening/
+    // feature selection. Cross-engine-exact the q176 way: elements
+    // quantize to integers (round(x·10⁶)), every pairwise moment
+    // (Σqᵢ, Σqᵢqⱼ, n) is an EXACT integer sum, and the corr formula
+    // (n·Sxy − SxSy)/(√(n·Sxx−Sx²)·√(n·Syy−Sy²)) is then a fixed dag
+    // of correctly-rounded double ops written identically in both
+    // engines. Shape at 100 TB: ONE pass — each row emits its 45
+    // moment cells (36 pairs + 8 first moments + 1 count) from a map,
+    // the shuffle carries ≤45·partitions partial rows (map-side
+    // combine), and the corr assembly joins 8–36-row frames. No
+    // row-pair self-join anywhere — the naive el⋈el on vec_id
+    // shuffles the whole corpus; the cell emission shuffles nothing
+    // but the fixed moment lattice.
+    QueryDef("q191_corr_matrix",
+      (s, d) => {
+        def q(i: Int) = round(
+          element_at(col("embedding"), i + 1).cast("double") * 1e6)
+          .cast("long")
+        val pairCells = for { i <- 0 until 8; j <- i until 8 } yield
+          struct(lit(i).as("i"), lit(j).as("j"), (q(i) * q(j)).as("p"))
+        val momentCells = (0 until 8).map(i =>
+          struct(lit(i).as("i"), lit(-1).as("j"), q(i).as("p")))
+        val countCell =
+          Seq(struct(lit(-1).as("i"), lit(-1).as("j"), lit(1L).as("p")))
+        val cells = Tables.embeddings(s, d)
+          .select(explode(array(
+            pairCells ++ momentCells ++ countCell: _*)).as("c"))
+          .groupBy(col("c.i").as("i"), col("c.j").as("j"))
+          .agg(sum("c.p").as("s"))
+          .cache()
+        val nRow = cells.filter(col("i") === -1)
+          .select(col("s").cast("double").as("nd"))
+        val m1 = cells.filter(col("j") === -1 && col("i") >= 0)
+        val m2 = cells.filter(col("j") >= 0)
+        val diag = m2.filter(col("i") === col("j"))
+          .select(col("i").as("dd"), col("s").cast("double").as("sdd"))
+        val corr = m2
+          .join(broadcast(m1.select(col("i"),
+            col("s").cast("double").as("sx"))), "i")
+          .join(broadcast(m1.select(col("i").as("j"),
+            col("s").cast("double").as("sy"))), "j")
+          .join(broadcast(diag.select(col("dd").as("i"),
+            col("sdd").as("sxx"))), "i")
+          .join(broadcast(diag.select(col("dd").as("j"),
+            col("sdd").as("syy"))), "j")
+          .crossJoin(broadcast(nRow))
+          .withColumn("corr_r", round(
+            (col("nd") * col("s").cast("double") -
+              col("sx") * col("sy")) /
+            (sqrt(col("nd") * col("sxx") - col("sx") * col("sx")) *
+              sqrt(col("nd") * col("syy") - col("sy") * col("sy"))), 6))
+        corr.select("i", "j", "corr_r").orderBy("i", "j")
+      },
+      Some("""WITH el AS (
+             |  SELECT e.vec_id, CAST(t.i - 1 AS INT) AS dim,
+             |         CAST(round(CAST(e.embedding[t.i] AS DOUBLE)
+             |                    * 1000000.0) AS BIGINT) AS q
+             |  FROM embeddings e
+             |  CROSS JOIN unnest(generate_series(1, 8)) AS t(i)),
+             |m1 AS (SELECT dim, CAST(sum(q) AS BIGINT) AS s
+             |       FROM el GROUP BY 1),
+             |m2 AS (SELECT a.dim AS i, b.dim AS j,
+             |              CAST(sum(a.q * b.q) AS BIGINT) AS sxy
+             |       FROM el a JOIN el b
+             |         ON a.vec_id = b.vec_id AND a.dim <= b.dim
+             |       GROUP BY 1, 2),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd
+             |       FROM embeddings)
+             |SELECT m.i, m.j,
+             |       round((nn.nd * CAST(m.sxy AS DOUBLE)
+             |               - CAST(x.s AS DOUBLE) * CAST(y.s AS DOUBLE))
+             |         / (sqrt(nn.nd * CAST(dx.sxy AS DOUBLE)
+             |                 - CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE))
+             |            * sqrt(nn.nd * CAST(dy.sxy AS DOUBLE)
+             |                 - CAST(y.s AS DOUBLE) * CAST(y.s AS DOUBLE))),
+             |         6) AS corr_r
+             |FROM m2 m
+             |JOIN m1 x ON x.dim = m.i
+             |JOIN m1 y ON y.dim = m.j
+             |JOIN m2 dx ON dx.i = m.i AND dx.j = m.i
+             |JOIN m2 dy ON dy.i = m.j AND dy.j = m.j
+             |CROSS JOIN nn
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -2093,8 +2093,112 @@ object VersionOps {
              |       3 AS synced_to, 4 AS mirror_versions
              |FROM final
              |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // q189 — write-audit-publish branching (the Iceberg/Nessie WAP
+    // pattern). An ingest batch lands on a zero-copy BRANCH of the
+    // orders table (k%3=0 rows, the k%5=0 subset corrupted to negative
+    // cents), main serves v0 untouched throughout (its mid-flight row
+    // count is folded into the output), the audit finds exactly the
+    // corrupted rows, the branch repairs by deleting them, and
+    // fastForward publishes the repaired batch as ONE squashed main
+    // commit. A second branch then loses the optimistic race (main
+    // takes a direct append behind its back → CommitConflictException,
+    // observed), and the replay-on-a-fresh-branch wins. The oracle
+    // replays admitted rows only — a leaked corrupt row, a lost
+    // repair, a publish that double-applies, or a conflict that
+    // silently succeeded all break the hash.
+    QueryDef("q189_wap_branch",
+      (s, d) => s.read.parquet(branchWapPath(s, d)).orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v0 AS (SELECT k, cents FROM o WHERE k % 2 = 0),
+             |b1keep AS (SELECT k, cents + 3 AS cents FROM o
+             |           WHERE k % 2 = 1 AND k % 3 = 0 AND k % 5 <> 0),
+             |direct AS (SELECT k, cents + 9 AS cents FROM o
+             |           WHERE k % 2 = 1 AND k % 3 = 1 AND k % 7 = 0),
+             |b2 AS (SELECT k, cents + 5 AS cents FROM o
+             |       WHERE k % 2 = 1 AND k % 3 = 2 AND k % 11 = 0),
+             |final AS (SELECT * FROM v0 UNION ALL SELECT * FROM b1keep
+             |          UNION ALL SELECT * FROM direct
+             |          UNION ALL SELECT * FROM b2)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       (SELECT count(*) FROM v0) AS n_mid,
+             |       (SELECT count(*) FROM o
+             |        WHERE k % 2 = 1 AND k % 3 = 0 AND k % 5 = 0)
+             |         AS n_quarantined,
+             |       1 AS conflicts, 3 AS final_version
+             |FROM final
+             |GROUP BY 1
              |ORDER BY bucket""".stripMargin))
   )
+
+  /** q189 builder: WAP ingest (branch → corrupt batch → audit →
+    * repair → squashed fast-forward), then an optimistic conflict
+    * (main advances behind a branch's back; replay on a fresh branch
+    * wins). Once per session. */
+  private def branchWapPath(s: SparkSession, dir: String): String = {
+    import graft.warehouse.{AtomicParquet, Branch}
+    val root = Scratch.dir(s, "q189-orders")
+    val outPath = Scratch.dir(s, "q189-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.filter(col("k") % 2 === 0), root,
+        keepVersions = 10)
+      // WAP leg: the ingest batch, k%5=0 rows corrupted negative
+      Branch.create(s, root, "ingest")
+      val batch = o.filter(col("k") % 2 === 1 && col("k") % 3 === 0)
+        .select(col("k"),
+          when(col("k") % 5 === 0, -col("cents"))
+            .otherwise(col("cents") + 3L).as("cents"))
+      VersionedParquet.append(s, Branch.branchRoot(root, "ingest"),
+        batch, keepVersions = 10)
+      val nMid = VersionedParquet.read(s, root).count()
+      val bad = Branch.audit(s, root, "ingest",
+        Seq("cents_nonneg" -> "cents >= 0"))
+      val nQuarantined = bad.count()
+      VersionedParquet.delete(s, Branch.branchRoot(root, "ingest"),
+        col("cents") < 0, keepVersions = 10)
+      Branch.fastForward(s, root, "ingest")
+      // conflict leg: main advances behind the branch's back
+      Branch.create(s, root, "late")
+      val b2 = o.filter(col("k") % 2 === 1 && col("k") % 3 === 2 &&
+          col("k") % 11 === 0)
+        .select(col("k"), (col("cents") + 5L).as("cents"))
+      VersionedParquet.append(s, Branch.branchRoot(root, "late"), b2,
+        keepVersions = 10)
+      VersionedParquet.append(s, root,
+        o.filter(col("k") % 2 === 1 && col("k") % 3 === 1 &&
+            col("k") % 7 === 0)
+          .select(col("k"), (col("cents") + 9L).as("cents")),
+        keepVersions = 10)
+      val conflicts =
+        try { Branch.fastForward(s, root, "late"); 0 }
+        catch { case _: Optimistic.CommitConflictException => 1 }
+      Branch.drop(s, root, "late")
+      Branch.create(s, root, "late2")
+      VersionedParquet.append(s, Branch.branchRoot(root, "late2"), b2,
+        keepVersions = 10)
+      Branch.fastForward(s, root, "late2")
+      val out = VersionedParquet.read(s, root)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_mid", lit(nMid))
+        .withColumn("n_quarantined", lit(nQuarantined))
+        .withColumn("conflicts", lit(conflicts))
+        .withColumn("final_version",
+          lit(VersionedParquet.currentVersion(s, root).get.toInt))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q186 builder: foreign Delta commits (full, append, append,
     * overwrite) mirrored by three sync calls; observed path counters

@@ -1999,7 +1999,7 @@ object VersionedParquet {
     * absolute across roots), and the overlay tiers (vector, delta,
     * exclusion manifest) are copied — O(changes), the base is never
     * read. Shared staging step of [[shallowClone]] and [[restore]]. */
-  private def stageLogicalCopy(spark: SparkSession, ofRoot: String,
+  private[warehouse] def stageLogicalCopy(spark: SparkSession, ofRoot: String,
                                ofVersion: Long, snapshot: Path,
                                baseRef: String): Unit = {
     val srcVer = new Path(ofRoot, versionName(ofVersion))
