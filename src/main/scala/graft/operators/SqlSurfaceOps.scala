@@ -487,8 +487,71 @@ object SqlSurfaceOps {
              |ORDER BY side""".stripMargin)),
 
     q187Def,
-    q188Def
+    q188Def,
+
+    // q193 — row-filter + column-mask policies at the SQL serving
+    // surface (the governance tier: Databricks row filters / column
+    // masks, Ranger's capability). The events table carries a consent
+    // row filter (user_id % 7 = 3 withheld), a PSEUDONYMIZING mask on
+    // user_id (engine-portable md5 bucket — analytics on masked ids
+    // still count/join consistently), and a REDACTING mask on props —
+    // all enforced by the graft data source on every read, while the
+    // storage bytes stay untouched (PolicySpec proves the raw tier and
+    // the refusal matrix: CDF/streaming on policy-bearing tables,
+    // type-changing masks, nondeterministic masks). The query runs as
+    // plain SQL over the registered view; the leak probe (any props
+    // value ≠ '***') folds into the output as a zero the oracle states
+    // literally, and the pseudonym sums/distincts must match DuckDB
+    // computing the same mask over the same filtered cohort.
+    QueryDef("q193_policy_masked_read",
+      (s, d) => {
+        val root = policyRoot(s, d)
+        s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q193 " +
+          s"USING graft OPTIONS (path '$root')")
+        s.sql("""SELECT event_type, count(*) AS n_rows,
+                |       count(DISTINCT user_id) AS n_users,
+                |       CAST(sum(user_id) AS BIGINT) AS sum_pseudo,
+                |       CAST(sum(CASE WHEN props <> '***' THEN 1
+                |                     ELSE 0 END) AS BIGINT)
+                |         AS n_props_leaked
+                |FROM graft_q193
+                |GROUP BY event_type
+                |ORDER BY event_type""".stripMargin)
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+             |                1, 15)) AS BIGINT) % 1000000 AS pseudo
+             |  FROM events
+             |  WHERE user_id % 7 <> 3)
+             |SELECT event_type, count(*) AS n_rows,
+             |       count(DISTINCT pseudo) AS n_users,
+             |       CAST(sum(pseudo) AS BIGINT) AS sum_pseudo,
+             |       CAST(0 AS BIGINT) AS n_props_leaked
+             |FROM e
+             |GROUP BY 1
+             |ORDER BY event_type""".stripMargin))
   )
+
+  /** q193 table: versioned events copy wearing a consent row filter, a
+    * pseudonymizing user_id mask, and a props redaction. Once per
+    * session. */
+  private def policyRoot(s: org.apache.spark.sql.SparkSession,
+                         d: String): String = {
+    val root = Scratch.dir(s, "q193-events")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      VersionedParquet.publish(
+        Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "props"),
+        root, keepVersions = 10)
+      VersionedParquet.setRowFilter(s, root, "user_id % 7 <> 3")
+      VersionedParquet.addMaskPolicy(s, root, "user_id",
+        "cast(conv(substring(md5(cast(user_id as string)), 1, 15), " +
+          "16, 10) as bigint) % 1000000")
+      VersionedParquet.addMaskPolicy(s, root, "props", "'***'")
+    }
+    root
+  }
 
   /** q185 builder: CTAS + INSERT + UPDATE as SQL, then GENERATE
     * MANIFEST and EXPORT TO DELTA as SQL, reading each back the way a

@@ -534,6 +534,105 @@ object TextOps {
              |         * 1000000 // sum(n) AS BIGINT) AS coverage_ppm
              |FROM ranked
              |GROUP BY lang
-             |ORDER BY lang""".stripMargin))
+             |ORDER BY lang""".stripMargin)),
+
+    // ── Incremental positional-index maintenance via the change feed ─────
+    // Completes the index-maintenance set for TEXT (q162 = PQ codes,
+    // q168 = LSH bands, q178 = cluster assignments): the stored
+    // positional inverted index (q107's term-partitioned layout)
+    // advances from its corpus table's own CDF. Inserted docs tokenize
+    // as an O(changes) batch appended onto the index's delta tier
+    // (postings are doc-local, so incremental == rebuild EXACTLY);
+    // deleted docs land as TOMBSTONES the probe anti-joins out — the
+    // Lucene delete model: postings are never rewritten, compaction
+    // folds tombstones later. The probe still partition-prunes to its
+    // two terms (base dirs) + the O(changes) delta tail. The oracle
+    // runs the phrase search over the replayed FINAL corpus, so a
+    // feed-missed insert, a ghost posting from a deleted doc, or
+    // bulk-vs-incremental tokenization drift all break the hash.
+    QueryDef("q192_text_index_maintenance",
+      (s, d) => {
+        val (idx, tomb) = maintainedPostings(s, d)
+        val infKey =
+          "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val prev = s.conf.getOption(infKey)
+        s.conf.set(infKey, "false")
+        val post =
+          try VersionedParquet.read(s, idx)
+          finally prev.fold(s.conf.unset(infKey))(s.conf.set(infKey, _))
+        val dead = VersionedParquet.read(s, tomb)
+        val nTomb = dead.count()
+        val p0 = post.filter(col("term") === "sort")
+          .select(col("doc_id"), col("pos"))
+        val p1 = post.filter(col("term") === "merge")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        p0.join(p1, Seq("doc_id", "pos"))
+          .join(dead, Seq("doc_id"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"), min("pos").as("first_pos"))
+          .withColumn("n_tombstones", lit(nTomb))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE (doc_id % 4 <> 0 OR doc_id % 3 = 0)
+             |    AND doc_id % 7 <> 0),
+             |toks AS (SELECT doc_id, $TOKS AS ts FROM corpus),
+             |pos AS (
+             |  SELECT doc_id, CAST(i - 1 AS INT) AS pos, ts[i] AS term
+             |  FROM (SELECT doc_id, ts,
+             |               unnest(range(1, len(ts) + 1)) AS i
+             |        FROM toks)),
+             |p0 AS (SELECT doc_id, pos FROM pos WHERE term = 'sort'),
+             |p1 AS (SELECT doc_id, pos - 1 AS pos FROM pos
+             |       WHERE term = 'merge'),
+             |tomb AS (SELECT count(*) AS n FROM documents
+             |         WHERE (doc_id % 4 <> 0 OR doc_id % 3 = 0)
+             |           AND doc_id % 7 = 0)
+             |SELECT doc_id, count(*) AS n_hits,
+             |       CAST(min(pos) AS INT) AS first_pos,
+             |       (SELECT n FROM tomb) AS n_tombstones
+             |FROM p0 JOIN p1 USING (doc_id, pos)
+             |GROUP BY doc_id
+             |ORDER BY doc_id""".stripMargin))
   )
+
+  /** q192 lifecycle: corpus table (v0 = doc_id % 4 ≠ 0 → append the
+    * %3-divisible quarter → delete doc_id % 7 = 0), postings index
+    * built on v0 and maintained per feed step (insert batch appended,
+    * deletes as tombstones). Once per session. Returns (index root,
+    * tombstone root). */
+  private def maintainedPostings(s: SparkSession,
+                                 d: String): (String, String) = {
+    val docs = Scratch.dir(s, "q192-docs")
+    val idx = Scratch.dir(s, "q192-postings")
+    val tomb = Scratch.dir(s, "q192-tombstones")
+    if (VersionedParquet.currentVersion(s, docs).isEmpty) {
+      val all = Tables.documents(s, d).select("doc_id", "text")
+      VersionedParquet.publish(all.filter(col("doc_id") % 4 =!= 0),
+        docs, keepVersions = 10)
+      VersionedParquet.append(s, docs,
+        all.filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 === 0),
+        keepVersions = 10)
+      VersionedParquet.delete(s, docs, col("doc_id") % 7 === 0,
+        keepVersions = 10)
+      def postingsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+          .repartition(col("term"))
+      VersionedParquet.publish(
+        postingsOf(VersionedParquet.read(s, docs, Some(0L))), idx,
+        partitionCols = Seq("term"), keepVersions = 10)
+      val ins = VersionedParquet.changes(s, docs, 0, 1)
+        .filter(col("_change_type") === "insert")
+        .select("doc_id", "text")
+      VersionedParquet.append(s, idx, postingsOf(ins),
+        keepVersions = 10)
+      val del = VersionedParquet.changes(s, docs, 1, 2)
+        .filter(col("_change_type") === "delete")
+        .select("doc_id").distinct()
+      VersionedParquet.publish(del, tomb, keepVersions = 10)
+    }
+    (idx, tomb)
+  }
 }

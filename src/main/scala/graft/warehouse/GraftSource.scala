@@ -139,12 +139,20 @@ private[warehouse] class GraftRelation(ctx: SQLContext, root: String,
     if (history) historyFrame
     else (chFrom, asOf) match {
       case (Some(from), _) =>
+        // CDF + policies don't compose: pre/post images leak raw
+        // history around a mask, and a row filter cannot soundly drop
+        // half an update pair. Same restriction as the Delta product.
+        require(!VersionedParquet.hasPolicies(spark, root),
+          s"change feed is not served on a table with row/column " +
+            s"policies ($root); drop the policies or read the table view")
         val to = chTo.orElse(VersionedParquet.currentVersion(spark, root))
           .getOrElse(throw new java.io.IOException(
             s"no published version under $root"))
         VersionedParquet.changes(spark, root, from, to)
-      case (None, Some(ts)) => VersionedParquet.readAsOf(spark, root, ts)
-      case _ => VersionedParquet.read(spark, root, version)
+      case (None, Some(ts)) => VersionedParquet.applyPolicies(spark, root,
+        VersionedParquet.readAsOf(spark, root, ts))
+      case _ => VersionedParquet.applyPolicies(spark, root,
+        VersionedParquet.read(spark, root, version))
     }
 
   override def sqlContext: SQLContext = ctx
@@ -192,9 +200,14 @@ private[warehouse] class GraftRelation(ctx: SQLContext, root: String,
     // above (unhandledFilters), pruning is a pure IO optimization.
     // Pinned/CDC/history frames keep the plain path: skipping stats
     // describe the live physical layout.
+    // Policy-bearing tables take the plain path: the skipping tier
+    // serves RAW rows and prunes by RAW column stats, but the pushed
+    // filters reference the MASKED output — pruning with them against
+    // raw stats is unsound, and the raw frame must never escape.
     val f =
       if (history || chFrom.isDefined || asOf.isDefined ||
-          version.isDefined || filters.isEmpty) frame
+          version.isDefined || filters.isEmpty ||
+          VersionedParquet.hasPolicies(spark, root)) frame
       else {
         val (df, kept, total) = FileStats.skippingReadFilters(
           spark, root, None, filters.toSeq, schema)
@@ -243,6 +256,11 @@ private[warehouse] object GraftStreamSource {
   def apply(spark: SparkSession,
       parameters: Map[String, String]): GraftStreamSource = {
     val root = rootOf(parameters)
+    // Same restriction as the batch CDC view: a stream replays raw
+    // history (inserts and change images) around any mask/filter.
+    require(!VersionedParquet.hasPolicies(spark, root),
+      s"streaming reads are not served on a table with row/column " +
+        s"policies ($root)")
     val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
     val ignoreChanges = parameters.get("ignoreChanges").exists(_.toBoolean)
     require(!(cdf && ignoreChanges),

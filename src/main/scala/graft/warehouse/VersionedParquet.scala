@@ -1247,6 +1247,142 @@ object VersionedParquet {
         kept.map { case (n, g) => s"$n\t$g" }.mkString("\n"))
     }
 
+  // ── row-filter / column-mask access policies ───────────────────────
+  //
+  // The governance tier (Databricks row filters + column masks, the
+  // Ranger/Lake Formation capability): `root/_POLICIES` holds
+  // `FILTER\t<boolExpr>` and `MASK\t<col>\t<expr>` lines that the SQL
+  // SERVING surface (the graft data source — temp views, GraftSql
+  // reads) enforces on every data read, live or pinned. The Scala
+  // `read` tier stays RAW by design: maintenance (compact, Forget,
+  // constraint validation) and the table owner need the real bytes —
+  // the policy boundary is the query surface, exactly where the
+  // product it mirrors draws it. Masks must be drop-in (deterministic,
+  // type-preserving, validated against the live schema at add time)
+  // and evaluate over the RAW row — one select applies them all, so a
+  // mask never sees another mask's output. The row filter also sees
+  // raw values and applies BEFORE masks. Change-feed and streaming
+  // reads of a policy-bearing table are REFUSED loudly (the feed's
+  // pre/post images would leak raw history) — the same restriction
+  // Delta places on CDF under row/column policies.
+
+  private[warehouse] val POLICIES_EXT = "_POLICIES"
+
+  /** Column masks in force: (column, mask expression), insertion
+    * order. */
+  def maskPolicies(spark: SparkSession,
+                   root: String): Seq[(String, String)] =
+    readPointer(spark, new Path(root, POLICIES_EXT))
+      .map(_.split('\n').filter(_.startsWith("MASK\t")).toSeq.map { l =>
+        val parts = l.split('\t'); (parts(1), parts(2))
+      }).getOrElse(Nil)
+
+  /** The row filter in force, if any. */
+  def rowFilterPolicy(spark: SparkSession, root: String): Option[String] =
+    readPointer(spark, new Path(root, POLICIES_EXT))
+      .flatMap(_.split('\n').find(_.startsWith("FILTER\t"))
+        .map(_.split('\t')(1)))
+
+  def hasPolicies(spark: SparkSession, root: String): Boolean =
+    readPointer(spark, new Path(root, POLICIES_EXT)).isDefined
+
+  private def writePolicies(spark: SparkSession, root: String,
+                            masks: Seq[(String, String)],
+                            filter: Option[String]): Unit = {
+    val lines = filter.map(f => s"FILTER\t$f").toSeq ++
+      masks.map { case (c, e) => s"MASK\t$c\t$e" }
+    if (lines.isEmpty)
+      { fsOf(spark, new Path(root))
+          .delete(new Path(root, POLICIES_EXT), false); () }
+    else installPointer(spark, new Path(root), POLICIES_EXT,
+      lines.mkString("\n"))
+  }
+
+  /** Attach (or replace) the mask for `column`. The mask must be a
+    * deterministic expression over the table's RAW columns returning
+    * the SAME type as the column it replaces — a mask that changes
+    * the type would break every consumer's schema, so it is refused
+    * here, not discovered at query time. */
+  def addMaskPolicy(spark: SparkSession, root: String, column: String,
+                    maskExpr: String): Unit =
+    withWriterLock(spark, root) {
+      require(!maskExpr.contains('\t') && !maskExpr.contains('\n'),
+        "no tabs/newlines in mask expressions")
+      val live = read(spark, root)
+      val field = live.schema.fields
+        .find(_.name.equalsIgnoreCase(column))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no column $column on $root"))
+      val probe = live.limit(0)
+        .select(org.apache.spark.sql.functions.expr(maskExpr).as("_m"))
+      require(probe.queryExecution.analyzed.expressions
+          .forall(_.deterministic),
+        s"mask expression must be deterministic: $maskExpr")
+      require(probe.schema.head.dataType == field.dataType,
+        s"mask for $column must preserve its type " +
+          s"(${field.dataType.simpleString}, got " +
+          s"${probe.schema.head.dataType.simpleString})")
+      writePolicies(spark, root,
+        maskPolicies(spark, root).filterNot(
+          _._1.equalsIgnoreCase(column)) :+ (field.name, maskExpr),
+        rowFilterPolicy(spark, root))
+    }
+
+  def dropMaskPolicy(spark: SparkSession, root: String,
+                     column: String): Unit =
+    withWriterLock(spark, root) {
+      val prior = maskPolicies(spark, root)
+      require(prior.exists(_._1.equalsIgnoreCase(column)),
+        s"no mask policy for column $column on $root")
+      writePolicies(spark, root,
+        prior.filterNot(_._1.equalsIgnoreCase(column)),
+        rowFilterPolicy(spark, root))
+    }
+
+  /** Set (or replace) the table's row filter: a deterministic boolean
+    * expression over the RAW columns; rows where it is not TRUE are
+    * invisible at the serving surface. */
+  def setRowFilter(spark: SparkSession, root: String,
+                   filterExpr: String): Unit =
+    withWriterLock(spark, root) {
+      require(!filterExpr.contains('\t') && !filterExpr.contains('\n'),
+        "no tabs/newlines in row filters")
+      val probe = read(spark, root).limit(0)
+        .select(org.apache.spark.sql.functions.expr(filterExpr).as("_f"))
+      require(probe.queryExecution.analyzed.expressions
+          .forall(_.deterministic),
+        s"row filter must be deterministic: $filterExpr")
+      require(probe.schema.head.dataType ==
+          org.apache.spark.sql.types.BooleanType,
+        s"row filter must be boolean: $filterExpr")
+      writePolicies(spark, root, maskPolicies(spark, root),
+        Some(filterExpr))
+    }
+
+  def dropRowFilter(spark: SparkSession, root: String): Unit =
+    withWriterLock(spark, root) {
+      require(rowFilterPolicy(spark, root).isDefined,
+        s"no row filter on $root")
+      writePolicies(spark, root, maskPolicies(spark, root), None)
+    }
+
+  /** Apply the table's policies to a raw data frame: row filter first
+    * (over raw values), then every mask in ONE select so each mask
+    * evaluates over the raw row, never another mask's output. */
+  private[warehouse] def applyPolicies(spark: SparkSession, root: String,
+                                       df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val masks = maskPolicies(spark, root)
+    val filtered = rowFilterPolicy(spark, root)
+      .map(f => df.filter(expr(f))).getOrElse(df)
+    if (masks.isEmpty) filtered
+    else filtered.select(filtered.columns.toSeq.map { c =>
+      masks.find(_._1.equalsIgnoreCase(c))
+        .map { case (_, e) => expr(e).as(c) }
+        .getOrElse(col(c))
+    }: _*)
+  }
+
   /** Row-level DELETE without rewriting a single data file (a
     * transactional format's deletion vectors): publishes version N+1
     * that holds NO parquet of its own — just a `_BASE` marker naming

@@ -1,0 +1,124 @@
+package graft.warehouse
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Row-filter / column-mask policies: enforced by the graft data
+  * source on every read path it serves (live, pinned, pruned), raw at
+  * the engine tier by design, validated at add time (type-preserving,
+  * deterministic), masks evaluate over the RAW row, and the leaky
+  * surfaces (CDF view, streaming) refuse policy-bearing tables.
+  */
+class PolicySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-policy-$tag")
+      .toString + "/t"
+
+  private def seed(root: String): Unit = {
+    import spark.implicits._
+    VersionedParquet.publish(
+      (0L until 40L).map(i => (i, i * 10L, s"p$i")).toDF("id", "x", "p"),
+      root, keepVersions = 20)
+  }
+
+  private def served(root: String) =
+    spark.read.format("graft").option("path", root).load()
+
+  test("mask + row filter enforce at the source; the engine tier " +
+      "stays raw; drop restores") {
+    import spark.implicits._
+    val root = tmp("enforce")
+    seed(root)
+    VersionedParquet.setRowFilter(spark, root, "id % 4 <> 1")
+    VersionedParquet.addMaskPolicy(spark, root, "x", "x % 7")
+    VersionedParquet.addMaskPolicy(spark, root, "p", "'***'")
+    val out = served(root).select("id", "x", "p")
+      .as[(Long, Long, String)].collect().toSet
+    assert(out === (0L until 40L).filter(_ % 4 != 1)
+      .map(i => (i, (i * 10) % 7, "***")).toSet)
+    // raw tier: maintenance and the owner see real bytes
+    val raw = VersionedParquet.read(spark, root)
+      .select("id", "x", "p").as[(Long, Long, String)].collect().toSet
+    assert(raw === (0L until 40L).map(i => (i, i * 10, s"p$i")).toSet)
+    VersionedParquet.dropMaskPolicy(spark, root, "p")
+    VersionedParquet.dropMaskPolicy(spark, root, "x")
+    VersionedParquet.dropRowFilter(spark, root)
+    assert(served(root).select("id", "x", "p")
+      .as[(Long, Long, String)].collect().toSet === raw)
+  }
+
+  test("add-time validation: type drift, nondeterminism, unknown " +
+      "column, non-boolean filter all refuse") {
+    val root = tmp("validate")
+    seed(root)
+    intercept[IllegalArgumentException] {
+      VersionedParquet.addMaskPolicy(spark, root, "x", "'redacted'")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedParquet.addMaskPolicy(spark, root, "x",
+        "cast(rand() * 100 as bigint)")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedParquet.addMaskPolicy(spark, root, "nope", "0")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedParquet.setRowFilter(spark, root, "id + 1")
+    }
+    assert(!VersionedParquet.hasPolicies(spark, root))
+  }
+
+  test("masks evaluate over the RAW row, never another mask's output") {
+    import spark.implicits._
+    val root = tmp("raw-row")
+    seed(root)
+    VersionedParquet.addMaskPolicy(spark, root, "x", "id + 1")
+    VersionedParquet.addMaskPolicy(spark, root, "id", "cast(0 as bigint)")
+    val out = served(root).select("id", "x")
+      .as[(Long, Long)].collect().toSet
+    assert(out === (0L until 40L).map(i => (0L, i + 1)).toSet,
+      "x's mask sees the raw id, not the zeroed one")
+  }
+
+  test("pinned version reads are masked too; CDF and streaming refuse") {
+    import spark.implicits._
+    val root = tmp("surfaces")
+    seed(root)
+    VersionedParquet.append(spark, root,
+      Seq((100L, 1000L, "p100")).toDF("id", "x", "p"), keepVersions = 20)
+    VersionedParquet.addMaskPolicy(spark, root, "x", "cast(-1 as bigint)")
+    val pinned = spark.read.format("graft").option("path", root)
+      .option("versionAsOf", "0").load()
+    assert(pinned.select("x").distinct().as[Long].collect().toSeq ===
+      Seq(-1L), "policy applies at read time, to pinned history too")
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("path", root)
+        .option("changesFrom", "0").load().collect()
+    }
+    intercept[IllegalArgumentException] {
+      graft.warehouse.GraftStreamSource(spark,
+        Map("path" -> root))
+    }
+  }
+
+  test("filters on masked columns answer over masked values (the " +
+      "skipping tier is bypassed, not consulted unsoundly)") {
+    import spark.implicits._
+    val root = tmp("skip")
+    seed(root)
+    // raw x = id*10; mask maps everything to x % 100 ∈ [0, 90]
+    VersionedParquet.addMaskPolicy(spark, root, "x", "x % 100")
+    val hits = served(root).filter(col("x") === 90L)
+      .select("id").as[Long].collect().toSet
+    assert(hits === (0L until 40L).filter(i => (i * 10) % 100 == 90).toSet,
+      "predicate evaluated over masked values")
+  }
+}
