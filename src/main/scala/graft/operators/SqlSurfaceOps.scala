@@ -530,8 +530,91 @@ object SqlSurfaceOps {
              |       CAST(0 AS BIGINT) AS n_props_leaked
              |FROM e
              |GROUP BY 1
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // q194 — incremental ANALYZE maintenance via the change feed. The
+    // stored cell lattice (q188's one-pass kernel, now persisted as a
+    // mergeable sidecar) advances from the table's own CDF: insert-only
+    // ranges merge one pass over the INSERT BATCHES (counts add, HLL
+    // registers max-merge, min/max extend — EXACTLY equal to a full
+    // re-ANALYZE, at O(changes) cost), and a delete forces the honest
+    // recompute (the lattice cannot un-see a value). The gate drives
+    // analyze → append/maintain ×2 → delete/maintain and folds the
+    // observed path counts beside the final stats; the oracle computes
+    // the full statistics — NDV estimates bit-for-bit via the HLL twin
+    // — over the replayed final corpus, so a stale merge, a feed-missed
+    // batch, or incremental-vs-rebuild drift anywhere breaks the hash.
+    QueryDef("q194_stats_maintenance",
+      (s, d) => s.read.parquet(statsMaintPath(s, d)).orderBy("colname"),
+      Some(s"""WITH t AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS st,
+             |         CASE WHEN o_custkey % 7 = 0 THEN NULL
+             |              ELSE o_custkey END AS c
+             |  FROM orders
+             |  WHERE (o_orderkey % 3 = 0 OR o_orderkey % 3 = 1
+             |         OR (o_orderkey % 3 = 2 AND o_orderkey % 5 = 0))
+             |    AND o_orderkey % 11 <> 0),
+             |v AS (
+             |  SELECT 'c' AS colname, CAST(c AS VARCHAR) AS v FROM t
+             |  UNION ALL SELECT 'k', CAST(k AS VARCHAR) FROM t
+             |  UNION ALL SELECT 'st', st FROM t),
+             |base AS (
+             |  SELECT colname, count(*) AS n_rows,
+             |         count(*) - count(v) AS n_nulls,
+             |         min(v) AS min_s, max(v) AS max_s
+             |  FROM v GROUP BY 1),
+             |hashed AS (
+             |  SELECT colname, ${graft.functions.Hashing.md5Long60Sql("v")}
+             |           AS h60
+             |  FROM v WHERE v IS NOT NULL),
+             |${graft.operators.SketchOps.hllEstimateSql("colname")}
+             |SELECT b.colname, b.n_rows, b.n_nulls,
+             |       round(c2.est, 1) AS ndv_est, b.min_s, b.max_s,
+             |       2 AS n_incremental, 1 AS n_recomputed,
+             |       3 AS version
+             |FROM base b JOIN corrected c2 USING (colname)
+             |ORDER BY colname""".stripMargin))
   )
+
+  /** q194 builder: publish a third of orders, ANALYZE (stats + cell
+    * lattice stored), two insert-only commits each advanced by
+    * `Analyze.maintain` (O(changes) merges), then a DELETE that forces
+    * the honest recompute path. Once per session. */
+  private def statsMaintPath(s: org.apache.spark.sql.SparkSession,
+                             d: String): String = {
+    import graft.warehouse.{Analyze, AtomicParquet}
+    val root = Scratch.dir(s, "q194-table")
+    val outPath = Scratch.dir(s, "q194-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        when(col("o_custkey") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")).as("c"))
+      VersionedParquet.publish(o.filter(col("k") % 3 === 0), root,
+        keepVersions = 10)
+      Analyze.table(s, root)
+      VersionedParquet.append(s, root, o.filter(col("k") % 3 === 1),
+        keepVersions = 10)
+      val (_, p1) = Analyze.maintain(s, root)
+      VersionedParquet.append(s, root,
+        o.filter(col("k") % 3 === 2 && col("k") % 5 === 0),
+        keepVersions = 10)
+      val (_, p2) = Analyze.maintain(s, root)
+      VersionedParquet.delete(s, root, col("k") % 11 === 0,
+        keepVersions = 10)
+      val (out3, p3) = Analyze.maintain(s, root)
+      val paths = Seq(p1, p2, p3)
+      val out = out3
+        .withColumn("n_incremental",
+          lit(paths.count(_ == "incremental")))
+        .withColumn("n_recomputed", lit(paths.count(_ == "recomputed")))
+        .withColumn("version",
+          lit(VersionedParquet.currentVersion(s, root).get.toInt))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q193 table: versioned events copy wearing a consent row filter, a
     * pseudonymizing user_id mask, and a props redaction. Once per

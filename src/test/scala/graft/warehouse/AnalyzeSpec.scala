@@ -86,4 +86,40 @@ class AnalyzeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("engine-portable"))
   }
+
+  test("maintain: insert-only ranges merge incrementally and equal a " +
+      "full rebuild EXACTLY; deletes force the recompute path") {
+    import spark.implicits._
+    val root = tmp("maintain"); seed(root)
+    Analyze.table(spark, root)
+    // nothing advanced → current
+    assert(Analyze.maintain(spark, root)._2 == "current")
+    VersionedParquet.append(spark, root,
+      (1000L until 1300L).map(i => (i, s"g${i % 13}",
+        Some(i % 100))).toDF("id", "g", "n"), keepVersions = 20)
+    VersionedParquet.append(spark, root,
+      (1300L until 1400L).map(i => (i, s"g${i % 13}",
+        None: Option[Long])).toDF("id", "g", "n"), keepVersions = 20)
+    val (inc, p) = Analyze.maintain(spark, root)
+    assert(p == "incremental")
+    val incRows = inc.collect().map(_.toSeq).toSet
+    // the decisive check: incremental == full rebuild, bit for bit
+    // (counts, nulls, min/max AND the HLL NDV estimate)
+    val full = Analyze.table(spark, root).collect().map(_.toSeq).toSet
+    assert(incRows === full,
+      "incremental maintenance must equal a full re-ANALYZE exactly")
+    // a delete makes the lattice non-subtractable → honest recompute
+    VersionedParquet.delete(spark, root, col("id") % 9 === 0,
+      keepVersions = 20)
+    val (rec, p2) = Analyze.maintain(spark, root)
+    assert(p2 == "recomputed")
+    val expected = Analyze.table(spark, root).collect()
+      .map(_.toSeq).toSet
+    assert(rec.collect().map(_.toSeq).toSet === expected)
+    // and the recomputed lattice supports further increments
+    VersionedParquet.append(spark, root,
+      Seq((5000L, "gX", Some(1L))).toDF("id", "g", "n"),
+      keepVersions = 20)
+    assert(Analyze.maintain(spark, root)._2 == "incremental")
+  }
 }
