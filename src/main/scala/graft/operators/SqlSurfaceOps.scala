@@ -573,8 +573,85 @@ object SqlSurfaceOps {
              |       2 AS n_incremental, 1 AS n_recomputed,
              |       3 AS version
              |FROM base b JOIN corrected c2 USING (colname)
-             |ORDER BY colname""".stripMargin))
+             |ORDER BY colname""".stripMargin)),
+
+    // q195 — the round's new tiers driven END TO END as SQL text: CTAS
+    // mints the table, `ALTER TABLE … CREATE BRANCH` forks it (the
+    // branch registers as `<table>_branch_<name>`, so plain INSERT/
+    // DELETE verbs drive the branch through the same machinery), the
+    // corrupt batch is repaired ON the branch and `FAST FORWARD
+    // BRANCH` publishes the squash — main's mid-flight row count folds
+    // in as the isolation proof — then `SET ROW FILTER` and `ALTER
+    // COLUMN … SET MASK` attach governance, and the final SELECT runs
+    // over the policy-enforcing graft view. The oracle replays the
+    // admitted rows and applies the same filter+mask, so a leaked
+    // corrupt row, a branch write visible early, or a policy the view
+    // failed to enforce all break the hash.
+    QueryDef("q195_sql_wap_governance",
+      (s, d) => s.read.parquet(sqlWapPath(s, d)).orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v0 AS (SELECT k, cents FROM o WHERE k % 2 = 0),
+             |b AS (SELECT k, cents + 3 AS cents FROM o
+             |      WHERE k % 2 = 1 AND k % 3 = 0 AND k % 5 <> 0),
+             |fin AS (SELECT * FROM v0 UNION ALL SELECT * FROM b),
+             |served AS (SELECT k, cents % 997 AS cents FROM fin
+             |           WHERE k % 7 <> 3)
+             |SELECT k % 10 AS bucket, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_masked,
+             |       (SELECT count(*) FROM v0) AS n_mid,
+             |       1 AS final_version
+             |FROM served
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin))
   )
+
+  /** q195 builder: the SQL-only WAP + governance story. Once per
+    * session. */
+  private def sqlWapPath(s: org.apache.spark.sql.SparkSession,
+                         d: String): String = {
+    import graft.warehouse.AtomicParquet
+    val root = Scratch.dir(s, "q195-table")
+    val outPath = Scratch.dir(s, "q195-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      GraftTables.unregister("graft_q195")
+      GraftTables.unregister("graft_q195_branch_ingest")
+      Tables.orders(s, d).createOrReplaceTempView("q195_orders")
+      GraftSql.sql(s, s"CREATE TABLE graft_q195 USING graft " +
+        s"LOCATION '$root' AS " +
+        "SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+        "FROM q195_orders WHERE o_orderkey % 2 = 0")
+      GraftSql.sql(s, "ALTER TABLE graft_q195 CREATE BRANCH ingest")
+      GraftSql.sql(s, "INSERT INTO graft_q195_branch_ingest " +
+        "SELECT o_orderkey AS k, " +
+        "CASE WHEN o_orderkey % 5 = 0 " +
+        "THEN -CAST(round(o_totalprice * 100) AS BIGINT) " +
+        "ELSE CAST(round(o_totalprice * 100) AS BIGINT) + 3 END AS cents " +
+        "FROM q195_orders " +
+        "WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0")
+      val nMid = VersionedParquet.read(s, root).count()
+      GraftSql.sql(s,
+        "DELETE FROM graft_q195_branch_ingest WHERE cents < 0")
+      GraftSql.sql(s, "ALTER TABLE graft_q195 FAST FORWARD BRANCH ingest")
+      GraftSql.sql(s, "ALTER TABLE graft_q195 SET ROW FILTER (k % 7 <> 3)")
+      GraftSql.sql(s,
+        "ALTER TABLE graft_q195 ALTER COLUMN cents SET MASK (cents % 997)")
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q195_view " +
+        s"USING graft OPTIONS (path '$root')")
+      val out = s.sql("""SELECT k % 10 AS bucket, count(*) AS n_rows,
+                        |       CAST(sum(cents) AS BIGINT) AS sum_masked
+                        |FROM graft_q195_view
+                        |GROUP BY k % 10""".stripMargin)
+        .withColumn("n_mid", lit(nMid))
+        .withColumn("final_version",
+          lit(VersionedParquet.currentVersion(s, root).get.toInt))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q194 builder: publish a third of orders, ANALYZE (stats + cell
     * lattice stored), two insert-only commits each advanced by

@@ -110,6 +110,20 @@ private[graft] final case class SqlDescribeStats(table: String)
     extends GraftDml // DESCRIBE STATS
 private[graft] final case class SqlExportDelta(table: String,
     location: String) extends GraftDml // EXPORT ... TO DELTA
+private[graft] final case class SqlSetRowFilter(table: String,
+    filter: String) extends GraftDml // ALTER TABLE … SET ROW FILTER
+private[graft] final case class SqlDropRowFilter(table: String)
+    extends GraftDml
+private[graft] final case class SqlSetMask(table: String, col: String,
+    mask: String) extends GraftDml // ALTER COLUMN … SET MASK
+private[graft] final case class SqlDropMask(table: String,
+    col: String) extends GraftDml
+private[graft] final case class SqlCreateBranch(table: String,
+    branch: String) extends GraftDml // ALTER TABLE … CREATE BRANCH
+private[graft] final case class SqlFastForward(table: String,
+    branch: String) extends GraftDml
+private[graft] final case class SqlDropBranch(table: String,
+    branch: String) extends GraftDml
 
 object GraftSql {
 
@@ -163,7 +177,29 @@ object GraftSql {
     val AN = ("""(?is)ANALYZE\s+TABLE\s+([A-Za-z_][\w]*)\s+COMPUTE\s+""" +
       """STATISTICS(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?""").r
     val DS = """(?is)DESCRIBE\s+STATS\s+([A-Za-z_][\w]*)""".r
+    // governance verbs (row filters / column masks) and WAP branching
+    val RF = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+SET\s+ROW\s+""" +
+      """FILTER\s*\((.+)\)""").r
+    val RFD = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+ROW\s+""" +
+      """FILTER""").r
+    val MK = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ALTER\s+""" +
+      """COLUMN\s+([A-Za-z_][\w]*)\s+SET\s+MASK\s*\((.+)\)""").r
+    val MKD = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ALTER\s+""" +
+      """COLUMN\s+([A-Za-z_][\w]*)\s+DROP\s+MASK""").r
+    val CB = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+CREATE\s+""" +
+      """BRANCH\s+([A-Za-z0-9_-]+)""").r
+    val FF = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+FAST\s+""" +
+      """FORWARD\s+BRANCH\s+([A-Za-z0-9_-]+)""").r
+    val DB = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+""" +
+      """BRANCH\s+([A-Za-z0-9_-]+)""").r
     val dml = t match {
+      case RF(table, f) => Some(SqlSetRowFilter(table, f.trim))
+      case RFD(table) => Some(SqlDropRowFilter(table))
+      case MK(table, c, m) => Some(SqlSetMask(table, c, m.trim))
+      case MKD(table, c) => Some(SqlDropMask(table, c))
+      case CB(table, b) => Some(SqlCreateBranch(table, b))
+      case FF(table, b) => Some(SqlFastForward(table, b))
+      case DB(table, b) => Some(SqlDropBranch(table, b))
       case M(table, source, on, matched) =>
         keyColsOf(on).map(keys => SqlMerge(table, source, keys,
           matched.trim.equalsIgnoreCase("DELETE")))
@@ -335,6 +371,29 @@ object GraftSql {
       case x: SqlExportDelta => exportDeltaFrame(spark, x); root
       case a: SqlAnalyze => analyzeFrame(spark, a); root
       case _: SqlDescribeStats => root // side-effect free; routed in sql()
+      case SqlSetRowFilter(_, f) =>
+        VersionedParquet.setRowFilter(spark, root, f); root
+      case SqlDropRowFilter(_) =>
+        VersionedParquet.dropRowFilter(spark, root); root
+      case SqlSetMask(_, c, m) =>
+        VersionedParquet.addMaskPolicy(spark, root, c, m); root
+      case SqlDropMask(_, c) =>
+        VersionedParquet.dropMaskPolicy(spark, root, c); root
+      // WAP branching: CREATE BRANCH registers `<table>_branch_<name>`
+      // so every DML verb drives the branch through the same machinery;
+      // FAST FORWARD / DROP retire the identifier with the branch
+      case SqlCreateBranch(tbl, b) =>
+        val bRoot = Branch.create(spark, root, b)
+        GraftTables.register(s"${tbl}_branch_$b", bRoot, keep)
+        bRoot
+      case SqlFastForward(tbl, b) =>
+        Branch.fastForward(spark, root, b)
+        GraftTables.unregister(s"${tbl}_branch_$b")
+        root
+      case SqlDropBranch(tbl, b) =>
+        Branch.drop(spark, root, b)
+        GraftTables.unregister(s"${tbl}_branch_$b")
+        root
     }
   }
 

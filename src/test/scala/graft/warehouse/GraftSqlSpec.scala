@@ -277,4 +277,46 @@ class GraftSqlSpec extends AnyFunSuite {
       GraftTables.unregister("t_txn_b")
     }
   }
+
+  test("governance + branch verbs: SET/DROP ROW FILTER and MASK, " +
+      "CREATE/FAST FORWARD/DROP BRANCH as SQL text") {
+    import spark.implicits._
+    val root = tmp("gov")
+    seed(root)
+    GraftTables.register("t_gov", root)
+    try {
+      // WAP as SQL: branch registers as t_gov_branch_fix, plain DML
+      // drives it, FAST FORWARD publishes and retires the identifier
+      GraftSql.sql(spark, "ALTER TABLE t_gov CREATE BRANCH fix")
+      assert(GraftTables.rootOf("t_gov_branch_fix").isDefined)
+      GraftSql.sql(spark, "INSERT INTO t_gov_branch_fix " +
+        "SELECT 1000 AS id, 'gX' AS g, -5 AS x")
+      GraftSql.sql(spark, "DELETE FROM t_gov_branch_fix WHERE x < 0")
+      assert(rows(root).size === 100, "main isolated until publish")
+      GraftSql.sql(spark, "ALTER TABLE t_gov FAST FORWARD BRANCH fix")
+      assert(GraftTables.rootOf("t_gov_branch_fix").isEmpty)
+      assert(VersionedParquet.currentVersion(spark, root).get === 1L)
+      assert(rows(root).size === 100, "repaired row deleted on branch")
+      // governance as SQL: filter + mask enforce through the source
+      GraftSql.sql(spark, "ALTER TABLE t_gov SET ROW FILTER (id % 2 = 0)")
+      GraftSql.sql(spark,
+        "ALTER TABLE t_gov ALTER COLUMN x SET MASK (x % 7)")
+      val served = spark.read.format("graft").option("path", root).load()
+      assert(served.count() === 50L)
+      assert(served.select(max(col("x"))).as[Long].head() < 7L)
+      GraftSql.sql(spark, "ALTER TABLE t_gov ALTER COLUMN x DROP MASK")
+      GraftSql.sql(spark, "ALTER TABLE t_gov DROP ROW FILTER")
+      assert(spark.read.format("graft").option("path", root).load()
+        .count() === 100L)
+      // a second branch abandoned via DROP BRANCH
+      GraftSql.sql(spark, "ALTER TABLE t_gov CREATE BRANCH dead")
+      GraftSql.sql(spark, "ALTER TABLE t_gov DROP BRANCH dead")
+      assert(!Branch.exists(spark, root, "dead"))
+      assert(GraftTables.rootOf("t_gov_branch_dead").isEmpty)
+    } finally {
+      GraftTables.unregister("t_gov")
+      GraftTables.unregister("t_gov_branch_fix")
+      GraftTables.unregister("t_gov_branch_dead")
+    }
+  }
 }
