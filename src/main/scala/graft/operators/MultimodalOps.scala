@@ -1191,6 +1191,155 @@ object MultimodalOps {
              |       CAST(max(p) AS INT) AS px_max
              |FROM vals
              |GROUP BY item_id, frame_idx
-             |ORDER BY item_id, frame_idx""".stripMargin))
+             |ORDER BY item_id, frame_idx""".stripMargin)),
+
+    // ── Perceptual near-dup image detection (average hash) ───────────────
+    // The multimodal×dedup crossover: every image REALLY decodes
+    // (CRC-verified inflate + unfilter), nearest-neighbor-samples to
+    // an 8×8 grid, grayscales, and thresholds against its own mean —
+    // a 64-bit average hash that survives a global brightness shift
+    // (threshold-vs-mean cancels it except where the 255 clamp bites,
+    // which is exactly what makes the shifted variants NEAR-dups, not
+    // exact ones). Candidates come from a 4×16-bit chunk equi-join
+    // (pigeonhole: hamming ≤ 3 is guaranteed a shared chunk — q37's
+    // SimHash discipline on image bits), then exact bit_count rerank
+    // at ≤ 6. The oracle re-derives every hash closed-form from the
+    // pixel formula — grid sampling, integer grayscale/mean, bit
+    // packing, chunking, and hamming all restated in SQL — so a
+    // decoder bug, a sampling off-by-one, or a hash/pack drift
+    // anywhere breaks the per-distance pair accounting.
+    QueryDef("q196_image_near_dup",
+      (s, d) => {
+        import s.implicits._
+        val base = pngImageTable(s, d)
+        val variants = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(3)) === 0 &&
+            pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id")).as[Long].map { id =>
+            MediaRow(id + 10000000L, "image", encodePngBright(id, 8),
+              0, 0, 0)
+          }
+        val hashes = base.union(variants)
+          .map(m => (m.item_id, averageHash(m.media)))
+          .toDF("item_id", "h").cache()
+        val chunks = hashes.select(col("item_id"), col("h"),
+          explode(array((0 until 4).map(k =>
+            struct(lit(k).as("k"),
+              shiftright(col("h"), 16 * k).bitwiseAND(lit(65535L))
+                .as("v"))): _*)).as("c"))
+          .select(col("item_id"), col("h"),
+            col("c.k").as("k"), col("c.v").as("v"))
+        val cand = chunks.as("a")
+          .join(chunks.as("b"),
+            col("a.k") === col("b.k") && col("a.v") === col("b.v") &&
+              col("a.item_id") < col("b.item_id"))
+          .select(col("a.item_id").as("ia"), col("b.item_id").as("ib"),
+            col("a.h").as("ha"), col("b.h").as("hb"))
+          .distinct()
+        cand
+          .withColumn("hamming",
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+          .filter(col("hamming") <= 6)
+          .groupBy("hamming")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("ia")).cast("long").as("sum_a"),
+            sum(col("ib")).cast("long").as("sum_b"))
+          .orderBy("hamming")
+      },
+      Some("""WITH ids AS (
+             |  SELECT doc_id AS id FROM documents WHERE doc_id % 3 = 0),
+             |items AS (
+             |  SELECT id AS item_id, id AS src, 0 AS delta FROM ids
+             |  UNION ALL
+             |  SELECT id + 10000000, id, 8 FROM ids WHERE id % 5 = 0),
+             |dims AS (SELECT item_id, src, delta,
+             |                8 + src % 9 AS w, 6 + src % 11 AS h
+             |         FROM items),
+             |grid AS (SELECT *, unnest(range(64)) AS idx FROM dims),
+             |g AS (
+             |  SELECT item_id, idx,
+             |    (least((src*7 + ((idx//8)*h//8)*5 + ((idx%8)*w//8)*3
+             |            + 0) % 256 + delta, 255)
+             |     + least((src*7 + ((idx//8)*h//8)*5 + ((idx%8)*w//8)*3
+             |            + 11) % 256 + delta, 255)
+             |     + least((src*7 + ((idx//8)*h//8)*5 + ((idx%8)*w//8)*3
+             |            + 22) % 256 + delta, 255)) // 3 AS gray
+             |  FROM grid),
+             |m AS (SELECT item_id, CAST(sum(gray) AS BIGINT) // 64 AS mean
+             |      FROM g GROUP BY 1),
+             |hb AS (
+             |  SELECT g.item_id,
+             |         bit_or(CASE
+             |                WHEN gray > mean AND idx = 0
+             |                THEN CAST(-9223372036854775808 AS BIGINT)
+             |                WHEN gray > mean
+             |                THEN CAST(1 AS BIGINT) << (63 - idx)
+             |                ELSE CAST(0 AS BIGINT) END) AS hsh
+             |  FROM g JOIN m USING (item_id) GROUP BY 1),
+             |chv AS (
+             |  SELECT item_id, hsh, k,
+             |         (hsh >> (16 * k)) & 65535 AS v
+             |  FROM (SELECT *, unnest([0, 1, 2, 3]) AS k FROM hb)),
+             |cand AS (
+             |  SELECT DISTINCT a.item_id AS ia, b.item_id AS ib,
+             |         a.hsh AS ha, b.hsh AS hbb
+             |  FROM chv a JOIN chv b
+             |    ON a.k = b.k AND a.v = b.v AND a.item_id < b.item_id),
+             |p AS (
+             |  SELECT ia, ib,
+             |         CAST(bit_count(xor(ha, hbb)) AS INT) AS hamming
+             |  FROM cand)
+             |SELECT hamming, count(*) AS n_pairs,
+             |       CAST(sum(ia) AS BIGINT) AS sum_a,
+             |       CAST(sum(ib) AS BIGINT) AS sum_b
+             |FROM p
+             |WHERE hamming <= 6
+             |GROUP BY 1
+             |ORDER BY hamming""".stripMargin))
   )
+
+  /** 64-bit average hash of a REAL decoded PNG: nearest-neighbor
+    * sample to an 8×8 grid (src row = r·h/8, src col = c·w/8),
+    * integer grayscale (r+g+b)/3, strict threshold against the
+    * integer mean of the 64 grays, MSB-first bit packing (idx r·8+c →
+    * bit 63−idx). The oracle restates every step closed-form. */
+  private[graft] def averageHash(b: Array[Byte]): Long = {
+    val (w, h, rows) = decodePngBytes(b)
+    val grays = new Array[Int](64)
+    var i = 0
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val sr = r * h / 8; val base = (c * w / 8) * 3
+        grays(i) = ((rows(sr)(base) & 0xff) + (rows(sr)(base + 1) & 0xff) +
+          (rows(sr)(base + 2) & 0xff)) / 3
+        i += 1; c += 1
+      }
+      r += 1
+    }
+    val mean = grays.sum / 64
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      if (grays(j) > mean) hash |= (1L << (63 - j))
+      j += 1
+    }
+    hash
+  }
+
+  /** A brightness-shifted variant of the formula image — min(255,
+    * v+delta) per sample. The near-dup family for q196: average-hash
+    * tolerates the global shift (threshold-vs-mean cancels it) except
+    * where the clamp bites, so variants land a small, nonzero hamming
+    * distance from their source. */
+  private[operators] def encodePngBright(id: Long,
+                                         delta: Int): Array[Byte] = {
+    val (w, h) = pngParams(id)
+    val raw = Array.ofDim[Byte](h, w * 3)
+    for (r <- 0 until h; c <- 0 until w; ch <- 0 until 3)
+      raw(r)(c * 3 + ch) =
+        math.min(255, pixelValue(id, r, c, ch) + delta).toByte
+    encodePngPixels(raw)
+  }
 }

@@ -209,6 +209,35 @@ class KernelPropSpec extends AnyFunSuite {
     }
   }
 
+  test("average hash: brightness-invariant when the clamp never bites " +
+      "(the property q196's near-dup detection stands on)") {
+    import graft.operators.MultimodalOps
+    val imgGen = for {
+      w <- Gen.choose(8, 20)
+      h <- Gen.choose(8, 20)
+      seed <- Gen.choose(0, 1 << 20)
+      delta <- Gen.choose(1, 40)
+    } yield (w, h, seed, delta)
+    sample(Gen.listOfN(40, imgGen)).foreach { case (w, h, seed, delta) =>
+      val rnd = new scala.util.Random(seed)
+      // pixels capped at 255 - delta - 3: the +delta shift never
+      // clamps, and the grayscale floor-div can move the mean by at
+      // most 1 — keep a correctness margin by capping below the edge
+      val raw = Array.tabulate(h, w * 3)((_, _) =>
+        rnd.nextInt(256 - delta - 3).toByte)
+      val shifted = raw.map(_.map(b => ((b & 0xff) + delta).toByte))
+      val h0 = MultimodalOps.averageHash(
+        MultimodalOps.encodePngPixels(raw))
+      val h1 = MultimodalOps.averageHash(
+        MultimodalOps.encodePngPixels(shifted))
+      // unclamped global shift: grays all move by delta, the mean by
+      // delta (integer division over 64 identical shifts is exact
+      // when every gray moves equally — (g+δ) − mean(g+δ) ≡ g − mean)
+      assert(h0 === h1,
+        s"avg-hash must be invariant under unclamped shift d=$delta")
+    }
+  }
+
   test("PCM decode under header corruption: clamps or fails loudly, never OOB") {
     import graft.operators.MultimodalOps
     // a valid little payload: 8 alternating samples
