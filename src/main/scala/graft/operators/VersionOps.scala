@@ -2134,8 +2134,89 @@ object VersionOps {
              |       1 AS conflicts, 3 AS final_version
              |FROM final
              |GROUP BY 1
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // q197 — partition-layout evolution (Iceberg's partition
+    // evolution): `_LAYOUT` declares the clustering future physical
+    // materializations use — metadata-only (no version minted, folded
+    // into the output as decl_metadata_only), OPTIMIZE materializes
+    // it, an append lands on the delta tier, and the NEXT default
+    // OPTIMIZE re-applies the declaration without being told. The
+    // physical proof reads the live snapshot's st=F Hive directory
+    // DIRECTLY — a layout that flattened, misplaced rows, or lost the
+    // append in the rewrite breaks that count against the oracle's
+    // replay.
+    QueryDef("q197_partition_evolution",
+      (s, d) => s.read.parquet(layoutEvoPath(s, d)).orderBy("st"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_orderstatus AS st,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |fin AS (
+             |  SELECT k, st, cents FROM o WHERE k % 2 = 0
+             |  UNION ALL
+             |  SELECT k, st, cents FROM o
+             |  WHERE k % 2 = 1 AND k % 3 = 0)
+             |SELECT st, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       1 AS decl_metadata_only, 1 AS layout_applied,
+             |       (SELECT count(*) FROM fin WHERE st = 'F')
+             |         AS n_via_dir,
+             |       3 AS final_version
+             |FROM fin
+             |GROUP BY 1
+             |ORDER BY st""".stripMargin))
   )
+
+  /** q197 builder: unpartitioned table → declared layout (metadata-
+    * only) → OPTIMIZE materializes it → append → OPTIMIZE re-applies
+    * the declaration; the Hive directory is read back directly as the
+    * physical-layout proof. Once per session. */
+  private def layoutEvoPath(s: SparkSession, dir: String): String = {
+    import graft.warehouse.AtomicParquet
+    val root = Scratch.dir(s, "q197-orders")
+    val outPath = Scratch.dir(s, "q197-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        col("o_orderstatus").as("st"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.filter(col("k") % 2 === 0), root,
+        keepVersions = 10)
+      val vBefore = VersionedParquet.currentVersion(s, root).get
+      VersionedParquet.setPartitionLayout(s, root, Seq("st"))
+      val declMetaOnly =
+        if (VersionedParquet.currentVersion(s, root).get == vBefore) 1
+        else 0
+      VersionedParquet.compact(s, root, keepVersions = 10)
+      VersionedParquet.append(s, root,
+        o.filter(col("k") % 2 === 1 && col("k") % 3 === 0),
+        keepVersions = 10)
+      VersionedParquet.compact(s, root, keepVersions = 10)
+      val layoutApplied =
+        if (VersionedParquet.partitionColsOf(s, root) == Seq("st")) 1
+        else 0
+      val v = VersionedParquet.currentVersion(s, root).get
+      // physical-layout proof: the st=F Hive directory of the live
+      // physical snapshot read back DIRECTLY must hold exactly the
+      // logical F rows — a layout that flattened, misplaced rows, or
+      // dropped the append in the rewrite breaks this count
+      val fDir = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(root,
+          f"v$v%08d"), "st=F").toString
+      val nViaDir = s.read.parquet(fDir).count()
+      val out = VersionedParquet.read(s, root)
+        .groupBy("st")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .withColumn("decl_metadata_only", lit(declMetaOnly))
+        .withColumn("layout_applied", lit(layoutApplied))
+        .withColumn("n_via_dir", lit(nViaDir))
+        .withColumn("final_version", lit(v.toInt))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q189 builder: WAP ingest (branch → corrupt batch → audit →
     * repair → squashed fast-forward), then an optimistic conflict

@@ -124,6 +124,10 @@ private[graft] final case class SqlFastForward(table: String,
     branch: String) extends GraftDml
 private[graft] final case class SqlDropBranch(table: String,
     branch: String) extends GraftDml
+private[graft] final case class SqlSetLayout(table: String,
+    cols: Seq[String]) extends GraftDml // ALTER TABLE … SET PARTITION LAYOUT
+private[graft] final case class SqlDropLayout(table: String)
+    extends GraftDml
 
 object GraftSql {
 
@@ -192,7 +196,14 @@ object GraftSql {
       """FORWARD\s+BRANCH\s+([A-Za-z0-9_-]+)""").r
     val DB = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+""" +
       """BRANCH\s+([A-Za-z0-9_-]+)""").r
+    val PL = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+SET\s+""" +
+      """PARTITION\s+LAYOUT\s*\(([^)]+)\)""").r
+    val PLD = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+""" +
+      """PARTITION\s+LAYOUT""").r
     val dml = t match {
+      case PL(table, cols) => Some(SqlSetLayout(table,
+        cols.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
+      case PLD(table) => Some(SqlDropLayout(table))
       case RF(table, f) => Some(SqlSetRowFilter(table, f.trim))
       case RFD(table) => Some(SqlDropRowFilter(table))
       case MK(table, c, m) => Some(SqlSetMask(table, c, m.trim))
@@ -394,6 +405,10 @@ object GraftSql {
         Branch.drop(spark, root, b)
         GraftTables.unregister(s"${tbl}_branch_$b")
         root
+      case SqlSetLayout(_, cols) =>
+        VersionedParquet.setPartitionLayout(spark, root, cols); root
+      case SqlDropLayout(_) =>
+        VersionedParquet.setPartitionLayout(spark, root, Nil); root
     }
   }
 

@@ -1366,6 +1366,44 @@ object VersionedParquet {
       writePolicies(spark, root, maskPolicies(spark, root), None)
     }
 
+  // ── partition-layout evolution ─────────────────────────────────────
+  //
+  // Iceberg's partition evolution, shaped to this format: the DECLARED
+  // layout (`root/_LAYOUT`, metadata-only — no version minted, no byte
+  // rewritten) governs every future physical materialization (compact /
+  // OPTIMIZE, and any publish that doesn't pass explicit columns),
+  // while existing snapshots keep the layout they were written with.
+  // Reads never care — Hive column resolution and the stats-skipping
+  // tier work per-snapshot — so evolution is a pure forward-looking
+  // clustering decision, exactly Iceberg's contract ("evolve the spec,
+  // old data keeps the old spec, new writes use the new one").
+
+  private[warehouse] val LAYOUT_EXT = "_LAYOUT"
+
+  /** Declare the partition layout future materializations use.
+    * Metadata-only; empty `cols` clears the declaration (future
+    * OPTIMIZE falls back to preserving each snapshot's current
+    * layout). */
+  def setPartitionLayout(spark: SparkSession, root: String,
+                         cols: Seq[String]): Unit =
+    withWriterLock(spark, root) {
+      val schema = read(spark, root).schema
+      cols.foreach(c => require(
+        schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"no column $c on $root to partition by"))
+      if (cols.isEmpty)
+        { fsOf(spark, new Path(root))
+            .delete(new Path(root, LAYOUT_EXT), false); () }
+      else installPointer(spark, new Path(root), LAYOUT_EXT,
+        cols.mkString(","))
+    }
+
+  /** The declared layout, if any. */
+  def declaredLayout(spark: SparkSession,
+                     root: String): Option[Seq[String]] =
+    readPointer(spark, new Path(root, LAYOUT_EXT))
+      .map(_.split(',').toSeq.filter(_.nonEmpty))
+
   /** Apply the table's policies to a raw data frame: row filter first
     * (over raw values), then every mask in ONE select so each mask
     * evaluates over the raw row, never another mask's output. */
@@ -1963,13 +2001,19 @@ object VersionedParquet {
     val fs = fsOf(spark, snapshot)
     val totalBytes = fs.getContentSummary(snapshot).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    // For a Hive-partitioned table pass its partitionCols so the
-    // compacted snapshot keeps the pruning layout (repartitioning by
-    // the partition columns keeps one writer task per directory).
+    // Layout resolution: explicit caller columns win; else the
+    // DECLARED layout (partition evolution — this is where a new
+    // declaration takes physical effect); else preserve the layout
+    // the live snapshot already has (OPTIMIZE must never silently
+    // flatten a Hive table).
+    val layout =
+      if (partitionCols.nonEmpty) partitionCols
+      else declaredLayout(spark, root)
+        .getOrElse(partitionColsOf(spark, root))
     val df = read(spark, root)
     val arranged =
-      if (partitionCols.nonEmpty)
-        df.repartition(nFiles, partitionCols.map(df.col): _*)
+      if (layout.nonEmpty)
+        df.repartition(nFiles, layout.map(df.col): _*)
       else df.repartition(nFiles)
     // A version carrying a stats sidecar keeps the skipping tier:
     // recompute the SAME columns' stats over the compacted files,
@@ -1990,7 +2034,7 @@ object VersionedParquet {
     // its feed step is explicitly empty — `changes` ranges crossing a
     // compaction stay continuous instead of failing as "physical
     // publish" (auto-compaction under sustained ingest depends on it)
-    publish(arranged, root, partitionCols,
+    publish(arranged, root, layout,
       keepVersions = keepVersions,
       markers = Map(CDF_EMPTY_MARKER -> ""),
       statsCols = kinds.collect { case (c, t) if t != "B" => c }.distinct,
