@@ -1871,6 +1871,38 @@ object VersionedParquet {
     deleted
   }
 
+  /** fsck tier: remove crash debris — version directories that never
+    * completed (no `_SUCCESS`; above OR below the live pointer) and
+    * are older than the grace window. An in-flight writer's staging
+    * directory is younger than any sane grace, so this never races a
+    * live commit (and runs under the writer lock anyway); complete
+    * snapshots, whatever their age, are untouched — retiring THOSE is
+    * [[vacuum]]'s job, with its reference protection. Writers already
+    * self-heal their own slot (`publish` deletes a stale staging dir
+    * before re-staging), so this matters for the debris a crashed
+    * writer leaves on a table that then goes idle — Delta's VACUUM
+    * cleans uncommitted files the same way. Returns the versions
+    * removed. */
+  def vacuumOrphans(spark: SparkSession, root: String,
+                    minAgeMillis: Long = 60L * 60 * 1000): Seq[Long] =
+    withWriterLock(spark, root) {
+      val rootPath = new Path(root)
+      val fs = fsOf(spark, rootPath)
+      if (!fs.exists(rootPath)) Nil
+      else {
+        val youngest = System.currentTimeMillis() - minAgeMillis
+        fs.listStatus(rootPath).toSeq
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.matches("v\\d{8}") &&
+            !fs.exists(new Path(st.getPath, "_SUCCESS")) &&
+            st.getModificationTime <= youngest)
+          .map { st =>
+            fs.delete(st.getPath, true)
+            st.getPath.getName.drop(1).toLong
+          }.sorted
+      }
+    }
+
   /** Incremental compaction — OPTIMIZE that touches ONLY the
     * small-file debt. `compact` rewrites the whole table; at 100 TB
     * that is a non-starter when 99% of the bytes already sit in
