@@ -179,9 +179,12 @@ object GraphOps {
     * path-enumeration recursion explodes combinatorially on cyclic
     * graphs; frontier-minus-visited is the classic fix and also what
     * makes each round's shuffle O(frontier ⋈ edges), not O(paths)).
-    * Lineage is cut per round (cache + count, the q54/q99 discipline)
-    * so the plan stays flat at any depth. The one driver-side scalar
-    * is the source-node pick (1 row, bounded metadata).
+    * Lineage is cut per round with an eager `localCheckpoint` (the
+    * q54/q99 fixpoint discipline) — a cache alone leaves the logical
+    * tree recursive, so each round's plan embeds every prior round's
+    * and the EXPLAIN (and analyzer cost) grows exponentially with
+    * depth. The one driver-side scalar is the source-node pick
+    * (1 row, bounded metadata).
     *
     * Unreached nodes are absent from the result by construction —
     * identical on both engines. */
@@ -189,7 +192,8 @@ object GraphOps {
     val spark = edges.sparkSession
     val source: Long = edges.agg(min(col("src"))).head().getLong(0)
     var visited = spark.range(1)
-      .select(lit(source).as("node"), lit(0).as("dist")).cache()
+      .select(lit(source).as("node"), lit(0).as("dist"))
+      .localCheckpoint(true)
     var frontier = visited
     for (k <- 1 to maxDepth) {
       val next = frontier.select(col("node"))
@@ -197,9 +201,8 @@ object GraphOps {
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .select(col("node"), lit(k).as("dist"))
-        .cache()
-      next.count() // materialize: cut lineage per round
-      visited = visited.unionByName(next).cache()
+        .localCheckpoint(true) // materialized: lineage cut per round
+      visited = visited.unionByName(next).localCheckpoint(true)
       frontier = next
     }
     visited
