@@ -2165,8 +2165,95 @@ object VersionOps {
              |       3 AS final_version
              |FROM fin
              |GROUP BY 1
-             |ORDER BY st""".stripMargin))
+             |ORDER BY st""".stripMargin)),
+
+    // q198 — exactly-once incremental EXPORT sync to Delta, the
+    // reverse of q186's import: the graft table's commits mirror INTO
+    // an open Delta log commit-by-commit from its own change feed —
+    // insert-only commits as plain Delta APPENDs of exactly the
+    // insert batch (O(changes)), the delete commit as an honest
+    // full-snapshot overwrite, each graft version exactly ONE Delta
+    // commit (the logs stay commit-aligned, so Delta-side time travel
+    // lands on graft version boundaries — pinned via the v1 count).
+    // Exactly-once via commitInfo.graftVersion watermarks (atomic
+    // with the Delta commit; protocol readers ignore commitInfo), and
+    // the final idempotent re-sync is folded in as zeros. The
+    // aggregate reads back through DeltaLite the way a FOREIGN engine
+    // would.
+    QueryDef("q198_delta_export_sync",
+      (s, d) => s.read.parquet(deltaExportSyncPath(s, d))
+        .orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |g0 AS (SELECT k, cents FROM o WHERE k % 3 = 0),
+             |g1 AS (SELECT k, cents + 7 AS cents FROM o
+             |       WHERE k % 3 = 1 AND k % 5 = 0),
+             |g2 AS (SELECT k, cents + 11 AS cents FROM o
+             |       WHERE k % 3 = 2 AND k % 7 = 0),
+             |all_ AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1
+             |         UNION ALL SELECT * FROM g2),
+             |fin AS (SELECT * FROM all_ WHERE k % 11 <> 0)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       (SELECT count(*) FROM all_) AS n_delta_v2,
+             |       2 AS n_appends, 2 AS n_overwrites,
+             |       3 AS synced_to, 4 AS delta_versions,
+             |       0 AS resync_appends, 0 AS resync_overwrites
+             |FROM fin
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin))
   )
+
+  /** q198 builder: graft commits (publish, two appends, delete)
+    * export-synced into a Delta log in two calls + one idempotent
+    * re-sync; the aggregate reads back through DeltaLite. Once per
+    * session. */
+  private def deltaExportSyncPath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.{AtomicParquet, DeltaSync}
+    val root = Scratch.dir(s, "q198-table")
+    val delta = Scratch.dir(s, "q198-delta")
+    val outPath = Scratch.dir(s, "q198-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.filter(col("k") % 3 === 0), root,
+        keepVersions = 10)
+      val s1 = DeltaSync.exportSync(s, root, delta)
+      VersionedParquet.append(s, root,
+        o.filter(col("k") % 3 === 1 && col("k") % 5 === 0)
+          .select(col("k"), (col("cents") + 7L).as("cents")),
+        keepVersions = 10)
+      VersionedParquet.append(s, root,
+        o.filter(col("k") % 3 === 2 && col("k") % 7 === 0)
+          .select(col("k"), (col("cents") + 11L).as("cents")),
+        keepVersions = 10)
+      VersionedParquet.delete(s, root, col("k") % 11 === 0,
+        keepVersions = 10)
+      val s2 = DeltaSync.exportSync(s, root, delta)
+      val s3 = DeltaSync.exportSync(s, root, delta) // idempotent
+      val nV2 = DeltaLite.read(s, delta, Some(2L)).count()
+      val out = DeltaLite.read(s, delta)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_delta_v2", lit(nV2))
+        .withColumn("n_appends", lit(s1.appended + s2.appended))
+        .withColumn("n_overwrites",
+          lit(s1.overwritten + s2.overwritten))
+        .withColumn("synced_to", lit(s2.syncedTo.toInt))
+        .withColumn("delta_versions",
+          lit(DeltaLite.commitVersions(s, delta).length))
+        .withColumn("resync_appends", lit(s3.appended))
+        .withColumn("resync_overwrites", lit(s3.overwritten))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q197 builder: unpartitioned table → declared layout (metadata-
     * only) → OPTIMIZE materializes it → append → OPTIMIZE re-applies

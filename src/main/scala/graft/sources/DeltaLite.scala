@@ -226,8 +226,24 @@ object DeltaLite {
                    table: String): Long =
     exportCommit(spark, df, table, removePrior = false)
 
-  private def exportCommit(spark: SparkSession, df: DataFrame,
-                           table: String, removePrior: Boolean): Long = {
+  /** `commitInfo.graftVersion` of one commit, if present — the
+    * export-sync watermark (commitInfo is a standard Delta action
+    * every protocol reader tolerates and ignores). */
+  def commitGraftVersion(spark: SparkSession, table: String,
+                         version: Long): Option[Long] = {
+    val p = new Path(new Path(table, "_delta_log"), f"$version%020d.json")
+    readText(spark, p).split('\n').filter(_.trim.nonEmpty)
+      .flatMap { l =>
+        val a = mapper.readTree(l)
+        if (a.has("commitInfo") && a.get("commitInfo").has("graftVersion"))
+          Some(a.get("commitInfo").get("graftVersion").asLong)
+        else None
+      }.headOption
+  }
+
+  private[graft] def exportCommit(spark: SparkSession, df: DataFrame,
+                           table: String, removePrior: Boolean,
+                           extraActions: Seq[String] = Nil): Long = {
     val tableP = new Path(table)
     val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasLog = fs.exists(new Path(table, "_delta_log"))
@@ -242,6 +258,11 @@ object DeltaLite {
       .sortBy(_.getPath.getName)
       .zipWithIndex.map { case (st, i) =>
         val name = f"part-$version%05d-$i%05d.parquet"
+        // a crashed prior ATTEMPT at this version (staged files placed,
+        // commit file never written) leaves same-named debris; the
+        // retry owns the slot — no committed version can have used it,
+        // or `version` would have advanced past it
+        fs.delete(new Path(tableP, name), false)
         if (!fs.rename(st.getPath, new Path(tableP, name)))
           throw new IOException(s"could not place $name in $table")
         name -> st.getLen
@@ -258,7 +279,8 @@ object DeltaLite {
         s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":0,"dataChange":true}}""")
     val adds = named.map { case (n, sz) =>
       s"""{"add":{"path":"${esc(n)}","partitionValues":{},"size":$sz,"modificationTime":0,"dataChange":true}}""" }
-    writeCommitFile(spark, table, version, head ++ removes ++ adds)
+    writeCommitFile(spark, table, version,
+      extraActions ++ head ++ removes ++ adds)
     version
   }
 

@@ -93,4 +93,80 @@ object DeltaSync {
     Sync(appended, republished,
       lastSynced(spark, mirrorRoot).getOrElse(-1L))
   }
+
+  // ── export half: mirror graft commits INTO an open Delta log ───────
+  //
+  // The reverse direction — another team reads Delta, this keeps a
+  // Delta-format mirror advancing commit-by-commit from a graft
+  // table's own change feed. Insert-only graft commits export as plain
+  // Delta APPEND commits of exactly the insert batch (O(changes));
+  // commits carrying deletes/updates (or CDF-absent physical
+  // publishes) export as a full-snapshot OVERWRITE at that version —
+  // the honest Delta equivalent, each graft version landing as exactly
+  // ONE Delta commit so both logs stay commit-aligned. Exactly-once
+  // with no external state: every exported commit carries a
+  // `commitInfo.graftVersion` action (atomic with the Delta commit
+  // file install; protocol readers ignore commitInfo), and resume
+  // reads the newest one. A vacuumed-past gap in the graft history
+  // re-bootstraps with one overwrite of the live view, loudly counted.
+
+  /** The graft version the newest Delta commit exported, if any. */
+  def lastExported(spark: SparkSession, deltaTable: String): Option[Long] =
+    DeltaLite.commitVersions(spark, deltaTable).sorted.reverse.iterator
+      .flatMap(v => DeltaLite.commitGraftVersion(spark, deltaTable, v))
+      .take(1).toSeq.headOption
+
+  /** One export-sync result. */
+  final case class ExportSync(appended: Int, overwritten: Int,
+                              syncedTo: Long)
+
+  /** Advance the Delta mirror to the graft table's live state.
+    * Idempotent: a second call with no new graft commits is a no-op. */
+  def exportSync(spark: SparkSession, root: String,
+                 deltaTable: String): ExportSync = {
+    val live = VersionedParquet.currentVersion(spark, root).getOrElse(
+      throw new java.io.IOException(s"no published version under $root"))
+    val from = lastExported(spark, deltaTable)
+    if (from.contains(live)) return ExportSync(0, 0, live)
+    var appended = 0
+    var overwritten = 0
+    def info(v: Long) = Seq(
+      s"""{"commitInfo":{"operation":"GRAFT-EXPORT-SYNC","graftVersion":$v}}""")
+    def overwriteAt(v: Long): Unit = {
+      DeltaLite.exportCommit(spark,
+        VersionedParquet.read(spark, root, Some(v)), deltaTable,
+        removePrior = true, extraActions = info(v))
+      overwritten += 1
+    }
+    val vs = VersionedParquet.versions(spark, root).toSet
+    val start = from.getOrElse(-1L)
+    val contiguous = ((start + 1) to live).forall(vs.contains)
+    if (!contiguous) {
+      // the graft history this export missed was vacuumed — the
+      // incremental contract is unrecoverable; one honest overwrite
+      overwriteAt(live)
+    } else ((start + 1) to live).foreach { v =>
+      val insertBatch: Option[org.apache.spark.sql.DataFrame] =
+        if (v == 0) None
+        else try {
+          val feed = VersionedParquet.changes(spark, root, v - 1, v)
+          val types = feed.select("_change_type").distinct()
+            .collect().map(_.getString(0)).toSet
+          if (types.subsetOf(Set("insert")))
+            Some(feed.filter(
+              org.apache.spark.sql.functions.col("_change_type") ===
+                "insert").drop("_change_type", "_commit_version"))
+          else None
+        } catch { case _: java.io.IOException => None }
+      insertBatch match {
+        case Some(rows) =>
+          DeltaLite.exportCommit(spark, rows, deltaTable,
+            removePrior = false, extraActions = info(v))
+          appended += 1
+        case None => overwriteAt(v)
+      }
+    }
+    ExportSync(appended, overwritten,
+      lastExported(spark, deltaTable).getOrElse(-1L))
+  }
 }

@@ -95,4 +95,55 @@ class DeltaSyncSpec extends AnyFunSuite {
     val v0Count = VersionedParquet.read(spark, mirror, Some(0L)).count()
     assert(v0Count == 10L)
   }
+
+  test("export sync: graft commits land as commit-aligned Delta " +
+      "versions; insert-only as appends, deletes as overwrites; " +
+      "idempotent") {
+    import spark.implicits._
+    val root = tmp("exp-g"); val delta = tmp("exp-d")
+    VersionedParquet.publish(df(0, 30), root, keepVersions = 20)
+    val s1 = DeltaSync.exportSync(spark, root, delta)
+    assert(s1 == DeltaSync.ExportSync(0, 1, 0L))
+    VersionedParquet.append(spark, root, df(30, 40), keepVersions = 20)
+    VersionedParquet.delete(spark, root, col("id") % 7 === 0,
+      keepVersions = 20)
+    val s2 = DeltaSync.exportSync(spark, root, delta)
+    assert(s2 == DeltaSync.ExportSync(1, 1, 2L))
+    assert(DeltaSync.exportSync(spark, root, delta) ==
+      DeltaSync.ExportSync(0, 0, 2L), "idempotent re-sync")
+    // commit alignment: Delta version v == graft version v's state
+    assert(DeltaLite.read(spark, delta, Some(1L)).count() === 40L)
+    assert(DeltaLite.read(spark, delta).select("id").as[Long]
+      .collect().sorted.toSeq ===
+      (0L until 40L).filter(_ % 7 != 0))
+  }
+
+  test("export sync round trip: importing the exported log " +
+      "reproduces the source table") {
+    import spark.implicits._
+    val root = tmp("rt-g"); val delta = tmp("rt-d")
+    val back = tmp("rt-m")
+    VersionedParquet.publish(df(0, 25), root, keepVersions = 20)
+    VersionedParquet.append(spark, root, df(25, 35), keepVersions = 20)
+    DeltaSync.exportSync(spark, root, delta)
+    DeltaSync.sync(spark, delta, back)
+    assert(mirrorIds(back) === (0L until 35L))
+  }
+
+  test("export sync: vacuumed-past graft history re-bootstraps with " +
+      "one honest overwrite") {
+    import spark.implicits._
+    val root = tmp("gap-g"); val delta = tmp("gap-d")
+    VersionedParquet.publish(df(0, 10), root, keepVersions = 20)
+    DeltaSync.exportSync(spark, root, delta)
+    // several commits, then vacuum the intermediates away
+    VersionedParquet.append(spark, root, df(10, 20), keepVersions = 20)
+    VersionedParquet.append(spark, root, df(20, 30), keepVersions = 20)
+    VersionedParquet.append(spark, root, df(30, 35), keepVersions = 20)
+    VersionedParquet.vacuum(spark, root, keepVersions = 1)
+    val s = DeltaSync.exportSync(spark, root, delta)
+    assert(s.appended == 0 && s.overwritten == 1 && s.syncedTo == 3L,
+      s"gap must re-bootstrap, got $s")
+    assert(DeltaLite.read(spark, delta).count() === 35L)
+  }
 }
