@@ -301,4 +301,117 @@ class FormatFuzzSpec extends AnyFunSuite {
     Txn.recover(spark, Seq(rootA, rootB))
     check("after final recover")
   }
+
+  test("fuzz: WAP branch episodes — squashed publishes, abandons, and " +
+      "races against direct commits keep live, history, and feed exact") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-wap-fuzz").toString + "/t"
+    val rng = new scala.util.Random(11)
+    var nextId = 0L
+    def fresh(n: Int): Seq[Long] = {
+      val ids = (nextId until nextId + n); nextId += n; ids
+    }
+    def randRows(n: Int): Seq[Row3] = fresh(n).map(i =>
+      (i, rng.nextInt(5).toLong, rng.nextInt(500).toLong))
+
+    var model = Map.empty[Long, (Long, Long)]
+    val history = mutable.ArrayBuffer.empty[Map[Long, (Long, Long)]]
+    val init = randRows(200)
+    model = init.map { case (i, g, x) => i -> (g, x) }.toMap
+    VersionedParquet.publish(toDf(init), root, keepVersions = 50)
+    history += model
+
+    def checkLive(tag: String): Unit =
+      assert(bag(VersionedParquet.read(spark, root)) === modelBag(model),
+        s"live diverged from model after $tag")
+
+    for (step <- 1 to 12) {
+      rng.nextInt(3) match {
+        case 0 => // direct DML on main
+          if (rng.nextBoolean()) {
+            val rows = randRows(1 + rng.nextInt(20))
+            VersionedParquet.append(spark, root, toDf(rows),
+              keepVersions = 50)
+            model = model ++ rows.map { case (i, g, x) => i -> (g, x) }
+          } else {
+            val p = 2 + rng.nextInt(5); val r = rng.nextInt(p)
+            VersionedParquet.delete(spark, root, col("x") % p === r,
+              keepVersions = 50)
+            model = model.filterNot { case (_, (_, x)) => x % p == r }
+          }
+          history += model
+          checkLive(s"direct DML (step $step)")
+        case 1 => // WAP episode: 1-3 branch commits, then publish/abandon
+          Branch.create(spark, root, "wap")
+          val b = Branch.branchRoot(root, "wap")
+          var bModel = model
+          for (_ <- 0 to rng.nextInt(2)) {
+            if (rng.nextBoolean()) {
+              val rows = randRows(1 + rng.nextInt(15))
+              VersionedParquet.append(spark, b, toDf(rows),
+                keepVersions = 50)
+              bModel = bModel ++ rows.map { case (i, g, x) =>
+                i -> (g, x) }
+            } else {
+              val p = 2 + rng.nextInt(5); val r = rng.nextInt(p)
+              VersionedParquet.delete(spark, b, col("x") % p === r,
+                keepVersions = 50)
+              bModel = bModel.filterNot { case (_, (_, x)) => x % p == r }
+            }
+          }
+          assert(bag(VersionedParquet.read(spark, root)) ===
+            modelBag(model), s"branch writes leaked into main (step $step)")
+          if (rng.nextBoolean()) {
+            Branch.fastForward(spark, root, "wap")
+            model = bModel
+            history += model
+            checkLive(s"fast-forward (step $step)")
+          } else {
+            Branch.drop(spark, root, "wap")
+            checkLive(s"abandoned branch (step $step)")
+          }
+        case 2 => // race: main advances behind the branch's back
+          Branch.create(spark, root, "late")
+          VersionedParquet.append(spark, Branch.branchRoot(root, "late"),
+            toDf(randRows(5)), keepVersions = 50)
+          val direct = randRows(1 + rng.nextInt(10))
+          VersionedParquet.append(spark, root, toDf(direct),
+            keepVersions = 50)
+          model = model ++ direct.map { case (i, g, x) => i -> (g, x) }
+          history += model
+          intercept[Optimistic.CommitConflictException] {
+            Branch.fastForward(spark, root, "late")
+          }
+          Branch.drop(spark, root, "late")
+          checkLive(s"conflict episode (step $step)")
+      }
+    }
+
+    // every retained version time-travels to its recorded model state,
+    // and the change feed replays each step — squashed FF diffs
+    // included — into the next
+    val live = history.length - 1
+    VersionedParquet.versions(spark, root).foreach { v =>
+      assert(bag(VersionedParquet.read(spark, root, Some(v))) ===
+        modelBag(history(v.toInt)),
+        s"time travel to v$v diverged from recorded history")
+    }
+    (1 to live).foreach { v =>
+      val feed = VersionedParquet.changes(spark, root, v - 1L, v.toLong)
+        .collect()
+      var work = modelBag(history(v - 1))
+      feed.filter(r => Seq("update_pre", "delete").contains(r.getString(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .foreach { k =>
+          val left = work.getOrElse(k, 0L) - 1
+          assert(left >= 0, s"feed removes $k absent at v${v - 1}")
+          work = if (left == 0) work - k else work + (k -> left)
+        }
+      feed.filter(r => Seq("update_post", "insert").contains(r.getString(3)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .foreach(k => work = work + (k -> (work.getOrElse(k, 0L) + 1)))
+      assert(work === modelBag(history(v)),
+        s"feed must replay v${v - 1} into v$v (squash included)")
+    }
+  }
 }
