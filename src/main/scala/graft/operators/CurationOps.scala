@@ -361,6 +361,121 @@ object CurationOps {
              |FROM documents
              |WHERE n_chars >= 300 AND lang IN ('en', 'de', 'fr')
              |GROUP BY 1, 2
-             |ORDER BY src_file, lang""".stripMargin))
+             |ORDER BY src_file, lang""".stripMargin)),
+
+    // ── The release: curate → split → publish → stats → manifest ─────────
+    // q58 DECIDES; this SHIPS. The kept set (same quality + near-dup-
+    // component rules, the oracle replays them verbatim) gets a
+    // deterministic hash split, publishes as a split-partitioned
+    // versioned table, ANALYZEs itself, and exports an external-reader
+    // manifest — the complete release artifact a training run consumes.
+    // The DATA CARD is the gate: per (split, lang) doc/token counts
+    // read back FROM THE RELEASE (not the pipeline's intermediate
+    // state), drop accounting, the release version, stats freshness,
+    // and a manifest-completeness probe (rows readable through NOTHING
+    // but the manifest's file list == rows released). A release that
+    // leaked a dropped doc, split nondeterministically, shipped stale
+    // stats, or exported a torn manifest breaks the hash.
+    QueryDef("q200_release_pipeline",
+      (s, d) => s.read.parquet(releasePath(s, d)).orderBy("split", "lang"),
+      Some(s"""WITH RECURSIVE ${DedupOps.COMPONENT_CTES},
+             |scored AS (
+             |  SELECT doc_id, lang, len(toks) AS n_toks,
+             |         CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '',
+             |                'g')) AS DOUBLE) / nullif(length(text), 0)
+             |           AS punct_ratio,
+             |         CAST(len(list_filter(toks, t -> t IN
+             |                ('the','a','of','and','to','in','is','that')))
+             |              AS DOUBLE) / nullif(len(toks), 0) AS stop_ratio
+             |  FROM (SELECT d.doc_id, d.lang, d.text, t.toks
+             |        FROM documents d JOIN t ON t.doc_id = d.doc_id)),
+             |decided AS (
+             |  SELECT s.doc_id, s.lang, s.n_toks,
+             |         CASE WHEN c.group_id IS NOT NULL AND c.group_id != s.doc_id
+             |                THEN 'dup'
+             |              WHEN s.n_toks < 10 THEN 'quality'
+             |              WHEN s.punct_ratio > 0.1 THEN 'quality'
+             |              WHEN s.stop_ratio > 0.3 THEN 'quality'
+             |              ELSE 'kept' END AS decision
+             |  FROM scored s LEFT JOIN comp c ON c.id = s.doc_id),
+             |kept AS (
+             |  SELECT doc_id, lang, n_toks,
+             |         CASE WHEN ${graft.functions.Hashing
+                  .md5Long60Sql("'split_' || doc_id")} % 10 = 0
+             |              THEN 'val' ELSE 'train' END AS split
+             |  FROM decided WHERE decision = 'kept')
+             |SELECT split, lang, count(*) AS n_docs,
+             |       CAST(sum(n_toks) AS BIGINT) AS sum_tokens,
+             |       (SELECT count(*) FROM decided WHERE decision = 'dup')
+             |         AS n_dropped_dup,
+             |       (SELECT count(*) FROM decided
+             |        WHERE decision = 'quality') AS n_dropped_quality,
+             |       0 AS release_version, 1 AS stats_fresh,
+             |       1 AS manifest_complete
+             |FROM kept
+             |GROUP BY 1, 2
+             |ORDER BY split, lang""".stripMargin))
   )
+
+  /** q200 builder: decide (q58's rules) → split → publish → ANALYZE →
+    * manifest → data card read from the release. Once per session. */
+  private def releasePath(s: org.apache.spark.sql.SparkSession,
+                          d: String): String = {
+    import graft.functions.Hashing
+    import graft.warehouse.{Analyze, AtomicParquet, VersionedParquet}
+    val root = graft.sources.Scratch.dir(s, "q200-release")
+    val outPath = graft.sources.Scratch.dir(s, "q200-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val comp = DedupOps.components(s, d)
+      val nTok = TextStat(col("text"), TextKernels.TokenRuns)
+      val punctRatio = TextStat(col("text"), TextKernels.Punct)
+        .cast("double") / nullif(length(col("text")), lit(0))
+      val stopRatio = hitCount(tokens(col("text")), stopwords("en"))
+        .cast("double") / nullif(nTok, lit(0))
+      val decided = Tables.documents(s, d)
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("n_toks", nTok)
+        .withColumn("decision",
+          when(col("group_id").isNotNull &&
+              col("group_id") =!= col("doc_id"), "dup")
+            .when(col("n_toks") < 10, "quality")
+            .when(punctRatio > 0.1, "quality")
+            .when(stopRatio > 0.3, "quality")
+            .otherwise("kept"))
+        .cache()
+      val drops = decided.groupBy("decision").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = decided.filter(col("decision") === "kept")
+        .withColumn("split",
+          when(pmod(Hashing.md5Long60(
+            concat(lit("split_"), col("doc_id").cast("string"))),
+            lit(10)) === 0, "val").otherwise("train"))
+        .select("doc_id", "lang", "split", "n_toks")
+      VersionedParquet.publish(kept.repartition(col("split")), root,
+        partitionCols = Seq("split"), keepVersions = 10)
+      Analyze.table(s, root)
+      val statsFresh = Analyze.stats(s, root)
+        .exists(_._1 == VersionedParquet.currentVersion(s, root).get)
+      val manifest = VersionedParquet.generateManifest(s, root,
+        partitionCols = Seq("split"))
+      val viaManifest = s.read.parquet(
+        VersionedParquet.readManifest(s, manifest): _*).count()
+      val nKept = VersionedParquet.read(s, root).count()
+      val card = VersionedParquet.read(s, root)
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).cast("long").as("sum_tokens"))
+        .withColumn("n_dropped_dup", lit(drops.getOrElse("dup", 0L)))
+        .withColumn("n_dropped_quality",
+          lit(drops.getOrElse("quality", 0L)))
+        .withColumn("release_version",
+          lit(VersionedParquet.currentVersion(s, root).get.toInt))
+        .withColumn("stats_fresh", lit(if (statsFresh) 1 else 0))
+        .withColumn("manifest_complete",
+          lit(if (viaManifest == nKept) 1 else 0))
+      decided.unpersist()
+      AtomicParquet.overwrite(card, outPath)
+    }
+    outPath
+  }
 }

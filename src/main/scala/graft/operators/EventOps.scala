@@ -351,6 +351,54 @@ object EventOps {
              |  AND c.click_ts >= p.purchase_ts - INTERVAL 1 HOUR
              |  AND c.click_ts <= p.purchase_ts
              |GROUP BY 1
-             |ORDER BY purchase_id""".stripMargin))
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // ── Exponentially-decayed activity score (recency feature) ───────────
+    // The standard feature-store recency signal: each user's score at
+    // their LAST event halves per step back through their history —
+    // score = Σ_{j=0..15} (value_cents[t−j] >> (j+1)). Defined as a
+    // TRUNCATED per-term floor sum (not the recursive float EWMA),
+    // which makes it exact integer arithmetic both engines evaluate
+    // identically — the q111 fixed-point discipline applied to decay —
+    // AND window-expressible: 16 lag terms over one (user, ts) window,
+    // so one shuffle, no per-row recursion, no state. Top-20 most
+    // recently-active spenders, ties on user_id.
+    QueryDef("q199_decayed_activity",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val wLast = Window.partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), cents(col("value")).as("vc"))
+        val score = (shiftright(col("vc"), 1) +: (1 until 16).map(j =>
+          shiftright(lag(col("vc"), j, 0L).over(w), j + 1)))
+          .reduce(_ + _)
+        ev.withColumn("score", score)
+          .withColumn("rn", row_number().over(wLast))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id").as("last_event"),
+            col("score"))
+          .orderBy(col("score").desc, col("user_id"))
+          .limit(20)
+      },
+      Some(s"""WITH e AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+             |         CAST(round(value * 100) AS BIGINT) AS vc
+             |  FROM events),
+             |l AS (
+             |  SELECT user_id, event_id,
+             |         (vc >> 1)
+             |         + ${(1 until 16).map(j =>
+                  s"(coalesce(lag(vc, $j) OVER w, 0) >> ${j + 1})")
+                  .mkString("\n             |         + ")} AS score,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY us DESC, event_id DESC) AS rn
+             |  FROM e
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+             |SELECT user_id, event_id AS last_event, score
+             |FROM l WHERE rn = 1
+             |ORDER BY score DESC, user_id
+             |LIMIT 20""".stripMargin))
   )
 }
