@@ -52,12 +52,29 @@ object ResultCache {
   /** The cache key for `queryKey` against the CURRENT committed
     * versions of `deps` (each a [[VersionedParquet]] table root). An
     * unversioned/absent dependency participates as version -1 so a
-    * later first publish still invalidates. */
+    * later first publish still invalidates.
+    *
+    * The version pointer alone is NOT the whole read state: the
+    * versionless table-level markers that change what a read RETURNS —
+    * access policies (row filter / masks), metadata-only ADD COLUMN,
+    * pending drop/rename maps, generation rules — mint no version, so
+    * their content digests into the vector too. Without this, a result
+    * computed before `SET MASK` would keep serving RAW values from the
+    * cache after the policy landed (a governance hole, not just
+    * staleness). */
   def fingerprint(spark: SparkSession, queryKey: String,
                   deps: Seq[String]): String = {
     val vec = deps.sorted.map { root =>
       val v = VersionedParquet.currentVersion(spark, root).getOrElse(-1L)
-      s"${new Path(root).getName}@$v"
+      val meta = Seq(VersionedParquet.POLICIES_EXT,
+          VersionedParquet.SCHEMA_EXT, VersionedParquet.SCHEMA_MAP,
+          VersionedParquet.SCHEMA_GEN)
+        .map(m => VersionedParquet.readPointer(spark, new Path(root, m))
+          .getOrElse(""))
+        .mkString("")
+      val metaFp = java.lang.Long.toUnsignedString(
+        Hashing.md5Long60(meta.getBytes(StandardCharsets.UTF_8)), 16)
+      s"${new Path(root).getName}@$v#$metaFp"
     }
     java.lang.Long.toUnsignedString(
       Hashing.md5Long60((queryKey + "|" + vec.mkString(","))

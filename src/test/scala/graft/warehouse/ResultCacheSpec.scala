@@ -128,4 +128,27 @@ class ResultCacheSpec extends AnyFunSuite {
     assert(again.df.orderBy("b").collect().toSeq ==
       agg(root).orderBy("b").collect().toSeq)
   }
+
+  test("versionless read-state changes invalidate: a policy or " +
+      "metadata-only ALTER mints no version but must not serve stale " +
+      "(raw) results") {
+    val root = tmp("t-meta"); val cache = tmp("c-meta"); seed(root)
+    val computes = new AtomicInteger(0)
+    def serve() = ResultCache.serve(spark, cache, "q", Seq(root)) {
+      computes.incrementAndGet(); agg(root)
+    }
+    assert(!serve().hit && serve().hit)
+    val v = VersionedParquet.currentVersion(spark, root).get
+    // a mask lands — no version minted, but the cached pre-policy
+    // result must NOT be served (it holds raw values)
+    VersionedParquet.addMaskPolicy(spark, root, "v", "v % 5")
+    assert(VersionedParquet.currentVersion(spark, root).get === v)
+    val afterPolicy = serve()
+    assert(!afterPolicy.hit, "policy change must invalidate the cache")
+    assert(computes.get === 2)
+    assert(serve().hit, "and the post-policy entry caches normally")
+    // metadata-only ADD COLUMN: also versionless, also read-affecting
+    VersionedParquet.addColumn(spark, root, "extra", "BIGINT", "7")
+    assert(!serve().hit, "metadata-only ALTER must invalidate too")
+  }
 }
