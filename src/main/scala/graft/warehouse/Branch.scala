@@ -48,9 +48,14 @@ object Branch {
   /** Fork-time copies of main's table-level contract markers, for
     * drift detection at fast-forward (ALTERs mint no version, so the
     * pointer check alone cannot see them). An absent marker is
-    * recorded as absent — presence drift is drift too. */
+    * recorded as absent — presence drift is drift too. Access
+    * policies travel and drift-check like the other versionless
+    * contracts: a governed table's branch serves governed, and a
+    * policy landing on main mid-branch conflicts rather than being
+    * silently clobbered by the fork-time copy at publish. */
   private val META_MARKERS =
-    Seq(SCHEMA_EXT, SCHEMA_MAP, CONSTRAINTS_EXT, SCHEMA_GEN)
+    Seq(SCHEMA_EXT, SCHEMA_MAP, CONSTRAINTS_EXT, SCHEMA_GEN,
+      VersionedParquet.POLICIES_EXT)
 
   /** Branch roots live INSIDE the main root — `_branch_<name>` does
     * not match the `v\d{8}` version-directory pattern, so main's

@@ -124,6 +124,11 @@ object DeltaSync {
     * Idempotent: a second call with no new graft commits is a no-op. */
   def exportSync(spark: SparkSession, root: String,
                  deltaTable: String): ExportSync = {
+    // same rule as the manifest export: the Delta mirror serves raw
+    // bytes to foreign engines, which would bypass every policy
+    require(!VersionedParquet.hasPolicies(spark, root),
+      s"cannot export-sync $root: row/column policies would be " +
+        "bypassed by the foreign Delta readers")
     val live = VersionedParquet.currentVersion(spark, root).getOrElse(
       throw new java.io.IOException(s"no published version under $root"))
     val from = lastExported(spark, deltaTable)

@@ -518,6 +518,9 @@ object GraftSql {
     val (root, _) = GraftTables.rootOf(x.table).getOrElse(
       throw new IllegalStateException(
         s"table ${x.table} is not registered"))
+    require(!VersionedParquet.hasPolicies(spark, root),
+      s"cannot EXPORT ${x.table} TO DELTA: row/column policies would " +
+        "be bypassed by the foreign readers")
     val v = graft.sources.DeltaLite.export(spark,
       VersionedParquet.read(spark, root), x.location)
     val snap = graft.sources.DeltaLite.snapshot(spark, x.location)

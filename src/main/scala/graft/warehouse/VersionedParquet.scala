@@ -2106,6 +2106,13 @@ object VersionedParquet {
                        partitionCols: Seq[String] = Nil,
                        targetBytes: Long = 128L << 20,
                        keepVersions: Int = 4): String = {
+    // a manifest hands RAW file bytes to engines that know nothing of
+    // this format — on a policy-bearing table that bypasses every row
+    // filter and mask, so the export refuses loudly (export a masked
+    // copy, or drop the policies, instead)
+    require(!hasPolicies(spark, root),
+      s"cannot export a manifest for $root: row/column policies would " +
+        "be bypassed by raw-file readers")
     val v0 = currentVersion(spark, root).getOrElse(
       throw new IOException(s"nothing to export under $root"))
     val snap0 = new Path(root, versionName(v0))
@@ -2277,6 +2284,9 @@ object VersionedParquet {
         installPointer(spark, dstPath, CONSTRAINTS_EXT, m))
       readPointer(spark, new Path(srcRoot, SCHEMA_GEN)).foreach(m =>
         installPointer(spark, dstPath, SCHEMA_GEN, m))
+      // a clone of governed data stays governed
+      readPointer(spark, new Path(srcRoot, POLICIES_EXT)).foreach(m =>
+        installPointer(spark, dstPath, POLICIES_EXT, m))
       installPointer(spark, snapshot, "_SUCCESS", commitStamp())
       try swapPointer(spark, dstPath, 0L)
       catch {
@@ -2313,6 +2323,10 @@ object VersionedParquet {
       installPointer(spark, new Path(dstRoot), CONSTRAINTS_EXT, m))
     readPointer(spark, new Path(srcRoot, SCHEMA_GEN)).foreach(m =>
       installPointer(spark, new Path(dstRoot), SCHEMA_GEN, m))
+    // a clone of governed data stays governed (note the copy is of the
+    // RAW view — deep clone is an owner-tier op like read itself)
+    readPointer(spark, new Path(srcRoot, POLICIES_EXT)).foreach(m =>
+      installPointer(spark, new Path(dstRoot), POLICIES_EXT, m))
     out
   }
 

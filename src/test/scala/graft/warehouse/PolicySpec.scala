@@ -109,6 +109,57 @@ class PolicySpec extends AnyFunSuite {
     }
   }
 
+  test("raw-byte export surfaces refuse policy-bearing tables; " +
+      "clones stay governed") {
+    import spark.implicits._
+    val root = tmp("export")
+    seed(root)
+    VersionedParquet.addMaskPolicy(spark, root, "x", "x % 7")
+    intercept[IllegalArgumentException] {
+      VersionedParquet.generateManifest(spark, root)
+    }
+    intercept[IllegalArgumentException] {
+      DeltaSync.exportSync(spark, root, tmp("export-delta"))
+    }
+    GraftTables.register("t_pol_export", root)
+    try intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"EXPORT TABLE t_pol_export TO DELTA " +
+        s"LOCATION '${tmp("export-delta2")}'")
+    } finally GraftTables.unregister("t_pol_export")
+    // clones carry the policy: the governed view stays governed
+    val shallow = tmp("export-shallow")
+    VersionedParquet.shallowClone(spark, root, shallow)
+    assert(VersionedParquet.maskPolicies(spark, shallow).nonEmpty)
+    assert(served(shallow).select(max(col("x"))).as[Long].head() < 7L)
+    val deep = tmp("export-deep")
+    VersionedParquet.deepClone(spark, root, deep)
+    assert(VersionedParquet.maskPolicies(spark, deep).nonEmpty)
+    assert(served(deep).select(max(col("x"))).as[Long].head() < 7L)
+  }
+
+  test("branches of governed tables serve governed; branch-side " +
+      "policy changes travel at publish, main-side drift conflicts") {
+    import spark.implicits._
+    val root = tmp("branch")
+    seed(root)
+    VersionedParquet.addMaskPolicy(spark, root, "x", "x % 7")
+    Branch.create(spark, root, "wap")
+    val b = Branch.branchRoot(root, "wap")
+    assert(served(b).select(max(col("x"))).as[Long].head() < 7L,
+      "the branch view is governed like main")
+    // policy dropped ON the branch travels at publish
+    VersionedParquet.dropMaskPolicy(spark, b, "x")
+    Branch.fastForward(spark, root, "wap")
+    assert(VersionedParquet.maskPolicies(spark, root).isEmpty)
+    // main-side policy drift mid-branch conflicts
+    Branch.create(spark, root, "late")
+    VersionedParquet.setRowFilter(spark, root, "id % 2 = 0")
+    intercept[Optimistic.CommitConflictException] {
+      Branch.fastForward(spark, root, "late")
+    }
+    Branch.drop(spark, root, "late")
+  }
+
   test("filters on masked columns answer over masked values (the " +
       "skipping tier is bypassed, not consulted unsoundly)") {
     import spark.implicits._
