@@ -399,6 +399,67 @@ object EventOps {
              |SELECT user_id, event_id AS last_event, score
              |FROM l WHERE rn = 1
              |ORDER BY score DESC, user_id
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ── Exact OLS trend per event type (metric regression) ───────────────
+    // The metric-trend question every dashboard asks ("is spend per
+    // event rising?") answered as a least-squares slope — made
+    // cross-engine-exact the q191 way: x = whole minutes since the
+    // group's first event (integer floor), y = value cents, and every
+    // moment (n, Σx, Σy, Σxy, Σx²) is an EXACT int64 sum (per-term
+    // magnitudes bounded: x ≲ 10⁶ minutes, x² ≲ 10¹², Σ over 10⁶ rows
+    // stays < 2⁶³) — the slope (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is then a
+    // fixed dag of correctly-rounded double ops shared with the
+    // oracle. Shape at 100 TB: one min-per-group agg broadcast back,
+    // one 5-group moment agg with map-side partials — two passes, no
+    // window, no sort. */
+    QueryDef("q201_ols_trend",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), unix_micros(col("ts")).as("us"),
+            cents(col("value")).as("vc"))
+        val mn = ev.groupBy("event_type").agg(min("us").as("mn"))
+        val m = ev.join(broadcast(mn), "event_type")
+          .withColumn("x", expr("(us - mn) div 60000000"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("vc")).as("sy"),
+            sum(col("x") * col("vc")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+        m.select(col("event_type"), col("n"),
+            round((col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")),
+              6).as("slope_r"),
+            round(col("sy").cast("double") / col("n").cast("double"), 2)
+              .as("mean_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_ns(ts) // 1000 AS us,
+             |         CAST(round(value * 100) AS BIGINT) AS vc
+             |  FROM events),
+             |mn AS (SELECT event_type, min(us) AS mn FROM e GROUP BY 1),
+             |x AS (SELECT e.event_type, (e.us - mn.mn) // 60000000 AS x,
+             |             e.vc
+             |      FROM e JOIN mn ON mn.event_type = e.event_type),
+             |m AS (
+             |  SELECT event_type, count(*) AS n,
+             |         CAST(sum(x) AS BIGINT) AS sx,
+             |         CAST(sum(vc) AS BIGINT) AS sy,
+             |         CAST(sum(x * vc) AS BIGINT) AS sxy,
+             |         CAST(sum(x * x) AS BIGINT) AS sxx
+             |  FROM x GROUP BY 1)
+             |SELECT event_type, n,
+             |       round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             |         6) AS slope_r,
+             |       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2)
+             |         AS mean_cents
+             |FROM m
+             |ORDER BY event_type""".stripMargin))
   )
 }
