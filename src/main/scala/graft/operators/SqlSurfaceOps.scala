@@ -575,6 +575,34 @@ object SqlSurfaceOps {
              |FROM base b JOIN corrected c2 USING (colname)
              |ORDER BY colname""".stripMargin)),
 
+    // q202 — metadata-only aggregates (Delta's SELECT COUNT(*)/MIN/MAX
+    // optimization): over a clean physical graft view with a file-stats
+    // sidecar, the grand-total aggregate folds from the sidecar into a
+    // LocalRelation — ZERO tasks, zero bytes scanned (the observed
+    // LocalTableScan plan folds into the output) — and the moment an
+    // upsert makes the view merge-on-read, the SAME query falls back to
+    // an honest scan (observed too) and stays exact. A rewrite that
+    // fired on the overlay, answered from a stale sidecar, or mis-folded
+    // a bound breaks the hash either side.
+    QueryDef("q202_metadata_agg",
+      (s, d) => s.read.parquet(metadataAggPath(s, d)).orderBy("phase"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |m AS (SELECT k, CASE WHEN k % 1000 = 1 THEN cents + 5
+             |                     ELSE cents END AS cents FROM o)
+             |SELECT count(*) AS n_rows, min(k) AS min_k,
+             |       max(k) AS max_k, min(cents) AS min_c,
+             |       max(cents) AS max_c,
+             |       'mor' AS phase, 0 AS answered_meta
+             |FROM m
+             |UNION ALL
+             |SELECT count(*), min(k), max(k), min(cents), max(cents),
+             |       'physical', 1
+             |FROM o
+             |ORDER BY phase""".stripMargin)),
+
     // q195 — the round's new tiers driven END TO END as SQL text: CTAS
     // mints the table, `ALTER TABLE … CREATE BRANCH` forks it (the
     // branch registers as `<table>_branch_<name>`, so plain INSERT/
@@ -649,6 +677,48 @@ object SqlSurfaceOps {
         .withColumn("final_version",
           lit(VersionedParquet.currentVersion(s, root).get.toInt))
       AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q202 builder: clustered publish with a stats sidecar → the
+    * grand-total aggregate folds from metadata (LocalTableScan, no
+    * file scan — observed and folded); an upsert makes the view
+    * merge-on-read → the SAME query falls back to an honest scan and
+    * stays exact. Once per session. */
+  private def metadataAggPath(s: org.apache.spark.sql.SparkSession,
+                              d: String): String = {
+    import graft.warehouse.{AtomicParquet, FileStats}
+    val root = Scratch.dir(s, "q202-table")
+    val outPath = Scratch.dir(s, "q202-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      graft.plans.GraftFunctions.register(s)
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      FileStats.publishClustered(o, root, layout = Seq("k"),
+        statsCols = Seq("k", "cents"), nFiles = 8, keepVersions = 10)
+      s.sql(s"CREATE OR REPLACE TEMPORARY VIEW graft_q202 " +
+        s"USING graft OPTIONS (path '$root')")
+      val q = "SELECT count(*) AS n_rows, min(k) AS min_k, " +
+        "max(k) AS max_k, min(cents) AS min_c, max(cents) AS max_c " +
+        "FROM graft_q202"
+      def phaseRow(phase: String) = {
+        val df = s.sql(q)
+        val meta =
+          if (df.queryExecution.executedPlan.toString
+              .contains("LocalTableScan")) 1 else 0
+        df.withColumn("phase", lit(phase))
+          .withColumn("answered_meta", lit(meta))
+      }
+      val physical = phaseRow("physical")
+      // the overlay makes the sidecar insufficient: honest fallback
+      VersionedParquet.upsert(s, root,
+        o.filter(col("k") % 1000 === 1)
+          .select(col("k"), (col("cents") + 5L).as("cents")),
+        Seq("k"), keepVersions = 10)
+      val mor = phaseRow("mor")
+      AtomicParquet.overwrite(physical.unionByName(mor), outPath)
     }
     outPath
   }

@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => TextStatRewrite)
     ext.injectOptimizerRule(_ => VectorDotRewrite)
     ext.injectOptimizerRule(_ => MvRewrite)
+    // grand-total COUNT/MIN/MAX over a clean physical graft view fold
+    // from the file-stats sidecar — zero scan; see StatsAggRewrite
+    ext.injectOptimizerRule(_ => StatsAggRewrite)
     // SQL-text DML (UPDATE/DELETE/INSERT INTO/MERGE) against
     // registered versioned tables — see graft.warehouse.GraftSql
     ext.injectParser((_, delegate) =>
@@ -96,6 +99,6 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     all.foreach(FunctionBridge.register(spark, _))
     spark.experimental.extraOptimizations =
-      Seq(TextStatRewrite, VectorDotRewrite, MvRewrite)
+      Seq(TextStatRewrite, VectorDotRewrite, MvRewrite, StatsAggRewrite)
   }
 }

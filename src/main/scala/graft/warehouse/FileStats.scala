@@ -476,4 +476,56 @@ object FileStats {
         "file STRING, n_rows BIGINT, col STRING, type STRING, " +
           "min BIGINT, max BIGINT, min_str STRING, max_str STRING"))
   }
+
+  /** Metadata-only aggregate state for the LIVE view, when the sidecar
+    * can answer for it EXACTLY: total row count plus, per stats
+    * column, (kind, folded min, folded max). None whenever any row the
+    * view serves is not described by the sidecar — merge-on-read
+    * overlay (vector/delta/exclusions), pending schema map, access
+    * policies (row filter changes the count; masks change values), or
+    * simply no sidecar. All-null files contribute their n but no
+    * bounds, exactly like Min/Max ignore nulls. This is the state the
+    * [[graft.plans.StatsAggRewrite]] optimizer rule folds
+    * `SELECT min(x), max(x), count(*)` queries from — Delta's
+    * metadata-only COUNT(*)/MIN/MAX optimization. */
+  private[graft] def metadataAggregates(spark: SparkSession, root: String)
+      : Option[(Long, Map[String, (String, Option[String], Option[String])])] = {
+    val vOpt = VersionedParquet.currentVersion(spark, root)
+    if (vOpt.isEmpty) return None
+    if (VersionedParquet.hasPolicies(spark, root)) return None
+    if (VersionedParquet.schemaMapOps(spark, root).nonEmpty) return None
+    val snapshot = new org.apache.hadoop.fs.Path(root,
+      VersionedParquet.versionName(vOpt.get))
+    if (VersionedParquet.readPointer(spark,
+        new org.apache.hadoop.fs.Path(snapshot,
+          VersionedParquet.BASE_MARKER)).isDefined) return None
+    loadStatRows(spark, snapshot.toString).flatMap { rows =>
+      val allFiles = VersionedParquet.listDataFiles(spark, snapshot)
+        .map(_._1).toSet
+      val byFile = rows.groupBy(_.file)
+      // every data file must be described, or a file the sidecar never
+      // saw could hold the true min/max/rows
+      if (byFile.keySet != allFiles) None
+      else {
+        val n = byFile.valuesIterator.map(_.head.n).sum
+        val perCol = rows.groupBy(_.col).flatMap { case (c, rs) =>
+          if (rs.map(_.file).toSet != allFiles) None
+          else rs.map(_.kind).distinct match {
+            // long ranges only: string per-file bounds compare in
+            // java.lang.String order here but UTF8String BINARY order
+            // in the engine — identical on ASCII, divergent beyond,
+            // so strings stay scan-answered
+            case Seq("L") =>
+              val los = rs.flatMap(r => Option(r.lo)).map(_.toLong)
+              val his = rs.flatMap(r => Option(r.hi)).map(_.toLong)
+              Some(c -> ("L",
+                if (los.isEmpty) None else Some(los.min.toString),
+                if (his.isEmpty) None else Some(his.max.toString)))
+            case _ => None // bloom/string/mixed stats: no ranges
+          }
+        }
+        Some((n, perCol))
+      }
+    }
+  }
 }

@@ -105,11 +105,20 @@ class GraftSource extends RelationProvider with DataSourceRegister
   }
 }
 
-private[warehouse] class GraftRelation(ctx: SQLContext, root: String,
+private[graft] class GraftRelation(ctx: SQLContext, root: String,
     version: Option[Long], asOf: Option[Long],
     chFrom: Option[Long] = None, chTo: Option[Long] = None,
     history: Boolean = false)
     extends BaseRelation with PrunedFilteredScan {
+
+  /** The table root — the [[graft.plans.StatsAggRewrite]] hook. */
+  private[graft] def tableRoot: String = root
+
+  /** True iff this relation serves the LIVE data view (no pin, no CDC,
+    * no history) — the only shape whose stats sidecar describes what a
+    * query over it reads. */
+  private[graft] def servesLiveView: Boolean =
+    !history && version.isEmpty && asOf.isEmpty && chFrom.isEmpty
 
   private def spark: SparkSession = ctx.sparkSession
 
