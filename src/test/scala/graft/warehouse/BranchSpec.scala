@@ -163,6 +163,48 @@ class BranchSpec extends AnyFunSuite {
       Seq("x_nonneg" -> "x >= 0", "id_small" -> "id < 101")).isEmpty)
   }
 
+  test("streaming WAP: a stream lands exactly-once on the branch, " +
+      "main stays isolated until the squashed publish") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val work = java.nio.file.Files.createTempDirectory("graft-branch-stream")
+    val watch = java.nio.file.Files.createDirectory(work.resolve("landing"))
+    val root = work.resolve("tbl").toString
+    val checkpoint = work.resolve("chk").toString
+    VersionedParquet.publish(
+      (0L until 30L).map(i => (i, i)).toDF("id", "x"), root,
+      keepVersions = 20)
+    Branch.create(spark, root, "ingest")
+    val b = Branch.branchRoot(root, "ingest")
+    def drop(name: String, xs: Seq[Long]): Unit =
+      java.nio.file.Files.write(watch.resolve(name),
+        xs.map(i => s"$i,$i").mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("x", LongType)))
+    def source() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .csv(watch.toString)
+    drop("a.csv", Seq(100L, 101L))
+    drop("b.csv", Seq(102L))
+    graft.streaming.VersionedSink
+      .runAppend(source(), b, checkpoint, keepVersions = 20)
+      .awaitTermination()
+    assert(rows(root) === (0L until 30L).map(i => (i, i)).toSet,
+      "main is isolated while the stream lands on the branch")
+    // restart the stream with the same checkpoint: exactly-once
+    drop("c.csv", Seq(103L))
+    graft.streaming.VersionedSink
+      .runAppend(source(), b, checkpoint, keepVersions = 20)
+      .awaitTermination()
+    assert(Branch.audit(spark, root, "ingest",
+      Seq("x_nonneg" -> "x >= 0")).isEmpty)
+    Branch.fastForward(spark, root, "ingest")
+    assert(rows(root) === ((0L until 30L) ++ (100L to 103L))
+      .map(i => (i, i)).toSet,
+      "the squashed publish carries every streamed batch exactly once")
+    assert(VersionedParquet.currentVersion(spark, root).get === 1L)
+  }
+
   test("detached branch (compacted under its own root) publishes via " +
       "honest materialization and survives the branch drop") {
     import spark.implicits._
