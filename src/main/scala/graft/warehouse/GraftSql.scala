@@ -128,6 +128,10 @@ private[graft] final case class SqlSetLayout(table: String,
     cols: Seq[String]) extends GraftDml // ALTER TABLE … SET PARTITION LAYOUT
 private[graft] final case class SqlDropLayout(table: String)
     extends GraftDml
+private[graft] final case class SqlMaintainStats(table: String)
+    extends GraftDml // ANALYZE TABLE … MAINTAIN STATISTICS
+private[graft] final case class SqlDescribeBranches(table: String)
+    extends GraftDml
 
 object GraftSql {
 
@@ -200,7 +204,12 @@ object GraftSql {
       """PARTITION\s+LAYOUT\s*\(([^)]+)\)""").r
     val PLD = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+DROP\s+""" +
       """PARTITION\s+LAYOUT""").r
+    val AM = ("""(?is)ANALYZE\s+TABLE\s+([A-Za-z_][\w]*)\s+MAINTAIN\s+""" +
+      """STATISTICS""").r
+    val DBR = """(?is)DESCRIBE\s+BRANCHES\s+([A-Za-z_][\w]*)""".r
     val dml = t match {
+      case AM(table) => Some(SqlMaintainStats(table))
+      case DBR(table) => Some(SqlDescribeBranches(table))
       case PL(table, cols) => Some(SqlSetLayout(table,
         cols.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
       case PLD(table) => Some(SqlDropLayout(table))
@@ -409,6 +418,9 @@ object GraftSql {
         VersionedParquet.setPartitionLayout(spark, root, cols); root
       case SqlDropLayout(_) =>
         VersionedParquet.setPartitionLayout(spark, root, Nil); root
+      case _: SqlMaintainStats =>
+        Analyze.maintain(spark, root); root
+      case _: SqlDescribeBranches => root // side-effect free; in sql()
     }
   }
 
@@ -424,9 +436,53 @@ object GraftSql {
       case Some(x: SqlExportDelta) => exportDeltaFrame(spark, x)
       case Some(a: SqlAnalyze) => analyzeFrame(spark, a)
       case Some(ds: SqlDescribeStats) => statsFrame(spark, ds)
+      case Some(m: SqlMaintainStats) => maintainFrame(spark, m)
+      case Some(b: SqlDescribeBranches) => branchesFrame(spark, b)
       case Some(dml) => exec(spark, dml); spark.emptyDataFrame
       case None => spark.sql(text)
     }
+
+  /** `ANALYZE TABLE t MAINTAIN STATISTICS` — advance stored stats
+    * from the change feed (q194's `Analyze.maintain`); returns the
+    * fresh stats with the path taken and the version they describe. */
+  private[graft] def maintainFrame(spark: SparkSession,
+                                   m: SqlMaintainStats): DataFrame = {
+    val (root, _) = GraftTables.rootOf(m.table).getOrElse(
+      throw new IllegalStateException(
+        s"table ${m.table} is not registered"))
+    val (df, path) = Analyze.maintain(spark, root)
+    val v = VersionedParquet.currentVersion(spark, root).getOrElse(-1L)
+    df.withColumn("path", org.apache.spark.sql.functions.lit(path))
+      .withColumn("version", org.apache.spark.sql.functions.lit(v))
+      .orderBy("colname")
+  }
+
+  /** `DESCRIBE BRANCHES t` — one row per live branch: name, fork
+    * version, branch head version. */
+  private[graft] def branchesFrame(spark: SparkSession,
+                                   b: SqlDescribeBranches): DataFrame = {
+    val (root, _) = GraftTables.rootOf(b.table).getOrElse(
+      throw new IllegalStateException(
+        s"table ${b.table} is not registered"))
+    import scala.jdk.CollectionConverters._
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows =
+      if (!fs.exists(rootPath)) Seq.empty[Row]
+      else fs.listStatus(rootPath).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("_branch_"))
+        .map(_.stripPrefix("_branch_")).sorted
+        .flatMap { name =>
+          val bRoot = Branch.branchRoot(root, name)
+          VersionedParquet.currentVersion(spark, bRoot).map { head =>
+            Row(name, Branch.forkVersion(spark, root, name), head)
+          }
+        }
+    spark.createDataFrame(rows.asJava,
+      StructType.fromDDL(
+        "branch STRING, fork_version BIGINT, head_version BIGINT"))
+  }
 
   /** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS (…)]` — one
     * scan, stats stored version-stamped (see [[Analyze]]); returns

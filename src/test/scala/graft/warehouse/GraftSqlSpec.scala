@@ -310,9 +310,23 @@ class GraftSqlSpec extends AnyFunSuite {
         .count() === 100L)
       // a second branch abandoned via DROP BRANCH
       GraftSql.sql(spark, "ALTER TABLE t_gov CREATE BRANCH dead")
+      val br = GraftSql.sql(spark, "DESCRIBE BRANCHES t_gov").collect()
+      assert(br.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq === Seq(("dead", 1L, 0L)))
       GraftSql.sql(spark, "ALTER TABLE t_gov DROP BRANCH dead")
+      assert(GraftSql.sql(spark, "DESCRIBE BRANCHES t_gov").isEmpty)
       assert(!Branch.exists(spark, root, "dead"))
       assert(GraftTables.rootOf("t_gov_branch_dead").isEmpty)
+      // ANALYZE … MAINTAIN STATISTICS as SQL: full then incremental
+      GraftSql.sql(spark, "ANALYZE TABLE t_gov COMPUTE STATISTICS")
+      GraftSql.sql(spark,
+        "INSERT INTO t_gov SELECT 2000 AS id, 'gZ' AS g, 9 AS x")
+      val maint = GraftSql.sql(spark,
+        "ANALYZE TABLE t_gov MAINTAIN STATISTICS")
+      assert(maint.select("path").distinct().collect()
+        .map(_.getString(0)).toSeq === Seq("incremental"))
+      assert(maint.filter(col("colname") === "id")
+        .head().getLong(1) === 101L)
     } finally {
       GraftTables.unregister("t_gov")
       GraftTables.unregister("t_gov_branch_fix")
