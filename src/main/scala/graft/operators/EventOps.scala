@@ -460,6 +460,50 @@ object EventOps {
              |       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 2)
              |         AS mean_cents
              |FROM m
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ── Event-transition matrix (user-journey analysis) ──────────────────
+    // The Markov view of the clickstream: per (previous type → type)
+    // transition, occurrence count, distinct users, and the
+    // row-normalized transition share in integer parts-per-million
+    // (million-scaled floor div — no float reaches the output, the
+    // q127 discipline). One lag window over each user's timeline (the
+    // same (user, ts) shuffle every sessionization op pays), then a
+    // 25-cell aggregate; the normalizing window runs over the CELL
+    // frame, never the corpus.
+    QueryDef("q204_event_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        val cells = ev
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct("user_id").as("n_users"))
+        cells
+          .withColumn("share_ppm",
+            expr("n * 1000000 div sum(n) over (partition by prev)"))
+          .orderBy("prev", "next")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+             |         event_type,
+             |         lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY epoch_ns(ts) // 1000, event_id) AS prev
+             |  FROM events),
+             |cells AS (
+             |  SELECT prev, event_type AS next, count(*) AS n,
+             |         count(DISTINCT user_id) AS n_users
+             |  FROM e WHERE prev IS NOT NULL
+             |  GROUP BY 1, 2)
+             |SELECT prev, next, n, n_users,
+             |       CAST(n * 1000000 //
+             |            sum(n) OVER (PARTITION BY prev) AS BIGINT)
+             |         AS share_ppm
+             |FROM cells
+             |ORDER BY prev, next""".stripMargin))
   )
 }

@@ -746,7 +746,57 @@ object OlapOps {
              |       (lo + (b99 * (hi - lo + 1)) // $HIST_BINS) / 100.0
              |         AS p99_est
              |FROM agg
-             |ORDER BY version, o_orderpriority""".stripMargin))
+             |ORDER BY version, o_orderpriority""".stripMargin)),
+
+    // ── Weighted median per group (robust weighted aggregation) ──────────
+    // The robust-statistics staple the unweighted tier (q49/q114/q142)
+    // lacks: the median PRICE weighted by QUANTITY — "half the units
+    // shipped cost at most this much", which an unweighted median
+    // mis-states whenever quantity correlates with price. Lower
+    // weighted median: rows sort on (cents, tiebreak), weights
+    // cumulate, the answer is the first row where 2·cum ≥ total —
+    // exact integer arithmetic, a total order, so both engines pick
+    // the identical row. One window over each group + a 3-row
+    // aggregate; the window partitions by return flag, so no
+    // single-partition stage.
+    QueryDef("q203_weighted_median",
+      (s, d) => {
+        val l = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("flag"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"),
+          col("l_quantity").cast("long").as("w"))
+        val byVal = Window.partitionBy("flag")
+          .orderBy("cents", "ok", "ln")
+        val whole = Window.partitionBy("flag")
+        l.withColumn("cum", sum("w").over(byVal))
+          .withColumn("total", sum("w").over(whole))
+          .filter(col("cum") * 2 >= col("total"))
+          .groupBy("flag")
+          .agg(min("cents").as("wmedian_cents"),
+            max("total").as("total_weight"))
+          .orderBy("flag")
+      },
+      Some("""WITH l AS (
+             |  SELECT l_returnflag AS flag, l_orderkey AS ok,
+             |         l_linenumber AS ln,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT)
+             |           AS cents,
+             |         CAST(l_quantity AS BIGINT) AS w
+             |  FROM lineitem),
+             |c AS (
+             |  SELECT flag, cents,
+             |         sum(w) OVER (PARTITION BY flag
+             |                      ORDER BY cents, ok, ln) AS cum,
+             |         sum(w) OVER (PARTITION BY flag) AS total
+             |  FROM l)
+             |SELECT flag,
+             |       CAST(min(cents) AS BIGINT) AS wmedian_cents,
+             |       CAST(max(total) AS BIGINT) AS total_weight
+             |FROM c
+             |WHERE cum * 2 >= total
+             |GROUP BY 1
+             |ORDER BY flag""".stripMargin))
   )
 
   /** Pass 2 of the histogram percentile: per-(group, bin) SUM cells over a
