@@ -160,6 +160,73 @@ class PolicySpec extends AnyFunSuite {
     Branch.drop(spark, root, "late")
   }
 
+  test("fuzz: random policy lifecycle interleaved with DML — the " +
+      "served view equals filter+mask over the raw model every step") {
+    import spark.implicits._
+    val root = tmp("fuzz")
+    val rng = new scala.util.Random(13)
+    var nextId = 0L
+    def fresh(n: Int): Seq[Long] = {
+      val ids = (nextId until nextId + n); nextId += n; ids
+    }
+    var model = fresh(100).map(i => i -> (i * 10L)).toMap
+    VersionedParquet.publish(
+      model.toSeq.map { case (i, x) => (i, x) }.toDF("id", "x"),
+      root, keepVersions = 30)
+    // the policy state the model applies alongside the table's
+    var filterMod: Option[Int] = None // row filter: id % m == 0
+    var maskMod: Option[Int] = None   // mask: x % m
+
+    def servedSet(): Set[(Long, Long)] =
+      spark.read.format("graft").option("path", root).load()
+        .select("id", "x").as[(Long, Long)].collect().toSet
+    def expected(): Set[(Long, Long)] =
+      model.toSeq
+        .filter { case (i, _) => filterMod.forall(m => i % m == 0) }
+        .map { case (i, x) => (i, maskMod.map(m => x % m).getOrElse(x)) }
+        .toSet
+
+    for (step <- 1 to 14) {
+      rng.nextInt(4) match {
+        case 0 => // DML under whatever policies are in force
+          if (rng.nextBoolean()) {
+            val rows = fresh(1 + rng.nextInt(15)).map(i =>
+              (i, rng.nextInt(900).toLong))
+            VersionedParquet.append(spark, root, rows.toDF("id", "x"),
+              keepVersions = 30)
+            model = model ++ rows
+          } else {
+            val p = 3 + rng.nextInt(4); val r = rng.nextInt(p)
+            VersionedParquet.delete(spark, root, col("x") % p === r,
+              keepVersions = 30)
+            model = model.filterNot { case (_, x) => x % p == r }
+          }
+        case 1 => // set/replace the row filter
+          val m = 2 + rng.nextInt(4)
+          VersionedParquet.setRowFilter(spark, root, s"id % $m = 0")
+          filterMod = Some(m)
+        case 2 => // set/replace the mask
+          val m = 3 + rng.nextInt(7)
+          VersionedParquet.addMaskPolicy(spark, root, "x", s"x % $m")
+          maskMod = Some(m)
+        case 3 => // drop whatever exists
+          if (filterMod.isDefined && rng.nextBoolean()) {
+            VersionedParquet.dropRowFilter(spark, root); filterMod = None
+          } else if (maskMod.isDefined) {
+            VersionedParquet.dropMaskPolicy(spark, root, "x")
+            maskMod = None
+          }
+      }
+      assert(servedSet() === expected(), s"serving diverged at step " +
+        s"$step (filter=$filterMod mask=$maskMod)")
+      // the engine tier always sees raw regardless of policy state
+      assert(VersionedParquet.read(spark, root).select("id", "x")
+        .as[(Long, Long)].collect().toSet ===
+        model.toSeq.map { case (i, x) => (i, x) }.toSet,
+        s"raw tier diverged at step $step")
+    }
+  }
+
   test("filters on masked columns answer over masked values (the " +
       "skipping tier is bypassed, not consulted unsoundly)") {
     import spark.implicits._
