@@ -504,6 +504,50 @@ object EventOps {
              |            sum(n) OVER (PARTITION BY prev) AS BIGINT)
              |         AS share_ppm
              |FROM cells
-             |ORDER BY prev, next""".stripMargin))
+             |ORDER BY prev, next""".stripMargin)),
+
+    // ── Top user journeys (opening event-type paths) ─────────────────────
+    // q204's matrix aggregates one step; this keeps the SEQUENCE: each
+    // user's first five event types join into a path string, and the
+    // most common openings rank with deterministic ties. The sequence
+    // is rebuilt per user via sort_array over (us, event_id, type)
+    // structs — a TOTAL order, so the grouped collect is deterministic
+    // without a window pre-sort (collect_list order alone is not);
+    // one user-keyed shuffle, then a path-cardinality aggregate.
+    QueryDef("q205_top_journeys",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"))
+        ev.groupBy("user_id")
+          .agg(array_join(
+            transform(
+              slice(sort_array(collect_list(struct(col("us"),
+                col("event_id"), col("event_type")))), 1, 5),
+              x => x.getField("event_type")), ">").as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_users"),
+            sum("user_id").cast("long").as("sum_users"))
+          .orderBy(col("n_users").desc, col("path"))
+          .limit(20)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |         epoch_ns(ts) // 1000 AS us, event_id,
+             |         row_number() OVER (PARTITION BY user_id
+             |           ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+             |  FROM events),
+             |p AS (
+             |  SELECT user_id,
+             |         string_agg(event_type, '>'
+             |           ORDER BY us, event_id) AS path
+             |  FROM e WHERE rn <= 5
+             |  GROUP BY 1)
+             |SELECT path, count(*) AS n_users,
+             |       CAST(sum(user_id) AS BIGINT) AS sum_users
+             |FROM p
+             |GROUP BY 1
+             |ORDER BY n_users DESC, path
+             |LIMIT 20""".stripMargin))
   )
 }
