@@ -548,6 +548,87 @@ object EventOps {
              |FROM p
              |GROUP BY 1
              |ORDER BY n_users DESC, path
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ── CUSUM drift detection per metric (monitoring staple) ─────────────
+    // The sequential change-point statistic no window expresses:
+    // cusum_i = max(0, cusum_{i−1} + x_i − k) over each event type's
+    // DAILY cents totals, k = the type's integer-mean baseline. All
+    // integer arithmetic, so the fold is bit-deterministic; the oracle
+    // is DuckDB's genuinely recursive evaluation of the same chain.
+    // Execution shape: the daily aggregate is the only corpus-sized
+    // work (one (type, day) shuffle); the fold runs as mapGroups over
+    // K≈5 groups of ≤days-many rows — inherently sequential per group,
+    // group count tiny, which is the one shape where a typed fold
+    // beats any relational encoding (the recursive CTE the oracle
+    // runs is single-node; this stays distributed up to the fold).
+    QueryDef("q206_cusum_drift",
+      (s, d) => {
+        import s.implicits._
+        val daily = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"),
+            cents(col("value")).as("vc"))
+          .groupBy("event_type", "day")
+          .agg(sum("vc").as("x"))
+          .as[(String, Long, Long)]
+        daily.groupByKey(_._1)
+          .mapGroups { (t, it) =>
+            val days = it.toSeq.sortBy(_._2)
+            val k = days.map(_._3).sum / days.length // integer baseline
+            var cusum = 0L
+            var maxC = 0L
+            var maxDay = Long.MaxValue
+            days.foreach { case (_, day, x) =>
+              cusum = math.max(0L, cusum + x - k)
+              if (cusum > maxC) { maxC = cusum; maxDay = day }
+            }
+            (t, days.length.toLong, k, maxC,
+              if (maxC == 0L) -1L else maxDay, cusum)
+          }
+          .toDF("event_type", "n_days", "baseline", "max_cusum",
+            "peak_day", "final_cusum")
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT event_type AS t,
+             |         (epoch_ns(ts) // 1000) // 86400000000 AS day,
+             |         CAST(sum(CAST(round(value * 100) AS BIGINT))
+             |           AS BIGINT) AS x
+             |  FROM events GROUP BY 1, 2),
+             |idx AS (
+             |  SELECT t, day, x,
+             |         row_number() OVER (PARTITION BY t
+             |                            ORDER BY day) AS rn
+             |  FROM d),
+             |k AS (SELECT t, CAST(sum(x) AS BIGINT) // count(*) AS k,
+             |             count(*) AS n FROM idx GROUP BY 1),
+             |c AS (
+             |  SELECT i.t, i.rn, i.day,
+             |         greatest(CAST(0 AS BIGINT), i.x - k.k) AS cusum
+             |  FROM idx i JOIN k ON k.t = i.t WHERE i.rn = 1
+             |  UNION ALL
+             |  SELECT i.t, i.rn, i.day,
+             |         greatest(CAST(0 AS BIGINT), c.cusum + i.x - k.k)
+             |  FROM c
+             |  JOIN idx i ON i.t = c.t AND i.rn = c.rn + 1
+             |  JOIN k ON k.t = i.t),
+             |lastrn AS (SELECT t, max(rn) AS mrn FROM idx GROUP BY 1),
+             |m AS (
+             |  SELECT c.t, max(c.cusum) AS max_cusum,
+             |         max(CASE WHEN c.rn = l.mrn
+             |                  THEN c.cusum END) AS final_cusum
+             |  FROM c JOIN lastrn l ON l.t = c.t GROUP BY 1),
+             |pk AS (
+             |  SELECT c.t, min(c.day) AS peak_day
+             |  FROM c JOIN m ON m.t = c.t AND c.cusum = m.max_cusum
+             |  GROUP BY 1)
+             |SELECT k.t AS event_type, k.n AS n_days, k.k AS baseline,
+             |       m.max_cusum,
+             |       CASE WHEN m.max_cusum = 0 THEN CAST(-1 AS BIGINT)
+             |            ELSE pk.peak_day END AS peak_day,
+             |       m.final_cusum
+             |FROM k JOIN m ON m.t = k.t JOIN pk ON pk.t = k.t
+             |ORDER BY event_type""".stripMargin))
   )
 }
