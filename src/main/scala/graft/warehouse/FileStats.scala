@@ -203,21 +203,45 @@ object FileStats {
     * written executor-side). If the bound ever bites, push the
     * pruning predicate into a filter over the sidecar scan and
     * collect only surviving file names. */
+  /** Per-snapshot sidecar memo: a snapshot's stats are written ONCE,
+    * before its pointer swap, and never mutated — so the loaded rows
+    * are cacheable by construction (vacuum deletes whole snapshot
+    * dirs; a stale entry for a deleted snapshot can only be reached
+    * by a read that fails at resolution anyway). Without this, every
+    * skipping probe re-runs a small Spark job to read the parquet
+    * sidecar — measured as the q134 ~1 s/probe drag after the
+    * sidecar moved from a text marker to executor-written parquet.
+    * Bounded: cleared wholesale past 64 snapshots. */
+  private val statRowsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Seq[StatRow]]]()
+
   private[warehouse] def loadStatRows(spark: SparkSession,
       snapshot: String): Option[Seq[StatRow]] = {
+    val cached = statRowsMemo.get(snapshot)
+    if (cached != null) return cached
     val dir = new org.apache.hadoop.fs.Path(snapshot, STATS_DIR)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir))
-      Some(spark.read.parquet(dir.toString).collect().toSeq.map(r =>
-        StatRow(r.getString(0), r.getLong(1), r.getString(2),
-          r.getString(3), r.getString(4), r.getString(5))))
-    else VersionedParquet.readPointer(spark,
-      new org.apache.hadoop.fs.Path(snapshot,
-        VersionedParquet.STATS_MARKER)).map(content =>
-      content.split('\n').filter(_.nonEmpty).toSeq.map { line =>
-        val Array(f, n, c, t, lo, hi) = line.split('\t')
-        StatRow(f, n.toLong, c, t, lo, hi)
-      })
+    val loaded: Option[Seq[StatRow]] =
+      if (fs.exists(dir))
+        Some(spark.read.parquet(dir.toString).collect().toSeq.map(r =>
+          StatRow(r.getString(0), r.getLong(1), r.getString(2),
+            r.getString(3), r.getString(4), r.getString(5))))
+      else VersionedParquet.readPointer(spark,
+        new org.apache.hadoop.fs.Path(snapshot,
+          VersionedParquet.STATS_MARKER)).map(content =>
+        content.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+          val Array(f, n, c, t, lo, hi) = line.split('\t')
+          StatRow(f, n.toLong, c, t, lo, hi)
+        })
+    // only memoize PRESENT stats: an absent sidecar may be a snapshot
+    // still being staged (publish writes stats before _SUCCESS, but a
+    // racing reader could probe between); None stays uncached so the
+    // next probe re-checks
+    if (loaded.isDefined) {
+      if (statRowsMemo.size > 64) statRowsMemo.clear()
+      statRowsMemo.put(snapshot, loaded)
+    }
+    loaded
   }
 
   /** Sidecar rows → per-file per-column [[Range]] map. A row with a
