@@ -1029,6 +1029,95 @@ object SimilarityOps {
              |JOIN m2 dx ON dx.i = m.i AND dx.j = m.i
              |JOIN m2 dy ON dy.i = m.j AND dy.j = m.j
              |CROSS JOIN nn
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // ── Embedding centroid drift across table versions ───────────────────
+    // Input-drift monitoring for a model's feature store: embeddings
+    // live in a VERSIONED table (v0 → append a shifted cohort →
+    // delete a slice), and the per-label centroid drift between v0
+    // and live is the retraining signal. Exact in quantized integer
+    // space: per (label, dim), centroid components are integer-mean
+    // floor divisions of exact Σq sums, drift = per-label L1 distance
+    // Σ_dim |c_live − c_v0| — every step integer, both engines
+    // bit-agree. Shape at 100 TB: two (label, dim)-keyed partial aggs
+    // (K×64 cells) joined on the cell lattice — the corpus is touched
+    // twice and nothing else shuffles.
+    QueryDef("q207_centroid_drift",
+      (s, d) => {
+        import graft.warehouse.VersionedParquet
+        val root = driftRoot(s, d)
+        def cents(df: org.apache.spark.sql.DataFrame) = df
+          .select(col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .withColumn("q",
+            round(col("x").cast("double") * 1e6).cast("long"))
+          .groupBy("label", "dim")
+          .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+          // integer-mean centroid component; Spark's `div` and
+          // DuckDB's `//` both truncate toward zero, so negative
+          // sums agree too (verified: −7 // 2 = −3 in both)
+          .withColumn("c", expr("sq div n"))
+          .select("label", "dim", "c", "n")
+        val c0 = cents(VersionedParquet.read(s, root, Some(0L)))
+        val cl = cents(VersionedParquet.read(s, root))
+        c0.select(col("label"), col("dim"), col("c").as("c0"),
+            col("n").as("n0"))
+          .join(cl.select(col("label"), col("dim"), col("c").as("c1"),
+            col("n").as("n1")), Seq("label", "dim"))
+          .groupBy("label")
+          .agg(max("n0").as("n_v0"), max("n1").as("n_live"),
+            sum(abs(col("c1") - col("c0"))).cast("long").as("l1_drift"))
+          .orderBy("label")
+      },
+      Some("""WITH v0 AS (
+             |  SELECT label, embedding FROM embeddings
+             |  WHERE vec_id % 5 <> 0),
+             |live AS (
+             |  SELECT label, embedding FROM embeddings
+             |  WHERE (vec_id % 5 <> 0 OR vec_id % 2 = 0)
+             |    AND vec_id % 11 <> 3),
+             |e0 AS (
+             |  SELECT label, CAST(t.i - 1 AS INT) AS dim,
+             |         CAST(round(CAST(embedding[t.i] AS DOUBLE)
+             |                    * 1000000.0) AS BIGINT) AS q
+             |  FROM v0 CROSS JOIN unnest(generate_series(1, 64)) AS t(i)),
+             |el AS (
+             |  SELECT label, CAST(t.i - 1 AS INT) AS dim,
+             |         CAST(round(CAST(embedding[t.i] AS DOUBLE)
+             |                    * 1000000.0) AS BIGINT) AS q
+             |  FROM live CROSS JOIN unnest(generate_series(1, 64)) AS t(i)),
+             |c0 AS (SELECT label, dim,
+             |              CAST(sum(q) AS BIGINT) // count(*) AS c,
+             |              count(*) AS n
+             |       FROM e0 GROUP BY 1, 2),
+             |cl AS (SELECT label, dim,
+             |              CAST(sum(q) AS BIGINT) // count(*) AS c,
+             |              count(*) AS n
+             |       FROM el GROUP BY 1, 2)
+             |SELECT c0.label, max(c0.n) AS n_v0, max(cl.n) AS n_live,
+             |       CAST(sum(abs(cl.c - c0.c)) AS BIGINT) AS l1_drift
+             |FROM c0 JOIN cl ON cl.label = c0.label AND cl.dim = c0.dim
+             |GROUP BY 1
+             |ORDER BY c0.label""".stripMargin))
   )
+
+  /** q207 table: versioned embeddings — v0 = vec_id % 5 ≠ 0, append
+    * the even-id cohort of the held-out fifth, delete vec_id % 11 = 3.
+    * Once per session. */
+  private def driftRoot(s: SparkSession, d: String): String = {
+    import graft.warehouse.VersionedParquet
+    val root = graft.sources.Scratch.dir(s, "q207-embeddings")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val e = Tables.embeddings(s, d)
+        .select("vec_id", "label", "embedding")
+      VersionedParquet.publish(e.filter(col("vec_id") % 5 =!= 0), root,
+        keepVersions = 10)
+      VersionedParquet.append(s, root,
+        e.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0),
+        keepVersions = 10)
+      VersionedParquet.delete(s, root, col("vec_id") % 11 === 3,
+        keepVersions = 10)
+    }
+    root
+  }
 }
