@@ -624,11 +624,69 @@ object EventOps {
              |  FROM c JOIN m ON m.t = c.t AND c.cusum = m.max_cusum
              |  GROUP BY 1)
              |SELECT k.t AS event_type, k.n AS n_days, k.k AS baseline,
-             |       m.max_cusum,
              |       CASE WHEN m.max_cusum = 0 THEN CAST(-1 AS BIGINT)
              |            ELSE pk.peak_day END AS peak_day,
-             |       m.final_cusum
+             |       m.max_cusum, m.final_cusum
              |FROM k JOIN m ON m.t = k.t JOIN pk ON pk.t = k.t
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // ── Cohort LTV curves (cumulative value by week offset) ──────────────
+    // The revenue twin of q64's retention matrix: users cohort by
+    // their FIRST event week, value cents accumulate per (cohort,
+    // week-offset), and the curve reports running cumulative cents
+    // plus the per-user average (integer division — truncating in
+    // both engines, sums nonnegative). Two user-keyed aggs (cohort
+    // assignment broadcast back, the same shape q64 pays) and a
+    // cumulative window over the cohort×offset CELL frame only.
+    QueryDef("q208_cohort_ltv",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"),
+          cents(col("value")).as("vc"))
+        val cohorts = ev.groupBy("user_id").agg(min("wk").as("cwk"))
+        val sizes = cohorts.groupBy("cwk")
+          .agg(countDistinct("user_id").as("cohort_size"))
+        val cells = ev.join(broadcast(cohorts), "user_id")
+          .groupBy(col("cwk"), (col("wk") - col("cwk")).as("wk_offset"))
+          .agg(sum("vc").as("cents"),
+            countDistinct("user_id").as("n_active"))
+        val cum = Window.partitionBy("cwk").orderBy("wk_offset")
+        cells
+          .withColumn("cum_cents", sum("cents").over(cum))
+          .join(broadcast(sizes), "cwk")
+          .withColumn("avg_ltv_cents",
+            expr("cum_cents div cohort_size"))
+          .select(col("cwk").as("cohort_week"), col("wk_offset"),
+            col("n_active"), col("cum_cents").cast("long").as("cum_cents"),
+            col("cohort_size"), col("avg_ltv_cents"))
+          .orderBy("cohort_week", "wk_offset")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |         (epoch_ns(ts) // 1000) // 604800000000 AS wk,
+             |         CAST(round(value * 100) AS BIGINT) AS vc
+             |  FROM events),
+             |cohorts AS (SELECT user_id, min(wk) AS cwk
+             |            FROM e GROUP BY 1),
+             |sizes AS (SELECT cwk, count(DISTINCT user_id)
+             |            AS cohort_size
+             |          FROM cohorts GROUP BY 1),
+             |cells AS (
+             |  SELECT c.cwk, e.wk - c.cwk AS wk_offset,
+             |         CAST(sum(e.vc) AS BIGINT) AS cents,
+             |         count(DISTINCT e.user_id) AS n_active
+             |  FROM e JOIN cohorts c ON c.user_id = e.user_id
+             |  GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT cwk, wk_offset, n_active,
+             |         CAST(sum(cents) OVER (PARTITION BY cwk
+             |           ORDER BY wk_offset) AS BIGINT) AS cum_cents
+             |  FROM cells)
+             |SELECT cum.cwk AS cohort_week, wk_offset, n_active,
+             |       cum_cents, s.cohort_size,
+             |       CAST(cum_cents // s.cohort_size AS BIGINT)
+             |         AS avg_ltv_cents
+             |FROM cum JOIN sizes s ON s.cwk = cum.cwk
+             |ORDER BY cohort_week, wk_offset""".stripMargin))
   )
 }
