@@ -18,8 +18,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * with a net change feed so `changes` stays continuous across the
   * publish. At 100 TB this is the ingestion-quality gate: a bad batch
   * is audited and repaired (or the branch dropped) without main ever
-  * serving a wrong row, and the publish itself moves zero data bytes
-  * (the branch's overlay tiers reference main's own physical base).
+  * serving a wrong row, and the publish moves zero BASE bytes — only
+  * the branch's overlay tiers (deletion vector + delta, O(changes))
+  * copy, since they reference main's own physical base.
   *
   * Concurrency contract (the WAP invariant): `fastForward` re-checks
   * under main's writer lock that main still sits at the branch's fork
@@ -141,9 +142,10 @@ object Branch {
     *
     * One SQUASHED commit: however many versions the branch accrued,
     * main advances by exactly one, whose tiers are a logical copy of
-    * the branch head (zero data bytes move when the branch still
-    * references main's own physical base — the common short-lived-WAP
-    * case; a branch that compacted/detached materializes honestly).
+    * the branch head (zero BASE bytes move when the branch still
+    * references main's own physical base — only the O(changes)
+    * overlay tiers copy; a branch that compacted/detached
+    * materializes honestly).
     * The commit's change feed is the net row diff main→branch, so
     * downstream CDF consumers replay through the publish.
     *
