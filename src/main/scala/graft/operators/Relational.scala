@@ -1011,6 +1011,68 @@ object Relational {
              |       min(poorest_key) AS poorest_key,
              |       min(richest_key) AS richest_key,
              |       min(third_key) AS third_key
-             |FROM w GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
+             |FROM w GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ── Hierarchical share-of-parent rollup (region → nation) ────────────
+    // The BI drill-down staple the plain rollup lacks: each nation's
+    // revenue as a share of its REGION, and each region's share of the
+    // grand total — both in integer parts-per-million (million-scaled
+    // floor div of exact c4 revenue sums; no float reaches the
+    // output). One star aggregate to (region, nation) cells, then
+    // both shares come from windows over the 25-row CELL frame —
+    // the parent totals never re-scan the fact table.
+    QueryDef("q209_share_of_parent",
+      (s, d) => {
+        val l = li(s, d)
+        val o = ord(s, d).select("o_orderkey", "o_custkey")
+        val c = cust(s, d).select("c_custkey", "c_nationkey")
+        val n = Tables.nation(s, d)
+          .select("n_nationkey", "n_name", "n_regionkey")
+        val r = Tables.region(s, d).select("r_regionkey", "r_name")
+        val cells = l
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+          .agg(sum(revC4x).as("rev"))
+        // shares in DECIMAL(38,0): rev·10⁶ exceeds int64 once a
+        // parent's c4-revenue sum passes ~9·10¹² (sf0.1 regions are
+        // already at ~3·10¹³) — the widened div floors exactly and
+        // the ppm result always fits back in a long
+        cells
+          .withColumn("nation_share_ppm", expr(
+            "CAST((CAST(rev AS DECIMAL(38,0)) * 1000000) div " +
+              "sum(CAST(rev AS DECIMAL(38,0))) " +
+              "over (partition by region) AS BIGINT)"))
+          .withColumn("region_share_ppm", expr(
+            "CAST((sum(CAST(rev AS DECIMAL(38,0))) " +
+              "over (partition by region) * 1000000) div " +
+              "sum(CAST(rev AS DECIMAL(38,0))) over () AS BIGINT)"))
+          .select(col("region"), col("nation"),
+            (col("rev") / 10000.0).as("revenue"),
+            col("nation_share_ppm"), col("region_share_ppm"))
+          .orderBy("region", "nation")
+      },
+      Some(s"""WITH cells AS (
+             |  SELECT r_name AS region, n_name AS nation,
+             |         CAST(sum($REV_C4) AS BIGINT) AS rev
+             |  FROM lineitem
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation ON n_nationkey = c_nationkey
+             |  JOIN region ON r_regionkey = n_regionkey
+             |  GROUP BY 1, 2)
+             |SELECT region, nation, rev / 10000.0 AS revenue,
+             |       CAST(CAST(rev AS HUGEINT) * 1000000 //
+             |            sum(CAST(rev AS HUGEINT))
+             |              OVER (PARTITION BY region) AS BIGINT)
+             |         AS nation_share_ppm,
+             |       CAST(sum(CAST(rev AS HUGEINT))
+             |              OVER (PARTITION BY region) * 1000000 //
+             |            sum(CAST(rev AS HUGEINT)) OVER () AS BIGINT)
+             |         AS region_share_ppm
+             |FROM cells
+             |ORDER BY region, nation""".stripMargin))
   )
 }
