@@ -687,6 +687,53 @@ object EventOps {
              |       CAST(cum_cents // s.cohort_size AS BIGINT)
              |         AS avg_ltv_cents
              |FROM cum JOIN sizes s ON s.cwk = cum.cwk
-             |ORDER BY cohort_week, wk_offset""".stripMargin))
+             |ORDER BY cohort_week, wk_offset""".stripMargin)),
+
+    // ── Longest active-day streak per user (gaps and islands) ────────────
+    // The engagement metric behind every "7-day streak" badge, by the
+    // classic island construction: distinct active days per user,
+    // day − row_number() is constant exactly within a run of
+    // consecutive days (the island key), islands aggregate to streak
+    // lengths, users keep their longest. All integer, one (user)
+    // window over the DISTINCT-day frame (≤ days per user, not
+    // events), top-20 with deterministic ties.
+    QueryDef("q210_active_streaks",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val days = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        days
+          .withColumn("island", col("day") - row_number().over(w))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"), min("day").as("streak_start"))
+          .groupBy("user_id")
+          .agg(max("len").as("longest_streak"),
+            count(lit(1)).as("n_streaks"),
+            min("streak_start").as("first_day"))
+          .orderBy(col("longest_streak").desc, col("user_id"))
+          .limit(20)
+      },
+      Some("""WITH days AS (
+             |  SELECT DISTINCT user_id,
+             |         (epoch_ns(ts) // 1000) // 86400000000 AS day
+             |  FROM events),
+             |isl AS (
+             |  SELECT user_id, day,
+             |         day - row_number() OVER (PARTITION BY user_id
+             |                                  ORDER BY day) AS island
+             |  FROM days),
+             |runs AS (
+             |  SELECT user_id, island, count(*) AS len,
+             |         min(day) AS streak_start
+             |  FROM isl GROUP BY 1, 2)
+             |SELECT user_id, max(len) AS longest_streak,
+             |       count(*) AS n_streaks,
+             |       CAST(min(streak_start) AS BIGINT) AS first_day
+             |FROM runs
+             |GROUP BY 1
+             |ORDER BY longest_streak DESC, user_id
+             |LIMIT 20""".stripMargin))
   )
 }
