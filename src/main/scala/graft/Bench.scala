@@ -179,6 +179,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"probe1_end_sec":${r3(probe1EndSec)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"regressed":$regressed,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
+    // UNCONDITIONAL full-evidence copy: the driver's stdout tail capture
+    // (~2000 chars) has repeatedly truncated the full line — round 9's
+    // "regressed" list was literally cut out of BENCH_r09.json. This file
+    // is the complete result object for EVERY run (filtered, hot-host,
+    // clean alike), so the evidence survives regardless of capture
+    // behavior; BENCH_LAST.json below remains the clean-gated baseline.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     // Also land the full line in the repo: round snapshots have truncated
     // the head of the stdout capture before, which made totals
     // unrecoverable — this copy is complete by construction. Filtered
@@ -190,11 +199,15 @@ object Bench {
     // probe healthy too (neighbor load slows every driver-side phase
     // ~2× without tripping the 32-thread probe — a baseline written
     // then would mask real regressions behind an inflated floor).
-    // 0.5 s is deliberately stricter than past committed snapshots
-    // (r8's own baseline carried probe1 0.638): the baseline only
-    // advances on a genuinely quiet host; on a busy one it simply
-    // stays at the last clean snapshot, which is the safe direction.
-    val Ref1Sec = 0.25
+    // Threshold calibrated to MEASUREMENT, not aspiration: the round-10
+    // idle-host run (load 0.14 before start, 32-thread probes 0.407 /
+    // 0.183 — both well clean) measured probe1 at 0.573 start / 0.559
+    // end, and r8's own clean snapshot carried 0.638 — this host's
+    // genuine quiet single-thread floor is 0.55–0.64 s, so the earlier
+    // 0.5 s gate could NEVER pass and the baseline could never advance.
+    // Loaded sessions measure probe1 ≥ 1.1 s, so 0.75 s separates the
+    // two populations with margin on both sides.
+    val Ref1Sec = 0.375
     val cleanBaseline = !hotHost &&
       probe1Sec < 2 * Ref1Sec && probe1EndSec < 2 * Ref1Sec
     if (only.isEmpty && cleanBaseline)

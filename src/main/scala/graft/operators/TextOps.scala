@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,29 +21,48 @@ object TextOps {
   private val TOKS =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
+  /** Bucket count for the stored postings layout. Fixed at publish
+    * time — probes recompute the same `hash(term) % N` with the same
+    * Murmur3, so a literal term names exactly one directory. */
+  private[graft] val PostingBuckets = 1024
+
+  /** The bucket a term's postings live in: Spark's deterministic
+    * Murmur3 `hash` folded into [0, PostingBuckets). */
+  private[graft] def termBucket(term: Column): Column =
+    pmod(hash(term), lit(PostingBuckets))
+
   /** Build (once per session) the STORED positional inverted index for
-    * q107: `(doc_id, pos)` postings published PARTITIONED BY TERM
-    * through the versioned table format. At 100 TB this is the layout a
-    * phrase/proximity query wants: the probe names its terms, so the
-    * scan reads only those term partitions (PartitionFilters, no file
-    * of any other term is opened) — the disk analogue of q81's
-    * "shuffle carries the query terms, not the dictionary". Partition-
-    * value type inference is pinned off at read so a numeric token
-    * ("42") can't flip the term column's type out from under the
-    * probe's string equality. */
+    * q107: `(doc_id, pos, term)` postings published PARTITIONED BY
+    * `term_bucket = hash(term) % 1024` through the versioned table
+    * format, with the raw term kept as a data column. At 100 TB this is
+    * the layout a phrase/proximity store needs: the probe hashes its
+    * literal terms to their buckets, so the scan reads exactly one
+    * directory per probed term (PartitionFilters) and filters to the
+    * term within — the Lucene shard model. Partitioning by the RAW term
+    * (the earlier layout) would mint one directory per distinct term:
+    * unbounded partition cardinality (10⁷–10⁸ dirs at corpus scale —
+    * object stores and metastores die long before that) and already the
+    * dominant publish cost at sf0.1. Bucketing bounds the layout at
+    * 1024 directories by construction while keeping the same pruning
+    * win; the within-bucket term filter is a pushed parquet predicate
+    * over a vocabulary/1024 slice. The bucket column is integral, so
+    * partition-value type inference is type-stable and needs no
+    * pinning (the raw-term layout had to pin inference off so a
+    * numeric token like "42" couldn't flip the column type). */
   private[graft] def postingsRoot(s: SparkSession, d: String): String = {
     val root = Scratch.dir(s,
       "q107-postings-" + Integer.toHexString(d.hashCode))
     if (VersionedParquet.currentVersion(s, root).isEmpty) {
       val post = Tables.documents(s, d).select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "term")))
-        // cluster by term BEFORE the partitioned write: without this,
-        // every write task emits a file into every term directory
-        // (tasks × vocabulary small files — measured 9.6 s at sf0.1);
-        // clustered, each term directory gets one file (2.1 s, and the
-        // layout a 100 TB postings store needs anyway)
-        .repartition(col("term"))
-      VersionedParquet.publish(post, root, partitionCols = Seq("term"))
+        .withColumn("term_bucket", termBucket(col("term")))
+        // cluster by bucket BEFORE the partitioned write: without this,
+        // every write task emits a file into every bucket directory
+        // (tasks × buckets small files); clustered, each bucket
+        // directory gets one file
+        .repartition(col("term_bucket"))
+      VersionedParquet.publish(post, root,
+        partitionCols = Seq("term_bucket"))
     }
     root
   }
@@ -443,29 +462,25 @@ object TextOps {
 
     // ── Phrase search over the stored positional inverted index ──────────
     // Exact-phrase retrieval ("sort merge" as adjacent tokens): the
-    // postings table from postingsRoot is read back with the phrase's
-    // two terms as a partition predicate — only those term directories
-    // are scanned (PlanSpec asserts the PartitionFilters) — and
-    // adjacency is an equi-join on (doc_id, pos) after shifting the
-    // second term's positions left by one. Generalizes to k-word
-    // phrases as a k-way chain on the same key. The join carries only
-    // the two terms' postings, never the corpus; the shingle/lead
-    // formulation (q35's ground) would rescan every document instead.
+    // postings table from postingsRoot is read back with each phrase
+    // term's BUCKET as a partition predicate — exactly one directory
+    // per probed term is scanned (PlanSpec asserts the pruning) — plus
+    // the term equality pushed into the bucket's parquet. Adjacency is
+    // an equi-join on (doc_id, pos) after shifting the second term's
+    // positions left by one. Generalizes to k-word phrases as a k-way
+    // chain on the same key. The join carries only the two terms'
+    // postings, never the corpus; the shingle/lead formulation (q35's
+    // ground) would rescan every document instead.
     QueryDef("q107_phrase_search",
       (s, d) => {
-        // Pin inference off only around schema resolution (read-time),
-        // then restore: other queries' stored partitioned tables (q100's
-        // cent_id lists) rely on the default inference, and this conf is
-        // session-wide.
-        val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        val prev = s.conf.getOption(infKey)
-        s.conf.set(infKey, "false")
-        val post =
-          try VersionedParquet.read(s, postingsRoot(s, d))
-          finally prev.fold(s.conf.unset(infKey))(s.conf.set(infKey, _))
-        val p0 = post.filter(col("term") === "sort")
+        val post = VersionedParquet.read(s, postingsRoot(s, d))
+        val p0 = post
+          .filter(col("term_bucket") === termBucket(lit("sort")) &&
+            col("term") === "sort")
           .select(col("doc_id"), col("pos"))
-        val p1 = post.filter(col("term") === "merge")
+        val p1 = post
+          .filter(col("term_bucket") === termBucket(lit("merge")) &&
+            col("term") === "merge")
           .select(col("doc_id"), (col("pos") - 1).as("pos"))
         p0.join(p1, Seq("doc_id", "pos"))
           .groupBy("doc_id")
@@ -539,32 +554,32 @@ object TextOps {
     // ── Incremental positional-index maintenance via the change feed ─────
     // Completes the index-maintenance set for TEXT (q162 = PQ codes,
     // q168 = LSH bands, q178 = cluster assignments): the stored
-    // positional inverted index (q107's term-partitioned layout)
+    // positional inverted index (q107's term-bucketed layout)
     // advances from its corpus table's own CDF. Inserted docs tokenize
     // as an O(changes) batch appended onto the index's delta tier
     // (postings are doc-local, so incremental == rebuild EXACTLY);
     // deleted docs land as TOMBSTONES the probe anti-joins out — the
     // Lucene delete model: postings are never rewritten, compaction
     // folds tombstones later. The probe still partition-prunes to its
-    // two terms (base dirs) + the O(changes) delta tail. The oracle
-    // runs the phrase search over the replayed FINAL corpus, so a
-    // feed-missed insert, a ghost posting from a deleted doc, or
-    // bulk-vs-incremental tokenization drift all break the hash.
+    // two terms' buckets (base dirs) + the O(changes) delta tail,
+    // where the same bucket+term predicate is an ordinary pushed
+    // filter. The oracle runs the phrase search over the replayed
+    // FINAL corpus, so a feed-missed insert, a ghost posting from a
+    // deleted doc, or bulk-vs-incremental tokenization drift all
+    // break the hash.
     QueryDef("q192_text_index_maintenance",
       (s, d) => {
         val (idx, tomb) = maintainedPostings(s, d)
-        val infKey =
-          "spark.sql.sources.partitionColumnTypeInference.enabled"
-        val prev = s.conf.getOption(infKey)
-        s.conf.set(infKey, "false")
-        val post =
-          try VersionedParquet.read(s, idx)
-          finally prev.fold(s.conf.unset(infKey))(s.conf.set(infKey, _))
+        val post = VersionedParquet.read(s, idx)
         val dead = VersionedParquet.read(s, tomb)
         val nTomb = dead.count()
-        val p0 = post.filter(col("term") === "sort")
+        val p0 = post
+          .filter(col("term_bucket") === termBucket(lit("sort")) &&
+            col("term") === "sort")
           .select(col("doc_id"), col("pos"))
-        val p1 = post.filter(col("term") === "merge")
+        val p1 = post
+          .filter(col("term_bucket") === termBucket(lit("merge")) &&
+            col("term") === "merge")
           .select(col("doc_id"), (col("pos") - 1).as("pos"))
         p0.join(p1, Seq("doc_id", "pos"))
           .join(dead, Seq("doc_id"), "left_anti")
@@ -619,10 +634,11 @@ object TextOps {
       def postingsOf(df: org.apache.spark.sql.DataFrame) =
         df.select(col("doc_id"),
           posexplode(tokens(col("text"))).as(Seq("pos", "term")))
-          .repartition(col("term"))
+          .withColumn("term_bucket", termBucket(col("term")))
+          .repartition(col("term_bucket"))
       VersionedParquet.publish(
         postingsOf(VersionedParquet.read(s, docs, Some(0L))), idx,
-        partitionCols = Seq("term"), keepVersions = 10)
+        partitionCols = Seq("term_bucket"), keepVersions = 10)
       val ins = VersionedParquet.changes(s, docs, 0, 1)
         .filter(col("_change_type") === "insert")
         .select("doc_id", "text")

@@ -185,8 +185,19 @@ object Analyze {
             val feed = VersionedParquet.changes(spark, root, vS, live)
             val types = feed.select("_change_type").distinct()
               .collect().map(_.getString(0)).toSet
+            // The schema gate is two-sided: every stored column must
+            // still exist in the feed, AND no NEW supported column may
+            // have appeared on the live frame — a column added since
+            // the last ANALYZE has history the feed's tail can't see,
+            // so merging would re-stamp stats at the live version
+            // silently missing it (the docstring promises the result
+            // is exactly a full re-ANALYZE; only the recompute path
+            // can keep that promise after a widening schema change).
+            val liveSupported =
+              supportedCols(VersionedParquet.read(spark, root))
             if (types.subsetOf(Set("insert")) &&
-                colnames.forall(feed.columns.contains))
+                colnames.forall(feed.columns.contains) &&
+                liveSupported.forall(colnames.contains))
               Some(feed.filter(col("_change_type") === "insert"))
             else None
           } catch { case _: IOException => None }

@@ -224,7 +224,18 @@ object Branch {
           .parquet(new Path(snapshot, CDF_DIR).toString)
       }
       // branch DDL travels: install the branch's live contract markers
-      // (drift-checked above, so main's copies are still fork-time)
+      // (drift-checked above, so main's copies are still fork-time).
+      // Main's current marker contents are captured FIRST so a failed
+      // pointer swap can put them back — without the restore, a swap
+      // failure would leave main's contracts already replaced (e.g. a
+      // policy dropped on the branch leaving main permanently
+      // ungoverned) while the old data is still live. The markers are
+      // installed immediately before the swap to keep the
+      // new-contracts-over-old-data window as narrow as the versionless
+      // marker design allows; a crash inside the window is repaired by
+      // the restore below or by re-running the fast-forward.
+      val savedMarkers: Seq[(String, Option[String])] =
+        META_MARKERS.map(m => m -> readPointer(spark, new Path(root, m)))
       META_MARKERS.foreach { m =>
         readPointer(spark, new Path(bPath, m)) match {
           case Some(txt) => installPointer(spark, rootPath, m, txt)
@@ -235,8 +246,15 @@ object Branch {
       try swapPointer(spark, rootPath, next)
       catch {
         case e: IOException =>
+          // Undo the contract install so the error's claim is true:
+          // data pointer AND contracts both back at pre-publish state.
+          savedMarkers.foreach {
+            case (m, Some(txt)) => installPointer(spark, rootPath, m, txt)
+            case (m, None) => fs.delete(new Path(rootPath, m), false); ()
+          }
           throw new IOException(s"could not swap pointer for $root; " +
-            s"live table unchanged, staged publish at $snapshot", e)
+            s"live table unchanged (contract markers restored), " +
+            s"staged publish at $snapshot", e)
       }
       if (dropAfter) drop(spark, root, name)
       next

@@ -442,6 +442,19 @@ object GraftSql {
       case None => spark.sql(text)
     }
 
+  /** Stats surfaces serve raw per-column min/max (actual data values,
+    * e.g. a masked column's real ids) and counts that include
+    * filter-withheld rows — on a policy-bearing table they would be a
+    * governance side channel through the very SQL surface that
+    * enforces the policies. Same refusal matrix as CDF, streaming,
+    * manifest export and Delta export: refuse loudly, name the path. */
+  private def requireNoPolicies(spark: SparkSession, root: String,
+                                table: String, verb: String): Unit =
+    require(!VersionedParquet.hasPolicies(spark, root),
+      s"cannot $verb $table: row/column policies are active and " +
+        "column stats (raw min/max, unfiltered counts) would bypass " +
+        "them; drop the policies first or query the governed data")
+
   /** `ANALYZE TABLE t MAINTAIN STATISTICS` — advance stored stats
     * from the change feed (q194's `Analyze.maintain`); returns the
     * fresh stats with the path taken and the version they describe. */
@@ -450,6 +463,7 @@ object GraftSql {
     val (root, _) = GraftTables.rootOf(m.table).getOrElse(
       throw new IllegalStateException(
         s"table ${m.table} is not registered"))
+    requireNoPolicies(spark, root, m.table, "MAINTAIN STATISTICS on")
     val (df, path) = Analyze.maintain(spark, root)
     val v = VersionedParquet.currentVersion(spark, root).getOrElse(-1L)
     df.withColumn("path", org.apache.spark.sql.functions.lit(path))
@@ -492,6 +506,7 @@ object GraftSql {
     val (root, _) = GraftTables.rootOf(a.table).getOrElse(
       throw new IllegalStateException(
         s"table ${a.table} is not registered"))
+    requireNoPolicies(spark, root, a.table, "ANALYZE")
     val v = VersionedParquet.currentVersion(spark, root).getOrElse(-1L)
     Analyze.table(spark, root, a.cols)
       .withColumn("version", org.apache.spark.sql.functions.lit(v))
@@ -505,6 +520,7 @@ object GraftSql {
     val (root, _) = GraftTables.rootOf(ds.table).getOrElse(
       throw new IllegalStateException(
         s"table ${ds.table} is not registered"))
+    requireNoPolicies(spark, root, ds.table, "DESCRIBE STATS on")
     val (v, df) = Analyze.stats(spark, root).getOrElse(
       throw new IllegalStateException(
         s"table ${ds.table} was never analyzed; run ANALYZE TABLE " +
@@ -616,6 +632,49 @@ object GraftSql {
           "constraints", "generated_columns", "extension_columns")
     }
   }
+
+  /** SQL inline time travel: rewrite `t FOR VERSION AS OF 3` /
+    * `t FOR TIMESTAMP AS OF '…'` (with `t` a REGISTERED graft table)
+    * into a reference to a pinned temp view resolving through the same
+    * `versionAsOf`/`timestampAsOf` GraftSource read path as
+    * `CREATE TEMPORARY VIEW … USING graft OPTIONS (versionAsOf …)`
+    * (q161's idiom) — so SQL clients pin versions inline, the Delta
+    * way, without the explicit view step. Names NOT in the registry
+    * pass through untouched and meet Spark's analyzer as usual; a pin
+    * outside the published range fails loudly at issue time through
+    * the read path's own validation. The pinned view name is
+    * deterministic per (table, pin), so repeated queries reuse it and
+    * `t FOR VERSION AS OF 2` in two statements is one view. Timestamps
+    * accept epoch millis or any `java.sql.Timestamp`-parsable literal
+    * (`'2026-01-01 00:00:00'`). */
+  private[graft] def rewriteTimeTravel(text: String): String = {
+    if (!text.toUpperCase.contains(" AS OF")) return text
+    val spark = SparkSession.active
+    val V = """(?i)\b([A-Za-z_][\w]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+    val T =
+      """(?i)\b([A-Za-z_][\w]*)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+    def q(s: String) = java.util.regex.Matcher.quoteReplacement(s)
+    def pin(table: String, opt: String, value: String,
+            tag: String): Option[String] =
+      GraftTables.rootOf(table).map { case (root, _) =>
+        val view = s"${table}__$tag"
+        spark.read.format("graft")
+          .option("path", root).option(opt, value).load()
+          .createOrReplaceTempView(view)
+        view
+      }
+    val v1 = V.replaceAllIn(text, m =>
+      q(pin(m.group(1), "versionAsOf", m.group(2), s"v${m.group(2)}")
+        .getOrElse(m.matched)))
+    T.replaceAllIn(v1, { m =>
+      val raw = m.group(2)
+      val millis =
+        if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+        else java.sql.Timestamp.valueOf(raw).getTime
+      q(pin(m.group(1), "timestampAsOf", millis.toString, s"t$millis")
+        .getOrElse(m.matched))
+    })
+  }
 }
 
 /** The eagerly-executed command node the injected parser emits — DML
@@ -702,8 +761,9 @@ private[graft] final case class GraftExportDeltaCommand(
 }
 
 /** Parser extension: intercepts the four DML verbs against registered
-  * versioned tables; delegates every other statement — and every
-  * other parser duty — to Spark's own parser. */
+  * versioned tables, rewrites inline time-travel clauses on anything
+  * else, and delegates every other statement — and every other parser
+  * duty — to Spark's own parser. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -714,7 +774,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Some(a: SqlAnalyze) => GraftStatsCommand(a.table, Some(a.cols))
       case Some(ds: SqlDescribeStats) => GraftStatsCommand(ds.table, None)
       case Some(dml) => GraftDmlCommand(dml)
-      case None => delegate.parsePlan(sqlText)
+      case None =>
+        delegate.parsePlan(GraftSql.rewriteTimeTravel(sqlText))
     }
   @throws[ParseException]
   override def parseExpression(sqlText: String): Expression =
@@ -730,7 +791,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseMultipartIdentifier(sqlText)
   @throws[ParseException]
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+    delegate.parseQuery(GraftSql.rewriteTimeTravel(sqlText))
   @throws[ParseException]
   override def parseTableSchema(sqlText: String): StructType =
     delegate.parseTableSchema(sqlText)

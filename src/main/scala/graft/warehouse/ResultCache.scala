@@ -69,9 +69,18 @@ object ResultCache {
       val meta = Seq(VersionedParquet.POLICIES_EXT,
           VersionedParquet.SCHEMA_EXT, VersionedParquet.SCHEMA_MAP,
           VersionedParquet.SCHEMA_GEN)
-        .map(m => VersionedParquet.readPointer(spark, new Path(root, m))
-          .getOrElse(""))
-        .mkString("")
+        // Digest each marker as "<name>=<len>:<content>", joined with
+        // newlines: boundaries are unambiguous by construction, so no
+        // (marker, content) shuffle — nor marker content that happens
+        // to contain a delimiter byte — can make two distinct states
+        // collide and validate a stale cached result after a
+        // policy/schema change.
+        .map { m =>
+          val c = VersionedParquet
+            .readPointer(spark, new Path(root, m)).getOrElse("")
+          s"$m=${c.length}:$c"
+        }
+        .mkString("\n")
       val metaFp = java.lang.Long.toUnsignedString(
         Hashing.md5Long60(meta.getBytes(StandardCharsets.UTF_8)), 16)
       s"${new Path(root).getName}@$v#$metaFp"

@@ -452,22 +452,25 @@ class PlanSpec extends AnyFunSuite {
     }.isEmpty, "no iteration may degenerate to a cartesian product")
   }
 
-  test("q107 phrase probe prunes the stored postings to its term partitions") {
+  test("q107 phrase probe prunes the stored postings to its term's bucket") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val p = planOf("q107_phrase_search")
     val postingScans = collectAll(p) {
       case s: FileSourceScanExec
-        if s.relation.partitionSchema.fieldNames.contains("term") => s
+        if s.relation.partitionSchema.fieldNames.contains("term_bucket") => s
     }
     assert(postingScans.nonEmpty, "the stored postings index must be scanned")
     postingScans.foreach { s =>
       assert(s.partitionFilters.nonEmpty,
-        "each postings scan must carry a term partition predicate")
-      // the pruned scan reads exactly one term's directory — never the
-      // whole vocabulary
+        "each postings scan must carry a term_bucket partition predicate")
+      // the pruned scan reads exactly one bucket directory of the 1024
+      // — never the whole layout; the term equality itself must ALSO
+      // survive as a pushed data filter within the bucket
       assert(s.relation.location.listFiles(s.partitionFilters, Nil)
         .length === 1,
-        "partition pruning must reduce the scan to the probed term")
+        "partition pruning must reduce the scan to the probed term's bucket")
+      assert(s.dataFilters.map(_.sql).mkString(" ").contains("term"),
+        "the raw-term equality must be pushed into the bucket's scan")
     }
   }
 }
