@@ -2204,7 +2204,58 @@ object VersionOps {
              |       0 AS resync_appends, 0 AS resync_overwrites
              |FROM fin
              |GROUP BY 1
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // ── SQL INLINE time travel: FOR VERSION AS OF on the SELECT ──────────
+    // Completes q161's read surface with the Delta idiom itself: no
+    // CREATE TEMPORARY VIEW step — the pin rides the SELECT. The
+    // injected/GraftSql parser rewrites `t FOR VERSION AS OF n` (and
+    // `FOR TIMESTAMP AS OF`) on REGISTERED tables into the same
+    // versionAsOf GraftSource read path the explicit view uses, so
+    // MoR overlay, exclusions, and checkpointed history all apply.
+    // Here the v0 pin must see the PRE-concurrency state of q158's
+    // table and the live-version pin the final one — one statement,
+    // two pins of the same table, no view anywhere; the oracle
+    // recomputes both snapshots from raw orders (q161's oracle).
+    QueryDef("q211_sql_inline_time_travel",
+      (s, d) => {
+        val root = occRoot(s, d)
+        graft.warehouse.GraftTables.register("occ_q211", root)
+        val live = VersionedParquet.currentVersion(s, root).get
+        graft.warehouse.GraftSql.sql(s,
+          s"""SELECT 'live' AS snap, band, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM occ_q211 FOR VERSION AS OF $live GROUP BY band
+             |UNION ALL
+             |SELECT 'v0', band, count(*),
+             |       CAST(sum(cents) AS BIGINT)
+             |FROM occ_q211 FOR VERSION AS OF 0 GROUP BY band
+             |ORDER BY snap, band""".stripMargin)
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             |         'b' || CAST(o_orderkey % 3 AS VARCHAR) AS band
+             |  FROM orders),
+             |final AS (
+             |  SELECT k, c, CASE WHEN k % 10 = 1 THEN 5
+             |                    WHEN k % 10 = 2 THEN 7
+             |                    ELSE cents + 11 END AS cents, band
+             |  FROM o WHERE band = 'b0'
+             |  UNION ALL
+             |  SELECT k, c, cents, band FROM o WHERE band = 'b1'
+             |  UNION ALL
+             |  SELECT k, c, cents + 33, band FROM o
+             |  WHERE band = 'b1' AND c % 5 = 0
+             |  UNION ALL
+             |  SELECT k, c, cents + 22, band FROM o WHERE band = 'b2')
+             |SELECT 'live' AS snap, band, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM final GROUP BY band
+             |UNION ALL
+             |SELECT 'v0', band, count(*), CAST(sum(cents) AS BIGINT)
+             |FROM o GROUP BY band
+             |ORDER BY snap, band""".stripMargin))
   )
 
   /** q198 builder: graft commits (publish, two appends, delete)

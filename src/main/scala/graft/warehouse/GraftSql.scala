@@ -439,7 +439,10 @@ object GraftSql {
       case Some(m: SqlMaintainStats) => maintainFrame(spark, m)
       case Some(b: SqlDescribeBranches) => branchesFrame(spark, b)
       case Some(dml) => exec(spark, dml); spark.emptyDataFrame
-      case None => spark.sql(text)
+      // same inline time-travel rewrite as the injected parser, so the
+      // library-call path (`GraftSql.sql`) and the parser-extension
+      // path accept identical statements
+      case None => spark.sql(rewriteTimeTravel(spark, text))
     }
 
   /** Stats surfaces serve raw per-column min/max (actual data values,
@@ -647,9 +650,12 @@ object GraftSql {
     * `t FOR VERSION AS OF 2` in two statements is one view. Timestamps
     * accept epoch millis or any `java.sql.Timestamp`-parsable literal
     * (`'2026-01-01 00:00:00'`). */
-  private[graft] def rewriteTimeTravel(text: String): String = {
+  private[graft] def rewriteTimeTravel(text: String): String =
+    rewriteTimeTravel(SparkSession.active, text)
+
+  private[graft] def rewriteTimeTravel(spark: SparkSession,
+                                       text: String): String = {
     if (!text.toUpperCase.contains(" AS OF")) return text
-    val spark = SparkSession.active
     val V = """(?i)\b([A-Za-z_][\w]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)""".r
     val T =
       """(?i)\b([A-Za-z_][\w]*)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r

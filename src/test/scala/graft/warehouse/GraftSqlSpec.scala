@@ -333,4 +333,69 @@ class GraftSqlSpec extends AnyFunSuite {
       GraftTables.unregister("t_gov_branch_dead")
     }
   }
+
+  test("inline time travel: FOR VERSION AS OF / FOR TIMESTAMP AS OF on SELECTs") {
+    val root = tmp("tt")
+    seed(root) // v0: 100 rows
+    GraftTables.register("t_tt", root, keepVersions = 50)
+    try {
+      VersionedParquet.delete(spark, root, col("id") >= 50L,
+        keepVersions = 50) // v1: 50 rows
+      // versions pin without any temp-view step, through both clauses,
+      // in the same statement — and mix with live reads
+      val n0 = GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM t_tt FOR VERSION AS OF 0")
+        .head().getLong(0)
+      val n1 = GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM t_tt FOR VERSION AS OF 1")
+        .head().getLong(0)
+      assert(n0 === 100L && n1 === 50L)
+      // timestamp pin: the v0 commit stamp (from the history view)
+      val hist = spark.read.format("graft")
+        .option("path", root).option("history", "true").load()
+        .collect().map(r => r.getAs[Long]("version") ->
+          r.getAs[Long]("commit_millis")).toMap
+      val nT = GraftSql.sql(spark,
+        s"SELECT count(*) AS n FROM t_tt FOR TIMESTAMP AS OF '${hist(0L)}'")
+        .head().getLong(0)
+      assert(nT === 100L)
+      // two pins of the SAME table join in one statement (version diff)
+      val joined = GraftSql.sql(spark,
+        """SELECT count(*) AS gone FROM t_tt FOR VERSION AS OF 0 v0
+          |LEFT ANTI JOIN t_tt FOR VERSION AS OF 1 live
+          |ON v0.id = live.id""".stripMargin)
+      assert(joined.head().getLong(0) === 50L)
+      // registered-table miss: text mentioning an unregistered name
+      // passes through untouched and fails in Spark's analyzer
+      intercept[Exception] {
+        GraftSql.sql(spark,
+          "SELECT * FROM not_registered FOR VERSION AS OF 0").collect()
+      }
+      // out-of-range pin fails loudly at issue time
+      intercept[Exception] {
+        GraftSql.sql(spark,
+          "SELECT * FROM t_tt FOR VERSION AS OF 99").collect()
+      }
+      // the injected parser accepts the same idiom through plain
+      // spark.sql — the thrift/notebook path
+      val prev = spark
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val extSession = SparkSession.builder()
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      try {
+        assert(extSession.sql(
+          "SELECT count(*) AS n FROM t_tt FOR VERSION AS OF 0")
+          .head().getLong(0) === 100L)
+      } finally {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        SparkSession.setDefaultSession(prev)
+        SparkSession.setActiveSession(prev)
+      }
+    } finally GraftTables.unregister("t_tt")
+  }
 }
