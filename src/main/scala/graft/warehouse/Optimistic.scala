@@ -354,7 +354,7 @@ object Optimistic {
               (DOMAIN_MARKER -> "append")).foreach {
               case (name, content) =>
                 installPointer(spark, snapshot, name, content) }
-            installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+            sealCommit(spark, snapshot)
             swapPointer(spark, rootPath, next)
             vacuumLocked(spark, root, keepVersions, 0L)
             Some(Commit(snapshot.toString, next, attempts))
@@ -509,7 +509,7 @@ object Optimistic {
             installPointer(spark, snapshot, BASE_MARKER, base)
             encodeDomain(mine).foreach(d =>
               installPointer(spark, snapshot, DOMAIN_MARKER, d))
-            installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+            sealCommit(spark, snapshot)
             swapPointer(spark, rootPath, next)
             vacuumLocked(spark, root, keepVersions, 0L)
             Some(Commit(snapshot.toString, next, attempts))
@@ -710,7 +710,7 @@ object Optimistic {
                 installPointer(spark, snapshot, name, content) }
             encodeDomain(mine).foreach(dm =>
               installPointer(spark, snapshot, DOMAIN_MARKER, dm))
-            installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+            sealCommit(spark, snapshot)
             swapPointer(spark, rootPath, next)
             vacuumLocked(spark, root, keepVersions, 0L)
             Some(Commit(snapshot.toString, next, attempts))

@@ -298,6 +298,116 @@ object VersionedParquet {
     * fall back to dir mtime in [[readAsOf]]. */
   private[warehouse] def commitStamp(): String = System.currentTimeMillis().toString
 
+  // ── format protocol / reader feature gate ──────────────────────────
+  //
+  // The format has grown optional tiers a reader MUST understand to
+  // serve correct rows: deletion vectors, the merge-on-read delta,
+  // exclusion manifests, metadata-only schema extensions, read-time
+  // schema maps, access policies. `DeltaLite` refuses foreign Delta
+  // tables whose `protocol.minReaderVersion` exceeds what it
+  // implements — this is the same discipline applied to OUR OWN
+  // format: every commit seals a `root/_PROTOCOL` marker listing the
+  // reader-required features of the RETAINED version chain, and every
+  // read refuses loudly when the marker names a feature this build
+  // does not know. A graft reader from before a feature existed (or a
+  // foreign reimplementation that skipped one) fails with the feature
+  // NAMED instead of silently serving un-masked, un-deleted, or
+  // un-mapped rows. An ABSENT marker gates nothing — tables written
+  // by older builds (or by hand) stay readable exactly as before; the
+  // gate only ever fires on a table that declares something unknown.
+  //
+  // Reader-required means "changes what a read returns". Deliberately
+  // NOT listed: `_cdf` (only `changes`/streaming consume it),
+  // `_CHECKPOINT` (a resolution cache — listing still works),
+  // `_CONSTRAINTS` / generation rules (writer-side contracts;
+  // admitted data reads plainly), stats sidecars (optimizer hints).
+
+  private[warehouse] val PROTOCOL_MARKER = "_PROTOCOL"
+
+  /** Reader features THIS build implements. A future feature must be
+    * added here in the same change that teaches the read path its
+    * semantics — the marker is how old builds learn to refuse it. */
+  private[warehouse] val SupportedReaderFeatures: Set[String] = Set(
+    "logical-base",       // _BASE: version data lives in another dir
+    "deletion-vectors",   // _dv: rows masked out of the base at scan
+    "delta-overlay",      // _delta: upserted rows layered over base
+    "exclusion-manifest", // _EXCLUDEFILES: base files pruned at list
+    "schema-extensions",  // _SCHEMA_EXT: metadata-only added columns
+    "schema-map",         // _SCHEMA_MAP: read-time column drop/rename
+    "policies")           // _POLICIES: row filters + column masks
+
+  /** The reader-required features of the retained chain: physical
+    * tiers of every retained version directory (plus `extraDir`, the
+    * snapshot being sealed — it has no `_SUCCESS` yet so `versions`
+    * cannot see it) unioned with the versionless root contracts.
+    * Bounded: retention×4 existence probes + 3 root probes. */
+  private[warehouse] def requiredFeatures(spark: SparkSession,
+      root: String, extraDir: Option[Path] = None): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = fsOf(spark, rootPath)
+    val dirs = versions(spark, root)
+      .map(v => new Path(rootPath, versionName(v))) ++ extraDir
+    def dirFeatures(d: Path): Seq[String] = Seq(
+      "logical-base" -> BASE_MARKER, "deletion-vectors" -> DV_DIR,
+      "delta-overlay" -> DELTA_DIR,
+      "exclusion-manifest" -> EXCLUDE_MARKER)
+      .collect { case (f, m) if fs.exists(new Path(d, m)) => f }
+    val phys = dirs.flatMap(dirFeatures)
+    val versionless = Seq(
+      "schema-extensions" -> SCHEMA_EXT, "schema-map" -> SCHEMA_MAP,
+      "policies" -> POLICIES_EXT)
+      .collect { case (f, m) if fs.exists(new Path(rootPath, m)) => f }
+    (phys ++ versionless).distinct.sorted
+  }
+
+  /** Recompute and install (or clear) `root/_PROTOCOL` from current
+    * state. Called by every commit seal and by the versionless feature
+    * DDLs (policies, schema map/ext) — those mint no version, so the
+    * marker must move with them or a new policy would stay
+    * undeclared until the next data commit. */
+  private[warehouse] def refreshProtocol(spark: SparkSession,
+      root: String, extraDir: Option[Path] = None): Unit = {
+    val feats = requiredFeatures(spark, root, extraDir)
+    val marker = new Path(root, PROTOCOL_MARKER)
+    if (feats.nonEmpty)
+      installPointer(spark, new Path(root), PROTOCOL_MARKER,
+        feats.mkString("\n"))
+    else { fsOf(spark, marker).delete(marker, false); () }
+  }
+
+  /** Seal a staged snapshot: declare the chain's reader features,
+    * then mark the snapshot complete. The single choke point every
+    * commit path funnels through (publish, append, delete, upsert,
+    * restore, compact, clone, optimistic commits, branch publish) —
+    * a new physical tier is declared in the SAME commit that first
+    * writes it. */
+  private[warehouse] def sealCommit(spark: SparkSession,
+      snapshot: Path): Unit = {
+    refreshProtocol(spark, snapshot.getParent.toString, Some(snapshot))
+    installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+  }
+
+  /** The features `root/_PROTOCOL` declares; empty when absent. */
+  def readerFeatures(spark: SparkSession, root: String): Seq[String] =
+    readPointer(spark, new Path(root, PROTOCOL_MARKER))
+      .map(_.split('\n').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** The reader feature gate — refuse loudly, naming every unknown
+    * feature, before serving a single row. */
+  private[warehouse] def requireReadable(spark: SparkSession,
+      root: String): Unit = {
+    val unknown = readerFeatures(spark, root)
+      .filterNot(SupportedReaderFeatures.contains)
+    if (unknown.nonEmpty)
+      throw new IOException(s"cannot read $root: its _PROTOCOL " +
+        s"requires reader feature(s) [${unknown.mkString(", ")}] this " +
+        "build does not implement — reading anyway could serve " +
+        "un-deleted, un-masked, or un-mapped rows; upgrade the graft " +
+        "library (supported: " +
+        s"${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
+  }
+
   // ── metadata checkpointing ─────────────────────────────────────────
   //
   // A long version chain (10⁴ commits — a year of streaming
@@ -632,7 +742,7 @@ object VersionedParquet {
     // Overwrite Spark's own (empty) _SUCCESS with the commit stamp, so
     // physical publishes carry the same explicit commit time the MoR
     // ops do (readAsOf / checkpoint resolve it without touching mtime).
-    installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+    sealCommit(spark, snapshot)
     // Atomic pointer swap: temp file + rename-with-overwrite (one
     // metadata op — POSIX rename on local/HDFS). FileContext.rename
     // supports OVERWRITE where FileSystem.rename would refuse, and its
@@ -759,6 +869,7 @@ object VersionedParquet {
 
   def read(spark: SparkSession, root: String,
            version: Option[Long] = None): DataFrame = {
+    requireReadable(spark, root) // feature gate before a single row
     val live = currentVersion(spark, root)
     val v = version.getOrElse(live.getOrElse(
       throw new IOException(s"no published version under $root")))
@@ -936,6 +1047,7 @@ object VersionedParquet {
         installPointer(spark, new Path(root), SCHEMA_MAP,
           prior + s"drop\t$name\t-")
       }
+      refreshProtocol(spark, root)
     }
 
   /** Metadata-only RENAME COLUMN: reads see `to` immediately, zero
@@ -995,6 +1107,7 @@ object VersionedParquet {
         installPointer(spark, new Path(root), SCHEMA_MAP,
           prior + s"rename\t$from\t$to")
       }
+      refreshProtocol(spark, root)
     }
 
   /** Metadata-only ADD COLUMN: `name type` becomes readable on every
@@ -1017,6 +1130,9 @@ object VersionedParquet {
         .map(_ + "\n").getOrElse("")
       installPointer(spark, new Path(root), SCHEMA_EXT,
         prior + s"$name\t$typeDdl\t$defaultExpr")
+      // versionless DDL mints no commit, so the protocol marker must
+      // move with it — see refreshProtocol
+      refreshProtocol(spark, root)
     }
 
   // ── named CHECK constraints (ALTER TABLE ADD/DROP CONSTRAINT) ──────
@@ -1296,6 +1412,8 @@ object VersionedParquet {
           .delete(new Path(root, POLICIES_EXT), false); () }
     else installPointer(spark, new Path(root), POLICIES_EXT,
       lines.mkString("\n"))
+    // policies mint no version — declare (or clear) them immediately
+    refreshProtocol(spark, root)
   }
 
   /** Attach (or replace) the mask for `column`. The mask must be a
@@ -1499,7 +1617,7 @@ object VersionedParquet {
       EXCLUDE_MARKER)).foreach(m =>
       installPointer(spark, snapshot, EXCLUDE_MARKER, m))
     installPointer(spark, snapshot, BASE_MARKER, base)
-    installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+    sealCommit(spark, snapshot)
     try swapPointer(spark, rootPath, next)
     catch {
       case e: IOException =>
@@ -1659,7 +1777,7 @@ object VersionedParquet {
       installPointer(spark, snapshot, EXCLUDE_MARKER, m))
     (markers + (BASE_MARKER -> base)).foreach { case (name, content) =>
       installPointer(spark, snapshot, name, content) }
-    installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+    sealCommit(spark, snapshot)
     try swapPointer(spark, rootPath, next)
     catch {
       case e: IOException =>
@@ -1868,6 +1986,10 @@ object VersionedParquet {
         writeCheckpoint(spark, rootPath, through,
           rows.filterNot { case (v, _) => gone(v) })
       } catch { case _: Exception => () }
+    // retiring versions can retire the last USE of a reader feature
+    // (e.g. the final dv version ages out) — re-derive the protocol
+    // so the declaration tracks the retained chain, not its history
+    if (deleted.nonEmpty) refreshProtocol(spark, root)
     deleted
   }
 
@@ -1991,7 +2113,7 @@ object VersionedParquet {
     installPointer(spark, snapshot, BASE_MARKER, base)
     installPointer(spark, snapshot, EXCLUDE_MARKER, newExcl.mkString("\n"))
     installPointer(spark, snapshot, CDF_EMPTY_MARKER, "")
-    installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+    sealCommit(spark, snapshot)
     try swapPointer(spark, rootPath, next)
     catch {
       case e: IOException =>
@@ -2287,7 +2409,7 @@ object VersionedParquet {
       // a clone of governed data stays governed
       readPointer(spark, new Path(srcRoot, POLICIES_EXT)).foreach(m =>
         installPointer(spark, dstPath, POLICIES_EXT, m))
-      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+      sealCommit(spark, snapshot)
       try swapPointer(spark, dstPath, 0L)
       catch {
         case e: IOException =>
@@ -2327,6 +2449,8 @@ object VersionedParquet {
     // RAW view — deep clone is an owner-tier op like read itself)
     readPointer(spark, new Path(srcRoot, POLICIES_EXT)).foreach(m =>
       installPointer(spark, new Path(dstRoot), POLICIES_EXT, m))
+    // the contracts landed AFTER publish's seal — re-declare them
+    refreshProtocol(spark, dstRoot)
     out
   }
 
@@ -2399,7 +2523,7 @@ object VersionedParquet {
           .write.mode("overwrite")
           .parquet(new Path(snapshot, CDF_DIR).toString)
       }
-      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+      sealCommit(spark, snapshot)
       try swapPointer(spark, rootPath, next)
       catch {
         case e: IOException =>
@@ -2472,7 +2596,7 @@ object VersionedParquet {
       (markers + (BASE_MARKER -> base) +
         (DOMAIN_MARKER -> "append")).foreach { case (name, content) =>
         installPointer(spark, snapshot, name, content) }
-      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+      sealCommit(spark, snapshot)
       try swapPointer(spark, rootPath, next)
       catch {
         case e: IOException =>
@@ -2584,7 +2708,7 @@ object VersionedParquet {
         EXCLUDE_MARKER)).foreach(m =>
         installPointer(spark, snapshot, EXCLUDE_MARKER, m))
       installPointer(spark, snapshot, BASE_MARKER, base)
-      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+      sealCommit(spark, snapshot)
       try swapPointer(spark, rootPath, next)
       catch {
         case e: IOException =>
@@ -2722,7 +2846,7 @@ object VersionedParquet {
       installPointer(spark, snapshot, DOMAIN_MARKER, ("partitions" +:
         touched.map(r => partCols.zipWithIndex.map { case (c, i) =>
           s"$c=${r.get(i)}" }.mkString("/")).sorted).mkString("\n"))
-      installPointer(spark, snapshot, "_SUCCESS", commitStamp())
+      sealCommit(spark, snapshot)
       try swapPointer(spark, rootPath, next)
       catch {
         case e: IOException =>

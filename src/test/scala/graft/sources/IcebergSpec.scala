@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IcebergLite contract: metadata.json → manifest-list Avro →
+  * manifest Avro → parquet files, time travel on snapshot ids, and
+  * the refusal matrix (format-version, delete manifests, foreign file
+  * formats) — each refusal naming its feature. Fixtures come from
+  * IcebergLite's own exporter (no Iceberg runtime exists in this
+  * container — see the scaladoc honesty note); the refusal tests
+  * hand-mutate the metadata the way a NEWER Iceberg writer would. */
+class IcebergSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-iceberg-$tag")
+      .toString + "/t"
+
+  private def frame(n: Int, tag: String) = {
+    import spark.implicits._
+    (0 until n).map(i => (i.toLong, s"$tag$i", i * 1.5))
+      .toDF("id", "name", "score")
+  }
+
+  test("export → read round trip, snapshots append, time travel " +
+    "lands on snapshot boundaries") {
+    val loc = tmp("roundtrip")
+    val s1 = IcebergLite.export(spark, frame(100, "a"), loc)
+    val live1 = IcebergLite.read(spark, loc)
+    assert(live1.count() === 100L)
+    assert(live1.columns.toSeq === Seq("id", "name", "score"))
+    val s2 = IcebergLite.export(spark, frame(40, "b"), loc)
+    assert(s1 != s2)
+    // live = snapshot 2 carries BOTH file sets (full-state snapshots)
+    assert(IcebergLite.read(spark, loc).count() === 140L)
+    // pinned reads: each snapshot serves exactly its own state
+    assert(IcebergLite.read(spark, loc, Some(s1)).count() === 100L)
+    assert(IcebergLite.read(spark, loc, Some(s2)).count() === 140L)
+    assert(IcebergLite.snapshotIds(spark, loc) === Seq(s1, s2))
+    // values, not just counts: the round trip is byte-faithful
+    val names = IcebergLite.read(spark, loc, Some(s1))
+      .filter(col("id") < 3).orderBy("id")
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(names === Seq("a0", "a1", "a2"))
+  }
+
+  test("missing snapshot id and absent table refuse with context") {
+    val loc = tmp("missing")
+    IcebergLite.export(spark, frame(5, "x"), loc)
+    val e = intercept[java.io.IOException] {
+      IcebergLite.read(spark, loc, Some(999L))
+    }
+    assert(e.getMessage.contains("999"))
+    intercept[java.io.IOException] {
+      IcebergLite.read(spark, tmp("never-created"))
+    }
+  }
+
+  test("format-version above 2 refuses, naming the version") {
+    val loc = tmp("fv")
+    IcebergLite.export(spark, frame(5, "x"), loc)
+    val metaP = new Path(loc, "metadata/v1.metadata.json")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = {
+      val in = fs.open(metaP)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val out = fs.create(metaP, true)
+    try out.write(txt.replace("\"format-version\": 1",
+      "\"format-version\": 3").getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[java.io.IOException] {
+      IcebergLite.read(spark, loc)
+    }
+    assert(e.getMessage.contains("format-version 3"),
+      s"refusal must name the version, got: ${e.getMessage}")
+  }
+
+  test("a v2 delete manifest refuses rather than resurrecting rows") {
+    val loc = tmp("deletes")
+    IcebergLite.export(spark, frame(5, "x"), loc)
+    // flip the manifest_file content field to 1 (deletes) the way a
+    // v2 writer with row-level deletes would
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader,
+      GenericDatumWriter, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val listP = new java.io.File(
+      s"$loc/metadata/snap-1-manifest-list.avro")
+    val r = new DataFileReader[GenericRecord](listP,
+      new GenericDatumReader[GenericRecord]())
+    val (schema, recs) =
+      try (r.getSchema, r.iterator().asScala.toVector)
+      finally r.close()
+    recs.foreach(_.put("content", 1))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, listP)
+    try recs.foreach(w.append) finally w.close()
+    // the direct rewrite bypassed Hadoop's ChecksumFileSystem — drop
+    // the stale .crc sidecar so the reader sees the mutation, not a
+    // checksum mismatch
+    new java.io.File(listP.getParent,
+      s".${listP.getName}.crc").delete()
+    val e = intercept[java.io.IOException] {
+      IcebergLite.read(spark, loc)
+    }
+    assert(e.getMessage.contains("DELETE manifest"),
+      s"refusal must name the feature, got: ${e.getMessage}")
+  }
+
+  test("no version hint: the lexically-latest metadata file resolves") {
+    val loc = tmp("nohint")
+    IcebergLite.export(spark, frame(7, "x"), loc)
+    IcebergLite.export(spark, frame(3, "y"), loc)
+    val hint = new Path(loc, "metadata/version-hint.text")
+    hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hint, false)
+    assert(IcebergLite.read(spark, loc).count() === 10L)
+  }
+
+  test("iceberg schema json round-trips the primitive types") {
+    import org.apache.spark.sql.types._
+    val s = IcebergLite.schemaFromIceberg(
+      """{"type": "struct", "fields": [
+        |  {"id": 1, "name": "a", "required": true, "type": "long"},
+        |  {"id": 2, "name": "b", "required": false, "type": "string"},
+        |  {"id": 3, "name": "c", "required": false,
+        |   "type": "decimal(10, 2)"}
+        |]}""".stripMargin)
+    assert(s === StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType),
+      StructField("c", DecimalType(10, 2)))))
+  }
+}
