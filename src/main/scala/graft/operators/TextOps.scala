@@ -609,7 +609,213 @@ object TextOps {
              |       (SELECT n FROM tomb) AS n_tombstones
              |FROM p0 JOIN p1 USING (doc_id, pos)
              |GROUP BY doc_id
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Benchmark decontamination (n-gram overlap removal) ───────────────
+    // The canonical pre-training hygiene step: any training doc sharing
+    // an n-gram with the EVAL/benchmark set is contaminated and must be
+    // dropped, or the benchmark is leaked into the weights. Benchmark =
+    // the doc_id % 97 slice (standing in for MMLU/GSM-8K etc.);
+    // production runs use n = 8-13 — n = 3 here because the synthetic
+    // vocabulary is ~40 words (at real vocab sizes the same plan runs
+    // unchanged, only the literal moves). Scale shape: the benchmark
+    // gram set is SMALL BY NATURE (benchmarks are ~10⁵ rows however big
+    // the corpus is), so it broadcasts and the corpus gram stream
+    // filters against it map-side — one corpus scan, and the only
+    // shuffle carries the MATCHES (tiny), grouped per doc with
+    // countDistinct. The naive corpus⋈corpus gram self-join never
+    // happens.
+    QueryDef("q213_decontamination",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), explode(shingles(toks, 3)).as("g"))
+        val bench = grams.filter(col("doc_id") % 97 === 0)
+          .select("g").distinct()
+        grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(bench), "g")
+          .groupBy("doc_id")
+          .agg(countDistinct(col("g")).as("n_leaked_ngrams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $TOKS AS ts FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id,
+             |         list_aggregate(ts[i:i+2], 'string_agg', ' ') AS g
+             |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+             |        FROM toks)),
+             |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+             |SELECT g.doc_id, count(DISTINCT g.g) AS n_leaked_ngrams
+             |FROM grams g JOIN bench b USING (g)
+             |WHERE g.doc_id % 97 <> 0
+             |GROUP BY 1
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── PII detection + redaction (regex scan, both engines' regex) ──────
+    // The compliance pass every corpus release runs: find emails /
+    // phone numbers / SSN-shaped ids, count them per class, and measure
+    // the redacted text. The synthetic corpus carries no PII, so the
+    // query INJECTS it deterministically inline (doc_id-derived, the
+    // identical expression on both engines) — circular for the values,
+    // but the detection machinery is the real thing exercised through
+    // TWO independent regex engines (Java's and DuckDB's RE2): a
+    // pattern-semantics mismatch, a missed global replace, or a
+    // redaction-length drift breaks the hash. Single corpus scan,
+    // per-source aggregate — nothing shuffles but the source-cardinality
+    // cells.
+    QueryDef("q214_pii_redaction",
+      (s, d) => {
+        val email = "[a-z0-9.]+@[a-z0-9.]+\\.[a-z]+"
+        val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val ssn = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+        val last4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
+        val pii = concat(col("text"),
+          when(col("doc_id") % 13 === 0,
+            concat(lit(" contact u"), col("doc_id").cast("string"),
+              lit("@mail.example.com"))).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            concat(lit(" call 415-555-"), last4)).otherwise(lit("")),
+          when(col("doc_id") % 19 === 0,
+            concat(lit(" ssn 078-05-"), last4)).otherwise(lit("")))
+        val redacted = regexp_replace(regexp_replace(regexp_replace(
+          pii, lit(email), lit("<EMAIL>")),
+          lit(ssn), lit("<SSN>")),
+          lit(phone), lit("<PHONE>"))
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), pii.as("pii"),
+            redacted.as("red"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(regexp_count(col("pii"), lit(email)) > 0, 1L)
+              .otherwise(0L)).as("n_email_docs"),
+            sum(when(regexp_count(col("pii"), lit(phone)) > 0, 1L)
+              .otherwise(0L)).as("n_phone_docs"),
+            sum(when(regexp_count(col("pii"), lit(ssn)) > 0, 1L)
+              .otherwise(0L)).as("n_ssn_docs"),
+            sum(regexp_count(col("pii"), lit(email)) +
+              regexp_count(col("pii"), lit(phone)) +
+              regexp_count(col("pii"), lit(ssn))).cast("long")
+              .as("n_hits"),
+            sum(length(col("red"))).cast("long").as("redacted_chars"))
+          .orderBy("source")
+      },
+      Some("""WITH pii AS (
+             |  SELECT source, doc_id,
+             |         text ||
+             |         CASE WHEN doc_id % 13 = 0 THEN ' contact u' ||
+             |           CAST(doc_id AS VARCHAR) || '@mail.example.com'
+             |           ELSE '' END ||
+             |         CASE WHEN doc_id % 17 = 0 THEN ' call 415-555-' ||
+             |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |           ELSE '' END ||
+             |         CASE WHEN doc_id % 19 = 0 THEN ' ssn 078-05-' ||
+             |           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |           ELSE '' END AS p
+             |  FROM documents),
+             |scanned AS (
+             |  SELECT source,
+             |         len(regexp_extract_all(p,
+             |           '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+')) AS ne,
+             |         len(regexp_extract_all(p,
+             |           '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np,
+             |         len(regexp_extract_all(p,
+             |           '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS ns,
+             |         length(regexp_replace(regexp_replace(regexp_replace(
+             |           p, '[a-z0-9.]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>',
+             |             'g'),
+             |           '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),
+             |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'))
+             |           AS red_len
+             |  FROM pii)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_email_docs,
+             |       CAST(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_phone_docs,
+             |       CAST(sum(CASE WHEN ns > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_ssn_docs,
+             |       CAST(sum(ne + np + ns) AS BIGINT) AS n_hits,
+             |       CAST(sum(red_len) AS BIGINT) AS redacted_chars
+             |FROM scanned
+             |GROUP BY 1
+             |ORDER BY source""".stripMargin)),
+
+    // ── Repetition filtering (Gopher-style quality rules) ────────────────
+    // The Rae et al. (Gopher) repetition heuristics at token
+    // granularity: a doc is LOW QUALITY when its duplicate-token mass
+    // or its most-frequent-bigram share breaches thresholds (tuned to
+    // this corpus's medians; the rule set, not the constants, is the
+    // operator). All integer ppm — no float reaches the output. Scale:
+    // the bigram count is the wordcount shape (map-side combine into
+    // (doc, gram) cells), the per-doc fold is cell-bounded, and the
+    // final aggregate is flag×lang-cardinality.
+    QueryDef("q215_repetition_filter",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), toks.as("ts"))
+          .filter(size(col("ts")) > 1)
+        val tokStats = base.select(col("doc_id"), col("lang"),
+          (size(col("ts")).cast("long") * 1000000L -
+            size(array_distinct(col("ts"))).cast("long") * 1000000L)
+            .as("dup_mass"),
+          size(col("ts")).cast("long").as("n_tok"))
+          .withColumn("dup_ppm",
+            (col("dup_mass") / col("n_tok")).cast("long"))
+        val bigrams = base.select(col("doc_id"),
+          explode(transform(sequence(lit(0), size(col("ts")) - 2),
+            i => concat_ws(" ", slice(col("ts"), i + 1, lit(2)))))
+            .as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(max(col("cnt")).as("top_cnt"),
+            sum(col("cnt")).as("n_bg"))
+          .withColumn("bg_ppm",
+            (col("top_cnt") * 1000000L / col("n_bg")).cast("long"))
+        tokStats.join(bigrams, "doc_id")
+          .withColumn("flagged",
+            (col("dup_ppm") > 550000L || col("bg_ppm") > 50000L)
+              .cast("int"))
+          .groupBy("lang", "flagged")
+          .agg(count(lit(1)).as("n_docs"),
+            (sum(col("dup_ppm")) / count(lit(1))).cast("long")
+              .as("avg_dup_ppm"),
+            (sum(col("bg_ppm")) / count(lit(1))).cast("long")
+              .as("avg_bg_ppm"))
+          .orderBy("lang", "flagged")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, lang, $TOKS AS ts FROM documents),
+             |base AS (SELECT * FROM toks WHERE len(ts) > 1),
+             |tokstats AS (
+             |  SELECT doc_id, lang,
+             |         (len(ts) * 1000000 - len(list_distinct(ts)) *
+             |          1000000) // len(ts) AS dup_ppm
+             |  FROM base),
+             |bg AS (
+             |  SELECT doc_id, list_aggregate(ts[i:i+1], 'string_agg',
+             |         ' ') AS g
+             |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+             |        FROM base)),
+             |cells AS (SELECT doc_id, g, count(*) AS cnt FROM bg
+             |          GROUP BY 1, 2),
+             |tops AS (SELECT doc_id, max(cnt) * 1000000 // sum(cnt)
+             |                  AS bg_ppm
+             |         FROM cells GROUP BY 1),
+             |flags AS (
+             |  SELECT lang,
+             |         CASE WHEN dup_ppm > 550000 OR bg_ppm > 50000
+             |              THEN 1 ELSE 0 END AS flagged,
+             |         dup_ppm, bg_ppm
+             |  FROM tokstats JOIN tops USING (doc_id))
+             |SELECT lang, flagged, count(*) AS n_docs,
+             |       CAST(sum(dup_ppm) // count(*) AS BIGINT)
+             |         AS avg_dup_ppm,
+             |       CAST(sum(bg_ppm) // count(*) AS BIGINT)
+             |         AS avg_bg_ppm
+             |FROM flags
+             |GROUP BY 1, 2
+             |ORDER BY lang, flagged""".stripMargin))
   )
 
   /** q192 lifecycle: corpus table (v0 = doc_id % 4 ≠ 0 → append the

@@ -110,6 +110,8 @@ private[graft] final case class SqlDescribeStats(table: String)
     extends GraftDml // DESCRIBE STATS
 private[graft] final case class SqlExportDelta(table: String,
     location: String) extends GraftDml // EXPORT ... TO DELTA
+private[graft] final case class SqlExportIceberg(table: String,
+    location: String) extends GraftDml // EXPORT ... TO ICEBERG
 private[graft] final case class SqlSetRowFilter(table: String,
     filter: String) extends GraftDml // ALTER TABLE … SET ROW FILTER
 private[graft] final case class SqlDropRowFilter(table: String)
@@ -182,6 +184,8 @@ object GraftSql {
       """\s+FOR\s+TABLE\s+([A-Za-z_][\w]*)""").r
     val XD = ("""(?is)EXPORT\s+TABLE\s+([A-Za-z_][\w]*)\s+TO\s+DELTA""" +
       """\s+LOCATION\s+'([^']+)'""").r
+    val XI = ("""(?is)EXPORT\s+TABLE\s+([A-Za-z_][\w]*)\s+TO\s+ICEBERG""" +
+      """\s+LOCATION\s+'([^']+)'""").r
     val AN = ("""(?is)ANALYZE\s+TABLE\s+([A-Za-z_][\w]*)\s+COMPUTE\s+""" +
       """STATISTICS(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?""").r
     val DS = """(?is)DESCRIBE\s+STATS\s+([A-Za-z_][\w]*)""".r
@@ -252,6 +256,7 @@ object GraftSql {
       case DD(table) => Some(SqlDescribe(table, "detail"))
       case GM(table) => Some(SqlGenerate(table))
       case XD(table, loc) => Some(SqlExportDelta(table, loc))
+      case XI(table, loc) => Some(SqlExportIceberg(table, loc))
       case AN(table, cols) => Some(SqlAnalyze(table,
         Option(cols).map(_.split(",").map(_.trim).toSeq
           .filter(_.nonEmpty)).getOrElse(Nil)))
@@ -389,6 +394,7 @@ object GraftSql {
       case _: SqlDescribe => root // side-effect free; routed in sql()
       case g: SqlGenerate => generateFrame(spark, g); root
       case x: SqlExportDelta => exportDeltaFrame(spark, x); root
+      case x: SqlExportIceberg => exportIcebergFrame(spark, x); root
       case a: SqlAnalyze => analyzeFrame(spark, a); root
       case _: SqlDescribeStats => root // side-effect free; routed in sql()
       case SqlSetRowFilter(_, f) =>
@@ -434,6 +440,7 @@ object GraftSql {
       case Some(d: SqlDescribe) => describeFrame(spark, d)
       case Some(g: SqlGenerate) => generateFrame(spark, g)
       case Some(x: SqlExportDelta) => exportDeltaFrame(spark, x)
+      case Some(x: SqlExportIceberg) => exportIcebergFrame(spark, x)
       case Some(a: SqlAnalyze) => analyzeFrame(spark, a)
       case Some(ds: SqlDescribeStats) => statsFrame(spark, ds)
       case Some(m: SqlMaintainStats) => maintainFrame(spark, m)
@@ -604,6 +611,27 @@ object GraftSql {
       .toDF("location", "delta_version", "n_files")
   }
 
+  /** `EXPORT TABLE t TO ICEBERG LOCATION '…'` — full-snapshot export
+    * of the live view as the next Iceberg snapshot (q212's writer
+    * half); repeated exports append snapshots, so the Iceberg side
+    * time-travels across them on snapshot boundaries. Same policy
+    * refusal as the Delta export: a foreign reader sees raw files. */
+  private[graft] def exportIcebergFrame(spark: SparkSession,
+                                        x: SqlExportIceberg): DataFrame = {
+    val (root, _) = GraftTables.rootOf(x.table).getOrElse(
+      throw new IllegalStateException(
+        s"table ${x.table} is not registered"))
+    require(!VersionedParquet.hasPolicies(spark, root),
+      s"cannot EXPORT ${x.table} TO ICEBERG: row/column policies " +
+        "would be bypassed by the foreign readers")
+    val snapId = graft.sources.IcebergLite.export(spark,
+      VersionedParquet.read(spark, root), x.location)
+    val snap = graft.sources.IcebergLite.snapshot(spark, x.location)
+    import spark.implicits._
+    Seq((x.location, snapId, snap.files.size.toLong))
+      .toDF("location", "snapshot_id", "n_files")
+  }
+
   /** DESCRIBE HISTORY / DESCRIBE DETAIL as frames — the SQL-only
     * client's introspection surface. HISTORY is the graft source's
     * commit-log view (version, commit_millis, domain — one metadata
@@ -766,6 +794,19 @@ private[graft] final case class GraftExportDeltaCommand(
     GraftSql.exportDeltaFrame(session, dml).collect().toSeq
 }
 
+/** EXPORT TABLE … TO ICEBERG through the injected parser. */
+private[graft] final case class GraftExportIcebergCommand(
+    dml: SqlExportIceberg) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", StringType)(),
+    AttributeReference("snapshot_id", LongType)(),
+    AttributeReference("n_files", LongType)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSql.exportIcebergFrame(session, dml).collect().toSeq
+}
+
 /** Parser extension: intercepts the four DML verbs against registered
   * versioned tables, rewrites inline time-travel clauses on anything
   * else, and delegates every other statement — and every other parser
@@ -777,6 +818,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Some(d: SqlDescribe) => GraftDescribeCommand(d)
       case Some(g: SqlGenerate) => GraftGenerateCommand(g)
       case Some(x: SqlExportDelta) => GraftExportDeltaCommand(x)
+      case Some(x: SqlExportIceberg) => GraftExportIcebergCommand(x)
       case Some(a: SqlAnalyze) => GraftStatsCommand(a.table, Some(a.cols))
       case Some(ds: SqlDescribeStats) => GraftStatsCommand(ds.table, None)
       case Some(dml) => GraftDmlCommand(dml)

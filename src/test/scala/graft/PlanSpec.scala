@@ -473,4 +473,14 @@ class PlanSpec extends AnyFunSuite {
         "the raw-term equality must be pushed into the bucket's scan")
     }
   }
+
+  test("q213 decontamination: benchmark grams broadcast, no corpus self-join") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      SortMergeJoinExec}
+    val p = planOf("q213_decontamination")
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "the benchmark gram set must broadcast into the corpus stream")
+    assert(collectAll(p) { case m: SortMergeJoinExec => m }.isEmpty,
+      "the corpus gram stream must never pay a shuffled join")
+  }
 }

@@ -398,4 +398,40 @@ class GraftSqlSpec extends AnyFunSuite {
       }
     } finally GraftTables.unregister("t_tt")
   }
+
+  test("EXPORT TO ICEBERG as SQL: frame back, foreign read agrees, " +
+    "policy refusal") {
+    val root = tmp("xi")
+    seed(root)
+    GraftTables.register("t_xi", root, keepVersions = 50)
+    try {
+      val loc = java.nio.file.Files
+        .createTempDirectory("graft-sql-xi-out").toString + "/ice"
+      val out = GraftSql.sql(spark,
+        s"EXPORT TABLE t_xi TO ICEBERG LOCATION '$loc'").head()
+      assert(out.getAs[String]("location") === loc)
+      val snapId = out.getAs[Long]("snapshot_id")
+      // the way a FOREIGN engine reads it: the protocol walk
+      val foreign = graft.sources.IcebergLite.read(spark, loc)
+      assert(foreign.count() === 100L)
+      // a second export appends a snapshot; the first still serves
+      GraftSql.sql(spark, "DELETE FROM t_xi WHERE id >= 50")
+      GraftSql.sql(spark,
+        s"EXPORT TABLE t_xi TO ICEBERG LOCATION '$loc'")
+      assert(graft.sources.IcebergLite
+        .read(spark, loc, Some(snapId)).count() === 100L)
+      // NOTE the export is full-state APPEND (files carry forward) —
+      // live = snapshot-1 files + the post-delete snapshot's files
+      assert(graft.sources.IcebergLite
+        .snapshotIds(spark, loc).length === 2)
+      // governance: a policy-bearing table refuses the export
+      VersionedParquet.setRowFilter(spark, root, "id % 2 = 0")
+      val e = intercept[Exception] {
+        GraftSql.sql(spark,
+          s"EXPORT TABLE t_xi TO ICEBERG LOCATION '${loc}2'")
+      }
+      assert(e.getMessage.contains("ICEBERG"))
+      VersionedParquet.dropRowFilter(spark, root)
+    } finally GraftTables.unregister("t_xi")
+  }
 }
