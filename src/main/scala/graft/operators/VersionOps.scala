@@ -2289,6 +2289,45 @@ object VersionOps {
              |       (SELECT count(*) FROM s1) AS n_snap1
              |FROM s2
              |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // q216 — exactly-once incremental sync FROM a foreign Iceberg
+    // table, the Iceberg twin of q186's DeltaSync and the last cell of
+    // the interop matrix (Delta read/import-sync/export-sync =
+    // q184/q186/q198; Iceberg read+export = q212). The foreign table
+    // moves through bootstrap → two append snapshots → an OVERWRITE
+    // snapshot (prior files status=2), and IcebergSync mirrors each
+    // into a graft versioned table: grown-file-set snapshots as
+    // O(new files) appends, the overwrite (file removals are not
+    // row-reconstructible) as an honest republish — each foreign
+    // snapshot exactly one mirror version, marker-bound atomically so
+    // crash-resume never double-applies. The gate folds the OBSERVED
+    // path counters (2 appends, 2 republishes, synced-to snapshot,
+    // mirror version count, idempotent-resync zeros) beside the
+    // mirrored aggregate; a sync that re-applies, skips, or takes the
+    // wrong path breaks the hash against the oracle's replay.
+    QueryDef("q216_iceberg_sync",
+      (s, d) => s.read.parquet(icebergSyncPath(s, d)).orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |c0 AS (SELECT k, cents FROM o WHERE k % 3 = 0),
+             |c1 AS (SELECT k, cents + 7 AS cents FROM o
+             |       WHERE k % 3 = 1 AND k % 5 = 0),
+             |c2 AS (SELECT k, cents + 11 AS cents FROM o
+             |       WHERE k % 3 = 2 AND k % 7 = 0),
+             |all_ AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1
+             |         UNION ALL SELECT * FROM c2),
+             |final AS (SELECT * FROM all_ WHERE k % 11 <> 5)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       2 AS n_appends, 2 AS n_republished,
+             |       4 AS synced_to, 4 AS mirror_versions,
+             |       0 AS resync_appends, 0 AS resync_republished
+             |FROM final
+             |GROUP BY 1
              |ORDER BY bucket""".stripMargin))
   )
 
@@ -2547,6 +2586,53 @@ object VersionOps {
         .agg(sum(col("cents")).cast("long").as("sum_cents"),
           count(lit(1)).as("n_rows"))
         .withColumn("n_snap1", lit(nSnap1))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q216 builder: foreign Iceberg table through bootstrap → two
+    * appends → an overwrite snapshot, IcebergSync mirroring each into
+    * a graft table with per-phase counters + an idempotent re-sync.
+    * Once per session. */
+  private def icebergSyncPath(s: SparkSession, dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.{AtomicParquet, IcebergSync}
+    val table = Scratch.dir(s, "q216-iceberg")
+    val mirror = Scratch.dir(s, "q216-mirror")
+    val outPath = Scratch.dir(s, "q216-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val c0 = o.filter(col("k") % 3 === 0)
+      val c1 = o.filter(col("k") % 3 === 1 && col("k") % 5 === 0)
+        .select(col("k"), (col("cents") + 7L).as("cents"))
+      val c2 = o.filter(col("k") % 3 === 2 && col("k") % 7 === 0)
+        .select(col("k"), (col("cents") + 11L).as("cents"))
+      val fin = c0.unionByName(c1).unionByName(c2)
+        .filter(col("k") % 11 =!= 5)
+      IcebergLite.export(s, c0, table)
+      val s1 = IcebergSync.sync(s, table, mirror) // bootstrap republish
+      IcebergLite.export(s, c1, table)
+      IcebergLite.export(s, c2, table)
+      val s2 = IcebergSync.sync(s, table, mirror) // two appends
+      IcebergLite.export(s, fin, table, overwrite = true)
+      val s3 = IcebergSync.sync(s, table, mirror) // overwrite republish
+      val s4 = IcebergSync.sync(s, table, mirror) // idempotent no-op
+      val out = VersionedParquet.read(s, mirror)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_appends",
+          lit(s1.appended + s2.appended + s3.appended))
+        .withColumn("n_republished",
+          lit(s1.republished + s2.republished + s3.republished))
+        .withColumn("synced_to", lit(s3.syncedTo.toInt))
+        .withColumn("mirror_versions",
+          lit(VersionedParquet.versions(s, mirror).length))
+        .withColumn("resync_appends", lit(s4.appended))
+        .withColumn("resync_republished", lit(s4.republished))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

@@ -332,15 +332,19 @@ object IcebergLite {
 
   /** Export `df` as the NEXT snapshot of the Iceberg table at
     * `location` (creating the table on first call). Each export is a
-    * full-state snapshot: the manifest lists every live file (new
-    * files `status=1`, carried files `status=0`), so the Iceberg side
-    * time-travels across exports on snapshot boundaries — the same
-    * commit-aligned story as the Delta export sync (q198). Returns
-    * the new snapshot id. Metadata versions are append-only; the
-    * `version-hint.text` swap is the last write (spec commit order
-    * for file-system tables). */
+    * full-state snapshot: in append mode (default) the manifest lists
+    * every live file (new files `status=1`, carried files `status=0`);
+    * with `overwrite = true` the prior live files land as `status=2`
+    * (deleted) entries — the spec's v1 existing/added/deleted
+    * tracking — so the snapshot REPLACES the table the way INSERT
+    * OVERWRITE does, while earlier snapshots stay pinnable. Either
+    * way the Iceberg side time-travels across exports on snapshot
+    * boundaries — the same commit-aligned story as the Delta export
+    * sync (q198). Returns the new snapshot id. Metadata versions are
+    * append-only; the `version-hint.text` swap is the last write
+    * (spec commit order for file-system tables). */
   def export(spark: SparkSession, df: DataFrame,
-             location: String): Long = {
+             location: String, overwrite: Boolean = false): Long = {
     val loc = new Path(location)
     val fs = fsOf(spark, loc)
     val metaDir = new Path(loc, "metadata")
@@ -387,7 +391,7 @@ object IcebergLite {
       e
     }
     val entries =
-      prevFiles.map(f => entry(new Path(f), 0)) ++
+      prevFiles.map(f => entry(new Path(f), if (overwrite) 2 else 0)) ++
         newFiles.map(f => entry(f, 1))
     val manifestP = new Path(metaDir, s"manifest-$snapId.avro")
     val mLen = writeAvro(spark, manifestP, manifestEntrySchema, entries)

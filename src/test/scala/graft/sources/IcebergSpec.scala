@@ -143,4 +143,53 @@ class IcebergSpec extends AnyFunSuite {
       StructField("b", StringType),
       StructField("c", DecimalType(10, 2)))))
   }
+
+  test("overwrite export: prior files land status=2, the snapshot " +
+    "replaces the table, earlier snapshots still pin") {
+    val loc = tmp("ow")
+    val s1 = IcebergLite.export(spark, frame(50, "a"), loc)
+    val s2 = IcebergLite.export(spark, frame(20, "b"), loc,
+      overwrite = true)
+    assert(IcebergLite.read(spark, loc).count() === 20L)
+    assert(IcebergLite.read(spark, loc, Some(s1)).count() === 50L)
+    assert(IcebergLite.read(spark, loc, Some(s2)).count() === 20L)
+  }
+
+  test("IcebergSync: append fast path, overwrite republish, " +
+    "idempotency, expired-anchor re-bootstrap") {
+    import graft.warehouse.{IcebergSync, VersionedParquet}
+    val loc = tmp("sync")
+    val mirror = tmp("sync-mirror")
+    IcebergLite.export(spark, frame(30, "a"), loc)
+    val s1 = IcebergSync.sync(spark, loc, mirror)
+    assert(s1.republished === 1 && s1.appended === 0) // bootstrap
+    assert(VersionedParquet.read(spark, mirror).count() === 30L)
+    IcebergLite.export(spark, frame(10, "b"), loc)
+    val s2 = IcebergSync.sync(spark, loc, mirror)
+    assert(s2.appended === 1 && s2.republished === 0) // grown file set
+    assert(VersionedParquet.read(spark, mirror).count() === 40L)
+    IcebergLite.export(spark, frame(5, "c"), loc, overwrite = true)
+    val s3 = IcebergSync.sync(spark, loc, mirror)
+    assert(s3.republished === 1 && s3.appended === 0) // removal fallback
+    assert(VersionedParquet.read(spark, mirror).count() === 5L)
+    // idempotent: nothing new, nothing applied
+    val s4 = IcebergSync.sync(spark, loc, mirror)
+    assert(s4.appended === 0 && s4.republished === 0)
+    // snapshot-aligned: one mirror version per foreign snapshot
+    assert(VersionedParquet.versions(spark, mirror).length === 3)
+    // expired anchor: a mirror whose synced-to id vanished from the
+    // foreign history re-bootstraps with ONE loud republish
+    val loc2 = tmp("sync2")
+    IcebergLite.export(spark, frame(8, "x"), loc2)
+    IcebergLite.export(spark, frame(4, "y"), loc2)
+    val mirror2 = tmp("sync2-mirror")
+    // hand-install a marker naming a snapshot id that never existed
+    import spark.implicits._
+    VersionedParquet.publish(Seq((1L, "z0", 0.0))
+      .toDF("id", "name", "score"), mirror2, keepVersions = 10,
+      markers = Map("_ICEBERG_SYNC" -> "777"))
+    val s5 = IcebergSync.sync(spark, loc2, mirror2)
+    assert(s5.republished === 1 && s5.appended === 0)
+    assert(VersionedParquet.read(spark, mirror2).count() === 12L)
+  }
 }
