@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.sources.{QueryDef, Scratch, Tables}
 import graft.functions.TextFns._
-import graft.functions.{TextKernels, TextStat}
+import graft.functions.{Hashing, TextKernels, TextStat}
 import graft.warehouse.VersionedParquet
 
 /** Text analysis for the training-data pipeline tier (builder prompt:
@@ -815,7 +815,113 @@ object TextOps {
              |         AS avg_bg_ppm
              |FROM flags
              |GROUP BY 1, 2
-             |ORDER BY lang, flagged""".stripMargin))
+             |ORDER BY lang, flagged""".stripMargin)),
+
+    // ── Per-domain caps + blocklist (C4/RefinedWeb curation rule) ────────
+    // Web corpora are dominated by a few hot domains; the standard fix
+    // caps documents per domain and drops blocklisted domains outright.
+    // Here `source` stands in for the domain: src0/src7 are
+    // blocklisted, every other source keeps its top 30 docs by a
+    // deterministic quality key (n_chars DESC, doc_id ASC — a total
+    // order, so the cap is reproducible run to run). Scale shape: ONE
+    // window partitioned by source (domain cardinality bounds the
+    // shuffle key space; no global sort), then the per-source
+    // aggregate over source-cardinality cells.
+    QueryDef("q217_domain_caps",
+      (s, d) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        Tables.documents(s, d)
+          .filter(!col("source").isin("src0", "src7"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy("source")
+          .agg(sum(when(col("rk") <= 30, 1L).otherwise(0L))
+              .cast("long").as("n_kept"),
+            sum(when(col("rk") > 30, 1L).otherwise(0L))
+              .cast("long").as("n_dropped_cap"),
+            sum(when(col("rk") <= 30, col("n_chars")).otherwise(0L))
+              .cast("long").as("chars_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT source, n_chars,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM documents
+             |  WHERE source NOT IN ('src0', 'src7'))
+             |SELECT source,
+             |       CAST(sum(CASE WHEN rk <= 30 THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_kept,
+             |       CAST(sum(CASE WHEN rk > 30 THEN 1 ELSE 0 END)
+             |         AS BIGINT) AS n_dropped_cap,
+             |       CAST(sum(CASE WHEN rk <= 30 THEN n_chars ELSE 0 END)
+             |         AS BIGINT) AS chars_kept
+             |FROM ranked
+             |GROUP BY 1
+             |ORDER BY source""".stripMargin)),
+
+    // ── DSIR-style hashed n-gram importance weighting ────────────────────
+    // Data Selection via Importance Resampling (Xie et al. 2023):
+    // score each corpus doc by how target-like its hashed n-gram
+    // profile is, select the top slice for training. Features are
+    // 2-gram md5 hashes folded into 4096 buckets; the target profile
+    // is the benchmark slice (doc_id % 97, q213's). The published
+    // method scores Σ log(p_target/p_corpus); here the per-bucket
+    // log-ratio is replaced by the integer ratio t_b·10⁶ div q_b —
+    // monotone in the same direction and EXACT across engines (libm
+    // log differs in final ulps between DuckDB and the JVM; a ranking
+    // gate cannot float). The plumbing — hashed features, two bounded
+    // histograms, per-doc fold, top-k selection — is the method.
+    // Scale: both histograms are ≤4096-cell aggregates (the target
+    // one broadcast), the corpus is touched once, and the per-doc
+    // score folds map-side.
+    QueryDef("q218_dsir_importance",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(toks) - 2),
+              i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+              .as("g"))
+          .withColumn("b",
+            pmod(graft.functions.Hashing.md5Long60(col("g")), lit(4096)))
+        val corpusHist = grams.groupBy("b")
+          .agg(count(lit(1)).as("q_b"))
+        val targetHist = grams.filter(col("doc_id") % 97 === 0)
+          .groupBy("b").agg(count(lit(1)).as("t_b"))
+        val ratio = corpusHist.join(broadcast(targetHist), Seq("b"))
+          .select(col("b"),
+            (col("t_b") * 1000000L / col("q_b")).cast("long")
+              .as("r_ppm"))
+        grams.filter(col("doc_id") % 97 =!= 0)
+          .join(broadcast(ratio), Seq("b"))
+          .groupBy("doc_id")
+          .agg(sum(col("r_ppm")).cast("long").as("score"),
+            count(lit(1)).as("n_scored_grams"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $TOKS AS ts FROM documents),
+             |grams AS (
+             |  SELECT doc_id,
+             |         list_aggregate(ts[i:i+1], 'string_agg', ' ') AS g
+             |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+             |        FROM toks)),
+             |bk AS (SELECT doc_id,
+             |              ${Hashing.md5Long60Sql("g")} % 4096 AS b
+             |       FROM grams),
+             |corpus AS (SELECT b, count(*) AS q_b FROM bk GROUP BY 1),
+             |target AS (SELECT b, count(*) AS t_b FROM bk
+             |           WHERE doc_id % 97 = 0 GROUP BY 1),
+             |ratio AS (SELECT b, t_b * 1000000 // q_b AS r_ppm
+             |          FROM corpus JOIN target USING (b))
+             |SELECT doc_id, CAST(sum(r_ppm) AS BIGINT) AS score,
+             |       count(*) AS n_scored_grams
+             |FROM bk JOIN ratio USING (b)
+             |WHERE doc_id % 97 <> 0
+             |GROUP BY 1
+             |ORDER BY score DESC, doc_id
+             |LIMIT 20""".stripMargin))
   )
 
   /** q192 lifecycle: corpus table (v0 = doc_id % 4 ≠ 0 → append the
