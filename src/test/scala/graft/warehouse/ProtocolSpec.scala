@@ -145,4 +145,44 @@ class ProtocolSpec extends AnyFunSuite {
     assert(features(bRoot).contains("logical-base"))
     Branch.drop(spark, root, "wip")
   }
+
+  test("optimistic concurrent writers leave a consistent declaration") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val root = tmp("concurrent")
+    seed(root, keep = 20)
+    val pool = Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    try {
+      import spark.implicits._
+      // three concurrent appends (disjoint domains — all rebase) while
+      // the protocol marker is refreshed inside every commit's lock
+      val fs = (0 until 3).map { i =>
+        Future {
+          Optimistic.append(spark, root,
+            Seq((1000L + i, s"w$i", i.toLong)).toDF("id", "g", "x"),
+            keepVersions = 20)
+        }
+      }
+      fs.foreach(Await.result(_, 120.seconds))
+      // optimistic appends commit as merge-on-read overlays (base ref
+      // + delta tier), so the racing commits must have declared
+      // exactly the features they wrote — all supported, marker never
+      // corrupted by the interleaving
+      assert(features(root).contains("delta-overlay"),
+        s"MoR appends must declare the overlay, got ${features(root)}")
+      assert(features(root).toSet.subsetOf(
+        VersionedParquet.SupportedReaderFeatures),
+        s"declaration must stay within supported: ${features(root)}")
+      assert(VersionedParquet.read(spark, root).count() === 103L)
+      // materialize + vacuum to the physical head: declaration clears
+      VersionedParquet.compact(spark, root, keepVersions = 20)
+      VersionedParquet.vacuum(spark, root, keepVersions = 1,
+        minAgeMillis = 0L)
+      assert(features(root).isEmpty,
+        s"physical head declares nothing, got ${features(root)}")
+    } finally pool.shutdown()
+  }
 }
