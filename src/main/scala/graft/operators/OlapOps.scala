@@ -796,6 +796,140 @@ object OlapOps {
              |FROM c
              |WHERE cum * 2 >= total
              |GROUP BY 1
+             |ORDER BY flag""".stripMargin)),
+
+    // ── Relative-error quantile sketch (HdrHistogram-style buckets) ──────
+    // The fixed-grid histogram (q49/q157) has ABSOLUTE error — useless
+    // when values span decades (latency, file size, price tails). The
+    // HdrHistogram/DDSketch answer: log-spaced buckets, bounded
+    // RELATIVE error. Buckets here are (octave, 4-bit mantissa):
+    // values < 16 map to themselves (exact), larger values to
+    // msb·16 + top-4-bits — ≤ 6.25 % relative error by construction,
+    // everything in INTEGER arithmetic (msb via the binary-string
+    // length, powers of two through exactly-representable doubles —
+    // both engines bit-agree; libm log never runs). The sketch is a
+    // (flag, bucket) count frame: mergeable by SUM (partitions,
+    // hosts, days — the cross-cluster property that makes it a
+    // sketch), bucket cardinality ≤ 16·64 per group however big the
+    // data. Quantiles read off the cumulative frame; the gate also
+    // folds a SELF-AUDIT: the p50 estimate's ppm error vs the exact
+    // median, which must sit within the 62 500 ppm design bound.
+    QueryDef("q220_hdr_quantile_sketch",
+      (s, d) => {
+        val l = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("flag"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        val msb = (length(bin(col("v"))) - 1).cast("long")
+        val divisor = pow(lit(2.0), (msb - 4).cast("double"))
+          .cast("long")
+        val bucket = when(col("v") < 16L, col("v"))
+          .otherwise(msb * 16L + (col("v") / divisor).cast("long") - 16L)
+        val sketch = l.withColumn("bucket", bucket)
+          .groupBy("flag", "bucket")
+          .agg(count(lit(1)).as("n")) // mergeable: SUM across shards
+        val wFlag = Window.partitionBy("flag")
+        val byBucket = Window.partitionBy("flag").orderBy("bucket")
+        val cum = sketch
+          .withColumn("cum", sum("n").over(byBucket))
+          .withColumn("total", sum("n").over(wFlag))
+        // bucket lower bound: values < 256 (bucket < 256 = 16·16)
+        // decode exactly below the small cutoff; else (16+off)·2^(m-4)
+        def lower(b: org.apache.spark.sql.Column) = {
+          val m = (b / 16L).cast("long")
+          val off = b % 16L
+          when(b < 16L, b).otherwise(
+            ((off + 16L).cast("double") *
+              pow(lit(2.0), (m - 4).cast("double"))).cast("long"))
+        }
+        def q(p: Int) = min(when(col("cum") * 100 >= col("total") * p,
+          col("bucket")))
+        val est = cum.groupBy("flag")
+          .agg(max("total").as("n_rows"),
+            countDistinct("bucket").as("n_buckets"),
+            lower(q(50)).as("p50_lo"), lower(q(90)).as("p90_lo"),
+            lower(q(99)).as("p99_lo"))
+        // DISCRETE median (lower-middle element) via the rank
+        // construction — interpolated percentile differs between the
+        // engines in the final ulp, and a ppm self-audit cannot float
+        val byV = Window.partitionBy("flag").orderBy("v")
+        val exact = l
+          .withColumn("rk", row_number().over(byV))
+          .withColumn("tot", count(lit(1)).over(
+            Window.partitionBy("flag")))
+          .filter(col("rk") * 2 >= col("tot"))
+          .groupBy("flag").agg(min("v").as("exact_p50"))
+        est.join(exact, "flag")
+          .withColumn("p50_err_ppm",
+            (abs(col("p50_lo") - col("exact_p50")) * 1000000L /
+              col("exact_p50")).cast("long"))
+          .withColumn("within_bound",
+            (col("p50_err_ppm") <= 62500L).cast("int"))
+          .select("flag", "n_rows", "n_buckets", "p50_lo", "p90_lo",
+            "p99_lo", "p50_err_ppm", "within_bound")
+          .orderBy("flag")
+      },
+      Some("""WITH l AS (
+             |  SELECT l_returnflag AS flag,
+             |         CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT flag, v,
+             |         CASE WHEN v < 16 THEN v
+             |              ELSE (length(bin(v)) - 1) * 16 +
+             |                   v // CAST(pow(2.0, length(bin(v)) - 5)
+             |                            AS BIGINT) - 16
+             |         END AS bucket
+             |  FROM l),
+             |sk AS (SELECT flag, bucket, count(*) AS n FROM b
+             |       GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT flag, bucket, n,
+             |         sum(n) OVER (PARTITION BY flag ORDER BY bucket)
+             |           AS cum,
+             |         sum(n) OVER (PARTITION BY flag) AS total
+             |  FROM sk),
+             |est AS (
+             |  SELECT flag, CAST(max(total) AS BIGINT) AS n_rows,
+             |         count(DISTINCT bucket) AS n_buckets,
+             |         min(CASE WHEN cum * 100 >= total * 50
+             |                  THEN bucket END) AS b50,
+             |         min(CASE WHEN cum * 100 >= total * 90
+             |                  THEN bucket END) AS b90,
+             |         min(CASE WHEN cum * 100 >= total * 99
+             |                  THEN bucket END) AS b99
+             |  FROM cum GROUP BY 1),
+             |dec AS (
+             |  SELECT flag, n_rows, n_buckets,
+             |         CASE WHEN b50 < 16 THEN b50
+             |              ELSE CAST((b50 % 16 + 16) *
+             |                pow(2.0, b50 // 16 - 4) AS BIGINT) END
+             |           AS p50_lo,
+             |         CASE WHEN b90 < 16 THEN b90
+             |              ELSE CAST((b90 % 16 + 16) *
+             |                pow(2.0, b90 // 16 - 4) AS BIGINT) END
+             |           AS p90_lo,
+             |         CASE WHEN b99 < 16 THEN b99
+             |              ELSE CAST((b99 % 16 + 16) *
+             |                pow(2.0, b99 // 16 - 4) AS BIGINT) END
+             |           AS p99_lo
+             |  FROM est),
+             |exr AS (
+             |  SELECT flag, v,
+             |         row_number() OVER (PARTITION BY flag ORDER BY v)
+             |           AS rk,
+             |         count(*) OVER (PARTITION BY flag) AS tot
+             |  FROM l),
+             |ex AS (
+             |  SELECT flag, CAST(min(v) AS BIGINT) AS exact_p50
+             |  FROM exr WHERE rk * 2 >= tot GROUP BY 1)
+             |SELECT d.flag, d.n_rows, d.n_buckets, d.p50_lo, d.p90_lo,
+             |       d.p99_lo,
+             |       CAST(abs(d.p50_lo - e.exact_p50) * 1000000
+             |            // e.exact_p50 AS BIGINT) AS p50_err_ppm,
+             |       CASE WHEN abs(d.p50_lo - e.exact_p50) * 1000000
+             |                 // e.exact_p50 <= 62500
+             |            THEN 1 ELSE 0 END AS within_bound
+             |FROM dec d JOIN ex e USING (flag)
              |ORDER BY flag""".stripMargin))
   )
 

@@ -306,6 +306,74 @@ object SampleOps {
              |       min(k.doc_id) AS first_doc
              |FROM kept k JOIN probs p ON p.source = k.source
              |GROUP BY 1, 2, 4
-             |ORDER BY p.source""".stripMargin))
+             |ORDER BY p.source""".stripMargin)),
+
+    // ── Token-budget epoch planning (data-constrained mixing math) ───────
+    // The planning step BEFORE any mix executes: given a training
+    // token budget and per-source weights, how many tokens does each
+    // source owe, and how many EPOCHS of its available data is that?
+    // Sources needing > 4 epochs get flagged (the data-constrained
+    // scaling rule of thumb — Muennighoff et al. 2023: returns decay
+    // past ~4 repeats) and their excess demand is visible for
+    // re-weighting. All fixed-point integer arithmetic (milli-epochs,
+    // ppm weights) so both engines agree exactly. Scale: ONE pass
+    // over the corpus for per-source token counts (map-side combine
+    // to source cardinality), then the plan math runs on the
+    // source-cardinality frame — at 100 TB the expensive part is the
+    // count, which is the minimum any planner must pay.
+    QueryDef("q219_epoch_budget",
+      (s, d) => {
+        val budget = 2000000L // total training-token budget
+        val toks = tokens(col("text"))
+        val avail = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(sum(size(toks)).cast("long").as("avail_tokens"),
+            count(lit(1)).as("n_docs"))
+        // weights ∝ sqrt(available) in ppm of the weight total — the
+        // q173 temperature rule reused as the DEMAND side
+        val w = avail.withColumn("w",
+          round(sqrt(col("avail_tokens").cast("double")) * 1e6)
+            .cast("long"))
+        val tot = w.agg(sum("w").as("w_total"))
+        w.crossJoin(broadcast(tot))
+          .withColumn("alloc_tokens",
+            (col("w") * budget / col("w_total")).cast("long"))
+          .withColumn("milli_epochs",
+            (col("alloc_tokens") * 1000L / col("avail_tokens"))
+              .cast("long"))
+          .withColumn("over_budget",
+            (col("milli_epochs") > 4000L).cast("int"))
+          .withColumn("excess_tokens",
+            greatest(lit(0L),
+              (col("alloc_tokens") -
+                col("avail_tokens") * 4L).cast("long")))
+          .select("source", "n_docs", "avail_tokens", "alloc_tokens",
+            "milli_epochs", "over_budget", "excess_tokens")
+          .orderBy("source")
+      },
+      Some(s"""WITH avail AS (
+             |  SELECT source,
+             |         CAST(sum(len($TOKS)) AS BIGINT) AS avail_tokens,
+             |         count(*) AS n_docs
+             |  FROM documents GROUP BY 1),
+             |w AS (
+             |  SELECT *, CAST(round(sqrt(CAST(avail_tokens AS DOUBLE))
+             |                       * 1000000.0) AS BIGINT) AS w
+             |  FROM avail),
+             |tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w),
+             |plan AS (
+             |  SELECT source, n_docs, avail_tokens,
+             |         w * 2000000 // w_total AS alloc_tokens
+             |  FROM w CROSS JOIN tot)
+             |SELECT source, n_docs, avail_tokens,
+             |       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+             |       CAST(alloc_tokens * 1000 // avail_tokens AS BIGINT)
+             |         AS milli_epochs,
+             |       CASE WHEN alloc_tokens * 1000 // avail_tokens > 4000
+             |            THEN 1 ELSE 0 END AS over_budget,
+             |       CAST(greatest(0, alloc_tokens - avail_tokens * 4)
+             |         AS BIGINT) AS excess_tokens
+             |FROM plan
+             |ORDER BY source""".stripMargin))
   )
 }
