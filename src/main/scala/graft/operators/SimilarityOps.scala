@@ -1098,7 +1098,112 @@ object SimilarityOps {
              |       CAST(sum(abs(cl.c - c0.c)) AS BIGINT) AS l1_drift
              |FROM c0 JOIN cl ON cl.label = c0.label AND cl.dim = c0.dim
              |GROUP BY 1
-             |ORDER BY c0.label""".stripMargin))
+             |ORDER BY c0.label""".stripMargin)),
+
+    // ── Matryoshka truncated-embedding retrieval (prefix-dim ANN) ────────
+    // The MRL serving trick (Kusupati et al. 2022): embeddings trained
+    // so a PREFIX of the dimensions is itself a usable embedding —
+    // serve cheap retrieval on the first 16 of 64 dims, keep the full
+    // vector for rerank. The gate retrieves top-10 by FULL-dim cosine
+    // and by 16-dim-prefix cosine for three query vectors and folds
+    // the overlap@10 plus both top-1 ids — the quality-vs-cost
+    // readout a dimension-budget decision needs (on this synthetic
+    // corpus the prefix is NOT MRL-trained, so overlap is the honest
+    // baseline number, not a claim). Scale shape: queries broadcast
+    // (3 rows), ONE corpus scan computes both similarities, two
+    // query-partitioned top-k windows over the scored stream, the
+    // overlap join is 10-rows-per-query tiny.
+    QueryDef("q221_matryoshka_retrieval",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val qs = e.filter(col("vec_id").isin(0L, 7L, 23L))
+          .select(col("vec_id").as("qid"),
+            col("embedding").as("qvec"))
+        val scored = e.crossJoin(broadcast(qs))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"),
+            cosine("embedding", "qvec").as("cos_full"),
+            (graft.functions.VectorDot(
+                slice(col("embedding"), 1, 16),
+                slice(col("qvec"), 1, 16)) /
+              (sqrt(graft.functions.VectorDot(
+                  slice(col("embedding"), 1, 16),
+                  slice(col("embedding"), 1, 16))) *
+                sqrt(graft.functions.VectorDot(
+                  slice(col("qvec"), 1, 16),
+                  slice(col("qvec"), 1, 16))))).as("cos_16"))
+        val wF = Window.partitionBy("qid")
+          .orderBy(col("cos_full").desc, col("vec_id"))
+        val w16 = Window.partitionBy("qid")
+          .orderBy(col("cos_16").desc, col("vec_id"))
+        val ranked = scored
+          .withColumn("rk_full", row_number().over(wF))
+          .withColumn("rk_16", row_number().over(w16))
+        val topF = ranked.filter(col("rk_full") <= 10)
+          .select(col("qid"), col("vec_id"), col("rk_full"))
+        val top16 = ranked.filter(col("rk_16") <= 10)
+          .select(col("qid"), col("vec_id"), col("rk_16"))
+        topF.join(top16, Seq("qid", "vec_id"), "full_outer")
+          .groupBy("qid")
+          .agg(sum(when(col("rk_full").isNotNull &&
+                col("rk_16").isNotNull, 1L).otherwise(0L))
+              .cast("long").as("overlap10"),
+            min(when(col("rk_full") === 1, col("vec_id")))
+              .as("top1_full"),
+            min(when(col("rk_16") === 1, col("vec_id")))
+              .as("top1_16"))
+          .orderBy("qid")
+      },
+      Some("""WITH qs AS (
+             |  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+             |  WHERE vec_id IN (0, 7, 23)),
+             |scored AS (
+             |  SELECT q.qid, e.vec_id,
+             |    list_sum(list_transform(range(1, 65),
+             |      i -> CAST(e.embedding[i] AS DOUBLE)
+             |           * CAST(q.qvec[i] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(range(1, 65),
+             |           i -> CAST(e.embedding[i] AS DOUBLE)
+             |                * CAST(e.embedding[i] AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform(range(1, 65),
+             |           i -> CAST(q.qvec[i] AS DOUBLE)
+             |                * CAST(q.qvec[i] AS DOUBLE)))))
+             |      AS cos_full,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> CAST(e.embedding[i] AS DOUBLE)
+             |           * CAST(q.qvec[i] AS DOUBLE)))
+             |      / (sqrt(list_sum(list_transform(range(1, 17),
+             |           i -> CAST(e.embedding[i] AS DOUBLE)
+             |                * CAST(e.embedding[i] AS DOUBLE))))
+             |         * sqrt(list_sum(list_transform(range(1, 17),
+             |           i -> CAST(q.qvec[i] AS DOUBLE)
+             |                * CAST(q.qvec[i] AS DOUBLE)))))
+             |      AS cos_16
+             |  FROM embeddings e CROSS JOIN qs q
+             |  WHERE e.vec_id != q.qid),
+             |ranked AS (
+             |  SELECT qid, vec_id,
+             |         row_number() OVER (PARTITION BY qid
+             |           ORDER BY cos_full DESC, vec_id) AS rk_full,
+             |         row_number() OVER (PARTITION BY qid
+             |           ORDER BY cos_16 DESC, vec_id) AS rk_16
+             |  FROM scored),
+             |tf AS (SELECT qid, vec_id, rk_full FROM ranked
+             |       WHERE rk_full <= 10),
+             |t16 AS (SELECT qid, vec_id, rk_16 FROM ranked
+             |        WHERE rk_16 <= 10)
+             |SELECT qid,
+             |       CAST(sum(CASE WHEN tf.rk_full IS NOT NULL
+             |                      AND t16.rk_16 IS NOT NULL
+             |                     THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS overlap10,
+             |       min(CASE WHEN tf.rk_full = 1 THEN vec_id END)
+             |         AS top1_full,
+             |       min(CASE WHEN t16.rk_16 = 1 THEN vec_id END)
+             |         AS top1_16
+             |FROM tf FULL OUTER JOIN t16 USING (qid, vec_id)
+             |GROUP BY 1
+             |ORDER BY qid""".stripMargin))
   )
 
   /** q207 table: versioned embeddings — v0 = vec_id % 5 ≠ 0, append
