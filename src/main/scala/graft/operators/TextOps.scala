@@ -921,8 +921,71 @@ object TextOps {
              |WHERE doc_id % 97 <> 0
              |GROUP BY 1
              |ORDER BY score DESC, doc_id
-             |LIMIT 20""".stripMargin))
+             |LIMIT 20""".stripMargin)),
+
+    // ── Incremental decontamination off a STORED corpus gram index ───────
+    // q213 re-derives corpus grams per run; at 100 TB that rescan per
+    // benchmark update is the cost that kills the nightly contamination
+    // check. The production shape: index the corpus' gram hashes ONCE
+    // (a stored (h, doc_id) table — built once per session here, the
+    // q107/q162/q168/q178/q192 stored-index discipline), then every
+    // benchmark REVISION probes the index with just ITS grams — the
+    // benchmark arrives in two tranches (the %97 slice, then the %89
+    // slice as the "new eval suite"), each probe an equi-join of the
+    // broadcast tranche gram set against the index, no document
+    // re-tokenized after the build. The two probes' match sets union
+    // and the result must equal the FULL recompute over the final
+    // benchmark — which is exactly what the oracle computes, so the
+    // hash equality IS the incremental==rebuild proof.
+    QueryDef("q222_incremental_decontamination",
+      (s, d) => {
+        val idx = s.read.parquet(gramIndexPath(s, d))
+        def benchGrams(m: Int) = {
+          val toks = tokens(col("text"))
+          Tables.documents(s, d).filter(col("doc_id") % m === 0)
+            .select(explode(shingles(toks, 3)).as("g"))
+            .select(Hashing.md5Long60(col("g")).as("h")).distinct()
+        }
+        val probe0 = idx.join(broadcast(benchGrams(97)), Seq("h"))
+        val probe1 = idx.join(broadcast(benchGrams(89)), Seq("h"))
+        probe0.unionByName(probe1)
+          .filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0)
+          .groupBy("doc_id")
+          .agg(countDistinct(col("g")).as("n_leaked_ngrams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $TOKS AS ts FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id,
+             |         list_aggregate(ts[i:i+2], 'string_agg', ' ') AS g
+             |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+             |        FROM toks)),
+             |bench AS (SELECT DISTINCT g FROM grams
+             |          WHERE doc_id % 97 = 0 OR doc_id % 89 = 0)
+             |SELECT g.doc_id, count(DISTINCT g.g) AS n_leaked_ngrams
+             |FROM grams g JOIN bench b USING (g)
+             |WHERE g.doc_id % 97 <> 0 AND g.doc_id % 89 <> 0
+             |GROUP BY 1
+             |ORDER BY doc_id""".stripMargin))
   )
+
+  /** q222's stored corpus gram index: one (h = md5-60(gram), doc_id,
+    * g) row per distinct (doc, 3-gram), built once per session — the
+    * one-time cost every later benchmark probe amortizes. The raw
+    * gram rides along so probe matches can count DISTINCT leaked
+    * grams without re-deriving them. */
+  private def gramIndexPath(s: SparkSession, d: String): String = {
+    val out = Scratch.dir(s, "q222-gram-index")
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
+      val toks = tokens(col("text"))
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), explode(shingles(toks, 3)).as("g"))
+        .select(Hashing.md5Long60(col("g")).as("h"), col("doc_id"),
+          col("g"))
+      graft.warehouse.AtomicParquet.overwrite(grams, out)
+    }
+    out
+  }
 
   /** q192 lifecycle: corpus table (v0 = doc_id % 4 ≠ 0 → append the
     * %3-divisible quarter → delete doc_id % 7 = 0), postings index
