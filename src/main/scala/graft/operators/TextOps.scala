@@ -966,8 +966,107 @@ object TextOps {
              |FROM grams g JOIN bench b USING (g)
              |WHERE g.doc_id % 97 <> 0 AND g.doc_id % 89 <> 0
              |GROUP BY 1
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ── Streaming decontamination: quarantine-on-ingest ──────────────────
+    // Documents ARRIVE continuously (three insert tranches of a
+    // versioned corpus table, one micro-batch per version); any doc
+    // sharing a 3-gram with the benchmark set never reaches the
+    // training silver — it lands quarantined with its leak count,
+    // both sides exactly-once by the batch-marker rule (quarantine
+    // commits first, so a crash window can never leak a contaminated
+    // doc into silver). The join-shaped gate runExpectations' row-
+    // local predicates cannot express: per batch, grams explode and
+    // semi-join the BROADCAST benchmark gram hashes — O(batch grams),
+    // corpus never rescanned. The oracle replays the final split from
+    // raw documents: a doc on the wrong side, double-applied, or
+    // dropped breaks counts or id-sums; silver_versions = 3 pins
+    // one-commit-per-batch.
+    QueryDef("q223_streaming_decontamination",
+      (s, d) => s.read.parquet(deconStreamPath(s, d))
+        .orderBy("side", "tranche"),
+      Some(s"""WITH toks AS (SELECT doc_id, $TOKS AS ts FROM documents),
+             |grams AS (
+             |  SELECT DISTINCT doc_id,
+             |         list_aggregate(ts[i:i+2], 'string_agg', ' ') AS g
+             |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+             |        FROM toks)),
+             |bench AS (SELECT DISTINCT g FROM grams
+             |          WHERE doc_id % 97 = 0 OR doc_id % 89 = 0),
+             |corpus AS (SELECT DISTINCT doc_id FROM documents
+             |           WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0),
+             |contam AS (
+             |  SELECT DISTINCT g.doc_id FROM grams g
+             |  JOIN bench b USING (g) JOIN corpus c USING (doc_id)),
+             |tagged AS (
+             |  SELECT c.doc_id,
+             |         CASE WHEN ct.doc_id IS NOT NULL
+             |              THEN 'quarantined' ELSE 'clean' END AS side
+             |  FROM corpus c LEFT JOIN contam ct USING (doc_id))
+             |SELECT side, doc_id % 3 AS tranche, count(*) AS n_docs,
+             |       CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+             |       3 AS silver_versions
+             |FROM tagged
+             |GROUP BY 1, 2
+             |ORDER BY side, tranche""".stripMargin))
   )
+
+  /** q223 builder: the training corpus (docs outside both benchmark
+    * slices) lands as a versioned table in three insert tranches
+    * (doc_id % 3), streams through [[graft.streaming.DeconStream]]
+    * against the %97∪%89 benchmark gram hashes (one micro-batch per
+    * table version via maxVersionsPerTrigger), and the gate reads
+    * both sides back. Once per session. */
+  private def deconStreamPath(s: SparkSession, d: String): String = {
+    import graft.warehouse.{AtomicParquet, VersionedParquet}
+    val corpus = Scratch.dir(s, "q223-corpus")
+    val silver = Scratch.dir(s, "q223-silver")
+    val quar = Scratch.dir(s, "q223-quarantine")
+    val ckpt = Scratch.dir(s, "q223-ckpt")
+    val out = Scratch.dir(s, "q223-out")
+    if (VersionedParquet.currentVersion(s, corpus).isEmpty) {
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 97 =!= 0 && col("doc_id") % 89 =!= 0)
+        .select("doc_id", "text", "lang", "source")
+      val toks = tokens(col("text"))
+      val bench = Tables.documents(s, d)
+        .filter(col("doc_id") % 97 === 0 || col("doc_id") % 89 === 0)
+        .select(explode(shingles(toks, 3)).as("g"))
+        .select(Hashing.md5Long60(col("g")).as("h")).distinct()
+      // three ingest rounds, each its own stream RUN off the shared
+      // checkpoint — the restart-resume path is what production runs
+      // nightly, and it forces one gated micro-batch per tranche
+      def drain(): Unit = {
+        val q = graft.streaming.DeconStream.run(
+          s.readStream.format("graft")
+            .option("startingVersion", "0")
+            .load(corpus),
+          silver, quar, ckpt, bench)
+        q.awaitTermination()
+      }
+      VersionedParquet.publish(docs.filter(col("doc_id") % 3 === 0),
+        corpus, keepVersions = 10)
+      drain()
+      VersionedParquet.append(s, corpus,
+        docs.filter(col("doc_id") % 3 === 1), keepVersions = 10)
+      drain()
+      VersionedParquet.append(s, corpus,
+        docs.filter(col("doc_id") % 3 === 2), keepVersions = 10)
+      drain()
+      val sv = VersionedParquet.read(s, silver)
+        .select(col("doc_id"), lit("clean").as("side"))
+      val qv = VersionedParquet.read(s, quar)
+        .select(col("doc_id"), lit("quarantined").as("side"))
+      val res = sv.unionByName(qv)
+        .groupBy(col("side"), (col("doc_id") % 3).cast("long").as("tranche"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("doc_id").cast("long").as("sum_doc_id"))
+        .withColumn("silver_versions",
+          lit(VersionedParquet.versions(s, silver).length))
+      AtomicParquet.overwrite(res, out)
+    }
+    out
+  }
 
   /** q222's stored corpus gram index: one (h = md5-60(gram), doc_id,
     * g) row per distinct (doc, 3-gram), built once per session — the
