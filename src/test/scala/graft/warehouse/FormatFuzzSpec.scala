@@ -65,6 +65,14 @@ class FormatFuzzSpec extends AnyFunSuite {
     def stepCheck(): Unit = {
       history += model
       val v = history.length - 1
+      // protocol invariant: whatever the episode just wrote, the
+      // _PROTOCOL declaration must (a) stay within this build's
+      // supported set — our own writers can never strand our own
+      // readers — and (b) the read below must pass the gate
+      assert(VersionedParquet.readerFeatures(spark, root).toSet
+          .subsetOf(VersionedParquet.SupportedReaderFeatures),
+        s"v$v declares an unsupported feature: " +
+          VersionedParquet.readerFeatures(spark, root))
       assert(bag(VersionedParquet.read(spark, root)) === modelBag(model),
         s"live read diverged from the model at version $v")
       // feed apply invariant v-1 → v (an explicitly-empty feed —
