@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{QueryDef, Tables}
+import graft.warehouse.VersionedParquet
 
 /** Single-pass column profiler — the Deequ/Great-Expectations "profile
   * every column before you trust the table" primitive, stated as a
@@ -126,6 +127,130 @@ object ProfileOps {
              |SELECT 'neg_chars', neg_chars FROM a
              |UNION ALL
              |SELECT 'null_lang', null_lang FROM a
-             |ORDER BY check_name""".stripMargin))
+             |ORDER BY check_name""".stripMargin)),
+
+    // ── Cross-version profile drift (data-quality monitoring) ────────────
+    // The nightly readout every ingest pipeline wants: did the LAST
+    // batch shift the table's shape? A versioned table moves v0 → live
+    // (an appended tranche that nulls one column for part of its rows
+    // and skews another), and the gate profiles BOTH pins — per
+    // column: row count, null ppm, sum — emitting the per-column
+    // drift. Everything integer; the oracle replays both snapshots
+    // from raw orders. Scale: one single-pass aggregate per PINNED
+    // version (two scans total, each the q88 one-pass shape — never
+    // per-column scans), and the drift join runs on the
+    // column-cardinality frame. The same composition against stored
+    // ANALYZE stats (q188/q194) answers metadata-only when exactness
+    // can relax.
+    QueryDef("q224_profile_drift",
+      (s, d) => {
+        val root = driftRoot(s, d)
+        def prof(df: DataFrame, tag: String) = {
+          val one = df.agg(
+            count(lit(1)).as("n"),
+            sum(col("c").isNull.cast("long")).as("null_c"),
+            coalesce(sum(col("c")), lit(0L)).cast("long").as("sum_c"),
+            sum(col("cents").isNull.cast("long")).as("null_cents"),
+            sum(col("cents")).cast("long").as("sum_cents"))
+          one.select(expr(
+            """stack(2,
+              |  'c', null_c, sum_c,
+              |  'cents', null_cents, sum_cents)
+              |  AS (colname, n_nulls, col_sum)""".stripMargin),
+            col("n"))
+            .select(col("colname"),
+              col("n").as(s"n_$tag"),
+              (col("n_nulls") * 1000000L / col("n")).cast("long")
+                .as(s"null_ppm_$tag"),
+              col("col_sum").as(s"sum_$tag"))
+        }
+        val v0 = prof(VersionedParquet.read(s, root, Some(0L)), "v0")
+        val live = prof(VersionedParquet.read(s, root), "live")
+        v0.join(live, "colname")
+          .withColumn("null_ppm_shift",
+            (col("null_ppm_live") - col("null_ppm_v0")).cast("long"))
+          .select("colname", "n_v0", "n_live", "null_ppm_v0",
+            "null_ppm_live", "null_ppm_shift", "sum_v0", "sum_live")
+          .orderBy("colname")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CASE WHEN o_orderkey % 3 = 2
+             |                   AND o_custkey % 5 = 0 THEN NULL
+             |              ELSE o_custkey END AS c,
+             |         CASE WHEN o_orderkey % 3 = 2
+             |              THEN CAST(round(o_totalprice * 100)
+             |                        AS BIGINT) * 2
+             |              ELSE CAST(round(o_totalprice * 100)
+             |                        AS BIGINT) END AS cents
+             |  FROM orders),
+             |v0 AS (SELECT * FROM o WHERE k % 3 <> 2),
+             |pv0 AS (
+             |  SELECT count(*) AS n,
+             |         sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)
+             |           AS null_c,
+             |         coalesce(sum(c), 0) AS sum_c,
+             |         sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)
+             |           AS null_cents,
+             |         sum(cents) AS sum_cents
+             |  FROM v0),
+             |plive AS (
+             |  SELECT count(*) AS n,
+             |         sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)
+             |           AS null_c,
+             |         coalesce(sum(c), 0) AS sum_c,
+             |         sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)
+             |           AS null_cents,
+             |         sum(cents) AS sum_cents
+             |  FROM o),
+             |l0 AS (
+             |  SELECT 'c' AS colname, n, null_c AS n_nulls,
+             |         sum_c AS col_sum FROM pv0
+             |  UNION ALL
+             |  SELECT 'cents', n, null_cents, sum_cents FROM pv0),
+             |ll AS (
+             |  SELECT 'c' AS colname, n, null_c AS n_nulls,
+             |         sum_c AS col_sum FROM plive
+             |  UNION ALL
+             |  SELECT 'cents', n, null_cents, sum_cents FROM plive)
+             |SELECT l0.colname,
+             |       CAST(l0.n AS BIGINT) AS n_v0,
+             |       CAST(ll.n AS BIGINT) AS n_live,
+             |       CAST(l0.n_nulls * 1000000 // l0.n AS BIGINT)
+             |         AS null_ppm_v0,
+             |       CAST(ll.n_nulls * 1000000 // ll.n AS BIGINT)
+             |         AS null_ppm_live,
+             |       CAST(ll.n_nulls * 1000000 // ll.n
+             |            - l0.n_nulls * 1000000 // l0.n AS BIGINT)
+             |         AS null_ppm_shift,
+             |       CAST(l0.col_sum AS BIGINT) AS sum_v0,
+             |       CAST(ll.col_sum AS BIGINT) AS sum_live
+             |FROM l0 JOIN ll USING (colname)
+             |ORDER BY colname""".stripMargin))
   )
+
+  /** q224's versioned table: v0 = the %3≠2 two-thirds of orders
+    * (custkey, cents); live appends the %3=2 tranche with custkey
+    * nulled on the %5 slice and cents doubled — the drift the profile
+    * must surface. Once per session. */
+  private def driftRoot(s: SparkSession, d: String): String = {
+    import graft.sources.Scratch
+    val root = Scratch.dir(s, "q224-drift")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.filter(col("k") % 3 =!= 2), root,
+        keepVersions = 10)
+      VersionedParquet.append(s, root,
+        o.filter(col("k") % 3 === 2)
+          .select(col("k"),
+            when(col("c") % 5 === 0, lit(null).cast("long"))
+              .otherwise(col("c")).as("c"),
+            (col("cents") * 2L).as("cents")),
+        keepVersions = 10)
+    }
+    root
+  }
 }
