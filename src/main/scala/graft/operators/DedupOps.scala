@@ -977,7 +977,81 @@ object DedupOps {
              |       CAST(sum(id_b) AS BIGINT) AS sum_b
              |FROM cand
              |GROUP BY 1
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // ── AllPairs/PPJoin prefix filtering: exact similarity join without ──
+    // an inverted-index self-join on EVERY shingle (Bayardo et al.,
+    // WWW'07; Xiao et al., WWW'08). Shingles get a GLOBAL total order —
+    // (document frequency ASC, shingle) within the lang block — rarest
+    // first; a doc with n distinct shingles enters the index with only
+    // its first ℓ(n) = n − ceil(t·n) + 1 shingles in that order.
+    // Completeness at Jaccard ≥ t = 0.6: J ≥ t implies the overlap
+    // o ≥ t·max(|A|,|B|), so o ≥ ceil(t·n) on EACH side; if the two
+    // prefixes were disjoint, the first common shingle in global order
+    // would lie outside one doc's prefix, leaving that doc at most
+    // ceil(t·n) − 1 suffix positions to hold all o common shingles —
+    // contradiction. So every qualifying pair shares a PREFIX shingle.
+    // 100 TB shape: join mass is bounded by RARE-shingle df — hot
+    // shingles ("of the and …") sort LAST and never enter a prefix, so
+    // no key can square; this derives q35/q80's tuned JACCARD_DF_CAP
+    // from the threshold instead of a constant, with zero lost pairs.
+    // Verification never does all-pairs: the candidate list (id_a, id_b)
+    // joins per-doc shingle ARRAYS by id — two hash joins — and exact
+    // Jaccard filters. The oracle computes the UNFILTERED all-pairs
+    // ground truth at t = 0.6; result equality IS the completeness
+    // proof of the prefix filter AND of the 3·max ≤ 5·min size guard
+    // (both lossless by the algebra above, verified by the gate).
+    QueryDef("q225_prefix_filter_join",
+      (s, d) => {
+        val t3 = 3 // Jaccard threshold 0.6 as the ratio 3/5: all-integer
+        val t5 = 5 // prefix + size-guard arithmetic, no float thresholds
+        val sh = shingleHashes(s, d) // (doc_id, lang, shingle, n_sh, …)
+        val dfreq = sh.groupBy("lang", "shingle")
+          .agg(count(lit(1)).as("df"))
+        val ordW = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        // ceil(0.6·n) = (3n + 4) div 5 — exact integer ceiling
+        val prefix = sh.join(dfreq, Seq("lang", "shingle"))
+          .withColumn("rn", row_number().over(ordW))
+          .filter(col("rn") <=
+            col("n_sh") - expr(s"($t3 * n_sh + ${t5 - 1}) div $t5") + 1)
+        val a = prefix.select(col("lang"), col("shingle"),
+          col("doc_id").as("id_a"), col("n_sh").as("n_a"))
+        val b = prefix.select(col("lang"), col("shingle"),
+          col("doc_id").as("id_b"), col("n_sh").as("n_b"))
+        val cand = a.join(b, Seq("lang", "shingle"))
+          .filter(col("id_a") < col("id_b") &&
+            col("n_b") * t3 <= col("n_a") * t5 &&
+            col("n_a") * t3 <= col("n_b") * t5)
+          .select("id_a", "id_b").distinct()
+        val sets = sh.groupBy("doc_id")
+          .agg(collect_set("shingle").as("hs"), max("n_sh").as("n"))
+        cand
+          .join(sets.select(col("doc_id").as("id_a"),
+            col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
+          .join(sets.select(col("doc_id").as("id_b"),
+            col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
+          .withColumn("o", size(array_intersect(col("hs_a"), col("hs_b"))))
+          .withColumn("jac", col("o").cast("double")
+            / (col("n_a") + col("n_b") - col("o")))
+          .filter(col("jac") >= 0.6)
+          .select(col("id_a"), col("id_b"), col("jac"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+             |sh AS (SELECT doc_id, lang, $SHINGLES AS shingles FROM t),
+             |sized AS (
+             |  SELECT doc_id, lang, shingles, len(shingles) AS n_sh FROM sh
+             |  WHERE len(shingles) > 0)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             |         / (a.n_sh + b.n_sh
+             |            - len(list_intersect(a.shingles, b.shingles))) AS jac
+             |FROM sized a JOIN sized b
+             |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             |      / (a.n_sh + b.n_sh
+             |         - len(list_intersect(a.shingles, b.shingles))) >= 0.6
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 
   /** q168 scratch table: documents published as v0 of a versioned

@@ -1203,7 +1203,142 @@ object SimilarityOps {
              |         AS top1_16
              |FROM tf FULL OUTER JOIN t16 USING (qid, vec_id)
              |GROUP BY 1
-             |ORDER BY qid""".stripMargin))
+             |ORDER BY qid""".stripMargin)),
+
+    // ── Hybrid retrieval: BM25 lexical ∪ dense cosine, RRF fusion ────────
+    // The production retrieval stack serves BOTH a term index and a
+    // vector index and fuses the rank lists — reciprocal rank fusion
+    // (Cormack et al., SIGIR'09): score(d) = Σ_legs 1/(60 + rank_leg(d)),
+    // robust to the legs' incomparable score scales because only RANKS
+    // cross the fusion boundary. Here the lexical leg is q81's BM25
+    // (terms "join vector filter") and the dense leg is q38's cosine
+    // against vec_id 0, joined on the shared document id space; the
+    // fusion arithmetic is exact-integer (micro-units: 10⁶ div (60+r))
+    // so no float threshold crosses engines. Scale shape: each leg is a
+    // TakeOrderedAndProject top-20 (distributed heap merge, NO global
+    // window over the corpus — the rank window runs over the 20-row
+    // top-k frame); the fusion full-outer join touches ≤ 40 rows. At
+    // 100 TB the legs are the stored indexes (q107/q192 postings, q100/
+    // q159 IVF-PQ) — this query is the fusion contract on top of them.
+    QueryDef("q226_hybrid_retrieval_rrf",
+      (s, d) => {
+        import graft.functions.TextFns.tokens
+        val qTerms = Seq("join", "vector", "filter")
+        val k1 = 1.2
+        val b = 0.75
+        val docs = Tables.documents(s, d)
+        val toks = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("term"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = dl.agg(sum("dl").as("sum_dl"),
+          count(lit(1)).as("n_docs"))
+        val tf = toks.filter(col("term").isin(qTerms: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val bm25 = tf.join(broadcast(dfreq), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("avgdl",
+            col("sum_dl").cast("double") / col("n_docs"))
+          .withColumn("idf",
+            log((col("n_docs") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)) + lit(1.0)))
+          .withColumn("contrib",
+            col("idf") * (col("tf") * lit(k1 + 1))
+              / (col("tf") + lit(k1) *
+                (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(round(sum("contrib"), 6).as("bm25"))
+        val lex = bm25
+          .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+          .withColumn("lex_rank", row_number()
+            .over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+          .select(col("doc_id").as("id"), col("lex_rank"))
+        val e = Tables.embeddings(s, d)
+        val qv = e.filter(col("vec_id") === 0L)
+          .select(col("embedding").as("qvec"))
+        val vec = e.crossJoin(broadcast(qv))
+          .filter(col("vec_id") =!= 0L)
+          .select(col("vec_id"), cosine("embedding", "qvec").as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id")).limit(20)
+          .withColumn("vec_rank", row_number()
+            .over(Window.orderBy(col("cos_sim").desc, col("vec_id"))))
+          .select(col("vec_id").as("id"), col("vec_rank"))
+        lex.join(vec, Seq("id"), "full_outer")
+          .withColumn("rrf_micro",
+            (coalesce(expr("1000000 div (60 + cast(lex_rank as bigint))"),
+              lit(0L)) +
+             coalesce(expr("1000000 div (60 + cast(vec_rank as bigint))"),
+              lit(0L))).cast("long"))
+          .orderBy(col("rrf_micro").desc, col("id")).limit(10)
+          .withColumn("fused_rank", row_number()
+            .over(Window.orderBy(col("rrf_micro").desc, col("id"))))
+          .select(col("fused_rank"), col("id"), col("lex_rank"),
+            col("vec_rank"), col("rrf_micro"))
+          .orderBy("fused_rank")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split_regex(lower(text),
+             |           '[^a-z0-9]+'), x -> x != '')) AS term
+             |  FROM documents),
+             |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+             |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS sum_dl,
+             |                 count(*) AS n_docs FROM dl),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf FROM toks
+             |  WHERE term IN ('join', 'vector', 'filter')
+             |  GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |scored AS (
+             |  SELECT tf.doc_id,
+             |         ln((stats.n_docs - dfreq.df + CAST(0.5 AS DOUBLE))
+             |            / (dfreq.df + CAST(0.5 AS DOUBLE))
+             |            + CAST(1 AS DOUBLE))
+             |           * (tf.tf * CAST(2.2 AS DOUBLE))
+             |           / (tf.tf + CAST(1.2 AS DOUBLE)
+             |              * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+             |                 * dl.dl
+             |                 / (CAST(stats.sum_dl AS DOUBLE) / stats.n_docs)))
+             |           AS contrib
+             |  FROM tf JOIN dl USING (doc_id)
+             |       JOIN dfreq USING (term)
+             |       CROSS JOIN stats),
+             |bm AS (SELECT doc_id, round(sum(contrib), 6) AS bm25
+             |       FROM scored GROUP BY 1),
+             |lex AS (
+             |  SELECT id, lex_rank FROM (
+             |    SELECT doc_id AS id,
+             |           CAST(row_number() OVER (
+             |             ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+             |    FROM bm) WHERE lex_rank <= 20),
+             |q AS (SELECT embedding AS qvec FROM embeddings
+             |      WHERE vec_id = 0),
+             |cosd AS (
+             |  SELECT vec_id,
+             |       $COS_Q
+             |         AS cos_sim
+             |  FROM embeddings CROSS JOIN q
+             |  WHERE vec_id != 0),
+             |vec AS (
+             |  SELECT id, vec_rank FROM (
+             |    SELECT vec_id AS id,
+             |           CAST(row_number() OVER (
+             |             ORDER BY cos_sim DESC, vec_id) AS INT) AS vec_rank
+             |    FROM cosd) WHERE vec_rank <= 20),
+             |fused AS (
+             |  SELECT COALESCE(lex.id, vec.id) AS id, lex_rank, vec_rank,
+             |         CAST(COALESCE(1000000 // (60 + lex_rank), 0)
+             |            + COALESCE(1000000 // (60 + vec_rank), 0)
+             |           AS BIGINT) AS rrf_micro
+             |  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id)
+             |SELECT * FROM (
+             |  SELECT CAST(row_number() OVER (
+             |           ORDER BY rrf_micro DESC, id) AS INT) AS fused_rank,
+             |         id, lex_rank, vec_rank, rrf_micro
+             |  FROM fused)
+             |WHERE fused_rank <= 10
+             |ORDER BY fused_rank""".stripMargin))
   )
 
   /** q207 table: versioned embeddings — v0 = vec_id % 5 ≠ 0, append
