@@ -622,6 +622,101 @@ object SketchOps {
            |JOIN est1 eb ON eb.source = u.src_b
            |LEFT JOIN exact x ON x.src_a = u.src_a AND x.src_b = u.src_b
            |ORDER BY u.src_a, u.src_b""".stripMargin
-      })
+      }),
+
+    // ── Maintained daily HLL sketch + sliding-window distinct ────────────
+    // The sketch tier's answer to "distinct users per trailing 7 days,
+    // every day, forever": a STORED per-day register table — (day,
+    // bucket, r), ≤ m rows per day however big the day — maintained
+    // from the activity table's own change feed (the q162/q168/q178/
+    // q192 stored-index discipline applied to sketches). Ingest is
+    // three insert batches, the last carrying LATE rows for earlier
+    // days (the production late-arrival case), so maintenance genuinely
+    // MERGES registers (groupBy max) rather than appending fresh days;
+    // max is associative/commutative/idempotent, so incremental ==
+    // full-rebuild exactly — and the oracle proves it by recomputing
+    // registers from the final table. Windowing never rescans events:
+    // each day-sketch row fans out to the ≤ 7 window anchors it serves
+    // (D·m rows total — bounded by the calendar, not the corpus) and
+    // anchors merge by register max; the estimate is the engine-portable
+    // corrected HLL of q70. This is THE 100 TB shape: the corpus is
+    // touched once per ingest batch, every (day, window) readout after
+    // that is calendar-sized arithmetic.
+    QueryDef("q227_sliding_hll_maintenance",
+      (s, d) => {
+        val regs = s.read.parquet(dailyHllPath(s, d))
+        val anchors = regs.select(col("day").as("anchor")).distinct()
+        val windowed = regs
+          .withColumn("anchor",
+            explode(expr("sequence(day, date_add(day, 6))")))
+          .join(anchors, Seq("anchor"), "left_semi")
+          .groupBy("anchor", "bucket").agg(max("r").as("r"))
+        estimateOf(windowed, Seq("anchor"))
+          .select(col("anchor").as("window_end"), col("n_buckets"),
+            col("hll_est").as("est_users_7d"))
+          .orderBy("window_end")
+      },
+      Some(s"""WITH base AS (
+             |  SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+             |days AS (SELECT DISTINCT day FROM base),
+             |hashed AS (
+             |  SELECT d.day AS anchor,
+             |         ${Hashing.md5Long60Sql("CAST(b.user_id AS VARCHAR)")}
+             |           AS h60
+             |  FROM base b JOIN days d ON d.day BETWEEN b.day AND b.day + 6),
+             |${hllEstimateSql("anchor")}
+             |SELECT anchor AS window_end, n_buckets,
+             |       round(est, 1) AS est_users_7d
+             |FROM corrected
+             |ORDER BY window_end""".stripMargin))
   )
+
+  /** q227 activity table: (day, user_id, event_id) from events,
+    * published as three insert batches — days 1–10, days 11–20, then
+    * days 21–30 PLUS the held-back late cohort (event_id % 7 = 3) of
+    * ALL days. Once per session. */
+  private def activityRoot(s: org.apache.spark.sql.SparkSession,
+                           d: String): String = {
+    import graft.warehouse.VersionedParquet
+    val root = graft.sources.Scratch.dir(s, "q227-activity")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val ev = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"),
+          col("event_id"))
+      val late = col("event_id") % 7 === 3
+      val dom = dayofmonth(col("day"))
+      VersionedParquet.publish(ev.filter(dom <= 10 && !late), root,
+        keepVersions = 10)
+      VersionedParquet.append(s, root,
+        ev.filter(dom >= 11 && dom <= 20 && !late), keepVersions = 10)
+      VersionedParquet.append(s, root,
+        ev.filter((dom >= 21) || late), keepVersions = 10)
+    }
+    root
+  }
+
+  /** The maintained per-day register table: v0 rebuild + one register
+    * merge per change-feed batch — each increment computes registers
+    * from ONLY its batch's rows and folds in by groupBy(day, bucket)
+    * max(r). */
+  private def dailyHllPath(s: org.apache.spark.sql.SparkSession,
+                           d: String): String = {
+    import graft.warehouse.VersionedParquet
+    val root = activityRoot(s, d)
+    val idx = graft.sources.Scratch.dir(s, "q227-daily-hll")
+    if (!new java.io.File(idx).exists()) {
+      def hashed(rows: DataFrame): DataFrame = rows.select(col("day"),
+        Hashing.md5Long60(col("user_id").cast("string")).as("h60"))
+      var regs = registersOf(
+        hashed(VersionedParquet.read(s, root, Some(0L))), Seq("day"))
+      for ((from, to) <- Seq((0L, 1L), (1L, 2L))) {
+        val feed = VersionedParquet.changes(s, root, from, to)
+          .filter(col("_change_type") === "insert")
+        regs = regs.unionByName(registersOf(hashed(feed), Seq("day")))
+          .groupBy("day", "bucket").agg(max("r").as("r"))
+      }
+      graft.warehouse.AtomicParquet.overwrite(regs, idx)
+    }
+    idx
+  }
 }
