@@ -252,7 +252,120 @@ object ClusterOps {
              |       CAST(sum(d2) AS BIGINT) AS inertia
              |FROM fin
              |GROUP BY cl
-             |ORDER BY cluster""".stripMargin))
+             |ORDER BY cluster""".stripMargin)),
+
+    // ── k-means|| oversampling init (Bahmani et al., VLDB 2012) ──────────
+    // q124's init (K lowest ids) is the toy; at corpus scale the init
+    // IS the hard part — k-means++ needs K sequential passes, so the
+    // scalable form oversamples: R = 3 rounds, each selecting every
+    // point independently with probability min(1, ℓ·d²(x,C)/φ) for
+    // ℓ = 2K, expected ~ℓ new candidates per round, then the O(R·ℓ)
+    // candidate set is weighted by how many points it wins and reduced
+    // to the K seeds (here: top-K by weight — the greedy stand-in for
+    // the final weighted clustering, deterministic and oracle-exact).
+    // The Bernoulli draw is the house md5 uniform: select iff
+    // u·φ < ℓ·d²·2⁶⁰ with u = md5₆₀("kmpp_r_" ∥ vec_id) — cross-
+    // multiplied EXACTLY (Decimal(38) on the Spark side, HUGEINT in
+    // DuckDB; magnitudes ≤ 10³², no float threshold crosses engines).
+    // Scale shape, per round: d²(x, C) folds INCREMENTALLY —
+    // dmin ← least(dmin, d² to the round's new candidates only), a
+    // zero-shuffle map over the corpus with the ≤ ℓ new centroids as
+    // plan literals, localCheckpoint pinning the column between rounds
+    // (the cached-distance state of the real implementation; q99's
+    // lineage-cut discipline) — then ONE sum for φ and a ~ℓ-row
+    // collect (the bounded-metadata exception). The weight step is a
+    // single broadcast join against the ~R·ℓ-row candidate frame with
+    // a per-vec argmin window. The corpus is never shuffled on a
+    // data-dependent key and never collected.
+    QueryDef("q228_kmeans_parallel_init",
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val L = 2 * K
+        val R = 3
+        val TWO60 = 1152921504606846976L
+        val v = quantized(s, d)
+        val first = v.orderBy("vec_id").limit(1).collect()(0)
+        var candVecs: Seq[(Long, Array[Long])] =
+          Seq(first.getLong(0) -> first.getSeq[Long](1).toArray)
+        var cur = v.withColumn("dmin", d2(candVecs.head._2))
+          .localCheckpoint(true)
+        for (r <- 1 to R) {
+          val phi = cur.agg(sum("dmin")).collect()(0).getLong(0)
+          val u = Hashing.md5Long60(
+            concat(lit(s"kmpp_${r}_"), col("vec_id").cast("string")))
+          val sel = cur.filter(
+              u.cast(DecimalType(38, 0)) * lit(phi) <
+                lit(L.toLong) * col("dmin").cast(DecimalType(38, 0))
+                  * lit(TWO60))
+            .select("vec_id", "e").collect()
+            .map(row => row.getLong(0) -> row.getSeq[Long](1).toArray)
+          if (sel.nonEmpty) {
+            candVecs ++= sel
+            cur = cur.withColumn("dmin",
+              least(col("dmin") +: sel.map(c => d2(c._2)): _*))
+              .localCheckpoint(true)
+          }
+        }
+        val candDf = broadcast(v
+          .filter(col("vec_id").isin(candVecs.map(_._1): _*))
+          .select(col("vec_id").as("cand_id"), col("e").as("ce")))
+        val asgW = Window.partitionBy("vec_id").orderBy("cd2", "cand_id")
+        val weights = v.crossJoin(candDf)
+          .withColumn("cd2", aggregate(
+            zip_with(col("e"), col("ce"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("rn", row_number().over(asgW))
+          .filter(col("rn") === 1)
+          .groupBy("cand_id").agg(count(lit(1)).as("weight"))
+        weights.orderBy(col("weight").desc, col("cand_id")).limit(K)
+          .withColumn("seed_rank", row_number()
+            .over(Window.orderBy(col("weight").desc, col("cand_id"))))
+          .select(col("seed_rank"), col("cand_id").as("vec_id"),
+            col("weight"))
+          .orderBy("seed_rank")
+      },
+      Some {
+        val d2sql = (x: String, c: String) =>
+          s"""CAST(list_inner_product($x.e, $x.e)
+             |                  - 2 * list_inner_product($x.e, $c.e)
+             |                  + list_inner_product($c.e, $c.e) AS BIGINT)""".stripMargin
+        def round(r: Int): String =
+          s"""dm$r AS (
+             |  SELECT x.vec_id, x.e,
+             |         min(${d2sql("x", "c")}) AS dmin
+             |  FROM v x CROSS JOIN c${r - 1} c
+             |  GROUP BY x.vec_id, x.e),
+             |s$r AS (
+             |  SELECT dm.vec_id, dm.e FROM dm$r dm,
+             |       (SELECT CAST(sum(dmin) AS BIGINT) AS phi FROM dm$r) p
+             |  WHERE CAST(${Hashing.md5Long60Sql(
+                     s"'kmpp_${r}_' || CAST(dm.vec_id AS VARCHAR)")}
+             |          AS HUGEINT) * p.phi
+             |        < 16 * CAST(dm.dmin AS HUGEINT)
+             |          * CAST(1152921504606846976 AS HUGEINT)),
+             |c$r AS (SELECT * FROM c${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+        s"""WITH v AS (
+           |  SELECT vec_id,
+           |         list_transform(embedding,
+           |           x -> CAST(round(x * $SCALE) AS BIGINT)) AS e
+           |  FROM embeddings),
+           |c0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1),
+           |${(1 to 3).map(round).mkString(",\n")},
+           |asg AS (
+           |  SELECT vec_id, cand_id FROM (
+           |    SELECT x.vec_id, c.vec_id AS cand_id,
+           |           row_number() OVER (PARTITION BY x.vec_id
+           |             ORDER BY ${d2sql("x", "c")}, c.vec_id) AS rn
+           |    FROM v x CROSS JOIN c3 c) WHERE rn = 1),
+           |w AS (SELECT cand_id, count(*) AS weight FROM asg GROUP BY 1)
+           |SELECT * FROM (
+           |  SELECT CAST(row_number() OVER (
+           |           ORDER BY weight DESC, cand_id) AS INT) AS seed_rank,
+           |         cand_id AS vec_id, weight
+           |  FROM w)
+           |WHERE seed_rank <= $K
+           |ORDER BY seed_rank""".stripMargin
+      })
   )
 
   /** Lloyd's over an arbitrary quantized (vec_id, e) frame — the
