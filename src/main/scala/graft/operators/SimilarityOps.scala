@@ -174,7 +174,7 @@ object SimilarityOps {
         cosine("embedding", "qvec").as("cos_sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select("q_id", "vec_id")
+      .select("q_id", "vec_id", "rk")
   }
 
   /** IVF: sampled coarse centroids, probed lists, exact rerank. */
@@ -1338,8 +1338,102 @@ object SimilarityOps {
              |         id, lex_rank, vec_rank, rrf_micro
              |  FROM fused)
              |WHERE fused_rank <= 10
-             |ORDER BY fused_rank""".stripMargin))
+             |ORDER BY fused_rank""".stripMargin)),
+
+    // ── Retrieval quality eval: nDCG@10 + MRR of the LSH leg ─────────────
+    // q103 measures set recall; a serving decision also needs RANK
+    // quality — did the ANN leg put the right neighbors early? Truth =
+    // batch brute-force top-10 per query (binary relevance), system =
+    // batch LSH top-10; nDCG@10 discounts by 1/log2(r+1) and MRR is
+    // the reciprocal first-relevant rank. The discount values are 10
+    // PRECOMPUTED double literals both engines index identically (the
+    // q70 LC_TABLE discipline — no runtime libm), IDCG is one shared
+    // literal, MRR stays exact-integer micro-units, and the ≤ 10-term
+    // double DCG sum is round(·, 6)-pinned (q39's ulp rule). Queries
+    // whose LSH candidate set is empty are absent on both sides by
+    // construction. Scale shape: both legs are the q97/q103 batch
+    // plans (one band-key equi-join / one broadcast scan); the eval
+    // join touches 10 rows per query.
+    QueryDef("q229_retrieval_eval",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val truth = batchBruteTopK(e, every = 50, k = 10)
+          .select(col("q_id"), col("vec_id"), col("rk").as("rk_true"))
+        val sys = batchLshTopK(e, every = 50, k = 10)
+          .select(col("q_id"), col("vec_id"), col("rk").as("rk_sys"))
+        val discCol = element_at(array(DISC.map(lit): _*),
+          col("rk_sys").cast("int"))
+        sys.join(truth, Seq("q_id", "vec_id"), "left")
+          .withColumn("rel", when(col("rk_true").isNotNull, 1L)
+            .otherwise(0L))
+          .groupBy("q_id")
+          .agg(sum("rel").as("n_hits"),
+            min(when(col("rel") === 1, col("rk_sys"))).as("first_rel"),
+            sum(when(col("rel") === 1, discCol).otherwise(lit(0.0)))
+              .as("dcg"))
+          .select(col("q_id"), col("n_hits"),
+            coalesce(expr("1000000 div cast(first_rel as bigint)"),
+              lit(0L)).as("rr_micro"),
+            round(col("dcg") / lit(IDCG10), 6).as("ndcg_at_10"))
+          .orderBy("q_id")
+      },
+      Some(s"""$KEYS_SQL,
+             |qv AS (SELECT vec_id AS q_id, embedding AS qvec
+             |       FROM embeddings WHERE vec_id % 50 = 0),
+             |brute AS (
+             |  SELECT q.q_id, e.vec_id,
+             |         row_number() OVER (PARTITION BY q.q_id ORDER BY
+             |           list_sum(list_transform(range(1, 65),
+             |             i -> CAST(e.embedding[i] AS DOUBLE)
+             |                  * CAST(q.qvec[i] AS DOUBLE)))
+             |           / (sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(e.embedding[i] AS DOUBLE)
+             |                     * CAST(e.embedding[i] AS DOUBLE))))
+             |              * sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(q.qvec[i] AS DOUBLE)
+             |                     * CAST(q.qvec[i] AS DOUBLE)))))
+             |           DESC, e.vec_id) AS rk
+             |  FROM embeddings e CROSS JOIN qv q
+             |  WHERE e.vec_id != q.q_id),
+             |bt AS (SELECT q_id, vec_id, rk AS rk_true FROM brute
+             |       WHERE rk <= 10),
+             |qk AS (SELECT vec_id AS q_id, t, key FROM keys
+             |       WHERE vec_id % 50 = 0),
+             |cand AS (
+             |  SELECT DISTINCT qk.q_id, k.vec_id, k.embedding
+             |  FROM keys k JOIN qk ON k.t = qk.t AND k.key = qk.key
+             |  WHERE k.vec_id != qk.q_id),
+             |lscored AS (
+             |  SELECT c.q_id, c.vec_id,
+             |         row_number() OVER (PARTITION BY c.q_id ORDER BY
+             |           $COS_Q DESC, c.vec_id) AS rk
+             |  FROM cand c JOIN qv ON qv.q_id = c.q_id),
+             |lt AS (SELECT q_id, vec_id, rk AS rk_sys FROM lscored
+             |       WHERE rk <= 10)
+             |SELECT l.q_id,
+             |       CAST(sum(CASE WHEN b.rk_true IS NOT NULL
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+             |       CAST(coalesce(1000000 // CAST(min(CASE
+             |             WHEN b.rk_true IS NOT NULL THEN l.rk_sys END)
+             |           AS BIGINT), 0) AS BIGINT) AS rr_micro,
+             |       round(sum(CASE WHEN b.rk_true IS NOT NULL
+             |                 THEN [${DISC.mkString(", ")}]
+             |                        [CAST(l.rk_sys AS INT)]
+             |                 ELSE CAST(0 AS DOUBLE) END)
+             |             / $IDCG10, 6) AS ndcg_at_10
+             |FROM lt l LEFT JOIN bt b
+             |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
+             |GROUP BY l.q_id
+             |ORDER BY l.q_id""".stripMargin))
   )
+
+  /** nDCG rank discounts 1/log2(r+1), r = 1..10, and their sum (the
+    * ideal DCG at depth 10) — precomputed double literals shared by
+    * the Spark plan and the oracle (shortest-decimal round-trip; no
+    * runtime libm on either engine). */
+  private lazy val DISC: IndexedSeq[Double] =
+    (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
+  private lazy val IDCG10: Double = DISC.sum
 
   /** q207 table: versioned embeddings — v0 = vec_id % 5 ≠ 0, append
     * the even-id cohort of the held-out fifth, delete vec_id % 11 = 3.
