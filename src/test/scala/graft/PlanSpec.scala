@@ -483,4 +483,45 @@ class PlanSpec extends AnyFunSuite {
     assert(collectAll(p) { case m: SortMergeJoinExec => m }.isEmpty,
       "the corpus gram stream must never pay a shuffled join")
   }
+
+  test("q225 prefix-filter join: equi-joins only — no cartesian, no nested loop") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val p = planOf("q225_prefix_filter_join")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "candidate generation must be the prefix equi-join, never all-pairs")
+    assert(collectAll(p) { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+      "every join (df attach, prefix self-join, set verification) is an equi-join")
+  }
+
+  test("q226 hybrid RRF: both legs are distributed top-k, no global corpus window") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val p = planOf("q226_hybrid_retrieval_rrf")
+    val topk = collectAll(p) { case t: TakeOrderedAndProjectExec => t }
+    assert(topk.size >= 2,
+      s"BM25 and cosine legs must each plan as TakeOrderedAndProject " +
+        s"(distributed heap merge), found ${topk.size}")
+    val windows = collectAll(p) { case w: WindowExec => w }
+    // rank windows run over the 20-row top-k frames and the 10-row
+    // fusion — never partitioned over the corpus
+    assert(windows.nonEmpty, "rank assignment windows expected")
+  }
+
+  test("q227 sliding HLL: calendar-sized register algebra, no shuffled join") {
+    val p = planOf("q227_sliding_hll_maintenance")
+    assert(collectAll(p) { case s: SortMergeJoinExec => s }.isEmpty,
+      "the anchor semi-join is broadcast; register merges are aggregates")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty)
+  }
+
+  test("q228 k-means|| weights: candidate frame broadcasts, corpus never shuffles on data keys") {
+    val p = planOf("q228_kmeans_parallel_init")
+    assert(collectAll(p) { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "the ~R*l-row candidate frame must broadcast into the weight join")
+    assert(collectAll(p) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, "no shuffled cartesian anywhere in the init")
+  }
 }
