@@ -226,8 +226,139 @@ object ProfileOps {
              |       CAST(l0.col_sum AS BIGINT) AS sum_v0,
              |       CAST(ll.col_sum AS BIGINT) AS sum_live
              |FROM l0 JOIN ll USING (colname)
-             |ORDER BY colname""".stripMargin))
+             |ORDER BY colname""".stripMargin)),
+
+    // ── Two-sample chi-square drift test (per-dimension) ─────────────────
+    // q224 reads out WHAT shifted; this decides WHETHER the shift is
+    // statistically real — the Evidently/TFX-style monitoring gate. For
+    // each monitored dimension (event_type, hour-of-day) the reference
+    // cohort (days 1–15) and current cohort (days 16–30) form a 2×k
+    // contingency table; the homogeneity statistic
+    //   χ² = Σ_cells (O·N − n_s·r_i)² / (n_s·r_i·N)
+    // is computed in EXACT scaled integers: each term's micro-units are
+    // one Decimal/HUGEINT cross-multiplied integral division (the q228
+    // discipline — numerators reach 10³⁰, well inside Decimal(38)/
+    // int128; the per-term quotient is ≤ N·10⁶, comfortably long), so
+    // no float path crosses engines. The grid COMPLETES missing
+    // (cell, cohort) pairs with zero counts — an absent cell is
+    // evidence of drift, not a skippable row. The 95th-percentile
+    // critical values for df 1..30 are precomputed literals both
+    // engines index (the LC_TABLE rule); drift = χ²_ppm > crit_ppm.
+    // Scale shape: ONE pass over events collapses to ≤ k·2 cells per
+    // dimension (map-side combine); everything after runs on the
+    // cell-cardinality frame — windows, grid completion, the χ² fold.
+    QueryDef("q230_chi2_drift",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.events(s, d).select(
+          when(dayofmonth(col("ts")) <= 15, lit("ref"))
+            .otherwise(lit("cur")).as("cohort"),
+          col("event_type"),
+          hour(col("ts")).cast("string").as("hr"))
+        def dim(name: String, cell: Column): DataFrame =
+          ev.groupBy(cell.as("cell"), col("cohort"))
+            .agg(count(lit(1)).as("o"))
+            .withColumn("dimension", lit(name))
+        val cells = dim("event_type", col("event_type"))
+          .unionByName(dim("hour_of_day", col("hr")))
+        val grid = cells.select("dimension", "cell").distinct()
+          .withColumn("cohort", explode(array(lit("ref"), lit("cur"))))
+        val full = grid.join(cells, Seq("dimension", "cell", "cohort"),
+            "left")
+          .withColumn("o", coalesce(col("o"), lit(0L)))
+        val tot = full
+          .withColumn("n_s",
+            sum("o").over(Window.partitionBy("dimension", "cohort")))
+          .withColumn("r_i",
+            sum("o").over(Window.partitionBy("dimension", "cell")))
+          .withColumn("big_n",
+            sum("o").over(Window.partitionBy("dimension")))
+        val terms = tot
+          .withColumn("num", expr(
+            """cast(o as decimal(38,0)) * big_n
+              | - cast(n_s as decimal(38,0)) * r_i""".stripMargin))
+          .withColumn("term_ppm", expr(
+            """(num * num * 1000000)
+              | div (cast(n_s as decimal(38,0)) * r_i * big_n)""".stripMargin))
+        val agg = terms.groupBy("dimension")
+          .agg(sum("term_ppm").cast("long").as("chi2_ppm"),
+            countDistinct("cell").as("n_cells"))
+        val critArr = array(CHI2_95_PPM.map(lit): _*)
+        agg
+          .withColumn("dfree", (col("n_cells") - 1).cast("long"))
+          .withColumn("crit_ppm",
+            element_at(critArr, col("dfree").cast("int")))
+          .select(col("dimension"), col("n_cells"), col("dfree"),
+            col("chi2_ppm"), col("crit_ppm"),
+            when(col("chi2_ppm") > col("crit_ppm"), 1).otherwise(0)
+              .cast("int").as("drift"))
+          .orderBy("dimension")
+      },
+      Some(s"""WITH ev AS (
+             |  SELECT CASE WHEN EXTRACT(day FROM ts) <= 15
+             |              THEN 'ref' ELSE 'cur' END AS cohort,
+             |         event_type,
+             |         CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS hr
+             |  FROM events),
+             |cells AS (
+             |  SELECT 'event_type' AS dimension, event_type AS cell,
+             |         cohort, count(*) AS o
+             |  FROM ev GROUP BY 2, 3
+             |  UNION ALL
+             |  SELECT 'hour_of_day', hr, cohort, count(*)
+             |  FROM ev GROUP BY 2, 3),
+             |grid AS (
+             |  SELECT dc.dimension, dc.cell, c.cohort
+             |  FROM (SELECT DISTINCT dimension, cell FROM cells) dc
+             |  CROSS JOIN (SELECT unnest(['ref', 'cur']) AS cohort) c),
+             |fulld AS (
+             |  SELECT g.dimension, g.cell, g.cohort,
+             |         coalesce(cl.o, 0) AS o
+             |  FROM grid g LEFT JOIN cells cl
+             |    USING (dimension, cell, cohort)),
+             |tot AS (
+             |  SELECT dimension, cell, cohort, o,
+             |         sum(o) OVER (PARTITION BY dimension, cohort) AS n_s,
+             |         sum(o) OVER (PARTITION BY dimension, cell) AS r_i,
+             |         sum(o) OVER (PARTITION BY dimension) AS big_n
+             |  FROM fulld),
+             |terms AS (
+             |  SELECT dimension,
+             |         CAST(o AS HUGEINT) * big_n
+             |           - CAST(n_s AS HUGEINT) * r_i AS num,
+             |         CAST(n_s AS HUGEINT) * r_i * big_n AS den
+             |  FROM tot),
+             |agg AS (
+             |  SELECT dimension,
+             |         CAST(sum((num * num * 1000000) // den) AS BIGINT)
+             |           AS chi2_ppm
+             |  FROM terms GROUP BY 1),
+             |ks AS (SELECT dimension, count(DISTINCT cell) AS k
+             |       FROM cells GROUP BY 1)
+             |SELECT a.dimension,
+             |       CAST(k.k AS BIGINT) AS n_cells,
+             |       CAST(k.k - 1 AS BIGINT) AS dfree,
+             |       a.chi2_ppm,
+             |       CAST([${CHI2_95_PPM.mkString(", ")}]
+             |              [CAST(k.k - 1 AS INT)] AS BIGINT) AS crit_ppm,
+             |       CAST(a.chi2_ppm >
+             |            CAST([${CHI2_95_PPM.mkString(", ")}]
+             |                   [CAST(k.k - 1 AS INT)] AS BIGINT)
+             |            AS INT) AS drift
+             |FROM agg a JOIN ks k USING (dimension)
+             |ORDER BY a.dimension""".stripMargin))
   )
+
+  /** χ²₀.₉₅ quantiles for df = 1..30 in micro-units — the standard
+    * critical values (e.g. df=1 → 3.841459) embedded as integer
+    * literals on both engines (the q70 LC_TABLE no-runtime-special-
+    * functions rule; no chi-square CDF evaluated anywhere). */
+  private lazy val CHI2_95_PPM: IndexedSeq[Long] = IndexedSeq(
+    3841459L, 5991465L, 7814728L, 9487729L, 11070498L, 12591587L,
+    14067140L, 15507313L, 16918978L, 18307038L, 19675138L, 21026070L,
+    22362032L, 23684791L, 24995790L, 26296228L, 27587112L, 28869299L,
+    30143527L, 31410433L, 32670573L, 33924438L, 35172462L, 36415029L,
+    37652484L, 38885139L, 40113272L, 41337138L, 42556968L, 43772972L)
 
   /** q224's versioned table: v0 = the %3≠2 two-thirds of orders
     * (custkey, cents); live appends the %3=2 tranche with custkey
