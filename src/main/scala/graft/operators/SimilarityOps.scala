@@ -1424,7 +1424,129 @@ object SimilarityOps {
              |FROM lt l LEFT JOIN bt b
              |  ON b.q_id = l.q_id AND b.vec_id = l.vec_id
              |GROUP BY l.q_id
-             |ORDER BY l.q_id""".stripMargin))
+             |ORDER BY l.q_id""".stripMargin)),
+
+    // ── Label-noise audit: kNN label disagreement (cleanlab-style) ───────
+    // The training-data hygiene pass over a LABELED embedding corpus:
+    // a vector whose nearest neighbors mostly carry a DIFFERENT label
+    // is a mislabel suspect. The driver corpus's own `label` column is
+    // UNCORRELATED with its vectors (near-uniform synthetic geometry —
+    // ANY labeling disagrees with neighbors there), so, as with q214's
+    // injected PII, the query synthesizes its ground truth IN-ENGINE:
+    // each vec_id is redrawn around one of 8 md5-derived cluster
+    // centroids (same-cluster cosine ≈ 0.99, cross ≈ 0 — the clustered
+    // shape real embedding corpora have; Round5OpsSpec's recall recipe
+    // stated as portable integer-float formulas both engines evaluate
+    // identically), true label = its cluster, and the OBSERVED label
+    // rotates to the next cluster on the vec_id % 19 = 5 slice (~5 %
+    // injected mislabels). The audit sees only observed labels; the
+    // `injected` marker column is the detection readout (q103's
+    // truth-comparison discipline) — on this geometry the flag list IS
+    // the injected slice. Every vector is a query, so brute-force kNN
+    // would be the n² the ANN tier exists to avoid — neighbors come
+    // from the SAME LSH band tables as q40/q97 (candidate mass is
+    // Σ bucket², never all-pairs), exact cosine ranks candidates, the
+    // top-5 vote is a per-query window; flag = strict majority
+    // disagreement over ≥ 3 evaluable neighbors, all integer votes,
+    // deterministic ties. One band equi-join + two hash joins by id +
+    // one window: the q97 batch-serving shape, query set = corpus.
+    QueryDef("q231_label_noise_audit",
+      (s, d) => {
+        val emb2 = transform(sequence(lit(0), lit(63)), i =>
+          ((Hashing.md5Long60(concat(lit("cl_cent_"),
+              (col("vec_id") % 8).cast("string"), lit("_"),
+              i.cast("string"))) % 1000 - 500) * 2
+            + (Hashing.md5Long60(concat(lit("cl_pt_"),
+                col("vec_id").cast("string"), lit("_"),
+                i.cast("string"))) % 101 - 50)).cast("float"))
+        val e = Tables.embeddings(s, d).select(col("vec_id"),
+          emb2.as("embedding"),
+          when(col("vec_id") % 19 === 5, ((col("vec_id") % 8) + 1) % 8)
+            .otherwise(col("vec_id") % 8).cast("int").as("label"))
+        val keys = tableKeysOf(e)
+        val cand = keys.select(col("vec_id").as("qid"), col("t"),
+            col("key"))
+          .join(keys.select(col("vec_id").as("nid"), col("t"),
+            col("key")), Seq("t", "key"))
+          .filter(col("qid") =!= col("nid"))
+          .select("qid", "nid").distinct()
+        val scored = cand
+          .join(e.select(col("vec_id").as("qid"),
+            col("embedding").as("qv"), col("label").as("q_label")), "qid")
+          .join(e.select(col("vec_id").as("nid"),
+            col("embedding").as("nv"), col("label").as("n_label")), "nid")
+          .withColumn("cos_sim", cosine("nv", "qv"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cos_sim").desc, col("nid"))
+        scored.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .groupBy("qid", "q_label")
+          .agg(count(lit(1)).as("n_eval"),
+            sum(when(col("n_label") =!= col("q_label"), 1L)
+              .otherwise(0L)).as("n_disagree"))
+          .filter(col("n_eval") >= 3 &&
+            col("n_disagree") * 2 > col("n_eval"))
+          .select(col("qid").as("vec_id"), col("q_label").as("label"),
+            col("n_eval"), col("n_disagree"),
+            when(col("qid") % 19 === 5, 1).otherwise(0).cast("int")
+              .as("injected"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH labeled AS (
+             |  SELECT vec_id,
+             |         list_transform(range(0, 64), i ->
+             |           CAST((${Hashing.md5Long60Sql(
+                          "'cl_cent_' || CAST(vec_id % 8 AS VARCHAR)" +
+                            " || '_' || i")}
+             |                  % 1000 - 500) * 2
+             |                + (${Hashing.md5Long60Sql(
+                          "'cl_pt_' || CAST(vec_id AS VARCHAR)" +
+                            " || '_' || i")}
+             |                   % 101 - 50)
+             |             AS FLOAT)) AS embedding,
+             |         CAST(CASE WHEN vec_id % 19 = 5
+             |                   THEN (vec_id % 8 + 1) % 8
+             |                   ELSE vec_id % 8 END AS INT) AS label
+             |  FROM embeddings),
+             |${KEYS_SQL.stripPrefix("WITH ")
+                 .replace("FROM embeddings e", "FROM labeled e")},
+             |cand AS (
+             |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
+             |  FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key
+             |  WHERE a.vec_id != b.vec_id),
+             |scored AS (
+             |  SELECT c.qid, c.nid, qe.label AS q_label,
+             |         ne.label AS n_label,
+             |         list_sum(list_transform(range(1, 65),
+             |           i -> CAST(ne.embedding[i] AS DOUBLE)
+             |                * CAST(qe.embedding[i] AS DOUBLE)))
+             |           / (sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(ne.embedding[i] AS DOUBLE)
+             |                     * CAST(ne.embedding[i] AS DOUBLE))))
+             |              * sqrt(list_sum(list_transform(range(1, 65),
+             |                i -> CAST(qe.embedding[i] AS DOUBLE)
+             |                     * CAST(qe.embedding[i] AS DOUBLE)))))
+             |           AS cos_sim
+             |  FROM cand c
+             |  JOIN labeled qe ON qe.vec_id = c.qid
+             |  JOIN labeled ne ON ne.vec_id = c.nid),
+             |rk AS (
+             |  SELECT *, row_number() OVER (PARTITION BY qid
+             |           ORDER BY cos_sim DESC, nid) AS rk
+             |  FROM scored),
+             |agg AS (
+             |  SELECT qid, q_label, count(*) AS n_eval,
+             |         sum(CASE WHEN n_label != q_label
+             |                  THEN 1 ELSE 0 END) AS n_disagree
+             |  FROM rk WHERE rk <= 5 GROUP BY 1, 2)
+             |SELECT qid AS vec_id, CAST(q_label AS INT) AS label,
+             |       CAST(n_eval AS BIGINT) AS n_eval,
+             |       CAST(n_disagree AS BIGINT) AS n_disagree,
+             |       CAST(CASE WHEN qid % 19 = 5 THEN 1 ELSE 0 END
+             |            AS INT) AS injected
+             |FROM agg
+             |WHERE n_eval >= 3 AND n_disagree * 2 > n_eval
+             |ORDER BY vec_id""".stripMargin))
   )
 
   /** nDCG rank discounts 1/log2(r+1), r = 1..10, and their sum (the
@@ -1434,6 +1556,7 @@ object SimilarityOps {
   private lazy val DISC: IndexedSeq[Double] =
     (1 to 10).map(r => 1.0 / (math.log(r + 1.0) / math.log(2.0)))
   private lazy val IDCG10: Double = DISC.sum
+
 
   /** q207 table: versioned embeddings — v0 = vec_id % 5 ≠ 0, append
     * the even-id cohort of the held-out fifth, delete vec_id % 11 = 3.
