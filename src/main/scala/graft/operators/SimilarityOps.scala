@@ -1444,9 +1444,11 @@ object SimilarityOps {
     // truth-comparison discipline) — on this geometry the flag list IS
     // the injected slice. Every vector is a query, so brute-force kNN
     // would be the n² the ANN tier exists to avoid — neighbors come
-    // from the SAME LSH band tables as q40/q97 (candidate mass is
-    // Σ bucket², never all-pairs), exact cosine ranks candidates, the
-    // top-5 vote is a per-query window; flag = strict majority
+    // from the SAME LSH band tables as q40/q97 with BOUNDED bucket
+    // lists (see below: candidate mass linear in the corpus even when
+    // the geometry collapses clusters into single buckets), exact
+    // cosine ranks candidates, the top-5 vote is a per-query window;
+    // flag = strict majority
     // disagreement over ≥ 3 evaluable neighbors, all integer votes,
     // deterministic ties. One band equi-join + two hash joins by id +
     // one window: the q97 batch-serving shape, query set = corpus.
@@ -1464,10 +1466,22 @@ object SimilarityOps {
           when(col("vec_id") % 19 === 5, ((col("vec_id") % 8) + 1) % 8)
             .otherwise(col("vec_id") % 8).cast("int").as("label"))
         val keys = tableKeysOf(e)
+        // Bounded bucket lists — the production bounded-bucket-scan
+        // rule: each band bucket INDEXES only its first 16 members
+        // (deterministic by vec_id), so candidate mass is ≤ 16·|keys|
+        // rows — LINEAR in the corpus even when the geometry collapses
+        // whole clusters into one bucket (here it does, by
+        // construction: an uncapped bucket self-join would be
+        // Σ cluster² — the n² this query exists to avoid). Queries
+        // stay uncapped: every vector is audited.
+        val bw = Window.partitionBy("t", "key").orderBy("vec_id")
+        val indexed = keys
+          .withColumn("brn", row_number().over(bw))
+          .filter(col("brn") <= 16)
+          .select(col("vec_id").as("nid"), col("t"), col("key"))
         val cand = keys.select(col("vec_id").as("qid"), col("t"),
             col("key"))
-          .join(keys.select(col("vec_id").as("nid"), col("t"),
-            col("key")), Seq("t", "key"))
+          .join(indexed, Seq("t", "key"))
           .filter(col("qid") =!= col("nid"))
           .select("qid", "nid").distinct()
         val scored = cand
@@ -1510,9 +1524,15 @@ object SimilarityOps {
              |  FROM embeddings),
              |${KEYS_SQL.stripPrefix("WITH ")
                  .replace("FROM embeddings e", "FROM labeled e")},
+             |bkeys AS (
+             |  SELECT vec_id, t, key FROM (
+             |    SELECT vec_id, t, key,
+             |           row_number() OVER (PARTITION BY t, key
+             |             ORDER BY vec_id) AS brn
+             |    FROM keys) WHERE brn <= 16),
              |cand AS (
              |  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS nid
-             |  FROM keys a JOIN keys b ON a.t = b.t AND a.key = b.key
+             |  FROM keys a JOIN bkeys b ON a.t = b.t AND a.key = b.key
              |  WHERE a.vec_id != b.vec_id),
              |scored AS (
              |  SELECT c.qid, c.nid, qe.label AS q_label,
