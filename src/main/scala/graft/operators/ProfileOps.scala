@@ -248,106 +248,196 @@ object ProfileOps {
     // dimension (map-side combine); everything after runs on the
     // cell-cardinality frame — windows, grid completion, the χ² fold.
     QueryDef("q230_chi2_drift",
+      (s, d) => chi2Report(eventCells(Tables.events(s, d))),
+      Some(s"""WITH evsrc AS (SELECT ts, event_type FROM events),
+             |$chi2CtesSql
+             |SELECT $chi2SelectCols
+             |FROM agg a JOIN ks k USING (dimension)
+             |ORDER BY a.dimension""".stripMargin)),
+
+    // ── Streaming χ² drift monitor (q230, maintained continuously) ───────
+    // Production monitoring never re-scans history per nightly check —
+    // events arrive as micro-batches and the contingency cells
+    // maintain incrementally (streaming/DriftStream): each drained
+    // batch appends its own cell counts as an increment tranche,
+    // exactly-once by the batch-marker rule; increments are sums, so
+    // they commute and Σ increments == the one-shot cells EXACTLY.
+    // The gate runs the production lifecycle: three ingest rounds into
+    // a versioned events table, each drained by its OWN stream run off
+    // the shared checkpoint (the q223 restart-resume path, one cell
+    // commit per round — n_cell_commits = 3 pins it), then the χ²
+    // readout over the MAINTAINED cells through the same chi2Report
+    // the one-shot gate uses. The oracle recomputes from the full
+    // events table: statistic equality IS the incremental == rebuild
+    // proof. Per-batch cost is O(batch rows) map-side-combined to
+    // cell cardinality; the readout never touches an event row.
+    QueryDef("q232_streaming_drift",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val ev = Tables.events(s, d).select(
-          when(dayofmonth(col("ts")) <= 15, lit("ref"))
-            .otherwise(lit("cur")).as("cohort"),
-          col("event_type"),
-          hour(col("ts")).cast("string").as("hr"))
-        def dim(name: String, cell: Column): DataFrame =
-          ev.groupBy(cell.as("cell"), col("cohort"))
-            .agg(count(lit(1)).as("o"))
-            .withColumn("dimension", lit(name))
-        val cells = dim("event_type", col("event_type"))
-          .unionByName(dim("hour_of_day", col("hr")))
-        val grid = cells.select("dimension", "cell").distinct()
-          .withColumn("cohort", explode(array(lit("ref"), lit("cur"))))
-        val full = grid.join(cells, Seq("dimension", "cell", "cohort"),
-            "left")
-          .withColumn("o", coalesce(col("o"), lit(0L)))
-        val tot = full
-          .withColumn("n_s",
-            sum("o").over(Window.partitionBy("dimension", "cohort")))
-          .withColumn("r_i",
-            sum("o").over(Window.partitionBy("dimension", "cell")))
-          .withColumn("big_n",
-            sum("o").over(Window.partitionBy("dimension")))
-        val terms = tot
-          .withColumn("num", expr(
-            """cast(o as decimal(38,0)) * big_n
-              | - cast(n_s as decimal(38,0)) * r_i""".stripMargin))
-          .withColumn("term_ppm", expr(
-            """(num * num * 1000000)
-              | div (cast(n_s as decimal(38,0)) * r_i * big_n)""".stripMargin))
-        val agg = terms.groupBy("dimension")
-          .agg(sum("term_ppm").cast("long").as("chi2_ppm"),
-            countDistinct("cell").as("n_cells"))
-        val critArr = array(CHI2_95_PPM.map(lit): _*)
-        agg
-          .withColumn("dfree", (col("n_cells") - 1).cast("long"))
-          .withColumn("crit_ppm",
-            element_at(critArr, col("dfree").cast("int")))
-          .select(col("dimension"), col("n_cells"), col("dfree"),
-            col("chi2_ppm"), col("crit_ppm"),
-            when(col("chi2_ppm") > col("crit_ppm"), 1).otherwise(0)
-              .cast("int").as("drift"))
-          .orderBy("dimension")
+        val cellsRoot = driftStreamPath(s, d)
+        val nCommits =
+          VersionedParquet.versions(s, cellsRoot).length.toLong
+        chi2Report(
+          graft.streaming.DriftStream.cells(s, cellsRoot),
+          extra = Seq(lit(nCommits).as("n_cell_commits")))
       },
-      Some(s"""WITH ev AS (
-             |  SELECT CASE WHEN EXTRACT(day FROM ts) <= 15
-             |              THEN 'ref' ELSE 'cur' END AS cohort,
-             |         event_type,
-             |         CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS hr
-             |  FROM events),
-             |cells AS (
-             |  SELECT 'event_type' AS dimension, event_type AS cell,
-             |         cohort, count(*) AS o
-             |  FROM ev GROUP BY 2, 3
-             |  UNION ALL
-             |  SELECT 'hour_of_day', hr, cohort, count(*)
-             |  FROM ev GROUP BY 2, 3),
-             |grid AS (
-             |  SELECT dc.dimension, dc.cell, c.cohort
-             |  FROM (SELECT DISTINCT dimension, cell FROM cells) dc
-             |  CROSS JOIN (SELECT unnest(['ref', 'cur']) AS cohort) c),
-             |fulld AS (
-             |  SELECT g.dimension, g.cell, g.cohort,
-             |         coalesce(cl.o, 0) AS o
-             |  FROM grid g LEFT JOIN cells cl
-             |    USING (dimension, cell, cohort)),
-             |tot AS (
-             |  SELECT dimension, cell, cohort, o,
-             |         sum(o) OVER (PARTITION BY dimension, cohort) AS n_s,
-             |         sum(o) OVER (PARTITION BY dimension, cell) AS r_i,
-             |         sum(o) OVER (PARTITION BY dimension) AS big_n
-             |  FROM fulld),
-             |terms AS (
-             |  SELECT dimension,
-             |         CAST(o AS HUGEINT) * big_n
-             |           - CAST(n_s AS HUGEINT) * r_i AS num,
-             |         CAST(n_s AS HUGEINT) * r_i * big_n AS den
-             |  FROM tot),
-             |agg AS (
-             |  SELECT dimension,
-             |         CAST(sum((num * num * 1000000) // den) AS BIGINT)
-             |           AS chi2_ppm
-             |  FROM terms GROUP BY 1),
-             |ks AS (SELECT dimension, count(DISTINCT cell) AS k
-             |       FROM cells GROUP BY 1)
-             |SELECT a.dimension,
-             |       CAST(k.k AS BIGINT) AS n_cells,
-             |       CAST(k.k - 1 AS BIGINT) AS dfree,
-             |       a.chi2_ppm,
-             |       CAST([${CHI2_95_PPM.mkString(", ")}]
-             |              [CAST(k.k - 1 AS INT)] AS BIGINT) AS crit_ppm,
-             |       CAST(a.chi2_ppm >
-             |            CAST([${CHI2_95_PPM.mkString(", ")}]
-             |                   [CAST(k.k - 1 AS INT)] AS BIGINT)
-             |            AS INT) AS drift
+      Some(s"""WITH evsrc AS (SELECT ts, event_type FROM events),
+             |$chi2CtesSql
+             |SELECT $chi2SelectCols,
+             |       CAST(3 AS BIGINT) AS n_cell_commits
              |FROM agg a JOIN ks k USING (dimension)
              |ORDER BY a.dimension""".stripMargin))
   )
+
+  /** q232 lifecycle: the events table publishes in three tranches
+    * (event_id % 3), each drained by its own DriftStream run off the
+    * shared checkpoint into the cell-increment log. Once per session. */
+  private def driftStreamPath(s: SparkSession, d: String): String = {
+    val evRoot = graft.sources.Scratch.dir(s, "q232-events")
+    val cells = graft.sources.Scratch.dir(s, "q232-cells")
+    val ckpt = graft.sources.Scratch.dir(s, "q232-ckpt")
+    if (VersionedParquet.currentVersion(s, evRoot).isEmpty) {
+      val ev = Tables.events(s, d).select("event_id", "ts", "event_type")
+      def drain(): Unit = {
+        val q = graft.streaming.DriftStream.run(
+          s.readStream.format("graft")
+            .option("startingVersion", "0")
+            .load(evRoot),
+          cells, ckpt)
+        q.awaitTermination()
+      }
+      VersionedParquet.publish(ev.filter(col("event_id") % 3 === 0),
+        evRoot, keepVersions = 10)
+      drain()
+      VersionedParquet.append(s, evRoot,
+        ev.filter(col("event_id") % 3 === 1), keepVersions = 10)
+      drain()
+      VersionedParquet.append(s, evRoot,
+        ev.filter(col("event_id") % 3 === 2), keepVersions = 10)
+      drain()
+    }
+    cells
+  }
+
+  /** The monitored-cell extraction shared by q230 (one-shot) and q232
+    * (stream-maintained): raw contingency counts
+    * (dimension, cell, cohort, o) over an events-shaped frame —
+    * cohort = days 1–15 (ref) vs 16–30 (cur), dimensions = event_type
+    * and hour-of-day. One pass, map-side combine to cell cardinality. */
+  private[graft] def eventCells(events: DataFrame): DataFrame = {
+    val ev = events.select(
+      when(dayofmonth(col("ts")) <= 15, lit("ref"))
+        .otherwise(lit("cur")).as("cohort"),
+      col("event_type"),
+      hour(col("ts")).cast("string").as("hr"))
+    def dim(name: String, cell: Column): DataFrame =
+      ev.groupBy(cell.as("cell"), col("cohort"))
+        .agg(count(lit(1)).as("o"))
+        .withColumn("dimension", lit(name))
+    dim("event_type", col("event_type"))
+      .unionByName(dim("hour_of_day", col("hr")))
+  }
+
+  /** χ² homogeneity report over a raw cell frame
+    * (dimension, cell, cohort, o): grid-completes missing
+    * (cell, cohort) pairs with zeros, computes the statistic in exact
+    * scaled integers, flags against the df-indexed critical table.
+    * `extra` columns ride through to the output (q232's commit-count
+    * pin). */
+  private[graft] def chi2Report(cells: DataFrame,
+                                extra: Seq[Column] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = cells.select("dimension", "cell").distinct()
+      .withColumn("cohort", explode(array(lit("ref"), lit("cur"))))
+    val full = grid.join(cells, Seq("dimension", "cell", "cohort"),
+        "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+    val tot = full
+      .withColumn("n_s",
+        sum("o").over(Window.partitionBy("dimension", "cohort")))
+      .withColumn("r_i",
+        sum("o").over(Window.partitionBy("dimension", "cell")))
+      .withColumn("big_n",
+        sum("o").over(Window.partitionBy("dimension")))
+    val terms = tot
+      .withColumn("num", expr(
+        """cast(o as decimal(38,0)) * big_n
+          | - cast(n_s as decimal(38,0)) * r_i""".stripMargin))
+      .withColumn("term_ppm", expr(
+        """(num * num * 1000000)
+          | div (cast(n_s as decimal(38,0)) * r_i * big_n)""".stripMargin))
+    val agg = terms.groupBy("dimension")
+      .agg(sum("term_ppm").cast("long").as("chi2_ppm"),
+        countDistinct("cell").as("n_cells"))
+    val critArr = array(CHI2_95_PPM.map(lit): _*)
+    agg
+      .withColumn("dfree", (col("n_cells") - 1).cast("long"))
+      .withColumn("crit_ppm",
+        element_at(critArr, col("dfree").cast("int")))
+      .select(Seq(col("dimension"), col("n_cells"), col("dfree"),
+        col("chi2_ppm"), col("crit_ppm"),
+        when(col("chi2_ppm") > col("crit_ppm"), 1).otherwise(0)
+          .cast("int").as("drift")) ++ extra: _*)
+      .orderBy("dimension")
+  }
+
+  /** The DuckDB twin of eventCells + chi2Report as CTE text: expects a
+    * prior CTE `evsrc` (events-shaped), emits through `ks`; the caller
+    * writes the final SELECT with `${chi2SelectCols}` (+ extras). */
+  private[graft] def chi2CtesSql: String =
+    s"""ev AS (
+       |  SELECT CASE WHEN EXTRACT(day FROM ts) <= 15
+       |              THEN 'ref' ELSE 'cur' END AS cohort,
+       |         event_type,
+       |         CAST(EXTRACT(hour FROM ts) AS VARCHAR) AS hr
+       |  FROM evsrc),
+       |cells AS (
+       |  SELECT 'event_type' AS dimension, event_type AS cell,
+       |         cohort, count(*) AS o
+       |  FROM ev GROUP BY 2, 3
+       |  UNION ALL
+       |  SELECT 'hour_of_day', hr, cohort, count(*)
+       |  FROM ev GROUP BY 2, 3),
+       |grid AS (
+       |  SELECT dc.dimension, dc.cell, c.cohort
+       |  FROM (SELECT DISTINCT dimension, cell FROM cells) dc
+       |  CROSS JOIN (SELECT unnest(['ref', 'cur']) AS cohort) c),
+       |fulld AS (
+       |  SELECT g.dimension, g.cell, g.cohort,
+       |         coalesce(cl.o, 0) AS o
+       |  FROM grid g LEFT JOIN cells cl
+       |    USING (dimension, cell, cohort)),
+       |tot AS (
+       |  SELECT dimension, cell, cohort, o,
+       |         sum(o) OVER (PARTITION BY dimension, cohort) AS n_s,
+       |         sum(o) OVER (PARTITION BY dimension, cell) AS r_i,
+       |         sum(o) OVER (PARTITION BY dimension) AS big_n
+       |  FROM fulld),
+       |terms AS (
+       |  SELECT dimension,
+       |         CAST(o AS HUGEINT) * big_n
+       |           - CAST(n_s AS HUGEINT) * r_i AS num,
+       |         CAST(n_s AS HUGEINT) * r_i * big_n AS den
+       |  FROM tot),
+       |agg AS (
+       |  SELECT dimension,
+       |         CAST(sum((num * num * 1000000) // den) AS BIGINT)
+       |           AS chi2_ppm
+       |  FROM terms GROUP BY 1),
+       |ks AS (SELECT dimension, count(DISTINCT cell) AS k
+       |       FROM cells GROUP BY 1)""".stripMargin
+
+  /** Final-SELECT column list matching chi2Report's output. */
+  private[graft] def chi2SelectCols: String =
+    s"""a.dimension,
+       |       CAST(k.k AS BIGINT) AS n_cells,
+       |       CAST(k.k - 1 AS BIGINT) AS dfree,
+       |       a.chi2_ppm,
+       |       CAST([${CHI2_95_PPM.mkString(", ")}]
+       |              [CAST(k.k - 1 AS INT)] AS BIGINT) AS crit_ppm,
+       |       CAST(a.chi2_ppm >
+       |            CAST([${CHI2_95_PPM.mkString(", ")}]
+       |                   [CAST(k.k - 1 AS INT)] AS BIGINT)
+       |            AS INT) AS drift""".stripMargin
 
   /** χ²₀.₉₅ quantiles for df = 1..30 in micro-units — the standard
     * critical values (e.g. df=1 → 3.841459) embedded as integer
