@@ -174,7 +174,18 @@ object Bench {
     val probeEndSec = probe()
     val probe1EndSec = probe1()
     val loadEnd = loadavg()
-    val hotHost = probeSec > 2 * RefProbeSec || probeEndSec > 2 * RefProbeSec
+    // Single-thread probe ceiling, calibrated to MEASUREMENT (see the
+    // baseline-gate comment below): quiet floor 0.55–0.64 s, loaded
+    // ≥ 1.1 s; 2× this (0.75 s) separates the populations with margin.
+    val Ref1Sec = 0.375
+    // hot_host folds in the single-thread probes too (r10's end-of-round
+    // run persisted hot_host:false with probe1_end 0.817 past the 0.75
+    // gate — the field keyed on the 32-thread probes only, so a loaded
+    // run's "regressed" list shipped labeled clean). Same 2× rule as the
+    // baseline gate below: any probe past its calibrated ceiling marks
+    // the run's numbers as measuring the host, not the code.
+    val hotHost = probeSec > 2 * RefProbeSec || probeEndSec > 2 * RefProbeSec ||
+      probe1Sec >= 2 * Ref1Sec || probe1EndSec >= 2 * Ref1Sec
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"probe1_end_sec":${r3(probe1EndSec)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"regressed":$regressed,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
@@ -206,10 +217,9 @@ object Bench {
     // genuine quiet single-thread floor is 0.55–0.64 s, so the earlier
     // 0.5 s gate could NEVER pass and the baseline could never advance.
     // Loaded sessions measure probe1 ≥ 1.1 s, so 0.75 s separates the
-    // two populations with margin on both sides.
-    val Ref1Sec = 0.375
-    val cleanBaseline = !hotHost &&
-      probe1Sec < 2 * Ref1Sec && probe1EndSec < 2 * Ref1Sec
+    // two populations with margin on both sides. (Ref1Sec is declared
+    // above, next to hotHost, which now folds the same gate in.)
+    val cleanBaseline = !hotHost
     if (only.isEmpty && cleanBaseline)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))

@@ -160,8 +160,11 @@ object ProfileOps {
             col("n"))
             .select(col("colname"),
               col("n").as(s"n_$tag"),
-              (col("n_nulls") * 1000000L / col("n")).cast("long")
-                .as(s"null_ppm_$tag"),
+              // exact integer floor div (the q226/q228 discipline):
+              // Column '/' on longs is double division + trunc, which
+              // can disagree with the oracle's '//' at quotient
+              // boundaries once the numerator passes 2^53
+              expr("n_nulls * 1000000 div n").as(s"null_ppm_$tag"),
               col("col_sum").as(s"sum_$tag"))
         }
         val v0 = prof(VersionedParquet.read(s, root, Some(0L)), "v0")
@@ -371,8 +374,22 @@ object ProfileOps {
     val critArr = array(CHI2_95_PPM.map(lit): _*)
     agg
       .withColumn("dfree", (col("n_cells") - 1).cast("long"))
+      // dfree guard: a single-cell dimension gives dfree=0 and a raw
+      // element_at(arr, 0) THROWS ("SQL array indices start at 1");
+      // >30 cells would return NULL crit_ppm, making the drift flag
+      // silently 0. Both are refused LOUDLY with the dimension named —
+      // this helper is the reusable monitoring surface (DriftStream
+      // batches feed it too), so degenerate inputs must not pass as
+      // "no drift".
       .withColumn("crit_ppm",
-        element_at(critArr, col("dfree").cast("int")))
+        when(col("dfree").between(1, CHI2_95_PPM.length),
+          element_at(critArr, col("dfree").cast("int")))
+          .otherwise(raise_error(format_string(
+            "chi2Report: dimension '%s' has dfree=%d outside the " +
+              s"supported [1, ${CHI2_95_PPM.length}] critical-value " +
+              "table (degenerate single-cell dimension or too many " +
+              "cells); pre-bucket the dimension or extend CHI2_95_PPM",
+            col("dimension"), col("dfree")))))
       .select(Seq(col("dimension"), col("n_cells"), col("dfree"),
         col("chi2_ppm"), col("crit_ppm"),
         when(col("chi2_ppm") > col("crit_ppm"), 1).otherwise(0)

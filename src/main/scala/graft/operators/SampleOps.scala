@@ -336,11 +336,14 @@ object SampleOps {
             .cast("long"))
         val tot = w.agg(sum("w").as("w_total"))
         w.crossJoin(broadcast(tot))
+          // exact integer floor div (the q226/q228 discipline): w ≈
+          // sqrt(avail)·10⁶, so w·budget can pass 2^53 at larger
+          // corpora and Column '/' (double div + trunc) would diverge
+          // from the oracle's integer '//' — 'div' never floats
           .withColumn("alloc_tokens",
-            (col("w") * budget / col("w_total")).cast("long"))
+            expr(s"w * ${budget}L div w_total"))
           .withColumn("milli_epochs",
-            (col("alloc_tokens") * 1000L / col("avail_tokens"))
-              .cast("long"))
+            expr("alloc_tokens * 1000 div avail_tokens"))
           .withColumn("over_budget",
             (col("milli_epochs") > 4000L).cast("int"))
           .withColumn("excess_tokens",

@@ -761,7 +761,7 @@ object TextOps {
             .as("dup_mass"),
           size(col("ts")).cast("long").as("n_tok"))
           .withColumn("dup_ppm",
-            (col("dup_mass") / col("n_tok")).cast("long"))
+            expr("dup_mass div n_tok")) // exact ⌊⌋, matches oracle '//'
         val bigrams = base.select(col("doc_id"),
           explode(transform(sequence(lit(0), size(col("ts")) - 2),
             i => concat_ws(" ", slice(col("ts"), i + 1, lit(2)))))
@@ -771,17 +771,15 @@ object TextOps {
           .agg(max(col("cnt")).as("top_cnt"),
             sum(col("cnt")).as("n_bg"))
           .withColumn("bg_ppm",
-            (col("top_cnt") * 1000000L / col("n_bg")).cast("long"))
+            expr("top_cnt * 1000000 div n_bg"))
         tokStats.join(bigrams, "doc_id")
           .withColumn("flagged",
             (col("dup_ppm") > 550000L || col("bg_ppm") > 50000L)
               .cast("int"))
           .groupBy("lang", "flagged")
           .agg(count(lit(1)).as("n_docs"),
-            (sum(col("dup_ppm")) / count(lit(1))).cast("long")
-              .as("avg_dup_ppm"),
-            (sum(col("bg_ppm")) / count(lit(1))).cast("long")
-              .as("avg_bg_ppm"))
+            expr("sum(dup_ppm) div count(1)").as("avg_dup_ppm"),
+            expr("sum(bg_ppm) div count(1)").as("avg_bg_ppm"))
           .orderBy("lang", "flagged")
       },
       Some(s"""WITH toks AS (
@@ -891,8 +889,7 @@ object TextOps {
           .groupBy("b").agg(count(lit(1)).as("t_b"))
         val ratio = corpusHist.join(broadcast(targetHist), Seq("b"))
           .select(col("b"),
-            (col("t_b") * 1000000L / col("q_b")).cast("long")
-              .as("r_ppm"))
+            expr("t_b * 1000000 div q_b").as("r_ppm"))
         grams.filter(col("doc_id") % 97 =!= 0)
           .join(broadcast(ratio), Seq("b"))
           .groupBy("doc_id")

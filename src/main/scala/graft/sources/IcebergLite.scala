@@ -100,14 +100,25 @@ object IcebergLite {
       val v = readText(spark, hint).trim.toLong
       new Path(meta, s"v$v.metadata.json")
     } else {
+      // Resolve "latest" by NUMERIC version, not lexical sort: this
+      // writer names files v1, v2, … v10 unpadded, so lexically
+      // "v9.metadata.json" > "v10.metadata.json" and any hint-less
+      // table with ≥10 versions would silently resolve stale metadata.
+      // Real Iceberg zero-pads (00010-<uuid>.metadata.json); accept
+      // both shapes by extracting the leading integer run.
+      val VNum = """(?:v)?0*(\d+)[-.].*""".r
       val candidates =
         if (!fs.exists(meta)) Seq.empty
         else fs.listStatus(meta).toSeq.map(_.getPath.getName)
-          .filter(_.endsWith(".metadata.json")).sorted
+          .filter(_.endsWith(".metadata.json"))
       if (candidates.isEmpty)
         throw new IOException(s"no Iceberg metadata under $location " +
           "(missing metadata/*.metadata.json)")
-      new Path(meta, candidates.last)
+      val latest = candidates.maxBy {
+        case VNum(n) => n.toLong
+        case _       => -1L // unparseable names lose to any versioned one
+      }
+      new Path(meta, latest)
     }
   }
 

@@ -624,8 +624,14 @@ object GraftSql {
     require(!VersionedParquet.hasPolicies(spark, root),
       s"cannot EXPORT ${x.table} TO ICEBERG: row/column policies " +
         "would be bypassed by the foreign readers")
+    // overwrite = true: each export snapshot REPLACES the live table
+    // state (prior files land as status=2 deleted entries) while
+    // earlier snapshots stay pinnable — matching EXPORT TO DELTA's
+    // removePrior semantics. Append mode here would leave every prior
+    // export's files live, so a foreign reader of the current snapshot
+    // would see duplicated and resurrected-deleted rows.
     val snapId = graft.sources.IcebergLite.export(spark,
-      VersionedParquet.read(spark, root), x.location)
+      VersionedParquet.read(spark, root), x.location, overwrite = true)
     val snap = graft.sources.IcebergLite.snapshot(spark, x.location)
     import spark.implicits._
     Seq((x.location, snapId, snap.files.size.toLong))
@@ -681,32 +687,89 @@ object GraftSql {
   private[graft] def rewriteTimeTravel(text: String): String =
     rewriteTimeTravel(SparkSession.active, text)
 
+  /** Positions inside single-quoted string literals ('' escapes),
+    * double-quoted identifiers, `--` line comments, and bracketed
+    * comments — the regions a raw-text rewriter must never touch
+    * (a table name followed by `FOR VERSION AS OF n` INSIDE a string
+    * literal is data, and rewriting it would corrupt an INSERT). */
+  private def maskedRegions(text: String): Array[Boolean] = {
+    val m = new Array[Boolean](text.length)
+    var i = 0
+    while (i < text.length) {
+      text.charAt(i) match {
+        case '\'' | '"' =>
+          val quote = text.charAt(i)
+          m(i) = true; i += 1
+          var done = false
+          while (i < text.length && !done) {
+            m(i) = true
+            if (text.charAt(i) == quote) {
+              // '' inside a literal is an escaped quote, not a close
+              if (i + 1 < text.length && text.charAt(i + 1) == quote) {
+                m(i + 1) = true; i += 1
+              } else done = true
+            }
+            i += 1
+          }
+        case '-' if i + 1 < text.length && text.charAt(i + 1) == '-' =>
+          while (i < text.length && text.charAt(i) != '\n') {
+            m(i) = true; i += 1
+          }
+        case '/' if i + 1 < text.length && text.charAt(i + 1) == '*' =>
+          m(i) = true; m(i + 1) = true; i += 2
+          while (i < text.length &&
+              !(text.charAt(i - 1) == '*' && text.charAt(i) == '/')) {
+            m(i) = true; i += 1
+          }
+          if (i < text.length) { m(i) = true; i += 1 }
+        case _ => i += 1
+      }
+    }
+    m
+  }
+
   private[graft] def rewriteTimeTravel(spark: SparkSession,
                                        text: String): String = {
     if (!text.toUpperCase.contains(" AS OF")) return text
     val V = """(?i)\b([A-Za-z_][\w]*)\s+FOR\s+VERSION\s+AS\s+OF\s+(\d+)""".r
     val T =
       """(?i)\b([A-Za-z_][\w]*)\s+FOR\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+    // A match whose TABLE NAME starts inside a string literal or a
+    // comment is data/commentary, not a time-travel clause — leave it
+    // byte-for-byte alone. (The T pattern's trailing quoted timestamp
+    // is of course itself a literal; only the match START is tested.)
+    val masked = maskedRegions(text)
     def q(s: String) = java.util.regex.Matcher.quoteReplacement(s)
     def pin(table: String, opt: String, value: String,
             tag: String): Option[String] =
       GraftTables.rootOf(table).map { case (root, _) =>
-        val view = s"${table}__$tag"
+        // Reserved namespace: a generated pin view can never clobber a
+        // user temp view named after the table (the old ${table}__v0
+        // shape was a plausible user name). Deterministic per
+        // (table, pin), so repeated statements reuse one view.
+        val view = s"graft_tt__${table}__$tag"
         spark.read.format("graft")
           .option("path", root).option(opt, value).load()
           .createOrReplaceTempView(view)
         view
       }
     val v1 = V.replaceAllIn(text, m =>
-      q(pin(m.group(1), "versionAsOf", m.group(2), s"v${m.group(2)}")
+      if (masked(m.start)) q(m.matched)
+      else q(pin(m.group(1), "versionAsOf", m.group(2), s"v${m.group(2)}")
         .getOrElse(m.matched)))
+    // Re-mask: V replacements shift positions, so the mask must be
+    // recomputed against v1's text before the T pass.
+    val masked1 = maskedRegions(v1)
     T.replaceAllIn(v1, { m =>
-      val raw = m.group(2)
-      val millis =
-        if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
-        else java.sql.Timestamp.valueOf(raw).getTime
-      q(pin(m.group(1), "timestampAsOf", millis.toString, s"t$millis")
-        .getOrElse(m.matched))
+      if (masked1(m.start)) q(m.matched)
+      else {
+        val raw = m.group(2)
+        val millis =
+          if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+          else java.sql.Timestamp.valueOf(raw).getTime
+        q(pin(m.group(1), "timestampAsOf", millis.toString, s"t$millis")
+          .getOrElse(m.matched))
+      }
     })
   }
 }

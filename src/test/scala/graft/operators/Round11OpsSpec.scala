@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 semantic pins the per-query oracle gate cannot state
+  * directly — starting with the χ² helper's degenerate-input guard:
+  * `chi2Report` is the reusable monitoring surface (q230's batch
+  * report AND DriftStream readouts feed it), so a dimension the
+  * critical-value table cannot adjudicate must refuse LOUDLY, never
+  * throw a bare array-index error (dfree=0) or NULL its way to a
+  * silent "no drift" (dfree>30).
+  */
+class Round11OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def cells(rows: Seq[(String, String, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("dimension", "cell", "cohort", "o")
+  }
+
+  test("chi2Report refuses degenerate and oversized dimensions " +
+    "loudly, and healthy dimensions still adjudicate") {
+    // healthy: 2 cells → dfree=1, the usual case
+    val ok = ProfileOps.chi2Report(cells(Seq(
+      ("d", "a", "ref", 50L), ("d", "a", "cur", 10L),
+      ("d", "b", "ref", 50L), ("d", "b", "cur", 90L)))).collect()
+    assert(ok.length === 1)
+    assert(ok.head.getAs[Long]("dfree") === 1L)
+    assert(ok.head.getAs[Int]("drift") === 1) // 50/50 → 10/90 drifts
+    // degenerate: single-cell dimension → dfree=0 → loud refusal
+    // naming the dimension (not a bare "array indices start at 1")
+    val e0 = intercept[Exception] {
+      ProfileOps.chi2Report(cells(Seq(
+        ("only", "x", "ref", 5L), ("only", "x", "cur", 7L)))).collect()
+    }
+    assert(e0.getMessage.contains("only") &&
+      e0.getMessage.contains("dfree"),
+      s"refusal must name the dimension and the rule, got: " +
+        e0.getMessage)
+    // oversized: 32 cells → dfree=31 past the table → loud refusal,
+    // never a NULL crit_ppm reading as drift=0
+    val big = (0 until 32).flatMap(i => Seq(
+      ("wide", s"c$i", "ref", 5L), ("wide", s"c$i", "cur", 5L)))
+    val e1 = intercept[Exception] {
+      ProfileOps.chi2Report(cells(big)).collect()
+    }
+    assert(e1.getMessage.contains("wide") &&
+      e1.getMessage.contains("dfree"))
+  }
+}

@@ -119,13 +119,27 @@ class IcebergSpec extends AnyFunSuite {
       s"refusal must name the feature, got: ${e.getMessage}")
   }
 
-  test("no version hint: the lexically-latest metadata file resolves") {
+  test("no version hint: the NUMERICALLY-latest metadata file " +
+    "resolves (v10 beats v9 despite lexical order)") {
     val loc = tmp("nohint")
     IcebergLite.export(spark, frame(7, "x"), loc)
     IcebergLite.export(spark, frame(3, "y"), loc)
-    val hint = new Path(loc, "metadata/version-hint.text")
-    hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(hint, false)
+    val fs = new Path(loc).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // Simulate a table past 10 versions: v9 carries STALE (v1) state,
+    // v10 the live (v2) state. Lexical sort picks "v9.metadata.json"
+    // (> "v10..."), silently serving 7 rows; numeric resolution must
+    // pick v10 and serve all 10.
+    val meta = new Path(loc, "metadata")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(meta, "v1.metadata.json"), fs,
+      new Path(meta, "v9.metadata.json"), false,
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(meta, "v2.metadata.json"), fs,
+      new Path(meta, "v10.metadata.json"), false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(meta, "version-hint.text"), false)
     assert(IcebergLite.read(spark, loc).count() === 10L)
   }
 

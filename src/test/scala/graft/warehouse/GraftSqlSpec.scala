@@ -399,6 +399,50 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally GraftTables.unregister("t_tt")
   }
 
+  test("inline time travel never rewrites string literals or " +
+    "comments, and pin views live in a reserved namespace") {
+    val root = tmp("ttm")
+    seed(root) // v0: 100 rows
+    GraftTables.register("t_ttm", root, keepVersions = 50)
+    try {
+      // literal mention of the idiom is DATA, not a clause: the text
+      // must survive byte-for-byte into the result
+      val lit0 = GraftSql.sql(spark,
+        "SELECT 't_ttm FOR VERSION AS OF 0' AS s").head().getString(0)
+      assert(lit0 === "t_ttm FOR VERSION AS OF 0")
+      // '' escape inside the literal doesn't end the mask early
+      val lit1 = GraftSql.sql(spark,
+        "SELECT 'it''s t_ttm FOR VERSION AS OF 0' AS s")
+        .head().getString(0)
+      assert(lit1 === "it's t_ttm FOR VERSION AS OF 0")
+      // commented-out clauses don't rewrite (or create views) either:
+      // version 7 doesn't exist, so if either comment WERE rewritten
+      // the pin would fail loudly at issue time — the statement only
+      // succeeds because comments are masked
+      val n = GraftSql.sql(spark,
+        """SELECT count(*) AS n -- not t_ttm FOR VERSION AS OF 7
+          |FROM t_ttm FOR VERSION AS OF 0 /* nor t_ttm FOR VERSION AS OF 7 */
+          |""".stripMargin).head().getLong(0)
+      assert(n === 100L)
+      // a REAL pin in the same statement as a literal mention: the
+      // clause rewrites, the literal doesn't
+      val row = GraftSql.sql(spark,
+        "SELECT count(*) AS n, 't_ttm FOR VERSION AS OF 7' AS s " +
+          "FROM t_ttm FOR VERSION AS OF 0").head()
+      assert(row.getLong(0) === 100L &&
+        row.getString(1) === "t_ttm FOR VERSION AS OF 7")
+      // the generated pin view sits in the reserved graft_tt__
+      // namespace — a user temp view named t_ttm__v0 (the old
+      // generated shape) is never clobbered
+      spark.range(3).toDF("id").createOrReplaceTempView("t_ttm__v0")
+      GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM t_ttm FOR VERSION AS OF 0").collect()
+      assert(spark.table("t_ttm__v0").count() === 3L)
+      assert(spark.catalog.tableExists("graft_tt__t_ttm__v0"))
+      spark.catalog.dropTempView("t_ttm__v0")
+    } finally GraftTables.unregister("t_ttm")
+  }
+
   test("EXPORT TO ICEBERG as SQL: frame back, foreign read agrees, " +
     "policy refusal") {
     val root = tmp("xi")
@@ -414,14 +458,17 @@ class GraftSqlSpec extends AnyFunSuite {
       // the way a FOREIGN engine reads it: the protocol walk
       val foreign = graft.sources.IcebergLite.read(spark, loc)
       assert(foreign.count() === 100L)
-      // a second export appends a snapshot; the first still serves
+      // a second export adds a snapshot that REPLACES the live state
+      // (prior files land status=2): a foreign reader of the current
+      // snapshot sees exactly the post-delete table — no duplicated
+      // rows, no resurrected deletes — matching EXPORT TO DELTA. The
+      // first snapshot stays pinnable at its full 100 rows.
       GraftSql.sql(spark, "DELETE FROM t_xi WHERE id >= 50")
       GraftSql.sql(spark,
         s"EXPORT TABLE t_xi TO ICEBERG LOCATION '$loc'")
       assert(graft.sources.IcebergLite
         .read(spark, loc, Some(snapId)).count() === 100L)
-      // NOTE the export is full-state APPEND (files carry forward) —
-      // live = snapshot-1 files + the post-delete snapshot's files
+      assert(graft.sources.IcebergLite.read(spark, loc).count() === 50L)
       assert(graft.sources.IcebergLite
         .snapshotIds(spark, loc).length === 2)
       // governance: a policy-bearing table refuses the export
