@@ -18,10 +18,11 @@ import graft.sources.{QueryDef, Tables}
   * (java.util.zip.Inflater) and scanline unfiltering is byte arithmetic
   * (`decodePng`, q83) and JPEG: the JDK's javax.imageio carries a full
   * software JPEG codec (`decodeJpeg`, q98) — and RAW video: frames
-  * slice straight out of the MP4 mdat (`decodeRawFrames`, q112). Only
-  * COMPRESSED video frame decode remains a STUB (no H.264 codec exists
-  * in the JDK or this container) — a deterministic hash-based fake,
-  * clearly marked.
+  * slice straight out of the MP4 mdat (`decodeRawFrames`, q112) — and
+  * COMPRESSED video: Motion-JPEG frames decode through the same JDK
+  * codec (`decodeMjpeg`, q233). Only INTER-coded entropy decode
+  * (H.264/H.265) remains a STUB (no such codec exists in the JDK or
+  * this container) — a deterministic hash-based fake, clearly marked.
   */
 object MultimodalOps {
 
@@ -47,16 +48,17 @@ object MultimodalOps {
       when(pmod(col("doc_id"), lit(3)) === 1, 16000).otherwise(0)
         .cast("int").as("sample_rate"))
 
-  /** STUB — COMPRESSED-codec video frame decode only (H.264 etc., which
-    * genuinely needs a codec library this container lacks). A real
-    * deployment swaps this body for the codec; everything around it
-    * (schema, iterator batching, partition parallelism) is the
-    * production shape. Deterministic: features derive from payload bytes.
-    * Audio needs no such stub — see `decodePcm` (real PCM decode, q78) —
-    * nor images: `decodePng` (real inflate + unfilter, q83) and
-    * `decodeJpeg` (real JDK JPEG codec, q98) — nor RAW video:
-    * `decodeRawFrames` (real mdat frame slicing off the tkhd dims,
-    * q112). */
+  /** STUB — INTER-coded video entropy decode only (H.264/H.265 motion
+    * compensation + CABAC, which genuinely needs a codec library this
+    * container lacks). A real deployment swaps this body for the codec;
+    * everything around it (schema, iterator batching, partition
+    * parallelism) is the production shape. Deterministic: features
+    * derive from payload bytes. Every other modality decodes for REAL:
+    * audio via `decodePcm` (q78), images via `decodePng` (inflate +
+    * unfilter, q83) and `decodeJpeg` (JDK codec, q98), RAW video via
+    * `decodeRawFrames` (mdat slicing off tkhd dims, q112), and
+    * COMPRESSED video via `decodeMjpeg` (Motion-JPEG frames through
+    * the JDK JPEG codec, q233). */
   private def decodeStub(media: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var acc = 1125899906842597L // FNV-ish rolling hash, deterministic
@@ -700,7 +702,14 @@ object MultimodalOps {
       ((id % 4) * 160 + 320).toInt, ((id % 4) * 90 + 180).toInt)
 
   private[operators] def mp4Video(id: Long, payload: Array[Byte],
-                                  w: Int, h: Int): Array[Byte] = {
+                                  w: Int, h: Int): Array[Byte] =
+    mp4VideoWith(id, payload, w, h, Array.empty)
+
+  /** Shared MP4 assembly; `trakExtra` appends additional boxes inside
+    * `trak` (the MJPEG path hangs mdia(minf(stbl(stsz))) there). */
+  private def mp4VideoWith(id: Long, payload: Array[Byte],
+                           w: Int, h: Int,
+                           trakExtra: Array[Byte]): Array[Byte] = {
     val duration = mp4Duration(id)
     val mvhd = mp4Box("mvhd",
       Array[Byte](0, 0, 0, 0) ++ beInt(0) ++ beInt(0) ++
@@ -711,7 +720,7 @@ object MultimodalOps {
       Array[Byte](0, 0, 0, 7) ++ beInt(0) ++ beInt(0) ++ beInt(1) ++
         beInt(0) ++ beInt(duration) ++ new Array[Byte](8) ++
         new Array[Byte](8) ++ MP4_MATRIX ++ beInt(w << 16) ++ beInt(h << 16))
-    val moov = mp4Box("moov", mvhd ++ mp4Box("trak", tkhd))
+    val moov = mp4Box("moov", mvhd ++ mp4Box("trak", tkhd ++ trakExtra))
     val ftyp = mp4Box("ftyp",
       "mp42".getBytes("US-ASCII") ++ beInt(0) ++
         "mp42isom".getBytes("US-ASCII"))
@@ -753,7 +762,8 @@ object MultimodalOps {
           s"box $typ overruns its container")
         nBoxes += 1
         typ match {
-          case "moov" | "trak" | "mdia" => walk(off + 8, off + size)
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(off + 8, off + size)
           case "mvhd" =>
             timescale = readBeInt(b, off + 20)
             duration = readBeInt(b, off + 24).toLong
@@ -868,6 +878,171 @@ object MultimodalOps {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap(m =>
       decodeRawFramesBytes(m.item_id, m.media, stride)))
+  }
+
+  // ── MJPEG-in-MP4: REAL compressed-video frame decode — q233 ──────────
+  // Motion-JPEG retires the "compressed video needs a codec library"
+  // stub with zero new dependencies: each mdat frame is a REAL JPEG
+  // (intra-coded video — the layout DV and security-camera pipelines
+  // actually ship), so the JDK codec q98 already exercises (Huffman +
+  // IDCT + chroma upsampling) decodes genuine compressed video frames.
+  // Frame boundaries come from the spec's stsz sample-size table at
+  // its spec position (trak/mdia/minf/stbl); every sampled frame is
+  // validated SOI..EOI and fidelity-bounded against the closed-form
+  // per-frame reference. After this, the only remaining gap is
+  // INTER-coded entropy decode (H.264 etc.) — genuinely library-bound.
+
+  private[graft] def mjpegFrameCount(id: Long): Int = (3 + id % 4).toInt
+
+  /** Per-frame reference pixel: the q98 gradient with a per-frame
+    * offset — smooth in (r, c) within each frame, so codec error stays
+    * small and stable while frames remain distinguishable. */
+  private[graft] def mjpegPixel(id: Long, f: Int, r: Int, c: Int,
+                                ch: Int, w: Int, h: Int): Int = {
+    val v = (c * 255) / (2 * (w - 1)) + (r * 255) / (2 * (h - 1)) +
+      ch * 13 + ((id + 7L * f) % 23).toInt
+    math.min(255, v)
+  }
+
+  /** Encode one formula frame as a REAL JPEG via the JDK codec. */
+  private def encodeMjpegFrame(id: Long, f: Int): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val (w, h) = jpegParams(id)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until h; c <- 0 until w) {
+      val rgb = (mjpegPixel(id, f, r, c, 0, w, h) << 16) |
+        (mjpegPixel(id, f, r, c, 1, w, h) << 8) |
+        mjpegPixel(id, f, r, c, 2, w, h)
+      img.setRGB(c, r, rgb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpg", bos),
+      "no JPEG writer in this JRE")
+    bos.toByteArray
+  }
+
+  /** A structurally-real MJPEG MP4: ftyp + moov(mvhd + trak(tkhd +
+    * mdia(minf(stbl(stsz))))) + mdat of concatenated JPEG frames. The
+    * stsz box is the spec's per-sample size table (version/flags,
+    * sample_size=0 → per-sample entries, sample_count, sizes). */
+  private[graft] def mp4MjpegVideo(id: Long): Array[Byte] = {
+    val (w, h) = jpegParams(id)
+    val frames = (0 until mjpegFrameCount(id)).map(encodeMjpegFrame(id, _))
+    val stsz = mp4Box("stsz",
+      Array[Byte](0, 0, 0, 0) ++ beInt(0) ++ beInt(frames.length) ++
+        frames.toArray.flatMap(fr => beInt(fr.length)))
+    val mdia = mp4Box("mdia", mp4Box("minf", mp4Box("stbl", stsz)))
+    mp4VideoWith(id, frames.toArray.flatten, w, h, mdia)
+  }
+
+  /** MJPEG video items (doc_id % 3 == 2, the video residue class). */
+  def mjpegVideoTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = jpegParams(id)
+        MediaRow(id, "video", mp4MjpegVideo(id), w, h, 0)
+      }
+  }
+
+  final case class MjpegStats(item_id: Long, n_frames: Int,
+                              n_sampled: Int, width: Int, height: Int,
+                              frames_ok: Boolean, mean_err_lt4: Boolean,
+                              max_err_lt48: Boolean, psnr_gt28: Boolean)
+
+  /** Decode every `stride`-th MJPEG frame of one payload through the
+    * JDK JPEG codec and bound its fidelity vs the per-frame formula
+    * reference. Frame boundaries come from the stsz table (validated
+    * against the mdat length); each sampled frame must be SOI..EOI
+    * delimited and decode to the tkhd track dimensions. Fails loudly
+    * on a missing stsz, a size-table/mdat mismatch, or a non-JPEG
+    * frame — never guesses boundaries by marker scanning. */
+  private[graft] def decodeMjpegBytes(itemId: Long, b: Array[Byte],
+                                      stride: Int = 2): MjpegStats = {
+    val meta = parseMp4Bytes(itemId, b) // validates the whole box tree
+    var mdatOff = -1
+    var sizes: Array[Int] = null
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = readBeInt(b, off)
+        new String(b, off + 4, 4, "US-ASCII") match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walk(off + 8, off + size)
+          case "stsz" =>
+            require(readBeInt(b, off + 12) == 0,
+              "stsz fixed sample_size unsupported — per-frame table expected")
+            val n = readBeInt(b, off + 16)
+            sizes = Array.tabulate(n)(i => readBeInt(b, off + 20 + 4 * i))
+          case "mdat" => mdatOff = off + 8
+          case _ => ()
+        }
+        off += size
+      }
+    }
+    walk(0, b.length)
+    require(mdatOff >= 0, "no mdat box")
+    require(sizes != null,
+      "no stsz sample-size table — cannot split MJPEG frames")
+    require(sizes.map(_.toLong).sum == meta.mdat_bytes,
+      s"stsz sizes sum ${sizes.map(_.toLong).sum} != mdat " +
+        s"${meta.mdat_bytes} bytes")
+    var off = mdatOff
+    var framesOk = true; var meanOk = true
+    var maxOk = true; var psnrOk = true
+    var sampled = 0
+    var f = 0
+    while (f < sizes.length) {
+      val sz = sizes(f)
+      if (f % stride == 0) {
+        require(sz >= 4 && (b(off) & 0xff) == 0xff &&
+          (b(off + 1) & 0xff) == 0xd8 &&
+          (b(off + sz - 2) & 0xff) == 0xff &&
+          (b(off + sz - 1) & 0xff) == 0xd9,
+          s"frame $f of item $itemId is not SOI..EOI-delimited JPEG")
+        val (w, h, px) =
+          decodeJpegBytes(java.util.Arrays.copyOfRange(b, off, off + sz))
+        if (w != meta.track_w || h != meta.track_h) framesOk = false
+        var absSum = 0L; var maxErr = 0; var sqSum = 0.0
+        var i = 0
+        while (i < w * h) {
+          val (rr, cc) = (i / w, i % w)
+          var ch = 0
+          while (ch < 3) {
+            val got = (px(i) >> (16 - 8 * ch)) & 0xff
+            val want = mjpegPixel(itemId, f, rr, cc, ch, w, h)
+            val e = math.abs(got - want)
+            absSum += e; sqSum += e.toDouble * e
+            if (e > maxErr) maxErr = e
+            ch += 1
+          }
+          i += 1
+        }
+        val n = 3L * w * h
+        if (absSum.toDouble / n >= 4.0) meanOk = false
+        if (maxErr >= 48) maxOk = false
+        val psnr =
+          if (sqSum == 0) Double.PositiveInfinity
+          else 10.0 * math.log10(255.0 * 255.0 * n / sqSum)
+        if (psnr <= 28.0) psnrOk = false
+        sampled += 1
+      }
+      off += sz
+      f += 1
+    }
+    MjpegStats(itemId, sizes.length, sampled, meta.track_w,
+      meta.track_h, framesOk, meanOk, maxOk, psnrOk)
+  }
+
+  /** Per-partition MJPEG decode — the decodePcm/decodePng/decodeJpeg
+    * iterator batch shape applied to compressed video frames. */
+  def decodeMjpeg(media: Dataset[MediaRow],
+                  stride: Int = 2): Dataset[MjpegStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m =>
+      decodeMjpegBytes(m.item_id, m.media, stride)))
   }
 
   final case class ParsedMedia(item_id: Long, declared_kind: String,
@@ -1295,7 +1470,36 @@ object MultimodalOps {
              |FROM p
              |WHERE hamming <= 6
              |GROUP BY 1
-             |ORDER BY hamming""".stripMargin))
+             |ORDER BY hamming""".stripMargin)),
+
+    // ── MJPEG-in-MP4: COMPRESSED video frames really decode ──────────────
+    // Every 2nd frame of each Motion-JPEG MP4 decodes through the JDK
+    // JPEG codec — real compressed-video frame decode, no codec
+    // library. Frame boundaries come from the stsz sample table, each
+    // sampled frame is SOI..EOI-validated and fidelity-bounded against
+    // the per-frame formula reference (q98's bounds). The oracle
+    // restates the synthesis formulas: frame count, stride-2 sample
+    // count, tkhd dimensions, and all fidelity flags TRUE — a wrong
+    // stsz read, mdat offset, frame split, or a broken decode breaks
+    // the hash. JPEG byte sizes are codec-defined, so no size column
+    // is emitted (the stsz-vs-mdat equality is asserted in-engine).
+    QueryDef("q233_mjpeg_frames",
+      (s, d) => decodeMjpeg(mjpegVideoTable(s, d), stride = 2).toDF()
+        .select("item_id", "n_frames", "n_sampled", "width", "height",
+          "frames_ok", "mean_err_lt4", "max_err_lt48", "psnr_gt28")
+        .orderBy("item_id"),
+      Some("""SELECT doc_id AS item_id,
+             |       CAST(3 + doc_id % 4 AS INT) AS n_frames,
+             |       CAST((3 + doc_id % 4 + 1) // 2 AS INT) AS n_sampled,
+             |       CAST(16 + 2 * (doc_id % 9) AS INT) AS width,
+             |       CAST(16 + 2 * (doc_id % 7) AS INT) AS height,
+             |       TRUE AS frames_ok,
+             |       TRUE AS mean_err_lt4,
+             |       TRUE AS max_err_lt48,
+             |       TRUE AS psnr_gt28
+             |FROM documents
+             |WHERE doc_id % 3 = 2
+             |ORDER BY item_id""".stripMargin))
   )
 
   /** 64-bit average hash of a REAL decoded PNG: nearest-neighbor

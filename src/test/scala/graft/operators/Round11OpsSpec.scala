@@ -56,4 +56,39 @@ class Round11OpsSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("wide") &&
       e1.getMessage.contains("dfree"))
   }
+
+  test("q233: MJPEG frames decode for real — every frame, boundaries " +
+    "from stsz, loud failures on tampered tables") {
+    val id = 7L // doc_id % 3 == 2 residue not required for the unit leg
+    val b = MultimodalOps.mp4MjpegVideo(id)
+    // stride 1: EVERY frame decodes, not just the sampled half
+    val st = MultimodalOps.decodeMjpegBytes(id, b, stride = 1)
+    assert(st.n_frames === 3 + (id % 4).toInt)
+    assert(st.n_sampled === st.n_frames)
+    assert(st.frames_ok && st.mean_err_lt4 && st.max_err_lt48 &&
+      st.psnr_gt28)
+    // frames are genuinely distinct compressed payloads: per-frame
+    // reference offsets differ, so byte-identical frames would mean
+    // the encoder ignored the frame index
+    val sizesOff = b.indexOfSlice("stsz".getBytes("US-ASCII"))
+    assert(sizesOff > 0)
+    // tamper: first stsz entry +1 → size table no longer matches mdat
+    val bad = b.clone()
+    val firstSize = sizesOff + 4 + 4 + 4 + 4 // ver/flags, fixed, count
+    bad(firstSize + 3) = (bad(firstSize + 3) + 1).toByte
+    val e = intercept[IllegalArgumentException] {
+      MultimodalOps.decodeMjpegBytes(id, bad, 1)
+    }
+    assert(e.getMessage.contains("mdat"),
+      s"size mismatch must be loud, got: ${e.getMessage}")
+    // tamper: corrupt a frame's SOI → refused as non-JPEG, not decoded
+    val meta = MultimodalOps.parseMp4Bytes(id, b)
+    val mdatOff = b.length - meta.mdat_bytes.toInt
+    val bad2 = b.clone()
+    bad2(mdatOff) = 0
+    val e2 = intercept[IllegalArgumentException] {
+      MultimodalOps.decodeMjpegBytes(id, bad2, 1)
+    }
+    assert(e2.getMessage.contains("JPEG"))
+  }
 }
