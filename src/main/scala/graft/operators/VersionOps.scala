@@ -2328,8 +2328,71 @@ object VersionOps {
              |       0 AS resync_appends, 0 AS resync_republished
              |FROM final
              |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // q234 — Iceberg v2 POSITION DELETES read through the protocol
+    // walk: a v2 table whose second snapshot is a delete commit (no
+    // data file rewritten — a spec position-delete parquet + a DELETE
+    // manifest, manifest-reuse for the data side) reads back with the
+    // deletes applied as a (file, pos) anti-join at scan, while the
+    // pre-delete snapshot stays pinnable at full cardinality. The
+    // oracle replays the delete predicate over raw orders; a reader
+    // that ignores the delete manifest (resurrected rows), misaligns
+    // row ordinals, or breaks snapshot isolation breaks the hash.
+    // This narrows the former all-row-level-deletes refusal to
+    // equality deletes only.
+    QueryDef("q234_iceberg_v2_deletes",
+      (s, d) => s.read.parquet(icebergV2DeletesPath(s, d))
+        .orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (SELECT * FROM o WHERE k % 7 <> 0)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       (SELECT count(*) FROM o) AS n_before_delete
+             |FROM live
+             |GROUP BY 1
              |ORDER BY bucket""".stripMargin))
   )
+
+  /** q234 builder: export orders as an Iceberg snapshot, then append
+    * a POSITION-DELETE snapshot removing k % 7 == 0 rows — the
+    * (file, pos) pairs derived from the table's own files via the
+    * hidden parquet row identity, exactly how an engine's DELETE
+    * materializes position deletes. The gate aggregate reads the
+    * live (post-delete) view through the full protocol walk and pins
+    * the pre-delete snapshot's cardinality beside it. Once per
+    * session. */
+  private def icebergV2DeletesPath(s: SparkSession, dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q234-iceberg")
+    val outPath = Scratch.dir(s, "q234-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val snap1 = IcebergLite.export(s, o, table)
+      val files = IcebergLite.snapshot(s, table).files
+      val dels = s.read.parquet(files: _*)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"), col("k"))
+        .filter(col("k") % 7 === 0)
+        .select("file_path", "pos")
+      IcebergLite.exportPositionDeletes(s, dels, table)
+      val pinnedN = IcebergLite.read(s, table, Some(snap1)).count()
+      val out = IcebergLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_before_delete", lit(pinnedN))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q198 builder: graft commits (publish, two appends, delete)
     * export-synced into a Delta log in two calls + one idempotent

@@ -36,10 +36,14 @@ import org.apache.spark.sql.types._
   *     travel lands on snapshot boundaries), its `manifest-list`
   *     Avro, each manifest's live entries (`status != 2`), their
   *     `data_file.file_path`s;
-  *   - refusals, each naming the feature: v2 DELETE manifests
-  *     (`content != 0` — row-level deletes would silently resurrect
-  *     deleted rows if ignored), non-parquet data files, unknown
-  *     entry status.
+  *   - v2 POSITION deletes: DELETE manifests (`content=1`) listing
+  *     position-delete files (`data_file.content=1`) apply at scan
+  *     as a (file, pos) anti-join against the hidden parquet row
+  *     identity — the same mechanism as the in-house `_dv` path;
+  *   - refusals, each naming the feature: v2 EQUALITY delete files
+  *     (`data_file.content=2` — they need the table's equality-field
+  *     semantics), malformed manifests (a file kind in the wrong
+  *     manifest), non-parquet data files, unknown entry status.
   *
   * What the WRITE side emits: format-version 1 metadata with an
   * unpartitioned spec — every export appends ONE snapshot whose
@@ -60,9 +64,11 @@ import org.apache.spark.sql.types._
 object IcebergLite {
 
   /** A resolved Iceberg table state: live data files (absolute),
-    * the snapshot id, and the table's declared schema JSON. */
+    * live position-delete files (v2; empty for v1 tables), the
+    * snapshot id, and the table's declared schema JSON. */
   final case class Snapshot(files: Seq[String], snapshotId: Long,
-                            schemaJson: String)
+                            schemaJson: String,
+                            posDeleteFiles: Seq[String] = Nil)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -182,42 +188,77 @@ object IcebergLite {
         .map(_.elements().asScala.toSeq.last.toString)
         .orElse(Option(meta.get("schema")).map(_.toString))
         .getOrElse("{}")
-    val files = avroRecords(spark, manifestListPath).flatMap { mf =>
+    val dataFiles = Seq.newBuilder[String]
+    val deleteFiles = Seq.newBuilder[String]
+    avroRecords(spark, manifestListPath).foreach { mf =>
       // v2 manifest_file carries `content`: 0 = data, 1 = deletes.
-      // A delete manifest silently ignored would RESURRECT deleted
-      // rows — refuse with the feature named (DeltaLite discipline).
+      // Delete manifests are READ (position deletes anti-join at scan
+      // — see read()); an UNKNOWN content would be misread, so refuse.
       val content = long0(mf, "content")
-      if (content != 0L)
+      if (content > 1L)
         throw new IOException(s"cannot read Iceberg table at " +
-          s"$location: snapshot $wanted carries a DELETE manifest " +
-          "(v2 row-level deletes, content=1) — this reader serves " +
-          "data manifests only; compact the table with its own " +
-          "engine first")
+          s"$location: snapshot $wanted carries a manifest with " +
+          s"unknown content=$content — newer Iceberg than this reader")
       val mPath = new Path(str(mf, "manifest_path").getOrElse(
         throw new IOException("manifest_file entry missing manifest_path")))
-      avroRecords(spark, mPath).flatMap { entry =>
+      avroRecords(spark, mPath).foreach { entry =>
         val status = long0(entry, "status") // 0 existing, 1 added, 2 deleted
         if (status > 2)
           throw new IOException(s"unknown manifest entry status " +
             s"$status in $mPath — newer Iceberg than this reader")
-        if (status == 2L) None
-        else {
+        if (status != 2L) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val fmt = str(df, "file_format").getOrElse("PARQUET")
           if (!fmt.equalsIgnoreCase("PARQUET"))
             throw new IOException(s"cannot read Iceberg data file " +
               s"format $fmt — parquet only; refusing rather than " +
               "skipping files (silent row loss)")
-          str(df, "file_path")
+          val p = str(df, "file_path")
+          // v2 data_file.content: 0 data, 1 position deletes,
+          // 2 equality deletes. Equality deletes need the table's
+          // equality-field evaluation semantics — refuse loudly
+          // (narrowed from the former all-deletes refusal); a file
+          // kind crossed into the wrong manifest would be misapplied,
+          // so that refuses too rather than guessing.
+          val fileKind = long0(df, "content")
+          (content, fileKind) match {
+            case (0L, 0L) => p.foreach(dataFiles += _)
+            case (1L, 1L) => p.foreach(deleteFiles += _)
+            case (1L, 2L) =>
+              throw new IOException(s"cannot read Iceberg table at " +
+                s"$location: snapshot $wanted carries an EQUALITY " +
+                "delete file (v2 content=2) — position deletes only; " +
+                "compact the table with its own engine first")
+            case _ =>
+              throw new IOException(s"malformed Iceberg DELETE " +
+                s"manifest at $location: manifest content=$content " +
+                s"lists a file with content=$fileKind — refusing " +
+                "rather than resurrecting or dropping rows")
+          }
         }
       }
     }
-    Snapshot(files.distinct, wanted, schemaJson)
+    Snapshot(dataFiles.result().distinct, wanted, schemaJson,
+      deleteFiles.result().distinct)
   }
 
-  /** The resolved live (or pinned) view as a DataFrame. */
+  /** Normalize a file URI for (file, pos) matching: delete files may
+    * store `file:/x`, `file:///x`, or a bare `/x` for the same file
+    * depending on the writer's qualification. */
+  private def normPath(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.regexp_replace(c, "^file:/+", "/")
+
+  /** The resolved live (or pinned) view as a DataFrame. Position
+    * deletes (v2) apply at scan as an anti-join of the hidden
+    * parquet (`_metadata.file_path`, `_metadata.row_index`) identity
+    * against the delete files' (file_path, pos) pairs — the same
+    * mechanism as the in-house `_dv` deletion-vector read path
+    * (VersionedParquet), so delete application is O(data + deletes),
+    * never a rewrite. Delete sets are small relative to data (they
+    * exist to AVOID rewrites), so AQE broadcasts the build side. */
   def read(spark: SparkSession, location: String,
            snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val s = snapshot(spark, location, snapshotId)
     if (s.files.isEmpty) {
       // schema-only empty state: serve zero rows with the declared
@@ -225,7 +266,24 @@ object IcebergLite {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schemaFromIceberg(s.schemaJson))
-    } else spark.read.parquet(s.files: _*)
+    } else {
+      val data = spark.read.parquet(s.files: _*)
+      if (s.posDeleteFiles.isEmpty) data
+      else {
+        val dels = spark.read.parquet(s.posDeleteFiles: _*)
+          .select(normPath(col("file_path")).as("_del_path"),
+            col("pos").cast("long").as("_del_pos"))
+        val cols = data.columns.toSeq
+        data
+          .withColumn("_scan_path", normPath(col("_metadata.file_path")))
+          .withColumn("_scan_pos", col("_metadata.row_index"))
+          .join(dels,
+            col("_scan_path") === col("_del_path") &&
+              col("_scan_pos") === col("_del_pos"),
+            "left_anti")
+          .select(cols.map(col): _*)
+      }
+    }
   }
 
   /** All snapshot ids, commit order (the time-travel catalog). */
@@ -305,6 +363,8 @@ object IcebergLite {
       |   "default": null, "field-id": 1},
       |  {"name": "data_file", "field-id": 2, "type":
       |    {"type": "record", "name": "r2", "fields": [
+      |      {"name": "content", "type": "int", "default": 0,
+      |       "field-id": 134},
       |      {"name": "file_path", "type": "string", "field-id": 100},
       |      {"name": "file_format", "type": "string", "field-id": 101},
       |      {"name": "partition", "field-id": 102, "type":
@@ -370,6 +430,15 @@ object IcebergLite {
         val snapsJson = Option(meta.get("snapshots"))
           .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
         val live = snapshot(spark, location)
+        // Carrying prior files in APPEND mode would resurrect the
+        // rows their position deletes removed (the carried entries
+        // reference whole files; the new single data manifest drops
+        // the delete manifests). Overwrite mode is fine: prior files
+        // land status=2, deletes become moot with their targets.
+        require(live.posDeleteFiles.isEmpty || overwrite,
+          s"cannot append-export over $location: the live snapshot " +
+            "carries position deletes; export with overwrite = true " +
+            "(full replace) instead")
         (v, snapsJson, live.files)
       }
     val nextV = prevVersion + 1
@@ -385,6 +454,7 @@ object IcebergLite {
       val st = fs.getFileStatus(path)
       val dataFile = new GenericData.Record(
         manifestEntrySchema.getField("data_file").schema())
+      dataFile.put("content", 0) // data file (v2 field; v1 readers skip)
       dataFile.put("file_path", path.toString)
       dataFile.put("file_format", "PARQUET")
       dataFile.put("partition", new GenericData.Record(
@@ -436,6 +506,128 @@ object IcebergLite {
          |  "snapshots": [${allSnaps.mkString(", ")}]
          |}""".stripMargin
     writeText(spark, new Path(metaDir, s"v$nextV.metadata.json"), metaJson)
+    writeText(spark, hint, nextV.toString) // the commit: hint swaps last
+    snapId
+  }
+
+  /** Append a POSITION-DELETE snapshot (spec v2 row-level deletes):
+    * logically delete the given (`file_path` STRING, `pos` LONG) rows
+    * of the CURRENT snapshot without rewriting any data file. The
+    * delete rows land as a spec-shaped position-delete parquet; a
+    * DELETE manifest (content=1) lists it with `data_file.content=1`;
+    * the new manifest list REUSES the prior snapshot's manifests
+    * unchanged and appends the delete manifest — manifest reuse is
+    * how Iceberg itself keeps a delete commit O(deletes), and it is
+    * what makes earlier snapshots stay pinnable for free. The table
+    * metadata upgrades to format-version 2 (the spec's own v1→v2
+    * upgrade path when row-level deletes first land), carrying
+    * `last-sequence-number`. Returns the new snapshot id. */
+  def exportPositionDeletes(spark: SparkSession, deletes: DataFrame,
+                            location: String): Long = {
+    val loc = new Path(location)
+    val fs = fsOf(spark, loc)
+    val metaDir = new Path(loc, "metadata")
+    val hint = new Path(metaDir, "version-hint.text")
+    if (!fs.exists(hint))
+      throw new IOException(s"no Iceberg table at $location to " +
+        "delete from — export data first")
+    val v = readText(spark, hint).trim.toLong
+    val meta = mapper.readTree(readText(spark,
+      new Path(metaDir, s"v$v.metadata.json")))
+    val prevSnaps = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
+    val currentSnapId = meta.get("current-snapshot-id").asLong
+    val prevListPath = new Path(
+      Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .find(_.get("snapshot-id").asLong == currentSnapId)
+        .getOrElse(throw new IOException(
+          s"current snapshot $currentSnapId not in metadata"))
+        .get("manifest-list").asText)
+    val nextV = v + 1
+    val snapId = nextV
+    // spec position-delete layout: parquet with file_path (the data
+    // file URI) + pos (row ordinal within that file), sorted
+    val delDir = new Path(loc, s"data/deletes-$snapId")
+    deletes
+      .select(deletes("file_path").cast("string").as("file_path"),
+        deletes("pos").cast("long").as("pos"))
+      .sort("file_path", "pos")
+      .write.mode("overwrite").parquet(delDir.toString)
+    val delFiles = fs.listStatus(delDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => fs.makeQualified(p))
+    def delEntry(path: Path): GenericRecord = {
+      val st = fs.getFileStatus(path)
+      val dataFile = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      dataFile.put("content", 1) // position-delete file
+      dataFile.put("file_path", path.toString)
+      dataFile.put("file_format", "PARQUET")
+      dataFile.put("partition", new GenericData.Record(
+        dataFile.getSchema.getField("partition").schema()))
+      dataFile.put("record_count",
+        spark.read.parquet(path.toString).count())
+      dataFile.put("file_size_in_bytes", st.getLen)
+      val e = new GenericData.Record(manifestEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("data_file", dataFile)
+      e
+    }
+    val delManifestP = new Path(metaDir, s"manifest-del-$snapId.avro")
+    val dLen = writeAvro(spark, delManifestP, manifestEntrySchema,
+      delFiles.map(delEntry))
+    // manifest list = prior snapshot's manifests (reused byte-for-byte
+    // as entries re-emitted through our manifest_file schema) + the
+    // new delete manifest
+    val carried = avroRecords(spark, prevListPath).map { r =>
+      val c = new GenericData.Record(manifestFileSchema)
+      c.put("manifest_path", str(r, "manifest_path").orNull)
+      c.put("manifest_length", long0(r, "manifest_length"))
+      c.put("partition_spec_id", long0(r, "partition_spec_id").toInt)
+      c.put("content", long0(r, "content").toInt)
+      c.put("added_snapshot_id", long0(r, "added_snapshot_id"))
+      c
+    }
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", fs.makeQualified(delManifestP).toString)
+    mf.put("manifest_length", dLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 1) // DELETE manifest
+    mf.put("added_snapshot_id", snapId)
+    val listP = new Path(metaDir, s"snap-$snapId-manifest-list.avro")
+    writeAvro(spark, listP, manifestFileSchema, carried :+ mf)
+    val now = System.currentTimeMillis()
+    val schemaJson =
+      Option(meta.get("schemas")).filter(_.elements().hasNext)
+        .map(_.elements().asScala.toSeq.last.toString)
+        .orElse(Option(meta.get("schema")).map(_.toString))
+        .getOrElse("{}")
+    val snapJson =
+      s"""{"snapshot-id": $snapId, "sequence-number": $snapId, """ +
+        s""""timestamp-ms": $now, "manifest-list": ${mapper
+          .writeValueAsString(fs.makeQualified(listP).toString)}, """ +
+        s""""summary": {"operation": "delete"}}"""
+    val allSnaps = prevSnaps :+ snapJson
+    val metaJson =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "00000000-0000-0000-0000-${"%012d".format(0)}",
+         |  "location": ${mapper.writeValueAsString(location)},
+         |  "last-sequence-number": $snapId,
+         |  "last-updated-ms": $now,
+         |  "last-column-id": ${Option(meta.get("last-column-id"))
+           .map(_.asInt).getOrElse(0)},
+         |  "schema": $schemaJson,
+         |  "partition-spec": [],
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "default-spec-id": 0,
+         |  "current-snapshot-id": $snapId,
+         |  "snapshots": [${allSnaps.mkString(", ")}]
+         |}""".stripMargin
+    writeText(spark, new Path(metaDir, s"v$nextV.metadata.json"),
+      metaJson)
     writeText(spark, hint, nextV.toString) // the commit: hint swaps last
     snapId
   }

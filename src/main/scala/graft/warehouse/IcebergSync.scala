@@ -74,14 +74,22 @@ object IcebergSync {
     // anchor and the honest move is one live republish
     from match {
       case Some(f) if ids.contains(f) =>
-        var prevFiles = IcebergLite
-          .snapshot(spark, icebergLocation, Some(f)).files.toSet
+        val snap0 = IcebergLite.snapshot(spark, icebergLocation, Some(f))
+        var prevFiles = snap0.files.toSet
+        var prevDeletes = snap0.posDeleteFiles.toSet
         ids.dropWhile(_ != f).drop(1).foreach { id =>
-          val files = IcebergLite
-            .snapshot(spark, icebergLocation, Some(id)).files.toSet
+          val snap = IcebergLite
+            .snapshot(spark, icebergLocation, Some(id))
+          val files = snap.files.toSet
+          val deletes = snap.posDeleteFiles.toSet
           val added = files -- prevFiles
           val removed = prevFiles -- files
-          if (removed.nonEmpty || added.isEmpty) republishAt(id)
+          // a changed position-delete set falls off the append fast
+          // path too: the appended files' rows would land while the
+          // snapshot's deletes silently went unapplied — republish
+          // through read(), which applies them
+          if (removed.nonEmpty || added.isEmpty ||
+              deletes != prevDeletes) republishAt(id)
           else {
             VersionedParquet.append(spark, mirrorRoot,
               spark.read.parquet(added.toSeq.sorted: _*),
@@ -90,6 +98,7 @@ object IcebergSync {
             appended += 1
           }
           prevFiles = files
+          prevDeletes = deletes
         }
       case _ => republishAt(latest) // bootstrap, or expired anchor
     }

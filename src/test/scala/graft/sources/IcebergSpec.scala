@@ -86,7 +86,81 @@ class IcebergSpec extends AnyFunSuite {
       s"refusal must name the version, got: ${e.getMessage}")
   }
 
-  test("a v2 delete manifest refuses rather than resurrecting rows") {
+  test("v2 position deletes: delete snapshot applies at scan, prior " +
+    "snapshot pins, append-export refuses, overwrite clears") {
+    import org.apache.spark.sql.functions.col
+    val loc = tmp("posdel")
+    val s1 = IcebergLite.export(spark, frame(50, "a"), loc)
+    val files = IcebergLite.snapshot(spark, loc).files
+    val dels = spark.read.parquet(files: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 5 === 0)
+      .select("file_path", "pos")
+    assert(dels.count() === 10L)
+    val s2 = IcebergLite.exportPositionDeletes(spark, dels, loc)
+    // live view: deletes applied, EXACTLY the predicate's rows gone
+    assert(IcebergLite.read(spark, loc).count() === 40L)
+    assert(IcebergLite.read(spark, loc)
+      .filter(col("id") % 5 === 0).count() === 0L)
+    // snapshot isolation: pre-delete snapshot still serves all rows
+    assert(IcebergLite.read(spark, loc, Some(s1)).count() === 50L)
+    assert(IcebergLite.read(spark, loc, Some(s2)).count() === 40L)
+    // append-export over live deletes refuses loudly (carried files
+    // would resurrect the deleted rows)
+    val e = intercept[Exception] {
+      IcebergLite.export(spark, frame(5, "b"), loc)
+    }
+    assert(e.getMessage.contains("position deletes"))
+    // overwrite export REPLACES the state: deletes moot, new rows only
+    IcebergLite.export(spark, frame(7, "c"), loc, overwrite = true)
+    assert(IcebergLite.read(spark, loc).count() === 7L)
+    // hint-less resolution still lands on the newest (v3) metadata
+    val hint = new Path(loc, "metadata/version-hint.text")
+    hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hint, false)
+    assert(IcebergLite.read(spark, loc).count() === 7L)
+  }
+
+  test("v2 equality-delete files refuse, naming the feature") {
+    import org.apache.spark.sql.functions.col
+    val loc = tmp("eqdel")
+    IcebergLite.export(spark, frame(20, "a"), loc)
+    val files = IcebergLite.snapshot(spark, loc).files
+    val dels = spark.read.parquet(files: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .limit(3)
+    IcebergLite.exportPositionDeletes(spark, dels, loc)
+    // flip the delete file's content field 1 → 2 (equality deletes)
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericDatumReader,
+      GenericDatumWriter, GenericRecord}
+    import scala.jdk.CollectionConverters._
+    val manP = new java.io.File(s"$loc/metadata/manifest-del-2.avro")
+    assert(manP.exists())
+    val r = new DataFileReader[GenericRecord](manP,
+      new GenericDatumReader[GenericRecord]())
+    val (schema, recs) =
+      try (r.getSchema, r.iterator().asScala.toVector)
+      finally r.close()
+    recs.foreach(_.get("data_file").asInstanceOf[GenericRecord]
+      .put("content", 2))
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, manP)
+    try recs.foreach(w.append) finally w.close()
+    new java.io.File(manP.getParent,
+      s".${manP.getName}.crc").delete()
+    val e = intercept[java.io.IOException] {
+      IcebergLite.read(spark, loc)
+    }
+    assert(e.getMessage.contains("EQUALITY"),
+      s"refusal must name the feature, got: ${e.getMessage}")
+  }
+
+  test("a malformed v2 delete manifest refuses rather than " +
+    "resurrecting rows") {
     val loc = tmp("deletes")
     IcebergLite.export(spark, frame(5, "x"), loc)
     // flip the manifest_file content field to 1 (deletes) the way a
