@@ -494,6 +494,54 @@ class PlanSpec extends AnyFunSuite {
       "every join (df attach, prefix self-join, set verification) is an equi-join")
   }
 
+  test("q226/q229/q231: each SMJ is a named corpus-sided leg — nothing else sort-merges") {
+    import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter}
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    def keyNames(s: SortMergeJoinExec): Set[String] =
+      (s.leftKeys ++ s.rightKeys).collect {
+        case a: org.apache.spark.sql.catalyst.expressions.NamedExpression =>
+          a.name
+      }.toSet
+    // q226: the lex and vec rank frames FULL OUTER join on doc id —
+    // both sides corpus-cardinality at scale, and a full-outer join
+    // cannot broadcast either side, so SMJ is the correct strategy
+    val smj226 = collectAll(planOf("q226_hybrid_retrieval_rrf")) {
+      case s: SortMergeJoinExec => s
+    }
+    assert(smj226.nonEmpty && smj226.forall(s =>
+        s.joinType == FullOuter && keyNames(s).contains("id")),
+      s"q226's only allowed SMJ is the full-outer rank fusion on id: " +
+        smj226.map(s => s"${s.joinType} ${keyNames(s)}").mkString(" | "))
+    // q229: the graded-relevance labels LEFT OUTER join the retrieved
+    // lists on (query, candidate) — both sides scale with the eval
+    // workload × corpus, genuinely large⋈large
+    val smj229 = collectAll(planOf("q229_retrieval_eval")) {
+      case s: SortMergeJoinExec => s
+    }
+    assert(smj229.nonEmpty && smj229.forall(s =>
+        (s.joinType == LeftOuter || s.joinType == Inner) &&
+          keyNames(s).contains("q_id")),
+      s"q229's only allowed SMJs key on the (q_id, candidate) pair: " +
+        smj229.map(s => s"${s.joinType} ${keyNames(s)}").mkString(" | "))
+    // q231: the exact verification leg INNER joins bucket member
+    // lists on (t, key) — corpus-sided on both sides (the 16-member
+    // bucket cap bounds row width, not cardinality)
+    val smj231 = collectAll(planOf("q231_label_noise_audit")) {
+      case s: SortMergeJoinExec => s
+    }
+    assert(smj231.nonEmpty && smj231.forall(s =>
+        s.joinType == Inner && keyNames(s).contains("t") &&
+          keyNames(s).contains("key")),
+      s"q231's only allowed SMJ is the exact leg on (t, key): " +
+        smj231.map(s => s"${s.joinType} ${keyNames(s)}").mkString(" | "))
+    // and none of the three ever degrades to a cartesian
+    for (n <- Seq("q226_hybrid_retrieval_rrf", "q229_retrieval_eval",
+        "q231_label_noise_audit"))
+      assert(collectAll(planOf(n)) {
+        case c: CartesianProductExec => c
+      }.isEmpty, s"$n must not contain a cartesian product")
+  }
+
   test("q226 hybrid RRF: both legs are distributed top-k, no global corpus window") {
     import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
     val p = planOf("q226_hybrid_retrieval_rrf")
