@@ -76,5 +76,27 @@ class DriftStreamSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(maintained === rebuild,
       "summed increments must equal the one-shot cell recompute")
+
+    // FOLD: compacting N tranches to per-cell sums is readout-identical,
+    // shrinks the log to one row per cell, and keeps the replay guard
+    val rowsBefore = VersionedParquet.read(spark, cells).count()
+    DriftStream.compactLog(spark, cells)
+    val folded = VersionedParquet.read(spark, cells)
+    assert(folded.count() ===
+      folded.select("dimension", "cell", "cohort").distinct().count(),
+      "the folded log must hold exactly one row per cell")
+    assert(folded.count() < rowsBefore,
+      "two tranches share cells, so folding must shrink the log")
+    assert(DriftStream.cells(spark, cells)
+      .collect().map(_.toSeq).toSet === rebuild,
+      "readout must be identical after the fold")
+    // the batch marker carried forward: a pre-fold batch id still
+    // refuses, so crash replay cannot double-apply across a fold
+    assert(!VersionedSink.commitAppend(spark, cells, 1L, inc),
+      "the fold must carry the batch marker forward")
+    // folding again is a harmless no-op state-wise
+    DriftStream.compactLog(spark, cells)
+    assert(DriftStream.cells(spark, cells)
+      .collect().map(_.toSeq).toSet === rebuild)
   }
 }
