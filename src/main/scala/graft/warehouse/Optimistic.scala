@@ -47,9 +47,13 @@ import VersionedParquet._
   * equality); a rebased partition overwrite recomputes its carried
   * tiers (delta/vector/feed) against the live version under the
   * lock, so disjoint writers compose exactly as if run back to back.
-  * A keyed MERGE declares the whole table (its read set is "which
-  * keys exist", which any concurrent write can change), so it never
-  * rebases — it re-stages, the textbook optimistic-transaction
+  * A keyed MERGE declares the key set it touched (a Bloom
+  * fingerprint) and rebases over provably key-disjoint merges and
+  * predicate DML; searched UPDATE/DELETE ([[updateWhere]] /
+  * [[deleteWhere]]) additionally declare their predicate's read
+  * columns and SET's written columns, rebasing only when the
+  * interveners could not have changed their match set. Anything
+  * less provable re-stages — the textbook optimistic-transaction
   * retry.
   *
   * Crash safety is unchanged from the single-writer path: staged
@@ -83,6 +87,17 @@ object Optimistic {
     extends Domain
   private[warehouse] final case class KeysDomain(cols: Seq[String],
     words: Array[Long]) extends Domain
+  /** Predicate DML (searched UPDATE/DELETE): the touched-key Bloom of
+    * [[KeysDomain]] PLUS the predicate's referenced columns and the
+    * SET's written columns — the extra facts that make predicate
+    * rebase sound: two predicate DMLs compose iff their touched keys
+    * are provably disjoint AND neither's SET writes a column the
+    * other's predicate reads (otherwise the intervener could move
+    * rows into/out of my match set, making my staged match stale).
+    * `setCols` empty = DELETE (removes rows, writes no column). */
+  private[warehouse] final case class DmlDomain(cols: Seq[String],
+    words: Array[Long], predCols: Set[String], setCols: Set[String])
+    extends Domain
   private[warehouse] case object TableDomain extends Domain
 
   private[warehouse] val KEY_BLOOM_BITS = 1024
@@ -121,18 +136,39 @@ object Optimistic {
     *   - a whole-table commit (merge/update/restore/compact, and any
     *     legacy commit without a domain marker) conflicts with
     *     everything, both ways. */
+  private def bloomHit(w1: Array[Long], w2: Array[Long]): Boolean =
+    w1.zip(w2).exists { case (a, b) => (a & b) != 0L }
+
   private[warehouse] def conflicts(mine: Domain, theirs: Domain): Boolean =
     (mine, theirs) match {
       case (AppendDomain, AppendDomain) => false
       case (AppendDomain, PartitionsDomain(_)) => false
       // an append lands last over a keyed merge unchanged: the merge
       // touched existing keys, the append adds new ROWS — blind
-      // INSERT semantics either way
+      // INSERT semantics either way (same for predicate DML)
       case (AppendDomain, KeysDomain(_, _)) => false
+      case (AppendDomain, DmlDomain(_, _, _, _)) => false
       case (PartitionsDomain(p), PartitionsDomain(q)) =>
         p.intersect(q).nonEmpty
       case (KeysDomain(c1, w1), KeysDomain(c2, w2)) =>
-        c1 != c2 || w1.zip(w2).exists { case (a, b) => (a & b) != 0L }
+        c1 != c2 || bloomHit(w1, w2)
+      // my keyed merge over their predicate DML: their touched rows
+      // are provably not my keys, so my staged keyed rows (and my
+      // base scan) are untouched — rebase
+      case (KeysDomain(c1, w1), DmlDomain(c2, w2, _, _)) =>
+        c1 != c2 || bloomHit(w1, w2)
+      // my predicate DML over theirs: sound iff (a) the touched row
+      // sets are provably disjoint (Bloom — no false negatives) AND
+      // (b) their SET wrote no column my predicate reads — else their
+      // post-images could enter/leave my match set and my staged
+      // match would be stale. A DELETE writes no columns (setCols
+      // empty), so rows it removed beyond my own match set cannot
+      // affect me; rows in BOTH match sets trip the Bloom.
+      case (DmlDomain(c1, w1, p1, _), DmlDomain(c2, w2, _, s2)) =>
+        c1 != c2 || bloomHit(w1, w2) || p1.intersect(s2).nonEmpty
+      // NOT symmetric: my predicate DML over their keyed MERGE stays
+      // a conflict (falls through) — a merge replaces whole rows and
+      // may INSERT new ones, either of which can change my match set.
       case _ => true
     }
 
@@ -151,6 +187,17 @@ object Optimistic {
               .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray)
           case _ => TableDomain
         }
+      case Some(s) if s.startsWith("dml:") =>
+        // split with limit -1: predCols/setCols may be empty strings
+        s.split(":", -1) match {
+          case Array(_, cols, hex, pred, set) => DmlDomain(
+            cols.split(',').toSeq,
+            hex.grouped(16)
+              .map(java.lang.Long.parseUnsignedLong(_, 16)).toArray,
+            pred.split(',').filter(_.nonEmpty).toSet,
+            set.split(',').filter(_.nonEmpty).toSet)
+          case _ => TableDomain
+        }
       case _ => TableDomain
     }
 
@@ -160,6 +207,11 @@ object Optimistic {
       Some(("partitions" +: p.toSeq.sorted).mkString("\n"))
     case KeysDomain(cols, words) => Some("keys:" + cols.mkString(",") +
       ":" + words.map(w => f"$w%016x").mkString)
+    case DmlDomain(cols, words, pred, set) =>
+      Some("dml:" + cols.mkString(",") + ":" +
+        words.map(w => f"$w%016x").mkString + ":" +
+        pred.toSeq.sorted.mkString(",") + ":" +
+        set.toSeq.sorted.mkString(","))
     case TableDomain => None
   }
 
@@ -555,9 +607,27 @@ object Optimistic {
             deleteKeys: DataFrame, keyCols: Seq[String],
             keepVersions: Int = 2,
             markers: Map[String, String] = Map.empty,
-            maxAttempts: Int = 5): Commit = {
+            maxAttempts: Int = 5): Commit =
+    optimisticDml(spark, root, keyCols, keepVersions, markers,
+      maxAttempts, "merge", _ => (upserts, deleteKeys),
+      KeysDomain(_, _))
+
+  /** The shared stage/commit/rebase loop behind [[merge]],
+    * [[updateWhere]] and [[deleteWhere]]. `batchOf(readVersion)`
+    * produces the (upserts, deleteKeys) batch AGAINST that version —
+    * a constant pair for merge, a predicate evaluation over the live
+    * view for searched DML (so a re-stage after a conflict re-matches
+    * against the NEW live state, which is what serializability
+    * demands). `mkDomain` decorates the touched-key Bloom into the
+    * commit's declared domain. */
+  private def optimisticDml(spark: SparkSession, root: String,
+            keyCols: Seq[String], keepVersions: Int,
+            markers: Map[String, String], maxAttempts: Int,
+            verb: String,
+            batchOf: Long => (DataFrame, DataFrame),
+            mkDomain: (Seq[String], Array[Long]) => Domain): Commit = {
     import org.apache.spark.sql.functions.{col, count, lit, when}
-    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(keyCols.nonEmpty, s"$verb needs at least one key column")
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     VersionedParquet.requireNoPendingSchemaMapGuard(spark, root)
@@ -573,22 +643,23 @@ object Optimistic {
         Seq(DV_DIR, DELTA_DIR, CDF_DIR, "_hits", "_rows", "_keys")
           .foreach(d => fs.delete(new Path(txn, d), true))
         val v = readVersion
+        val (upserts, deleteKeys) = batchOf(v)
         val base = baseNameOf(spark, root, v)
         val baseData = spark.read.parquet(
           new Path(rootPath, base).toString)
-        val aligned = alignAndValidate(spark, root, v, upserts, "merge")
+        val aligned = alignAndValidate(spark, root, v, upserts, verb)
         val stagedContract = contractOf(spark, root)
         if (aligned.groupBy(keyCols.map(col): _*)
             .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
             .count() > 0)
-          throw new IOException("merge batch has duplicate keys on (" +
-            keyCols.mkString(",") + "); MERGE is nondeterministic")
+          throw new IOException(s"$verb batch has duplicate keys on (" +
+            keyCols.mkString(",") + s"); $verb is nondeterministic")
         val upKeys = aligned.select(keyCols.map(col): _*).distinct()
         val delKeys = deleteKeys
           .select(keyCols.map(deleteKeys(_)): _*).distinct()
         if (upKeys.join(delKeys, keyCols, "left_semi").limit(1)
             .count() > 0)
-          throw new IOException("merge batch upserts AND deletes the " +
+          throw new IOException(s"$verb batch upserts AND deletes the " +
             s"same key on (${keyCols.mkString(",")})")
         val touched = upKeys.union(delKeys)
         // key-set Bloom fingerprint (k = 1): the commit's declared
@@ -602,7 +673,7 @@ object Optimistic {
         val keyWords = new Array[Long](KEY_BLOOM_BITS / 64)
         keyBits.foreach(p =>
           keyWords(p.toInt >>> 6) |= 1L << (p.toInt & 63))
-        val mine = KeysDomain(keyCols, keyWords)
+        val mine = mkDomain(keyCols, keyWords)
         val hits = baseData
           .withColumn("_file", relFile)
           .withColumn("_pos", col("_metadata.row_index"))
@@ -724,7 +795,7 @@ object Optimistic {
         // after the final attempt — the throw below follows directly)
         if (attempts < maxAttempts) conflictBackoff(attempts)
       }
-      throw new CommitConflictException(s"merge into $root gave up " +
+      throw new CommitConflictException(s"$verb into $root gave up " +
         s"after $attempts attempts; last conflicting commit: " +
         s"v${lastConflict.getOrElse(-1L)}")
     } finally fs.delete(txn, true)
@@ -738,4 +809,103 @@ object Optimistic {
     merge(spark, root, updates, updates.limit(0).select(
       keyCols.map(org.apache.spark.sql.functions.col): _*),
       keyCols, keepVersions, markers, maxAttempts)
+
+  /** Columns a predicate Column actually references, resolved against
+    * the live view (via the analyzed Filter node). Falls back to ALL
+    * columns — which degrades to conservative conflicts, never to a
+    * missed one — when no Filter survives analysis (e.g. a constant
+    * predicate). */
+  private def referencedCols(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): Set[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IOException(s"no published version under $root"))
+    val live = dataFrameOf(spark, root, v)
+    live.filter(predicate).queryExecution.analyzed.collectFirst {
+      case f: Filter => f.condition.references.map(_.name).toSet
+    }.getOrElse(live.columns.toSet)
+  }
+
+  /** Optimistic searched UPDATE: stage the matched rows' post-images
+    * with NO table lock, commit through the same conflict/rebase
+    * protocol as [[merge]], declared as a [[DmlDomain]] — the
+    * touched-key Bloom plus the predicate's read columns and the
+    * SET's written columns. Two UPDATEs whose touched keys are
+    * provably disjoint and whose SETs stay out of each other's
+    * predicates BOTH commit on their first attempt (rebase, no
+    * re-stage) — where `VersionedParquet.updateWhere` serializes on
+    * the writer lock and a whole-table domain would conflict.
+    *
+    * `keyCols` must be a unique key of the matched rows (validated
+    * per attempt) and may not be SET — the touched-key domain would
+    * be unsound if key values moved. On conflict the batch
+    * RE-DERIVES against the new live version (predicate semantics,
+    * not a stale row list); generated columns recompute through the
+    * same alignment path as merge rows. */
+  def updateWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  sets: Map[String, org.apache.spark.sql.Column],
+                  keyCols: Seq[String], keepVersions: Int = 2,
+                  markers: Map[String, String] = Map.empty,
+                  maxAttempts: Int = 5): Commit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(sets.nonEmpty, "UPDATE needs at least one SET column")
+    val keyOverlap = sets.keys
+      .filter(s => keyCols.exists(_.equalsIgnoreCase(s)))
+    require(keyOverlap.isEmpty, "UPDATE cannot SET key column(s) " +
+      s"${keyOverlap.mkString(",")} — the touched-key domain would " +
+      "be unsound under moved keys")
+    // generated columns: SET refused (the rule owns the value); all
+    // generated columns count as WRITTEN for conflict purposes — they
+    // recompute whenever their sources change
+    val genNames = generationRules(spark, root).map(_._1)
+    val setGen = sets.keys
+      .filter(k => genNames.exists(_.equalsIgnoreCase(k)))
+    if (setGen.nonEmpty)
+      throw new IOException("UPDATE cannot SET generated column(s) " +
+        s"${setGen.mkString(",")}; the GENERATED ALWAYS AS rule owns " +
+        "their value")
+    val predCols = referencedCols(spark, root, predicate)
+    val setCols = sets.keySet ++ genNames
+    val matched = coalesce(predicate, lit(false)) === true
+    optimisticDml(spark, root, keyCols, keepVersions, markers,
+      maxAttempts, "UPDATE", v => {
+        val current = dataFrameOf(spark, root, v)
+        val post = sets.foldLeft(current.filter(matched)) {
+          case (d, (c, e)) => d.withColumn(c, e)
+        }
+        (post, post.limit(0).select(keyCols.map(col): _*))
+      }, DmlDomain(_, _, predCols, setCols))
+  }
+
+  /** Optimistic searched DELETE — [[updateWhere]]'s removal twin:
+    * the matched rows' keys stage as the delete set, the domain is a
+    * [[DmlDomain]] with EMPTY written columns (a delete changes no
+    * values, so it can never move rows into a concurrent predicate's
+    * match set — disjoint-key DELETEs compose with disjoint-key
+    * UPDATEs and with each other on first attempts). */
+  def deleteWhere(spark: SparkSession, root: String,
+                  predicate: org.apache.spark.sql.Column,
+                  keyCols: Seq[String], keepVersions: Int = 2,
+                  markers: Map[String, String] = Map.empty,
+                  maxAttempts: Int = 5): Commit = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val predCols = referencedCols(spark, root, predicate)
+    val matched = coalesce(predicate, lit(false)) === true
+    optimisticDml(spark, root, keyCols, keepVersions, markers,
+      maxAttempts, "DELETE", v => {
+        val current = dataFrameOf(spark, root, v)
+        val m = current.filter(matched)
+        // keyCols must be a unique key of the matched rows: deleting
+        // BY KEY a key whose other rows the predicate did not match
+        // would remove more than the predicate said
+        if (m.groupBy(keyCols.map(col): _*)
+            .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+            .limit(1).count() > 0)
+          throw new IOException("DELETE matched duplicate keys on (" +
+            keyCols.mkString(",") + ") — keyCols must be a unique " +
+            "key of the matched rows")
+        (m.limit(0), m.select(keyCols.map(col): _*))
+      }, DmlDomain(_, _, predCols, Set.empty))
+  }
 }

@@ -349,4 +349,91 @@ class OptimisticSpec extends AnyFunSuite {
       assert(state(root) === expected)
     }
   }
+
+  test("key-disjoint concurrent UPDATEs both commit on attempt 1") {
+    val root = tmp("disjoint-update")
+    seed(root, parts = false)
+    val gate = new CountDownLatch(2) // both staged before either commits
+    Optimistic.afterStage = () => {
+      gate.countDown(); gate.await(60, TimeUnit.SECONDS); ()
+    }
+    noHook {
+      val pool = Executors.newFixedThreadPool(2)
+      // disjoint predicates on id (the key), disjoint SET targets that
+      // neither predicate reads — the provably-composable case
+      val a = pool.submit(() => Optimistic.updateWhere(spark, root,
+        col("id") < 10L, Map("x" -> lit(111L)), Seq("id"),
+        keepVersions = 20))
+      val b = pool.submit(() => Optimistic.updateWhere(spark, root,
+        col("id") >= 100L && col("id") < 110L,
+        Map("part" -> lit("pz")), Seq("id"), keepVersions = 20))
+      val (ca, cb) = (a.get(120, TimeUnit.SECONDS),
+        b.get(120, TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(Set(ca.version, cb.version) === Set(1L, 2L))
+      assert(ca.attempts === 1 && cb.attempts === 1,
+        "provably disjoint predicate UPDATEs must rebase, not " +
+          s"re-stage (got ${ca.attempts}/${cb.attempts})")
+      val expected =
+        (0L until 300L).filterNot(i => i < 10L ||
+            (i >= 100L && i < 110L))
+          .map(i => (i, s"p${i % 3}", i * 10)).toSet ++
+          (0L until 10L).map(i => (i, s"p${i % 3}", 111L)) ++
+          (100L until 110L).map(i => (i, "pz", i * 10))
+      assert(state(root) === expected,
+        "final state must equal both updates applied")
+    }
+  }
+
+  test("disjoint UPDATE composes with disjoint DELETE; an UPDATE " +
+    "whose SET feeds the other's predicate re-stages") {
+    val root = tmp("update-delete-mix")
+    seed(root, parts = false)
+    // 1) disjoint UPDATE then DELETE race: both land, delete re-derives
+    @volatile var fired = false
+    Optimistic.afterStage = () => {
+      if (!fired) {
+        fired = true
+        Optimistic.updateWhere(spark, root, col("id") < 5L,
+          Map("x" -> lit(7L)), Seq("id"), keepVersions = 20)
+      }
+    }
+    noHook {
+      val c = Optimistic.deleteWhere(spark, root,
+        col("id") >= 290L, Seq("id"), keepVersions = 20)
+      assert(c.attempts === 1,
+        s"key-disjoint DELETE must rebase over the UPDATE " +
+          s"(got ${c.attempts})")
+      assert(VersionedParquet.read(spark, root).count() === 290L)
+      assert(VersionedParquet.read(spark, root)
+        .filter(col("id") < 5L && col("x") === 7L).count() === 5L)
+    }
+    // 2) cross-column hazard: their SET writes x, my predicate READS
+    // x — their post-images could enter my match set, so I must
+    // re-stage even though the touched keys are disjoint
+    fired = false
+    Optimistic.afterStage = () => {
+      if (!fired) {
+        fired = true
+        Optimistic.updateWhere(spark, root, col("id") === 50L,
+          Map("x" -> lit(999999L)), Seq("id"), keepVersions = 20)
+      }
+    }
+    noHook {
+      val c2 = Optimistic.updateWhere(spark, root,
+        col("x") === 999999L && col("id") < 10L,
+        Map("part" -> lit("px")), Seq("id"), keepVersions = 20)
+      assert(c2.attempts === 2,
+        "an intervening SET of my predicate column must force a " +
+          s"re-stage (got ${c2.attempts})")
+    }
+    // 3) UPDATE may not SET its own key column
+    noHook {
+      val e = intercept[IllegalArgumentException] {
+        Optimistic.updateWhere(spark, root, col("id") === 1L,
+          Map("id" -> lit(9999L)), Seq("id"), keepVersions = 20)
+      }
+      assert(e.getMessage.contains("key column"))
+    }
+  }
 }

@@ -33,6 +33,14 @@ SRC = "/root/testdata/sf0.1"
 DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-sf1"
 COPIES = 10
 
+# Writing into SRC would overwrite the driver's test data with 10x
+# copies of itself (argv[1] is the DESTINATION — this happened once;
+# recovery = filter copy 0, but never again).
+assert pathlib.Path(DST).resolve() != pathlib.Path(SRC).resolve(), (
+    f"DST {DST} is the source test data — pass an output dir under /tmp")
+assert not str(pathlib.Path(DST).resolve()).startswith("/root/testdata"), (
+    f"refusing to write into /root/testdata: {DST}")
+
 pathlib.Path(DST).mkdir(parents=True, exist_ok=True)
 con = duckdb.connect()
 
