@@ -83,8 +83,18 @@ object LifecycleSlope {
     val nCdf = t("cdf_read_last") {
       VersionedParquet.changes(spark, root, live - 1, live).count()
     }
-    t("restore_prev") {
-      VersionedParquet.restore(spark, root, live - 1, keepVersions = 30)
+    // restore splits into its two cost families: the pointer/overlay
+    // copy is metadata-only (withFeed=false — must stay FLAT); the
+    // optional restore FEED is an explicit full multiset diff of
+    // current-vs-target (O(both views) by design — its slope measures
+    // the diff, not the restore)
+    t("restore_prev_nofeed") {
+      VersionedParquet.restore(spark, root, live - 1,
+        keepVersions = 30, withFeed = false)
+    }
+    t("restore_prev_feed") {
+      val l = VersionedParquet.currentVersion(spark, root).get
+      VersionedParquet.restore(spark, root, l - 2, keepVersions = 30)
     }
     t("branch_create") {
       Branch.create(spark, root, "slope")
