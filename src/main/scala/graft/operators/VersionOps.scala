@@ -2355,8 +2355,73 @@ object VersionOps {
              |       (SELECT count(*) FROM o) AS n_before_delete
              |FROM live
              |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // q235 — key-disjoint CONCURRENT searched UPDATEs both commit on
+    // their first attempt: writer B lands inside writer A's
+    // stage-to-commit window (deterministic race via the test seam),
+    // and A REBASES over B instead of re-staging, because the commit
+    // domains prove the touched keys disjoint (sparse Bloom over the
+    // literal key lists) and each SET outside the other's predicate
+    // read-set. The oracle replays both updates over raw orders and
+    // pins the counters: attempts 1/1 (rebase, not retry) with
+    // versions 1/2 (an intervener really existed). A lost update,
+    // double-apply, or spurious re-stage breaks the hash.
+    QueryDef("q235_occ_update_race",
+      (s, d) => s.read.parquet(occUpdateRacePath(s, d))
+        .orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |u AS (
+             |  SELECT k,
+             |         cents + CASE WHEN k IN (3, 13, 23, 33, 43) THEN 7
+             |                      WHEN k IN (6, 16, 26, 36, 46) THEN 11
+             |                      ELSE 0 END AS cents
+             |  FROM o)
+             |SELECT k % 7 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       1 AS a_attempts, 1 AS b_attempts,
+             |       CAST(2 AS BIGINT) AS a_version,
+             |       CAST(1 AS BIGINT) AS b_version
+             |FROM u
+             |GROUP BY 1
              |ORDER BY bucket""".stripMargin))
   )
+
+  /** q235 builder: a versioned orders table through a DETERMINISTIC
+    * two-writer UPDATE race — writer B (cents+11 WHERE k%10=6)
+    * commits inside writer A's (cents+7 WHERE k%10=3) stage-to-commit
+    * window via the afterStage seam. The DmlDomain proof (disjoint
+    * touched-key Blooms, SETs outside each other's predicate
+    * read-sets) lets A REBASE: both land on attempt 1, and the
+    * version numbers (B=1, A=2) pin that an intervener really stood
+    * between A's stage and commit. Once per session. */
+  private def occUpdateRacePath(s: SparkSession, dir: String): String = {
+    import graft.warehouse.{AtomicParquet, OccHarness, VersionedParquet}
+    val root = Scratch.dir(s, "q235-table")
+    val outPath = Scratch.dir(s, "q235-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o, root, keepVersions = 10)
+      val (aAtt, bAtt, aVer, bVer) =
+        OccHarness.raceDisjointUpdates(s, root)
+      val out = VersionedParquet.read(s, root)
+        .groupBy((col("k") % 7).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("a_attempts", lit(aAtt))
+        .withColumn("b_attempts", lit(bAtt))
+        .withColumn("a_version", lit(aVer))
+        .withColumn("b_version", lit(bVer))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q234 builder: export orders as an Iceberg snapshot, then append
     * a POSITION-DELETE snapshot removing k % 7 == 0 rows — the
