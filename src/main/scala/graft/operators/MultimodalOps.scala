@@ -1045,6 +1045,98 @@ object MultimodalOps {
       decodeMjpegBytes(m.item_id, m.media, stride)))
   }
 
+  // ── REAL GIF decode: LZW through the JDK codec — q236 ────────────────
+  // A fourth REAL image codec tier beside PNG (inflate, q83), JPEG
+  // (DCT, q98) and MJPEG (q233): GIF's LZW entropy coding, via the
+  // JDK's own GIF reader/writer. GIF is LOSSLESS over an indexed
+  // palette, so unlike JPEG the oracle restates EXACT pixel values:
+  // the synthesized images are 256-gray INDEXED (palette index ==
+  // gray value — no writer quantization ambiguity), and the decoded
+  // per-image sum/min/max must equal the closed-form formula's. A
+  // broken LZW table, interlace mishandling, or palette misread
+  // breaks the hash exactly.
+
+  private def gifParams(id: Long): (Int, Int) =
+    ((20 + id % 13).toInt, (12 + id % 9).toInt)
+
+  /** Exact grayscale formula (restated by the q236 oracle). */
+  private[graft] def gifPixel(id: Long, r: Int, c: Int, w: Int): Int =
+    ((c * 255) / (w - 1) + r * 13 + (id % 29).toInt) % 256
+
+  /** Encode the formula image as a REAL GIF via the JDK codec —
+    * TYPE_BYTE_INDEXED over an explicit 256-gray palette, so the
+    * writer emits the index bytes as-is and LZW is the only
+    * transform. */
+  private[graft] def encodeGif(id: Long): Array[Byte] = {
+    System.setProperty("java.awt.headless", "true")
+    val (w, h) = gifParams(id)
+    val grays = new Array[Byte](256)
+    var gi = 0
+    while (gi < 256) { grays(gi) = gi.toByte; gi += 1 }
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays,
+      grays)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    for (r <- 0 until h; c <- 0 until w)
+      raster.setSample(c, r, 0, gifPixel(id, r, c, w))
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "gif", bos),
+      "no GIF writer in this JRE")
+    bos.toByteArray
+  }
+
+  /** GIF image items (doc_id % 3 == 0, the image residue class). */
+  def gifImageTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id")).as[Long].map { id =>
+        val (w, h) = gifParams(id)
+        MediaRow(id, "image", encodeGif(id), w, h, 0)
+      }
+  }
+
+  final case class GifStats(item_id: Long, width: Int, height: Int,
+                            px_sum: Long, px_min: Int, px_max: Int,
+                            gray_exact: Boolean)
+
+  /** Decode one GIF payload through the JDK codec to exact grayscale
+    * stats. Fails loudly on a non-GIF payload; `gray_exact` pins that
+    * every decoded pixel has R==G==B (the palette really was the
+    * 256-gray identity, not a quantized remap). */
+  private[graft] def decodeGifBytes(itemId: Long,
+                                    b: Array[Byte]): GifStats = {
+    System.setProperty("java.awt.headless", "true")
+    require(b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F',
+      "not a GIF payload (missing GIF signature)")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(b))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var s = 0L; var mn = 255; var mx = 0; var gray = true
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val rgb = img.getRGB(c, r)
+        val (rr, gg, bb) =
+          ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        if (rr != gg || gg != bb) gray = false
+        s += bb; if (bb < mn) mn = bb; if (bb > mx) mx = bb
+        c += 1
+      }
+      r += 1
+    }
+    GifStats(itemId, w, h, s, mn, mx, gray)
+  }
+
+  /** Per-partition GIF decode — the standard iterator batch shape. */
+  def decodeGif(media: Dataset[MediaRow]): Dataset[GifStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => decodeGifBytes(m.item_id, m.media)))
+  }
+
   final case class ParsedMedia(item_id: Long, declared_kind: String,
                                kind_detected: String, parsed_width: Int,
                                parsed_height: Int, parsed_rate: Int,
@@ -1499,6 +1591,44 @@ object MultimodalOps {
              |       TRUE AS psnr_gt28
              |FROM documents
              |WHERE doc_id % 3 = 2
+             |ORDER BY item_id""".stripMargin)),
+
+    // ── GIF decode: EXACT pixel stats through real LZW ───────────────────
+    // GIF is lossless over its palette, so the oracle restates the
+    // exact per-image pixel sum/min/max from the synthesis formula —
+    // the strongest decode gate possible (JPEG can only be
+    // fidelity-bounded). Encode and decode both run the JDK codec;
+    // any LZW/palette/interlace defect shifts a sum and breaks the
+    // hash.
+    QueryDef("q236_gif_decode",
+      (s, d) => decodeGif(gifImageTable(s, d)).toDF()
+        .select("item_id", "width", "height", "px_sum", "px_min",
+          "px_max", "gray_exact")
+        .orderBy("item_id"),
+      Some("""WITH imgs AS (
+             |  SELECT doc_id AS item_id,
+             |         CAST(20 + doc_id % 13 AS INT) AS w,
+             |         CAST(12 + doc_id % 9 AS INT) AS h
+             |  FROM documents WHERE doc_id % 3 = 0),
+             |rows_r AS (
+             |  SELECT item_id, w, h, r
+             |  FROM (SELECT item_id, w, h, unnest(range(h)) AS r
+             |        FROM imgs)),
+             |vals AS (
+             |  SELECT item_id, w, h,
+             |         CAST(((c * 255) // (w - 1) + r * 13
+             |               + item_id % 29) % 256 AS INT) AS p
+             |  FROM (SELECT item_id, w, h, r, unnest(range(w)) AS c
+             |        FROM rows_r))
+             |SELECT item_id,
+             |       CAST(max(w) AS INT) AS width,
+             |       CAST(max(h) AS INT) AS height,
+             |       CAST(sum(p) AS BIGINT) AS px_sum,
+             |       CAST(min(p) AS INT) AS px_min,
+             |       CAST(max(p) AS INT) AS px_max,
+             |       TRUE AS gray_exact
+             |FROM vals
+             |GROUP BY 1
              |ORDER BY item_id""".stripMargin))
   )
 

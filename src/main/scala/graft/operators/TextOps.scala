@@ -1005,7 +1005,93 @@ object TextOps {
              |       3 AS silver_versions
              |FROM tagged
              |GROUP BY 1, 2
-             |ORDER BY side, tranche""".stripMargin))
+             |ORDER BY side, tranche""".stripMargin)),
+
+    // ── CCNet-style per-language perplexity buckets ──────────────────────
+    // CCNet's triage (Wenzek et al. 2020): score each document with a
+    // PER-LANGUAGE LM, rank within its language, and split into
+    // head / middle / tail tertiles — head feeds training, tail is
+    // dropped, middle is borderline. The LM here is the in-corpus
+    // bigram model (q63's), and the published log-perplexity is
+    // replaced by the integer predictability score Σ(c_ab·10⁶ div
+    // c_a) div n — monotone the same direction and EXACT across
+    // engines (libm log differs in final ulps; a ranking/bucketing
+    // gate cannot float). Tertile assignment is exact integer rank
+    // arithmetic ((3·(rk−1)) div n, the q119 equidepth discipline) —
+    // no percentile approximation. Scale: bigram counts are
+    // gram-volume aggregates with map-side combine; the per-doc fold
+    // joins each bigram to per-language count frames on (lang, gram)
+    // keys; the rank window partitions by language (bounded
+    // cardinality, never a global sort).
+    QueryDef("q237_ccnet_perplexity_buckets",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), toks.as("ts"))
+          .filter(size(col("ts")) > 1)
+        val bi = base.select(col("doc_id"), col("lang"),
+          explode(transform(sequence(lit(0), size(col("ts")) - 2),
+            i => struct(element_at(col("ts"), i + 1).as("a"),
+              element_at(col("ts"), i + 2).as("b")))).as("p"))
+          .select(col("doc_id"), col("lang"),
+            col("p.a").as("a"), col("p.b").as("b"))
+        val biCnt = bi.groupBy("lang", "a", "b")
+          .agg(count(lit(1)).as("c_ab"))
+        val uniCnt = bi.groupBy("lang", "a")
+          .agg(count(lit(1)).as("c_a"))
+        val scored = bi.join(biCnt, Seq("lang", "a", "b"))
+          .join(uniCnt, Seq("lang", "a"))
+          .groupBy("doc_id", "lang")
+          .agg(expr("sum(c_ab * 1000000 div c_a) div count(1)")
+              .as("doc_ppm"),
+            count(lit(1)).as("n_bigrams"))
+        val rkW = Window.partitionBy("lang")
+          .orderBy(col("doc_ppm").desc, col("doc_id"))
+        scored
+          .withColumn("rk", row_number().over(rkW))
+          .withColumn("nd",
+            count(lit(1)).over(Window.partitionBy("lang")))
+          .withColumn("bucket", expr("(3 * (rk - 1)) div nd"))
+          .groupBy("lang", "bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("sum(doc_ppm) div count(1)").as("avg_ppm"),
+            sum("n_bigrams").cast("long").as("n_bigrams"))
+          .orderBy("lang", "bucket")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, lang, $TOKS AS ts
+             |             FROM documents),
+             |base AS (SELECT * FROM toks WHERE len(ts) > 1),
+             |bi AS (
+             |  SELECT doc_id, lang, ts[i] AS a, ts[i + 1] AS b
+             |  FROM (SELECT doc_id, lang, ts,
+             |               unnest(range(1, len(ts))) AS i
+             |        FROM base)),
+             |bic AS (SELECT lang, a, b, count(*) AS c_ab
+             |        FROM bi GROUP BY 1, 2, 3),
+             |unic AS (SELECT lang, a, count(*) AS c_a
+             |         FROM bi GROUP BY 1, 2),
+             |scored AS (
+             |  SELECT doc_id, lang,
+             |         CAST(sum(c_ab * 1000000 // c_a) // count(*)
+             |           AS BIGINT) AS doc_ppm,
+             |         count(*) AS n_bigrams
+             |  FROM bi JOIN bic USING (lang, a, b)
+             |          JOIN unic USING (lang, a)
+             |  GROUP BY 1, 2),
+             |ranked AS (
+             |  SELECT *,
+             |         row_number() OVER (PARTITION BY lang
+             |           ORDER BY doc_ppm DESC, doc_id) AS rk,
+             |         count(*) OVER (PARTITION BY lang) AS nd
+             |  FROM scored)
+             |SELECT lang,
+             |       CAST((3 * (rk - 1)) // nd AS BIGINT) AS bucket,
+             |       count(*) AS n_docs,
+             |       CAST(sum(doc_ppm) // count(*) AS BIGINT) AS avg_ppm,
+             |       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
+             |FROM ranked
+             |GROUP BY 1, 2
+             |ORDER BY lang, bucket""".stripMargin))
   )
 
   /** q223 builder: the training corpus (docs outside both benchmark
