@@ -377,6 +377,75 @@ object SampleOps {
              |       CAST(greatest(0, alloc_tokens - avail_tokens * 4)
              |         AS BIGINT) AS excess_tokens
              |FROM plan
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // ── Deterministic, seekable epoch shuffle (the data-loader order) ────
+    // Training runs need a GLOBAL per-epoch shuffle that is (a)
+    // deterministic under task retries and re-runs (rand() is
+    // neither), (b) different every epoch, and (c) SEEKABLE — resume
+    // at step S must reproduce positions [S, n) without replaying
+    // [0, S). Position = rank of md5(seed:epoch:doc_id) — a pure
+    // function of (seed, epoch, id), so any worker recomputes any
+    // slice independently; the oracle recomputes the identical order.
+    // The gate pins: sum(pos) == n(n+1)/2 per epoch (a true
+    // permutation, no dup/hole), an ORDER-SENSITIVE checksum
+    // Σ pos·(doc_id mod 1000003) (epochs must differ: same docs,
+    // different order → different checksum — which the two epochs'
+    // rows exhibit), and the tail checksum from pos > n/2 (the
+    // resume slice, recomputed independently of the head). Scale:
+    // ranking is one sort per epoch over (hash, id) — the shuffle a
+    // data loader pays once per epoch, nothing quadratic; the seek
+    // path is a filter on the computed rank, no state.
+    QueryDef("q238_epoch_shuffle",
+      (s, d) => {
+        val seed = 42
+        val epochs = Seq(0, 1)
+        val docs = Tables.documents(s, d).select("doc_id")
+        // position via the SCALE-tier global rank (range-partitioned
+        // sort + per-partition index arithmetic — SurrogateKey's
+        // zipIndexed, proven key-identical to ROW_NUMBER), never a
+        // single-partition window over the corpus
+        val perEpoch = epochs.map { e =>
+          val hashed = docs.withColumn("h",
+            Hashing.md5Long60(concat(lit(s"$seed:$e:"), col("doc_id"))))
+          graft.functions.SurrogateKey
+            .zipIndexed(hashed, "pos", Seq(col("h"), col("doc_id")))
+            .withColumn("epoch", lit(e)).drop("h")
+        }.reduce(_ unionByName _)
+        perEpoch
+          .withColumn("term",
+            col("pos") * (col("doc_id") % 1000003L))
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy("epoch")))
+          .groupBy("epoch")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("pos").cast("long").as("sum_pos"),
+            sum("term").cast("long").as("ord_checksum"),
+            sum(when(col("pos") * 2 > col("n"), col("term"))
+              .otherwise(0L)).cast("long").as("tail_checksum"))
+          .orderBy("epoch")
+      },
+      Some(s"""WITH e AS (SELECT unnest([0, 1]) AS epoch),
+             |ord AS (
+             |  SELECT epoch, doc_id,
+             |         CAST(row_number() OVER (PARTITION BY epoch
+             |           ORDER BY ${Hashing.md5Long60Sql(
+               "'42:' || epoch || ':' || doc_id")}, doc_id)
+             |           AS BIGINT) AS pos,
+             |         count(*) OVER (PARTITION BY epoch) AS n
+             |  FROM documents CROSS JOIN e),
+             |terms AS (
+             |  SELECT epoch, pos, n,
+             |         pos * (doc_id % 1000003) AS term
+             |  FROM ord)
+             |SELECT epoch, count(*) AS n_docs,
+             |       CAST(sum(pos) AS BIGINT) AS sum_pos,
+             |       CAST(sum(term) AS BIGINT) AS ord_checksum,
+             |       CAST(sum(CASE WHEN pos * 2 > n THEN term
+             |                     ELSE 0 END) AS BIGINT)
+             |         AS tail_checksum
+             |FROM terms
+             |GROUP BY 1
+             |ORDER BY epoch""".stripMargin))
   )
 }

@@ -1566,7 +1566,75 @@ object SimilarityOps {
              |            AS INT) AS injected
              |FROM agg
              |WHERE n_eval >= 3 AND n_disagree * 2 > n_eval
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ── Scalar-quantized coarse scan + exact rescore (SQ8 ANN) ───────────
+    // The production serving path between brute force (q38) and a
+    // stored IVF index (q100): scan INT8-quantized vectors (4× less
+    // memory traffic than fp32, the quantization q55 defines —
+    // per-vector symmetric maxabs/127), shortlist top-64 by the
+    // EXACT integer dot product of quantized codes (no float — the
+    // shortlist is engine-portable by construction), then rescore
+    // only the shortlist with the exact fp cosine. The gate proves
+    // the shortlist arithmetic AND that rescoring restores exact
+    // ranking on the shortlist; q103's recall harness covers the
+    // quality story for the index path. Scale: the coarse scan is
+    // one codegen'd pass with a distributed top-k
+    // (TakeOrderedAndProject) — no shuffle before the 64-row
+    // shortlist; rescore touches 64 vectors.
+    QueryDef("q239_sq8_rescore_ann",
+      (s, d) => {
+        val quant = Tables.embeddings(s, d)
+          .withColumn("maxabs",
+            greatest(array_max(col("embedding")).cast("double"),
+              (-array_min(col("embedding"))).cast("double")))
+          .withColumn("qv", expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)" +
+              " / (nullif(maxabs, 0D) / 127.0)) AS BIGINT))"))
+        val q = quant.filter(col("vec_id") === 0)
+          .select(col("qv").as("cq"), col("embedding").as("qvec"))
+        val shortlist = quant.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .withColumn("idot", expr(
+            "aggregate(zip_with(qv, cq, (a, b) -> a * b), 0L," +
+              " (acc, v) -> acc + v)"))
+          .orderBy(col("idot").desc, col("vec_id"))
+          .limit(64)
+        shortlist
+          .select(col("vec_id"), col("label"), col("idot"),
+            cosine("embedding", "qvec").as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""WITH base AS (
+             |  SELECT vec_id, label, embedding,
+             |         greatest(CAST(list_max(embedding) AS DOUBLE),
+             |                  -CAST(list_min(embedding) AS DOUBLE))
+             |           AS maxabs
+             |  FROM embeddings),
+             |quant AS (
+             |  SELECT vec_id, label, embedding,
+             |         list_transform(embedding, x ->
+             |           CAST(round(CAST(x AS DOUBLE)
+             |                / (nullif(maxabs, 0) / 127.0)) AS BIGINT))
+             |           AS qv
+             |  FROM base),
+             |q AS (SELECT qv AS cq, embedding AS qvec FROM quant
+             |      WHERE vec_id = 0),
+             |coarse AS (
+             |  SELECT vec_id, label, embedding, qvec,
+             |         CAST(list_sum(list_transform(range(1, 65),
+             |           i -> qv[i] * cq[i])) AS BIGINT) AS idot
+             |  FROM quant CROSS JOIN q
+             |  WHERE vec_id != 0
+             |  ORDER BY idot DESC, vec_id
+             |  LIMIT 64)
+             |SELECT vec_id, label, idot,
+             |       $COS_Q
+             |         AS cos_sim
+             |FROM coarse
+             |ORDER BY cos_sim DESC, vec_id
+             |LIMIT 10""".stripMargin))
   )
 
   /** nDCG rank discounts 1/log2(r+1), r = 1..10, and their sum (the
