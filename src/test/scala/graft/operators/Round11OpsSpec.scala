@@ -22,6 +22,8 @@ class Round11OpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  private val sf = "/root/testdata/sf0.001"
+
   private def cells(rows: Seq[(String, String, String, Long)]) = {
     import spark.implicits._
     rows.toDF("dimension", "cell", "cohort", "o")
@@ -90,5 +92,33 @@ class Round11OpsSpec extends AnyFunSuite {
       MultimodalOps.decodeMjpegBytes(id, bad2, 1)
     }
     assert(e2.getMessage.contains("JPEG"))
+  }
+
+  test("q238 property: the epoch shuffle is a pure function of " +
+    "(seed, epoch, id) — positions survive any repartitioning") {
+    import graft.functions.{Hashing, SurrogateKey}
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id")
+    def positions(df: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
+      val hashed = df.withColumn("h",
+        Hashing.md5Long60(concat(lit("42:0:"), col("doc_id"))))
+      SurrogateKey.zipIndexed(hashed, "pos", Seq(col("h"), col("doc_id")))
+        .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    }
+    val base = positions(docs)
+    // a task retry / different input partitioning must not move a
+    // single position — this is what rand()-ordering cannot give
+    assert(positions(docs.repartition(17)) === base)
+    assert(positions(docs.repartition(1)) === base)
+    // a true permutation: every position 1..n exactly once
+    assert(base.values.toSeq.sorted === (1L to base.size.toLong))
+    // epochs really reshuffle: epoch 1's order differs from epoch 0's
+    val e1 = {
+      val hashed = docs.withColumn("h",
+        Hashing.md5Long60(concat(lit("42:1:"), col("doc_id"))))
+      SurrogateKey.zipIndexed(hashed, "pos", Seq(col("h"), col("doc_id")))
+        .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    }
+    assert(e1 !== base)
   }
 }
