@@ -2388,8 +2388,83 @@ object VersionOps {
              |       CAST(1 AS BIGINT) AS b_version
              |FROM u
              |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // q240 — Delta COLUMN MAPPING (name mode) read through the
+    // protocol walk: a foreign table whose parquet files carry
+    // physical `col-<uuid>` names (the post-RENAME layout Databricks
+    // writes; minReaderVersion 2) resolves through the schemaString's
+    // physicalName field metadata back to logical columns. The oracle
+    // replays the aggregate from raw orders and never sees the
+    // format; a reader that matched columns by position, served
+    // physical names, or ignored the mapping breaks the schema or
+    // hash. This narrows DeltaLite's refusal surface to
+    // deletion-vectors/id-mode (each still refusing loudly by name).
+    QueryDef("q240_delta_column_mapping",
+      (s, d) => s.read.parquet(deltaColMapPath(s, d)).orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows
+             |FROM o
+             |GROUP BY 1
              |ORDER BY bucket""".stripMargin))
   )
+
+  /** q240 builder: a COLUMN-MAPPED foreign Delta table (the layout
+    * Databricks writes after ALTER TABLE ... RENAME COLUMN):
+    * parquet files carry physical names (`col-<uuid>` shapes), the
+    * log's schemaString maps them to logical names via
+    * `delta.columnMapping.physicalName` field metadata, protocol
+    * pins minReaderVersion 2. DeltaLite.read must hand back LOGICAL
+    * columns over the physical files. Once per session. */
+  private def deltaColMapPath(s: SparkSession, dir: String): String = {
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q240-delta")
+    val outPath = Scratch.dir(s, "q240-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("col-7d3e"),
+        round(col("o_totalprice") * 100).cast("long").as("col-a914"))
+      o.write.mode("overwrite").parquet(s"$table/.stage")
+      val rel = Files.list(Paths.get(table, ".stage")).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+      rel.foreach(n => Files.move(Paths.get(table, ".stage", n),
+        Paths.get(table, n)))
+      def fld(logical: String, phys: String, id: Int) =
+        s"""{\\"name\\":\\"$logical\\",\\"type\\":\\"long\\",""" +
+          s"""\\"nullable\\":true,\\"metadata\\":{""" +
+          s"""\\"delta.columnMapping.physicalName\\":\\"$phys\\",""" +
+          s"""\\"delta.columnMapping.id\\":$id}}"""
+      val schemaJson = s"""{\\"type\\":\\"struct\\",\\"fields\\":[""" +
+        fld("k", "col-7d3e", 1) + "," + fld("cents", "col-a914", 2) + "]}"
+      val actions = Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"q240","format":{"provider":"parquet",""" +
+          s""""options":{}},"schemaString":"$schemaJson",""" +
+          s""""partitionColumns":[],"configuration":{""" +
+          s""""delta.columnMapping.mode":"name",""" +
+          s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}""") ++
+        rel.map(r =>
+          s"""{"add":{"path":"$r","partitionValues":{},"size":1,""" +
+            s""""modificationTime":0,"dataChange":true}}""")
+      Files.createDirectories(Paths.get(table, "_delta_log"))
+      Files.write(Paths.get(table, "_delta_log", f"${0L}%020d.json"),
+        actions.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      val out = graft.sources.DeltaLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q235 builder: a versioned orders table through a DETERMINISTIC
     * two-writer UPDATE race — writer B (cents+11 WHERE k%10=6)

@@ -4,6 +4,7 @@ import java.io.IOException
 import java.nio.charset.StandardCharsets
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -27,13 +28,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     lines, not a full log walk.
   *   - time travel — `asOf` caps the folded commit range.
   *
-  * What it refuses, loudly: `protocol.minReaderVersion > 1` (deletion
-  * vectors, column mapping — features whose silent misread would be
-  * data corruption; Delta's own compatibility rule is exactly this
-  * check). Partitioned tables resolve through Spark's directory
-  * inference (Delta lays partitioned files out in Hive-style
-  * `col=value/` directories) anchored at the table root via
-  * `basePath`.
+  * Column mapping (NAME mode, reader version 2 or the v3
+  * `columnMapping` table feature) is READ: parquet files carry
+  * physical names from the schema's
+  * `delta.columnMapping.physicalName` field metadata and the frame
+  * comes back with logical names. What it refuses, loudly:
+  * `minReaderVersion` above 2 except a v3 whose readerFeatures are
+  * all implemented (deletion vectors etc. would silently resurrect
+  * rows), and ID-mode column mapping (field-id resolution) — each
+  * refusal names the feature; Delta's own compatibility rule is
+  * exactly this check. Partitioned tables resolve through Spark's
+  * directory inference (Delta lays partitioned files out in
+  * Hive-style `col=value/` directories) anchored at the table root
+  * via `basePath`.
   *
   * Scale shape: the log fold is O(commits since checkpoint) driver
   * metadata — the same bound Delta's own reader has — and the data
@@ -42,11 +49,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object DeltaLite {
 
   /** A resolved table state: live data files (table-relative),
-    * partition columns, declared schema, and the version folded to. */
+    * partition columns, declared schema, the version folded to, and
+    * the column-mapping mode ("none" | "name" | "id" — from
+    * `delta.columnMapping.mode`). */
   final case class Snapshot(files: Seq[String],
                             partitionColumns: Seq[String],
                             schema: Option[StructType],
-                            version: Long)
+                            version: Long,
+                            columnMappingMode: String = "none")
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -87,17 +97,27 @@ object DeltaLite {
     val live = mutable.LinkedHashMap.empty[String, Unit]
     var partCols: Seq[String] = Nil
     var schema: Option[StructType] = None
+    var mappingMode = "none"
     checkpoint.foreach { cv =>
       val cp = new Path(logDir, f"$cv%020d.checkpoint.parquet")
       val df = spark.read.parquet(cp.toString)
       val names = df.columns.toSet
-      if (names.contains("metaData"))
+      if (names.contains("metaData")) {
         df.select("metaData.partitionColumns", "metaData.schemaString")
           .collect().foreach { r =>
             if (!r.isNullAt(0)) partCols = r.getSeq[String](0)
             if (!r.isNullAt(1)) schema = Some(
               DataType.fromJson(r.getString(1)).asInstanceOf[StructType])
           }
+        val metaFields = df.schema("metaData").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        if (metaFields.contains("configuration"))
+          df.select("metaData.configuration").na.drop().collect()
+            .foreach { r =>
+              val m = r.getMap[String, String](0)
+              m.get("delta.columnMapping.mode").foreach(mappingMode = _)
+            }
+      }
       val adds =
         if (names.contains("add"))
           df.select("add.path").na.drop().collect().map(_.getString(0))
@@ -115,15 +135,45 @@ object DeltaLite {
           .filter(_.trim.nonEmpty).foreach { line =>
             val a = mapper.readTree(line)
             if (a.has("protocol")) {
-              val mrv = a.get("protocol").get("minReaderVersion").asInt
-              if (mrv > 1)
+              // reader versions: 1 = base, 2 = column mapping,
+              // 3 = table features (accept iff every readerFeature is
+              // one we implement). Anything else is a silent-misread
+              // hazard — Delta's own compatibility rule is this check.
+              val p = a.get("protocol")
+              val mrv = p.get("minReaderVersion").asInt
+              if (mrv == 3) {
+                val featsNode = Option(p.get("readerFeatures"))
+                  .filterNot(_.isNull)
+                // v3 REQUIRES the feature list; absent = malformed, and
+                // guessing what the writer needed would be a misread
+                if (featsNode.isEmpty)
+                  throw new IOException(s"$table declares Delta " +
+                    s"minReaderVersion 3 with no readerFeatures — " +
+                    "malformed protocol action; refusing rather than " +
+                    "guessing the required features")
+                val feats = featsNode
+                  .map(_.elements().asScala.map(_.asText).toSet)
+                  .getOrElse(Set.empty[String])
+                val unsupported = feats - "columnMapping"
+                if (unsupported.nonEmpty)
+                  throw new IOException(s"$table requires Delta reader " +
+                    s"features ${unsupported.mkString(", ")} — this " +
+                    "reader implements columnMapping only and refuses " +
+                    "rather than misread (deletionVectors etc. would " +
+                    "resurrect deleted rows)")
+              } else if (mrv > 2)
                 throw new IOException(s"$table requires Delta " +
-                  s"minReaderVersion $mrv; this reader speaks version 1 " +
-                  "(no deletion vectors / column mapping) and refuses " +
-                  "rather than misread")
+                  s"minReaderVersion $mrv; this reader speaks versions " +
+                  "1-2 (base + column mapping) and refuses rather " +
+                  "than misread")
             }
             if (a.has("metaData")) {
               val m = a.get("metaData")
+              if (m.has("configuration") && !m.get("configuration").isNull) {
+                val c = m.get("configuration")
+                if (c.has("delta.columnMapping.mode"))
+                  mappingMode = c.get("delta.columnMapping.mode").asText
+              }
               if (m.has("partitionColumns")) {
                 val it = m.get("partitionColumns").elements()
                 val cols = mutable.ArrayBuffer.empty[String]
@@ -142,24 +192,48 @@ object DeltaLite {
       }
     val version = (commits.map(_._1) ++ checkpoint).maxOption.getOrElse(
       throw new IOException(s"$table has an empty _delta_log"))
-    Snapshot(live.keys.toSeq, partCols, schema, version)
+    Snapshot(live.keys.toSeq, partCols, schema, version, mappingMode)
   }
 
   /** Read the table's live state (or `asOf` a pinned version) as a
     * DataFrame — an ordinary parquet scan over the live file set,
     * partition columns resolved from the Hive-style directory layout
-    * Delta writes them in. */
+    * Delta writes them in. Column mapping in NAME mode resolves
+    * through the schema's `delta.columnMapping.physicalName` field
+    * metadata: the parquet files (and partition directories) carry
+    * physical names, the returned frame the logical ones. ID mode
+    * (parquet field-id resolution) refuses loudly. */
   def read(spark: SparkSession, table: String,
            asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, table, asOf)
+    if (snap.columnMappingMode == "id")
+      throw new IOException(s"$table uses column mapping mode 'id' " +
+        "(parquet field-id resolution) — this reader implements " +
+        "'name' mode only; refusing rather than matching columns " +
+        "by position")
     if (snap.files.isEmpty) {
       val s = snap.schema.getOrElse(throw new IOException(
         s"$table is empty and its log declares no schema"))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    } else
-      spark.read.option("basePath", table)
+    } else {
+      val raw = spark.read.option("basePath", table)
         .parquet(snap.files.map(f => new Path(table, f).toString): _*)
+      if (snap.columnMappingMode != "name") raw
+      else {
+        val sch = snap.schema.getOrElse(throw new IOException(
+          s"$table declares column mapping but no schema — cannot " +
+            "resolve physical names"))
+        raw.select(sch.fields.toSeq.map { f =>
+          val phys =
+            if (f.metadata.contains("delta.columnMapping.physicalName"))
+              f.metadata.getString("delta.columnMapping.physicalName")
+            else f.name
+          col(s"`$phys`").as(f.name)
+        }: _*)
+      }
+    }
   }
 
   // ── writer half: full-snapshot export in the open format ───────────

@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -96,6 +98,66 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(got.count() == 40L)
     assert(got.filter(col("p") === "1").count() == 20L)
     assert(DeltaLite.snapshot(spark, t).partitionColumns == Seq("p"))
+  }
+
+  test("column mapping (name mode): physical parquet names resolve " +
+    "to logical columns; id mode and foreign v3 features refuse") {
+    import spark.implicits._
+    // the table another engine wrote with columnMapping=name: parquet
+    // carries PHYSICAL names, the log schema maps them to logical
+    val t = tmp("colmap")
+    (0L until 25L).map(i => (i, i * 3L))
+      .toDF("col-9f1a", "col-2b7c") // physical names
+      .write.parquet(s"$t/.stage")
+    val rel = Files.list(Paths.get(t, ".stage")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    rel.foreach(n => Files.move(Paths.get(t, ".stage", n), Paths.get(t, n)))
+    def fld(logical: String, phys: String, id: Int) =
+      s"""{\\"name\\":\\"$logical\\",\\"type\\":\\"long\\",""" +
+        s"""\\"nullable\\":true,\\"metadata\\":{""" +
+        s"""\\"delta.columnMapping.physicalName\\":\\"$phys\\",""" +
+        s"""\\"delta.columnMapping.id\\":$id}}"""
+    val schemaJson = s"""{\\"type\\":\\"struct\\",\\"fields\\":[""" +
+      fld("id", "col-9f1a", 1) + "," + fld("v", "col-2b7c", 2) + "]}"
+    def meta(mode: String) =
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":"$schemaJson",""" +
+        s""""partitionColumns":[],"configuration":{""" +
+        s""""delta.columnMapping.mode":"$mode",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}"""
+    val adds = rel.map(r =>
+      s"""{"add":{"path":"$r","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true}}""")
+    Files.createDirectories(Paths.get(t, "_delta_log"))
+    Files.write(Paths.get(t, "_delta_log", f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        meta("name")) ++ adds)
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val got = DeltaLite.read(spark, t)
+    assert(got.columns.toSeq === Seq("id", "v"),
+      s"logical names must come back, got ${got.columns.toSeq}")
+    assert(got.count() === 25L)
+    assert(got.agg(sum("v")).head().getLong(0) === (0L until 25L).map(_ * 3L).sum)
+    // the v3 table-features shape with ONLY columnMapping also reads
+    Files.write(Paths.get(t, "_delta_log", f"${1L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping"],""" +
+        """"writerFeatures":["columnMapping"]}}""")
+        .getBytes(StandardCharsets.UTF_8))
+    assert(DeltaLite.read(spark, t).columns.toSeq === Seq("id", "v"))
+    // an unimplemented v3 reader feature refuses, naming it
+    Files.write(Paths.get(t, "_delta_log", f"${2L}%020d.json"),
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["columnMapping","deletionVectors"]}}""")
+        .getBytes(StandardCharsets.UTF_8))
+    val e = intercept[java.io.IOException] { DeltaLite.read(spark, t) }
+    assert(e.getMessage.contains("deletionVectors"))
+    Files.delete(Paths.get(t, "_delta_log", f"${2L}%020d.json"))
+    // id-mode column mapping refuses, naming the mode
+    Files.write(Paths.get(t, "_delta_log", f"${2L}%020d.json"),
+      meta("id").getBytes(StandardCharsets.UTF_8))
+    val e2 = intercept[java.io.IOException] { DeltaLite.read(spark, t) }
+    assert(e2.getMessage.contains("'id'"))
   }
 
   test("minReaderVersion > 1 refuses loudly instead of misreading") {
