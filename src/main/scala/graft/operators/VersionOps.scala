@@ -2411,6 +2411,33 @@ object VersionOps {
              |       count(*) AS n_rows
              |FROM o
              |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // q241 — Delta DELETION VECTORS read through the protocol walk:
+    // a DV commit (reader-version-3 `deletionVectors` feature) masks
+    // k % 7 == 0 rows with inline z85 Roaring-portable bitmaps — no
+    // data file rewritten — and the reader applies them as a
+    // (file, row_index) anti-join at scan while the pre-DV version
+    // stays pinnable at full cardinality. The oracle replays the
+    // delete predicate over raw orders; a reader that ignores the
+    // DVs (resurrected rows), misdecodes the bitmap (wrong ordinals),
+    // or breaks snapshot isolation breaks the hash. Retires
+    // DeltaLite's deletion-vector refusal; with q234/q240 this
+    // completes row-level deletes + column mapping across BOTH open
+    // formats.
+    QueryDef("q241_delta_deletion_vectors",
+      (s, d) => s.read.parquet(deltaDvPath(s, d)).orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (SELECT * FROM o WHERE k % 7 <> 0)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       (SELECT count(*) FROM o) AS n_before_delete
+             |FROM live
+             |GROUP BY 1
              |ORDER BY bucket""".stripMargin))
   )
 
@@ -2461,6 +2488,48 @@ object VersionOps {
         .groupBy((col("k") % 10).as("bucket"))
         .agg(sum(col("cents")).cast("long").as("sum_cents"),
           count(lit(1)).as("n_rows"))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q241 builder: a Delta table through a DELETION-VECTOR commit —
+    * export orders, then mask k % 7 == 0 rows via
+    * `commitDeletionVectors` (per-file ordinals derived from the
+    * hidden parquet row identity; inline z85 + Roaring portable
+    * encoding, no rewrite of any data file). The gate reads the live
+    * (masked) view through the full protocol walk and pins the
+    * pre-DV snapshot's cardinality beside it. Once per session. */
+  private def deltaDvPath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q241-delta")
+    val outPath = Scratch.dir(s, "q241-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      DeltaLite.export(s, o, table) // v0
+      val snap0 = DeltaLite.snapshot(s, table)
+      val targets = s.read
+        .parquet(snap0.files.map(f => s"$table/$f"): _*)
+        .select(col("_metadata.file_path").as("p"),
+          col("_metadata.row_index").as("pos"), col("k"))
+        .filter(col("k") % 7 === 0)
+        .collect()
+        .groupBy(r => {
+          val abs = r.getString(0).replaceFirst("^file:/+", "/")
+          snap0.files.find(f => abs ==
+            new org.apache.hadoop.fs.Path(table, f).toUri.getPath).get
+        })
+        .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+      DeltaLite.commitDeletionVectors(s, table, targets)
+      val pinnedN = DeltaLite.read(s, table, Some(0L)).count()
+      val out = DeltaLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_before_delete", lit(pinnedN))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

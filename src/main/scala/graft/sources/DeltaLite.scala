@@ -32,10 +32,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `columnMapping` table feature) is READ: parquet files carry
   * physical names from the schema's
   * `delta.columnMapping.physicalName` field metadata and the frame
-  * comes back with logical names. What it refuses, loudly:
+  * comes back with logical names. DELETION VECTORS (the v3
+  * `deletionVectors` feature) are READ too: each live file's DV —
+  * inline z85 or a CRC-trailed `deletion_vector_<uuid>.bin` blob,
+  * RoaringBitmapArray portable format, decoded by [[RoaringDv]] with
+  * no Delta/Roaring jars — applies at scan as a (file, row_index)
+  * anti-join, the same mechanism as the in-house `_dv` tier and
+  * IcebergLite's position deletes. What it refuses, loudly:
   * `minReaderVersion` above 2 except a v3 whose readerFeatures are
-  * all implemented (deletion vectors etc. would silently resurrect
-  * rows), and ID-mode column mapping (field-id resolution) — each
+  * all implemented, ID-mode column mapping (field-id resolution),
+  * corrupt DV blobs (magic/size/CRC/cardinality mismatches) — each
   * refusal names the feature; Delta's own compatibility rule is
   * exactly this check. Partitioned tables resolve through Spark's
   * directory inference (Delta lays partitioned files out in
@@ -48,15 +54,26 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaLite {
 
+  /** A deletion-vector descriptor, verbatim from `add.deletionVector`
+    * (PROTOCOL.md): storage type "i" inline z85 / "u" table-relative
+    * UUID file / "p" absolute path, the encoded payload or path, the
+    * blob offset inside a DV file, its byte size, and the deleted-row
+    * count. */
+  final case class Dv(storageType: String, pathOrInlineDv: String,
+                      offset: Option[Long], sizeInBytes: Int,
+                      cardinality: Long)
+
   /** A resolved table state: live data files (table-relative),
-    * partition columns, declared schema, the version folded to, and
-    * the column-mapping mode ("none" | "name" | "id" — from
-    * `delta.columnMapping.mode`). */
+    * partition columns, declared schema, the version folded to, the
+    * column-mapping mode ("none" | "name" | "id" — from
+    * `delta.columnMapping.mode`), and each live file's deletion
+    * vector (absent key = no rows masked). */
   final case class Snapshot(files: Seq[String],
                             partitionColumns: Seq[String],
                             schema: Option[StructType],
                             version: Long,
-                            columnMappingMode: String = "none")
+                            columnMappingMode: String = "none",
+                            deletionVectors: Map[String, Dv] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -94,7 +111,7 @@ object DeltaLite {
         .filter(fs.exists(_))
         .map(p => mapper.readTree(readText(spark, p)).get("version").asLong)
         .filter(v => asOf.forall(v <= _))
-    val live = mutable.LinkedHashMap.empty[String, Unit]
+    val live = mutable.LinkedHashMap.empty[String, Option[Dv]]
     var partCols: Seq[String] = Nil
     var schema: Option[StructType] = None
     var mappingMode = "none"
@@ -122,11 +139,28 @@ object DeltaLite {
         if (names.contains("add"))
           df.select("add.path").na.drop().collect().map(_.getString(0))
         else Array.empty[String]
+      // a checkpointed add may carry a deletion vector; IGNORING it
+      // would resurrect its masked rows on the very first read
+      val cpDvs: Map[String, Dv] =
+        if (names.contains("add") && df.schema("add").dataType
+            .asInstanceOf[StructType].fieldNames.contains("deletionVector"))
+          df.select("add.path", "add.deletionVector.storageType",
+            "add.deletionVector.pathOrInlineDv",
+            "add.deletionVector.offset", "add.deletionVector.sizeInBytes",
+            "add.deletionVector.cardinality")
+            .collect().flatMap { r =>
+              if (r.isNullAt(0) || r.isNullAt(1)) None
+              else Some(r.getString(0) -> Dv(r.getString(1),
+                r.getString(2),
+                if (r.isNullAt(3)) None else Some(r.getLong(3)),
+                r.getInt(4), r.getLong(5)))
+            }.toMap
+        else Map.empty
       val removes =
         if (names.contains("remove"))
           df.select("remove.path").na.drop().collect().map(_.getString(0))
         else Array.empty[String]
-      adds.foreach(p => live.put(p, ()))
+      adds.foreach(p => live.put(p, cpDvs.get(p)))
       removes.foreach(live.remove)
     }
     commits.filter { case (v, _) => checkpoint.forall(v > _) }
@@ -154,13 +188,14 @@ object DeltaLite {
                 val feats = featsNode
                   .map(_.elements().asScala.map(_.asText).toSet)
                   .getOrElse(Set.empty[String])
-                val unsupported = feats - "columnMapping"
+                val unsupported =
+                  feats -- Set("columnMapping", "deletionVectors")
                 if (unsupported.nonEmpty)
                   throw new IOException(s"$table requires Delta reader " +
                     s"features ${unsupported.mkString(", ")} — this " +
-                    "reader implements columnMapping only and refuses " +
-                    "rather than misread (deletionVectors etc. would " +
-                    "resurrect deleted rows)")
+                    "reader implements columnMapping and " +
+                    "deletionVectors only and refuses rather than " +
+                    "misread")
               } else if (mrv > 2)
                 throw new IOException(s"$table requires Delta " +
                   s"minReaderVersion $mrv; this reader speaks versions " +
@@ -184,15 +219,27 @@ object DeltaLite {
                 schema = Some(DataType.fromJson(
                   m.get("schemaString").asText).asInstanceOf[StructType])
             }
-            if (a.has("add"))
-              live.put(a.get("add").get("path").asText, ())
+            if (a.has("add")) {
+              val ad = a.get("add")
+              val dv = Option(ad.get("deletionVector"))
+                .filterNot(_.isNull).map { d =>
+                  Dv(d.get("storageType").asText,
+                    d.get("pathOrInlineDv").asText,
+                    Option(d.get("offset")).filterNot(_.isNull)
+                      .map(_.asLong),
+                    d.get("sizeInBytes").asInt,
+                    d.get("cardinality").asLong)
+                }
+              live.put(ad.get("path").asText, dv)
+            }
             if (a.has("remove"))
               live.remove(a.get("remove").get("path").asText)
           }
       }
     val version = (commits.map(_._1) ++ checkpoint).maxOption.getOrElse(
       throw new IOException(s"$table has an empty _delta_log"))
-    Snapshot(live.keys.toSeq, partCols, schema, version, mappingMode)
+    Snapshot(live.keys.toSeq, partCols, schema, version, mappingMode,
+      live.collect { case (p, Some(dv)) => p -> dv }.toMap)
   }
 
   /** Read the table's live state (or `asOf` a pinned version) as a
@@ -220,12 +267,46 @@ object DeltaLite {
     } else {
       val raw = spark.read.option("basePath", table)
         .parquet(snap.files.map(f => new Path(table, f).toString): _*)
-      if (snap.columnMappingMode != "name") raw
+      // deletion vectors apply FIRST (they need the hidden parquet
+      // row identity, which a projection would drop): decode each
+      // live file's DV to its deleted ordinals — bounded metadata,
+      // the same driver-side materialization Delta's own planner
+      // does per file — and anti-join on (file, row_index), the
+      // IcebergLite position-delete mechanism
+      val masked =
+        if (snap.deletionVectors.isEmpty) raw
+        else {
+          import spark.implicits._
+          import org.apache.spark.sql.functions.regexp_replace
+          val delRows = snap.deletionVectors.toSeq.flatMap {
+            case (rel, dv) =>
+              val positions = RoaringDv.decode(dvBytes(spark, table, dv))
+              if (positions.length != dv.cardinality)
+                throw new IOException(s"$table: deletion vector for " +
+                  s"$rel decodes ${positions.length} positions but " +
+                  s"declares cardinality ${dv.cardinality} — refusing " +
+                  "a corrupt mask")
+              val abs = new Path(table, rel).toUri.getPath
+              positions.map(p => (abs, p))
+          }
+          val dels = delRows.toDF("_del_path", "_del_pos")
+          val cols = raw.columns.toSeq
+          raw
+            .withColumn("_scan_path", regexp_replace(
+              col("_metadata.file_path"), "^file:/+", "/"))
+            .withColumn("_scan_pos", col("_metadata.row_index"))
+            .join(dels,
+              col("_scan_path") === col("_del_path") &&
+                col("_scan_pos") === col("_del_pos"),
+              "left_anti")
+            .select(cols.map(c => col(s"`$c`")): _*)
+        }
+      if (snap.columnMappingMode != "name") masked
       else {
         val sch = snap.schema.getOrElse(throw new IOException(
           s"$table declares column mapping but no schema — cannot " +
             "resolve physical names"))
-        raw.select(sch.fields.toSeq.map { f =>
+        masked.select(sch.fields.toSeq.map { f =>
           val phys =
             if (f.metadata.contains("delta.columnMapping.physicalName"))
               f.metadata.getString("delta.columnMapping.physicalName")
@@ -234,6 +315,110 @@ object DeltaLite {
         }: _*)
       }
     }
+  }
+
+  /** Resolve a DV descriptor to its serialized bitmap bytes: inline
+    * z85 ("i"), a table-relative UUID file ("u" — optional z85 path
+    * prefix + 20-char z85 UUID → `deletion_vector_<uuid>.bin`), or an
+    * absolute path ("p"). File blobs are length-prefixed (int32 BE)
+    * and CRC-32-trailed per the DV file format; both are verified. */
+  private def dvBytes(spark: SparkSession, table: String,
+                      dv: Dv): Array[Byte] = dv.storageType match {
+    case "i" => RoaringDv.z85Decode(dv.pathOrInlineDv, dv.sizeInBytes)
+    case "u" | "p" =>
+      val p =
+        if (dv.storageType == "p") new Path(dv.pathOrInlineDv)
+        else {
+          val s = dv.pathOrInlineDv
+          if (s.length < 20)
+            throw new IOException(s"malformed DV file reference '$s'")
+          val prefix = s.dropRight(20)
+          val uuidBytes = RoaringDv.z85Decode(s.takeRight(20), 16)
+          val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+          val name = s"deletion_vector_$uuid.bin"
+          if (prefix.isEmpty) new Path(table, name)
+          else new Path(new Path(table, prefix), name)
+        }
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      try {
+        val off = dv.offset.getOrElse(1L)
+        in.seek(off)
+        val size = in.readInt() // big-endian length prefix
+        if (size != dv.sizeInBytes)
+          throw new IOException(s"DV blob at $p:$off declares $size " +
+            s"bytes, descriptor says ${dv.sizeInBytes} — refusing")
+        val buf = new Array[Byte](size)
+        in.readFully(buf)
+        val crc = in.readInt()
+        val c = new java.util.zip.CRC32()
+        c.update(buf)
+        if ((c.getValue & 0xffffffffL) != (crc & 0xffffffffL))
+          throw new IOException(s"DV checksum mismatch at $p:$off — " +
+            "refusing a corrupt mask")
+        buf
+      } finally in.close()
+    case other =>
+      throw new IOException(s"unknown DV storage type '$other' — " +
+        "newer Delta than this reader; refusing")
+  }
+
+  /** Commit DELETION VECTORS against live files — the rows-masked,
+    * no-rewrite DELETE every modern engine writes: each (file →
+    * deleted ordinals) re-adds the file with a DV descriptor (inline
+    * z85 when small, a CRC-trailed `deletion_vector_<uuid>.bin` blob
+    * otherwise), plus the protocol upgrade to reader-version-3
+    * `deletionVectors`. Returns the committed version. */
+  def commitDeletionVectors(spark: SparkSession, table: String,
+                            deletes: Map[String, Array[Long]],
+                            inlineThreshold: Int = 512): Long = {
+    val snap = snapshot(spark, table)
+    val missing = deletes.keySet -- snap.files.toSet
+    if (missing.nonEmpty)
+      throw new IOException("cannot attach deletion vectors to " +
+        s"non-live files: ${missing.mkString(", ")}")
+    val version = snap.version + 1
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val actions = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""") ++
+      deletes.toSeq.sortBy(_._1).map { case (rel, positions) =>
+        val bytes = RoaringDv.encode(positions)
+        val dvJson =
+          if (bytes.length <= inlineThreshold)
+            s"""{"storageType":"i","pathOrInlineDv":"${RoaringDv
+              .z85Encode(bytes)}","sizeInBytes":${bytes.length},""" +
+              s""""cardinality":${positions.distinct.length}}"""
+          else {
+            val uuid = java.util.UUID.nameUUIDFromBytes(
+              (rel + ":" + version).getBytes(StandardCharsets.UTF_8))
+            val bb = java.nio.ByteBuffer.allocate(16)
+            bb.putLong(uuid.getMostSignificantBits)
+            bb.putLong(uuid.getLeastSignificantBits)
+            val out = fs.create(
+              new Path(table, s"deletion_vector_$uuid.bin"), true)
+            try {
+              out.write(1) // DV file format version
+              out.writeInt(bytes.length)
+              out.write(bytes)
+              val c = new java.util.zip.CRC32()
+              c.update(bytes)
+              out.writeInt(c.getValue.toInt)
+            } finally out.close()
+            s"""{"storageType":"u","pathOrInlineDv":"${RoaringDv
+              .z85Encode(bb.array())}","offset":1,""" +
+              s""""sizeInBytes":${bytes.length},""" +
+              s""""cardinality":${positions.distinct.length}}"""
+          }
+        s"""{"add":{"path":"${esc(rel)}","partitionValues":{},""" +
+          s""""size":1,"modificationTime":0,"dataChange":false,""" +
+          s""""deletionVector":$dvJson}}"""
+      }
+    writeCommitFile(spark, table, version, actions)
+    version
   }
 
   // ── writer half: full-snapshot export in the open format ───────────
@@ -269,17 +454,27 @@ object DeltaLite {
 
   /** One commit's actions as (added paths, removed paths) — the unit
     * an incremental consumer applies. */
+  /** (adds, removes, hasDeletionVectors) for one commit. A
+    * DV-carrying add RE-adds an existing file with rows masked — it
+    * is NOT a pure append (the incremental-sync fast path must fall
+    * back to a republish or it would re-ingest the file's full
+    * rows). */
   def commitActions(spark: SparkSession, table: String,
-                    version: Long): (Seq[String], Seq[String]) = {
+                    version: Long): (Seq[String], Seq[String], Boolean) = {
     val p = new Path(new Path(table, "_delta_log"), f"$version%020d.json")
     val adds = mutable.ArrayBuffer.empty[String]
     val removes = mutable.ArrayBuffer.empty[String]
+    var hasDv = false
     readText(spark, p).split('\n').filter(_.trim.nonEmpty).foreach { l =>
       val a = mapper.readTree(l)
-      if (a.has("add")) adds += a.get("add").get("path").asText
+      if (a.has("add")) {
+        adds += a.get("add").get("path").asText
+        if (a.get("add").has("deletionVector") &&
+            !a.get("add").get("deletionVector").isNull) hasDv = true
+      }
       if (a.has("remove")) removes += a.get("remove").get("path").asText
     }
-    (adds.toSeq, removes.toSeq)
+    (adds.toSeq, removes.toSeq, hasDv)
   }
 
   /** Export `df` as the NEXT full snapshot of a Delta-format table

@@ -79,8 +79,13 @@ object DeltaSync {
       // the live snapshot in one honest republish
       republishAt(latest)
     } else todo.foreach { v =>
-      val (adds, removes) = DeltaLite.commitActions(spark, deltaTable, v)
-      if (removes.nonEmpty || adds.isEmpty) republishAt(v)
+      val (adds, removes, hasDv) =
+        DeltaLite.commitActions(spark, deltaTable, v)
+      // a deletion-vector commit re-adds existing files with rows
+      // masked — appending those files' raw rows would resurrect the
+      // deleted ones, so it republishes through read() (which applies
+      // the DVs), same rule as removes
+      if (removes.nonEmpty || adds.isEmpty || hasDv) republishAt(v)
       else {
         val rows = spark.read.option("basePath", deltaTable)
           .parquet(adds.map(f => new Path(deltaTable, f).toString): _*)
