@@ -2425,6 +2425,36 @@ object VersionOps {
     // DeltaLite's deletion-vector refusal; with q234/q240 this
     // completes row-level deletes + column mapping across BOTH open
     // formats.
+    // q242 — Iceberg v2 EQUALITY DELETES with correct SEQUENCING: a
+    // keyed delete (k % 5 == 0 by equality on k, no rewrite) masks
+    // only rows in OLDER data files; a later manifest-reuse append
+    // re-inserts the k % 35 == 0 rows (cents+1), which survive the
+    // delete — the upsert pattern every streaming-ingest engine
+    // writes. The oracle replays delete-then-reinsert over raw
+    // orders; misordered sequences (reinserted rows masked, or old
+    // rows resurrected), a wrong equality column, or a missed delete
+    // file all break the hash. With q234 this completes BOTH v2
+    // delete kinds; the remaining refusal is compaction-preserved
+    // explicit sequence numbers (detected and refused loudly).
+    QueryDef("q242_iceberg_equality_deletes",
+      (s, d) => s.read.parquet(icebergEqDeletePath(s, d))
+        .orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (
+             |  SELECT k, cents FROM o WHERE k % 5 <> 0
+             |  UNION ALL
+             |  SELECT k, cents + 1 FROM o WHERE k % 35 = 0)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       (SELECT count(*) FROM o) AS n_before_delete
+             |FROM live
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
     QueryDef("q241_delta_deletion_vectors",
       (s, d) => s.read.parquet(deltaDvPath(s, d)).orderBy("bucket"),
       Some("""WITH o AS (
@@ -2488,6 +2518,39 @@ object VersionOps {
         .groupBy((col("k") % 10).as("bucket"))
         .agg(sum(col("cents")).cast("long").as("sum_cents"),
           count(lit(1)).as("n_rows"))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q242 builder: an Iceberg v2 table through an EQUALITY-DELETE
+    * snapshot (delete every k % 5 == 0 row by KEY, no file
+    * rewritten) followed by a manifest-reuse APPEND re-inserting the
+    * k % 35 == 0 rows with bumped cents — the upsert pattern: the
+    * re-inserted rows carry a NEWER sequence than the delete, so
+    * they survive it while the original copies stay masked. Once per
+    * session. */
+  private def icebergEqDeletePath(s: SparkSession, dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q242-iceberg")
+    val outPath = Scratch.dir(s, "q242-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val snap1 = IcebergLite.export(s, o, table)
+      IcebergLite.exportEqualityDeletes(s,
+        o.filter(col("k") % 5 === 0).select("k"), table)
+      IcebergLite.appendManifest(s,
+        o.filter(col("k") % 35 === 0)
+          .select(col("k"), (col("cents") + 1L).as("cents")), table)
+      val pinnedN = IcebergLite.read(s, table, Some(snap1)).count()
+      val out = IcebergLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_before_delete", lit(pinnedN))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

@@ -40,10 +40,16 @@ import org.apache.spark.sql.types._
   *     position-delete files (`data_file.content=1`) apply at scan
   *     as a (file, pos) anti-join against the hidden parquet row
   *     identity — the same mechanism as the in-house `_dv` path;
-  *   - refusals, each naming the feature: v2 EQUALITY delete files
-  *     (`data_file.content=2` — they need the table's equality-field
-  *     semantics), malformed manifests (a file kind in the wrong
-  *     manifest), non-parquet data files, unknown entry status.
+  *   - v2 EQUALITY deletes (`data_file.content=2`): anti-joins on
+  *     the `equality_ids` columns, applied only to data files with
+  *     an OLDER sequence (manifest `added_snapshot_id` ordering) —
+  *     so the streaming-upsert pattern (delete-by-key then re-insert)
+  *     resolves exactly;
+  *   - refusals, each naming the feature: compaction-preserved
+  *     EXPLICIT per-entry sequence numbers (they break the
+  *     snapshot-id ordering proxy), malformed manifests (a file kind
+  *     in the wrong manifest, equality files without equality_ids),
+  *     non-parquet data files, unknown entry status.
   *
   * What the WRITE side emits: format-version 1 metadata with an
   * unpartitioned spec — every export appends ONE snapshot whose
@@ -68,7 +74,16 @@ object IcebergLite {
     * snapshot id, and the table's declared schema JSON. */
   final case class Snapshot(files: Seq[String], snapshotId: Long,
                             schemaJson: String,
-                            posDeleteFiles: Seq[String] = Nil)
+                            posDeleteFiles: Seq[String] = Nil,
+                            dataFileSeq: Map[String, Long] = Map.empty,
+                            eqDeletes: Seq[EqDelete] = Nil)
+
+  /** One equality-delete file (v2 `data_file.content=2`): its parquet
+    * path, the EQUALITY COLUMNS (resolved from `equality_ids` via the
+    * table schema), and the sequence proxy (its manifest's
+    * `added_snapshot_id`) — a matching row in a data file with an
+    * OLDER sequence is deleted. */
+  final case class EqDelete(path: String, cols: Seq[String], seq: Long)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -158,6 +173,14 @@ object IcebergLite {
   private def str(r: GenericRecord, field: String): Option[String] =
     Option(r.get(field)).map(_.toString)
 
+  /** Field access tolerant of WRITER schemas that predate (or simply
+    * lack) the field — `GenericData.Record.get` THROWS on names not
+    * in the schema, so every speculative v2-field read goes through
+    * here. */
+  private def fieldOpt(r: GenericRecord, field: String): Option[AnyRef] =
+    if (r.getSchema.getField(field) == null) None
+    else Option(r.get(field))
+
   private def long0(r: GenericRecord, field: String): Long =
     Option(r.get(field)).map(_.toString.toLong).getOrElse(0L)
 
@@ -190,6 +213,9 @@ object IcebergLite {
         .getOrElse("{}")
     val dataFiles = Seq.newBuilder[String]
     val deleteFiles = Seq.newBuilder[String]
+    val dataSeqs = Map.newBuilder[String, Long]
+    val eqDels = Seq.newBuilder[EqDelete]
+    val idToName: Map[Int, String] = fieldIdToName(schemaJson)
     avroRecords(spark, manifestListPath).foreach { mf =>
       // v2 manifest_file carries `content`: 0 = data, 1 = deletes.
       // Delete manifests are READ (position deletes anti-join at scan
@@ -201,11 +227,24 @@ object IcebergLite {
           s"unknown content=$content — newer Iceberg than this reader")
       val mPath = new Path(str(mf, "manifest_path").getOrElse(
         throw new IOException("manifest_file entry missing manifest_path")))
+      val mSeq = long0(mf, "added_snapshot_id")
       avroRecords(spark, mPath).foreach { entry =>
         val status = long0(entry, "status") // 0 existing, 1 added, 2 deleted
         if (status > 2)
           throw new IOException(s"unknown manifest entry status " +
             s"$status in $mPath — newer Iceberg than this reader")
+        // an EXPLICIT per-entry sequence number (a compaction rewrote
+        // files but preserved their logical age) breaks the
+        // added_snapshot_id ordering proxy equality deletes rely on —
+        // refuse rather than misapply the deletes
+        if (fieldOpt(entry, "sequence_number").exists(v =>
+            v.toString.toLong != mSeq))
+          throw new IOException(s"cannot read Iceberg table at " +
+            s"$location: manifest entry in $mPath carries an explicit " +
+            "sequence_number differing from its manifest's " +
+            "added_snapshot_id (compaction-preserved row age) — this " +
+            "reader orders deletes by snapshot id only; compact " +
+            "deletes away with the table's own engine first")
         if (status != 2L) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val fmt = str(df, "file_format").getOrElse("PARQUET")
@@ -222,13 +261,24 @@ object IcebergLite {
           // so that refuses too rather than guessing.
           val fileKind = long0(df, "content")
           (content, fileKind) match {
-            case (0L, 0L) => p.foreach(dataFiles += _)
+            case (0L, 0L) =>
+              p.foreach { path => dataFiles += path
+                dataSeqs += path -> mSeq }
             case (1L, 1L) => p.foreach(deleteFiles += _)
             case (1L, 2L) =>
-              throw new IOException(s"cannot read Iceberg table at " +
-                s"$location: snapshot $wanted carries an EQUALITY " +
-                "delete file (v2 content=2) — position deletes only; " +
-                "compact the table with its own engine first")
+              val ids = fieldOpt(entry.get("data_file")
+                  .asInstanceOf[GenericRecord], "equality_ids")
+                .collect { case l: java.util.List[_] =>
+                  l.asScala.map(_.toString.toInt).toSeq }
+                .getOrElse(Seq.empty)
+              if (ids.isEmpty)
+                throw new IOException(s"equality delete file in " +
+                  s"$mPath declares no equality_ids — cannot " +
+                  "evaluate; refusing")
+              val cols = ids.map(id => idToName.getOrElse(id,
+                throw new IOException(s"equality_ids field $id not " +
+                  s"in the table schema at $location — refusing")))
+              p.foreach(path => eqDels += EqDelete(path, cols, mSeq))
             case _ =>
               throw new IOException(s"malformed Iceberg DELETE " +
                 s"manifest at $location: manifest content=$content " +
@@ -239,7 +289,19 @@ object IcebergLite {
       }
     }
     Snapshot(dataFiles.result().distinct, wanted, schemaJson,
-      deleteFiles.result().distinct)
+      deleteFiles.result().distinct, dataSeqs.result(),
+      eqDels.result().distinct)
+  }
+
+  /** Field id → name from the Iceberg schema JSON (top level — the
+    * only level equality_ids may reference in this reader). */
+  private def fieldIdToName(schemaJson: String): Map[Int, String] = {
+    val node = mapper.readTree(schemaJson)
+    Option(node.get("fields")).map(_.elements().asScala.toSeq)
+      .getOrElse(Nil)
+      .flatMap(f => Option(f.get("id"))
+        .map(id => id.asInt -> f.get("name").asText))
+      .toMap
   }
 
   /** Normalize a file URI for (file, pos) matching: delete files may
@@ -268,20 +330,51 @@ object IcebergLite {
         schemaFromIceberg(s.schemaJson))
     } else {
       val data = spark.read.parquet(s.files: _*)
-      if (s.posDeleteFiles.isEmpty) data
+      val cols = data.columns.toSeq
+      val posMasked =
+        if (s.posDeleteFiles.isEmpty) data
+        else {
+          val dels = spark.read.parquet(s.posDeleteFiles: _*)
+            .select(normPath(col("file_path")).as("_del_path"),
+              col("pos").cast("long").as("_del_pos"))
+          data
+            .withColumn("_scan_path",
+              normPath(col("_metadata.file_path")))
+            .withColumn("_scan_pos", col("_metadata.row_index"))
+            .join(dels,
+              col("_scan_path") === col("_del_path") &&
+                col("_scan_pos") === col("_del_pos"),
+              "left_anti")
+            .select(cols.map(col): _*)
+        }
+      if (s.eqDeletes.isEmpty) posMasked
       else {
-        val dels = spark.read.parquet(s.posDeleteFiles: _*)
-          .select(normPath(col("file_path")).as("_del_path"),
-            col("pos").cast("long").as("_del_pos"))
-        val cols = data.columns.toSeq
-        data
-          .withColumn("_scan_path", normPath(col("_metadata.file_path")))
-          .withColumn("_scan_pos", col("_metadata.row_index"))
-          .join(dels,
-            col("_scan_path") === col("_del_path") &&
-              col("_scan_pos") === col("_del_pos"),
-            "left_anti")
-          .select(cols.map(col): _*)
+        // EQUALITY deletes: a row is deleted when a delete file with
+        // a NEWER sequence matches it on the delete's equality
+        // columns. Sequence = the data file's manifest
+        // added_snapshot_id (the fold refuses tables where that
+        // proxy is unsound). One anti-join per delete file — delete
+        // files are few (they exist to batch deletes), each a
+        // broadcast-sized key set.
+        import org.apache.spark.sql.functions.{broadcast, lit}
+        import spark.implicits._
+        val seqDf = s.dataFileSeq.toSeq
+          .map { case (p, sq) => (new Path(p).toUri.getPath, sq) }
+          .toDF("_sp", "_seq")
+        val withSeq = posMasked
+          .withColumn("_scan_path",
+            normPath(col("_metadata.file_path")))
+          .join(broadcast(seqDf), col("_scan_path") === col("_sp"),
+            "left")
+        val masked = s.eqDeletes.foldLeft(withSeq) { case (df, ed) =>
+          val delRows = spark.read.parquet(ed.path)
+            .select(ed.cols.map(c => col(c).as(s"_eq_$c")): _*)
+            .distinct()
+          val cond = ed.cols.map(c => df(c) <=> delRows(s"_eq_$c"))
+            .reduce(_ && _) && df("_seq") < lit(ed.seq)
+          df.join(delRows, cond, "left_anti")
+        }
+        masked.select(cols.map(col): _*)
       }
     }
   }
@@ -371,7 +464,10 @@ object IcebergLite {
       |        {"type": "record", "name": "r102", "fields": []}},
       |      {"name": "record_count", "type": "long", "field-id": 103},
       |      {"name": "file_size_in_bytes", "type": "long",
-      |       "field-id": 104}
+      |       "field-id": 104},
+      |      {"name": "equality_ids", "type": ["null",
+      |       {"type": "array", "items": "int"}], "default": null,
+      |       "field-id": 135}
       |    ]}}
       |]}""".stripMargin)
 
@@ -435,10 +531,12 @@ object IcebergLite {
         // reference whole files; the new single data manifest drops
         // the delete manifests). Overwrite mode is fine: prior files
         // land status=2, deletes become moot with their targets.
-        require(live.posDeleteFiles.isEmpty || overwrite,
+        require((live.posDeleteFiles.isEmpty &&
+            live.eqDeletes.isEmpty) || overwrite,
           s"cannot append-export over $location: the live snapshot " +
-            "carries position deletes; export with overwrite = true " +
-            "(full replace) instead")
+            "carries row-level deletes; export with overwrite = true " +
+            "(full replace), or append via appendManifest (which " +
+            "preserves the delete manifests and sequence order)")
         (v, snapsJson, live.files)
       }
     val nextV = prevVersion + 1
@@ -609,6 +707,173 @@ object IcebergLite {
         s""""timestamp-ms": $now, "manifest-list": ${mapper
           .writeValueAsString(fs.makeQualified(listP).toString)}, """ +
         s""""summary": {"operation": "delete"}}"""
+    val allSnaps = prevSnaps :+ snapJson
+    val metaJson =
+      s"""{
+         |  "format-version": 2,
+         |  "table-uuid": "00000000-0000-0000-0000-${"%012d".format(0)}",
+         |  "location": ${mapper.writeValueAsString(location)},
+         |  "last-sequence-number": $snapId,
+         |  "last-updated-ms": $now,
+         |  "last-column-id": ${Option(meta.get("last-column-id"))
+           .map(_.asInt).getOrElse(0)},
+         |  "schema": $schemaJson,
+         |  "partition-spec": [],
+         |  "partition-specs": [{"spec-id": 0, "fields": []}],
+         |  "default-spec-id": 0,
+         |  "current-snapshot-id": $snapId,
+         |  "snapshots": [${allSnaps.mkString(", ")}]
+         |}""".stripMargin
+    writeText(spark, new Path(metaDir, s"v$nextV.metadata.json"),
+      metaJson)
+    writeText(spark, hint, nextV.toString) // the commit: hint swaps last
+    snapId
+  }
+
+  /** Append an EQUALITY-DELETE snapshot (spec v2): logically delete
+    * every row matching any row of `deletes` on ITS columns (which
+    * must be a subset of the table schema — they become the file's
+    * `equality_ids`), for data files with an OLDER sequence. No data
+    * file is rewritten; the new manifest list reuses the prior
+    * manifests and appends one DELETE manifest whose `data_file`
+    * carries `content=2` + the equality ids. Returns the snapshot
+    * id. */
+  def exportEqualityDeletes(spark: SparkSession, deletes: DataFrame,
+                            location: String): Long =
+    appendDeltaSnapshot(spark, location, "delete") {
+      (fs, loc, metaDir, snapId, schemaJson) =>
+        val idByName = fieldIdToName(schemaJson).map(_.swap)
+        val ids = deletes.columns.toSeq.map(c =>
+          idByName.getOrElse(c, throw new IOException(
+            s"equality column $c is not in the table schema at " +
+              s"$location")))
+        val delDir = new Path(loc, s"data/eq-deletes-$snapId")
+        deletes.distinct().write.mode("overwrite")
+          .parquet(delDir.toString)
+        val delFiles = fs.listStatus(delDir).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => fs.makeQualified(p))
+        delFiles.map { path =>
+          val st = fs.getFileStatus(path)
+          val dataFile = new GenericData.Record(
+            manifestEntrySchema.getField("data_file").schema())
+          dataFile.put("content", 2) // equality-delete file
+          dataFile.put("file_path", path.toString)
+          dataFile.put("file_format", "PARQUET")
+          dataFile.put("partition", new GenericData.Record(
+            dataFile.getSchema.getField("partition").schema()))
+          dataFile.put("record_count",
+            spark.read.parquet(path.toString).count())
+          dataFile.put("file_size_in_bytes", st.getLen)
+          dataFile.put("equality_ids", ids.map(Int.box).asJava)
+          val e = new GenericData.Record(manifestEntrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapId)
+          e.put("data_file", dataFile)
+          e
+        }
+    }
+
+  /** Append a DATA snapshot the spec way: prior manifests (data AND
+    * delete) carry unchanged — so earlier files keep their original
+    * sequence and live row-level deletes keep applying to them only —
+    * plus ONE new data manifest listing just `df`'s files (which,
+    * being newer than every delete, are untouched by them). This is
+    * the correct post-delete append; the full-state `export` refuses
+    * that case. Returns the snapshot id. */
+  def appendManifest(spark: SparkSession, df: DataFrame,
+                     location: String): Long =
+    appendDeltaSnapshot(spark, location, "append") {
+      (fs, loc, metaDir, snapId, _) =>
+        val dataDir = new Path(loc, s"data/snap-$snapId")
+        df.write.mode("overwrite").parquet(dataDir.toString)
+        fs.listStatus(dataDir).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .map(p => fs.makeQualified(p))
+          .map { path =>
+            val st = fs.getFileStatus(path)
+            val dataFile = new GenericData.Record(
+              manifestEntrySchema.getField("data_file").schema())
+            dataFile.put("content", 0)
+            dataFile.put("file_path", path.toString)
+            dataFile.put("file_format", "PARQUET")
+            dataFile.put("partition", new GenericData.Record(
+              dataFile.getSchema.getField("partition").schema()))
+            dataFile.put("record_count",
+              spark.read.parquet(path.toString).count())
+            dataFile.put("file_size_in_bytes", st.getLen)
+            val e = new GenericData.Record(manifestEntrySchema)
+            e.put("status", 1)
+            e.put("snapshot_id", snapId)
+            e.put("data_file", dataFile)
+            e
+          }
+    }
+
+  /** Shared manifest-reuse snapshot append: carry the prior
+    * snapshot's manifest list verbatim, add ONE new manifest built by
+    * `entriesOf` (content 1 if its entries are delete files, 0
+    * otherwise), write v2 metadata, swap the hint last. */
+  private def appendDeltaSnapshot(spark: SparkSession, location: String,
+      operation: String)(
+      entriesOf: (org.apache.hadoop.fs.FileSystem, Path, Path, Long,
+        String) => Seq[GenericRecord]): Long = {
+    val loc = new Path(location)
+    val fs = fsOf(spark, loc)
+    val metaDir = new Path(loc, "metadata")
+    val hint = new Path(metaDir, "version-hint.text")
+    if (!fs.exists(hint))
+      throw new IOException(s"no Iceberg table at $location")
+    val v = readText(spark, hint).trim.toLong
+    val meta = mapper.readTree(readText(spark,
+      new Path(metaDir, s"v$v.metadata.json")))
+    val prevSnaps = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
+    val currentSnapId = meta.get("current-snapshot-id").asLong
+    val prevListPath = new Path(
+      Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .find(_.get("snapshot-id").asLong == currentSnapId)
+        .getOrElse(throw new IOException(
+          s"current snapshot $currentSnapId not in metadata"))
+        .get("manifest-list").asText)
+    val nextV = v + 1
+    val snapId = nextV
+    val schemaJson =
+      Option(meta.get("schemas")).filter(_.elements().hasNext)
+        .map(_.elements().asScala.toSeq.last.toString)
+        .orElse(Option(meta.get("schema")).map(_.toString))
+        .getOrElse("{}")
+    val entries = entriesOf(fs, loc, metaDir, snapId, schemaJson)
+    val isDelete = entries.exists(e =>
+      long0(e.get("data_file").asInstanceOf[GenericRecord],
+        "content") != 0L)
+    val manifestP = new Path(metaDir,
+      s"manifest-${if (isDelete) "del-" else ""}$snapId.avro")
+    val mLen = writeAvro(spark, manifestP, manifestEntrySchema, entries)
+    val carried = avroRecords(spark, prevListPath).map { r =>
+      val c = new GenericData.Record(manifestFileSchema)
+      c.put("manifest_path", str(r, "manifest_path").orNull)
+      c.put("manifest_length", long0(r, "manifest_length"))
+      c.put("partition_spec_id", long0(r, "partition_spec_id").toInt)
+      c.put("content", long0(r, "content").toInt)
+      c.put("added_snapshot_id", long0(r, "added_snapshot_id"))
+      c
+    }
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", fs.makeQualified(manifestP).toString)
+    mf.put("manifest_length", mLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", if (isDelete) 1 else 0)
+    mf.put("added_snapshot_id", snapId)
+    val listP = new Path(metaDir, s"snap-$snapId-manifest-list.avro")
+    writeAvro(spark, listP, manifestFileSchema, carried :+ mf)
+    val now = System.currentTimeMillis()
+    val snapJson =
+      s"""{"snapshot-id": $snapId, "sequence-number": $snapId, """ +
+        s""""timestamp-ms": $now, "manifest-list": ${mapper
+          .writeValueAsString(fs.makeQualified(listP).toString)}, """ +
+        s""""summary": {"operation": "$operation"}}"""
     val allSnaps = prevSnaps :+ snapJson
     val metaJson =
       s"""{

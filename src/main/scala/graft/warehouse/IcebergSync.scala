@@ -76,12 +76,14 @@ object IcebergSync {
       case Some(f) if ids.contains(f) =>
         val snap0 = IcebergLite.snapshot(spark, icebergLocation, Some(f))
         var prevFiles = snap0.files.toSet
-        var prevDeletes = snap0.posDeleteFiles.toSet
+        var prevDeletes = snap0.posDeleteFiles.toSet ++
+          snap0.eqDeletes.map(_.path)
         ids.dropWhile(_ != f).drop(1).foreach { id =>
           val snap = IcebergLite
             .snapshot(spark, icebergLocation, Some(id))
           val files = snap.files.toSet
-          val deletes = snap.posDeleteFiles.toSet
+          val deletes = snap.posDeleteFiles.toSet ++
+            snap.eqDeletes.map(_.path)
           val added = files -- prevFiles
           val removed = prevFiles -- files
           // a changed position-delete set falls off the append fast

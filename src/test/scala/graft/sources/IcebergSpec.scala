@@ -111,7 +111,7 @@ class IcebergSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       IcebergLite.export(spark, frame(5, "b"), loc)
     }
-    assert(e.getMessage.contains("position deletes"))
+    assert(e.getMessage.contains("row-level deletes"))
     // overwrite export REPLACES the state: deletes moot, new rows only
     IcebergLite.export(spark, frame(7, "c"), loc, overwrite = true)
     assert(IcebergLite.read(spark, loc).count() === 7L)
@@ -122,7 +122,37 @@ class IcebergSpec extends AnyFunSuite {
     assert(IcebergLite.read(spark, loc).count() === 7L)
   }
 
-  test("v2 equality-delete files refuse, naming the feature") {
+  test("v2 equality deletes: matching rows in OLDER files mask, " +
+    "post-delete appends survive, pinned snapshots isolate") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val loc = tmp("eqdel2")
+    val s1 = IcebergLite.export(spark, frame(30, "a"), loc) // ids 0..29
+    val s2 = IcebergLite.exportEqualityDeletes(spark,
+      Seq(0L, 5L, 10L).toDF("id"), loc)
+    assert(IcebergLite.read(spark, loc).count() === 27L)
+    assert(IcebergLite.read(spark, loc)
+      .filter(col("id").isin(0L, 5L, 10L)).count() === 0L)
+    // snapshot isolation: the pre-delete snapshot serves every row
+    assert(IcebergLite.read(spark, loc, Some(s1)).count() === 30L)
+    assert(IcebergLite.read(spark, loc, Some(s2)).count() === 27L)
+    // the upsert pattern: a row re-inserted AFTER the delete has a
+    // NEWER sequence, so the delete does not touch it
+    IcebergLite.appendManifest(spark,
+      Seq((5L, "new5", 9.9)).toDF("id", "name", "score"), loc)
+    assert(IcebergLite.read(spark, loc).count() === 28L)
+    val row5 = IcebergLite.read(spark, loc)
+      .filter(col("id") === 5L).collect()
+    assert(row5.length === 1 && row5.head.getAs[String]("name") === "new5")
+    // the full-state append-export still refuses over live deletes
+    // (it would re-manifest old files as new, resurrecting rows)
+    val e = intercept[Exception] {
+      IcebergLite.export(spark, frame(3, "x"), loc)
+    }
+    assert(e.getMessage.contains("row-level deletes"))
+  }
+
+  test("a malformed equality-delete file (no equality_ids) refuses") {
     import org.apache.spark.sql.functions.col
     val loc = tmp("eqdel")
     IcebergLite.export(spark, frame(20, "a"), loc)
@@ -155,8 +185,8 @@ class IcebergSpec extends AnyFunSuite {
     val e = intercept[java.io.IOException] {
       IcebergLite.read(spark, loc)
     }
-    assert(e.getMessage.contains("EQUALITY"),
-      s"refusal must name the feature, got: ${e.getMessage}")
+    assert(e.getMessage.contains("equality_ids"),
+      s"refusal must name the missing field, got: ${e.getMessage}")
   }
 
   test("a malformed v2 delete manifest refuses rather than " +
