@@ -173,6 +173,18 @@ object IcebergLite {
   private def str(r: GenericRecord, field: String): Option[String] =
     Option(r.get(field)).map(_.toString)
 
+  /** Exact row count from the parquet FOOTER — zero Spark jobs. The
+    * export paths previously ran `spark.read.parquet(f).count()` per
+    * file (one full Spark job each), which at many-file tables made
+    * manifest writing O(files) jobs; the footer already carries the
+    * exact count. */
+  private def parquetRowCount(spark: SparkSession, p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   /** Field access tolerant of WRITER schemas that predate (or simply
     * lack) the field — `GenericData.Record.get` THROWS on names not
     * in the schema, so every speculative v2-field read goes through
@@ -561,7 +573,7 @@ object IcebergLite {
       // for real counts, but foreign planners treat it as a hint —
       // we emit the exact parquet footer count to stay honest
       dataFile.put("record_count",
-        spark.read.parquet(path.toString).count())
+        parquetRowCount(spark, path))
       dataFile.put("file_size_in_bytes", st.getLen)
       val e = new GenericData.Record(manifestEntrySchema)
       e.put("status", status)
@@ -665,7 +677,7 @@ object IcebergLite {
       dataFile.put("partition", new GenericData.Record(
         dataFile.getSchema.getField("partition").schema()))
       dataFile.put("record_count",
-        spark.read.parquet(path.toString).count())
+        parquetRowCount(spark, path))
       dataFile.put("file_size_in_bytes", st.getLen)
       val e = new GenericData.Record(manifestEntrySchema)
       e.put("status", 1)
@@ -763,7 +775,7 @@ object IcebergLite {
           dataFile.put("partition", new GenericData.Record(
             dataFile.getSchema.getField("partition").schema()))
           dataFile.put("record_count",
-            spark.read.parquet(path.toString).count())
+            parquetRowCount(spark, path))
           dataFile.put("file_size_in_bytes", st.getLen)
           dataFile.put("equality_ids", ids.map(Int.box).asJava)
           val e = new GenericData.Record(manifestEntrySchema)
@@ -800,7 +812,7 @@ object IcebergLite {
             dataFile.put("partition", new GenericData.Record(
               dataFile.getSchema.getField("partition").schema()))
             dataFile.put("record_count",
-              spark.read.parquet(path.toString).count())
+              parquetRowCount(spark, path))
             dataFile.put("file_size_in_bytes", st.getLen)
             val e = new GenericData.Record(manifestEntrySchema)
             e.put("status", 1)
