@@ -240,6 +240,30 @@ object PqOps {
     idx1
   }
 
+  /** q243 scratch: the q162 maintained index driven through a DELETE
+    * — vec_id % 15 == 0 rows leave the versioned table (the
+    * right-to-be-forgotten event, q116's story applied to vectors),
+    * and the stored codes advance by ONE anti-join against the
+    * change feed's delete rows: O(changes), the index never
+    * re-encodes. Once per session (after pqIndexPath's chain). */
+  private def pqForgetPath(s: SparkSession, dir: String): String = {
+    import graft.warehouse.{AtomicParquet, VersionedParquet}
+    val root = graft.sources.Scratch.dir(s, "q162-pq-table")
+    val idx2 = graft.sources.Scratch.dir(s, "q243-pq-codes-v2")
+    val idx1 = pqIndexPath(s, dir) // ensures v0 + v1 and stored codes
+    if (!VersionedParquet.currentVersion(s, root).exists(_ >= 2L)) {
+      VersionedParquet.delete(s, root, col("vec_id") % 15 === 0,
+        keepVersions = 10) // v2
+      val gone = VersionedParquet.changes(s, root, 1L, 2L)
+        .filter(col("_change_type") === "delete")
+        .select("vec_id").distinct()
+      AtomicParquet.overwrite(
+        s.read.parquet(idx1).join(gone, Seq("vec_id"), "left_anti"),
+        idx2)
+    }
+    idx2
+  }
+
   /** Integer squared-L2 between two array<long> columns. */
   private def d2cols(a: String, b: String): Column =
     aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
@@ -458,6 +482,36 @@ object PqOps {
              |       min(vec_id) AS min_vec_id,
              |       CAST(sum(d2) AS BIGINT) AS quant_err
              |FROM fin
+             |GROUP BY m, cl
+             |ORDER BY subspace, code""".stripMargin)),
+
+    // ── Index forget: DELETE-maintained stored ANN index ─────────────────
+    // The missing half of index maintenance (q162 covers growth):
+    // when corpus rows are FORGOTTEN (privacy deletion, q116's
+    // contract), the stored vector index must forget them too — and
+    // at O(changes), not a re-encode. The versioned embeddings table
+    // takes a keyed DELETE; the stored codes advance by one anti-join
+    // against the change feed's delete rows. The oracle re-derives
+    // the index from scratch over the SURVIVING corpus (books frozen
+    // on v0, the q162 contract), so incremental == rebuild IS the
+    // hash equality — a leaked code (forgotten vector still
+    // servable) or an over-deletion both break it.
+    QueryDef("q243_pq_index_forget",
+      (s, d) => {
+        val idx = pqForgetPath(s, d)
+        s.read.parquet(idx)
+          .groupBy(col("m").as("subspace"), col("cl").as("code"))
+          .agg(count(lit(1)).as("n_vecs"),
+            min("vec_id").as("min_vec_id"),
+            sum("d2").cast("long").as("quant_err"))
+          .orderBy("subspace", "code")
+      },
+      Some(s"""${oracleCtes("vec_id % 5 <> 0")}
+             |SELECT m AS subspace, cl AS code, count(*) AS n_vecs,
+             |       min(vec_id) AS min_vec_id,
+             |       CAST(sum(d2) AS BIGINT) AS quant_err
+             |FROM fin
+             |WHERE vec_id % 15 <> 0
              |GROUP BY m, cl
              |ORDER BY subspace, code""".stripMargin))
   )
