@@ -2425,6 +2425,32 @@ object VersionOps {
     // DeltaLite's deletion-vector refusal; with q234/q240 this
     // completes row-level deletes + column mapping across BOTH open
     // formats.
+    // q244 — cross-format export PARITY: the same graft table
+    // (publish + keyed delete, so deletes must round-trip) exported
+    // to Delta AND Iceberg through the SQL verbs, each read back by
+    // its own protocol walk — a user can hand either artifact to
+    // either ecosystem and both see exactly the live rows. The
+    // oracle replays the table once; the gate's per-bucket
+    // delta/iceberg column pairs must BOTH equal it — duplicated
+    // rows, resurrected deletes, or any exporter/reader asymmetry
+    // (the r10-flagged EXPORT TO ICEBERG append bug was exactly
+    // this) breaks the hash.
+    QueryDef("q244_cross_format_parity",
+      (s, d) => s.read.parquet(crossFormatPath(s, d)).orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (SELECT * FROM o WHERE k % 9 <> 0)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents_delta,
+             |       count(*) AS n_delta,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents_iceberg,
+             |       count(*) AS n_iceberg
+             |FROM live
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
     // q242 — Iceberg v2 EQUALITY DELETES with correct SEQUENCING: a
     // keyed delete (k % 5 == 0 by equality on k, no rewrite) masks
     // only rows in OLDER data files; a later manifest-reuse append
@@ -2518,6 +2544,41 @@ object VersionOps {
         .groupBy((col("k") % 10).as("bucket"))
         .agg(sum(col("cents")).cast("long").as("sum_cents"),
           count(lit(1)).as("n_rows"))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q244 builder: ONE graft table (publish + keyed delete, so the
+    * live view is not just an append shape) exported to BOTH open
+    * formats through the SQL verbs, each read back through its own
+    * full protocol walk. Once per session. */
+  private def crossFormatPath(s: SparkSession, dir: String): String = {
+    import graft.sources.{DeltaLite, IcebergLite}
+    import graft.warehouse.{AtomicParquet, GraftSql, GraftTables,
+      VersionedParquet}
+    val root = Scratch.dir(s, "q244-table")
+    val delta = Scratch.dir(s, "q244-delta") + "/t"
+    val ice = Scratch.dir(s, "q244-ice") + "/t"
+    val outPath = Scratch.dir(s, "q244-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o, root, keepVersions = 10)
+      VersionedParquet.delete(s, root, col("k") % 9 === 0,
+        keepVersions = 10)
+      GraftTables.register("t_q244", root, keepVersions = 10)
+      try {
+        GraftSql.sql(s, s"EXPORT TABLE t_q244 TO DELTA LOCATION '$delta'")
+        GraftSql.sql(s, s"EXPORT TABLE t_q244 TO ICEBERG LOCATION '$ice'")
+      } finally GraftTables.unregister("t_q244")
+      def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.groupBy((col("k") % 10).as("bucket"))
+          .agg(sum(col("cents")).cast("long").as(s"sum_cents_$tag"),
+            count(lit(1)).as(s"n_$tag"))
+      val out = agg(DeltaLite.read(s, delta), "delta")
+        .join(agg(IcebergLite.read(s, ice), "iceberg"), Seq("bucket"))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath
