@@ -47,16 +47,28 @@ import org.apache.spark.sql.types.StructType
   * promise.
   */
 object GraftTables {
-  private val tables = new ConcurrentHashMap[String, (String, Int)]()
+  private val tables =
+    new ConcurrentHashMap[String, (String, Int, Seq[String])]()
 
   /** Register `name` as the SQL identifier of the versioned table at
     * `root`. `keepVersions` is the retention every SQL-issued write
-    * uses (a table-level policy, like a catalog property). */
-  def register(name: String, root: String, keepVersions: Int = 10): Unit =
-    tables.put(name.toLowerCase, (root, keepVersions))
+    * uses (a table-level policy, like a catalog property).
+    * `keyCols`, when given, declare a UNIQUE KEY of the table — the
+    * catalog property that routes SQL UPDATE/DELETE through the
+    * OPTIMISTIC predicate-DML path (Optimistic.updateWhere /
+    * deleteWhere): concurrent disjoint writers compose by rebase
+    * instead of serializing on the writer lock. Without keys the
+    * single-writer path serves, exactly as before. */
+  def register(name: String, root: String, keepVersions: Int = 10,
+               keyCols: Seq[String] = Nil): Unit =
+    tables.put(name.toLowerCase, (root, keepVersions, keyCols))
 
   def rootOf(name: String): Option[(String, Int)] =
-    Option(tables.get(name.toLowerCase))
+    Option(tables.get(name.toLowerCase)).map(t => (t._1, t._2))
+
+  /** The declared unique key of `name`, empty when none declared. */
+  def keysOf(name: String): Seq[String] =
+    Option(tables.get(name.toLowerCase)).map(_._3).getOrElse(Nil)
 
   /** Forget the SQL identifier (DROP TABLE): metadata-only — the data
     * at the root is untouched and can be re-registered. */
@@ -339,14 +351,28 @@ object GraftSql {
       throw new IllegalStateException(
         s"table ${dml.table} is not registered"))
     dml match {
-      case SqlUpdate(_, sets, where) =>
-        VersionedParquet.updateWhere(spark, root,
-          where.map(expr).getOrElse(lit(true)),
-          sets.map { case (c, e) => c -> expr(e) }.toMap,
-          keepVersions = keep)
-      case SqlDelete(_, where) =>
-        VersionedParquet.delete(spark, root, expr(where),
-          keepVersions = keep)
+      case SqlUpdate(t, sets, where) =>
+        // a declared unique key routes searched DML through the
+        // optimistic path — concurrent disjoint UPDATEs compose
+        val keys = GraftTables.keysOf(t)
+        if (keys.nonEmpty)
+          Optimistic.updateWhere(spark, root,
+            where.map(expr).getOrElse(lit(true)),
+            sets.map { case (c, e) => c -> expr(e) }.toMap,
+            keys, keepVersions = keep).path
+        else
+          VersionedParquet.updateWhere(spark, root,
+            where.map(expr).getOrElse(lit(true)),
+            sets.map { case (c, e) => c -> expr(e) }.toMap,
+            keepVersions = keep)
+      case SqlDelete(t, where) =>
+        val keys = GraftTables.keysOf(t)
+        if (keys.nonEmpty)
+          Optimistic.deleteWhere(spark, root, expr(where), keys,
+            keepVersions = keep).path
+        else
+          VersionedParquet.delete(spark, root, expr(where),
+            keepVersions = keep)
       case SqlInsert(_, query) =>
         VersionedParquet.append(spark, root, spark.sql(query),
           keepVersions = keep)

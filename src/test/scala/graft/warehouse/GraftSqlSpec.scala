@@ -399,6 +399,42 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally GraftTables.unregister("t_tt")
   }
 
+  test("a declared unique key routes SQL UPDATE/DELETE through the " +
+    "optimistic path (DmlDomain commits), same results") {
+    val root = tmp("keyed")
+    seed(root) // ids 0..99
+    GraftTables.register("t_keyed", root, keepVersions = 20,
+      keyCols = Seq("id"))
+    try {
+      GraftSql.sql(spark,
+        "UPDATE t_keyed SET x = x + 5 WHERE id < 10")
+      GraftSql.sql(spark, "DELETE FROM t_keyed WHERE id >= 90")
+      val live = VersionedParquet.read(spark, root)
+      assert(live.count() === 90L)
+      assert(live.filter(col("id") < 10L)
+        .agg(sum("x")).head().getLong(0) ===
+        (0L until 10L).map(_ * 10 + 5).sum)
+      // the commits really took the optimistic path: their domain
+      // markers carry the predicate-DML encoding, not whole-table
+      val domains = (1L to 2L).map(v =>
+        VersionedParquet.readPointer(spark,
+          new org.apache.hadoop.fs.Path(
+            new org.apache.hadoop.fs.Path(root,
+              VersionedParquet.versionName(v)), "_DOMAIN")))
+      assert(domains.forall(_.exists(_.startsWith("dml:"))),
+        s"keyed SQL DML must commit DmlDomain markers, got $domains")
+      // without declared keys the single-writer path still serves
+      // (no domain marker = whole-table commit)
+      GraftTables.register("t_keyed", root, keepVersions = 20)
+      GraftSql.sql(spark, "DELETE FROM t_keyed WHERE id = 0")
+      assert(VersionedParquet.read(spark, root).count() === 89L)
+      assert(VersionedParquet.readPointer(spark,
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(root,
+            VersionedParquet.versionName(3L)), "_DOMAIN")).isEmpty)
+    } finally GraftTables.unregister("t_keyed")
+  }
+
   test("inline time travel never rewrites string literals or " +
     "comments, and pin views live in a reserved namespace") {
     val root = tmp("ttm")
