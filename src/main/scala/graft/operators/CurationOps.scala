@@ -25,6 +25,38 @@ object CurationOps {
   private val TOKS =
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
 
+  /** Feature-hash width, round count, and step scale for the q245
+    * batch perceptron. Declared BEFORE `queries`: the oracle SQL string
+    * interpolates them eagerly at object init. */
+  private val PERC_F = 64
+  private val PERC_ROUNDS = 8
+  private val PERC_STEP = 1000L
+
+  /** One unrolled perceptron round as oracle CTEs: margins against the
+    * prior weights, the mean-normalized geometrically-damped per-bucket
+    * update over the misclassified set (y·margin ≤ 0 — margin-zero rows
+    * update, matching round 1 where all weights are zero), and the new
+    * weight vector. Step k divides by 2^(k-1): full-batch lr=1 provably
+    * oscillates (the update's token mass swamps the prior weights — the
+    * round-10 experiment log), geometric decay converges and then
+    * freezes. `//` on signed BIGINT truncates toward zero in DuckDB,
+    * matching JVM `/` on Long — no floor-vs-trunc hazard. */
+  private def percRound(k: Int): String =
+    s"""m$k AS MATERIALIZED (
+       |  SELECT f.doc_id, f.y, sum(f.cnt * w.w) AS margin
+       |  FROM f JOIN w${k - 1} w USING (bucket) GROUP BY 1, 2),
+       |n$k AS (
+       |  SELECT count(*) AS n FROM m$k WHERE y * margin <= 0),
+       |u$k AS (
+       |  SELECT f.bucket, sum(f.y * f.cnt) AS s
+       |  FROM f JOIN m$k m ON m.doc_id = f.doc_id
+       |  WHERE m.y * m.margin <= 0 GROUP BY 1),
+       |w$k AS MATERIALIZED (
+       |  SELECT w.bucket,
+       |         w.w + coalesce((u.s * $PERC_STEP)
+       |                 // (greatest(n.n, 1) * ${1L << (k - 1)}), 0) AS w
+       |  FROM w${k - 1} w LEFT JOIN u$k u USING (bucket), n$k n)""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     // ── PII masking: emails/URLs → placeholders, with audit counts ────────
@@ -414,7 +446,126 @@ object CurationOps {
              |       1 AS manifest_complete
              |FROM kept
              |GROUP BY 1, 2
-             |ORDER BY split, lang""".stripMargin))
+             |ORDER BY split, lang""".stripMargin)),
+
+    // ── Trained classifier: distributed full-batch perceptron distill ────
+    // q93 scores with a FIXED weight table; this TRAINS one — the
+    // teacher-distillation pattern of production corpus curation (an
+    // expensive teacher labels a corpus once; a hashed linear student is
+    // trained on those labels and scores everything cheaply thereafter,
+    // e.g. the FineWeb-Edu / fastText quality-classifier recipe). The
+    // teacher here is a deterministic rule over raw token counts
+    // (data+table mass vs query+scan mass) so the oracle can replay it;
+    // the student sees ONLY md5-hashed bucket counts (F=64, collisions
+    // and all) and must recover the separator by batch perceptron:
+    // per round every misclassified doc contributes y·x, the batch
+    // update is mean-normalized and geometrically damped (step k scales
+    // by STEP/2^(k-1) — full-batch lr=1 provably oscillates between the
+    // two class-mass poles; the decayed step converges to ~92% student
+    // agreement and then freezes).
+    //
+    // Per round: exactly two key-partitioned aggregates — doc margins
+    // via a broadcast-weight join, then the per-bucket update over the
+    // misclassified set. The F-row weight vector is the only driver
+    // state (the bounded-metadata discipline of the k-means centroids).
+    //
+    // Determinism: counts, weights, margins, updates all in INTEGER
+    // space (order-independent sums); signed update division truncates
+    // toward zero in BOTH engines (DuckDB `//` == JVM `/` on Long). The
+    // oracle re-trains from scratch as unrolled CTEs — a drifted update,
+    // wrong margin-0 handling, or a float anywhere breaks the hash.
+    //
+    // 100 TB shape: the feature frame is built once (one explode + one
+    // (doc,bucket) map-side-combined shuffle) and persisted; each round
+    // adds one broadcast join + two aggregates — O(rounds) passes over
+    // token-scale data, no all-pairs, no driver data rows. The
+    // mean-normalized step keeps weights ~STEP-scale regardless of
+    // corpus size, so margins stay far inside Long at any SF.
+    QueryDef("q245_trained_classifier",
+      (s, d) => {
+        val toksCol = tokens(col("text"))
+        val teacherPos = size(filter(toksCol,
+          t => t === "data" || t === "table"))
+        val teacherNeg = size(filter(toksCol,
+          t => t === "query" || t === "scan"))
+        val feat = Tables.documents(s, d)
+          .select(col("doc_id"),
+            when(teacherPos > teacherNeg, 1L).otherwise(-1L).as("y"),
+            explode(toksCol).as("tok"))
+          .select(col("doc_id"), col("y"),
+            pmod(graft.functions.Hashing.md5Long60(col("tok")),
+              lit(PERC_F.toLong)).as("bucket"))
+          .groupBy("doc_id", "y", "bucket").agg(count(lit(1)).as("cnt"))
+          .persist()
+        def wDf(w: Map[Long, Long]) = {
+          import s.implicits._
+          broadcast(w.toSeq.sorted.toDF("bucket", "w"))
+        }
+        var w: Map[Long, Long] =
+          (0L until PERC_F.toLong).map(_ -> 0L).toMap
+        for (round <- 1 to PERC_ROUNDS) {
+          val mis = feat.join(wDf(w), "bucket")
+            .groupBy("doc_id", "y")
+            .agg(sum(col("cnt") * col("w")).as("margin"))
+            .filter(col("y") * col("margin") <= 0)
+            .select("doc_id")
+            .persist()
+          val nMis = math.max(mis.count(), 1L)
+          val upd = feat.join(mis, "doc_id")
+            .groupBy("bucket").agg(sum(col("y") * col("cnt")).as("s"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          mis.unpersist()
+          val denom = nMis * (1L << (round - 1))
+          w = w.map { case (b, cur) =>
+            b -> (cur + upd.getOrElse(b, 0L) * PERC_STEP / denom)
+          }
+        }
+        val fin = wDf(w)
+        val met = feat.join(fin, "bucket")
+          .groupBy("doc_id", "y")
+          .agg(sum(col("cnt") * col("w")).as("margin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("y") * col("margin") > 0, 1L).otherwise(0L))
+              .as("n_correct"))
+        fin.select(col("bucket"), col("w").as("weight"))
+          .crossJoin(broadcast(met))
+          .withColumn("acc_ppm",
+            expr("(n_correct * 1000000) div n_docs"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH lab AS (
+             |  SELECT doc_id,
+             |         CASE WHEN len(list_filter(toks,
+             |                    x -> x IN ('data', 'table')))
+             |            > len(list_filter(toks,
+             |                    x -> x IN ('query', 'scan')))
+             |           THEN 1 ELSE -1 END AS y,
+             |         toks
+             |  FROM (SELECT doc_id, $TOKS AS toks FROM documents)),
+             |t AS (SELECT doc_id, y, unnest(toks) AS tok FROM lab),
+             |f AS MATERIALIZED (
+             |  SELECT doc_id, y,
+             |         ${graft.functions.Hashing.md5Long60Sql("tok")}
+             |           % $PERC_F AS bucket,
+             |         count(*) AS cnt
+             |  FROM t GROUP BY 1, 2, 3),
+             |w0 AS MATERIALIZED (
+             |  SELECT r.r AS bucket, CAST(0 AS BIGINT) AS w
+             |  FROM range(0, $PERC_F) r(r)),
+             |${(1 to PERC_ROUNDS).map(percRound).mkString(",\n")},
+             |sc AS (
+             |  SELECT f.doc_id, f.y, sum(f.cnt * w.w) AS margin
+             |  FROM f JOIN w$PERC_ROUNDS w USING (bucket) GROUP BY 1, 2),
+             |met AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(CASE WHEN y * margin > 0 THEN 1 ELSE 0 END)
+             |              AS BIGINT) AS n_correct
+             |  FROM sc)
+             |SELECT w.bucket, CAST(w.w AS BIGINT) AS weight,
+             |       met.n_docs, met.n_correct,
+             |       (met.n_correct * 1000000) // met.n_docs AS acc_ppm
+             |FROM w$PERC_ROUNDS w, met
+             |ORDER BY bucket""".stripMargin))
   )
 
   /** q200 builder: decide (q58's rules) → split → publish → ANALYZE →

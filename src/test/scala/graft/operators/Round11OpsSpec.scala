@@ -121,4 +121,27 @@ class Round11OpsSpec extends AnyFunSuite {
     }
     assert(e1 !== base)
   }
+
+  test("q245 property: the distilled student actually LEARNS — final " +
+    "agreement with the teacher beats the majority-class baseline by " +
+    "a real margin, and the weights are non-trivial") {
+    // The oracle hash gate proves Spark and DuckDB train IDENTICALLY;
+    // it cannot state that the training went anywhere. Pin that here:
+    // at sf0.001 the teacher labels split 63/37, and the trained
+    // student must agree with the teacher well past that floor.
+    val out = CurationOps.queries
+      .find(_.name == "q245_trained_classifier").get
+      .fn(spark, sf).collect()
+    assert(out.length === 64) // one row per hash bucket
+    val accPpm = out.head.getAs[Long]("acc_ppm")
+    val nDocs = out.head.getAs[Long]("n_docs")
+    assert(nDocs > 0)
+    // majority baseline at sf0.001 is 630_000 ppm; demand a real gap
+    assert(accPpm > 700000L,
+      s"student accuracy $accPpm ppm did not clear the majority floor")
+    // a learner that collapsed to all-one-class has every weight with
+    // the same sign; the converged separator must use both directions
+    val ws = out.map(_.getAs[Long]("weight"))
+    assert(ws.exists(_ > 0L) && ws.exists(_ < 0L))
+  }
 }
