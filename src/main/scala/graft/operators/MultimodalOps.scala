@@ -284,6 +284,32 @@ object MultimodalOps {
     pcmStatsOf(itemId, rate, samples)
   }
 
+  /** Loudness-invariant band fingerprint over REAL decoded PCM (q246):
+    * `windows` equal time slices, signed sample sum per slice, one bit
+    * per adjacent pair (sum strictly rises → 1), packed LSB-first from
+    * bit 0 = window 1 vs 0. Window of sample i is (i·W)/n — the same
+    * integer boundary the oracle states. Positive gain scales every
+    * sum equally, so the comparisons are invariant to volume. */
+  private[graft] def pcmBandFingerprint(itemId: Long, b: Array[Byte],
+                                        windows: Int): Long = {
+    val (_, samples) = pcmSamples(itemId, b)
+    val n = samples.length
+    require(n >= windows, s"item $itemId: $n samples < $windows windows")
+    val sums = new Array[Long](windows)
+    var i = 0
+    while (i < n) {
+      sums((i.toLong * windows / n).toInt) += samples(i)
+      i += 1
+    }
+    var fp = 0L
+    var w = 1
+    while (w < windows) {
+      if (sums(w) > sums(w - 1)) fp |= 1L << (w - 1)
+      w += 1
+    }
+    fp
+  }
+
   /** Decode PCM frames per partition — iterator in, iterator out, the
     * same batch shape as extractFeatures, but with a REAL inner decode
     * (see decodePcmBytes). */
@@ -1629,6 +1655,90 @@ object MultimodalOps {
              |       TRUE AS gray_exact
              |FROM vals
              |GROUP BY 1
+             |ORDER BY item_id""".stripMargin)),
+
+    // ── Audio fingerprint near-dup: loudness-invariant band signature ─────
+    // The audio analogue of q196's image aHash: every item's REAL
+    // decoded PCM stream folds into a 15-bit fingerprint — 16 equal
+    // time windows, signed sample sum per window, one bit per adjacent
+    // pair (sum rises → 1). Because every window sum scales by the same
+    // positive amplitude, the comparisons — and therefore the
+    // fingerprint — are LOUDNESS-INVARIANT: a volume-normalized
+    // re-encode of a track fingerprints identically, which is exactly
+    // the duplicate class audio dedup must catch (the corpus plants
+    // such variants: same wave shape, different gain). Near-dup
+    // grouping is fingerprint EQUALITY — a single groupBy/window, never
+    // a pairwise join: at 100 TB the cost is one decode pass (per-row
+    // byte work, zero shuffle) plus one fp-keyed exchange; group sizes
+    // are bounded by true duplicate classes, not corpus size.
+    //
+    // The oracle re-derives every window sum from the synthesis formula
+    // (it never sees the bytes) and replays the bit packing — a wrong
+    // window boundary, sign extension, or comparison direction in the
+    // decoder breaks the hash.
+    QueryDef("q246_audio_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val variants = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(3)) === 1 &&
+            pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id")).as[Long].map { id =>
+            val (n, _, p) = waveParams(id)
+            // same wave shape (n, half-period), different gain
+            val amp = 500
+            val pcm = new Array[Byte](2 * n)
+            var i = 0
+            while (i < n) {
+              val v = if ((i / p) % 2 == 0) amp else -amp
+              pcm(2 * i) = (v & 0xff).toByte
+              pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            MediaRow(id + 10000000L, "audio",
+              wavHeader(16000, 2 * n) ++ pcm, 0, 0, 16000)
+          }
+        val fps = pcmAudioTable(s, d).union(variants)
+          .map(r => (r.item_id, pcmBandFingerprint(r.item_id, r.media, 16)))
+          .toDF("item_id", "fp")
+        val byFp = Window.partitionBy("fp")
+        fps
+          .withColumn("group_rep", min("item_id").over(byFp))
+          .withColumn("group_size", count(lit(1)).over(byFp))
+          .orderBy("item_id")
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id AS item_id,
+             |         64 + doc_id % 64 AS n,
+             |         1000 + (doc_id % 7) * 4000 AS amp,
+             |         4 + doc_id % 9 AS hp
+             |  FROM documents WHERE doc_id % 3 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 10000000,
+             |         64 + doc_id % 64, 500, 4 + doc_id % 9
+             |  FROM documents WHERE doc_id % 3 = 1 AND doc_id % 5 = 0),
+             |sm AS MATERIALIZED (
+             |  SELECT item_id, (i * 16) // n AS w,
+             |         sum(CASE WHEN (i // hp) % 2 = 0 THEN amp
+             |                  ELSE -amp END) AS s
+             |  FROM (SELECT item_id, n, amp, hp, unnest(range(n)) AS i
+             |        FROM p)
+             |  GROUP BY 1, 2),
+             |bits AS (
+             |  SELECT item_id, w, s,
+             |         lag(s) OVER (PARTITION BY item_id ORDER BY w) AS ps
+             |  FROM sm),
+             |fp AS MATERIALIZED (
+             |  SELECT item_id,
+             |         CAST(coalesce(sum(CASE WHEN ps IS NOT NULL AND s > ps
+             |                    THEN 1 << (w - 1) ELSE 0 END), 0)
+             |           AS BIGINT) AS fp
+             |  FROM bits GROUP BY 1)
+             |SELECT item_id, fp,
+             |       min(item_id) OVER (PARTITION BY fp) AS group_rep,
+             |       CAST(count(*) OVER (PARTITION BY fp) AS BIGINT)
+             |         AS group_size
+             |FROM fp
              |ORDER BY item_id""".stripMargin))
   )
 

@@ -144,4 +144,22 @@ class Round11OpsSpec extends AnyFunSuite {
     val ws = out.map(_.getAs[Long]("weight"))
     assert(ws.exists(_ > 0L) && ws.exists(_ < 0L))
   }
+
+  test("q246 property: the audio fingerprint is loudness-invariant — " +
+    "every planted volume-normalized variant lands in its original's " +
+    "near-dup group") {
+    val rows = MultimodalOps.queries
+      .find(_.name == "q246_audio_fingerprint").get
+      .fn(spark, sf).collect()
+    val rep = rows.map(r =>
+      r.getAs[Long]("item_id") -> r.getAs[Long]("group_rep")).toMap
+    val variants = rep.keys.filter(_ >= 10000000L).toSeq
+    assert(variants.nonEmpty)
+    variants.foreach { v =>
+      assert(rep(v) === rep(v - 10000000L),
+        s"variant $v not grouped with its original")
+    }
+    // and the fingerprint is not degenerate: more than one group exists
+    assert(rows.map(_.getAs[Long]("group_rep")).distinct.length > 1)
+  }
 }
