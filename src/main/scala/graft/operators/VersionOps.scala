@@ -2494,7 +2494,46 @@ object VersionOps {
              |       (SELECT count(*) FROM o) AS n_before_delete
              |FROM live
              |GROUP BY 1
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // q247 — Iceberg MANIFEST-STATS FILE SKIPPING: the writer records
+    // per-file column bounds (spec lower_bounds/upper_bounds, field
+    // ids 125/128, single-value serialization from the parquet
+    // FOOTERS — no data read) and the scan planner prunes whole files
+    // whose range misses the predicate, opening neither footer nor
+    // data page. The table lands as 8 range-bucketed single-file
+    // snapshots; the [2.5K, 4.25K) key predicate must open exactly
+    // the 3 overlapping files. The oracle re-derives the bucketing,
+    // the per-bucket min/max (what the footers hold), the overlap
+    // count AND the row aggregate from raw orders — wrong bounds,
+    // wrong overlap logic, or a skipped file that held rows all break
+    // the hash; files_scanned == files_total means pruning silently
+    // died. This is THE Iceberg scale feature: a predicate on a
+    // year-long table plans 1/365 of the files from one manifest
+    // walk.
+    QueryDef("q247_iceberg_stats_pruning",
+      (s, d) => s.read.parquet(icebergPrunePath(s, d)),
+      Some("""WITH o AS (SELECT o_orderkey AS k FROM orders),
+             |kk AS (SELECT max(k) // 8 + 1 AS w FROM o),
+             |b AS (SELECT k, k // kk.w AS bucket FROM o, kk),
+             |bounds AS (
+             |  SELECT bucket, min(k) AS blo, max(k) AS bhi
+             |  FROM b GROUP BY 1),
+             |pred AS (
+             |  SELECT 2 * kk.w + kk.w // 2 AS plo,
+             |         4 * kk.w + kk.w // 4 AS phi
+             |  FROM kk),
+             |hit AS (
+             |  SELECT k FROM b, pred WHERE k BETWEEN plo AND phi)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(k) AS BIGINT) AS sum_key,
+             |       min(k) AS min_key, max(k) AS max_key,
+             |       CAST((SELECT count(*) FROM bounds, pred
+             |             WHERE bhi >= plo AND blo <= phi) AS INT)
+             |         AS files_scanned,
+             |       CAST((SELECT count(*) FROM bounds) AS INT)
+             |         AS files_total
+             |FROM hit""".stripMargin))
   )
 
   /** q240 builder: a COLUMN-MAPPED foreign Delta table (the layout
@@ -2722,6 +2761,39 @@ object VersionOps {
         .agg(sum(col("cents")).cast("long").as("sum_cents"),
           count(lit(1)).as("n_rows"))
         .withColumn("n_before_delete", lit(pinnedN))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q247 builder: an Iceberg table of 8 range-bucketed single-file
+    * snapshots (export + 7 manifest-reuse appends, coalesce(1) each so
+    * bucket == file), then a bounds-pruned scan over a 3-bucket key
+    * range. Once per session. */
+  private def icebergPrunePath(s: SparkSession, dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q247-iceberg")
+    val outPath = Scratch.dir(s, "q247-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      val maxK = o.agg(max("k")).head.getLong(0)
+      val w = maxK / 8 + 1
+      val buckets = o.select(expr(s"k div $w").as("b"))
+        .distinct().orderBy("b").collect().map(_.getLong(0))
+      buckets.zipWithIndex.foreach { case (b, i) =>
+        val part = o.filter(expr(s"k div $w") === b).coalesce(1)
+        if (i == 0) IcebergLite.export(s, part, table)
+        else IcebergLite.appendManifest(s, part, table)
+      }
+      val (plo, phi) = (2 * w + w / 2, 4 * w + w / 4)
+      val (rows, scanned, total) =
+        IcebergLite.readPruned(s, table, "k", plo, phi)
+      val out = rows.agg(count(lit(1)).as("n_rows"),
+          sum("k").cast("long").as("sum_key"),
+          min("k").as("min_key"), max("k").as("max_key"))
+        .withColumn("files_scanned", lit(scanned))
+        .withColumn("files_total", lit(total))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

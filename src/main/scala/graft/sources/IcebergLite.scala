@@ -76,7 +76,10 @@ object IcebergLite {
                             schemaJson: String,
                             posDeleteFiles: Seq[String] = Nil,
                             dataFileSeq: Map[String, Long] = Map.empty,
-                            eqDeletes: Seq[EqDelete] = Nil)
+                            eqDeletes: Seq[EqDelete] = Nil,
+                            bounds: Map[String,
+                              Map[Int, (Array[Byte], Array[Byte])]] =
+                              Map.empty)
 
   /** One equality-delete file (v2 `data_file.content=2`): its parquet
     * path, the EQUALITY COLUMNS (resolved from `equality_ids` via the
@@ -185,6 +188,79 @@ object IcebergLite {
     try r.getRecordCount finally r.close()
   }
 
+  /** Per-file column bounds from the parquet FOOTER (no data read):
+    * field id → (lower, upper) in the spec's single-value binary
+    * serialization (Appendix D — int 4-byte LE, long 8-byte LE,
+    * string UTF-8). Row-group statistics merge across blocks; a
+    * column with no usable stats (unsupported type, all-null, or
+    * stats absent) is simply omitted — bounds are optional per
+    * column, and a missing entry makes scan pruning CONSERVATIVE,
+    * never wrong. */
+  private def parquetColumnBounds(spark: SparkSession, p: Path)
+    : Map[Int, (Array[Byte], Array[Byte])] = {
+    import org.apache.parquet.column.statistics._
+    def le(n: Long, width: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putLong(0, n).array().take(width)
+    // accumulate TYPED min/max per field id across row groups, then
+    // serialize once — merging at the byte level would be wrong for
+    // signed little-endian values
+    val longB = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    val intCols = scala.collection.mutable.Set.empty[Int]
+    val binB =
+      scala.collection.mutable.Map.empty[Int, (Array[Byte], Array[Byte])]
+    def lexMin(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (java.util.Arrays.compareUnsigned(a, b) <= 0) a else b
+    def lexMax(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+      if (java.util.Arrays.compareUnsigned(a, b) >= 0) a else b
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      // field ids in this writer's schema JSON are ordinal+1 over the
+      // DataFrame schema, and the footer lists columns in schema order
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.zipWithIndex.foreach { case (c, i) =>
+          val fieldId = i + 1
+          val st = c.getStatistics
+          if (c.getPath.size() == 1 && st != null && !st.isEmpty &&
+              st.hasNonNullValue) st match {
+            case s: IntStatistics =>
+              intCols += fieldId
+              val (lo, hi) = longB.getOrElse(fieldId,
+                (Long.MaxValue, Long.MinValue))
+              longB(fieldId) = (math.min(lo, s.getMin.toLong),
+                math.max(hi, s.getMax.toLong))
+            case s: LongStatistics =>
+              val (lo, hi) = longB.getOrElse(fieldId,
+                (Long.MaxValue, Long.MinValue))
+              longB(fieldId) = (math.min(lo, s.getMin),
+                math.max(hi, s.getMax))
+            case s: BinaryStatistics =>
+              val (mn, mx) = (s.getMin.getBytes.clone(),
+                s.getMax.getBytes.clone())
+              val (lo, hi) = binB.getOrElse(fieldId, (mn, mx))
+              binB(fieldId) = (lexMin(lo, mn), lexMax(hi, mx))
+            case _ => () // other types: omit bounds (conservative)
+          }
+        }
+      }
+      longB.map { case (f, (lo, hi)) =>
+        val w = if (intCols(f)) 4 else 8
+        f -> (le(lo, w), le(hi, w))
+      }.toMap ++ binB.toMap
+    } finally r.close()
+  }
+
+  /** Little-endian signed decode of a 4- or 8-byte bound payload. */
+  private[graft] def leLong(b: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(b)
+    if (b.length == 4) buf.getInt(0).toLong else buf.getLong(0)
+  }
+
   /** Field access tolerant of WRITER schemas that predate (or simply
     * lack) the field — `GenericData.Record.get` THROWS on names not
     * in the schema, so every speculative v2-field read goes through
@@ -227,6 +303,8 @@ object IcebergLite {
     val deleteFiles = Seq.newBuilder[String]
     val dataSeqs = Map.newBuilder[String, Long]
     val eqDels = Seq.newBuilder[EqDelete]
+    val fileBounds =
+      Map.newBuilder[String, Map[Int, (Array[Byte], Array[Byte])]]
     val idToName: Map[Int, String] = fieldIdToName(schemaJson)
     avroRecords(spark, manifestListPath).foreach { mf =>
       // v2 manifest_file carries `content`: 0 = data, 1 = deletes.
@@ -275,7 +353,9 @@ object IcebergLite {
           (content, fileKind) match {
             case (0L, 0L) =>
               p.foreach { path => dataFiles += path
-                dataSeqs += path -> mSeq }
+                dataSeqs += path -> mSeq
+                val bs = entryBounds(df)
+                if (bs.nonEmpty) fileBounds += path -> bs }
             case (1L, 1L) => p.foreach(deleteFiles += _)
             case (1L, 2L) =>
               val ids = fieldOpt(entry.get("data_file")
@@ -302,7 +382,32 @@ object IcebergLite {
     }
     Snapshot(dataFiles.result().distinct, wanted, schemaJson,
       deleteFiles.result().distinct, dataSeqs.result(),
-      eqDels.result().distinct)
+      eqDels.result().distinct, fileBounds.result())
+  }
+
+  /** Decode a data_file's optional lower_bounds/upper_bounds k_v
+    * arrays (spec map<int, binary>, field-ids 125/128) → field id →
+    * (lower, upper). Only ids present in BOTH maps land — a one-sided
+    * bound cannot adjudicate an overlap test. */
+  private def entryBounds(df: GenericRecord)
+    : Map[Int, (Array[Byte], Array[Byte])] = {
+    def parse(field: String): Map[Int, Array[Byte]] =
+      fieldOpt(df, field).collect { case l: java.util.List[_] =>
+        l.asScala.collect { case r: GenericRecord =>
+          val v = r.get("value") match {
+            case bb: java.nio.ByteBuffer =>
+              val d = bb.duplicate()
+              val a = new Array[Byte](d.remaining()); d.get(a); a
+            case ar: Array[Byte] => ar
+            case other => other.toString.getBytes(StandardCharsets.UTF_8)
+          }
+          r.get("key").toString.toInt -> v
+        }.toMap
+      }.getOrElse(Map.empty)
+    val lo = parse("lower_bounds")
+    val hi = parse("upper_bounds")
+    lo.keySet.intersect(hi.keySet).iterator
+      .map(k => k -> (lo(k), hi(k))).toMap
   }
 
   /** Field id → name from the Iceberg schema JSON (top level — the
@@ -389,6 +494,57 @@ object IcebergLite {
         masked.select(cols.map(col): _*)
       }
     }
+  }
+
+  /** Scan with FILE SKIPPING on the manifests' column bounds: plan
+    * the live files whose [lower, upper] range for `column` overlaps
+    * [lo, hi], read ONLY those, apply the exact predicate on top.
+    * Returns (rows, filesScanned, filesTotal) so callers can assert
+    * pruning happened. A file with no stored bounds for the column is
+    * kept (conservative — skipping it would lose rows); a column id
+    * absent from the schema refuses. Integer/long columns only — the
+    * two the single-value decode understands; anything else refuses
+    * rather than comparing bytes with the wrong collation.
+    *
+    * Delete-bearing snapshots refuse for now: applying position /
+    * equality deletes to a PRUNED file set needs the delete joins
+    * restricted to kept files — correct but untested territory; the
+    * refusal names the gap instead of risking resurrected rows.
+    *
+    * This is the planner-side half of what the manifests' bounds are
+    * FOR at 100 TB: a predicate touching one day of a year-long table
+    * opens 1/365 of the files, and the decision costs one manifest
+    * walk — no parquet footer, no data page. */
+  def readPruned(spark: SparkSession, location: String, column: String,
+                 lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val s = snapshot(spark, location)
+    require(s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty,
+      s"readPruned at $location: snapshot ${s.snapshotId} carries " +
+        "row-level deletes — bounds pruning with delete application " +
+        "is not implemented; read() serves this table correctly")
+    val schema = schemaFromIceberg(s.schemaJson)
+    val idx = schema.fieldNames.indexOf(column)
+    require(idx >= 0, s"readPruned: column $column not in the " +
+      s"table schema at $location")
+    require(schema(idx).dataType == LongType ||
+        schema(idx).dataType == IntegerType,
+      s"readPruned: column $column is ${schema(idx).dataType} — " +
+        "bounds pruning implemented for int/long only")
+    val fieldId = idx + 1
+    val kept = s.files.filter { f =>
+      s.bounds.get(f).flatMap(_.get(fieldId)) match {
+        case Some((bLo, bHi)) => leLong(bHi) >= lo && leLong(bLo) <= hi
+        case None => true // no bounds recorded → cannot skip
+      }
+    }
+    val pred = col(column) >= lo && col(column) <= hi
+    val rows =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.parquet(kept: _*).filter(pred)
+    (rows, kept.size, s.files.size)
   }
 
   /** All snapshot ids, commit order (the time-travel catalog). */
@@ -479,7 +635,19 @@ object IcebergLite {
       |       "field-id": 104},
       |      {"name": "equality_ids", "type": ["null",
       |       {"type": "array", "items": "int"}], "default": null,
-      |       "field-id": 135}
+      |       "field-id": 135},
+      |      {"name": "lower_bounds", "type": ["null",
+      |       {"type": "array", "logicalType": "map", "items":
+      |        {"type": "record", "name": "k126_v127", "fields": [
+      |          {"name": "key", "type": "int", "field-id": 126},
+      |          {"name": "value", "type": "bytes", "field-id": 127}
+      |        ]}}], "default": null, "field-id": 125},
+      |      {"name": "upper_bounds", "type": ["null",
+      |       {"type": "array", "logicalType": "map", "items":
+      |        {"type": "record", "name": "k129_v130", "fields": [
+      |          {"name": "key", "type": "int", "field-id": 129},
+      |          {"name": "value", "type": "bytes", "field-id": 130}
+      |        ]}}], "default": null, "field-id": 128}
       |    ]}}
       |]}""".stripMargin)
 
@@ -492,6 +660,31 @@ object IcebergLite {
       |   "default": 0},
       |  {"name": "added_snapshot_id", "type": "long", "field-id": 503}
       |]}""".stripMargin)
+
+  /** Attach column bounds to a data_file record as the spec's k_v
+    * map arrays (lower_bounds 125, upper_bounds 128) — what lets a
+    * planner (ours in readPruned, or a foreign engine's) skip whole
+    * files on a predicate without opening them. */
+  private def putBounds(dataFile: GenericRecord,
+      bounds: Map[Int, (Array[Byte], Array[Byte])]): Unit =
+    if (bounds.nonEmpty) {
+      def kv(field: String,
+             pick: ((Array[Byte], Array[Byte])) => Array[Byte]): Unit = {
+        val arrSchema = dataFile.getSchema.getField(field).schema()
+          .getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        val recSchema = arrSchema.getElementType
+        val list = new java.util.ArrayList[GenericRecord]()
+        bounds.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val rec = new GenericData.Record(recSchema)
+          rec.put("key", k)
+          rec.put("value", java.nio.ByteBuffer.wrap(pick(v)))
+          list.add(rec)
+        }
+        dataFile.put(field, list)
+      }
+      kv("lower_bounds", _._1)
+      kv("upper_bounds", _._2)
+    }
 
   private def writeAvro(spark: SparkSession, p: Path, schema: Schema,
                         records: Seq[GenericRecord]): Long = {
@@ -575,6 +768,7 @@ object IcebergLite {
       dataFile.put("record_count",
         parquetRowCount(spark, path))
       dataFile.put("file_size_in_bytes", st.getLen)
+      putBounds(dataFile, parquetColumnBounds(spark, path))
       val e = new GenericData.Record(manifestEntrySchema)
       e.put("status", status)
       e.put("snapshot_id", snapId)
@@ -814,6 +1008,7 @@ object IcebergLite {
             dataFile.put("record_count",
               parquetRowCount(spark, path))
             dataFile.put("file_size_in_bytes", st.getLen)
+            putBounds(dataFile, parquetColumnBounds(spark, path))
             val e = new GenericData.Record(manifestEntrySchema)
             e.put("status", 1)
             e.put("snapshot_id", snapId)

@@ -310,4 +310,58 @@ class IcebergSpec extends AnyFunSuite {
     assert(s5.republished === 1 && s5.appended === 0)
     assert(VersionedParquet.read(spark, mirror2).count() === 12L)
   }
+
+  test("manifest column bounds: written from footers, read back, and " +
+    "readPruned opens only overlapping files — zero on a miss, all " +
+    "on a boundless column, refusals name their gap") {
+    import spark.implicits._
+    val loc = tmp("bounds")
+    // three disjoint single-file ranges: [0,10), [10,20), [20,30)
+    IcebergLite.export(spark,
+      (0L until 10L).map(i => (i, s"a$i")).toDF("id", "name")
+        .coalesce(1), loc)
+    IcebergLite.appendManifest(spark,
+      (10L until 20L).map(i => (i, s"b$i")).toDF("id", "name")
+        .coalesce(1), loc)
+    IcebergLite.appendManifest(spark,
+      (20L until 30L).map(i => (i, s"c$i")).toDF("id", "name")
+        .coalesce(1), loc)
+    val snap = IcebergLite.snapshot(spark, loc)
+    assert(snap.files.length === 3)
+    // every file carries decodable bounds for field 1 (id)
+    snap.files.foreach { f =>
+      val b = snap.bounds(f)(1)
+      assert(IcebergLite.leLong(b._1) >= 0L &&
+        IcebergLite.leLong(b._2) <= 29L &&
+        IcebergLite.leLong(b._1) <= IcebergLite.leLong(b._2))
+    }
+    // overlap: [8, 12] spans exactly two files
+    val (rows, scanned, total) =
+      IcebergLite.readPruned(spark, loc, "id", 8L, 12L)
+    assert((scanned, total) === ((2, 3)))
+    assert(rows.select("id").as[Long].collect().sorted.toSeq ===
+      (8L to 12L))
+    // miss: an empty plan still serves the declared schema, 0 files
+    val (none, s0, _) = IcebergLite.readPruned(spark, loc, "id",
+      100L, 200L)
+    assert(s0 === 0 && none.count() === 0L &&
+      none.columns.toSeq === Seq("id", "name"))
+    // refusals name the gap: string column, unknown column
+    val e1 = intercept[IllegalArgumentException](
+      IcebergLite.readPruned(spark, loc, "name", 0L, 1L))
+    assert(e1.getMessage.contains("int/long only"))
+    val e2 = intercept[IllegalArgumentException](
+      IcebergLite.readPruned(spark, loc, "nope", 0L, 1L))
+    assert(e2.getMessage.contains("not in the"))
+    // delete-bearing snapshot refuses pruned reads (named gap)
+    val files = IcebergLite.snapshot(spark, loc).files
+    val dels = spark.read.parquet(files: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") === 5L).select("file_path", "pos")
+    IcebergLite.exportPositionDeletes(spark, dels, loc)
+    val e3 = intercept[IllegalArgumentException](
+      IcebergLite.readPruned(spark, loc, "id", 0L, 30L))
+    assert(e3.getMessage.contains("row-level deletes"))
+  }
 }
