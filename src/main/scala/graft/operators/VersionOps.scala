@@ -2533,6 +2533,39 @@ object VersionOps {
              |         AS files_scanned,
              |       CAST((SELECT count(*) FROM bounds) AS INT)
              |         AS files_total
+             |FROM hit""".stripMargin)),
+
+    // q248 — Delta STATS FILE SKIPPING: the cross-format twin of
+    // q247. Every add action now carries the spec's `stats` JSON
+    // (numRecords + minValues/maxValues, sourced from the parquet
+    // FOOTERS at commit time) and the scan planner prunes whole files
+    // from the LOG alone — the same 8-bucket table, the same 3-bucket
+    // predicate, the same independent oracle re-derivation. With q247
+    // this closes scan-planning parity across both open formats: a
+    // graft export is file-skippable by Spark/Trino/DuckDB's own
+    // Delta and Iceberg readers, and by ours.
+    QueryDef("q248_delta_stats_pruning",
+      (s, d) => s.read.parquet(deltaPrunePath(s, d)),
+      Some("""WITH o AS (SELECT o_orderkey AS k FROM orders),
+             |kk AS (SELECT max(k) // 8 + 1 AS w FROM o),
+             |b AS (SELECT k, k // kk.w AS bucket FROM o, kk),
+             |bounds AS (
+             |  SELECT bucket, min(k) AS blo, max(k) AS bhi
+             |  FROM b GROUP BY 1),
+             |pred AS (
+             |  SELECT 2 * kk.w + kk.w // 2 AS plo,
+             |         4 * kk.w + kk.w // 4 AS phi
+             |  FROM kk),
+             |hit AS (
+             |  SELECT k FROM b, pred WHERE k BETWEEN plo AND phi)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(k) AS BIGINT) AS sum_key,
+             |       min(k) AS min_key, max(k) AS max_key,
+             |       CAST((SELECT count(*) FROM bounds, pred
+             |             WHERE bhi >= plo AND blo <= phi) AS INT)
+             |         AS files_scanned,
+             |       CAST((SELECT count(*) FROM bounds) AS INT)
+             |         AS files_total
              |FROM hit""".stripMargin))
   )
 
@@ -2789,6 +2822,37 @@ object VersionOps {
       val (plo, phi) = (2 * w + w / 2, 4 * w + w / 4)
       val (rows, scanned, total) =
         IcebergLite.readPruned(s, table, "k", plo, phi)
+      val out = rows.agg(count(lit(1)).as("n_rows"),
+          sum("k").cast("long").as("sum_key"),
+          min("k").as("min_key"), max("k").as("max_key"))
+        .withColumn("files_scanned", lit(scanned))
+        .withColumn("files_total", lit(total))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q248 builder: the Delta twin of icebergPrunePath — 8 range-
+    * bucketed single-file append commits, then a stats-pruned scan
+    * over the same 3-bucket key range. Once per session. */
+  private def deltaPrunePath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q248-delta")
+    val outPath = Scratch.dir(s, "q248-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      val maxK = o.agg(max("k")).head.getLong(0)
+      val w = maxK / 8 + 1
+      val buckets = o.select(expr(s"k div $w").as("b"))
+        .distinct().orderBy("b").collect().map(_.getLong(0))
+      buckets.foreach { b =>
+        DeltaLite.exportAppend(s,
+          o.filter(expr(s"k div $w") === b).coalesce(1), table)
+      }
+      val (plo, phi) = (2 * w + w / 2, 4 * w + w / 4)
+      val (rows, scanned, total) =
+        DeltaLite.readPruned(s, table, "k", plo, phi)
       val out = rows.agg(count(lit(1)).as("n_rows"),
           sum("k").cast("long").as("sum_key"),
           min("k").as("min_key"), max("k").as("max_key"))

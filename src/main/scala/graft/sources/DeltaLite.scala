@@ -68,12 +68,21 @@ object DeltaLite {
     * column-mapping mode ("none" | "name" | "id" — from
     * `delta.columnMapping.mode`), and each live file's deletion
     * vector (absent key = no rows masked). */
+  /** Per-file statistics from an add action's `stats` JSON — numeric
+    * (int/long) min/max only, the kinds the pruning planner compares;
+    * other column types stay in the JSON for foreign readers but are
+    * not folded here. */
+  final case class AddStats(numRecords: Long,
+                            mins: Map[String, Long],
+                            maxs: Map[String, Long])
+
   final case class Snapshot(files: Seq[String],
                             partitionColumns: Seq[String],
                             schema: Option[StructType],
                             version: Long,
                             columnMappingMode: String = "none",
-                            deletionVectors: Map[String, Dv] = Map.empty)
+                            deletionVectors: Map[String, Dv] = Map.empty,
+                            stats: Map[String, AddStats] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -112,6 +121,7 @@ object DeltaLite {
         .map(p => mapper.readTree(readText(spark, p)).get("version").asLong)
         .filter(v => asOf.forall(v <= _))
     val live = mutable.LinkedHashMap.empty[String, Option[Dv]]
+    val fileStats = mutable.LinkedHashMap.empty[String, AddStats]
     var partCols: Seq[String] = Nil
     var schema: Option[StructType] = None
     var mappingMode = "none"
@@ -230,16 +240,37 @@ object DeltaLite {
                     d.get("sizeInBytes").asInt,
                     d.get("cardinality").asLong)
                 }
-              live.put(ad.get("path").asText, dv)
+              val path = ad.get("path").asText
+              live.put(path, dv)
+              // `stats` is a JSON STRING per the spec; fold the
+              // numeric min/max (the pruning planner's inputs)
+              Option(ad.get("stats")).filterNot(_.isNull)
+                .map(s => mapper.readTree(s.asText)).foreach { st =>
+                  def numeric(node: String): Map[String, Long] =
+                    Option(st.get(node)).map { n =>
+                      n.fields().asScala
+                        .filter(_.getValue.isIntegralNumber)
+                        .map(e => e.getKey -> e.getValue.asLong)
+                        .toMap
+                    }.getOrElse(Map.empty)
+                  fileStats.put(path, AddStats(
+                    Option(st.get("numRecords")).map(_.asLong)
+                      .getOrElse(0L),
+                    numeric("minValues"), numeric("maxValues")))
+                }
             }
-            if (a.has("remove"))
-              live.remove(a.get("remove").get("path").asText)
+            if (a.has("remove")) {
+              val p = a.get("remove").get("path").asText
+              live.remove(p)
+              fileStats.remove(p)
+            }
           }
       }
     val version = (commits.map(_._1) ++ checkpoint).maxOption.getOrElse(
       throw new IOException(s"$table has an empty _delta_log"))
     Snapshot(live.keys.toSeq, partCols, schema, version, mappingMode,
-      live.collect { case (p, Some(dv)) => p -> dv }.toMap)
+      live.collect { case (p, Some(dv)) => p -> dv }.toMap,
+      fileStats.filter { case (p, _) => live.contains(p) }.toMap)
   }
 
   /** Read the table's live state (or `asOf` a pinned version) as a
@@ -547,10 +578,116 @@ object DeltaLite {
       else prior.toSeq.flatMap(_.files).map(p =>
         s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":0,"dataChange":true}}""")
     val adds = named.map { case (n, sz) =>
-      s"""{"add":{"path":"${esc(n)}","partitionValues":{},"size":$sz,"modificationTime":0,"dataChange":true}}""" }
+      val stats = footerStatsJson(spark, new Path(tableP, n))
+      s"""{"add":{"path":"${esc(n)}","partitionValues":{},"size":$sz,"modificationTime":0,"dataChange":true,"stats":"${esc(stats)}"}}""" }
     writeCommitFile(spark, table, version,
       extraActions ++ head ++ removes ++ adds)
     version
+  }
+
+  /** The add action's `stats` JSON from the placed file's parquet
+    * FOOTER (no data read): numRecords plus minValues/maxValues for
+    * top-level int/long/string columns — what lets a planner (ours in
+    * readPruned, or a foreign engine's) skip the file on a predicate.
+    * Columns without usable footer stats are simply absent (legal;
+    * pruning treats absence as "cannot skip"). */
+  private def footerStatsJson(spark: SparkSession, p: Path): String = {
+    import org.apache.parquet.column.statistics._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val root = mapper.createObjectNode()
+      root.put("numRecords", r.getRecordCount)
+      val mins = root.putObject("minValues")
+      val maxs = root.putObject("maxValues")
+      val longMin = mutable.LinkedHashMap.empty[String, Long]
+      val longMax = mutable.LinkedHashMap.empty[String, Long]
+      val strMin = mutable.LinkedHashMap.empty[String, String]
+      val strMax = mutable.LinkedHashMap.empty[String, String]
+      r.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { c =>
+          if (c.getPath.size() == 1) {
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            if (st != null && !st.isEmpty && st.hasNonNullValue)
+              st match {
+                case s: IntStatistics =>
+                  longMin(name) = math.min(
+                    longMin.getOrElse(name, Long.MaxValue), s.getMin)
+                  longMax(name) = math.max(
+                    longMax.getOrElse(name, Long.MinValue), s.getMax)
+                case s: LongStatistics =>
+                  longMin(name) = math.min(
+                    longMin.getOrElse(name, Long.MaxValue), s.getMin)
+                  longMax(name) = math.max(
+                    longMax.getOrElse(name, Long.MinValue), s.getMax)
+                case s: BinaryStatistics =>
+                  val (mn, mx) = (s.minAsString(), s.maxAsString())
+                  strMin(name) = strMin.get(name)
+                    .map(v => if (v <= mn) v else mn).getOrElse(mn)
+                  strMax(name) = strMax.get(name)
+                    .map(v => if (v >= mx) v else mx).getOrElse(mx)
+                case _ => () // other types: omit
+              }
+          }
+        }
+      }
+      longMin.foreach { case (k, v) => mins.put(k, v) }
+      longMax.foreach { case (k, v) => maxs.put(k, v) }
+      strMin.foreach { case (k, v) => mins.put(k, v) }
+      strMax.foreach { case (k, v) => maxs.put(k, v) }
+      mapper.writeValueAsString(root)
+    } finally r.close()
+  }
+
+  /** Scan with FILE SKIPPING on the log's per-file stats: plan the
+    * live files whose [min, max] for `column` overlaps [lo, hi], read
+    * ONLY those, apply the exact predicate on top. Returns (rows,
+    * filesScanned, filesTotal). A file without stats for the column
+    * is kept (conservative). The Delta twin of IcebergLite.readPruned
+    * — same contract, same refusals: DV-bearing snapshots and mapped
+    * columns refuse loudly rather than risk a wrong plan. */
+  def readPruned(spark: SparkSession, table: String, column: String,
+                 lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(spark, table)
+    require(snap.deletionVectors.isEmpty,
+      s"readPruned at $table: version ${snap.version} carries " +
+        "deletion vectors — stats pruning with DV application is not " +
+        "implemented; read() serves this table correctly")
+    require(snap.columnMappingMode == "none",
+      s"readPruned at $table: column mapping mode " +
+        s"'${snap.columnMappingMode}' — stats pruning resolves " +
+        "logical names only on unmapped tables")
+    val schema = snap.schema.getOrElse(throw new IOException(
+      s"$table declares no schema — cannot type-check the predicate"))
+    require(schema.fieldNames.contains(column),
+      s"readPruned: column $column not in the table schema at $table")
+    require(schema(column).dataType == org.apache.spark.sql.types
+        .LongType || schema(column).dataType == org.apache.spark.sql
+        .types.IntegerType,
+      s"readPruned: column $column is ${schema(column).dataType} — " +
+        "stats pruning implemented for int/long only")
+    val kept = snap.files.filter { f =>
+      snap.stats.get(f) match {
+        case Some(st) =>
+          (st.mins.get(column), st.maxs.get(column)) match {
+            case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+            case _ => true // no stats for the column → cannot skip
+          }
+        case None => true
+      }
+    }
+    val pred = col(column) >= lo && col(column) <= hi
+    val rows =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.option("basePath", table)
+        .parquet(kept.map(f => new Path(table, f).toString): _*)
+        .filter(pred)
+    (rows, kept.size, snap.files.size)
   }
 
   /** Write a parquet checkpoint of the current state plus the

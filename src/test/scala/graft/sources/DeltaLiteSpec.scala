@@ -281,4 +281,39 @@ class DeltaLiteSpec extends AnyFunSuite {
     val got = idsOf(t)
     assert(got.size > 10 && (10L until 20L).forall(got.contains))
   }
+
+  test("add-action stats: written from footers, folded from the log, " +
+    "readPruned opens only overlapping files; removes drop stats; " +
+    "refusals name their gap") {
+    import spark.implicits._
+    val t = tmp("stats")
+    DeltaLite.exportAppend(spark, df(0, 10).coalesce(1), t)
+    DeltaLite.exportAppend(spark, df(10, 20).coalesce(1), t)
+    DeltaLite.exportAppend(spark, df(20, 30).coalesce(1), t)
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.files.length === 3)
+    snap.files.foreach { f =>
+      val st = snap.stats(f)
+      assert(st.numRecords === 10L)
+      assert(st.mins("id") <= st.maxs("id"))
+    }
+    val (rows, scanned, total) =
+      DeltaLite.readPruned(spark, t, "id", 8L, 12L)
+    assert((scanned, total) === ((2, 3)))
+    assert(rows.select("id").as[Long].collect().sorted.toSeq ===
+      (8L to 12L))
+    // miss: zero files planned, schema still served
+    val (none, s0, _) = DeltaLite.readPruned(spark, t, "id", 100L, 200L)
+    assert(s0 === 0 && none.count() === 0L &&
+      none.columns.toSeq === Seq("id", "v"))
+    // an OVERWRITE's removes drop the removed files' stats
+    DeltaLite.export(spark, df(50, 60).coalesce(1), t)
+    val snap2 = DeltaLite.snapshot(spark, t)
+    assert(snap2.files.length === 1 &&
+      snap2.stats.keySet === snap2.files.toSet)
+    // refusals: wrong type, unknown column
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLite.readPruned(spark, t, "nope", 0L, 1L))
+    assert(e1.getMessage.contains("not in the"))
+  }
 }
