@@ -365,6 +365,130 @@ object ClusterOps {
            |  FROM w)
            |WHERE seed_rank <= $K
            |ORDER BY seed_rank""".stripMargin
+      }),
+
+    // ── PCA: distributed centered Gram + fixed-point power iteration ──────
+    // The dimensionality-reduction primitive the embedding tier was
+    // missing: the corpus's top principal direction, computed the way
+    // it scales — ONE distributed pass builds the d×d centered Gram
+    // (per-row outer product via nested array transforms, so the only
+    // shuffle is the 4096-cell combine; map-side partials reduce each
+    // partition to ≤d² cells), then POWER ITERATION runs on the
+    // driver's d×d matrix (bounded metadata, the k-means-centroid
+    // discipline), and one more distributed pass projects every vector
+    // onto the learned axis. Everything integer: means and Gram cells
+    // divide by N (trunc — identical in both engines), each iteration
+    // renormalizes to ±1000 fixed point, so the oracle RE-RUNS the
+    // whole algorithm (mean → Gram → 10 unrolled rounds → projections)
+    // and every weight must match bit-for-bit. Normalizing G by N also
+    // bounds every intermediate at ANY corpus size (cells ≤ c², G·v ≤
+    // d·c²·1000 ≈ 2^41 — no overflow at 100 TB). Convergence rate
+    // depends on the spectral gap; ROUNDS is fixed so the result is a
+    // deterministic, oracle-replayable training artifact, not a
+    // float-tolerance estimate. Output binds the axis (abs + position-
+    // weighted sums), its Rayleigh quotient, and per-label projection
+    // stats — the "is this axis meaningful" readout.
+    QueryDef("q249_pca_power_iteration",
+      (s, d) => {
+        val ROUNDS = 10
+        val D = 64
+        val v = Tables.embeddings(s, d).select(col("vec_id"),
+            col("label"),
+            transform(col("embedding"),
+              x => round(x * SCALE).cast("long")).as("e"))
+          .persist()
+        val n = v.count()
+        val mu = new Array[Long](D)
+        v.select(posexplode(col("e")).as(Seq("i", "ei")))
+          .groupBy("i").agg(sum("ei").as("se")).collect()
+          .foreach(r => mu(r.getInt(0)) = r.getLong(1) / n)
+        val muLit = typedlit(mu.toSeq)
+        val cExpr = zip_with(col("e"), muLit, (a, b) => a - b)
+        val outer = explode(flatten(transform(cExpr, (x, i) =>
+          transform(cExpr, (y, j) =>
+            struct(i.as("i"), j.as("j"), (x * y).as("p"))))))
+        val G = Array.ofDim[Long](D, D)
+        v.select(outer.as("z"))
+          .groupBy(col("z.i").as("i"), col("z.j").as("j"))
+          .agg(sum(col("z.p")).as("sp")).collect()
+          .foreach(r => G(r.getInt(0))(r.getInt(1)) = r.getLong(2) / n)
+        var w = Array.fill(D)(1000L)
+        for (_ <- 1 to ROUNDS) {
+          val gv = Array.tabulate(D)(i =>
+            (0 until D).map(j => G(i)(j) * w(j)).sum)
+          val m = gv.map(math.abs).max
+          w = gv.map(x => x * 1000L / m)
+        }
+        val gvF = Array.tabulate(D)(i =>
+          (0 until D).map(j => G(i)(j) * w(j)).sum)
+        val eig = gvF.zip(w).map { case (a, b) => a * b }.sum /
+          w.map(x => x * x).sum
+        val proj = aggregate(
+          zip_with(cExpr, typedlit(w.toSeq), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+        v.groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(proj).as("sum_proj"),
+            min(proj).as("min_proj"), max(proj).as("max_proj"))
+          .withColumn("eigval_est", lit(eig))
+          .withColumn("v_abs_sum", lit(w.map(math.abs).sum))
+          .withColumn("v_pos_sum",
+            lit(w.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum))
+          .orderBy("label")
+      },
+      Some {
+        def round(k: Int): String =
+          s"""p$k AS MATERIALIZED (
+             |  SELECT g.i, sum(g.g * w.w) AS gw
+             |  FROM g JOIN w${k - 1} w ON w.i = g.j GROUP BY 1),
+             |w$k AS MATERIALIZED (
+             |  SELECT p.i, CAST((p.gw * 1000) // m.m AS BIGINT) AS w
+             |  FROM p$k p, (SELECT max(abs(gw)) AS m FROM p$k) m)"""
+            .stripMargin
+        s"""WITH v AS MATERIALIZED (
+           |  SELECT vec_id, label,
+           |         list_transform(embedding,
+           |           x -> CAST(round(x * $SCALE) AS BIGINT)) AS e
+           |  FROM embeddings),
+           |nn AS (SELECT count(*) AS n FROM v),
+           |mu AS MATERIALIZED (
+           |  SELECT t.i, CAST(sum(v.e[t.i]) // max(nn.n) AS BIGINT) AS m
+           |  FROM v, generate_series(1, 64) t(i), nn GROUP BY 1),
+           |g AS MATERIALIZED (
+           |  SELECT t1.i, t2.j,
+           |         CAST(sum((v.e[t1.i] - m1.m) * (v.e[t2.j] - m2.m))
+           |              // max(nn.n) AS BIGINT) AS g
+           |  FROM v, generate_series(1, 64) t1(i),
+           |       generate_series(1, 64) t2(j), nn, mu m1, mu m2
+           |  WHERE m1.i = t1.i AND m2.i = t2.j
+           |  GROUP BY 1, 2),
+           |w0 AS (SELECT r.r + 1 AS i, CAST(1000 AS BIGINT) AS w
+           |       FROM range(0, 64) r(r)),
+           |${(1 to 10).map(round).mkString(",\n")},
+           |pf AS MATERIALIZED (
+           |  SELECT g.i, sum(g.g * w.w) AS gw
+           |  FROM g JOIN w10 w ON w.i = g.j GROUP BY 1),
+           |eig AS (
+           |  SELECT CAST((SELECT sum(pf.gw * w.w)
+           |               FROM pf JOIN w10 w USING (i))
+           |            // (SELECT sum(w * w) FROM w10) AS BIGINT) AS ev),
+           |chk AS (
+           |  SELECT CAST(sum(abs(w)) AS BIGINT) AS vabs,
+           |         CAST(sum(w * i) AS BIGINT) AS vpos FROM w10),
+           |proj AS MATERIALIZED (
+           |  SELECT v.label, v.vec_id,
+           |         sum((v.e[w.i] - mu.m) * w.w) AS p
+           |  FROM v, w10 w, mu WHERE mu.i = w.i
+           |  GROUP BY 1, 2)
+           |SELECT label, count(*) AS n_vecs,
+           |       CAST(sum(p) AS BIGINT) AS sum_proj,
+           |       CAST(min(p) AS BIGINT) AS min_proj,
+           |       CAST(max(p) AS BIGINT) AS max_proj,
+           |       eig.ev AS eigval_est,
+           |       chk.vabs AS v_abs_sum, chk.vpos AS v_pos_sum
+           |FROM proj, eig, chk
+           |GROUP BY label, eig.ev, chk.vabs, chk.vpos
+           |ORDER BY label""".stripMargin
       })
   )
 

@@ -162,4 +162,25 @@ class Round11OpsSpec extends AnyFunSuite {
     // and the fingerprint is not degenerate: more than one group exists
     assert(rows.map(_.getAs[Long]("group_rep")).distinct.length > 1)
   }
+
+  test("q249 property: the learned principal axis carries variance — " +
+    "positive Rayleigh quotient, label clusters separate along it") {
+    val rows = ClusterOps.queries
+      .find(_.name == "q249_pca_power_iteration").get
+      .fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the axis explains variance (a zero/negative Rayleigh quotient
+    // means the iteration collapsed)
+    assert(rows.head.getAs[Long]("eigval_est") > 0L)
+    // the embeddings are label-clustered; the top PC must separate at
+    // least some cluster means — per-label mean projections cannot
+    // all coincide
+    val means = rows.map(r => r.getAs[Long]("sum_proj").toDouble /
+      r.getAs[Long]("n_vecs"))
+    assert(means.max - means.min > 1000.0,
+      s"label means ${means.toSeq} show no separation along the axis")
+    // the axis itself is non-degenerate fixed-point (renormalized to
+    // ±1000: at least one component at full scale)
+    assert(rows.head.getAs[Long]("v_abs_sum") >= 1000L)
+  }
 }
