@@ -74,7 +74,8 @@ object DeltaLite {
     * not folded here. */
   final case class AddStats(numRecords: Long,
                             mins: Map[String, Long],
-                            maxs: Map[String, Long])
+                            maxs: Map[String, Long],
+                            json: String)
 
   final case class Snapshot(files: Seq[String],
                             partitionColumns: Seq[String],
@@ -170,6 +171,15 @@ object DeltaLite {
         if (names.contains("remove"))
           df.select("remove.path").na.drop().collect().map(_.getString(0))
         else Array.empty[String]
+      // checkpointed adds may carry `stats` — dropping them would
+      // silently degrade file skipping to scan-everything after the
+      // first checkpoint
+      if (names.contains("add") && df.schema("add").dataType
+          .asInstanceOf[StructType].fieldNames.contains("stats"))
+        df.select("add.path", "add.stats").collect().foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1))
+            fileStats.put(r.getString(0), parseAddStats(r.getString(1)))
+        }
       adds.foreach(p => live.put(p, cpDvs.get(p)))
       removes.foreach(live.remove)
     }
@@ -245,19 +255,8 @@ object DeltaLite {
               // `stats` is a JSON STRING per the spec; fold the
               // numeric min/max (the pruning planner's inputs)
               Option(ad.get("stats")).filterNot(_.isNull)
-                .map(s => mapper.readTree(s.asText)).foreach { st =>
-                  def numeric(node: String): Map[String, Long] =
-                    Option(st.get(node)).map { n =>
-                      n.fields().asScala
-                        .filter(_.getValue.isIntegralNumber)
-                        .map(e => e.getKey -> e.getValue.asLong)
-                        .toMap
-                    }.getOrElse(Map.empty)
-                  fileStats.put(path, AddStats(
-                    Option(st.get("numRecords")).map(_.asLong)
-                      .getOrElse(0L),
-                    numeric("minValues"), numeric("maxValues")))
-                }
+                .foreach(s =>
+                  fileStats.put(path, parseAddStats(s.asText)))
             }
             if (a.has("remove")) {
               val p = a.get("remove").get("path").asText
@@ -271,6 +270,22 @@ object DeltaLite {
     Snapshot(live.keys.toSeq, partCols, schema, version, mappingMode,
       live.collect { case (p, Some(dv)) => p -> dv }.toMap,
       fileStats.filter { case (p, _) => live.contains(p) }.toMap)
+  }
+
+  /** One add action's `stats` JSON → folded numeric min/max plus the
+    * raw text (carried so checkpoints can re-emit it verbatim). */
+  private def parseAddStats(text: String): AddStats = {
+    val st = mapper.readTree(text)
+    def numeric(node: String): Map[String, Long] =
+      Option(st.get(node)).map { n =>
+        n.fields().asScala
+          .filter(_.getValue.isIntegralNumber)
+          .map(e => e.getKey -> e.getValue.asLong)
+          .toMap
+      }.getOrElse(Map.empty)
+    AddStats(
+      Option(st.get("numRecords")).map(_.asLong).getOrElse(0L),
+      numeric("minValues"), numeric("maxValues"), text)
   }
 
   /** Read the table's live state (or `asOf` a pinned version) as a
@@ -697,13 +712,26 @@ object DeltaLite {
   def checkpoint(spark: SparkSession, table: String): Long = {
     import org.apache.spark.sql.functions.{col, struct, typedLit}
     val snap = snapshot(spark, table)
+    // this writer does not re-emit DV descriptors into the checkpoint;
+    // writing one anyway would RESURRECT every masked row for readers
+    // that start from it — refuse loudly (compact the DVs into data
+    // files first), the same honesty rule as readPruned
+    if (snap.deletionVectors.nonEmpty)
+      throw new IOException(s"cannot checkpoint $table: version " +
+        s"${snap.version} carries deletion vectors this checkpoint " +
+        "writer would drop (row resurrection); compact deletes into " +
+        "data files first")
     val logDir = new Path(table, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
     val schemaJson = snap.schema.map(_.json).getOrElse(
       throw new IOException(s"$table's log declares no metaData schema; " +
         "cannot checkpoint"))
-    val adds = snap.files.toDF("path").select(struct(col("path")).as("add"))
+    // stats ride along so file skipping survives log compaction
+    val adds = snap.files.map(p =>
+        (p, snap.stats.get(p).map(_.json).orNull))
+      .toDF("path", "stats")
+      .select(struct(col("path"), col("stats")).as("add"))
     val meta = Seq(1).toDF("_one").select(struct(
       typedLit(snap.partitionColumns).as("partitionColumns"),
       typedLit(schemaJson).as("schemaString"))

@@ -316,4 +316,32 @@ class DeltaLiteSpec extends AnyFunSuite {
       DeltaLite.readPruned(spark, t, "nope", 0L, 1L))
     assert(e1.getMessage.contains("not in the"))
   }
+
+  test("stats survive log compaction: a checkpoint carries them, and " +
+    "pruning still plans 2 of 3 files with every pre-checkpoint JSON " +
+    "commit deleted; DV-bearing tables refuse to checkpoint") {
+    import spark.implicits._
+    val t = tmp("cpstats")
+    DeltaLite.exportAppend(spark, df(0, 10).coalesce(1), t)
+    DeltaLite.exportAppend(spark, df(10, 20).coalesce(1), t)
+    DeltaLite.exportAppend(spark, df(20, 30).coalesce(1), t)
+    val cpV = DeltaLite.checkpoint(spark, t)
+    // Delta's retention contract: checkpointed JSON commits may vanish
+    (0L to cpV).foreach { v =>
+      Files.deleteIfExists(
+        Paths.get(t, "_delta_log", f"$v%020d.json"))
+    }
+    val (rows, scanned, total) =
+      DeltaLite.readPruned(spark, t, "id", 8L, 12L)
+    assert((scanned, total) === ((2, 3)))
+    assert(rows.count() === 5L)
+    // a DV-bearing table must refuse to checkpoint (this writer would
+    // drop the DVs — row resurrection for checkpoint-first readers)
+    val t2 = tmp("cpdv")
+    DeltaLite.export(spark, df(0, 20).coalesce(1), t2)
+    val f0 = DeltaLite.snapshot(spark, t2).files.head
+    DeltaLite.commitDeletionVectors(spark, t2, Map(f0 -> Array(0L, 1L)))
+    val e = intercept[java.io.IOException](DeltaLite.checkpoint(spark, t2))
+    assert(e.getMessage.contains("deletion vectors"))
+  }
 }
