@@ -2566,7 +2566,35 @@ object VersionOps {
              |         AS files_scanned,
              |       CAST((SELECT count(*) FROM bounds) AS INT)
              |         AS files_total
-             |FROM hit""".stripMargin))
+             |FROM hit""".stripMargin)),
+
+    // q250 — Iceberg SNAPSHOT EXPIRY: the retention maintenance a
+    // long-lived table needs (and the interop twin of the in-house
+    // vacuum): three full-replace exports, expire to the last one —
+    // the two old snapshots leave the metadata in a NEW metadata
+    // version (commit first, hint swap last), their two orphaned data
+    // files are physically deleted, pinning an expired id refuses by
+    // name, and the live view is untouched. The oracle replays the
+    // final export over raw orders and pins the lifecycle counters;
+    // a deleted live file (data loss), a surviving orphan, or a
+    // still-pinnable expired snapshot breaks the gate.
+    QueryDef("q250_iceberg_expire",
+      (s, d) => s.read.parquet(icebergExpirePath(s, d))
+        .orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (SELECT * FROM o WHERE k % 3 = 2)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       2 AS n_expired, 2 AS n_files_deleted,
+             |       3 AS n_snapshots_before, 1 AS n_snapshots_after,
+             |       1 AS expired_pin_refused
+             |FROM live
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin))
   )
 
   /** q240 builder: a COLUMN-MAPPED foreign Delta table (the layout
@@ -2827,6 +2855,46 @@ object VersionOps {
           min("k").as("min_key"), max("k").as("max_key"))
         .withColumn("files_scanned", lit(scanned))
         .withColumn("files_total", lit(total))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q250 builder: three full-replace exports (k%3 slices), expire to
+    * the newest, verify the lifecycle counters + refusal + physical
+    * deletion + untouched live view. Once per session. */
+  private def icebergExpirePath(s: SparkSession, dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q250-iceberg")
+    val outPath = Scratch.dir(s, "q250-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val s1 = IcebergLite.export(s, o.filter(col("k") % 3 === 0)
+        .coalesce(1), table)
+      IcebergLite.export(s, o.filter(col("k") % 3 === 1)
+        .coalesce(1), table, overwrite = true)
+      IcebergLite.export(s, o.filter(col("k") % 3 === 2)
+        .coalesce(1), table, overwrite = true)
+      val before = IcebergLite.snapshotIds(s, table).length
+      val (nExpired, nDeleted) =
+        IcebergLite.expireSnapshots(s, table, keepLast = 1)
+      val after = IcebergLite.snapshotIds(s, table).length
+      val refused =
+        try { IcebergLite.read(s, table, Some(s1)); 0 }
+        catch { case e: java.io.IOException
+          if e.getMessage.contains("expired or never") => 1 }
+      val out = IcebergLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_expired", lit(nExpired))
+        .withColumn("n_files_deleted", lit(nDeleted))
+        .withColumn("n_snapshots_before", lit(before))
+        .withColumn("n_snapshots_after", lit(after))
+        .withColumn("expired_pin_refused", lit(refused))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

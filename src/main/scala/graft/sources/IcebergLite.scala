@@ -547,6 +547,88 @@ object IcebergLite {
     (rows, kept.size, s.files.size)
   }
 
+  /** Expire all but the last `keepLast` snapshots — the retention
+    * maintenance every long-lived Iceberg table needs (Iceberg's own
+    * `expireSnapshots` contract): the snapshot list shrinks in a NEW
+    * metadata version (history is append-only; the hint swaps last,
+    * the spec's commit order), and files reachable ONLY through
+    * expired snapshots are physically deleted — data files, delete
+    * files, manifests, manifest lists. Reachability is computed the
+    * safe way: a file mentioned by any KEPT snapshot's manifests with
+    * a live status (or any delete-file entry) survives; status=2
+    * tombstone mentions do not pin a file (readers skip them by
+    * spec). Returns (snapshotsExpired, filesDeleted — data/delete
+    * files only, manifests not counted).
+    *
+    * Refuses when the CURRENT snapshot would expire: that is not
+    * retention, that is data loss. */
+  def expireSnapshots(spark: SparkSession, location: String,
+                      keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val metaP = metadataPath(spark, location)
+    val fs = fsOf(spark, metaP)
+    val meta = mapper.readTree(readText(spark, metaP))
+    val snapsNode = Option(meta.get("snapshots"))
+      .getOrElse(throw new IOException(
+        s"Iceberg table at $location has no snapshots"))
+    val snaps = snapsNode.elements().asScala.toSeq
+    if (snaps.length <= keepLast) return (0, 0)
+    val current = meta.get("current-snapshot-id").asLong
+    val (removed, kept) = snaps.splitAt(snaps.length - keepLast)
+    if (!kept.exists(_.get("snapshot-id").asLong == current))
+      throw new IOException(s"refusing to expire the CURRENT snapshot " +
+        s"$current at $location — that is data loss, not retention")
+    // one snapshot's reachable paths: (its manifest-list + manifests,
+    // the data/delete files its live entries mention)
+    def reach(snap: com.fasterxml.jackson.databind.JsonNode,
+              liveOnly: Boolean): (Set[String], Set[String]) = {
+      val listP = new Path(snap.get("manifest-list").asText)
+      val metaPaths = Set.newBuilder[String]
+      val filePaths = Set.newBuilder[String]
+      metaPaths += listP.toString
+      avroRecords(spark, listP).foreach { mf =>
+        val mPath = str(mf, "manifest_path").getOrElse(
+          throw new IOException("manifest_file missing manifest_path"))
+        metaPaths += mPath
+        avroRecords(spark, new Path(mPath)).foreach { entry =>
+          val status = long0(entry, "status")
+          if (!liveOnly || status != 2L) {
+            val df = entry.get("data_file").asInstanceOf[GenericRecord]
+            str(df, "file_path").foreach(filePaths += _)
+          }
+        }
+      }
+      (metaPaths.result(), filePaths.result())
+    }
+    val (keptMeta, keptFiles) = kept.map(reach(_, liveOnly = true))
+      .reduce((a, b) => (a._1 ++ b._1, a._2 ++ b._2))
+    val (remMeta, remFiles) = removed.map(reach(_, liveOnly = false))
+      .reduce((a, b) => (a._1 ++ b._1, a._2 ++ b._2))
+    // commit FIRST (new metadata without the expired snapshots, hint
+    // swapped last), delete after — a crash between the two leaks
+    // orphan files (re-running expiry cannot resurrect a misread)
+    val newMeta = meta.deepCopy[com.fasterxml.jackson.databind.node
+      .ObjectNode]
+    val arr = mapper.createArrayNode()
+    kept.foreach(arr.add)
+    newMeta.set[com.fasterxml.jackson.databind.JsonNode]("snapshots", arr)
+    val curV = "^v(\\d+)\\.metadata\\.json$".r
+      .findFirstMatchIn(metaP.getName).map(_.group(1).toLong)
+      .getOrElse(throw new IOException(
+        s"cannot parse metadata version from ${metaP.getName}"))
+    val metaDir = metaP.getParent
+    writeText(spark, new Path(metaDir, s"v${curV + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(newMeta))
+    writeText(spark, new Path(metaDir, "version-hint.text"),
+      (curV + 1).toString)
+    var deletedData = 0
+    (remFiles -- keptFiles).foreach { p =>
+      if (fs.delete(new Path(p), false)) deletedData += 1
+    }
+    (remMeta -- keptMeta).foreach(p => fs.delete(new Path(p), false))
+    (removed.length, deletedData)
+  }
+
   /** All snapshot ids, commit order (the time-travel catalog). */
   def snapshotIds(spark: SparkSession, location: String): Seq[Long] = {
     val meta = mapper.readTree(readText(spark,

@@ -364,4 +364,37 @@ class IcebergSpec extends AnyFunSuite {
       IcebergLite.readPruned(spark, loc, "id", 0L, 30L))
     assert(e3.getMessage.contains("row-level deletes"))
   }
+
+  test("expireSnapshots: manifest-reuse appends keep SHARED files " +
+    "alive, delete files of kept snapshots survive, the current " +
+    "snapshot refuses to expire, and expiry is idempotent") {
+    val loc = tmp("expire")
+    // append chain: snap2/snap3 REUSE snap1's manifest — expiring
+    // snap1 must not delete files the kept snapshots still serve
+    IcebergLite.export(spark, frame(10, "a"), loc)
+    IcebergLite.appendManifest(spark, frame(5, "b"), loc)
+    IcebergLite.appendManifest(spark, frame(3, "c"), loc)
+    // plus a position-delete snapshot: its delete FILE must survive
+    val dels = {
+      val files = IcebergLite.snapshot(spark, loc).files
+      spark.read.parquet(files: _*)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"), col("id"))
+        .filter(col("id") === 0L).select("file_path", "pos")
+    }
+    IcebergLite.exportPositionDeletes(spark, dels, loc)
+    val liveBefore = IcebergLite.read(spark, loc).count()
+    val (expired, deleted) =
+      IcebergLite.expireSnapshots(spark, loc, keepLast = 2)
+    assert(expired === 2)
+    assert(deleted === 0) // every data file is still reachable (reuse)
+    assert(IcebergLite.snapshotIds(spark, loc).length === 2)
+    // the live view is untouched — including the delete application
+    assert(IcebergLite.read(spark, loc).count() === liveBefore)
+    // idempotent: nothing left to expire at keepLast = 2
+    assert(IcebergLite.expireSnapshots(spark, loc, 2) === ((0, 0)))
+    // current snapshot cannot expire (keepLast >= 1 enforced too)
+    intercept[IllegalArgumentException](
+      IcebergLite.expireSnapshots(spark, loc, 0))
+  }
 }
