@@ -446,6 +446,94 @@ object SampleOps {
              |         AS tail_checksum
              |FROM terms
              |GROUP BY 1
-             |ORDER BY epoch""".stripMargin))
+             |ORDER BY epoch""".stripMargin)),
+
+    // ── Bootstrap confidence interval: one pass, B resample replicas ──────
+    // "The corpus mean is X" is half an answer at 100 TB — the other
+    // half is the uncertainty, and the classical bootstrap (resample N
+    // rows B times) is unrunnable at scale. The POISSON BOOTSTRAP
+    // (Chamandy et al., Google 2012) gets the same intervals in ONE
+    // pass: each row enters replicate b with an independent small
+    // random weight of mean 1 — here Binomial(8, 1/8) built from
+    // seven-bit slices of the row×replicate hash, so the weights are
+    // deterministic, exactly replayable, and integer. Shape: explode
+    // B=32 weighted copies → one (replicate)-keyed combine (map-side
+    // partials collapse each partition to B cells); the replicate
+    // means' order statistics give the percentile CI. Everything
+    // integer (milli-cents means via `div`), so the oracle re-derives
+    // every weight, every replicate mean, and the interval exactly.
+    QueryDef("q251_bootstrap_ci",
+      (s, d) => {
+        val B = 32
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"), cents.as("cents"))
+        val rep = o.select(col("k"), col("cents"),
+          explode(typedlit((0L until B.toLong).toSeq)).as("b"))
+        val h = Hashing.md5Long60(
+          concat(lit("boot_"), col("b"), lit("_"), col("k")))
+        // Binomial(8, 1/8): eight 7-bit trials, each succeeds on < 16/128
+        val w = (0 until 8).map(j =>
+            when(shiftright(h, 7 * j).bitwiseAND(lit(127L)) < 16, 1L)
+              .otherwise(0L))
+          .reduce(_ + _)
+        val reps = rep
+          .select(col("b"), (w * col("cents")).as("wc"), w.as("wn"))
+          .groupBy("b")
+          .agg(sum("wc").as("sum_wc"), sum("wn").as("n_eff"))
+          .withColumn("mean_milli",
+            expr("(sum_wc * 1000) div n_eff"))
+        val ci = reps.select("mean_milli").collect()
+          .map(_.getLong(0)).sorted
+        // percentile CI on the 32 order statistics: ranks 1 and 30
+        // (0-indexed) ≈ the 2.5th / 97.5th percentiles
+        val point = o.agg(
+          expr("(sum(cents) * 1000) div count(*)").as("pm"),
+          count(lit(1)).as("n")).head
+        reps.select(col("b"), col("n_eff"), col("mean_milli"))
+          .withColumn("point_mean_milli", lit(point.getLong(0)))
+          .withColumn("n_rows", lit(point.getLong(1)))
+          .withColumn("ci_lo_milli", lit(ci(1)))
+          .withColumn("ci_hi_milli", lit(ci(30)))
+          .orderBy("b")
+      },
+      Some(s"""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |rep AS (
+             |  SELECT k, cents, b.b,
+             |         ${Hashing.md5Long60Sql(
+                "'boot_' || b.b || '_' || k")} AS h
+             |  FROM o CROSS JOIN (SELECT unnest(range(32)) AS b) b),
+             |w AS MATERIALIZED (
+             |  SELECT b, cents,
+             |         ${(0 until 8).map(j =>
+                s"(CASE WHEN ((h >> ${7 * j}) & 127) < 16 " +
+                  "THEN 1 ELSE 0 END)").mkString(" + ")} AS w
+             |  FROM rep),
+             |reps AS MATERIALIZED (
+             |  SELECT b, CAST(sum(w * cents) AS BIGINT) AS sum_wc,
+             |         CAST(sum(w) AS BIGINT) AS n_eff
+             |  FROM w GROUP BY 1),
+             |m AS MATERIALIZED (
+             |  SELECT b, n_eff, (sum_wc * 1000) // n_eff AS mean_milli
+             |  FROM reps),
+             |ranked AS (
+             |  SELECT mean_milli,
+             |         row_number() OVER (ORDER BY mean_milli) AS r
+             |  FROM m),
+             |ci AS (
+             |  SELECT max(CASE WHEN r = 2 THEN mean_milli END) AS lo,
+             |         max(CASE WHEN r = 31 THEN mean_milli END) AS hi
+             |  FROM ranked),
+             |pt AS (
+             |  SELECT (sum(cents) * 1000) // count(*) AS pm,
+             |         count(*) AS n FROM o)
+             |SELECT m.b, m.n_eff, m.mean_milli,
+             |       pt.pm AS point_mean_milli, pt.n AS n_rows,
+             |       ci.lo AS ci_lo_milli, ci.hi AS ci_hi_milli
+             |FROM m, ci, pt
+             |ORDER BY b""".stripMargin))
   )
 }

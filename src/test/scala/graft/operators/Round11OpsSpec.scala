@@ -183,4 +183,25 @@ class Round11OpsSpec extends AnyFunSuite {
     // ±1000: at least one component at full scale)
     assert(rows.head.getAs[Long]("v_abs_sum") >= 1000L)
   }
+
+  test("q251 property: the bootstrap interval is a real interval — it " +
+    "brackets the point estimate, the replicate weights average to 1, " +
+    "and the replicates genuinely vary") {
+    val rows = SampleOps.queries
+      .find(_.name == "q251_bootstrap_ci").get
+      .fn(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length === 32)
+    val h = rows.head
+    val (pt, lo, hi) = (h.getAs[Long]("point_mean_milli"),
+      h.getAs[Long]("ci_lo_milli"), h.getAs[Long]("ci_hi_milli"))
+    assert(lo < pt && pt < hi, s"CI [$lo, $hi] does not bracket $pt")
+    // mean-1 weights: every replicate's effective n within ±10% of N
+    val n = h.getAs[Long]("n_rows")
+    rows.foreach { r =>
+      val ne = r.getAs[Long]("n_eff")
+      assert(math.abs(ne - n) < n / 10, s"replicate n_eff $ne far from $n")
+    }
+    // resampling variance exists: not all replicate means coincide
+    assert(rows.map(_.getAs[Long]("mean_milli")).distinct.length > 1)
+  }
 }
