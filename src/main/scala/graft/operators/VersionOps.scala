@@ -2594,6 +2594,34 @@ object VersionOps {
              |       1 AS expired_pin_refused
              |FROM live
              |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // q252 — Iceberg RENAME EVOLUTION by field id: exported files now
+    // carry parquet field ids, a rename is METADATA-ONLY (the field
+    // keeps its id, only the schema name changes, no data file
+    // touched), and the scan resolves columns BY ID — so rows written
+    // BEFORE the rename (files whose parquet columns still say
+    // 'cents') serve under the NEW name alongside rows appended
+    // after. The oracle replays both slices from raw orders under the
+    // final name; a name-resolved read nulls or drops the old files'
+    // column and breaks the hash. Refusals: renaming id-less tables
+    // (silent column loss), colliding target names.
+    QueryDef("q252_iceberg_rename",
+      (s, d) => s.read.parquet(icebergRenamePath(s, d))
+        .orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS charge
+             |  FROM orders),
+             |live AS (
+             |  SELECT k, charge FROM o WHERE k % 3 = 0
+             |  UNION ALL
+             |  SELECT k, charge + 5 FROM o WHERE k % 3 = 1)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(charge) AS BIGINT) AS sum_charge,
+             |       count(*) AS n_rows
+             |FROM live
+             |GROUP BY 1
              |ORDER BY bucket""".stripMargin))
   )
 
@@ -2895,6 +2923,33 @@ object VersionOps {
         .withColumn("n_snapshots_before", lit(before))
         .withColumn("n_snapshots_after", lit(after))
         .withColumn("expired_pin_refused", lit(refused))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q252 builder: export under the OLD name (files say 'cents'),
+    * rename cents→charge (metadata only), append under the NEW name,
+    * read back — old and new files both serve 'charge' via field-id
+    * resolution. Once per session. */
+  private def icebergRenamePath(s: SparkSession, dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q252-iceberg")
+    val outPath = Scratch.dir(s, "q252-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      IcebergLite.export(s, o.filter(col("k") % 3 === 0), table)
+      IcebergLite.renameColumn(s, table, "cents", "charge")
+      IcebergLite.appendManifest(s,
+        o.filter(col("k") % 3 === 1)
+          .select(col("k"), (col("cents") + 5L).as("charge")), table)
+      val out = IcebergLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("charge")).cast("long").as("sum_charge"),
+          count(lit(1)).as("n_rows"))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

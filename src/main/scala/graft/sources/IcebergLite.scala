@@ -253,6 +253,18 @@ object IcebergLite {
     } finally r.close()
   }
 
+  /** Does this parquet file's footer schema carry field ids? One
+    * footer read — the probe that picks id- vs name-based column
+    * resolution at scan planning. */
+  private def parquetHasFieldIds(spark: SparkSession, p: Path): Boolean = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, spark.sparkContext.hadoopConfiguration)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .forall(_.getId != null)
+    finally r.close()
+  }
+
   /** Little-endian signed decode of a 4- or 8-byte bound payload. */
   private[graft] def leLong(b: Array[Byte]): Long = {
     val buf = java.nio.ByteBuffer.allocate(8)
@@ -446,7 +458,21 @@ object IcebergLite {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schemaFromIceberg(s.schemaJson))
     } else {
-      val data = spark.read.parquet(s.files: _*)
+      // Column resolution: Iceberg's rule is BY FIELD ID, which is
+      // what makes renames serve the new name over old files. Probe
+      // one footer (bounded metadata): id-bearing files → id
+      // resolution via the schema's parquet.field.id metadata;
+      // id-less files (legacy exports, foreign writers without ids)
+      // → name resolution, the only resolution an id-less file
+      // supports (renameColumn refuses on such tables, so the name
+      // path can never serve a renamed schema wrongly).
+      val data =
+        if (parquetHasFieldIds(spark, new Path(s.files.head))) {
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+            "true")
+          spark.read.schema(schemaFromIceberg(s.schemaJson))
+            .parquet(s.files: _*)
+        } else spark.read.parquet(s.files: _*)
       val cols = data.columns.toSeq
       val posMasked =
         if (s.posDeleteFiles.isEmpty) data
@@ -629,6 +655,62 @@ object IcebergLite {
     (removed.length, deletedData)
   }
 
+  /** Rename a column — METADATA ONLY, the Iceberg evolution rule: the
+    * field keeps its id, only the schema JSON's name changes (new
+    * metadata version, hint swapped last); no data file is touched,
+    * and readers serve the NEW name over OLD files because resolution
+    * is by field id. Refuses when any live data file lacks parquet
+    * field ids (an id-less file cannot be id-resolved, so the rename
+    * would silently drop its column), when the source column is
+    * missing, or when the target name is taken. */
+  def renameColumn(spark: SparkSession, location: String,
+                   from: String, to: String): Unit = {
+    val metaP = metadataPath(spark, location)
+    val meta = mapper.readTree(readText(spark, metaP))
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemaNode = Option(meta.get("schema")).getOrElse(
+      throw new IOException(s"no schema in ${metaP.getName}"))
+    val fields = schemaNode.get("fields").elements().asScala.toSeq
+    require(fields.exists(_.get("name").asText == from),
+      s"renameColumn: no column $from at $location")
+    require(!fields.exists(_.get("name").asText == to),
+      s"renameColumn: column $to already exists at $location")
+    val live = snapshot(spark, location)
+    live.files.foreach { f =>
+      if (!parquetHasFieldIds(spark, new Path(f)))
+        throw new IOException(s"cannot rename $from at $location: " +
+          s"data file $f carries no parquet field ids — an id-less " +
+          "file cannot be resolved by field id after a rename " +
+          "(silent column loss); rewrite the file first")
+    }
+    fields.foreach {
+      case f: com.fasterxml.jackson.databind.node.ObjectNode
+        if f.get("name").asText == from => f.put("name", to)
+      case _ => ()
+    }
+    // foreign metadata may carry a "schemas" list (readers prefer its
+    // last entry) — rename there too or the read would serve stale
+    Option(meta.get("schemas")).filter(_.elements().hasNext).foreach {
+      ss =>
+        ss.elements().asScala.toSeq.lastOption.foreach { last =>
+          last.get("fields").elements().asScala.foreach {
+            case f: com.fasterxml.jackson.databind.node.ObjectNode
+              if f.get("name").asText == from => f.put("name", to)
+            case _ => ()
+          }
+        }
+    }
+    val curV = "^v(\\d+)\\.metadata\\.json$".r
+      .findFirstMatchIn(metaP.getName).map(_.group(1).toLong)
+      .getOrElse(throw new IOException(
+        s"cannot parse metadata version from ${metaP.getName}"))
+    val metaDir = metaP.getParent
+    writeText(spark, new Path(metaDir, s"v${curV + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    writeText(spark, new Path(metaDir, "version-hint.text"),
+      (curV + 1).toString)
+  }
+
   /** All snapshot ids, commit order (the time-travel catalog). */
   def snapshotIds(spark: SparkSession, location: String): Seq[Long] = {
     val meta = mapper.readTree(readText(spark,
@@ -678,10 +760,31 @@ object IcebergLite {
     val fields = Option(node.get("fields"))
       .map(_.elements().asScala.toSeq).getOrElse(Nil)
     StructType(fields.map { f =>
+      // carry the Iceberg field id as parquet field-id metadata: scans
+      // that pass this schema resolve columns BY ID (the Iceberg
+      // column-resolution rule), which is what makes renames serve the
+      // new name over old files
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", f.get("id").asLong).build()
       StructField(f.get("name").asText,
         sparkType(f.get("type").asText),
-        nullable = !Option(f.get("required")).exists(_.asBoolean))
+        nullable = !Option(f.get("required")).exists(_.asBoolean),
+        metadata = md)
     })
+  }
+
+  /** Stamp ordinal field ids (the ids icebergSchemaJson assigns) onto
+    * a frame so Spark writes parquet `field_id` metadata — the hook
+    * that makes exported files rename-evolvable. Requires
+    * `spark.sql.parquet.fieldId.write.enabled` (set by the writers). */
+  private def withFieldIds(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putLong("parquet.field.id", i + 1L)
+        .build()
+      col(s"`${f.name}`").as(f.name, md)
+    }.toSeq: _*)
   }
 
   private def icebergSchemaJson(schema: StructType): String = {
@@ -831,7 +934,8 @@ object IcebergLite {
     // data: one new parquet dir per snapshot; previous snapshots'
     // files are immutable, so carrying them is a metadata-only listing
     val dataDir = new Path(loc, s"data/snap-$snapId")
-    df.write.mode("overwrite").parquet(dataDir.toString)
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    withFieldIds(df).write.mode("overwrite").parquet(dataDir.toString)
     val newFiles = fs.listStatus(dataDir).toSeq.map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
       .map(p => fs.makeQualified(p))
@@ -1074,7 +1178,9 @@ object IcebergLite {
     appendDeltaSnapshot(spark, location, "append") {
       (fs, loc, metaDir, snapId, _) =>
         val dataDir = new Path(loc, s"data/snap-$snapId")
-        df.write.mode("overwrite").parquet(dataDir.toString)
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled",
+          "true")
+        withFieldIds(df).write.mode("overwrite").parquet(dataDir.toString)
         fs.listStatus(dataDir).toSeq.map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
           .map(p => fs.makeQualified(p))

@@ -256,10 +256,14 @@ class IcebergSpec extends AnyFunSuite {
         |  {"id": 3, "name": "c", "required": false,
         |   "type": "decimal(10, 2)"}
         |]}""".stripMargin)
-    assert(s === StructType(Seq(
-      StructField("a", LongType, nullable = false),
-      StructField("b", StringType),
-      StructField("c", DecimalType(10, 2)))))
+    // names/types/nullability round-trip, and each field carries its
+    // Iceberg id as parquet field-id metadata (the rename-evolution
+    // resolution hook)
+    assert(s.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq ===
+      Seq(("a", LongType, false), ("b", StringType, true),
+        ("c", DecimalType(10, 2), true)))
+    assert(s.fields.map(_.metadata.getLong("parquet.field.id")).toSeq ===
+      Seq(1L, 2L, 3L))
   }
 
   test("overwrite export: prior files land status=2, the snapshot " +
@@ -396,5 +400,49 @@ class IcebergSpec extends AnyFunSuite {
     // current snapshot cannot expire (keepLast >= 1 enforced too)
     intercept[IllegalArgumentException](
       IcebergLite.expireSnapshots(spark, loc, 0))
+  }
+
+  test("rename evolution: metadata-only, id-resolved over old files, " +
+    "pinned snapshots serve the renamed schema, id-less files refuse " +
+    "to rename but still read by name") {
+    val loc = tmp("rename")
+    val s1 = IcebergLite.export(spark, frame(10, "a"), loc)
+    IcebergLite.renameColumn(spark, loc, "score", "quality")
+    // the old file (parquet column 'score') serves 'quality'
+    val live = IcebergLite.read(spark, loc)
+    assert(live.columns.toSeq === Seq("id", "name", "quality"))
+    assert(live.filter(col("quality").isNull).count() === 0L)
+    // time travel serves the TABLE schema (current names) too
+    assert(IcebergLite.read(spark, loc, Some(s1)).columns
+      .contains("quality"))
+    // refusals: missing source, colliding target
+    intercept[IllegalArgumentException](
+      IcebergLite.renameColumn(spark, loc, "nope", "x"))
+    intercept[IllegalArgumentException](
+      IcebergLite.renameColumn(spark, loc, "quality", "id"))
+    // an ID-LESS data file (foreign writer without field ids): read
+    // falls back to name resolution; rename refuses by name
+    val loc2 = tmp("rename-idless")
+    IcebergLite.export(spark, frame(6, "b"), loc2)
+    val f = new Path(IcebergLite.snapshot(spark, loc2).files.head)
+    val raw = spark.read.parquet(f.toString)
+    // strip schema metadata: the session-wide fieldId read/write flags
+    // (set by IcebergLite's own paths) would otherwise carry the ids
+    // straight through the rewrite
+    val plain = raw.select(raw.schema.fields.map(fl =>
+      col(fl.name).as(fl.name,
+        org.apache.spark.sql.types.Metadata.empty)).toSeq: _*)
+    val tmpDir = tmp("idless-rewrite")
+    plain.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rewritten = fs.listStatus(new Path(tmpDir)).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.delete(f, false)
+    org.apache.hadoop.fs.FileUtil.copy(fs, rewritten, fs, f, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(IcebergLite.read(spark, loc2).count() === 6L) // name path
+    val e = intercept[java.io.IOException](
+      IcebergLite.renameColumn(spark, loc2, "score", "quality"))
+    assert(e.getMessage.contains("no parquet field ids"))
   }
 }
