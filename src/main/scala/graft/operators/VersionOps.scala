@@ -2606,6 +2606,35 @@ object VersionOps {
     // final name; a name-resolved read nulls or drops the old files'
     // column and breaks the hash. Refusals: renaming id-less tables
     // (silent column loss), colliding target names.
+    // q253 — Delta RENAME EVOLUTION through column mapping: the
+    // write-side completion of q240's read tier, and the cross-format
+    // twin of q252. renameColumn upgrades the export to name-mode
+    // mapping in ONE metadata commit (fields pin their physical names
+    // and ids, only the logical name changes, no file touched);
+    // post-rename appends write the renamed column under its ORIGINAL
+    // physical name so every file in the table stays physically
+    // consistent. Same oracle as q252 — both formats must converge on
+    // the identical replay. A reader that resolves by file column
+    // name nulls half the rows; an append that wrote the logical name
+    // forks the physical schema — either breaks the hash.
+    QueryDef("q253_delta_rename",
+      (s, d) => s.read.parquet(deltaRenamePath(s, d))
+        .orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS charge
+             |  FROM orders),
+             |live AS (
+             |  SELECT k, charge FROM o WHERE k % 3 = 0
+             |  UNION ALL
+             |  SELECT k, charge + 5 FROM o WHERE k % 3 = 1)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(charge) AS BIGINT) AS sum_charge,
+             |       count(*) AS n_rows
+             |FROM live
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
     QueryDef("q252_iceberg_rename",
       (s, d) => s.read.parquet(icebergRenamePath(s, d))
         .orderBy("bucket"),
@@ -2923,6 +2952,33 @@ object VersionOps {
         .withColumn("n_snapshots_before", lit(before))
         .withColumn("n_snapshots_after", lit(after))
         .withColumn("expired_pin_refused", lit(refused))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q253 builder: the Delta twin of icebergRenamePath — export under
+    * the old name, metadata-only rename via column mapping, append
+    * under the new logical name (physically the old), read back
+    * logically. Once per session. */
+  private def deltaRenamePath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q253-delta")
+    val outPath = Scratch.dir(s, "q253-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      DeltaLite.export(s, o.filter(col("k") % 3 === 0), table)
+      DeltaLite.renameColumn(s, table, "cents", "charge")
+      DeltaLite.exportAppend(s,
+        o.filter(col("k") % 3 === 1)
+          .select(col("k"), (col("cents") + 5L).as("charge")), table)
+      val out = DeltaLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("charge")).cast("long").as("sum_charge"),
+          count(lit(1)).as("n_rows"))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

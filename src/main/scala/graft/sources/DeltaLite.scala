@@ -556,7 +556,7 @@ object DeltaLite {
       }.headOption
   }
 
-  private[graft] def exportCommit(spark: SparkSession, df: DataFrame,
+  private[graft] def exportCommit(spark: SparkSession, df0: DataFrame,
                            table: String, removePrior: Boolean,
                            extraActions: Seq[String] = Nil): Long = {
     val tableP = new Path(table)
@@ -564,6 +564,24 @@ object DeltaLite {
     val hasLog = fs.exists(new Path(table, "_delta_log"))
     val prior = if (hasLog) Some(snapshot(spark, table)) else None
     val version = prior.map(_.version + 1L).getOrElse(0L)
+    // a column-mapped table stores PHYSICAL names in its files: map
+    // the caller's logical columns through the schema's physicalName
+    // metadata before writing (an append after RENAME writes the
+    // renamed column under its original physical name)
+    val df = prior match {
+      case Some(p) if p.columnMappingMode == "name" =>
+        import org.apache.spark.sql.functions.col
+        val sch = p.schema.getOrElse(throw new IOException(
+          s"$table declares column mapping but no schema"))
+        df0.select(sch.fields.toSeq.map { f =>
+          val phys =
+            if (f.metadata.contains("delta.columnMapping.physicalName"))
+              f.metadata.getString("delta.columnMapping.physicalName")
+            else f.name
+          col(s"`${f.name}`").as(phys)
+        }: _*)
+      case _ => df0
+    }
     val staging = new Path(table, s".staging-$version")
     fs.delete(staging, true)
     df.write.mode("overwrite").parquet(staging.toString)
@@ -703,6 +721,51 @@ object DeltaLite {
         .parquet(kept.map(f => new Path(table, f).toString): _*)
         .filter(pred)
     (rows, kept.size, snap.files.size)
+  }
+
+  /** Rename a column — METADATA ONLY, Delta's column-mapping rule:
+    * the table upgrades to name-mode mapping (minReaderVersion 2),
+    * every field pins its CURRENT physical name and a mapping id, and
+    * only the renamed field's LOGICAL name changes; no data file is
+    * touched. Existing files keep serving through the physicalName
+    * resolution the read path already speaks (q240), and appends
+    * write the renamed column under its original physical name.
+    * Returns the committed version. */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Long = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField}
+    val snap = snapshot(spark, table)
+    val schema = snap.schema.getOrElse(throw new IOException(
+      s"$table declares no schema — cannot rename"))
+    require(schema.fieldNames.contains(from),
+      s"renameColumn: no column $from at $table")
+    require(!schema.fieldNames.contains(to),
+      s"renameColumn: column $to already exists at $table")
+    if (snap.columnMappingMode == "id")
+      throw new IOException(s"$table uses column mapping mode 'id' — " +
+        "this writer evolves name-mode tables only")
+    val newFields = schema.fields.zipWithIndex.map { case (f, i) =>
+      val phys =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      val id =
+        if (f.metadata.contains("delta.columnMapping.id"))
+          f.metadata.getLong("delta.columnMapping.id")
+        else (i + 1).toLong
+      StructField(if (f.name == from) to else f.name, f.dataType,
+        f.nullable, new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id).build())
+    }
+    val version = snap.version + 1
+    val maxId = newFields.length
+    val actions = Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"graft-export","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+        org.apache.spark.sql.types.StructType(newFields).json)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"$maxId"},"createdTime":0}}""")
+    writeCommitFile(spark, table, version, actions)
+    version
   }
 
   /** Write a parquet checkpoint of the current state plus the

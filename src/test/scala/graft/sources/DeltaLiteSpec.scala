@@ -344,4 +344,35 @@ class DeltaLiteSpec extends AnyFunSuite {
     val e = intercept[java.io.IOException](DeltaLite.checkpoint(spark, t2))
     assert(e.getMessage.contains("deletion vectors"))
   }
+
+  test("rename evolution: metadata-only commit, appends stay " +
+    "PHYSICALLY consistent (old parquet name), logical reads serve " +
+    "the new name over both generations, refusals fire") {
+    val t = tmp("rename")
+    DeltaLite.export(spark, df(0, 10).coalesce(1), t)
+    val filesBefore = DeltaLite.snapshot(spark, t).files.toSet
+    DeltaLite.renameColumn(spark, t, "v", "score")
+    // metadata-only: the file set is untouched
+    assert(DeltaLite.snapshot(spark, t).files.toSet === filesBefore)
+    // append under the NEW logical name
+    import spark.implicits._
+    DeltaLite.exportAppend(spark,
+      (10L until 15L).map(i => (i, i * 3L)).toDF("id", "score")
+        .coalesce(1), t)
+    val live = DeltaLite.read(spark, t)
+    assert(live.columns.toSeq === Seq("id", "score"))
+    assert(live.count() === 15L &&
+      live.filter(col("score").isNull).count() === 0L)
+    // the appended FILE carries the original physical name 'v'
+    val newFile = (DeltaLite.snapshot(spark, t).files.toSet --
+      filesBefore).head
+    val phys = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(t, newFile).toString).columns.toSeq
+    assert(phys === Seq("id", "v"))
+    // refusals: missing source, collision
+    intercept[IllegalArgumentException](
+      DeltaLite.renameColumn(spark, t, "nope", "x"))
+    intercept[IllegalArgumentException](
+      DeltaLite.renameColumn(spark, t, "score", "id"))
+  }
 }
