@@ -2606,6 +2606,33 @@ object VersionOps {
     // final name; a name-resolved read nulls or drops the old files'
     // column and breaks the hash. Refusals: renaming id-less tables
     // (silent column loss), colliding target names.
+    // q254 — Iceberg PARTITIONED export + partition-tuple pruning:
+    // the planning tier ABOVE q247's column bounds. The export
+    // declares an identity partition spec and writes each file's
+    // partition TUPLE into the manifest (r102 struct, field-ids
+    // 1000+); the scan planner keeps only tuple-matching files — one
+    // manifest walk, no footer opened, before bounds even run. Gate:
+    // a 5-way partitioned table, a one-partition predicate must open
+    // exactly the 1-of-5 files holding it; the oracle re-derives the
+    // partition arithmetic, the file counts, AND the row aggregate.
+    // Non-identity transforms refuse by name at snapshot resolution.
+    QueryDef("q254_iceberg_partitioned",
+      (s, d) => s.read.parquet(icebergPartitionedPath(s, d)),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT)
+             |           AS cents,
+             |         o_orderkey % 5 AS part
+             |  FROM orders),
+             |hit AS (SELECT * FROM o WHERE part = 2)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       min(k) AS min_key, max(k) AS max_key,
+             |       1 AS files_scanned,
+             |       CAST((SELECT count(DISTINCT part) FROM o) AS INT)
+             |         AS files_total
+             |FROM hit""".stripMargin)),
+
     // q253 — Delta RENAME EVOLUTION through column mapping: the
     // write-side completion of q240's read tier, and the cross-format
     // twin of q252. renameColumn upgrades the export to name-mode
@@ -2952,6 +2979,33 @@ object VersionOps {
         .withColumn("n_snapshots_before", lit(before))
         .withColumn("n_snapshots_after", lit(after))
         .withColumn("expired_pin_refused", lit(refused))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q254 builder: 5-way identity-partitioned export (coalesce(1) per
+    * tuple dir → bucket == file), partition-pruned scan of one
+    * bucket. Once per session. */
+  private def icebergPartitionedPath(s: SparkSession,
+                                     dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q254-iceberg")
+    val outPath = Scratch.dir(s, "q254-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 5).as("part")).coalesce(1)
+      IcebergLite.exportPartitioned(s, o, table, Seq("part"))
+      val (rows, scanned, total) =
+        IcebergLite.readPartitionPruned(s, table, Map("part" -> "2"))
+      val out = rows.agg(count(lit(1)).as("n_rows"),
+          sum("cents").cast("long").as("sum_cents"),
+          min("k").as("min_key"), max("k").as("max_key"))
+        .withColumn("files_scanned", lit(scanned))
+        .withColumn("files_total", lit(total))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

@@ -79,7 +79,9 @@ object IcebergLite {
                             eqDeletes: Seq[EqDelete] = Nil,
                             bounds: Map[String,
                               Map[Int, (Array[Byte], Array[Byte])]] =
-                              Map.empty)
+                              Map.empty,
+                            partitionValues: Map[String,
+                              Map[String, String]] = Map.empty)
 
   /** One equality-delete file (v2 `data_file.content=2`): its parquet
     * path, the EQUALITY COLUMNS (resolved from `equality_ids` via the
@@ -317,6 +319,24 @@ object IcebergLite {
     val eqDels = Seq.newBuilder[EqDelete]
     val fileBounds =
       Map.newBuilder[String, Map[Int, (Array[Byte], Array[Byte])]]
+    val partValues = Map.newBuilder[String, Map[String, String]]
+    // partition spec: identity transforms read (the values land in
+    // partitionValues for the pruning planner); anything else would
+    // be silently mis-pruned, so refuse by transform name
+    Option(meta.get("partition-specs"))
+      .map(_.elements().asScala.toSeq).getOrElse(Nil)
+      .find(sp => Option(meta.get("default-spec-id"))
+        .forall(_.asInt == sp.get("spec-id").asInt))
+      .foreach { sp =>
+        sp.get("fields").elements().asScala.foreach { f =>
+          val tr = f.get("transform").asText
+          if (tr != "identity")
+            throw new IOException(s"cannot read Iceberg table at " +
+              s"$location: partition transform '$tr' — this reader " +
+              "prunes identity transforms only; refusing rather " +
+              "than mis-pruning")
+        }
+      }
     val idToName: Map[Int, String] = fieldIdToName(schemaJson)
     avroRecords(spark, manifestListPath).foreach { mf =>
       // v2 manifest_file carries `content`: 0 = data, 1 = deletes.
@@ -367,7 +387,14 @@ object IcebergLite {
               p.foreach { path => dataFiles += path
                 dataSeqs += path -> mSeq
                 val bs = entryBounds(df)
-                if (bs.nonEmpty) fileBounds += path -> bs }
+                if (bs.nonEmpty) fileBounds += path -> bs
+                Option(df.get("partition"))
+                  .collect { case r: GenericRecord
+                    if !r.getSchema.getFields.isEmpty =>
+                      r.getSchema.getFields.asScala.map(f =>
+                        f.name -> Option(r.get(f.name))
+                          .map(_.toString).orNull).toMap
+                  }.foreach(pv => partValues += path -> pv) }
             case (1L, 1L) => p.foreach(deleteFiles += _)
             case (1L, 2L) =>
               val ids = fieldOpt(entry.get("data_file")
@@ -394,7 +421,8 @@ object IcebergLite {
     }
     Snapshot(dataFiles.result().distinct, wanted, schemaJson,
       deleteFiles.result().distinct, dataSeqs.result(),
-      eqDels.result().distinct, fileBounds.result())
+      eqDels.result().distinct, fileBounds.result(),
+      partValues.result())
   }
 
   /** Decode a data_file's optional lower_bounds/upper_bounds k_v
@@ -998,6 +1026,176 @@ object IcebergLite {
     writeText(spark, new Path(metaDir, s"v$nextV.metadata.json"), metaJson)
     writeText(spark, hint, nextV.toString) // the commit: hint swaps last
     snapId
+  }
+
+  /** The manifest-entry Avro schema for an identity-PARTITIONED table:
+    * the static schema with the r102 partition struct populated — one
+    * optional field per partition column (spec field-ids 1000+i). */
+  private def partitionedEntrySchema(parts: Seq[(String, String)])
+    : Schema = {
+    val pf = parts.zipWithIndex.map { case ((c, t), i) =>
+      s"""{"name": ${mapper.writeValueAsString(c)},
+         | "type": ["null", "$t"], "default": null,
+         | "field-id": ${1000 + i}}""".stripMargin
+    }.mkString(",\n")
+    new Schema.Parser().parse(
+      manifestEntrySchema.toString
+        .replace(""""name":"r102","fields":[]""",
+          s""""name":"r102","fields":[$pf]"""))
+  }
+
+  /** Export a frame as an identity-PARTITIONED Iceberg table: the
+    * manifest carries each file's partition TUPLE (the spec's r102
+    * struct, field-ids 1000+i) and the metadata declares the identity
+    * spec — what lets any planner (ours in readPartitionPruned, or a
+    * foreign engine's) prune whole files by partition value from one
+    * manifest walk, before the column-bounds tier even runs. One data
+    * directory per partition tuple (driver-enumerated; identity
+    * partition cardinality is bounded by design — that is what makes
+    * a column a partition column). Fresh tables only; partition
+    * columns stay in the data files (identity transform), so reads
+    * need no reconstruction. */
+  def exportPartitioned(spark: SparkSession, df: DataFrame,
+                        location: String,
+                        partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    val loc = new Path(location)
+    val fs = fsOf(spark, loc)
+    val metaDir = new Path(loc, "metadata")
+    if (fs.exists(new Path(metaDir, "version-hint.text")))
+      throw new IOException(s"exportPartitioned writes FRESH tables " +
+        s"only; $location already has Iceberg metadata")
+    fs.mkdirs(metaDir)
+    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"partition column $c not in the frame"))
+    val avroType: Map[String, String] = partCols.map { c =>
+      c -> (df.schema(c).dataType match {
+        case LongType => "long"
+        case IntegerType => "int"
+        case StringType => "string"
+        case other => throw new IOException(
+          s"identity partitioning on $other is not supported — " +
+            "long/int/string only")
+      })
+    }.toMap
+    val entrySchema =
+      partitionedEntrySchema(partCols.map(c => c -> avroType(c)))
+    val snapId = 1L
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    import org.apache.spark.sql.functions.col
+    val tuples = df.select(partCols.map(c => col(s"`$c`")): _*)
+      .distinct().collect()
+    val entries = tuples.zipWithIndex.flatMap { case (t, ti) =>
+      val cond = partCols.zipWithIndex.map { case (c, i) =>
+        col(s"`$c`") === t.get(i) }.reduce(_ && _)
+      val dataDir = new Path(loc, s"data/part-$ti")
+      withFieldIds(df.filter(cond)).write.mode("overwrite")
+        .parquet(dataDir.toString)
+      fs.listStatus(dataDir).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(p => fs.makeQualified(p)).map { path =>
+          val st = fs.getFileStatus(path)
+          val dfRec = new GenericData.Record(
+            entrySchema.getField("data_file").schema())
+          dfRec.put("content", 0)
+          dfRec.put("file_path", path.toString)
+          dfRec.put("file_format", "PARQUET")
+          val pRec = new GenericData.Record(
+            dfRec.getSchema.getField("partition").schema())
+          partCols.zipWithIndex.foreach { case (c, i) =>
+            pRec.put(c, t.get(i))
+          }
+          dfRec.put("partition", pRec)
+          dfRec.put("record_count", parquetRowCount(spark, path))
+          dfRec.put("file_size_in_bytes", st.getLen)
+          putBounds(dfRec, parquetColumnBounds(spark, path))
+          val e = new GenericData.Record(entrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapId)
+          e.put("data_file", dfRec)
+          e
+        }
+    }
+    val manifestP = new Path(metaDir, s"manifest-$snapId.avro")
+    val mLen = writeAvro(spark, manifestP, entrySchema, entries.toSeq)
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", fs.makeQualified(manifestP).toString)
+    mf.put("manifest_length", mLen)
+    mf.put("partition_spec_id", 0)
+    mf.put("content", 0)
+    mf.put("added_snapshot_id", snapId)
+    val listP = new Path(metaDir, s"snap-$snapId-manifest-list.avro")
+    writeAvro(spark, listP, manifestFileSchema, Seq(mf))
+    val now = System.currentTimeMillis()
+    val specFields = partCols.zipWithIndex.map { case (c, i) =>
+      s"""{"name": ${mapper.writeValueAsString(c)},
+         | "transform": "identity",
+         | "source-id": ${df.schema.fieldNames.indexOf(c) + 1},
+         | "field-id": ${1000 + i}}""".stripMargin
+    }.mkString(", ")
+    val snapJson =
+      s"""{"snapshot-id": $snapId, "timestamp-ms": $now, """ +
+        s""""manifest-list": ${mapper.writeValueAsString(
+          fs.makeQualified(listP).toString)}, """ +
+        s""""summary": {"operation": "append"}}"""
+    val metaJson =
+      s"""{
+         |  "format-version": 1,
+         |  "table-uuid": "00000000-0000-0000-0000-${"%012d".format(0)}",
+         |  "location": ${mapper.writeValueAsString(location)},
+         |  "last-updated-ms": $now,
+         |  "last-column-id": ${df.schema.fields.length},
+         |  "schema": ${icebergSchemaJson(df.schema)},
+         |  "partition-spec": [$specFields],
+         |  "partition-specs": [{"spec-id": 0, "fields": [$specFields]}],
+         |  "default-spec-id": 0,
+         |  "current-snapshot-id": $snapId,
+         |  "snapshots": [$snapJson]
+         |}""".stripMargin
+    writeText(spark, new Path(metaDir, "v1.metadata.json"), metaJson)
+    writeText(spark, new Path(metaDir, "version-hint.text"), "1")
+    snapId
+  }
+
+  /** Scan with PARTITION PRUNING from the manifests' partition
+    * tuples: keep the live files whose identity-partition values
+    * match every filter (stringified equality — the identity
+    * transform preserves the value), read only those, apply the exact
+    * predicate on top. Files without a partition value for a filtered
+    * column are kept (conservative). Returns (rows, filesScanned,
+    * filesTotal). Delete-bearing snapshots refuse — the same scope
+    * rule as readPruned. */
+  def readPartitionPruned(spark: SparkSession, location: String,
+                          filters: Map[String, String])
+    : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(filters.nonEmpty, "filters must be non-empty")
+    val s = snapshot(spark, location)
+    require(s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty,
+      s"readPartitionPruned at $location: snapshot ${s.snapshotId} " +
+        "carries row-level deletes — partition pruning with delete " +
+        "application is not implemented; read() serves this table")
+    val schema = schemaFromIceberg(s.schemaJson)
+    filters.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"readPartitionPruned: column $c not in the table schema"))
+    val kept = s.files.filter { f =>
+      s.partitionValues.get(f) match {
+        case Some(pv) => filters.forall { case (c, v) =>
+          pv.get(c).forall(_ == v) }
+        case None => true
+      }
+    }
+    val pred = filters.map { case (c, v) =>
+      col(s"`$c`").cast("string") === v }.reduce(_ && _)
+    val rows =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(schema).parquet(kept: _*).filter(pred)
+      }
+    (rows, kept.size, s.files.size)
   }
 
   /** Append a POSITION-DELETE snapshot (spec v2 row-level deletes):

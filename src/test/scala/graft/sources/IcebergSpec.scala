@@ -445,4 +445,45 @@ class IcebergSpec extends AnyFunSuite {
       IcebergLite.renameColumn(spark, loc2, "score", "quality"))
     assert(e.getMessage.contains("no parquet field ids"))
   }
+
+  test("partitioned export: tuples round-trip through the manifest, " +
+    "pruning opens only matching files, a fresh-table guard and a " +
+    "non-identity transform refuse by name") {
+    import spark.implicits._
+    val loc = tmp("part")
+    val df = (0L until 60L).map(i => (i, s"n$i", i % 3))
+      .toDF("id", "name", "p").coalesce(1)
+    IcebergLite.exportPartitioned(spark, df, loc, Seq("p"))
+    val snap = IcebergLite.snapshot(spark, loc)
+    assert(snap.files.length === 3)
+    // every file's manifest tuple equals its rows' actual value
+    snap.files.foreach { f =>
+      val declared = snap.partitionValues(f)("p")
+      val actual = spark.read.parquet(f).select("p").distinct()
+        .collect().map(_.getLong(0).toString).toSeq
+      assert(actual === Seq(declared))
+    }
+    val (rows, scanned, total) =
+      IcebergLite.readPartitionPruned(spark, loc, Map("p" -> "1"))
+    assert((scanned, total) === ((1, 3)))
+    assert(rows.count() === 20L)
+    // the plain read still serves everything (partition cols in-file)
+    assert(IcebergLite.read(spark, loc).count() === 60L)
+    // fresh-table guard
+    intercept[java.io.IOException](
+      IcebergLite.exportPartitioned(spark, df, loc, Seq("p")))
+    // a non-identity transform refuses at snapshot resolution
+    val metaP = new Path(loc, "metadata/v1.metadata.json")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = {
+      val in = fs.open(metaP)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    val out = fs.create(metaP, true)
+    try out.write(txt.replace("\"identity\"", "\"bucket[16]\"")
+      .getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[java.io.IOException](IcebergLite.snapshot(spark, loc))
+    assert(e.getMessage.contains("bucket[16]"))
+  }
 }
