@@ -2633,6 +2633,29 @@ object VersionOps {
              |         AS files_total
              |FROM hit""".stripMargin)),
 
+    // q255 — Delta PARTITIONED export + pruning: the cross-format
+    // twin of q254 — Hive-layout dirs plus per-add partitionValues
+    // (exactly what Delta's own writers emit), pruning from the log
+    // alone, partition columns reconstructed from the layout at read.
+    // Same fixture, same oracle as q254: both formats' planners must
+    // converge on the identical 1-of-5 plan and replay.
+    QueryDef("q255_delta_partitioned",
+      (s, d) => s.read.parquet(deltaPartitionedPath(s, d)),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT)
+             |           AS cents,
+             |         o_orderkey % 5 AS part
+             |  FROM orders),
+             |hit AS (SELECT * FROM o WHERE part = 2)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       min(k) AS min_key, max(k) AS max_key,
+             |       1 AS files_scanned,
+             |       CAST((SELECT count(DISTINCT part) FROM o) AS INT)
+             |         AS files_total
+             |FROM hit""".stripMargin)),
+
     // q253 — Delta RENAME EVOLUTION through column mapping: the
     // write-side completion of q240's read tier, and the cross-format
     // twin of q252. renameColumn upgrades the export to name-mode
@@ -3001,6 +3024,32 @@ object VersionOps {
       IcebergLite.exportPartitioned(s, o, table, Seq("part"))
       val (rows, scanned, total) =
         IcebergLite.readPartitionPruned(s, table, Map("part" -> "2"))
+      val out = rows.agg(count(lit(1)).as("n_rows"),
+          sum("cents").cast("long").as("sum_cents"),
+          min("k").as("min_key"), max("k").as("max_key"))
+        .withColumn("files_scanned", lit(scanned))
+        .withColumn("files_total", lit(total))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q255 builder: the Delta twin of icebergPartitionedPath. Once per
+    * session. */
+  private def deltaPartitionedPath(s: SparkSession,
+                                   dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q255-delta")
+    val outPath = Scratch.dir(s, "q255-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        (col("o_orderkey") % 5).as("part")).coalesce(1)
+      DeltaLite.exportPartitioned(s, o, table, Seq("part"))
+      val (rows, scanned, total) =
+        DeltaLite.readPartitionPruned(s, table, Map("part" -> "2"))
       val out = rows.agg(count(lit(1)).as("n_rows"),
           sum("cents").cast("long").as("sum_cents"),
           min("k").as("min_key"), max("k").as("max_key"))

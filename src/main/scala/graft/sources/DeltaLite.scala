@@ -83,7 +83,9 @@ object DeltaLite {
                             version: Long,
                             columnMappingMode: String = "none",
                             deletionVectors: Map[String, Dv] = Map.empty,
-                            stats: Map[String, AddStats] = Map.empty)
+                            stats: Map[String, AddStats] = Map.empty,
+                            partitionValues: Map[String,
+                              Map[String, String]] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -123,6 +125,8 @@ object DeltaLite {
         .filter(v => asOf.forall(v <= _))
     val live = mutable.LinkedHashMap.empty[String, Option[Dv]]
     val fileStats = mutable.LinkedHashMap.empty[String, AddStats]
+    val filePartVals =
+      mutable.LinkedHashMap.empty[String, Map[String, String]]
     var partCols: Seq[String] = Nil
     var schema: Option[StructType] = None
     var mappingMode = "none"
@@ -257,11 +261,18 @@ object DeltaLite {
               Option(ad.get("stats")).filterNot(_.isNull)
                 .foreach(s =>
                   fileStats.put(path, parseAddStats(s.asText)))
+              // partitionValues feed the partition-pruning planner
+              Option(ad.get("partitionValues")).filterNot(_.isNull)
+                .map(n => n.fields().asScala
+                  .map(e => e.getKey -> e.getValue.asText).toMap)
+                .filter(_.nonEmpty)
+                .foreach(pv => filePartVals.put(path, pv))
             }
             if (a.has("remove")) {
               val p = a.get("remove").get("path").asText
               live.remove(p)
               fileStats.remove(p)
+              filePartVals.remove(p)
             }
           }
       }
@@ -269,7 +280,8 @@ object DeltaLite {
       throw new IOException(s"$table has an empty _delta_log"))
     Snapshot(live.keys.toSeq, partCols, schema, version, mappingMode,
       live.collect { case (p, Some(dv)) => p -> dv }.toMap,
-      fileStats.filter { case (p, _) => live.contains(p) }.toMap)
+      fileStats.filter { case (p, _) => live.contains(p) }.toMap,
+      filePartVals.filter { case (p, _) => live.contains(p) }.toMap)
   }
 
   /** One add action's `stats` JSON → folded numeric min/max plus the
@@ -713,6 +725,107 @@ object DeltaLite {
       }
     }
     val pred = col(column) >= lo && col(column) <= hi
+    val rows =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.option("basePath", table)
+        .parquet(kept.map(f => new Path(table, f).toString): _*)
+        .filter(pred)
+    (rows, kept.size, snap.files.size)
+  }
+
+  /** Export a frame as a PARTITIONED Delta table (fresh tables only):
+    * Hive-layout directories plus per-add `partitionValues` — what
+    * Delta's own writers emit and what lets any planner prune whole
+    * files from the log alone (readPartitionPruned here; foreign
+    * engines via their own Delta readers). Partition columns leave
+    * the data files (the Hive layout carries them); `basePath` reads
+    * reconstruct them. */
+  def exportPartitioned(spark: SparkSession, df: DataFrame,
+                        table: String, partCols: Seq[String]): Long = {
+    require(partCols.nonEmpty, "partCols must be non-empty")
+    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
+      s"partition column $c not in the frame"))
+    val tableP = new Path(table)
+    val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(table, "_delta_log")))
+      throw new IOException(s"exportPartitioned writes FRESH tables " +
+        s"only; $table already has a _delta_log")
+    val staging = new Path(table, ".staging-0")
+    fs.delete(staging, true)
+    df.write.partitionBy(partCols: _*).mode("overwrite")
+      .parquet(staging.toString)
+    def leaves(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) leaves(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+          Seq(st.getPath)
+        else Nil
+      }
+    val stagingUri = staging.toUri.getPath
+    val moved = leaves(staging).map { p =>
+      val rel = p.toUri.getPath.stripPrefix(stagingUri)
+        .stripPrefix("/")
+      val dest = new Path(tableP, rel)
+      fs.mkdirs(dest.getParent)
+      fs.delete(dest, false)
+      if (!fs.rename(p, dest))
+        throw new IOException(s"could not place $rel in $table")
+      rel
+    }
+    fs.delete(staging, true)
+    val head = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"graft-export","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+        df.schema.json)}","partitionColumns":[${partCols.map(c =>
+        "\"" + esc(c) + "\"").mkString(",")}],"configuration":{},"createdTime":0}}""")
+    val adds = moved.map { rel =>
+      val pv = rel.split('/').dropRight(1).map { seg =>
+        val kv = seg.split("=", 2)
+        s""""${esc(kv(0))}":"${esc(kv(1))}""""
+      }.mkString(",")
+      val p = new Path(tableP, rel)
+      val stats = footerStatsJson(spark, p)
+      val sz = fs.getFileStatus(p).getLen
+      s"""{"add":{"path":"${esc(rel)}","partitionValues":{$pv},"size":$sz,"modificationTime":0,"dataChange":true,"stats":"${esc(stats)}"}}"""
+    }
+    writeCommitFile(spark, table, 0L, head ++ adds)
+    0L
+  }
+
+  /** Scan with PARTITION PRUNING from the log's per-add
+    * partitionValues: keep the live files whose values match every
+    * filter, read only those (basePath reconstructs the partition
+    * columns from the Hive layout), apply the exact predicate on top.
+    * Returns (rows, filesScanned, filesTotal) — the Delta twin of
+    * IcebergLite.readPartitionPruned, same conservative-keep and
+    * refusal rules. */
+  def readPartitionPruned(spark: SparkSession, table: String,
+                          filters: Map[String, String])
+    : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    require(filters.nonEmpty, "filters must be non-empty")
+    val snap = snapshot(spark, table)
+    require(snap.deletionVectors.isEmpty,
+      s"readPartitionPruned at $table: deletion vectors present — " +
+        "pruning with DV application is not implemented")
+    require(snap.columnMappingMode == "none",
+      s"readPartitionPruned at $table: column mapping " +
+        s"'${snap.columnMappingMode}' not supported here")
+    val schema = snap.schema.getOrElse(throw new IOException(
+      s"$table declares no schema"))
+    filters.keys.foreach(c => require(schema.fieldNames.contains(c),
+      s"readPartitionPruned: column $c not in the table schema"))
+    val kept = snap.files.filter { f =>
+      snap.partitionValues.get(f) match {
+        case Some(pv) => filters.forall { case (c, v) =>
+          pv.get(c).forall(_ == v) }
+        case None => true
+      }
+    }
+    val pred = filters.map { case (c, v) =>
+      col(s"`$c`").cast("string") === v }.reduce(_ && _)
     val rows =
       if (kept.isEmpty)
         spark.createDataFrame(

@@ -375,4 +375,34 @@ class DeltaLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       DeltaLite.renameColumn(spark, t, "score", "id"))
   }
+
+  test("partitioned export: Hive layout + per-add partitionValues, " +
+    "pruning opens only matching files, reads reconstruct the " +
+    "partition column, fresh-table guard fires") {
+    import spark.implicits._
+    val t = tmp("part")
+    val src = (0L until 60L).map(i => (i, i % 3)).toDF("id", "p")
+      .coalesce(1)
+    DeltaLite.exportPartitioned(spark, src, t, Seq("p"))
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.files.length === 3)
+    assert(snap.partitionColumns === Seq("p"))
+    // partitionValues in the log equal the Hive dir the file lives in
+    snap.files.foreach { f =>
+      assert(f.startsWith(s"p=${snap.partitionValues(f)("p")}/"))
+    }
+    val (rows, scanned, total) =
+      DeltaLite.readPartitionPruned(spark, t, Map("p" -> "1"))
+    assert((scanned, total) === ((1, 3)))
+    assert(rows.count() === 20L)
+    // the partition column is reconstructed (it is NOT in the files)
+    assert(rows.columns.contains("p"))
+    assert(DeltaLite.read(spark, t).count() === 60L)
+    // zero-match plan serves schema, opens nothing
+    val (none, s0, _) =
+      DeltaLite.readPartitionPruned(spark, t, Map("p" -> "9"))
+    assert(s0 === 0 && none.count() === 0L)
+    intercept[java.io.IOException](
+      DeltaLite.exportPartitioned(spark, src, t, Seq("p")))
+  }
 }
