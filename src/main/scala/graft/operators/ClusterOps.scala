@@ -43,6 +43,9 @@ object ClusterOps {
   final val K = 8
   final val ITERS = 3
   final val SCALE = 1000
+  /** q249/q256 power-iteration rounds — declared before `queries`:
+    * the oracle SQL interpolates it eagerly at object init. */
+  private val PCA_ROUNDS = 10
 
   /** Embeddings quantized to exact integer micro-units. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
@@ -390,7 +393,6 @@ object ClusterOps {
     // stats — the "is this axis meaningful" readout.
     QueryDef("q249_pca_power_iteration",
       (s, d) => {
-        val ROUNDS = 10
         val D = 64
         val v = Tables.embeddings(s, d).select(col("vec_id"),
             col("label"),
@@ -412,85 +414,210 @@ object ClusterOps {
           .groupBy(col("z.i").as("i"), col("z.j").as("j"))
           .agg(sum(col("z.p")).as("sp")).collect()
           .foreach(r => G(r.getInt(0))(r.getInt(1)) = r.getLong(2) / n)
-        var w = Array.fill(D)(1000L)
-        for (_ <- 1 to ROUNDS) {
-          val gv = Array.tabulate(D)(i =>
-            (0 until D).map(j => G(i)(j) * w(j)).sum)
-          val m = gv.map(math.abs).max
-          w = gv.map(x => x * 1000L / m)
-        }
-        val gvF = Array.tabulate(D)(i =>
-          (0 until D).map(j => G(i)(j) * w(j)).sum)
-        val eig = gvF.zip(w).map { case (a, b) => a * b }.sum /
-          w.map(x => x * x).sum
-        val proj = aggregate(
-          zip_with(cExpr, typedlit(w.toSeq), (a, b) => a * b),
-          lit(0L), (acc, x) => acc + x)
-        v.groupBy("label")
-          .agg(count(lit(1)).as("n_vecs"),
-            sum(proj).as("sum_proj"),
-            min(proj).as("min_proj"), max(proj).as("max_proj"))
-          .withColumn("eigval_est", lit(eig))
-          .withColumn("v_abs_sum", lit(w.map(math.abs).sum))
-          .withColumn("v_pos_sum",
-            lit(w.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum))
-          .orderBy("label")
+        pcaReadout(v, mu, G)
       },
-      Some {
-        def round(k: Int): String =
-          s"""p$k AS MATERIALIZED (
-             |  SELECT g.i, sum(g.g * w.w) AS gw
-             |  FROM g JOIN w${k - 1} w ON w.i = g.j GROUP BY 1),
-             |w$k AS MATERIALIZED (
-             |  SELECT p.i, CAST((p.gw * 1000) // m.m AS BIGINT) AS w
-             |  FROM p$k p, (SELECT max(abs(gw)) AS m FROM p$k) m)"""
-            .stripMargin
-        s"""WITH v AS MATERIALIZED (
-           |  SELECT vec_id, label,
-           |         list_transform(embedding,
-           |           x -> CAST(round(x * $SCALE) AS BIGINT)) AS e
-           |  FROM embeddings),
-           |nn AS (SELECT count(*) AS n FROM v),
-           |mu AS MATERIALIZED (
-           |  SELECT t.i, CAST(sum(v.e[t.i]) // max(nn.n) AS BIGINT) AS m
-           |  FROM v, generate_series(1, 64) t(i), nn GROUP BY 1),
-           |g AS MATERIALIZED (
-           |  SELECT t1.i, t2.j,
-           |         CAST(sum((v.e[t1.i] - m1.m) * (v.e[t2.j] - m2.m))
-           |              // max(nn.n) AS BIGINT) AS g
-           |  FROM v, generate_series(1, 64) t1(i),
-           |       generate_series(1, 64) t2(j), nn, mu m1, mu m2
-           |  WHERE m1.i = t1.i AND m2.i = t2.j
-           |  GROUP BY 1, 2),
-           |w0 AS (SELECT r.r + 1 AS i, CAST(1000 AS BIGINT) AS w
-           |       FROM range(0, 64) r(r)),
-           |${(1 to 10).map(round).mkString(",\n")},
-           |pf AS MATERIALIZED (
-           |  SELECT g.i, sum(g.g * w.w) AS gw
-           |  FROM g JOIN w10 w ON w.i = g.j GROUP BY 1),
-           |eig AS (
-           |  SELECT CAST((SELECT sum(pf.gw * w.w)
-           |               FROM pf JOIN w10 w USING (i))
-           |            // (SELECT sum(w * w) FROM w10) AS BIGINT) AS ev),
-           |chk AS (
-           |  SELECT CAST(sum(abs(w)) AS BIGINT) AS vabs,
-           |         CAST(sum(w * i) AS BIGINT) AS vpos FROM w10),
-           |proj AS MATERIALIZED (
-           |  SELECT v.label, v.vec_id,
-           |         sum((v.e[w.i] - mu.m) * w.w) AS p
-           |  FROM v, w10 w, mu WHERE mu.i = w.i
-           |  GROUP BY 1, 2)
-           |SELECT label, count(*) AS n_vecs,
-           |       CAST(sum(p) AS BIGINT) AS sum_proj,
-           |       CAST(min(p) AS BIGINT) AS min_proj,
-           |       CAST(max(p) AS BIGINT) AS max_proj,
-           |       eig.ev AS eigval_est,
-           |       chk.vabs AS v_abs_sum, chk.vpos AS v_pos_sum
-           |FROM proj, eig, chk
-           |GROUP BY label, eig.ev, chk.vabs, chk.vpos
-           |ORDER BY label""".stripMargin
-      })
+      Some(pcaOracle("TRUE"))),
+
+    // ── Maintained PCA: the learned axis advances at O(changes) ───────────
+    // The index-maintenance pattern (q162/q168/q178/q192/q243) applied
+    // to a LEARNED STATISTIC: the centered Gram is not additive, but
+    // its RAW MOMENTS (N, Σe, Σeeᵀ) are — inserts add their outer
+    // products, deletes subtract them — so the stored 4096+65-cell
+    // moment table advances by one pass over the CHANGE FEED, never
+    // over the corpus, and the centered Gram re-derives exactly:
+    // Σ(e−μ)(e−μ)ᵀ = S2 − μⱼS1ᵢ − μᵢS1ⱼ + Nμᵢμⱼ, all integer. The
+    // table takes an append AND a delete (the forget event, q243's
+    // story applied to a model statistic); the oracle REBUILDS the
+    // whole algorithm from scratch over the surviving rows, so the
+    // hash equality IS the incremental == rebuild proof — a stale
+    // cell, a sign error on deletes, or a non-additive shortcut
+    // breaks it. Readout runs the SAME pcaReadout as q249.
+    QueryDef("q256_pca_maintenance",
+      (s, d) => {
+        val D = 64
+        val mPath = pcaMaintPath(s, d)
+        val cells = s.read.parquet(mPath).collect()
+        var n = 0L
+        val s1 = new Array[Long](D)
+        val s2 = Array.ofDim[Long](D, D)
+        cells.foreach { r =>
+          val (i, j, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
+          if (i == -1 && j == -1) n = v
+          else if (j == -1) s1(i) = v
+          else s2(i)(j) = v
+        }
+        val mu = s1.map(_ / n)
+        val G = Array.tabulate(D, D) { (i, j) =>
+          (s2(i)(j) - mu(j) * s1(i) - mu(i) * s1(j) +
+            n * mu(i) * mu(j)) / n
+        }
+        val root = graft.sources.Scratch.dir(s, "q256-pca-table")
+        val live = quantizeLabeled(
+          graft.warehouse.VersionedParquet.read(s, root))
+        pcaReadout(live, mu, G)
+      },
+      Some(pcaOracle(
+        "(vec_id % 4 != 0 OR vec_id % 8 = 0) AND vec_id % 10 != 3")))
   )
+
+  private def quantizeLabeled(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x * SCALE).cast("long")).as("e"))
+
+  /** Signed raw-moment cells of a (vec_id, label, e, w) frame — one
+    * row per Gram cell (i≥0, j≥0 → Σ w·eᵢeⱼ), per mean cell (j=-1 →
+    * Σ w·eᵢ), plus the count cell (-1,-1 → Σ w). w=+1 inserts,
+    * w=-1 deletes: additivity is what makes the q256 maintenance
+    * O(changes). */
+  private def momentCells(v: DataFrame): DataFrame = {
+    val outer = explode(flatten(transform(col("e"), (x, i) =>
+      transform(col("e"), (y, j) =>
+        struct(i.as("i"), j.as("j"), (x * y).as("p"))))))
+    val s2 = v.select(outer.as("z"), col("w"))
+      .groupBy(col("z.i").as("i"), col("z.j").as("j"))
+      .agg(sum(col("z.p") * col("w")).as("v"))
+    val s1 = v.select(posexplode(col("e")).as(Seq("i", "ei")), col("w"))
+      .groupBy("i").agg(sum(col("ei") * col("w")).as("v"))
+      .withColumn("j", lit(-1))
+    val nC = v.agg(sum(col("w")).as("v"))
+      .withColumn("i", lit(-1)).withColumn("j", lit(-1))
+    s2.select("i", "j", "v")
+      .unionByName(s1.select("i", "j", "v"))
+      .unionByName(nC.select("i", "j", "v"))
+  }
+
+  /** q256 fixture: versioned embeddings (v0 = 3/4 of the corpus),
+    * moments stored at v0, then an APPEND and a DELETE advance the
+    * stored moments from the CHANGE FEED ALONE (one signed pass over
+    * the delta rows). Returns the maintained-moments path. Once per
+    * session. */
+  private def pcaMaintPath(s: SparkSession, dir: String): String = {
+    import graft.warehouse.{AtomicParquet, VersionedParquet}
+    val root = graft.sources.Scratch.dir(s, "q256-pca-table")
+    val mFinal = graft.sources.Scratch.dir(s, "q256-moments")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val e = Tables.embeddings(s, dir)
+        .select("vec_id", "label", "embedding")
+      VersionedParquet.publish(e.filter(col("vec_id") % 4 =!= 0), root,
+        keepVersions = 10)
+      val m0 = momentCells(
+        quantizeLabeled(VersionedParquet.read(s, root, Some(0L)))
+          .withColumn("w", lit(1L)))
+      VersionedParquet.append(s, root,
+        e.filter(col("vec_id") % 4 === 0 && col("vec_id") % 8 === 0),
+        keepVersions = 10)
+      VersionedParquet.delete(s, root, col("vec_id") % 10 === 3,
+        keepVersions = 10)
+      val delta = VersionedParquet.changes(s, root, 0L, 2L)
+        .withColumn("w",
+          when(col("_change_type") === "insert", 1L)
+            .when(col("_change_type") === "delete", -1L))
+        .filter(col("w").isNotNull)
+      val dm = momentCells(delta.select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x * SCALE).cast("long")).as("e"), col("w")))
+      AtomicParquet.overwrite(
+        m0.unionByName(dm).groupBy("i", "j")
+          .agg(sum("v").cast("long").as("v")), mFinal)
+    }
+    mFinal
+  }
+
+  /** The q249/q256 driver-side tail: power-iterate the d×d centered
+    * Gram, then the label-projection readout over `v` (vec_id, label,
+    * e). Shared so the maintained path (q256) provably runs the SAME
+    * algorithm as the from-scratch one (q249). */
+  private def pcaReadout(v: DataFrame, mu: Array[Long],
+                         G: Array[Array[Long]]): DataFrame = {
+    val D = G.length
+    var w = Array.fill(D)(1000L)
+    for (_ <- 1 to PCA_ROUNDS) {
+      val gv = Array.tabulate(D)(i =>
+        (0 until D).map(j => G(i)(j) * w(j)).sum)
+      val m = gv.map(math.abs).max
+      w = gv.map(x => x * 1000L / m)
+    }
+    val gvF = Array.tabulate(D)(i =>
+      (0 until D).map(j => G(i)(j) * w(j)).sum)
+    val eig = gvF.zip(w).map { case (a, b) => a * b }.sum /
+      w.map(x => x * x).sum
+    val cExpr = zip_with(col("e"), typedlit(mu.toSeq), (a, b) => a - b)
+    val proj = aggregate(
+      zip_with(cExpr, typedlit(w.toSeq), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    v.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(proj).as("sum_proj"),
+        min(proj).as("min_proj"), max(proj).as("max_proj"))
+      .withColumn("eigval_est", lit(eig))
+      .withColumn("v_abs_sum", lit(w.map(math.abs).sum))
+      .withColumn("v_pos_sum",
+        lit(w.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum))
+      .orderBy("label")
+  }
+
+  /** The PCA oracle (mean → centered Gram → unrolled power iteration
+    * → label projections) over the embeddings rows satisfying `pred`
+    * — q249 passes TRUE, q256 the surviving-set predicate of its
+    * publish/append/delete chain (the oracle REBUILDS from scratch;
+    * the engine side maintained moments incrementally, so the hash
+    * equality IS the incremental == rebuild proof). */
+  private def pcaOracle(pred: String): String = {
+    def round(k: Int): String =
+      s"""p$k AS MATERIALIZED (
+         |  SELECT g.i, sum(g.g * w.w) AS gw
+         |  FROM g JOIN w${k - 1} w ON w.i = g.j GROUP BY 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT p.i, CAST((p.gw * 1000) // m.m AS BIGINT) AS w
+         |  FROM p$k p, (SELECT max(abs(gw)) AS m FROM p$k) m)"""
+        .stripMargin
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(round(x * $SCALE) AS BIGINT)) AS e
+       |  FROM embeddings WHERE $pred),
+       |nn AS (SELECT count(*) AS n FROM v),
+       |mu AS MATERIALIZED (
+       |  SELECT t.i, CAST(sum(v.e[t.i]) // max(nn.n) AS BIGINT) AS m
+       |  FROM v, generate_series(1, 64) t(i), nn GROUP BY 1),
+       |g AS MATERIALIZED (
+       |  SELECT t1.i, t2.j,
+       |         CAST(sum((v.e[t1.i] - m1.m) * (v.e[t2.j] - m2.m))
+       |              // max(nn.n) AS BIGINT) AS g
+       |  FROM v, generate_series(1, 64) t1(i),
+       |       generate_series(1, 64) t2(j), nn, mu m1, mu m2
+       |  WHERE m1.i = t1.i AND m2.i = t2.j
+       |  GROUP BY 1, 2),
+       |w0 AS (SELECT r.r + 1 AS i, CAST(1000 AS BIGINT) AS w
+       |       FROM range(0, 64) r(r)),
+       |${(1 to PCA_ROUNDS).map(round).mkString(",\n")},
+       |pf AS MATERIALIZED (
+       |  SELECT g.i, sum(g.g * w.w) AS gw
+       |  FROM g JOIN w$PCA_ROUNDS w ON w.i = g.j GROUP BY 1),
+       |eig AS (
+       |  SELECT CAST((SELECT sum(pf.gw * w.w)
+       |               FROM pf JOIN w$PCA_ROUNDS w USING (i))
+       |            // (SELECT sum(w * w) FROM w$PCA_ROUNDS)
+       |          AS BIGINT) AS ev),
+       |chk AS (
+       |  SELECT CAST(sum(abs(w)) AS BIGINT) AS vabs,
+       |         CAST(sum(w * i) AS BIGINT) AS vpos FROM w$PCA_ROUNDS),
+       |proj AS MATERIALIZED (
+       |  SELECT v.label, v.vec_id,
+       |         sum((v.e[w.i] - mu.m) * w.w) AS p
+       |  FROM v, w$PCA_ROUNDS w, mu WHERE mu.i = w.i
+       |  GROUP BY 1, 2)
+       |SELECT label, count(*) AS n_vecs,
+       |       CAST(sum(p) AS BIGINT) AS sum_proj,
+       |       CAST(min(p) AS BIGINT) AS min_proj,
+       |       CAST(max(p) AS BIGINT) AS max_proj,
+       |       eig.ev AS eigval_est,
+       |       chk.vabs AS v_abs_sum, chk.vpos AS v_pos_sum
+       |FROM proj, eig, chk
+       |GROUP BY label, eig.ev, chk.vabs, chk.vpos
+       |ORDER BY label""".stripMargin
+  }
 
   /** Lloyd's over an arbitrary quantized (vec_id, e) frame — the
     * [[kmeans]] body with the input factored out, for the maintenance
