@@ -528,7 +528,8 @@ object SampleOps {
              |         max(CASE WHEN r = 31 THEN mean_milli END) AS hi
              |  FROM ranked),
              |pt AS (
-             |  SELECT (sum(cents) * 1000) // count(*) AS pm,
+             |  SELECT (CAST(sum(cents) AS BIGINT) * 1000) // count(*)
+             |           AS pm,
              |         count(*) AS n FROM o)
              |SELECT m.b, m.n_eff, m.mean_milli,
              |       pt.pm AS point_mean_milli, pt.n AS n_rows,
