@@ -635,7 +635,11 @@ object DeltaLite {
     * top-level int/long/string columns — what lets a planner (ours in
     * readPruned, or a foreign engine's) skip the file on a predicate.
     * Columns without usable footer stats are simply absent (legal;
-    * pruning treats absence as "cannot skip"). */
+    * pruning treats absence as "cannot skip"). Cost: one footer open
+    * per NEW file per commit — O(commit), never O(table); Delta's own
+    * writers fold the same stats inline during the write, which a
+    * custom FileCommitProtocol could match if commit-time footer
+    * reads ever dominate (they are ~10 ms driver-side each). */
   private def footerStatsJson(spark: SparkSession, p: Path): String = {
     import org.apache.parquet.column.statistics._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
