@@ -2633,6 +2633,34 @@ object VersionOps {
              |         AS files_total
              |FROM hit""".stripMargin)),
 
+    // q257 — Delta VACUUM: the retention twin of q250's Iceberg
+    // expiry and the second half of the checkpoint contract — three
+    // full-replace exports leave two orphaned data files on disk
+    // (Delta keeps them for time travel), a checkpoint seals the
+    // state, vacuum physically deletes the orphans AND truncates the
+    // checkpointed JSON commits; the live view must be byte-identical
+    // through it all (served from the checkpoint alone), and time
+    // travel past the horizon refuses loudly. The oracle replays the
+    // final slice and pins the lifecycle counters — a swept live file
+    // (data loss), a surviving orphan, or a still-readable truncated
+    // version breaks the gate.
+    QueryDef("q257_delta_vacuum",
+      (s, d) => s.read.parquet(deltaVacuumPath(s, d))
+        .orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (SELECT * FROM o WHERE k % 3 = 2)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       2 AS n_files_deleted, 3 AS n_commits_truncated,
+             |       1 AS pin_refused
+             |FROM live
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
     // q255 — Delta PARTITIONED export + pruning: the cross-format
     // twin of q254 — Hive-layout dirs plus per-add partitionValues
     // (exactly what Delta's own writers emit), pruning from the log
@@ -3029,6 +3057,39 @@ object VersionOps {
           min("k").as("min_key"), max("k").as("max_key"))
         .withColumn("files_scanned", lit(scanned))
         .withColumn("files_total", lit(total))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q257 builder: three full-replace exports, checkpoint, vacuum,
+    * verify counters + refusal + untouched live view. Once per
+    * session. */
+  private def deltaVacuumPath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q257-delta")
+    val outPath = Scratch.dir(s, "q257-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      DeltaLite.export(s, o.filter(col("k") % 3 === 0).coalesce(1), table)
+      DeltaLite.export(s, o.filter(col("k") % 3 === 1).coalesce(1), table)
+      DeltaLite.export(s, o.filter(col("k") % 3 === 2).coalesce(1), table)
+      DeltaLite.checkpoint(s, table)
+      val (nFiles, nCommits) = DeltaLite.vacuum(s, table)
+      val refused =
+        try { DeltaLite.read(s, table, Some(0L)).count(); 0 }
+        catch { case e: java.io.IOException
+          if e.getMessage.contains("no commit at or before") => 1 }
+      val out = DeltaLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_files_deleted", lit(nFiles))
+        .withColumn("n_commits_truncated", lit(nCommits))
+        .withColumn("pin_refused", lit(refused))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

@@ -840,6 +840,55 @@ object DeltaLite {
     (rows, kept.size, snap.files.size)
   }
 
+  /** VACUUM to the current snapshot — the Delta twin of
+    * IcebergLite.expireSnapshots and the second half of the
+    * checkpoint's log-retention contract: physically delete every
+    * data file the CURRENT snapshot does not serve (the aggressive
+    * retention-0 form; Delta's timed retention generalizes it) and
+    * truncate the JSON commits a checkpoint already covers. Refuses
+    * without a checkpoint (truncating the log with no checkpoint
+    * bricks the table) and on DV-bearing snapshots (a DV's file blob
+    * must not be swept while its data file lives). Time travel past
+    * the horizon refuses loudly afterward — the documented Delta
+    * contract, not data loss: the live view is untouched. Returns
+    * (dataFilesDeleted, commitsTruncated). */
+  def vacuum(spark: SparkSession, table: String): (Int, Int) = {
+    val tableP = new Path(table)
+    val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, "_delta_log")
+    val cpP = new Path(logDir, "_last_checkpoint")
+    if (!fs.exists(cpP))
+      throw new IOException(s"cannot vacuum $table: no checkpoint — " +
+        "truncating the log without one leaves the table unreadable; " +
+        "checkpoint() first")
+    val cpV = mapper.readTree(readText(spark, cpP)).get("version").asLong
+    val snap = snapshot(spark, table)
+    require(snap.deletionVectors.isEmpty,
+      s"vacuum at $table: deletion vectors present — sweeping around " +
+        "DV blobs is not implemented; compact the DVs first")
+    val live = snap.files.toSet
+    val tableUri = tableP.toUri.getPath
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name == "_delta_log" || name.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(".parquet")) Seq(st.getPath)
+        else Nil
+      }
+    var filesDeleted = 0
+    walk(tableP).foreach { p =>
+      val rel = p.toUri.getPath.stripPrefix(tableUri).stripPrefix("/")
+      if (!live.contains(rel) && fs.delete(p, false)) filesDeleted += 1
+    }
+    var commitsTruncated = 0
+    (0L to cpV).foreach { v =>
+      if (fs.delete(new Path(logDir, f"$v%020d.json"), false))
+        commitsTruncated += 1
+    }
+    (filesDeleted, commitsTruncated)
+  }
+
   /** Rename a column — METADATA ONLY, Delta's column-mapping rule:
     * the table upgrades to name-mode mapping (minReaderVersion 2),
     * every field pins its CURRENT physical name and a mapping id, and

@@ -405,4 +405,26 @@ class DeltaLiteSpec extends AnyFunSuite {
     intercept[java.io.IOException](
       DeltaLite.exportPartitioned(spark, src, t, Seq("p")))
   }
+
+  test("vacuum: refuses without a checkpoint, sweeps only orphans, " +
+    "the live view and its pruning stats survive, truncated versions " +
+    "refuse to pin") {
+    val t = tmp("vac")
+    DeltaLite.export(spark, df(0, 10).coalesce(1), t)
+    DeltaLite.export(spark, df(10, 30).coalesce(1), t)
+    // no checkpoint yet → refusal names the gap
+    val e = intercept[java.io.IOException](DeltaLite.vacuum(spark, t))
+    assert(e.getMessage.contains("no checkpoint"))
+    DeltaLite.checkpoint(spark, t)
+    val (files, commits) = DeltaLite.vacuum(spark, t)
+    assert(files === 1 && commits === 2)
+    assert(idsOf(t) === (10L until 30L))
+    // stats pruning still plans from the checkpointed stats
+    val (_, scanned, total) = DeltaLite.readPruned(spark, t, "id", 0L, 5L)
+    assert((scanned, total) === ((0, 1)))
+    // truncated version refuses to pin
+    intercept[java.io.IOException](DeltaLite.read(spark, t, Some(0L)))
+    // idempotent: nothing left to sweep
+    assert(DeltaLite.vacuum(spark, t) === ((0, 0)))
+  }
 }
