@@ -117,7 +117,17 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
-    val results = selected.map { q =>
+    // MID-RUN steal detection: the start/end probes bracket the run but
+    // are blind to a 1-minute CPU-steal window in the middle — this
+    // session's same-commit runs each flagged a DIFFERENT consecutive
+    // query cluster 2-4× slow while both end probes read clean. A
+    // single-thread probe every 32 queries (~5 s total overhead on a
+    // ~530 s suite) records the worst mid-run reading; hot_host folds
+    // it in below, so a stolen window can no longer ship a "clean"
+    // baseline with poisoned entries.
+    var probe1Max = 0.0
+    val results = selected.zipWithIndex.map { case (q, qi) =>
+      if (qi > 0 && qi % 32 == 0) probe1Max = math.max(probe1Max, probe1())
       val (name, fn) = (q.name, q.fn)
       val g0 = gcMillis
       val t0 = System.nanoTime()
@@ -185,10 +195,11 @@ object Bench {
     // baseline gate below: any probe past its calibrated ceiling marks
     // the run's numbers as measuring the host, not the code.
     val hotHost = probeSec > 2 * RefProbeSec || probeEndSec > 2 * RefProbeSec ||
-      probe1Sec >= 2 * Ref1Sec || probe1EndSec >= 2 * Ref1Sec
+      probe1Sec >= 2 * Ref1Sec || probe1EndSec >= 2 * Ref1Sec ||
+      probe1Max >= 2 * Ref1Sec
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"probe1_end_sec":${r3(probe1EndSec)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"regressed":$regressed,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"probe1_end_sec":${r3(probe1EndSec)},"probe1_max_sec":${r3(probe1Max)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"regressed":$regressed,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // UNCONDITIONAL full-evidence copy: the driver's stdout tail capture
     // (~2000 chars) has repeatedly truncated the full line — round 9's
