@@ -124,6 +124,16 @@ private[graft] final case class SqlExportDelta(table: String,
     location: String) extends GraftDml // EXPORT ... TO DELTA
 private[graft] final case class SqlExportIceberg(table: String,
     location: String) extends GraftDml // EXPORT ... TO ICEBERG
+// Retention maintenance on EXPORT LOCATIONS (no registered table —
+// the SQL-only client's half of q250/q257): EXPIRE ICEBERG keeps the
+// last K snapshots and sweeps orphans; CHECKPOINT/VACUUM DELTA seal
+// the log and sweep it. `table` is empty by construction.
+private[graft] final case class SqlExpireIceberg(location: String,
+    keep: Int) extends GraftDml { val table = "" }
+private[graft] final case class SqlCheckpointDelta(location: String)
+    extends GraftDml { val table = "" }
+private[graft] final case class SqlVacuumDelta(location: String)
+    extends GraftDml { val table = "" }
 private[graft] final case class SqlSetRowFilter(table: String,
     filter: String) extends GraftDml // ALTER TABLE … SET ROW FILTER
 private[graft] final case class SqlDropRowFilter(table: String)
@@ -198,6 +208,10 @@ object GraftSql {
       """\s+LOCATION\s+'([^']+)'""").r
     val XI = ("""(?is)EXPORT\s+TABLE\s+([A-Za-z_][\w]*)\s+TO\s+ICEBERG""" +
       """\s+LOCATION\s+'([^']+)'""").r
+    val EI = ("""(?is)EXPIRE\s+ICEBERG\s+LOCATION\s+'([^']+)'""" +
+      """\s+KEEP\s+(\d+)""").r
+    val CD = """(?is)CHECKPOINT\s+DELTA\s+LOCATION\s+'([^']+)'""".r
+    val VD = """(?is)VACUUM\s+DELTA\s+LOCATION\s+'([^']+)'""".r
     val AN = ("""(?is)ANALYZE\s+TABLE\s+([A-Za-z_][\w]*)\s+COMPUTE\s+""" +
       """STATISTICS(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?""").r
     val DS = """(?is)DESCRIBE\s+STATS\s+([A-Za-z_][\w]*)""".r
@@ -269,6 +283,9 @@ object GraftSql {
       case GM(table) => Some(SqlGenerate(table))
       case XD(table, loc) => Some(SqlExportDelta(table, loc))
       case XI(table, loc) => Some(SqlExportIceberg(table, loc))
+      case EI(loc, keep) => Some(SqlExpireIceberg(loc, keep.toInt))
+      case CD(loc) => Some(SqlCheckpointDelta(loc))
+      case VD(loc) => Some(SqlVacuumDelta(loc))
       case AN(table, cols) => Some(SqlAnalyze(table,
         Option(cols).map(_.split(",").map(_.trim).toSeq
           .filter(_.nonEmpty)).getOrElse(Nil)))
@@ -278,6 +295,8 @@ object GraftSql {
     dml.filter {
       case _: SqlCreateTable => true // registers itself at exec
       case c: SqlClone => GraftTables.rootOf(c.source).isDefined
+      case _: SqlExpireIceberg | _: SqlCheckpointDelta |
+           _: SqlVacuumDelta => true // location verbs: no table
       case d => GraftTables.rootOf(d.table).isDefined
     }
   }
@@ -345,6 +364,12 @@ object GraftSql {
           else VersionedParquet.shallowClone(spark, srcRoot, loc)
         GraftTables.register(table, loc, keep)
         return out
+      case x: SqlExpireIceberg =>
+        expireIcebergFrame(spark, x); return x.location
+      case x: SqlCheckpointDelta =>
+        checkpointDeltaFrame(spark, x); return x.location
+      case x: SqlVacuumDelta =>
+        vacuumDeltaFrame(spark, x); return x.location
       case _ => ()
     }
     val (root, keep) = GraftTables.rootOf(dml.table).getOrElse(
@@ -467,6 +492,9 @@ object GraftSql {
       case Some(g: SqlGenerate) => generateFrame(spark, g)
       case Some(x: SqlExportDelta) => exportDeltaFrame(spark, x)
       case Some(x: SqlExportIceberg) => exportIcebergFrame(spark, x)
+      case Some(x: SqlExpireIceberg) => expireIcebergFrame(spark, x)
+      case Some(x: SqlCheckpointDelta) => checkpointDeltaFrame(spark, x)
+      case Some(x: SqlVacuumDelta) => vacuumDeltaFrame(spark, x)
       case Some(a: SqlAnalyze) => analyzeFrame(spark, a)
       case Some(ds: SqlDescribeStats) => statsFrame(spark, ds)
       case Some(m: SqlMaintainStats) => maintainFrame(spark, m)
@@ -642,6 +670,41 @@ object GraftSql {
     * half); repeated exports append snapshots, so the Iceberg side
     * time-travels across them on snapshot boundaries. Same policy
     * refusal as the Delta export: a foreign reader sees raw files. */
+  /** `EXPIRE ICEBERG LOCATION '…' KEEP n` — retention on an exported
+    * Iceberg table (q250's expireSnapshots through the verb surface):
+    * returns (location, n_expired, n_files_deleted, n_snapshots). */
+  private[graft] def expireIcebergFrame(spark: SparkSession,
+                                        x: SqlExpireIceberg): DataFrame = {
+    val (expired, deleted) = graft.sources.IcebergLite
+      .expireSnapshots(spark, x.location, x.keep)
+    val left = graft.sources.IcebergLite
+      .snapshotIds(spark, x.location).length.toLong
+    import spark.implicits._
+    Seq((x.location, expired.toLong, deleted.toLong, left))
+      .toDF("location", "n_expired", "n_files_deleted", "n_snapshots")
+  }
+
+  /** `CHECKPOINT DELTA LOCATION '…'` — seal the export's log (q257's
+    * first half): returns (location, checkpoint_version). */
+  private[graft] def checkpointDeltaFrame(spark: SparkSession,
+                                          x: SqlCheckpointDelta)
+    : DataFrame = {
+    val v = graft.sources.DeltaLite.checkpoint(spark, x.location)
+    import spark.implicits._
+    Seq((x.location, v)).toDF("location", "checkpoint_version")
+  }
+
+  /** `VACUUM DELTA LOCATION '…'` — sweep the export (q257 through the
+    * verb surface): returns (location, n_files_deleted,
+    * n_commits_truncated). */
+  private[graft] def vacuumDeltaFrame(spark: SparkSession,
+                                      x: SqlVacuumDelta): DataFrame = {
+    val (files, commits) = graft.sources.DeltaLite.vacuum(spark, x.location)
+    import spark.implicits._
+    Seq((x.location, files.toLong, commits.toLong))
+      .toDF("location", "n_files_deleted", "n_commits_truncated")
+  }
+
   private[graft] def exportIcebergFrame(spark: SparkSession,
                                         x: SqlExportIceberg): DataFrame = {
     val (root, _) = GraftTables.rootOf(x.table).getOrElse(

@@ -517,4 +517,48 @@ class GraftSqlSpec extends AnyFunSuite {
       VersionedParquet.dropRowFilter(spark, root)
     } finally GraftTables.unregister("t_xi")
   }
+
+  test("retention verbs: EXPIRE ICEBERG / CHECKPOINT + VACUUM DELTA " +
+    "drive the export lifecycle from SQL alone, typed result rows, " +
+    "live views untouched") {
+    val root = tmp("ret")
+    seed(root)
+    GraftTables.register("t_ret", root, keepVersions = 50)
+    try {
+      val ice = java.nio.file.Files
+        .createTempDirectory("graft-sql-ret-ice").toString + "/ice"
+      val del = java.nio.file.Files
+        .createTempDirectory("graft-sql-ret-del").toString + "/del"
+      // two export snapshots each side
+      GraftSql.sql(spark, s"EXPORT TABLE t_ret TO ICEBERG LOCATION '$ice'")
+      GraftSql.sql(spark, s"EXPORT TABLE t_ret TO DELTA LOCATION '$del'")
+      GraftSql.sql(spark, "DELETE FROM t_ret WHERE id >= 50")
+      GraftSql.sql(spark, s"EXPORT TABLE t_ret TO ICEBERG LOCATION '$ice'")
+      GraftSql.sql(spark, s"EXPORT TABLE t_ret TO DELTA LOCATION '$del'")
+      // Iceberg expiry through the verb: one snapshot expires, its
+      // now-orphaned file sweeps, live view intact
+      val er = GraftSql.sql(spark,
+        s"EXPIRE ICEBERG LOCATION '$ice' KEEP 1").head()
+      assert(er.getAs[Long]("n_expired") === 1L)
+      assert(er.getAs[Long]("n_snapshots") === 1L)
+      assert(er.getAs[Long]("n_files_deleted") >= 1L)
+      assert(graft.sources.IcebergLite.read(spark, ice).count() === 50L)
+      // Delta: checkpoint then vacuum through the verbs
+      val cr = GraftSql.sql(spark,
+        s"CHECKPOINT DELTA LOCATION '$del'").head()
+      assert(cr.getAs[Long]("checkpoint_version") === 1L)
+      val vr = GraftSql.sql(spark,
+        s"VACUUM DELTA LOCATION '$del'").head()
+      assert(vr.getAs[Long]("n_files_deleted") >= 1L)
+      assert(vr.getAs[Long]("n_commits_truncated") === 2L)
+      assert(graft.sources.DeltaLite.read(spark, del).count() === 50L)
+      // vacuum without a checkpoint refuses by name (fresh export)
+      val del2 = java.nio.file.Files
+        .createTempDirectory("graft-sql-ret-del2").toString + "/d2"
+      GraftSql.sql(spark, s"EXPORT TABLE t_ret TO DELTA LOCATION '$del2'")
+      val e = intercept[Exception](
+        GraftSql.sql(spark, s"VACUUM DELTA LOCATION '$del2'"))
+      assert(e.getMessage.contains("no checkpoint"))
+    } finally GraftTables.unregister("t_ret")
+  }
 }
