@@ -2729,6 +2729,63 @@ object VersionOps {
              |       count(*) AS n_rows
              |FROM live
              |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // q258 — Delta ID-MODE column mapping, the layout Databricks
+    // writers emit on NEW tables (q240/q253 cover name mode): the
+    // table is CREATED id-mapped (physical col-<id> names + parquet
+    // field ids in every file), a rename is metadata-only with the
+    // mode kept at id, the post-rename append writes the original
+    // physical name + id, and reads resolve BY FIELD ID — so files
+    // written before and after the rename serve under the new
+    // logical name. Same oracle as q253: both mapping modes must
+    // converge on the identical replay. A position-matched or
+    // name-matched read nulls half the rows and breaks the hash.
+    QueryDef("q258_delta_idmode",
+      (s, d) => s.read.parquet(deltaIdModePath(s, d))
+        .orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS charge
+             |  FROM orders),
+             |live AS (
+             |  SELECT k, charge FROM o WHERE k % 3 = 0
+             |  UNION ALL
+             |  SELECT k, charge + 5 FROM o WHERE k % 3 = 1)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(charge) AS BIGINT) AS sum_charge,
+             |       count(*) AS n_rows
+             |FROM live
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin)),
+
+    // q259 — Delta DV PURGE + retention: the lifecycle q257 could not
+    // run (vacuum used to refuse DV-bearing tables). A DV delete
+    // masks rows without rewriting, PURGE rewrites exactly the masked
+    // files (dataChange=false — the logical view is pinned through
+    // it), checkpoint re-emits the sealed state, vacuum sweeps the
+    // pre-purge file AND the orphaned DV blob, and time travel past
+    // the horizon refuses. The oracle replays the delete predicate
+    // and pins every lifecycle counter — a purge that resurrects or
+    // over-deletes rows, a swept live file, or a surviving blob
+    // breaks the gate.
+    QueryDef("q259_delta_purge",
+      (s, d) => s.read.parquet(deltaPurgePath(s, d))
+        .orderBy("bucket"),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (SELECT * FROM o WHERE k % 7 <> 3)
+             |SELECT k % 10 AS bucket,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(*) AS n_rows,
+             |       1 AS n_files_rewritten,
+             |       CAST((SELECT count(*) FROM o WHERE k % 7 = 3)
+             |         AS BIGINT) AS n_rows_purged,
+             |       1 AS dv_blob_swept, 1 AS pin_refused
+             |FROM live
+             |GROUP BY 1
              |ORDER BY bucket""".stripMargin))
   )
 
@@ -3143,6 +3200,79 @@ object VersionOps {
         .groupBy((col("k") % 10).as("bucket"))
         .agg(sum(col("charge")).cast("long").as("sum_charge"),
           count(lit(1)).as("n_rows"))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q258 builder: the ID-MODE twin of deltaRenamePath — create
+    * id-mapped, metadata-only rename (mode stays id), append under
+    * the new logical name, read back BY FIELD ID. Once per session. */
+  private def deltaIdModePath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q258-delta")
+    val outPath = Scratch.dir(s, "q258-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      DeltaLite.createIdMapped(s, o.filter(col("k") % 3 === 0), table)
+      DeltaLite.renameColumn(s, table, "cents", "charge")
+      DeltaLite.exportAppend(s,
+        o.filter(col("k") % 3 === 1)
+          .select(col("k"), (col("cents") + 5L).as("charge")), table)
+      val out = DeltaLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("charge")).cast("long").as("sum_charge"),
+          count(lit(1)).as("n_rows"))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q259 builder: one-file export, DV-delete the k%7==3 rows (file
+    * blob forced), PURGE the masked file, checkpoint + vacuum, verify
+    * counters + blob sweep + pin refusal + untouched live view. Once
+    * per session. */
+  private def deltaPurgePath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q259-delta")
+    val outPath = Scratch.dir(s, "q259-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      DeltaLite.export(s, o.coalesce(1), table)
+      val snap = DeltaLite.snapshot(s, table)
+      val f0 = snap.files.head
+      // the masked ordinals: row_index of every k%7==3 row in the file
+      val positions = s.read.parquet(
+          new org.apache.hadoop.fs.Path(table, f0).toString)
+        .select(col("_metadata.row_index").as("pos"), col("k"))
+        .filter(col("k") % 7 === 3)
+        .select("pos").collect().map(_.getLong(0))
+      DeltaLite.commitDeletionVectors(s, table, Map(f0 -> positions),
+        inlineThreshold = 64)
+      val (nRewritten, nPurged) = DeltaLite.purgeDeletionVectors(s, table)
+      DeltaLite.checkpoint(s, table)
+      DeltaLite.vacuum(s, table)
+      val blobSwept =
+        if (new java.io.File(table).listFiles().forall(f =>
+          !f.getName.startsWith("deletion_vector_"))) 1 else 0
+      val refused =
+        try { DeltaLite.read(s, table, Some(0L)).count(); 0 }
+        catch { case e: java.io.IOException
+          if e.getMessage.contains("no commit at or before") => 1 }
+      val out = DeltaLite.read(s, table)
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(sum(col("cents")).cast("long").as("sum_cents"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("n_files_rewritten", lit(nRewritten))
+        .withColumn("n_rows_purged", lit(nPurged))
+        .withColumn("dv_blob_swept", lit(blobSwept))
+        .withColumn("pin_refused", lit(refused))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

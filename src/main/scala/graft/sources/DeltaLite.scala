@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Protocol-minimal reader for Delta Lake transaction logs — the
   * import half of the interop story (q181's manifest export is the
@@ -77,6 +77,14 @@ object DeltaLite {
                             maxs: Map[String, Long],
                             json: String)
 
+  /** The last protocol action folded: (minReaderVersion,
+    * minWriterVersion, readerFeatures, writerFeatures) — carried so
+    * checkpoint() can re-emit it (a checkpoint without the protocol
+    * action is spec-invalid for foreign readers). */
+  final case class Protocol(minReader: Int, minWriter: Int,
+                            readerFeatures: Seq[String],
+                            writerFeatures: Seq[String])
+
   final case class Snapshot(files: Seq[String],
                             partitionColumns: Seq[String],
                             schema: Option[StructType],
@@ -85,7 +93,11 @@ object DeltaLite {
                             deletionVectors: Map[String, Dv] = Map.empty,
                             stats: Map[String, AddStats] = Map.empty,
                             partitionValues: Map[String,
-                              Map[String, String]] = Map.empty)
+                              Map[String, String]] = Map.empty,
+                            configuration: Map[String, String] =
+                              Map.empty,
+                            protocol: Protocol = Protocol(1, 2, Nil, Nil),
+                            sizes: Map[String, Long] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -127,13 +139,59 @@ object DeltaLite {
     val fileStats = mutable.LinkedHashMap.empty[String, AddStats]
     val filePartVals =
       mutable.LinkedHashMap.empty[String, Map[String, String]]
+    val fileSizes = mutable.LinkedHashMap.empty[String, Long]
     var partCols: Seq[String] = Nil
     var schema: Option[StructType] = None
-    var mappingMode = "none"
+    var configuration: Map[String, String] = Map.empty
+    var protocol: Protocol = Protocol(1, 2, Nil, Nil)
+    def mappingMode: String =
+      configuration.getOrElse("delta.columnMapping.mode", "none")
+    // reader versions: 1 = base, 2 = column mapping, 3 = table
+    // features (accept iff every readerFeature is one we implement).
+    // Anything else is a silent-misread hazard — Delta's own
+    // compatibility rule is this check. Applied to protocol actions
+    // from BOTH the JSON commits and the checkpoint.
+    def checkProtocol(p: Protocol): Unit = {
+      if (p.minReader == 3) {
+        val unsupported = p.readerFeatures.toSet --
+          Set("columnMapping", "deletionVectors")
+        if (unsupported.nonEmpty)
+          throw new IOException(s"$table requires Delta reader " +
+            s"features ${unsupported.mkString(", ")} — this " +
+            "reader implements columnMapping and " +
+            "deletionVectors only and refuses rather than misread")
+      } else if (p.minReader > 2)
+        throw new IOException(s"$table requires Delta " +
+          s"minReaderVersion ${p.minReader}; this reader speaks " +
+          "versions 1-2 (base + column mapping) and refuses rather " +
+          "than misread")
+    }
     checkpoint.foreach { cv =>
       val cp = new Path(logDir, f"$cv%020d.checkpoint.parquet")
       val df = spark.read.parquet(cp.toString)
       val names = df.columns.toSet
+      if (names.contains("protocol"))
+        df.select("protocol")
+          .filter(org.apache.spark.sql.functions.col("protocol")
+            .isNotNull).collect()
+          .foreach { r =>
+            val pr = r.getStruct(0)
+            if (pr != null && !pr.isNullAt(
+                pr.fieldIndex("minReaderVersion"))) {
+              val fields = pr.schema.fieldNames.toSet
+              def feats(f: String): Seq[String] =
+                if (fields.contains(f) && !pr.isNullAt(pr.fieldIndex(f)))
+                  pr.getSeq[String](pr.fieldIndex(f))
+                else Nil
+              protocol = Protocol(
+                pr.getInt(pr.fieldIndex("minReaderVersion")),
+                if (fields.contains("minWriterVersion") &&
+                    !pr.isNullAt(pr.fieldIndex("minWriterVersion")))
+                  pr.getInt(pr.fieldIndex("minWriterVersion")) else 2,
+                feats("readerFeatures"), feats("writerFeatures"))
+              checkProtocol(protocol)
+            }
+          }
       if (names.contains("metaData")) {
         df.select("metaData.partitionColumns", "metaData.schemaString")
           .collect().foreach { r =>
@@ -146,8 +204,7 @@ object DeltaLite {
         if (metaFields.contains("configuration"))
           df.select("metaData.configuration").na.drop().collect()
             .foreach { r =>
-              val m = r.getMap[String, String](0)
-              m.get("delta.columnMapping.mode").foreach(mappingMode = _)
+              configuration = r.getMap[String, String](0).toMap
             }
       }
       val adds =
@@ -178,11 +235,29 @@ object DeltaLite {
       // checkpointed adds may carry `stats` — dropping them would
       // silently degrade file skipping to scan-everything after the
       // first checkpoint
-      if (names.contains("add") && df.schema("add").dataType
-          .asInstanceOf[StructType].fieldNames.contains("stats"))
+      val addFields =
+        if (names.contains("add")) df.schema("add").dataType
+          .asInstanceOf[StructType].fieldNames.toSet
+        else Set.empty[String]
+      if (addFields.contains("stats"))
         df.select("add.path", "add.stats").collect().foreach { r =>
           if (!r.isNullAt(0) && !r.isNullAt(1))
             fileStats.put(r.getString(0), parseAddStats(r.getString(1)))
+        }
+      // per-add partitionValues survive the checkpoint (dropping them
+      // would silently degrade partition pruning to scan-everything)
+      if (addFields.contains("partitionValues"))
+        df.select("add.path", "add.partitionValues").collect()
+          .foreach { r =>
+            if (!r.isNullAt(0) && !r.isNullAt(1)) {
+              val pv = r.getMap[String, String](1).toMap
+              if (pv.nonEmpty) filePartVals.put(r.getString(0), pv)
+            }
+          }
+      if (addFields.contains("size"))
+        df.select("add.path", "add.size").collect().foreach { r =>
+          if (!r.isNullAt(0) && !r.isNullAt(1))
+            fileSizes.put(r.getString(0), r.getLong(1))
         }
       adds.foreach(p => live.put(p, cpDvs.get(p)))
       removes.foreach(live.remove)
@@ -193,46 +268,30 @@ object DeltaLite {
           .filter(_.trim.nonEmpty).foreach { line =>
             val a = mapper.readTree(line)
             if (a.has("protocol")) {
-              // reader versions: 1 = base, 2 = column mapping,
-              // 3 = table features (accept iff every readerFeature is
-              // one we implement). Anything else is a silent-misread
-              // hazard — Delta's own compatibility rule is this check.
               val p = a.get("protocol")
               val mrv = p.get("minReaderVersion").asInt
-              if (mrv == 3) {
-                val featsNode = Option(p.get("readerFeatures"))
-                  .filterNot(_.isNull)
-                // v3 REQUIRES the feature list; absent = malformed, and
-                // guessing what the writer needed would be a misread
-                if (featsNode.isEmpty)
-                  throw new IOException(s"$table declares Delta " +
-                    s"minReaderVersion 3 with no readerFeatures — " +
-                    "malformed protocol action; refusing rather than " +
-                    "guessing the required features")
-                val feats = featsNode
-                  .map(_.elements().asScala.map(_.asText).toSet)
-                  .getOrElse(Set.empty[String])
-                val unsupported =
-                  feats -- Set("columnMapping", "deletionVectors")
-                if (unsupported.nonEmpty)
-                  throw new IOException(s"$table requires Delta reader " +
-                    s"features ${unsupported.mkString(", ")} — this " +
-                    "reader implements columnMapping and " +
-                    "deletionVectors only and refuses rather than " +
-                    "misread")
-              } else if (mrv > 2)
-                throw new IOException(s"$table requires Delta " +
-                  s"minReaderVersion $mrv; this reader speaks versions " +
-                  "1-2 (base + column mapping) and refuses rather " +
-                  "than misread")
+              def feats(f: String): Option[Seq[String]] =
+                Option(p.get(f)).filterNot(_.isNull)
+                  .map(_.elements().asScala.map(_.asText).toSeq)
+              // v3 REQUIRES the feature list; absent = malformed, and
+              // guessing what the writer needed would be a misread
+              if (mrv == 3 && feats("readerFeatures").isEmpty)
+                throw new IOException(s"$table declares Delta " +
+                  s"minReaderVersion 3 with no readerFeatures — " +
+                  "malformed protocol action; refusing rather than " +
+                  "guessing the required features")
+              protocol = Protocol(mrv,
+                Option(p.get("minWriterVersion")).filterNot(_.isNull)
+                  .map(_.asInt).getOrElse(2),
+                feats("readerFeatures").getOrElse(Nil),
+                feats("writerFeatures").getOrElse(Nil))
+              checkProtocol(protocol)
             }
             if (a.has("metaData")) {
               val m = a.get("metaData")
-              if (m.has("configuration") && !m.get("configuration").isNull) {
-                val c = m.get("configuration")
-                if (c.has("delta.columnMapping.mode"))
-                  mappingMode = c.get("delta.columnMapping.mode").asText
-              }
+              if (m.has("configuration") && !m.get("configuration").isNull)
+                configuration = m.get("configuration").fields().asScala
+                  .map(e => e.getKey -> e.getValue.asText).toMap
               if (m.has("partitionColumns")) {
                 val it = m.get("partitionColumns").elements()
                 val cols = mutable.ArrayBuffer.empty[String]
@@ -267,12 +326,15 @@ object DeltaLite {
                   .map(e => e.getKey -> e.getValue.asText).toMap)
                 .filter(_.nonEmpty)
                 .foreach(pv => filePartVals.put(path, pv))
+              Option(ad.get("size")).filterNot(_.isNull)
+                .foreach(sz => fileSizes.put(path, sz.asLong))
             }
             if (a.has("remove")) {
               val p = a.get("remove").get("path").asText
               live.remove(p)
               fileStats.remove(p)
               filePartVals.remove(p)
+              fileSizes.remove(p)
             }
           }
       }
@@ -281,7 +343,9 @@ object DeltaLite {
     Snapshot(live.keys.toSeq, partCols, schema, version, mappingMode,
       live.collect { case (p, Some(dv)) => p -> dv }.toMap,
       fileStats.filter { case (p, _) => live.contains(p) }.toMap,
-      filePartVals.filter { case (p, _) => live.contains(p) }.toMap)
+      filePartVals.filter { case (p, _) => live.contains(p) }.toMap,
+      configuration, protocol,
+      fileSizes.filter { case (p, _) => live.contains(p) }.toMap)
   }
 
   /** One add action's `stats` JSON → folded numeric min/max plus the
@@ -307,24 +371,60 @@ object DeltaLite {
     * through the schema's `delta.columnMapping.physicalName` field
     * metadata: the parquet files (and partition directories) carry
     * physical names, the returned frame the logical ones. ID mode
-    * (parquet field-id resolution) refuses loudly. */
+    * resolves the spec-correct way — BY PARQUET FIELD ID: the read
+    * schema carries each logical field's `delta.columnMapping.id` as
+    * `parquet.field.id` metadata and Spark's field-id matching picks
+    * the column regardless of its physical name (so a rename serves
+    * the new name over files written before OR after it). Id-mode
+    * files without field ids refuse loudly (they cannot be
+    * id-resolved; matching by position would be a misread). */
   def read(spark: SparkSession, table: String,
            asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, table, asOf)
-    if (snap.columnMappingMode == "id")
-      throw new IOException(s"$table uses column mapping mode 'id' " +
-        "(parquet field-id resolution) — this reader implements " +
-        "'name' mode only; refusing rather than matching columns " +
-        "by position")
     if (snap.files.isEmpty) {
       val s = snap.schema.getOrElse(throw new IOException(
         s"$table is empty and its log declares no schema"))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     } else {
-      val raw = spark.read.option("basePath", table)
-        .parquet(snap.files.map(f => new Path(table, f).toString): _*)
+      val raw =
+        if (snap.columnMappingMode != "id")
+          spark.read.option("basePath", table)
+            .parquet(snap.files.map(f =>
+              new Path(table, f).toString): _*)
+        else {
+          val sch = snap.schema.getOrElse(throw new IOException(
+            s"$table declares id-mode column mapping but no schema — " +
+              "cannot resolve field ids"))
+          if (snap.partitionColumns.nonEmpty)
+            throw new IOException(s"$table combines id-mode column " +
+              "mapping with partition columns — directory-inferred " +
+              "columns cannot be id-resolved; refusing rather than " +
+              "misread")
+          val head = new Path(table, snap.files.head)
+          if (!IcebergLite.parquetHasFieldIds(spark, head))
+            throw new IOException(s"$table uses column mapping mode " +
+              s"'id' but data file ${snap.files.head} carries no " +
+              "parquet field ids — id resolution is impossible and " +
+              "matching by position would be a misread; refusing")
+          val readSchema = StructType(sch.fields.map { f =>
+            if (!f.metadata.contains("delta.columnMapping.id"))
+              throw new IOException(s"$table: id-mode schema field " +
+                s"${f.name} carries no delta.columnMapping.id — " +
+                "malformed metaData; refusing")
+            StructField(f.name, f.dataType, f.nullable,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putLong("parquet.field.id",
+                  f.metadata.getLong("delta.columnMapping.id"))
+                .build())
+          })
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled",
+            "true")
+          spark.read.schema(readSchema).option("basePath", table)
+            .parquet(snap.files.map(f =>
+              new Path(table, f).toString): _*)
+        }
       // deletion vectors apply FIRST (they need the hidden parquet
       // row identity, which a projection would drop): decode each
       // live file's DV to its deleted ordinals — bounded metadata,
@@ -380,24 +480,27 @@ object DeltaLite {
     * prefix + 20-char z85 UUID → `deletion_vector_<uuid>.bin`), or an
     * absolute path ("p"). File blobs are length-prefixed (int32 BE)
     * and CRC-32-trailed per the DV file format; both are verified. */
+  /** The on-disk blob path a "u"/"p" DV descriptor names. */
+  private def dvBlobPath(table: String, dv: Dv): Path =
+    if (dv.storageType == "p") new Path(dv.pathOrInlineDv)
+    else {
+      val s = dv.pathOrInlineDv
+      if (s.length < 20)
+        throw new IOException(s"malformed DV file reference '$s'")
+      val prefix = s.dropRight(20)
+      val uuidBytes = RoaringDv.z85Decode(s.takeRight(20), 16)
+      val bb = java.nio.ByteBuffer.wrap(uuidBytes)
+      val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+      val name = s"deletion_vector_$uuid.bin"
+      if (prefix.isEmpty) new Path(table, name)
+      else new Path(new Path(table, prefix), name)
+    }
+
   private def dvBytes(spark: SparkSession, table: String,
                       dv: Dv): Array[Byte] = dv.storageType match {
     case "i" => RoaringDv.z85Decode(dv.pathOrInlineDv, dv.sizeInBytes)
     case "u" | "p" =>
-      val p =
-        if (dv.storageType == "p") new Path(dv.pathOrInlineDv)
-        else {
-          val s = dv.pathOrInlineDv
-          if (s.length < 20)
-            throw new IOException(s"malformed DV file reference '$s'")
-          val prefix = s.dropRight(20)
-          val uuidBytes = RoaringDv.z85Decode(s.takeRight(20), 16)
-          val bb = java.nio.ByteBuffer.wrap(uuidBytes)
-          val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-          val name = s"deletion_vector_$uuid.bin"
-          if (prefix.isEmpty) new Path(table, name)
-          else new Path(new Path(table, prefix), name)
-        }
+      val p = dvBlobPath(table, dv)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val in = fs.open(p)
       try {
@@ -443,7 +546,17 @@ object DeltaLite {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],""" +
         """"writerFeatures":["deletionVectors"]}}""") ++
-      deletes.toSeq.sortBy(_._1).map { case (rel, positions) =>
+      deletes.toSeq.sortBy(_._1).map { case (rel, newPositions) =>
+        // the log fold keeps only the LATEST add per path, so a file
+        // that already carries a DV must have its existing positions
+        // MERGED in — a descriptor built from the new positions alone
+        // would silently resurrect the previously masked rows
+        val positions = snap.deletionVectors.get(rel) match {
+          case Some(old) =>
+            (RoaringDv.decode(dvBytes(spark, table, old)) ++
+              newPositions).distinct.sorted
+          case None => newPositions
+        }
         val bytes = RoaringDv.encode(positions)
         val dvJson =
           if (bytes.length <= inlineThreshold)
@@ -579,18 +692,30 @@ object DeltaLite {
     // a column-mapped table stores PHYSICAL names in its files: map
     // the caller's logical columns through the schema's physicalName
     // metadata before writing (an append after RENAME writes the
-    // renamed column under its original physical name)
+    // renamed column under its original physical name). Id-mode files
+    // additionally carry parquet field ids (the resolution key), so
+    // the written schema pins each field's delta.columnMapping.id as
+    // parquet.field.id metadata.
     val df = prior match {
-      case Some(p) if p.columnMappingMode == "name" =>
+      case Some(p) if p.columnMappingMode == "name" ||
+          p.columnMappingMode == "id" =>
         import org.apache.spark.sql.functions.col
         val sch = p.schema.getOrElse(throw new IOException(
           s"$table declares column mapping but no schema"))
+        if (p.columnMappingMode == "id")
+          spark.conf.set("spark.sql.parquet.fieldId.write.enabled",
+            "true")
         df0.select(sch.fields.toSeq.map { f =>
           val phys =
             if (f.metadata.contains("delta.columnMapping.physicalName"))
               f.metadata.getString("delta.columnMapping.physicalName")
             else f.name
-          col(s"`${f.name}`").as(phys)
+          if (p.columnMappingMode == "id") {
+            val md = new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id",
+                f.metadata.getLong("delta.columnMapping.id")).build()
+            col(s"`${f.name}`").as(phys, md)
+          } else col(s"`${f.name}`").as(phys)
         }: _*)
       case _ => df0
     }
@@ -847,11 +972,14 @@ object DeltaLite {
     * retention-0 form; Delta's timed retention generalizes it) and
     * truncate the JSON commits a checkpoint already covers. Refuses
     * without a checkpoint (truncating the log with no checkpoint
-    * bricks the table) and on DV-bearing snapshots (a DV's file blob
-    * must not be swept while its data file lives). Time travel past
-    * the horizon refuses loudly afterward — the documented Delta
-    * contract, not data loss: the live view is untouched. Returns
-    * (dataFilesDeleted, commitsTruncated). */
+    * bricks the table). DV-bearing snapshots sweep safely: the
+    * checkpoint re-emits live DV descriptors (see checkpoint()), so
+    * vacuum keeps every blob a LIVE descriptor references and deletes
+    * only unreferenced `deletion_vector_*.bin` orphans alongside the
+    * dead parquet. Time travel past the horizon refuses loudly
+    * afterward — the documented Delta contract, not data loss: the
+    * live view is untouched. Returns (dataFilesDeleted,
+    * commitsTruncated) — DV-blob orphans count as data files. */
   def vacuum(spark: SparkSession, table: String): (Int, Int) = {
     val tableP = new Path(table)
     val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -863,23 +991,33 @@ object DeltaLite {
         "checkpoint() first")
     val cpV = mapper.readTree(readText(spark, cpP)).get("version").asLong
     val snap = snapshot(spark, table)
-    require(snap.deletionVectors.isEmpty,
-      s"vacuum at $table: deletion vectors present — sweeping around " +
-        "DV blobs is not implemented; compact the DVs first")
     val live = snap.files.toSet
+    // blobs a live DV references (table-relative), pinned against the
+    // sweep; inline ("i") DVs reference no file, absolute ("p") paths
+    // live outside the walk
     val tableUri = tableP.toUri.getPath
+    val liveBlobs: Set[String] = snap.deletionVectors.values.collect {
+      case dv if dv.storageType == "u" =>
+        dvBlobPath(table, dv).toUri.getPath
+          .stripPrefix(tableUri).stripPrefix("/")
+    }.toSet
     def walk(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq.flatMap { st =>
         val name = st.getPath.getName
         if (name == "_delta_log" || name.startsWith(".")) Nil
         else if (st.isDirectory) walk(st.getPath)
-        else if (name.endsWith(".parquet")) Seq(st.getPath)
+        else if (name.endsWith(".parquet") ||
+          name.startsWith("deletion_vector_")) Seq(st.getPath)
         else Nil
       }
     var filesDeleted = 0
     walk(tableP).foreach { p =>
       val rel = p.toUri.getPath.stripPrefix(tableUri).stripPrefix("/")
-      if (!live.contains(rel) && fs.delete(p, false)) filesDeleted += 1
+      val keep =
+        if (p.getName.startsWith("deletion_vector_"))
+          liveBlobs.contains(rel)
+        else live.contains(rel)
+      if (!keep && fs.delete(p, false)) filesDeleted += 1
     }
     var commitsTruncated = 0
     (0L to cpV).foreach { v =>
@@ -887,6 +1025,78 @@ object DeltaLite {
         commitsTruncated += 1
     }
     (filesDeleted, commitsTruncated)
+  }
+
+  /** PURGE deletion vectors — Delta's own REORG TABLE ... APPLY
+    * (PURGE) path and the pre-step that lets retention run on a
+    * DV-bearing table: every DV-carrying live file is rewritten with
+    * its masked rows physically dropped, then one commit removes the
+    * old files and adds the rewrites WITHOUT descriptors
+    * (`dataChange: false` — the logical content is unchanged). The
+    * orphaned DV blobs stay on disk for time travel until vacuum
+    * sweeps them. Returns (filesRewritten, rowsPurged). */
+  def purgeDeletionVectors(spark: SparkSession,
+                           table: String): (Int, Long) = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val snap = snapshot(spark, table)
+    if (snap.deletionVectors.isEmpty) return (0, 0L)
+    val targets = snap.deletionVectors.keys.toSeq.sorted
+    val withParts = targets.filter(p =>
+      snap.partitionValues.get(p).exists(_.nonEmpty))
+    if (withParts.nonEmpty)
+      throw new IOException(s"cannot purge DVs at $table: files " +
+        s"${withParts.mkString(", ")} carry partition values — " +
+        "partitioned DV purge is not implemented; refusing rather " +
+        "than dropping partition tuples from the rewritten adds")
+    val rowsPurged = snap.deletionVectors.values.map(_.cardinality).sum
+    val tableP = new Path(table)
+    val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rewrite = the same (file, row_index) anti-join the read path
+    // applies, restricted to the DV-bearing files, WITHOUT the
+    // logical-name mapping (files store physical names; the rewrite
+    // must too, or mapped tables would fork their physical schema)
+    import spark.implicits._
+    val delRows = snap.deletionVectors.toSeq.flatMap { case (rel, dv) =>
+      val positions = RoaringDv.decode(dvBytes(spark, table, dv))
+      val abs = new Path(table, rel).toUri.getPath
+      positions.map(p => (abs, p))
+    }.toDF("_del_path", "_del_pos")
+    val raw = spark.read.option("basePath", table)
+      .parquet(targets.map(f => new Path(table, f).toString): _*)
+    val cols = raw.columns.toSeq
+    val masked = raw
+      .withColumn("_scan_path", regexp_replace(
+        col("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("_scan_pos", col("_metadata.row_index"))
+      .join(delRows,
+        col("_scan_path") === col("_del_path") &&
+          col("_scan_pos") === col("_del_pos"),
+        "left_anti")
+      .select(cols.map(c => col(s"`$c`")): _*)
+    val version = snap.version + 1
+    val staging = new Path(table, s".staging-$version")
+    fs.delete(staging, true)
+    masked.write.mode("overwrite").parquet(staging.toString)
+    val named = fs.listStatus(staging).toSeq
+      .filter(st => st.getPath.getName.endsWith(".parquet") &&
+        st.getLen > 0)
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.map { case (st, i) =>
+        val name = f"part-$version%05d-purged-$i%05d.parquet"
+        fs.delete(new Path(tableP, name), false)
+        if (!fs.rename(st.getPath, new Path(tableP, name)))
+          throw new IOException(s"could not place $name in $table")
+        name -> st.getLen
+      }
+    fs.delete(staging, true)
+    val removes = targets.map(p =>
+      s"""{"remove":{"path":"${esc(p)}","deletionTimestamp":0,"dataChange":false}}""")
+    val adds = named.map { case (n, sz) =>
+      val stats = footerStatsJson(spark, new Path(tableP, n))
+      s"""{"add":{"path":"${esc(n)}","partitionValues":{},"size":$sz,"modificationTime":0,"dataChange":false,"stats":"${esc(stats)}"}}"""
+    }
+    writeCommitFile(spark, table, version, removes ++ adds)
+    (targets.size, rowsPurged)
   }
 
   /** Rename a column — METADATA ONLY, Delta's column-mapping rule:
@@ -907,9 +1117,10 @@ object DeltaLite {
       s"renameColumn: no column $from at $table")
     require(!schema.fieldNames.contains(to),
       s"renameColumn: column $to already exists at $table")
-    if (snap.columnMappingMode == "id")
-      throw new IOException(s"$table uses column mapping mode 'id' — " +
-        "this writer evolves name-mode tables only")
+    // an already-mapped table keeps its mode (id stays id); an
+    // unmapped one upgrades to name mode
+    val mode =
+      if (snap.columnMappingMode == "id") "id" else "name"
     val newFields = schema.fields.zipWithIndex.map { case (f, i) =>
       val phys =
         if (f.metadata.contains("delta.columnMapping.physicalName"))
@@ -929,9 +1140,69 @@ object DeltaLite {
     val actions = Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"graft-export","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
-        org.apache.spark.sql.types.StructType(newFields).json)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"$maxId"},"createdTime":0}}""")
+        org.apache.spark.sql.types.StructType(newFields).json)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"$mode","delta.columnMapping.maxColumnId":"$maxId"},"createdTime":0}}""")
     writeCommitFile(spark, table, version, actions)
     version
+  }
+
+  /** Create a FRESH id-mode column-mapped table from `df` — Delta's
+    * own rule (id mode is set at table creation; upgrading an
+    * existing table would leave id-less files unresolvable): each
+    * logical field pins a mapping id (ordinal+1) and a physical name
+    * (`col-<id>`), the data files carry the physical names AND
+    * parquet field ids, and the commit declares
+    * delta.columnMapping.mode=id at minReaderVersion 2. Reads resolve
+    * BY FIELD ID (see read()), so renames serve files written before
+    * and after them. Returns version 0. */
+  def createIdMapped(spark: SparkSession, df: DataFrame,
+                     table: String): Long = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.MetadataBuilder
+    val tableP = new Path(table)
+    val fs = tableP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(table, "_delta_log")))
+      throw new IOException(s"createIdMapped writes FRESH tables " +
+        s"only; $table already has a _delta_log (id-mode cannot be " +
+        "retrofitted onto id-less files)")
+    val logical = StructType(df.schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        StructField(f.name, f.dataType, f.nullable,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", s"col-${i + 1}")
+            .putLong("delta.columnMapping.id", (i + 1).toLong).build())
+    })
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val phys = df.select(df.schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        val md = new MetadataBuilder()
+          .putLong("parquet.field.id", (i + 1).toLong).build()
+        col(s"`${f.name}`").as(s"col-${i + 1}", md)
+    }.toSeq: _*)
+    val staging = new Path(table, ".staging-0")
+    fs.delete(staging, true)
+    phys.write.mode("overwrite").parquet(staging.toString)
+    val named = fs.listStatus(staging).toSeq
+      .filter(st => st.getPath.getName.endsWith(".parquet") &&
+        st.getLen > 0)
+      .sortBy(_.getPath.getName)
+      .zipWithIndex.map { case (st, i) =>
+        val name = f"part-00000-$i%05d.parquet"
+        fs.delete(new Path(tableP, name), false)
+        if (!fs.rename(st.getPath, new Path(tableP, name)))
+          throw new IOException(s"could not place $name in $table")
+        name -> st.getLen
+      }
+    fs.delete(staging, true)
+    val maxId = df.schema.fields.length
+    val head = Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"graft-export","format":{"provider":"parquet","options":{}},"schemaString":"${esc(
+        logical.json)}","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"$maxId"},"createdTime":0}}""")
+    val adds = named.map { case (n, sz) =>
+      val stats = footerStatsJson(spark, new Path(tableP, n))
+      s"""{"add":{"path":"${esc(n)}","partitionValues":{},"size":$sz,"modificationTime":0,"dataChange":true,"stats":"${esc(stats)}"}}""" }
+    writeCommitFile(spark, table, 0L, head ++ adds)
+    0L
   }
 
   /** Write a parquet checkpoint of the current state plus the
@@ -939,35 +1210,94 @@ object DeltaLite {
     * + the JSON suffix instead of walking every commit (and old JSON
     * commits become deletable, Delta's log-retention contract). */
   def checkpoint(spark: SparkSession, table: String): Long = {
-    import org.apache.spark.sql.functions.{col, struct, typedLit}
+    import org.apache.spark.sql.Row
     val snap = snapshot(spark, table)
-    // this writer does not re-emit DV descriptors into the checkpoint;
-    // writing one anyway would RESURRECT every masked row for readers
-    // that start from it — refuse loudly (compact the DVs into data
-    // files first), the same honesty rule as readPruned
-    if (snap.deletionVectors.nonEmpty)
-      throw new IOException(s"cannot checkpoint $table: version " +
-        s"${snap.version} carries deletion vectors this checkpoint " +
-        "writer would drop (row resurrection); compact deletes into " +
-        "data files first")
     val logDir = new Path(table, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    import spark.implicits._
     val schemaJson = snap.schema.map(_.json).getOrElse(
       throw new IOException(s"$table's log declares no metaData schema; " +
         "cannot checkpoint"))
-    // stats ride along so file skipping survives log compaction
-    val adds = snap.files.map(p =>
-        (p, snap.stats.get(p).map(_.json).orNull))
-      .toDF("path", "stats")
-      .select(struct(col("path"), col("stats")).as("add"))
-    val meta = Seq(1).toDF("_one").select(struct(
-      typedLit(snap.partitionColumns).as("partitionColumns"),
-      typedLit(schemaJson).as("schemaString"))
-      .as("metaData"))
+    // The checkpoint is the ONLY state a reader sees once vacuum
+    // truncates the JSON commits, so it must carry everything the
+    // fold needs AND everything the spec requires of foreign readers:
+    // the protocol action (version gating), the FULL metaData
+    // (configuration included — dropping it silently cleared
+    // delta.columnMapping.mode, serving physical column names after
+    // rename+checkpoint+vacuum), and per-add partitionValues / size /
+    // dataChange / stats / deletionVector (dropping DVs would
+    // resurrect every masked row for readers that start here).
+    val dvType = StructType(Seq(
+      StructField("storageType", org.apache.spark.sql.types.StringType),
+      StructField("pathOrInlineDv",
+        org.apache.spark.sql.types.StringType),
+      StructField("offset", org.apache.spark.sql.types.LongType),
+      StructField("sizeInBytes", org.apache.spark.sql.types.IntegerType),
+      StructField("cardinality", org.apache.spark.sql.types.LongType)))
+    val strMap = org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType)
+    val strArr = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType)
+    val cpSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion",
+          org.apache.spark.sql.types.IntegerType),
+        StructField("minWriterVersion",
+          org.apache.spark.sql.types.IntegerType),
+        StructField("readerFeatures", strArr),
+        StructField("writerFeatures", strArr)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", org.apache.spark.sql.types.StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider",
+            org.apache.spark.sql.types.StringType),
+          StructField("options", strMap)))),
+        StructField("schemaString",
+          org.apache.spark.sql.types.StringType),
+        StructField("partitionColumns", strArr),
+        StructField("configuration", strMap),
+        StructField("createdTime",
+          org.apache.spark.sql.types.LongType)))),
+      StructField("add", StructType(Seq(
+        StructField("path", org.apache.spark.sql.types.StringType),
+        StructField("partitionValues", strMap),
+        StructField("size", org.apache.spark.sql.types.LongType),
+        StructField("modificationTime",
+          org.apache.spark.sql.types.LongType),
+        StructField("dataChange",
+          org.apache.spark.sql.types.BooleanType),
+        StructField("stats", org.apache.spark.sql.types.StringType),
+        StructField("deletionVector", dvType))))))
+    // v3 features only when the state still NEEDS them: a protocol
+    // pinned at deletionVectors stays (live DVs re-emit), but a purged
+    // table re-checkpoints at the floor its content requires
+    val pr = snap.protocol
+    val featRow =
+      if (pr.minReader >= 3)
+        Row(3, math.max(pr.minWriter, 7),
+          pr.readerFeatures, pr.writerFeatures)
+      else Row(pr.minReader, pr.minWriter, null, null)
+    val protoRow = Row(featRow, null, null)
+    val metaRow = Row(null, Row("graft-export",
+      Row("parquet", Map.empty[String, String]), schemaJson,
+      snap.partitionColumns, snap.configuration, 0L), null)
+    def sizeOf(p: String): Long =
+      snap.sizes.getOrElse(p,
+        fs.getFileStatus(new Path(table, p)).getLen)
+    val addRows = snap.files.map { p =>
+      val dvRow = snap.deletionVectors.get(p).map(d =>
+        Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(java.lang.Long.valueOf).orNull,
+          d.sizeInBytes, d.cardinality)).orNull
+      Row(null, null, Row(p,
+        snap.partitionValues.getOrElse(p, Map.empty[String, String]),
+        sizeOf(p), 0L, false,
+        snap.stats.get(p).map(_.json).orNull, dvRow))
+    }
     val staging = new Path(logDir, s".cp-staging-${snap.version}")
     fs.delete(staging, true)
-    adds.unionByName(meta, allowMissingColumns = true)
+    spark.createDataFrame(
+        (Seq(protoRow, metaRow) ++ addRows).asJava, cpSchema)
       .coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val part = fs.listStatus(staging).toSeq
       .find(st => st.getPath.getName.endsWith(".parquet") && st.getLen > 0)

@@ -72,6 +72,11 @@ object IcebergLite {
   /** A resolved Iceberg table state: live data files (absolute),
     * live position-delete files (v2; empty for v1 tables), the
     * snapshot id, and the table's declared schema JSON. */
+  /** One partition-spec field: the partition FIELD name (the tuple
+    * key), the SOURCE column name, and the parsed transform. */
+  final case class SpecField(name: String, source: String,
+                             transform: IcebergTransforms.Transform)
+
   final case class Snapshot(files: Seq[String], snapshotId: Long,
                             schemaJson: String,
                             posDeleteFiles: Seq[String] = Nil,
@@ -81,7 +86,8 @@ object IcebergLite {
                               Map[Int, (Array[Byte], Array[Byte])]] =
                               Map.empty,
                             partitionValues: Map[String,
-                              Map[String, String]] = Map.empty)
+                              Map[String, String]] = Map.empty,
+                            specFields: Seq[SpecField] = Nil)
 
   /** One equality-delete file (v2 `data_file.content=2`): its parquet
     * path, the EQUALITY COLUMNS (resolved from `equality_ids` via the
@@ -220,11 +226,22 @@ object IcebergLite {
       .fromPath(p, spark.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      // field ids in this writer's schema JSON are ordinal+1 over the
-      // DataFrame schema, and the footer lists columns in schema order
+      // bounds key by the file's OWN parquet field ids when present
+      // (foreign/evolved files may have non-consecutive ids); the
+      // ordinal+1 fallback matches this writer's schema JSON for
+      // id-less legacy files
+      val msgType = r.getFooter.getFileMetaData.getSchema
       r.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.zipWithIndex.foreach { case (c, i) =>
-          val fieldId = i + 1
+          val fieldId: Int = {
+            val name = c.getPath.toDotString
+            val idOpt =
+              if (c.getPath.size() == 1 && msgType.containsField(name))
+                msgType.getFields.asScala.find(_.getName == name)
+                  .flatMap(f => Option(f.getId))
+              else None
+            idOpt.map(_.intValue).getOrElse(i + 1)
+          }
           val st = c.getStatistics
           if (c.getPath.size() == 1 && st != null && !st.isEmpty &&
               st.hasNonNullValue) st match {
@@ -258,7 +275,7 @@ object IcebergLite {
   /** Does this parquet file's footer schema carry field ids? One
     * footer read — the probe that picks id- vs name-based column
     * resolution at scan planning. */
-  private def parquetHasFieldIds(spark: SparkSession, p: Path): Boolean = {
+  private[sources] def parquetHasFieldIds(spark: SparkSession, p: Path): Boolean = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(p, spark.sparkContext.hadoopConfiguration)
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -338,6 +355,17 @@ object IcebergLite {
         }
       }
     val idToName: Map[Int, String] = fieldIdToName(schemaJson)
+    // Sequence ordering (the input to equality-delete application):
+    // the spec's source of truth is the manifest-list's
+    // `sequence_number` (field-id 515), inherited by entries whose own
+    // sequence_number is null; an entry's EXPLICIT sequence_number
+    // (compaction-preserved row age) overrides. Real v2 writers leave
+    // entry numbers null and use RANDOM snapshot ids, so the old
+    // added_snapshot_id proxy silently mis-ordered foreign deletes —
+    // now the proxy is only a fallback for manifests that carry no
+    // sequence_number at all, and a table that BOTH lacks the field
+    // and carries equality deletes refuses (ordering unprovable).
+    var seqUnproven = false
     avroRecords(spark, manifestListPath).foreach { mf =>
       // v2 manifest_file carries `content`: 0 = data, 1 = deletes.
       // Delete manifests are READ (position deletes anti-join at scan
@@ -349,24 +377,20 @@ object IcebergLite {
           s"unknown content=$content — newer Iceberg than this reader")
       val mPath = new Path(str(mf, "manifest_path").getOrElse(
         throw new IOException("manifest_file entry missing manifest_path")))
-      val mSeq = long0(mf, "added_snapshot_id")
+      val mSeqOpt = fieldOpt(mf, "sequence_number")
+        .map(_.toString.toLong)
+      if (mSeqOpt.isEmpty) seqUnproven = true
+      val mSeq = mSeqOpt.getOrElse(long0(mf, "added_snapshot_id"))
       avroRecords(spark, mPath).foreach { entry =>
         val status = long0(entry, "status") // 0 existing, 1 added, 2 deleted
         if (status > 2)
           throw new IOException(s"unknown manifest entry status " +
             s"$status in $mPath — newer Iceberg than this reader")
-        // an EXPLICIT per-entry sequence number (a compaction rewrote
-        // files but preserved their logical age) breaks the
-        // added_snapshot_id ordering proxy equality deletes rely on —
-        // refuse rather than misapply the deletes
-        if (fieldOpt(entry, "sequence_number").exists(v =>
-            v.toString.toLong != mSeq))
-          throw new IOException(s"cannot read Iceberg table at " +
-            s"$location: manifest entry in $mPath carries an explicit " +
-            "sequence_number differing from its manifest's " +
-            "added_snapshot_id (compaction-preserved row age) — this " +
-            "reader orders deletes by snapshot id only; compact " +
-            "deletes away with the table's own engine first")
+        // data sequence number: the entry's own when explicit (spec:
+        // existing entries keep the sequence of the commit that added
+        // them), else inherited from its manifest
+        val entrySeq = fieldOpt(entry, "sequence_number")
+          .map(_.toString.toLong).getOrElse(mSeq)
         if (status != 2L) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val fmt = str(df, "file_format").getOrElse("PARQUET")
@@ -385,7 +409,7 @@ object IcebergLite {
           (content, fileKind) match {
             case (0L, 0L) =>
               p.foreach { path => dataFiles += path
-                dataSeqs += path -> mSeq
+                dataSeqs += path -> entrySeq
                 val bs = entryBounds(df)
                 if (bs.nonEmpty) fileBounds += path -> bs
                 Option(df.get("partition"))
@@ -409,7 +433,7 @@ object IcebergLite {
               val cols = ids.map(id => idToName.getOrElse(id,
                 throw new IOException(s"equality_ids field $id not " +
                   s"in the table schema at $location — refusing")))
-              p.foreach(path => eqDels += EqDelete(path, cols, mSeq))
+              p.foreach(path => eqDels += EqDelete(path, cols, entrySeq))
             case _ =>
               throw new IOException(s"malformed Iceberg DELETE " +
                 s"manifest at $location: manifest content=$content " +
@@ -419,9 +443,17 @@ object IcebergLite {
         }
       }
     }
+    val eqd = eqDels.result().distinct
+    if (eqd.nonEmpty && seqUnproven)
+      throw new IOException(s"cannot read Iceberg table at $location: " +
+        "snapshot carries equality deletes but its manifest list " +
+        "declares no sequence_number field — delete/data ordering by " +
+        "added_snapshot_id alone is unprovable for foreign writers " +
+        "(random snapshot ids); refusing rather than resurrecting or " +
+        "over-deleting rows")
     Snapshot(dataFiles.result().distinct, wanted, schemaJson,
       deleteFiles.result().distinct, dataSeqs.result(),
-      eqDels.result().distinct, fileBounds.result(),
+      eqd, fileBounds.result(),
       partValues.result())
   }
 
@@ -585,7 +617,15 @@ object IcebergLite {
         schema(idx).dataType == IntegerType,
       s"readPruned: column $column is ${schema(idx).dataType} — " +
         "bounds pruning implemented for int/long only")
-    val fieldId = idx + 1
+    // stored bounds are keyed by the REAL Iceberg field id (carried on
+    // the StructField as parquet.field.id metadata) — ordinal+1 only
+    // coincides for self-written tables; a foreign/evolved schema with
+    // non-consecutive ids would hit ANOTHER column's bounds and skip
+    // files wrongly (silent row loss)
+    val fieldId =
+      if (schema(idx).metadata.contains("parquet.field.id"))
+        schema(idx).metadata.getLong("parquet.field.id").toInt
+      else idx + 1
     val kept = s.files.filter { f =>
       s.bounds.get(f).flatMap(_.get(fieldId)) match {
         case Some((bLo, bHi)) => leLong(bHi) >= lo && leLong(bLo) <= hi
@@ -871,6 +911,10 @@ object IcebergLite {
       |  {"name": "partition_spec_id", "type": "int", "field-id": 502},
       |  {"name": "content", "type": "int", "field-id": 517,
       |   "default": 0},
+      |  {"name": "sequence_number", "type": ["null", "long"],
+      |   "default": null, "field-id": 515},
+      |  {"name": "min_sequence_number", "type": ["null", "long"],
+      |   "default": null, "field-id": 516},
       |  {"name": "added_snapshot_id", "type": "long", "field-id": 503}
       |]}""".stripMargin)
 
@@ -999,6 +1043,8 @@ object IcebergLite {
     mf.put("manifest_length", mLen)
     mf.put("partition_spec_id", 0)
     mf.put("content", 0)
+    mf.put("sequence_number", java.lang.Long.valueOf(snapId))
+    mf.put("min_sequence_number", java.lang.Long.valueOf(snapId))
     mf.put("added_snapshot_id", snapId)
     val listP = new Path(metaDir, s"snap-$snapId-manifest-list.avro")
     writeAvro(spark, listP, manifestFileSchema, Seq(mf))
@@ -1082,12 +1128,15 @@ object IcebergLite {
       partitionedEntrySchema(partCols.map(c => c -> avroType(c)))
     val snapId = 1L
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit}
     val tuples = df.select(partCols.map(c => col(s"`$c`")): _*)
       .distinct().collect()
     val entries = tuples.zipWithIndex.flatMap { case (t, ti) =>
+      // null-safe slice: `col === null` is NULL (matches nothing), so a
+      // null partition value would silently drop every row holding it
       val cond = partCols.zipWithIndex.map { case (c, i) =>
-        col(s"`$c`") === t.get(i) }.reduce(_ && _)
+        if (t.isNullAt(i)) col(s"`$c`").isNull
+        else col(s"`$c`") === lit(t.get(i)) }.reduce(_ && _)
       val dataDir = new Path(loc, s"data/part-$ti")
       withFieldIds(df.filter(cond)).write.mode("overwrite")
         .parquet(dataDir.toString)
@@ -1123,6 +1172,8 @@ object IcebergLite {
     mf.put("manifest_length", mLen)
     mf.put("partition_spec_id", 0)
     mf.put("content", 0)
+    mf.put("sequence_number", java.lang.Long.valueOf(snapId))
+    mf.put("min_sequence_number", java.lang.Long.valueOf(snapId))
     mf.put("added_snapshot_id", snapId)
     val listP = new Path(metaDir, s"snap-$snapId-manifest-list.avro")
     writeAvro(spark, listP, manifestFileSchema, Seq(mf))
@@ -1275,6 +1326,12 @@ object IcebergLite {
       c.put("manifest_length", long0(r, "manifest_length"))
       c.put("partition_spec_id", long0(r, "partition_spec_id").toInt)
       c.put("content", long0(r, "content").toInt)
+      val cSeq = fieldOpt(r, "sequence_number")
+        .map(_.toString.toLong).getOrElse(long0(r, "added_snapshot_id"))
+      c.put("sequence_number", java.lang.Long.valueOf(cSeq))
+      c.put("min_sequence_number",
+        java.lang.Long.valueOf(fieldOpt(r, "min_sequence_number")
+          .map(_.toString.toLong).getOrElse(cSeq)))
       c.put("added_snapshot_id", long0(r, "added_snapshot_id"))
       c
     }
@@ -1283,6 +1340,8 @@ object IcebergLite {
     mf.put("manifest_length", dLen)
     mf.put("partition_spec_id", 0)
     mf.put("content", 1) // DELETE manifest
+    mf.put("sequence_number", java.lang.Long.valueOf(snapId))
+    mf.put("min_sequence_number", java.lang.Long.valueOf(snapId))
     mf.put("added_snapshot_id", snapId)
     val listP = new Path(metaDir, s"snap-$snapId-manifest-list.avro")
     writeAvro(spark, listP, manifestFileSchema, carried :+ mf)
@@ -1450,6 +1509,12 @@ object IcebergLite {
       c.put("manifest_length", long0(r, "manifest_length"))
       c.put("partition_spec_id", long0(r, "partition_spec_id").toInt)
       c.put("content", long0(r, "content").toInt)
+      val cSeq = fieldOpt(r, "sequence_number")
+        .map(_.toString.toLong).getOrElse(long0(r, "added_snapshot_id"))
+      c.put("sequence_number", java.lang.Long.valueOf(cSeq))
+      c.put("min_sequence_number",
+        java.lang.Long.valueOf(fieldOpt(r, "min_sequence_number")
+          .map(_.toString.toLong).getOrElse(cSeq)))
       c.put("added_snapshot_id", long0(r, "added_snapshot_id"))
       c
     }
@@ -1458,6 +1523,8 @@ object IcebergLite {
     mf.put("manifest_length", mLen)
     mf.put("partition_spec_id", 0)
     mf.put("content", if (isDelete) 1 else 0)
+    mf.put("sequence_number", java.lang.Long.valueOf(snapId))
+    mf.put("min_sequence_number", java.lang.Long.valueOf(snapId))
     mf.put("added_snapshot_id", snapId)
     val listP = new Path(metaDir, s"snap-$snapId-manifest-list.avro")
     writeAvro(spark, listP, manifestFileSchema, carried :+ mf)

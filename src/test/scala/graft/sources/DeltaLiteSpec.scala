@@ -153,7 +153,9 @@ class DeltaLiteSpec extends AnyFunSuite {
     val e = intercept[java.io.IOException] { DeltaLite.read(spark, t) }
     assert(e.getMessage.contains("v2Checkpoint"))
     Files.delete(Paths.get(t, "_delta_log", f"${2L}%020d.json"))
-    // id-mode column mapping refuses, naming the mode
+    // id-mode over ID-LESS files refuses, naming the mode (these
+    // parquet files carry no field ids, so id resolution is
+    // impossible; matching by position would be a misread)
     Files.write(Paths.get(t, "_delta_log", f"${2L}%020d.json"),
       meta("id").getBytes(StandardCharsets.UTF_8))
     val e2 = intercept[java.io.IOException] { DeltaLite.read(spark, t) }
@@ -319,7 +321,7 @@ class DeltaLiteSpec extends AnyFunSuite {
 
   test("stats survive log compaction: a checkpoint carries them, and " +
     "pruning still plans 2 of 3 files with every pre-checkpoint JSON " +
-    "commit deleted; DV-bearing tables refuse to checkpoint") {
+    "commit deleted; DV-bearing checkpoints carry the masks") {
     import spark.implicits._
     val t = tmp("cpstats")
     DeltaLite.exportAppend(spark, df(0, 10).coalesce(1), t)
@@ -335,14 +337,23 @@ class DeltaLiteSpec extends AnyFunSuite {
       DeltaLite.readPruned(spark, t, "id", 8L, 12L)
     assert((scanned, total) === ((2, 3)))
     assert(rows.count() === 5L)
-    // a DV-bearing table must refuse to checkpoint (this writer would
-    // drop the DVs — row resurrection for checkpoint-first readers)
+    // a DV-bearing checkpoint RE-EMITS the descriptors (dropping them
+    // would resurrect every masked row for checkpoint-first readers):
+    // with every JSON commit gone, the masked view must still serve
     val t2 = tmp("cpdv")
     DeltaLite.export(spark, df(0, 20).coalesce(1), t2)
     val f0 = DeltaLite.snapshot(spark, t2).files.head
     DeltaLite.commitDeletionVectors(spark, t2, Map(f0 -> Array(0L, 1L)))
-    val e = intercept[java.io.IOException](DeltaLite.checkpoint(spark, t2))
-    assert(e.getMessage.contains("deletion vectors"))
+    val cpV2 = DeltaLite.checkpoint(spark, t2)
+    (0L to cpV2).foreach { v =>
+      Files.deleteIfExists(Paths.get(t2, "_delta_log", f"$v%020d.json"))
+    }
+    val masked = DeltaLite.read(spark, t2)
+    assert(masked.count() === 18L)
+    assert(masked.select("id").as[Long].collect().min === 2L)
+    // and the checkpoint is protocol-complete: the v3 deletionVectors
+    // gate survives log truncation
+    assert(DeltaLite.snapshot(spark, t2).protocol.minReader === 3)
   }
 
   test("rename evolution: metadata-only commit, appends stay " +
@@ -426,5 +437,125 @@ class DeltaLiteSpec extends AnyFunSuite {
     intercept[java.io.IOException](DeltaLite.read(spark, t, Some(0L)))
     // idempotent: nothing left to sweep
     assert(DeltaLite.vacuum(spark, t) === ((0, 0)))
+  }
+
+  test("rename + checkpoint + vacuum keeps column mapping: the " +
+    "checkpoint persists metaData.configuration, so a reader starting " +
+    "from it still maps physical names to logical ones") {
+    val t = tmp("cpmap")
+    DeltaLite.export(spark, df(0, 10).coalesce(1), t)
+    DeltaLite.renameColumn(spark, t, "v", "score")
+    DeltaLite.exportAppend(spark,
+      { import spark.implicits._
+        (10L until 15L).map(i => (i, i * 2L)).toDF("id", "score")
+          .coalesce(1) }, t)
+    DeltaLite.checkpoint(spark, t)
+    val (_, nTrunc) = DeltaLite.vacuum(spark, t)
+    assert(nTrunc >= 1)
+    // the ADVICE regression: before the fix the checkpoint dropped
+    // configuration, the fold saw mode "none", and the read served
+    // the PRE-rename physical column name silently
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.columnMappingMode === "name")
+    assert(snap.protocol.minReader === 2)
+    val live = DeltaLite.read(spark, t)
+    assert(live.columns.toSeq === Seq("id", "score"))
+    assert(live.count() === 15L &&
+      live.filter(col("score").isNull).count() === 0L)
+  }
+
+  test("re-adding a DV-bearing file MERGES positions: a second " +
+    "deletion-vector commit on the same file keeps the first " +
+    "commit's masked rows masked") {
+    import spark.implicits._
+    val t = tmp("dvmerge")
+    DeltaLite.export(spark, df(0, 20).coalesce(1), t)
+    val f0 = DeltaLite.snapshot(spark, t).files.head
+    DeltaLite.commitDeletionVectors(spark, t, Map(f0 -> Array(0L, 1L)))
+    DeltaLite.commitDeletionVectors(spark, t, Map(f0 -> Array(5L)))
+    val ids = DeltaLite.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq
+    // rows 0, 1 (first commit) AND 5 (second) are all masked
+    assert(ids === (0L until 20L).filterNot(Set(0L, 1L, 5L)))
+    assert(DeltaLite.snapshot(spark, t)
+      .deletionVectors(f0).cardinality === 3L)
+  }
+
+  test("purge + vacuum lifecycle on a DV-bearing table: purge " +
+    "rewrites masked files (dataChange false), vacuum sweeps the " +
+    "orphaned DV blobs, the live view never changes, and time " +
+    "travel past the horizon refuses") {
+    import spark.implicits._
+    val t = tmp("dvpurge")
+    DeltaLite.export(spark, df(0, 20).coalesce(1), t)
+    val f0 = DeltaLite.snapshot(spark, t).files.head
+    // big-enough position set to force a FILE blob (storageType u)
+    DeltaLite.commitDeletionVectors(spark, t,
+      Map(f0 -> (0L until 8L).toArray), inlineThreshold = 4)
+    assert(DeltaLite.snapshot(spark, t)
+      .deletionVectors(f0).storageType === "u")
+    val before = DeltaLite.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(before === (8L until 20L))
+    val (nRewritten, nRows) = DeltaLite.purgeDeletionVectors(spark, t)
+    assert((nRewritten, nRows) === ((1, 8L)))
+    assert(DeltaLite.snapshot(spark, t).deletionVectors.isEmpty)
+    DeltaLite.checkpoint(spark, t)
+    val (nDel, nTrunc) = DeltaLite.vacuum(spark, t)
+    // swept: the pre-purge data file AND the orphaned DV blob
+    assert(nDel === 2 && nTrunc >= 1)
+    assert(!Files.list(Paths.get(t)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("deletion_vector_")))
+    val after = DeltaLite.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(after === before)
+    intercept[java.io.IOException](
+      DeltaLite.read(spark, t, Some(0L)).count())
+    // idempotent: purging a DV-less table is a no-op
+    assert(DeltaLite.purgeDeletionVectors(spark, t) === ((0, 0L)))
+  }
+
+  test("id-mode column mapping: created fresh with parquet field ids, " +
+    "reads resolve BY ID, a metadata-only rename serves files " +
+    "written before and after it, retrofitting refuses") {
+    import spark.implicits._
+    val t = tmp("idmode")
+    DeltaLite.createIdMapped(spark, df(0, 10).coalesce(1), t)
+    val snap = DeltaLite.snapshot(spark, t)
+    assert(snap.columnMappingMode === "id")
+    // files carry PHYSICAL names + field ids
+    val f0 = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(t, snap.files.head).toString)
+    assert(f0.columns.toSeq === Seq("col-1", "col-2"))
+    // logical read resolves by field id
+    val got = DeltaLite.read(spark, t)
+    assert(got.columns.toSeq === Seq("id", "v"))
+    assert(got.count() === 10L)
+    // metadata-only rename keeps mode id; append under the new name
+    DeltaLite.renameColumn(spark, t, "v", "score")
+    assert(DeltaLite.snapshot(spark, t).columnMappingMode === "id")
+    DeltaLite.exportAppend(spark,
+      (10L until 15L).map(i => (i, i * 2L)).toDF("id", "score")
+        .coalesce(1), t)
+    val live = DeltaLite.read(spark, t)
+    assert(live.columns.toSeq === Seq("id", "score"))
+    assert(live.count() === 15L &&
+      live.filter(col("score").isNull).count() === 0L)
+    assert(live.agg(sum("score")).head().getLong(0) ===
+      (0L until 15L).map(_ * 2L).sum)
+    // mixed pre/post-rename file set: the appended file also stores
+    // the PHYSICAL name col-2, so the physical schema never forks
+    val newest = DeltaLite.snapshot(spark, t).files
+      .filterNot(snap.files.toSet).head
+    assert(spark.read.parquet(
+      new org.apache.hadoop.fs.Path(t, newest).toString)
+      .columns.toSeq === Seq("col-1", "col-2"))
+    // id-mode survives checkpoint + vacuum (configuration persists)
+    DeltaLite.checkpoint(spark, t)
+    DeltaLite.vacuum(spark, t)
+    assert(DeltaLite.read(spark, t).columns.toSeq === Seq("id", "score"))
+    // retrofitting an existing table refuses
+    intercept[java.io.IOException](
+      DeltaLite.createIdMapped(spark, df(0, 3), t))
   }
 }
