@@ -2786,7 +2786,55 @@ object VersionOps {
              |       1 AS dv_blob_swept, 1 AS pin_refused
              |FROM live
              |GROUP BY 1
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // q260 — Iceberg BUCKET-transform partitioning, the most common
+    // real-world layout for high-cardinality keys (q254 covers
+    // identity): the export derives each row's partition from the
+    // spec's murmur3_x86_32 bucket hash (Appendix B — pinned against
+    // the spec's own test vectors in Round12Spec), and an equality
+    // predicate on the SOURCE column prunes to exactly the matching
+    // bucket's file from one manifest walk. The oracle replays the
+    // predicate and pins 1-of-4 files; a hash off by even one bit
+    // lands the row in another bucket and zeroes n_rows.
+    QueryDef("q260_iceberg_bucket_prune",
+      (s, d) => s.read.parquet(icebergBucketPath(s, d)),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT)
+             |           AS cents
+             |  FROM orders),
+             |hit AS (SELECT * FROM o
+             |        WHERE k = (SELECT min(o_orderkey) FROM orders))
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       min(k) AS min_key, max(k) AS max_key,
+             |       1 AS files_scanned, 4 AS files_total
+             |FROM hit""".stripMargin)),
+
+    // q261 — Iceberg DAY-transform partitioning (`days(ts)`), the
+    // canonical time-series layout: the export derives epoch-day
+    // partitions from the timestamp column, and a one-day range
+    // predicate opens exactly that day's file out of the table's 30
+    // (the events table spans 30 days at every sf). The oracle
+    // replays the day predicate; a transform off by one (timezone,
+    // floor-vs-truncate on pre-epoch, micros arithmetic) shifts the
+    // partition and breaks both the file counts and the aggregate.
+    QueryDef("q261_iceberg_day_prune",
+      (s, d) => s.read.parquet(icebergDayPath(s, d)),
+      Some("""WITH e AS (
+             |  SELECT event_id,
+             |         CAST(round(value * 100) AS BIGINT) AS cents,
+             |         ts
+             |  FROM events),
+             |hit AS (SELECT * FROM e
+             |        WHERE CAST(ts AS DATE) = DATE '2024-01-15')
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(min(event_id) AS BIGINT) AS min_id,
+             |       CAST(max(event_id) AS BIGINT) AS max_id,
+             |       1 AS files_scanned, 30 AS files_total
+             |FROM hit""".stripMargin))
   )
 
   /** q240 builder: a COLUMN-MAPPED foreign Delta table (the layout
@@ -3147,6 +3195,61 @@ object VersionOps {
         .withColumn("n_files_deleted", lit(nFiles))
         .withColumn("n_commits_truncated", lit(nCommits))
         .withColumn("pin_refused", lit(refused))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q260 builder: bucket[4]-partitioned export of orders, pruned to
+    * the min key's bucket. Once per session. */
+  private def icebergBucketPath(s: SparkSession, dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q260-iceberg")
+    val outPath = Scratch.dir(s, "q260-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      IcebergLite.exportTransformPartitioned(s, o.coalesce(1), table,
+        Seq("k" -> "bucket[4]"))
+      val minKey = o.agg(min("k")).head().getLong(0)
+      val (rows, scanned, total) =
+        IcebergLite.readTransformPruned(s, table, "k", minKey, minKey)
+      val out = rows.agg(count(lit(1)).as("n_rows"),
+          sum("cents").cast("long").as("sum_cents"),
+          min("k").as("min_key"), max("k").as("max_key"))
+        .withColumn("files_scanned", lit(scanned))
+        .withColumn("files_total", lit(total))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q261 builder: days(ts)-partitioned export of events, pruned to
+    * one day of the 30. Once per session. */
+  private def icebergDayPath(s: SparkSession, dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q261-iceberg")
+    val outPath = Scratch.dir(s, "q261-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val e = Tables.events(s, dir).select(
+        col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("ts"))
+      IcebergLite.exportTransformPartitioned(s, e.coalesce(1), table,
+        Seq("ts" -> "day"))
+      val (rows, scanned, total) = IcebergLite.readTransformPruned(
+        s, table, "ts",
+        java.time.Instant.parse("2024-01-15T00:00:00Z"),
+        java.time.Instant.parse("2024-01-15T23:59:59.999999Z"))
+      val out = rows.agg(count(lit(1)).as("n_rows"),
+          sum("cents").cast("long").as("sum_cents"),
+          min("event_id").cast("long").as("min_id"),
+          max("event_id").cast("long").as("max_id"))
+        .withColumn("files_scanned", lit(scanned))
+        .withColumn("files_total", lit(total))
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

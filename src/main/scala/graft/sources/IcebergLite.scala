@@ -337,24 +337,29 @@ object IcebergLite {
     val fileBounds =
       Map.newBuilder[String, Map[Int, (Array[Byte], Array[Byte])]]
     val partValues = Map.newBuilder[String, Map[String, String]]
-    // partition spec: identity transforms read (the values land in
-    // partitionValues for the pruning planner); anything else would
-    // be silently mis-pruned, so refuse by transform name
-    Option(meta.get("partition-specs"))
-      .map(_.elements().asScala.toSeq).getOrElse(Nil)
-      .find(sp => Option(meta.get("default-spec-id"))
-        .forall(_.asInt == sp.get("spec-id").asInt))
-      .foreach { sp =>
-        sp.get("fields").elements().asScala.foreach { f =>
-          val tr = f.get("transform").asText
-          if (tr != "identity")
-            throw new IOException(s"cannot read Iceberg table at " +
-              s"$location: partition transform '$tr' — this reader " +
-              "prunes identity transforms only; refusing rather " +
-              "than mis-pruning")
-        }
-      }
     val idToName: Map[Int, String] = fieldIdToName(schemaJson)
+    // partition spec: KNOWN transforms parse into specFields (the
+    // planner's pruning inputs — identity, bucket[N], truncate[W],
+    // day/month/year, void); an UNKNOWN transform would be silently
+    // mis-pruned, so it refuses by name at parse
+    val specFields: Seq[SpecField] =
+      Option(meta.get("partition-specs"))
+        .map(_.elements().asScala.toSeq).getOrElse(Nil)
+        .find(sp => Option(meta.get("default-spec-id"))
+          .forall(_.asInt == sp.get("spec-id").asInt))
+        .map { sp =>
+          sp.get("fields").elements().asScala.toSeq.map { f =>
+            val tr =
+              try IcebergTransforms.parse(f.get("transform").asText)
+              catch { case e: IOException => throw new IOException(
+                s"cannot read Iceberg table at $location: " +
+                  e.getMessage) }
+            val src = Option(f.get("source-id")).map(_.asInt)
+              .flatMap(idToName.get)
+              .getOrElse(f.get("name").asText)
+            SpecField(f.get("name").asText, src, tr)
+          }
+        }.getOrElse(Nil)
     // Sequence ordering (the input to equality-delete application):
     // the spec's source of truth is the manifest-list's
     // `sequence_number` (field-id 515), inherited by entries whose own
@@ -454,7 +459,7 @@ object IcebergLite {
     Snapshot(dataFiles.result().distinct, wanted, schemaJson,
       deleteFiles.result().distinct, dataSeqs.result(),
       eqd, fileBounds.result(),
-      partValues.result())
+      partValues.result(), specFields)
   }
 
   /** Decode a data_file's optional lower_bounds/upper_bounds k_v
@@ -1103,8 +1108,23 @@ object IcebergLite {
     * need no reconstruction. */
   def exportPartitioned(spark: SparkSession, df: DataFrame,
                         location: String,
-                        partCols: Seq[String]): Long = {
-    require(partCols.nonEmpty, "partCols must be non-empty")
+                        partCols: Seq[String]): Long =
+    exportTransformPartitioned(spark, df, location,
+      partCols.map(c => c -> "identity"))
+
+  /** Export a frame as a TRANSFORM-partitioned Iceberg table — the
+    * layouts real Iceberg tables overwhelmingly use (`days(ts)`,
+    * `bucket(N, id)`, `truncate(W, s)`): each spec entry is
+    * (sourceColumn, transform string). The partition tuple holds the
+    * TRANSFORMED value (spec partition field names `<col>_<tr>`,
+    * field-ids 1000+i); source columns stay in the data files, so
+    * reads need no reconstruction; one data directory per tuple
+    * (transform cardinality is bounded by design — that is what makes
+    * a transform a partition function). Fresh tables only. */
+  def exportTransformPartitioned(spark: SparkSession, df: DataFrame,
+                                 location: String,
+                                 specs: Seq[(String, String)]): Long = {
+    require(specs.nonEmpty, "specs must be non-empty")
     val loc = new Path(location)
     val fs = fsOf(spark, loc)
     val metaDir = new Path(loc, "metadata")
@@ -1112,34 +1132,45 @@ object IcebergLite {
       throw new IOException(s"exportPartitioned writes FRESH tables " +
         s"only; $location already has Iceberg metadata")
     fs.mkdirs(metaDir)
-    partCols.foreach(c => require(df.schema.fieldNames.contains(c),
-      s"partition column $c not in the frame"))
-    val avroType: Map[String, String] = partCols.map { c =>
-      c -> (df.schema(c).dataType match {
-        case LongType => "long"
-        case IntegerType => "int"
-        case StringType => "string"
-        case other => throw new IOException(
-          s"identity partitioning on $other is not supported — " +
-            "long/int/string only")
-      })
-    }.toMap
+    specs.foreach { case (c, _) =>
+      require(df.schema.fieldNames.contains(c),
+        s"partition source column $c not in the frame") }
+    val parsed = specs.map { case (c, t) =>
+      val tr = IcebergTransforms.parse(t)
+      if (tr.name == "void")
+        throw new IOException("void is not a partitioning export " +
+          "transform (every row would land in one null partition)")
+      (c, tr, df.schema(c).dataType)
+    }
+    val pFields = parsed.map { case (c, tr, dt) =>
+      (IcebergTransforms.fieldName(tr, c), c, tr,
+        IcebergTransforms.resultAvroType(tr, dt))
+    }
     val entrySchema =
-      partitionedEntrySchema(partCols.map(c => c -> avroType(c)))
+      partitionedEntrySchema(pFields.map(f => (f._1, f._4)))
     val snapId = 1L
     spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
     import org.apache.spark.sql.functions.{col, lit}
-    val tuples = df.select(partCols.map(c => col(s"`$c`")): _*)
+    // the transformed tuple, as derived columns (built-in arithmetic
+    // except bucket's spec-murmur3 UDF — export path only)
+    val ptCols = parsed.zipWithIndex.map { case ((c, tr, dt), i) =>
+      IcebergTransforms.column(tr, dt, col(s"`$c`")).as(s"_pt_$i")
+    }
+    val withPt = df.select(df.columns.map(c =>
+      col(s"`$c`")).toSeq ++ ptCols: _*)
+    val tuples = withPt
+      .select((0 until parsed.length).map(i => col(s"_pt_$i")): _*)
       .distinct().collect()
     val entries = tuples.zipWithIndex.flatMap { case (t, ti) =>
       // null-safe slice: `col === null` is NULL (matches nothing), so a
       // null partition value would silently drop every row holding it
-      val cond = partCols.zipWithIndex.map { case (c, i) =>
-        if (t.isNullAt(i)) col(s"`$c`").isNull
-        else col(s"`$c`") === lit(t.get(i)) }.reduce(_ && _)
+      val cond = parsed.indices.map { i =>
+        if (t.isNullAt(i)) col(s"_pt_$i").isNull
+        else col(s"_pt_$i") === lit(t.get(i)) }.reduce(_ && _)
       val dataDir = new Path(loc, s"data/part-$ti")
-      withFieldIds(df.filter(cond)).write.mode("overwrite")
-        .parquet(dataDir.toString)
+      withFieldIds(withPt.filter(cond)
+          .select(df.columns.map(c => col(s"`$c`")).toSeq: _*))
+        .write.mode("overwrite").parquet(dataDir.toString)
       fs.listStatus(dataDir).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
         .map(p => fs.makeQualified(p)).map { path =>
@@ -1151,8 +1182,8 @@ object IcebergLite {
           dfRec.put("file_format", "PARQUET")
           val pRec = new GenericData.Record(
             dfRec.getSchema.getField("partition").schema())
-          partCols.zipWithIndex.foreach { case (c, i) =>
-            pRec.put(c, t.get(i))
+          pFields.zipWithIndex.foreach { case ((name, _, _, _), i) =>
+            pRec.put(name, t.get(i))
           }
           dfRec.put("partition", pRec)
           dfRec.put("record_count", parquetRowCount(spark, path))
@@ -1178,11 +1209,12 @@ object IcebergLite {
     val listP = new Path(metaDir, s"snap-$snapId-manifest-list.avro")
     writeAvro(spark, listP, manifestFileSchema, Seq(mf))
     val now = System.currentTimeMillis()
-    val specFields = partCols.zipWithIndex.map { case (c, i) =>
-      s"""{"name": ${mapper.writeValueAsString(c)},
-         | "transform": "identity",
-         | "source-id": ${df.schema.fieldNames.indexOf(c) + 1},
-         | "field-id": ${1000 + i}}""".stripMargin
+    val specFields = pFields.zipWithIndex.map {
+      case ((name, src, tr, _), i) =>
+        s"""{"name": ${mapper.writeValueAsString(name)},
+           | "transform": ${mapper.writeValueAsString(tr.toString)},
+           | "source-id": ${df.schema.fieldNames.indexOf(src) + 1},
+           | "field-id": ${1000 + i}}""".stripMargin
     }.mkString(", ")
     val snapJson =
       s"""{"snapshot-id": $snapId, "timestamp-ms": $now, """ +
@@ -1238,6 +1270,72 @@ object IcebergLite {
     }
     val pred = filters.map { case (c, v) =>
       col(s"`$c`").cast("string") === v }.reduce(_ && _)
+    val rows =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(schema).parquet(kept: _*).filter(pred)
+      }
+    (rows, kept.size, s.files.size)
+  }
+
+  /** Scan with TRANSFORM-AWARE partition pruning: for a range
+    * predicate `lo <= column <= hi` on a SOURCE column, evaluate the
+    * spec's transforms on the endpoints and keep only files whose
+    * stored partition tuple can hold a matching row — `days(ts)` and
+    * `truncate` prune ranges (monotonic transforms), `bucket` prunes
+    * equality (lo == hi; a range spans buckets arbitrarily, so it
+    * keeps everything — correct, just unpruned). The exact predicate
+    * applies on top. Files without a tuple for the field keep
+    * (conservative). Returns (rows, filesScanned, filesTotal).
+    * Delete-bearing snapshots refuse — the same scope rule as
+    * readPruned. This is what the transform spec is FOR at 100 TB: a
+    * one-day predicate on a `days(ts)` table opens 1/365 of the
+    * files from one manifest walk. */
+  def readTransformPruned(spark: SparkSession, location: String,
+                          column: String, lo: Any, hi: Any)
+    : (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = snapshot(spark, location)
+    require(s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty,
+      s"readTransformPruned at $location: snapshot ${s.snapshotId} " +
+        "carries row-level deletes — partition pruning with delete " +
+        "application is not implemented; read() serves this table")
+    val schema = schemaFromIceberg(s.schemaJson)
+    require(schema.fieldNames.contains(column),
+      s"readTransformPruned: column $column not in the table schema")
+    val dt = schema(column).dataType
+    val fields = s.specFields.filter(_.source == column)
+    require(fields.nonEmpty, s"readTransformPruned: no partition-spec " +
+      s"field sources $column at $location — nothing to prune on")
+    def cmp(stored: String, v: Any): Int = v match {
+      case n: Int => stored.toLong.compare(n.toLong)
+      case n: Long => stored.toLong.compare(n)
+      case other => stored.compare(other.toString)
+    }
+    val kept = s.files.filter { f =>
+      s.partitionValues.get(f) match {
+        case None => true // no tuple recorded → cannot skip
+        case Some(pv) => fields.forall { sf =>
+          pv.get(sf.name) match {
+            case None => true
+            case Some(null) => false // null tuple cannot hold lo..hi
+            case Some(v) =>
+              if (sf.transform.monotonic) {
+                val tLo = IcebergTransforms.literal(sf.transform, dt, lo)
+                val tHi = IcebergTransforms.literal(sf.transform, dt, hi)
+                cmp(v, tLo) >= 0 && cmp(v, tHi) <= 0
+              } else if (lo == hi)
+                cmp(v, IcebergTransforms.literal(
+                  sf.transform, dt, lo)) == 0
+              else true // a range spans buckets arbitrarily
+          }
+        }
+      }
+    }
+    val pred = col(column) >= lit(lo) && col(column) <= lit(hi)
     val rows =
       if (kept.isEmpty)
         spark.createDataFrame(

@@ -472,7 +472,9 @@ class IcebergSpec extends AnyFunSuite {
     // fresh-table guard
     intercept[java.io.IOException](
       IcebergLite.exportPartitioned(spark, df, loc, Seq("p")))
-    // a non-identity transform refuses at snapshot resolution
+    // an UNKNOWN transform refuses at snapshot resolution, by name
+    // (known non-identity transforms — bucket/truncate/day/month/year
+    // — now parse and prune; see Round12Spec)
     val metaP = new Path(loc, "metadata/v1.metadata.json")
     val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val txt = {
@@ -480,10 +482,10 @@ class IcebergSpec extends AnyFunSuite {
       try scala.io.Source.fromInputStream(in).mkString finally in.close()
     }
     val out = fs.create(metaP, true)
-    try out.write(txt.replace("\"identity\"", "\"bucket[16]\"")
+    try out.write(txt.replace("\"identity\"", "\"zorder[16]\"")
       .getBytes("UTF-8"))
     finally out.close()
     val e = intercept[java.io.IOException](IcebergLite.snapshot(spark, loc))
-    assert(e.getMessage.contains("bucket[16]"))
+    assert(e.getMessage.contains("zorder[16]"))
   }
 }
