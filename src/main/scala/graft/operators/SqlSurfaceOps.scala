@@ -575,6 +575,33 @@ object SqlSurfaceOps {
              |FROM base b JOIN corrected c2 USING (colname)
              |ORDER BY colname""".stripMargin)),
 
+    // q262 — STATS-DRIVEN PLANNING: ANALYZE output reaching Catalyst
+    // (q188 computes the numbers, q194 maintains them — this is what
+    // they are FOR). A DV-masked dimension keeps its file bytes on
+    // disk while its live rows shrink 20×, so the planner's file-size
+    // fallback overstates it and the fact⋈dim join shuffles; with the
+    // stored row count exposed through the relation's Catalyst
+    // statistics the dimension broadcasts. The gate pins BOTH initial
+    // physical plans (inner-join strategy with and without stats),
+    // that the stats estimate genuinely undercuts the file estimate,
+    // that a post-ANALYZE commit makes the stats stale and IGNORED,
+    // and the join replay itself. At 100 TB this is the difference
+    // between a metadata-sized broadcast and shuffling the fact table.
+    QueryDef("q262_stats_planning",
+      (s, d) => s.read.parquet(statsPlanningPath(s, d)),
+      Some("""WITH dim AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT)
+             |           AS cents
+             |  FROM orders WHERE o_orderkey % 20 = 0),
+             |j AS (SELECT d.cents FROM lineitem l
+             |      JOIN dim d ON l.l_orderkey = d.k)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       1 AS bhj_with_stats, 0 AS bhj_without,
+             |       1 AS stats_size_smaller, 1 AS stale_ignored
+             |FROM j""".stripMargin)),
+
     // q202 — metadata-only aggregates (Delta's SELECT COUNT(*)/MIN/MAX
     // optimization): over a clean physical graft view with a file-stats
     // sidecar, the grand-total aggregate folds from the sidecar into a
@@ -727,6 +754,67 @@ object SqlSurfaceOps {
     * lattice stored), two insert-only commits each advanced by
     * `Analyze.maintain` (O(changes) merges), then a DELETE that forces
     * the honest recompute path. Once per session. */
+  /** q262 builder: publish orders, DV-delete 95%, ANALYZE, then plan
+    * the fact⋈dim join twice (with/without the stats-bearing read)
+    * under a threshold pinned between the two estimates; verify the
+    * strategy flip, the stale-ignore path, and replay the join. Once
+    * per session. */
+  private def statsPlanningPath(s: org.apache.spark.sql.SparkSession,
+                                dir: String): String = {
+    import graft.warehouse.{Analyze, AtomicParquet, VersionedParquet}
+    import org.apache.spark.sql.catalyst.plans.Inner
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = Scratch.dir(s, "q262-dim")
+    val outPath = Scratch.dir(s, "q262-out")
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o, root, keepVersions = 10)
+      VersionedParquet.delete(s, root, col("k") % 20 =!= 0,
+        keepVersions = 10)
+      Analyze.table(s, root)
+      val (dim, how) = Analyze.readAnalyzed(s, root)
+      require(how == "applied", s"expected applied stats, got $how")
+      val plain = VersionedParquet.read(s, root)
+      val statsSize = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+      val plainSize =
+        plain.queryExecution.optimizedPlan.stats.sizeInBytes
+      val fact = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("k"))
+      val factSize = fact.queryExecution.optimizedPlan.stats.sizeInBytes
+      val mid = ((statsSize + plainSize) / 2).min(factSize / 2)
+      def innerBhj(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.sparkPlan.collect {
+          case b: BroadcastHashJoinExec if b.joinType == Inner => b
+        }.length
+      val old = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val (bhjWith, bhjWithout, joined) =
+        try {
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold",
+            mid.toString)
+          val w = fact.join(dim, "k").select(dim("cents"))
+          val wo = fact.join(plain, "k").select(plain("cents"))
+          (innerBhj(w), innerBhj(wo),
+            w.agg(count(lit(1)).as("n_rows"),
+              sum("cents").cast("long").as("sum_cents")).head())
+        } finally
+          s.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      // a commit after ANALYZE must make the stats stale and ignored
+      VersionedParquet.publish(
+        VersionedParquet.read(s, root), root, keepVersions = 10)
+      val staleIgnored =
+        if (Analyze.readAnalyzed(s, root)._2 == "stale") 1 else 0
+      import s.implicits._
+      val out = Seq((joined.getLong(0), joined.getLong(1), bhjWith,
+          bhjWithout, if (statsSize < plainSize) 1 else 0, staleIgnored))
+        .toDF("n_rows", "sum_cents", "bhj_with_stats", "bhj_without",
+          "stats_size_smaller", "stale_ignored")
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
   private def statsMaintPath(s: org.apache.spark.sql.SparkSession,
                              d: String): String = {
     import graft.warehouse.{Analyze, AtomicParquet}

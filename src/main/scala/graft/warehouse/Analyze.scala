@@ -245,6 +245,39 @@ object Analyze {
     }
   }
 
+  /** Read the LIVE table with its stored ANALYZE statistics exposed
+    * to Catalyst — the planning half of ANALYZE (q188 computes the
+    * numbers; this is where they reach broadcast-vs-SMJ decisions).
+    * Returns (frame, how): `"applied"` — the stats describe the live
+    * version, so the base relation reports rowCount and a
+    * rowCount-derived sizeInBytes instead of the file-size fallback
+    * (a DV-masked table's files overstate its live rows — exactly the
+    * case where the fallback mis-plans); `"stale"` — stats exist but
+    * describe an older version, IGNORED (a stale row count could
+    * under-plan a grown table; the honest fallback wins);
+    * `"absent"` — never analyzed. */
+  def readAnalyzed(spark: SparkSession,
+                   root: String): (DataFrame, String) = {
+    val df = VersionedParquet.read(spark, root)
+    val live = VersionedParquet.currentVersion(spark, root)
+    stats(spark, root) match {
+      case Some((v, st)) if live.contains(v) =>
+        val top = st.agg(max("n_rows")).head()
+        val rowCount = if (top.isNullAt(0)) 0L else top.getLong(0)
+        // EstimationUtils' own row-size model: per-field default size
+        // plus the 8-byte row overhead — the same arithmetic CBO uses
+        // when it derives size from a row count
+        val rowSize = df.schema.fields.map(_.dataType.defaultSize)
+          .sum + 8
+        val name = new Path(root).getName
+        (org.apache.spark.sql.graftbridge.StatsBridge.withTableStats(
+          df, name, BigInt(rowCount) * rowSize,
+          Some(BigInt(rowCount))), "applied")
+      case Some(_) => (df, "stale")
+      case None => (df, "absent")
+    }
+  }
+
   /** The stored stats, with the version they describe — None if the
     * table was never analyzed. Walks from the live version down so a
     * post-ANALYZE commit still surfaces the last (now stale) stats

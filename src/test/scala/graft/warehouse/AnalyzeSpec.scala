@@ -122,4 +122,54 @@ class AnalyzeSpec extends AnyFunSuite {
       keepVersions = 20)
     assert(Analyze.maintain(spark, root)._2 == "incremental")
   }
+
+  test("stats-driven planning: ANALYZE output reaches Catalyst - a " +
+    "DV-masked dimension whose file bytes exceed the broadcast " +
+    "threshold but whose live rows fit broadcasts WITH stats, " +
+    "shuffle-joins without; stale stats are ignored") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val root = tmp("plan"); 
+    // 20k rows, then DV-delete 95% - file bytes stay, live rows shrink
+    VersionedParquet.publish(
+      (0L until 20000L).map(i => (i, s"name-$i-padpadpadpadpad"))
+        .toDF("id", "nm"), root, keepVersions = 20)
+    VersionedParquet.delete(spark, root, col("id") % 20 =!= 0,
+      keepVersions = 20)
+    Analyze.table(spark, root)
+    val (dim, how) = Analyze.readAnalyzed(spark, root)
+    assert(how === "applied")
+    val plain = VersionedParquet.read(spark, root)
+    val statsSize = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plainSize = plain.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(statsSize < plainSize,
+      s"live-row estimate $statsSize must undercut file bytes $plainSize")
+    val fact = (0L until 50000L).map(i => (i % 20000L, i)).toDF("id", "x")
+    val mid = ((statsSize + plainSize) / 2).toString
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", mid)
+      // the DV mask itself is a broadcast ANTI join; the planning
+      // decision under test is the fact-dim INNER join
+      def bhjCount(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.sparkPlan.collect {
+          case b: BroadcastHashJoinExec
+            if b.joinType == org.apache.spark.sql.catalyst.plans.Inner
+          => b }.length
+      val withStats = fact.join(dim, "id")
+      val without = fact.join(plain, "id")
+      assert(bhjCount(withStats) === 1,
+        "ANALYZE stats must flip the dimension to a broadcast join")
+      assert(bhjCount(without) === 0,
+        "without stats the file-size estimate exceeds the threshold")
+      // both strategies agree on the answer
+      assert(withStats.count() === without.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    // stale: a commit after ANALYZE ignores the stored stats
+    VersionedParquet.publish(
+      (20000L until 20100L).map(i => (i, s"n$i")).toDF("id", "nm"),
+      root, keepVersions = 20)
+    val (_, how2) = Analyze.readAnalyzed(spark, root)
+    assert(how2 === "stale")
+  }
 }
