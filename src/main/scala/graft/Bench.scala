@@ -75,8 +75,49 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").getLines()
         .next().split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // IO probe: 64 × 64 KB fsync'd file writes + reads + deletes under
+    // java.io.tmpdir — the same filesystem the scratch-heavy fixtures
+    // (deep clone's copies, ANALYZE's passes, the lakehouse lifecycle
+    // chains) write through. fsync per file makes it measure DISK
+    // latency, not the page cache; a shared-disk contention window
+    // that the CPU probes are blind to (r11's q175/q188 flags carried
+    // "IO-attributed, unfalsified") shows here as a multi-× reading.
+    // Calibrated on this host: quiet floor 0.09–0.12 s over repeated
+    // runs; contended shared disk measures well past 0.5 s.
+    def probeIo(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ioprobe")
+      val payload = new Array[Byte](65536)
+      java.util.Arrays.fill(payload, 0x5a.toByte)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 64) {
+        val ch = java.nio.channels.FileChannel.open(
+          dir.resolve(s"f$i.bin"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.SYNC)
+        try ch.write(java.nio.ByteBuffer.wrap(payload))
+        finally ch.close()
+        i += 1
+      }
+      var sum = 0L
+      i = 0
+      while (i < 64) {
+        sum += java.nio.file.Files
+          .readAllBytes(dir.resolve(s"f$i.bin")).length
+        i += 1
+      }
+      i = 0
+      while (i < 64) {
+        java.nio.file.Files.delete(dir.resolve(s"f$i.bin")); i += 1
+      }
+      java.nio.file.Files.delete(dir)
+      if (sum == 42) println("") // keep the reads live
+      (System.nanoTime() - t0) / 1e9
+    }
     val load0 = loadavg()
     val probe1Sec = probe1()
+    val probeIoSec = probeIo()
     // Committed clean-host reference (cfdbf41's snapshot: 0.429 start /
     // 0.252 end). A probe > 2× this means the host is throttled and the
     // suite timings will read as a phantom code regression (r7's driver
@@ -126,8 +167,12 @@ object Bench {
     // it in below, so a stolen window can no longer ship a "clean"
     // baseline with poisoned entries.
     var probe1Max = 0.0
+    var probeIoMax = 0.0
     val results = selected.zipWithIndex.map { case (q, qi) =>
-      if (qi > 0 && qi % 32 == 0) probe1Max = math.max(probe1Max, probe1())
+      if (qi > 0 && qi % 32 == 0) {
+        probe1Max = math.max(probe1Max, probe1())
+        probeIoMax = math.max(probeIoMax, probeIo())
+      }
       val (name, fn) = (q.name, q.fn)
       val g0 = gcMillis
       val t0 = System.nanoTime()
@@ -183,11 +228,20 @@ object Bench {
     // queries ran starved; both ~0.5 s = trust the totals as-is).
     val probeEndSec = probe()
     val probe1EndSec = probe1()
+    val probeIoEndSec = probeIo()
     val loadEnd = loadavg()
     // Single-thread probe ceiling, calibrated to MEASUREMENT (see the
     // baseline-gate comment below): quiet floor 0.55–0.64 s, loaded
     // ≥ 1.1 s; 2× this (0.75 s) separates the populations with margin.
     val Ref1Sec = 0.375
+    // IO probe ceiling, calibrated the same way: quiet floor measured
+    // 0.09-0.12 s (5 consecutive runs on an idle host); the 2x rule on
+    // 0.225 puts the gate at 0.45 s - far above quiet-host variance,
+    // far below a contended-disk reading. This closes the r11 gap
+    // where q175/q188's shared-disk attribution was unfalsifiable: a
+    // run whose IO probes stay under the ceiling CANNOT blame its
+    // slow scratch-heavy fixtures on the disk.
+    val RefIoSec = 0.225
     // hot_host folds in the single-thread probes too (r10's end-of-round
     // run persisted hot_host:false with probe1_end 0.817 past the 0.75
     // gate — the field keyed on the 32-thread probes only, so a loaded
@@ -196,10 +250,12 @@ object Bench {
     // the run's numbers as measuring the host, not the code.
     val hotHost = probeSec > 2 * RefProbeSec || probeEndSec > 2 * RefProbeSec ||
       probe1Sec >= 2 * Ref1Sec || probe1EndSec >= 2 * Ref1Sec ||
-      probe1Max >= 2 * Ref1Sec
+      probe1Max >= 2 * Ref1Sec ||
+      probeIoSec >= 2 * RefIoSec || probeIoEndSec >= 2 * RefIoSec ||
+      probeIoMax >= 2 * RefIoSec
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"probe1_end_sec":${r3(probe1EndSec)},"probe1_max_sec":${r3(probe1Max)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"regressed":$regressed,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"probe1_end_sec":${r3(probe1EndSec)},"probe1_max_sec":${r3(probe1Max)},"probe_io_sec":${r3(probeIoSec)},"probe_io_end_sec":${r3(probeIoEndSec)},"probe_io_max_sec":${r3(probeIoMax)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"regressed":$regressed,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // UNCONDITIONAL full-evidence copy: the driver's stdout tail capture
     // (~2000 chars) has repeatedly truncated the full line — round 9's

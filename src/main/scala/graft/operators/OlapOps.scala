@@ -664,35 +664,62 @@ object OlapOps {
         val root = VersionOps.updateWhereRoot(s, d)
         val v0 = VersionedParquet.read(s, root, Some(0L))
           .select(col("prio"), col("cents").as("c"))
-        // each maintained state is group×bin-cardinality — PERSIST the
-        // chain so the three dashboard readouts fold each feed exactly
-        // once instead of re-resolving the whole versioned chain per
-        // readout (the union would otherwise evaluate cells0 three
-        // times, the v1 feed twice, …: 15 scans for a 3-version chain)
-        val bounds = v0.agg(min("c").as("lo"), max("c").as("hi")).persist()
-        val cells0 = histCells(v0.crossJoin(broadcast(bounds)))
-          .select("prio", "bin", "cnt").persist()
-        val states = (1L to 2L).scanLeft(cells0) { (cells, v) =>
-          val feed = VersionedParquet.changes(s, root, v - 1, v)
+        val bounds = v0.agg(min("c").as("lo"), max("c").as("hi"))
+          .persist() // one row, read by every leg
+        // Signed bin deltas, each tagged with the FIRST dashboard
+        // version it applies to: the base histogram (+1 at v0) and
+        // each refresh's change feed (±1 at its version). A delta
+        // applies to its version and every later one, so exploding to
+        // the (bounded, 3-deep) version axis turns the whole
+        // maintenance chain into ONE bounded-key fold — no join at
+        // all, where the per-step full-outer merge used to plan 5
+        // sort-merge joins and 10 exchanges over frames of at most
+        // groups × HIST_BINS rows.
+        val base = v0.crossJoin(broadcast(bounds))
+          .withColumn("bin", histBin)
+          .select(col("prio"), col("bin"), lit(1L).as("w"),
+            lit(0).as("from_v"))
+        val feeds = (1L to 2L).map { v =>
+          VersionedParquet.changes(s, root, v - 1, v)
             .select(col("prio"), col("cents").as("c"),
               when(col("_change_type").isin("insert", "update_post"),
                 lit(1L)).otherwise(lit(-1L)).as("w"))
-          val delta = feed.crossJoin(broadcast(bounds))
+            .crossJoin(broadcast(bounds))
             .withColumn("bin", histBin)
-            .groupBy("prio", "bin").agg(sum("w").as("d"))
-          cells.join(delta, Seq("prio", "bin"), "full_outer")
-            .select(col("prio"), col("bin"),
-              (coalesce(col("cnt"), lit(0L)) +
-                coalesce(col("d"), lit(0L))).as("cnt"))
-            .filter(col("cnt") > 0)
-            .persist()
+            .select(col("prio"), col("bin"), col("w"),
+              lit(v.toInt).as("from_v"))
         }
-        states.zipWithIndex.map { case (cells, v) =>
-          histPercentiles(cells.crossJoin(broadcast(bounds)))
-            .select(lit(v).as("version"),
-              col("prio").as("o_orderpriority"), col("n_orders"),
-              col("p50_est"), col("p90_est"), col("p99_est"))
-        }.reduce(_ unionByName _).orderBy("version", "o_orderpriority")
+        val cells = (base +: feeds).reduce(_ unionByName _)
+          .withColumn("version",
+            explode(sequence(col("from_v"), lit(2))))
+          .groupBy("version", "prio", "bin")
+          .agg(sum("w").as("cnt"))
+          .filter(col("cnt") > 0)
+        // CDF readout per (version, prio) — ≤ HIST_BINS rows per frame
+        val byBin = Window.partitionBy("version", "prio").orderBy("bin")
+        val whole = Window.partitionBy("version", "prio")
+        def target(k: Int): Column =
+          call_function("div", lit(k.toLong) * col("n") + lit(99L),
+            lit(100L))
+        def estimate(bin: Column): Column =
+          (col("lo") + call_function("div",
+            bin * (col("hi") - col("lo") + lit(1L)),
+            lit(HIST_BINS.toLong))).cast("double") / 100.0
+        cells
+          .withColumn("cum", sum("cnt").over(byBin))
+          .withColumn("n", sum("cnt").over(whole))
+          .groupBy("version", "prio")
+          .agg(max("n").as("n_orders"),
+            min(when(col("cum") >= target(50), col("bin"))).as("b50"),
+            min(when(col("cum") >= target(90), col("bin"))).as("b90"),
+            min(when(col("cum") >= target(99), col("bin"))).as("b99"))
+          .crossJoin(broadcast(bounds))
+          .select(col("version"), col("prio").as("o_orderpriority"),
+            col("n_orders"),
+            estimate(col("b50")).as("p50_est"),
+            estimate(col("b90")).as("p90_est"),
+            estimate(col("b99")).as("p99_est"))
+          .orderBy("version", "o_orderpriority")
       },
       Some(s"""WITH o AS (
              |  SELECT o_orderkey AS k, o_orderstatus AS st,
