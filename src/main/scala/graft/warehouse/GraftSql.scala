@@ -134,6 +134,8 @@ private[graft] final case class SqlCheckpointDelta(location: String)
     extends GraftDml { val table = "" }
 private[graft] final case class SqlVacuumDelta(location: String)
     extends GraftDml { val table = "" }
+private[graft] final case class SqlPurgeDelta(location: String)
+    extends GraftDml { val table = "" }
 private[graft] final case class SqlSetRowFilter(table: String,
     filter: String) extends GraftDml // ALTER TABLE … SET ROW FILTER
 private[graft] final case class SqlDropRowFilter(table: String)
@@ -212,6 +214,7 @@ object GraftSql {
       """\s+KEEP\s+(\d+)""").r
     val CD = """(?is)CHECKPOINT\s+DELTA\s+LOCATION\s+'([^']+)'""".r
     val VD = """(?is)VACUUM\s+DELTA\s+LOCATION\s+'([^']+)'""".r
+    val PU = """(?is)PURGE\s+DELTA\s+LOCATION\s+'([^']+)'""".r
     val AN = ("""(?is)ANALYZE\s+TABLE\s+([A-Za-z_][\w]*)\s+COMPUTE\s+""" +
       """STATISTICS(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?""").r
     val DS = """(?is)DESCRIBE\s+STATS\s+([A-Za-z_][\w]*)""".r
@@ -286,6 +289,7 @@ object GraftSql {
       case EI(loc, keep) => Some(SqlExpireIceberg(loc, keep.toInt))
       case CD(loc) => Some(SqlCheckpointDelta(loc))
       case VD(loc) => Some(SqlVacuumDelta(loc))
+      case PU(loc) => Some(SqlPurgeDelta(loc))
       case AN(table, cols) => Some(SqlAnalyze(table,
         Option(cols).map(_.split(",").map(_.trim).toSeq
           .filter(_.nonEmpty)).getOrElse(Nil)))
@@ -296,7 +300,8 @@ object GraftSql {
       case _: SqlCreateTable => true // registers itself at exec
       case c: SqlClone => GraftTables.rootOf(c.source).isDefined
       case _: SqlExpireIceberg | _: SqlCheckpointDelta |
-           _: SqlVacuumDelta => true // location verbs: no table
+           _: SqlVacuumDelta | _: SqlPurgeDelta =>
+        true // location verbs: no table
       case d => GraftTables.rootOf(d.table).isDefined
     }
   }
@@ -370,6 +375,8 @@ object GraftSql {
         checkpointDeltaFrame(spark, x); return x.location
       case x: SqlVacuumDelta =>
         vacuumDeltaFrame(spark, x); return x.location
+      case x: SqlPurgeDelta =>
+        purgeDeltaFrame(spark, x); return x.location
       case _ => ()
     }
     val (root, keep) = GraftTables.rootOf(dml.table).getOrElse(
@@ -495,6 +502,7 @@ object GraftSql {
       case Some(x: SqlExpireIceberg) => expireIcebergFrame(spark, x)
       case Some(x: SqlCheckpointDelta) => checkpointDeltaFrame(spark, x)
       case Some(x: SqlVacuumDelta) => vacuumDeltaFrame(spark, x)
+      case Some(x: SqlPurgeDelta) => purgeDeltaFrame(spark, x)
       case Some(a: SqlAnalyze) => analyzeFrame(spark, a)
       case Some(ds: SqlDescribeStats) => statsFrame(spark, ds)
       case Some(m: SqlMaintainStats) => maintainFrame(spark, m)
@@ -703,6 +711,20 @@ object GraftSql {
     import spark.implicits._
     Seq((x.location, files.toLong, commits.toLong))
       .toDF("location", "n_files_deleted", "n_commits_truncated")
+  }
+
+  /** `PURGE DELTA LOCATION '…'` — rewrite every DV-masked file with
+    * its deleted rows physically dropped (Delta's REORG … APPLY
+    * (PURGE)), the pre-step that lets CHECKPOINT/VACUUM retire the
+    * masks' blobs: returns (location, n_files_rewritten,
+    * n_rows_purged). */
+  private[graft] def purgeDeltaFrame(spark: SparkSession,
+                                     x: SqlPurgeDelta): DataFrame = {
+    val (files, rows) =
+      graft.sources.DeltaLite.purgeDeletionVectors(spark, x.location)
+    import spark.implicits._
+    Seq((x.location, files.toLong, rows))
+      .toDF("location", "n_files_rewritten", "n_rows_purged")
   }
 
   private[graft] def exportIcebergFrame(spark: SparkSession,

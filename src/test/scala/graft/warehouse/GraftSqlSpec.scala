@@ -559,6 +559,18 @@ class GraftSqlSpec extends AnyFunSuite {
       val e = intercept[Exception](
         GraftSql.sql(spark, s"VACUUM DELTA LOCATION '$del2'"))
       assert(e.getMessage.contains("no checkpoint"))
+      // PURGE DELTA: DV-delete two rows, purge rewrites the masked
+      // file, and the full retention chain then runs clean
+      val f2 = graft.sources.DeltaLite.snapshot(spark, del2).files.head
+      graft.sources.DeltaLite.commitDeletionVectors(spark, del2,
+        Map(f2 -> Array(0L, 1L)))
+      val pr = GraftSql.sql(spark,
+        s"PURGE DELTA LOCATION '$del2'").head()
+      assert(pr.getAs[Long]("n_files_rewritten") === 1L)
+      assert(pr.getAs[Long]("n_rows_purged") === 2L)
+      GraftSql.sql(spark, s"CHECKPOINT DELTA LOCATION '$del2'")
+      GraftSql.sql(spark, s"VACUUM DELTA LOCATION '$del2'")
+      assert(graft.sources.DeltaLite.read(spark, del2).count() === 48L)
     } finally GraftTables.unregister("t_ret")
   }
 }
