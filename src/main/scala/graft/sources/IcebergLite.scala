@@ -1374,6 +1374,16 @@ object IcebergLite {
     val prevSnaps = Option(meta.get("snapshots"))
       .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
     val currentSnapId = meta.get("current-snapshot-id").asLong
+    // the carried manifests' entries hold partition tuples against the
+    // PRIOR spec — erasing it would silently downgrade every later
+    // prune to scan-everything; carry it verbatim
+    val priorSpec = Option(meta.get("partition-spec"))
+      .map(_.toString).getOrElse("[]")
+    val priorSpecs = Option(meta.get("partition-specs"))
+      .map(_.toString).getOrElse("""[{"spec-id": 0, "fields": []}]""")
+    val priorSpecId = Option(meta.get("default-spec-id"))
+      .map(_.asInt).getOrElse(0)
+
     val prevListPath = new Path(
       Option(meta.get("snapshots")).toSeq
         .flatMap(_.elements().asScala)
@@ -1465,9 +1475,9 @@ object IcebergLite {
          |  "last-column-id": ${Option(meta.get("last-column-id"))
            .map(_.asInt).getOrElse(0)},
          |  "schema": $schemaJson,
-         |  "partition-spec": [],
-         |  "partition-specs": [{"spec-id": 0, "fields": []}],
-         |  "default-spec-id": 0,
+         |  "partition-spec": $priorSpec,
+         |  "partition-specs": $priorSpecs,
+         |  "default-spec-id": $priorSpecId,
          |  "current-snapshot-id": $snapId,
          |  "snapshots": [${allSnaps.mkString(", ")}]
          |}""".stripMargin
@@ -1560,12 +1570,86 @@ object IcebergLite {
           }
     }
 
+  /** Append a DATA snapshot to a TRANSFORM-partitioned table with the
+    * new files' partition tuples computed against the table's OWN
+    * spec (the plain appendManifest leaves appended files tuple-less
+    * — correct but unprunable): prior manifests carry verbatim, one
+    * new manifest lists the appended files with their transformed
+    * tuples and footer bounds, and the prior spec carries through the
+    * metadata. One data directory per tuple, so a one-day append to a
+    * `days(ts)` table adds exactly that day's prunable file. Returns
+    * the snapshot id. */
+  def appendTransformPartitioned(spark: SparkSession, df: DataFrame,
+                                 location: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap0 = snapshot(spark, location)
+    require(snap0.specFields.nonEmpty,
+      s"appendTransformPartitioned at $location: the table declares " +
+        "no partition spec — appendManifest serves unpartitioned " +
+        "appends")
+    val tschema = schemaFromIceberg(snap0.schemaJson)
+    val parsed = snap0.specFields.map { sf =>
+      require(df.schema.fieldNames.contains(sf.source),
+        s"partition source column ${sf.source} not in the frame")
+      (sf, tschema(sf.source).dataType)
+    }
+    val entrySchema = partitionedEntrySchema(parsed.map { case (sf, dt) =>
+      (sf.name, IcebergTransforms.resultAvroType(sf.transform, dt)) })
+    appendDeltaSnapshot(spark, location, "append", entrySchema) {
+      (fs, loc, metaDir, snapId, _) =>
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        val ptCols = parsed.zipWithIndex.map { case ((sf, dt), i) =>
+          IcebergTransforms.column(sf.transform, dt,
+            col(s"`${sf.source}`")).as(s"_pt_$i")
+        }
+        val withPt = df.select(df.columns.map(c =>
+          col(s"`$c`")).toSeq ++ ptCols: _*)
+        val tuples = withPt
+          .select(parsed.indices.map(i => col(s"_pt_$i")): _*)
+          .distinct().collect()
+        tuples.zipWithIndex.flatMap { case (t, ti) =>
+          val cond = parsed.indices.map { i =>
+            if (t.isNullAt(i)) col(s"_pt_$i").isNull
+            else col(s"_pt_$i") === lit(t.get(i)) }.reduce(_ && _)
+          val dataDir = new Path(loc, s"data/snap-$snapId-part-$ti")
+          withFieldIds(withPt.filter(cond)
+              .select(df.columns.map(c => col(s"`$c`")).toSeq: _*))
+            .write.mode("overwrite").parquet(dataDir.toString)
+          fs.listStatus(dataDir).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+            .map(p => fs.makeQualified(p)).map { path =>
+              val st = fs.getFileStatus(path)
+              val dfRec = new GenericData.Record(
+                entrySchema.getField("data_file").schema())
+              dfRec.put("content", 0)
+              dfRec.put("file_path", path.toString)
+              dfRec.put("file_format", "PARQUET")
+              val pRec = new GenericData.Record(
+                dfRec.getSchema.getField("partition").schema())
+              parsed.zipWithIndex.foreach { case ((sf, _), i) =>
+                pRec.put(sf.name, t.get(i))
+              }
+              dfRec.put("partition", pRec)
+              dfRec.put("record_count", parquetRowCount(spark, path))
+              dfRec.put("file_size_in_bytes", st.getLen)
+              putBounds(dfRec, parquetColumnBounds(spark, path))
+              val e = new GenericData.Record(entrySchema)
+              e.put("status", 1)
+              e.put("snapshot_id", snapId)
+              e.put("data_file", dfRec)
+              e
+            }
+        }.toSeq
+    }
+  }
+
   /** Shared manifest-reuse snapshot append: carry the prior
     * snapshot's manifest list verbatim, add ONE new manifest built by
     * `entriesOf` (content 1 if its entries are delete files, 0
     * otherwise), write v2 metadata, swap the hint last. */
   private def appendDeltaSnapshot(spark: SparkSession, location: String,
-      operation: String)(
+      operation: String,
+      entrySchema: Schema = manifestEntrySchema)(
       entriesOf: (org.apache.hadoop.fs.FileSystem, Path, Path, Long,
         String) => Seq[GenericRecord]): Long = {
     val loc = new Path(location)
@@ -1580,6 +1664,16 @@ object IcebergLite {
     val prevSnaps = Option(meta.get("snapshots"))
       .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
     val currentSnapId = meta.get("current-snapshot-id").asLong
+    // the carried manifests' entries hold partition tuples against the
+    // PRIOR spec — erasing it would silently downgrade every later
+    // prune to scan-everything; carry it verbatim
+    val priorSpec = Option(meta.get("partition-spec"))
+      .map(_.toString).getOrElse("[]")
+    val priorSpecs = Option(meta.get("partition-specs"))
+      .map(_.toString).getOrElse("""[{"spec-id": 0, "fields": []}]""")
+    val priorSpecId = Option(meta.get("default-spec-id"))
+      .map(_.asInt).getOrElse(0)
+
     val prevListPath = new Path(
       Option(meta.get("snapshots")).toSeq
         .flatMap(_.elements().asScala)
@@ -1600,7 +1694,7 @@ object IcebergLite {
         "content") != 0L)
     val manifestP = new Path(metaDir,
       s"manifest-${if (isDelete) "del-" else ""}$snapId.avro")
-    val mLen = writeAvro(spark, manifestP, manifestEntrySchema, entries)
+    val mLen = writeAvro(spark, manifestP, entrySchema, entries)
     val carried = avroRecords(spark, prevListPath).map { r =>
       val c = new GenericData.Record(manifestFileSchema)
       c.put("manifest_path", str(r, "manifest_path").orNull)
@@ -1643,9 +1737,9 @@ object IcebergLite {
          |  "last-column-id": ${Option(meta.get("last-column-id"))
            .map(_.asInt).getOrElse(0)},
          |  "schema": $schemaJson,
-         |  "partition-spec": [],
-         |  "partition-specs": [{"spec-id": 0, "fields": []}],
-         |  "default-spec-id": 0,
+         |  "partition-spec": $priorSpec,
+         |  "partition-specs": $priorSpecs,
+         |  "default-spec-id": $priorSpecId,
          |  "current-snapshot-id": $snapId,
          |  "snapshots": [${allSnaps.mkString(", ")}]
          |}""".stripMargin

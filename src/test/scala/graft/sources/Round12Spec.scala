@@ -164,4 +164,52 @@ class Round12Spec extends AnyFunSuite {
     val snap = IcebergLite.snapshot(spark, loc)
     assert(snap.eqDeletes.map(_.seq) === Seq(2L))
   }
+
+  test("transform-partitioned APPEND: new files land with computed " +
+    "tuples and prune alongside the originals; the partition spec " +
+    "survives manifest-reuse commits; plain appends stay " +
+    "conservative, not wrong") {
+    import spark.implicits._
+    val loc = tmp("append")
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def day(d: Int, ids: Range) = ids.map { i =>
+      (i.toLong, base.plusSeconds(d * 86400L + (i % 24) * 3600L))
+    }.toDF("id", "ts").coalesce(1)
+    IcebergLite.exportTransformPartitioned(spark, day(0, 0 until 48),
+      loc, Seq("ts" -> "day"))
+    // spec-aware append: day 5's rows arrive later
+    IcebergLite.appendTransformPartitioned(spark, day(5, 100 until 124),
+      loc)
+    val snap = IcebergLite.snapshot(spark, loc)
+    assert(snap.specFields.map(_.transform.toString) === Seq("day"))
+    assert(snap.files.length === 2)
+    // the appended day prunes to exactly its own file
+    val (hit, scanned, total) = IcebergLite.readTransformPruned(
+      spark, loc, "ts",
+      java.time.Instant.parse("2024-03-06T00:00:00Z"),
+      java.time.Instant.parse("2024-03-06T23:59:59Z"))
+    assert((scanned, total) === ((1, 2)))
+    assert(hit.count() === 24L)
+    // a PLAIN append carries the spec but no tuple: its file keeps
+    // conservatively, and every row still serves
+    IcebergLite.appendManifest(spark, day(9, 200 until 212), loc)
+    val snap2 = IcebergLite.snapshot(spark, loc)
+    assert(snap2.specFields.nonEmpty,
+      "manifest-reuse commits must carry the partition spec")
+    val (h2, s2, t2) = IcebergLite.readTransformPruned(
+      spark, loc, "ts",
+      java.time.Instant.parse("2024-03-06T00:00:00Z"),
+      java.time.Instant.parse("2024-03-06T23:59:59Z"))
+    // day-5 file + the tuple-less day-9 file (conservative keep)
+    assert((s2, t2) === ((2, 3)))
+    assert(h2.count() === 24L)
+    assert(IcebergLite.read(spark, loc).count() === 84L)
+    // appending to an unpartitioned table refuses by name
+    val loc2 = tmp("append-unpart")
+    IcebergLite.export(spark, day(0, 0 until 5), loc2)
+    val e = intercept[IllegalArgumentException](
+      IcebergLite.appendTransformPartitioned(spark,
+        day(1, 10 until 15), loc2))
+    assert(e.getMessage.contains("no partition spec"))
+  }
 }
