@@ -2834,6 +2834,51 @@ object VersionOps {
              |       CAST(min(event_id) AS BIGINT) AS min_id,
              |       CAST(max(event_id) AS BIGINT) AS max_id,
              |       1 AS files_scanned, 30 AS files_total
+             |FROM hit""".stripMargin)),
+
+    // q263 — Iceberg BOUNDS PRUNING over a DELETE-BEARING snapshot:
+    // the combination q247 refused, and the shape real v2 tables
+    // overwhelmingly have (row-level deletes AND file skipping). The
+    // bounds describe each file's RAW rows, so pruning can only
+    // over-keep; the kept subset then masks through BOTH delete tiers
+    // — position deletes (k%5==1 rows, by (file,pos)) and a
+    // same-snapshot-newer equality delete (k%7==3 keys) — exactly as
+    // the full read would. The oracle replays both delete predicates
+    // over the pruned key range and pins the 3-of-8 plan; a mask
+    // dropped by pruning resurrects rows and breaks the hash.
+    QueryDef("q263_iceberg_pruned_deletes",
+      (s, d) => s.read.parquet(icebergPrunedDeletesPath(s, d)),
+      Some("""WITH o AS (SELECT o_orderkey AS k FROM orders),
+             |w AS (SELECT (max(k) // 8) + 1 AS w FROM o),
+             |pred AS (SELECT 2*w + w//2 AS plo, 4*w + w//4 AS phi
+             |         FROM w),
+             |live AS (SELECT k FROM o WHERE k % 5 <> 1 AND k % 7 <> 3),
+             |hit AS (SELECT k FROM live, pred
+             |        WHERE k BETWEEN plo AND phi)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(k) AS BIGINT) AS sum_key,
+             |       min(k) AS min_key, max(k) AS max_key,
+             |       3 AS files_scanned, 8 AS files_total
+             |FROM hit""".stripMargin)),
+
+    // q264 — Delta STATS PRUNING over a DV-BEARING snapshot: the
+    // cross-format twin of q263 and the combination q248 refused.
+    // add.stats describe raw rows (DV re-adds keep the original
+    // stats), the kept files' deletion vectors anti-join over the
+    // pruned scan, and the plan stays 2-of-3. Same replay discipline:
+    // a vector dropped by pruning resurrects its rows into the sum.
+    QueryDef("q264_delta_pruned_dv",
+      (s, d) => s.read.parquet(deltaPrunedDvPath(s, d)),
+      Some("""WITH o AS (SELECT o_orderkey AS k FROM orders),
+             |w AS (SELECT (max(k) // 3) + 1 AS w FROM o),
+             |pred AS (SELECT w + w//2 AS plo, 2*w + w//2 AS phi FROM w),
+             |live AS (SELECT k FROM o WHERE k % 5 <> 1),
+             |hit AS (SELECT k FROM live, pred
+             |        WHERE k BETWEEN plo AND phi)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(k) AS BIGINT) AS sum_key,
+             |       min(k) AS min_key, max(k) AS max_key,
+             |       2 AS files_scanned, 3 AS files_total
              |FROM hit""".stripMargin))
   )
 
@@ -3090,6 +3135,88 @@ object VersionOps {
       val (plo, phi) = (2 * w + w / 2, 4 * w + w / 4)
       val (rows, scanned, total) =
         IcebergLite.readPruned(s, table, "k", plo, phi)
+      val out = rows.agg(count(lit(1)).as("n_rows"),
+          sum("k").cast("long").as("sum_key"),
+          min("k").as("min_key"), max("k").as("max_key"))
+        .withColumn("files_scanned", lit(scanned))
+        .withColumn("files_total", lit(total))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q263 builder: the q247 8-bucket fixture plus a position-delete
+    * snapshot (k%5==1 rows) and an equality-delete snapshot (k%7==3
+    * keys), then the same 3-bucket bounds-pruned scan with both
+    * delete tiers applied. Once per session. */
+  private def icebergPrunedDeletesPath(s: SparkSession,
+                                       dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q263-iceberg")
+    val outPath = Scratch.dir(s, "q263-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      val maxK = o.agg(max("k")).head.getLong(0)
+      val w = maxK / 8 + 1
+      val buckets = o.select(expr(s"k div $w").as("b"))
+        .distinct().orderBy("b").collect().map(_.getLong(0))
+      buckets.zipWithIndex.foreach { case (b, i) =>
+        val part = o.filter(expr(s"k div $w") === b).coalesce(1)
+        if (i == 0) IcebergLite.export(s, part, table)
+        else IcebergLite.appendManifest(s, part, table)
+      }
+      val files = IcebergLite.snapshot(s, table).files
+      val delPos = s.read.parquet(files: _*)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"), col("k"))
+        .filter(col("k") % 5 === 1)
+        .select("file_path", "pos")
+      IcebergLite.exportPositionDeletes(s, delPos, table)
+      IcebergLite.exportEqualityDeletes(s,
+        o.filter(col("k") % 7 === 3).select("k").distinct(), table)
+      val (plo, phi) = (2 * w + w / 2, 4 * w + w / 4)
+      val (rows, scanned, total) =
+        IcebergLite.readPruned(s, table, "k", plo, phi)
+      val out = rows.agg(count(lit(1)).as("n_rows"),
+          sum("k").cast("long").as("sum_key"),
+          min("k").as("min_key"), max("k").as("max_key"))
+        .withColumn("files_scanned", lit(scanned))
+        .withColumn("files_total", lit(total))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q264 builder: a 3-range-file Delta table, DV-delete the k%5==1
+    * rows of every file, then a 2-file stats-pruned scan with the
+    * kept vectors applied. Once per session. */
+  private def deltaPrunedDvPath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q264-delta")
+    val outPath = Scratch.dir(s, "q264-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      val maxK = o.agg(max("k")).head.getLong(0)
+      val w = maxK / 3 + 1
+      (0L to 2L).foreach { b =>
+        DeltaLite.exportAppend(s,
+          o.filter(expr(s"k div $w") === b).coalesce(1), table)
+      }
+      val snap = DeltaLite.snapshot(s, table)
+      val deletes = snap.files.map { f =>
+        val positions = s.read.parquet(
+            new org.apache.hadoop.fs.Path(table, f).toString)
+          .select(col("_metadata.row_index").as("pos"), col("k"))
+          .filter(col("k") % 5 === 1)
+          .select("pos").collect().map(_.getLong(0))
+        f -> positions
+      }.toMap
+      DeltaLite.commitDeletionVectors(s, table, deletes)
+      val (plo, phi) = (w + w / 2, 2 * w + w / 2)
+      val (rows, scanned, total) =
+        DeltaLite.readPruned(s, table, "k", plo, phi)
       val out = rows.agg(count(lit(1)).as("n_rows"),
           sum("k").cast("long").as("sum_key"),
           min("k").as("min_key"), max("k").as("max_key"))

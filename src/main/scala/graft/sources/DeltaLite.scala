@@ -826,10 +826,6 @@ object DeltaLite {
                  lo: Long, hi: Long): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(spark, table)
-    require(snap.deletionVectors.isEmpty,
-      s"readPruned at $table: version ${snap.version} carries " +
-        "deletion vectors — stats pruning with DV application is not " +
-        "implemented; read() serves this table correctly")
     require(snap.columnMappingMode == "none",
       s"readPruned at $table: column mapping mode " +
         s"'${snap.columnMappingMode}' — stats pruning resolves " +
@@ -858,9 +854,39 @@ object DeltaLite {
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.option("basePath", table)
-        .parquet(kept.map(f => new Path(table, f).toString): _*)
-        .filter(pred)
+      else {
+        val raw = spark.read.option("basePath", table)
+          .parquet(kept.map(f => new Path(table, f).toString): _*)
+        // DV masking is PER-FILE (each descriptor names ordinals of
+        // one file), so applying the kept files' vectors over the
+        // pruned scan masks exactly like the full read — and the
+        // stored stats describe RAW rows (masked included), so the
+        // overlap test can only over-keep, never lose a live row
+        val keptDvs = snap.deletionVectors.filter {
+          case (p, _) => kept.contains(p) }
+        val masked =
+          if (keptDvs.isEmpty) raw
+          else {
+            import spark.implicits._
+            import org.apache.spark.sql.functions.regexp_replace
+            val delRows = keptDvs.toSeq.flatMap { case (rel, dv) =>
+              val positions = RoaringDv.decode(dvBytes(spark, table, dv))
+              val abs = new Path(table, rel).toUri.getPath
+              positions.map(p => (abs, p))
+            }.toDF("_del_path", "_del_pos")
+            val cols = raw.columns.toSeq
+            raw
+              .withColumn("_scan_path", regexp_replace(
+                col("_metadata.file_path"), "^file:/+", "/"))
+              .withColumn("_scan_pos", col("_metadata.row_index"))
+              .join(delRows,
+                col("_scan_path") === col("_del_path") &&
+                  col("_scan_pos") === col("_del_pos"),
+                "left_anti")
+              .select(cols.map(c => col(s"`$c`")): _*)
+          }
+        masked.filter(pred)
+      }
     (rows, kept.size, snap.files.size)
   }
 

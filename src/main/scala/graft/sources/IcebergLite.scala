@@ -538,52 +538,64 @@ object IcebergLite {
           spark.read.schema(schemaFromIceberg(s.schemaJson))
             .parquet(s.files: _*)
         } else spark.read.parquet(s.files: _*)
-      val cols = data.columns.toSeq
-      val posMasked =
-        if (s.posDeleteFiles.isEmpty) data
-        else {
-          val dels = spark.read.parquet(s.posDeleteFiles: _*)
-            .select(normPath(col("file_path")).as("_del_path"),
-              col("pos").cast("long").as("_del_pos"))
-          data
-            .withColumn("_scan_path",
-              normPath(col("_metadata.file_path")))
-            .withColumn("_scan_pos", col("_metadata.row_index"))
-            .join(dels,
-              col("_scan_path") === col("_del_path") &&
-                col("_scan_pos") === col("_del_pos"),
-              "left_anti")
-            .select(cols.map(col): _*)
-        }
-      if (s.eqDeletes.isEmpty) posMasked
+      maskDeletes(spark, s, data)
+    }
+  }
+
+  /** Apply a snapshot's row-level deletes to a scan of (any subset
+    * of) its data files. Both tiers are PER-FILE sound, so a pruned
+    * scan masks exactly like a full one: position deletes name (file,
+    * pos) pairs — pairs for unread files simply never match — and
+    * equality deletes compare each row against the delete rows with a
+    * NEWER sequence than the row's own file. */
+  private def maskDeletes(spark: SparkSession, s: Snapshot,
+                          data: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = data.columns.toSeq
+    val posMasked =
+      if (s.posDeleteFiles.isEmpty) data
       else {
-        // EQUALITY deletes: a row is deleted when a delete file with
-        // a NEWER sequence matches it on the delete's equality
-        // columns. Sequence = the data file's manifest
-        // added_snapshot_id (the fold refuses tables where that
-        // proxy is unsound). One anti-join per delete file — delete
-        // files are few (they exist to batch deletes), each a
-        // broadcast-sized key set.
-        import org.apache.spark.sql.functions.{broadcast, lit}
-        import spark.implicits._
-        val seqDf = s.dataFileSeq.toSeq
-          .map { case (p, sq) => (new Path(p).toUri.getPath, sq) }
-          .toDF("_sp", "_seq")
-        val withSeq = posMasked
+        val dels = spark.read.parquet(s.posDeleteFiles: _*)
+          .select(normPath(col("file_path")).as("_del_path"),
+            col("pos").cast("long").as("_del_pos"))
+        data
           .withColumn("_scan_path",
             normPath(col("_metadata.file_path")))
-          .join(broadcast(seqDf), col("_scan_path") === col("_sp"),
-            "left")
-        val masked = s.eqDeletes.foldLeft(withSeq) { case (df, ed) =>
-          val delRows = spark.read.parquet(ed.path)
-            .select(ed.cols.map(c => col(c).as(s"_eq_$c")): _*)
-            .distinct()
-          val cond = ed.cols.map(c => df(c) <=> delRows(s"_eq_$c"))
-            .reduce(_ && _) && df("_seq") < lit(ed.seq)
-          df.join(delRows, cond, "left_anti")
-        }
-        masked.select(cols.map(col): _*)
+          .withColumn("_scan_pos", col("_metadata.row_index"))
+          .join(dels,
+            col("_scan_path") === col("_del_path") &&
+              col("_scan_pos") === col("_del_pos"),
+            "left_anti")
+          .select(cols.map(col): _*)
       }
+    if (s.eqDeletes.isEmpty) posMasked
+    else {
+      // EQUALITY deletes: a row is deleted when a delete file with
+      // a NEWER sequence matches it on the delete's equality
+      // columns. Sequence resolves from the manifest list's
+      // sequence_number (entry override honored; the fold refuses
+      // tables where ordering is unprovable). One anti-join per
+      // delete file — delete files are few (they exist to batch
+      // deletes), each a broadcast-sized key set.
+      import org.apache.spark.sql.functions.{broadcast, lit}
+      import spark.implicits._
+      val seqDf = s.dataFileSeq.toSeq
+        .map { case (p, sq) => (new Path(p).toUri.getPath, sq) }
+        .toDF("_sp", "_seq")
+      val withSeq = posMasked
+        .withColumn("_scan_path",
+          normPath(col("_metadata.file_path")))
+        .join(broadcast(seqDf), col("_scan_path") === col("_sp"),
+          "left")
+      val masked = s.eqDeletes.foldLeft(withSeq) { case (df, ed) =>
+        val delRows = spark.read.parquet(ed.path)
+          .select(ed.cols.map(c => col(c).as(s"_eq_$c")): _*)
+          .distinct()
+        val cond = ed.cols.map(c => df(c) <=> delRows(s"_eq_$c"))
+          .reduce(_ && _) && df("_seq") < lit(ed.seq)
+        df.join(delRows, cond, "left_anti")
+      }
+      masked.select(cols.map(col): _*)
     }
   }
 
@@ -597,10 +609,13 @@ object IcebergLite {
     * two the single-value decode understands; anything else refuses
     * rather than comparing bytes with the wrong collation.
     *
-    * Delete-bearing snapshots refuse for now: applying position /
-    * equality deletes to a PRUNED file set needs the delete joins
-    * restricted to kept files — correct but untested territory; the
-    * refusal names the gap instead of risking resurrected rows.
+    * Delete-bearing snapshots prune SOUNDLY: the stored bounds
+    * describe a file's RAW rows (masked included), so the overlap
+    * test can only over-keep, never skip a live row, and the same
+    * per-file delete masking the full read applies runs over the
+    * kept subset — position pairs for unread files simply never
+    * match, and equality deletes compare per row against its own
+    * file's sequence.
     *
     * This is the planner-side half of what the manifests' bounds are
     * FOR at 100 TB: a predicate touching one day of a year-long table
@@ -610,10 +625,6 @@ object IcebergLite {
                  lo: Long, hi: Long): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.col
     val s = snapshot(spark, location)
-    require(s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty,
-      s"readPruned at $location: snapshot ${s.snapshotId} carries " +
-        "row-level deletes — bounds pruning with delete application " +
-        "is not implemented; read() serves this table correctly")
     val schema = schemaFromIceberg(s.schemaJson)
     val idx = schema.fieldNames.indexOf(column)
     require(idx >= 0, s"readPruned: column $column not in the " +
@@ -642,7 +653,8 @@ object IcebergLite {
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.parquet(kept: _*).filter(pred)
+      else maskDeletes(spark, s, spark.read.parquet(kept: _*))
+        .filter(pred)
     (rows, kept.size, s.files.size)
   }
 

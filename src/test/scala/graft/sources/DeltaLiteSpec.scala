@@ -558,4 +558,31 @@ class DeltaLiteSpec extends AnyFunSuite {
     intercept[java.io.IOException](
       DeltaLite.createIdMapped(spark, df(0, 3), t))
   }
+
+  test("stats pruning over a DV-bearing snapshot masks exactly like " +
+    "the full read: raw-row stats over-keep, kept vectors apply") {
+    import spark.implicits._
+    val t = tmp("prunedv")
+    (0L until 3L).foreach(b =>
+      DeltaLite.exportAppend(spark, df(b * 10, (b + 1) * 10)
+        .coalesce(1), t))
+    val snap = DeltaLite.snapshot(spark, t)
+    val deletes = snap.files.map { f =>
+      val pos = spark.read.parquet(
+          new org.apache.hadoop.fs.Path(t, f).toString)
+        .select(col("_metadata.row_index").as("p"), col("id"))
+        .filter(col("id") % 4 === 1)
+        .select("p").as[Long].collect()
+      f -> pos
+    }.toMap
+    DeltaLite.commitDeletionVectors(spark, t, deletes)
+    val (rows, scanned, total) = DeltaLite.readPruned(spark, t, "id",
+      12L, 25L)
+    assert((scanned, total) === ((2, 3)))
+    val got = rows.select("id").as[Long].collect().sorted.toSeq
+    assert(got === (12L to 25L).filterNot(_ % 4 == 1))
+    assert(got === DeltaLite.read(spark, t)
+      .filter(col("id").between(12L, 25L))
+      .select("id").as[Long].collect().sorted.toSeq)
+  }
 }

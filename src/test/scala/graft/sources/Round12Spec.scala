@@ -212,4 +212,38 @@ class Round12Spec extends AnyFunSuite {
         day(1, 10 until 15), loc2))
     assert(e.getMessage.contains("no partition spec"))
   }
+
+  test("bounds pruning over delete-bearing snapshots masks exactly " +
+    "like the full read (position + equality tiers), and a pruned-" +
+    "away range stays empty") {
+    import spark.implicits._
+    val loc = tmp("prunedel")
+    // 4 one-file range buckets of 25 keys each
+    (0L until 4L).foreach { b =>
+      val part = (b * 25 until (b + 1) * 25).map(i => (i, i * 2L))
+        .toDF("k", "v").coalesce(1)
+      if (b == 0) IcebergLite.export(spark, part, loc)
+      else IcebergLite.appendManifest(spark, part, loc)
+    }
+    val files = IcebergLite.snapshot(spark, loc).files
+    val delPos = spark.read.parquet(files: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("k"))
+      .filter(col("k") % 10 === 3).select("file_path", "pos")
+    IcebergLite.exportPositionDeletes(spark, delPos, loc)
+    IcebergLite.exportEqualityDeletes(spark, Seq(30L, 31L).toDF("k"), loc)
+    val (rows, scanned, total) =
+      IcebergLite.readPruned(spark, loc, "k", 26L, 60L)
+    assert((scanned, total) === ((2, 4)))
+    val got = rows.select("k").as[Long].collect().sorted.toSeq
+    val full = IcebergLite.read(spark, loc)
+      .filter(col("k").between(26L, 60L))
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got === full)
+    assert(got === (26L to 60L)
+      .filterNot(k => k % 10 == 3 || k == 30L || k == 31L))
+    // a fully-pruned range is empty without touching a delete join
+    val (none, s0, _) = IcebergLite.readPruned(spark, loc, "k", 500L, 600L)
+    assert(s0 === 0 && none.count() === 0L)
+  }
 }
