@@ -357,16 +357,18 @@ class IcebergSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](
       IcebergLite.readPruned(spark, loc, "nope", 0L, 1L))
     assert(e2.getMessage.contains("not in the"))
-    // delete-bearing snapshot refuses pruned reads (named gap)
+    // delete-bearing snapshot prunes SOUNDLY (the r12 upgrade from
+    // the old named refusal): the deleted row is masked out of the
+    // pruned scan exactly as the full read masks it
     val files = IcebergLite.snapshot(spark, loc).files
     val dels = spark.read.parquet(files: _*)
       .select(col("_metadata.file_path").as("file_path"),
         col("_metadata.row_index").as("pos"), col("id"))
       .filter(col("id") === 5L).select("file_path", "pos")
     IcebergLite.exportPositionDeletes(spark, dels, loc)
-    val e3 = intercept[IllegalArgumentException](
-      IcebergLite.readPruned(spark, loc, "id", 0L, 30L))
-    assert(e3.getMessage.contains("row-level deletes"))
+    val (masked, _, _) = IcebergLite.readPruned(spark, loc, "id", 0L, 30L)
+    import spark.implicits._
+    assert(!masked.select("id").as[Long].collect().contains(5L))
   }
 
   test("expireSnapshots: manifest-reuse appends keep SHARED files " +
