@@ -854,40 +854,44 @@ object DeltaLite {
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else {
-        val raw = spark.read.option("basePath", table)
-          .parquet(kept.map(f => new Path(table, f).toString): _*)
-        // DV masking is PER-FILE (each descriptor names ordinals of
-        // one file), so applying the kept files' vectors over the
-        // pruned scan masks exactly like the full read — and the
-        // stored stats describe RAW rows (masked included), so the
-        // overlap test can only over-keep, never lose a live row
-        val keptDvs = snap.deletionVectors.filter {
-          case (p, _) => kept.contains(p) }
-        val masked =
-          if (keptDvs.isEmpty) raw
-          else {
-            import spark.implicits._
-            import org.apache.spark.sql.functions.regexp_replace
-            val delRows = keptDvs.toSeq.flatMap { case (rel, dv) =>
-              val positions = RoaringDv.decode(dvBytes(spark, table, dv))
-              val abs = new Path(table, rel).toUri.getPath
-              positions.map(p => (abs, p))
-            }.toDF("_del_path", "_del_pos")
-            val cols = raw.columns.toSeq
-            raw
-              .withColumn("_scan_path", regexp_replace(
-                col("_metadata.file_path"), "^file:/+", "/"))
-              .withColumn("_scan_pos", col("_metadata.row_index"))
-              .join(delRows,
-                col("_scan_path") === col("_del_path") &&
-                  col("_scan_pos") === col("_del_pos"),
-                "left_anti")
-              .select(cols.map(c => col(s"`$c`")): _*)
-          }
-        masked.filter(pred)
-      }
+      else maskKeptDvs(spark, table, snap, kept,
+        spark.read.option("basePath", table)
+          .parquet(kept.map(f => new Path(table, f).toString): _*))
+        .filter(pred)
     (rows, kept.size, snap.files.size)
+  }
+
+  /** Apply the KEPT files' deletion vectors over a (possibly pruned)
+    * scan. DV masking is PER-FILE (each descriptor names ordinals of
+    * one file), so a pruned scan masks exactly like the full read —
+    * and the stored stats/partitionValues describe RAW rows (masked
+    * included), so pruning can only over-keep, never lose a live
+    * row. */
+  private def maskKeptDvs(spark: SparkSession, table: String,
+                          snap: Snapshot, kept: Seq[String],
+                          raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val keptDvs = snap.deletionVectors.filter {
+      case (p, _) => kept.contains(p) }
+    if (keptDvs.isEmpty) raw
+    else {
+      import spark.implicits._
+      val delRows = keptDvs.toSeq.flatMap { case (rel, dv) =>
+        val positions = RoaringDv.decode(dvBytes(spark, table, dv))
+        val abs = new Path(table, rel).toUri.getPath
+        positions.map(p => (abs, p))
+      }.toDF("_del_path", "_del_pos")
+      val cols = raw.columns.toSeq
+      raw
+        .withColumn("_scan_path", regexp_replace(
+          col("_metadata.file_path"), "^file:/+", "/"))
+        .withColumn("_scan_pos", col("_metadata.row_index"))
+        .join(delRows,
+          col("_scan_path") === col("_del_path") &&
+            col("_scan_pos") === col("_del_pos"),
+          "left_anti")
+        .select(cols.map(c => col(s"`$c`")): _*)
+    }
   }
 
   /** Export a frame as a PARTITIONED Delta table (fresh tables only):
@@ -954,17 +958,15 @@ object DeltaLite {
     * filter, read only those (basePath reconstructs the partition
     * columns from the Hive layout), apply the exact predicate on top.
     * Returns (rows, filesScanned, filesTotal) — the Delta twin of
-    * IcebergLite.readPartitionPruned, same conservative-keep and
-    * refusal rules. */
+    * IcebergLite.readPartitionPruned, same conservative-keep rules;
+    * DV-bearing snapshots mask the kept files' vectors over the
+    * pruned scan (per-file soundness — see maskKeptDvs). */
   def readPartitionPruned(spark: SparkSession, table: String,
                           filters: Map[String, String])
     : (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.col
     require(filters.nonEmpty, "filters must be non-empty")
     val snap = snapshot(spark, table)
-    require(snap.deletionVectors.isEmpty,
-      s"readPartitionPruned at $table: deletion vectors present — " +
-        "pruning with DV application is not implemented")
     require(snap.columnMappingMode == "none",
       s"readPartitionPruned at $table: column mapping " +
         s"'${snap.columnMappingMode}' not supported here")
@@ -985,8 +987,9 @@ object DeltaLite {
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.option("basePath", table)
-        .parquet(kept.map(f => new Path(table, f).toString): _*)
+      else maskKeptDvs(spark, table, snap, kept,
+        spark.read.option("basePath", table)
+          .parquet(kept.map(f => new Path(table, f).toString): _*))
         .filter(pred)
     (rows, kept.size, snap.files.size)
   }

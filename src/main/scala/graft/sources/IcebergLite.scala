@@ -1258,18 +1258,15 @@ object IcebergLite {
     * transform preserves the value), read only those, apply the exact
     * predicate on top. Files without a partition value for a filtered
     * column are kept (conservative). Returns (rows, filesScanned,
-    * filesTotal). Delete-bearing snapshots refuse — the same scope
-    * rule as readPruned. */
+    * filesTotal). Delete-bearing snapshots mask the kept subset
+    * through both delete tiers — the same per-file soundness as
+    * readPruned. */
   def readPartitionPruned(spark: SparkSession, location: String,
                           filters: Map[String, String])
     : (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.col
     require(filters.nonEmpty, "filters must be non-empty")
     val s = snapshot(spark, location)
-    require(s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty,
-      s"readPartitionPruned at $location: snapshot ${s.snapshotId} " +
-        "carries row-level deletes — partition pruning with delete " +
-        "application is not implemented; read() serves this table")
     val schema = schemaFromIceberg(s.schemaJson)
     filters.keys.foreach(c => require(schema.fieldNames.contains(c),
       s"readPartitionPruned: column $c not in the table schema"))
@@ -1288,7 +1285,8 @@ object IcebergLite {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        spark.read.schema(schema).parquet(kept: _*).filter(pred)
+        maskDeletes(spark, s,
+          spark.read.schema(schema).parquet(kept: _*)).filter(pred)
       }
     (rows, kept.size, s.files.size)
   }
@@ -1302,8 +1300,9 @@ object IcebergLite {
     * keeps everything — correct, just unpruned). The exact predicate
     * applies on top. Files without a tuple for the field keep
     * (conservative). Returns (rows, filesScanned, filesTotal).
-    * Delete-bearing snapshots refuse — the same scope rule as
-    * readPruned. This is what the transform spec is FOR at 100 TB: a
+    * Delete-bearing snapshots mask the kept subset through both
+    * delete tiers — the same per-file soundness as readPruned.
+    * This is what the transform spec is FOR at 100 TB: a
     * one-day predicate on a `days(ts)` table opens 1/365 of the
     * files from one manifest walk. */
   def readTransformPruned(spark: SparkSession, location: String,
@@ -1311,10 +1310,6 @@ object IcebergLite {
     : (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit}
     val s = snapshot(spark, location)
-    require(s.posDeleteFiles.isEmpty && s.eqDeletes.isEmpty,
-      s"readTransformPruned at $location: snapshot ${s.snapshotId} " +
-        "carries row-level deletes — partition pruning with delete " +
-        "application is not implemented; read() serves this table")
     val schema = schemaFromIceberg(s.schemaJson)
     require(schema.fieldNames.contains(column),
       s"readTransformPruned: column $column not in the table schema")
@@ -1354,7 +1349,8 @@ object IcebergLite {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        spark.read.schema(schema).parquet(kept: _*).filter(pred)
+        maskDeletes(spark, s,
+          spark.read.schema(schema).parquet(kept: _*)).filter(pred)
       }
     (rows, kept.size, s.files.size)
   }

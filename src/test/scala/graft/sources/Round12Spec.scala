@@ -204,6 +204,19 @@ class Round12Spec extends AnyFunSuite {
     assert((s2, t2) === ((2, 3)))
     assert(h2.count() === 24L)
     assert(IcebergLite.read(spark, loc).count() === 84L)
+    // a position delete masks through the TRANSFORM-pruned scan too
+    // (per-file soundness — same contract as readPruned)
+    val delPos = spark.read.parquet(snap2.files: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") === 103L).select("file_path", "pos")
+    IcebergLite.exportPositionDeletes(spark, delPos, loc)
+    val (h3, s3, _) = IcebergLite.readTransformPruned(
+      spark, loc, "ts",
+      java.time.Instant.parse("2024-03-06T00:00:00Z"),
+      java.time.Instant.parse("2024-03-06T23:59:59Z"))
+    assert(s3 === 2 && h3.count() === 23L)
+    assert(!h3.select("id").as[Long].collect().contains(103L))
     // appending to an unpartitioned table refuses by name
     val loc2 = tmp("append-unpart")
     IcebergLite.export(spark, day(0, 0 until 5), loc2)
