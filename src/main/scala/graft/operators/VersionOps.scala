@@ -2879,7 +2879,49 @@ object VersionOps {
              |       CAST(sum(k) AS BIGINT) AS sum_key,
              |       min(k) AS min_key, max(k) AS max_key,
              |       2 AS files_scanned, 3 AS files_total
-             |FROM hit""".stripMargin))
+             |FROM hit""".stripMargin)),
+
+    // q265 — Iceberg METADATA TABLES (`t.snapshots` / `t.files`): the
+    // introspection surface every Iceberg engine exposes and every
+    // 100 TB operator reads before touching a byte — snapshot history
+    // with operations, and the live file inventory with per-file
+    // record counts/sizes/sequences from ONE manifest walk. The gate
+    // cross-checks the metadata against the data: the files table's
+    // record_count sum must equal the raw rows of the live slice
+    // (position deletes mask rows, never rewrite counts), while the
+    // actual read serves the masked count — both pinned by the
+    // oracle's replay.
+    QueryDef("q265_iceberg_metadata_tables",
+      (s, d) => s.read.parquet(icebergMetaTablesPath(s, d)),
+      Some("""WITH o AS (SELECT o_orderkey AS k FROM orders),
+             |s1 AS (SELECT k FROM o WHERE k % 3 = 1)
+             |SELECT 3 AS n_snapshots, 2 AS ops_append,
+             |       1 AS ops_delete, 1 AS n_current,
+             |       1 AS n_data_files, 1 AS n_delete_files,
+             |       CAST((SELECT count(*) FROM s1) AS BIGINT)
+             |         AS data_records,
+             |       CAST((SELECT count(*) FROM s1 WHERE k % 11 <> 5)
+             |         AS BIGINT) AS live_rows""".stripMargin)),
+
+    // q266 — Delta DESCRIBE HISTORY: the commit-audit surface — one
+    // row per visible commit, operation classified from the action
+    // mix (create / append / metadata-only rename / DV delete), file
+    // counts per commit, checkpoint coverage. The gate drives a
+    // 4-commit lifecycle and pins every classification beside the
+    // masked live replay (served through the rename AND the DVs).
+    QueryDef("q266_delta_history",
+      (s, d) => s.read.parquet(deltaHistoryPath(s, d)),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (SELECT k, cents FROM o
+             |         WHERE k % 3 IN (0, 1) AND k % 10 <> 3)
+             |SELECT 4 AS n_commits, 1 AS n_create, 1 AS n_append,
+             |       1 AS n_meta, 1 AS n_dv, 4 AS total_adds,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_charge
+             |FROM live""".stripMargin))
   )
 
   /** q240 builder: a COLUMN-MAPPED foreign Delta table (the layout
@@ -3222,6 +3264,107 @@ object VersionOps {
           min("k").as("min_key"), max("k").as("max_key"))
         .withColumn("files_scanned", lit(scanned))
         .withColumn("files_total", lit(total))
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q265 builder: append + overwrite + position-delete snapshots,
+    * then the two metadata tables folded to counters cross-checked
+    * against the data. Once per session. */
+  private def icebergMetaTablesPath(s: SparkSession,
+                                    dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q265-iceberg")
+    val outPath = Scratch.dir(s, "q265-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"))
+      IcebergLite.export(s, o.filter(col("k") % 3 === 0).coalesce(1),
+        table)
+      IcebergLite.export(s, o.filter(col("k") % 3 === 1).coalesce(1),
+        table, overwrite = true)
+      val files = IcebergLite.snapshot(s, table).files
+      val delPos = s.read.parquet(files: _*)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"), col("k"))
+        .filter(col("k") % 11 === 5).select("file_path", "pos")
+      IcebergLite.exportPositionDeletes(s, delPos, table)
+      val snaps = IcebergLite.snapshotsTable(s, table)
+      val fl = IcebergLite.filesTable(s, table)
+      val sAgg = snaps.agg(count(lit(1)).as("n_snapshots"),
+        sum(when(col("operation") === "append", 1)
+          .otherwise(0)).cast("int").as("ops_append"),
+        sum(when(col("operation") === "delete", 1)
+          .otherwise(0)).cast("int").as("ops_delete"),
+        sum(when(col("is_current"), 1).otherwise(0)).cast("int")
+          .as("n_current")).head()
+      val fAgg = fl.agg(
+        sum(when(col("content") === 0, 1)).cast("int")
+          .as("n_data_files"),
+        sum(when(col("content") =!= 0, 1)).cast("int")
+          .as("n_delete_files"),
+        sum(when(col("content") === 0, col("record_count"))
+          .otherwise(0L)).cast("long").as("data_records")).head()
+      val liveRows = IcebergLite.read(s, table).count()
+      import s.implicits._
+      val out = Seq((sAgg.getLong(0).toInt, sAgg.getInt(1),
+          sAgg.getInt(2), sAgg.getInt(3), fAgg.getInt(0),
+          fAgg.getInt(1), fAgg.getLong(2), liveRows))
+        .toDF("n_snapshots", "ops_append", "ops_delete", "n_current",
+          "n_data_files", "n_delete_files", "data_records", "live_rows")
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
+
+  /** q266 builder: create → append → rename → DV-delete, then the
+    * history frame folded to per-operation counters beside the masked
+    * live replay. Once per session. */
+  private def deltaHistoryPath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q266-delta")
+    val outPath = Scratch.dir(s, "q266-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      DeltaLite.export(s, o.filter(col("k") % 3 === 0).coalesce(1),
+        table)
+      DeltaLite.exportAppend(s, o.filter(col("k") % 3 === 1)
+        .coalesce(1), table)
+      DeltaLite.renameColumn(s, table, "cents", "charge")
+      val snap = DeltaLite.snapshot(s, table)
+      val deletes = snap.files.map { f =>
+        val positions = s.read.parquet(
+            new org.apache.hadoop.fs.Path(table, f).toString)
+          .select(col("_metadata.row_index").as("pos"), col("k"))
+          .filter(col("k") % 10 === 3)
+          .select("pos").collect().map(_.getLong(0))
+        f -> positions
+      }.filter(_._2.nonEmpty).toMap
+      DeltaLite.commitDeletionVectors(s, table, deletes)
+      val h = DeltaLite.history(s, table)
+      val agg = h.agg(count(lit(1)).cast("int").as("n_commits"),
+        sum(when(col("operation") === "CREATE TABLE AS", 1)
+          .otherwise(0)).cast("int").as("n_create"),
+        sum(when(col("operation") === "WRITE (append)", 1)
+          .otherwise(0)).cast("int").as("n_append"),
+        sum(when(col("operation") === "SET METADATA", 1)
+          .otherwise(0)).cast("int").as("n_meta"),
+        sum(when(col("has_dv"), 1).otherwise(0)).cast("int")
+          .as("n_dv"),
+        sum(col("n_adds")).cast("int").as("total_adds")).head()
+      val live = DeltaLite.read(s, table)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("charge").cast("long").as("sum_charge")).head()
+      import s.implicits._
+      val out = Seq((agg.getInt(0), agg.getInt(1), agg.getInt(2),
+          agg.getInt(3), agg.getInt(4), agg.getInt(5),
+          live.getLong(0), live.getLong(1)))
+        .toDF("n_commits", "n_create", "n_append", "n_meta", "n_dv",
+          "total_adds", "n_rows", "sum_charge")
       AtomicParquet.overwrite(out, outPath)
     }
     outPath

@@ -542,10 +542,19 @@ object DeltaLite {
     val version = snap.version + 1
     val fs = new Path(table)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the v3 upgrade must PRESERVE features the table already needs:
+    // a name/id-mapped table whose protocol dropped columnMapping here
+    // would misread in every feature-honoring foreign engine
+    val rf = (snap.protocol.readerFeatures.toSet + "deletionVectors" ++
+      (if (snap.columnMappingMode != "none") Set("columnMapping")
+       else Set.empty[String])).toSeq.sorted
+    val wf = (snap.protocol.writerFeatures.toSet + "deletionVectors" ++
+      (if (snap.columnMappingMode != "none") Set("columnMapping")
+       else Set.empty[String])).toSeq.sorted
     val actions = Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],""" +
-        """"writerFeatures":["deletionVectors"]}}""") ++
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[${rf.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""writerFeatures":[${wf.map("\"" + _ + "\"").mkString(",")}]}}""") ++
       deletes.toSeq.sortBy(_._1).map { case (rel, newPositions) =>
         // the log fold keeps only the LATEST add per path, so a file
         // that already carries a DV must have its existing positions
@@ -646,6 +655,39 @@ object DeltaLite {
       if (a.has("remove")) removes += a.get("remove").get("path").asText
     }
     (adds.toSeq, removes.toSeq, hasDv)
+  }
+
+  /** DESCRIBE HISTORY — Delta's own commit-audit surface: one row per
+    * commit still visible in the log (a checkpoint may have absorbed
+    * earlier ones; they read as history truncation, exactly Delta's
+    * retention contract), newest first — (version, operation
+    * classified from the action mix, n_adds, n_removes, has_dv,
+    * is_checkpointed). Driver metadata only: one JSON read per
+    * commit, no data file touched. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val logDir = new Path(table, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cpV: Option[Long] = {
+      val p = new Path(logDir, "_last_checkpoint")
+      if (fs.exists(p))
+        Some(mapper.readTree(readText(spark, p)).get("version").asLong)
+      else None
+    }
+    val rows = commitVersions(spark, table).map { v =>
+      val (adds, removes, hasDv) = commitActions(spark, table, v)
+      val op =
+        if (hasDv) "DELETE (deletion vectors)"
+        else if (v == 0L) "CREATE TABLE AS"
+        else if (adds.nonEmpty && removes.nonEmpty) "OVERWRITE"
+        else if (adds.nonEmpty) "WRITE (append)"
+        else if (removes.nonEmpty) "DELETE"
+        else "SET METADATA"
+      (v, op, adds.length.toLong, removes.length.toLong, hasDv,
+        cpV.exists(v <= _))
+    }.sortBy(-_._1)
+    import spark.implicits._
+    rows.toDF("version", "operation", "n_adds", "n_removes",
+      "has_dv", "is_checkpointed")
   }
 
   /** Export `df` as the NEXT full snapshot of a Delta-format table

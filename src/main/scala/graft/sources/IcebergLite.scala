@@ -804,6 +804,76 @@ object IcebergLite {
       .map(_.get("snapshot-id").asLong).toSeq).getOrElse(Nil)
   }
 
+  /** The `snapshots` METADATA TABLE — Iceberg's own
+    * `SELECT * FROM t.snapshots` introspection surface: one row per
+    * snapshot in commit order — (snapshot_id, sequence_number,
+    * timestamp_ms, operation, manifest_list, is_current). Driver
+    * metadata only (the snapshot list is bounded by retention). */
+  def snapshotsTable(spark: SparkSession, location: String): DataFrame = {
+    val meta = mapper.readTree(readText(spark,
+      metadataPath(spark, location)))
+    val current = Option(meta.get("current-snapshot-id"))
+      .map(_.asLong).getOrElse(-1L)
+    val rows = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.toSeq).getOrElse(Nil).map { sn =>
+        val id = sn.get("snapshot-id").asLong
+        (id,
+          Option(sn.get("sequence-number")).map(_.asLong).getOrElse(id),
+          Option(sn.get("timestamp-ms")).map(_.asLong).getOrElse(0L),
+          Option(sn.get("summary")).flatMap(su =>
+            Option(su.get("operation")).map(_.asText))
+            .getOrElse("append"),
+          sn.get("manifest-list").asText,
+          id == current)
+      }
+    import spark.implicits._
+    rows.toDF("snapshot_id", "sequence_number", "timestamp_ms",
+      "operation", "manifest_list", "is_current")
+  }
+
+  /** The `files` METADATA TABLE — Iceberg's `SELECT * FROM t.files`:
+    * one row per LIVE file of the current (or pinned) snapshot, data
+    * and delete files alike — (content: 0 data / 1 position deletes /
+    * 2 equality deletes, file_path, record_count, file_size_in_bytes,
+    * sequence_number). One manifest walk, no data file opened —
+    * exactly the planning metadata a 100 TB operator inspects before
+    * touching a byte. */
+  def filesTable(spark: SparkSession, location: String,
+                 snapshotId: Option[Long] = None): DataFrame = {
+    val metaP = metadataPath(spark, location)
+    val meta = mapper.readTree(readText(spark, metaP))
+    val wanted = snapshotId.getOrElse(
+      meta.get("current-snapshot-id").asLong)
+    val snapNode = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong == wanted)
+      .getOrElse(throw new IOException(
+        s"snapshot $wanted not found at $location"))
+    val rows = Seq.newBuilder[(Int, String, Long, Long, Long)]
+    avroRecords(spark,
+      new Path(snapNode.get("manifest-list").asText)).foreach { mf =>
+      val mSeq = fieldOpt(mf, "sequence_number")
+        .map(_.toString.toLong)
+        .getOrElse(long0(mf, "added_snapshot_id"))
+      val mPath = new Path(str(mf, "manifest_path").getOrElse(
+        throw new IOException("manifest_file missing manifest_path")))
+      avroRecords(spark, mPath).foreach { entry =>
+        if (long0(entry, "status") != 2L) {
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val entrySeq = fieldOpt(entry, "sequence_number")
+            .map(_.toString.toLong).getOrElse(mSeq)
+          rows += ((long0(df, "content").toInt,
+            str(df, "file_path").getOrElse(""),
+            long0(df, "record_count"),
+            long0(df, "file_size_in_bytes"), entrySeq))
+        }
+      }
+    }
+    import spark.implicits._
+    rows.result().distinct.toDF("content", "file_path", "record_count",
+      "file_size_in_bytes", "sequence_number")
+  }
+
   // ── Iceberg schema JSON ↔ Spark types (primitives we emit) ─────────
 
   private def icebergType(dt: DataType): String = dt match {
