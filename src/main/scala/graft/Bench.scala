@@ -27,6 +27,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC like every other entry point (Verify/PlanDump/specs):
+      // the Iceberg time transforms' writer half must agree with the
+      // planner's UTC prune endpoints, and a session-zone-dependent
+      // bench would time different plans on a non-UTC host
+      .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS); see Tables.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -174,24 +179,45 @@ object Bench {
         probeIoMax = math.max(probeIoMax, probeIo())
       }
       val (name, fn) = (q.name, q.fn)
+      // Two-component timing: FIXTURE = the queries() closure call
+      // (lifecycle builds — streaming checkpoint chains, OCC commit
+      // histories, lakehouse exports — run eagerly inside it; plan
+      // construction is microseconds by comparison), SERVE = the
+      // noop materialization of the returned frame (the read path a
+      // user actually repeats). The regression gate keys on SERVE
+      // when the committed baseline carries it: a serve regression
+      // must not hide inside fixture noise, and fixture jitter
+      // (scratch-disk variance) must not pollute the regressed list.
       val g0 = gcMillis
       val t0 = System.nanoTime()
+      var tFix = 0.0
       val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        try {
+          val df = fn(spark, sfDir)
+          tFix = (System.nanoTime() - t0) / 1e9
+          df.write.format("noop").mode("overwrite").save(); true
+        }
         catch {
           case e: Throwable =>
             System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
             errors += name
             false
         }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0,
-        (gcMillis - g0) / 1e3)
+      val tAll = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) tAll else -1.0, (gcMillis - g0) / 1e3,
+        if (ok) tFix else -1.0, if (ok) tAll - tFix else -1.0)
     }
     def r3(v: Double) = math.rint(v * 1000) / 1000 // 3 decimals: keeps the line short
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val gcs = results.filter(_._3 >= 0.05)
-      .map { case (k, _, g) => s"\"" + k + "\":" + r3(g) }
+      .map { case (k, _, g, _, _) => s"\"" + k + "\":" + r3(g) }
+      .mkString("{", ",", "}")
+    val fixJson = results
+      .map { case (k, _, _, f, _) => s"\"" + k + "\":" + r3(f) }
+      .mkString("{", ",", "}")
+    val serveJson = results
+      .map { case (k, _, _, _, sv) => s"\"" + k + "\":" + r3(sv) }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Per-query regression gate vs the committed clean snapshot
@@ -202,11 +228,11 @@ object Bench {
     // ever written by a clean full run (see below), so the compare is
     // clean-vs-current; on a hot host the flags measure the throttle,
     // which "hot_host": true already marks.
-    val prev: Map[String, Double] =
+    def prevMap(field: String): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BENCH_LAST.json")), "UTF-8")
-        """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        (s""""$field":\\{([^}]*)\\}""").r.findFirstMatchIn(txt)
           .map(_.group(1).split(",").toSeq.flatMap { kv =>
             kv.split(":") match {
               case Array(k, v) =>
@@ -216,10 +242,20 @@ object Bench {
             }
           }.toMap).getOrElse(Map.empty)
       } catch { case _: Throwable => Map.empty }
+    val prev: Map[String, Double] = prevMap("queries")
+    // serve-keyed compare when the committed baseline carries the
+    // split (older baselines: total vs total, the pre-split rule)
+    val prevServe: Map[String, Double] = prevMap("serve_sec")
     val regressedEntries = results.collect {
-      case (k, v, _) if v > 0 && prev.get(k).exists(p =>
-          p > 0 && v >= 2 * p && v - p >= 1.0) =>
-        "\"" + k + "\":{\"prev\":" + r3(prev(k)) + ",\"now\":" + r3(v) + "}"
+      case (k, v, _, _, sv)
+        if v > 0 && (prevServe.get(k) match {
+          case Some(p) => p > 0 && sv >= 2 * p && sv - p >= 1.0
+          case None => prev.get(k).exists(p =>
+            p > 0 && v >= 2 * p && v - p >= 1.0)
+        }) =>
+        val (pv, nv) =
+          if (prevServe.contains(k)) (prevServe(k), sv) else (prev(k), v)
+        "\"" + k + "\":{\"prev\":" + r3(pv) + ",\"now\":" + r3(nv) + "}"
     }
     val regressed = regressedEntries.mkString("{", ",", "}")
     // Second probe AFTER the suite: throttling on this host intensifies
@@ -255,7 +291,7 @@ object Bench {
       probeIoMax >= 2 * RefIoSec
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"probe1_end_sec":${r3(probe1EndSec)},"probe1_max_sec":${r3(probe1Max)},"probe_io_sec":${r3(probeIoSec)},"probe_io_end_sec":${r3(probeIoEndSec)},"probe_io_max_sec":${r3(probeIoMax)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"regressed":$regressed,"queries":$qs,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"probe1_end_sec":${r3(probe1EndSec)},"probe1_max_sec":${r3(probe1Max)},"probe_io_sec":${r3(probeIoSec)},"probe_io_end_sec":${r3(probeIoEndSec)},"probe_io_max_sec":${r3(probeIoMax)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"regressed":$regressed,"queries":$qs,"fixture_sec":$fixJson,"serve_sec":$serveJson,"gc_sec":$gcs,"errors":$errJson,"sf":"$sfDir"}"""
     println(line)
     // UNCONDITIONAL full-evidence copy: the driver's stdout tail capture
     // (~2000 chars) has repeatedly truncated the full line — round 9's
@@ -301,7 +337,8 @@ object Bench {
     // line and BENCH_LAST.json.
     def r2(v: Double) = math.rint(v * 100) / 100
     val shortQs = results
-      .map { case (k, v, _) => "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
+      .map { case (k, v, _, _, _) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + r2(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":${r3(probeSec)},"probe_end_sec":${r3(probeEndSec)},"probe1_sec":${r3(probe1Sec)},"load_start":${r3(load0)},"load_end":${r3(loadEnd)},"hot_host":$hotHost,"regressed_n":${regressedEntries.length},"queries":$shortQs,"errors":$errJson,"sf":"$sfDir"}""")
   }

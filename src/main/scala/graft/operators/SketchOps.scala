@@ -532,11 +532,16 @@ object SketchOps {
           // BroadcastNestedLoopJoin, never a shuffled CartesianProduct
           .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
           .filter(col("src_a") < col("src_b"))
-        val uRegs = pairs
-          .join(regs.withColumnRenamed("source", "src_a"), Seq("src_a"))
+        // every frame below is bounded by construction — pairs ≤
+        // C(sources,2), regs ≤ sources×64 registers, est1 ≤ sources —
+        // so each join broadcasts its pair/estimate side instead of
+        // letting the post-aggregation size estimates plan ≤64-row
+        // SMJs (12 of them before this pass; q157's surgery)
+        val uRegs = regs.withColumnRenamed("source", "src_a")
+          .join(broadcast(pairs), Seq("src_a"))
           .select("src_a", "src_b", "bucket", "r")
-          .union(pairs
-            .join(regs.withColumnRenamed("source", "src_b"), Seq("src_b"))
+          .union(regs.withColumnRenamed("source", "src_b")
+            .join(broadcast(pairs), Seq("src_b"))
             .select("src_a", "src_b", "bucket", "r"))
           .groupBy("src_a", "src_b", "bucket").agg(max("r").as("r"))
         val uEst = estimateOf(uRegs, Seq("src_a", "src_b"))
@@ -548,9 +553,9 @@ object SketchOps {
           .groupBy("src_a", "src_b")
           .agg(countDistinct("shingle").as("n_exact_overlap"))
         uEst
-          .join(est1.toDF("src_a", "est_a"), "src_a")
-          .join(est1.toDF("src_b", "est_b"), "src_b")
-          .join(exact, Seq("src_a", "src_b"), "left")
+          .join(broadcast(est1.toDF("src_a", "est_a")), "src_a")
+          .join(broadcast(est1.toDF("src_b", "est_b")), "src_b")
+          .join(broadcast(exact), Seq("src_a", "src_b"), "left")
           .select(col("src_a"), col("src_b"),
             round(col("est_a"), 1).as("est_a"),
             round(col("est_b"), 1).as("est_b"),

@@ -485,16 +485,22 @@ object VersionOps {
       .groupBy("lang").agg(count(lit(1)).as("n_added"))
     val removed = v0.join(v1.select("doc_id"), Seq("doc_id"), "left_anti")
       .groupBy("lang").agg(count(lit(1)).as("n_removed"))
-    stats0.join(stats1, Seq("lang"), "full_outer")
-      .join(added, Seq("lang"), "full_outer")
-      .join(removed, Seq("lang"), "full_outer")
-      .select(col("lang"),
-        coalesce(col("n_v0"), lit(0L)).as("n_v0"),
-        coalesce(col("n_v0_quality_null"), lit(0L)).as("n_v0_quality_null"),
-        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
-        coalesce(col("sum_quality_v1"), lit(0L)).as("sum_quality_v1"),
-        coalesce(col("n_added"), lit(0L)).as("n_added"),
-        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+    // merge the four per-lang stat frames by union + one
+    // re-aggregation, not full-outer joins: each frame has ≤ lang
+    // cardinality rows, and Spark can only plan a full-outer as a
+    // two-sided sort-merge (this query carried 6 SMJ before); the
+    // union shape is one shuffle and partial-aggregates map-side
+    val statCols = Seq("n_v0", "n_v0_quality_null", "n_v1",
+      "sum_quality_v1", "n_added", "n_removed")
+    def shaped(df: DataFrame): DataFrame =
+      df.select(col("lang") +: statCols.map(c =>
+        (if (df.columns.contains(c)) col(c).cast("long")
+         else lit(null).cast("long")).as(c)): _*)
+    val aggs = statCols.map(c => coalesce(sum(c), lit(0L)).as(c))
+    shaped(stats0).unionByName(shaped(stats1))
+      .unionByName(shaped(added)).unionByName(shaped(removed))
+      .groupBy("lang")
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy("lang")
   }
 
@@ -2921,8 +2927,77 @@ object VersionOps {
              |       1 AS n_meta, 1 AS n_dv, 4 AS total_adds,
              |       CAST(count(*) AS BIGINT) AS n_rows,
              |       CAST(sum(cents) AS BIGINT) AS sum_charge
-             |FROM live""".stripMargin))
+             |FROM live""".stripMargin)),
+
+    // q267 — Iceberg v3 PUFFIN DELETION VECTORS read: the feature a
+    // foreign v3 table is most likely to carry (DVs replace position-
+    // delete files in v3). The gate drives two DV commits — the
+    // second MERGES into the first's file, leaving a superseded
+    // carried entry the reader must resolve by sequence — then pins
+    // the masked live read (rows AND value mass), snapshot isolation
+    // of the pre-DV state, the resolved DV inventory, and the decoded
+    // blob's cardinality against the oracle's predicate replay.
+    QueryDef("q267_iceberg_v3_dv",
+      (s, d) => s.read.parquet(icebergDvPath(s, d)),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders WHERE o_orderkey % 3 = 0),
+             |live AS (SELECT * FROM o WHERE k % 7 <> 1 AND k % 5 <> 2)
+             |SELECT CAST((SELECT count(*) FROM o) AS BIGINT) AS raw_rows,
+             |       CAST((SELECT count(*) FROM live) AS BIGINT)
+             |         AS live_rows,
+             |       CAST((SELECT sum(cents) FROM live) AS BIGINT)
+             |         AS live_cents,
+             |       1 AS n_data_files, 1 AS n_dvs_resolved,
+             |       CAST((SELECT count(*) FROM o
+             |             WHERE k % 7 = 1 OR k % 5 = 2) AS BIGINT)
+             |         AS dv_positions""".stripMargin))
   )
+
+  /** q267 builder: orders slice exported as one v2 data file, two
+    * deletion-vector commits (the second merges — the spec's
+    * replacement invariant), then the audit frame. Once per session. */
+  private def icebergDvPath(s: SparkSession, dir: String): String = {
+    import graft.sources.{IcebergLite, PuffinLite}
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q267-icev3")
+    val outPath = Scratch.dir(s, "q267-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .filter(col("k") % 3 === 0).coalesce(1)
+      val s1 = IcebergLite.export(s, o, table)
+      def posOf(pred: Column): Map[String, Array[Long]] = {
+        val files = IcebergLite.snapshot(s, table).files
+        s.read.parquet(files: _*)
+          .select(col("_metadata.file_path").as("fp"),
+            col("_metadata.row_index").as("pos"), col("k"))
+          .filter(pred).collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+      }
+      IcebergLite.exportDeletionVectors(s, table,
+        posOf(col("k") % 7 === 1))
+      IcebergLite.exportDeletionVectors(s, table,
+        posOf(col("k") % 5 === 2))
+      val live = IcebergLite.read(s, table)
+      val liveAgg = live.agg(count(lit(1)).as("n"),
+        sum("cents").cast("long").as("c")).head()
+      val rawRows = IcebergLite.read(s, table, Some(s1)).count()
+      val snap = IcebergLite.snapshot(s, table)
+      val dvPositions = snap.dvs.map(dv =>
+        PuffinLite.readDvPositions(s, dv.puffinPath, dv.offset,
+          dv.length).length.toLong).sum
+      import s.implicits._
+      val out = Seq((rawRows, liveAgg.getLong(0), liveAgg.getLong(1),
+          snap.files.length, snap.dvs.length, dvPositions))
+        .toDF("raw_rows", "live_rows", "live_cents", "n_data_files",
+          "n_dvs_resolved", "dv_positions")
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q240 builder: a COLUMN-MAPPED foreign Delta table (the layout
     * Databricks writes after ALTER TABLE ... RENAME COLUMN):

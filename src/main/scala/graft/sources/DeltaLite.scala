@@ -1144,10 +1144,41 @@ object DeltaLite {
           col("_scan_pos") === col("_del_pos"),
         "left_anti")
       .select(cols.map(c => col(s"`$c`")): _*)
+    // id-mode tables resolve columns BY PARQUET FIELD ID; the raw
+    // read above strips the ids, and a rewrite without them would
+    // brick every later read() (which refuses id-less files rather
+    // than misread by position). Re-stamp each physical column's
+    // delta.columnMapping.id as parquet.field.id and write with
+    // field ids enabled — the exportCommit append contract.
+    val rewritten =
+      if (snap.columnMappingMode != "id") masked
+      else {
+        val sch = snap.schema.getOrElse(throw new IOException(
+          s"$table declares id-mode column mapping but no schema — " +
+            "cannot re-stamp field ids; refusing purge"))
+        val idByPhys = sch.fields.map { f =>
+          val phys =
+            if (f.metadata.contains("delta.columnMapping.physicalName"))
+              f.metadata.getString("delta.columnMapping.physicalName")
+            else f.name
+          phys -> f.metadata.getLong("delta.columnMapping.id")
+        }.toMap
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled",
+          "true")
+        masked.select(cols.map { c =>
+          val id = idByPhys.getOrElse(c, throw new IOException(
+            s"$table: rewritten column $c has no " +
+              "delta.columnMapping.id in the schema — cannot " +
+              "re-stamp field ids; refusing purge"))
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", id).build()
+          col(s"`$c`").as(c, md)
+        }: _*)
+      }
     val version = snap.version + 1
     val staging = new Path(table, s".staging-$version")
     fs.delete(staging, true)
-    masked.write.mode("overwrite").parquet(staging.toString)
+    rewritten.write.mode("overwrite").parquet(staging.toString)
     val named = fs.listStatus(staging).toSeq
       .filter(st => st.getPath.getName.endsWith(".parquet") &&
         st.getLen > 0)

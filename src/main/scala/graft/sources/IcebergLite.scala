@@ -87,7 +87,8 @@ object IcebergLite {
                               Map.empty,
                             partitionValues: Map[String,
                               Map[String, String]] = Map.empty,
-                            specFields: Seq[SpecField] = Nil)
+                            specFields: Seq[SpecField] = Nil,
+                            dvs: Seq[DvRef] = Nil)
 
   /** One equality-delete file (v2 `data_file.content=2`): its parquet
     * path, the EQUALITY COLUMNS (resolved from `equality_ids` via the
@@ -95,6 +96,16 @@ object IcebergLite {
     * `added_snapshot_id`) — a matching row in a data file with an
     * OLDER sequence is deleted. */
   final case class EqDelete(path: String, cols: Seq[String], seq: Long)
+
+  /** One v3 DELETION VECTOR (a `deletion-vector-v1` blob in a Puffin
+    * file, listed by a delete manifest as content=1 +
+    * file_format=PUFFIN): where the blob lives, which data file it
+    * masks, and the sequence it was added at (resolution when a
+    * table's carried manifests list superseded DVs for the same data
+    * file: highest sequence wins — a DV must contain every position
+    * of the one it replaces, per the spec's merge invariant). */
+  final case class DvRef(puffinPath: String, offset: Long, length: Long,
+                         referencedDataFile: String, seq: Long)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -309,15 +320,41 @@ object IcebergLite {
     val metaP = metadataPath(spark, location)
     val meta = mapper.readTree(readText(spark, metaP))
     val fv = meta.get("format-version").asInt
-    if (fv > 2)
+    if (fv > 3)
       throw new IOException(s"cannot read Iceberg table at $location: " +
-        s"format-version $fv exceeds the supported 1-2 — refusing " +
-        "rather than misreading newer semantics (row lineage, etc.)")
+        s"format-version $fv exceeds the supported 1-3 — refusing " +
+        "rather than misreading newer semantics")
+    // v3 reads are supported for its most consequential feature —
+    // Puffin DELETION VECTORS (collected in the manifest walk below);
+    // the v3 features this reader does NOT implement refuse by name
+    // rather than misread: a column default would have to be
+    // SYNTHESIZED for files written before the column existed
+    // (serving null instead is a misread), so any schema field
+    // carrying one refuses here. Row lineage adds hidden metadata
+    // columns only — ignoring it for data-column reads is sound.
+    if (fv >= 3) {
+      val schemaNode = Option(meta.get("schemas"))
+        .filter(_.elements().hasNext)
+        .map(_.elements().asScala.toSeq.last)
+        .orElse(Option(meta.get("schema")))
+      schemaNode.toSeq.flatMap(s =>
+        Option(s.get("fields")).toSeq.flatMap(_.elements().asScala))
+        .foreach { f =>
+          if (f.has("initial-default") && !f.get("initial-default").isNull)
+            throw new IOException(s"cannot read Iceberg table at " +
+              s"$location: v3 field '${f.get("name").asText}' carries " +
+              "an initial-default — default-value synthesis is not " +
+              "implemented; refusing rather than serving null for it")
+        }
+    }
     val snaps = meta.get("snapshots")
     if (snaps == null || !snaps.elements().hasNext)
       throw new IOException(s"Iceberg table at $location has no snapshots")
     val wanted = snapshotId.getOrElse(
-      meta.get("current-snapshot-id").asLong)
+      Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong).getOrElse(throw new IOException(
+          s"Iceberg table at $location declares no " +
+            "current-snapshot-id — nothing to read")))
     val snap = snaps.elements().asScala
       .find(_.get("snapshot-id").asLong == wanted)
       .getOrElse(throw new IOException(
@@ -332,6 +369,7 @@ object IcebergLite {
         .getOrElse("{}")
     val dataFiles = Seq.newBuilder[String]
     val deleteFiles = Seq.newBuilder[String]
+    val dvRefs = Seq.newBuilder[DvRef]
     val dataSeqs = Map.newBuilder[String, Long]
     val eqDels = Seq.newBuilder[EqDelete]
     val fileBounds =
@@ -371,6 +409,14 @@ object IcebergLite {
     // sequence_number at all, and a table that BOTH lacks the field
     // and carries equality deletes refuses (ordering unprovable).
     var seqUnproven = false
+    // Self-written tables are recognizable (the export writer stamps
+    // a fixed all-zeros table-uuid) and use DETERMINISTIC, strictly
+    // increasing snapshot ids (`snapId = nextV`), so for them the
+    // added_snapshot_id proxy IS the sequence order — pre-
+    // sequence_number exports from this writer stay readable instead
+    // of regressing to the foreign-writer refusal below.
+    val selfWritten = Option(meta.get("table-uuid"))
+      .exists(_.asText == "00000000-0000-0000-0000-000000000000")
     avroRecords(spark, manifestListPath).foreach { mf =>
       // v2 manifest_file carries `content`: 0 = data, 1 = deletes.
       // Delete manifests are READ (position deletes anti-join at scan
@@ -384,7 +430,7 @@ object IcebergLite {
         throw new IOException("manifest_file entry missing manifest_path")))
       val mSeqOpt = fieldOpt(mf, "sequence_number")
         .map(_.toString.toLong)
-      if (mSeqOpt.isEmpty) seqUnproven = true
+      if (mSeqOpt.isEmpty && !selfWritten) seqUnproven = true
       val mSeq = mSeqOpt.getOrElse(long0(mf, "added_snapshot_id"))
       avroRecords(spark, mPath).foreach { entry =>
         val status = long0(entry, "status") // 0 existing, 1 added, 2 deleted
@@ -399,10 +445,13 @@ object IcebergLite {
         if (status != 2L) {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val fmt = str(df, "file_format").getOrElse("PARQUET")
-          if (!fmt.equalsIgnoreCase("PARQUET"))
+          val isPuffinDv = fmt.equalsIgnoreCase("PUFFIN") &&
+            content == 1L && long0(df, "content") == 1L
+          if (!fmt.equalsIgnoreCase("PARQUET") && !isPuffinDv)
             throw new IOException(s"cannot read Iceberg data file " +
-              s"format $fmt — parquet only; refusing rather than " +
-              "skipping files (silent row loss)")
+              s"format $fmt — parquet (and Puffin deletion vectors) " +
+              "only; refusing rather than skipping files (silent " +
+              "row loss)")
           val p = str(df, "file_path")
           // v2 data_file.content: 0 data, 1 position deletes,
           // 2 equality deletes. Equality deletes need the table's
@@ -424,6 +473,22 @@ object IcebergLite {
                         f.name -> Option(r.get(f.name))
                           .map(_.toString).orNull).toMap
                   }.foreach(pv => partValues += path -> pv) }
+            case (1L, 1L) if isPuffinDv =>
+              // v3 deletion vector: a Puffin blob slice referencing
+              // ONE data file — all three locator fields required
+              def need(field: String): Long =
+                fieldOpt(df, field).map(_.toString.toLong)
+                  .getOrElse(throw new IOException(
+                    s"Puffin DV entry in $mPath lacks $field — " +
+                      "cannot locate the blob; refusing"))
+              val refFile = fieldOpt(df, "referenced_data_file")
+                .map(_.toString).getOrElse(throw new IOException(
+                  s"Puffin DV entry in $mPath lacks " +
+                    "referenced_data_file — a DV that could mask any " +
+                    "file is unapplicable; refusing"))
+              p.foreach(path => dvRefs += DvRef(path,
+                need("content_offset"), need("content_size_in_bytes"),
+                refFile, entrySeq))
             case (1L, 1L) => p.foreach(deleteFiles += _)
             case (1L, 2L) =>
               val ids = fieldOpt(entry.get("data_file")
@@ -456,10 +521,28 @@ object IcebergLite {
         "added_snapshot_id alone is unprovable for foreign writers " +
         "(random snapshot ids); refusing rather than resurrecting or " +
         "over-deleting rows")
+    // DV resolution: at most one LIVE deletion vector per data file.
+    // Carried manifests can still list a superseded DV (this writer
+    // carries prior manifests verbatim; real compactions rewrite
+    // them), so the HIGHEST-sequence DV per referenced file wins —
+    // sound because the spec requires a replacement DV to contain
+    // every position of the one it replaces. Two distinct DVs at the
+    // SAME sequence are unresolvable and refuse.
+    val dvsResolved = dvRefs.result().distinct
+      .groupBy(_.referencedDataFile).map { case (ref, refs) =>
+        val maxSeq = refs.map(_.seq).max
+        val atMax = refs.filter(_.seq == maxSeq)
+        if (atMax.length > 1)
+          throw new IOException(s"cannot read Iceberg table at " +
+            s"$location: data file $ref carries ${atMax.length} " +
+            s"deletion vectors at sequence $maxSeq — resolution is " +
+            "unprovable; refusing rather than under- or over-deleting")
+        atMax.head
+      }.toSeq.sortBy(_.referencedDataFile)
     Snapshot(dataFiles.result().distinct, wanted, schemaJson,
       deleteFiles.result().distinct, dataSeqs.result(),
       eqd, fileBounds.result(),
-      partValues.result(), specFields)
+      partValues.result(), specFields, dvsResolved)
   }
 
   /** Decode a data_file's optional lower_bounds/upper_bounds k_v
@@ -552,12 +635,29 @@ object IcebergLite {
                           data: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     val cols = data.columns.toSeq
+    // v3 deletion vectors decode driver-side (bounded: one bitmap per
+    // masked file, the same materialization the DeltaLite DV path
+    // does) and join through the same (file, pos) anti-join as
+    // position-delete files — a superseded DV never reaches here
+    // (snapshot() resolved highest-sequence-per-file), and a v2
+    // position delete alongside a DV for the same file is a no-op
+    // union (the spec requires the DV to contain it).
+    val dvPairs: Seq[(String, Long)] = s.dvs.flatMap { dv =>
+      val ref = new Path(dv.referencedDataFile).toUri.getPath
+      PuffinLite.readDvPositions(spark, dv.puffinPath, dv.offset,
+        dv.length).map(p => (ref, p))
+    }
     val posMasked =
-      if (s.posDeleteFiles.isEmpty) data
+      if (s.posDeleteFiles.isEmpty && dvPairs.isEmpty) data
       else {
-        val dels = spark.read.parquet(s.posDeleteFiles: _*)
-          .select(normPath(col("file_path")).as("_del_path"),
-            col("pos").cast("long").as("_del_pos"))
+        import spark.implicits._
+        val fileDels = if (s.posDeleteFiles.isEmpty) None else Some(
+          spark.read.parquet(s.posDeleteFiles: _*)
+            .select(normPath(col("file_path")).as("_del_path"),
+              col("pos").cast("long").as("_del_pos")))
+        val dvDels = if (dvPairs.isEmpty) None else Some(
+          dvPairs.toDF("_del_path", "_del_pos"))
+        val dels = (fileDels.toSeq ++ dvDels.toSeq).reduce(_ union _)
         data
           .withColumn("_scan_path",
             normPath(col("_metadata.file_path")))
@@ -813,7 +913,7 @@ object IcebergLite {
     val meta = mapper.readTree(readText(spark,
       metadataPath(spark, location)))
     val current = Option(meta.get("current-snapshot-id"))
-      .map(_.asLong).getOrElse(-1L)
+      .filterNot(_.isNull).map(_.asLong).getOrElse(-1L)
     val rows = Option(meta.get("snapshots"))
       .map(_.elements().asScala.toSeq).getOrElse(Nil).map { sn =>
         val id = sn.get("snapshot-id").asLong
@@ -842,14 +942,23 @@ object IcebergLite {
                  snapshotId: Option[Long] = None): DataFrame = {
     val metaP = metadataPath(spark, location)
     val meta = mapper.readTree(readText(spark, metaP))
-    val wanted = snapshotId.getOrElse(
-      meta.get("current-snapshot-id").asLong)
+    import spark.implicits._
+    val currentOpt = Option(meta.get("current-snapshot-id"))
+      .filterNot(_.isNull).map(_.asLong)
+    val wantedOpt = snapshotId.orElse(currentOpt)
+    if (wantedOpt.isEmpty)
+      // a freshly created table with no committed snapshot has an
+      // EMPTY file inventory, not a crash
+      return Seq.empty[(Int, String, Long, Long, Long)]
+        .toDF("content", "file_path", "record_count",
+          "file_size_in_bytes", "sequence_number")
+    val wanted = wantedOpt.get
     val snapNode = Option(meta.get("snapshots")).toSeq
       .flatMap(_.elements().asScala)
       .find(_.get("snapshot-id").asLong == wanted)
       .getOrElse(throw new IOException(
         s"snapshot $wanted not found at $location"))
-    val rows = Seq.newBuilder[(Int, String, Long, Long, Long)]
+    val rows = Seq.newBuilder[(Int, String, Long, Long, Long, String)]
     avroRecords(spark,
       new Path(snapNode.get("manifest-list").asText)).foreach { mf =>
       val mSeq = fieldOpt(mf, "sequence_number")
@@ -862,16 +971,21 @@ object IcebergLite {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val entrySeq = fieldOpt(entry, "sequence_number")
             .map(_.toString.toLong).getOrElse(mSeq)
+          // referenced_data_file distinguishes v3 DV blobs that share
+          // one puffin file (without it, the distinct below would
+          // collapse same-cardinality blobs into one row)
           rows += ((long0(df, "content").toInt,
             str(df, "file_path").getOrElse(""),
             long0(df, "record_count"),
-            long0(df, "file_size_in_bytes"), entrySeq))
+            long0(df, "file_size_in_bytes"), entrySeq,
+            fieldOpt(df, "referenced_data_file")
+              .map(_.toString).orNull))
         }
       }
     }
     import spark.implicits._
     rows.result().distinct.toDF("content", "file_path", "record_count",
-      "file_size_in_bytes", "sequence_number")
+      "file_size_in_bytes", "sequence_number", "referenced_data_file")
   }
 
   // ── Iceberg schema JSON ↔ Spark types (primitives we emit) ─────────
@@ -1081,11 +1195,16 @@ object IcebergLite {
         // the delete manifests). Overwrite mode is fine: prior files
         // land status=2, deletes become moot with their targets.
         require((live.posDeleteFiles.isEmpty &&
-            live.eqDeletes.isEmpty) || overwrite,
+            live.eqDeletes.isEmpty && live.dvs.isEmpty) || overwrite,
           s"cannot append-export over $location: the live snapshot " +
             "carries row-level deletes; export with overwrite = true " +
             "(full replace), or append via appendManifest (which " +
             "preserves the delete manifests and sequence order)")
+        // a v1-metadata rewrite of a v3 table is a downgrade even in
+        // overwrite mode (v3-only table state would be dropped)
+        require(!Option(meta.get("format-version")).exists(_.asInt > 2),
+          s"cannot export over $location: table is format-version 3 " +
+            "and this writer emits v1 metadata — refusing the downgrade")
         (v, snapsJson, live.files)
       }
     val nextV = prevVersion + 1
@@ -1449,6 +1568,12 @@ object IcebergLite {
     val v = readText(spark, hint).trim.toLong
     val meta = mapper.readTree(readText(spark,
       new Path(metaDir, s"v$v.metadata.json")))
+    // v3 forbids NEW position-delete files (deletion vectors replace
+    // them); committing one anyway would make the table malformed
+    if (Option(meta.get("format-version")).exists(_.asInt > 2))
+      throw new IOException(s"cannot add position-delete files to " +
+        s"$location: format-version 3 tables take deletion vectors " +
+        "(exportDeletionVectors), not position-delete files")
     val prevSnaps = Option(meta.get("snapshots"))
       .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
     val currentSnapId = meta.get("current-snapshot-id").asLong
@@ -1609,6 +1734,98 @@ object IcebergLite {
         }
     }
 
+  /** Manifest-entry schema for DELETION-VECTOR entries: the v2 entry
+    * plus v3's DV locator fields (referenced_data_file 143,
+    * content_offset 144, content_size_in_bytes 145). A separate
+    * schema so v2 manifests never carry dead nullable columns. */
+  private val dvManifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type": "record", "name": "manifest_entry", "fields": [
+      |  {"name": "status", "type": "int", "field-id": 0},
+      |  {"name": "snapshot_id", "type": ["null", "long"],
+      |   "default": null, "field-id": 1},
+      |  {"name": "data_file", "field-id": 2, "type":
+      |    {"type": "record", "name": "r2", "fields": [
+      |      {"name": "content", "type": "int", "default": 0,
+      |       "field-id": 134},
+      |      {"name": "file_path", "type": "string", "field-id": 100},
+      |      {"name": "file_format", "type": "string", "field-id": 101},
+      |      {"name": "partition", "field-id": 102, "type":
+      |        {"type": "record", "name": "r102", "fields": []}},
+      |      {"name": "record_count", "type": "long", "field-id": 103},
+      |      {"name": "file_size_in_bytes", "type": "long",
+      |       "field-id": 104},
+      |      {"name": "referenced_data_file", "type": ["null", "string"],
+      |       "default": null, "field-id": 143},
+      |      {"name": "content_offset", "type": ["null", "long"],
+      |       "default": null, "field-id": 144},
+      |      {"name": "content_size_in_bytes", "type": ["null", "long"],
+      |       "default": null, "field-id": 145}
+      |    ]}}
+      |]}""".stripMargin)
+
+  /** Commit DELETION VECTORS — Iceberg v3's replacement for
+    * position-delete files: each (data file → deleted positions)
+    * becomes a `deletion-vector-v1` blob in ONE Puffin file
+    * ([[PuffinLite]]), listed by a delete manifest whose entries
+    * carry the v3 locator fields, and the table's metadata advances
+    * to format-version 3 (a one-way upgrade this writer otherwise
+    * refuses to touch — the minimal v3 writer surface, enough to
+    * produce conformance fixtures and serve the most likely foreign
+    * refusal). A file that already carries a DV gets the MERGE the
+    * spec requires: new blob = old positions ∪ new (the reader
+    * resolves superseded carried entries by highest sequence).
+    * Returns the new snapshot id. */
+  def exportDeletionVectors(spark: SparkSession, location: String,
+                            deletes: Map[String, Array[Long]]): Long = {
+    val live = snapshot(spark, location)
+    val byNorm = live.files
+      .map(f => new Path(f).toUri.getPath -> f).toMap
+    val resolved = deletes.map { case (f, pos) =>
+      val norm = new Path(f).toUri.getPath
+      byNorm.getOrElse(norm, throw new IOException(
+        s"cannot attach a deletion vector to $f — not a live data " +
+          s"file of $location")) -> pos
+    }
+    val merged = resolved.toSeq.sortBy(_._1).map { case (f, pos) =>
+      val normF = new Path(f).toUri.getPath
+      val prior = live.dvs
+        .find(d => new Path(d.referencedDataFile).toUri.getPath == normF)
+        .map(d => PuffinLite.readDvPositions(spark, d.puffinPath,
+          d.offset, d.length))
+        .getOrElse(Array.empty[Long])
+      f -> (prior ++ pos).distinct.sorted
+    }
+    appendDeltaSnapshot(spark, location, "delete",
+      dvManifestEntrySchema, formatVersion = 3) {
+      (fs, loc, metaDir, snapId, _) =>
+        val puffinP = fs.makeQualified(
+          new Path(loc, s"data/dv-$snapId.puffin"))
+        val placed = PuffinLite.writeDvFile(spark, puffinP.toString,
+          snapId, merged)
+        val fileLen = fs.getFileStatus(puffinP).getLen
+        merged.map { case (dataFile, _) =>
+          val (off, blen, card) = placed(dataFile)
+          val df = new GenericData.Record(
+            dvManifestEntrySchema.getField("data_file").schema())
+          df.put("content", 1) // position deletes (DV flavor)
+          df.put("file_path", puffinP.toString)
+          df.put("file_format", "PUFFIN")
+          df.put("partition", new GenericData.Record(
+            df.getSchema.getField("partition").schema()))
+          df.put("record_count", card) // spec: cardinality
+          df.put("file_size_in_bytes", fileLen)
+          df.put("referenced_data_file", dataFile)
+          df.put("content_offset", java.lang.Long.valueOf(off))
+          df.put("content_size_in_bytes", java.lang.Long.valueOf(blen))
+          val e = new GenericData.Record(dvManifestEntrySchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapId)
+          e.put("data_file", df)
+          e
+        }
+    }
+  }
+
   /** Append a DATA snapshot the spec way: prior manifests (data AND
     * delete) carry unchanged — so earlier files keep their original
     * sequence and live row-level deletes keep applying to them only —
@@ -1727,7 +1944,8 @@ object IcebergLite {
     * otherwise), write v2 metadata, swap the hint last. */
   private def appendDeltaSnapshot(spark: SparkSession, location: String,
       operation: String,
-      entrySchema: Schema = manifestEntrySchema)(
+      entrySchema: Schema = manifestEntrySchema,
+      formatVersion: Int = 2)(
       entriesOf: (org.apache.hadoop.fs.FileSystem, Path, Path, Long,
         String) => Seq[GenericRecord]): Long = {
     val loc = new Path(location)
@@ -1739,6 +1957,16 @@ object IcebergLite {
     val v = readText(spark, hint).trim.toLong
     val meta = mapper.readTree(readText(spark,
       new Path(metaDir, s"v$v.metadata.json")))
+    // the v2 writer must not DOWNGRADE a v3 table (its metadata may
+    // carry v3-only state the rewrite below would drop); only the DV
+    // commit path (formatVersion 3) operates on v3 tables
+    val priorFv = Option(meta.get("format-version"))
+      .map(_.asInt).getOrElse(1)
+    if (priorFv > 2 && formatVersion < 3)
+      throw new IOException(s"cannot append to $location: table is " +
+        s"format-version $priorFv and this writer emits v2 metadata " +
+        "— a rewrite would downgrade it; only deletion-vector " +
+        "commits operate on v3 tables here")
     val prevSnaps = Option(meta.get("snapshots"))
       .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
     val currentSnapId = meta.get("current-snapshot-id").asLong
@@ -1807,7 +2035,7 @@ object IcebergLite {
     val allSnaps = prevSnaps :+ snapJson
     val metaJson =
       s"""{
-         |  "format-version": 2,
+         |  "format-version": ${math.max(2, formatVersion)},
          |  "table-uuid": "00000000-0000-0000-0000-${"%012d".format(0)}",
          |  "location": ${mapper.writeValueAsString(location)},
          |  "last-sequence-number": $snapId,

@@ -226,17 +226,41 @@ object IcebergTransforms {
       }
       case "day" => dt match {
         case DateType => datediff(src, lit("1970-01-01")).cast("int")
-        case TimestampType =>
-          ((unix_micros(src) - pmod(unix_micros(src),
-            lit(86400000000L))) / lit(86400000000L)).cast("int")
+        case TimestampType => utcEpochDay(src)
         case other => throw new IOException(
           s"day transform needs date/timestamp, got $other")
       }
-      case "month" =>
-        ((year(src) - 1970) * 12 + month(src) - 1).cast("int")
-      case "year" => (year(src) - 1970).cast("int")
+      case "month" => dt match {
+        case DateType =>
+          ((year(src) - 1970) * 12 + month(src) - 1).cast("int")
+        case TimestampType =>
+          // spec: timestamp transforms are UTC. year()/month() on a
+          // timestamp evaluate in the SESSION zone, so they'd diverge
+          // from [[literal]]'s UTC prune endpoints on a non-UTC host
+          // — derive from the UTC epoch day instead (same arithmetic
+          // as "day", then calendar math on the zone-free DATE).
+          val d = date_add(to_date(lit("1970-01-01")), utcEpochDay(src))
+          ((year(d) - 1970) * 12 + month(d) - 1).cast("int")
+        case other => throw new IOException(
+          s"month transform needs date/timestamp, got $other")
+      }
+      case "year" => dt match {
+        case DateType => (year(src) - 1970).cast("int")
+        case TimestampType =>
+          (year(date_add(to_date(lit("1970-01-01")),
+            utcEpochDay(src))) - 1970).cast("int")
+        case other => throw new IOException(
+          s"year transform needs date/timestamp, got $other")
+      }
       case other => throw new IOException(s"unhandled transform $other")
     }
+
+  /** UTC epoch day of a timestamp column — floor division of the
+    * epoch micros, matching [[epochDays]] exactly (pmod handles
+    * pre-1970 values the way Math.floorDiv does). */
+  private def utcEpochDay(src: Column): Column =
+    ((unix_micros(src) - pmod(unix_micros(src),
+      lit(86400000000L))) / lit(86400000000L)).cast("int")
 
   /** The Avro/partition-tuple type the transform produces over a
     * source of `dt` — int for bucket/day/month/year, the source type

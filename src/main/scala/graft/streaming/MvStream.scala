@@ -53,10 +53,13 @@ object MvStream {
 
   /** Advance the stored aggregate by one micro-batch of signed CDC
     * rows (w ∈ {+1, −1}). Pure fold — used by the streaming sink AND
-    * directly testable on batch frames. One shuffle of the batch
-    * (partial-aggregated to group cardinality) + one group-keyed
-    * full-outer merge with the stored frame; groups whose count
-    * retracts to zero drop out (matching q110's `n > 0`). */
+    * directly testable on batch frames. Counts and sums are ADDITIVE,
+    * so the merge is a union + one group-keyed re-aggregation (the
+    * batch partial-aggregates map-side before the single shuffle) —
+    * NOT a full-outer join, which Spark can only plan as a two-sided
+    * sort-merge on these group-cardinality frames (q128/q156 each
+    * carried 6 SMJ before this). Groups whose count retracts to zero
+    * drop out (matching q110's `n > 0`). */
   def maintainFold(spec: MvSpec)(current: DataFrame,
                                  batch: DataFrame): DataFrame = {
     val cur =
@@ -66,18 +69,18 @@ object MvStream {
           .emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(spec.stateDdl))
     val w = col(spec.weightCol)
-    val delta = batch.groupBy(spec.key)
-      .agg(sum(w).as("_dn"),
+    val delta = batch.select(
+      col(spec.key) +: w.cast("long").as(spec.countCol) +:
         spec.sums.map { case (v, out) =>
-          sum(w * col(v)).cast("long").as(s"_d$out") }: _*)
-    val merged = Seq(
-      (coalesce(col(spec.countCol), lit(0L)) + coalesce(col("_dn"), lit(0L)))
-        .as(spec.countCol)) ++
-      spec.sums.map { case (_, out) =>
-        (coalesce(col(out), lit(0L)) + coalesce(col(s"_d$out"), lit(0L)))
-          .as(out) }
-    cur.join(delta, Seq(spec.key), "full_outer")
-      .select(col(spec.key) +: merged: _*)
+          (w * col(v)).cast("long").as(out) }: _*)
+    cur.select(col(spec.key) +: col(spec.countCol).cast("long")
+        .as(spec.countCol) +:
+        spec.sums.map { case (_, out) =>
+          col(out).cast("long").as(out) }: _*)
+      .unionByName(delta)
+      .groupBy(spec.key)
+      .agg(sum(spec.countCol).as(spec.countCol),
+        spec.sums.map { case (_, out) => sum(out).as(out) }: _*)
       .filter(col(spec.countCol) > 0)
   }
 

@@ -270,9 +270,16 @@ object Analyze {
         val rowSize = df.schema.fields.map(_.dataType.defaultSize)
           .sum + 8
         val name = new Path(root).getName
+        // match the base relation BY PATH (not pre-order position):
+        // a join of two analyzed tables gets each side's own stats,
+        // and an auxiliary scan planned leftmost can't steal them
+        val rootP = new Path(root)
+        val qualified = rootP
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(rootP).toString
         (org.apache.spark.sql.graftbridge.StatsBridge.withTableStats(
           df, name, BigInt(rowCount) * rowSize,
-          Some(BigInt(rowCount))), "applied")
+          Some(BigInt(rowCount)), Some(qualified)), "applied")
       case Some(_) => (df, "stale")
       case None => (df, "absent")
     }

@@ -1,16 +1,18 @@
 package org.apache.spark.sql.graftbridge
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics,
   CatalogStorageFormat, CatalogTable, CatalogTableType}
 import org.apache.spark.sql.classic.{Dataset,
   SparkSession => ClassicSession}
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
 
 /** Bridge that exposes table-level statistics to Catalyst's planner
   * (`private[sql]` surface — same placement rationale as
-  * [[FunctionBridge]]): rewrites the frame's BASE [[LogicalRelation]]
+  * [[FunctionBridge]]): rewrites the frame's base [[LogicalRelation]]
   * with a [[CatalogTable]] carrying [[CatalogStatistics]], which
   * `LogicalRelation.computeStats` prefers over the file-size fallback.
   *
@@ -24,19 +26,46 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   */
 object StatsBridge {
 
-  /** Return `df` with `sizeInBytes`/`rowCount` attached to its FIRST
-    * (pre-order) LogicalRelation — the base scan; auxiliary scans in
-    * the same plan (deletion-vector files, delta overlays) keep their
-    * own honest file-size estimates. */
+  /** Return `df` with `sizeInBytes`/`rowCount` attached to the base
+    * scan. With `rootPath` set, the target resolves BY PATH: among
+    * the [[LogicalRelation]]s whose file-scan roots live under
+    * `rootPath`, the LARGEST (by its own file-size estimate) is the
+    * base snapshot by construction — auxiliary scans under the same
+    * root (the `_dv` mask sidecar, delta overlays) and OTHER tables
+    * in a join keep their own honest estimates, so two ANALYZEd
+    * tables joined together each carry their own stats after two
+    * calls, each landing on its own base scan. Without `rootPath`
+    * the FIRST pre-order relation is assumed to be the base scan
+    * (legacy behavior — position-dependent; prefer the path form). */
   def withTableStats(df: DataFrame, tableName: String,
                      sizeInBytes: BigInt,
-                     rowCount: Option[BigInt]): DataFrame = {
+                     rowCount: Option[BigInt],
+                     rootPath: Option[String] = None): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[ClassicSession]
     val stats = CatalogStatistics(sizeInBytes, rowCount)
-    var applied = false
-    val plan = df.queryExecution.analyzed.transform {
-      case lr: LogicalRelation if !applied =>
-        applied = true
+    val wantPath = rootPath.map(p => new Path(p).toUri.getPath)
+    def underRoot(lr: LogicalRelation): Boolean = lr.relation match {
+      case fsRel: HadoopFsRelation =>
+        val roots = fsRel.location.rootPaths
+        roots.nonEmpty && roots.forall { r =>
+          val p = r.toUri.getPath
+          wantPath.exists(w => p == w || p.startsWith(w + "/"))
+        }
+      case _ => false
+    }
+    val analyzed = df.queryExecution.analyzed
+    // resolve the target: path-matched largest scan, or first pre-order
+    val target: Option[LogicalRelation] = wantPath match {
+      case Some(_) =>
+        val matched = analyzed.collect {
+          case lr: LogicalRelation if underRoot(lr) => lr
+        }
+        if (matched.isEmpty) None
+        else Some(matched.maxBy(_.relation.sizeInBytes))
+      case None => analyzed.collectFirst { case lr: LogicalRelation => lr }
+    }
+    val plan = analyzed.transform {
+      case lr: LogicalRelation if target.exists(_ eq lr) =>
         val ct = lr.catalogTable.getOrElse(
           CatalogTable(
             identifier = TableIdentifier(tableName),

@@ -65,7 +65,8 @@ class IcebergSpec extends AnyFunSuite {
     }
   }
 
-  test("format-version above 2 refuses, naming the version") {
+  test("format-version above 3 refuses, naming the version (v3 is " +
+    "readable since the Puffin DV work — IcebergV3Spec)") {
     val loc = tmp("fv")
     IcebergLite.export(spark, frame(5, "x"), loc)
     val metaP = new Path(loc, "metadata/v1.metadata.json")
@@ -77,12 +78,12 @@ class IcebergSpec extends AnyFunSuite {
     }
     val out = fs.create(metaP, true)
     try out.write(txt.replace("\"format-version\": 1",
-      "\"format-version\": 3").getBytes("UTF-8"))
+      "\"format-version\": 4").getBytes("UTF-8"))
     finally out.close()
     val e = intercept[java.io.IOException] {
       IcebergLite.read(spark, loc)
     }
-    assert(e.getMessage.contains("format-version 3"),
+    assert(e.getMessage.contains("format-version 4"),
       s"refusal must name the version, got: ${e.getMessage}")
   }
 

@@ -172,4 +172,72 @@ class AnalyzeSpec extends AnyFunSuite {
     val (_, how2) = Analyze.readAnalyzed(spark, root)
     assert(how2 === "stale")
   }
+
+  test("two-sided stats attach: a join of two ANALYZEd tables " +
+    "carries each side's OWN rowCount (matched by path, not plan " +
+    "position) and the join plans broadcast where file sizes would " +
+    "shuffle") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val rootA = tmp("twoA"); val rootB = tmp("twoB")
+    VersionedParquet.publish(
+      (0L until 20000L).map(i => (i, s"a-$i-padpadpadpadpad"))
+        .toDF("id", "va"), rootA, keepVersions = 20)
+    VersionedParquet.delete(spark, rootA, col("id") % 20 =!= 0,
+      keepVersions = 20) // 1000 live
+    VersionedParquet.publish(
+      (0L until 20000L).map(i => (i, s"b-$i-padpadpadpadpad"))
+        .toDF("id", "vb"), rootB, keepVersions = 20)
+    VersionedParquet.delete(spark, rootB, col("id") % 400 =!= 0,
+      keepVersions = 20) // 50 live
+    Analyze.table(spark, rootA)
+    Analyze.table(spark, rootB)
+    val (a, howA) = Analyze.readAnalyzed(spark, rootA)
+    val (b, howB) = Analyze.readAnalyzed(spark, rootB)
+    assert(howA === "applied" && howB === "applied")
+    val joined = a.join(b, "id")
+    // each base relation reports ITS OWN live rowCount — the path
+    // match must put 1000 on A's scan and 50 on B's, regardless of
+    // which relation the planner puts first
+    val statsByPath = joined.queryExecution.analyzed.collect {
+      case lr: LogicalRelation
+          if lr.catalogTable.exists(_.stats.exists(_.rowCount.isDefined)) =>
+        val root = lr.relation.asInstanceOf[HadoopFsRelation]
+          .location.rootPaths.head.toUri.getPath
+        root -> lr.catalogTable.get.stats.get.rowCount.get.toLong
+    }
+    val forA = statsByPath.filter(_._1.startsWith(rootA)).map(_._2)
+    val forB = statsByPath.filter(_._1.startsWith(rootB)).map(_._2)
+    assert(forA === Seq(1000L),
+      s"A's scan must carry A's rowCount; got $statsByPath")
+    assert(forB === Seq(50L),
+      s"B's scan must carry B's rowCount; got $statsByPath")
+    // strategy: with a threshold both STATS estimates clear but both
+    // FILE sizes bust, the analyzed join broadcasts and the plain
+    // join cannot
+    val sizes = Seq(a, b).map(
+      _.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val plainA = VersionedParquet.read(spark, rootA)
+    val plainB = VersionedParquet.read(spark, rootB)
+    val plainSizes = Seq(plainA, plainB).map(
+      _.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val mid = ((sizes.max + plainSizes.min) / 2).toString
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", mid)
+      def bhjInner(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.sparkPlan.collect {
+          case j: BroadcastHashJoinExec
+            if j.joinType == org.apache.spark.sql.catalyst.plans.Inner
+          => j }.length
+      assert(bhjInner(a.join(b, "id")) === 1,
+        "two ANALYZEd sides must plan the inner join as broadcast")
+      assert(bhjInner(plainA.join(plainB, "id")) === 0,
+        "file-size estimates alone must not broadcast here")
+      assert(a.join(b, "id").count() ===
+        plainA.join(plainB, "id").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
