@@ -322,7 +322,11 @@ object Bench {
     // Loaded sessions measure probe1 ≥ 1.1 s, so 0.75 s separates the
     // two populations with margin on both sides. (Ref1Sec is declared
     // above, next to hotHost, which now folds the same gate in.)
-    val cleanBaseline = !hotHost
+    // the baseline is an sf0.1 artifact: a slope run at another sf
+    // (sf1 via SPARK_GRAFT_SF_DIR) must never overwrite it — its
+    // numbers would flag every query of the next honest run
+    val defaultSf = sfDir == "/root/testdata/sf0.1"
+    val cleanBaseline = !hotHost && defaultSf
     if (only.isEmpty && cleanBaseline)
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
       (line + "\n").getBytes("UTF-8"))

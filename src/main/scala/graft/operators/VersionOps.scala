@@ -2952,8 +2952,118 @@ object VersionOps {
              |       1 AS n_data_files, 1 AS n_dvs_resolved,
              |       CAST((SELECT count(*) FROM o
              |             WHERE k % 7 = 1 OR k % 5 = 2) AS BIGINT)
-             |         AS dv_positions""".stripMargin))
+             |         AS dv_positions""".stripMargin)),
+
+    // q268 — Delta V2 CHECKPOINT read (the `v2Checkpoint` table
+    // feature): modern Delta writers emit UUID-named checkpoints
+    // whose top-level file carries checkpointMetadata + sidecar
+    // pointers and whose add/remove rows live in _delta_log/_sidecars
+    // parquet. The gate lays the table out exactly that way (classic
+    // checkpoint transformed to the v2 layout, classic file AND every
+    // pre-checkpoint JSON commit deleted — resolution is provably
+    // through the sidecars), with a live DV whose descriptor must
+    // survive the sidecar round trip, plus a post-checkpoint append
+    // folding on top. Oracle replays the commit history from
+    // predicates alone.
+    QueryDef("q268_delta_v2_checkpoint",
+      (s, d) => s.read.parquet(deltaV2CheckpointPath(s, d)),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |base AS (SELECT * FROM o WHERE k % 3 = 0),
+             |appended AS (SELECT * FROM o WHERE k % 3 = 1),
+             |live AS (
+             |  SELECT * FROM base WHERE k % 10 <> 6
+             |  UNION ALL
+             |  SELECT * FROM appended)
+             |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+             |FROM live""".stripMargin))
   )
+
+  /** q268 builder: export + DV-delete + checkpoint, transformed to
+    * the v2 UUID/sidecar layout (top-level file: v2-featured
+    * protocol, metaData, checkpointMetadata, sidecar pointer;
+    * add rows in _delta_log/_sidecars), classic checkpoint and
+    * pre-checkpoint commits deleted, then a post-checkpoint append.
+    * Once per session. */
+  private def deltaV2CheckpointPath(s: SparkSession,
+                                    dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    import org.apache.hadoop.fs.Path
+    val table = Scratch.dir(s, "q268-delta")
+    val outPath = Scratch.dir(s, "q268-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      DeltaLite.export(s, o.filter(col("k") % 3 === 0).coalesce(1),
+        table)
+      // DV-delete k % 10 == 6 from the single base file
+      val snap = DeltaLite.snapshot(s, table)
+      val rel = snap.files.head
+      val positions = s.read.parquet(new Path(table, rel).toString)
+        .select(col("_metadata.row_index").as("pos"), col("k"))
+        .filter(col("k") % 10 === 6).collect().map(_.getLong(0))
+      DeltaLite.commitDeletionVectors(s, table, Map(rel -> positions))
+      val cv = DeltaLite.checkpoint(s, table)
+      // ── transform the classic checkpoint to the v2 layout ──
+      val logDir = new Path(table, "_delta_log")
+      val fs = logDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def placeSingle(stage: String, dest: Path): Unit = {
+        val part = fs.listStatus(new Path(stage)).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        require(part.length == 1, s"expected one part in $stage")
+        fs.delete(dest, false)
+        require(fs.rename(part.head, dest), s"could not place $dest")
+        fs.delete(new Path(stage), true)
+      }
+      val classic = new Path(logDir, f"$cv%020d.checkpoint.parquet")
+      val cp = s.read.parquet(classic.toString)
+      val sideName = "9a1b2c3d-0000-4000-8000-000000000001.parquet"
+      cp.select("add").filter(col("add").isNotNull)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$table/.side-stage")
+      val sideDest = new Path(new Path(logDir, "_sidecars"), sideName)
+      placeSingle(s"$table/.side-stage", sideDest)
+      val protoRow = s.range(1).select(struct(
+        lit(3).as("minReaderVersion"), lit(7).as("minWriterVersion"),
+        array(lit("deletionVectors"), lit("v2Checkpoint"))
+          .as("readerFeatures"),
+        array(lit("deletionVectors"), lit("v2Checkpoint"))
+          .as("writerFeatures")).as("protocol"))
+      val top = protoRow
+        .unionByName(cp.select("metaData")
+          .filter(col("metaData").isNotNull),
+          allowMissingColumns = true)
+        .unionByName(s.range(1).select(struct(lit(cv).as("version"))
+          .as("checkpointMetadata")), allowMissingColumns = true)
+        .unionByName(s.range(1).select(struct(lit(sideName).as("path"),
+          lit(fs.getFileStatus(sideDest).getLen).as("sizeInBytes"))
+          .as("sidecar")), allowMissingColumns = true)
+      top.coalesce(1).write.mode("overwrite")
+        .parquet(s"$table/.top-stage")
+      placeSingle(s"$table/.top-stage", new Path(logDir,
+        f"$cv%020d.checkpoint.9a1b2c3d-0000-4000-8000-000000000002.parquet"))
+      fs.delete(classic, false)
+      (0L to cv).foreach(v =>
+        fs.delete(new Path(logDir, f"$v%020d.json"), false))
+      // post-checkpoint commit folds on top of the v2 resolution
+      DeltaLite.exportAppend(s,
+        o.filter(col("k") % 3 === 1).coalesce(1), table)
+      val live = DeltaLite.read(s, table)
+      val agg = live.agg(count(lit(1)).as("n"),
+        sum("cents").cast("long").as("c"),
+        countDistinct("k").as("d")).head()
+      import s.implicits._
+      val out = Seq((agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+        .toDF("n_rows", "sum_cents", "n_keys")
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q267 builder: orders slice exported as one v2 data file, two
     * deletion-vector commits (the second merges — the spec's

@@ -130,11 +130,16 @@ object DeltaLite {
       throw new IOException(s"$table has no commit at or before " +
         s"version ${asOf.get}")
     // parquet checkpoint: start the fold there when one applies
-    val checkpoint: Option[Long] =
-      Option(new Path(logDir, "_last_checkpoint"))
-        .filter(fs.exists(_))
-        .map(p => mapper.readTree(readText(spark, p)).get("version").asLong)
-        .filter(v => asOf.forall(v <= _))
+    val lastCp = Option(new Path(logDir, "_last_checkpoint"))
+      .filter(fs.exists(_))
+      .map(p => mapper.readTree(readText(spark, p)))
+    val checkpoint: Option[Long] = lastCp
+      .map(_.get("version").asLong)
+      .filter(v => asOf.forall(v <= _))
+    // multi-part checkpoints declare their part count — a missing
+    // part would silently drop its add/remove rows
+    val cpParts: Option[Int] = lastCp
+      .flatMap(n => Option(n.get("parts"))).map(_.asInt)
     val live = mutable.LinkedHashMap.empty[String, Option[Dv]]
     val fileStats = mutable.LinkedHashMap.empty[String, AddStats]
     val filePartVals =
@@ -154,12 +159,12 @@ object DeltaLite {
     def checkProtocol(p: Protocol): Unit = {
       if (p.minReader == 3) {
         val unsupported = p.readerFeatures.toSet --
-          Set("columnMapping", "deletionVectors")
+          Set("columnMapping", "deletionVectors", "v2Checkpoint")
         if (unsupported.nonEmpty)
           throw new IOException(s"$table requires Delta reader " +
             s"features ${unsupported.mkString(", ")} — this " +
-            "reader implements columnMapping and " +
-            "deletionVectors only and refuses rather than misread")
+            "reader implements columnMapping, deletionVectors " +
+            "and v2Checkpoint only and refuses rather than misread")
       } else if (p.minReader > 2)
         throw new IOException(s"$table requires Delta " +
           s"minReaderVersion ${p.minReader}; this reader speaks " +
@@ -167,8 +172,79 @@ object DeltaLite {
           "than misread")
     }
     checkpoint.foreach { cv =>
-      val cp = new Path(logDir, f"$cv%020d.checkpoint.parquet")
-      val df = spark.read.parquet(cp.toString)
+      // Three checkpoint layouts, resolved in spec order: CLASSIC
+      // (n.checkpoint.parquet), MULTI-PART (n.checkpoint.%010d-of-
+      // %010d.parquet — all parts union), and V2 UUID-named
+      // (n.checkpoint.<uuid>.{parquet|json} — the top-level file
+      // carries checkpointMetadata + sidecar actions; add/remove
+      // live in _delta_log/_sidecars/ parquet files). V2 is the
+      // v2Checkpoint table feature checkProtocol accepts above.
+      val classic = new Path(logDir, f"$cv%020d.checkpoint.parquet")
+      val df: DataFrame =
+        if (fs.exists(classic)) spark.read.parquet(classic.toString)
+        else {
+          val prefix = f"$cv%020d.checkpoint."
+          val cands = fs.listStatus(logDir).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith(prefix))
+          if (cands.isEmpty)
+            throw new IOException(s"$table: _last_checkpoint names " +
+              s"version $cv but no checkpoint file exists — the log " +
+              "cannot be resolved; refusing")
+          val multiPart =
+            """\d{20}\.checkpoint\.\d{10}\.\d{10}\.parquet""".r
+          val parts = cands.filter(p =>
+            multiPart.pattern.matcher(p.getName).matches)
+          val top: DataFrame =
+            if (parts.nonEmpty) {
+              cpParts.foreach { n =>
+                if (parts.length != n)
+                  throw new IOException(s"$table: _last_checkpoint " +
+                    s"declares $n checkpoint parts but " +
+                    s"${parts.length} exist — a missing part silently " +
+                    "drops its rows; refusing")
+              }
+              spark.read.parquet(parts.sortBy(_.getName)
+                .map(_.toString): _*)
+            }
+            else {
+              // v2: each UUID names one COMPLETE checkpoint — any
+              // one serves; take the lexically last for determinism
+              val v2 = cands.filter(p =>
+                p.getName.endsWith(".parquet") ||
+                  p.getName.endsWith(".json")).sortBy(_.getName)
+              val pick = v2.lastOption.getOrElse(
+                throw new IOException(s"$table: checkpoint files " +
+                  s"${cands.map(_.getName).mkString(", ")} match no " +
+                  "known layout (classic, multi-part, v2 uuid); " +
+                  "refusing"))
+              if (pick.getName.endsWith(".json"))
+                spark.read.json(pick.toString)
+              else spark.read.parquet(pick.toString)
+            }
+          if (!top.columns.contains("sidecar")) top
+          else {
+            // sanity: the top-level file must declare the version
+            // _last_checkpoint promised
+            if (top.columns.contains("checkpointMetadata")) {
+              val declared = top.select("checkpointMetadata.version")
+                .na.drop().collect().map(_.getLong(0))
+              if (declared.nonEmpty && !declared.contains(cv))
+                throw new IOException(s"$table: v2 checkpoint " +
+                  s"declares version ${declared.mkString(", ")} but " +
+                  s"_last_checkpoint names $cv — refusing a " +
+                  "mismatched checkpoint")
+            }
+            val sideDir = new Path(logDir, "_sidecars")
+            val sides = top.select("sidecar.path").na.drop()
+              .collect().map(_.getString(0)).toSeq.map { rel =>
+                val p = new Path(rel)
+                if (p.isAbsolute) p else new Path(sideDir, rel)
+              }
+            sides.map(p => spark.read.parquet(p.toString))
+              .foldLeft(top)((a, b) =>
+                a.unionByName(b, allowMissingColumns = true))
+          }
+        }
       val names = df.columns.toSet
       if (names.contains("protocol"))
         df.select("protocol")
@@ -183,11 +259,19 @@ object DeltaLite {
                 if (fields.contains(f) && !pr.isNullAt(pr.fieldIndex(f)))
                   pr.getSeq[String](pr.fieldIndex(f))
                 else Nil
+              // a JSON-encoded v2 checkpoint infers these as LONG,
+              // a parquet one stores INT — accept both
+              def intOf(f: String): Int =
+                pr.get(pr.fieldIndex(f)) match {
+                  case i: Int => i
+                  case l: Long => l.toInt
+                  case other => other.toString.toInt
+                }
               protocol = Protocol(
-                pr.getInt(pr.fieldIndex("minReaderVersion")),
+                intOf("minReaderVersion"),
                 if (fields.contains("minWriterVersion") &&
                     !pr.isNullAt(pr.fieldIndex("minWriterVersion")))
-                  pr.getInt(pr.fieldIndex("minWriterVersion")) else 2,
+                  intOf("minWriterVersion") else 2,
                 feats("readerFeatures"), feats("writerFeatures"))
               checkProtocol(protocol)
             }
@@ -199,9 +283,14 @@ object DeltaLite {
             if (!r.isNullAt(1)) schema = Some(
               DataType.fromJson(r.getString(1)).asInstanceOf[StructType])
           }
-        val metaFields = df.schema("metaData").dataType
-          .asInstanceOf[StructType].fieldNames.toSet
-        if (metaFields.contains("configuration"))
+        val metaStruct = df.schema("metaData").dataType
+          .asInstanceOf[StructType]
+        // dataType check, not just presence: a JSON-encoded v2
+        // checkpoint infers an EMPTY configuration object as a
+        // struct, which getMap would miscast
+        if (metaStruct.fieldNames.contains("configuration") &&
+            metaStruct("configuration").dataType
+              .isInstanceOf[org.apache.spark.sql.types.MapType])
           df.select("metaData.configuration").na.drop().collect()
             .foreach { r =>
               configuration = r.getMap[String, String](0).toMap

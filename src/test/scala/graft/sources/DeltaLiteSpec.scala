@@ -146,12 +146,14 @@ class DeltaLiteSpec extends AnyFunSuite {
         .getBytes(StandardCharsets.UTF_8))
     assert(DeltaLite.read(spark, t).columns.toSeq === Seq("id", "v"))
     // an unimplemented v3 reader feature refuses, naming it
+    // (v2Checkpoint graduated to implemented — DeltaV2CheckpointSpec —
+    // so typeWidening stands in as the not-yet-implemented feature)
     Files.write(Paths.get(t, "_delta_log", f"${2L}%020d.json"),
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["columnMapping","v2Checkpoint"]}}""")
+        """"readerFeatures":["columnMapping","typeWidening"]}}""")
         .getBytes(StandardCharsets.UTF_8))
     val e = intercept[java.io.IOException] { DeltaLite.read(spark, t) }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("typeWidening"))
     Files.delete(Paths.get(t, "_delta_log", f"${2L}%020d.json"))
     // id-mode over ID-LESS files refuses, naming the mode (these
     // parquet files carry no field ids, so id resolution is

@@ -1,0 +1,231 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Delta V2 CHECKPOINT read (the `v2Checkpoint` table feature —
+  * UUID-named top-level file carrying checkpointMetadata + sidecar
+  * actions, add/remove rows in `_delta_log/_sidecars/` parquet) plus
+  * the MULTI-PART legacy layout. Fixtures transform this writer's own
+  * classic checkpoint into the foreign layouts byte-for-byte the way
+  * a modern Delta writer lays them out, then delete the classic file
+  * AND the pre-checkpoint JSON commits, so resolution is provably
+  * through the new layout. Refusals: missing multi-part pieces
+  * (row loss), checkpointMetadata/version mismatch, unknown reader
+  * features still refuse by name. */
+class DeltaV2CheckpointSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-dv2cp-$tag").toString
+
+  private def df(lo: Long, hi: Long) = {
+    import spark.implicits._
+    (lo until hi).map(i => (i, i * 2L)).toDF("id", "v")
+  }
+
+  private def ids(table: String): Seq[Long] =
+    DeltaLite.read(spark, table).select("id").orderBy("id")
+      .collect().toSeq.map(_.getLong(0))
+
+  /** Move the single part file of a one-partition parquet write to
+    * `dest`, dropping Spark's _SUCCESS/crc noise. */
+  private def placeSingleParquet(stagingDir: String, dest: Path): Unit = {
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(stagingDir)).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    assert(part.length == 1, s"expected one part, got $part")
+    fs.delete(dest, false)
+    assert(fs.rename(part.head, dest))
+    fs.delete(new Path(stagingDir), true)
+  }
+
+  /** The v2 protocol row every modern v2-checkpoint table declares. */
+  private def protoRow = spark.range(1).select(struct(
+    lit(3).as("minReaderVersion"), lit(7).as("minWriterVersion"),
+    array(lit("v2Checkpoint")).as("readerFeatures"),
+    array(lit("v2Checkpoint")).as("writerFeatures")).as("protocol"))
+
+  /** Transform `table`'s classic checkpoint at `cv` into a v2
+    * UUID-named top-level + one sidecar, delete the classic file and
+    * every JSON commit ≤ cv. */
+  private def toV2Checkpoint(table: String, cv: Long,
+                             declareVersion: Option[Long] = None): Unit = {
+    val logDir = new Path(table, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val classic = new Path(logDir, f"$cv%020d.checkpoint.parquet")
+    val cp = spark.read.parquet(classic.toString)
+    // sidecar: the file actions (this writer's checkpoints carry only
+    // live adds; a remove column, when present, rides along)
+    val sideName = "3c6a1f2e-aaaa-bbbb-cccc-000000000001.parquet"
+    val sideStage = s"$table/.side-stage"
+    val fileCols = Seq("add", "remove").filter(cp.columns.contains)
+    cp.select(fileCols.map(col): _*)
+      .filter(fileCols.map(c => col(c).isNotNull).reduce(_ || _))
+      .coalesce(1).write.mode("overwrite").parquet(sideStage)
+    val sideDest = new Path(new Path(logDir, "_sidecars"), sideName)
+    placeSingleParquet(sideStage, sideDest)
+    val sideLen = fs.getFileStatus(sideDest).getLen
+    // top-level: protocol (v2-featured) + metaData + checkpointMetadata
+    // + the sidecar pointer
+    val metaRows = cp.select("metaData").filter(col("metaData").isNotNull)
+    val cpmRow = spark.range(1).select(struct(
+      lit(declareVersion.getOrElse(cv)).as("version"))
+      .as("checkpointMetadata"))
+    val sideRow = spark.range(1).select(struct(
+      lit(sideName).as("path"),
+      lit(sideLen).as("sizeInBytes")).as("sidecar"))
+    val top = protoRow
+      .unionByName(metaRows, allowMissingColumns = true)
+      .unionByName(cpmRow, allowMissingColumns = true)
+      .unionByName(sideRow, allowMissingColumns = true)
+    val topStage = s"$table/.top-stage"
+    top.coalesce(1).write.mode("overwrite").parquet(topStage)
+    placeSingleParquet(topStage, new Path(logDir,
+      f"$cv%020d.checkpoint.3c6a1f2e-aaaa-bbbb-cccc-000000000002.parquet"))
+    fs.delete(classic, false)
+    (0L to cv).foreach(v =>
+      fs.delete(new Path(logDir, f"$v%020d.json"), false))
+  }
+
+  test("v2 UUID checkpoint with sidecar resolves: DV masks survive, " +
+    "post-checkpoint commits fold on top, classic file and old " +
+    "commits gone") {
+    val t = tmp("v2")
+    DeltaLite.export(spark, df(0, 40), t)
+    DeltaLite.exportAppend(spark, df(40, 60), t)
+    // live DVs must survive the sidecar round trip
+    val snap = DeltaLite.snapshot(spark, t)
+    val rel = snap.files.head
+    val abs = new Path(t, rel).toString
+    val positions = spark.read.parquet(abs)
+      .select(col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 10 === 0).collect()
+    DeltaLite.commitDeletionVectors(spark, t,
+      Map(rel -> positions.map(_.getLong(0))))
+    val expected = ids(t)
+    val cv = DeltaLite.checkpoint(spark, t)
+    toV2Checkpoint(t, cv)
+    assert(ids(t) === expected,
+      "v2-checkpoint resolution must serve the same masked rows")
+    // the fold continues over post-checkpoint JSON commits
+    DeltaLite.exportAppend(spark, df(100, 110), t)
+    assert(ids(t) === expected ++ (100L until 110L))
+  }
+
+  test("v2 checkpoint with a JSON top-level file resolves the same " +
+    "way (the spec allows either encoding for the checkpoint file)") {
+    val t = tmp("v2json")
+    DeltaLite.export(spark, df(0, 25), t)
+    val expected = ids(t)
+    val cv = DeltaLite.checkpoint(spark, t)
+    val logDir = new Path(t, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val classic = new Path(logDir, f"$cv%020d.checkpoint.parquet")
+    val cp = spark.read.parquet(classic.toString)
+    // sidecar parquet as in the parquet-top-level test
+    val sideName = "3c6a1f2e-aaaa-bbbb-cccc-00000000000a.parquet"
+    val stage = s"$t/.side-stage"
+    cp.select("add").filter(col("add").isNotNull)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val sideDest = new Path(new Path(logDir, "_sidecars"), sideName)
+    placeSingleParquet(stage, sideDest)
+    // JSON top-level: line-JSON actions, exactly a commit file's shape
+    val metaLine = new String(Files.readAllBytes(Paths.get(t,
+      "_delta_log", f"${0L}%020d.json"))).split('\n')
+      .find(_.contains("\"metaData\"")).get
+    val topLines = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint"],""" +
+        """"writerFeatures":["v2Checkpoint"]}}""",
+      metaLine,
+      s"""{"checkpointMetadata":{"version":$cv}}""",
+      s"""{"sidecar":{"path":"$sideName","sizeInBytes":${fs
+        .getFileStatus(sideDest).getLen}}}""")
+    Files.write(Paths.get(t, "_delta_log",
+      f"$cv%020d.checkpoint.3c6a1f2e-aaaa-bbbb-cccc-00000000000b.json"),
+      topLines.mkString("\n").getBytes("UTF-8"))
+    fs.delete(classic, false)
+    (0L to cv).foreach(v =>
+      fs.delete(new Path(logDir, f"$v%020d.json"), false))
+    assert(ids(t) === expected)
+  }
+
+  test("checkpointMetadata version mismatch refuses") {
+    val t = tmp("vmm")
+    DeltaLite.export(spark, df(0, 10), t)
+    val cv = DeltaLite.checkpoint(spark, t)
+    toV2Checkpoint(t, cv, declareVersion = Some(cv + 7))
+    val e = intercept[java.io.IOException] { ids(t) }
+    assert(e.getMessage.contains("mismatched checkpoint"),
+      s"got: ${e.getMessage}")
+  }
+
+  test("multi-part checkpoint resolves; a missing part refuses by " +
+    "count instead of silently dropping rows") {
+    val t = tmp("mp")
+    DeltaLite.export(spark, df(0, 30), t)
+    DeltaLite.exportAppend(spark, df(30, 50), t)
+    val expected = ids(t)
+    val cv = DeltaLite.checkpoint(spark, t)
+    val logDir = new Path(t, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val classic = new Path(logDir, f"$cv%020d.checkpoint.parquet")
+    val cp = spark.read.parquet(classic.toString)
+    // part 1: non-file actions + adds with even hash; part 2: the rest
+    val keyed = cp.withColumn("_slot",
+      when(col("add").isNotNull, pmod(hash(col("add.path")), lit(2)))
+        .otherwise(lit(0)))
+    Seq(0, 1).foreach { slot =>
+      val stage = s"$t/.mp-stage-$slot"
+      keyed.filter(col("_slot") === slot).drop("_slot")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      placeSingleParquet(stage, new Path(logDir,
+        f"$cv%020d.checkpoint.${slot + 1}%010d.${2}%010d.parquet"))
+    }
+    fs.delete(classic, false)
+    (0L to cv).foreach(v =>
+      fs.delete(new Path(logDir, f"$v%020d.json"), false))
+    // _last_checkpoint declares the part count
+    val lcp = new Path(logDir, "_last_checkpoint")
+    val out = fs.create(lcp, true)
+    try out.write(s"""{"version":$cv,"parts":2}""".getBytes("UTF-8"))
+    finally out.close()
+    assert(ids(t) === expected)
+    // delete one part: the reader must refuse, not serve half a table
+    fs.delete(new Path(logDir,
+      f"$cv%020d.checkpoint.${2}%010d.${2}%010d.parquet"), false)
+    val e = intercept[java.io.IOException] { ids(t) }
+    assert(e.getMessage.contains("parts"), s"got: ${e.getMessage}")
+  }
+
+  test("unknown reader features still refuse by name next to " +
+    "v2Checkpoint") {
+    val t = tmp("feat")
+    DeltaLite.export(spark, df(0, 5), t)
+    val logDir = Paths.get(t, "_delta_log")
+    val commit = logDir.resolve(f"${1L}%020d.json")
+    Files.write(commit,
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint","futureFeature"],""" +
+        """"writerFeatures":["v2Checkpoint","futureFeature"]}}""" + "\n")
+        .getBytes("UTF-8"))
+    Files.deleteIfExists(logDir.resolve(
+      "." + commit.getFileName + ".crc"))
+    val e = intercept[java.io.IOException] { ids(t) }
+    assert(e.getMessage.contains("futureFeature"),
+      s"got: ${e.getMessage}")
+  }
+}

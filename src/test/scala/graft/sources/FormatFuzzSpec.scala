@@ -277,4 +277,54 @@ class FormatFuzzSpec extends AnyFunSuite {
   test("iceberg: 100 random op chains, live==model after every op") {
     (0 until 100).foreach(icebergChain)
   }
+
+  // ── Iceberg v3 deletion-vector chains ──────────────────────────────
+
+  /** v3 chains: a v2 table upgrades via its first DV commit, then
+    * every further op is a DV commit (merge semantics), a read, or a
+    * retention pass — the only writer surfaces a v3 table has here.
+    * Exercises merge-on-rewrite, superseded-entry resolution, and
+    * Puffin decode under arbitrary position mixes. */
+  private def icebergV3Chain(chainId: Int): Unit = {
+    val rnd = new Random(0xD511 + chainId)
+    val loc = tmp(s"icev3-$chainId")
+    val n = 20 + rnd.nextInt(30)
+    val rows = (0L until n).map(i => (i, rnd.nextLong(1000)))
+    IcebergLite.export(spark, frame(rows), loc)
+    // live (pos → id,v) of the single exported state
+    val files = IcebergLite.snapshot(spark, loc).files
+    val byPos = spark.read.parquet(files: _*)
+      .select(col("_metadata.file_path").as("fp"),
+        col("_metadata.row_index").as("pos"), col("id"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val live = mutable.Map[(String, Long), (Long, Long)]() ++ byPos
+    val nOps = 3 + rnd.nextInt(3)
+    (0 until nOps).foreach { step =>
+      val tag = s"iceberg v3 chain $chainId step $step"
+      rnd.nextInt(3) match {
+        case 0 | 1 => // DV commit over random live positions (the
+          // second and later commits MERGE into the standing DV)
+          val chosen = live.keys.toSeq.sortBy(k => (k._1, k._2))
+            .filter(_ => rnd.nextInt(3) == 0)
+          if (chosen.nonEmpty) {
+            IcebergLite.exportDeletionVectors(spark, loc,
+              chosen.groupBy(_._1).map { case (f, ks) =>
+                f -> ks.map(_._2).toArray
+              })
+            chosen.foreach(live.remove)
+          }
+        case 2 => // retention: current snapshot must keep serving
+          IcebergLite.expireSnapshots(spark, loc, 1 + rnd.nextInt(2))
+      }
+      checkState(tag, IcebergLite.read(spark, loc),
+        live.values.toMap, "id", "v")
+    }
+  }
+
+  test("iceberg v3: 30 deletion-vector chains (merge + expire), " +
+    "live==model after every op") {
+    (0 until 30).foreach(icebergV3Chain)
+  }
 }
