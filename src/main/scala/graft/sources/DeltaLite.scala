@@ -158,13 +158,20 @@ object DeltaLite {
     // from BOTH the JSON commits and the checkpoint.
     def checkProtocol(p: Protocol): Unit = {
       if (p.minReader == 3) {
+        // timestampNtz needs no read-path logic of its own: the
+        // schemaString types the column TIMESTAMP_NTZ and Spark's
+        // parquet reader speaks isAdjustedToUTC=false natively — the
+        // feature flag exists because OLD readers would misread the
+        // values as zone-adjusted, which this one does not.
         val unsupported = p.readerFeatures.toSet --
-          Set("columnMapping", "deletionVectors", "v2Checkpoint")
+          Set("columnMapping", "deletionVectors", "v2Checkpoint",
+            "timestampNtz")
         if (unsupported.nonEmpty)
           throw new IOException(s"$table requires Delta reader " +
             s"features ${unsupported.mkString(", ")} — this " +
-            "reader implements columnMapping, deletionVectors " +
-            "and v2Checkpoint only and refuses rather than misread")
+            "reader implements columnMapping, deletionVectors, " +
+            "v2Checkpoint and timestampNtz only and refuses rather " +
+            "than misread")
       } else if (p.minReader > 2)
         throw new IOException(s"$table requires Delta " +
           s"minReaderVersion ${p.minReader}; this reader speaks " +

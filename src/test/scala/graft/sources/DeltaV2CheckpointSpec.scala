@@ -211,6 +211,48 @@ class DeltaV2CheckpointSpec extends AnyFunSuite {
     assert(e.getMessage.contains("parts"), s"got: ${e.getMessage}")
   }
 
+  test("timestampNtz reader feature: a foreign v3 table with a " +
+    "TIMESTAMP_NTZ column reads value-faithfully (no zone " +
+    "adjustment) instead of refusing") {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val t = tmp("ntz")
+    // data file: one NTZ column written by Spark itself
+    val data = spark.sql(
+      """SELECT id, timestamp_ntz'2024-06-01 12:34:56' + make_interval(0,0,0,0,0,0,id) AS ts
+        |FROM range(5)""".stripMargin)
+    data.coalesce(1).write.mode("overwrite").parquet(s"$t/.stage")
+    val fs = new Path(t).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(s"$t/.stage")).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    fs.rename(part, new Path(t, "part-ntz-0.parquet"))
+    fs.delete(new Path(s"$t/.stage"), true)
+    val size = fs.getFileStatus(new Path(t, "part-ntz-0.parquet")).getLen
+    // foreign log: v3 protocol requiring timestampNtz, NTZ schema
+    val schemaStr =
+      """{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"ts\",\"type\":\"timestamp_ntz\",\"nullable\":true,\"metadata\":{}}]}"""
+    Files.createDirectories(Paths.get(t, "_delta_log"))
+    Files.write(Paths.get(t, "_delta_log", f"${0L}%020d.json"),
+      (Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["timestampNtz"],""" +
+          """"writerFeatures":["timestampNtz"]}}""",
+        s"""{"metaData":{"id":"x","format":{"provider":"parquet","options":{}},"schemaString":"$schemaStr","partitionColumns":[],"configuration":{},"createdTime":0}}""",
+        s"""{"add":{"path":"part-ntz-0.parquet","partitionValues":{},"size":$size,"modificationTime":0,"dataChange":true}}""")
+        .mkString("\n") + "\n").getBytes("UTF-8"))
+    val got = DeltaLite.read(spark, t)
+    assert(got.schema("ts").dataType === TimestampNTZType,
+      s"ts must come back NTZ, got ${got.schema("ts").dataType}")
+    // value-faithful under a non-UTC wall clock: NTZ never shifts
+    val first = got.orderBy("id").select("ts").head().
+      getAs[java.time.LocalDateTime](0)
+    assert(first === java.time.LocalDateTime.of(2024, 6, 1, 12, 34, 56),
+      s"got $first")
+    assert(got.count() === 5L)
+  }
+
   test("unknown reader features still refuse by name next to " +
     "v2Checkpoint") {
     val t = tmp("feat")
