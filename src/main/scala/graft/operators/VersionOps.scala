@@ -2980,8 +2980,91 @@ object VersionOps {
              |SELECT CAST(count(*) AS BIGINT) AS n_rows,
              |       CAST(sum(cents) AS BIGINT) AS sum_cents,
              |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+             |FROM live""".stripMargin)),
+
+    // q269 — Iceberg REWRITE MANIFESTS (manifest compaction): every
+    // append carries the prior manifest list forward, so a long-lived
+    // table's planning walk grows O(commits); one metadata-only
+    // commit collapses it to O(live-file-kinds) manifests with every
+    // entry's data sequence preserved EXPLICITLY (the spec's
+    // compaction-preserved row age). The gate drives the one chain
+    // whose answer depends on sequences — equality-delete then
+    // re-insert of the same keys — compacts, and pins: the manifest
+    // count collapse (6→2), the unchanged masked read (rows + mass),
+    // and a post-compaction equality delete still masking every
+    // older row. Oracle replays the whole history from predicates.
+    QueryDef("q269_iceberg_rewrite_manifests",
+      (s, d) => s.read.parquet(icebergRewritePath(s, d)),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |base AS (SELECT * FROM o WHERE k % 4 = 0),
+             |reins AS (SELECT k, cents * 2 AS cents FROM base
+             |          WHERE k % 3 = 0),
+             |extra AS (SELECT * FROM o WHERE k % 4 = 2 AND k % 7 = 0),
+             |-- after: eq-delete k%3=0, re-insert doubled, append
+             |-- extra, compact, eq-delete k%5=0 (masks older rows
+             |-- INCLUDING the re-inserts and extras)
+             |live AS (
+             |  SELECT * FROM base WHERE k % 3 <> 0 AND k % 5 <> 0
+             |  UNION ALL
+             |  SELECT * FROM reins WHERE k % 5 <> 0
+             |  UNION ALL
+             |  SELECT * FROM extra WHERE k % 5 <> 0)
+             |SELECT 5 AS manifests_before, 2 AS manifests_after,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
              |FROM live""".stripMargin))
   )
+
+  /** q269 builder: base export + eq-delete + re-insert (the
+    * age-sensitive chain) + a second append, compact, then a
+    * post-compaction eq-delete; audits manifest counts around the
+    * rewrite beside the final masked read. Once per session. */
+  private def icebergRewritePath(s: SparkSession, dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q269-iceberg")
+    val outPath = Scratch.dir(s, "q269-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      import s.implicits._
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = o.filter(col("k") % 4 === 0)
+      IcebergLite.export(s, base.coalesce(1), table)           // seq 1
+      IcebergLite.exportEqualityDeletes(s,
+        base.filter(col("k") % 3 === 0).select("k"), table)    // seq 2
+      IcebergLite.appendManifest(s,
+        base.filter(col("k") % 3 === 0)
+          .select(col("k"), (col("cents") * 2).as("cents"))
+          .coalesce(1), table)                                 // seq 3
+      // more wrinkles: a no-op delete commit and a disjoint append,
+      // so the pre-compaction list interleaves data+delete manifests
+      IcebergLite.exportEqualityDeletes(s,
+        Seq(-1L).toDF("k"), table)                             // seq 4 (no-op)
+      IcebergLite.appendManifest(s,
+        o.filter(col("k") % 4 === 2 && col("k") % 7 === 0)
+          .coalesce(1), table)                                 // seq 5
+      val before = IcebergLite.manifestCount(s, table)
+      IcebergLite.rewriteManifests(s, table)
+      val after = IcebergLite.manifestCount(s, table)
+      // post-compaction delete: newer than every compacted sequence,
+      // so it masks every older k%5==0 row — base, the seq-3
+      // re-inserts AND the seq-5 extras alike
+      IcebergLite.exportEqualityDeletes(s,
+        o.filter(col("k") % 5 === 0).select("k").coalesce(1),
+        table)                                                 // seq 7
+      val live = IcebergLite.read(s, table)
+      val agg = live.agg(count(lit(1)).as("n"),
+        sum("cents").cast("long").as("c")).head()
+      val out = Seq((before, after, agg.getLong(0), agg.getLong(1)))
+        .toDF("manifests_before", "manifests_after", "n_rows",
+          "sum_cents")
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q268 builder: export + DV-delete + checkpoint, transformed to
     * the v2 UUID/sidecar layout (top-level file: v2-featured

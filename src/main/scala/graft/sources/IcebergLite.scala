@@ -1826,6 +1826,179 @@ object IcebergLite {
     }
   }
 
+  /** Manifest count of the current (or pinned) snapshot — the number
+    * a planner's metadata walk opens; what [[rewriteManifests]]
+    * resets to O(1). Driver metadata: one manifest-list read. */
+  def manifestCount(spark: SparkSession, location: String,
+                    snapshotId: Option[Long] = None): Int = {
+    val meta = mapper.readTree(readText(spark,
+      metadataPath(spark, location)))
+    val wanted = snapshotId.orElse(
+      Option(meta.get("current-snapshot-id")).filterNot(_.isNull)
+        .map(_.asLong)).getOrElse(return 0)
+    val snapNode = Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong == wanted)
+      .getOrElse(throw new IOException(
+        s"snapshot $wanted not found at $location"))
+    avroRecords(spark,
+      new Path(snapNode.get("manifest-list").asText)).length
+  }
+
+  /** REWRITE MANIFESTS — Iceberg's manifest-compaction maintenance
+    * op (`rewrite_manifests`): every live entry of the current
+    * snapshot lands in ONE data manifest (+ ONE delete manifest when
+    * row-level deletes exist), each entry `status = 0` (existing)
+    * with an EXPLICIT entry-level `sequence_number` pinning its
+    * resolved data sequence — the spec's compaction-preserved row
+    * age, which keeps equality-delete ordering exact across the
+    * rewrite (this reader honors entry sequences over the manifest's;
+    * so do foreign engines). Data files are untouched; old manifests
+    * stay on disk for time travel until snapshot expiry sweeps them.
+    *
+    * Why it exists at 100 TB: every append carries the prior
+    * manifest list forward, so a long-lived table's planning walk
+    * grows O(commits); compaction resets it to O(live files) in one
+    * metadata-only commit.
+    *
+    * Refusals (each named): v3 tables (DV manifests carry locator
+    * fields this rewrite does not re-derive), manifests whose entry
+    * schemas differ (blind cross-schema copying would scramble
+    * position-written Avro fields), mixed partition-spec ids (one
+    * merged manifest can declare only one). Returns the new
+    * snapshot id. */
+  def rewriteManifests(spark: SparkSession, location: String): Long = {
+    val loc = new Path(location)
+    val fs = fsOf(spark, loc)
+    val metaDir = new Path(loc, "metadata")
+    val hint = new Path(metaDir, "version-hint.text")
+    if (!fs.exists(hint))
+      throw new IOException(s"no Iceberg table at $location")
+    val v = readText(spark, hint).trim.toLong
+    val meta = mapper.readTree(readText(spark,
+      new Path(metaDir, s"v$v.metadata.json")))
+    if (Option(meta.get("format-version")).exists(_.asInt > 2))
+      throw new IOException(s"cannot rewrite manifests at $location: " +
+        "format-version 3 manifests carry deletion-vector locator " +
+        "fields this rewrite does not re-derive; refusing")
+    val currentSnapId = Option(meta.get("current-snapshot-id"))
+      .filterNot(_.isNull).map(_.asLong).getOrElse(
+        throw new IOException(s"$location has no current snapshot"))
+    val prevSnaps = Option(meta.get("snapshots"))
+      .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
+    val listPath = new Path(Option(meta.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .find(_.get("snapshot-id").asLong == currentSnapId)
+      .getOrElse(throw new IOException(
+        s"current snapshot $currentSnapId not in metadata"))
+      .get("manifest-list").asText)
+    // collect every live entry with its resolved sequence, split by
+    // manifest kind
+    final case class LiveEntry(entry: GenericRecord, seq: Long,
+                               content: Long)
+    val entries = Seq.newBuilder[LiveEntry]
+    var specIds = Set.empty[Long]
+    avroRecords(spark, listPath).foreach { mf =>
+      val content = long0(mf, "content")
+      specIds += long0(mf, "partition_spec_id")
+      val mSeq = fieldOpt(mf, "sequence_number")
+        .map(_.toString.toLong).getOrElse(long0(mf, "added_snapshot_id"))
+      val mPath = new Path(str(mf, "manifest_path").getOrElse(
+        throw new IOException("manifest_file entry missing manifest_path")))
+      avroRecords(spark, mPath).foreach { e =>
+        if (long0(e, "status") != 2L) {
+          val seq = fieldOpt(e, "sequence_number")
+            .map(_.toString.toLong).getOrElse(mSeq)
+          entries += LiveEntry(e, seq, content)
+        }
+      }
+    }
+    val all = entries.result()
+    if (all.isEmpty)
+      throw new IOException(s"cannot rewrite manifests at $location: " +
+        "no live entries — nothing to compact")
+    if (specIds.size > 1)
+      throw new IOException(s"cannot rewrite manifests at $location: " +
+        s"manifests span partition-spec ids ${specIds.mkString(", ")} " +
+        "— one merged manifest can declare only one; refusing")
+    val schemas = all.map(_.entry.getSchema).distinct
+    if (schemas.map(_.toString).distinct.length > 1)
+      throw new IOException(s"cannot rewrite manifests at $location: " +
+        "manifest entry schemas differ across manifests — a blind " +
+        "cross-schema copy would scramble position-written Avro " +
+        "fields; refusing")
+    // the merged entry schema: the table's own, with an entry-level
+    // sequence_number ensured (the carrier of preserved row age)
+    val oldSchema = schemas.head
+    val newEntrySchema =
+      if (oldSchema.getField("sequence_number") != null) oldSchema
+      else {
+        import scala.jdk.CollectionConverters._
+        val copied = oldSchema.getFields.asScala.map(f =>
+          new Schema.Field(f, f.schema())).toSeq
+        val seqField = new Schema.Field("sequence_number",
+          Schema.createUnion(Schema.create(Schema.Type.NULL),
+            Schema.create(Schema.Type.LONG)),
+          null, Schema.Field.NULL_DEFAULT_VALUE)
+        Schema.createRecord(oldSchema.getName, null,
+          oldSchema.getNamespace, false,
+          (copied :+ seqField).asJava)
+      }
+    def compacted(kind: Long): Seq[GenericRecord] =
+      all.filter(_.content == kind).map { le =>
+        val r = new GenericData.Record(newEntrySchema)
+        r.put("status", 0) // existing
+        r.put("snapshot_id", le.entry.get("snapshot_id"))
+        r.put("sequence_number", java.lang.Long.valueOf(le.seq))
+        r.put("data_file", le.entry.get("data_file"))
+        r
+      }
+    val snapId = v + 1
+    val specId = specIds.headOption.getOrElse(0L).toInt
+    val newManifests = Seq(0L, 1L).flatMap { kind =>
+      val recs = compacted(kind)
+      if (recs.isEmpty) None
+      else {
+        val p = new Path(metaDir,
+          s"manifest-${if (kind == 1L) "del-" else ""}rw-$snapId.avro")
+        val len = writeAvro(spark, p, newEntrySchema, recs)
+        val mf = new GenericData.Record(manifestFileSchema)
+        mf.put("manifest_path", fs.makeQualified(p).toString)
+        mf.put("manifest_length", len)
+        mf.put("partition_spec_id", specId)
+        mf.put("content", kind.toInt)
+        mf.put("sequence_number", java.lang.Long.valueOf(snapId))
+        mf.put("min_sequence_number", java.lang.Long.valueOf(
+          recs.map(r => r.get("sequence_number")
+            .asInstanceOf[java.lang.Long].longValue()).min))
+        mf.put("added_snapshot_id", snapId)
+        Some(mf)
+      }
+    }
+    val newListP = new Path(metaDir, s"snap-$snapId-manifest-list.avro")
+    writeAvro(spark, newListP, manifestFileSchema, newManifests)
+    val now = System.currentTimeMillis()
+    val snapJson =
+      s"""{"snapshot-id": $snapId, "sequence-number": $snapId, """ +
+        s""""timestamp-ms": $now, "manifest-list": ${mapper
+          .writeValueAsString(fs.makeQualified(newListP).toString)}, """ +
+        s""""summary": {"operation": "replace"}}"""
+    val newMeta = meta
+      .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    newMeta.put("current-snapshot-id", snapId)
+    newMeta.put("last-sequence-number", snapId)
+    newMeta.put("last-updated-ms", now)
+    val snapsArr = mapper.createArrayNode()
+    (prevSnaps :+ snapJson).foreach(s =>
+      snapsArr.add(mapper.readTree(s)))
+    newMeta.set("snapshots", snapsArr)
+    writeText(spark, new Path(metaDir, s"v${v + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsString(newMeta))
+    writeText(spark, hint, (v + 1).toString)
+    snapId
+  }
+
   /** Append a DATA snapshot the spec way: prior manifests (data AND
     * delete) carry unchanged — so earlier files keep their original
     * sequence and live row-level deletes keep applying to them only —
