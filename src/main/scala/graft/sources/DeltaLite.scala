@@ -203,13 +203,25 @@ object DeltaLite {
             multiPart.pattern.matcher(p.getName).matches)
           val top: DataFrame =
             if (parts.nonEmpty) {
-              cpParts.foreach { n =>
-                if (parts.length != n)
-                  throw new IOException(s"$table: _last_checkpoint " +
-                    s"declares $n checkpoint parts but " +
-                    s"${parts.length} exist — a missing part silently " +
-                    "drops its rows; refusing")
-              }
+              // each part's filename declares the total (%010d.%010d),
+              // so a missing part is detectable even when
+              // _last_checkpoint is stale/corrupt or lacks "parts" —
+              // a silently dropped part silently drops its add/remove
+              // rows, which is exactly the row-loss class this guards
+              val declaredTotals = parts.map(_.getName
+                .split("\\.")(3).toInt).distinct
+              if (declaredTotals.length != 1)
+                throw new IOException(s"$table: checkpoint part files " +
+                  "disagree on the part total (" +
+                  s"${declaredTotals.sorted.mkString(", ")}) — mixed " +
+                  "checkpoint generations; refusing")
+              val need = cpParts.getOrElse(declaredTotals.head)
+              if (parts.length != need ||
+                  declaredTotals.head != need)
+                throw new IOException(s"$table: checkpoint declares " +
+                  s"$need parts (filenames say ${declaredTotals.head}) " +
+                  s"but ${parts.length} exist — a missing part " +
+                  "silently drops its rows; refusing")
               spark.read.parquet(parts.sortBy(_.getName)
                 .map(_.toString): _*)
             }
@@ -292,16 +304,30 @@ object DeltaLite {
           }
         val metaStruct = df.schema("metaData").dataType
           .asInstanceOf[StructType]
-        // dataType check, not just presence: a JSON-encoded v2
-        // checkpoint infers an EMPTY configuration object as a
-        // struct, which getMap would miscast
-        if (metaStruct.fieldNames.contains("configuration") &&
-            metaStruct("configuration").dataType
-              .isInstanceOf[org.apache.spark.sql.types.MapType])
-          df.select("metaData.configuration").na.drop().collect()
-            .foreach { r =>
-              configuration = r.getMap[String, String](0).toMap
-            }
+        // a JSON-encoded v2 checkpoint infers the configuration
+        // object as a STRUCT (one field per key), a parquet one
+        // stores a MAP — read both; skipping the struct form would
+        // silently drop table config (e.g. columnMapping.mode) and
+        // serve physical column names
+        if (metaStruct.fieldNames.contains("configuration"))
+          metaStruct("configuration").dataType match {
+            case _: org.apache.spark.sql.types.MapType =>
+              df.select("metaData.configuration").na.drop().collect()
+                .foreach { r =>
+                  configuration = r.getMap[String, String](0).toMap
+                }
+            case st: StructType if st.fields.nonEmpty =>
+              df.select("metaData.configuration").na.drop().collect()
+                .foreach { r =>
+                  val s = r.getStruct(0)
+                  configuration = st.fieldNames.zipWithIndex.flatMap {
+                    case (k, i) =>
+                      if (s.isNullAt(i)) None
+                      else Some(k -> String.valueOf(s.get(i)))
+                  }.toMap
+                }
+            case _ => // empty struct: no configuration to carry
+          }
       }
       val adds =
         if (names.contains("add"))

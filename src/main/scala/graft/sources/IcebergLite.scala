@@ -415,8 +415,23 @@ object IcebergLite {
     // added_snapshot_id proxy IS the sequence order — pre-
     // sequence_number exports from this writer stay readable instead
     // of regressing to the foreign-writer refusal below.
+    // The all-zeros uuid alone is spoofable (a foreign/hand-edited
+    // table could carry it with RANDOM snapshot ids, and trusting the
+    // added_snapshot_id proxy would then mis-order deletes), so also
+    // require the writer's deterministic commit pattern: every
+    // snapshot's id equals its sequence-number (`snapId = nextV`) and
+    // ids are strictly increasing across the snapshot list.
     val selfWritten = Option(meta.get("table-uuid"))
-      .exists(_.asText == "00000000-0000-0000-0000-000000000000")
+      .exists(_.asText == "00000000-0000-0000-0000-000000000000") && {
+      val ids = Option(meta.get("snapshots")).toSeq
+        .flatMap(_.elements().asScala)
+        .map(s => (s.get("snapshot-id").asLong,
+          Option(s.get("sequence-number")).filterNot(_.isNull)
+            .map(_.asLong)))
+      ids.forall { case (id, seq) => seq.forall(_ == id) } &&
+        ids.map(_._1).sliding(2).forall(w =>
+          w.length < 2 || w(0) < w(1))
+    }
     avroRecords(spark, manifestListPath).foreach { mf =>
       // v2 manifest_file carries `content`: 0 = data, 1 = deletes.
       // Delete manifests are READ (position deletes anti-join at scan
@@ -784,7 +799,11 @@ object IcebergLite {
         s"Iceberg table at $location has no snapshots"))
     val snaps = snapsNode.elements().asScala.toSeq
     if (snaps.length <= keepLast) return (0, 0)
-    val current = meta.get("current-snapshot-id").asLong
+    val current = Option(meta.get("current-snapshot-id"))
+      .filterNot(_.isNull).map(_.asLong)
+      .getOrElse(throw new IOException(
+        s"Iceberg table at $location declares no current-snapshot-id " +
+          "— refusing to expire snapshots against an unknown head"))
     val (removed, kept) = snaps.splitAt(snaps.length - keepLast)
     if (!kept.exists(_.get("snapshot-id").asLong == current))
       throw new IOException(s"refusing to expire the CURRENT snapshot " +
@@ -1576,7 +1595,11 @@ object IcebergLite {
         "(exportDeletionVectors), not position-delete files")
     val prevSnaps = Option(meta.get("snapshots"))
       .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
-    val currentSnapId = meta.get("current-snapshot-id").asLong
+    val currentSnapId = Option(meta.get("current-snapshot-id"))
+      .filterNot(_.isNull).map(_.asLong)
+      .getOrElse(throw new IOException(
+        s"Iceberg table at $location declares no current-snapshot-id " +
+          "— position-delete files need a snapshot to delete against"))
     // the carried manifests' entries hold partition tuples against the
     // PRIOR spec — erasing it would silently downgrade every later
     // prune to scan-everything; carry it verbatim
@@ -2142,7 +2165,11 @@ object IcebergLite {
         "commits operate on v3 tables here")
     val prevSnaps = Option(meta.get("snapshots"))
       .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
-    val currentSnapId = meta.get("current-snapshot-id").asLong
+    val currentSnapId = Option(meta.get("current-snapshot-id"))
+      .filterNot(_.isNull).map(_.asLong)
+      .getOrElse(throw new IOException(
+        s"Iceberg table at $location declares no current-snapshot-id " +
+          "— cannot locate the manifest list to carry forward"))
     // the carried manifests' entries hold partition tuples against the
     // PRIOR spec — erasing it would silently downgrade every later
     // prune to scan-everything; carry it verbatim

@@ -255,7 +255,9 @@ object Analyze {
     * case where the fallback mis-plans); `"stale"` — stats exist but
     * describe an older version, IGNORED (a stale row count could
     * under-plan a grown table; the honest fallback wins);
-    * `"absent"` — never analyzed. */
+    * `"absent"` — never analyzed; `"unapplied"` — live stats exist
+    * but no scan matched the analyzed root (the bridge reports
+    * whether the rewrite landed; see StatsBridge). */
   def readAnalyzed(spark: SparkSession,
                    root: String): (DataFrame, String) = {
     val df = VersionedParquet.read(spark, root)
@@ -277,9 +279,15 @@ object Analyze {
         val qualified = rootP
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
           .makeQualified(rootP).toString
-        (org.apache.spark.sql.graftbridge.StatsBridge.withTableStats(
-          df, name, BigInt(rowCount) * rowSize,
-          Some(BigInt(rowCount)), Some(qualified)), "applied")
+        val (framed, landed) =
+          org.apache.spark.sql.graftbridge.StatsBridge.withTableStats(
+            df, name, BigInt(rowCount) * rowSize,
+            Some(BigInt(rowCount)), Some(qualified))
+        // "unapplied" over a false "applied": the stats exist and are
+        // live, but no scan matched the analyzed root (path
+        // normalization/symlink drift) — the caller must not believe
+        // the planner saw them
+        (framed, if (landed) "applied" else "unapplied")
       case Some(_) => (df, "stale")
       case None => (df, "absent")
     }

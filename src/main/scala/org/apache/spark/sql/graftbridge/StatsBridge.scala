@@ -36,11 +36,17 @@ object StatsBridge {
     * tables joined together each carry their own stats after two
     * calls, each landing on its own base scan. Without `rootPath`
     * the FIRST pre-order relation is assumed to be the base scan
-    * (legacy behavior — position-dependent; prefer the path form). */
+    * (legacy behavior — position-dependent; prefer the path form).
+    *
+    * Returns the frame plus whether the stats actually LANDED on a
+    * scan — a path-normalization or symlink mismatch between the
+    * analyzed root and the scan's rootPaths would otherwise lose the
+    * stats silently while the caller reports them applied. */
   def withTableStats(df: DataFrame, tableName: String,
                      sizeInBytes: BigInt,
                      rowCount: Option[BigInt],
-                     rootPath: Option[String] = None): DataFrame = {
+                     rootPath: Option[String] = None)
+      : (DataFrame, Boolean) = {
     val spark = df.sparkSession.asInstanceOf[ClassicSession]
     val stats = CatalogStatistics(sizeInBytes, rowCount)
     val wantPath = rootPath.map(p => new Path(p).toUri.getPath)
@@ -75,6 +81,6 @@ object StatsBridge {
             provider = Some("parquet")))
         lr.copy(catalogTable = Some(ct.copy(stats = Some(stats))))
     }
-    Dataset.ofRows(spark, plan)
+    (Dataset.ofRows(spark, plan), target.nonEmpty)
   }
 }

@@ -253,6 +253,102 @@ class DeltaV2CheckpointSpec extends AnyFunSuite {
     assert(got.count() === 5L)
   }
 
+  test("JSON v2 checkpoint keeps a STRUCT-inferred configuration: a " +
+    "column-mapped table served only from the JSON checkpoint still " +
+    "resolves LOGICAL column names") {
+    val t = tmp("v2jsoncfg")
+    // id-mode column mapping: data files carry physical names
+    // (col-1, col-2); only delta.columnMapping.mode=id in metaData
+    // configuration makes the reader serve logical names
+    DeltaLite.createIdMapped(spark, df(0, 12), t)
+    val expected = ids(t)
+    val cv = DeltaLite.checkpoint(spark, t)
+    val logDir = new Path(t, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val classic = new Path(logDir, f"$cv%020d.checkpoint.parquet")
+    val cp = spark.read.parquet(classic.toString)
+    val sideName = "3c6a1f2e-aaaa-bbbb-cccc-00000000000c.parquet"
+    val stage = s"$t/.side-stage"
+    cp.select("add").filter(col("add").isNotNull)
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val sideDest = new Path(new Path(logDir, "_sidecars"), sideName)
+    placeSingleParquet(stage, sideDest)
+    // JSON top-level: spark.read.json infers the non-empty
+    // configuration object as a StructType, not a MapType — the
+    // reader must extract it anyway (or the mapping mode is lost and
+    // physical names leak out)
+    val metaLine = new String(Files.readAllBytes(Paths.get(t,
+      "_delta_log", f"${0L}%020d.json"))).split('\n')
+      .find(_.contains("\"metaData\"")).get
+    assert(metaLine.contains("delta.columnMapping.mode"))
+    val topLines = Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["v2Checkpoint","columnMapping"],""" +
+        """"writerFeatures":["v2Checkpoint","columnMapping"]}}""",
+      metaLine,
+      s"""{"checkpointMetadata":{"version":$cv}}""",
+      s"""{"sidecar":{"path":"$sideName","sizeInBytes":${fs
+        .getFileStatus(sideDest).getLen}}}""")
+    Files.write(Paths.get(t, "_delta_log",
+      f"$cv%020d.checkpoint.3c6a1f2e-aaaa-bbbb-cccc-00000000000d.json"),
+      topLines.mkString("\n").getBytes("UTF-8"))
+    fs.delete(classic, false)
+    (0L to cv).foreach(v =>
+      fs.delete(new Path(logDir, f"$v%020d.json"), false))
+    val got = DeltaLite.read(spark, t)
+    assert(got.columns.toSeq === Seq("id", "v"),
+      s"logical names must survive, got ${got.columns.toSeq}")
+    assert(ids(t) === expected)
+  }
+
+  test("multi-part checkpoint: the part total declared in FILENAMES " +
+    "backstops a _last_checkpoint without \"parts\" — a missing part " +
+    "still refuses instead of silently dropping rows") {
+    val t = tmp("mpfn")
+    DeltaLite.export(spark, df(0, 30), t)
+    DeltaLite.exportAppend(spark, df(30, 50), t)
+    val expected = ids(t)
+    val cv = DeltaLite.checkpoint(spark, t)
+    val logDir = new Path(t, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val classic = new Path(logDir, f"$cv%020d.checkpoint.parquet")
+    val cp = spark.read.parquet(classic.toString)
+    val keyed = cp.withColumn("_slot",
+      when(col("add").isNotNull, pmod(hash(col("add.path")), lit(2)))
+        .otherwise(lit(0)))
+    Seq(0, 1).foreach { slot =>
+      val stage = s"$t/.mp-stage-$slot"
+      keyed.filter(col("_slot") === slot).drop("_slot")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      placeSingleParquet(stage, new Path(logDir,
+        f"$cv%020d.checkpoint.${slot + 1}%010d.${2}%010d.parquet"))
+    }
+    fs.delete(classic, false)
+    (0L to cv).foreach(v =>
+      fs.delete(new Path(logDir, f"$v%020d.json"), false))
+    // a stale/minimal _last_checkpoint WITHOUT "parts" (the exact
+    // case the filename total guards)
+    val lcp = new Path(logDir, "_last_checkpoint")
+    val out = fs.create(lcp, true)
+    try out.write(s"""{"version":$cv}""".getBytes("UTF-8"))
+    finally out.close()
+    assert(ids(t) === expected)
+    fs.delete(new Path(logDir,
+      f"$cv%020d.checkpoint.${2}%010d.${2}%010d.parquet"), false)
+    val e = intercept[java.io.IOException] { ids(t) }
+    assert(e.getMessage.contains("parts"), s"got: ${e.getMessage}")
+    // and a part total DISAGREEING across filenames refuses too
+    // (mixed checkpoint generations) — content irrelevant, the total
+    // check fires first
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new Path(logDir, f"$cv%020d.checkpoint.${1}%010d.${2}%010d.parquet"),
+      fs,
+      new Path(logDir, f"$cv%020d.checkpoint.${2}%010d.${3}%010d.parquet"),
+      false, spark.sparkContext.hadoopConfiguration)
+    val e2 = intercept[java.io.IOException] { ids(t) }
+    assert(e2.getMessage.contains("disagree"), s"got: ${e2.getMessage}")
+  }
+
   test("unknown reader features still refuse by name next to " +
     "v2Checkpoint") {
     val t = tmp("feat")

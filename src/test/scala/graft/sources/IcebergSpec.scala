@@ -491,4 +491,112 @@ class IcebergSpec extends AnyFunSuite {
     val e = intercept[java.io.IOException](IcebergLite.snapshot(spark, loc))
     assert(e.getMessage.contains("zorder[16]"))
   }
+
+  test("equality-delete ordering fingerprint: a seq-stripped manifest " +
+    "list reads via the snapshot-id proxy ONLY for genuinely " +
+    "self-written tables — the all-zeros uuid alone (spoofable) no " +
+    "longer qualifies once the deterministic id==seq pattern breaks") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{DataFileReader, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumReader,
+      GenericDatumWriter, GenericRecord}
+    import spark.implicits._
+    val loc = tmp("seqfp")
+    IcebergLite.export(spark,
+      (0L until 10L).map(i => (i, s"u$i")).toDF("id", "name")
+        .coalesce(1), loc)
+    IcebergLite.exportEqualityDeletes(spark, Seq(3L).toDF("id"), loc)
+    val before = IcebergLite.read(spark, loc).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(before === (0L until 10L).filterNot(_ == 3L))
+    // strip sequence_number/min_sequence_number from the CURRENT
+    // manifest list, the way a pre-v2 writer would have laid it out
+    val metaDir = new java.io.File(new java.net.URI(
+      new Path(loc, "metadata").toUri.toString match {
+        case u if u.startsWith("file:") => u
+        case u => "file://" + u
+      }).getPath)
+    val listFile = metaDir.listFiles
+      .filter(_.getName.matches("snap-2.*manifest-list.*\\.avro"))
+      .maxBy(_.getName)
+    val rdr = new DataFileReader[GenericRecord](listFile,
+      new GenericDatumReader[GenericRecord]())
+    val origSchema = rdr.getSchema
+    val rows = rdr.iterator().asScala.toVector
+    rdr.close()
+    val keptFields = origSchema.getFields.asScala
+      .filterNot(f => f.name == "sequence_number" ||
+        f.name == "min_sequence_number")
+      .map(f => new Schema.Field(f.name, f.schema, f.doc, f.defaultVal))
+    val reduced = Schema.createRecord(origSchema.getName,
+      origSchema.getDoc, origSchema.getNamespace, false,
+      keptFields.toList.asJava)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](reduced))
+    w.create(reduced, listFile)
+    rows.foreach { r =>
+      val c = new GenericData.Record(reduced)
+      reduced.getFields.asScala.foreach(f =>
+        c.put(f.name, r.get(f.name)))
+      w.append(c)
+    }
+    w.close()
+    // the raw rewrite invalidates Hadoop LocalFileSystem's checksum
+    // sidecar — drop it so the read sees the new bytes
+    new java.io.File(listFile.getParentFile,
+      "." + listFile.getName + ".crc").delete()
+    // genuinely self-written (zeros uuid + id==seq + increasing ids):
+    // the added_snapshot_id proxy is provably the sequence order
+    val proxied = IcebergLite.read(spark, loc).select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(proxied === before)
+    // now break the deterministic pattern the way a spoofed/foreign
+    // table would: a snapshot whose sequence-number != id
+    val metaP = new Path(loc, "metadata/v2.metadata.json")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = {
+      val in = fs.open(metaP)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(txt.contains("\"sequence-number\": 2"))
+    val out = fs.create(metaP, true)
+    try out.write(txt.replace("\"sequence-number\": 2",
+      "\"sequence-number\": 7").getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[java.io.IOException](
+      IcebergLite.read(spark, loc).collect())
+    assert(e.getMessage.contains("sequence_number"),
+      s"must refuse on unprovable ordering, got: ${e.getMessage}")
+  }
+
+  test("snapshot-less metadata: expireSnapshots and " +
+    "exportPositionDeletes refuse by name, no NPE") {
+    val loc = tmp("headless")
+    IcebergLite.export(spark, frame(5, "x"), loc)
+    IcebergLite.export(spark, frame(5, "y"), loc)
+    // hand-drop the head the way a corrupt/foreign metadata file
+    // would: snapshots remain listed but no current-snapshot-id
+    val metaP = new Path(loc, "metadata/v2.metadata.json")
+    val fs = metaP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val txt = {
+      val in = fs.open(metaP)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    assert(txt.contains("\"current-snapshot-id\": 2"))
+    val out = fs.create(metaP, true)
+    try out.write(txt.replace("\"current-snapshot-id\": 2",
+      "\"current-snapshot-id\": null").getBytes("UTF-8"))
+    finally out.close()
+    val e1 = intercept[java.io.IOException](
+      IcebergLite.expireSnapshots(spark, loc, keepLast = 1))
+    assert(e1.getMessage.contains("current-snapshot-id"),
+      s"expire refusal must name the field, got: ${e1.getMessage}")
+    import spark.implicits._
+    val dels = Seq(("somefile.parquet", 0L)).toDF("file_path", "pos")
+    val e2 = intercept[java.io.IOException](
+      IcebergLite.exportPositionDeletes(spark, dels, loc))
+    assert(e2.getMessage.contains("current-snapshot-id"),
+      s"pos-delete refusal must name the field, got: ${e2.getMessage}")
+  }
 }
