@@ -660,8 +660,81 @@ object SqlSurfaceOps {
              |       1 AS final_version
              |FROM served
              |GROUP BY 1
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // ── RESTORE TABLE … TO VERSION AS OF as SQL ──────────────────────────
+    // The SQL-only client's rollback verb (Delta's own syntax), routed
+    // to the q147 metadata-only restore: publish → INSERT → DELETE →
+    // RESTORE TO 1, all four versions read back in one output. v3's
+    // aggregates must EQUAL v1's (the oracle states v1's algebra
+    // twice), and the verb's own typed result row is asserted in the
+    // fixture — a restore that resolved the wrong base, rewrote data,
+    // or landed as the wrong version breaks the gate.
+    QueryDef("q270_sql_restore",
+      (s, d) => {
+        val root = sqlRestoreRoot(s, d)
+        (0 to 3).map { v =>
+          VersionedParquet.read(s, root, Some(v.toLong))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("cents")).cast("long").as("sum_cents"),
+              sum(col("k")).cast("long").as("sum_keys"))
+            .select(lit(v).as("version"), col("n_rows"),
+              col("sum_cents"), col("sum_keys"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v1 AS (
+             |  SELECT k, cents FROM o
+             |  UNION ALL
+             |  SELECT k + 1000000, cents + 10 FROM o WHERE k % 6 = 0),
+             |v2 AS (SELECT * FROM v1 WHERE k % 11 <> 5)
+             |SELECT 0 AS version, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(sum(k) AS BIGINT) AS sum_keys
+             |FROM o
+             |UNION ALL
+             |SELECT 1, count(*), CAST(sum(cents) AS BIGINT),
+             |       CAST(sum(k) AS BIGINT) FROM v1
+             |UNION ALL
+             |SELECT 2, count(*), CAST(sum(cents) AS BIGINT),
+             |       CAST(sum(k) AS BIGINT) FROM v2
+             |UNION ALL
+             |SELECT 3, count(*), CAST(sum(cents) AS BIGINT),
+             |       CAST(sum(k) AS BIGINT) FROM v1
+             |ORDER BY version""".stripMargin))
   )
+
+  /** q270 scratch table: publish → SQL INSERT → SQL DELETE → SQL
+    * RESTORE TO VERSION AS OF 1; the verb's typed result row is
+    * asserted here so a mis-landed restore fails at fixture time.
+    * Once per session. */
+  private def sqlRestoreRoot(s: org.apache.spark.sql.SparkSession,
+                             d: String): String = {
+    val root = Scratch.dir(s, "q270-sql-restore")
+    GraftTables.register("graft_q270", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o, root, keepVersions = 20)
+      Tables.orders(s, d).createOrReplaceTempView("q270_orders")
+      GraftSql.sql(s, "INSERT INTO graft_q270 " +
+        "SELECT o_orderkey + 1000000 AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) + 10 AS cents " +
+        "FROM q270_orders WHERE o_orderkey % 6 = 0")
+      GraftSql.sql(s, "DELETE FROM graft_q270 WHERE k % 11 = 5")
+      val row = GraftSql.sql(s,
+        "RESTORE TABLE graft_q270 TO VERSION AS OF 1").head()
+      require(row.getAs[String]("table") == "graft_q270" &&
+        row.getAs[Long]("restored_to") == 1L &&
+        row.getAs[Long]("new_version") == 3L,
+        s"q270: unexpected RESTORE result row: $row")
+    }
+    root
+  }
 
   /** q195 builder: the SQL-only WAP + governance story. Once per
     * session. */

@@ -158,6 +158,11 @@ private[graft] final case class SqlMaintainStats(table: String)
     extends GraftDml // ANALYZE TABLE … MAINTAIN STATISTICS
 private[graft] final case class SqlDescribeBranches(table: String)
     extends GraftDml
+// RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS OF '…' —
+// Delta's own rollback verb, routed to the metadata-only restore
+// (q147): exactly one of the two pins is set.
+private[graft] final case class SqlRestore(table: String,
+    toVersion: Option[Long], toMillis: Option[Long]) extends GraftDml
 
 object GraftSql {
 
@@ -240,7 +245,20 @@ object GraftSql {
     val AM = ("""(?is)ANALYZE\s+TABLE\s+([A-Za-z_][\w]*)\s+MAINTAIN\s+""" +
       """STATISTICS""").r
     val DBR = """(?is)DESCRIBE\s+BRANCHES\s+([A-Za-z_][\w]*)""".r
+    // RESTORE TABLE (Delta's rollback verb; timestamps accept epoch
+    // millis or any java.sql.Timestamp-parsable literal, the same
+    // rule as the inline time-travel rewrite)
+    val RSV = ("""(?is)RESTORE\s+TABLE\s+([A-Za-z_][\w]*)\s+TO\s+""" +
+      """VERSION\s+AS\s+OF\s+(\d+)""").r
+    val RST = ("""(?is)RESTORE\s+TABLE\s+([A-Za-z_][\w]*)\s+TO\s+""" +
+      """TIMESTAMP\s+AS\s+OF\s+'([^']+)'""").r
     val dml = t match {
+      case RSV(table, v) => Some(SqlRestore(table, Some(v.toLong), None))
+      case RST(table, raw) =>
+        val millis =
+          if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+          else java.sql.Timestamp.valueOf(raw).getTime
+        Some(SqlRestore(table, None, Some(millis)))
       case AM(table) => Some(SqlMaintainStats(table))
       case DBR(table) => Some(SqlDescribeBranches(table))
       case PL(table, cols) => Some(SqlSetLayout(table,
@@ -485,7 +503,39 @@ object GraftSql {
       case _: SqlMaintainStats =>
         Analyze.maintain(spark, root); root
       case _: SqlDescribeBranches => root // side-effect free; in sql()
+      case r: SqlRestore => restoreExec(spark, r)._3
     }
+  }
+
+  /** Resolve and run one RESTORE TABLE statement: returns
+    * (restored-to version, the new live version it landed as, the
+    * snapshot path). Timestamp pins resolve through the exact
+    * time-travel rules (`versionAsOf`); a no-op restore (already at
+    * the target) reports the live version unchanged — the same
+    * contract as the Scala API it routes to. */
+  private def restoreExec(spark: SparkSession,
+                          r: SqlRestore): (Long, Long, String) = {
+    val (root, keep) = GraftTables.rootOf(r.table).getOrElse(
+      throw new IllegalStateException(
+        s"table ${r.table} is not registered"))
+    val target = r.toVersion.getOrElse(
+      VersionedParquet.versionAsOf(spark, root, r.toMillis.get))
+    val path = VersionedParquet.restore(spark, root, target,
+      keepVersions = keep)
+    val live = VersionedParquet.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no live version under $root " +
+        "after restore"))
+    (target, live, path)
+  }
+
+  /** `RESTORE TABLE t TO VERSION|TIMESTAMP AS OF …` — one typed row:
+    * (table, restored_to, new_version). */
+  private[graft] def restoreFrame(spark: SparkSession,
+                                  r: SqlRestore): DataFrame = {
+    val (target, live, _) = restoreExec(spark, r)
+    import spark.implicits._
+    Seq((r.table, target, live))
+      .toDF("table", "restored_to", "new_version")
   }
 
   /** Runtime SQL entry: DML against registered tables routes to the
@@ -507,6 +557,7 @@ object GraftSql {
       case Some(ds: SqlDescribeStats) => statsFrame(spark, ds)
       case Some(m: SqlMaintainStats) => maintainFrame(spark, m)
       case Some(b: SqlDescribeBranches) => branchesFrame(spark, b)
+      case Some(r: SqlRestore) => restoreFrame(spark, r)
       case Some(dml) => exec(spark, dml); spark.emptyDataFrame
       // same inline time-travel rewrite as the injected parser, so the
       // library-call path (`GraftSql.sql`) and the parser-extension
@@ -981,6 +1032,22 @@ private[graft] final case class GraftExportIcebergCommand(
     GraftSql.exportIcebergFrame(session, dml).collect().toSeq
 }
 
+/** RESTORE TABLE through the injected parser — a command with output
+  * rows (table, restored_to, new_version), so plain
+  * `spark.sql("RESTORE TABLE t TO VERSION AS OF 2")` both rolls the
+  * table back and returns what it did. */
+private[graft] final case class GraftRestoreCommand(dml: SqlRestore)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType)(),
+    AttributeReference("restored_to", LongType)(),
+    AttributeReference("new_version", LongType)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSql.restoreFrame(session, dml).collect().toSeq
+}
+
 /** Parser extension: intercepts the four DML verbs against registered
   * versioned tables, rewrites inline time-travel clauses on anything
   * else, and delegates every other statement — and every other parser
@@ -995,6 +1062,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Some(x: SqlExportIceberg) => GraftExportIcebergCommand(x)
       case Some(a: SqlAnalyze) => GraftStatsCommand(a.table, Some(a.cols))
       case Some(ds: SqlDescribeStats) => GraftStatsCommand(ds.table, None)
+      case Some(r: SqlRestore) => GraftRestoreCommand(r)
       case Some(dml) => GraftDmlCommand(dml)
       case None =>
         delegate.parsePlan(GraftSql.rewriteTimeTravel(sqlText))

@@ -1876,7 +1876,16 @@ object VersionedParquet {
     * numbers stay the precise API (`read(version = …)`); this is the
     * human-friendly entry — "the table as of last night 02:00". */
   def readAsOf(spark: SparkSession, root: String,
-               asOfMillis: Long): DataFrame = {
+               asOfMillis: Long): DataFrame =
+    read(spark, root, Some(versionAsOf(spark, root, asOfMillis)))
+
+  /** The version `readAsOf` resolves to — factored out so the verbs
+    * that act on a version NUMBER (`RESTORE TABLE … TO TIMESTAMP AS
+    * OF`) share the exact resolution rules of the time-travel read:
+    * commit stamps from `_SUCCESS`, candidates capped at the live
+    * pointer, loud failure when the table post-dates the instant. */
+  def versionAsOf(spark: SparkSession, root: String,
+                  asOfMillis: Long): Long = {
     val rootPath = new Path(root)
     val fs = fsOf(spark, rootPath)
     if (!fs.exists(rootPath))
@@ -1907,7 +1916,7 @@ object VersionedParquet {
     if (candidates.isEmpty)
       throw new IOException(s"$root has no version committed at or " +
         s"before $asOfMillis (table created later, or history vacuumed)")
-    read(spark, root, Some(candidates.max))
+    candidates.max
   }
 
   /** All readable versions, oldest first (the time-travel catalog).

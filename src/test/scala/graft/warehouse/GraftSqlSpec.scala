@@ -573,4 +573,85 @@ class GraftSqlSpec extends AnyFunSuite {
       assert(graft.sources.DeltaLite.read(spark, del2).count() === 48L)
     } finally GraftTables.unregister("t_ret")
   }
+
+  test("RESTORE TABLE as SQL: twin-table equivalence, timestamp pin, " +
+    "typed row, refusals") {
+    val rootSql = tmp("restore-sql")
+    val rootApi = tmp("restore-api")
+    seed(rootSql); seed(rootApi)
+    GraftTables.register("t_restore", rootSql, keepVersions = 50)
+    try {
+      // identical histories on both tables: v1 update, v2 delete
+      GraftSql.sql(spark, "UPDATE t_restore SET x = x + 1 WHERE id < 50")
+      GraftSql.sql(spark, "DELETE FROM t_restore WHERE id % 10 = 0")
+      VersionedParquet.updateWhere(spark, rootApi, col("id") < 50,
+        Map("x" -> (col("x") + 1)), keepVersions = 50)
+      VersionedParquet.delete(spark, rootApi, col("id") % 10 === 0,
+        keepVersions = 50)
+      // SQL restore vs Scala restore: same state, same version count
+      val row = GraftSql.sql(spark,
+        "RESTORE TABLE t_restore TO VERSION AS OF 0").head()
+      assert(row.getAs[String]("table") === "t_restore")
+      assert(row.getAs[Long]("restored_to") === 0L)
+      assert(row.getAs[Long]("new_version") === 3L)
+      VersionedParquet.restore(spark, rootApi, 0L, keepVersions = 50)
+      assert(rows(rootSql) === rows(rootApi))
+      assert(VersionedParquet.currentVersion(spark, rootSql) === Some(3L))
+      // v1/v2 stay time-travelable after the rollback
+      assert(VersionedParquet.read(spark, rootSql, Some(2L)).count()
+        === 90L)
+      // TIMESTAMP AS OF routes through the same resolution as the
+      // time-travel read: restore to "now" = the live version = no-op
+      // version bump (already at target reports live unchanged)
+      val now = System.currentTimeMillis() + 60000
+      val row2 = GraftSql.sql(spark,
+        s"RESTORE TABLE t_restore TO TIMESTAMP AS OF '$now'").head()
+      assert(row2.getAs[Long]("restored_to") === 3L)
+      assert(row2.getAs[Long]("new_version") === 3L)
+      // refusals: forward restore, pre-table timestamp, unregistered
+      val eF = intercept[Exception](GraftSql.sql(spark,
+        "RESTORE TABLE t_restore TO VERSION AS OF 99"))
+      assert(eF.getMessage.contains("cannot restore"))
+      val eT = intercept[Exception](GraftSql.sql(spark,
+        "RESTORE TABLE t_restore TO TIMESTAMP AS OF '1999-01-01 00:00:00'"))
+      assert(eT.getMessage.contains("no version committed"))
+      // unregistered table is NOT ours: falls through to Spark's
+      // parser and fails there, never a silent no-op
+      assert(GraftSql.parseDml(
+        "RESTORE TABLE nobody TO VERSION AS OF 0").isEmpty)
+      // transactions keep rejecting non-whitelisted verbs
+      val eTx = intercept[IllegalArgumentException](GraftSql.transaction(
+        spark, Seq("RESTORE TABLE t_restore TO VERSION AS OF 0")))
+      assert(eTx.getMessage.contains("only UPDATE/DELETE/INSERT"))
+    } finally GraftTables.unregister("t_restore")
+  }
+
+  test("RESTORE TABLE through the injected parser returns the typed row") {
+    val root = tmp("restore-ext")
+    seed(root)
+    GraftTables.register("t_rext", root, keepVersions = 50)
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val extSession = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .withExtensions(new graft.plans.GraftExtensions())
+      .getOrCreate()
+    try {
+      extSession.sql("DELETE FROM t_rext WHERE id < 5")
+      val r = extSession.sql(
+        "RESTORE TABLE t_rext TO VERSION AS OF 0").head()
+      assert(r.getAs[String]("table") === "t_rext")
+      assert(r.getAs[Long]("restored_to") === 0L)
+      assert(r.getAs[Long]("new_version") === 2L)
+      assert(VersionedParquet.read(extSession, root).count() === 100L)
+    } finally {
+      GraftTables.clear()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
 }
