@@ -55,36 +55,9 @@ object DedupOps {
        |hashed AS (
        |  SELECT *, ${Hashing.md5Long60Sql("shingle")} AS h60 FROM ex)""".stripMargin
 
-  /** Lock-guarded, access-ordered LRU of per-(session, dir) frames:
-    * concurrent callers can't double-build (and leak a persisted copy),
-    * eviction drops the least-recently-USED entry (never one in active
-    * rotation) and runs `onEvict` (unpersist for persisted frames). The
-    * bound keeps a long-lived session iterating many dirs from pinning
-    * one frame per dir forever. For lazily-persisted frames the lock
-    * only guards plan construction (microseconds); the components cache
-    * builds eagerly (its fixpoint must run jobs) — acceptable, nothing
-    * else contends for that lock during a build. */
-  private val MAX_CACHED = 4
-  private final class FrameCache(onEvict: DataFrame => Unit) {
-    private val m =
-      new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true)
-    def getOrBuild(s: SparkSession, d: String)(build: => DataFrame): DataFrame =
-      m.synchronized {
-        val cached = m.get((s, d))
-        if (cached != null) return cached
-        // build BEFORE evicting: a throwing build (bad dir) must not
-        // drain healthy cached frames one victim per retry
-        val built = build
-        if (m.size >= MAX_CACHED) {
-          val it = m.entrySet().iterator() // head = least recently used
-          onEvict(it.next().getValue)
-          it.remove()
-        }
-        m.put((s, d), built)
-        built
-      }
-  }
-  private def unpersisting = new FrameCache(_.unpersist(blocking = false))
+  // Per-(session, dir) LRU caches — see [[FrameCache]] (factored out,
+  // shared with GraphOps' co-purchase edge list).
+  private def unpersisting = FrameCache.unpersisting
 
   /** One row per (doc, distinct word-3-gram): doc_id, lang, n_sh,
     * shingle, h60. Cached per (session, dir) and shared by
