@@ -1885,11 +1885,12 @@ object IcebergLite {
     * metadata-only commit.
     *
     * Refusals (each named): v3 tables (DV manifests carry locator
-    * fields this rewrite does not re-derive), manifests whose entry
-    * schemas differ (blind cross-schema copying would scramble
-    * position-written Avro fields), mixed partition-spec ids (one
-    * merged manifest can declare only one). Returns the new
-    * snapshot id. */
+    * fields this rewrite does not re-derive), manifests whose
+    * DATA_FILE sub-schemas differ (blind cross-schema copying would
+    * scramble position-written Avro fields; entry-level variance —
+    * e.g. a prior rewrite's sequence_number field — is remapped by
+    * name and safe), mixed partition-spec ids (one merged manifest
+    * can declare only one). Returns the new snapshot id. */
   def rewriteManifests(spark: SparkSession, location: String): Long = {
     val loc = new Path(location)
     val fs = fsOf(spark, loc)
@@ -1944,15 +1945,26 @@ object IcebergLite {
       throw new IOException(s"cannot rewrite manifests at $location: " +
         s"manifests span partition-spec ids ${specIds.mkString(", ")} " +
         "— one merged manifest can declare only one; refusing")
-    val schemas = all.map(_.entry.getSchema).distinct
-    if (schemas.map(_.toString).distinct.length > 1)
+    // The positional-write hazard is the DATA_FILE sub-record: a
+    // data_file value carried by reference into a manifest whose
+    // data_file schema differs would scramble position-written Avro
+    // fields — those must agree exactly. ENTRY-level variance is
+    // expected and safe (a prior rewrite's own manifests carry
+    // sequence_number, later appends' don't): the four entry fields
+    // are re-put BY NAME into the canonical schema below, never
+    // copied blind.
+    val dfSchemaStrs = all.map(
+      _.entry.getSchema.getField("data_file").schema().toString).distinct
+    if (dfSchemaStrs.length > 1)
       throw new IOException(s"cannot rewrite manifests at $location: " +
-        "manifest entry schemas differ across manifests — a blind " +
+        "data_file schemas differ across manifests — a blind " +
         "cross-schema copy would scramble position-written Avro " +
         "fields; refusing")
-    // the merged entry schema: the table's own, with an entry-level
-    // sequence_number ensured (the carrier of preserved row age)
-    val oldSchema = schemas.head
+    // the merged entry schema: prefer one that already carries the
+    // entry-level sequence_number (the carrier of preserved row age)
+    val oldSchema = all.map(_.entry.getSchema)
+      .find(_.getField("sequence_number") != null)
+      .getOrElse(all.head.entry.getSchema)
     val newEntrySchema =
       if (oldSchema.getField("sequence_number") != null) oldSchema
       else {

@@ -203,7 +203,7 @@ class FormatFuzzSpec extends AnyFunSuite {
     val nOps = 4 + rnd.nextInt(3)
     (0 until nOps).foreach { step =>
       val tag = s"iceberg chain $chainId step $step"
-      val op = rnd.nextInt(7)
+      val op = rnd.nextInt(8)
       if (debug) println(s"FUZZ $tag op=$op model=$model")
       op match {
         case 0 => // overwrite replaces everything, deletes moot
@@ -257,6 +257,10 @@ class FormatFuzzSpec extends AnyFunSuite {
           val keep = 1 + rnd.nextInt(2)
           IcebergLite.expireSnapshots(spark, loc, keep)
           expired = true
+        case 7 => // manifest compaction: pure metadata, rows identical
+          IcebergLite.rewriteManifests(spark, loc)
+          assert(IcebergLite.manifestCount(spark, loc) <= 2,
+            s"$tag: rewriteManifests left more than data+delete")
       }
       checkState(tag, IcebergLite.read(spark, loc), model, "id", vName)
       history += ((snapId, model, vName))
@@ -280,51 +284,166 @@ class FormatFuzzSpec extends AnyFunSuite {
 
   // ── Iceberg v3 deletion-vector chains ──────────────────────────────
 
-  /** v3 chains: a v2 table upgrades via its first DV commit, then
-    * every further op is a DV commit (merge semantics), a read, or a
-    * retention pass — the only writer surfaces a v3 table has here.
-    * Exercises merge-on-rewrite, superseded-entry resolution, and
-    * Puffin decode under arbitrary position mixes. */
+  /** v3 chains: the full op alphabet {append, position delete,
+    * equality delete, upsert, rewriteManifests, Puffin DV commit,
+    * expire} interleaved in one chain. The chain starts v2; the first
+    * DV commit upgrades it (one-way), after which the v2-only writers
+    * must REFUSE BY NAME with the table untouched — asserted at every
+    * post-upgrade attempt, so the refusal matrix is fuzzed alongside
+    * the data path. The decisive interaction class (the r11 lesson):
+    * pre-upgrade eq/pos delete files must keep masking rows AFTER the
+    * upgrade, in combination with DVs, compacted manifests, and
+    * snapshot expiry; every step re-reads through the full protocol
+    * walk and checks live==model. Chains that never drew a DV op take
+    * a forced DV commit + expire at the end, so every chain is
+    * v3-bearing by construction. */
   private def icebergV3Chain(chainId: Int): Unit = {
     val rnd = new Random(0xD511 + chainId)
     val loc = tmp(s"icev3-$chainId")
-    val n = 20 + rnd.nextInt(30)
-    val rows = (0L until n).map(i => (i, rnd.nextLong(1000)))
-    IcebergLite.export(spark, frame(rows), loc)
-    // live (pos → id,v) of the single exported state
-    val files = IcebergLite.snapshot(spark, loc).files
-    val byPos = spark.read.parquet(files: _*)
-      .select(col("_metadata.file_path").as("fp"),
-        col("_metadata.row_index").as("pos"), col("id"), col("v"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1)) ->
-        (r.getLong(2), r.getLong(3))).toMap
-    val live = mutable.Map[(String, Long), (Long, Long)]() ++ byPos
-    val nOps = 3 + rnd.nextInt(3)
+    var nextId = 0L
+    def fresh(n: Int): Seq[(Long, Long)] = {
+      val rows = (nextId until nextId + n).map(i => (i, rnd.nextLong(1000)))
+      nextId += n
+      rows
+    }
+    // row-level model, as the v2 chains: live (file_path, pos) → (id, v)
+    val live = mutable.Map[(String, Long), (Long, Long)]()
+    def norm(p: String): String = new Path(p).toUri.getPath
+    val ingested = mutable.Set[String]()
+    def ingest(files: Seq[String]): Unit = {
+      val newF = files.filterNot(f => ingested.contains(norm(f)))
+      if (newF.nonEmpty) {
+        newF.foreach(f => ingested += norm(f))
+        spark.read.parquet(newF: _*)
+          .select(col("_metadata.file_path").as("fp"),
+            col("_metadata.row_index").as("pos"),
+            col("id"), col("v"))
+          .collect().foreach { r =>
+            live((r.getString(0), r.getLong(1))) =
+              (r.getLong(2), r.getLong(3))
+          }
+      }
+    }
+    def model: Map[Long, Long] = live.values.toMap
+    IcebergLite.export(spark, frame(fresh(10 + rnd.nextInt(20))), loc)
+    ingest(IcebergLite.snapshot(spark, loc).files)
+    var upgraded = false
+    def check(tag: String): Unit =
+      checkState(tag, IcebergLite.read(spark, loc), model, "id", "v")
+    // a post-upgrade v2-only writer must refuse by name AND leave the
+    // table byte-identical in effect (same live read)
+    def refusesByName(tag: String, frag: String)(op: => Any): Unit = {
+      val e = intercept[Exception](op)
+      assert(e.getMessage != null && e.getMessage.contains(frag),
+        s"$tag: expected refusal naming '$frag', got: ${e.getMessage}")
+      check(s"$tag post-refusal")
+    }
+    def dvCommit(tag: String): Unit = {
+      val chosen = live.keys.toSeq.sortBy(k => (k._1, k._2))
+        .filter(_ => rnd.nextInt(3) == 0)
+      if (chosen.nonEmpty) {
+        IcebergLite.exportDeletionVectors(spark, loc,
+          chosen.groupBy(_._1).map { case (f, ks) =>
+            f -> ks.map(_._2).toArray
+          })
+        chosen.foreach(live.remove)
+        upgraded = true
+      }
+    }
+    val nOps = 5 + rnd.nextInt(3)
     (0 until nOps).foreach { step =>
-      val tag = s"iceberg v3 chain $chainId step $step"
-      rnd.nextInt(3) match {
-        case 0 | 1 => // DV commit over random live positions (the
-          // second and later commits MERGE into the standing DV)
+      val tag = s"iceberg v3 chain $chainId step $step upgraded=$upgraded"
+      rnd.nextInt(7) match {
+        case 0 => // append: v2 metadata — refuses after the upgrade
+          val rows = fresh(3 + rnd.nextInt(6))
+          if (upgraded)
+            refusesByName(tag, "format-version")(
+              IcebergLite.appendManifest(spark, frame(rows), loc))
+          else {
+            IcebergLite.appendManifest(spark, frame(rows), loc)
+            ingest(IcebergLite.snapshot(spark, loc).files)
+          }
+        case 1 => // position deletes: v3 forbids new pos-delete FILES
           val chosen = live.keys.toSeq.sortBy(k => (k._1, k._2))
             .filter(_ => rnd.nextInt(3) == 0)
           if (chosen.nonEmpty) {
-            IcebergLite.exportDeletionVectors(spark, loc,
-              chosen.groupBy(_._1).map { case (f, ks) =>
-                f -> ks.map(_._2).toArray
-              })
-            chosen.foreach(live.remove)
+            import spark.implicits._
+            if (upgraded)
+              refusesByName(tag, "deletion vectors")(
+                IcebergLite.exportPositionDeletes(spark,
+                  chosen.toDF("file_path", "pos"), loc))
+            else {
+              IcebergLite.exportPositionDeletes(spark,
+                chosen.toDF("file_path", "pos"), loc)
+              chosen.foreach(live.remove)
+            }
           }
-        case 2 => // retention: current snapshot must keep serving
+        case 2 => // equality deletes by id (older-sequence masking)
+          if (live.nonEmpty) {
+            val ids = model.keys.toSeq.sorted.filter(_ => rnd.nextBoolean())
+            if (ids.nonEmpty) {
+              import spark.implicits._
+              if (upgraded)
+                refusesByName(tag, "format-version")(
+                  IcebergLite.exportEqualityDeletes(spark,
+                    ids.toDF("id"), loc))
+              else {
+                IcebergLite.exportEqualityDeletes(spark, ids.toDF("id"), loc)
+                live.filterInPlace { case (_, (id, _)) =>
+                  !ids.contains(id)
+                }
+              }
+            }
+          }
+        case 3 => // upsert (eq-delete + append); post-upgrade the
+          // first half already refuses, table untouched
+          if (live.nonEmpty) {
+            val ids = model.keys.toSeq.sorted.take(1 + rnd.nextInt(3))
+            import spark.implicits._
+            if (upgraded)
+              refusesByName(tag, "format-version")(
+                IcebergLite.exportEqualityDeletes(spark,
+                  ids.toDF("id"), loc))
+            else {
+              IcebergLite.exportEqualityDeletes(spark, ids.toDF("id"), loc)
+              live.filterInPlace { case (_, (id, _)) => !ids.contains(id) }
+              val rows = ids.map(i => (i, rnd.nextLong(1000)))
+              IcebergLite.appendManifest(spark, frame(rows), loc)
+              ingest(IcebergLite.snapshot(spark, loc).files)
+            }
+          }
+        case 4 => // manifest compaction: metadata-only pre-upgrade,
+          // locator-field refusal after
+          if (upgraded)
+            refusesByName(tag, "cannot rewrite manifests")(
+              IcebergLite.rewriteManifests(spark, loc))
+          else
+            IcebergLite.rewriteManifests(spark, loc)
+        case 5 => // Puffin DV commit — first one upgrades to v3;
+          // later ones MERGE into the standing DV per file
+          dvCommit(tag)
+        case 6 => // retention: current snapshot must keep serving
           IcebergLite.expireSnapshots(spark, loc, 1 + rnd.nextInt(2))
       }
-      checkState(tag, IcebergLite.read(spark, loc),
-        live.values.toMap, "id", "v")
+      check(tag)
     }
+    // every chain ends v3-bearing: force the upgrade if the draw
+    // never took it (re-seeding rows first if the chain deleted
+    // everything), then an expire over the DV-bearing history
+    if (!upgraded && live.isEmpty) {
+      IcebergLite.appendManifest(spark, frame(fresh(5)), loc)
+      ingest(IcebergLite.snapshot(spark, loc).files)
+    }
+    while (!upgraded)
+      dvCommit(s"iceberg v3 chain $chainId forced-upgrade")
+    check(s"iceberg v3 chain $chainId post-upgrade")
+    IcebergLite.expireSnapshots(spark, loc, 1)
+    check(s"iceberg v3 chain $chainId post-expire")
   }
 
-  test("iceberg v3: 30 deletion-vector chains (merge + expire), " +
-    "live==model after every op") {
-    (0 until 30).foreach(icebergV3Chain)
+  test("iceberg v3: 100 interleaved chains (append/eq/pos-delete/" +
+    "upsert/rewriteManifests/puffin-DV/expire), live==model after " +
+    "every op, v2-only writers refuse by name post-upgrade") {
+    (0 until 100).foreach(icebergV3Chain)
   }
 }
