@@ -3015,8 +3015,87 @@ object VersionOps {
              |SELECT 5 AS manifests_before, 2 AS manifests_after,
              |       CAST(count(*) AS BIGINT) AS n_rows,
              |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM live""".stripMargin)),
+
+    // q271 — Delta V2 CHECKPOINT write (q268's writer half): the
+    // NATIVE v2Layout checkpoint lays out the UUID-named top-level
+    // file (checkpointMetadata + protocol declaring the v2Checkpoint
+    // feature + sidecar pointers) with the add rows in
+    // _delta_log/_sidecars parquet, then VACUUM truncates every JSON
+    // commit at or before it — so the read provably resolves through
+    // the self-written v2 layout, DV descriptor included, with a
+    // post-checkpoint append folding on top. Layout facts (one UUID
+    // top, zero classic files, commits actually truncated) are pinned
+    // as literals beside the row aggregates; the oracle replays the
+    // history from predicates.
+    QueryDef("q271_delta_v2_checkpoint_write",
+      (s, d) => s.read.parquet(deltaV2WritePath(s, d)),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |base AS (SELECT * FROM o WHERE k % 3 = 0),
+             |appended AS (SELECT * FROM o WHERE k % 3 = 1),
+             |live AS (
+             |  SELECT * FROM base WHERE k % 10 <> 6
+             |  UNION ALL
+             |  SELECT * FROM appended)
+             |SELECT 1 AS n_uuid_tops, 0 AS n_classic,
+             |       1 AS commits_truncated,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys
              |FROM live""".stripMargin))
   )
+
+  /** q271 builder: export + DV-delete + NATIVE v2-layout checkpoint +
+    * vacuum + post-checkpoint append; audits the layout beside the
+    * read. Once per session. */
+  private def deltaV2WritePath(s: SparkSession, dir: String): String = {
+    import graft.sources.DeltaLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q271-delta")
+    val outPath = Scratch.dir(s, "q271-out")
+    if (!new java.io.File(table, "_delta_log").exists()) {
+      import s.implicits._
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      DeltaLite.export(s, o.filter(col("k") % 3 === 0).coalesce(1), table)
+      // DV-delete k%10==6 rows from every file, positions from the
+      // raw parquet (the descriptor must survive the sidecar round
+      // trip and the vacuum)
+      val snap = DeltaLite.snapshot(s, table)
+      val dels = snap.files.flatMap { rel =>
+        val abs = new org.apache.hadoop.fs.Path(table, rel).toString
+        val pos = s.read.parquet(abs)
+          .select(col("_metadata.row_index").as("pos"), col("k"))
+          .filter(col("k") % 10 === 6)
+          .collect().map(_.getLong(0))
+        if (pos.nonEmpty) Some(rel -> pos) else None
+      }.toMap
+      if (dels.nonEmpty) DeltaLite.commitDeletionVectors(s, table, dels)
+      val cv = DeltaLite.checkpoint(s, table, v2Layout = true)
+      val (_, truncated) = DeltaLite.vacuum(s, table)
+      val logDir = new org.apache.hadoop.fs.Path(table, "_delta_log")
+      val fs = logDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val names = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      val nTops = names.count(n =>
+        n.startsWith(f"$cv%020d.checkpoint.") && n.endsWith(".parquet") &&
+          n != f"$cv%020d.checkpoint.parquet")
+      val nClassic = names.count(_ == f"$cv%020d.checkpoint.parquet")
+      DeltaLite.exportAppend(s,
+        o.filter(col("k") % 3 === 1).coalesce(1), table)
+      val agg = DeltaLite.read(s, table)
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("c"),
+          countDistinct(col("k")).as("nk")).head()
+      val out = Seq((nTops, nClassic, if (truncated > 0) 1 else 0,
+        agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+        .toDF("n_uuid_tops", "n_classic", "commits_truncated",
+          "n_rows", "sum_cents", "n_keys")
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q269 builder: base export + eq-delete + re-insert (the
     * age-sensitive chain) + a second append, compact, then a

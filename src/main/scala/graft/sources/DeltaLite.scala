@@ -1432,8 +1432,18 @@ object DeltaLite {
   /** Write a parquet checkpoint of the current state plus the
     * `_last_checkpoint` pointer — so readers resolve from ONE parquet
     * + the JSON suffix instead of walking every commit (and old JSON
-    * commits become deletable, Delta's log-retention contract). */
-  def checkpoint(spark: SparkSession, table: String): Long = {
+    * commits become deletable, Delta's log-retention contract).
+    *
+    * `v2Layout = true` emits the spec's V2 checkpoint instead: a
+    * UUID-named top-level file (`n.checkpoint.<uuid>.parquet`)
+    * carrying checkpointMetadata + protocol + metaData + sidecar
+    * actions, with the add rows in a sidecar parquet under
+    * `_delta_log/_sidecars/` — and the protocol row lists the
+    * `v2Checkpoint` table feature the layout requires (readers that
+    * do not speak it must refuse rather than miss the sidecars).
+    * Default unchanged: classic layout. */
+  def checkpoint(spark: SparkSession, table: String,
+                 v2Layout: Boolean = false): Long = {
     import org.apache.spark.sql.Row
     val snap = snapshot(spark, table)
     val logDir = new Path(table, "_delta_log")
@@ -1494,17 +1504,25 @@ object DeltaLite {
         StructField("deletionVector", dvType))))))
     // v3 features only when the state still NEEDS them: a protocol
     // pinned at deletionVectors stays (live DVs re-emit), but a purged
-    // table re-checkpoints at the floor its content requires
+    // table re-checkpoints at the floor its content requires. A v2
+    // checkpoint REQUIRES the table-features protocol with the
+    // v2Checkpoint feature listed — the spec's gate against readers
+    // that would read the top-level file and miss the sidecars.
     val pr = snap.protocol
     val featRow =
-      if (pr.minReader >= 3)
+      if (v2Layout)
+        Row(3, math.max(pr.minWriter, 7),
+          (pr.readerFeatures :+ "v2Checkpoint").distinct,
+          (pr.writerFeatures :+ "v2Checkpoint").distinct)
+      else if (pr.minReader >= 3)
         Row(3, math.max(pr.minWriter, 7),
           pr.readerFeatures, pr.writerFeatures)
       else Row(pr.minReader, pr.minWriter, null, null)
-    val protoRow = Row(featRow, null, null)
-    val metaRow = Row(null, Row("graft-export",
+    val metaInner = Row("graft-export",
       Row("parquet", Map.empty[String, String]), schemaJson,
-      snap.partitionColumns, snap.configuration, 0L), null)
+      snap.partitionColumns, snap.configuration, 0L)
+    val protoRow = Row(featRow, null, null)
+    val metaRow = Row(null, metaInner, null)
     def sizeOf(p: String): Long =
       snap.sizes.getOrElse(p,
         fs.getFileStatus(new Path(table, p)).getLen)
@@ -1518,19 +1536,54 @@ object DeltaLite {
         sizeOf(p), 0L, false,
         snap.stats.get(p).map(_.json).orNull, dvRow))
     }
-    val staging = new Path(logDir, s".cp-staging-${snap.version}")
-    fs.delete(staging, true)
-    spark.createDataFrame(
-        (Seq(protoRow, metaRow) ++ addRows).asJava, cpSchema)
-      .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-    val part = fs.listStatus(staging).toSeq
-      .find(st => st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
-      .getOrElse(throw new IOException("checkpoint write produced no file"))
-    val cpName = f"${snap.version}%020d.checkpoint.parquet"
-    fs.delete(new Path(logDir, cpName), false)
-    if (!fs.rename(part.getPath, new Path(logDir, cpName)))
-      throw new IOException(s"could not install checkpoint $cpName")
-    fs.delete(staging, true)
+    // one staged single-file parquet write, renamed into place
+    def writeOne(rows: Seq[Row], schema: StructType, dest: Path,
+                 tag: String): Unit = {
+      val staging = new Path(logDir, s".cp-staging-$tag-${snap.version}")
+      fs.delete(staging, true)
+      spark.createDataFrame(rows.asJava, schema)
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = fs.listStatus(staging).toSeq
+        .find(st => st.getPath.getName.endsWith(".parquet") &&
+          st.getLen > 0)
+        .getOrElse(throw new IOException(
+          s"checkpoint write produced no file ($tag)"))
+      fs.delete(dest, false)
+      fs.mkdirs(dest.getParent)
+      if (!fs.rename(part.getPath, dest))
+        throw new IOException(s"could not install checkpoint $dest")
+      fs.delete(staging, true)
+    }
+    if (v2Layout) {
+      // sidecar first (the top-level file records its size), then the
+      // UUID-named top with checkpointMetadata + sidecar actions
+      val uuid = java.util.UUID.randomUUID().toString
+      val sideName = s"$uuid.parquet"
+      val sideDest = new Path(new Path(logDir, "_sidecars"), sideName)
+      writeOne(addRows.map(r => Row(r.get(2))),
+        StructType(Seq(cpSchema("add"))), sideDest, "side")
+      val sideLen = fs.getFileStatus(sideDest).getLen
+      val topSchema = StructType(Seq(
+        StructField("checkpointMetadata", StructType(Seq(
+          StructField("version", org.apache.spark.sql.types.LongType)))),
+        cpSchema("protocol"), cpSchema("metaData"),
+        StructField("sidecar", StructType(Seq(
+          StructField("path", org.apache.spark.sql.types.StringType),
+          StructField("sizeInBytes", org.apache.spark.sql.types.LongType),
+          StructField("modificationTime",
+            org.apache.spark.sql.types.LongType))))))
+      val topRows = Seq(
+        Row(Row(snap.version), null, null, null),
+        Row(null, featRow, null, null),
+        Row(null, null, metaInner, null),
+        Row(null, null, null, Row(sideName, sideLen, 0L)))
+      writeOne(topRows, topSchema,
+        new Path(logDir,
+          f"${snap.version}%020d.checkpoint.$uuid.parquet"), "top")
+    } else
+      writeOne(Seq(protoRow, metaRow) ++ addRows, cpSchema,
+        new Path(logDir, f"${snap.version}%020d.checkpoint.parquet"),
+        "classic")
     val tmp = new Path(logDir, "._last_checkpoint.tmp")
     val out = fs.create(tmp, true)
     try out.write(

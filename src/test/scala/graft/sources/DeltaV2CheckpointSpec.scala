@@ -366,4 +366,82 @@ class DeltaV2CheckpointSpec extends AnyFunSuite {
     assert(e.getMessage.contains("futureFeature"),
       s"got: ${e.getMessage}")
   }
+
+  test("v2 checkpoint WRITE mode: native v2Layout lays out UUID top " +
+    "+ sidecar, declares the feature, survives vacuum, folds later " +
+    "commits") {
+    val t = tmp("v2write")
+    DeltaLite.export(spark, df(0, 40), t)
+    DeltaLite.exportAppend(spark, df(40, 60), t)
+    val snap = DeltaLite.snapshot(spark, t)
+    val rel = snap.files.head
+    val positions = spark.read.parquet(new Path(t, rel).toString)
+      .select(col("_metadata.row_index").as("pos"), col("id"))
+      .filter(col("id") % 7 === 0).collect()
+    DeltaLite.commitDeletionVectors(spark, t,
+      Map(rel -> positions.map(_.getLong(0))))
+    val expected = ids(t)
+    val cv = DeltaLite.checkpoint(spark, t, v2Layout = true)
+    val logDir = new Path(t, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // layout: no classic file, one UUID top, non-empty _sidecars
+    assert(!fs.exists(new Path(logDir,
+      f"$cv%020d.checkpoint.parquet")),
+      "v2Layout must not write a classic checkpoint")
+    val tops = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(f"$cv%020d.checkpoint.") &&
+        n.endsWith(".parquet"))
+    assert(tops.length === 1, s"expected one UUID top, got $tops")
+    assert(fs.listStatus(new Path(logDir, "_sidecars")).nonEmpty,
+      "sidecar parquet missing")
+    // the top-level file declares the v2Checkpoint feature + version
+    val top = spark.read.parquet(
+      new Path(logDir, tops.head).toString)
+    assert(top.select("checkpointMetadata.version").na.drop()
+      .collect().map(_.getLong(0)).toSeq === Seq(cv))
+    assert(top.select("protocol.readerFeatures").na.drop()
+      .collect().flatMap(_.getSeq[String](0)).contains("v2Checkpoint"))
+    // resolution through the new layout after vacuum truncates the log
+    val (_, truncated) = DeltaLite.vacuum(spark, t)
+    assert(truncated > 0, "vacuum should truncate pre-checkpoint commits")
+    assert(ids(t) === expected,
+      "v2-layout checkpoint must serve the same masked rows after vacuum")
+    // DV masks survived the sidecar round trip
+    assert(DeltaLite.snapshot(spark, t).deletionVectors.nonEmpty)
+    // the fold continues over post-checkpoint JSON commits
+    DeltaLite.exportAppend(spark, df(100, 110), t)
+    assert(ids(t) === expected ++ (100L until 110L))
+    // and a SECOND v2 checkpoint over the grown state round-trips too
+    val cv2 = DeltaLite.checkpoint(spark, t, v2Layout = true)
+    assert(cv2 > cv)
+    DeltaLite.vacuum(spark, t)
+    assert(ids(t) === expected ++ (100L until 110L))
+  }
+
+  test("v2 checkpoint WRITE mode over a DeltaSync export: the mirror " +
+    "checkpoints v2, vacuums, and still serves the graft table's rows") {
+    import graft.warehouse.{DeltaSync, VersionedParquet}
+    import spark.implicits._
+    val root = tmp("v2sync-graft") + "/t"
+    val mirror = tmp("v2sync-delta")
+    VersionedParquet.publish(
+      (0L until 50L).map(i => (i, i * 3L)).toDF("id", "v"), root,
+      keepVersions = 10)
+    VersionedParquet.delete(spark, root, col("id") % 5 === 0,
+      keepVersions = 10)
+    DeltaSync.exportSync(spark, root, mirror)
+    val expected = VersionedParquet.read(spark, root)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(ids(mirror) === expected, "export-sync must mirror the table")
+    DeltaLite.checkpoint(spark, mirror, v2Layout = true)
+    DeltaLite.vacuum(spark, mirror)
+    assert(ids(mirror) === expected,
+      "v2-checkpointed + vacuumed mirror must still serve the rows")
+    // incremental sync continues over the v2 checkpoint
+    VersionedParquet.append(spark, root,
+      (100L until 110L).map(i => (i, i)).toDF("id", "v"),
+      keepVersions = 10)
+    DeltaSync.exportSync(spark, root, mirror)
+    assert(ids(mirror) === expected ++ (100L until 110L))
+  }
 }

@@ -120,15 +120,16 @@ class FormatFuzzSpec extends AnyFunSuite {
           val to = s"v$step"
           DeltaLite.renameColumn(spark, t, vName, to)
           vName = to
-        case 4 => // checkpoint: no semantic change
-          DeltaLite.checkpoint(spark, t)
+        case 4 => // checkpoint: no semantic change (layout drawn
+          // randomly — classic or the v2 UUID/sidecar layout)
+          DeltaLite.checkpoint(spark, t, v2Layout = rnd.nextBoolean())
         case 5 => // purge DVs: rows identical, descriptors gone
           DeltaLite.purgeDeletionVectors(spark, t)
           assert(DeltaLite.snapshot(spark, t).deletionVectors.isEmpty,
             s"$tag: purge left descriptors")
         case 6 => // checkpoint + vacuum: live state unchanged,
           // history before the checkpoint legitimately gone
-          DeltaLite.checkpoint(spark, t)
+          DeltaLite.checkpoint(spark, t, v2Layout = rnd.nextBoolean())
           DeltaLite.vacuum(spark, t)
           vacuumed = true
       }
