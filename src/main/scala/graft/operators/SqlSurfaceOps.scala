@@ -704,8 +704,79 @@ object SqlSurfaceOps {
              |UNION ALL
              |SELECT 3, count(*), CAST(sum(cents) AS BIGINT),
              |       CAST(sum(k) AS BIGINT) FROM v1
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    // ── COPY INTO (idempotent file-tracked ingestion) as SQL ─────────────
+    // The modern incremental counterpart of the reference's BULK
+    // INSERT bronze loads (load_bronze.sql:22-142): a landing
+    // directory receives batches over time, COPY INTO loads only
+    // files its log has not seen, and redundant re-runs are provable
+    // no-ops (the fixture asserts the typed (loaded, skipped) rows per
+    // run). The gate reads the table after two arrivals + a re-run:
+    // any double-load breaks n_rows and sum_cents; any missed file
+    // breaks them the other way.
+    QueryDef("q272_copy_into",
+      (s, d) => {
+        val root = copyIntoRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy((col("k") % 2).as("parity"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            countDistinct(col("k")).as("n_keys"))
+          .orderBy("parity")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_custkey AS c,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |loaded AS (
+             |  SELECT * FROM o WHERE k % 2 = 0
+             |  UNION ALL
+             |  SELECT * FROM o WHERE k % 2 = 1 AND k % 3 = 0)
+             |SELECT k % 2 AS parity, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(DISTINCT k) AS n_keys
+             |FROM loaded
+             |GROUP BY 1
+             |ORDER BY parity""".stripMargin))
   )
+
+  /** q272 fixture: a landing directory receives parquet batches over
+    * time; COPY INTO runs after each arrival AND redundantly — the
+    * typed rows must show the re-runs loading zero files (the
+    * idempotence contract), and the final table must hold each batch
+    * exactly once. Once per session. */
+  private def copyIntoRoot(s: org.apache.spark.sql.SparkSession,
+                           d: String): String = {
+    val root = Scratch.dir(s, "q272-copy-into")
+    val landing = Scratch.dir(s, "q272-landing")
+    GraftTables.register("graft_q272", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // schema-only v0: COPY INTO targets an existing table
+      VersionedParquet.publish(o.limit(0), root, keepVersions = 20)
+      def land(batch: org.apache.spark.sql.DataFrame, name: String): Unit =
+        batch.coalesce(1).write.mode("overwrite")
+          .parquet(s"$landing/$name")
+      def copy(): (Long, Long) = {
+        val r = GraftSql.sql(s,
+          s"COPY INTO graft_q272 FROM '$landing' " +
+            "FILEFORMAT = parquet").head()
+        (r.getAs[Long]("n_files_loaded"), r.getAs[Long]("n_files_skipped"))
+      }
+      land(o.filter(col("k") % 2 === 0), "batch1")
+      val (l1, s1) = copy()
+      require(l1 == 1L && s1 == 0L, s"q272: first copy ($l1, $s1)")
+      land(o.filter(col("k") % 2 === 1 && col("k") % 3 === 0), "batch2")
+      val (l2, s2) = copy()
+      require(l2 == 1L && s2 == 1L, s"q272: second copy ($l2, $s2)")
+      val (l3, s3) = copy() // no new arrivals: provably a no-op
+      require(l3 == 0L && s3 == 2L, s"q272: re-run must skip ($l3, $s3)")
+    }
+    root
+  }
 
   /** q270 scratch table: publish → SQL INSERT → SQL DELETE → SQL
     * RESTORE TO VERSION AS OF 1; the verb's typed result row is

@@ -163,6 +163,10 @@ private[graft] final case class SqlDescribeBranches(table: String)
 // (q147): exactly one of the two pins is set.
 private[graft] final case class SqlRestore(table: String,
     toVersion: Option[Long], toMillis: Option[Long]) extends GraftDml
+// COPY INTO t FROM '…' FILEFORMAT = parquet|csv [FORMAT_OPTIONS
+// ('k'='v', …)] — idempotent file-tracked bulk ingestion.
+private[graft] final case class SqlCopyInto(table: String, src: String,
+    format: String, options: Map[String, String]) extends GraftDml
 
 object GraftSql {
 
@@ -252,7 +256,23 @@ object GraftSql {
       """VERSION\s+AS\s+OF\s+(\d+)""").r
     val RST = ("""(?is)RESTORE\s+TABLE\s+([A-Za-z_][\w]*)\s+TO\s+""" +
       """TIMESTAMP\s+AS\s+OF\s+'([^']+)'""").r
+    // COPY INTO (Delta's incremental-ingestion verb)
+    val CP = ("""(?is)COPY\s+INTO\s+([A-Za-z_][\w]*)\s+FROM\s+""" +
+      """'([^']+)'\s+FILEFORMAT\s*=\s*([A-Za-z]+)""" +
+      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""").r
+    def optMap(raw: String): Map[String, String] =
+      if (raw == null || raw.trim.isEmpty) Map.empty
+      else raw.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+        val m = """'([^']*)'\s*=\s*'([^']*)'""".r
+        kv match {
+          case m(k, vv) => k -> vv
+          case _ => throw new IllegalArgumentException(
+            s"malformed FORMAT_OPTIONS entry '$kv' — use 'k'='v'")
+        }
+      }.toMap
     val dml = t match {
+      case CP(table, src, fmt, raw) =>
+        Some(SqlCopyInto(table, src, fmt.toLowerCase, optMap(raw)))
       case RSV(table, v) => Some(SqlRestore(table, Some(v.toLong), None))
       case RST(table, raw) =>
         val millis =
@@ -504,7 +524,26 @@ object GraftSql {
         Analyze.maintain(spark, root); root
       case _: SqlDescribeBranches => root // side-effect free; in sql()
       case r: SqlRestore => restoreExec(spark, r)._3
+      case c: SqlCopyInto =>
+        VersionedParquet.copyInto(spark, root, c.src, c.format,
+          c.options, keep)
+        root
     }
+  }
+
+  /** `COPY INTO t FROM '…' FILEFORMAT = …` — one typed row:
+    * (table, n_files_loaded, n_files_skipped, n_rows_inserted). */
+  private[graft] def copyFrame(spark: SparkSession,
+                               c: SqlCopyInto): DataFrame = {
+    val (root, keep) = GraftTables.rootOf(c.table).getOrElse(
+      throw new IllegalStateException(
+        s"table ${c.table} is not registered"))
+    val (nLoaded, nSkipped, nRows) = VersionedParquet.copyInto(
+      spark, root, c.src, c.format, c.options, keep)
+    import spark.implicits._
+    Seq((c.table, nLoaded.toLong, nSkipped.toLong, nRows))
+      .toDF("table", "n_files_loaded", "n_files_skipped",
+        "n_rows_inserted")
   }
 
   /** Resolve and run one RESTORE TABLE statement: returns
@@ -558,6 +597,7 @@ object GraftSql {
       case Some(m: SqlMaintainStats) => maintainFrame(spark, m)
       case Some(b: SqlDescribeBranches) => branchesFrame(spark, b)
       case Some(r: SqlRestore) => restoreFrame(spark, r)
+      case Some(c: SqlCopyInto) => copyFrame(spark, c)
       case Some(dml) => exec(spark, dml); spark.emptyDataFrame
       // same inline time-travel rewrite as the injected parser, so the
       // library-call path (`GraftSql.sql`) and the parser-extension
@@ -1048,6 +1088,23 @@ private[graft] final case class GraftRestoreCommand(dml: SqlRestore)
     GraftSql.restoreFrame(session, dml).collect().toSeq
 }
 
+/** COPY INTO through the injected parser — a command with output rows
+  * (table, n_files_loaded, n_files_skipped, n_rows_inserted), so
+  * plain `spark.sql("COPY INTO t FROM '…' FILEFORMAT = parquet")`
+  * both ingests and reports what it did. */
+private[graft] final case class GraftCopyCommand(dml: SqlCopyInto)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType)(),
+    AttributeReference("n_files_loaded", LongType)(),
+    AttributeReference("n_files_skipped", LongType)(),
+    AttributeReference("n_rows_inserted", LongType)())
+  override def run(session: SparkSession): Seq[Row] =
+    GraftSql.copyFrame(session, dml).collect().toSeq
+}
+
 /** Parser extension: intercepts the four DML verbs against registered
   * versioned tables, rewrites inline time-travel clauses on anything
   * else, and delegates every other statement — and every other parser
@@ -1063,6 +1120,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Some(a: SqlAnalyze) => GraftStatsCommand(a.table, Some(a.cols))
       case Some(ds: SqlDescribeStats) => GraftStatsCommand(ds.table, None)
       case Some(r: SqlRestore) => GraftRestoreCommand(r)
+      case Some(c: SqlCopyInto) => GraftCopyCommand(c)
       case Some(dml) => GraftDmlCommand(dml)
       case None =>
         delegate.parsePlan(GraftSql.rewriteTimeTravel(sqlText))

@@ -2617,6 +2617,79 @@ object VersionedParquet {
       snapshot.toString
     }
 
+  // ── COPY INTO (idempotent file-tracked bulk ingestion) ─────────────
+  //
+  // `root/_COPY_LOG` records every source file a copyInto has loaded
+  // (one qualified path per line). A re-run over the same directory
+  // loads only files the log has not seen — the modern incremental
+  // counterpart of the reference's truncate-and-reload BULK INSERT
+  // (load_bronze.sql:22-142): new landing files append, loaded ones
+  // skip, and the verb is safe to run on a schedule.
+
+  private[warehouse] val COPY_LOG = "_COPY_LOG"
+
+  /** Idempotent bulk ingestion (Delta's COPY INTO): append every data
+    * file under `src` that the table's copy log has not recorded, as
+    * ONE commit, then record them. Returns
+    * (files loaded, files skipped, rows inserted).
+    *
+    * CSV reads use the table's PHYSICAL base schema (the bronze
+    * contract: explicit schema, never inference) plus `options`
+    * (header handling etc.); parquet reads carry their own schema and
+    * `append` validates it against the base footer. The log update
+    * lands AFTER the commit: a crash inside that window re-loads the
+    * batch on retry (duplicates a `merge` can repair) — the
+    * alternative order would mark files loaded that never landed,
+    * which is silent data loss. */
+  def copyInto(spark: SparkSession, root: String, src: String,
+               format: String = "parquet",
+               options: Map[String, String] = Map.empty,
+               keepVersions: Int = 2): (Int, Int, Long) = {
+    val ext = format.toLowerCase match {
+      case "parquet" => ".parquet"
+      case "csv" => ".csv"
+      case other => throw new IOException(
+        s"COPY INTO supports FILEFORMAT parquet or csv; got $other")
+    }
+    val rootPath = new Path(root)
+    val srcPath = new Path(src)
+    val fs = fsOf(spark, srcPath)
+    if (!fs.exists(srcPath))
+      throw new IOException(s"COPY INTO source $src does not exist")
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".") || name.startsWith("_")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (name.endsWith(ext)) Seq(st.getPath)
+        else Nil
+      }
+    val all = walk(srcPath).map(p => fs.makeQualified(p).toString).sorted
+    val logP = new Path(rootPath, COPY_LOG)
+    val loaded = readPointer(spark, logP)
+      .map(_.split('\n').filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val fresh = all.filterNot(loaded)
+    if (fresh.isEmpty) return (0, all.size, 0L)
+    val v = currentVersion(spark, root).getOrElse(
+      throw new IOException(s"no published version under $root — " +
+        "COPY INTO targets an existing table; publish its schema first"))
+    val batch = ext match {
+      case ".parquet" => spark.read.parquet(fresh: _*)
+      case _ =>
+        // explicit schema from the physical base — schema-on-write,
+        // exactly the bronze CSV contract (no inference, ever)
+        val baseSchema = spark.read.parquet(
+          new Path(rootPath, baseNameOf(spark, root, v)).toString).schema
+        spark.read.options(options).schema(baseSchema).csv(fresh: _*)
+    }
+    val nRows = batch.count()
+    append(spark, root, batch, keepVersions)
+    installPointer(spark, rootPath, COPY_LOG,
+      (loaded ++ fresh).toSeq.sorted.mkString("\n"))
+    (fresh.size, all.size - fresh.size, nRows)
+  }
+
   /** Searched UPDATE (the `UPDATE t SET c = expr WHERE pred` verb —
     * predicate-matched, not keyed like `merge`): publishes version N+1
     * as a merge-on-read overlay where every LIVE row matching

@@ -626,6 +626,65 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally GraftTables.unregister("t_restore")
   }
 
+  test("COPY INTO as SQL: incremental file-tracked loads, re-run is a " +
+    "no-op, CSV uses the table schema, refusals") {
+    import spark.implicits._
+    val root = tmp("copy")
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-sql-copy-landing").toString
+    GraftTables.register("t_copy", root, keepVersions = 50)
+    try {
+      // schema-only target
+      VersionedParquet.publish(
+        Seq.empty[(Long, String, Long)].toDF("id", "g", "x"), root,
+        keepVersions = 50)
+      (0L until 40L).map(i => (i, s"g${i % 3}", i * 10))
+        .toDF("id", "g", "x").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/b1")
+      val r1 = GraftSql.sql(spark,
+        s"COPY INTO t_copy FROM '$landing' FILEFORMAT = parquet").head()
+      assert(r1.getAs[Long]("n_files_loaded") === 1L)
+      assert(r1.getAs[Long]("n_rows_inserted") === 40L)
+      // re-run: provably a no-op
+      val r2 = GraftSql.sql(spark,
+        s"COPY INTO t_copy FROM '$landing' FILEFORMAT = parquet").head()
+      assert(r2.getAs[Long]("n_files_loaded") === 0L)
+      assert(r2.getAs[Long]("n_files_skipped") === 1L)
+      assert(VersionedParquet.read(spark, root).count() === 40L)
+      // a new arrival loads alone
+      (100L until 110L).map(i => (i, "gx", i)).toDF("id", "g", "x")
+        .coalesce(1).write.mode("overwrite").parquet(s"$landing/b2")
+      val r3 = GraftSql.sql(spark,
+        s"COPY INTO t_copy FROM '$landing' FILEFORMAT = parquet").head()
+      assert(r3.getAs[Long]("n_files_loaded") === 1L)
+      assert(r3.getAs[Long]("n_files_skipped") === 1L)
+      assert(VersionedParquet.read(spark, root).count() === 50L)
+      // CSV: explicit table schema (never inference), header honored
+      val csvDir = java.nio.file.Files
+        .createTempDirectory("graft-sql-copy-csv").toString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(csvDir, "rows.csv"),
+        "id,g,x\n200,gc,1\n201,gc,2\n".getBytes("UTF-8"))
+      val r4 = GraftSql.sql(spark,
+        s"COPY INTO t_copy FROM '$csvDir' FILEFORMAT = csv " +
+          "FORMAT_OPTIONS ('header'='true')").head()
+      assert(r4.getAs[Long]("n_rows_inserted") === 2L)
+      val gc = VersionedParquet.read(spark, root)
+        .filter(col("g") === "gc").select("id", "x")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gc === Set((200L, 1L), (201L, 2L)))
+      // refusals: unknown format, missing source, unregistered table
+      val eF = intercept[Exception](GraftSql.sql(spark,
+        s"COPY INTO t_copy FROM '$landing' FILEFORMAT = orc"))
+      assert(eF.getMessage.contains("parquet or csv"))
+      val eS = intercept[Exception](GraftSql.sql(spark,
+        s"COPY INTO t_copy FROM '/nonexistent-xyz' FILEFORMAT = parquet"))
+      assert(eS.getMessage.contains("does not exist"))
+      assert(GraftSql.parseDml(
+        s"COPY INTO nobody FROM '$landing' FILEFORMAT = parquet").isEmpty)
+    } finally GraftTables.unregister("t_copy")
+  }
+
   test("RESTORE TABLE through the injected parser returns the typed row") {
     val root = tmp("restore-ext")
     seed(root)
