@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.{col, concat, count, countDistinct, lit, round, sum, when}
+import org.apache.spark.sql.functions.{col, concat, count, countDistinct, lit, max, min, round, sum, when}
 
 import graft.plans.GraftFunctions
 import graft.sources.{QueryDef, Scratch, Tables}
@@ -738,8 +738,98 @@ object SqlSurfaceOps {
              |       count(DISTINCT k) AS n_keys
              |FROM loaded
              |GROUP BY 1
-             |ORDER BY parity""".stripMargin))
+             |ORDER BY parity""".stripMargin)),
+
+    // ── GENERATED ALWAYS AS IDENTITY (writer-assigned ids) as SQL ────────
+    // The reference's surrogate-key pattern (W2) as a TABLE contract:
+    // the writer assigns each append a contiguous id block from a
+    // persisted high-water mark, supplied values and UPDATE SET
+    // reject, and OPTIMIZE must carry the assignments through its
+    // rewrite. Per-row id↔row pairing is partition-order (documented,
+    // like every engine's identity), but the assigned SET is exact:
+    // two inserts of n1 and n2 rows hold ids 0..n1+n2-1 precisely, so
+    // count/distinct/min/max/sum of the id column are all
+    // deterministic and the oracle states them in closed form.
+    QueryDef("q273_identity_column",
+      (s, d) => {
+        val root = identityRoot(s, d)
+        VersionedParquet.read(s, root).agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("rid")).as("n_ids"),
+          min(col("rid")).as("min_rid"),
+          max(col("rid")).as("max_rid"),
+          sum(col("rid")).cast("long").as("sum_rid"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |ins AS (
+             |  SELECT * FROM o WHERE k % 2 = 0
+             |  UNION ALL
+             |  SELECT * FROM o WHERE k % 5 = 1),
+             |upd AS (
+             |  SELECT k, CASE WHEN k % 3 = 0 THEN cents + 7
+             |                 ELSE cents END AS cents FROM ins),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM ins)
+             |SELECT (SELECT c FROM n) AS n_rows,
+             |       (SELECT c FROM n) AS n_ids,
+             |       CAST(0 AS BIGINT) AS min_rid,
+             |       (SELECT c - 1 FROM n) AS max_rid,
+             |       (SELECT c * (c - 1) // 2 FROM n) AS sum_rid,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM upd""".stripMargin))
   )
+
+  /** q273 fixture: empty publish → ALTER ADD … GENERATED ALWAYS AS
+    * IDENTITY → two SQL INSERT batches (contiguous id blocks) →
+    * supplied-id and SET-id rejections → a source-column UPDATE (ids
+    * carried) → OPTIMIZE (publish-path id validation). Once per
+    * session. */
+  private def identityRoot(s: org.apache.spark.sql.SparkSession,
+                           d: String): String = {
+    val root = Scratch.dir(s, "q273-identity")
+    GraftTables.register("graft_q273", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.limit(0), root, keepVersions = 20)
+      Tables.orders(s, d).createOrReplaceTempView("q273_orders")
+      GraftSql.sql(s, "ALTER TABLE graft_q273 ADD COLUMN rid BIGINT " +
+        "GENERATED ALWAYS AS IDENTITY")
+      GraftSql.sql(s, "INSERT INTO graft_q273 " +
+        "SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+        "FROM q273_orders WHERE o_orderkey % 2 = 0")
+      GraftSql.sql(s, "INSERT INTO graft_q273 " +
+        "SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+        "FROM q273_orders WHERE o_orderkey % 5 = 1")
+      def mustReject(sql: String): Unit = {
+        val vBefore = VersionedParquet.currentVersion(s, root)
+        try {
+          GraftSql.sql(s, sql)
+          throw new IllegalStateException(
+            s"q273: statement should have been rejected: $sql")
+        } catch {
+          case _: java.io.IOException | _: IllegalArgumentException => ()
+        }
+        require(VersionedParquet.currentVersion(s, root) == vBefore,
+          "q273: rejected statement must leave the table untouched")
+      }
+      mustReject("INSERT INTO graft_q273 " +
+        "SELECT o_orderkey AS k, CAST(0 AS BIGINT) AS cents, " +
+        "CAST(999999 AS BIGINT) AS rid " +
+        "FROM q273_orders WHERE o_orderkey % 7 = 0")
+      mustReject("UPDATE graft_q273 SET rid = 0 WHERE k % 2 = 0")
+      GraftSql.sql(s,
+        "UPDATE graft_q273 SET cents = cents + 7 WHERE k % 3 = 0")
+      GraftSql.sql(s, "OPTIMIZE graft_q273")
+    }
+    root
+  }
 
   /** q272 fixture: a landing directory receives parquet batches over
     * time; COPY INTO runs after each arrival AND redundantly — the

@@ -167,6 +167,10 @@ private[graft] final case class SqlRestore(table: String,
 // ('k'='v', …)] — idempotent file-tracked bulk ingestion.
 private[graft] final case class SqlCopyInto(table: String, src: String,
     format: String, options: Map[String, String]) extends GraftDml
+// ALTER TABLE t ADD COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY —
+// writer-assigned monotonic unique ids (empty-table declaration).
+private[graft] final case class SqlAddIdentity(table: String,
+    col: String) extends GraftDml
 
 object GraftSql {
 
@@ -270,9 +274,13 @@ object GraftSql {
             s"malformed FORMAT_OPTIONS entry '$kv' — use 'k'='v'")
         }
       }.toMap
+    val AI = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+""" +
+      """COLUMN\s+([A-Za-z_][\w]*)\s+BIGINT\s+GENERATED\s+ALWAYS\s+""" +
+      """AS\s+IDENTITY""").r
     val dml = t match {
       case CP(table, src, fmt, raw) =>
         Some(SqlCopyInto(table, src, fmt.toLowerCase, optMap(raw)))
+      case AI(table, colName) => Some(SqlAddIdentity(table, colName))
       case RSV(table, v) => Some(SqlRestore(table, Some(v.toLong), None))
       case RST(table, raw) =>
         val millis =
@@ -527,6 +535,9 @@ object GraftSql {
       case c: SqlCopyInto =>
         VersionedParquet.copyInto(spark, root, c.src, c.format,
           c.options, keep)
+        root
+      case SqlAddIdentity(_, colName) =>
+        VersionedParquet.addIdentityColumn(spark, root, colName)
         root
     }
   }

@@ -633,6 +633,27 @@ object VersionedParquet {
             val c = org.apache.spark.sql.functions.expr(g)
             d.withColumn(n, extT.get(n).map(c.cast).getOrElse(c)) }
       }
+    // identity tables: a wholesale publish (compact/OPTIMIZE route
+    // here) must CARRY the column with ids that are unique and below
+    // the high-water mark — dropping it loses assignments; importing
+    // colliding or future ids breaks the uniqueness contract
+    identityRules(spark, root).foreach { case (name, mark) =>
+      if (!dfGen.columns.exists(_.equalsIgnoreCase(name)))
+        throw new IOException(s"publish rejected: $root has identity " +
+          s"column $name and the incoming frame lacks it — a reload " +
+          "that drops assigned ids loses the identity contract")
+      import org.apache.spark.sql.functions.{col, count, countDistinct, max}
+      val r = dfGen.agg(count(col(name)), countDistinct(col(name)),
+        max(col(name))).head()
+      val (n, nd) = (r.getLong(0), r.getLong(1))
+      if (n != nd)
+        throw new IOException(s"publish rejected: identity column " +
+          s"$name has ${n - nd} duplicated value(s)")
+      if (n > 0 && r.getLong(2) >= mark)
+        throw new IOException(s"publish rejected: identity column " +
+          s"$name carries id ${r.getLong(2)} at or above the " +
+          s"high-water mark $mark — ids are writer-assigned")
+    }
     val writer = dfGen.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(snapshot.toString)
@@ -1363,6 +1384,95 @@ object VersionedParquet {
         kept.map { case (n, g) => s"$n\t$g" }.mkString("\n"))
     }
 
+  // ── identity columns (GENERATED ALWAYS AS IDENTITY) ────────────────
+  //
+  // `root/_SCHEMA_IDENTITY` holds one `name \t nextValue` line per
+  // identity column: a BIGINT the WRITER assigns — each append takes
+  // the contiguous block [next, next + batchRows) and advances the
+  // high-water mark BEFORE its data lands (inside the writer lock),
+  // so a crash mid-commit burns a gap but can never reuse an id
+  // (exactly the spec's allowance: monotonic and unique, not gap-
+  // free). Batches may not supply the column (GENERATED ALWAYS),
+  // UPDATE may not SET it, and the keyed writes (merge/upsert)
+  // refuse on identity tables — assignment semantics for the insert
+  // half of a merge are a contract this format does not promise.
+  // Declared while the table is EMPTY (the CREATE-time contract;
+  // backfilling ids onto existing rows would have to invent an
+  // order).
+
+  private[warehouse] val SCHEMA_IDENTITY = "_SCHEMA_IDENTITY"
+
+  /** Identity rules: (column, next value to assign). */
+  private[warehouse] def identityRules(spark: SparkSession,
+      root: String): Seq[(String, Long)] =
+    readPointer(spark, new Path(root, SCHEMA_IDENTITY))
+      .map(_.split('\n').filter(_.nonEmpty).toSeq.map { l =>
+        val i = l.indexOf('\t')
+        (l.substring(0, i), l.substring(i + 1).toLong)
+      }).getOrElse(Nil)
+
+  /** Declare `name` as a BIGINT identity column on an EMPTY table:
+    * publishes the (still-empty) schema with the column physical and
+    * installs the high-water mark at 0. */
+  def addIdentityColumn(spark: SparkSession, root: String,
+                        name: String): Unit =
+    withWriterLock(spark, root) {
+      val live = read(spark, root)
+      require(!live.columns.exists(_.equalsIgnoreCase(name)),
+        s"column $name already exists on $root")
+      if (!live.isEmpty)
+        throw new IOException(s"cannot add identity column $name to " +
+          s"$root: the table has rows and identity values are " +
+          "assigned at write time — declare the column while the " +
+          "table is empty (the CREATE-time contract)")
+      publish(live.withColumn(name,
+          org.apache.spark.sql.functions.lit(null).cast("long"))
+        .limit(0), root, keepVersions = 10)
+      val prior = readPointer(spark, new Path(root, SCHEMA_IDENTITY))
+        .map(_ + "\n").getOrElse("")
+      installPointer(spark, new Path(root), SCHEMA_IDENTITY,
+        prior + s"$name\t0")
+    }
+
+  /** Assign identity values to an incoming batch: reject a supplied
+    * identity column, then attach the contiguous block per rule and
+    * advance the mark (called under the writer lock from `append`).
+    * Within the batch, ids follow partition order (zipWithIndex) —
+    * distributed, one extra pass for the count, no driver-side
+    * rows. */
+  private[warehouse] def applyIdentity(spark: SparkSession, root: String,
+      baseSchema: org.apache.spark.sql.types.StructType, rows: DataFrame,
+      verb: String): DataFrame = {
+    val rules = identityRules(spark, root)
+      .filter { case (n, _) => baseSchema.fieldNames.contains(n) }
+    if (rules.isEmpty) rows
+    else {
+      val have = rows.columns.map(_.toLowerCase).toSet
+      val supplied = rules.filter { case (n, _) => have(n.toLowerCase) }
+      if (supplied.nonEmpty)
+        throw new IOException(s"$verb rejected: identity column(s) " +
+          supplied.map(_._1).mkString(", ") + " are GENERATED ALWAYS " +
+          "AS IDENTITY — the writer assigns them; omit the column")
+      val n = rows.count()
+      val assigned = rules.foldLeft(rows) { case (d, (name, next)) =>
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val rdd = d.rdd.zipWithIndex().map { case (r, i) =>
+          Row.fromSeq(r.toSeq :+ (next + i)) }
+        spark.createDataFrame(rdd,
+          StructType(d.schema.fields :+ StructField(name, LongType)))
+      }
+      // advance the marks BEFORE the data lands: crash ⇒ gap, never
+      // a reused id
+      installPointer(spark, new Path(root), SCHEMA_IDENTITY,
+        identityRules(spark, root).map { case (name, next) =>
+          if (rules.exists(_._1 == name)) s"$name\t${next + n}"
+          else s"$name\t$next"
+        }.mkString("\n"))
+      assigned
+    }
+  }
+
   // ── row-filter / column-mask access policies ───────────────────────
   //
   // The governance tier (Databricks row filters + column masks, the
@@ -1681,6 +1791,16 @@ object VersionedParquet {
             keepVersions: Int, markers: Map[String, String]): String = {
     import org.apache.spark.sql.functions.{col, count, lit}
     requireNoPendingSchemaMap(spark, root, "MERGE/upsert")
+    // identity tables refuse keyed writes: the insert half would need
+    // assignment semantics (and the update half id-stability proofs)
+    // this format does not promise — append/COPY INTO are the
+    // identity-assigning writes
+    if (identityRules(spark, root).nonEmpty)
+      throw new IOException(s"MERGE/upsert on $root refused: the " +
+        "table has GENERATED ALWAYS AS IDENTITY column(s) " +
+        s"${identityRules(spark, root).map(_._1).mkString(", ")}; " +
+        "identity assignment is an append-path contract — use " +
+        "append/INSERT INTO/COPY INTO")
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root"))
     val rootPath = new Path(root)
@@ -2569,7 +2689,9 @@ object VersionedParquet {
       val baseSchema = spark.read.parquet(new Path(rootPath, base).toString)
         .schema
       val baseCols = baseSchema.fieldNames.toSeq
-      val gen = applyGeneration(spark, root, baseSchema, rows, "append")
+      val gen = applyIdentity(spark, root, baseSchema,
+        applyGeneration(spark, root, baseSchema, rows, "append"),
+        "append")
       val extra = gen.columns.filterNot(baseCols.contains)
       if (extra.nonEmpty)
         throw new IOException(s"append cannot add columns " +
@@ -2734,6 +2856,14 @@ object VersionedParquet {
         throw new IOException("UPDATE cannot SET generated column(s) " +
           s"${setGen.mkString(",")}; the GENERATED ALWAYS AS rule owns " +
           "their value")
+      // identity columns: SET is refused the same way (the writer
+      // owns the value; post-images carry it through unchanged)
+      val setId = sets.keys.filter(k =>
+        identityRules(spark, root).exists(_._1.equalsIgnoreCase(k)))
+      if (setId.nonEmpty)
+        throw new IOException("UPDATE cannot SET identity column(s) " +
+          s"${setId.mkString(",")}; GENERATED ALWAYS AS IDENTITY — " +
+          "the writer owns their value")
       def applySets(df: DataFrame): DataFrame = {
         val updated = sets.foldLeft(df) { case (d, (c, e)) =>
           d.withColumn(c, e) }
