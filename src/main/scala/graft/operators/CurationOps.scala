@@ -286,6 +286,51 @@ object CurationOps {
              |GROUP BY lang
              |ORDER BY lang""".stripMargin)),
 
+    // ── Chunk MATERIALIZATION: the RAG ingestion op itself ───────────────
+    // q76 costs the split; this one PRODUCES the chunk rows a
+    // retrieval pipeline embeds: per doc, overlapping token windows
+    // (W=64, stride S=48) with the chunk index, its token count, and
+    // the md5 of the joined chunk text — content-exact, so a window
+    // that is one token off, a dropped last chunk, or a wrong overlap
+    // breaks the hash against DuckDB's 1-based list slicing. One
+    // generate per doc (sequence + explode), no shuffle until the
+    // ORDER BY: at 100 TB this is a pure map-side expansion whose
+    // output partitioning follows the input.
+    QueryDef("q275_chunk_materialize",
+      (s, d) => {
+        val W = 64; val S = 48
+        val nChunks = (lit(1L) + call_function("div",
+          greatest(size(col("toks")).cast("long") - W, lit(0L)) +
+            (S - 1), lit(S.toLong))).cast("int")
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("ci", explode(sequence(lit(0), nChunks - 1)))
+          .select(col("doc_id"), col("ci").as("chunk_idx"),
+            slice(col("toks"), col("ci") * S + 1, lit(W)).as("w"))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(col("w")).as("n_toks"),
+            md5(array_join(col("w"), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, $TOKS AS toks FROM documents),
+             |c AS (
+             |  SELECT doc_id, toks,
+             |         1 + (greatest(len(toks) - 64, 0) + 47) // 48
+             |           AS nc
+             |  FROM t),
+             |e AS (
+             |  SELECT doc_id, toks, unnest(range(nc)) AS ci FROM c),
+             |w AS (
+             |  SELECT doc_id, ci AS chunk_idx,
+             |         toks[ci * 48 + 1 : ci * 48 + 64] AS w
+             |  FROM e)
+             |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             |       CAST(len(w) AS INT) AS n_toks,
+             |       md5(array_to_string(w, ' ')) AS chunk_md5
+             |FROM w
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
     // ── Hashed linear quality classifier (fastText-style inference) ───────
     // The quality-model scoring pass of a curation run: tokens hash
     // into F=64 feature buckets (feature hashing — Weinberger et al.

@@ -1091,7 +1091,55 @@ object TextOps {
              |       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams
              |FROM ranked
              |GROUP BY 1, 2
-             |ORDER BY lang, bucket""".stripMargin))
+             |ORDER BY lang, bucket""".stripMargin)),
+
+    // ── Unicode normalization (NFC + control strip) ──────────────────────
+    // The ftfy-lite ingestion-cleaning stage: NFC canonical
+    // composition (so byte-identical text dedups byte-identically)
+    // plus a C0/C1 control strip keeping \n and \t — run as the
+    // native codegen'd [[graft.functions.TextNormalize]] kernel with
+    // an ASCII fast path that returns clean input untouched. The
+    // fixture INJECTS a decomposed accent (e + U+0301) and a BEL into
+    // every document, so the gate is non-vacuous: per lang it pins
+    // the normalized length sum, the raw-minus-normalized delta
+    // (composition must save exactly the combining mark, the strip
+    // exactly the BEL), and the count of docs whose normalized text
+    // now ends in the COMPOSED é. DuckDB's nfc_normalize implements
+    // the same Unicode tables, which is what lets the oracle state
+    // the op declaratively.
+    QueryDef("q274_text_normalize",
+      (s, d) => {
+        val raw = concat(col("text"), lit("e\u0301\u0007"))
+        Tables.documents(s, d)
+          .select(col("lang"), raw.as("raw"),
+            graft.functions.TextNormalize(raw).as("norm"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("norm"))).cast("long").as("sum_len_norm"),
+            sum(length(col("raw")) - length(col("norm")))
+              .cast("long").as("sum_delta"),
+            sum(when(col("norm").endsWith("\u00e9"), 1L)
+              .otherwise(0L)).cast("long").as("n_composed"))
+          .orderBy("lang")
+      },
+      Some("""WITH raw AS (
+             |  SELECT lang, text || 'e' || chr(769) || chr(7) AS raw
+             |  FROM documents),
+             |n AS (
+             |  SELECT lang, raw,
+             |         regexp_replace(nfc_normalize(raw),
+             |           '[\x00-\x08\x0B-\x1F\x7F-\x9F]', '', 'g')
+             |           AS norm
+             |  FROM raw)
+             |SELECT lang, count(*) AS n_docs,
+             |       CAST(sum(length(norm)) AS BIGINT) AS sum_len_norm,
+             |       CAST(sum(length(raw) - length(norm)) AS BIGINT)
+             |         AS sum_delta,
+             |       CAST(sum(CASE WHEN norm LIKE '%' || chr(233)
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS n_composed
+             |FROM n
+             |GROUP BY 1
+             |ORDER BY lang""".stripMargin))
   )
 
   /** q223 builder: the training corpus (docs outside both benchmark
