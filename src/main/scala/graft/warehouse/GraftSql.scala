@@ -36,8 +36,10 @@ import org.apache.spark.sql.types.StructType
   * Each verb routes to the corresponding versioned-format write —
   * UPDATE → `updateWhere`, DELETE → `delete`, INSERT INTO →
   * `append`, MERGE → `merge`/`upsert`, plus the maintenance verbs
-  * OPTIMIZE → `compact` and `VACUUM [RETAIN n VERSIONS]` →
-  * `vacuum` — so SQL callers get the same
+  * OPTIMIZE → `compact`, `VACUUM [RETAIN n VERSIONS]` → `vacuum`,
+  * `RESTORE TABLE … TO VERSION|TIMESTAMP AS OF` → `restore`, and
+  * `COPY INTO … FILEFORMAT = parquet|csv` → `copyInto` (idempotent
+  * file-tracked ingestion) — so SQL callers get the same
   * O(changes) merge-on-read commits, CHECK enforcement, change feed,
   * and locking as Scala callers; nothing is reimplemented. The
   * supported MERGE shape is the upsert/delete idiom
