@@ -3045,8 +3045,104 @@ object VersionOps {
              |       CAST(count(*) AS BIGINT) AS n_rows,
              |       CAST(sum(cents) AS BIGINT) AS sum_cents,
              |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+             |FROM live""".stripMargin)),
+
+    // q276 — Iceberg v3 FULL WRITE LIFECYCLE: after the Puffin-DV
+    // upgrade, appends and equality deletes keep working (v3-legal
+    // writes re-emitting v3 metadata — an upgraded table is not
+    // read-mostly), interleaved with a second DV commit targeting the
+    // POST-upgrade appended file. The chain exercises every ordering
+    // rule at once: the pre-upgrade DV keeps masking its base
+    // positions, the eq-delete masks all OLDER files (base survivors
+    // AND the v3 append), and the final DV masks appended rows the
+    // eq-delete spared. format_version is pinned at 3 in the output —
+    // an append that silently downgraded the table breaks the gate
+    // before any row math does. Oracle replays the algebra.
+    QueryDef("q276_iceberg_v3_lifecycle",
+      (s, d) => s.read.parquet(icebergV3LifecyclePath(s, d)),
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |b AS (SELECT k, cents FROM o WHERE k % 4 = 0),
+             |a AS (SELECT k, cents + 5 AS cents FROM o
+             |      WHERE k % 4 = 1 AND k % 7 = 0),
+             |live AS (
+             |  SELECT * FROM b WHERE k % 10 <> 6 AND k % 3 <> 0
+             |  UNION ALL
+             |  SELECT * FROM a WHERE k % 3 <> 0 AND k % 11 <> 1)
+             |SELECT 3 AS format_version,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys
              |FROM live""".stripMargin))
   )
+
+  /** q276 builder: export → DV upgrade → v3 APPEND → v3 equality
+    * delete → second DV on the appended file → read; asserts the
+    * metadata stayed format-version 3 across the v3 writes. Once per
+    * session. */
+  private def icebergV3LifecyclePath(s: SparkSession,
+                                     dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q276-icev3-life")
+    val outPath = Scratch.dir(s, "q276-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      import s.implicits._
+      val o = Tables.orders(s, dir).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      IcebergLite.export(s,
+        o.filter(col("k") % 4 === 0).coalesce(1), table)
+      def posOf(files: Seq[String], pred: Column): Map[String, Array[Long]] =
+        s.read.parquet(files: _*)
+          .select(col("_metadata.file_path").as("fp"),
+            col("_metadata.row_index").as("pos"), col("k"))
+          .filter(pred).collect()
+          .groupBy(_.getString(0))
+          .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+          .filter(_._2.nonEmpty)
+      val baseFiles = IcebergLite.snapshot(s, table).files
+      // DV upgrade: mask k%10==6 out of the base file
+      IcebergLite.exportDeletionVectors(s, table,
+        posOf(baseFiles, col("k") % 10 === 6))
+      def fv: Int = {
+        val hint = java.nio.file.Paths.get(table, "metadata",
+          "version-hint.text")
+        val v = new String(java.nio.file.Files.readAllBytes(hint),
+          "UTF-8").trim
+        val meta = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(table, "metadata",
+            s"v$v.metadata.json")), "UTF-8")
+        """"format-version"\s*:\s*(\d)""".r.findFirstMatchIn(meta)
+          .map(_.group(1).toInt).getOrElse(-1)
+      }
+      require(fv == 3, s"q276: DV commit must upgrade to v3, got $fv")
+      // v3 APPEND — must re-emit v3 metadata, not downgrade
+      IcebergLite.appendManifest(s,
+        o.filter(col("k") % 4 === 1 && col("k") % 7 === 0)
+          .select(col("k"), (col("cents") + 5).as("cents"))
+          .coalesce(1), table)
+      require(fv == 3, s"q276: append downgraded the table to v$fv")
+      val afterAppend = IcebergLite.snapshot(s, table).files
+      val appended = afterAppend.filterNot(baseFiles.toSet)
+      require(appended.nonEmpty, "q276: append added no files")
+      // v3 equality delete — masks base survivors AND the append
+      IcebergLite.exportEqualityDeletes(s,
+        o.filter(col("k") % 3 === 0).select("k").coalesce(1), table)
+      require(fv == 3, s"q276: eq-delete downgraded the table to v$fv")
+      // second DV, targeting the APPENDED file's rows
+      val dv2 = posOf(appended, col("k") % 11 === 1)
+      if (dv2.nonEmpty) IcebergLite.exportDeletionVectors(s, table, dv2)
+      val agg = IcebergLite.read(s, table)
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("c"),
+          countDistinct(col("k")).as("nk")).head()
+      val out = Seq((fv, agg.getLong(0), agg.getLong(1), agg.getLong(2)))
+        .toDF("format_version", "n_rows", "sum_cents", "n_keys")
+      AtomicParquet.overwrite(out, outPath)
+    }
+    outPath
+  }
 
   /** q271 builder: export + DV-delete + NATIVE v2-layout checkpoint +
     * vacuum + post-checkpoint append; audits the layout beside the

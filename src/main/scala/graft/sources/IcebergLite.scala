@@ -1791,10 +1791,11 @@ object IcebergLite {
     * becomes a `deletion-vector-v1` blob in ONE Puffin file
     * ([[PuffinLite]]), listed by a delete manifest whose entries
     * carry the v3 locator fields, and the table's metadata advances
-    * to format-version 3 (a one-way upgrade this writer otherwise
-    * refuses to touch — the minimal v3 writer surface, enough to
-    * produce conformance fixtures and serve the most likely foreign
-    * refusal). A file that already carries a DV gets the MERGE the
+    * to format-version 3 (a one-way upgrade; after it, appends and
+    * equality deletes keep working — they re-emit v3 metadata — while
+    * position-delete FILES and rewriteManifests refuse by name, per
+    * the v3 spec and this writer's locator-field honesty).
+    * A file that already carries a DV gets the MERGE the
     * spec requires: new blob = old positions ∪ new (the reader
     * resolves superseded carried entries by highest sequence).
     * Returns the new snapshot id. */
@@ -2165,16 +2166,17 @@ object IcebergLite {
     val v = readText(spark, hint).trim.toLong
     val meta = mapper.readTree(readText(spark,
       new Path(metaDir, s"v$v.metadata.json")))
-    // the v2 writer must not DOWNGRADE a v3 table (its metadata may
-    // carry v3-only state the rewrite below would drop); only the DV
-    // commit path (formatVersion 3) operates on v3 tables
+    // never DOWNGRADE: a delta snapshot on a v3 table re-emits v3
+    // metadata (append and equality-delete are both legal v3 writes —
+    // the carried DV manifests keep applying to their older files);
+    // anything newer than v3 refuses, matching the read gate
     val priorFv = Option(meta.get("format-version"))
       .map(_.asInt).getOrElse(1)
-    if (priorFv > 2 && formatVersion < 3)
-      throw new IOException(s"cannot append to $location: table is " +
-        s"format-version $priorFv and this writer emits v2 metadata " +
-        "— a rewrite would downgrade it; only deletion-vector " +
-        "commits operate on v3 tables here")
+    if (priorFv > 3)
+      throw new IOException(s"cannot write to $location: " +
+        s"format-version $priorFv exceeds the supported 1-3; refusing " +
+        "rather than corrupt")
+    val effFv = math.max(formatVersion, priorFv)
     val prevSnaps = Option(meta.get("snapshots"))
       .map(_.elements().asScala.map(_.toString).toSeq).getOrElse(Nil)
     val currentSnapId = Option(meta.get("current-snapshot-id"))
@@ -2247,7 +2249,7 @@ object IcebergLite {
     val allSnaps = prevSnaps :+ snapJson
     val metaJson =
       s"""{
-         |  "format-version": ${math.max(2, formatVersion)},
+         |  "format-version": ${math.max(2, effFv)},
          |  "table-uuid": "00000000-0000-0000-0000-${"%012d".format(0)}",
          |  "location": ${mapper.writeValueAsString(location)},
          |  "last-sequence-number": $snapId,

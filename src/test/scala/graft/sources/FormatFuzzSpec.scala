@@ -288,16 +288,18 @@ class FormatFuzzSpec extends AnyFunSuite {
   /** v3 chains: the full op alphabet {append, position delete,
     * equality delete, upsert, rewriteManifests, Puffin DV commit,
     * expire} interleaved in one chain. The chain starts v2; the first
-    * DV commit upgrades it (one-way), after which the v2-only writers
-    * must REFUSE BY NAME with the table untouched — asserted at every
-    * post-upgrade attempt, so the refusal matrix is fuzzed alongside
-    * the data path. The decisive interaction class (the r11 lesson):
-    * pre-upgrade eq/pos delete files must keep masking rows AFTER the
-    * upgrade, in combination with DVs, compacted manifests, and
-    * snapshot expiry; every step re-reads through the full protocol
-    * walk and checks live==model. Chains that never drew a DV op take
-    * a forced DV commit + expire at the end, so every chain is
-    * v3-bearing by construction. */
+    * DV commit upgrades it (one-way). POST-upgrade, append / equality
+    * delete / upsert stay ACTIVE (v3-legal writes re-emitting v3
+    * metadata), while position-delete FILES and rewriteManifests must
+    * REFUSE BY NAME with the table untouched — so both the live v3
+    * write matrix and the refusal matrix are fuzzed. The decisive
+    * interaction class (the r11 lesson): pre-upgrade eq/pos delete
+    * files and DVs must keep masking exactly their rows across later
+    * v3 appends, eq-deletes, further DV merges, and snapshot expiry;
+    * every step re-reads through the full protocol walk and checks
+    * live==model. Chains that never drew a DV op take a forced DV
+    * commit + expire at the end, so every chain is v3-bearing by
+    * construction. */
   private def icebergV3Chain(chainId: Int): Unit = {
     val rnd = new Random(0xD511 + chainId)
     val loc = tmp(s"icev3-$chainId")
@@ -355,15 +357,10 @@ class FormatFuzzSpec extends AnyFunSuite {
     (0 until nOps).foreach { step =>
       val tag = s"iceberg v3 chain $chainId step $step upgraded=$upgraded"
       rnd.nextInt(7) match {
-        case 0 => // append: v2 metadata — refuses after the upgrade
+        case 0 => // append: v3-legal — stays active after the upgrade
           val rows = fresh(3 + rnd.nextInt(6))
-          if (upgraded)
-            refusesByName(tag, "format-version")(
-              IcebergLite.appendManifest(spark, frame(rows), loc))
-          else {
-            IcebergLite.appendManifest(spark, frame(rows), loc)
-            ingest(IcebergLite.snapshot(spark, loc).files)
-          }
+          IcebergLite.appendManifest(spark, frame(rows), loc)
+          ingest(IcebergLite.snapshot(spark, loc).files)
         case 1 => // position deletes: v3 forbids new pos-delete FILES
           val chosen = live.keys.toSeq.sortBy(k => (k._1, k._2))
             .filter(_ => rnd.nextInt(3) == 0)
@@ -379,39 +376,27 @@ class FormatFuzzSpec extends AnyFunSuite {
               chosen.foreach(live.remove)
             }
           }
-        case 2 => // equality deletes by id (older-sequence masking)
+        case 2 => // equality deletes by id (older-sequence masking;
+          // v3-legal — masks DV survivors and pre-upgrade rows alike)
           if (live.nonEmpty) {
             val ids = model.keys.toSeq.sorted.filter(_ => rnd.nextBoolean())
             if (ids.nonEmpty) {
               import spark.implicits._
-              if (upgraded)
-                refusesByName(tag, "format-version")(
-                  IcebergLite.exportEqualityDeletes(spark,
-                    ids.toDF("id"), loc))
-              else {
-                IcebergLite.exportEqualityDeletes(spark, ids.toDF("id"), loc)
-                live.filterInPlace { case (_, (id, _)) =>
-                  !ids.contains(id)
-                }
+              IcebergLite.exportEqualityDeletes(spark, ids.toDF("id"), loc)
+              live.filterInPlace { case (_, (id, _)) =>
+                !ids.contains(id)
               }
             }
           }
-        case 3 => // upsert (eq-delete + append); post-upgrade the
-          // first half already refuses, table untouched
+        case 3 => // upsert (eq-delete + append) — active in both phases
           if (live.nonEmpty) {
             val ids = model.keys.toSeq.sorted.take(1 + rnd.nextInt(3))
             import spark.implicits._
-            if (upgraded)
-              refusesByName(tag, "format-version")(
-                IcebergLite.exportEqualityDeletes(spark,
-                  ids.toDF("id"), loc))
-            else {
-              IcebergLite.exportEqualityDeletes(spark, ids.toDF("id"), loc)
-              live.filterInPlace { case (_, (id, _)) => !ids.contains(id) }
-              val rows = ids.map(i => (i, rnd.nextLong(1000)))
-              IcebergLite.appendManifest(spark, frame(rows), loc)
-              ingest(IcebergLite.snapshot(spark, loc).files)
-            }
+            IcebergLite.exportEqualityDeletes(spark, ids.toDF("id"), loc)
+            live.filterInPlace { case (_, (id, _)) => !ids.contains(id) }
+            val rows = ids.map(i => (i, rnd.nextLong(1000)))
+            IcebergLite.appendManifest(spark, frame(rows), loc)
+            ingest(IcebergLite.snapshot(spark, loc).files)
           }
         case 4 => // manifest compaction: metadata-only pre-upgrade,
           // locator-field refusal after

@@ -108,11 +108,20 @@ class IcebergV3Spec extends AnyFunSuite {
     IcebergLite.export(spark, frame(10, "a"), loc)
     IcebergLite.exportDeletionVectors(spark, loc,
       positionsOf(loc, _ == 0L))
-    // v2 writer surfaces refuse the v3 table by name
-    val e1 = intercept[Exception] {
-      IcebergLite.appendManifest(spark, frame(3, "b"), loc)
-    }
-    assert(e1.getMessage.contains("format-version 3"))
+    // append is a LEGAL v3 write: it lands AND the metadata stays v3
+    // (no silent downgrade — the downgrade was the old refusal's
+    // whole reason)
+    IcebergLite.appendManifest(spark, frame(3, "b"), loc)
+    val metaDir0 = Paths.get(loc, "metadata")
+    val hint0 = new String(Files.readAllBytes(
+      metaDir0.resolve("version-hint.text"))).trim
+    val meta0 = new String(Files.readAllBytes(
+      metaDir0.resolve(s"v$hint0.metadata.json")))
+    assert(meta0.contains("\"format-version\": 3"),
+      "v3 append must re-emit v3 metadata")
+    assert(IcebergLite.read(spark, loc).count() === 12L,
+      "10 - 1 DV-deleted + 3 appended")
+    // pos-delete FILES and full-state overwrite still refuse by name
     val e2 = intercept[Exception] {
       import spark.implicits._
       IcebergLite.exportPositionDeletes(spark,
