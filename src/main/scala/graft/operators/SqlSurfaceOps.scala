@@ -779,8 +779,85 @@ object SqlSurfaceOps {
              |       (SELECT c - 1 FROM n) AS max_rid,
              |       (SELECT c * (c - 1) // 2 FROM n) AS sum_rid,
              |       CAST(sum(cents) AS BIGINT) AS sum_cents
-             |FROM upd""".stripMargin))
+             |FROM upd""".stripMargin)),
+
+    // ── TRUNCATE + INSERT OVERWRITE + COPY INTO: the bronze flow ─────────
+    // The reference's whole load pattern (TRUNCATE TABLE; BULK INSERT
+    // — load_bronze.sql:57-70) as this engine's SQL, minus the data
+    // loss: every step is a VERSION, so the pre-truncate state stays
+    // time-travelable. v0 publish → v1 INSERT INTO → v2 INSERT
+    // OVERWRITE (wholesale replace) → v3 TRUNCATE (empty, schema
+    // kept) → v4 COPY INTO (reload from the landing dir). All five
+    // versions read back in one output; the oracle replays each
+    // version's algebra, so an overwrite that appended instead of
+    // replacing, a truncate that dropped the schema, or a reload that
+    // double-loaded breaks the hash.
+    QueryDef("q277_sql_truncate_reload",
+      (s, d) => {
+        val root = truncateReloadRoot(s, d)
+        (0 to 4).map { v =>
+          VersionedParquet.read(s, root, Some(v.toLong))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("cents")).cast("long").as("sum_cents"))
+            .select(lit(v).as("version"), col("n_rows"),
+              col("sum_cents"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |v0 AS (SELECT * FROM o WHERE k % 3 = 0),
+             |v1 AS (SELECT * FROM v0
+             |       UNION ALL SELECT * FROM o WHERE k % 3 = 1),
+             |v2 AS (SELECT k, cents * 2 AS cents FROM o WHERE k % 5 = 0),
+             |v4 AS (SELECT * FROM o WHERE k % 7 = 0)
+             |SELECT 0 AS version, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents FROM v0
+             |UNION ALL
+             |SELECT 1, count(*), CAST(sum(cents) AS BIGINT) FROM v1
+             |UNION ALL
+             |SELECT 2, count(*), CAST(sum(cents) AS BIGINT) FROM v2
+             |UNION ALL
+             |SELECT 3, 0, CAST(NULL AS BIGINT)
+             |UNION ALL
+             |SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v4
+             |ORDER BY version""".stripMargin))
   )
+
+  /** q277 fixture: the modernized bronze flow — publish, INSERT INTO,
+    * INSERT OVERWRITE, TRUNCATE TABLE, COPY INTO reload. Once per
+    * session. */
+  private def truncateReloadRoot(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String = {
+    val root = Scratch.dir(s, "q277-truncate-reload")
+    val landing = Scratch.dir(s, "q277-landing")
+    GraftTables.register("graft_q277", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.filter(col("k") % 3 === 0), root,
+        keepVersions = 20)
+      Tables.orders(s, d).createOrReplaceTempView("q277_orders")
+      GraftSql.sql(s, "INSERT INTO graft_q277 " +
+        "SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents " +
+        "FROM q277_orders WHERE o_orderkey % 3 = 1")
+      GraftSql.sql(s, "INSERT OVERWRITE graft_q277 " +
+        "SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS cents " +
+        "FROM q277_orders WHERE o_orderkey % 5 = 0")
+      GraftSql.sql(s, "TRUNCATE TABLE graft_q277")
+      require(VersionedParquet.read(s, root).isEmpty,
+        "q277: TRUNCATE must leave an empty live version")
+      o.filter(col("k") % 7 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/reload")
+      GraftSql.sql(s, s"COPY INTO graft_q277 FROM '$landing' " +
+        "FILEFORMAT = parquet")
+    }
+    root
+  }
 
   /** q273 fixture: empty publish → ALTER ADD … GENERATED ALWAYS AS
     * IDENTITY → two SQL INSERT batches (contiguous id blocks) →

@@ -173,6 +173,14 @@ private[graft] final case class SqlCopyInto(table: String, src: String,
 // writer-assigned monotonic unique ids (empty-table declaration).
 private[graft] final case class SqlAddIdentity(table: String,
     col: String) extends GraftDml
+// INSERT OVERWRITE [TABLE] t SELECT … — wholesale versioned replace
+// (the reference's truncate-and-reload, minus the data loss: the old
+// version stays time-travelable).
+private[graft] final case class SqlInsertOverwrite(table: String,
+    query: String) extends GraftDml
+// TRUNCATE TABLE t — a new EMPTY version in the table's schema.
+private[graft] final case class SqlTruncate(table: String)
+    extends GraftDml
 
 object GraftSql {
 
@@ -279,10 +287,15 @@ object GraftSql {
     val AI = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+""" +
       """COLUMN\s+([A-Za-z_][\w]*)\s+BIGINT\s+GENERATED\s+ALWAYS\s+""" +
       """AS\s+IDENTITY""").r
+    val IO = ("""(?is)INSERT\s+OVERWRITE\s+(?:TABLE\s+)?""" +
+      """([A-Za-z_][\w]*)\s+(SELECT\b.+)""").r
+    val TR = """(?is)TRUNCATE\s+TABLE\s+([A-Za-z_][\w]*)""".r
     val dml = t match {
       case CP(table, src, fmt, raw) =>
         Some(SqlCopyInto(table, src, fmt.toLowerCase, optMap(raw)))
       case AI(table, colName) => Some(SqlAddIdentity(table, colName))
+      case IO(table, query) => Some(SqlInsertOverwrite(table, query.trim))
+      case TR(table) => Some(SqlTruncate(table))
       case RSV(table, v) => Some(SqlRestore(table, Some(v.toLong), None))
       case RST(table, raw) =>
         val millis =
@@ -541,6 +554,13 @@ object GraftSql {
       case SqlAddIdentity(_, colName) =>
         VersionedParquet.addIdentityColumn(spark, root, colName)
         root
+      case SqlInsertOverwrite(_, query) =>
+        VersionedParquet.publish(spark.sql(query), root,
+          keepVersions = keep)
+      case _: SqlTruncate =>
+        VersionedParquet.publish(
+          VersionedParquet.read(spark, root).limit(0), root,
+          keepVersions = keep)
     }
   }
 

@@ -685,6 +685,36 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally GraftTables.unregister("t_copy")
   }
 
+  test("INSERT OVERWRITE and TRUNCATE TABLE: wholesale replace and " +
+    "empty version, both time-travelable") {
+    import spark.implicits._
+    val root = tmp("ow")
+    seed(root)
+    GraftTables.register("t_ow", root, keepVersions = 50)
+    try {
+      assert(GraftSql.parseDml("TRUNCATE TABLE t_ow")
+        === Some(SqlTruncate("t_ow")))
+      assert(GraftSql.parseDml(
+        "INSERT OVERWRITE TABLE t_ow SELECT * FROM x")
+        === Some(SqlInsertOverwrite("t_ow", "SELECT * FROM x")))
+      // plain INSERT INTO still parses as an insert, not an overwrite
+      assert(GraftSql.parseDml("INSERT INTO t_ow SELECT * FROM x")
+        === Some(SqlInsert("t_ow", "SELECT * FROM x")))
+      spark.range(5)
+        .selectExpr("id", "'z' AS g", "id * 7 AS x")
+        .createOrReplaceTempView("ow_rows")
+      GraftSql.sql(spark, "INSERT OVERWRITE t_ow SELECT * FROM ow_rows")
+      assert(rows(root) === (0L until 5L).map(i => (i, "z", i * 7)).toSet)
+      GraftSql.sql(spark, "TRUNCATE TABLE t_ow")
+      assert(VersionedParquet.read(spark, root).count() === 0L)
+      assert(VersionedParquet.read(spark, root).columns.toSeq
+        === Seq("id", "g", "x"), "truncate keeps the schema")
+      // every step stays time-travelable (versioned, not destructive)
+      assert(VersionedParquet.read(spark, root, Some(0L)).count() === 100L)
+      assert(VersionedParquet.read(spark, root, Some(1L)).count() === 5L)
+    } finally GraftTables.unregister("t_ow")
+  }
+
   test("RESTORE TABLE through the injected parser returns the typed row") {
     val root = tmp("restore-ext")
     seed(root)
