@@ -147,20 +147,31 @@ object GraphOps {
         .cache()
     }
 
+  // per-(session, dir) caches for the derived frames too: a repeated
+  // call must reuse the one persisted copy, not stack a fresh cached
+  // copy per invocation (the FrameCache's whole point)
+  private val degCache = FrameCache.unpersisting
+  private val orientedCache = FrameCache.unpersisting
+  private val symEdgesCache = FrameCache.unpersisting
+
   private[graft] def triangleTop(s: SparkSession, d: String): DataFrame = {
     val pairs = copurchasePairs(s, d)
-    val deg = pairs.select(col("x").as("node"))
-      .unionAll(pairs.select(col("y").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
-      .cache()
+    val deg = degCache.getOrBuild(s, d) {
+      pairs.select(col("x").as("node"))
+        .unionAll(pairs.select(col("y").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+        .cache()
+    }
     // x < y throughout, so a degree tie orients x→y
-    val e = pairs
-      .join(broadcast(deg.select(col("node").as("x"), col("d").as("dx"))), "x")
-      .join(broadcast(deg.select(col("node").as("y"), col("d").as("dy"))), "y")
-      .select(
-        when(col("dx") <= col("dy"), col("x")).otherwise(col("y")).as("u"),
-        when(col("dx") <= col("dy"), col("y")).otherwise(col("x")).as("v"))
-      .cache()
+    val e = orientedCache.getOrBuild(s, d) {
+      pairs
+        .join(broadcast(deg.select(col("node").as("x"), col("d").as("dx"))), "x")
+        .join(broadcast(deg.select(col("node").as("y"), col("d").as("dy"))), "y")
+        .select(
+          when(col("dx") <= col("dy"), col("x")).otherwise(col("y")).as("u"),
+          when(col("dx") <= col("dy"), col("y")).otherwise(col("x")).as("v"))
+        .cache()
+    }
     // Both joins carry shuffle_hash hints: the probe side is the wedge
     // stream (Σ outdeg² rows — tens of millions at sf0.1, far more at
     // scale) and a sort-merge plan would SORT it twice; hash joins
@@ -228,9 +239,11 @@ object GraphOps {
     * "degrees of separation" over the market-basket graph. */
   private def copurchaseBfs(s: SparkSession, d: String): DataFrame = {
     val pairs = copurchasePairs(s, d)
-    val edges = pairs.select(col("x").as("src"), col("y").as("dst"))
-      .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
-      .cache()
+    val edges = symEdgesCache.getOrBuild(s, d) {
+      pairs.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(pairs.select(col("y").as("src"), col("x").as("dst")))
+        .cache()
+    }
     bfsFrom(edges, maxDepth = 4)
       .groupBy("dist")
       .agg(count(lit(1)).as("n_nodes"),

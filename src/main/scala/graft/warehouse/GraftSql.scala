@@ -1,5 +1,6 @@
 package graft.warehouse
 
+import java.io.IOException
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -276,14 +277,22 @@ object GraftSql {
       """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""").r
     def optMap(raw: String): Map[String, String] =
       if (raw == null || raw.trim.isEmpty) Map.empty
-      else raw.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
-        val m = """'([^']*)'\s*=\s*'([^']*)'""".r
-        kv match {
-          case m(k, vv) => k -> vv
-          case _ => throw new IllegalArgumentException(
-            s"malformed FORMAT_OPTIONS entry '$kv' — use 'k'='v'")
-        }
-      }.toMap
+      else {
+        // scan for 'k'='v' pairs instead of splitting on commas: a
+        // value may BE a comma ('sep'=',' is the most ordinary CSV
+        // option there is)
+        val pair = """'([^']*)'\s*=\s*'([^']*)'""".r
+        val pairs = pair.findAllMatchIn(raw)
+          .map(m => m.group(1) -> m.group(2)).toSeq
+        // everything between pairs must be commas/space — anything
+        // else is a malformed entry, refused loudly (never silently
+        // dropped)
+        val residue = pair.replaceAllIn(raw, "").replace(",", "").trim
+        if (residue.nonEmpty)
+          throw new IllegalArgumentException(
+            s"malformed FORMAT_OPTIONS near '$residue' — use 'k'='v', …")
+        pairs.toMap
+      }
     val AI = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+ADD\s+""" +
       """COLUMN\s+([A-Za-z_][\w]*)\s+BIGINT\s+GENERATED\s+ALWAYS\s+""" +
       """AS\s+IDENTITY""").r
@@ -552,10 +561,26 @@ object GraftSql {
           c.options, keep)
         root
       case SqlAddIdentity(_, colName) =>
-        VersionedParquet.addIdentityColumn(spark, root, colName)
+        VersionedParquet.addIdentityColumn(spark, root, colName,
+          keepVersions = keep)
         root
-      case SqlInsertOverwrite(_, query) =>
-        VersionedParquet.publish(spark.sql(query), root,
+      case SqlInsertOverwrite(t, query) =>
+        // the verb REPLACES rows, never the schema: the SELECT must
+        // produce exactly the table's columns (any order), aligned
+        // here — a typo'd alias or dropped column refuses loudly
+        // instead of silently re-schema-ing the table (INSERT INTO's
+        // own contract, applied to the overwrite)
+        val incoming = spark.sql(query)
+        val want = VersionedParquet.read(spark, root).columns.toSeq
+        val haveCols = incoming.columns.toSeq
+        if (haveCols.sorted != want.sorted)
+          throw new IOException(s"INSERT OVERWRITE $t rejected: the " +
+            s"SELECT produces columns ${haveCols.mkString(", ")} but " +
+            s"the table has ${want.mkString(", ")}; OVERWRITE " +
+            "replaces rows, not the schema — use a new publish for " +
+            "schema changes")
+        VersionedParquet.publish(
+          incoming.select(want.map(incoming(_)): _*), root,
           keepVersions = keep)
       case _: SqlTruncate =>
         VersionedParquet.publish(

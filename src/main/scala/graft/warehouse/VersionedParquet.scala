@@ -1415,7 +1415,7 @@ object VersionedParquet {
     * publishes the (still-empty) schema with the column physical and
     * installs the high-water mark at 0. */
   def addIdentityColumn(spark: SparkSession, root: String,
-                        name: String): Unit =
+                        name: String, keepVersions: Int = 10): Unit =
     withWriterLock(spark, root) {
       val live = read(spark, root)
       require(!live.columns.exists(_.equalsIgnoreCase(name)),
@@ -1427,7 +1427,7 @@ object VersionedParquet {
           "table is empty (the CREATE-time contract)")
       publish(live.withColumn(name,
           org.apache.spark.sql.functions.lit(null).cast("long"))
-        .limit(0), root, keepVersions = 10)
+        .limit(0), root, keepVersions = keepVersions)
       val prior = readPointer(spark, new Path(root, SCHEMA_IDENTITY))
         .map(_ + "\n").getOrElse("")
       installPointer(spark, new Path(root), SCHEMA_IDENTITY,
@@ -1453,8 +1453,7 @@ object VersionedParquet {
         throw new IOException(s"$verb rejected: identity column(s) " +
           supplied.map(_._1).mkString(", ") + " are GENERATED ALWAYS " +
           "AS IDENTITY — the writer assigns them; omit the column")
-      val n = rows.count()
-      val assigned = rules.foldLeft(rows) { case (d, (name, next)) =>
+      val assigned0 = rules.foldLeft(rows) { case (d, (name, next)) =>
         import org.apache.spark.sql.Row
         import org.apache.spark.sql.types.{LongType, StructField, StructType}
         val rdd = d.rdd.zipWithIndex().map { case (r, i) =>
@@ -1462,6 +1461,16 @@ object VersionedParquet {
         spark.createDataFrame(rdd,
           StructType(d.schema.fields :+ StructField(name, LongType)))
       }
+      // MATERIALIZE the pairing before anything reads it: the caller
+      // evaluates this frame more than once (delta tier, change feed,
+      // constraint check), and a re-run zipWithIndex over a shuffled
+      // source could pair different rows with different ids per
+      // evaluation — the change feed would then record rids the table
+      // never held. The checkpoint also makes the count exact for the
+      // mark advance even over a source whose row count drifts
+      // between jobs.
+      val assigned = assigned0.localCheckpoint(true)
+      val n = assigned.count()
       // advance the marks BEFORE the data lands: crash ⇒ gap, never
       // a reused id
       installPointer(spark, new Path(root), SCHEMA_IDENTITY,
@@ -1795,10 +1804,11 @@ object VersionedParquet {
     // assignment semantics (and the update half id-stability proofs)
     // this format does not promise — append/COPY INTO are the
     // identity-assigning writes
-    if (identityRules(spark, root).nonEmpty)
+    val idRules = identityRules(spark, root)
+    if (idRules.nonEmpty)
       throw new IOException(s"MERGE/upsert on $root refused: the " +
         "table has GENERATED ALWAYS AS IDENTITY column(s) " +
-        s"${identityRules(spark, root).map(_._1).mkString(", ")}; " +
+        s"${idRules.map(_._1).mkString(", ")}; " +
         "identity assignment is an append-path contract — use " +
         "append/INSERT INTO/COPY INTO")
     val v = currentVersion(spark, root).getOrElse(
@@ -2766,7 +2776,19 @@ object VersionedParquet {
   def copyInto(spark: SparkSession, root: String, src: String,
                format: String = "parquet",
                options: Map[String, String] = Map.empty,
-               keepVersions: Int = 2): (Int, Int, Long) = {
+               keepVersions: Int = 2): (Int, Int, Long) =
+    // the whole read-log → append → write-log sequence holds the
+    // writer lock (reentrant for the append inside): two overlapping
+    // scheduled COPY INTO runs must serialize, or both would compute
+    // the same fresh list and double-load every file
+    withWriterLock(spark, root) {
+      copyIntoLocked(spark, root, src, format, options, keepVersions)
+    }
+
+  private def copyIntoLocked(spark: SparkSession, root: String,
+               src: String, format: String,
+               options: Map[String, String],
+               keepVersions: Int): (Int, Int, Long) = {
     val ext = format.toLowerCase match {
       case "parquet" => ".parquet"
       case "csv" => ".csv"
@@ -2800,10 +2822,19 @@ object VersionedParquet {
       case ".parquet" => spark.read.parquet(fresh: _*)
       case _ =>
         // explicit schema from the physical base — schema-on-write,
-        // exactly the bronze CSV contract (no inference, ever)
+        // exactly the bronze CSV contract (no inference, ever) —
+        // MINUS the writer-owned columns (identity, generated): a CSV
+        // cannot carry them (the writer assigns/computes them), and
+        // reading them as nulls would trip the GENERATED ALWAYS
+        // rejection
+        val owned = (identityRules(spark, root).map(_._1) ++
+          generationRules(spark, root).map(_._1))
+          .map(_.toLowerCase).toSet
         val baseSchema = spark.read.parquet(
           new Path(rootPath, baseNameOf(spark, root, v)).toString).schema
-        spark.read.options(options).schema(baseSchema).csv(fresh: _*)
+        val csvSchema = org.apache.spark.sql.types.StructType(
+          baseSchema.fields.filterNot(f => owned(f.name.toLowerCase)))
+        spark.read.options(options).schema(csvSchema).csv(fresh: _*)
     }
     val nRows = batch.count()
     append(spark, root, batch, keepVersions)
@@ -2858,8 +2889,9 @@ object VersionedParquet {
           "their value")
       // identity columns: SET is refused the same way (the writer
       // owns the value; post-images carry it through unchanged)
+      val idRules = identityRules(spark, root)
       val setId = sets.keys.filter(k =>
-        identityRules(spark, root).exists(_._1.equalsIgnoreCase(k)))
+        idRules.exists(_._1.equalsIgnoreCase(k)))
       if (setId.nonEmpty)
         throw new IOException("UPDATE cannot SET identity column(s) " +
           s"${setId.mkString(",")}; GENERATED ALWAYS AS IDENTITY — " +

@@ -673,6 +673,18 @@ class GraftSqlSpec extends AnyFunSuite {
         .filter(col("g") === "gc").select("id", "x")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(gc === Set((200L, 1L), (201L, 2L)))
+      // FORMAT_OPTIONS values may BE commas/parens-free specials:
+      // 'sep'=',' parses (scan for pairs, never split on commas)
+      assert(GraftSql.parseDml(
+        s"COPY INTO t_copy FROM '$csvDir' FILEFORMAT = csv " +
+          "FORMAT_OPTIONS ('header'='true', 'sep'=',')")
+        === Some(SqlCopyInto("t_copy", csvDir, "csv",
+          Map("header" -> "true", "sep" -> ","))))
+      // malformed residue still refuses loudly
+      val eOpt = intercept[IllegalArgumentException](GraftSql.parseDml(
+        s"COPY INTO t_copy FROM '$csvDir' FILEFORMAT = csv " +
+          "FORMAT_OPTIONS ('header'='true', junk)"))
+      assert(eOpt.getMessage.contains("malformed FORMAT_OPTIONS"))
       // refusals: unknown format, missing source, unregistered table
       val eF = intercept[Exception](GraftSql.sql(spark,
         s"COPY INTO t_copy FROM '$landing' FILEFORMAT = orc"))
@@ -705,6 +717,13 @@ class GraftSqlSpec extends AnyFunSuite {
         .createOrReplaceTempView("ow_rows")
       GraftSql.sql(spark, "INSERT OVERWRITE t_ow SELECT * FROM ow_rows")
       assert(rows(root) === (0L until 5L).map(i => (i, "z", i * 7)).toSet)
+      // OVERWRITE replaces rows, never the schema: a column mismatch
+      // refuses loudly instead of silently re-schema-ing the table
+      val eSch = intercept[java.io.IOException](GraftSql.sql(spark,
+        "INSERT OVERWRITE t_ow SELECT id, g AS wrong_name, x FROM ow_rows"))
+      assert(eSch.getMessage.contains("INSERT OVERWRITE t_ow rejected"))
+      assert(rows(root) === (0L until 5L).map(i => (i, "z", i * 7)).toSet,
+        "refused overwrite must change nothing")
       GraftSql.sql(spark, "TRUNCATE TABLE t_ow")
       assert(VersionedParquet.read(spark, root).count() === 0L)
       assert(VersionedParquet.read(spark, root).columns.toSeq

@@ -134,6 +134,18 @@ class IdentitySpec extends AnyFunSuite {
       GraftSql.sql(spark,
         "INSERT INTO t_idcopy SELECT k, x FROM idrows")
       assert(rids(root) === (0L until 20L))
+      // CSV COPY INTO an identity table: the read schema excludes the
+      // writer-owned column, so ids are assigned, never read-as-null
+      val csvDir = java.nio.file.Files
+        .createTempDirectory("graft-id-csv").toString
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(csvDir, "rows.csv"),
+        "k,x\n900,1\n901,2\n".getBytes("UTF-8"))
+      val rc = GraftSql.sql(spark,
+        s"COPY INTO t_idcopy FROM '$csvDir' FILEFORMAT = csv " +
+          "FORMAT_OPTIONS ('header'='true')").head()
+      assert(rc.getAs[Long]("n_rows_inserted") === 2L)
+      assert(rids(root) === (0L until 22L))
       // the SQL declaration path works end-to-end on a fresh table
       val root2 = tmp("sqldecl")
       VersionedParquet.publish(
