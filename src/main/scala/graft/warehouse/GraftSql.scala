@@ -924,9 +924,15 @@ object GraftSql {
         VersionedParquet.generationRules(spark, root).map(_._1)
           .mkString(","),
         VersionedParquet.schemaExtensions(spark, root).map(_._1)
-          .mkString(",")))
+          .mkString(","),
+        // identity columns with their high-water marks (col:next) —
+        // the introspection a SQL-only client needs to know which
+        // columns the writer owns and where the id block stands
+        VersionedParquet.identityRules(spark, root)
+          .map { case (n, next) => s"$n:$next" }.mkString(",")))
         .toDF("location", "version", "num_versions", "partition_columns",
-          "constraints", "generated_columns", "extension_columns")
+          "constraints", "generated_columns", "extension_columns",
+          "identity_columns")
     }
   }
 
@@ -1064,7 +1070,8 @@ private[graft] final case class GraftDescribeCommand(dml: SqlDescribe)
       AttributeReference("partition_columns", StringType)(),
       AttributeReference("constraints", StringType)(),
       AttributeReference("generated_columns", StringType)(),
-      AttributeReference("extension_columns", StringType)())
+      AttributeReference("extension_columns", StringType)(),
+      AttributeReference("identity_columns", StringType)())
   override def run(session: SparkSession): Seq[Row] =
     GraftSql.describeFrame(session, dml).collect().toSeq
 }

@@ -155,6 +155,9 @@ class IdentitySpec extends AnyFunSuite {
         "GENERATED ALWAYS AS IDENTITY")
       GraftSql.sql(spark, "INSERT INTO t_iddecl SELECT k, x FROM idrows")
       assert(rids(root2) === (0L until 5L))
+      // DESCRIBE DETAIL surfaces the identity column with its mark
+      val det = GraftSql.sql(spark, "DESCRIBE DETAIL t_iddecl").head()
+      assert(det.getAs[String]("identity_columns") === "rid:5")
     } finally {
       GraftTables.unregister("t_idcopy")
       GraftTables.unregister("t_iddecl")
