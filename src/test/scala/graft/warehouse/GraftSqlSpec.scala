@@ -697,6 +697,38 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally GraftTables.unregister("t_copy")
   }
 
+  test("COPY INTO serializes under the writer lock: racing runs over " +
+    "the same landing dir load each file exactly once") {
+    import spark.implicits._
+    val root = tmp("copyrace")
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-sql-copyrace").toString
+    VersionedParquet.publish(
+      Seq.empty[(Long, Long)].toDF("k", "x"), root, keepVersions = 50)
+    (0L until 200L).map(i => (i, i)).toDF("k", "x")
+      .coalesce(1).write.mode("overwrite").parquet(s"$landing/b1")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = (1 to 4).map { _ =>
+        new java.util.concurrent.Callable[(Int, Int, Long)] {
+          def call(): (Int, Int, Long) =
+            VersionedParquet.copyInto(spark, root, landing)
+        }
+      }
+      val results = pool.invokeAll(tasks.asJava).asScala.map(_.get())
+      // exactly ONE racer loads the file; the rest see it in the log
+      assert(results.map(_._1).sum === 1,
+        s"loads across racers: ${results.map(_._1)}")
+      assert(results.map(_._3).sum === 200L,
+        s"rows across racers: ${results.map(_._3)}")
+      assert(VersionedParquet.read(spark, root).count() === 200L,
+        "a double-load would show here")
+      assert(VersionedParquet.currentVersion(spark, root) === Some(1L),
+        "exactly one append version")
+    } finally pool.shutdown()
+  }
+
   test("INSERT OVERWRITE and TRUNCATE TABLE: wholesale replace and " +
     "empty version, both time-travelable") {
     import spark.implicits._
