@@ -1509,11 +1509,34 @@ object DeltaLite {
     // v2Checkpoint feature listed — the spec's gate against readers
     // that would read the top-level file and miss the sidecars.
     val pr = snap.protocol
+    // Upgrading a LEGACY protocol (minReader < 3: features implied by
+    // the version numbers, lists absent) to table-features must
+    // ENUMERATE what those numbers implied — the same hazard
+    // commitDeletionVectors guards: a name/id-mapped (minReader=2)
+    // table whose new feature list carried only v2Checkpoint would
+    // serve physical column names in every feature-honoring foreign
+    // reader once vacuum truncates the JSON history.
+    val impliedReader: Seq[String] =
+      if (pr.minReader >= 3) Nil // explicit lists already authoritative
+      else if (snap.columnMappingMode != "none") Seq("columnMapping")
+      else Nil
+    val impliedWriter: Seq[String] =
+      if (pr.minWriter >= 7) Nil // explicit lists already authoritative
+      else (if (pr.minWriter >= 2) Seq("appendOnly", "invariants")
+            else Nil) ++
+        (if (pr.minWriter >= 3) Seq("checkConstraints") else Nil) ++
+        (if (pr.minWriter >= 4) Seq("changeDataFeed", "generatedColumns")
+         else Nil) ++
+        (if (pr.minWriter >= 5 || snap.columnMappingMode != "none")
+           Seq("columnMapping") else Nil) ++
+        (if (pr.minWriter >= 6) Seq("identityColumns") else Nil)
     val featRow =
       if (v2Layout)
         Row(3, math.max(pr.minWriter, 7),
-          (pr.readerFeatures :+ "v2Checkpoint").distinct,
-          (pr.writerFeatures :+ "v2Checkpoint").distinct)
+          (pr.readerFeatures ++ impliedReader :+ "v2Checkpoint")
+            .distinct.sorted,
+          (pr.writerFeatures ++ impliedWriter :+ "v2Checkpoint")
+            .distinct.sorted)
       else if (pr.minReader >= 3)
         Row(3, math.max(pr.minWriter, 7),
           pr.readerFeatures, pr.writerFeatures)

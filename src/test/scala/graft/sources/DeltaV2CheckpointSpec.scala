@@ -444,4 +444,69 @@ class DeltaV2CheckpointSpec extends AnyFunSuite {
     DeltaSync.exportSync(spark, root, mirror)
     assert(ids(mirror) === expected ++ (100L until 110L))
   }
+
+  test("v2 checkpoint WRITE on a LEGACY column-mapped table: the " +
+    "protocol upgrade enumerates the implied columnMapping feature, " +
+    "so a feature-honoring reader keeps serving logical names") {
+    import java.nio.charset.StandardCharsets
+    // the table another engine wrote with columnMapping=name under a
+    // LEGACY protocol (minReader=2/minWriter=5: features implied by
+    // the version numbers, no feature lists anywhere)
+    val t = tmp("v2colmap")
+    spark.range(0, 25).selectExpr("id AS `col-9f1a`",
+      "id * 3 AS `col-2b7c`") // physical names
+      .coalesce(1).write.parquet(s"$t/.stage")
+    val rel = Files.list(Paths.get(t, ".stage")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    rel.foreach(n =>
+      Files.move(Paths.get(t, ".stage", n), Paths.get(t, n)))
+    def fld(logical: String, phys: String, fid: Int) =
+      s"""{\\"name\\":\\"$logical\\",\\"type\\":\\"long\\",""" +
+        s"""\\"nullable\\":true,\\"metadata\\":{""" +
+        s"""\\"delta.columnMapping.physicalName\\":\\"$phys\\",""" +
+        s"""\\"delta.columnMapping.id\\":$fid}}"""
+    val schemaJson = s"""{\\"type\\":\\"struct\\",\\"fields\\":[""" +
+      fld("id", "col-9f1a", 1) + "," + fld("v", "col-2b7c", 2) + "]}"
+    val meta =
+      s"""{"metaData":{"id":"x","format":{"provider":"parquet",""" +
+        s""""options":{}},"schemaString":"$schemaJson",""" +
+        s""""partitionColumns":[],"configuration":{""" +
+        s""""delta.columnMapping.mode":"name",""" +
+        s""""delta.columnMapping.maxColumnId":"2"},"createdTime":0}}"""
+    val adds = rel.map(r =>
+      s"""{"add":{"path":"$r","partitionValues":{},"size":1,""" +
+        s""""modificationTime":0,"dataChange":true}}""")
+    Files.createDirectories(Paths.get(t, "_delta_log"))
+    Files.write(Paths.get(t, "_delta_log", f"${0L}%020d.json"),
+      (Seq("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        meta) ++ adds)
+        .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    assert(ids(t) === (0L until 25L), "fixture sanity")
+    val cv = DeltaLite.checkpoint(spark, t, v2Layout = true)
+    val logDir = new Path(t, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tops = fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(f"$cv%020d.checkpoint.") &&
+        n.endsWith(".parquet"))
+    assert(tops.length === 1)
+    val proto = spark.read.parquet(new Path(logDir, tops.head).toString)
+      .select("protocol.readerFeatures", "protocol.writerFeatures")
+      .na.drop().head()
+    // the whole point: upgrading the legacy protocol to table-features
+    // must ENUMERATE what the legacy version numbers implied — a list
+    // carrying only v2Checkpoint would tell a feature-honoring foreign
+    // reader "no mapping here" and serve physical names after vacuum
+    assert(proto.getSeq[String](0).contains("columnMapping"),
+      s"readerFeatures must carry columnMapping: ${proto.getSeq[String](0)}")
+    assert(proto.getSeq[String](0).contains("v2Checkpoint"))
+    assert(proto.getSeq[String](1).contains("columnMapping"),
+      s"writerFeatures must carry columnMapping: ${proto.getSeq[String](1)}")
+    // after vacuum truncates the JSON commits, resolution runs through
+    // the checkpoint alone — logical names must still come back
+    DeltaLite.vacuum(spark, t)
+    val got = DeltaLite.read(spark, t)
+    assert(got.columns.toSeq === Seq("id", "v"),
+      s"logical names after vacuum, got ${got.columns.toSeq}")
+    assert(ids(t) === (0L until 25L))
+  }
 }
