@@ -3075,8 +3075,102 @@ object VersionOps {
              |       CAST(count(*) AS BIGINT) AS n_rows,
              |       CAST(sum(cents) AS BIGINT) AS sum_cents,
              |       CAST(count(DISTINCT k) AS BIGINT) AS n_keys
-             |FROM live""".stripMargin))
+             |FROM live""".stripMargin)),
+
+    // q279 — Iceberg v3 ROW LINEAGE: the spec-required v3 counters,
+    // maintained by every write. Each snapshot on a v3 table is
+    // assigned `first-row-id` = the table's `next-row-id`, and the
+    // counter advances by exactly the DATA rows the snapshot added
+    // (delete snapshots are assigned a range of size 0) — what lets a
+    // v3 engine give every row a stable lineage id without rewriting
+    // files. The fixture drives export (v2: no lineage) → DV upgrade
+    // (v3: counters start) → two appends (each advances by its row
+    // count) → equality delete (advances nothing), then emits one row
+    // per snapshot from the PARSED metadata. The oracle computes the
+    // same ranges in closed form from the append predicates — a
+    // counter that double-advanced, skipped a snapshot, or reset
+    // breaks the hash.
+    QueryDef("q279_iceberg_row_lineage",
+      (s, d) => s.read.parquet(icebergLineagePath(s, d)),
+      Some("""WITH o AS (SELECT o_orderkey AS k FROM orders),
+             |n1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o
+             |       WHERE k % 5 = 1),
+             |n2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o
+             |       WHERE k % 5 = 2)
+             |SELECT 1 AS snap_ordinal,
+             |       CAST(-1 AS BIGINT) AS first_row_id,
+             |       CAST(-1 AS BIGINT) AS added_rows,
+             |       (SELECT c FROM n1) + (SELECT c FROM n2)
+             |         AS next_row_id
+             |UNION ALL
+             |SELECT 2, 0, 0, (SELECT c FROM n1) + (SELECT c FROM n2)
+             |UNION ALL
+             |SELECT 3, 0, (SELECT c FROM n1),
+             |       (SELECT c FROM n1) + (SELECT c FROM n2)
+             |UNION ALL
+             |SELECT 4, (SELECT c FROM n1), (SELECT c FROM n2),
+             |       (SELECT c FROM n1) + (SELECT c FROM n2)
+             |UNION ALL
+             |SELECT 5, (SELECT c FROM n1) + (SELECT c FROM n2), 0,
+             |       (SELECT c FROM n1) + (SELECT c FROM n2)
+             |ORDER BY snap_ordinal""".stripMargin))
   )
+
+  /** q279 builder: export → DV upgrade → append(n1) → append(n2) →
+    * eq-delete, then one row per snapshot from the parsed metadata:
+    * (ordinal, first-row-id or -1 pre-v3, added-rows or -1 pre-v3,
+    * final table next-row-id). Once per session. */
+  private def icebergLineagePath(s: SparkSession, dir: String): String = {
+    import graft.sources.IcebergLite
+    import graft.warehouse.AtomicParquet
+    val table = Scratch.dir(s, "q279-icev3-lineage")
+    val outPath = Scratch.dir(s, "q279-out")
+    if (!new java.io.File(table, "metadata").exists()) {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey").as("k"))
+      IcebergLite.export(s, o.filter(col("k") % 5 === 0).coalesce(1),
+        table) // snapshot 1, format v2: lineage not yet in force
+      val baseFiles = IcebergLite.snapshot(s, table).files
+      val dels = s.read.parquet(baseFiles: _*)
+        .select(col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("pos"), col("k"))
+        .filter(col("k") % 10 === 0).collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+      IcebergLite.exportDeletionVectors(s, table, dels) // snap 2 → v3
+      IcebergLite.appendManifest(s,
+        o.filter(col("k") % 5 === 1).coalesce(1), table) // snap 3
+      IcebergLite.appendManifest(s,
+        o.filter(col("k") % 5 === 2).coalesce(1), table) // snap 4
+      IcebergLite.exportEqualityDeletes(s,
+        o.filter(col("k") % 7 === 3).select("k").coalesce(1),
+        table) // snap 5: assigned a 0-size range
+      val hint = java.nio.file.Paths.get(table, "metadata",
+        "version-hint.text")
+      val v = new String(java.nio.file.Files.readAllBytes(hint),
+        "UTF-8").trim
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val meta = mapper.readTree(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+          table, "metadata", s"v$v.metadata.json")), "UTF-8"))
+      val nextRowId = Option(meta.get("next-row-id"))
+        .filterNot(_.isNull).map(_.asLong).getOrElse(-1L)
+      import scala.jdk.CollectionConverters._
+      val rows = meta.get("snapshots").elements().asScala.zipWithIndex
+        .map { case (sn, i) =>
+          val first = Option(sn.get("first-row-id"))
+            .filterNot(_.isNull).map(_.asLong).getOrElse(-1L)
+          val added = Option(sn.get("summary"))
+            .flatMap(su => Option(su.get("added-rows")))
+            .map(_.asText.toLong).getOrElse(-1L)
+          (i + 1, first, added, nextRowId)
+        }.toSeq
+      AtomicParquet.overwrite(rows.toDF("snap_ordinal", "first_row_id",
+        "added_rows", "next_row_id"), outPath)
+    }
+    outPath
+  }
 
   /** q276 builder: export → DV upgrade → v3 APPEND → v3 equality
     * delete → second DV on the appended file → read; asserts the

@@ -2150,7 +2150,26 @@ object IcebergLite {
   /** Shared manifest-reuse snapshot append: carry the prior
     * snapshot's manifest list verbatim, add ONE new manifest built by
     * `entriesOf` (content 1 if its entries are delete files, 0
-    * otherwise), write v2 metadata, swap the hint last. */
+    * otherwise), write the next metadata by MUTATING the prior tree
+    * (unknown/foreign fields carry forward verbatim), swap the hint
+    * last. On v3 tables the write also maintains row lineage:
+    * `next-row-id` advances by the snapshot's added data rows and the
+    * snapshot records its `first-row-id` (spec v3 §Row Lineage).
+    *
+    * HONESTY NOTE (the RoaringDv discipline, write side): no Iceberg
+    * v3 runtime, jar, or installable engine exists in this sandbox,
+    * so v3 metadata this writer RE-EMITS is verified against the
+    * published spec and the in-repo conformance net (IcebergV3Spec's
+    * carry-forward + lineage + every-read-path round trip, the
+    * FormatFuzzSpec v3 op chains) — not against a foreign v3 reader.
+    * Field-level lineage inheritance (per-manifest `first_row_id`
+    * assignment at read time) is NOT implemented; this writer records
+    * lineage at the snapshot/table level only, and anything it cannot
+    * preserve is carried verbatim from the prior metadata rather than
+    * regenerated. A byte-level disagreement with a real v3 engine
+    * would not surface here; the refusal gates (format-version > 3,
+    * initial-defaults, unknown DV storage) keep the failure loud
+    * rather than silent. */
   private def appendDeltaSnapshot(spark: SparkSession, location: String,
       operation: String,
       entrySchema: Schema = manifestEntrySchema,
@@ -2185,15 +2204,9 @@ object IcebergLite {
         s"Iceberg table at $location declares no current-snapshot-id " +
           "— cannot locate the manifest list to carry forward"))
     // the carried manifests' entries hold partition tuples against the
-    // PRIOR spec — erasing it would silently downgrade every later
-    // prune to scan-everything; carry it verbatim
-    val priorSpec = Option(meta.get("partition-spec"))
-      .map(_.toString).getOrElse("[]")
-    val priorSpecs = Option(meta.get("partition-specs"))
-      .map(_.toString).getOrElse("""[{"spec-id": 0, "fields": []}]""")
-    val priorSpecId = Option(meta.get("default-spec-id"))
-      .map(_.asInt).getOrElse(0)
-
+    // PRIOR spec — the deepCopy below carries partition-spec(s) /
+    // default-spec-id (and everything else this writer does not own)
+    // forward verbatim, so later prunes keep working
     val prevListPath = new Path(
       Option(meta.get("snapshots")).toSeq
         .flatMap(_.elements().asScala)
@@ -2241,31 +2254,73 @@ object IcebergLite {
     val listP = new Path(metaDir, s"snap-$snapId-manifest-list.avro")
     writeAvro(spark, listP, manifestFileSchema, carried :+ mf)
     val now = System.currentTimeMillis()
-    val snapJson =
-      s"""{"snapshot-id": $snapId, "sequence-number": $snapId, """ +
-        s""""timestamp-ms": $now, "manifest-list": ${mapper
-          .writeValueAsString(fs.makeQualified(listP).toString)}, """ +
-        s""""summary": {"operation": "$operation"}}"""
-    val allSnaps = prevSnaps :+ snapJson
-    val metaJson =
-      s"""{
-         |  "format-version": ${math.max(2, effFv)},
-         |  "table-uuid": "00000000-0000-0000-0000-${"%012d".format(0)}",
-         |  "location": ${mapper.writeValueAsString(location)},
-         |  "last-sequence-number": $snapId,
-         |  "last-updated-ms": $now,
-         |  "last-column-id": ${Option(meta.get("last-column-id"))
-           .map(_.asInt).getOrElse(0)},
-         |  "schema": $schemaJson,
-         |  "partition-spec": $priorSpec,
-         |  "partition-specs": $priorSpecs,
-         |  "default-spec-id": $priorSpecId,
-         |  "current-snapshot-id": $snapId,
-         |  "snapshots": [${allSnaps.mkString(", ")}]
-         |}""".stripMargin
-    writeText(spark, new Path(metaDir, s"v$nextV.metadata.json"),
-      metaJson)
-    writeText(spark, hint, nextV.toString) // the commit: hint swaps last
+    // Build the new metadata by MUTATING the parsed prior tree (the
+    // rewriteManifests path's discipline): every field this writer
+    // does not own — table-uuid, schemas, partition-specs, sort
+    // orders, properties, refs, and any v3-only or future state a
+    // FOREIGN writer left — carries forward verbatim instead of being
+    // dropped by a fixed template. A regenerating template silently
+    // erased exactly the fields a conformant v3 reader requires.
+    val snapNode = mapper.createObjectNode()
+    snapNode.put("snapshot-id", snapId)
+    snapNode.put("sequence-number", snapId)
+    snapNode.put("timestamp-ms", now)
+    snapNode.put("manifest-list",
+      fs.makeQualified(listP).toString)
+    val summaryNode = mapper.createObjectNode()
+    summaryNode.put("operation", operation)
+    val finalFv = math.max(2, effFv)
+    if (finalFv >= 3) {
+      // v3 row lineage: every snapshot is assigned a first-row-id and
+      // the table's next-row-id advances by the rows it added (delete
+      // snapshots add 0 and leave it unchanged) — spec-required in v3
+      val nextRowId = Option(meta.get("next-row-id"))
+        .filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+      val addedDataRows = entries.iterator.map { e =>
+        val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+        if (long0(dfr, "content") == 0L) long0(dfr, "record_count")
+        else 0L
+      }.sum
+      snapNode.put("first-row-id", nextRowId)
+      summaryNode.put("added-rows", addedDataRows.toString)
+      snapNode.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "summary", summaryNode)
+      val newMeta = meta
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+      newMeta.put("next-row-id", nextRowId + addedDataRows)
+      finishDeltaMeta(spark, newMeta, finalFv, snapId, now, snapNode,
+        prevSnaps, metaDir, nextV, hint)
+    } else {
+      snapNode.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "summary", summaryNode)
+      val newMeta = meta
+        .deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+      finishDeltaMeta(spark, newMeta, finalFv, snapId, now, snapNode,
+        prevSnaps, metaDir, nextV, hint)
+    }
     snapId
+  }
+
+  /** Shared tail of appendDeltaSnapshot: stamp the writer-owned
+    * fields, append the snapshot, write vN+1, swap the hint last. */
+  private def finishDeltaMeta(spark: SparkSession,
+      newMeta: com.fasterxml.jackson.databind.node.ObjectNode,
+      finalFv: Int, snapId: Long, now: Long,
+      snapNode: com.fasterxml.jackson.databind.JsonNode,
+      prevSnaps: Seq[String], metaDir: Path, nextV: Long,
+      hint: Path): Unit = {
+    newMeta.put("format-version", finalFv)
+    newMeta.put("last-sequence-number", snapId)
+    newMeta.put("last-updated-ms", now)
+    newMeta.put("current-snapshot-id", snapId)
+    val snapsArr = mapper.createArrayNode()
+    prevSnaps.foreach(s => snapsArr.add(mapper.readTree(s)))
+    snapsArr.add(snapNode)
+    newMeta.set[com.fasterxml.jackson.databind.node.ObjectNode](
+      "snapshots", snapsArr)
+    writeText(spark, new Path(metaDir, s"v$nextV.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter()
+        .writeValueAsString(newMeta))
+    writeText(spark, hint, nextV.toString) // the commit: hint swaps last
   }
 }

@@ -559,9 +559,11 @@ class IcebergSpec extends AnyFunSuite {
       val in = fs.open(metaP)
       try scala.io.Source.fromInputStream(in).mkString finally in.close()
     }
-    assert(txt.contains("\"sequence-number\": 2"))
+    val seqRe = "\"sequence-number\"\\s*:\\s*2".r
+    assert(seqRe.findFirstIn(txt).nonEmpty,
+      "fixture expects the eq-delete snapshot at sequence-number 2")
     val out = fs.create(metaP, true)
-    try out.write(txt.replace("\"sequence-number\": 2",
+    try out.write(seqRe.replaceAllIn(txt,
       "\"sequence-number\": 7").getBytes("UTF-8"))
     finally out.close()
     val e = intercept[java.io.IOException](

@@ -71,7 +71,8 @@ class IcebergV3Spec extends AnyFunSuite {
       s"$loc/metadata/version-hint.text"))).trim
     val metaTxt = new String(Files.readAllBytes(Paths.get(
       s"$loc/metadata/v$hint.metadata.json")))
-    assert(metaTxt.contains("\"format-version\": 3"))
+    assert("\"format-version\"\\s*:\\s*3".r.findFirstIn(metaTxt).nonEmpty,
+      "metadata must declare format-version 3")
     // planning metadata: one content=1 PUFFIN row per DV
     val ft = IcebergLite.filesTable(spark, loc)
       .filter(col("content") === 1).collect()
@@ -117,7 +118,7 @@ class IcebergV3Spec extends AnyFunSuite {
       metaDir0.resolve("version-hint.text"))).trim
     val meta0 = new String(Files.readAllBytes(
       metaDir0.resolve(s"v$hint0.metadata.json")))
-    assert(meta0.contains("\"format-version\": 3"),
+    assert("\"format-version\"\\s*:\\s*3".r.findFirstIn(meta0).nonEmpty,
       "v3 append must re-emit v3 metadata")
     assert(IcebergLite.read(spark, loc).count() === 12L,
       "10 - 1 DV-deleted + 3 appended")
@@ -138,8 +139,10 @@ class IcebergV3Spec extends AnyFunSuite {
       metaDir.resolve("version-hint.text"))).trim
     val metaP = metaDir.resolve(s"v$hint.metadata.json")
     val txt = new String(Files.readAllBytes(metaP))
-    mutate(metaP, txt.replace("\"format-version\": 3",
-      "\"format-version\": 4").getBytes)
+    val bumped = "\"format-version\"\\s*:\\s*3".r
+      .replaceAllIn(txt, "\"format-version\": 4")
+    assert(bumped != txt, "fixture mutation missed format-version")
+    mutate(metaP, bumped.getBytes)
     val e4 = intercept[java.io.IOException] {
       IcebergLite.read(spark, loc)
     }
@@ -147,7 +150,7 @@ class IcebergV3Spec extends AnyFunSuite {
     // a v3 schema field with an initial-default refuses by name
     // (the DV commit rewrote metadata with jackson-compact schema
     // JSON; assert the injection actually landed)
-    val injected = txt.replace("\"name\":\"name\"",
+    val injected = "\"name\"\\s*:\\s*\"name\"".r.replaceAllIn(txt,
       "\"name\":\"name\",\"initial-default\":\"zz\"")
     assert(injected != txt, "fixture injection missed the schema field")
     mutate(metaP, injected.getBytes)
@@ -156,6 +159,109 @@ class IcebergV3Spec extends AnyFunSuite {
     }
     assert(e5.getMessage.contains("initial-default"),
       s"got: ${e5.getMessage}")
+  }
+
+  test("v3 writes preserve foreign metadata state and carry row " +
+    "lineage: unknown fields survive, next-row-id advances by added " +
+    "rows, delete snapshots advance nothing") {
+    val loc = tmp("lineage")
+    IcebergLite.export(spark, frame(10, "a"), loc)
+    IcebergLite.exportDeletionVectors(spark, loc,
+      positionsOf(loc, _ == 1L)) // upgrades the table to v3
+    // a FOREIGN v3 writer's state: row lineage counters plus a field
+    // this writer has never heard of — both must carry forward
+    // verbatim through our appends (the regenerating-template bug
+    // dropped exactly this)
+    val metaDir = Paths.get(loc, "metadata")
+    def hint() = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text"))).trim
+    def metaTxt() = new String(Files.readAllBytes(
+      metaDir.resolve(s"v${hint()}.metadata.json")))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pre = mapper.readTree(metaTxt())
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    pre.put("next-row-id", 1000L)
+    pre.set[com.fasterxml.jackson.databind.node.ObjectNode](
+      "statistics", mapper.readTree("""[{"snapshot-id": 1,
+        "statistics-path": "/nowhere.puffin"}]"""))
+    mutate(metaDir.resolve(s"v${hint()}.metadata.json"),
+      mapper.writeValueAsString(pre).getBytes)
+    // append 3 data rows: first-row-id = the prior next-row-id, the
+    // table counter advances by the rows added
+    IcebergLite.appendManifest(spark, frame(3, "b"), loc)
+    val after = mapper.readTree(metaTxt())
+    assert(after.get("next-row-id").asLong === 1003L,
+      "next-row-id must advance by the appended row count")
+    assert(after.get("statistics") != null &&
+      after.get("statistics").isArray,
+      "a foreign v3-only field must carry forward verbatim")
+    val snaps = after.get("snapshots").elements()
+    var lastSnap: com.fasterxml.jackson.databind.JsonNode = null
+    while (snaps.hasNext) lastSnap = snaps.next()
+    assert(lastSnap.get("first-row-id").asLong === 1000L,
+      "the append snapshot is assigned the prior next-row-id")
+    assert(lastSnap.get("summary").get("added-rows").asText === "3")
+    // an equality-delete snapshot adds no data rows: first-row-id is
+    // assigned, the counter stays put
+    import spark.implicits._
+    IcebergLite.exportEqualityDeletes(spark,
+      Seq(0L).toDF("id"), loc)
+    val afterDel = mapper.readTree(metaTxt())
+    assert(afterDel.get("next-row-id").asLong === 1003L,
+      "delete snapshots advance nothing")
+    val snaps2 = afterDel.get("snapshots").elements()
+    var lastDel: com.fasterxml.jackson.databind.JsonNode = null
+    while (snaps2.hasNext) lastDel = snaps2.next()
+    assert(lastDel.get("first-row-id").asLong === 1003L)
+    assert(lastDel.get("summary").get("added-rows").asText === "0")
+    // and the data still reads right through it all (the eq-delete of
+    // id 0 hits the base file AND the earlier append — both sequence
+    // below the delete)
+    assert(IcebergLite.read(spark, loc).count() === 10L,
+      "10 - 1 DV + 3 appended - 2 eq-deleted (base id0 + appended id0)")
+  }
+
+  test("a v3-written table round-trips through EVERY repo read path: " +
+    "plain, pruned, time-travel, metadata tables, sync (the in-repo " +
+    "conformance net — no foreign v3 runtime exists in this sandbox)") {
+    val loc = tmp("roundtrip")
+    IcebergLite.export(spark, frame(30, "a"), loc)
+    val s1 = IcebergLite.snapshot(spark, loc).snapshotId
+    IcebergLite.exportDeletionVectors(spark, loc,
+      positionsOf(loc, _ % 5 == 0)) // → v3 with Puffin DVs
+    IcebergLite.appendManifest(spark, frame(6, "b"), loc)
+    import spark.implicits._
+    IcebergLite.exportEqualityDeletes(spark, Seq(1L, 2L).toDF("id"), loc)
+    // plain read: 30 - 6 DV'd - (2 eq-deleted from the base + matching
+    // appended ids 1,2) = the model below
+    val model = ((0L until 30L).filterNot(_ % 5 == 0) ++
+      (0L until 6L)).diff(Seq(1L, 2L, 1L, 2L))
+    val live = IcebergLite.read(spark, loc).select("id")
+      .collect().map(_.getLong(0)).sorted
+    assert(live.toSeq === model.sorted,
+      s"plain read: got ${live.length} rows")
+    // pruned read: min/max bounds + delete application must agree
+    val pruned = IcebergLite.readPruned(spark, loc, "id", 0L, 4L)._1
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(pruned.toSeq === model.filter(i => i >= 0 && i <= 4).sorted)
+    // time travel to the pre-DV snapshot
+    assert(IcebergLite.read(spark, loc, Some(s1)).count() === 30L)
+    // metadata tables enumerate data, DV (puffin) and delete files
+    val ft = IcebergLite.filesTable(spark, loc)
+    assert(ft.filter(col("content") === 0).count() >= 2,
+      "data files from both appends")
+    assert(ft.filter(col("content") === 1).count() >= 1,
+      "the DV / delete files surface in the files table")
+    assert(IcebergLite.snapshotsTable(spark, loc).count() >= 4)
+    assert(IcebergLite.snapshotIds(spark, loc).nonEmpty)
+    // sync: the v3 table ingests into a graft mirror through the same
+    // protocol walk (IcebergSync is a READ consumer of the v3 state)
+    val mirror = tmp("roundtrip-mirror")
+    graft.warehouse.IcebergSync.sync(spark, loc, mirror)
+    val mirrored = graft.warehouse.VersionedParquet.read(spark, mirror)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(mirrored.toSeq === model.sorted,
+      "the synced mirror must carry exactly the v3 table's live rows")
   }
 
   test("puffin structural edges: corrupt head magic, corrupt CRC, " +
