@@ -822,8 +822,86 @@ object SqlSurfaceOps {
              |SELECT 3, 0, CAST(NULL AS BIGINT)
              |UNION ALL
              |SELECT 4, count(*), CAST(sum(cents) AS BIGINT) FROM v4
-             |ORDER BY version""".stripMargin))
+             |ORDER BY version""".stripMargin)),
+
+    // ── COPY INTO … COPY_OPTIONS ('force'='true'): the re-ingest
+    // escape hatch ─────────────────────────────────────────────────
+    // The ingestion ledger deliberately SURVIVES TRUNCATE (a
+    // scheduled COPY INTO after a truncate stays a no-op instead of
+    // silently double-loading), so Delta's force option is the
+    // explicit way back: re-ingest every landing file regardless of
+    // the ledger. The fixture drives the full interaction — two
+    // incremental loads, truncate, a provable no-op re-run, the
+    // forced reload — asserting the typed (loaded, skipped) rows at
+    // each step; the gate reads the final state, which must equal
+    // exactly one copy of every landing row. A ledger that cleared on
+    // truncate (silent double-load), a force that skipped, or a
+    // post-force run that loaded again all break the row math.
+    QueryDef("q278_copy_into_force",
+      (s, d) => {
+        val root = copyForceRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy((col("k") % 2).as("parity"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            countDistinct(col("k")).as("n_keys"))
+          .orderBy("parity")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |loaded AS (
+             |  SELECT * FROM o WHERE k % 2 = 0
+             |  UNION ALL
+             |  SELECT * FROM o WHERE k % 2 = 1 AND k % 5 = 0)
+             |SELECT k % 2 AS parity, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(DISTINCT k) AS n_keys
+             |FROM loaded
+             |GROUP BY 1
+             |ORDER BY parity""".stripMargin))
   )
+
+  /** q278 fixture: land → copy → land → copy → TRUNCATE → no-op
+    * re-run → forced reload, every step's typed result asserted.
+    * Once per session. */
+  private def copyForceRoot(s: org.apache.spark.sql.SparkSession,
+                            d: String): String = {
+    val root = Scratch.dir(s, "q278-copy-force")
+    val landing = Scratch.dir(s, "q278-landing")
+    GraftTables.register("graft_q278", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(o.limit(0), root, keepVersions = 20)
+      def copy(opts: String): (Long, Long) = {
+        val r = GraftSql.sql(s,
+          s"COPY INTO graft_q278 FROM '$landing' " +
+            s"FILEFORMAT = parquet$opts").head()
+        (r.getAs[Long]("n_files_loaded"), r.getAs[Long]("n_files_skipped"))
+      }
+      o.filter(col("k") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/batch1")
+      require(copy("") == ((1L, 0L)), "q278: first copy")
+      o.filter(col("k") % 2 === 1 && col("k") % 5 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/batch2")
+      require(copy("") == ((1L, 1L)), "q278: second copy")
+      GraftSql.sql(s, "TRUNCATE TABLE graft_q278")
+      require(VersionedParquet.read(s, root).isEmpty,
+        "q278: truncate must empty the table")
+      // the ledger survives: a scheduled re-run is a no-op, never a
+      // silent double-load
+      require(copy("") == ((0L, 2L)), "q278: post-truncate no-op")
+      // force: the explicit re-ingest
+      require(copy(" COPY_OPTIONS ('force'='true')") == ((2L, 0L)),
+        "q278: forced reload")
+      // and idempotency holds again afterwards
+      require(copy("") == ((0L, 2L)), "q278: post-force no-op")
+    }
+    root
+  }
 
   /** q277 fixture: the modernized bronze flow — publish, INSERT INTO,
     * INSERT OVERWRITE, TRUNCATE TABLE, COPY INTO reload. Once per

@@ -167,9 +167,13 @@ private[graft] final case class SqlDescribeBranches(table: String)
 private[graft] final case class SqlRestore(table: String,
     toVersion: Option[Long], toMillis: Option[Long]) extends GraftDml
 // COPY INTO t FROM '…' FILEFORMAT = parquet|csv [FORMAT_OPTIONS
-// ('k'='v', …)] — idempotent file-tracked bulk ingestion.
+// ('k'='v', …)] [COPY_OPTIONS ('force'='true')] — idempotent
+// file-tracked bulk ingestion; force reloads regardless of the log
+// (Delta's escape hatch after a TRUNCATE/RESTORE emptied the table
+// but the log still remembers the files).
 private[graft] final case class SqlCopyInto(table: String, src: String,
-    format: String, options: Map[String, String]) extends GraftDml
+    format: String, options: Map[String, String],
+    force: Boolean = false) extends GraftDml
 // ALTER TABLE t ADD COLUMN c BIGINT GENERATED ALWAYS AS IDENTITY —
 // writer-assigned monotonic unique ids (empty-table declaration).
 private[graft] final case class SqlAddIdentity(table: String,
@@ -274,7 +278,8 @@ object GraftSql {
     // COPY INTO (Delta's incremental-ingestion verb)
     val CP = ("""(?is)COPY\s+INTO\s+([A-Za-z_][\w]*)\s+FROM\s+""" +
       """'([^']+)'\s+FILEFORMAT\s*=\s*([A-Za-z]+)""" +
-      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""").r
+      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?""" +
+      """(?:\s+COPY_OPTIONS\s*\(([^)]*)\))?""").r
     def optMap(raw: String): Map[String, String] =
       if (raw == null || raw.trim.isEmpty) Map.empty
       else {
@@ -300,8 +305,19 @@ object GraftSql {
       """([A-Za-z_][\w]*)\s+(SELECT\b.+)""").r
     val TR = """(?is)TRUNCATE\s+TABLE\s+([A-Za-z_][\w]*)""".r
     val dml = t match {
-      case CP(table, src, fmt, raw) =>
-        Some(SqlCopyInto(table, src, fmt.toLowerCase, optMap(raw)))
+      case CP(table, src, fmt, raw, copyRaw) =>
+        val copyOpts = optMap(copyRaw)
+        val unknown = copyOpts.keySet.map(_.toLowerCase) - "force"
+        if (unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"unsupported COPY_OPTIONS ${unknown.mkString(", ")} — " +
+              "only 'force' is supported")
+        val force = copyOpts.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("force") =>
+            v.equalsIgnoreCase("true")
+        }.getOrElse(false)
+        Some(SqlCopyInto(table, src, fmt.toLowerCase, optMap(raw),
+          force))
       case AI(table, colName) => Some(SqlAddIdentity(table, colName))
       case IO(table, query) => Some(SqlInsertOverwrite(table, query.trim))
       case TR(table) => Some(SqlTruncate(table))
@@ -558,7 +574,7 @@ object GraftSql {
       case r: SqlRestore => restoreExec(spark, r)._3
       case c: SqlCopyInto =>
         VersionedParquet.copyInto(spark, root, c.src, c.format,
-          c.options, keep)
+          c.options, keep, force = c.force)
         root
       case SqlAddIdentity(_, colName) =>
         VersionedParquet.addIdentityColumn(spark, root, colName,
@@ -579,12 +595,18 @@ object GraftSql {
             s"the table has ${want.mkString(", ")}; OVERWRITE " +
             "replaces rows, not the schema — use a new publish for " +
             "schema changes")
+        // both verbs replace ROWS only — the table's physical layout
+        // (Hive partition dirs) carries through, same resolution
+        // compact/OPTIMIZE uses; dropping it would silently degrade
+        // partition pruning and DESCRIBE DETAIL on every later read
         VersionedParquet.publish(
           incoming.select(want.map(incoming(_)): _*), root,
+          partitionCols = VersionedParquet.partitionColsOf(spark, root),
           keepVersions = keep)
       case _: SqlTruncate =>
         VersionedParquet.publish(
           VersionedParquet.read(spark, root).limit(0), root,
+          partitionCols = VersionedParquet.partitionColsOf(spark, root),
           keepVersions = keep)
     }
   }
@@ -597,7 +619,7 @@ object GraftSql {
       throw new IllegalStateException(
         s"table ${c.table} is not registered"))
     val (nLoaded, nSkipped, nRows) = VersionedParquet.copyInto(
-      spark, root, c.src, c.format, c.options, keep)
+      spark, root, c.src, c.format, c.options, keep, force = c.force)
     import spark.implicits._
     Seq((c.table, nLoaded.toLong, nSkipped.toLong, nRows))
       .toDF("table", "n_files_loaded", "n_files_skipped",

@@ -642,10 +642,18 @@ object VersionedParquet {
         throw new IOException(s"publish rejected: $root has identity " +
           s"column $name and the incoming frame lacks it — a reload " +
           "that drops assigned ids loses the identity contract")
-      import org.apache.spark.sql.functions.{col, count, countDistinct, max}
+      import org.apache.spark.sql.functions.{col, count, countDistinct,
+        lit, max}
+      // count/countDistinct/max all SKIP nulls — a frame carrying NULL
+      // ids would sail through both checks below and land rows with no
+      // assignment; count(lit(1)) vs count(col) catches exactly that
       val r = dfGen.agg(count(col(name)), countDistinct(col(name)),
-        max(col(name))).head()
+        max(col(name)), count(lit(1))).head()
       val (n, nd) = (r.getLong(0), r.getLong(1))
+      if (r.getLong(3) > n)
+        throw new IOException(s"publish rejected: identity column " +
+          s"$name carries ${r.getLong(3) - n} NULL value(s) — ids " +
+          "are writer-assigned and never null")
       if (n != nd)
         throw new IOException(s"publish rejected: identity column " +
           s"$name has ${n - nd} duplicated value(s)")
@@ -657,6 +665,15 @@ object VersionedParquet {
     val writer = dfGen.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(snapshot.toString)
+    // a partitionBy write of ZERO rows emits no part files at all —
+    // no schema anywhere, so every later read fails to infer; land
+    // the empty state as one schema-carrying unpartitioned file
+    // (TRUNCATE on a partitioned table is the ordinary path here).
+    // The probe must be the RECURSIVE listing: partitioned data lives
+    // under col=value subdirs a flat listing misses.
+    if (partitionCols.nonEmpty &&
+        listDataFiles(spark, snapshot).isEmpty)
+      dfGen.limit(0).write.mode("overwrite").parquet(snapshot.toString)
     val constraintMarker: Map[String, String] =
       if (constraints.isEmpty) Map.empty
       else {
@@ -2751,44 +2768,106 @@ object VersionedParquet {
 
   // ── COPY INTO (idempotent file-tracked bulk ingestion) ─────────────
   //
-  // `root/_COPY_LOG` records every source file a copyInto has loaded
-  // (one qualified path per line). A re-run over the same directory
-  // loads only files the log has not seen — the modern incremental
-  // counterpart of the reference's truncate-and-reload BULK INSERT
+  // The loaded-file ledger records every source file a copyInto has
+  // loaded. A re-run over the same directory loads only files the
+  // ledger has not seen — the modern incremental counterpart of the
+  // reference's truncate-and-reload BULK INSERT
   // (load_bronze.sql:22-142): new landing files append, loaded ones
   // skip, and the verb is safe to run on a schedule.
+  //
+  // Ledger layout: `root/_COPY_LOG.d/seg-*.parquet`, one single-column
+  // (`path`) segment appended per ingesting run — O(new files) write
+  // cost per run, never a whole-ledger rewrite (at 100× landing-file
+  // counts the old single-text ledger made every ingestion pay
+  // O(total ever-loaded files) of driver text). The seen-check is a
+  // distributed anti-join of the listing against the ledger frame, so
+  // the driver never materializes the ever-loaded set either. Segments
+  // past COPY_LOG_COMPACT_AT merge into one (union semantics make a
+  // crash between merge-write and old-segment delete harmless —
+  // duplicate paths in the union change nothing). The legacy
+  // single-text `_COPY_LOG` pointer is still read and is folded into
+  // a segment on the first write that sees it.
 
+  /** Legacy single-text ledger name (read + migrated, never written). */
   private[warehouse] val COPY_LOG = "_COPY_LOG"
 
+  /** Segmented parquet ledger directory. */
+  private[warehouse] val COPY_LOG_DIR = "_COPY_LOG.d"
+
+  /** Merge ledger segments once a run sees more than this many. */
+  private[warehouse] val COPY_LOG_COMPACT_AT = 64
+
   /** Idempotent bulk ingestion (Delta's COPY INTO): append every data
-    * file under `src` that the table's copy log has not recorded, as
-    * ONE commit, then record them. Returns
+    * file under `src` that the table's copy ledger has not recorded,
+    * as ONE commit, then record them. Returns
     * (files loaded, files skipped, rows inserted).
     *
     * CSV reads use the table's PHYSICAL base schema (the bronze
     * contract: explicit schema, never inference) plus `options`
     * (header handling etc.); parquet reads carry their own schema and
-    * `append` validates it against the base footer. The log update
+    * `append` validates it against the base footer. The ledger update
     * lands AFTER the commit: a crash inside that window re-loads the
     * batch on retry (duplicates a `merge` can repair) — the
     * alternative order would mark files loaded that never landed,
-    * which is silent data loss. */
+    * which is silent data loss.
+    *
+    * The ledger deliberately SURVIVES `TRUNCATE TABLE` and `RESTORE`:
+    * those verbs rewrite table CONTENT, not ingestion history, so a
+    * scheduled COPY INTO after them stays a no-op rather than
+    * silently double-loading. When the point IS to re-ingest (the
+    * table was truncated and the landing files must load again), pass
+    * `force = true` (SQL: `COPY_OPTIONS ('force'='true')`, Delta's
+    * own escape hatch): every matching file loads regardless of the
+    * ledger, and the ledger still records them for later
+    * non-forced runs. A forced re-run over already-live data
+    * duplicates rows by design — same as Delta. */
   def copyInto(spark: SparkSession, root: String, src: String,
                format: String = "parquet",
                options: Map[String, String] = Map.empty,
-               keepVersions: Int = 2): (Int, Int, Long) =
-    // the whole read-log → append → write-log sequence holds the
+               keepVersions: Int = 2,
+               force: Boolean = false): (Int, Int, Long) =
+    // the whole read-ledger → append → write-ledger sequence holds the
     // writer lock (reentrant for the append inside): two overlapping
     // scheduled COPY INTO runs must serialize, or both would compute
     // the same fresh list and double-load every file
     withWriterLock(spark, root) {
-      copyIntoLocked(spark, root, src, format, options, keepVersions)
+      copyIntoLocked(spark, root, src, format, options, keepVersions,
+        force)
     }
+
+  /** All ledger segment files currently installed (renamed-in only —
+    * in-flight staging dirs start with '.' and never match). */
+  private[warehouse] def copyLogSegs(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[Path] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("seg-") &&
+        p.getName.endsWith(".parquet"))
+
+  /** Stage + rename one ledger segment holding `paths`; the rename is
+    * the install (readers list only installed segments). */
+  private[warehouse] def writeCopyLogSeg(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      paths: Seq[String], tag: String): Unit = {
+    import spark.implicits._
+    val staging = new Path(dir, s".seg-staging-$tag")
+    fs.delete(staging, true)
+    paths.toDF("path").coalesce(1).write.mode("overwrite")
+      .parquet(staging.toString)
+    val part = fs.listStatus(staging).toSeq
+      .find(st => st.getPath.getName.endsWith(".parquet") && st.getLen > 0)
+      .getOrElse(throw new IOException(
+        s"copy-ledger segment write produced no file under $staging"))
+    val dest = new Path(dir, s"seg-$tag.parquet")
+    if (!fs.rename(part.getPath, dest))
+      throw new IOException(s"could not install copy-ledger segment $dest")
+    fs.delete(staging, true)
+  }
 
   private def copyIntoLocked(spark: SparkSession, root: String,
                src: String, format: String,
                options: Map[String, String],
-               keepVersions: Int): (Int, Int, Long) = {
+               keepVersions: Int, force: Boolean): (Int, Int, Long) = {
     val ext = format.toLowerCase match {
       case "parquet" => ".parquet"
       case "csv" => ".csv"
@@ -2809,11 +2888,32 @@ object VersionedParquet {
         else Nil
       }
     val all = walk(srcPath).map(p => fs.makeQualified(p).toString).sorted
-    val logP = new Path(rootPath, COPY_LOG)
-    val loaded = readPointer(spark, logP)
-      .map(_.split('\n').filter(_.nonEmpty).toSet)
-      .getOrElse(Set.empty[String])
-    val fresh = all.filterNot(loaded)
+    val tableFs = fsOf(spark, rootPath)
+    val logDir = new Path(rootPath, COPY_LOG_DIR)
+    val legacyP = new Path(rootPath, COPY_LOG)
+    // legacy single-text ledger: still honored as loaded history; its
+    // paths fold into a parquet segment below on the first write
+    val legacy: Seq[String] = readPointer(spark, legacyP)
+      .map(_.split('\n').filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val segs = copyLogSegs(tableFs, logDir)
+    val fresh: Seq[String] =
+      if (force) all
+      else {
+        import spark.implicits._
+        // distributed anti-join against the ledger: the driver holds
+        // the source LISTING (inherent to any ingest) and the fresh
+        // result (O(new files)), never the ever-loaded set
+        var candidates = all.toDF("path")
+        if (segs.nonEmpty)
+          candidates = candidates.join(
+            spark.read.parquet(segs.map(_.toString): _*),
+            Seq("path"), "left_anti")
+        if (legacy.nonEmpty)
+          candidates = candidates.join(legacy.toDF("path"),
+            Seq("path"), "left_anti")
+        candidates.as[String].collect().toSeq.sorted
+      }
     if (fresh.isEmpty) return (0, all.size, 0L)
     val v = currentVersion(spark, root).getOrElse(
       throw new IOException(s"no published version under $root — " +
@@ -2838,8 +2938,38 @@ object VersionedParquet {
     }
     val nRows = batch.count()
     append(spark, root, batch, keepVersions)
-    installPointer(spark, rootPath, COPY_LOG,
-      (loaded ++ fresh).toSeq.sorted.mkString("\n"))
+    // ledger update AFTER the commit (crash window re-loads, never
+    // marks-unloaded): one O(new files) segment per run; the legacy
+    // text ledger folds in and retires on the first write here
+    val v2 = currentVersion(spark, root).getOrElse(0L)
+    writeCopyLogSeg(spark, tableFs, logDir,
+      (fresh ++ legacy).distinct.sorted,
+      s"$v2-${java.util.UUID.randomUUID().toString.take(8)}")
+    if (legacy.nonEmpty) tableFs.delete(legacyP, false)
+    // merge once the segment count passes the threshold: union
+    // semantics make the merge-then-delete crash window harmless
+    val after = copyLogSegs(tableFs, logDir)
+    if (after.size > COPY_LOG_COMPACT_AT) {
+      // distributed merge — the ever-loaded set never lands on the
+      // driver: read all segments, distinct, stage one file, rename in
+      val tag = s"compact-$v2-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val staging = new Path(logDir, s".seg-staging-$tag")
+      tableFs.delete(staging, true)
+      spark.read.parquet(after.map(_.toString): _*)
+        .select("path").distinct().coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      val part = tableFs.listStatus(staging).toSeq
+        .find(st => st.getPath.getName.endsWith(".parquet") &&
+          st.getLen > 0)
+        .getOrElse(throw new IOException(
+          s"copy-ledger compaction produced no file under $staging"))
+      if (!tableFs.rename(part.getPath,
+          new Path(logDir, s"seg-$tag.parquet")))
+        throw new IOException("could not install compacted copy ledger")
+      tableFs.delete(staging, true)
+      after.foreach(p => tableFs.delete(p, false))
+    }
     (fresh.size, all.size - fresh.size, nRows)
   }
 

@@ -794,4 +794,138 @@ class GraftSqlSpec extends AnyFunSuite {
       SparkSession.setActiveSession(prev)
     }
   }
+
+  test("COPY INTO ledger survives TRUNCATE (no silent re-load); " +
+    "COPY_OPTIONS force is the documented re-ingest escape hatch") {
+    import spark.implicits._
+    val root = tmp("copyforce")
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-sql-copyforce").toString
+    GraftTables.register("t_cforce", root, keepVersions = 50)
+    try {
+      VersionedParquet.publish(
+        Seq.empty[(Long, Long)].toDF("k", "x"), root, keepVersions = 50)
+      (0L until 30L).map(i => (i, i)).toDF("k", "x")
+        .coalesce(1).write.parquet(s"$landing/b1")
+      GraftSql.sql(spark,
+        s"COPY INTO t_cforce FROM '$landing' FILEFORMAT = parquet")
+      assert(VersionedParquet.read(spark, root).count() === 30L)
+      GraftSql.sql(spark, "TRUNCATE TABLE t_cforce")
+      // the ledger deliberately survives: a scheduled re-run stays a
+      // no-op rather than silently double-loading
+      val r = GraftSql.sql(spark,
+        s"COPY INTO t_cforce FROM '$landing' FILEFORMAT = parquet").head()
+      assert(r.getAs[Long]("n_files_loaded") === 0L)
+      assert(VersionedParquet.read(spark, root).count() === 0L)
+      // force bypasses the ledger — Delta's escape hatch for exactly
+      // this truncated-table state
+      val rf = GraftSql.sql(spark,
+        s"COPY INTO t_cforce FROM '$landing' FILEFORMAT = parquet " +
+          "COPY_OPTIONS ('force'='true')").head()
+      assert(rf.getAs[Long]("n_files_loaded") === 1L)
+      assert(rf.getAs[Long]("n_rows_inserted") === 30L)
+      assert(VersionedParquet.read(spark, root).count() === 30L)
+      // after the forced run, non-forced stays idempotent
+      val r2 = GraftSql.sql(spark,
+        s"COPY INTO t_cforce FROM '$landing' FILEFORMAT = parquet").head()
+      assert(r2.getAs[Long]("n_files_loaded") === 0L)
+      // unknown COPY_OPTIONS refuse loudly
+      val eU = intercept[IllegalArgumentException](GraftSql.parseDml(
+        s"COPY INTO t_cforce FROM '$landing' FILEFORMAT = parquet " +
+          "COPY_OPTIONS ('mergeSchema'='true')"))
+      assert(eU.getMessage.contains("unsupported COPY_OPTIONS"))
+    } finally GraftTables.unregister("t_cforce")
+  }
+
+  test("COPY INTO ledger is segmented parquet: O(new files) per run, " +
+    "legacy text ledger migrates, compaction bounds the segment count") {
+    import spark.implicits._
+    val root = tmp("copyseg")
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-sql-copyseg").toString
+    GraftTables.register("t_cseg", root, keepVersions = 50)
+    try {
+      VersionedParquet.publish(
+        Seq.empty[(Long, Long)].toDF("k", "x"), root, keepVersions = 50)
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val logDir = new org.apache.hadoop.fs.Path(rootP,
+        VersionedParquet.COPY_LOG_DIR)
+      // ── legacy migration: a pre-segmentation text ledger naming b1
+      // counts as loaded, folds into a segment on the first write, and
+      // the text file retires ──────────────────────────────────────
+      (0L until 10L).map(i => (i, i)).toDF("k", "x")
+        .coalesce(1).write.parquet(s"$landing/b1")
+      val b1Part = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$landing/b1")).toSeq
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+        .map(p => fs.makeQualified(p).toString).head
+      VersionedParquet.installPointer(spark, rootP,
+        VersionedParquet.COPY_LOG, b1Part)
+      (100L until 105L).map(i => (i, i)).toDF("k", "x")
+        .coalesce(1).write.parquet(s"$landing/b2")
+      val r1 = GraftSql.sql(spark,
+        s"COPY INTO t_cseg FROM '$landing' FILEFORMAT = parquet").head()
+      assert(r1.getAs[Long]("n_files_loaded") === 1L,
+        "only b2 is new; the legacy ledger already names b1")
+      assert(r1.getAs[Long]("n_files_skipped") === 1L)
+      assert(VersionedParquet.read(spark, root).count() === 5L)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(rootP,
+        VersionedParquet.COPY_LOG)),
+        "the legacy text ledger retires after folding into a segment")
+      val segs1 = VersionedParquet.copyLogSegs(fs, logDir)
+      assert(segs1.nonEmpty, "segmented ledger installed")
+      val paths1 = spark.read.parquet(segs1.map(_.toString): _*)
+        .as[String].collect().toSet
+      assert(paths1.contains(b1Part), "legacy entry carried forward")
+      // ── compaction: past the threshold the segments merge into one
+      // and the union of paths is preserved ────────────────────────
+      val synthetic = (0 until VersionedParquet.COPY_LOG_COMPACT_AT + 4)
+        .map(i => s"file:/synthetic/ledger-entry-$i.parquet")
+      synthetic.zipWithIndex.foreach { case (p, i) =>
+        VersionedParquet.writeCopyLogSeg(spark, fs, logDir,
+          Seq(p), s"synthetic-$i")
+      }
+      assert(VersionedParquet.copyLogSegs(fs, logDir).size >
+        VersionedParquet.COPY_LOG_COMPACT_AT)
+      (200L until 203L).map(i => (i, i)).toDF("k", "x")
+        .coalesce(1).write.parquet(s"$landing/b3")
+      GraftSql.sql(spark,
+        s"COPY INTO t_cseg FROM '$landing' FILEFORMAT = parquet")
+      val segsAfter = VersionedParquet.copyLogSegs(fs, logDir)
+      assert(segsAfter.size === 1,
+        s"compaction merges to one segment, got ${segsAfter.size}")
+      val pathsAfter = spark.read.parquet(segsAfter.map(_.toString): _*)
+        .as[String].collect().toSet
+      assert(synthetic.forall(pathsAfter), "compaction keeps the union")
+      assert(pathsAfter.contains(b1Part))
+      // idempotency holds across the compacted ledger
+      val rAgain = GraftSql.sql(spark,
+        s"COPY INTO t_cseg FROM '$landing' FILEFORMAT = parquet").head()
+      assert(rAgain.getAs[Long]("n_files_loaded") === 0L)
+    } finally GraftTables.unregister("t_cseg")
+  }
+
+  test("INSERT OVERWRITE and TRUNCATE preserve the table's partition " +
+    "layout (rows replace; the physical layout is the table's)") {
+    import spark.implicits._
+    val root = tmp("ovrpart")
+    GraftTables.register("t_ovrp", root, keepVersions = 50)
+    try {
+      VersionedParquet.publish(
+        (0L until 40L).map(i => (i, s"g${i % 4}", i * 2))
+          .toDF("id", "g", "x"),
+        root, partitionCols = Seq("g"), keepVersions = 50)
+      assert(VersionedParquet.partitionColsOf(spark, root) === Seq("g"))
+      (1000L until 1020L).map(i => (i, s"g${i % 2}", i))
+        .toDF("id", "g", "x").createOrReplaceTempView("ovr_src")
+      GraftSql.sql(spark,
+        "INSERT OVERWRITE t_ovrp SELECT id, g, x FROM ovr_src")
+      assert(VersionedParquet.read(spark, root).count() === 20L)
+      assert(VersionedParquet.partitionColsOf(spark, root) === Seq("g"),
+        "OVERWRITE replaces rows, not the partition layout")
+      GraftSql.sql(spark, "TRUNCATE TABLE t_ovrp")
+      assert(VersionedParquet.read(spark, root).count() === 0L)
+    } finally GraftTables.unregister("t_ovrp")
+  }
 }

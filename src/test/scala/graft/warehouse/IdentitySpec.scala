@@ -163,4 +163,45 @@ class IdentitySpec extends AnyFunSuite {
       GraftTables.unregister("t_iddecl")
     }
   }
+
+  test("COPY INTO parquet refuses files CARRYING the identity column " +
+    "(GENERATED ALWAYS is writer-owned — the Delta contract, pinned)") {
+    import spark.implicits._
+    val root = freshIdTable("copycarry")
+    GraftTables.register("t_idcarry", root, keepVersions = 20)
+    try {
+      val landing = java.nio.file.Files
+        .createTempDirectory("graft-id-carry").toString
+      // a parquet landing file that already holds rid values — unlike
+      // the CSV path (which reads with the writer-owned columns
+      // stripped), parquet files carry their own schema, and importing
+      // foreign id assignments would break the uniqueness contract
+      (0L until 5L).map(i => (i, i, i + 7L)).toDF("k", "x", "rid")
+        .coalesce(1).write.parquet(s"$landing/b1")
+      val e = intercept[java.io.IOException](GraftSql.sql(spark,
+        s"COPY INTO t_idcarry FROM '$landing' FILEFORMAT = parquet"))
+      assert(e.getMessage.contains("GENERATED ALWAYS AS IDENTITY"),
+        s"got: ${e.getMessage}")
+      assert(VersionedParquet.read(spark, root).count() === 0L,
+        "the refused load lands nothing")
+    } finally GraftTables.unregister("t_idcarry")
+  }
+
+  test("publish refuses NULL identity values (count/max skip nulls — " +
+    "a null-id frame must not slip past the uniqueness checks)") {
+    import spark.implicits._
+    val root = freshIdTable("nullid")
+    // seed some assigned rows so the high-water mark is live
+    VersionedParquet.append(spark, root,
+      (0L until 5L).map(i => (i, i)).toDF("k", "x"), keepVersions = 20)
+    val withNull = Seq(
+      (1L, 1L, java.lang.Long.valueOf(0L)),
+      (2L, 2L, null.asInstanceOf[java.lang.Long]))
+      .toDF("k", "x", "rid")
+    val e = intercept[java.io.IOException](
+      VersionedParquet.publish(withNull, root, keepVersions = 20))
+    assert(e.getMessage.contains("NULL"), s"got: ${e.getMessage}")
+    assert(VersionedParquet.read(spark, root).count() === 5L,
+      "the refused publish changes nothing")
+  }
 }
