@@ -35,13 +35,22 @@ object Bucketed {
     * `spark.sql.warehouse.dir`.
     */
   def write(df: DataFrame, table: String, key: String, buckets: Int,
-            path: Option[String] = None): Unit = {
+            path: Option[String] = None): Unit =
+    writeKeys(df, table, Seq(key), buckets, path)
+
+  /** Composite-key form of [[write]]: bucketed AND sorted by all of
+    * `keys`, for recurring joins on a multi-column equi-key (the
+    * wedge-closing (a, c) join of triangle counting is the canonical
+    * case). Same single-file-per-bucket discipline. */
+  def writeKeys(df: DataFrame, table: String, keys: Seq[String],
+                buckets: Int, path: Option[String] = None): Unit = {
+    require(keys.nonEmpty, "bucketed write needs at least one key")
     val w = df
-      .repartition(buckets, df.col(key))
+      .repartition(buckets, keys.map(df.col): _*)
       .write.mode("overwrite")
       .format("parquet")
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 }
