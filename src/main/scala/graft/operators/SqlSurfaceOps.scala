@@ -860,12 +860,82 @@ object SqlSurfaceOps {
              |       count(DISTINCT k) AS n_keys
              |FROM loaded
              |GROUP BY 1
-             |ORDER BY parity""".stripMargin))
+             |ORDER BY parity""".stripMargin)),
+
+    // ── MERGE … WHEN NOT MATCHED BY SOURCE THEN DELETE (full sync) ──────
+    // Delta's three-way merge: one statement makes the table mirror
+    // the source — matched rows update, new rows insert, and table
+    // rows the source no longer carries DELETE — while the change
+    // feed keeps per-row history (the fixture asserts the feed
+    // records exactly the dropped keys as deletes). The sync-a-
+    // mirror-table pattern every CDC consumer runs; without the BY
+    // SOURCE clause it takes a separate DELETE whose predicate the
+    // caller must derive by hand. The oracle replays the three-way
+    // algebra from predicates: a drop that survived, an update that
+    // missed, or an insert that duplicated breaks the hash.
+    QueryDef("q280_merge_full_sync",
+      (s, d) => {
+        val root = mergeFullSyncRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy((col("k") % 3).as("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            countDistinct(col("k")).as("n_keys"))
+          .orderBy("bucket")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |synced AS (
+             |  SELECT k, cents + 3 AS cents FROM o
+             |  WHERE k % 3 = 0 AND k % 2 = 0
+             |  UNION ALL
+             |  SELECT k, cents FROM o WHERE k % 3 = 1 AND k % 7 = 0)
+             |SELECT k % 3 AS bucket, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(DISTINCT k) AS n_keys
+             |FROM synced
+             |GROUP BY 1
+             |ORDER BY bucket""".stripMargin))
   )
 
-  /** q278 fixture: land → copy → land → copy → TRUNCATE → no-op
-    * re-run → forced reload, every step's typed result asserted.
-    * Once per session. */
+  /** q280 fixture: publish the base, run ONE full-sync MERGE, assert
+    * the table mirrors the source and the change feed recorded the
+    * dropped keys as deletes. Once per session. */
+  private def mergeFullSyncRoot(s: org.apache.spark.sql.SparkSession,
+                                d: String): String = {
+    val root = Scratch.dir(s, "q280-merge-sync")
+    GraftTables.register("graft_q280", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = o.filter(col("k") % 3 === 0)
+      VersionedParquet.publish(base, root, keepVersions = 20)
+      // source: half the base updated (k even, cents+3), the odd half
+      // GONE, plus fresh k%3=1 ∧ k%7=0 rows
+      o.filter(col("k") % 3 === 0 && col("k") % 2 === 0)
+        .select(col("k"), (col("cents") + 3).as("cents"))
+        .unionByName(o.filter(col("k") % 3 === 1 && col("k") % 7 === 0))
+        .createOrReplaceTempView("q280_src")
+      GraftSql.sql(s,
+        """MERGE INTO graft_q280 t USING (SELECT * FROM q280_src) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      // the feed must record the odd-half drops as ordinary deletes
+      val delKeys = VersionedParquet.changes(s, root, 0L, 1L)
+        .filter(col("_change_type") === "delete")
+        .select("k").collect().map(_.getLong(0)).toSet
+      val expectGone = base.filter(col("k") % 2 === 1)
+        .select("k").collect().map(_.getLong(0)).toSet
+      require(delKeys == expectGone,
+        s"q280: feed deletes ${delKeys.size} != dropped ${expectGone.size}")
+    }
+    root
+  }
   private def copyForceRoot(s: org.apache.spark.sql.SparkSession,
                             d: String): String = {
     val root = Scratch.dir(s, "q278-copy-force")

@@ -45,9 +45,13 @@ import org.apache.spark.sql.types.StructType
   * and locking as Scala callers; nothing is reimplemented. The
   * supported MERGE shape is the upsert/delete idiom
   * (`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`,
-  * or `WHEN MATCHED THEN DELETE`); arbitrary per-clause assignments
-  * would need column-level merge semantics the format does not
-  * promise.
+  * or `WHEN MATCHED THEN DELETE`), plus the full-sync form — the
+  * upsert idiom with a trailing `WHEN NOT MATCHED BY SOURCE THEN
+  * DELETE` (Delta's three-way merge: table rows absent from the
+  * source are removed, so one statement makes the table exactly
+  * mirror the source while keeping per-row change-feed history);
+  * arbitrary per-clause assignments would need column-level merge
+  * semantics the format does not promise.
   */
 object GraftTables {
   private val tables =
@@ -92,7 +96,8 @@ private[graft] final case class SqlDelete(table: String,
 private[graft] final case class SqlInsert(table: String,
     query: String) extends GraftDml
 private[graft] final case class SqlMerge(table: String, source: String,
-    keyCols: Seq[String], isDelete: Boolean) extends GraftDml
+    keyCols: Seq[String], isDelete: Boolean,
+    bySourceDelete: Boolean = false) extends GraftDml
 private[graft] final case class SqlOptimize(table: String,
     zorder: Seq[String] = Nil) extends GraftDml
 private[graft] final case class SqlCreateTable(table: String,
@@ -206,7 +211,8 @@ object GraftSql {
     val M = ("""(?is)MERGE\s+INTO\s+([A-Za-z_][\w]*)(?:\s+(?:AS\s+)?[\w]+)?""" +
       """\s+USING\s+\((.+)\)(?:\s+(?:AS\s+)?[\w]+)?\s+ON\s+(.+?)""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE)""" +
-      """(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*""").r
+      """(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?""" +
+      """(\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?\s*""").r
     // maintenance verbs (Delta's OPTIMIZE / VACUUM surface)
     val O = """(?is)OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?""".r
     val CT = ("""(?is)CREATE\s+TABLE\s+([A-Za-z_][\w]*)\s+(?:USING\s+graft\s+)?""" +
@@ -339,9 +345,15 @@ object GraftSql {
       case CB(table, b) => Some(SqlCreateBranch(table, b))
       case FF(table, b) => Some(SqlFastForward(table, b))
       case DB(table, b) => Some(SqlDropBranch(table, b))
-      case M(table, source, on, matched) =>
-        keyColsOf(on).map(keys => SqlMerge(table, source, keys,
-          matched.trim.equalsIgnoreCase("DELETE")))
+      case M(table, source, on, matched, bySource) =>
+        val isDel = matched.trim.equalsIgnoreCase("DELETE")
+        if (isDel && bySource != null)
+          throw new IllegalArgumentException(
+            "MERGE: WHEN MATCHED THEN DELETE cannot combine with WHEN " +
+              "NOT MATCHED BY SOURCE THEN DELETE — that statement " +
+              "deletes every row; use TRUNCATE TABLE if that is meant")
+        keyColsOf(on).map(keys => SqlMerge(table, source, keys, isDel,
+          bySourceDelete = bySource != null))
       case U(table, sets, where) =>
         Some(SqlUpdate(table, splitAssignments(sets),
           Option(where).map(_.trim)))
@@ -494,7 +506,7 @@ object GraftSql {
       case SqlInsert(_, query) =>
         VersionedParquet.append(spark, root, spark.sql(query),
           keepVersions = keep)
-      case SqlMerge(_, source, keys, isDelete) =>
+      case SqlMerge(_, source, keys, isDelete, bySourceDelete) =>
         val src = spark.sql(source)
         if (isDelete)
           // WHEN MATCHED THEN DELETE: no upserts — an empty frame in
@@ -502,7 +514,19 @@ object GraftSql {
           VersionedParquet.merge(spark, root,
             VersionedParquet.read(spark, root).limit(0), src, keys,
             keepVersions = keep)
-        else
+        else if (bySourceDelete) {
+          // full sync: upsert the source AND delete every table key
+          // the source no longer carries — one merge commit, so the
+          // change feed records the drops as ordinary deletes and the
+          // table mirrors the source exactly afterwards
+          import org.apache.spark.sql.functions.col
+          val keyC = keys.map(col)
+          val gone = VersionedParquet.read(spark, root)
+            .select(keyC: _*)
+            .join(src.select(keyC: _*), keys, "left_anti")
+          VersionedParquet.merge(spark, root, src, gone, keys,
+            keepVersions = keep)
+        } else
           VersionedParquet.upsert(spark, root, src, keys,
             keepVersions = keep)
       case SqlOptimize(_, Nil) =>

@@ -2845,11 +2845,18 @@ object VersionedParquet {
         p.getName.endsWith(".parquet"))
 
   /** Stage + rename one ledger segment holding `paths`; the rename is
-    * the install (readers list only installed segments). */
+    * the install (readers list only installed segments). Runs under
+    * the table's writer lock, so any `.seg-staging-*` dir present at
+    * entry is a CRASHED run's leftover (never an in-flight peer) —
+    * swept here so crash debris cannot accumulate under the ledger. */
   private[warehouse] def writeCopyLogSeg(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       paths: Seq[String], tag: String): Unit = {
     import spark.implicits._
+    if (fs.exists(dir))
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(".seg-staging-"))
+        .foreach(p => fs.delete(p, true))
     val staging = new Path(dir, s".seg-staging-$tag")
     fs.delete(staging, true)
     paths.toDF("path").coalesce(1).write.mode("overwrite")

@@ -60,6 +60,21 @@ class GraftSqlSpec extends AnyFunSuite {
           "WHEN MATCHED THEN DELETE")
         === Some(SqlMerge("t_parse", "SELECT * FROM d",
           Seq("id"), isDelete = true)))
+      // the full-sync form: trailing BY SOURCE DELETE
+      assert(GraftSql.parseDml(
+        """MERGE INTO t_parse t USING (SELECT * FROM batch) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        === Some(SqlMerge("t_parse", "SELECT * FROM batch",
+          Seq("id"), isDelete = false, bySourceDelete = true)))
+      // matched-DELETE + BY SOURCE DELETE deletes everything: refuse
+      val eAll = intercept[IllegalArgumentException](GraftSql.parseDml(
+        "MERGE INTO t_parse USING (SELECT * FROM d) ON id = id " +
+          "WHEN MATCHED THEN DELETE " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
+      assert(eAll.getMessage.contains("TRUNCATE"))
       // nested commas/parens in assignments split correctly
       assert(GraftSql.splitAssignments(
         "x = coalesce(a, b), g = concat(g, ',x')")
@@ -904,6 +919,46 @@ class GraftSqlSpec extends AnyFunSuite {
         s"COPY INTO t_cseg FROM '$landing' FILEFORMAT = parquet").head()
       assert(rAgain.getAs[Long]("n_files_loaded") === 0L)
     } finally GraftTables.unregister("t_cseg")
+  }
+
+  test("MERGE full sync (WHEN NOT MATCHED BY SOURCE THEN DELETE): the " +
+    "table mirrors the source in one commit; feed records the drops") {
+    import spark.implicits._
+    val root = tmp("mergesync")
+    GraftTables.register("t_msync", root, keepVersions = 50)
+    try {
+      seed(root) // ids 0..99, g = g0/g1/g2, x = id*10
+      // source: ids 0..49 with x bumped, plus fresh ids 200..204;
+      // ids 50..99 are GONE and must be deleted by the sync
+      ((0L until 50L).map(i => (i, s"g${i % 3}", i * 10 + 1)) ++
+        (200L until 205L).map(i => (i, "gn", i)))
+        .toDF("id", "g", "x").createOrReplaceTempView("msync_src")
+      GraftSql.sql(spark,
+        """MERGE INTO t_msync t USING (SELECT * FROM msync_src) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val live = rows(root)
+      val want = ((0L until 50L).map(i => (i, s"g${i % 3}", i * 10 + 1)) ++
+        (200L until 205L).map(i => (i, "gn", i))).toSet
+      assert(live === want, "the table must mirror the source exactly")
+      // one commit; the feed records the 50 drops as deletes
+      assert(VersionedParquet.currentVersion(spark, root) === Some(1L))
+      val dels = VersionedParquet.changes(spark, root, 0L, 1L)
+        .filter(col("_change_type") === "delete")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(dels === (50L until 100L).toSet,
+        "BY SOURCE drops ride the change feed as ordinary deletes")
+      // idempotency: re-running the same sync changes nothing
+      GraftSql.sql(spark,
+        """MERGE INTO t_msync USING (SELECT * FROM msync_src)
+          |ON id = id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(rows(root) === want)
+    } finally GraftTables.unregister("t_msync")
   }
 
   test("INSERT OVERWRITE and TRUNCATE preserve the table's partition " +

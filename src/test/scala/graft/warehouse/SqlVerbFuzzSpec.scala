@@ -151,7 +151,7 @@ class SqlVerbFuzzSpec extends AnyFunSuite {
 
     def step(): String = {
       val preIdentity = identityCol.isEmpty
-      val choice = rnd.nextInt(if (preIdentity) 12 else 7)
+      val choice = rnd.nextInt(if (preIdentity) 13 else 7)
       (preIdentity, choice) match {
         case (true, 0) | (false, 0) => // UPDATE arithmetic, pred on id
           val (m, k) = (2 + rnd.nextInt(3), rnd.nextInt(50).toLong)
@@ -227,6 +227,20 @@ class SqlVerbFuzzSpec extends AnyFunSuite {
             s"truncate→$tag"
           } else "truncate"
         case (true, 10) => copyInto(forceAfterTruncate = false)
+        case (true, 12) => // full-sync MERGE: table := source exactly
+          val kept = rnd.shuffle(model.toSeq).take(model.size / 2)
+            .map { case (id, (g, x)) =>
+              if (rnd.nextBoolean()) (id, g, x + 11) else (id, g, x) }
+          val synced = kept ++ freshRows(1 + rnd.nextInt(3))
+          frame(synced).createOrReplaceTempView("fz_sync")
+          GraftSql.sql(spark,
+            s"""MERGE INTO $name t USING (SELECT * FROM fz_sync) s
+               |ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET *
+               |WHEN NOT MATCHED THEN INSERT *
+               |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+          model = synced.map(t => t._1 -> (t._2, t._3)).toMap
+          s"merge_sync(${synced.size})"
         case (true, 11) =>
           // ALTER ADD IDENTITY, at most once per chain — the verb's
           // CREATE-time contract requires an empty table, so the op
