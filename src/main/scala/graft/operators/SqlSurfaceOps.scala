@@ -897,8 +897,70 @@ object SqlSurfaceOps {
              |       count(DISTINCT k) AS n_keys
              |FROM synced
              |GROUP BY 1
-             |ORDER BY bucket""".stripMargin))
+             |ORDER BY bucket""".stripMargin)),
+
+    // ── Partitioned CTAS: CREATE TABLE … PARTITIONED BY (…) AS … ────────
+    // The SQL-only client mints a PARTITIONED table: CTAS lays out the
+    // Hive col=value dirs at v0 and every later row-replacing verb
+    // preserves them (the fixture re-checks the layout after an
+    // INSERT OVERWRITE). The serve leg filters on the partition
+    // column, so the read must prune to one directory — DESCRIBE
+    // DETAIL/partitionColsOf are asserted at fixture time, and the
+    // row algebra (only even keys survive the overwrite, cents + 1)
+    // breaks the hash if the overwrite appended or dropped the layout.
+    QueryDef("q281_partitioned_ctas",
+      (s, d) => {
+        val root = partitionedCtasRoot(s, d)
+        VersionedParquet.read(s, root)
+          .filter(col("prio") === "1-URGENT")
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            countDistinct(col("k")).as("n_keys"))
+          .orderBy("prio")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (
+             |  SELECT k, cents + 1 AS cents, prio FROM o WHERE k % 2 = 0)
+             |SELECT prio, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(DISTINCT k) AS n_keys
+             |FROM live
+             |WHERE prio = '1-URGENT'
+             |GROUP BY prio
+             |ORDER BY prio""".stripMargin))
   )
+
+  /** q281 fixture: SQL-only partitioned table mint — CTAS with
+    * PARTITIONED BY — then a partition-replacing INSERT OVERWRITE;
+    * asserts the col=value layout is real on disk both times. Once
+    * per session. */
+  private def partitionedCtasRoot(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String = {
+    val root = Scratch.dir(s, "q281-ctas-part") + "/t"
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q281_src")
+      GraftSql.sql(s, s"CREATE TABLE graft_q281 LOCATION '$root' " +
+        "PARTITIONED BY (prio) AS SELECT k, cents, prio FROM q281_src")
+      require(VersionedParquet.partitionColsOf(s, root) == Seq("prio"),
+        "q281: CTAS must lay out the partition dirs")
+      // the layout survives the row-replacing verb (the q277 contract
+      // through a SQL-minted table)
+      GraftSql.sql(s, "INSERT OVERWRITE graft_q281 " +
+        "SELECT k, cents + 1 AS cents, prio FROM q281_src " +
+        "WHERE k % 2 = 0")
+      require(VersionedParquet.partitionColsOf(s, root) == Seq("prio"),
+        "q281: OVERWRITE must preserve the partition layout")
+    }
+    root
+  }
 
   /** q280 fixture: publish the base, run ONE full-sync MERGE, assert
     * the table mirrors the source and the change feed recorded the

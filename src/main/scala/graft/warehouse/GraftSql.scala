@@ -101,7 +101,8 @@ private[graft] final case class SqlMerge(table: String, source: String,
 private[graft] final case class SqlOptimize(table: String,
     zorder: Seq[String] = Nil) extends GraftDml
 private[graft] final case class SqlCreateTable(table: String,
-    location: String, query: String) extends GraftDml
+    location: String, query: String,
+    partitionBy: Seq[String] = Nil) extends GraftDml
 private[graft] final case class SqlDropTable(table: String)
     extends GraftDml
 private[graft] final case class SqlVacuum(table: String,
@@ -216,7 +217,8 @@ object GraftSql {
     // maintenance verbs (Delta's OPTIMIZE / VACUUM surface)
     val O = """(?is)OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?""".r
     val CT = ("""(?is)CREATE\s+TABLE\s+([A-Za-z_][\w]*)\s+(?:USING\s+graft\s+)?""" +
-      """LOCATION\s+'([^']+)'\s+AS\s+(SELECT\b.+)""").r
+      """LOCATION\s+'([^']+)'""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?\s+AS\s+(SELECT\b.+)""").r
     val CL = ("""(?is)CREATE\s+TABLE\s+([A-Za-z_][\w]*)\s+(?:USING\s+graft\s+)?""" +
       """LOCATION\s+'([^']+)'\s+(SHALLOW|DEEP)\s+CLONE\s+([A-Za-z_][\w]*)""").r
     val DT = """(?is)DROP\s+TABLE\s+([A-Za-z_][\w]*)""".r
@@ -361,8 +363,10 @@ object GraftSql {
       case I(table, query) => Some(SqlInsert(table, query.trim))
       case CL(table, loc, kind, source) =>
         Some(SqlClone(table, loc, kind.equalsIgnoreCase("DEEP"), source))
-      case CT(table, loc, query) =>
-        Some(SqlCreateTable(table, loc, query.trim))
+      case CT(table, loc, pby, query) =>
+        Some(SqlCreateTable(table, loc, query.trim,
+          if (pby == null) Nil
+          else pby.split(",").map(_.trim).toSeq.filter(_.nonEmpty)))
       case DT(table) => Some(SqlDropTable(table))
       case O(table, zcols) => Some(SqlOptimize(table,
         Option(zcols).map(_.split(",").map(_.trim).toSeq
@@ -445,16 +449,21 @@ object GraftSql {
     * published snapshot path. */
   private[graft] def exec(spark: SparkSession, dml: GraftDml): String = {
     dml match {
-      case SqlCreateTable(table, loc, query) =>
+      case SqlCreateTable(table, loc, query, pby) =>
         // CTAS: the SQL-only client mints a table — fresh location,
         // register the identifier, publish the query result as v0
+        // (PARTITIONED BY lays out Hive col=value dirs, the layout
+        // every later INSERT OVERWRITE/TRUNCATE/compact preserves)
         require(GraftTables.rootOf(table).isEmpty,
           s"table $table is already registered")
         require(VersionedParquet.currentVersion(spark, loc).isEmpty,
           s"$loc already holds a versioned table")
+        val result = spark.sql(query)
+        pby.foreach(c => require(result.columns.exists(_.equalsIgnoreCase(c)),
+          s"PARTITIONED BY column $c is not produced by the SELECT"))
         GraftTables.register(table, loc)
-        return VersionedParquet.publish(spark.sql(query), loc,
-          keepVersions = 10)
+        return VersionedParquet.publish(result, loc,
+          partitionCols = pby, keepVersions = 10)
       case SqlClone(table, loc, deep, source) =>
         // CLONE mints a table too: fresh location, registered source
         require(GraftTables.rootOf(table).isEmpty,

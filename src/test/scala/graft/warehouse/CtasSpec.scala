@@ -107,4 +107,33 @@ class CtasSpec extends AnyFunSuite {
     GraftSql.sql(spark, "OPTIMIZE graft_zorder_s ZORDER BY (s)")
     assert(VersionedParquet.read(spark, sroot).count() === 1L)
   }
+
+  test("partitioned CTAS: PARTITIONED BY lays out col=value dirs, " +
+    "pruning and later verbs keep the layout, bad column refuses") {
+    import spark.implicits._
+    (0L until 40L).map(i => (i, s"g${i % 4}", i * 2))
+      .toDF("id", "g", "x").createOrReplaceTempView("ctasp_src")
+    val loc = java.nio.file.Files
+      .createTempDirectory("graft-ctasp").resolve("t").toString
+    GraftSql.sql(spark, s"CREATE TABLE t_ctasp LOCATION '$loc' " +
+      "PARTITIONED BY (g) AS SELECT id, g, x FROM ctasp_src")
+    try {
+      assert(VersionedParquet.partitionColsOf(spark, loc) === Seq("g"))
+      assert(VersionedParquet.read(spark, loc).count() === 40L)
+      // the layout carries through the row-replacing verbs
+      GraftSql.sql(spark, "INSERT OVERWRITE t_ctasp " +
+        "SELECT id + 100 AS id, g, x FROM ctasp_src WHERE g = 'g1'")
+      assert(VersionedParquet.partitionColsOf(spark, loc) === Seq("g"))
+      assert(VersionedParquet.read(spark, loc).count() === 10L)
+      // a partition column the SELECT does not produce refuses
+      val loc2 = java.nio.file.Files
+        .createTempDirectory("graft-ctasp2").resolve("t").toString
+      val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
+        s"CREATE TABLE t_ctasp2 LOCATION '$loc2' " +
+          "PARTITIONED BY (nope) AS SELECT id, g FROM ctasp_src"))
+      assert(e.getMessage.contains("nope"))
+      assert(GraftTables.rootOf("t_ctasp2").isEmpty,
+        "a refused CTAS must not leave a registration behind")
+    } finally GraftTables.unregister("t_ctasp")
+  }
 }
