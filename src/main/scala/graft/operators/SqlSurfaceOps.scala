@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.{col, concat, count, countDistinct, lit, max, min, round, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, countDistinct, lit, max, min, round, sum, when}
 
 import graft.plans.GraftFunctions
 import graft.sources.{QueryDef, Scratch, Tables}
@@ -931,8 +931,221 @@ object SqlSurfaceOps {
              |FROM live
              |WHERE prio = '1-URGENT'
              |GROUP BY prio
-             |ORDER BY prio""".stripMargin))
+             |ORDER BY prio""".stripMargin)),
+
+    // ── MERGE without WHEN NOT MATCHED THEN INSERT: update-only ────────
+    // Delta's omitted-clause contract: no INSERT clause means
+    // source-only rows do NOT land — matched rows update, nothing
+    // else changes. The old parse silently upserted (inserted the
+    // unmatched source rows); the matched filter now resolves INSIDE
+    // the locked merge against the exact version it supersedes. The
+    // source deliberately carries rows of a key family the table has
+    // never held (k%4==1): one stray insert and the bucket counts,
+    // key counts, and hash all break.
+    QueryDef("q282_merge_update_only",
+      (s, d) => {
+        val root = mergeUpdateOnlyRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy(when(col("k") % 8 === 0, 1).otherwise(0)
+            .as("updated"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            countDistinct(col("k")).as("n_keys"))
+          .orderBy("updated")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (
+             |  SELECT k, cents + 7 AS cents FROM o WHERE k % 8 = 0
+             |  UNION ALL
+             |  SELECT k, cents FROM o WHERE k % 4 = 0 AND k % 8 <> 0)
+             |SELECT CASE WHEN k % 8 = 0 THEN 1 ELSE 0 END AS updated,
+             |       count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(DISTINCT k) AS n_keys
+             |FROM live
+             |GROUP BY 1
+             |ORDER BY updated""".stripMargin)),
+
+    // ── TRUNCATE on a partitioned table keeps the layout ────────────────
+    // The empty publish physically lands as one flat schema-carrying
+    // file (a zero-row partitionBy write emits nothing at all), so
+    // the directory tree no longer shows the layout — the per-
+    // snapshot _PARTITION_COLS marker is the record that survives,
+    // and the next row-replacing verb re-materializes the col=value
+    // dirs. The fixture asserts the layout at every step (after
+    // TRUNCATE and after the reload, including physical dirs); the
+    // serve leg filters on the partition column, which must prune.
+    QueryDef("q283_truncate_keeps_layout",
+      (s, d) => {
+        val root = truncateLayoutRoot(s, d)
+        VersionedParquet.read(s, root)
+          .filter(col("prio") === "2-HIGH")
+          .groupBy(col("prio"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            countDistinct(col("k")).as("n_keys"))
+          .orderBy("prio")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (
+             |  SELECT k, cents + 2 AS cents, prio FROM o WHERE k % 3 = 0)
+             |SELECT prio, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(DISTINCT k) AS n_keys
+             |FROM live
+             |WHERE prio = '2-HIGH'
+             |GROUP BY prio
+             |ORDER BY prio""".stripMargin)),
+
+    // ── Explicit-assignment MERGE: UPDATE SET c = expr, INSERT
+    // (cols) VALUES (exprs) ─────────────────────────────────────────
+    // The general Delta MERGE shape: assignments reference BOTH sides
+    // through the statement aliases (t.cents + s.delta), the INSERT
+    // list names a subset of columns (the rest land NULL), and the
+    // matched/unmatched split is computed INSIDE the writer lock
+    // (VersionedParquet.mergeCompute) so it cannot race a concurrent
+    // commit. Three row families in the result: matched (cents grew
+    // by the source delta, tag kept), untouched (unchanged), inserted
+    // (cents = 2×delta, tag NULL — proving the null-fill). Any
+    // assignment applied to the wrong side, a dropped tag, or a
+    // non-null inserted tag breaks the hash.
+    QueryDef("q284_merge_assignments",
+      (s, d) => {
+        val root = mergeAssignRoot(s, d)
+        VersionedParquet.read(s, root)
+          .groupBy(coalesce(col("tag"), lit("-")).as("tag"),
+            when(col("k") % 10 === 0, 1).otherwise(0).as("matched"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("cents")).cast("long").as("sum_cents"),
+            countDistinct(col("k")).as("n_keys"))
+          .orderBy("tag", "matched")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (
+             |  SELECT k, cents + (k % 97) AS cents, 'base' AS tag
+             |  FROM o WHERE k % 10 = 0
+             |  UNION ALL
+             |  SELECT k, cents, 'base' AS tag
+             |  FROM o WHERE k % 5 = 0 AND k % 10 <> 0
+             |  UNION ALL
+             |  SELECT k, (k % 97) * 2 AS cents, CAST(NULL AS VARCHAR)
+             |  FROM o WHERE k % 5 = 2)
+             |SELECT coalesce(tag, '-') AS tag,
+             |       CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END AS matched,
+             |       count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents,
+             |       count(DISTINCT k) AS n_keys
+             |FROM live
+             |GROUP BY 1, 2
+             |ORDER BY tag, matched""".stripMargin))
   )
+
+  /** q284 fixture: publish (k%5==0, cents, tag='base'), run ONE
+    * explicit-assignment MERGE — matched k%10==0 rows grow cents by
+    * the source delta, source-only k%5==2 rows insert (k, cents)
+    * only, leaving tag NULL. Once per session. */
+  private def mergeAssignRoot(s: org.apache.spark.sql.SparkSession,
+                              d: String): String = {
+    val root = Scratch.dir(s, "q284-merge-assign")
+    GraftTables.register("graft_q284", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      VersionedParquet.publish(
+        o.filter(col("k") % 5 === 0).withColumn("tag", lit("base")),
+        root, keepVersions = 20)
+      o.filter(col("k") % 10 === 0 || col("k") % 5 === 2)
+        .select(col("k"), (col("k") % 97).as("delta"))
+        .createOrReplaceTempView("q284_src")
+      GraftSql.sql(s,
+        """MERGE INTO graft_q284 t USING (SELECT * FROM q284_src) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET cents = t.cents + s.delta
+          |WHEN NOT MATCHED THEN INSERT (k, cents)
+          |VALUES (s.k, s.delta * 2)""".stripMargin)
+      val inserted = VersionedParquet.read(s, root)
+        .filter(col("tag").isNull).count()
+      val expect = o.filter(col("k") % 5 === 2).count()
+      require(inserted == expect,
+        s"q284: inserted-row tag must be NULL ($inserted != $expect)")
+    }
+    root
+  }
+
+  /** q282 fixture: publish the base (k%4==0), run ONE update-only
+    * MERGE whose source updates the k%8==0 half (+7 cents) and also
+    * carries never-held k%4==1 rows that must NOT insert. Once per
+    * session. */
+  private def mergeUpdateOnlyRoot(s: org.apache.spark.sql.SparkSession,
+                                  d: String): String = {
+    val root = Scratch.dir(s, "q282-merge-updonly")
+    GraftTables.register("graft_q282", root, keepVersions = 20)
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val base = o.filter(col("k") % 4 === 0)
+      VersionedParquet.publish(base, root, keepVersions = 20)
+      val nBase = VersionedParquet.read(s, root).count()
+      o.filter(col("k") % 8 === 0)
+        .select(col("k"), (col("cents") + 7).as("cents"))
+        .unionByName(o.filter(col("k") % 4 === 1))
+        .createOrReplaceTempView("q282_src")
+      GraftSql.sql(s,
+        """MERGE INTO graft_q282 t USING (SELECT * FROM q282_src) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      val nAfter = VersionedParquet.read(s, root).count()
+      require(nAfter == nBase,
+        s"q282: update-only MERGE must not change the row count " +
+          s"($nBase -> $nAfter) — the source-only rows inserted")
+    }
+    root
+  }
+
+  /** q283 fixture: partitioned CTAS → TRUNCATE (layout marker must
+    * survive the flat empty publish) → INSERT OVERWRITE reload
+    * (col=value dirs must come back). Once per session. */
+  private def truncateLayoutRoot(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String = {
+    val root = Scratch.dir(s, "q283-trunc-layout") + "/t"
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q283_src")
+      GraftSql.sql(s, s"CREATE TABLE graft_q283 LOCATION '$root' " +
+        "PARTITIONED BY (prio) AS SELECT k, cents, prio FROM q283_src")
+      GraftSql.sql(s, "TRUNCATE TABLE graft_q283")
+      require(VersionedParquet.read(s, root).count() == 0L,
+        "q283: TRUNCATE must empty the table")
+      require(VersionedParquet.partitionColsOf(s, root) == Seq("prio"),
+        "q283: TRUNCATE must not destroy the partition layout record")
+      GraftSql.sql(s, "INSERT OVERWRITE graft_q283 " +
+        "SELECT k, cents + 2 AS cents, prio FROM q283_src " +
+        "WHERE k % 3 = 0")
+      require(VersionedParquet.partitionColsOf(s, root) == Seq("prio"),
+        "q283: the reload must preserve the layout")
+      val v = VersionedParquet.currentVersion(s, root).get
+      val snap = new org.apache.hadoop.fs.Path(root, f"v$v%08d")
+      val fs = snap.getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.listStatus(snap).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("prio=")),
+        "q283: the reload must re-materialize the col=value dirs")
+    }
+    root
+  }
 
   /** q281 fixture: SQL-only partitioned table mint — CTAS with
     * PARTITIONED BY — then a partition-replacing INSERT OVERWRITE;

@@ -3086,33 +3086,41 @@ object VersionOps {
     // files. The fixture drives export (v2: no lineage) → DV upgrade
     // (v3: counters start) → two appends (each advances by its row
     // count) → equality delete (advances nothing), then emits one row
-    // per snapshot from the PARSED metadata. The oracle computes the
+    // per snapshot from the PARSED metadata. SEEDING RULE (the
+    // upgrade step): the first v3 stamp seeds next-row-id to the
+    // table's PRE-EXISTING live data row count — reserving an id
+    // range for the rows written before lineage, which a conformant
+    // reader derives ids for by inheritance (IcebergLite's
+    // appendDeltaSnapshot documents the rule) — so the upgrade
+    // snapshot's first-row-id is n0, not 0. The oracle computes the
     // same ranges in closed form from the append predicates — a
-    // counter that double-advanced, skipped a snapshot, or reset
-    // breaks the hash.
+    // counter that double-advanced, skipped a snapshot, reset, or
+    // seeded from zero breaks the hash.
     QueryDef("q279_iceberg_row_lineage",
       (s, d) => s.read.parquet(icebergLineagePath(s, d)),
       Some("""WITH o AS (SELECT o_orderkey AS k FROM orders),
+             |n0 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o
+             |       WHERE k % 5 = 0),
              |n1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o
              |       WHERE k % 5 = 1),
              |n2 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM o
-             |       WHERE k % 5 = 2)
+             |       WHERE k % 5 = 2),
+             |tot AS (SELECT (SELECT c FROM n0) + (SELECT c FROM n1) +
+             |               (SELECT c FROM n2) AS t)
              |SELECT 1 AS snap_ordinal,
              |       CAST(-1 AS BIGINT) AS first_row_id,
              |       CAST(-1 AS BIGINT) AS added_rows,
-             |       (SELECT c FROM n1) + (SELECT c FROM n2)
-             |         AS next_row_id
+             |       (SELECT t FROM tot) AS next_row_id
              |UNION ALL
-             |SELECT 2, 0, 0, (SELECT c FROM n1) + (SELECT c FROM n2)
+             |SELECT 2, (SELECT c FROM n0), 0, (SELECT t FROM tot)
              |UNION ALL
-             |SELECT 3, 0, (SELECT c FROM n1),
-             |       (SELECT c FROM n1) + (SELECT c FROM n2)
+             |SELECT 3, (SELECT c FROM n0), (SELECT c FROM n1),
+             |       (SELECT t FROM tot)
              |UNION ALL
-             |SELECT 4, (SELECT c FROM n1), (SELECT c FROM n2),
-             |       (SELECT c FROM n1) + (SELECT c FROM n2)
+             |SELECT 4, (SELECT c FROM n0) + (SELECT c FROM n1),
+             |       (SELECT c FROM n2), (SELECT t FROM tot)
              |UNION ALL
-             |SELECT 5, (SELECT c FROM n1) + (SELECT c FROM n2), 0,
-             |       (SELECT c FROM n1) + (SELECT c FROM n2)
+             |SELECT 5, (SELECT t FROM tot), 0, (SELECT t FROM tot)
              |ORDER BY snap_ordinal""".stripMargin))
   )
 

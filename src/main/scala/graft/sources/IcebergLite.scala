@@ -2273,9 +2273,32 @@ object IcebergLite {
     if (finalFv >= 3) {
       // v3 row lineage: every snapshot is assigned a first-row-id and
       // the table's next-row-id advances by the rows it added (delete
-      // snapshots add 0 and leave it unchanged) — spec-required in v3
+      // snapshots add 0 and leave it unchanged) — spec-required in v3.
+      // SEEDING RULE (first v3 stamp on an upgraded v1/v2 table): the
+      // pre-existing live data rows were written before lineage and
+      // hold no assigned ids, but a conformant v3 reader derives ids
+      // for them by manifest inheritance — so the counter must START
+      // past them. Seed next-row-id to the carried manifests' total
+      // data-row count (record_count over non-deleted data entries;
+      // an over-reservation from DV-masked rows is safe — ids need
+      // only be unique, not dense). Seeding from 0 would hand the new
+      // snapshot's rows the SAME id range a reader derives for the
+      // pre-existing ones. The manifest-level first_row_id fields
+      // themselves remain unwritten (see the honesty note above).
       val nextRowId = Option(meta.get("next-row-id"))
-        .filterNot(_.isNull).map(_.asLong).getOrElse(0L)
+        .filterNot(_.isNull).map(_.asLong).getOrElse {
+          carried.iterator.map { m =>
+            if (long0(m, "content") != 0L) 0L // delete manifests: no data rows
+            else avroRecords(spark,
+                new Path(str(m, "manifest_path").getOrElse(""))).iterator
+              .filter(e => long0(e, "status") != 2L) // skip DELETED entries
+              .map { e =>
+                val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+                if (long0(dfr, "content") == 0L) long0(dfr, "record_count")
+                else 0L
+              }.sum
+          }.sum
+        }
       val addedDataRows = entries.iterator.map { e =>
         val dfr = e.get("data_file").asInstanceOf[GenericRecord]
         if (long0(dfr, "content") == 0L) long0(dfr, "record_count")

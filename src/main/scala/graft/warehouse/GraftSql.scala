@@ -49,9 +49,16 @@ import org.apache.spark.sql.types.StructType
   * upsert idiom with a trailing `WHEN NOT MATCHED BY SOURCE THEN
   * DELETE` (Delta's three-way merge: table rows absent from the
   * source are removed, so one statement makes the table exactly
-  * mirror the source while keeping per-row change-feed history);
-  * arbitrary per-clause assignments would need column-level merge
-  * semantics the format does not promise.
+  * mirror the source while keeping per-row change-feed history) —
+  * plus the EXPLICIT-assignment form: `WHEN MATCHED THEN UPDATE SET
+  * c = expr, …` with optional `WHEN NOT MATCHED THEN INSERT (cols)
+  * VALUES (exprs)`, where expressions may reference both sides
+  * through the statement's aliases (`t.cents + s.delta`). The change
+  * set is computed from the live table INSIDE the writer lock
+  * ([[VersionedParquet.mergeCompute]]), so the matched/unmatched
+  * split can never race a concurrent commit. Omitting the INSERT
+  * clause means source-only rows do not land (Delta's contract) in
+  * both forms.
   */
 object GraftTables {
   private val tables =
@@ -97,7 +104,15 @@ private[graft] final case class SqlInsert(table: String,
     query: String) extends GraftDml
 private[graft] final case class SqlMerge(table: String, source: String,
     keyCols: Seq[String], isDelete: Boolean,
-    bySourceDelete: Boolean = false) extends GraftDml
+    bySourceDelete: Boolean = false,
+    insertUnmatched: Boolean = true) extends GraftDml
+// MERGE with explicit per-column assignments: UPDATE SET c = expr, …
+// and optional INSERT (cols) VALUES (exprs); expressions resolve over
+// the aliased join of both sides (`t`.`s` default when no alias given).
+private[graft] final case class SqlMergeAssign(table: String,
+    tableAlias: String, source: String, sourceAlias: String,
+    keyCols: Seq[String], sets: Seq[(String, String)],
+    insert: Option[(Seq[String], Seq[String])]) extends GraftDml
 private[graft] final case class SqlOptimize(table: String,
     zorder: Seq[String] = Nil) extends GraftDml
 private[graft] final case class SqlCreateTable(table: String,
@@ -212,8 +227,15 @@ object GraftSql {
     val M = ("""(?is)MERGE\s+INTO\s+([A-Za-z_][\w]*)(?:\s+(?:AS\s+)?[\w]+)?""" +
       """\s+USING\s+\((.+)\)(?:\s+(?:AS\s+)?[\w]+)?\s+ON\s+(.+?)""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+(UPDATE\s+SET\s+\*|DELETE)""" +
-      """(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?""" +
+      """(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?""" +
       """(\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE)?\s*""").r
+    // explicit-assignment MERGE (aliases CAPTURED — the assignment and
+    // VALUES expressions resolve through them); `SET *` stays with M
+    val MA = ("""(?is)MERGE\s+INTO\s+([A-Za-z_][\w]*)(?:\s+(?:AS\s+)?([\w]+))?""" +
+      """\s+USING\s+\((.+)\)(?:\s+(?:AS\s+)?([\w]+))?\s+ON\s+(.+?)""" +
+      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+((?!\*).+?)""" +
+      """(?:\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^)]+)\)""" +
+      """\s*VALUES\s*\((.+)\))?\s*""").r
     // maintenance verbs (Delta's OPTIMIZE / VACUUM surface)
     val O = """(?is)OPTIMIZE\s+([A-Za-z_][\w]*)(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?""".r
     val CT = ("""(?is)CREATE\s+TABLE\s+([A-Za-z_][\w]*)\s+(?:USING\s+graft\s+)?""" +
@@ -347,15 +369,42 @@ object GraftSql {
       case CB(table, b) => Some(SqlCreateBranch(table, b))
       case FF(table, b) => Some(SqlFastForward(table, b))
       case DB(table, b) => Some(SqlDropBranch(table, b))
-      case M(table, source, on, matched, bySource) =>
+      case M(table, source, on, matched, insertClause, bySource) =>
         val isDel = matched.trim.equalsIgnoreCase("DELETE")
         if (isDel && bySource != null)
           throw new IllegalArgumentException(
             "MERGE: WHEN MATCHED THEN DELETE cannot combine with WHEN " +
               "NOT MATCHED BY SOURCE THEN DELETE — that statement " +
               "deletes every row; use TRUNCATE TABLE if that is meant")
+        // WHEN MATCHED THEN DELETE pairs the source's keys with the
+        // table's rows; an INSERT clause on top would need the matched/
+        // unmatched split resolved in one commit, which this executor
+        // expresses as two statements — refuse rather than silently
+        // ignore the clause (the old behavior)
+        if (isDel && insertClause != null)
+          throw new IllegalArgumentException(
+            "MERGE: WHEN MATCHED THEN DELETE with WHEN NOT MATCHED " +
+              "THEN INSERT is not supported as one statement here; " +
+              "run the MERGE-delete, then INSERT INTO for the new rows")
         keyColsOf(on).map(keys => SqlMerge(table, source, keys, isDel,
-          bySourceDelete = bySource != null))
+          bySourceDelete = bySource != null,
+          // Delta's contract: no INSERT clause means source-only rows
+          // are NOT inserted — matched rows update, nothing else lands
+          insertUnmatched = isDel || insertClause != null))
+      case MA(table, tA, source, sA, on, setsTxt, insCols, insVals) =>
+        val sets = splitAssignments(setsTxt).map { case (c, e) =>
+          (c.replaceFirst("^[\\w]+\\.", ""), e) }
+        val insert = Option(insCols).map { cs =>
+          val cols = cs.split(",").map(
+            _.trim.replaceFirst("^[\\w]+\\.", "")).toSeq
+          val vals = splitTopLevel(insVals).map(_.trim)
+          require(cols.size == vals.size, s"MERGE INSERT names " +
+            s"${cols.size} column(s) but VALUES carries ${vals.size}")
+          (cols, vals)
+        }
+        keyColsOf(on).map(keys => SqlMergeAssign(table,
+          Option(tA).getOrElse("t"), source, Option(sA).getOrElse("s"),
+          keys, sets, insert))
       case U(table, sets, where) =>
         Some(SqlUpdate(table, splitAssignments(sets),
           Option(where).map(_.trim)))
@@ -421,10 +470,10 @@ object GraftSql {
     if (keys.forall(_.isDefined)) Some(keys.flatten) else None
   }
 
-  /** Split `a = e1, b = e2` on top-level commas (parens and quotes
-    * respected — an assignment like `x = coalesce(a, b)` must not
-    * split inside the call). */
-  private[graft] def splitAssignments(s: String): Seq[(String, String)] = {
+  /** Split on top-level commas (parens and quotes respected — an
+    * expression like `coalesce(a, b)` must not split inside the
+    * call). Shared by assignment lists and MERGE's VALUES tuple. */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
     val parts = Seq.newBuilder[String]
     var depth = 0; var inStr = false; var start = 0
     s.zipWithIndex.foreach { case (c, i) =>
@@ -438,12 +487,16 @@ object GraftSql {
       }
     }
     parts += s.substring(start)
-    parts.result().map { a =>
+    parts.result()
+  }
+
+  /** Split `a = e1, b = e2` on top-level commas. */
+  private[graft] def splitAssignments(s: String): Seq[(String, String)] =
+    splitTopLevel(s).map { a =>
       val i = a.indexOf('=')
       require(i > 0, s"malformed assignment '$a'")
       (a.substring(0, i).trim, a.substring(i + 1).trim)
     }
-  }
 
   /** Execute one parsed DML against its registered table; returns the
     * published snapshot path. */
@@ -515,7 +568,8 @@ object GraftSql {
       case SqlInsert(_, query) =>
         VersionedParquet.append(spark, root, spark.sql(query),
           keepVersions = keep)
-      case SqlMerge(_, source, keys, isDelete, bySourceDelete) =>
+      case SqlMerge(_, source, keys, isDelete, bySourceDelete,
+                    insertUnmatched) =>
         val src = spark.sql(source)
         if (isDelete)
           // WHEN MATCHED THEN DELETE: no upserts — an empty frame in
@@ -523,21 +577,71 @@ object GraftSql {
           VersionedParquet.merge(spark, root,
             VersionedParquet.read(spark, root).limit(0), src, keys,
             keepVersions = keep)
-        else if (bySourceDelete) {
-          // full sync: upsert the source AND delete every table key
-          // the source no longer carries — one merge commit, so the
-          // change feed records the drops as ordinary deletes and the
-          // table mirrors the source exactly afterwards
-          import org.apache.spark.sql.functions.col
-          val keyC = keys.map(col)
-          val gone = VersionedParquet.read(spark, root)
-            .select(keyC: _*)
-            .join(src.select(keyC: _*), keys, "left_anti")
-          VersionedParquet.merge(spark, root, src, gone, keys,
-            keepVersions = keep)
-        } else
-          VersionedParquet.upsert(spark, root, src, keys,
-            keepVersions = keep)
+        else
+          // full sync (bySourceDelete): upsert the source AND delete
+          // every table key the source no longer carries, in one merge
+          // commit — so the change feed records the drops as ordinary
+          // deletes and the table mirrors the source exactly after.
+          // Both the delete set and the update-only matched filter
+          // resolve INSIDE the locked merge against the same version
+          // the merge applies to — a plan-time read here could race a
+          // concurrent commit and drop/keep the wrong rows.
+          VersionedParquet.merge(spark, root, src,
+            src.limit(0).select(keys.map(src(_)): _*), keys,
+            keepVersions = keep,
+            bySourceDelete = bySourceDelete,
+            updateOnly = !insertUnmatched)
+      case m: SqlMergeAssign =>
+        import org.apache.spark.sql.functions.{col, expr, lit}
+        val src = spark.sql(m.source)
+        m.sets.foreach { case (c, _) =>
+          require(!m.keyCols.exists(_.equalsIgnoreCase(c)),
+            s"MERGE cannot UPDATE SET key column $c — the ON keys " +
+              "identify the row being updated") }
+        // the matched/unmatched split resolves against the LOCKED
+        // live frame — a read here could race a concurrent commit
+        VersionedParquet.mergeCompute(spark, root, m.keyCols,
+          keepVersions = keep) { current =>
+          val tCols = current.columns.toSeq
+          val tTypes = current.schema
+            .map(f => f.name.toLowerCase -> f.dataType).toMap
+          m.insert.foreach { case (cols, _) =>
+            cols.foreach(c => require(
+              tCols.exists(_.equalsIgnoreCase(c)),
+              s"MERGE INSERT names unknown column $c"))
+            m.keyCols.foreach(k => require(
+              cols.exists(_.equalsIgnoreCase(k)),
+              s"MERGE INSERT must assign ON key column $k — an " +
+                "unkeyed insert row has no merge identity")) }
+          val t = current.alias(m.tableAlias)
+          val sF = src.alias(m.sourceAlias)
+          val cond = m.keyCols.map(k =>
+            col(s"${m.tableAlias}.$k") === col(s"${m.sourceAlias}.$k"))
+            .reduce(_ && _)
+          // matched rows: the target row with assigned columns
+          // replaced; expressions see BOTH sides through the aliases
+          val updates = t.join(sF, cond, "inner").select(tCols.map { c =>
+            m.sets.find(_._1.equalsIgnoreCase(c))
+              .map { case (_, e) =>
+                expr(e).cast(tTypes(c.toLowerCase)).as(c) }
+              .getOrElse(col(s"${m.tableAlias}.$c").as(c))
+          }: _*)
+          val inserts = m.insert match {
+            case None => updates.limit(0)
+            case Some((cols, vals)) =>
+              // source rows with no matching target key; unassigned
+              // columns land NULL (Delta's INSERT-list contract)
+              sF.join(t, cond, "left_anti").select(tCols.map { c =>
+                cols.indexWhere(_.equalsIgnoreCase(c)) match {
+                  case -1 => lit(null).cast(tTypes(c.toLowerCase)).as(c)
+                  case i => expr(vals(i))
+                    .cast(tTypes(c.toLowerCase)).as(c)
+                }
+              }: _*)
+          }
+          (updates.unionByName(inserts),
+            current.limit(0).select(m.keyCols.map(current(_)): _*))
+        }
       case SqlOptimize(_, Nil) =>
         VersionedParquet.compact(spark, root, keepVersions = keep)
       case SqlOptimize(_, zcols) =>
@@ -827,7 +931,7 @@ object GraftSql {
     }
     dmls.foreach {
       case _: SqlUpdate | _: SqlDelete | _: SqlInsert | _: SqlMerge |
-           _: SqlOptimize => ()
+           _: SqlMergeAssign | _: SqlOptimize => ()
       case other => throw new IllegalArgumentException(
         s"only UPDATE/DELETE/INSERT/MERGE/OPTIMIZE can run inside a " +
           s"transaction; got: ${other.getClass.getSimpleName}")

@@ -63,6 +63,17 @@ object VersionedParquet {
     * are always physical — chains never nest. */
   private[warehouse] val BASE_MARKER = "_BASE"
 
+  /** Marker recording the Hive partition columns a physical snapshot
+    * was PUBLISHED with (comma-joined, outermost first). Written by
+    * every partitioned publish, atomic with the version; preferred by
+    * [[partitionColsOf]] over directory inference, because inference
+    * has a blind spot: a partitioned publish of ZERO rows lands as one
+    * flat schema-carrying file (see publishLocked's empty-write
+    * fallback), so a TRUNCATE would otherwise destroy the only record
+    * of the layout and the next row-replacing verb would silently
+    * republish unpartitioned — dropping pruning for good. */
+  private[warehouse] val PARTITION_MARKER = "_PARTITION_COLS"
+
   /** Parquet subdirectory of a deletion-vector version holding the
     * cumulative (file, pos) rows deleted from the base. */
   private[warehouse] val DV_DIR = "_dv"
@@ -774,9 +785,15 @@ object VersionedParquet {
     }
     // Markers land before the swap: a snapshot the pointer can name
     // always carries them (atomic-with-version); installPointer's
-    // temp+rename keeps each marker itself torn-proof.
-    (markers ++ constraintMarker).foreach { case (name, content) =>
-      installPointer(spark, snapshot, name, content) }
+    // temp+rename keeps each marker itself torn-proof. The layout
+    // marker records the DECLARED partitioning, which for an empty
+    // write is more than the directory tree shows (see
+    // PARTITION_MARKER).
+    val layoutMarker: Map[String, String] =
+      if (partitionCols.isEmpty) Map.empty
+      else Map(PARTITION_MARKER -> partitionCols.mkString(","))
+    (markers ++ constraintMarker ++ layoutMarker).foreach {
+      case (name, content) => installPointer(spark, snapshot, name, content) }
     // Overwrite Spark's own (empty) _SUCCESS with the commit stamp, so
     // physical publishes carry the same explicit commit time the MoR
     // ops do (readAsOf / checkpoint resolve it without touching mtime).
@@ -1801,20 +1818,62 @@ object VersionedParquet {
     * `upserts` and `deleteKeys` has no deterministic meaning and
     * throws, as do duplicate upsert keys. `markers` land inside the
     * snapshot before the pointer swap (atomic-with-version) — the
-    * streaming sink's exactly-once batch id rides here. */
+    * streaming sink's exactly-once batch id rides here.
+    *
+    * `bySourceDelete` (MERGE's WHEN NOT MATCHED BY SOURCE THEN DELETE)
+    * deletes every live key `upserts` does not carry — the full-sync
+    * shape. The delete set is computed HERE, under the writer lock,
+    * against the exact version the merge supersedes: a caller-supplied
+    * frame would resolve the live version at ITS plan time, and a
+    * commit racing the lock acquisition would leave the anti-join
+    * reading a superseded snapshot — rows the mirror should drop (or
+    * keep) silently missed. `deleteKeys` must be empty with this flag.
+    *
+    * `updateOnly` (a MERGE with no WHEN NOT MATCHED THEN INSERT
+    * clause) restricts `upserts` to keys that already exist: matched
+    * rows update, source-only rows do NOT insert — Delta's contract
+    * when the INSERT clause is omitted. Resolved under the same lock,
+    * against the same version, for the same race reason. */
   def merge(spark: SparkSession, root: String, upserts: DataFrame,
             deleteKeys: DataFrame, keyCols: Seq[String],
             keepVersions: Int = 2,
-            markers: Map[String, String] = Map.empty): String = {
+            markers: Map[String, String] = Map.empty,
+            bySourceDelete: Boolean = false,
+            updateOnly: Boolean = false): String = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     withWriterLock(spark, root)(
       mergeLocked(spark, root, upserts, deleteKeys, keyCols, keepVersions,
-        markers))
+        markers, bySourceDelete, updateOnly))
+  }
+
+  /** Keyed MERGE whose change set is a FUNCTION of the live table:
+    * `build` receives the current frame resolved UNDER the writer
+    * lock and returns (upserts, deleteKeys) for the ordinary merge
+    * path. This is the entry for callers whose merge semantics need
+    * the live rows themselves — the explicit-assignment MERGE joins
+    * target and source to evaluate `SET c = t.x + s.y` — where a
+    * caller-side read would race a concurrent commit: the frame
+    * handed to `build` and the version the merge supersedes are
+    * guaranteed to be the same. */
+  def mergeCompute(spark: SparkSession, root: String,
+                   keyCols: Seq[String], keepVersions: Int = 2,
+                   markers: Map[String, String] = Map.empty)(
+      build: DataFrame => (DataFrame, DataFrame)): String = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    withWriterLock(spark, root) {
+      val v = currentVersion(spark, root).getOrElse(
+        throw new IOException(s"no published version under $root"))
+      val (upserts, deleteKeys) = build(dataFrameOf(spark, root, v))
+      mergeLocked(spark, root, upserts, deleteKeys, keyCols,
+        keepVersions, markers)
+    }
   }
 
   private def mergeLocked(spark: SparkSession, root: String,
             upserts: DataFrame, deleteKeys: DataFrame, keyCols: Seq[String],
-            keepVersions: Int, markers: Map[String, String]): String = {
+            keepVersions: Int, markers: Map[String, String],
+            bySourceDelete: Boolean = false,
+            updateOnly: Boolean = false): String = {
     import org.apache.spark.sql.functions.{col, count, lit}
     requireNoPendingSchemaMap(spark, root, "MERGE/upsert")
     // identity tables refuse keyed writes: the insert half would need
@@ -1843,7 +1902,16 @@ object VersionedParquet {
     if (extra.nonEmpty)
       throw new IOException(s"merge cannot add columns ${extra.mkString(",")}" +
         s" to $root; publish a new schema instead")
-    val aligned = gen.select(baseCols.map(gen(_)): _*)
+    // the version being superseded, resolved UNDER the lock — the
+    // updateOnly matched filter, the bySourceDelete anti-join, and the
+    // change feed below must all read the same snapshot the merge
+    // applies to (a caller-side read could race a concurrent commit)
+    val current = dataFrameOf(spark, rootPath.toString, v)
+    val currentKeys = current.select(keyCols.map(current(_)): _*)
+    val aligned0 = gen.select(baseCols.map(gen(_)): _*)
+    val aligned =
+      if (updateOnly) aligned0.join(currentKeys, keyCols, "left_semi")
+      else aligned0
     if (aligned.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
         .count() > 0)
@@ -1859,10 +1927,18 @@ object VersionedParquet {
       effectiveConstraints(spark, root, base), "merge",
       s"$root stays at version $v")
     val upKeys = aligned.select(keyCols.map(col): _*).distinct()
-    val delKeys = deleteKeys.select(keyCols.map(deleteKeys(_)): _*).distinct()
-    if (upKeys.join(delKeys, keyCols, "left_semi").limit(1).count() > 0)
+    val callerDel = deleteKeys.select(keyCols.map(deleteKeys(_)): _*).distinct()
+    if (upKeys.join(callerDel, keyCols, "left_semi").limit(1).count() > 0)
       throw new IOException("merge batch upserts AND deletes the same " +
         s"key on (${keyCols.mkString(",")}); MERGE is nondeterministic")
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE: every live key the
+    // source does not carry — computed here against the locked
+    // version, disjoint from upKeys by construction (no second
+    // nondeterminism check needed)
+    val delKeys =
+      if (!bySourceDelete) callerDel
+      else callerDel.union(
+        currentKeys.distinct().join(upKeys, keyCols, "left_anti"))
     val touched = upKeys.union(delKeys)
     val next = v + 1
     val snapshot = new Path(rootPath, versionName(next))
@@ -1898,11 +1974,11 @@ object VersionedParquet {
     // must not resurface it); incoming rows split into update_post
     // (key existed) vs insert; deleted rows record their full image.
     // O(changes) rows, atomic with the version.
-    // one scan of `current` tags pre-images AND deletions (inner join
-    // against the tagged key union), one scan of `aligned` splits
-    // update_post from insert (left join against the matched keys) —
-    // instead of four semi/anti joins re-reading each side twice
-    val current = dataFrameOf(spark, rootPath.toString, v)
+    // one scan of `current` (resolved above, under the lock) tags
+    // pre-images AND deletions (inner join against the tagged key
+    // union), one scan of `aligned` splits update_post from insert
+    // (left join against the matched keys) — instead of four
+    // semi/anti joins re-reading each side twice
     val taggedKeys = upKeys
       .withColumn("_change_type", lit("update_pre"))
       .unionByName(delKeys.withColumn("_change_type", lit("delete")))
@@ -1984,29 +2060,23 @@ object VersionedParquet {
       readPointer(spark, new Path(new Path(root, versionName(v)), name))
     }
 
-  /** The Hive partition columns of a published version, recovered from
-    * the snapshot's directory layout (`col=value` levels, outermost
-    * first) — so a maintenance rewrite (Forget's purge-republish,
-    * compaction) can re-apply the original layout without the caller
-    * having to carry it out of band. Empty for unpartitioned tables. */
+  /** The Hive partition columns of a published version — the
+    * [[PARTITION_MARKER]] the publish recorded when available (the
+    * only faithful record once an empty partitioned write lands flat;
+    * see the marker's doc), directory inference (`col=value` levels,
+    * outermost first) for pre-marker snapshots — so a maintenance
+    * rewrite (Forget's purge-republish, compaction) or a row-replacing
+    * verb (TRUNCATE, INSERT OVERWRITE) can re-apply the original
+    * layout without the caller carrying it out of band. Merge-on-read
+    * versions resolve through their `_BASE`: the overlay holds no
+    * directory layout of its own, the physical base does. Empty for
+    * unpartitioned tables. */
   def partitionColsOf(spark: SparkSession, root: String,
                       version: Option[Long] = None): Seq[String] = {
     val v = version.orElse(currentVersion(spark, root)).getOrElse(
       return Nil)
-    val fs = fsOf(spark, new Path(root))
-    val cols = Seq.newBuilder[String]
-    var dir = new Path(root, versionName(v))
-    var descending = true
-    while (descending) {
-      val sub = if (fs.exists(dir)) fs.listStatus(dir).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      else Nil
-      sub.map(_.getPath.getName.takeWhile(_ != '=')).distinct match {
-        case Seq(one) => cols += one; dir = sub.head.getPath
-        case _ => descending = false
-      }
-    }
-    cols.result()
+    partitionColsOfDir(spark,
+      new Path(root, baseNameOf(spark, root, v)))
   }
 
   /** TIMESTAMP AS OF time travel: the newest version committed at or
@@ -3101,25 +3171,30 @@ object VersionedParquet {
       snapshot.toString
     }
 
-  /** The Hive partition columns of a DIRECTORY layout (outermost
-    * first) — `partitionColsOf` for an already-resolved base dir. */
+  /** The Hive partition columns of an already-resolved base dir:
+    * the publish-recorded [[PARTITION_MARKER]] when present (survives
+    * the flat empty-write fallback), directory inference (outermost
+    * `col=value` levels first) for pre-marker snapshots. */
   private[warehouse] def partitionColsOfDir(spark: SparkSession,
-                                 baseDir: Path): Seq[String] = {
-    val fs = fsOf(spark, baseDir)
-    val cols = Seq.newBuilder[String]
-    var dir = baseDir
-    var descending = true
-    while (descending) {
-      val sub = if (fs.exists(dir)) fs.listStatus(dir).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      else Nil
-      sub.map(_.getPath.getName.takeWhile(_ != '=')).distinct match {
-        case Seq(one) => cols += one; dir = sub.head.getPath
-        case _ => descending = false
-      }
+                                 baseDir: Path): Seq[String] =
+    readPointer(spark, new Path(baseDir, PARTITION_MARKER)) match {
+      case Some(m) => m.split(',').toSeq.filter(_.nonEmpty)
+      case None =>
+        val fs = fsOf(spark, baseDir)
+        val cols = Seq.newBuilder[String]
+        var dir = baseDir
+        var descending = true
+        while (descending) {
+          val sub = if (fs.exists(dir)) fs.listStatus(dir).toSeq
+            .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+          else Nil
+          sub.map(_.getPath.getName.takeWhile(_ != '=')).distinct match {
+            case Seq(one) => cols += one; dir = sub.head.getPath
+            case _ => descending = false
+          }
+        }
+        cols.result()
     }
-    cols.result()
-  }
 
   /** Dynamic partition overwrite (the `INSERT OVERWRITE ...
     * PARTITION` / replaceWhere analogue): version N+1 REPLACES exactly

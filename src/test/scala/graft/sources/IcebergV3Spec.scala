@@ -161,6 +161,35 @@ class IcebergV3Spec extends AnyFunSuite {
       s"got: ${e5.getMessage}")
   }
 
+  test("v2-to-v3 upgrade seeds next-row-id past the pre-existing " +
+    "data rows (ids reserved for rows written before lineage)") {
+    val loc = tmp("seedrows")
+    IcebergLite.export(spark, frame(10, "a"), loc) // v2: 10 data rows
+    IcebergLite.exportDeletionVectors(spark, loc,
+      positionsOf(loc, _ == 1L)) // first v3 stamp
+    val metaDir = Paths.get(loc, "metadata")
+    val hint = new String(Files.readAllBytes(
+      metaDir.resolve("version-hint.text"))).trim
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(new String(Files.readAllBytes(
+      metaDir.resolve(s"v$hint.metadata.json"))))
+    // a zero seed would hand the next append the SAME id range a
+    // conformant reader derives for the 10 pre-existing rows
+    assert(meta.get("next-row-id").asLong === 10L,
+      "the upgrade must reserve ids for pre-existing data rows")
+    val snaps = meta.get("snapshots").elements()
+    var last: com.fasterxml.jackson.databind.JsonNode = null
+    while (snaps.hasNext) last = snaps.next()
+    assert(last.get("first-row-id").asLong === 10L,
+      "the upgrade snapshot starts AFTER the reserved range")
+    // and the counter keeps advancing normally from the seed
+    IcebergLite.appendManifest(spark, frame(3, "b"), loc)
+    val after = mapper.readTree(new String(Files.readAllBytes(
+      metaDir.resolve(s"v${new String(Files.readAllBytes(
+        metaDir.resolve("version-hint.text"))).trim}.metadata.json"))))
+    assert(after.get("next-row-id").asLong === 13L)
+  }
+
   test("v3 writes preserve foreign metadata state and carry row " +
     "lineage: unknown fields survive, next-row-id advances by added " +
     "rows, delete snapshots advance nothing") {

@@ -961,6 +961,58 @@ class GraftSqlSpec extends AnyFunSuite {
     } finally GraftTables.unregister("t_msync")
   }
 
+  test("MERGE without WHEN NOT MATCHED THEN INSERT is update-only: " +
+    "source-only rows do NOT land (Delta's omitted-clause contract)") {
+    import spark.implicits._
+    val root = tmp("mupdonly")
+    GraftTables.register("t_mupd", root, keepVersions = 50)
+    try {
+      VersionedParquet.publish(
+        (0L until 10L).map(i => (i, s"g${i % 2}", i))
+          .toDF("id", "g", "x"), root, keepVersions = 50)
+      // source: 5 matched (updated x), 5 source-only (must NOT insert)
+      (5L until 15L).map(i => (i, "u", i * 100))
+        .toDF("id", "g", "x").createOrReplaceTempView("mupd_src")
+      GraftSql.sql(spark,
+        """MERGE INTO t_mupd USING (SELECT * FROM mupd_src)
+          |ON id = id
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      val live = VersionedParquet.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val want = (0L until 5L).map(i => (i, s"g${i % 2}", i)).toSet ++
+        (5L until 10L).map(i => (i, "u", i * 100)).toSet
+      assert(live === want,
+        "matched rows update; ids 10-14 must not be inserted")
+      // update-only + BY SOURCE DELETE: matched update, source-only
+      // dropped, table keys absent from the source deleted
+      (3L until 12L).map(i => (i, "v", i)).toDF("id", "g", "x")
+        .createOrReplaceTempView("mupd_src2")
+      GraftSql.sql(spark,
+        """MERGE INTO t_mupd USING (SELECT * FROM mupd_src2)
+          |ON id = id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      val live2 = VersionedParquet.read(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet
+      assert(live2 === (3L until 10L).map(i => (i, "v", i)).toSet,
+        "ids 0-2 deleted (not in source), 3-9 updated, 10-11 NOT " +
+          "inserted (no INSERT clause)")
+    } finally GraftTables.unregister("t_mupd")
+  }
+
+  test("MERGE WHEN MATCHED THEN DELETE with an INSERT clause is " +
+    "rejected loudly (the old parse silently ignored the INSERT)") {
+    val e = intercept[IllegalArgumentException] {
+      GraftSql.parseDml(
+        """MERGE INTO t USING (SELECT 1 AS id) s ON id = id
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.contains("not supported"), e.getMessage)
+  }
+
   test("INSERT OVERWRITE and TRUNCATE preserve the table's partition " +
     "layout (rows replace; the physical layout is the table's)") {
     import spark.implicits._
@@ -981,6 +1033,23 @@ class GraftSqlSpec extends AnyFunSuite {
         "OVERWRITE replaces rows, not the partition layout")
       GraftSql.sql(spark, "TRUNCATE TABLE t_ovrp")
       assert(VersionedParquet.read(spark, root).count() === 0L)
+      // the empty publish lands as one flat schema-carrying file, so
+      // the directory tree no longer shows the layout — the marker
+      // must: TRUNCATE replaces rows, never the table's partitioning
+      assert(VersionedParquet.partitionColsOf(spark, root) === Seq("g"),
+        "TRUNCATE must not destroy the partition layout record")
+      // and the next row-replacing verb re-materializes it physically
+      GraftSql.sql(spark,
+        "INSERT OVERWRITE t_ovrp SELECT id, g, x FROM ovr_src")
+      assert(VersionedParquet.read(spark, root).count() === 20L)
+      assert(VersionedParquet.partitionColsOf(spark, root) === Seq("g"))
+      val v = VersionedParquet.currentVersion(spark, root).get
+      val snap = new org.apache.hadoop.fs.Path(root, f"v$v%08d")
+      val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.listStatus(snap).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("g=")),
+        "INSERT OVERWRITE after TRUNCATE must republish the Hive " +
+          "col=value directory layout, not a flat file")
     } finally GraftTables.unregister("t_ovrp")
   }
 }
