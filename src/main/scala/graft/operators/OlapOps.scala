@@ -208,6 +208,42 @@ object OlapOps {
            |ORDER BY yr""".stripMargin
       }),
 
+    // ── UNPIVOT: wide metric columns → long (metric, value) rows ─────────
+    // The inverse of q51's pivot (SQL UNPIVOT / pandas melt): the KPI
+    // sheet computed wide — one row per priority, one column per
+    // metric — unpivots to the long form BI tools and the training-
+    // data profilers consume. Spark's native Dataset.unpivot plans an
+    // Expand node (each input row fans to K metric rows in one pass,
+    // no join, no shuffle beyond the base agg); the oracle states the
+    // same reshape as the portable UNION ALL form. All three metrics
+    // are BIGINT so the value column unifies without casts.
+    QueryDef("q288_unpivot",
+      (s, d) => {
+        val wide = Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"))
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_cust"),
+            sum(cents(col("o_totalprice"))).cast("long").as("sum_cents"))
+        wide.unpivot(
+          Array(col("prio")),
+          Array(col("n_orders"), col("n_cust"), col("sum_cents")),
+          "metric", "value")
+          .orderBy("prio", "metric")
+      },
+      Some("""WITH w AS (
+             |  SELECT o_orderpriority AS prio, count(*) AS n_orders,
+             |         count(DISTINCT o_custkey) AS n_cust,
+             |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |           AS BIGINT) AS sum_cents
+             |  FROM orders
+             |  GROUP BY 1)
+             |SELECT prio, 'n_orders' AS metric, n_orders AS value FROM w
+             |UNION ALL
+             |SELECT prio, 'n_cust', n_cust FROM w
+             |UNION ALL
+             |SELECT prio, 'sum_cents', sum_cents FROM w
+             |ORDER BY prio, metric""".stripMargin)),
+
     // ── Z-order layout key: multi-column locality for data clustering ─────
     // At 100 TB, pruning lives or dies on file layout: sorting by one
     // column clusters only that column. Interleaving the bits of two

@@ -1046,7 +1046,98 @@ object SqlSurfaceOps {
              |       count(DISTINCT k) AS n_keys
              |FROM live
              |GROUP BY 1, 2
-             |ORDER BY tag, matched""".stripMargin))
+             |ORDER BY tag, matched""".stripMargin)),
+
+    // ── SHOW PARTITIONS: live partitions from the snapshot layout ───────
+    // The answer comes from a directory LISTING of the current
+    // snapshot's col=value tree (no data scan — the property that
+    // matters at 100 TB); the fixture's INSERT OVERWRITE drops one
+    // whole priority, so a stale listing (or a scan of the superseded
+    // version) would surface a 5th partition and break the hash.
+    QueryDef("q285_show_partitions",
+      (s, d) => {
+        val root = showPartitionsRoot(s, d)
+        require(root.nonEmpty)
+        GraftSql.sql(s, "SHOW PARTITIONS graft_q285")
+          .select(col("partition").as("part"))
+          .orderBy("part")
+      },
+      Some("""SELECT DISTINCT 'prio=' || o_orderpriority AS part
+             |FROM orders
+             |WHERE o_orderkey % 2 = 0 AND o_orderpriority <> '5-LOW'
+             |ORDER BY part""".stripMargin)),
+
+    // ── TBLPROPERTIES: set/unset/show + the property-driven VACUUM ─────
+    // Properties are table-level metadata that must survive every
+    // row-replacing verb (the fixture interposes TRUNCATE + INSERT
+    // OVERWRITE between SET and SHOW), and one of them is
+    // semantics-bearing: `graft.vacuum.retainVersions` makes a bare
+    // VACUUM keep exactly 3 versions (asserted via DESCRIBE HISTORY).
+    // The serve frame is the post-UNSET property map — a lost
+    // property, a resurrected 'owner', or a mangled value breaks the
+    // hash.
+    QueryDef("q286_tblproperties",
+      (s, d) => {
+        val root = tblPropertiesRoot(s, d)
+        require(root.nonEmpty)
+        GraftSql.sql(s, "SHOW TBLPROPERTIES graft_q286")
+          .select(col("key").as("prop_key"), col("value").as("prop_value"))
+          .orderBy("prop_key")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('comment', 'orders mirror for the kpi sheet'),
+             |  ('graft.vacuum.retainVersions', '3'))
+             |  AS t(prop_key, prop_value)
+             |ORDER BY prop_key""".stripMargin)),
+
+    // ── Views: CREATE VIEW / view-on-view / query-time resolution ──────
+    // A view stores definition TEXT and re-resolves per statement —
+    // the fixture UPDATEs the base table AFTER both views exist, so a
+    // create-time-frozen plan would serve pre-update cents and break
+    // the hash. q287_kpi stacks on q287_base (nested resolution), and
+    // the fixture also pins the duplicate-CREATE refusal.
+    QueryDef("q287_sql_views",
+      (s, d) => {
+        val root = sqlViewsRoot(s, d)
+        require(root.nonEmpty)
+        GraftSql.sql(s,
+          "SELECT prio, n_rows, sum_cents FROM q287_kpi ORDER BY prio")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, o_orderpriority AS prio,
+             |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+             |  FROM orders),
+             |live AS (
+             |  SELECT k, prio,
+             |         CASE WHEN k % 4 = 0 THEN cents + 5 ELSE cents END
+             |           AS cents
+             |  FROM o),
+             |base AS (SELECT prio, cents FROM live WHERE k % 2 = 0)
+             |SELECT prio, count(*) AS n_rows,
+             |       CAST(sum(cents) AS BIGINT) AS sum_cents
+             |FROM base
+             |GROUP BY prio
+             |ORDER BY prio""".stripMargin)),
+
+    // ── SHOW CREATE TABLE: the reconstructed DDL ────────────────────────
+    // One typed row carrying the full reconstructed DDL — columns in
+    // schema order, the partition layout, the named CHECK constraint,
+    // and the properties, every piece read back from the table's own
+    // markers (never from what the fixture remembers writing).
+    // LOCATION is omitted by design: it is environment, not schema
+    // (DESCRIBE DETAIL serves it), and the oracle constant must be
+    // run-independent.
+    QueryDef("q289_show_create_table",
+      (s, d) => {
+        val root = showCreateRoot(s, d)
+        require(root.nonEmpty)
+        GraftSql.sql(s, "SHOW CREATE TABLE graft_q289")
+      },
+      Some("SELECT 'graft_q289' AS tbl, 'CREATE TABLE graft_q289 (\n" +
+        "  k BIGINT,\n  cents BIGINT,\n  prio STRING,\n" +
+        "  CONSTRAINT cents_nonneg CHECK (cents >= 0)\n" +
+        ") USING graft\nPARTITIONED BY (prio)\n" +
+        "TBLPROPERTIES (''owner''=''pipeline'')' AS ddl"))
   )
 
   /** q284 fixture: publish (k%5==0, cents, tag='base'), run ONE
@@ -2117,6 +2208,159 @@ object SqlSurfaceOps {
           |SELECT o_orderkey + 3000000 AS k, o_custkey AS c,
           |       CAST(111 AS BIGINT) AS cents
           |FROM q160_orders WHERE o_orderkey % 17 = 0""".stripMargin)
+    }
+    root
+  }
+
+  /** q285 fixture: partitioned CTAS over every priority, then an
+    * INSERT OVERWRITE that drops one whole priority and half the rows
+    * — SHOW PARTITIONS must list exactly the four priorities the live
+    * snapshot holds (the listing of v(N), never v(N−1)'s dirs), and
+    * refuse on an unpartitioned table. Once per session. */
+  private def showPartitionsRoot(s: org.apache.spark.sql.SparkSession,
+                                 d: String): String = {
+    val root = Scratch.dir(s, "q285-show-partitions") + "/t"
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q285_src")
+      GraftSql.sql(s, s"CREATE TABLE graft_q285 LOCATION '$root' " +
+        "PARTITIONED BY (prio) AS SELECT k, cents, prio FROM q285_src")
+      GraftSql.sql(s, "INSERT OVERWRITE graft_q285 " +
+        "SELECT k, cents, prio FROM q285_src " +
+        "WHERE k % 2 = 0 AND prio <> '5-LOW'")
+      val n = GraftSql.sql(s, "SHOW PARTITIONS graft_q285").count()
+      require(n == 4L,
+        s"q285: the overwrite leaves 4 live partitions, listed $n")
+      // the unpartitioned refusal (Delta's contract), pinned here so
+      // the gate exercises it every run
+      GraftTables.register("graft_q285_flat", Scratch.dir(s,
+        "q285-flat") + "/t", keepVersions = 5)
+      VersionedParquet.publish(Tables.region(s, d),
+        Scratch.dir(s, "q285-flat") + "/t", keepVersions = 5)
+      val refused =
+        try { GraftSql.sql(s, "SHOW PARTITIONS graft_q285_flat"); false }
+        catch { case e: Exception =>
+          e.getMessage.contains("not a partitioned table") }
+      require(refused,
+        "q285: SHOW PARTITIONS on an unpartitioned table must refuse")
+    }
+    root
+  }
+
+  /** q286 fixture: SET TBLPROPERTIES (one semantics-bearing), then a
+    * verb chain that replaces every row twice (TRUNCATE + INSERT
+    * OVERWRITE) and appends until the history is deep, UNSET one key,
+    * and a bare VACUUM that must honor `graft.vacuum.retainVersions`.
+    * Once per session. */
+  private def tblPropertiesRoot(s: org.apache.spark.sql.SparkSession,
+                                d: String): String = {
+    val root = Scratch.dir(s, "q286-tblproperties") + "/t"
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q286_src")
+      GraftSql.sql(s, s"CREATE TABLE graft_q286 LOCATION '$root' " +
+        "AS SELECT k, cents FROM q286_src WHERE k % 3 = 0")
+      GraftSql.sql(s, "ALTER TABLE graft_q286 SET TBLPROPERTIES (" +
+        "'owner'='pipeline-team', " +
+        "'comment'='orders mirror for the kpi sheet', " +
+        "'graft.vacuum.retainVersions'='3')")
+      // properties are table-level: they must survive row-replacing
+      // verbs and plain appends alike
+      GraftSql.sql(s, "TRUNCATE TABLE graft_q286")
+      GraftSql.sql(s, "INSERT OVERWRITE graft_q286 " +
+        "SELECT k, cents FROM q286_src WHERE k % 3 = 0")
+      GraftSql.sql(s, "INSERT INTO graft_q286 " +
+        "SELECT k + 9000000 AS k, cents FROM q286_src WHERE k % 7 = 0")
+      GraftSql.sql(s, "UPDATE graft_q286 SET cents = cents + 1 " +
+        "WHERE k % 6 = 0")
+      val props = GraftSql.sql(s, "SHOW TBLPROPERTIES graft_q286")
+      require(props.count() == 3L,
+        "q286: all three properties must survive the verb chain")
+      GraftSql.sql(s,
+        "ALTER TABLE graft_q286 UNSET TBLPROPERTIES ('owner')")
+      val refused =
+        try {
+          GraftSql.sql(s,
+            "ALTER TABLE graft_q286 UNSET TBLPROPERTIES ('owner')")
+          false
+        } catch { case e: Exception =>
+          e.getMessage.contains("not set") }
+      require(refused, "q286: UNSET of an absent key must refuse")
+      // bare VACUUM honors the property: exactly 3 versions remain
+      GraftSql.sql(s, "VACUUM graft_q286")
+      val hist = GraftSql.sql(s, "DESCRIBE HISTORY graft_q286").count()
+      require(hist == 3L,
+        s"q286: VACUUM must keep graft.vacuum.retainVersions=3 " +
+          s"versions, kept $hist")
+    }
+    root
+  }
+
+  /** q287 fixture: CREATE VIEW + a view stacked on it, then an UPDATE
+    * on the base table AFTER both exist — the serve leg reads through
+    * the stack and must see post-update cents (query-time
+    * re-resolution, the CREATE VIEW contract). Pins the
+    * duplicate-CREATE refusal too. Once per session. */
+  private def sqlViewsRoot(s: org.apache.spark.sql.SparkSession,
+                           d: String): String = {
+    val root = Scratch.dir(s, "q287-sql-views") + "/t"
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q287_src")
+      GraftSql.sql(s, s"CREATE TABLE graft_q287 LOCATION '$root' " +
+        "AS SELECT k, prio, cents FROM q287_src")
+      // OR REPLACE: the views registry is JVM-static — a second
+      // session in one JVM re-runs this fixture against a fresh
+      // scratch root but the same registry
+      GraftSql.sql(s, "CREATE OR REPLACE VIEW q287_base AS " +
+        "SELECT prio, cents FROM graft_q287 WHERE k % 2 = 0")
+      GraftSql.sql(s, "CREATE OR REPLACE VIEW q287_kpi AS " +
+        "SELECT prio, count(*) AS n_rows, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents " +
+        "FROM q287_base GROUP BY prio")
+      val dup =
+        try { GraftSql.sql(s, "CREATE VIEW q287_base AS SELECT 1"); false }
+        catch { case e: Exception =>
+          e.getMessage.contains("already exists") }
+      require(dup, "q287: duplicate CREATE VIEW must refuse without " +
+        "OR REPLACE")
+      require(GraftSql.sql(s, "SHOW VIEWS")
+        .filter(col("view").startsWith("q287_")).count() == 2L,
+        "q287: SHOW VIEWS must list both views")
+      // data changes AFTER the views exist — the stack must serve it
+      GraftSql.sql(s, "UPDATE graft_q287 SET cents = cents + 5 " +
+        "WHERE k % 4 = 0")
+    }
+    root
+  }
+
+  /** q289 fixture: a partitioned table carrying a named CHECK
+    * constraint and one property — SHOW CREATE TABLE reconstructs the
+    * DDL from the table's own markers. Once per session. */
+  private def showCreateRoot(s: org.apache.spark.sql.SparkSession,
+                             d: String): String = {
+    val root = Scratch.dir(s, "q289-show-create") + "/t"
+    if (VersionedParquet.currentVersion(s, root).isEmpty) {
+      Tables.orders(s, d).select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .createOrReplaceTempView("q289_src")
+      GraftSql.sql(s, s"CREATE TABLE graft_q289 LOCATION '$root' " +
+        "PARTITIONED BY (prio) " +
+        "AS SELECT k, cents, prio FROM q289_src WHERE k % 5 = 0")
+      GraftSql.sql(s, "ALTER TABLE graft_q289 ADD CONSTRAINT " +
+        "cents_nonneg CHECK (cents >= 0)")
+      GraftSql.sql(s, "ALTER TABLE graft_q289 SET TBLPROPERTIES (" +
+        "'owner'='pipeline')")
     }
     root
   }

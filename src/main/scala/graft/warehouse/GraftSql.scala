@@ -84,11 +84,50 @@ object GraftTables {
   def keysOf(name: String): Seq[String] =
     Option(tables.get(name.toLowerCase)).map(_._3).getOrElse(Nil)
 
+  /** Every registered table name (lowercased), sorted — bounded
+    * catalog metadata. */
+  def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    tables.keySet().asScala.toSeq.sorted
+  }
+
   /** Forget the SQL identifier (DROP TABLE): metadata-only — the data
     * at the root is untouched and can be re-registered. */
   def unregister(name: String): Unit = { tables.remove(name.toLowerCase); () }
 
   def clear(): Unit = tables.clear()
+}
+
+/** Named SQL views over the GraftSql surface — the session-scoped
+  * analogue of catalog views, exactly as [[GraftTables]] is for
+  * tables. A view stores its DEFINITION TEXT, not a frozen plan:
+  * every statement that references it re-resolves the definition
+  * through [[GraftSql.sql]] right before running (see
+  * `materializeViews`), so a view always serves the CURRENT version
+  * of the tables under it — the semantics CREATE VIEW promises and a
+  * create-time `createOrReplaceTempView` of a DataFrame would break
+  * (it would freeze MoR overlays and registry state at creation).
+  * Views may stack on views; resolution is cycle-guarded and refuses
+  * loudly. */
+object GraftViews {
+  private val views = new ConcurrentHashMap[String, String]()
+
+  private[warehouse] def put(name: String, definition: String): Unit =
+    views.put(name.toLowerCase, definition)
+
+  def definitionOf(name: String): Option[String] =
+    Option(views.get(name.toLowerCase))
+
+  private[warehouse] def remove(name: String): Boolean =
+    views.remove(name.toLowerCase) != null
+
+  /** (name, definition) pairs, name-sorted — the SHOW VIEWS frame. */
+  def all: Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    views.asScala.toSeq.sortBy(_._1)
+  }
+
+  def clear(): Unit = views.clear()
 }
 
 /** One parsed DML statement against a registered table. Predicates,
@@ -207,6 +246,35 @@ private[graft] final case class SqlInsertOverwrite(table: String,
 // TRUNCATE TABLE t — a new EMPTY version in the table's schema.
 private[graft] final case class SqlTruncate(table: String)
     extends GraftDml
+// ALTER TABLE t SET TBLPROPERTIES ('k'='v', …) — upsert into the
+// table-level property map (VersionedParquet._TBLPROPERTIES).
+private[graft] final case class SqlSetProps(table: String,
+    props: Map[String, String]) extends GraftDml
+// ALTER TABLE t UNSET TBLPROPERTIES ('k', …) — absent keys refuse.
+private[graft] final case class SqlUnsetProps(table: String,
+    keys: Seq[String]) extends GraftDml
+// SHOW TBLPROPERTIES t — (key, value) rows, key-sorted.
+private[graft] final case class SqlShowProps(table: String)
+    extends GraftDml
+// SHOW PARTITIONS t — one row per live partition in Hive path form
+// (`prio=1-URGENT`, nested cols `/`-joined); refuses on an
+// unpartitioned table (Delta's own contract).
+private[graft] final case class SqlShowPartitions(table: String)
+    extends GraftDml
+// SHOW CREATE TABLE t — the reconstructed DDL (columns, identity,
+// partition layout, named constraints, properties).
+private[graft] final case class SqlShowCreate(table: String)
+    extends GraftDml
+// CREATE [OR REPLACE] VIEW v AS SELECT … / DROP VIEW v / SHOW VIEWS —
+// the GraftViews registry verbs; `table` is the view name (never a
+// registered table — creation refuses the collision).
+private[graft] final case class SqlCreateView(table: String,
+    orReplace: Boolean, query: String) extends GraftDml
+private[graft] final case class SqlDropView(table: String)
+    extends GraftDml
+private[graft] final case class SqlShowViews() extends GraftDml {
+  val table = ""
+}
 
 object GraftSql {
 
@@ -334,7 +402,37 @@ object GraftSql {
     val IO = ("""(?is)INSERT\s+OVERWRITE\s+(?:TABLE\s+)?""" +
       """([A-Za-z_][\w]*)\s+(SELECT\b.+)""").r
     val TR = """(?is)TRUNCATE\s+TABLE\s+([A-Za-z_][\w]*)""".r
+    // table properties + catalog SHOW verbs
+    val STP = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+SET\s+""" +
+      """TBLPROPERTIES\s*\(([^)]*)\)""").r
+    val UTP = ("""(?is)ALTER\s+TABLE\s+([A-Za-z_][\w]*)\s+UNSET\s+""" +
+      """TBLPROPERTIES\s*\(([^)]*)\)""").r
+    val SHP = """(?is)SHOW\s+TBLPROPERTIES\s+([A-Za-z_][\w]*)""".r
+    val SPT = """(?is)SHOW\s+PARTITIONS\s+([A-Za-z_][\w]*)""".r
+    val SCR = """(?is)SHOW\s+CREATE\s+TABLE\s+([A-Za-z_][\w]*)""".r
+    // views (the GraftViews registry verbs)
+    val CVW = ("""(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+""" +
+      """([A-Za-z_][\w]*)\s+AS\s+(SELECT\b.+)""").r
+    val DVW = """(?is)DROP\s+VIEW\s+([A-Za-z_][\w]*)""".r
+    val SVW = """(?is)SHOW\s+VIEWS""".r
     val dml = t match {
+      case STP(table, raw) => Some(SqlSetProps(table, optMap(raw)))
+      case UTP(table, raw) =>
+        val key = """'([^']*)'""".r
+        val keys = key.findAllMatchIn(raw).map(_.group(1)).toSeq
+        val residue = key.replaceAllIn(raw, "").replace(",", "").trim
+        if (residue.nonEmpty)
+          throw new IllegalArgumentException(
+            s"malformed UNSET TBLPROPERTIES near '$residue' — " +
+              "use ('k1', 'k2', …)")
+        Some(SqlUnsetProps(table, keys))
+      case SHP(table) => Some(SqlShowProps(table))
+      case SPT(table) => Some(SqlShowPartitions(table))
+      case SCR(table) => Some(SqlShowCreate(table))
+      case CVW(orReplace, name, query) =>
+        Some(SqlCreateView(name, orReplace != null, query.trim))
+      case DVW(name) => Some(SqlDropView(name))
+      case SVW() => Some(SqlShowViews())
       case CP(table, src, fmt, raw, copyRaw) =>
         val copyOpts = optMap(copyRaw)
         val unknown = copyOpts.keySet.map(_.toLowerCase) - "force"
@@ -453,6 +551,9 @@ object GraftSql {
       case _: SqlExpireIceberg | _: SqlCheckpointDelta |
            _: SqlVacuumDelta | _: SqlPurgeDelta =>
         true // location verbs: no table
+      case _: SqlCreateView | _: SqlShowViews =>
+        true // view registry verbs: no table
+      case v: SqlDropView => GraftViews.definitionOf(v.table).isDefined
       case d => GraftTables.rootOf(d.table).isDefined
     }
   }
@@ -650,7 +751,20 @@ object GraftSql {
         GraftTables.unregister(table)
         root
       case SqlVacuum(_, retain) =>
-        VersionedParquet.vacuum(spark, root, retain.getOrElse(keep))
+        // retention resolution order: explicit RETAIN clause, then the
+        // table's `graft.vacuum.retainVersions` property (the
+        // catalog-level policy TBLPROPERTIES carries), then the
+        // registration default — a malformed property value refuses
+        // loudly instead of silently vacuuming at the default
+        val propRetain = VersionedParquet.propertiesOf(spark, root)
+          .get("graft.vacuum.retainVersions").map { v =>
+            require(v.forall(_.isDigit) && v.nonEmpty && v.toInt > 0,
+              s"graft.vacuum.retainVersions must be a positive " +
+                s"integer, got '$v'")
+            v.toInt
+          }
+        VersionedParquet.vacuum(spark, root,
+          retain.orElse(propRetain).getOrElse(keep))
           .mkString(",")
       case SqlAddColumn(_, colName, typeDdl, default) =>
         VersionedParquet.addColumn(spark, root, colName, typeDdl,
@@ -672,6 +786,17 @@ object GraftSql {
         VersionedParquet.addGeneratedColumn(spark, root, colName, typeDdl,
           genExpr)
         root
+      case SqlSetProps(_, props) =>
+        VersionedParquet.setProperties(spark, root, props)
+        root
+      case SqlUnsetProps(_, keys) =>
+        VersionedParquet.unsetProperties(spark, root, keys)
+        root
+      case _: SqlShowProps | _: SqlShowPartitions | _: SqlShowCreate =>
+        root // side-effect free; routed in sql()
+      case _: SqlCreateView | _: SqlDropView | _: SqlShowViews =>
+        throw new IllegalStateException(
+          "view verbs route through GraftSql.sql / the parser commands")
       case _: SqlDescribe => root // side-effect free; routed in sql()
       case g: SqlGenerate => generateFrame(spark, g); root
       case x: SqlExportDelta => exportDeltaFrame(spark, x); root
@@ -815,11 +940,21 @@ object GraftSql {
       case Some(b: SqlDescribeBranches) => branchesFrame(spark, b)
       case Some(r: SqlRestore) => restoreFrame(spark, r)
       case Some(c: SqlCopyInto) => copyFrame(spark, c)
+      case Some(p: SqlShowProps) => showPropsFrame(spark, p)
+      case Some(p: SqlShowPartitions) => showPartitionsFrame(spark, p)
+      case Some(p: SqlShowCreate) => showCreateFrame(spark, p)
+      case Some(v: SqlCreateView) => createViewFrame(spark, v)
+      case Some(v: SqlDropView) => dropViewFrame(spark, v)
+      case Some(_: SqlShowViews) => showViewsFrame(spark)
       case Some(dml) => exec(spark, dml); spark.emptyDataFrame
       // same inline time-travel rewrite as the injected parser, so the
       // library-call path (`GraftSql.sql`) and the parser-extension
-      // path accept identical statements
-      case None => spark.sql(rewriteTimeTravel(spark, text))
+      // path accept identical statements; registered views the
+      // statement references re-materialize first (query-time
+      // resolution — the CREATE VIEW contract)
+      case None =>
+        materializeViews(spark, text)
+        spark.sql(rewriteTimeTravel(spark, text))
     }
 
   /** Stats surfaces serve raw per-column min/max (actual data values,
@@ -876,6 +1011,229 @@ object GraftSql {
     spark.createDataFrame(rows.asJava,
       StructType.fromDDL(
         "branch STRING, fork_version BIGINT, head_version BIGINT"))
+  }
+
+  private def rootOrFail(table: String): (String, Int) =
+    GraftTables.rootOf(table).getOrElse(
+      throw new IllegalStateException(s"table $table is not registered"))
+
+  /** `SHOW TBLPROPERTIES t` — (key, value) rows, key-sorted. */
+  private[graft] def showPropsFrame(spark: SparkSession,
+                                    p: SqlShowProps): DataFrame = {
+    val (root, _) = rootOrFail(p.table)
+    import spark.implicits._
+    VersionedParquet.propertiesOf(spark, root).toSeq.sortBy(_._1)
+      .toDF("key", "value")
+  }
+
+  /** Spark's partition-dir escaping in reverse (%XX sequences) — the
+    * dir-listing and scan-fallback paths must agree on the value
+    * text. */
+  private def unescapePathName(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          Character.digit(s.charAt(i + 1), 16) >= 0 &&
+          Character.digit(s.charAt(i + 2), 16) >= 0) {
+        sb.append(((Character.digit(s.charAt(i + 1), 16) << 4) +
+          Character.digit(s.charAt(i + 2), 16)).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `SHOW PARTITIONS t` — one row per LIVE partition, Hive path form
+    * (`prio=1-URGENT`, nested levels `/`-joined), sorted. Metadata
+    * first: when the current snapshot lays its data out as col=value
+    * directories (every partitioned COW publish), the answer is a
+    * directory LISTING — no data scan, the property that matters at
+    * 100 TB. A snapshot without the physical layout (merge-on-read
+    * overlay, the flat empty publish TRUNCATE lands) falls back to a
+    * distinct scan of the partition columns, which is also what makes
+    * the result reflect live ROWS, not stale directories. Refuses on
+    * an unpartitioned table (Delta's own contract). */
+  private[graft] def showPartitionsFrame(spark: SparkSession,
+                                         p: SqlShowPartitions): DataFrame = {
+    val (root, _) = rootOrFail(p.table)
+    val pcols = VersionedParquet.partitionColsOf(spark, root)
+    require(pcols.nonEmpty,
+      s"SHOW PARTITIONS ${p.table}: not a partitioned table")
+    val v = VersionedParquet.currentVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val snap = new org.apache.hadoop.fs.Path(root, f"v$v%08d")
+    val fs = snap.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // walk col=value levels; Nil the moment a level is missing its
+    // directories (flat/MoR snapshot) → scan fallback below
+    def walk(dir: org.apache.hadoop.fs.Path,
+             cols: Seq[String]): Option[Seq[String]] = cols match {
+      case Nil => Some(Seq(""))
+      case c +: rest =>
+        val kids = fs.listStatus(dir).toSeq.filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith(s"$c="))
+        if (kids.isEmpty) None
+        else {
+          val sub = kids.map { st =>
+            walk(st.getPath, rest).map(_.map { tail =>
+              val seg = s"$c=" +
+                unescapePathName(st.getPath.getName.drop(c.length + 1))
+              if (tail.isEmpty) seg else s"$seg/$tail"
+            })
+          }
+          if (sub.exists(_.isEmpty)) None else Some(sub.flatMap(_.get))
+        }
+    }
+    import spark.implicits._
+    val listed =
+      if (fs.exists(snap)) walk(snap, pcols) else None
+    val parts = listed.getOrElse {
+      import org.apache.spark.sql.functions.{col => fcol}
+      VersionedParquet.read(spark, root)
+        .select(pcols.map(fcol): _*).distinct().collect().toSeq
+        .map(r => pcols.zipWithIndex
+          .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/"))
+    }
+    parts.sorted.toDF("partition")
+  }
+
+  /** `SHOW CREATE TABLE t` — the reconstructed DDL: columns (with
+    * identity/generated annotations), partition layout, named CHECK
+    * constraints, properties. LOCATION is deliberately omitted — it
+    * is environment, not schema (DESCRIBE DETAIL serves it), and the
+    * DDL stays portable across warehouses. One row: (tbl, ddl). */
+  private[graft] def showCreateFrame(spark: SparkSession,
+                                     p: SqlShowCreate): DataFrame = {
+    val (root, _) = rootOrFail(p.table)
+    val idCols = VersionedParquet.identityRules(spark, root)
+      .map(_._1.toLowerCase).toSet
+    val genRules = VersionedParquet.generationRules(spark, root)
+      .map { case (c, e) => c.toLowerCase -> e }.toMap
+    val cols = VersionedParquet.read(spark, root).schema.fields.map { f =>
+      val base = s"  ${f.name} ${f.dataType.sql}"
+      if (idCols.contains(f.name.toLowerCase))
+        s"$base GENERATED ALWAYS AS IDENTITY"
+      else genRules.get(f.name.toLowerCase)
+        .map(e => s"$base GENERATED ALWAYS AS ($e)").getOrElse(base)
+    }
+    val cons = VersionedParquet.namedConstraints(spark, root)
+      .map { case (n, c) => s"  CONSTRAINT $n CHECK ($c)" }
+    val pcols = VersionedParquet.partitionColsOf(spark, root)
+    val props = VersionedParquet.propertiesOf(spark, root)
+    val ddl = s"CREATE TABLE ${p.table} (\n" +
+      (cols ++ cons).mkString(",\n") + "\n) USING graft" +
+      (if (pcols.nonEmpty) s"\nPARTITIONED BY (${pcols.mkString(", ")})"
+       else "") +
+      (if (props.nonEmpty)
+        "\nTBLPROPERTIES (" + props.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"'$k'='$v'" }.mkString(", ") + ")"
+       else "")
+    import spark.implicits._
+    Seq((p.table, ddl)).toDF("tbl", "ddl")
+  }
+
+  // ── views ───────────────────────────────────────────────────────────
+
+  /** True iff `name` appears as a whole word in `text` (how a FROM
+    * clause references a view). */
+  private def referencesWord(text: String, name: String): Boolean =
+    java.util.regex.Pattern
+      .compile("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b")
+      .matcher(text).find()
+
+  // On a parser-extension session, `spark.sql(defn)` below re-enters
+  // GraftSqlParser.parsePlan, which calls materializeViews again with
+  // a FRESH seen-set — on a registry cycle that resets the guard and
+  // loops forever. The thread-local makes the re-entrant call a no-op:
+  // the outer materialization already handled the nesting.
+  private val materializing = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = false
+  }
+
+  /** Re-materialize every registered view the statement references as
+    * a Spark temp view, nested views first, cycle-guarded — called
+    * right before the statement runs, so a view always resolves
+    * against the CURRENT versions of the tables under it. Plan
+    * construction only: no jobs run here. */
+  private[graft] def materializeViews(spark: SparkSession,
+                                      text: String): Unit = {
+    if (materializing.get) return
+    materializing.set(true)
+    try materializeViewsRec(spark, text, Set.empty)
+    finally materializing.set(false)
+  }
+
+  private def materializeViewsRec(spark: SparkSession, text: String,
+                                  seen: Set[String]): Unit =
+    GraftViews.all.foreach { case (name, defn) =>
+      if (referencesWord(text, name)) {
+        if (seen.contains(name))
+          throw new IllegalStateException(
+            s"view cycle through $name — a view cannot reference " +
+              "itself, directly or transitively")
+        materializeViewsRec(spark, defn, seen + name)
+        spark.sql(rewriteTimeTravel(spark, pinTables(spark, defn)))
+          .createOrReplaceTempView(name)
+      }
+    }
+
+  /** A view definition references registered TABLES by their SQL
+    * names; Spark's resolver needs those pinned as graft-source temp
+    * views (the policy-enforcing serving path — a view is a query
+    * surface, so masked/filtered reads apply exactly as they would on
+    * the table itself). Returns `text` unchanged — the pins are the
+    * side effect. */
+  private def pinTables(spark: SparkSession, text: String): String = {
+    GraftTables.names.foreach { t =>
+      if (referencesWord(text, t))
+        GraftTables.rootOf(t).foreach { case (root, _) =>
+          spark.read.format("graft").load(root)
+            .createOrReplaceTempView(t)
+        }
+    }
+    text
+  }
+
+  /** `CREATE [OR REPLACE] VIEW v AS SELECT …` — validates the
+    * definition resolves NOW (loud at create, not first read), then
+    * registers it. One typed row: (view, n_cols, replaced). */
+  private[graft] def createViewFrame(spark: SparkSession,
+                                     v: SqlCreateView): DataFrame = {
+    require(GraftTables.rootOf(v.table).isEmpty,
+      s"CREATE VIEW ${v.table}: a registered TABLE already holds " +
+        "that name")
+    val existed = GraftViews.definitionOf(v.table).isDefined
+    if (existed && !v.orReplace)
+      throw new IllegalStateException(s"view ${v.table} already " +
+        "exists — use CREATE OR REPLACE VIEW")
+    require(!referencesWord(v.query, v.table),
+      s"CREATE VIEW ${v.table}: the definition references the view " +
+        "itself")
+    materializeViews(spark, v.query)
+    val nCols = spark.sql(rewriteTimeTravel(spark, pinTables(spark, v.query)))
+      .schema.fields.length
+    GraftViews.put(v.table, v.query)
+    import spark.implicits._
+    Seq((v.table, nCols, existed)).toDF("view", "n_cols", "replaced")
+  }
+
+  /** `DROP VIEW v` — unregisters the view and drops its last
+    * materialized temp view. One typed row: (view, dropped). */
+  private[graft] def dropViewFrame(spark: SparkSession,
+                                   v: SqlDropView): DataFrame = {
+    val removed = GraftViews.remove(v.table)
+    if (!removed)
+      throw new IllegalStateException(s"view ${v.table} does not exist")
+    spark.catalog.dropTempView(v.table)
+    import spark.implicits._
+    Seq((v.table, removed)).toDF("view", "dropped")
+  }
+
+  /** `SHOW VIEWS` — (view, definition) rows, name-sorted. */
+  private[graft] def showViewsFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    GraftViews.all.toDF("view", "definition")
   }
 
   /** `ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS (…)]` — one
@@ -1329,6 +1687,47 @@ private[graft] final case class GraftCopyCommand(dml: SqlCopyInto)
     GraftSql.copyFrame(session, dml).collect().toSeq
 }
 
+/** SHOW TBLPROPERTIES / SHOW PARTITIONS / SHOW CREATE TABLE / the
+  * view verbs through the injected parser — one command class, the
+  * output schema fixed per verb at construction. */
+private[graft] final case class GraftCatalogCommand(dml: GraftDml)
+    extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, StringType}
+  override val output: Seq[Attribute] = dml match {
+    case _: SqlShowProps => Seq(
+      AttributeReference("key", StringType)(),
+      AttributeReference("value", StringType)())
+    case _: SqlShowPartitions => Seq(
+      AttributeReference("partition", StringType)())
+    case _: SqlShowCreate => Seq(
+      AttributeReference("tbl", StringType)(),
+      AttributeReference("ddl", StringType)())
+    case _: SqlCreateView => Seq(
+      AttributeReference("view", StringType)(),
+      AttributeReference("n_cols", IntegerType)(),
+      AttributeReference("replaced", BooleanType)())
+    case _: SqlDropView => Seq(
+      AttributeReference("view", StringType)(),
+      AttributeReference("dropped", BooleanType)())
+    case _: SqlShowViews => Seq(
+      AttributeReference("view", StringType)(),
+      AttributeReference("definition", StringType)())
+    case other => throw new IllegalStateException(
+      s"GraftCatalogCommand cannot serve ${other.getClass.getSimpleName}")
+  }
+  override def run(session: SparkSession): Seq[Row] = (dml match {
+    case p: SqlShowProps => GraftSql.showPropsFrame(session, p)
+    case p: SqlShowPartitions => GraftSql.showPartitionsFrame(session, p)
+    case p: SqlShowCreate => GraftSql.showCreateFrame(session, p)
+    case v: SqlCreateView => GraftSql.createViewFrame(session, v)
+    case v: SqlDropView => GraftSql.dropViewFrame(session, v)
+    case _: SqlShowViews => GraftSql.showViewsFrame(session)
+    case other => throw new IllegalStateException(
+      s"GraftCatalogCommand cannot serve ${other.getClass.getSimpleName}")
+  }).collect().toSeq
+}
+
 /** Parser extension: intercepts the four DML verbs against registered
   * versioned tables, rewrites inline time-travel clauses on anything
   * else, and delegates every other statement — and every other parser
@@ -1345,8 +1744,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Some(ds: SqlDescribeStats) => GraftStatsCommand(ds.table, None)
       case Some(r: SqlRestore) => GraftRestoreCommand(r)
       case Some(c: SqlCopyInto) => GraftCopyCommand(c)
+      case Some(x @ (_: SqlShowProps | _: SqlShowPartitions |
+                     _: SqlShowCreate | _: SqlCreateView |
+                     _: SqlDropView | _: SqlShowViews)) =>
+        GraftCatalogCommand(x)
       case Some(dml) => GraftDmlCommand(dml)
       case None =>
+        // registered views the statement references re-materialize
+        // before Spark parses it (plan construction only, no jobs) —
+        // the extension path serves SELECT-through-view exactly like
+        // the runtime path
+        SparkSession.getActiveSession
+          .foreach(s => GraftSql.materializeViews(s, sqlText))
         delegate.parsePlan(GraftSql.rewriteTimeTravel(sqlText))
     }
   @throws[ParseException]

@@ -1459,9 +1459,15 @@ object VersionedParquet {
           s"$root: the table has rows and identity values are " +
           "assigned at write time — declare the column while the " +
           "table is empty (the CREATE-time contract)")
+      // thread the declared layout: this publish is empty, so without
+      // the explicit declaration the new snapshot would record no
+      // _PARTITION_COLS marker and the identity declaration would
+      // silently destroy a partitioned table's layout record (the
+      // same blind spot the TRUNCATE fix closed)
       publish(live.withColumn(name,
           org.apache.spark.sql.functions.lit(null).cast("long"))
-        .limit(0), root, keepVersions = keepVersions)
+        .limit(0), root, partitionCols = partitionColsOf(spark, root),
+        keepVersions = keepVersions)
       val prior = readPointer(spark, new Path(root, SCHEMA_IDENTITY))
         .map(_ + "\n").getOrElse("")
       installPointer(spark, new Path(root), SCHEMA_IDENTITY,
@@ -1513,6 +1519,73 @@ object VersionedParquet {
           else s"$name\t$next"
         }.mkString("\n"))
       assigned
+    }
+  }
+
+  // ── table properties ────────────────────────────────────────────────
+  //
+  // `root/_TBLPROPERTIES` holds one `key \t value` line per property —
+  // the Delta `TBLPROPERTIES` surface (reference: every real lakehouse
+  // table carries free-form owner/comment/pipeline metadata plus a few
+  // properties the ENGINE reads back). Table-level like the identity
+  // and constraint pointers: properties describe the table, not one
+  // snapshot, so they survive every row-replacing verb (TRUNCATE,
+  // INSERT OVERWRITE, RESTORE) by construction. Mutations run under
+  // the writer lock so a property write can never tear against a
+  // concurrent SET/UNSET; the install is the same atomic-rename every
+  // pointer uses. One property is semantics-bearing today:
+  // `graft.vacuum.retainVersions` — SQL `VACUUM t` without an explicit
+  // RETAIN clause uses it as the retention (the table-level policy a
+  // catalog property would carry); everything else is carried verbatim
+  // and served back by SHOW TBLPROPERTIES / SHOW CREATE TABLE.
+
+  private[warehouse] val TBLPROPERTIES = "_TBLPROPERTIES"
+
+  /** Properties in force on the table at `root` (empty when none were
+    * ever set). */
+  def propertiesOf(spark: SparkSession, root: String): Map[String, String] =
+    readPointer(spark, new Path(root, TBLPROPERTIES))
+      .map(_.split('\n').filter(_.nonEmpty).map { l =>
+        val i = l.indexOf('\t')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap).getOrElse(Map.empty)
+
+  private def writeProperties(spark: SparkSession, root: String,
+                              props: Map[String, String]): Unit =
+    installPointer(spark, new Path(root), TBLPROPERTIES,
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }
+        .mkString("\n"))
+
+  /** SET TBLPROPERTIES: upsert `props` into the table's property map.
+    * Keys and values must be single-line and tab-free (the pointer
+    * format) — refused loudly, never silently mangled. */
+  def setProperties(spark: SparkSession, root: String,
+                    props: Map[String, String]): Unit = {
+    require(props.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    props.foreach { case (k, v) =>
+      require(k.nonEmpty && !k.exists(c => c == '\t' || c == '\n') &&
+        !v.exists(c => c == '\t' || c == '\n'),
+        s"property '$k' rejected: keys and values must be non-empty, " +
+          "single-line, tab-free")
+    }
+    withWriterLock(spark, root) {
+      writeProperties(spark, root, propertiesOf(spark, root) ++ props)
+    }
+  }
+
+  /** UNSET TBLPROPERTIES: remove `keys`. An absent key is refused by
+    * name (Delta without IF EXISTS) — a typo must not read as a
+    * successful unset. */
+  def unsetProperties(spark: SparkSession, root: String,
+                      keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    withWriterLock(spark, root) {
+      val cur = propertiesOf(spark, root)
+      val missing = keys.filterNot(cur.contains)
+      if (missing.nonEmpty)
+        throw new IOException("UNSET TBLPROPERTIES: key(s) " +
+          missing.mkString(", ") + s" not set on $root")
+      writeProperties(spark, root, cur -- keys)
     }
   }
 

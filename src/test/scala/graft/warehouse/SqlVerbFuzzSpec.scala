@@ -9,8 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Conformance FUZZER for the SQL verb surface: random statement
   * chains over {COPY INTO (incremental / no-op / forced), INSERT
-  * INTO, INSERT OVERWRITE, TRUNCATE TABLE, UPDATE, DELETE, MERGE,
-  * RESTORE, OPTIMIZE, VACUUM, ALTER ADD IDENTITY} driven through
+  * INTO, INSERT OVERWRITE, TRUNCATE TABLE, UPDATE, DELETE, MERGE
+  * (upsert / full-sync / update-only / explicit-assignment),
+  * RESTORE, OPTIMIZE, VACUUM, ALTER ADD IDENTITY, SET/UNSET
+  * TBLPROPERTIES} driven through
   * [[GraftSql.sql]] against a registered versioned table, with a
   * driver-side model applying each verb's SPEC semantics. Live==model
   * after every step; chain ends audit TIME TRAVEL (every recorded
@@ -75,6 +77,9 @@ class SqlVerbFuzzSpec extends AnyFunSuite {
     val landingRows = mutable.Map.empty[String, Seq[(Long, String, Long)]]
     var landingSeq = 0
     var identityCol: Option[String] = None
+    // TBLPROPERTIES model: table-level, so RESTORE/TRUNCATE/OVERWRITE
+    // must never touch it — live==model per step proves that
+    val propsModel = mutable.Map.empty[String, String]
     // version → model at that version (the restore / time-travel pool;
     // cleared at ALTER ADD IDENTITY because pre-identity snapshots
     // restore to a pre-identity schema)
@@ -105,6 +110,11 @@ class SqlVerbFuzzSpec extends AnyFunSuite {
         assert(idv.flatten.distinct.length == idv.length,
           s"chain $chainId [$tag]: identity column $c carries dupes")
       }
+      val liveProps = GraftSql.sql(spark, s"SHOW TBLPROPERTIES $name")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(liveProps == propsModel.toMap,
+        s"chain $chainId after [$tag]: TBLPROPERTIES live=$liveProps " +
+          s"≠ model=$propsModel (trace: ${trace.mkString(" → ")})")
     }
 
     def copyInto(forceAfterTruncate: Boolean): String = {
@@ -151,8 +161,56 @@ class SqlVerbFuzzSpec extends AnyFunSuite {
 
     def step(): String = {
       val preIdentity = identityCol.isEmpty
-      val choice = rnd.nextInt(if (preIdentity) 13 else 7)
+      val choice = rnd.nextInt(if (preIdentity) 16 else 8)
       (preIdentity, choice) match {
+        case (true, 13) | (false, 7) => // SET/UNSET TBLPROPERTIES
+          if (propsModel.nonEmpty && rnd.nextBoolean()) {
+            val k = propsModel.keys.toSeq.sorted.apply(
+              rnd.nextInt(propsModel.size))
+            GraftSql.sql(spark,
+              s"ALTER TABLE $name UNSET TBLPROPERTIES ('$k')")
+            propsModel.remove(k)
+            s"unset_prop($k)"
+          } else {
+            val k = s"p${rnd.nextInt(4)}"
+            val v = s"v${rnd.nextInt(100)}"
+            GraftSql.sql(spark,
+              s"ALTER TABLE $name SET TBLPROPERTIES ('$k'='$v')")
+            propsModel(k) = v
+            s"set_prop($k=$v)"
+          }
+        case (true, 14) => // MERGE without INSERT: update-only, strays
+          // in the source must NOT land (Delta's omitted-clause rule)
+          val matched = rnd.shuffle(model.keys.toSeq)
+            .take(1 + rnd.nextInt(3))
+            .map(id => (id, s"u${rnd.nextInt(3)}",
+              rnd.nextInt(1000).toLong))
+          val src = matched ++ freshRows(1 + rnd.nextInt(2))
+          frame(src).createOrReplaceTempView("fz_uo")
+          GraftSql.sql(spark,
+            s"""MERGE INTO $name t USING (SELECT * FROM fz_uo) s
+               |ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+          model = model ++ matched.map(t => t._1 -> (t._2, t._3))
+          s"merge_update_only(${matched.size}+${src.size - matched.size})"
+        case (true, 15) => // explicit-assignment MERGE: both-side refs
+          val matched = rnd.shuffle(model.keys.toSeq)
+            .take(rnd.nextInt(3))
+          val delta = 1L + rnd.nextInt(50)
+          val fresh = freshRows(1 + rnd.nextInt(2))
+          val src = matched.map(id => (id, "z", delta)) ++ fresh
+          frame(src).createOrReplaceTempView("fz_asg")
+          GraftSql.sql(spark,
+            s"""MERGE INTO $name t USING (SELECT * FROM fz_asg) s
+               |ON t.id = s.id
+               |WHEN MATCHED THEN UPDATE SET x = t.x + s.x
+               |WHEN NOT MATCHED THEN INSERT (id, g, x)
+               |VALUES (s.id, s.g, s.x)""".stripMargin)
+          model = model.map { case (id, (g, x)) =>
+            if (matched.contains(id)) id -> (g, x + delta)
+            else id -> (g, x)
+          } ++ fresh.map(t => t._1 -> (t._2, t._3))
+          s"merge_assign(${matched.size}+${fresh.size})"
         case (true, 0) | (false, 0) => // UPDATE arithmetic, pred on id
           val (m, k) = (2 + rnd.nextInt(3), rnd.nextInt(50).toLong)
           val r = rnd.nextInt(m)
