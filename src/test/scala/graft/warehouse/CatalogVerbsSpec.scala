@@ -222,6 +222,62 @@ class CatalogVerbsSpec extends AnyFunSuite {
     GraftViews.remove("vw_even")
   }
 
+  test("injected parser: the catalog verbs run through plain " +
+    "spark.sql — properties, partitions, DDL, views") {
+    import org.apache.spark.sql.functions.col
+    val root = tmp("extcat")
+    GraftTables.register("t_extcat", root, keepVersions = 50)
+    import spark.implicits._
+    VersionedParquet.publish(
+      (0L until 20L).map(i => (i, s"p${i % 2}", i * 10))
+        .toDF("id", "part_key", "x"),
+      root, partitionCols = Seq("part_key"), keepVersions = 50)
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .withExtensions(new graft.plans.GraftExtensions())
+      .getOrCreate()
+    try {
+      ext.sql("ALTER TABLE t_extcat SET TBLPROPERTIES ('owner'='ext')")
+      assert(ext.sql("SHOW TBLPROPERTIES t_extcat").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq ===
+        Seq(("owner", "ext")))
+      assert(ext.sql("SHOW PARTITIONS t_extcat").collect()
+        .map(_.getString(0)).toSeq ===
+        Seq("part_key=p0", "part_key=p1"))
+      assert(ext.sql("SHOW CREATE TABLE t_extcat").head().getString(1)
+        .contains("PARTITIONED BY (part_key)"))
+      // views through the injected parser: create returns the typed
+      // row, SELECT resolves through the parse-time materialization
+      val created = ext.sql("CREATE OR REPLACE VIEW vw_extcat AS " +
+        "SELECT part_key, CAST(sum(x) AS BIGINT) AS s " +
+        "FROM t_extcat GROUP BY part_key").head()
+      assert(created.getString(0) === "vw_extcat" &&
+        created.getInt(1) === 2)
+      assert(ext.sql(
+        "SELECT s FROM vw_extcat WHERE part_key = 'p0' ").head()
+        .getLong(0) === (0L until 20L by 2).map(_ * 10).sum)
+      // the view re-resolves after a DML on the base table
+      ext.sql("UPDATE t_extcat SET x = x + 1 WHERE part_key = 'p0'")
+      assert(ext.sql(
+        "SELECT s FROM vw_extcat WHERE part_key = 'p0' ").head()
+        .getLong(0) === (0L until 20L by 2).map(_ * 10).sum + 10L)
+      assert(ext.sql("SHOW VIEWS").collect().map(_.getString(0))
+        .contains("vw_extcat"))
+      val dropped = ext.sql("DROP VIEW vw_extcat").head()
+      assert(dropped.getString(0) === "vw_extcat")
+    } finally {
+      GraftViews.remove("vw_extcat")
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(prev)
+      SparkSession.setActiveSession(prev)
+    }
+  }
+
   test("a view over a policy-bearing table serves the MASKED read — " +
     "the view path is a query surface, policies apply") {
     import spark.implicits._
