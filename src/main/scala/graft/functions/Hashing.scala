@@ -19,9 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** Spark column: 60-bit md5-derived hash of a string column. */
+  /** Spark column: 60-bit md5-derived hash of a string column. Runs as
+    * the native [[Md5Long60]] codegen kernel — value-identical to the
+    * composed built-in form `conv(substring(md5(x),1,15),16,10)::long`
+    * (HashKernelSpec pins the equality), minus its per-row hex-encode /
+    * substring / base-16 re-parse allocations. */
   def md5Long60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      Md5Long60(org.apache.spark.sql.graftbridge.ColumnBridge
+        .expression(c.cast("string"))))
 
   /** DuckDB SQL fragment for the same value over expression `e`. */
   def md5Long60Sql(e: String): String =

@@ -987,15 +987,29 @@ object DedupOps {
           .withColumn("rn", row_number().over(ordW))
           .filter(col("rn") <=
             col("n_sh") - expr(s"($t3 * n_sh + ${t5 - 1}) div $t5") + 1)
-        val a = prefix.select(col("lang"), col("shingle"),
-          col("doc_id").as("id_a"), col("n_sh").as("n_a"))
-        val b = prefix.select(col("lang"), col("shingle"),
-          col("doc_id").as("id_b"), col("n_sh").as("n_b"))
-        val cand = a.join(b, Seq("lang", "shingle"))
-          .filter(col("id_a") < col("id_b") &&
-            col("n_b") * t3 <= col("n_a") * t5 &&
-            col("n_a") * t3 <= col("n_b") * t5)
-          .select("id_a", "id_b").distinct()
+        // candidate pairs by IN-CELL expansion, not a prefix self-join:
+        // the docs sharing a prefix shingle are collected into one cell
+        // (bounded by prefix df — hot shingles never enter a prefix)
+        // and ordered pairs expand map-side, so the join's exchange +
+        // sort of the prefix stream disappears and each qualifying
+        // pair emerges once per shared prefix shingle, exactly as the
+        // join produced it (r16 optimization, guide §2.4; doc_id is
+        // unique per cell, so array_sort gives id_a < id_b by
+        // construction)
+        val cand = prefix
+          .groupBy("lang", "shingle")
+          .agg(array_sort(collect_list(
+            struct(col("doc_id"), col("n_sh")))).as("ds"))
+          .select(explode(flatten(transform(col("ds"), (a, i) =>
+            transform(slice(col("ds"), i + 2, size(col("ds"))),
+              b => struct(a.getField("doc_id").as("id_a"),
+                b.getField("doc_id").as("id_b"),
+                a.getField("n_sh").as("n_a"),
+                b.getField("n_sh").as("n_b")))))).as("p"))
+          .filter(col("p.n_b") * t3 <= col("p.n_a") * t5 &&
+            col("p.n_a") * t3 <= col("p.n_b") * t5)
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+          .distinct()
         val sets = sh.groupBy("doc_id")
           .agg(collect_set("shingle").as("hs"), max("n_sh").as("n"))
         cand

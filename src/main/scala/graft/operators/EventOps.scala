@@ -230,10 +230,17 @@ object EventOps {
             date_trunc("hour", col("ts")).as("tick"),
             unix_micros(col("ts")).as("us"),
             col("event_id"), cents(col("value")).as("vc"))
-        val wLast = Window.partitionBy("user_id", "tick")
-          .orderBy(col("us").desc, col("event_id").desc)
-        val obs = ev.withColumn("rk", row_number().over(wLast))
-          .filter(col("rk") === 1)
+        // latest-observation-per-hour as a MAX_BY aggregation, not a
+        // ROW_NUMBER window: the window shuffled and sorted every raw
+        // event; max_by's partial aggregation collapses each map
+        // partition to one candidate per (user, tick) before the
+        // exchange (r16 optimization, guide §2.3 "aggregate before you
+        // shuffle"). Identical row choice: rk=1 under (us DESC,
+        // event_id DESC) == max of the (us, event_id) struct, and
+        // event_id breaks us-ties deterministically exactly as before.
+        val obs = ev.groupBy("user_id", "tick")
+          .agg(max_by(col("vc"),
+            struct(col("us"), col("event_id"))).as("vc"))
           .select("user_id", "tick", "vc")
         val grid = obs.groupBy("user_id")
           .agg(min("tick").as("h0"), max("tick").as("h1"))

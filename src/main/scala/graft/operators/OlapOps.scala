@@ -829,10 +829,21 @@ object OlapOps {
           col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
           round(col("l_extendedprice") * 100).cast("long").as("cents"),
           col("l_quantity").cast("long").as("w"))
-        val byVal = Window.partitionBy("flag")
-          .orderBy("cents", "ok", "ln")
+        // pre-aggregate to (flag, cents) weight sums before the
+        // windows: the cumulative scan only needs per-VALUE totals to
+        // find the crossing point — the first row r* with
+        // cum(r*)·2 ≥ total lies inside some cents group c*, every
+        // earlier group ends below total/2 and every later group
+        // qualifies, so min(cents) is identical on the grouped frame.
+        // The windows now sort distinct values per flag instead of
+        // every raw row, and the exchange carries map-side-combined
+        // partials (r16 optimization, guide §2.3 "aggregate before
+        // you shuffle"; the (ok, ln) tiebreak becomes irrelevant
+        // because rows of equal cents collapse into one group).
+        val g = l.groupBy("flag", "cents").agg(sum("w").as("w"))
+        val byVal = Window.partitionBy("flag").orderBy("cents")
         val whole = Window.partitionBy("flag")
-        l.withColumn("cum", sum("w").over(byVal))
+        g.withColumn("cum", sum("w").over(byVal))
           .withColumn("total", sum("w").over(whole))
           .filter(col("cum") * 2 >= col("total"))
           .groupBy("flag")
@@ -882,7 +893,7 @@ object OlapOps {
         val l = Tables.lineitem(s, d).select(
           col("l_returnflag").as("flag"),
           round(col("l_extendedprice") * 100).cast("long").as("v"))
-        val msb = (length(bin(col("v"))) - 1).cast("long")
+        val msb = (graft.functions.BinLength(col("v")) - 1).cast("long")
         val divisor = pow(lit(2.0), (msb - 4).cast("double"))
           .cast("long")
         val bucket = when(col("v") < 16L, col("v"))

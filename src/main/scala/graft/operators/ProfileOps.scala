@@ -332,9 +332,17 @@ object ProfileOps {
         .otherwise(lit("cur")).as("cohort"),
       col("event_type"),
       hour(col("ts")).cast("string").as("hr"))
+    // ONE pass over the events: pre-aggregate to the joint
+    // (cohort, type, hour) grid (≤ types × 24 × 2 cells — map-side
+    // combine collapses each partition to that grid), then both
+    // dimensions re-aggregate the tiny grid. The previous shape ran
+    // one full scan+aggregate PER dimension (r16 optimization, guide
+    // §1.2/§2.3); sums of counts are count-identical per cell.
+    val pre = ev.groupBy("cohort", "event_type", "hr")
+      .agg(count(lit(1)).as("o"))
     def dim(name: String, cell: Column): DataFrame =
-      ev.groupBy(cell.as("cell"), col("cohort"))
-        .agg(count(lit(1)).as("o"))
+      pre.groupBy(cell.as("cell"), col("cohort"))
+        .agg(sum("o").cast("long").as("o"))
         .withColumn("dimension", lit(name))
     dim("event_type", col("event_type"))
       .unionByName(dim("hour_of_day", col("hr")))
@@ -349,9 +357,15 @@ object ProfileOps {
   private[graft] def chi2Report(cells: DataFrame,
                                 extra: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grid = cells.select("dimension", "cell").distinct()
+    // persisted: the cell frame (≤ dimensions × cells × 2 rows — tiny)
+    // is consumed twice below (grid derivation + the grid join);
+    // without the persist each consumer re-ran the full upstream
+    // aggregation — for q230 a complete events scan, for q232 a
+    // re-read of the maintained log (r16 optimization, guide §1.2)
+    val cellsP = cells.persist()
+    val grid = cellsP.select("dimension", "cell").distinct()
       .withColumn("cohort", explode(array(lit("ref"), lit("cur"))))
-    val full = grid.join(cells, Seq("dimension", "cell", "cohort"),
+    val full = grid.join(cellsP, Seq("dimension", "cell", "cohort"),
         "left")
       .withColumn("o", coalesce(col("o"), lit(0L)))
     val tot = full

@@ -562,14 +562,21 @@ object Relational {
     QueryDef("q25_product_report",
       (s, d) => {
         val p = Tables.part(s, d).select("p_partkey", "p_name", "p_brand")
-        li(s, d).join(broadcast(p), col("l_partkey") === col("p_partkey"))
-          .groupBy("p_partkey", "p_name", "p_brand")
+        // aggregate FIRST on the fact key alone, attach descriptors
+        // after: the distinct-orders expansion shuffles (partkey,
+        // orderkey) pairs only — the p_name/p_brand strings no longer
+        // ride every pre-aggregation shuffle row (r16 optimization,
+        // guide §2.3 "project before the exchange"); p_partkey is the
+        // part PK, so the post-agg broadcast join is row-identical
+        li(s, d)
+          .groupBy(col("l_partkey").as("p_partkey"))
           .agg(
             sum(revC4x).as("rev_c4"),
             countDistinct("l_orderkey").as("total_orders"),
             sum("l_quantity").as("total_quantity"),
             round(avg(col("l_extendedprice") / nullif(col("l_quantity"), lit(0.0))), 4)
               .as("avg_selling_price"))
+          .join(broadcast(p), Seq("p_partkey"))
           .select(
             col("p_partkey"), col("p_name"), col("p_brand"),
             c4(col("rev_c4")).as("total_revenue"),

@@ -477,12 +477,18 @@ object SampleOps {
             when(shiftright(h, 7 * j).bitwiseAND(lit(127L)) < 16, 1L)
               .otherwise(0L))
           .reduce(_ + _)
+        // persisted: the same 32-cell replicate frame feeds the CI
+        // collect below AND the returned frame — without the persist
+        // the whole one-pass B=32 combine (the expensive leg) ran
+        // twice per session, once per consumer (r16 optimization,
+        // guide §1.2 "don't compute things twice"; 32 rows of state)
         val reps = rep
           .select(col("b"), (w * col("cents")).as("wc"), w.as("wn"))
           .groupBy("b")
           .agg(sum("wc").as("sum_wc"), sum("wn").as("n_eff"))
           .withColumn("mean_milli",
             expr("(sum_wc * 1000) div n_eff"))
+          .persist()
         val ci = reps.select("mean_milli").collect()
           .map(_.getLong(0)).sorted
         // percentile CI on the 32 order statistics: ranks 1 and 30

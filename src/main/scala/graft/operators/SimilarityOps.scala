@@ -1461,10 +1461,16 @@ object SimilarityOps {
             + (Hashing.md5Long60(concat(lit("cl_pt_"),
                 col("vec_id").cast("string"), lit("_"),
                 i.cast("string"))) % 101 - 50)).cast("float"))
+        // persisted: the synthetic labeled-embedding frame costs 128
+        // md5 evaluations per vector and is consumed THREE times below
+        // (band keys + the query side + the neighbor side of the
+        // scoring join) — one derivation instead of three (r16
+        // optimization, guide §1.2; ~vec-count × 64 floats of state)
         val e = Tables.embeddings(s, d).select(col("vec_id"),
           emb2.as("embedding"),
           when(col("vec_id") % 19 === 5, ((col("vec_id") % 8) + 1) % 8)
             .otherwise(col("vec_id") % 8).cast("int").as("label"))
+          .persist()
         val keys = tableKeysOf(e)
         // Bounded bucket lists — the production bounded-bucket-scan
         // rule: each band bucket INDEXES only its first 16 members

@@ -67,7 +67,7 @@ object SketchOps {
     hashed
       .select(keys.map(col) :+ shiftright(col("h60"), WBITS).as("bucket") :+
         when(w === 0, lit(RMAX))
-          .otherwise(lit(RMAX) - length(bin(w))).as("rho"): _*)
+          .otherwise(lit(RMAX) - graft.functions.BinLength(w)).as("rho"): _*)
       .groupBy(keys.head, keys.tail :+ "bucket": _*).agg(max("rho").as("r"))
   }
 
@@ -441,7 +441,11 @@ object SketchOps {
           .select(explode(array((0 until D).map(jb): _*)).as("jb"))
           .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
           .agg(count(lit(1)).as("cell"))
-        val total = toks.agg(count(lit(1)).as("n_total"))
+        // n_total = Σ cells of any one row j (each token instance lands
+        // in exactly one bucket per row) — read off the sketch instead
+        // of a third full tokenize scan (r16 optimization, guide §1.2)
+        val total = cells.filter(col("j") === 0)
+          .agg(sum("cell").cast("long").as("n_total"))
         val candidates = dict
           .select(col("token"), explode(array((0 until D).map(jb): _*)).as("jb"))
           .join(broadcast(cells),
@@ -546,12 +550,22 @@ object SketchOps {
           .groupBy("src_a", "src_b", "bucket").agg(max("r").as("r"))
         val uEst = estimateOf(uRegs, Seq("src_a", "src_b"))
           .select(col("src_a"), col("src_b"), col("est").as("est_u"))
-        val ds = keyed.select("source", "shingle").distinct()
-        val exact = ds.select(col("source").as("src_a"), col("shingle"))
-          .join(ds.select(col("source").as("src_b"), col("shingle")), "shingle")
-          .filter(col("src_a") < col("src_b"))
-          .groupBy("src_a", "src_b")
-          .agg(countDistinct("shingle").as("n_exact_overlap"))
+        // exact intersection WITHOUT the shingle-keyed self-join the
+        // r15 shape paid (distinct + join + countDistinct = three
+        // exchanges of the full shingle stream): the source set per
+        // shingle is tiny (≤ #sources), so ONE collect_set aggregation
+        // (map-side partials collapse duplicate (source, shingle)
+        // rows) followed by in-cell pair expansion yields each
+        // (src_a, src_b, shingle) exactly once — count(*) == the old
+        // countDistinct by construction (r16 optimization, guide §2.4
+        // "remove shuffles outright": 3 exchanges → 2, no join)
+        val exact = keyed
+          .groupBy("shingle").agg(array_sort(collect_set("source")).as("ss"))
+          .select(explode(flatten(transform(col("ss"), (a, i) =>
+            transform(slice(col("ss"), i + 2, size(col("ss"))),
+              b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+          .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+          .agg(count(lit(1)).as("n_exact_overlap"))
         uEst
           .join(broadcast(est1.toDF("src_a", "est_a")), "src_a")
           .join(broadcast(est1.toDF("src_b", "est_b")), "src_b")

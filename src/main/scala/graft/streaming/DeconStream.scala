@@ -49,23 +49,34 @@ object DeconStream {
           .select(col("doc_id"),
             explode(shingles(tokens(col("text")), n)).as("g"))
           .select(col("doc_id"), Hashing.md5Long60(col("g")).as("h"))
+        // persisted per batch: `leaks` (bounded — one row per
+        // contaminated doc in THIS batch) feeds four consumers below
+        // (two emptiness probes + two appends); without the persist
+        // each consumer re-ran the batch's full gram explode + join +
+        // aggregate, quadrupling the per-batch cost (r16 optimization,
+        // guide §1.2 — this was most of q223's fixture time).
+        // Exactly-once semantics and the quarantine-first ordering
+        // are untouched: the same rows, computed once.
         val leaks = grams
           .join(broadcast(benchGramHashes.select("h")), Seq("h"))
           .groupBy("doc_id")
           .agg(countDistinct(col("h")).as("_n_leaked_ngrams"))
-        val bad = batch.join(leaks, Seq("doc_id"))
-        val clean = batch.join(leaks.select("doc_id"), Seq("doc_id"),
-          "left_anti")
-        // quarantine commits FIRST: a crash between the two appends
-        // then re-runs the batch — the quarantine side skips (marker),
-        // the silver side applies — and no contaminated doc can ever
-        // have reached silver in the window
-        if (bad.limit(1).count() > 0)
-          VersionedSink.commitAppend(spark, quarantineRoot, batchId,
-            bad, keepVersions)
-        if (clean.limit(1).count() > 0)
-          VersionedSink.commitAppend(spark, silverRoot, batchId, clean,
-            keepVersions)
+          .persist()
+        try {
+          val bad = batch.join(leaks, Seq("doc_id"))
+          val clean = batch.join(leaks.select("doc_id"), Seq("doc_id"),
+            "left_anti")
+          // quarantine commits FIRST: a crash between the two appends
+          // then re-runs the batch — the quarantine side skips (marker),
+          // the silver side applies — and no contaminated doc can ever
+          // have reached silver in the window
+          if (bad.limit(1).count() > 0)
+            VersionedSink.commitAppend(spark, quarantineRoot, batchId,
+              bad, keepVersions)
+          if (clean.limit(1).count() > 0)
+            VersionedSink.commitAppend(spark, silverRoot, batchId, clean,
+              keepVersions)
+        } finally { leaks.unpersist(blocking = false); () }
         ()
       }
       .start()

@@ -44,10 +44,16 @@ object DriftStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val inc = graft.operators.ProfileOps.eventCells(batch)
-        if (inc.limit(1).count() > 0)
-          VersionedSink.commitAppend(spark, cellsRoot, batchId, inc,
-            keepVersions)
+        // persisted per batch: the cell-increment aggregate (bounded —
+        // one row per populated cell) feeds the emptiness probe AND
+        // the append; without the persist the batch's full aggregation
+        // ran twice (r16 optimization, guide §1.2)
+        val inc = graft.operators.ProfileOps.eventCells(batch).persist()
+        try {
+          if (inc.limit(1).count() > 0)
+            VersionedSink.commitAppend(spark, cellsRoot, batchId, inc,
+              keepVersions)
+        } finally { inc.unpersist(blocking = false); () }
         // deterministic O(1) trigger on the monotone batch id — runs
         // even when the commit above was a replay no-op (folding is
         // idempotent), so a crash between commit and fold self-heals

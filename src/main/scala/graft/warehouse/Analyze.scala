@@ -79,8 +79,8 @@ object Analyze {
           .otherwise(shiftright(h60, 54)).as("bucket"),
         when(col("v").isNull, lit(null).cast("long"))
           .otherwise(when(h60.bitwiseAND(lit((1L << 54) - 1)) === 0,
-            lit(55)).otherwise(lit(55) -
-            length(bin(h60.bitwiseAND(lit((1L << 54) - 1)))))).as("rho"))
+            lit(55)).otherwise(lit(55) - graft.functions.BinLength(
+            h60.bitwiseAND(lit((1L << 54) - 1))))).as("rho"))
       .groupBy("colname", "bucket")
       .agg(count(lit(1)).as("n"), max(col("rho")).as("r"),
         min(col("v")).as("min_v"), max(col("v")).as("max_v"))

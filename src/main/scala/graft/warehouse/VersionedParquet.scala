@@ -1982,9 +1982,16 @@ object VersionedParquet {
     val current = dataFrameOf(spark, rootPath.toString, v)
     val currentKeys = current.select(keyCols.map(current(_)): _*)
     val aligned0 = gen.select(baseCols.map(gen(_)): _*)
+    // persisted: the aligned batch (O(changes) rows) feeds the
+    // duplicate-key check, the upsert∩delete check, constraint
+    // enforcement, the carried-delta write, and the change feed — and
+    // in updateOnly mode every evaluation ALSO re-ran the matched
+    // semi-join against the assembled current view. One computation
+    // instead of ~6 (r16 optimization, guide §1.2); unpersisted after
+    // the feed write below.
     val aligned =
-      if (updateOnly) aligned0.join(currentKeys, keyCols, "left_semi")
-      else aligned0
+      (if (updateOnly) aligned0.join(currentKeys, keyCols, "left_semi")
+       else aligned0).persist()
     if (aligned.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
         .count() > 0)
@@ -2055,9 +2062,18 @@ object VersionedParquet {
     val taggedKeys = upKeys
       .withColumn("_change_type", lit("update_pre"))
       .unionByName(delKeys.withColumn("_change_type", lit("delete")))
-    val preAndDel = current.join(taggedKeys, keyCols, "inner")
-    val matched = upKeys.join(current.select(keyCols.map(col): _*),
-      keyCols, "left_semi").withColumn("_m", lit(1))
+    // persisted: preAndDel is O(changes) rows, and the matched-key set
+    // below derives FROM it (update_pre keys == upserted keys that
+    // exist in `current`, one row per key after distinct — exactly the
+    // old upKeys⋉current semi-join), so the assembled current view
+    // (base scan + DV anti-join + delta union) is scanned ONCE per
+    // merge for the feed instead of twice (r16 optimization, guide
+    // §1.2; at 100 TB the assembled-view scan dominates merge cost)
+    val preAndDel = current.join(taggedKeys, keyCols, "inner").persist()
+    val matched = preAndDel
+      .filter(col("_change_type") === lit("update_pre"))
+      .select(keyCols.map(col): _*).distinct()
+      .withColumn("_m", lit(1))
     val postAndIns = aligned.join(matched, keyCols, "left")
       .withColumn("_change_type",
         org.apache.spark.sql.functions.when(col("_m") === 1,
@@ -2066,6 +2082,8 @@ object VersionedParquet {
     preAndDel.unionByName(postAndIns)
       .write.mode("overwrite")
       .parquet(new Path(snapshot, CDF_DIR).toString)
+    preAndDel.unpersist(blocking = false)
+    aligned.unpersist(blocking = false)
     // a file-exclusion manifest (compactSmallFiles) rides every later
     // version of the chain: dropping it would resurrect packed rows
     readPointer(spark, new Path(new Path(rootPath, versionName(v)),
@@ -2866,7 +2884,12 @@ object VersionedParquet {
       if (extra.nonEmpty)
         throw new IOException(s"append cannot add columns " +
           s"${extra.mkString(",")} to $root; publish a new schema instead")
-      val aligned = gen.select(baseCols.map(gen(_)): _*)
+      // persisted: the aligned batch feeds the constraint check, the
+      // delta write, and the change-feed write — one computation of
+      // the incoming rows (incl. identity/generation expressions)
+      // instead of three (r16 optimization, guide §1.2; O(batch) rows,
+      // unpersisted after the feed write)
+      val aligned = gen.select(baseCols.map(gen(_)): _*).persist()
       enforceConstraints(spark, aligned,
         effectiveConstraints(spark, root, base), "append",
         s"$root stays at version $v")
@@ -2892,6 +2915,7 @@ object VersionedParquet {
       aligned.withColumn("_change_type", lit("insert"))
         .write.mode("overwrite")
         .parquet(new Path(snapshot, CDF_DIR).toString)
+      aligned.unpersist(blocking = false)
       readPointer(spark, new Path(verDir, EXCLUDE_MARKER)).foreach(m =>
         installPointer(spark, snapshot, EXCLUDE_MARKER, m))
       (markers + (BASE_MARKER -> base) +
