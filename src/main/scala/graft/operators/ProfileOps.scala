@@ -357,12 +357,18 @@ object ProfileOps {
   private[graft] def chi2Report(cells: DataFrame,
                                 extra: Seq[Column] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persisted: the cell frame (≤ dimensions × cells × 2 rows — tiny)
-    // is consumed twice below (grid derivation + the grid join);
-    // without the persist each consumer re-ran the full upstream
-    // aggregation — for q230 a complete events scan, for q232 a
-    // re-read of the maintained log (r16 optimization, guide §1.2)
-    val cellsP = cells.persist()
+    // collected once to a LOCAL relation: the cell frame
+    // (≤ dimensions × cells × 2 rows — tiny by construction) is
+    // consumed twice below (grid derivation + the grid join); without
+    // sharing, each consumer re-ran the full upstream aggregation —
+    // for q230 a complete events scan, for q232 a re-read of the
+    // maintained log. r16 used persist() here but the returned plan
+    // outlives this function, so it could never be unpersisted and
+    // pinned executor storage for the session; a collect of the tiny
+    // grid gives the same single evaluation with zero retained state
+    // (r17, guide §1.2 + §5 "unpersist when done").
+    val cellsP = cells.sparkSession.createDataFrame(
+      java.util.Arrays.asList(cells.collect(): _*), cells.schema)
     val grid = cellsP.select("dimension", "cell").distinct()
       .withColumn("cohort", explode(array(lit("ref"), lit("cur"))))
     val full = grid.join(cellsP, Seq("dimension", "cell", "cohort"),

@@ -477,26 +477,30 @@ object SampleOps {
             when(shiftright(h, 7 * j).bitwiseAND(lit(127L)) < 16, 1L)
               .otherwise(0L))
           .reduce(_ + _)
-        // persisted: the same 32-cell replicate frame feeds the CI
-        // collect below AND the returned frame — without the persist
-        // the whole one-pass B=32 combine (the expensive leg) ran
-        // twice per session, once per consumer (r16 optimization,
-        // guide §1.2 "don't compute things twice"; 32 rows of state)
-        val reps = rep
+        // collected ONCE (32 rows): the replicate means feed the CI
+        // order statistics AND the returned frame — as a LOCAL
+        // relation, so the one-pass B=32 combine (the expensive leg)
+        // runs exactly once per invocation and nothing stays
+        // persisted. (r16 used persist() here but never unpersisted —
+        // the 32-row cache pinned executor storage for the rest of a
+        // 289-query session; r17, guide §5 "unpersist when done".)
+        val repRows = rep
           .select(col("b"), (w * col("cents")).as("wc"), w.as("wn"))
           .groupBy("b")
           .agg(sum("wc").as("sum_wc"), sum("wn").as("n_eff"))
           .withColumn("mean_milli",
             expr("(sum_wc * 1000) div n_eff"))
-          .persist()
-        val ci = reps.select("mean_milli").collect()
-          .map(_.getLong(0)).sorted
+          .select("b", "n_eff", "mean_milli").collect()
+        val ci = repRows.map(_.getLong(2)).sorted
         // percentile CI on the 32 order statistics: ranks 1 and 30
         // (0-indexed) ≈ the 2.5th / 97.5th percentiles
         val point = o.agg(
           expr("(sum(cents) * 1000) div count(*)").as("pm"),
           count(lit(1)).as("n")).head
-        reps.select(col("b"), col("n_eff"), col("mean_milli"))
+        import s.implicits._
+        repRows.toSeq
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toDF("b", "n_eff", "mean_milli")
           .withColumn("point_mean_milli", lit(point.getLong(0)))
           .withColumn("n_rows", lit(point.getLong(1)))
           .withColumn("ci_lo_milli", lit(ci(1)))

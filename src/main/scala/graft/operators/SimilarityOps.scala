@@ -27,6 +27,10 @@ import graft.sources.{QueryDef, Tables}
   */
 object SimilarityOps {
 
+  /** Per-(session, dir) LRU for q231's synthetic labeled-embedding
+    * frame (persisted; eviction unpersists — see [[FrameCache]]). */
+  private val q231EmbCache = FrameCache.unpersisting
+
   /** dot(a, b): native codegen kernel (graft.functions.VectorDot) —
     * ascending-index multiply-add, the same summation order as the
     * interpreted aggregate/zip_with fold it replaced and as the DuckDB
@@ -1461,16 +1465,23 @@ object SimilarityOps {
             + (Hashing.md5Long60(concat(lit("cl_pt_"),
                 col("vec_id").cast("string"), lit("_"),
                 i.cast("string"))) % 101 - 50)).cast("float"))
-        // persisted: the synthetic labeled-embedding frame costs 128
-        // md5 evaluations per vector and is consumed THREE times below
-        // (band keys + the query side + the neighbor side of the
-        // scoring join) — one derivation instead of three (r16
-        // optimization, guide §1.2; ~vec-count × 64 floats of state)
-        val e = Tables.embeddings(s, d).select(col("vec_id"),
-          emb2.as("embedding"),
-          when(col("vec_id") % 19 === 5, ((col("vec_id") % 8) + 1) % 8)
-            .otherwise(col("vec_id") % 8).cast("int").as("label"))
-          .persist()
+        // persisted via the session LRU cache: the synthetic
+        // labeled-embedding frame costs 128 md5 evaluations per vector
+        // and is consumed THREE times below (band keys + the query
+        // side + the neighbor side of the scoring join) — one
+        // derivation instead of three (r16 optimization, guide §1.2;
+        // ~vec-count × 64 floats of state). r16 persisted it inline
+        // and never unpersisted (the returned plan outlives this
+        // function); the FrameCache route bounds the retained state —
+        // eviction unpersists, same discipline as DedupOps' shingle
+        // frame (r17, guide §5).
+        val e = q231EmbCache.getOrBuild(s, d) {
+          Tables.embeddings(s, d).select(col("vec_id"),
+            emb2.as("embedding"),
+            when(col("vec_id") % 19 === 5, ((col("vec_id") % 8) + 1) % 8)
+              .otherwise(col("vec_id") % 8).cast("int").as("label"))
+            .persist()
+        }
         val keys = tableKeysOf(e)
         // Bounded bucket lists — the production bounded-bucket-scan
         // rule: each band bucket INDEXES only its first 16 members

@@ -445,7 +445,10 @@ object SketchOps {
         // in exactly one bucket per row) — read off the sketch instead
         // of a third full tokenize scan (r16 optimization, guide §1.2)
         val total = cells.filter(col("j") === 0)
-          .agg(sum("cell").cast("long").as("n_total"))
+          // coalesce: sum over ZERO cells (empty token stream) is NULL
+          // where the old toks.agg(count(1)) read 0 — preserve the 0 so
+          // downstream ratio arithmetic keeps its divide-by-zero guard
+          .agg(coalesce(sum("cell"), lit(0L)).cast("long").as("n_total"))
         val candidates = dict
           .select(col("token"), explode(array((0 until D).map(jb): _*)).as("jb"))
           .join(broadcast(cells),

@@ -1987,11 +1987,17 @@ object VersionedParquet {
     // enforcement, the carried-delta write, and the change feed — and
     // in updateOnly mode every evaluation ALSO re-ran the matched
     // semi-join against the assembled current view. One computation
-    // instead of ~6 (r16 optimization, guide §1.2); unpersisted after
-    // the feed write below.
+    // instead of ~6 (r16 optimization, guide §1.2). Unpersisted in the
+    // finally below: a throwing validation (duplicate keys,
+    // upsert∩delete overlap, CHECK constraint — a NORMAL path for the
+    // expectation queries) must release the cache too, not leak one
+    // entry per rejected merge for the session lifetime (r17, guide
+    // §5).
     val aligned =
       (if (updateOnly) aligned0.join(currentKeys, keyCols, "left_semi")
        else aligned0).persist()
+    var preAndDelP: Option[DataFrame] = None
+    try {
     if (aligned.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
         .count() > 0)
@@ -2070,6 +2076,7 @@ object VersionedParquet {
     // merge for the feed instead of twice (r16 optimization, guide
     // §1.2; at 100 TB the assembled-view scan dominates merge cost)
     val preAndDel = current.join(taggedKeys, keyCols, "inner").persist()
+    preAndDelP = Some(preAndDel)
     val matched = preAndDel
       .filter(col("_change_type") === lit("update_pre"))
       .select(keyCols.map(col): _*).distinct()
@@ -2082,8 +2089,6 @@ object VersionedParquet {
     preAndDel.unionByName(postAndIns)
       .write.mode("overwrite")
       .parquet(new Path(snapshot, CDF_DIR).toString)
-    preAndDel.unpersist(blocking = false)
-    aligned.unpersist(blocking = false)
     // a file-exclusion manifest (compactSmallFiles) rides every later
     // version of the chain: dropping it would resurrect packed rows
     readPointer(spark, new Path(new Path(rootPath, versionName(v)),
@@ -2101,6 +2106,10 @@ object VersionedParquet {
     vacuum(spark, root, keepVersions)
     maybeAutoCompact(spark, root, keepVersions)
     snapshot.toString
+    } finally {
+      preAndDelP.foreach(_.unpersist(blocking = false))
+      aligned.unpersist(blocking = false)
+    }
   }
 
   /** The row-level change feed between two versions (the CDF
@@ -2887,9 +2896,12 @@ object VersionedParquet {
       // persisted: the aligned batch feeds the constraint check, the
       // delta write, and the change-feed write — one computation of
       // the incoming rows (incl. identity/generation expressions)
-      // instead of three (r16 optimization, guide §1.2; O(batch) rows,
-      // unpersisted after the feed write)
+      // instead of three (r16 optimization, guide §1.2; O(batch)
+      // rows). Unpersisted in the finally: a throwing CHECK constraint
+      // (a normal path for the expectation queries) must release the
+      // cache too (r17, guide §5).
       val aligned = gen.select(baseCols.map(gen(_)): _*).persist()
+      try {
       enforceConstraints(spark, aligned,
         effectiveConstraints(spark, root, base), "append",
         s"$root stays at version $v")
@@ -2915,7 +2927,6 @@ object VersionedParquet {
       aligned.withColumn("_change_type", lit("insert"))
         .write.mode("overwrite")
         .parquet(new Path(snapshot, CDF_DIR).toString)
-      aligned.unpersist(blocking = false)
       readPointer(spark, new Path(verDir, EXCLUDE_MARKER)).foreach(m =>
         installPointer(spark, snapshot, EXCLUDE_MARKER, m))
       (markers + (BASE_MARKER -> base) +
@@ -2931,6 +2942,7 @@ object VersionedParquet {
       vacuum(spark, root, keepVersions)
       maybeAutoCompact(spark, root, keepVersions)
       snapshot.toString
+      } finally aligned.unpersist(blocking = false)
     }
 
   // ── COPY INTO (idempotent file-tracked bulk ingestion) ─────────────

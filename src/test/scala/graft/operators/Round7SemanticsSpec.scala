@@ -350,11 +350,14 @@ class Round7SemanticsSpec extends AnyFunSuite {
       .select(col("lang"), col("h60"))
     val a = sh.filter(col("h60") % 2 === 0)
     val b = sh.filter(col("h60") % 2 =!= 0)
+    // r is LONG since the BinLength kernel replaced length(bin(w))
+    // (r16): read it as such — the contract under test is value
+    // equality of the register maps, not the physical int width
     val whole = SketchOps.registersOf(sh)
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val merged = SketchOps.registersOf(a).union(SketchOps.registersOf(b))
       .groupBy("lang", "bucket").agg(smax("r").as("r"))
-      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(whole === merged)
   }
 

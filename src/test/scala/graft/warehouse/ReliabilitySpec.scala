@@ -140,7 +140,18 @@ class ReliabilitySpec extends AnyFunSuite {
     // when a loaded host stretches one scan past two publishes.
     try (2 to 8).foreach(v => VersionedParquet.publish(frame(v), root,
       keepVersions = 2, minRetainMillis = 10 * 60 * 1000L))
-    finally { stop = true; reader.join(30000) }
+    finally {
+      // stop, then make sure the thread is really gone before the
+      // suite moves on: a reader that outlives its join window kept a
+      // VersionedParquet.read in flight into JVM shutdown, where
+      // Spark's shutdown hook had already stopped the context and the
+      // scan died with RejectedExecutionException AFTER the test
+      // framework finished (the r16 tests_ok tail noise). Daemonizing
+      // is not enough — the read must be interrupted and drained.
+      stop = true; reader.join(30000)
+      if (reader.isAlive) { reader.interrupt(); reader.join(30000) }
+      assert(!reader.isAlive, "hammer reader failed to stop")
+    }
     assert(failure.isEmpty, failure.getOrElse(""))
     // the pointer resolves to the last publish; the age guard kept
     // every snapshot (all younger than the retention period)
@@ -275,7 +286,18 @@ class ReliabilitySpec extends AnyFunSuite {
     try (2 to 8).foreach(v =>
       WarehouseSnapshot.publishAll(snap(v), root, keepSnapshots = 4,
         minRetainMillis = 10 * 60 * 1000L))
-    finally { stop = true; reader.join(30000) }
+    finally {
+      // stop, then make sure the thread is really gone before the
+      // suite moves on: a reader that outlives its join window kept a
+      // VersionedParquet.read in flight into JVM shutdown, where
+      // Spark's shutdown hook had already stopped the context and the
+      // scan died with RejectedExecutionException AFTER the test
+      // framework finished (the r16 tests_ok tail noise). Daemonizing
+      // is not enough — the read must be interrupted and drained.
+      stop = true; reader.join(30000)
+      if (reader.isAlive) { reader.interrupt(); reader.join(30000) }
+      assert(!reader.isAlive, "hammer reader failed to stop")
+    }
     assert(failure.isEmpty, failure.getOrElse(""))
     assert(WarehouseSnapshot.currentManifest(spark, root) === Some(7L))
 
