@@ -647,33 +647,34 @@ object Optimistic {
         val base = baseNameOf(spark, root, v)
         val baseData = spark.read.parquet(
           new Path(rootPath, base).toString)
+        // persisted per attempt (released in the finally below): the
+        // aligned batch and the touched-key union feed every check,
+        // staging write, and the feed assembly — for the searched
+        // UPDATE/DELETE verbs each un-persisted evaluation re-ran the
+        // full live-view scan the predicate matched against, ~6 times
+        // per attempt (r17, guide §1.2; the mergeLocked discipline
+        // applied to the optimistic path)
         val aligned = alignAndValidate(spark, root, v, upserts, verb)
+          .persist()
         val stagedContract = contractOf(spark, root)
-        if (aligned.groupBy(keyCols.map(col): _*)
-            .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
-            .count() > 0)
-          throw new IOException(s"$verb batch has duplicate keys on (" +
-            keyCols.mkString(",") + s"); $verb is nondeterministic")
         val upKeys = aligned.select(keyCols.map(col): _*).distinct()
         val delKeys = deleteKeys
           .select(keyCols.map(deleteKeys(_)): _*).distinct()
-        if (upKeys.join(delKeys, keyCols, "left_semi").limit(1)
-            .count() > 0)
-          throw new IOException(s"$verb batch upserts AND deletes the " +
-            s"same key on (${keyCols.mkString(",")})")
-        val touched = upKeys.union(delKeys)
-        // key-set Bloom fingerprint (k = 1): the commit's declared
-        // domain, and the disjointness proof for concurrent merges
-        val keyBits = touched.select(
-          org.apache.spark.sql.functions.pmod(
-            org.apache.spark.sql.functions.xxhash64(
-              keyCols.map(col): _*),
-            lit(KEY_BLOOM_BITS.toLong)).as("p"))
-          .distinct().collect().map(_.getLong(0))
-        val keyWords = new Array[Long](KEY_BLOOM_BITS / 64)
-        keyBits.foreach(p =>
-          keyWords(p.toInt >>> 6) |= 1L << (p.toInt & 63))
-        val mine = mkDomain(keyCols, keyWords)
+        val touched = upKeys.union(delKeys).persist()
+        var preAndDelP: Option[org.apache.spark.sql.DataFrame] = None
+        try {
+        // the two nondeterminism gates are independent counts over the
+        // persisted batch — one job latency instead of two (guide §2.6)
+        VersionedParquet.inParallel(
+          () => if (aligned.groupBy(keyCols.map(col): _*)
+              .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
+              .count() > 0)
+            throw new IOException(s"$verb batch has duplicate keys on (" +
+              keyCols.mkString(",") + s"); $verb is nondeterministic"),
+          () => if (upKeys.join(delKeys, keyCols, "left_semi").limit(1)
+              .count() > 0)
+            throw new IOException(s"$verb batch upserts AND deletes the " +
+              s"same key on (${keyCols.mkString(",")})"))
         val hits = baseData
           .withColumn("_file", relFile)
           .withColumn("_pos", col("_metadata.row_index"))
@@ -683,40 +684,71 @@ object Optimistic {
         // hits, rows, and keys stage separately for the REBASE path
         // (they stay valid over key-disjoint interveners: the base is
         // untouched by merges and my keys by theirs); the combined
-        // tiers stage for the rename-only fast path
-        hits.write.parquet(new Path(txn, "_hits").toString)
-        aligned.write.parquet(new Path(txn, "_rows").toString)
-        touched.write.parquet(new Path(txn, "_keys").toString)
+        // tiers stage for the rename-only fast path. The three staging
+        // writes and the domain-fingerprint collect are independent —
+        // submitted concurrently, the stage pays one job latency
+        // instead of four (guide §2.6)
+        @volatile var keyBits: Array[Long] = null
+        VersionedParquet.inParallel(
+          // key-set Bloom fingerprint (k = 1): the commit's declared
+          // domain, and the disjointness proof for concurrent merges
+          () => keyBits = touched.select(
+              org.apache.spark.sql.functions.pmod(
+                org.apache.spark.sql.functions.xxhash64(
+                  keyCols.map(col): _*),
+                lit(KEY_BLOOM_BITS.toLong)).as("p"))
+            .distinct().collect().map(_.getLong(0)),
+          () => hits.write.parquet(new Path(txn, "_hits").toString),
+          () => aligned.write.parquet(new Path(txn, "_rows").toString),
+          () => touched.write.parquet(new Path(txn, "_keys").toString))
+        val keyWords = new Array[Long](KEY_BLOOM_BITS / 64)
+        keyBits.foreach(p =>
+          keyWords(p.toInt >>> 6) |= 1L << (p.toInt & 63))
+        val mine = mkDomain(keyCols, keyWords)
         val prior =
           if (base == versionName(v)) hits.limit(0)
           else spark.read.schema("_file STRING, _pos BIGINT")
             .parquet(new Path(verDir, DV_DIR).toString)
-        prior.union(
-            spark.read.parquet(new Path(txn, "_hits").toString))
-          .distinct()
-          .write.parquet(new Path(txn, DV_DIR).toString)
         val priorDelta = new Path(verDir, DELTA_DIR)
         val carried =
           if (hasParquetData(spark, priorDelta))
             spark.read.parquet(priorDelta.toString)
               .join(touched, keyCols, "left_anti")
           else aligned.limit(0)
-        carried.unionByName(aligned)
-          .write.parquet(new Path(txn, DELTA_DIR).toString)
         val current = dataFrameOf(spark, root, v)
         val taggedKeys = upKeys
           .withColumn("_change_type", lit("update_pre"))
           .unionByName(delKeys.withColumn("_change_type", lit("delete")))
+        // persisted: the matched-key set derives FROM the O(changes)
+        // pre-image frame (update_pre keys == upserted keys that exist
+        // in `current`), so the assembled current view is scanned ONCE
+        // per attempt for the feed instead of twice (the r16
+        // mergeLocked rewrite applied here; guide §1.2)
         val preAndDel = current.join(taggedKeys, keyCols, "inner")
-        val matched = upKeys.join(current.select(keyCols.map(col): _*),
-          keyCols, "left_semi").withColumn("_m", lit(1))
+          .persist()
+        preAndDelP = Some(preAndDel)
+        val matched = preAndDel
+          .filter(col("_change_type") === lit("update_pre"))
+          .select(keyCols.map(col): _*).distinct()
+          .withColumn("_m", lit(1))
         val postAndIns = aligned.join(matched, keyCols, "left")
           .withColumn("_change_type",
             when(col("_m") === 1, lit("update_post"))
               .otherwise(lit("insert")))
           .drop("_m")
-        preAndDel.unionByName(postAndIns)
-          .write.parquet(new Path(txn, CDF_DIR).toString)
+        // the combined tiers are independent writes into the staging
+        // dir — one job latency instead of three (guide §2.6); DV
+        // reads the already-staged _hits, delta and feed read only
+        // persisted frames
+        VersionedParquet.inParallel(
+          () => prior.union(
+              spark.read.parquet(new Path(txn, "_hits").toString))
+            .distinct()
+            .write.parquet(new Path(txn, DV_DIR).toString),
+          () => carried.unionByName(aligned)
+            .write.parquet(new Path(txn, DELTA_DIR).toString),
+          () => preAndDel.unionByName(postAndIns)
+            .write.parquet(new Path(txn, CDF_DIR).toString))
         val excl = readPointer(spark, new Path(verDir, EXCLUDE_MARKER))
         afterStage()
         // COMMIT. Fast path (still live): renames only. Rebase path
@@ -790,6 +822,14 @@ object Optimistic {
         committed.foreach { c =>
           autoCompactHook(spark, root, keepVersions) // self-heal outside the critical section
           return c
+        }
+        } finally {
+          // per-attempt release (a conflict loops with fresh frames;
+          // the `return` above passes through here too): a retry loop
+          // must not stack one persisted batch per attempt
+          preAndDelP.foreach(_.unpersist(blocking = false))
+          touched.unpersist(blocking = false)
+          aligned.unpersist(blocking = false)
         }
         // reached only on conflict: yield before re-staging (no sleep
         // after the final attempt — the throw below follows directly)

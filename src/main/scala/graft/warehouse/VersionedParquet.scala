@@ -206,6 +206,39 @@ object VersionedParquet {
     }
   }
 
+  /** Run independent staging actions CONCURRENTLY and await them all
+    * (guide §2.6 "overlap independent jobs"): Spark happily runs
+    * several jobs at once inside one application — the commit paths'
+    * snapshot tiers (vector / delta / change feed) are independent
+    * small jobs whose SEQUENTIAL submission made every merge/append
+    * pay three-plus job latencies where one suffices. Threads are
+    * per-call (cheap at commit frequency) so concurrent writers to
+    * different tables never share a queue; the first failure
+    * propagates with its original type (the commit paths' IOException
+    * contract) after the remaining actions are interrupted — a failed
+    * stage leaves only pre-swap garbage the next attempt deletes. */
+  private[warehouse] def inParallel(tasks: (() => Unit)*): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.length)
+      try {
+        val fs = tasks.map(t => pool.submit(
+          new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }))
+        var failure: Throwable = null
+        fs.foreach { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (failure == null) failure = e.getCause
+            case e: InterruptedException =>
+              Thread.currentThread().interrupt()
+              if (failure == null) failure = e
+          }
+        }
+        if (failure != null) throw failure
+      } finally { pool.shutdownNow(); () }
+    }
+
   /** Whether `dir` holds at least one parquet data file. Spark writes
     * no part files for an empty DataFrame (only `_SUCCESS`), so this is
     * the existence test for an optional delta tier — schema inference
@@ -1997,26 +2030,32 @@ object VersionedParquet {
       (if (updateOnly) aligned0.join(currentKeys, keyCols, "left_semi")
        else aligned0).persist()
     var preAndDelP: Option[DataFrame] = None
+    var touchedP: Option[DataFrame] = None
     try {
-    if (aligned.groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
-        .count() > 0)
-      throw new IOException("merge batch has duplicate keys on (" +
-        keyCols.mkString(",") + "); MERGE is nondeterministic")
-    // CHECK constraints ride the write path, not just publish: the
-    // table's accepted contract — the base's own `_CONSTRAINTS` plus
-    // any named `ALTER TABLE ADD CONSTRAINT` additions — is enforced
-    // over the INCOMING rows (the only rows a merge can add) before
-    // anything is staged. Base rows already passed at their own
-    // publish/ADD validation.
-    enforceConstraints(spark, aligned,
-      effectiveConstraints(spark, root, base), "merge",
-      s"$root stays at version $v")
     val upKeys = aligned.select(keyCols.map(col): _*).distinct()
     val callerDel = deleteKeys.select(keyCols.map(deleteKeys(_)): _*).distinct()
-    if (upKeys.join(callerDel, keyCols, "left_semi").limit(1).count() > 0)
-      throw new IOException("merge batch upserts AND deletes the same " +
-        s"key on (${keyCols.mkString(",")}); MERGE is nondeterministic")
+    // the three pre-staging gates are independent reads of the
+    // persisted batch — run them concurrently (guide §2.6): two
+    // tiny-count jobs plus the (usually absent) constraint aggregate
+    // collapse to one job latency. CHECK constraints ride the write
+    // path, not just publish: the table's accepted contract — the
+    // base's own `_CONSTRAINTS` plus any named `ALTER TABLE ADD
+    // CONSTRAINT` additions — is enforced over the INCOMING rows (the
+    // only rows a merge can add) before anything is staged. Base rows
+    // already passed at their own publish/ADD validation.
+    inParallel(
+      () => if (aligned.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1)
+          .count() > 0)
+        throw new IOException("merge batch has duplicate keys on (" +
+          keyCols.mkString(",") + "); MERGE is nondeterministic"),
+      () => enforceConstraints(spark, aligned,
+        effectiveConstraints(spark, root, base), "merge",
+        s"$root stays at version $v"),
+      () => if (upKeys.join(callerDel, keyCols, "left_semi").limit(1)
+          .count() > 0)
+        throw new IOException("merge batch upserts AND deletes the same " +
+          s"key on (${keyCols.mkString(",")}); MERGE is nondeterministic"))
     // WHEN NOT MATCHED BY SOURCE THEN DELETE: every live key the
     // source does not carry — computed here against the locked
     // version, disjoint from upKeys by construction (no second
@@ -2025,7 +2064,13 @@ object VersionedParquet {
       if (!bySourceDelete) callerDel
       else callerDel.union(
         currentKeys.distinct().join(upKeys, keyCols, "left_anti"))
-    val touched = upKeys.union(delKeys)
+    // persisted: the touched-key union (O(changes) keys) feeds THREE
+    // concurrent consumers below (the vector's hit scan, the delta
+    // carry anti-join, the feed's tagged keys) — and in bySourceDelete
+    // mode it embeds a full current-view scan each consumer would
+    // otherwise repeat (r17, guide §1.2; unpersisted in the finally)
+    val touched = upKeys.union(delKeys).persist()
+    touchedP = Some(touched)
     val next = v + 1
     val snapshot = new Path(rootPath, versionName(next))
     fs.delete(snapshot, true)
@@ -2040,9 +2085,10 @@ object VersionedParquet {
       if (base == versionName(v)) hits.limit(0)
       else spark.read.schema("_file STRING, _pos BIGINT").parquet(
         new Path(new Path(rootPath, versionName(v)), DV_DIR).toString)
-    prior.union(hits).distinct()
-      .write.mode("overwrite")
-      .parquet(new Path(snapshot, DV_DIR).toString)
+    val writeDv = () =>
+      prior.union(hits).distinct()
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, DV_DIR).toString)
     // carried-forward delta: prior delta rows whose key is re-upserted
     // or deleted are superseded/removed (anti-join), not duplicated
     val priorDelta = new Path(new Path(rootPath, versionName(v)), DELTA_DIR)
@@ -2051,9 +2097,10 @@ object VersionedParquet {
         spark.read.parquet(priorDelta.toString)
           .join(touched, keyCols, "left_anti")
       else aligned.limit(0)
-    carried.unionByName(aligned)
-      .write.mode("overwrite")
-      .parquet(new Path(snapshot, DELTA_DIR).toString)
+    val writeDelta = () =>
+      carried.unionByName(aligned)
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, DELTA_DIR).toString)
     // change feed. Pre-images resolve against the version being
     // superseded (NOT the raw base: a key updated twice must show its
     // previous delta row, and a key whose base row is already masked
@@ -2086,9 +2133,17 @@ object VersionedParquet {
         org.apache.spark.sql.functions.when(col("_m") === 1,
           lit("update_post")).otherwise(lit("insert")))
       .drop("_m")
-    preAndDel.unionByName(postAndIns)
-      .write.mode("overwrite")
-      .parquet(new Path(snapshot, CDF_DIR).toString)
+    val writeCdf = () =>
+      preAndDel.unionByName(postAndIns)
+        .write.mode("overwrite")
+        .parquet(new Path(snapshot, CDF_DIR).toString)
+    // the three snapshot tiers are INDEPENDENT writes into the staged
+    // (not yet pointer-visible) snapshot — submit them concurrently
+    // (guide §2.6): a merge's staging cost drops from three sequential
+    // job latencies to the slowest of the three; every input they
+    // share (aligned, touched, preAndDel via its own write) is
+    // persisted above, so the overlap duplicates no computation
+    inParallel(writeDv, writeDelta, writeCdf)
     // a file-exclusion manifest (compactSmallFiles) rides every later
     // version of the chain: dropping it would resurrect packed rows
     readPointer(spark, new Path(new Path(rootPath, versionName(v)),
@@ -2108,6 +2163,7 @@ object VersionedParquet {
     snapshot.toString
     } finally {
       preAndDelP.foreach(_.unpersist(blocking = false))
+      touchedP.foreach(_.unpersist(blocking = false))
       aligned.unpersist(blocking = false)
     }
   }
@@ -2914,19 +2970,25 @@ object VersionedParquet {
         if (base == versionName(v)) emptyDv(spark)
         else spark.read.schema("_file STRING, _pos BIGINT")
           .parquet(new Path(verDir, DV_DIR).toString)
-      dvPrior.write.mode("overwrite")
-        .parquet(new Path(snapshot, DV_DIR).toString)
       val priorDelta = new Path(verDir, DELTA_DIR)
       val carried =
         if (hasParquetData(spark, priorDelta))
           spark.read.parquet(priorDelta.toString)
         else aligned.limit(0)
-      carried.unionByName(aligned)
-        .write.mode("overwrite")
-        .parquet(new Path(snapshot, DELTA_DIR).toString)
-      aligned.withColumn("_change_type", lit("insert"))
-        .write.mode("overwrite")
-        .parquet(new Path(snapshot, CDF_DIR).toString)
+      // the three snapshot tiers are independent writes into the
+      // staged (not yet pointer-visible) snapshot — submitted
+      // concurrently (guide §2.6), an append pays one job latency
+      // instead of three; the shared `aligned` batch is persisted
+      // above so the overlap duplicates no computation
+      inParallel(
+        () => dvPrior.write.mode("overwrite")
+          .parquet(new Path(snapshot, DV_DIR).toString),
+        () => carried.unionByName(aligned)
+          .write.mode("overwrite")
+          .parquet(new Path(snapshot, DELTA_DIR).toString),
+        () => aligned.withColumn("_change_type", lit("insert"))
+          .write.mode("overwrite")
+          .parquet(new Path(snapshot, CDF_DIR).toString))
       readPointer(spark, new Path(verDir, EXCLUDE_MARKER)).foreach(m =>
         installPointer(spark, snapshot, EXCLUDE_MARKER, m))
       (markers + (BASE_MARKER -> base) +
