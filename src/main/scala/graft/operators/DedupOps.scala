@@ -995,11 +995,37 @@ object DedupOps {
         // pair emerges once per shared prefix shingle, exactly as the
         // join produced it (r16 optimization, guide §2.4; doc_id is
         // unique per cell, so array_sort gives id_a < id_b by
-        // construction)
+        // construction).
+        // CELL-SIZE GUARD (r17, guide §5): the cell for shingle g holds
+        // at most df(g) docs, and its O(cell²) pair expansion lives in
+        // ONE task — a pathological prefix shingle must fail LOUDLY
+        // before the quadratic explode, not OOM an executor minutes
+        // in. The guard is an in-plan assertion (the chi2Report
+        // raise_error discipline): cells at or under the cap pass
+        // through untouched — same rows, same plan shape, one extra
+        // codegen'd conditional — and an over-cap cell names itself.
+        // The cap bounds pairs at CAP² = 16M per task, and the
+        // structural argument stands: hot shingles sort LAST in the
+        // (df, shingle) order and never enter a prefix, so prefix df
+        // is small by construction — sf0.1 ground truth (DuckDB, 70k
+        // cells): max cell 5 docs, max prefix df 7. A corpus that
+        // trips this wants the df-capped MinHash tier (q36), not a
+        // bigger buffer. (A df-split dual path — in-cell under the
+        // cap, streaming self-join above — was measured and REJECTED:
+        // the always-present join legs re-ran the full prefix
+        // pipeline even with zero over-cap rows, serve 1.7 → 4.8 s.)
+        val CELL_CAP = 4096
         val cand = prefix
           .groupBy("lang", "shingle")
           .agg(array_sort(collect_list(
-            struct(col("doc_id"), col("n_sh")))).as("ds"))
+            struct(col("doc_id"), col("n_sh")))).as("ds0"))
+          .withColumn("ds",
+            when(size(col("ds0")) <= CELL_CAP, col("ds0"))
+              .otherwise(raise_error(format_string(
+                s"q225: prefix cell for (%s, %s) holds %d docs — above " +
+                  s"the $CELL_CAP in-cell expansion bound; this corpus' " +
+                  "prefix df distribution needs the banded MinHash tier",
+                col("lang"), col("shingle"), size(col("ds0"))))))
           .select(explode(flatten(transform(col("ds"), (a, i) =>
             transform(slice(col("ds"), i + 2, size(col("ds"))),
               b => struct(a.getField("doc_id").as("id_a"),
@@ -1069,8 +1095,13 @@ object DedupOps {
     val root = lshTableRoot(s, d)
     val idx = graft.sources.Scratch.dir(s, "q168-lsh-index")
     if (!new java.io.File(idx).exists()) {
-      val v0 = VersionedParquet.read(s, root, Some(0L))
-      val idx0 = bandKeys(signaturesOf(shingleFrameOf(v0)))
+      // v0 is the documents table published VERBATIM (lshTableRoot
+      // publishes docs.select(doc_id, lang, text) as v0), so its band
+      // keys are exactly the session-cached signature frame's — read
+      // the cache instead of re-running tokenize + shingle + minhash
+      // over the versioned copy (r17, guide §1.2; the q213/q35
+      // sharing discipline — value-identical because the rows are)
+      val idx0 = bandKeys(signatures(s, d))
       val feed = VersionedParquet.changes(s, root, 0, 1)
       val ins = feed.filter(col("_change_type") === "insert")
         .select("doc_id", "lang", "text")

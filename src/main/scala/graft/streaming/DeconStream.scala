@@ -45,38 +45,56 @@ object DeconStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val grams = batch
+        // persisted per batch: the batch rows feed the gram explode,
+        // the quarantine/silver splits, and each side's commit (which
+        // evaluates its rows for the constraint check, delta, and
+        // feed) — without the persist every consumer re-read the
+        // batch's source files, ~5 scans per micro-batch (r17, guide
+        // §1.2; a micro-batch is bounded by construction, so the
+        // cached footprint is too)
+        val batchP = batch.persist()
+        val grams = batchP
           .select(col("doc_id"),
             explode(shingles(tokens(col("text")), n)).as("g"))
           .select(col("doc_id"), Hashing.md5Long60(col("g")).as("h"))
         // persisted per batch: `leaks` (bounded — one row per
-        // contaminated doc in THIS batch) feeds four consumers below
-        // (two emptiness probes + two appends); without the persist
-        // each consumer re-ran the batch's full gram explode + join +
-        // aggregate, quadrupling the per-batch cost (r16 optimization,
-        // guide §1.2 — this was most of q223's fixture time).
-        // Exactly-once semantics and the quarantine-first ordering
-        // are untouched: the same rows, computed once.
+        // contaminated doc in THIS batch) feeds the probes and both
+        // appends below; without the persist each consumer re-ran the
+        // batch's full gram explode + join + aggregate, quadrupling
+        // the per-batch cost (r16 optimization, guide §1.2 — this was
+        // most of q223's fixture time). Exactly-once semantics and
+        // the quarantine-first ordering are untouched: the same rows,
+        // computed once.
         val leaks = grams
           .join(broadcast(benchGramHashes.select("h")), Seq("h"))
           .groupBy("doc_id")
           .agg(countDistinct(col("h")).as("_n_leaked_ngrams"))
           .persist()
         try {
-          val bad = batch.join(leaks, Seq("doc_id"))
-          val clean = batch.join(leaks.select("doc_id"), Seq("doc_id"),
+          // the quarantine emptiness probe reads the TINY persisted
+          // leak set instead of join-probing the batch: every leaks
+          // doc_id comes from this batch, so `bad` is non-empty iff
+          // `leaks` is (r17 — one cheap count in place of a join job;
+          // this count also materializes the persist)
+          val nLeaked = leaks.limit(1).count()
+          val bad = batchP.join(leaks, Seq("doc_id"))
+          val clean = batchP.join(leaks.select("doc_id"), Seq("doc_id"),
             "left_anti")
           // quarantine commits FIRST: a crash between the two appends
           // then re-runs the batch — the quarantine side skips (marker),
           // the silver side applies — and no contaminated doc can ever
           // have reached silver in the window
-          if (bad.limit(1).count() > 0)
+          if (nLeaked > 0)
             VersionedSink.commitAppend(spark, quarantineRoot, batchId,
               bad, keepVersions)
           if (clean.limit(1).count() > 0)
             VersionedSink.commitAppend(spark, silverRoot, batchId, clean,
               keepVersions)
-        } finally { leaks.unpersist(blocking = false); () }
+        } finally {
+          leaks.unpersist(blocking = false)
+          batchP.unpersist(blocking = false)
+          ()
+        }
         ()
       }
       .start()
