@@ -1341,6 +1341,64 @@ object IcebergLite {
     * reads need no reconstruction; one data directory per tuple
     * (transform cardinality is bounded by design — that is what makes
     * a transform a partition function). Fresh tables only. */
+  /** Write `withPt` (the data columns plus the transformed-tuple
+    * columns `_pt_0.._pt_{n-1}`) into ONE data directory per distinct
+    * tuple — `dirFor(ti)` for `tuples(ti)` — with ONE Spark job over
+    * the input. Rows are tagged with their tuple index by a null-safe
+    * broadcast join against the collected tuple table, written
+    * `partitionBy` that index into a staging dir, and the index dirs
+    * renamed into the per-tuple layout. The previous shape ran one
+    * filter+write JOB PER TUPLE, each re-scanning the full input — a
+    * 30-day `days(ts)` export paid 30 input scans (r17, guide
+    * §1.2/§6 "don't re-read what one pass can split"). File contents
+    * are unchanged: field ids ride the data columns exactly as
+    * before, and the partition index column never lands in the files
+    * (partitionBy excludes it). */
+  private def writeTuplePartitioned(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, withPt: DataFrame,
+      dataCols: Seq[String], nPt: Int,
+      tuples: Array[org.apache.spark.sql.Row], stagingRoot: Path,
+      dirFor: Int => Path): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val ptNames = (0 until nPt).map(i => s"_pt_$i")
+    val tupleSchema = StructType(
+      ptNames.map(n => withPt.schema(n)) :+
+        StructField("_ti", IntegerType, nullable = false))
+    val tdf = spark.createDataFrame(
+      java.util.Arrays.asList(tuples.zipWithIndex.map { case (t, ti) =>
+        org.apache.spark.sql.Row.fromSeq(t.toSeq :+ ti) }: _*),
+      tupleSchema)
+    val cond = ptNames.map(n => withPt(s"`$n`") <=> tdf(s"`$n`"))
+      .reduce(_ && _)
+    // field ids over the data columns, same ids (1..n by position) as
+    // withFieldIds assigned under the old per-tuple writes; _ti rides
+    // last and is excluded from the data files by partitionBy
+    val joined = withPt.join(broadcast(tdf), cond)
+      .select(dataCols.map(c => withPt(s"`$c`")) :+ tdf("_ti"): _*)
+    val tagged = joined.select(dataCols.zipWithIndex.map { case (c, i) =>
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(joined.schema(c).metadata)
+        .putLong("parquet.field.id", i + 1L).build()
+      col(s"`$c`").as(c, md)
+    } :+ col("_ti"): _*)
+    fs.delete(stagingRoot, true)
+    tagged.write.mode("overwrite").partitionBy("_ti")
+      .parquet(stagingRoot.toString)
+    tuples.indices.foreach { ti =>
+      val src = new Path(stagingRoot, s"_ti=$ti")
+      val dst = dirFor(ti)
+      if (!fs.exists(src))
+        throw new IOException(s"partitioned export lost tuple $ti: " +
+          s"no staged dir at $src")
+      fs.mkdirs(dst.getParent)
+      fs.delete(dst, true)
+      if (!fs.rename(src, dst))
+        throw new IOException(s"could not install partition dir $dst")
+    }
+    fs.delete(stagingRoot, true)
+  }
+
   def exportTransformPartitioned(spark: SparkSession, df: DataFrame,
                                  location: String,
                                  specs: Seq[(String, String)]): Long = {
@@ -1381,16 +1439,14 @@ object IcebergLite {
     val tuples = withPt
       .select((0 until parsed.length).map(i => col(s"_pt_$i")): _*)
       .distinct().collect()
+    // all tuples land in ONE job (null-safe index join + partitionBy
+    // staging + renames — see writeTuplePartitioned) instead of one
+    // filter+write job per tuple re-scanning the input each time
+    writeTuplePartitioned(spark, fs, withPt, df.columns.toSeq,
+      parsed.length, tuples, new Path(loc, ".pt-staging"),
+      ti => new Path(loc, s"data/part-$ti"))
     val entries = tuples.zipWithIndex.flatMap { case (t, ti) =>
-      // null-safe slice: `col === null` is NULL (matches nothing), so a
-      // null partition value would silently drop every row holding it
-      val cond = parsed.indices.map { i =>
-        if (t.isNullAt(i)) col(s"_pt_$i").isNull
-        else col(s"_pt_$i") === lit(t.get(i)) }.reduce(_ && _)
       val dataDir = new Path(loc, s"data/part-$ti")
-      withFieldIds(withPt.filter(cond)
-          .select(df.columns.map(c => col(s"`$c`")).toSeq: _*))
-        .write.mode("overwrite").parquet(dataDir.toString)
       fs.listStatus(dataDir).toSeq.map(_.getPath)
         .filter(_.getName.endsWith(".parquet"))
         .map(p => fs.makeQualified(p)).map { path =>
@@ -2111,14 +2167,13 @@ object IcebergLite {
         val tuples = withPt
           .select(parsed.indices.map(i => col(s"_pt_$i")): _*)
           .distinct().collect()
+        // one job for every tuple (see writeTuplePartitioned), not one
+        // filter+write job per tuple re-scanning the append batch
+        writeTuplePartitioned(spark, fs, withPt, df.columns.toSeq,
+          parsed.length, tuples, new Path(loc, ".pt-staging"),
+          ti => new Path(loc, s"data/snap-$snapId-part-$ti"))
         tuples.zipWithIndex.flatMap { case (t, ti) =>
-          val cond = parsed.indices.map { i =>
-            if (t.isNullAt(i)) col(s"_pt_$i").isNull
-            else col(s"_pt_$i") === lit(t.get(i)) }.reduce(_ && _)
           val dataDir = new Path(loc, s"data/snap-$snapId-part-$ti")
-          withFieldIds(withPt.filter(cond)
-              .select(df.columns.map(c => col(s"`$c`")).toSeq: _*))
-            .write.mode("overwrite").parquet(dataDir.toString)
           fs.listStatus(dataDir).toSeq.map(_.getPath)
             .filter(_.getName.endsWith(".parquet"))
             .map(p => fs.makeQualified(p)).map { path =>
