@@ -204,25 +204,20 @@ object Branch {
           dataFrameOf(spark, bRoot, bv).write.mode("overwrite")
             .parquet(snapshot.toString)
       }
-      if (withFeed) {
-        import org.apache.spark.sql.functions.{abs, col, explode, lit,
-          sequence, sum, when}
-        val cur = dataFrameOf(spark, root, v)
-        val tgt = dataFrameOf(spark, bRoot, bv)
-        val tagged = cur.withColumn("_w", lit(-1L))
-          .unionByName(tgt.withColumn("_w", lit(1L)),
-            allowMissingColumns = true)
-        val cols = tagged.columns.toSeq.filterNot(_ == "_w")
-        val net = tagged
-          .groupBy(cols.map(col): _*).agg(sum("_w").as("_n"))
-          .filter(col("_n") =!= 0)
-        net.withColumn("_change_type",
-            when(col("_n") > 0, lit("insert")).otherwise(lit("delete")))
-          .withColumn("_rep", explode(sequence(lit(1L), abs(col("_n")))))
-          .drop("_n", "_rep")
-          .write.mode("overwrite")
-          .parquet(new Path(snapshot, CDF_DIR).toString)
-      }
+      if (withFeed)
+        // the feed is the net multiset diff branch-head − main@fork.
+        // Main is FROZEN at the branch's fork (checked above), so the
+        // net is exactly the branch's own accumulated feeds over
+        // (0, bv] — replayed at O(changes) with dir = +1; a feed-less
+        // branch commit (physical publish / compaction without the
+        // empty marker) falls back to the two-view diff (the old
+        // unconditional shape). See writeNetDiffFeed for the
+        // telescoping argument.
+        VersionedParquet.writeNetDiffFeed(spark,
+          dataFrameOf(spark, root, v),
+          dataFrameOf(spark, bRoot, bv),
+          Some((bRoot, 0L, bv, 1L)),
+          new Path(snapshot, CDF_DIR))
       // branch DDL travels: install the branch's live contract markers
       // (drift-checked above, so main's copies are still fork-time).
       // Main's current marker contents are captured FIRST so a failed

@@ -2860,6 +2860,59 @@ object VersionedParquet {
     * to skip it on very large tables (the restore version then marks
     * itself CDF-absent and `changes` across it fails loudly, like a
     * physical publish). */
+  /** Write the net multiset diff `tgt − cur` as a change feed
+    * (insert / delete, one row per multiplicity unit) under `out`.
+    *
+    * When `replay` names a feed range (root, lo, hi, dir) and every
+    * commit in (lo, hi] carries a feed, the net FOLDS FROM THE FEEDS —
+    * O(changes) rows, neither view scanned: by the apply invariant
+    * (read(v+1) ≡ read(v) ∖ {pre, delete} ⊎ {post, insert}, proven
+    * per step by MergeOnReadSpec) the signed sum
+    * Σ(post + ins) − Σ(pre + del) over the range telescopes to
+    * exactly read(hi) − read(lo), so weighting feed rows ±dir and
+    * netting per row image reproduces the two-view diff. `dir` = +1
+    * when tgt is the range's HIGH end (fast-forward: tgt = branch
+    * head, cur = the frozen fork point), −1 when tgt is the LOW end
+    * (restore: tgt = the old version). At 100 TB this reads megabytes
+    * of feed instead of re-scanning the lake (r17, guide §1.2).
+    *
+    * A range containing a feed-less commit (physical publish), or any
+    * other resolution failure, falls back to the honest two-view
+    * diff: union with ±1 weights, one full-width shuffle — the
+    * previous unconditional shape. */
+  private[warehouse] def writeNetDiffFeed(spark: SparkSession,
+      cur: => DataFrame, tgt: => DataFrame,
+      replay: Option[(String, Long, Long, Long)], out: Path): Unit = {
+    import org.apache.spark.sql.functions.{abs, col, explode, lit,
+      sequence, sum, when}
+    val fromReplay: Option[DataFrame] = replay.flatMap {
+      case (rRoot, lo, hi, dir) =>
+        if (lo >= hi) None
+        else try {
+          val feed = changes(spark, rRoot, lo, hi)
+          Some(feed
+            .withColumn("_w",
+              when(col("_change_type").isin("insert", "update_post"),
+                lit(dir)).otherwise(lit(-dir)))
+            .drop("_change_type", "_commit_version"))
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val tagged = fromReplay.getOrElse(
+      cur.withColumn("_w", lit(-1L))
+        .unionByName(tgt.withColumn("_w", lit(1L)),
+          allowMissingColumns = true))
+    val cols = tagged.columns.toSeq.filterNot(_ == "_w")
+    val net = tagged
+      .groupBy(cols.map(col): _*).agg(sum("_w").as("_n"))
+      .filter(col("_n") =!= 0)
+    net.withColumn("_change_type",
+        when(col("_n") > 0, lit("insert")).otherwise(lit("delete")))
+      .withColumn("_rep", explode(sequence(lit(1L), abs(col("_n")))))
+      .drop("_n", "_rep")
+      .write.mode("overwrite")
+      .parquet(out.toString)
+  }
+
   def restore(spark: SparkSession, root: String, toVersion: Long,
               keepVersions: Int = 0, withFeed: Boolean = true): String =
     withWriterLock(spark, root) {
@@ -2881,30 +2934,20 @@ object VersionedParquet {
       fs.delete(snapshot, true)
       stageLogicalCopy(spark, root, toVersion, snapshot,
         baseNameOf(spark, root, toVersion))
-      if (withFeed) {
-        import org.apache.spark.sql.functions.{abs, col, explode, lit,
-          sequence, sum, when}
-        val cur = dataFrameOf(spark, root, v)
-        val tgt = dataFrameOf(spark, root, toVersion)
-        // net multiset diff in ONE shuffle: current weighs −1, target
-        // +1; a nonzero sum is that row image's multiplicity delta.
-        // allowMissingColumns null-fills across an intervening schema
-        // change (a column added after toVersion reads null here, the
-        // same alignment read(version=) applies)
-        val tagged = cur.withColumn("_w", lit(-1L))
-          .unionByName(tgt.withColumn("_w", lit(1L)),
-            allowMissingColumns = true)
-        val cols = tagged.columns.toSeq.filterNot(_ == "_w")
-        val net = tagged
-          .groupBy(cols.map(col): _*).agg(sum("_w").as("_n"))
-          .filter(col("_n") =!= 0)
-        net.withColumn("_change_type",
-            when(col("_n") > 0, lit("insert")).otherwise(lit("delete")))
-          .withColumn("_rep", explode(sequence(lit(1L), abs(col("_n")))))
-          .drop("_n", "_rep")
-          .write.mode("overwrite")
-          .parquet(new Path(snapshot, CDF_DIR).toString)
-      }
+      if (withFeed)
+        // the feed is the net multiset diff target − current. The
+        // fast path replays the table's OWN feeds over
+        // (toVersion, v] with dir = −1 (restoring walks the range
+        // DOWNHILL, so applied changes invert) — O(changes), no view
+        // scan; a feed-less commit in the range falls back to the
+        // two-view diff (one full-width shuffle, the old
+        // unconditional shape). allowMissingColumns on the fallback
+        // null-fills across an intervening schema change.
+        writeNetDiffFeed(spark,
+          dataFrameOf(spark, root, v),
+          dataFrameOf(spark, root, toVersion),
+          Some((root, toVersion, v, -1L)),
+          new Path(snapshot, CDF_DIR))
       sealCommit(spark, snapshot)
       try swapPointer(spark, rootPath, next)
       catch {
