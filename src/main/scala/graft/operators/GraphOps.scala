@@ -216,6 +216,16 @@ object GraphOps {
         // kernel is hot enough for JIT racing to dominate. The
         // recursive call is safe: edgesBucketed now holds the key,
         // so re-entry returns the table names without rebuilding.
+        // NOTE (r17 optimization round): a BOUNDED-SLICE warm (the
+        // same plan shape over u%16 slice tables, betting on the
+        // codegen cache keying on plan structure) was built and
+        // measured, paired runs: fixture deltas within host noise
+        // (13.2/13.3 slice vs 11.9/13.7 full across four runs) while
+        // the real first serve came out COLDER (2.40/3.02 s slice vs
+        // 2.03/2.20 s full — the slice misses the JIT profile depth
+        // and page-cache warmth of the real bucket files). REVERTED:
+        // three extra bucketed writes buy no reliable fixture win and
+        // cost serve warmth.
         triangleTop(s, d).write.format("noop").mode("overwrite").save()
       }
     }
